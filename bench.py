@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop-format write (materializes every column,
+no driver collect overhead). First query absorbs session warm-up; a tiny
+warm-up job runs first so timings reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jackfruit_spark import queries as Q
+from jackfruit_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_region_revenue",
+    "q07_dedup_latest_event",
+    "q09_asof_click_before_purchase",
+    "q16_tumbling_window",
+    "q20_exact_dedup",
+    "q21_jaccard_topk",
+    "q22_ann_cosine_topk",
+    "q24_minhash_lsh_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("jackfruit-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM / parquet footer caches
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    reg = Q.registry()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = reg[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,21 @@
+"""jackfruit-spark: a PySpark-native analytics engine with the query and
+data-processing capabilities of the reference environmental-data platform
+(kacper-wojtaszczyk/jackfruit), re-expressed Spark-first.
+
+Layout:
+  - ``grid/``      — the reference's data model: grid_data fact table, dedup
+                     (FINAL) semantics, catalog dims, serving read path.
+  - ``operators/`` — reusable relational operators (as-of/snap, nearest
+                     neighbor, dedup families, transforms).
+  - ``functions/`` — scalar/column function libraries (text analysis,
+                     similarity search).
+  - ``sources/``   — GRIB decode adapters (binaryFile + mapInPandas),
+                     driver-side API clients, object-store key semantics.
+  - ``streaming/`` — Structured Streaming ingestion (availableNow batch-like
+                     incremental mode).
+  - ``queries.py`` — the registry that backs ``__spark_entry__``: every
+                     implemented operator exposed as (spark, sf_dir) ->
+                     DataFrame with a DuckDB oracle SQL where expressible.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (array<float>).
+
+Spark-first: the dot product / norm are ``F.aggregate`` / ``F.zip_with``
+column expressions — JVM-side, no Python. Brute-force top-k is the exact
+baseline; the scale path buckets vectors with random-hyperplane LSH so a
+query probes only its bucket neighborhood instead of all N vectors.
+
+At 100 TB (billions of vectors) the brute-force form is a broadcast of the
+query vector + a single TakeOrderedAndProject — still shuffle-free; the
+LSH form turns top-k into a bucket-pruned scan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def ann_brute_force(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine against a constant query vector. The query
+    vector is a literal (broadcast by construction); the plan is scan +
+    project + TakeOrderedAndProject — no shuffle. Cosine rounded to 6dp for
+    oracle-stable ordering with id tie-break."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hyperplane_bucket(vec_col: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane -> integer."""
+    bits = []
+    for i, p in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot(vec_col, pl) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).cast("int")
+
+
+def ann_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    planes: Sequence[Sequence[float]],
+    k: int = 10,
+) -> DataFrame:
+    """Bucket-pruned ANN: score only vectors whose hyperplane bucket matches
+    the query's. Recall < 1.0 by design; multi-probe = relax the filter to
+    Hamming-1 neighbors (left as the production knob). At scale, persist
+    the table bucketed/partitioned by this id so the filter prunes I/O."""
+    import numpy as np
+
+    qv = np.array(query_vec, dtype="float64")
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(qv, np.array(p, dtype="float64"))) >= 0:
+            qbucket |= 1 << i
+    bucketed = df.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("__bucket") == qbucket)
+    return ann_brute_force(cand.drop("__bucket"), id_col, vec_col, query_vec, k)
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: Sequence[Sequence[float]]
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (argmin over C literal centroids — C small, unrolled as expressions)."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{i}")
+        for i, c in enumerate(centroids)
+    ]
+    with_d = df.select("*", *dists)
+    best = F.lit(0)
+    best_d = F.col("d0")
+    for i in range(1, len(centroids)):
+        cond = F.col(f"d{i}") < best_d
+        best = F.when(cond, F.lit(i)).otherwise(best)
+        best_d = F.when(cond, F.col(f"d{i}")).otherwise(best_d)
+    return with_d.withColumn("ivf_cell", best.cast("int")).drop(
+        *[f"d{i}" for i in range(len(centroids))]
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All pure column expressions (whole-stage codegen, no Python in the hot
+path): token counting, quality scoring, language ID by stopword n-gram
+heuristic, rolling-hash fingerprinting. Each has a ``queries()`` entry over
+the ``documents`` table with a DuckDB oracle where the semantics are
+SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram language-ID heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "es": ["el", "la", "de", "y", "los"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+
+def tokens(text_col) -> Column:
+    """Whitespace tokenization; the BPE-ish variant adds punctuation splits."""
+    return F.split(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col), r"\s+")
+
+
+def token_count(text_col) -> Column:
+    return F.size(tokens(text_col)).cast("long")
+
+
+def bpe_ish_tokens(text_col) -> Column:
+    """Regex pre-tokenizer in the GPT-2 spirit: words, numbers, punctuation
+    runs — a deterministic stand-in for a real BPE vocab."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # insert breaks before punctuation runs, then whitespace-split
+    spaced = F.regexp_replace(c, r"([^\w\s]+)", r" $1 ")
+    return F.split(F.trim(spaced), r"\s+")
+
+
+def punct_count(text_col) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.length(F.regexp_replace(c, r"[^.!?,;:]", "")).cast("long")
+
+
+def stopword_count(text_col, words: list[str]) -> Column:
+    toks = tokens(text_col)
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def quality_features(text_col: str) -> list[Column]:
+    """Length / punctuation / stopword-ratio features used for quality
+    filtering of web text. Ratios are rounded to 6dp so the DuckDB oracle
+    hash-matches bit-for-bit."""
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_tokens = token_count(text_col)
+    n_punct = punct_count(text_col)
+    n_stop = stopword_count(text_col, LANG_STOPWORDS["en"])
+    return [
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct.cast("double") / n_chars.cast("double"), 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_tokens.cast("double"), 6).alias("stopword_ratio"),
+        F.round(n_chars.cast("double") / n_tokens.cast("double"), 6).alias("avg_token_len"),
+    ]
+
+
+def lang_scores(text_col: str) -> dict[str, Column]:
+    return {lang: stopword_count(text_col, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(text_col: str) -> Column:
+    """Argmax over per-language stopword hit counts; ties resolve in the
+    fixed precedence order en > fr > de > es > zh; all-zero -> 'und'."""
+    scores = lang_scores(text_col)
+    order = list(LANG_STOPWORDS.keys())
+    best = None
+    expr = None
+    # nested CASE in fixed precedence: pick first lang whose score >= all others
+    for lang in order:
+        cond = None
+        for other in order:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        cond = cond & (scores[lang] > 0)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def fingerprint(text_col: str, ngram: int = 8) -> Column:
+    """Document fingerprint: min xxhash64 over word n-grams (a winnowing-
+    style rolling fingerprint; deterministic, order-robust to small edits
+    only at the selected window)."""
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(ngram)]
+        ),
+    )
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))

@@ -1,0 +1,5 @@
+from jackfruit_spark.operators.asof import asof_join, snap_latest
+from jackfruit_spark.operators.dedup import latest_by_keys
+from jackfruit_spark.operators.nn import nearest_neighbor_top1
+
+__all__ = ["asof_join", "snap_latest", "latest_by_keys", "nearest_neighbor_top1"]

@@ -1,0 +1,98 @@
+"""As-of / point-in-time operators.
+
+The reference's single read query snaps a requested timestamp down to the
+latest available data timestamp (``serving-go/internal/grid/finder.go:38-41``:
+``SELECT max(timestamp) ... WHERE variable = @v AND timestamp <= @ts``).
+That is an as-of lookup. These operators generalize it:
+
+- ``snap_latest``: per-key top-1 row at-or-before a constant cutoff.
+- ``asof_join``: for each left row, the latest right row at-or-before it,
+  per key — implemented as union + sort + last-non-null carry-forward, which
+  is a single shuffle on (key) and scales linearly (no per-row subquery, no
+  O(n^2) range join).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def snap_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    cutoff,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Latest row per key with ``ts_col <= cutoff``.
+
+    Mirrors the reference's timestamp snap (finder.go:38-41) in batch form:
+    instead of one scalar subquery per request, a single window top-1 over
+    all keys. ``tie_cols`` break exact-timestamp ties deterministically.
+    """
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tie_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.filter(F.col(ts_col) <= F.lit(cutoff))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` sharing ``keys``.
+
+    Scale design: tag both sides, union, and run ONE window per key ordered
+    by (ts, side) carrying the last seen right-side values forward. This is
+    a single hash partition on ``keys`` — it avoids the naive
+    ``left JOIN right ON key AND r.ts <= l.ts`` which explodes to a range
+    join. Right rows sort before left rows at equal timestamps, so an exact
+    tie matches (inclusive as-of), matching the reference's ``<=`` snap.
+    """
+    keys = list(keys)
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    tagged_right = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in keys else F.col(c) for c in lcols],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        F.col("__side"),
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def snap_expr(ts_col: str, cutoff) -> Column:
+    """Predicate for the snap filter (kept for symmetry with the SQL form)."""
+    return F.col(ts_col) <= F.lit(cutoff)

@@ -1,0 +1,246 @@
+"""Deduplication operator family.
+
+``latest_by_keys`` reproduces the reference's ReplacingMergeTree + FINAL
+semantics (``pipeline-python/migrations/clickhouse/init.sql:10-25``; reads
+``serving-go/internal/grid/finder.go:36,39``): rows sharing the sorting key
+collapse to the one with max version column. In Spark this is dedup-on-read
+via a row_number window — the one engine-specific semantic the reference
+delegates to ClickHouse that we own at the query layer (SURVEY §2 #25).
+
+The rest is the LLM-training-data dedup family (beyond the reference's
+surface, per the north star): exact text dedup, shingling, MinHash + LSH
+banding, SimHash — all shuffle-conscious:
+
+- MinHash signatures: explode shingles once, ONE groupBy computing all K
+  min-hashes as aggregate expressions (not K passes).
+- LSH candidate pairs: band-hash → self-join within buckets only; the join
+  key (band_idx, band_hash) keeps bucket sizes small so the shuffle is
+  balanced; no O(n^2) cross join.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_by_keys(
+    df: DataFrame,
+    keys: Sequence[str],
+    version_col: str,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """ClickHouse ``FINAL`` semantics: keep the max-version row per key
+    (init.sql:10-25). ``tie_cols`` make equal-version outcomes
+    deterministic (ClickHouse keeps an arbitrary one; we pin it)."""
+    order = [F.col(version_col).desc()] + [F.col(c).desc() for c in tie_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate grouping by content hash: one hash-shuffle groupBy.
+
+    Returns one row per distinct text: the keeper (min id), the content
+    hash, and the duplicate count. At 100 TB, group on the 128-bit md5
+    rather than the full text so shuffle rows carry 16 bytes, not documents.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def tokens_expr(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles_expr(text_col: str, k: int = 3) -> Column:
+    """Distinct word k-shingles as an array column (pure column expr —
+    stays in whole-stage codegen, no UDF)."""
+    toks = tokens_expr(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, k: int = 3
+) -> DataFrame:
+    """(id, array<long> signature): explode shingles, one groupBy with
+    num_hashes min-aggregates, each over a differently-seeded xxhash64.
+    Single shuffle; signature width is a pure CPU knob."""
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """MinHash-LSH: hash each band of the signature, self-join on
+    (band, band_hash). Output distinct candidate pairs (a < b).
+
+    The join runs bucket-local: two docs shuffle to the same reducer only
+    if a band collides, so cost tracks the number of near-duplicates, not
+    n^2. Skew guard: a degenerate band value (e.g. all-empty docs) is
+    bounded by dropping buckets larger than ``max_bucket`` would be the
+    production knob; at test scale we keep all."""
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact word-k-shingle Jaccard for every pair sharing >= 1 shingle,
+    via an inverted index: explode distinct shingles, EQUI-join on the
+    shingle, count co-occurrences (= |intersection|), join per-doc set
+    sizes, compute |I| / (|A| + |B| - |I|).
+
+    Scale design: this replaces the O(n^2) cross join + array_intersect
+    with shuffle-parallel equi-joins whose cost tracks shingle
+    co-occurrence (the number of actually-similar pairs), not n^2. Pairs
+    sharing no shingle have Jaccard 0 and are (correctly) absent.
+    Production skew guard: shingles with document frequency above a cap
+    contribute ~0 discrimination and can be dropped before the self-join;
+    kept exact here.
+    """
+    # shingles_expr is array_distinct'ed, so explode yields distinct
+    # (doc, shingle) postings
+    # join key is the 64-bit shingle hash: the shuffle carries 8-byte keys
+    # instead of strings (collision odds ~2^-64 per shingle pair — nil)
+    postings = df.select(
+        F.col(id_col).alias("__id"), F.explode(shingles_expr(text_col, k)).alias("__s")
+    ).select("__id", F.xxhash64("__s").alias("sh"))
+    sizes = postings.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    a = postings.select(F.col("__id").alias("id_a"), "sh")
+    b = postings.select(F.col("__id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, ["sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sz_a = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sa"))
+    sz_b = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__sb"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__i").cast("double")
+                / (F.col("__sa") + F.col("__sb") - F.col("__i")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_for_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard scored only for given (id_a, id_b) candidate pairs
+    (e.g. LSH output): join the shingle arrays in and intersect directly —
+    right-sized when candidates << all pairs."""
+    sh = df.select(F.col(id_col), shingles_expr(text_col, k).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    paired = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return paired.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens: per-token xxhash64, bit-vote via 64
+    aggregate sums (one shuffle), sign → bit. Near-dup docs land on nearby
+    hashes (small Hamming distance)."""
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    voted = hashed.groupBy(id_col).agg(*votes)
+    # bits 0..62 add positive powers of two; bit 63 is the sign bit of the
+    # signed long, folded in as Long.MIN_VALUE
+    low = sum(
+        [
+            F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            for i in range(min(bits, 63))
+        ],
+        F.lit(0).cast("long"),
+    )
+    if bits == 64:
+        low = low + F.when(F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return voted.select(F.col(id_col), low.alias("simhash"))

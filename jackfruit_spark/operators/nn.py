@@ -1,0 +1,86 @@
+"""Nearest-neighbor operators.
+
+The reference's serving query picks the nearest grid point by squared
+EUCLIDEAN distance on raw degrees — deliberately not great-circle
+(``serving-go/internal/grid/finder.go:42-49``, rationale
+``docs/layer-3-serving.md:98``): ``ORDER BY (lat-@lat)^2 + (lon-@lon)^2
+LIMIT 1``.
+
+Spark-first expression: ``orderBy(dist).limit(1)`` plans as
+``TakeOrderedAndProject`` (distributed top-k, no full sort). The batch /
+grouped form uses a ``row_number`` window. At 100 TB the scan itself is the
+cost, so ``nearest_neighbor_cells`` pre-filters to candidate grid cells
+(round coordinates to a cell id, look only at the query's cell + 8
+neighbors) before the distance sort — plain DataFrame ops, no planner
+surgery (SURVEY §4 conclusion).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sq_euclidean(x_col: str, y_col: str, x0: float, y0: float) -> Column:
+    dx = F.col(x_col) - F.lit(x0)
+    dy = F.col(y_col) - F.lit(y0)
+    return dx * dx + dy * dy
+
+
+def nearest_neighbor_top1(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    x0: float,
+    y0: float,
+    tie_cols: Sequence[str] = (),
+    dist_alias: str = "dist",
+) -> DataFrame:
+    """Per group, the single row nearest to (x0, y0) by squared Euclidean
+    distance (finder.go:42-49 batched over groups)."""
+    dist = sq_euclidean(x_col, y_col, x0, y0).alias(dist_alias)
+    with_dist = df.withColumn(dist_alias, sq_euclidean(x_col, y_col, x0, y0))
+    order = [F.col(dist_alias).asc()] + [F.col(c).asc() for c in tie_cols]
+    if group_keys:
+        w = Window.partitionBy(*group_keys).orderBy(*order)
+        return (
+            with_dist.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    # global top-1: TakeOrderedAndProject, no full sort
+    return with_dist.orderBy(*order).limit(1)
+
+
+def cell_id(lat_col: str, lon_col: str, cell_deg: float = 1.0) -> Column:
+    """Grid-cell bucket id for NN pre-filtering at scale."""
+    return F.struct(
+        F.floor(F.col(lat_col) / F.lit(cell_deg)).alias("clat"),
+        F.floor(F.col(lon_col) / F.lit(cell_deg)).alias("clon"),
+    )
+
+
+def nearest_neighbor_cells(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    lat0: float,
+    lon0: float,
+    cell_deg: float = 1.0,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Scale path: restrict the distance sort to the 3x3 cell neighborhood
+    of the query point before TakeOrderedAndProject. With a storage layout
+    partitioned/sorted by cell this becomes partition-pruned I/O instead of
+    a full-slice scan."""
+    import math
+
+    c_lat, c_lon = math.floor(lat0 / cell_deg), math.floor(lon0 / cell_deg)
+    cand = df.filter(
+        F.floor(F.col(lat_col) / F.lit(cell_deg)).between(c_lat - 1, c_lat + 1)
+        & F.floor(F.col(lon_col) / F.lit(cell_deg)).between(c_lon - 1, c_lon + 1)
+    )
+    return nearest_neighbor_top1(cand, [], lat_col, lon_col, lat0, lon0, tie_cols=tie_cols)

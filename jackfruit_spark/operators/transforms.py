@@ -1,0 +1,108 @@
+"""The reference's transform-chain operators as pure DataFrame functions.
+
+Each mirrors a numpy/array step in the reference pipeline
+(``pipeline-python/src/pipeline_python/defs/assets.py``) — re-expressed as
+column expressions so they run JVM-side under whole-stage codegen, no UDFs:
+
+- bbox clip (assets.py:31-70): a boolean mask over 2-D arrays in the
+  reference; in row-per-point form it is just two BETWEEN predicates that
+  Catalyst pushes into the parquet scan.
+- unit conversions (assets.py:209-211, 385-386).
+- Magnus relative humidity (assets.py:387-388) with the exact constants
+  17.625 / 243.04; golden values tested in tests/test_transforms.py.
+- pair-by-timestamp (assets.py:362-377): the reference groups messages into
+  dict[timestamp][variable] and skips timestamps missing either variable —
+  inner-join semantics on a groupBy/pivot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Europe bounding box, assets.py:32-33
+EUROPE_LAT_MIN, EUROPE_LAT_MAX = 30.0, 72.0
+EUROPE_LON_MIN, EUROPE_LON_MAX = -25.0, 45.0
+
+# Magnus formula constants, assets.py:387-388
+MAGNUS_A = 17.625
+MAGNUS_B = 243.04
+
+
+def bbox_filter(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    lat_min: float = EUROPE_LAT_MIN,
+    lat_max: float = EUROPE_LAT_MAX,
+    lon_min: float = EUROPE_LON_MIN,
+    lon_max: float = EUROPE_LON_MAX,
+) -> DataFrame:
+    """Spatial clip (assets.py:31-70). The reference's reshape-back-to-2D
+    logic disappears entirely in the row-per-point model."""
+    return df.filter(
+        F.col(lat_col).between(lat_min, lat_max)
+        & F.col(lon_col).between(lon_min, lon_max)
+    )
+
+
+def convert_concentration_units(
+    df: DataFrame, value_col: str = "value", unit_col: str = "unit"
+) -> DataFrame:
+    """kg m^-3 -> ug/m^3 (x 1e9) only when the source unit matches
+    (assets.py:209-211)."""
+    is_kg = F.col(unit_col) == "kg m-3"
+    return df.withColumn(
+        value_col, F.when(is_kg, F.col(value_col) * F.lit(1e9)).otherwise(F.col(value_col))
+    ).withColumn(unit_col, F.when(is_kg, F.lit("µg/m³")).otherwise(F.col(unit_col)))
+
+
+def kelvin_to_celsius(
+    df: DataFrame, value_col: str = "value", unit_col: str = "unit"
+) -> DataFrame:
+    """K -> degC (assets.py:385-386), unit-gated like the concentration
+    conversion so it is idempotent."""
+    is_k = F.col(unit_col) == "K"
+    return df.withColumn(
+        value_col, F.when(is_k, F.col(value_col) - F.lit(273.15)).otherwise(F.col(value_col))
+    ).withColumn(unit_col, F.when(is_k, F.lit("°C")).otherwise(F.col(unit_col)))
+
+
+def magnus_rh(t_celsius: Column, td_celsius: Column) -> Column:
+    """Relative humidity from temperature/dewpoint in Celsius
+    (assets.py:387-388): rh = 100 * exp(a*Td/(b+Td)) / exp(a*T/(b+T)).
+    Goldens: T=20, Td=15 -> ~73%; T=Td -> 100%."""
+    num = F.exp(F.lit(MAGNUS_A) * td_celsius / (F.lit(MAGNUS_B) + td_celsius))
+    den = F.exp(F.lit(MAGNUS_A) * t_celsius / (F.lit(MAGNUS_B) + t_celsius))
+    return F.lit(100.0) * num / den
+
+
+def pair_by_timestamp(
+    df: DataFrame,
+    key_cols=("timestamp", "lat", "lon"),
+    var_col: str = "variable",
+    value_col: str = "value",
+    required=("temperature", "dewpoint"),
+) -> DataFrame:
+    """Pivot variables into columns per (timestamp, point); keep only rows
+    where ALL required variables are present (assets.py:362-377 skip
+    semantics = inner join)."""
+    pivoted = (
+        df.filter(F.col(var_col).isin(list(required)))
+        .groupBy(*key_cols)
+        .pivot(var_col, list(required))
+        .agg(F.first(value_col))
+    )
+    cond = None
+    for v in required:
+        c = F.col(v).isNotNull()
+        cond = c if cond is None else (cond & c)
+    return pivoted.filter(cond)
+
+
+def derive_humidity(paired: DataFrame) -> DataFrame:
+    """Given pair_by_timestamp output with temperature/dewpoint columns in
+    Celsius, add the humidity column (assets.py:387-388)."""
+    return paired.withColumn(
+        "humidity", magnus_rh(F.col("temperature"), F.col("dewpoint"))
+    )

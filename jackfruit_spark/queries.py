@@ -1,0 +1,738 @@
+"""Query registry backing ``__spark_entry__``.
+
+Every implemented operator from SURVEY.md §2 (plus the LLM-data-pipeline
+extensions) is exposed here as a named query: a callable
+``(spark, sf_dir) -> DataFrame`` and, where SQL-expressible, a DuckDB
+oracle SQL string computing the same result on the same parquet tables.
+
+Determinism discipline (the driver hash-compares values between Spark and
+DuckDB):
+
+- **Sums/avgs of doubles are order-dependent in the last ulp.** Every
+  aggregate over a double column goes through scale-to-integer form:
+  ``SUM(CAST(ROUND(x * 10^k) AS BIGINT)) / 10^k`` on BOTH sides, which is
+  bit-exact regardless of addition order (all test columns have <= k
+  decimal digits, and the scaled magnitudes stay far below 2^53).
+- **Transcendentals (exp, sqrt in cosine) can differ by 1 ulp between
+  libm and the JVM** — outputs are rounded to 6 decimals on both sides.
+- **Top-k queries** order by the rounded measure with full id tie-breaks,
+  so the selected SET is identical even when raw doubles differ.
+- Column names and types are aliased identically on both sides (Spark int
+  -> long where DuckDB yields BIGINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions import text as T
+from jackfruit_spark.functions.similarity import ann_brute_force, ann_lsh, dot, ivf_assign, norm
+from jackfruit_spark.operators.asof import asof_join, snap_latest
+from jackfruit_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    latest_by_keys,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from jackfruit_spark.operators.nn import nearest_neighbor_top1
+from jackfruit_spark.operators.transforms import (
+    bbox_filter,
+    convert_concentration_units,
+    kelvin_to_celsius,
+    magnus_rh,
+)
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        _REGISTRY[name] = Query(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, Query]:
+    return dict(_REGISTRY)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+        # reader rejects; read nanos as long and truncate to microseconds.
+        # Oracles read the same column through CAST(ts AS TIMESTAMP) so both
+        # engines compare at identical microsecond precision.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# DuckDB-side view of events at microsecond precision (matches load())
+EV_CTE = (
+    "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
+    "event_type, value, props FROM events)"
+)
+
+
+# ---------------------------------------------------------------- helpers
+
+def _int_sum(col, scale: int):
+    """Order-independent exact sum of a <=scale-decimal double column."""
+    m = 10**scale
+    return F.sum(F.round(col * F.lit(m)).cast("long")).cast("double") / F.lit(m)
+
+
+def _sql_int_sum(expr: str, scale: int) -> str:
+    m = 10**scale
+    return f"CAST(SUM(CAST(ROUND(({expr}) * {m}) AS BIGINT)) AS DOUBLE) / {m}"
+
+
+# =============================================================== TPC-H-ish
+# SURVEY §2.4 aggregates (#20-23) + the headline bench queries.
+
+Q1_CUTOFF = "1998-09-02"
+
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       {_sql_int_sum('l_extendedprice', 2)} AS sum_base_price,
+       {_sql_int_sum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {_sql_int_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       {_sql_int_sum('l_extendedprice', 2)} / COUNT(*) AS avg_price,
+       {_sql_int_sum('l_discount', 2)} / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-shaped pricing summary: the flagship scan+groupBy. "
+    "Whole-stage-codegen aggregates, partial (map-side) combine, no joins.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(f"{Q1_CUTOFF} 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _int_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _int_sum(disc_price, 4).alias("sum_disc_price"),
+            _int_sum(charge, 6).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (_int_sum(F.col("l_extendedprice"), 2) / F.count(F.lit(1))).alias("avg_price"),
+            (_int_sum(F.col("l_discount"), 2) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_top_revenue_orders",
+    oracle=f"""
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       {_sql_int_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+    doc="TPC-H Q3-shaped top-k revenue: broadcast dim join + shuffle agg + "
+    "TakeOrderedAndProject (no full sort).",
+)
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_int_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q03_region_revenue",
+    oracle=f"""
+SELECT r.r_name,
+       {_sql_int_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+       COUNT(*) AS n_lineitems
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY r.r_name
+""",
+    doc="TPC-H Q5-shaped star join rollup: dims broadcast, single shuffle "
+    "on the fact-side group key.",
+)
+def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            _int_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ============================================= SURVEY §2.4 plain aggregates
+
+
+@register(
+    "q04_count_by_event_type",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    doc="count() GROUP BY — SURVEY §2 #21 (test_transform_cams.py:63-71).",
+)
+def q04_count_by_event_type(spark, sf_dir):
+    return load(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q05_minmax_stats",
+    oracle="""
+SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+       MIN(l_shipdate) AS min_shipdate, MAX(l_shipdate) AS max_shipdate
+FROM lineitem
+""",
+    doc="min/max aggregates — SURVEY §2 #22 (test_transform_ecmwf.py:192-245).",
+)
+def q05_minmax_stats(spark, sf_dir):
+    return load(spark, sf_dir, "lineitem").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+@register(
+    "q06_distinct_priorities",
+    oracle="SELECT DISTINCT o_orderpriority FROM orders",
+    doc="DISTINCT — SURVEY §2 #23 (test_transform_cams.py:143-146).",
+)
+def q06_distinct_priorities(spark, sf_dir):
+    return load(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+# ===================================== dedup / FINAL / snap / as-of / NN
+
+
+@register(
+    "q07_dedup_latest_event",
+    oracle=f"""
+{EV_CTE}
+SELECT user_id, event_type, ts, event_id, value FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev) WHERE rn = 1
+""",
+    doc="ReplacingMergeTree FINAL dedup-on-read — SURVEY §2 #25 "
+    "(init.sql:10-25, finder.go:36): max-version row per key.",
+)
+def q07_dedup_latest_event(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return latest_by_keys(ev, ["user_id", "event_type"], "ts", tie_cols=["event_id"]).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+
+
+SNAP_CUTOFF = "2024-01-15 12:00:00"
+
+
+@register(
+    "q08_snap_latest",
+    oracle=f"""
+{EV_CTE}
+SELECT user_id, ts, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev WHERE ts <= TIMESTAMP '{SNAP_CUTOFF}') WHERE rn = 1
+""",
+    doc="Timestamp snap: latest row at-or-before a cutoff per key — SURVEY "
+    "§2 #17 (finder.go:38-41) in batch window form.",
+)
+def q08_snap_latest(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return snap_latest(ev, ["user_id"], "ts", SNAP_CUTOFF, tie_cols=["event_id"]).select(
+        "user_id", "ts", "event_type", "value"
+    )
+
+
+@register(
+    "q09_asof_click_before_purchase",
+    oracle=f"""
+{EV_CTE}
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT max(c.ts) FROM ev c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts)
+       AS asof_click_ts
+FROM ev p WHERE p.event_type = 'purchase'
+""",
+    doc="As-of join — SURVEY §2 #19: latest 'click' at-or-before each "
+    "'purchase' per user. Spark impl: union + one window carry-forward "
+    "(single shuffle, linear — no range-join explosion).",
+)
+def q09_asof_click_before_purchase(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["ts"], prefix="asof_click_"
+    )
+    return joined.select("event_id", "user_id", "ts", "asof_click_ts")
+
+
+@register(
+    "q10_nn_per_brand",
+    oracle="""
+SELECT p_brand, p_partkey, p_size, p_retailprice, dist FROM (
+  SELECT p_brand, p_partkey, p_size, p_retailprice,
+         (CAST(p_size AS DOUBLE) - 25) * (CAST(p_size AS DOUBLE) - 25)
+         + (p_retailprice - 1000) * (p_retailprice - 1000) AS dist,
+         row_number() OVER (PARTITION BY p_brand ORDER BY
+           (CAST(p_size AS DOUBLE) - 25) * (CAST(p_size AS DOUBLE) - 25)
+           + (p_retailprice - 1000) * (p_retailprice - 1000), p_partkey) AS rn
+  FROM part) WHERE rn = 1
+""",
+    doc="Nearest-neighbor top-1 by squared Euclidean distance, per group — "
+    "SURVEY §2 #24 (finder.go:42-49, docs/layer-3-serving.md:98).",
+)
+def q10_nn_per_brand(spark, sf_dir):
+    p = load(spark, sf_dir, "part").withColumn("p_size_d", F.col("p_size").cast("double"))
+    out = nearest_neighbor_top1(
+        p, ["p_brand"], "p_size_d", "p_retailprice", 25.0, 1000.0, tie_cols=["p_partkey"]
+    )
+    return out.select("p_brand", "p_partkey", "p_size", "p_retailprice", "dist")
+
+
+@register(
+    "q11_lineage_join",
+    oracle=f"""
+SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+       {_sql_int_sum('c.c_acctbal', 2)} AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    doc="Lineage-style equi-join over small dims — SURVEY §2 #18 "
+    "(lineage/finder.go:22-42): broadcast hash join, no shuffle on dims.",
+)
+def q11_lineage_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _int_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ======================================= transform-chain scalar operators
+
+
+@register(
+    "q12_bbox_filter",
+    oracle=f"""
+{EV_CTE}
+SELECT event_id, ts, user_id, value FROM ev
+WHERE value BETWEEN 10 AND 250 AND user_id BETWEEN 20 AND 120
+""",
+    doc="Bounding-box (2-D BETWEEN) filter — SURVEY §2 #10 "
+    "(assets.py:31-70); pushed down to the parquet scan.",
+)
+def q12_bbox_filter(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return bbox_filter(
+        ev, lat_col="value", lon_col="user_id", lat_min=10, lat_max=250, lon_min=20, lon_max=120
+    ).select("event_id", "ts", "user_id", "value")
+
+
+@register(
+    "q13_unit_conversion",
+    oracle="""
+SELECT event_id, event_type AS variable,
+       CASE WHEN event_type = 'view' THEN value * 1000000000.0
+            WHEN event_type = 'click' THEN value - 273.15
+            ELSE value END AS value,
+       CASE WHEN event_type = 'view' THEN 'µg/m³'
+            WHEN event_type = 'click' THEN '°C'
+            ELSE 'unitless' END AS unit
+FROM events
+""",
+    doc="Unit conversions — SURVEY §2 #11/#12 (assets.py:209-211, 385-386): "
+    "kg m-3 -> ug/m3 (x1e9) and K -> degC, gated on the source unit.",
+)
+def q13_unit_conversion(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_type").alias("variable"),
+        F.col("value"),
+        F.when(F.col("event_type") == "view", F.lit("kg m-3"))
+        .when(F.col("event_type") == "click", F.lit("K"))
+        .otherwise(F.lit("unitless"))
+        .alias("unit"),
+    )
+    out = kelvin_to_celsius(convert_concentration_units(ev))
+    return out.select("event_id", "variable", "value", "unit")
+
+
+@register(
+    "q14_magnus_humidity",
+    oracle="""
+SELECT event_id, value / 5 AS t_c, value / 6 AS td_c,
+       ROUND(100.0 * EXP(17.625 * (value / 6) / (243.04 + (value / 6)))
+                   / EXP(17.625 * (value / 5) / (243.04 + (value / 5))), 6) AS humidity
+FROM events WHERE event_type = 'view'
+""",
+    doc="Magnus relative-humidity derivation — SURVEY §2 #13 "
+    "(assets.py:387-388), constants 17.625/243.04; rounded 6dp for "
+    "libm-vs-JVM exp parity.",
+)
+def q14_magnus_humidity(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    t = F.col("value") / F.lit(5)
+    td = F.col("value") / F.lit(6)
+    return ev.select(
+        "event_id",
+        t.alias("t_c"),
+        td.alias("td_c"),
+        F.round(magnus_rh(t, td), 6).alias("humidity"),
+    )
+
+
+@register(
+    "q15_pivot_pair",
+    oracle=f"""
+SELECT user_id,
+       {_sql_int_sum("CASE WHEN event_type = 'click' THEN value END", 6)}
+         / COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS avg_click_value,
+       {_sql_int_sum("CASE WHEN event_type = 'purchase' THEN value END", 6)}
+         / COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS avg_purchase_value
+FROM events GROUP BY user_id
+HAVING COUNT(CASE WHEN event_type = 'click' THEN 1 END) > 0
+   AND COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+""",
+    doc="Group-and-pair (pivot) with both-present inner-join semantics — "
+    "SURVEY §2 #15 (assets.py:362-377): a timestamp missing either "
+    "variable is skipped.",
+)
+def q15_pivot_pair(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    click_val = F.when(F.col("event_type") == "click", F.col("value"))
+    purch_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    g = ev.groupBy("user_id").agg(
+        _int_sum(click_val, 6).alias("s_c"),
+        F.count(F.when(F.col("event_type") == "click", F.lit(1))).alias("n_c"),
+        _int_sum(purch_val, 6).alias("s_p"),
+        F.count(F.when(F.col("event_type") == "purchase", F.lit(1))).alias("n_p"),
+    )
+    return (
+        g.filter((F.col("n_c") > 0) & (F.col("n_p") > 0))
+        .select(
+            "user_id",
+            (F.col("s_c") / F.col("n_c")).alias("avg_click_value"),
+            (F.col("s_p") / F.col("n_p")).alias("avg_purchase_value"),
+        )
+    )
+
+
+@register(
+    "q16_tumbling_window",
+    oracle=f"""
+{EV_CTE}
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       {_sql_int_sum('value', 6)} AS sum_value,
+       {_sql_int_sum('value', 6)} / COUNT(*) AS avg_value
+FROM ev GROUP BY date_trunc('hour', ts)
+""",
+    doc="Tumbling-window aggregation (batch form of the streaming windowed "
+    "agg; the streaming twin lives in streaming/ and is pytest-covered).",
+)
+def q16_tumbling_window(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _int_sum(F.col("value"), 6).alias("sum_value"),
+            (_int_sum(F.col("value"), 6) / F.count(F.lit(1))).alias("avg_value"),
+        )
+    )
+
+
+# =============================================== text analysis (documents)
+
+
+@register(
+    "q17_token_count",
+    oracle=r"""
+SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+    doc="Token counting (whitespace tokenizer) over the documents table.",
+)
+def q17_token_count(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.token_count("text").alias("n_tokens"))
+
+
+@register(
+    "q18_quality_score",
+    oracle=r"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_calc,
+  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+  ROUND(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+  ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS stopword_ratio,
+  ROUND(CAST(length(text) AS DOUBLE)
+        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS avg_token_len
+FROM documents
+""",
+    doc="Quality scoring: length/punctuation/stopword-ratio features for "
+    "web-text filtering.",
+)
+def q18_quality_score(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", *T.quality_features("text"))
+
+
+def _sql_lang_score(words: list[str]) -> str:
+    inlist = ",".join("'" + w.replace("'", "''") + "'" for w in words)
+    return (
+        r"len(list_filter(string_split_regex(trim(text), '\s+'), "
+        f"t -> t IN ({inlist})))"
+    )
+
+
+_LANG_CASE = []
+_langs = list(T.LANG_STOPWORDS.keys())
+for _lang in _langs:
+    _conds = " AND ".join(
+        f"s_{_lang} >= s_{o}" for o in _langs if o != _lang
+    )
+    _LANG_CASE.append(f"WHEN {_conds} AND s_{_lang} > 0 THEN '{_lang}'")
+_LANG_SCORES = ",\n  ".join(
+    f"{_sql_lang_score(w)} AS s_{lang}" for lang, w in T.LANG_STOPWORDS.items()
+)
+
+
+@register(
+    "q19_lang_id",
+    oracle=f"""
+SELECT doc_id, lang, CASE {' '.join(_LANG_CASE)} ELSE 'und' END AS lang_pred
+FROM (SELECT doc_id, lang, {_LANG_SCORES} FROM documents)
+""",
+    doc="Language ID by stopword n-gram hits, argmax with fixed-precedence "
+    "tie-break (en>fr>de>es>zh), 'und' when no hits.",
+)
+def q19_lang_id(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "q20_exact_dedup",
+    oracle="""
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    doc="Exact deduplication by content hash: one hash-shuffle groupBy; at "
+    "scale the 128-bit digest (16 bytes) shuffles, not the documents.",
+)
+def q20_exact_dedup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+_SQL_SHINGLES = (
+    r"list_distinct(list_transform(range(1, greatest(len(toks) - 1, 2)), "
+    r"i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+@register(
+    "q21_jaccard_topk",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+             6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) > 0
+ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+""",
+    doc="n-gram (word 3-shingle) Jaccard near-dup scoring: top-20 most "
+    "similar pairs. All-pairs here (test scale); the LSH variant "
+    "(q24) is the scale path.",
+)
+def q21_jaccard_topk(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", k=3)
+    return (
+        pairs.withColumn("jaccard", F.round(F.col("jaccard"), 6))
+        .orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+    )
+
+
+# ============================================ similarity search (embeddings)
+
+
+def _query_vector(spark, sf_dir, vec_id: int = 0) -> list[float]:
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+_SQL_DOT_VQ = "list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]))"
+_SQL_DOT_VV = "list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))"
+_SQL_DOT_QQ = "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))"
+
+
+@register(
+    "q22_ann_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
+SELECT vec_id,
+       ROUND({_SQL_DOT_VQ} / (SQRT({_SQL_DOT_VV}) * SQRT({_SQL_DOT_QQ})), 6) AS cosine_sim
+FROM e, q
+ORDER BY cosine_sim DESC, vec_id LIMIT 10
+""",
+    doc="Brute-force cosine top-k ANN baseline: literal query vector "
+    "(broadcast by construction), scan + TakeOrderedAndProject, zero "
+    "shuffles. Exact; q26 is the bucket-pruned scale path.",
+)
+def q22_ann_cosine_topk(spark, sf_dir):
+    qv = _query_vector(spark, sf_dir, 0)
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return ann_brute_force(e, "vec_id", "embedding", qv, k=10)
+
+
+@register(
+    "q23_embedding_norms",
+    oracle=f"""
+SELECT vec_id, ROUND(SQRT({_SQL_DOT_VV}), 6) AS l2_norm
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+""",
+    doc="L2 norms via F.aggregate/zip_with fold — JVM-side array math, "
+    "no UDF.",
+)
+def q23_embedding_norms(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.round(norm(F.col("embedding")), 6).alias("l2_norm"))
+
+
+# ================================= rows-only ops (no ANSI-SQL equivalent)
+
+
+@register(
+    "q24_minhash_lsh_pairs",
+    oracle=None,
+    doc="MinHash(32) + LSH(8 bands x 4 rows) candidate pairs on documents. "
+    "Hash-based (xxhash64) so no DuckDB oracle; pytest verifies recall "
+    "against exact Jaccard.",
+)
+def q24_minhash_lsh_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", num_hashes=32, k=3)
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=4)
+    return pairs.withColumnRenamed("doc_id", "id_a")
+
+
+@register(
+    "q25_simhash",
+    oracle=None,
+    doc="64-bit SimHash fingerprints (xxhash64 bit-vote); pytest checks "
+    "near-dup Hamming proximity.",
+)
+def q25_simhash(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text")
+
+
+@register(
+    "q26_ann_lsh_bucketed",
+    oracle=None,
+    doc="Random-hyperplane-bucketed ANN (the 100 TB path: probe one bucket "
+    "instead of all vectors); pytest checks recall vs q22's exact top-k.",
+)
+def q26_ann_lsh_bucketed(spark, sf_dir):
+    qv = _query_vector(spark, sf_dir, 0)
+    dim = len(qv)
+    # deterministic pseudo-random hyperplanes (fixed seed constants)
+    import random
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return ann_lsh(e, "vec_id", "embedding", qv, planes, k=10)
+
+
+@register(
+    "q27_doc_fingerprint",
+    oracle=None,
+    doc="Rolling-hash document fingerprint (min xxhash64 over word "
+    "8-grams, winnowing-style).",
+)
+def q27_doc_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint("text").alias("fingerprint"))

@@ -1,0 +1,88 @@
+"""Mimics the driver's correctness gate: run every registered query on
+Spark AND its DuckDB oracle on the same parquet, compare row count, column
+names, and order-insensitive values (exact for non-floats, bit-exact
+expected for floats thanks to the integer-scaled aggregation discipline —
+compared here with a tiny tolerance only to localize failures usefully).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from jackfruit_spark import queries as Q
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+ORACLE_QUERIES = sorted(n for n, q in Q.registry().items() if q.oracle)
+ROWS_ONLY = sorted(n for n, q in Q.registry().items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, sf_dir, name):
+    q = Q.registry()[name]
+    sdf = q.fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    res = con.execute(q.oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    sn, dn = _normalize(srows, scols), _normalize(drows, dcols)
+    for i, (a, b) in enumerate(zip(sn, dn)):
+        assert _row_eq(a, b), f"{name}: row {i} differs:\n  spark={a}\n  duck ={b}"
+
+
+def _row_eq(a, b):
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if isinstance(x, float) and isinstance(y, float):
+            if math.isnan(x) and math.isnan(y):
+                continue
+            if x != y and abs(x - y) > 1e-9 * max(1.0, abs(x), abs(y)):
+                return False
+        elif x != y:
+            return False
+    return True
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    q = Q.registry()[name]
+    sdf = q.fn(spark, sf_dir)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
