@@ -1,0 +1,43 @@
+"""Ship the jackfruit_spark package to executor Python workers.
+
+Column-expression operators never need this (they run JVM-side), but the
+mapInPandas stages (GRIB decode, multimodal kernels) close over module
+objects that cloudpickle serializes BY REFERENCE — executor workers must be
+able to import the package. When the driver runs from an arbitrary cwd
+(e.g. the harness driver), that import fails unless we ship the source.
+
+``ensure_shipped`` zips the package once per SparkContext and registers it
+with ``addPyFile`` (idempotent, cluster-compatible: the same mechanism
+ships it to remote executors).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[str] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"jackfruit_spark_{os.getpid()}_{abs(hash(app_id))}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, parent))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(app_id)

@@ -1,0 +1,4 @@
+from jackfruit_spark.grid.engine import GridEngine
+from jackfruit_spark.grid.serving import EnvironmentalRequest, EnvironmentalService
+
+__all__ = ["GridEngine", "EnvironmentalRequest", "EnvironmentalService"]

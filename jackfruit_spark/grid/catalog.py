@@ -1,0 +1,87 @@
+"""Lineage catalog: raw_files + curated_data dimension tables.
+
+Reference: Postgres ``catalog`` schema (migrations/postgres/init.sql:4-27)
+with idempotent insert (`ON CONFLICT DO NOTHING`, resources.py:68-92) for
+raw_files and upsert (`ON CONFLICT DO UPDATE`, resources.py:94-123) for
+curated_data — re-runs must be safe (SURVEY §2 #8/#9/#30).
+
+Spark expression: parquet-backed dims with MERGE-shaped rewrites. These are
+tiny tables (one row per ingestion run / per (variable, timestamp) grid),
+so a full-read-union-rewrite per batch is the right cost model; on Delta
+they'd be literal MERGE statements.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jackfruit_spark.grid import schemas as S
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.raw_files_path = os.path.join(root, "raw_files")
+        self.curated_path = os.path.join(root, "curated_data")
+
+    # ------------------------------------------------------------ helpers
+
+    def _read(self, path: str, schema) -> DataFrame:
+        if os.path.exists(path):
+            return self.spark.read.schema(schema).parquet(path)
+        return self.spark.createDataFrame([], schema)
+
+    def _atomic_overwrite(self, df: DataFrame, path: str) -> None:
+        staging = path + f"_stage_{uuid.uuid4().hex}"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        shutil.move(staging, path)
+
+    # -------------------------------------------------------------- reads
+
+    def raw_files(self) -> DataFrame:
+        return self._read(self.raw_files_path, S.RAW_FILES)
+
+    def curated_data(self) -> DataFrame:
+        return self._read(self.curated_path, S.CURATED_DATA)
+
+    # ------------------------------------------------------------- writes
+
+    def insert_raw_file(self, rows: DataFrame) -> None:
+        """INSERT ... ON CONFLICT (id) DO NOTHING (resources.py:68-92):
+        existing ids win, new ids append."""
+        existing = self.raw_files()
+        merged = existing.unionByName(
+            rows.join(existing.select("id"), "id", "left_anti")
+        )
+        self._atomic_overwrite(merged, self.raw_files_path)
+
+    def upsert_curated_data(self, rows: DataFrame) -> None:
+        """INSERT ... ON CONFLICT (id) DO UPDATE (resources.py:94-123):
+        latest metadata wins — enables reprocessing."""
+        existing = self.curated_data()
+        merged = existing.join(rows.select("id"), "id", "left_anti").unionByName(rows)
+        self._atomic_overwrite(merged, self.curated_path)
+
+    def lineage_for(self, catalog_id: str) -> dict | None:
+        """The lineage equi-join (lineage/finder.go:22-42): curated_data cd
+        JOIN raw_files rf ON rf.id = cd.raw_file_id WHERE cd.id = $1."""
+        cd = self.curated_data().filter(F.col("id") == catalog_id).alias("cd")
+        rf = self.raw_files().alias("rf")
+        rows = (
+            cd.join(F.broadcast(rf), F.col("cd.raw_file_id") == F.col("rf.id"))
+            .select(
+                F.col("rf.source").alias("source"),
+                F.col("rf.dataset").alias("dataset"),
+                F.col("cd.raw_file_id").alias("raw_file_id"),
+            )
+            .limit(1)
+            .collect()
+        )
+        return rows[0].asDict() if rows else None

@@ -1,0 +1,129 @@
+"""GridEngine: the queryable store with ReplacingMergeTree semantics.
+
+The reference's central table is ClickHouse ``grid_data`` —
+``ReplacingMergeTree(inserted_at) ORDER BY (variable, timestamp, lat, lon)
+PARTITION BY toYYYYMMDD(timestamp)`` (init.sql:10-25). This engine maps it
+to partitioned Parquet:
+
+- **append-only writes** partitioned by ``date=to_date(timestamp)`` →
+  identical partition-pruning behavior (toYYYYMMDD ≡ Hive date partition);
+- **sortWithinPartitions(variable, timestamp, lat, lon)** at write →
+  Parquet row-group min/max stats give the same data-skipping the CH
+  sparse primary index provides;
+- **dedup-on-read** (`FINAL`): a window view keeping the max
+  ``inserted_at`` row per key — the single accessor every read goes
+  through (SURVEY §7.4 risk 1: never expose the raw table);
+- **compact()**: the OPTIMIZE TABLE FINAL analog — rewrite partitions
+  keeping only dedup winners, so read amplification stays bounded
+  regardless of how many duplicate ingests occurred.
+
+Scale: at 100 TB the dedup window shuffles only within date partitions
+touched by a query (partition pruning first), and compaction keeps
+steady-state read cost at one row per key.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jackfruit_spark.grid import schemas as S
+from jackfruit_spark.operators.dedup import latest_by_keys
+
+
+class GridEngine:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.grid_path = os.path.join(root, "grid_data")
+
+    # ------------------------------------------------------------- write
+
+    def insert_grid(self, df: DataFrame) -> int:
+        """Columnar batch append (clickhouse_grid_store.py:43-68 analog).
+
+        Normalizes to the fixed schema: float32 coords/values, whole-second
+        timestamps (init.sql:17 is second-precision DateTime — SURVEY §7.4
+        risk 4), then appends sorted-within-partition parquet. Returns
+        written row count (the reference returns written_rows).
+        """
+        n = df.count()
+        out = (
+            df.select(
+                F.col("variable").cast("string"),
+                F.date_trunc("second", F.col("timestamp")).alias("timestamp"),
+                F.col("lat").cast("float"),
+                F.col("lon").cast("float"),
+                F.col("value").cast("float"),
+                F.col("unit").cast("string"),
+                F.col("catalog_id").cast("string"),
+                F.col("inserted_at").cast("timestamp"),
+            )
+            .withColumn(S.GRID_DATA_PARTITION_COL, F.to_date("timestamp"))
+            .sortWithinPartitions("variable", "timestamp", "lat", "lon")
+        )
+        out.write.mode("append").partitionBy(S.GRID_DATA_PARTITION_COL).parquet(
+            self.grid_path
+        )
+        return n
+
+    # -------------------------------------------------------------- read
+
+    def grid_data_raw(self) -> DataFrame:
+        """Raw table incl. duplicate versions — internal/compaction use."""
+        from pyspark.sql.types import DateType, StructField, StructType
+
+        # StructType.add mutates in place — build the partitioned schema fresh
+        schema = StructType(
+            list(S.GRID_DATA.fields)
+            + [StructField(S.GRID_DATA_PARTITION_COL, DateType(), True)]
+        )
+        return self.spark.read.schema(schema).parquet(self.grid_path)
+
+    def grid_data_final(self) -> DataFrame:
+        """THE read accessor: FINAL-deduplicated view (init.sql FINAL
+        semantics via row_number window, SURVEY §2 #25). catalog_id breaks
+        exact inserted_at ties deterministically."""
+        return latest_by_keys(
+            self.grid_data_raw(), S.DEDUP_KEYS, S.VERSION_COL, tie_cols=["catalog_id"]
+        )
+
+    def register_views(self) -> None:
+        """Expose `grid_data_final` (and raw, for maintenance) as temp views
+        so Spark SQL queries hit the dedup semantics by default."""
+        self.grid_data_raw().createOrReplaceTempView("grid_data_raw")
+        self.grid_data_final().createOrReplaceTempView("grid_data_final")
+
+    # -------------------------------------------------------- maintenance
+
+    def compact(self, date: str | None = None) -> None:
+        """OPTIMIZE TABLE grid_data FINAL analog (clickhouse_grid_store.py:
+        70-72): rewrite partition(s) keeping only dedup winners. Staged
+        write + atomic directory swap per partition — no partial-commit
+        window (SURVEY §2 #29 fail-fast contract).
+        """
+        raw = self.grid_data_raw()
+        if date is not None:
+            raw = raw.filter(F.col(S.GRID_DATA_PARTITION_COL) == F.lit(date))
+        winners = latest_by_keys(raw, S.DEDUP_KEYS, S.VERSION_COL, tie_cols=["catalog_id"])
+        staging = os.path.join(self.root, f"_compact_{uuid.uuid4().hex}")
+        (
+            winners.sortWithinPartitions("variable", "timestamp", "lat", "lon")
+            .write.mode("overwrite")
+            .partitionBy(S.GRID_DATA_PARTITION_COL)
+            .parquet(staging)
+        )
+        import shutil
+
+        staged_parts = [
+            d for d in os.listdir(staging) if d.startswith(f"{S.GRID_DATA_PARTITION_COL}=")
+        ]
+        for part in staged_parts:
+            dst = os.path.join(self.grid_path, part)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.move(os.path.join(staging, part), dst)
+        shutil.rmtree(staging, ignore_errors=True)

@@ -1,0 +1,134 @@
+"""The daily transform pipeline: decoded GRIB messages → grid_data +
+catalog, replicating the reference's transform assets
+(defs/assets.py:148-239 CAMS, 307-435 ECMWF) as one Spark job.
+
+Shape (SURVEY §3.2): row-per-point messages in → per-source transform
+chain (pure DataFrame ops, §2 ops 10-15) → catalog_id assignment per
+(variable, timestamp) grid → grid_data append + curated_data upsert.
+Idempotent by construction: re-runs write duplicate rows that the FINAL
+view collapses (§2 #30), and catalog upserts converge.
+
+catalog_id generation is driver-side per (variable, timestamp) group —
+small cardinality (8 per CAMS file, test_transform_cams.py:131), avoiding
+nondeterministic executor-side UUIDs (SURVEY §7.4 risk 6). UUIDv7 via a
+deterministic-timestamp + random layout (uuid.uuid7 landed in Python 3.14;
+we build the v7 bit layout explicitly from uuid4 randomness).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jackfruit_spark.grid.catalog import Catalog
+from jackfruit_spark.grid.engine import GridEngine
+from jackfruit_spark.operators.transforms import (
+    bbox_filter,
+    convert_concentration_units,
+    derive_humidity,
+    kelvin_to_celsius,
+    pair_by_timestamp,
+)
+
+
+def uuid7() -> str:
+    """UUIDv7 (time-ordered), matching the reference's app-generated ids
+    (assets.py:105,206,264). Python < 3.14 lacks uuid.uuid7; build the v7
+    layout: 48-bit unix-ms timestamp + version/variant bits + randomness."""
+    if hasattr(uuid, "uuid7"):
+        return str(uuid.uuid7())
+    ms = time.time_ns() // 1_000_000
+    rand = uuid.uuid4().int & ((1 << 74) - 1)
+    val = (ms & ((1 << 48) - 1)) << 80
+    val |= 0x7 << 76  # version 7
+    val |= (rand >> 62) << 64  # rand_a (12 bits)
+    val |= 0b10 << 62  # variant
+    val |= rand & ((1 << 62) - 1)  # rand_b
+    return str(uuid.UUID(int=val))
+
+
+class TransformPipeline:
+    def __init__(self, spark: SparkSession, engine: GridEngine, catalog: Catalog):
+        self.spark = spark
+        self.engine = engine
+        self.catalog = catalog
+
+    # ------------------------------------------------------------- CAMS
+
+    def transform_cams(self, messages: DataFrame, raw_file_id: str) -> int:
+        """CAMS chain (assets.py:148-239): unit conversion kg m-3 → µg/m³,
+        catalog_id per (variable, timestamp) grid, insert + upsert."""
+        converted = convert_concentration_units(messages)
+        return self._write_grids(converted, raw_file_id)
+
+    # ------------------------------------------------------------ ECMWF
+
+    def transform_ecmwf(self, messages: DataFrame, raw_file_id: str) -> int:
+        """ECMWF chain (assets.py:307-435): Europe clip → K→°C → pair
+        temperature/dewpoint per (timestamp, point) with incomplete-group
+        skip → Magnus humidity → three variables out."""
+        clipped = bbox_filter(messages)
+        celsius = kelvin_to_celsius(clipped)
+        paired = pair_by_timestamp(
+            celsius,
+            key_cols=("source", "run_id", "timestamp", "lat", "lon"),
+            required=("temperature", "dewpoint"),
+        )
+        with_rh = derive_humidity(paired)
+        long = with_rh.select(
+            "source",
+            "run_id",
+            "timestamp",
+            "lat",
+            "lon",
+            F.explode(
+                F.map_from_arrays(
+                    F.array(F.lit("temperature"), F.lit("dewpoint"), F.lit("humidity")),
+                    F.array(F.col("temperature"), F.col("dewpoint"), F.col("humidity")),
+                )
+            ).alias("variable", "value"),
+        ).withColumn(
+            "unit",
+            F.when(F.col("variable") == "humidity", F.lit("%")).otherwise(F.lit("°C")),
+        )
+        return self._write_grids(long, raw_file_id)
+
+    # ----------------------------------------------------------- shared
+
+    def _write_grids(self, df: DataFrame, raw_file_id: str) -> int:
+        """Assign catalog ids per (variable, timestamp) grid driver-side
+        (small cardinality), broadcast-join them in, append to grid_data,
+        upsert curated_data. Fail-fast: any failure aborts the whole batch
+        (docs/layer-2-transformation.md:243-256)."""
+        grids = [
+            (r["variable"], r["timestamp"], r["unit"])
+            for r in df.select("variable", "timestamp", "unit").distinct().collect()
+        ]
+        now = F.current_timestamp()
+        ids = [(v, ts, u, uuid7()) for v, ts, u in grids]
+        id_df = self.spark.createDataFrame(
+            ids, ["variable", "timestamp", "unit", "catalog_id"]
+        )
+        out = df.join(F.broadcast(id_df), ["variable", "timestamp", "unit"]).select(
+            "variable",
+            "timestamp",
+            "lat",
+            "lon",
+            "value",
+            "unit",
+            "catalog_id",
+            now.alias("inserted_at"),
+        )
+        written = self.engine.insert_grid(out)
+        curated = self.spark.createDataFrame(
+            [(cid, raw_file_id, v, u, ts) for v, ts, u, cid in ids],
+            ["id", "raw_file_id", "variable", "unit", "timestamp"],
+        ).withColumn("created_at", F.current_timestamp())
+        self.catalog.upsert_curated_data(
+            curated.select("id", "raw_file_id", "variable", "unit", "timestamp", "created_at")
+        )
+        return written

@@ -1,0 +1,76 @@
+"""Fixed schemas for the grid data model — no inference, ever
+(mirrors migration-defined schemas, SURVEY §1.3).
+
+grid_data: migrations/clickhouse/init.sql:14-25. Float32 for lat/lon/value
+is semantically load-bearing: the reference's tests assert exact float32
+round-trips (finder_integration_test.go:38-49), so FloatType end-to-end,
+cast once at ingest.
+
+raw_files / curated_data: migrations/postgres/init.sql:4-27.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    DateType,
+    FloatType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+GRID_DATA = StructType(
+    [
+        StructField("variable", StringType(), False),
+        StructField("timestamp", TimestampType(), False),  # whole seconds, UTC
+        StructField("lat", FloatType(), False),
+        StructField("lon", FloatType(), False),
+        StructField("value", FloatType(), False),
+        StructField("unit", StringType(), False),
+        StructField("catalog_id", StringType(), False),  # UUID text
+        StructField("inserted_at", TimestampType(), False),  # ms, dedup version col
+    ]
+)
+
+# partition column added at write time: date = to_date(timestamp)
+GRID_DATA_PARTITION_COL = "date"
+
+RAW_FILES = StructType(
+    [
+        StructField("id", StringType(), False),  # UUIDv7 run id
+        StructField("source", StringType(), False),  # 'ads' | 'ecmwf'
+        StructField("dataset", StringType(), False),
+        StructField("date", DateType(), False),
+        StructField("s3_key", StringType(), False),
+        StructField("created_at", TimestampType(), False),
+    ]
+)
+
+CURATED_DATA = StructType(
+    [
+        StructField("id", StringType(), False),  # == grid_data.catalog_id
+        StructField("raw_file_id", StringType(), False),  # FK raw_files.id
+        StructField("variable", StringType(), False),
+        StructField("unit", StringType(), False),
+        StructField("timestamp", TimestampType(), False),
+        StructField("created_at", TimestampType(), False),
+    ]
+)
+
+# row-per-point decoded GRIB message (pre-transform), FIXTURES.md §4
+RAW_MESSAGES = StructType(
+    [
+        StructField("source", StringType(), False),
+        StructField("run_id", StringType(), False),
+        StructField("variable", StringType(), False),
+        StructField("unit", StringType(), False),
+        StructField("timestamp", TimestampType(), False),
+        StructField("lat", FloatType(), False),
+        StructField("lon", FloatType(), False),
+        StructField("value", FloatType(), False),
+    ]
+)
+
+DEDUP_KEYS = ["variable", "timestamp", "lat", "lon"]  # init.sql:25 ORDER BY
+VERSION_COL = "inserted_at"  # init.sql:23 ReplacingMergeTree version

@@ -1,0 +1,140 @@
+"""The serving read path: GET /v1/environmental semantics, Spark-first.
+
+Reference lifecycle (SURVEY §3.1): validate request → per-variable
+goroutine fan-out → ClickHouse scalar-subquery timestamp snap + nearest-
+neighbor LIMIT 1 over grid_data FINAL → Postgres lineage join →
+all-or-nothing assembly.
+
+Spark shape: ONE set-oriented job replaces the per-variable thread fan-out
+(environmental.go:48-60): filter variable isin(vars) on the dedup view →
+per-variable max(timestamp <= ts) window snap → squared-Euclidean NN
+row_number()=1 per variable → broadcast lineage join → collect <= len(vars)
+rows; any missing variable fails the whole request
+(serving-go/README.md:59 all-or-nothing contract).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RFC3339 = re.compile(
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$"
+)
+
+
+class RequestValidationError(ValueError):
+    pass
+
+
+class VariableNotFoundError(LookupError):
+    pass
+
+
+@dataclass(frozen=True)
+class EnvironmentalRequest:
+    """Validated request (api/request.go:11-16)."""
+
+    lat: float
+    lon: float
+    timestamp: datetime
+    variables: tuple[str, ...]
+
+
+def parse_request(lat, lon, timestamp: str, variables: str) -> EnvironmentalRequest:
+    """Validation semantics of api/request.go:18-91: lat in [-90,90], lon in
+    [-180,180], RFC3339 timestamp, non-empty comma-split trimmed variable
+    list."""
+    try:
+        lat_f, lon_f = float(lat), float(lon)
+    except (TypeError, ValueError):
+        raise RequestValidationError("lat/lon must be numbers")
+    if not -90.0 <= lat_f <= 90.0:
+        raise RequestValidationError(f"lat out of range: {lat_f}")
+    if not -180.0 <= lon_f <= 180.0:
+        raise RequestValidationError(f"lon out of range: {lon_f}")
+    if not isinstance(timestamp, str) or not RFC3339.match(timestamp):
+        raise RequestValidationError(f"timestamp not RFC3339: {timestamp!r}")
+    ts = datetime.fromisoformat(timestamp.replace("Z", "+00:00"))
+    ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+    vars_ = tuple(v.strip() for v in variables.split(",") if v.strip())
+    if not vars_:
+        raise RequestValidationError("variables must be a non-empty CSV list")
+    return EnvironmentalRequest(lat_f, lon_f, ts, vars_)
+
+
+class EnvironmentalService:
+    def __init__(self, grid_final: DataFrame, curated: DataFrame, raw_files: DataFrame):
+        self.grid_final = grid_final
+        self.curated = curated
+        self.raw_files = raw_files
+
+    def query_plan(self, req: EnvironmentalRequest) -> DataFrame:
+        """The full read as one DataFrame (collect() is the caller's)."""
+        g = self.grid_final.filter(
+            F.col("variable").isin(list(req.variables))
+            & (F.col("timestamp") <= F.lit(req.timestamp))
+        )
+        # timestamp snap per variable (finder.go:38-41): window max == the
+        # scalar subquery, batched over all requested variables at once
+        w_snap = Window.partitionBy("variable")
+        snapped = g.withColumn("__max_ts", F.max("timestamp").over(w_snap)).filter(
+            F.col("timestamp") == F.col("__max_ts")
+        )
+        # nearest neighbor by squared Euclidean degrees (finder.go:42-49;
+        # deliberately not great-circle, docs/layer-3-serving.md:98)
+        dlat = F.col("lat") - F.lit(req.lat)
+        dlon = F.col("lon") - F.lit(req.lon)
+        w_nn = Window.partitionBy("variable").orderBy(
+            (dlat * dlat + dlon * dlon).asc(), F.col("lat").asc(), F.col("lon").asc()
+        )
+        nn = (
+            snapped.withColumn("__rn", F.row_number().over(w_nn))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__max_ts")
+        )
+        # lineage join (lineage/finder.go:22-42): tiny dims → broadcast
+        lineage = F.broadcast(
+            self.curated.alias("cd")
+            .join(
+                self.raw_files.alias("rf"),
+                F.col("cd.raw_file_id") == F.col("rf.id"),
+                "inner",
+            )
+            .select(
+                F.col("cd.id").alias("catalog_id"),
+                F.col("rf.source").alias("source"),
+                F.col("rf.dataset").alias("dataset"),
+                F.col("cd.raw_file_id").alias("raw_file_id"),
+            )
+        )
+        return (
+            nn.join(lineage, "catalog_id", "left")
+            .select(
+                "variable",
+                F.col("value"),
+                F.col("unit"),
+                F.col("lat").alias("actual_lat"),
+                F.col("lon").alias("actual_lon"),
+                F.col("timestamp").alias("ref_timestamp"),
+                "source",
+                "dataset",
+                "raw_file_id",
+            )
+        )
+
+    def get_variables(self, req: EnvironmentalRequest) -> list[dict]:
+        """All-or-nothing per-variable results (environmental.go:41-67):
+        result count < len(variables) → VariableNotFoundError, no partial
+        responses (serving-go/README.md:59)."""
+        rows = self.query_plan(req).collect()
+        found = {r["variable"] for r in rows}
+        missing = [v for v in req.variables if v not in found]
+        if missing:
+            raise VariableNotFoundError(f"no data for variables: {missing}")
+        by_var = {r["variable"]: r.asDict() for r in rows}
+        return [by_var[v] for v in req.variables]

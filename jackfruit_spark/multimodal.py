@@ -1,0 +1,113 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design for a 100 TB training-data pipeline:
+
+- the payload is a ``binary`` column (or a reference: (uri, offset, size)
+  struct for row-group-external blobs) with a typed metadata struct
+  (modality, codec, width/height/duration, sha256);
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages — the only place Python touches bytes — sized so
+  a batch of decoded frames fits executor memory (maxRecordsPerBatch);
+- the image/audio codecs are NOT in this container, so the decode kernels
+  are stubbed: ``decode_image`` raises NotImplementedError by default or
+  uses a deterministic fake when ``fake=True``; the Spark-side plumbing
+  (schema, batching, partitioning, UDF signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image|audio|video
+        StructField("codec", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("sha256", StringType(), True),
+    ]
+)
+
+IMAGE_FEATURES = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sha256", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("mean_luma", StringType(), True),  # stub: textual marker
+    ]
+)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """STUB: real impl would use PIL/turbojpeg (absent here). fake=True
+    returns a deterministic pseudo-image derived from the payload hash so
+    downstream plumbing is testable."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this container; pass fake=True "
+            "for the deterministic test kernel"
+        )
+    h = hashlib.sha256(payload).digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def image_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature-extraction stage: hash + size always real;
+    decode-dependent features via the (stubbed) kernel. Arrow batches keep
+    the Python boundary amortized."""
+
+    from pyspark.sql import SparkSession
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(SparkSession.getActiveSession() or df.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "sha256": pdf["payload"].map(lambda b: hashlib.sha256(b).hexdigest()),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+            }
+            lumas = []
+            for b in pdf["payload"]:
+                try:
+                    img = decode_image(bytes(b), fake=fake)
+                    lumas.append(f"{float(img.mean()):.4f}")
+                except NotImplementedError:
+                    lumas.append(None)
+            out["mean_luma"] = lumas
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(extract, schema=IMAGE_FEATURES)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video: one output row per sampled frame
+    timestamp — the schedule is computed JVM-side from duration metadata;
+    only the (stubbed) frame decode would touch Python."""
+    return df.filter(F.col("modality") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,102 @@
+"""Driver-side external-API clients (ingestion is API-download-bound and
+inherently single-node — SURVEY §2 #5/#6). The network calls are gated
+behind optional imports; the request-building and validation semantics are
+real and tested.
+
+- CdsClient (ingestion/cds_client.py:33-79): CAMS European air-quality
+  forecast; validates 0 <= max_leadtime_hours <= 48; request dict: model
+  ensemble, level 0, time 00:00, leadtimes 0..h, format grib.
+- EcmwfClient (ingestion/ecmwf_client.py:25-52): IFS open data; steps
+  0..48 by 3, params 2t+2d, stream oper, levtype sfc; no auth.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date
+
+
+class LeadtimeValidationError(ValueError):
+    pass
+
+
+@dataclass
+class CdsClient:
+    """CAMS (Copernicus ADS) forecast retrieval (cds_client.py:33-79)."""
+
+    dataset: str = "cams-europe-air-quality-forecasts"
+    model: str = "ensemble"
+
+    def build_request(
+        self, day: date, variables: list[str], max_leadtime_hours: int = 24
+    ) -> dict:
+        if not 0 <= max_leadtime_hours <= 48:
+            raise LeadtimeValidationError(
+                f"max_leadtime_hours must be in [0, 48], got {max_leadtime_hours}"
+            )
+        return {
+            "model": [self.model],
+            "date": [f"{day:%Y-%m-%d}/{day:%Y-%m-%d}"],
+            "variable": list(variables),
+            "level": ["0"],
+            "type": ["forecast"],
+            "time": ["00:00"],
+            "leadtime_hour": [str(h) for h in range(max_leadtime_hours + 1)],
+            "data_format": "grib",
+        }
+
+    def retrieve_forecast(
+        self, day: date, variables: list[str], target: str, max_leadtime_hours: int = 24
+    ) -> str:
+        request = self.build_request(day, variables, max_leadtime_hours)
+        try:
+            import cdsapi  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "cdsapi not installed in this environment; request validated: "
+                f"{sorted(request)}"
+            ) from e
+        client = cdsapi.Client()
+        client.retrieve(self.dataset, request, target)
+        return target
+
+
+@dataclass
+class EcmwfClient:
+    """ECMWF IFS open-data retrieval (ecmwf_client.py:25-52)."""
+
+    max_step: int = 48
+    step_interval: int = 3
+
+    def build_request(self, day: date) -> dict:
+        return {
+            "date": f"{day:%Y-%m-%d}",
+            "time": 0,
+            "type": "fc",
+            "stream": "oper",
+            "levtype": "sfc",
+            "param": ["2t", "2d"],
+            "step": list(range(0, self.max_step + 1, self.step_interval)),
+        }
+
+    def retrieve_forecast(self, day: date, target: str) -> str:
+        request = self.build_request(day)
+        try:
+            from ecmwf.opendata import Client  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "ecmwf-opendata not installed; request validated: "
+                f"{sorted(request)}"
+            ) from e
+        client = Client(source="ecmwf")
+        client.retrieve(request, target)
+        return target
+
+
+def raw_key(source: str, dataset: str, day: date, run_id: str) -> str:
+    """Raw-bucket key convention {source}/{dataset}/{YYYY-MM-DD}/{run_id}
+    .grib (docs/layer-1-ingestion.md:56-75) — the lineage handoff contract
+    between ingest and transform (SURVEY §2 #28)."""
+    if not source or not dataset or not run_id:
+        raise ValueError("source, dataset and run_id must be non-empty")
+    return f"{source}/{dataset}/{day:%Y-%m-%d}/{run_id}.grib"

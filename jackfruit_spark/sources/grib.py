@@ -1,0 +1,166 @@
+"""Distributed GRIB2 decode: binaryFile scan + per-source adapters in
+mapInPandas.
+
+Reference: per-agency adapter classes behind a ``GribReader``/
+``GribMessage`` Protocol (grib2/reader.py:16-37), because each agency has
+GRIB quirks (docs/ADR/002-grib-library.md:50-52):
+
+- CAMS (grib2/adapters/cams_adapter.py:9-59): constituentType 40008→pm10,
+  40009→pm2p5; 420×700 Europe grid; lons normalized to [-180,180].
+- ECMWF (grib2/adapters/ecmwf_adapter.py:10-61): shortName 2t→temperature,
+  2d→dewpoint; global 0.25° 721×1440 grid, Kelvin.
+
+Spark shape: GRIB files are non-splittable binaries — parallelism is
+files × messages, not bytes (SURVEY §7.4 risk 3). ``spark.read.format
+("binaryFile")`` distributes whole files to executors; the adapter decodes
+each file's messages to row-per-point Arrow batches inside ``mapInPandas``.
+At 100 TB: build a (file, message_index) manifest first and repartition on
+it so one multi-GB file doesn't serialize a single task.
+
+pygrib/ecCodes are not in this container: the decode step is STUBBED — the
+adapter protocol, registry, schema, batching and Spark plumbing are real
+and tested via ``SyntheticAdapter`` (deterministic fake grids).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+from datetime import datetime
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jackfruit_spark.grid import schemas as S
+
+# CAMS constituentType → variable (cams_adapter.py:14-16)
+CAMS_CONSTITUENTS = {40008: "pm10", 40009: "pm2p5"}
+# ECMWF shortName → variable (ecmwf_adapter.py:14-16)
+ECMWF_SHORT_NAMES = {"2t": "temperature", "2d": "dewpoint"}
+
+
+@dataclass
+class GribMessage:
+    """Decoded message (grib2/reader.py:16-34 protocol): 2-D arrays of
+    values/lats/lons + metadata."""
+
+    variable_name: str
+    unit: str
+    timestamp: datetime
+    values: np.ndarray
+    lats: np.ndarray
+    lons: np.ndarray
+
+
+# Adapter = callable: (path, content) -> iterator of GribMessage
+Adapter = Callable[[str, bytes], Iterator[GribMessage]]
+
+_ADAPTERS: dict[str, Adapter] = {}
+
+
+def register_adapter(source: str, adapter: Adapter) -> None:
+    _ADAPTERS[source] = adapter
+
+
+def get_adapter(source: str) -> Adapter:
+    if source not in _ADAPTERS:
+        raise KeyError(f"no GRIB adapter registered for source {source!r}")
+    return _ADAPTERS[source]
+
+
+def _pygrib_adapter(var_map: dict[Any, str], key: str) -> Adapter:
+    """Real decode path — requires pygrib, which is absent here; the
+    plumbing is exercised through SyntheticAdapter instead."""
+
+    def decode(path: str, content: bytes) -> Iterator[GribMessage]:
+        raise NotImplementedError(
+            "pygrib/ecCodes not available in this environment; register a "
+            "SyntheticAdapter or install pygrib (see cams_adapter.py:9-59)"
+        )
+
+    return decode
+
+
+register_adapter("ads", _pygrib_adapter(CAMS_CONSTITUENTS, "constituentType"))
+register_adapter("ecmwf", _pygrib_adapter(ECMWF_SHORT_NAMES, "shortName"))
+
+
+def normalize_lons(lons: np.ndarray) -> np.ndarray:
+    """Longitude normalization to [-180, 180) — the regression that
+    motivated ADR 002 (test_cams_adapter.py:65-80)."""
+    return ((lons + 180.0) % 360.0) - 180.0
+
+
+@dataclass
+class SyntheticAdapter:
+    """Deterministic fake decode for tests: fixed grid shape + seeded
+    values; same message protocol as the real adapters."""
+
+    variables: tuple[str, ...] = ("pm10", "pm2p5")
+    unit: str = "kg m-3"
+    shape: tuple[int, int] = (42, 70)
+    timestamps: tuple[str, ...] = ("2026-01-01T00:00:00",)
+    lat_range: tuple[float, float] = (30.0, 72.0)
+    lon_range: tuple[float, float] = (-25.0, 45.0)
+    scale: float = 1e-8
+
+    def __call__(self, path: str, content: bytes) -> Iterator[GribMessage]:
+        nlat, nlon = self.shape
+        lats_1d = np.linspace(self.lat_range[0], self.lat_range[1], nlat)
+        lons_1d = np.linspace(self.lon_range[0], self.lon_range[1], nlon)
+        lons, lats = np.meshgrid(lons_1d, lats_1d)
+        seed = abs(hash(path)) % (2**32)
+        rng = np.random.default_rng(seed)
+        for ts in self.timestamps:
+            for var in self.variables:
+                values = rng.random(self.shape) * self.scale
+                yield GribMessage(
+                    variable_name=var,
+                    unit=self.unit,
+                    timestamp=datetime.fromisoformat(ts),
+                    values=values,
+                    lats=lats,
+                    lons=normalize_lons(lons),
+                )
+
+
+def scan_grib(
+    spark: SparkSession,
+    path_glob: str,
+    source: str,
+    run_id_from_path: Callable[[str], str] | None = None,
+) -> DataFrame:
+    """binaryFile scan → adapter decode → row-per-point DataFrame with the
+    RAW_MESSAGES schema. The flatten (#14, .ravel + np.full broadcast in
+    clickhouse_grid_store.py:59-67) happens here: each message becomes one
+    Arrow batch of rows."""
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(spark)  # decode closure needs the package on executors
+    adapter = get_adapter(source)
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                path, content = row["path"], row["content"]
+                run_id = run_id_from_path(path) if run_id_from_path else path
+                for msg in adapter(path, content):
+                    n = msg.values.size
+                    yield pd.DataFrame(
+                        {
+                            "source": np.full(n, source, dtype=object),
+                            "run_id": np.full(n, run_id, dtype=object),
+                            "variable": np.full(n, msg.variable_name, dtype=object),
+                            "unit": np.full(n, msg.unit, dtype=object),
+                            "timestamp": np.full(n, msg.timestamp),
+                            "lat": msg.lats.ravel().astype("float32"),
+                            "lon": msg.lons.ravel().astype("float32"),
+                            "value": msg.values.ravel().astype("float32"),
+                        }
+                    )
+
+    return files.select("path", "content").mapInPandas(decode, schema=S.RAW_MESSAGES)

@@ -1,0 +1,79 @@
+"""Structured Streaming ingestion: the reference's daily-batch cadence
+(cron 0 8 * * * → Dagster partition run, defs/schedules.py:16-95) in its
+native Spark incremental form.
+
+``readStream`` over the raw landing directory with
+``trigger(availableNow=True)`` gives exactly the reference's semantics —
+"process everything that has arrived, then stop" — plus checkpointed
+exactly-once file tracking for free (no Dagster event-store lineage handoff
+needed; SURVEY §2 #27/#28). A real deployment runs this per cron tick or
+continuously with a processing-time trigger.
+
+``windowed_event_stats`` is the streaming twin of q16_tumbling_window:
+watermarked event-time tumbling windows handling late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jackfruit_spark.grid import schemas as S
+
+
+def stream_raw_messages(
+    spark: SparkSession, landing_dir: str, schema=None
+) -> DataFrame:
+    """Incremental scan of row-per-point message parquet landed by the
+    decode stage. File-source streaming tracks processed files in the
+    checkpoint — re-runs pick up only new arrivals (idempotent ingest,
+    SURVEY §2 #30)."""
+    return spark.readStream.schema(schema or S.RAW_MESSAGES).parquet(landing_dir)
+
+
+def write_grid_stream(
+    messages: DataFrame, grid_path: str, checkpoint: str, catalog_id: str = "stream"
+):
+    """availableNow sink into the grid_data layout: append-only parquet
+    partitioned by date; the FINAL view dedups as usual so streaming and
+    batch writers compose."""
+    out = (
+        messages.withColumn("value", F.col("value").cast("float"))
+        .withColumn("catalog_id", F.lit(catalog_id))
+        .withColumn("inserted_at", F.current_timestamp())
+        .withColumn("date", F.to_date("timestamp"))
+        .select(
+            "variable", "timestamp", "lat", "lon", "value", "unit",
+            "catalog_id", "inserted_at", "date",
+        )
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", grid_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("date")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_stats(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate over an event stream — late
+    rows beyond the watermark are dropped, state is bounded (the 100 TB
+    streaming answer to q16's batch GROUP BY)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

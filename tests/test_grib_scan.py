@@ -1,0 +1,68 @@
+"""GRIB scan plumbing: binaryFile + mapInPandas decode via the synthetic
+adapter (the real pygrib decode is stubbed; the Spark-side distribution,
+schema, and flatten are what's under test — SURVEY §2 #1/#2/#14)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from jackfruit_spark.sources import grib
+
+
+@pytest.fixture()
+def raw_dir(tmp_path):
+    d = tmp_path / "raw" / "ads" / "ds" / "2026-01-01"
+    d.mkdir(parents=True)
+    for run in ("run-a", "run-b"):
+        (d / f"{run}.grib").write_bytes(b"GRIB-fake-" + run.encode())
+    return str(d)
+
+
+def test_scan_grib_synthetic(spark, raw_dir):
+    grib.register_adapter(
+        "synthetic",
+        grib.SyntheticAdapter(
+            variables=("pm10", "pm2p5"),
+            shape=(6, 10),
+            timestamps=("2026-01-01T00:00:00", "2026-01-01T01:00:00"),
+        ),
+    )
+    df = grib.scan_grib(
+        spark,
+        raw_dir,
+        "synthetic",
+        run_id_from_path=lambda p: p.rsplit("/", 1)[-1].removesuffix(".grib"),
+    )
+    rows = df.collect()
+    # 2 files x 2 ts x 2 vars x 60 points
+    assert len(rows) == 2 * 2 * 2 * 60
+    assert {r["run_id"] for r in rows} == {"run-a", "run-b"}
+    assert {r["variable"] for r in rows} == {"pm10", "pm2p5"}
+    assert df.schema["lat"].dataType.simpleString() == "float"
+    lats = [r["lat"] for r in rows]
+    assert min(lats) >= 29.9 and max(lats) <= 72.1
+
+
+def test_unregistered_source_raises(spark):
+    with pytest.raises(KeyError):
+        grib.get_adapter("nope")
+
+
+def test_real_adapter_stub_raises():
+    adapter = grib.get_adapter("ads")
+    with pytest.raises(NotImplementedError):
+        list(adapter("f.grib", b"GRIB"))
+
+
+def test_normalize_lons():
+    lons = np.array([0.0, 180.0, 359.95, 200.0, -25.0])
+    out = grib.normalize_lons(lons)
+    assert np.allclose(out, [0.0, -180.0, -0.05, -160.0, -25.0])
+    assert ((out >= -180) & (out < 180)).all()
+
+
+def test_variable_maps_match_reference():
+    # cams_adapter.py:14-16, ecmwf_adapter.py:14-16
+    assert grib.CAMS_CONSTITUENTS == {40008: "pm10", 40009: "pm2p5"}
+    assert grib.ECMWF_SHORT_NAMES == {"2t": "temperature", "2d": "dewpoint"}

@@ -1,0 +1,103 @@
+"""GridEngine: FINAL dedup, idempotent re-insert, compaction — the
+reference's integration goldens (test_transform_cams.py:100-117 idempotency,
+init.sql dedup semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from jackfruit_spark.grid.engine import GridEngine
+
+
+def _grid_rows(ts: str, inserted: str, n: int = 10):
+    t = dt.datetime.fromisoformat(ts)
+    ia = dt.datetime.fromisoformat(inserted)
+    return [
+        ("pm10", t, 50.0 + i * 0.1, 10.0 + i * 0.1, float(i), "µg/m³", "cat-1", ia)
+        for i in range(n)
+    ]
+
+
+COLS = ["variable", "timestamp", "lat", "lon", "value", "unit", "catalog_id", "inserted_at"]
+
+
+def test_insert_and_final_dedup(spark, tmp_path):
+    eng = GridEngine(spark, str(tmp_path))
+    df1 = spark.createDataFrame(_grid_rows("2026-01-01T00:00:00", "2026-01-01T08:00:00"), COLS)
+    assert eng.insert_grid(df1) == 10
+    # re-insert same keys with later version and shifted values
+    df2 = spark.createDataFrame(
+        [
+            (v, t, lat, lon, val + 100.0, u, "cat-2", dt.datetime(2026, 1, 1, 9))
+            for v, t, lat, lon, val, u, c, ia in _grid_rows(
+                "2026-01-01T00:00:00", "2026-01-01T08:00:00"
+            )
+        ],
+        COLS,
+    )
+    eng.insert_grid(df2)
+    assert eng.grid_data_raw().count() == 20
+    final = eng.grid_data_final()
+    assert final.count() == 10  # FINAL collapses duplicates
+    # latest inserted_at wins
+    assert all(r["catalog_id"] == "cat-2" for r in final.collect())
+
+
+def test_compaction_keeps_final_result(spark, tmp_path):
+    eng = GridEngine(spark, str(tmp_path))
+    for hour in (8, 9, 10):
+        df = spark.createDataFrame(
+            [
+                (v, t, lat, lon, val + hour, u, f"cat-{hour}", dt.datetime(2026, 1, 1, hour))
+                for v, t, lat, lon, val, u, c, ia in _grid_rows(
+                    "2026-01-01T00:00:00", "2026-01-01T08:00:00"
+                )
+            ],
+            COLS,
+        )
+        eng.insert_grid(df)
+    before = eng.grid_data_final().orderBy("lat").collect()
+    assert eng.grid_data_raw().count() == 30
+    eng.compact()
+    assert eng.grid_data_raw().count() == 10  # physical dedup
+    after = eng.grid_data_final().orderBy("lat").collect()
+    assert [r["value"] for r in before] == [r["value"] for r in after]
+    assert all(r["catalog_id"] == "cat-10" for r in after)
+
+
+def test_partition_layout_and_pruning(spark, tmp_path):
+    eng = GridEngine(spark, str(tmp_path))
+    for day in ("2026-01-01", "2026-01-02"):
+        df = spark.createDataFrame(_grid_rows(f"{day}T00:00:00", f"{day}T08:00:00"), COLS)
+        eng.insert_grid(df)
+    import os
+
+    parts = sorted(d for d in os.listdir(eng.grid_path) if d.startswith("date="))
+    assert parts == ["date=2026-01-01", "date=2026-01-02"]
+    # date filter prunes to one partition's files
+    plan = (
+        eng.grid_data_raw()
+        .filter(F.col("date") == "2026-01-01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+
+
+def test_float32_roundtrip(spark, tmp_path):
+    # float32 end-to-end: exact equality after write/read
+    # (finder_integration_test.go:38-49 float32 exactness contract)
+    eng = GridEngine(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [("t", dt.datetime(2026, 1, 1), 52.5, 13.4, 21.7, "°C", "c", dt.datetime(2026, 1, 1))],
+        COLS,
+    )
+    eng.insert_grid(df)
+    row = eng.grid_data_final().collect()[0]
+    import numpy as np
+
+    assert row["lat"] == np.float32(52.5) and row["lon"] == np.float32(13.4)
+    assert row["value"] == np.float32(21.7)

@@ -1,0 +1,148 @@
+"""End-to-end transform pipeline: decoded messages → grid_data + catalog,
+asserting the reference's integration goldens at scaled-down size
+(test_transform_cams.py / test_transform_ecmwf.py — SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.grid.catalog import Catalog
+from jackfruit_spark.grid.engine import GridEngine
+from jackfruit_spark.grid.pipeline import TransformPipeline, uuid7
+
+MSG_COLS = ["source", "run_id", "variable", "unit", "timestamp", "lat", "lon", "value"]
+
+
+def _cams_messages(spark, nlat=6, nlon=10, n_ts=4):
+    rows = []
+    for k in range(n_ts):
+        ts = dt.datetime(2026, 1, 1, k)
+        for var in ("pm10", "pm2p5"):
+            for i in range(nlat):
+                for j in range(nlon):
+                    rows.append(
+                        ("ads", "run-c", var, "kg m-3", ts,
+                         40.0 + i * 0.5, -10.0 + j * 0.5, (i * nlon + j) * 1e-9)
+                    )
+    return spark.createDataFrame(rows, MSG_COLS)
+
+
+def _ecmwf_messages(spark, n_ts=2):
+    rows = []
+    # global grid incl. out-of-Europe points that the clip must remove
+    lats = [-50.0, 20.0, 40.0, 60.0, 71.0, 80.0]     # 3 in box
+    lons = [-170.0, -20.0, 0.0, 44.0, 100.0]          # 3 in box
+    for k in range(n_ts):
+        ts = dt.datetime(2026, 1, 2, k * 3)
+        for var, base in (("temperature", 290.0), ("dewpoint", 285.0)):
+            for la in lats:
+                for lo in lons:
+                    rows.append(("ecmwf", "run-e", var, "K", ts, la, lo, base + la / 10))
+    return spark.createDataFrame(rows, MSG_COLS)
+
+
+@pytest.fixture()
+def stack(spark, tmp_path):
+    eng = GridEngine(spark, str(tmp_path / "grid"))
+    cat = Catalog(spark, str(tmp_path / "catalog"))
+    return eng, cat, TransformPipeline(spark, eng, cat)
+
+
+def test_cams_golden_counts_and_units(spark, stack):
+    eng, cat, pipe = stack
+    written = pipe.transform_cams(_cams_messages(spark), raw_file_id="run-c")
+    # 2 vars x 4 ts x 60 points (test_transform_cams.py:70-71 ratio-preserved)
+    assert written == 2 * 4 * 60
+    final = eng.grid_data_final()
+    counts = {r["variable"]: r["n"] for r in final.groupBy("variable").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"pm10": 240, "pm2p5": 240}
+    assert final.select("unit").distinct().collect()[0]["unit"] == "µg/m³"
+    # kg m-3 x 1e9 conversion applied
+    mx = final.agg(F.max("value")).collect()[0][0]
+    assert 0 < mx < 1000
+    # one catalog row per (variable, timestamp) grid: 8 (test_transform_cams.py:131)
+    assert cat.curated_data().count() == 8
+    # cross-store lineage consistency (test_transform_cams.py:136-153)
+    grid_ids = {r["catalog_id"] for r in final.select("catalog_id").distinct().collect()}
+    cat_ids = {r["id"] for r in cat.curated_data().select("id").collect()}
+    assert grid_ids == cat_ids
+
+
+def test_cams_idempotent_rerun(spark, stack):
+    eng, cat, pipe = stack
+    pipe.transform_cams(_cams_messages(spark), raw_file_id="run-c")
+    n1 = eng.grid_data_final().count()
+    pipe.transform_cams(_cams_messages(spark), raw_file_id="run-c")
+    # FINAL count unchanged after re-run (test_transform_cams.py:100-117)
+    assert eng.grid_data_final().count() == n1
+    assert eng.grid_data_raw().count() == 2 * n1
+
+
+def test_ecmwf_chain_goldens(spark, stack):
+    eng, cat, pipe = stack
+    written = pipe.transform_ecmwf(_ecmwf_messages(spark), raw_file_id="run-e")
+    # 3x3 in-box points x 2 ts x 3 vars (clip -> pair -> humidity)
+    assert written == 9 * 2 * 3
+    final = eng.grid_data_final()
+    counts = {r["variable"]: r["n"] for r in final.groupBy("variable").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"temperature": 18, "dewpoint": 18, "humidity": 18}
+    # value-range goldens (test_transform_ecmwf.py:185-245)
+    t = final.filter(F.col("variable") == "temperature")
+    lo, hi = t.agg(F.min("value"), F.max("value")).collect()[0]
+    assert -80 < lo and hi < 60
+    h = final.filter(F.col("variable") == "humidity")
+    hlo, hhi = h.agg(F.min("value"), F.max("value")).collect()[0]
+    assert 0 <= hlo and hhi <= 105
+    # bbox respected incl. negative longitudes present
+    assert final.filter((F.col("lat") < 30) | (F.col("lat") > 72)).count() == 0
+    assert final.filter(F.col("lon") < 0).count() > 0
+    # units: °C for temp/dew, % for humidity
+    units = {r["variable"]: r["unit"] for r in final.select("variable", "unit").distinct().collect()}
+    assert units == {"temperature": "°C", "dewpoint": "°C", "humidity": "%"}
+    assert cat.curated_data().count() == 6  # 3 vars x 2 ts
+
+
+def test_catalog_insert_if_absent_and_upsert(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    rf = spark.createDataFrame(
+        [("id-1", "ads", "ds", dt.date(2026, 1, 1), "k1", dt.datetime(2026, 1, 1))],
+        ["id", "source", "dataset", "date", "s3_key", "created_at"],
+    )
+    cat.insert_raw_file(rf)
+    # conflicting re-insert with different s3_key: existing row wins (DO NOTHING)
+    rf2 = spark.createDataFrame(
+        [("id-1", "ads", "ds", dt.date(2026, 1, 1), "CHANGED", dt.datetime(2026, 1, 2))],
+        ["id", "source", "dataset", "date", "s3_key", "created_at"],
+    )
+    cat.insert_raw_file(rf2)
+    rows = cat.raw_files().collect()
+    assert len(rows) == 1 and rows[0]["s3_key"] == "k1"
+
+    cd = spark.createDataFrame(
+        [("c-1", "id-1", "pm10", "µg/m³", dt.datetime(2026, 1, 1), dt.datetime(2026, 1, 1))],
+        ["id", "raw_file_id", "variable", "unit", "timestamp", "created_at"],
+    )
+    cat.upsert_curated_data(cd)
+    cd2 = spark.createDataFrame(
+        [("c-1", "id-1", "pm10", "UPDATED", dt.datetime(2026, 1, 1), dt.datetime(2026, 1, 2))],
+        ["id", "raw_file_id", "variable", "unit", "timestamp", "created_at"],
+    )
+    cat.upsert_curated_data(cd2)
+    rows = cat.curated_data().collect()
+    # latest metadata wins (DO UPDATE)
+    assert len(rows) == 1 and rows[0]["unit"] == "UPDATED"
+    assert cat.lineage_for("c-1") == {"source": "ads", "dataset": "ds", "raw_file_id": "id-1"}
+    assert cat.lineage_for("missing") is None
+
+
+def test_uuid7_ordered_and_valid():
+    import uuid as _uuid
+
+    ids = [uuid7() for _ in range(5)]
+    parsed = [_uuid.UUID(s) for s in ids]
+    assert all(p.version == 7 for p in parsed)
+    # time-ordered prefix: non-decreasing
+    assert ids == sorted(ids) or len(set(i[:15] for i in ids)) == 1

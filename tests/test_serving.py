@@ -1,0 +1,138 @@
+"""Serving semantics — the reference's integration goldens
+(grid/finder_integration_test.go:13-67, api/handler_integration_test.go,
+FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from jackfruit_spark.grid.engine import GridEngine
+from jackfruit_spark.grid.serving import (
+    EnvironmentalRequest,
+    EnvironmentalService,
+    RequestValidationError,
+    VariableNotFoundError,
+    parse_request,
+)
+
+COLS = ["variable", "timestamp", "lat", "lon", "value", "unit", "catalog_id", "inserted_at"]
+T0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+IA = dt.datetime(2026, 1, 1, 13, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def service(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("serve"))
+    eng = GridEngine(spark, root)
+    rows = []
+    # regular 0.5-deg grid around Berlin for 'temperature' at T0 and T0-1h
+    for ts, bump in ((T0, 0.0), (T0 - dt.timedelta(hours=1), 100.0)):
+        for i in range(5):
+            for j in range(5):
+                rows.append(
+                    ("temperature", ts, 51.5 + i * 0.5, 12.4 + j * 0.5,
+                     20.0 + i + j + bump, "°C", "cat-t", IA)
+                )
+    # single point for pm10, plus a dedup-duplicate with later version
+    rows.append(("pm10", T0, 52.5, 13.4, 7.0, "µg/m³", "cat-p-old", IA))
+    rows.append(("pm10", T0, 52.5, 13.4, 9.0, "µg/m³", "cat-p", IA + dt.timedelta(hours=1)))
+    eng.insert_grid(spark.createDataFrame(rows, COLS))
+    raw_files = spark.createDataFrame(
+        [("run-1", "ads", "cams-europe-air-quality-forecast",
+          dt.date(2026, 1, 1), "ads/x/2026-01-01/run-1.grib", IA)],
+        ["id", "source", "dataset", "date", "s3_key", "created_at"],
+    )
+    curated = spark.createDataFrame(
+        [("cat-t", "run-1", "temperature", "°C", T0, IA),
+         ("cat-p", "run-1", "pm10", "µg/m³", T0, IA)],
+        ["id", "raw_file_id", "variable", "unit", "timestamp", "created_at"],
+    )
+    return EnvironmentalService(eng.grid_data_final(), curated, raw_files)
+
+
+def _req(lat, lon, ts, variables):
+    return EnvironmentalRequest(lat, lon, ts, tuple(variables))
+
+
+def test_nearest_neighbor_snap(service):
+    # request at (52.5+0.435, 13.4+0.195) must snap to grid point (52.5, 13.4)
+    # returning ACTUAL coords (finder_integration_test.go:13-40)
+    out = service.get_variables(_req(52.935, 13.595, T0, ["temperature"]))
+    assert len(out) == 1
+    r = out[0]
+    assert (round(r["actual_lat"], 3), round(r["actual_lon"], 3)) == (53.0, 13.4)
+
+
+def test_timestamp_snap_down(service):
+    # request at T0+30min returns T0 data (finder.go:38-41)
+    out = service.get_variables(
+        _req(52.5, 13.4, T0 + dt.timedelta(minutes=30), ["temperature"])
+    )
+    assert out[0]["ref_timestamp"] == T0
+
+
+def test_request_before_all_data_not_found(service):
+    with pytest.raises(VariableNotFoundError):
+        service.get_variables(_req(52.5, 13.4, T0 - dt.timedelta(days=1), ["temperature"]))
+
+
+def test_unknown_variable_all_or_nothing(service):
+    # one variable found + one missing -> whole request fails
+    # (environmental.go:62-64, serving-go/README.md:59)
+    with pytest.raises(VariableNotFoundError):
+        service.get_variables(_req(52.5, 13.4, T0, ["temperature", "nope"]))
+
+
+def test_multi_variable_with_lineage(service):
+    out = service.get_variables(_req(52.5, 13.4, T0, ["temperature", "pm10"]))
+    assert [r["variable"] for r in out] == ["temperature", "pm10"]
+    pm = out[1]
+    assert pm["value"] == 9.0  # dedup winner (later inserted_at)
+    assert pm["source"] == "ads" and pm["raw_file_id"] == "run-1"
+
+
+def test_euclidean_not_great_circle(spark, tmp_path):
+    # at lat 60, 1 deg lon is ~0.5 deg great-circle distance; construct a
+    # case where Euclidean-on-degrees picks a different winner
+    # (docs/layer-3-serving.md:98: deliberately Euclidean)
+    eng = GridEngine(spark, str(tmp_path))
+    rows = [
+        ("t", T0, 60.0, 10.9, 1.0, "°C", "a", IA),   # dLon=0.9 -> euclid 0.81
+        ("t", T0, 60.8, 10.0, 2.0, "°C", "b", IA),   # dLat=0.8 -> euclid 0.64 (winner)
+    ]
+    eng.insert_grid(spark.createDataFrame(rows, COLS))
+    svc = EnvironmentalService(
+        eng.grid_data_final(),
+        spark.createDataFrame([], "id string, raw_file_id string, variable string, unit string, timestamp timestamp, created_at timestamp"),
+        spark.createDataFrame([], "id string, source string, dataset string, date date, s3_key string, created_at timestamp"),
+    )
+    out = svc.get_variables(_req(60.0, 10.0, T0, ["t"]))
+    # great-circle would prefer the dLon=0.9 point (~0.45 deg effective);
+    # Euclidean on raw degrees prefers dLat=0.8
+    assert out[0]["value"] == 2.0
+
+
+# ----------------------------------------------- request validation (#16)
+
+def test_parse_request_valid():
+    r = parse_request(52.5, "13.4", "2026-01-01T12:00:00Z", " temperature , pm10 ")
+    assert r.variables == ("temperature", "pm10")
+    assert r.timestamp == dt.datetime(2026, 1, 1, 12)
+
+
+@pytest.mark.parametrize(
+    "lat,lon,ts,vars_",
+    [
+        (91, 0, "2026-01-01T12:00:00Z", "t"),
+        (0, -181, "2026-01-01T12:00:00Z", "t"),
+        (0, 0, "not-a-time", "t"),
+        (0, 0, "2026-01-01 12:00:00", "t"),  # not RFC3339
+        (0, 0, "2026-01-01T12:00:00Z", "  ,  "),
+        ("abc", 0, "2026-01-01T12:00:00Z", "t"),
+    ],
+)
+def test_parse_request_invalid(lat, lon, ts, vars_):
+    with pytest.raises(RequestValidationError):
+        parse_request(lat, lon, ts, vars_)

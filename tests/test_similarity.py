@@ -1,0 +1,67 @@
+"""Similarity search: brute-force cosine correctness vs numpy, LSH-bucket
+recall, IVF assignment."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions.similarity import (
+    ann_brute_force,
+    ann_lsh,
+    cosine,
+    ivf_assign,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 16)).astype("float32")
+    vecs[7] = vecs[0] * 0.9 + rng.normal(scale=0.01, size=16).astype("float32")  # near 0
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(50)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), vecs
+
+
+def test_brute_force_matches_numpy(spark, vectors):
+    df, vecs = vectors
+    q = vecs[0].astype("float64")
+    out = ann_brute_force(df.filter(F.col("vec_id") != 0), "vec_id", "embedding", q, k=5)
+    got = [r["vec_id"] for r in out.collect()]
+    sims = {}
+    for i in range(1, 50):
+        v = vecs[i].astype("float64")
+        sims[i] = round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6)
+    expected = [i for i, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+    assert got == expected
+    assert got[0] == 7  # the planted near-duplicate is the top hit
+
+
+def test_cosine_column_expression(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 1.0], [1.0, 1.0])], ["i", "a", "b"])
+    out = {r["i"]: r["c"] for r in df.select("i", cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert abs(out[1]) < 1e-12
+    assert abs(out[2] - 1.0) < 1e-12
+
+
+def test_ann_lsh_recall_on_near_dup(spark, vectors):
+    df, vecs = vectors
+    q = vecs[0].astype("float64")
+    # seed 99 gives the query healthy margins from every hyperplane (min
+    # |dot| ~0.96); a query sitting ON a plane is the multi-probe case,
+    # deliberately not under test here
+    rng = np.random.default_rng(99)
+    planes = rng.normal(size=(4, 16)).tolist()
+    out = ann_lsh(df.filter(F.col("vec_id") != 0), "vec_id", "embedding", q, planes, k=5)
+    got = [r["vec_id"] for r in out.collect()]
+    # the planted near-duplicate shares the query's bucket w.h.p.
+    assert 7 in got
+
+
+def test_ivf_assignment(spark):
+    df = spark.createDataFrame(
+        [(1, [10.0, 0.0]), (2, [0.0, 10.0]), (3, [9.0, 1.0])], ["vec_id", "embedding"]
+    )
+    cells = {r["vec_id"]: r["ivf_cell"] for r in ivf_assign(df, "embedding", [[10.0, 0.0], [0.0, 10.0]]).collect()}
+    assert cells == {1: 0, 2: 1, 3: 0}

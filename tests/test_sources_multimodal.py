@@ -1,0 +1,83 @@
+"""Driver-side clients (request building + validation) and multimodal
+column plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from jackfruit_spark import multimodal as mm
+from jackfruit_spark.sources.clients import (
+    CdsClient,
+    EcmwfClient,
+    LeadtimeValidationError,
+    raw_key,
+)
+
+
+def test_cds_request_shape_and_validation():
+    c = CdsClient()
+    req = c.build_request(dt.date(2026, 1, 5), ["pm2p5", "pm10"], max_leadtime_hours=6)
+    assert req["leadtime_hour"] == [str(h) for h in range(7)]
+    assert req["model"] == ["ensemble"] and req["time"] == ["00:00"]
+    for bad in (-1, 49, 100):
+        with pytest.raises(LeadtimeValidationError):
+            c.build_request(dt.date(2026, 1, 5), ["pm10"], max_leadtime_hours=bad)
+
+
+def test_cds_retrieve_gated():
+    with pytest.raises(NotImplementedError):
+        CdsClient().retrieve_forecast(dt.date(2026, 1, 5), ["pm10"], "/tmp/x.grib")
+
+
+def test_ecmwf_request_shape():
+    req = EcmwfClient().build_request(dt.date(2026, 1, 5))
+    assert req["param"] == ["2t", "2d"]
+    assert req["step"] == list(range(0, 49, 3))
+    assert req["stream"] == "oper" and req["levtype"] == "sfc"
+
+
+def test_raw_key_convention():
+    k = raw_key("ads", "cams-europe-air-quality-forecast", dt.date(2026, 1, 5), "run-1")
+    assert k == "ads/cams-europe-air-quality-forecast/2026-01-05/run-1.grib"
+    with pytest.raises(ValueError):
+        raw_key("", "ds", dt.date(2026, 1, 5), "r")
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_image_features_fake_kernel(spark):
+    rows = [(1, "image", "png", bytearray(b"payload-1"), 8, 8, None, None),
+            (2, "image", "png", bytearray(b"payload-2"), 8, 8, None, None)]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA)
+    out = {r["media_id"]: r for r in mm.image_features(df, fake=True).collect()}
+    assert out[1]["n_bytes"] == 9
+    assert len(out[1]["sha256"]) == 64
+    assert out[1]["mean_luma"] is not None
+    # deterministic: same payload -> same features
+    out2 = {r["media_id"]: r for r in mm.image_features(df, fake=True).collect()}
+    assert out[1]["mean_luma"] == out2[1]["mean_luma"]
+
+
+def test_image_features_stub_without_codec(spark):
+    rows = [(1, "image", "png", bytearray(b"x"), None, None, None, None)]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA)
+    out = mm.image_features(df, fake=False).collect()
+    assert out[0]["mean_luma"] is None          # decode stubbed, metadata real
+    assert out[0]["n_bytes"] == 1
+
+
+def test_decode_image_raises_by_default():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"bytes")
+
+
+def test_sample_frames_schedule(spark):
+    rows = [(1, "video", "h264", bytearray(b"v"), None, None, 3500, None),
+            (2, "image", "png", bytearray(b"i"), 4, 4, None, None)]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA)
+    out = mm.sample_frames(df, every_ms=1000).collect()
+    assert {r["frame_ts_ms"] for r in out} == {0, 1000, 2000, 3000}
+    assert all(r["media_id"] == 1 for r in out)

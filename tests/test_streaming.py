@@ -1,0 +1,84 @@
+"""Structured Streaming ingestion: availableNow incremental processing with
+checkpointed exactly-once file tracking (the Spark-native form of the
+reference's daily batch cadence, SURVEY §2 #27/#30)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from jackfruit_spark.grid.engine import GridEngine
+from jackfruit_spark.streaming.ingest import (
+    stream_raw_messages,
+    windowed_event_stats,
+    write_grid_stream,
+)
+
+MSG_COLS = ["source", "run_id", "variable", "unit", "timestamp", "lat", "lon", "value"]
+
+
+def _land(spark, landing, day_hour, n=20):
+    rows = [
+        ("ads", "r", "pm10", "µg/m³", dt.datetime(2026, 1, 1, day_hour),
+         40.0 + i * 0.1, 0.0 + i * 0.1, float(i))
+        for i in range(n)
+    ]
+    (
+        spark.createDataFrame(rows, MSG_COLS)
+        .withColumn("lat", F.col("lat").cast("float"))
+        .withColumn("lon", F.col("lon").cast("float"))
+        .withColumn("value", F.col("value").cast("float"))
+        .write.mode("append")
+        .parquet(landing)
+    )
+
+
+def test_available_now_incremental(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    grid = str(tmp_path / "grid" / "grid_data")
+    ckpt = str(tmp_path / "ckpt")
+
+    _land(spark, landing, day_hour=0)
+    q = write_grid_stream(stream_raw_messages(spark, landing), grid, ckpt)
+    q.awaitTermination(120)
+    eng = GridEngine(spark, str(tmp_path / "grid"))
+    assert eng.grid_data_raw().count() == 20
+
+    # second batch lands; availableNow re-run processes ONLY the new files
+    _land(spark, landing, day_hour=1)
+    q2 = write_grid_stream(stream_raw_messages(spark, landing), grid, ckpt)
+    q2.awaitTermination(120)
+    assert eng.grid_data_raw().count() == 40
+    # and a third run with nothing new is a no-op (checkpoint dedup)
+    q3 = write_grid_stream(stream_raw_messages(spark, landing), grid, ckpt)
+    q3.awaitTermination(120)
+    assert eng.grid_data_raw().count() == 40
+
+
+def test_windowed_event_stats_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "events")
+    rows = [
+        (1, dt.datetime(2026, 1, 1, 10, 5), 1.0),
+        (2, dt.datetime(2026, 1, 1, 10, 55), 2.0),
+        (3, dt.datetime(2026, 1, 1, 11, 5), 4.0),
+    ]
+    spark.createDataFrame(rows, ["event_id", "ts", "value"]).write.parquet(src)
+    stream = spark.readStream.schema("event_id long, ts timestamp, value double").parquet(src)
+    out = windowed_event_stats(stream, window="1 hour", watermark="2 hours")
+    # complete mode: append would hold back windows until the watermark
+    # passes them, which a finite availableNow run never reaches
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_stats").collect()
+    }
+    assert res[dt.datetime(2026, 1, 1, 10)] == (2, 3.0)
+    assert res[dt.datetime(2026, 1, 1, 11)] == (1, 4.0)

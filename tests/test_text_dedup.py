@@ -1,0 +1,95 @@
+"""Text analysis + dedup family: LSH recall vs exact Jaccard, SimHash
+Hamming proximity, language ID, fingerprints — on crafted near-duplicate
+corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions import text as T
+from jackfruit_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_for_candidates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the tall mountains and the river flows gently through the green valley"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = [
+        (0, BASE),
+        (1, BASE.replace("quick", "swift")),               # near-dup of 0
+        (2, BASE),                                          # exact dup of 0
+        (3, "completely different text about spark sql engines and shuffles "
+            "with partitions and executors running tasks on a cluster of machines"),
+        (4, "le chat noir dort sur le canapé dans la maison et le chien "
+            "regarde par la fenêtre les oiseaux du jardin"),
+        (5, "der hund läuft durch den park und die katze schläft auf der "
+            "warmen fensterbank während die sonne scheint"),
+    ]
+    return spark.createDataFrame(docs, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark, corpus):
+    out = {r["keeper_id"]: r["n_copies"] for r in exact_dedup(corpus, "text", "doc_id").collect()}
+    assert out[0] == 2          # docs 0 and 2 identical, keeper = min id
+    assert sum(out.values()) == 6
+
+
+def test_jaccard_exact_scores(spark, corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(corpus, "doc_id", "text").collect()}
+    assert pairs[(0, 2)] == 1.0                        # identical
+    assert pairs[(0, 1)] > 0.8                         # one-word edit
+    assert pairs.get((0, 3), 0.0) < 0.1                # unrelated
+
+
+def test_lsh_candidates_find_near_dups(spark, corpus):
+    sig = minhash_signatures(corpus, "doc_id", "text", num_hashes=32, k=3)
+    cand = lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=4)
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (0, 2) in got                               # exact dup always collides
+    assert (0, 1) in got                               # near-dup collides w.h.p.
+    # scoring candidates matches exact jaccard on those pairs
+    scored = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_for_candidates(corpus, cand, "doc_id", "text").collect()
+    }
+    assert scored[(0, 2)] == 1.0
+
+
+def test_simhash_hamming_proximity(spark, corpus):
+    hashes = {r["doc_id"]: r["simhash"] for r in simhash(corpus, "doc_id", "text").collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(hashes[0], hashes[2]) == 0              # identical docs
+    assert ham(hashes[0], hashes[1]) < 12              # near-dup: close
+    assert ham(hashes[0], hashes[3]) > ham(hashes[0], hashes[1])  # unrelated: farther
+
+
+def test_lang_id_on_phrases(spark, corpus):
+    out = {r["doc_id"]: r["pred"] for r in corpus.select("doc_id", T.lang_id("text").alias("pred")).collect()}
+    assert out[0] == "en" and out[3] == "en"
+    assert out[4] == "fr"
+    assert out[5] == "de"
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(1, "the cat, the dog, and the bird!")], ["doc_id", "text"])
+    row = df.select(*T.quality_features("text")).collect()[0]
+    assert row["n_tokens"] == 7
+    assert row["punct_ratio"] > 0
+    assert row["stopword_ratio"] == pytest.approx(round(4 / 7, 6) , abs=1e-6)
+
+
+def test_fingerprint_stable_and_sensitive(spark, corpus):
+    fp = {r["doc_id"]: r["fp"] for r in corpus.select("doc_id", T.fingerprint("text").alias("fp")).collect()}
+    assert fp[0] == fp[2]                              # identical -> same fingerprint
+    assert fp[0] != fp[3]                              # different text -> different

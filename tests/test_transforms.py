@@ -1,0 +1,70 @@
+"""Operator-level unit tests mirroring the reference's golden values
+(tests/unit/test_transform_assets.py — SURVEY §5.1)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from jackfruit_spark.operators.transforms import (
+    bbox_filter,
+    convert_concentration_units,
+    derive_humidity,
+    kelvin_to_celsius,
+    magnus_rh,
+    pair_by_timestamp,
+)
+
+
+def test_magnus_goldens(spark):
+    # T=20, Td=15 -> ~73%; T=Td -> exactly 100 (test_transform_assets.py:352-380)
+    df = spark.createDataFrame([(20.0, 15.0), (25.0, 25.0), (0.0, -10.0)], ["t", "td"])
+    rows = {
+        (r["t"], r["td"]): r["rh"]
+        for r in df.select("t", "td", magnus_rh(F.col("t"), F.col("td")).alias("rh")).collect()
+    }
+    assert abs(rows[(20.0, 15.0)] - 72.93) < 0.5
+    assert abs(rows[(25.0, 25.0)] - 100.0) < 1e-9
+    expected = 100.0 * math.exp(17.625 * -10 / (243.04 - 10)) / math.exp(0.0)
+    assert abs(rows[(0.0, -10.0)] - expected) < 1e-9
+
+
+def test_bbox_clip_bounds(spark):
+    # global grid -> only Europe box survives (assets.py:31-70 goldens)
+    pts = [(float(lat), float(lon)) for lat in range(-90, 91, 10) for lon in range(-180, 181, 10)]
+    df = spark.createDataFrame(pts, ["lat", "lon"])
+    out = bbox_filter(df).collect()
+    assert all(30 <= r["lat"] <= 72 and -25 <= r["lon"] <= 45 for r in out)
+    expected = sum(1 for lat, lon in pts if 30 <= lat <= 72 and -25 <= lon <= 45)
+    assert len(out) == expected
+
+
+def test_unit_conversion_gated(spark):
+    df = spark.createDataFrame(
+        [("pm10", 2e-8, "kg m-3"), ("pm10", 5.0, "µg/m³"), ("temperature", 293.15, "K")],
+        ["variable", "value", "unit"],
+    )
+    rows = kelvin_to_celsius(convert_concentration_units(df)).collect()
+    out = sorted((r["variable"], r["unit"], round(r["value"], 9)) for r in rows)
+    assert out == [
+        ("pm10", "µg/m³", 5.0),       # already-converted row untouched
+        ("pm10", "µg/m³", 20.0),      # 2e-8 kg m-3 x 1e9
+        ("temperature", "°C", 20.0),  # 293.15 K - 273.15
+    ]
+
+
+def test_pair_by_timestamp_skips_incomplete(spark):
+    # a timestamp with only one of {temperature, dewpoint} is skipped
+    # entirely (assets.py:362-377)
+    rows = [
+        ("2026-01-01 00:00:00", "temperature", 10.0),
+        ("2026-01-01 00:00:00", "dewpoint", 5.0),
+        ("2026-01-01 03:00:00", "temperature", 11.0),  # missing dewpoint
+    ]
+    df = spark.createDataFrame(rows, ["timestamp", "variable", "value"])
+    out = pair_by_timestamp(df, key_cols=("timestamp",)).collect()
+    assert len(out) == 1
+    assert out[0]["temperature"] == 10.0 and out[0]["dewpoint"] == 5.0
+    rh = derive_humidity(pair_by_timestamp(df, key_cols=("timestamp",))).collect()[0]
+    assert 0 < rh["humidity"] <= 100
