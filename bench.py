@@ -31,7 +31,76 @@ BENCH_QUERIES = [
     "q21_jaccard_topk",
     "q22_ann_cosine_topk",
     "q24_minhash_lsh_pairs",
+    "q40_embedding_near_dup",
+    "q42_sessionization",
 ]
+
+
+def bench_grid(spark) -> dict[str, float]:
+    """Reference-shaped targets (BASELINE.md): ingest one CAMS-sized
+    partition (2 vars x 4 ts x 420x700 = 2.35M rows) in a single batch
+    write; answer the point-lookup (snap + NN + lineage join) on the dedup
+    view interactively."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.grid.engine import GridEngine
+    from jackfruit_spark.grid.serving import EnvironmentalRequest, EnvironmentalService
+
+    root = tempfile.mkdtemp(prefix="bench_grid_")
+    try:
+        eng = GridEngine(spark, root)
+        # synthesize the CAMS-sized partition distributedly (no driver loop)
+        nlat, nlon = 420, 700
+        base = dt.datetime(2026, 1, 1)
+        grid = (
+            spark.range(nlat * nlon)
+            .select(
+                (F.lit(30.0) + (F.col("id") / nlon).cast("int") * 0.1).alias("lat"),
+                (F.lit(-25.0) + (F.col("id") % nlon) * 0.1).alias("lon"),
+                (F.rand(42) * 50).alias("value"),
+            )
+            .crossJoin(
+                spark.createDataFrame(
+                    [(v, base + dt.timedelta(hours=h)) for v in ("pm10", "pm2p5") for h in range(4)],
+                    ["variable", "timestamp"],
+                )
+            )
+            .select(
+                "variable", "timestamp", "lat", "lon", "value",
+                F.lit("µg/m³").alias("unit"),
+                F.lit("bench-cat").alias("catalog_id"),
+                F.current_timestamp().alias("inserted_at"),
+            )
+        )
+        t0 = time.perf_counter()
+        eng.insert_grid(grid)
+        t_ingest = round(time.perf_counter() - t0, 3)
+
+        svc = EnvironmentalService(
+            eng.grid_data_final(),
+            spark.createDataFrame(
+                [("bench-cat", "run-1", "pm10", "µg/m³", base, base)],
+                ["id", "raw_file_id", "variable", "unit", "timestamp", "created_at"],
+            ),
+            spark.createDataFrame(
+                [("run-1", "ads", "cams", dt.date(2026, 1, 1), "k", base)],
+                ["id", "source", "dataset", "date", "s3_key", "created_at"],
+            ),
+        )
+        req = EnvironmentalRequest(
+            52.52, 13.41, base + dt.timedelta(hours=3, minutes=30), ("pm10", "pm2p5")
+        )
+        t0 = time.perf_counter()
+        rows = svc.get_variables(req)
+        t_lookup = round(time.perf_counter() - t0, 3)
+        assert len(rows) == 2
+        return {"grid_ingest_2.35M": t_ingest, "grid_point_lookup": t_lookup}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
@@ -50,6 +119,8 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings.update(bench_grid(spark))
 
     total = round(sum(timings.values()), 3)
     print(

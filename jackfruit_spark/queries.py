@@ -736,3 +736,452 @@ def q26_ann_lsh_bucketed(spark, sf_dir):
 def q27_doc_fingerprint(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+# ====================== batch 2: relational completeness (q28-q39) =======
+# Beyond the reference's own surface, these exercise the operator classes
+# Spark gives the engine for free (SURVEY §2.6 note: the reference has no
+# set ops / outer joins / windows — the engine still must support them).
+
+
+@register(
+    "q28_filter_sum",
+    oracle=f"""
+SELECT {_sql_int_sum('l_extendedprice * l_discount', 4)} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+""",
+    doc="TPC-H Q6-shaped selective filter + aggregate: every predicate "
+    "reaches the parquet scan (PushedFilters), no shuffle beyond the "
+    "final single-row agg.",
+)
+def q28_filter_sum(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _int_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q29_semi_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+    doc="Left-semi join (EXISTS): customers with at least one urgent order.",
+)
+def q29_semi_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q30_anti_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+    doc="Left-anti join (NOT EXISTS): customers with no urgent orders "
+    "(unfiltered right side would be empty — every customer has orders).",
+)
+def q30_anti_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q31_outer_join_coalesce",
+    oracle=f"""
+SELECT c.c_custkey,
+       COALESCE(agg.n_orders, 0) AS n_orders,
+       COALESCE(agg.total_spent, CAST(0 AS DOUBLE)) AS total_spent
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         {_sql_int_sum('o_totalprice', 2)} AS total_spent
+  FROM orders GROUP BY o_custkey) agg
+ON agg.o_custkey = c.c_custkey
+""",
+    doc="Left-outer join with zero-fill: every customer with order count / "
+    "spend, including order-less customers.",
+)
+def q31_outer_join_coalesce(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _int_sum(F.col("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+    return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+        F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+    )
+
+
+_BUILDING = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_URGENT = "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+
+
+@register(
+    "q32_set_intersect",
+    oracle=f"SELECT c_custkey FROM ({_BUILDING} INTERSECT {_URGENT})",
+    doc="INTERSECT set op (SURVEY §2.6: free from Spark SQL).",
+)
+def q32_set_intersect(spark, sf_dir):
+    b = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    u = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return b.intersect(u)
+
+
+@register(
+    "q33_set_except",
+    oracle=f"SELECT c_custkey FROM ({_BUILDING} EXCEPT {_URGENT})",
+    doc="EXCEPT set op: BUILDING customers with no urgent orders.",
+)
+def q33_set_except(spark, sf_dir):
+    b = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    u = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return b.exceptAll(u).distinct()
+
+
+@register(
+    "q34_set_union",
+    oracle=f"SELECT c_custkey FROM ({_BUILDING} UNION {_URGENT})",
+    doc="UNION (distinct) set op.",
+)
+def q34_set_union(spark, sf_dir):
+    b = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    u = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return b.union(u).distinct()
+
+
+@register(
+    "q35_window_running",
+    oracle=f"""
+{EV_CTE}
+SELECT event_id, user_id, ts,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w AS DOUBLE) / 1000000
+         AS run_sum,
+       lag(value) OVER w AS prev_value
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    doc="Window functions: running sum (integer-scaled for bit-exactness), "
+    "row_number, lag — per user in event-time order.",
+)
+def q35_window_running(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    # rank-family functions (row_number/lag) reject explicit frames in
+    # Spark; only the running sum gets the rowsBetween frame
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_frame = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.row_number().over(w_order).cast("long").alias("rn"),
+        (
+            F.sum(F.round(F.col("value") * F.lit(1000000)).cast("long")).over(w_frame).cast("double")
+            / F.lit(1000000)
+        ).alias("run_sum"),
+        F.lag("value").over(w_order).alias("prev_value"),
+    )
+
+
+@register(
+    "q36_rollup",
+    oracle=f"""
+SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+       {_sql_int_sum('c.c_acctbal', 2)} AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+    doc="ROLLUP hierarchical aggregation over the region/nation dims.",
+)
+def q36_rollup(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _int_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q37_string_funcs",
+    oracle="""
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       MIN(UPPER(p_name)) AS first_name_upper,
+       CAST(MAX(LENGTH(p_name)) AS BIGINT) AS max_name_len,
+       MIN(SUBSTR(p_type, 1, 5)) AS type_prefix
+FROM part GROUP BY p_brand
+""",
+    doc="String scalar functions (upper/length/substr) under aggregation.",
+)
+def q37_string_funcs(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min(F.upper("p_name")).alias("first_name_upper"),
+        F.max(F.length("p_name")).cast("long").alias("max_name_len"),
+        F.min(F.substring("p_type", 1, 5)).alias("type_prefix"),
+    )
+
+
+@register(
+    "q38_date_funcs",
+    oracle=f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+       COUNT(*) AS n_orders,
+       {_sql_int_sum('o_totalprice', 2)} AS total_price
+FROM orders GROUP BY 1, 2
+""",
+    doc="Date/time extraction under aggregation: orders per (year, month).",
+)
+def q38_date_funcs(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _int_sum(F.col("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "q39_topk_per_group",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders) WHERE rn <= 3
+""",
+    doc="Top-k per group (row_number <= k): each customer's 3 largest "
+    "orders — the grouped generalization of the NN top-1 pattern.",
+)
+def q39_topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# =================== batch 2: training-data pipeline ops (q40-q44) =======
+
+
+@register(
+    "q40_embedding_near_dup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+             / (SQRT(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
+                * SQRT(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))),
+             6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+ORDER BY cosine_sim DESC, id_a, id_b LIMIT 20
+""",
+    doc="Embedding-cosine near-duplicate detection: top-20 most-similar "
+    "vector pairs. All-pairs exact at test scale; the LSH-bucketed / IVF "
+    "operators are the 100 TB path (score only same-bucket pairs).",
+)
+def q40_embedding_near_dup(spark, sf_dir):
+    from jackfruit_spark.functions.similarity import dot, norm
+
+    # precompute the double-cast array and the norm ONCE per vector (n
+    # rows), so the O(n^2) pair stage evaluates only the dot product —
+    # same expression shape as the oracle (dot / (sqrt(aa) * sqrt(bb))),
+    # so results stay bit-identical. repartition spreads the O(n^2)
+    # nested-loop join across cores (the source is one parquet partition).
+    ncores = spark.sparkContext.defaultParallelism
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    ).repartition(ncores)
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q41_bpe_tokens",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(regexp_replace(text, '([^\w\s]+)', ' \1 ', 'g')),
+                '\s+')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+    doc="BPE-ish regex pre-tokenizer count (words + punctuation runs as "
+    "separate tokens).",
+)
+def q41_bpe_tokens(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.size(T.bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"))
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@register(
+    "q42_sessionization",
+    oracle=f"""
+{EV_CTE}
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > {SESSION_GAP_US}
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM ev))
+GROUP BY user_id, session_id
+""",
+    doc="Sessionization: 30-min-gap session assignment via lag + running "
+    "sum (single shuffle on user_id; the streaming twin is a "
+    "session-window state op).",
+)
+def q42_sessionization(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_sess = F.when(
+        (us - F.lag(us).over(w) > SESSION_GAP_US) | F.lag("ts").over(w).isNull(), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = ev.select(
+        "user_id", "ts", F.sum(new_sess).over(wsum).cast("long").alias("session_id")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "q43_json_extract",
+    oracle="""
+SELECT CAST(props->>'k' AS BIGINT) AS k, COUNT(*) AS n
+FROM events GROUP BY 1
+""",
+    doc="JSON field extraction from the props column + aggregation.",
+)
+def q43_json_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("long").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q44_exact_median",
+    oracle=f"""
+{EV_CTE}
+SELECT event_type, value AS median_value FROM (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM ev) WHERE rn = (cnt + 1) // 2
+""",
+    doc="Exact per-group median via rank selection (deterministic discrete "
+    "percentile — no interpolation ambiguity between engines).",
+)
+def q44_exact_median(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        .filter(F.col("rn") == ((F.col("cnt") + 1) / 2).cast("long"))
+        .select("event_type", F.col("value").alias("median_value"))
+    )
