@@ -81,7 +81,7 @@ def bench_grid(spark) -> dict[str, float]:
         t_ingest = round(time.perf_counter() - t0, 3)
 
         svc = EnvironmentalService(
-            eng.grid_data_final(),
+            eng.grid_data_raw(),  # fast path: service snaps then dedups
             spark.createDataFrame(
                 [("bench-cat", "run-1", "pm10", "µg/m³", base, base)],
                 ["id", "raw_file_id", "variable", "unit", "timestamp", "created_at"],

@@ -68,22 +68,42 @@ def parse_request(lat, lon, timestamp: str, variables: str) -> EnvironmentalRequ
 
 
 class EnvironmentalService:
-    def __init__(self, grid_final: DataFrame, curated: DataFrame, raw_files: DataFrame):
-        self.grid_final = grid_final
+    """Accepts the grid table in either form (raw append log or the FINAL
+    view): the plan dedups after snapping, and dedup is idempotent, so
+    passing the raw table is both correct and the fast path.
+
+    Scale design: the ClickHouse query dedups with FINAL before the snap;
+    a literal translation would shuffle the whole filtered slice through
+    the dedup window first. Instead: (1) snap = groupBy-max over the raw
+    slice — map-side combinable, no window shuffle; (2) broadcast the
+    per-variable snap timestamps back as a filter, shrinking the slice to
+    one grid per variable; (3) FINAL-dedup only that slice; (4) NN top-1.
+    Same result (a key exists post-dedup iff it exists raw; values are
+    resolved by the dedup in step 3), but the expensive window touches only
+    ~one grid of rows per variable instead of the whole history."""
+
+    def __init__(self, grid: DataFrame, curated: DataFrame, raw_files: DataFrame):
+        self.grid = grid
         self.curated = curated
         self.raw_files = raw_files
 
     def query_plan(self, req: EnvironmentalRequest) -> DataFrame:
         """The full read as one DataFrame (collect() is the caller's)."""
-        g = self.grid_final.filter(
+        from jackfruit_spark.grid import schemas as S
+        from jackfruit_spark.operators.dedup import latest_by_keys
+
+        g = self.grid.filter(
             F.col("variable").isin(list(req.variables))
             & (F.col("timestamp") <= F.lit(req.timestamp))
         )
-        # timestamp snap per variable (finder.go:38-41): window max == the
-        # scalar subquery, batched over all requested variables at once
-        w_snap = Window.partitionBy("variable")
-        snapped = g.withColumn("__max_ts", F.max("timestamp").over(w_snap)).filter(
-            F.col("timestamp") == F.col("__max_ts")
+        # timestamp snap per variable (finder.go:38-41): two-phase hash agg
+        # (partial max on the scan side), then broadcast the tiny result
+        # back as an equality filter
+        snap = g.groupBy("variable").agg(F.max("timestamp").alias("timestamp"))
+        snapped_slice = g.join(F.broadcast(snap), ["variable", "timestamp"])
+        # FINAL dedup on the one-grid-per-variable slice only
+        snapped = latest_by_keys(
+            snapped_slice, S.DEDUP_KEYS, S.VERSION_COL, tie_cols=["catalog_id"]
         )
         # nearest neighbor by squared Euclidean degrees (finder.go:42-49;
         # deliberately not great-circle, docs/layer-3-serving.md:98)
@@ -95,7 +115,7 @@ class EnvironmentalService:
         nn = (
             snapped.withColumn("__rn", F.row_number().over(w_nn))
             .filter(F.col("__rn") == 1)
-            .drop("__rn", "__max_ts")
+            .drop("__rn")
         )
         # lineage join (lineage/finder.go:22-42): tiny dims → broadcast
         lineage = F.broadcast(

@@ -1185,3 +1185,23 @@ def q44_exact_median(spark, sf_dir):
         .filter(F.col("rn") == ((F.col("cnt") + 1) / 2).cast("long"))
         .select("event_type", F.col("value").alias("median_value"))
     )
+
+
+@register(
+    "q45_count_distinct",
+    oracle=f"""
+{EV_CTE}
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM ev GROUP BY event_type
+""",
+    doc="Exact COUNT(DISTINCT) per group — plans as Expand + two-phase "
+    "aggregate in Spark (partial distinct on the map side). The "
+    "approximate HLL variant (approx_count_distinct) is the 100 TB knob; "
+    "exact here because the oracle must hash-match.",
+)
+def q45_count_distinct(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

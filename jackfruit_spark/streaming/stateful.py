@@ -1,0 +1,97 @@
+"""Custom stateful streaming operator: session windows via
+applyInPandasWithState.
+
+The batch sessionization (queries.py q42) assigns sessions with lag +
+running-sum windows; on an unbounded stream that requires custom state:
+per user, keep the open session (start, end, count) and emit it once the
+gap exceeds the timeout. This is the SURVEY-recommended shape for
+operators Spark lacks natively ("applyInPandasWithState for custom
+stateful operators").
+
+State layout per user_id: (session_start_us, last_ts_us, n_events).
+Emission: a row per session per batch — ``closed=True`` once a gap closes
+it, ``closed=False`` for the still-open session (so bounded availableNow
+runs observe complete results). A live deployment would additionally
+register a ProcessingTimeTimeout to flush idle open sessions; that is
+deliberately left out of the minimal state machine (the timeout's extra
+flush batch muddies availableNow semantics).
+
+Ordering contract: events must arrive per-key in event-time order ACROSS
+micro-batches (within a batch the operator sorts). A production pipeline
+puts a watermarked reorder stage upstream, or extends the state with a
+small out-of-order buffer — the state machine here is deliberately the
+minimal gap-close logic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long, closed boolean"
+)
+STATE_SCHEMA = "start_us long, last_us long, n long"
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = None
+        n = 0
+    out_rows = []
+    ts_list: list[int] = []
+    for pdf in pdfs:
+        ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+    for us in sorted(ts_list):
+        if last_us is None:
+            start_us, last_us, n = us, us, 1
+        elif us - last_us > SESSION_GAP_US:
+            out_rows.append((user_id, start_us, last_us, n, True))
+            start_us, last_us, n = us, us, 1
+        else:
+            last_us, n = us, n + 1
+    state.update((start_us, last_us, n))
+    # surface the open session (closed=False) so bounded runs see it
+    if last_us is not None:
+        out_rows.append((user_id, start_us, last_us, n, False))
+    if out_rows:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out_rows],
+                "session_start": pd.to_datetime([r[1] * 1000 for r in out_rows]),
+                "session_end": pd.to_datetime([r[2] * 1000 for r in out_rows]),
+                "n_events": [r[3] for r in out_rows],
+                "closed": [r[4] for r in out_rows],
+            }
+        )
+
+
+def streaming_sessionize(events: DataFrame) -> DataFrame:
+    """events(user_id, ts, ...) stream -> session rows. One state shuffle
+    on user_id; state size is O(active users), not O(events)."""
+    from pyspark.sql import SparkSession
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(SparkSession.getActiveSession() or events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

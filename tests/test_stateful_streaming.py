@@ -1,0 +1,42 @@
+"""applyInPandasWithState session windows: closed sessions emitted on gap,
+open sessions carried in state across micro-batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from jackfruit_spark.streaming.stateful import streaming_sessionize
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    src = str(tmp_path / "events")
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: two sessions separated by a 2h gap
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=5)),
+        (1, t0 + dt.timedelta(hours=2)),
+        # user 2: one session
+        (2, t0 + dt.timedelta(minutes=1)),
+    ]
+    # one source file -> one micro-batch: the operator contract is
+    # event-time-ordered arrival per key (a production deployment pairs it
+    # with watermark-based reordering upstream)
+    spark.createDataFrame(rows, ["user_id", "ts"]).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM sessions").collect()
+    closed = [(r["user_id"], r["session_start"], r["n_events"]) for r in out if r["closed"]]
+    open_ = {(r["user_id"], r["n_events"]) for r in out if not r["closed"]}
+    # user 1's first session (2 events) closed by the 2h gap
+    assert closed == [(1, t0, 2)]
+    # open state: user 1's second session (1 event) and user 2's (1 event)
+    assert open_ == {(1, 1), (2, 1)}
