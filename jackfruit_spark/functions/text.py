@@ -92,11 +92,12 @@ def lang_id(text_col: str) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
-def fingerprint(text_col: str, ngram: int = 8) -> Column:
+def fingerprint_from_tokens(tok_col, ngram: int = 8) -> Column:
     """Document fingerprint: min xxhash64 over word n-grams (a winnowing-
-    style rolling fingerprint; deterministic, order-robust to small edits
-    only at the selected window)."""
-    toks = tokens(text_col)
+    style rolling fingerprint). Takes a MATERIALIZED token-array column —
+    embedding the tokenizer here would re-run the regex split per
+    element_at (see operators/dedup.shingles_from_tokens)."""
+    toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram, F.lit(0))),
         lambda i: F.concat_ws(
@@ -104,3 +105,9 @@ def fingerprint(text_col: str, ngram: int = 8) -> Column:
         ),
     )
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def fingerprint(text_col: str, ngram: int = 8) -> Column:
+    """Convenience single-expression form; prefer projecting ``tokens()``
+    first + ``fingerprint_from_tokens`` in hot paths."""
+    return fingerprint_from_tokens(tokens(text_col), ngram)

@@ -65,10 +65,14 @@ def tokens_expr(text_col: str) -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
-def shingles_expr(text_col: str, k: int = 3) -> Column:
-    """Distinct word k-shingles as an array column (pure column expr —
-    stays in whole-stage codegen, no UDF)."""
-    toks = tokens_expr(text_col)
+def shingles_from_tokens(tok_col, k: int = 3) -> Column:
+    """Distinct word k-shingles from a MATERIALIZED token-array column.
+
+    The token array must be a plain column reference, not the split
+    expression itself: embedding split() in the lambda makes Catalyst
+    re-evaluate the regex split for every element_at (k per shingle), a
+    ~150x blowup measured at sf0.1. Callers project tokens first."""
+    toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
@@ -79,14 +83,62 @@ def shingles_expr(text_col: str, k: int = 3) -> Column:
     )
 
 
+def shingled(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, sh: array<string>) with tokens materialized before shingling."""
+    return df.select(F.col(id_col), tokens_expr(text_col).alias("__toks")).select(
+        F.col(id_col), shingles_from_tokens("__toks", k).alias("sh")
+    )
+
+
+def shingled_exploded(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, sh) one row per k-shingle, built by posexplode + window lead —
+    the hot-path form.
+
+    Why not explode(shingles_from_tokens(...)): CollapseProject re-inlines
+    the tokenizer into the transform lambda and higher-order functions run
+    interpreted (no codegen CSE), so the regex split re-executes for every
+    element_at — measured ~6x slowdown at sf0.1. The lead() formulation
+    tokenizes once per document, carries no giant arrays, and its only cost
+    is one window shuffle on the id — which downstream consumers (groupBy
+    id, join on shingle) were going to pay anyway.
+
+    Matches shingles_from_tokens semantics exactly: full k-grams only,
+    except documents shorter than k tokens yield one partial gram
+    (concat_ws skips the missing tails).
+    """
+    t = df.select(F.col(id_col), F.posexplode(tokens_expr(text_col)).alias("__pos", "__tok"))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    wn = Window.partitionBy(id_col)
+    gram = F.concat_ws(
+        " ", F.col("__tok"), *[F.lead("__tok", j).over(w) for j in range(1, k)]
+    )
+    out = (
+        t.select(
+            F.col(id_col),
+            F.col("__pos"),
+            gram.alias("sh"),
+            F.count(F.lit(1)).over(wn).alias("__n"),
+        )
+        .filter(
+            (F.col("__pos") <= F.col("__n") - k)
+            | ((F.col("__pos") == 0) & (F.col("__n") < k))
+        )
+        .select(F.col(id_col), "sh")
+    )
+    return out.distinct() if distinct else out
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, k: int = 3
 ) -> DataFrame:
     """(id, array<long> signature): explode shingles, one groupBy with
     num_hashes min-aggregates, each over a differently-seeded xxhash64.
     Single shuffle; signature width is a pure CPU knob."""
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles_expr(text_col, k)).alias("shingle")
+    # duplicates within a doc don't affect the min, so skip the distinct
+    exploded = shingled_exploded(df, id_col, text_col, k, distinct=False).withColumnRenamed(
+        "sh", "shingle"
     )
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
@@ -162,13 +214,11 @@ def jaccard_pairs(
     contribute ~0 discrimination and can be dropped before the self-join;
     kept exact here.
     """
-    # shingles_expr is array_distinct'ed, so explode yields distinct
-    # (doc, shingle) postings
     # join key is the 64-bit shingle hash: the shuffle carries 8-byte keys
     # instead of strings (collision odds ~2^-64 per shingle pair — nil)
-    postings = df.select(
-        F.col(id_col).alias("__id"), F.explode(shingles_expr(text_col, k)).alias("__s")
-    ).select("__id", F.xxhash64("__s").alias("sh"))
+    postings = shingled_exploded(df, id_col, text_col, k, distinct=True).select(
+        F.col(id_col).alias("__id"), F.xxhash64("sh").alias("sh")
+    )
     sizes = postings.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     a = postings.select(F.col("__id").alias("id_a"), "sh")
     b = postings.select(F.col("__id").alias("id_b"), "sh")
@@ -204,7 +254,7 @@ def jaccard_for_candidates(
     """Exact Jaccard scored only for given (id_a, id_b) candidate pairs
     (e.g. LSH output): join the shingle arrays in and intersect directly —
     right-sized when candidates << all pairs."""
-    sh = df.select(F.col(id_col), shingles_expr(text_col, k).alias("sh"))
+    sh = shingled(df, id_col, text_col, k)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     paired = candidates.join(a, "id_a").join(b, "id_b")

@@ -1,0 +1,71 @@
+"""Skew-mitigation operators for hot keys at scale.
+
+AQE's skew-join splitting (enabled in session.py) handles most cases at
+runtime; these are the explicit forms for when the skew is known and
+extreme (e.g. one user id owning 10% of 100 TB of events):
+
+- ``salted_agg``: two-phase aggregation — shuffle on (key, salt) first so
+  the hot key's rows spread over ``salt_buckets`` reducers, then combine
+  the partials per key. Works for any algebraic aggregate (sum/count/min/
+  max — expressed as (partial_expr, merge_expr) pairs).
+- ``salted_broadcast_left``: replicate the small side ``salt_buckets``
+  times so a skewed large side can hash-join without one reducer taking
+  the whole hot key (only needed when the small side is too big to
+  broadcast outright).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs`` maps output name -> (partial_fn, merge_fn), each a callable
+    taking a column name and returning an aggregate Column, e.g.::
+
+        salted_agg(ev, ["user_id"], {
+            "n":   (lambda: F.count(F.lit(1)), F.sum),
+            "mx":  (lambda: F.max("value"),    F.max),
+        })
+
+    Phase 1 groups on (keys..., salt) — the hot key fans out over
+    ``salt_buckets`` reducers; phase 2 merges the per-salt partials with a
+    tiny shuffle (|distinct keys| x salt_buckets rows).
+    """
+    keys = list(keys)
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    partials = salted.groupBy(*keys, "__salt").agg(
+        *[partial().alias(f"__p_{name}") for name, (partial, _merge) in aggs.items()]
+    )
+    return partials.groupBy(*keys).agg(
+        *[merge(f"__p_{name}").alias(name) for name, (_partial, merge) in aggs.items()]
+    )
+
+
+def salted_broadcast_left(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Join a skewed big side with a small side by salting: big rows get a
+    random salt, small rows are replicated across all salts, and the join
+    key becomes (key, salt) — the hot key's rows land on ``salt_buckets``
+    reducers instead of one."""
+    big_s = big.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return big_s.join(small_s, [key, "__salt"]).drop("__salt")

@@ -1,0 +1,3 @@
+from jackfruit_spark.plans.explain import plan_string, plan_summary
+
+__all__ = ["plan_string", "plan_summary"]

@@ -1,0 +1,63 @@
+"""Physical-plan inspection utilities.
+
+The engine's performance contract is enforced as plan-shape assertions
+(tests/test_plans.py): filters reach the scan, projections prune columns,
+dim joins broadcast, top-k avoids full sorts. A regression that silently
+turns a broadcast join into a sort-merge join or unpins a pushed filter
+fails CI before it costs anything at scale.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame) -> str:
+    spark = df.sparkSession
+    # plan metadata (PushedFilters/ReadSchema) truncates at 100 chars by
+    # default, which cuts the fields our assertions parse
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+
+
+@dataclass(frozen=True)
+class PlanSummary:
+    broadcast_joins: int
+    sortmerge_joins: int
+    shuffles: int
+    scans: int
+    has_take_ordered: bool
+    pushed_filters: list[str]
+    read_schemas: list[str]
+
+    def scan_columns(self) -> list[list[str]]:
+        out = []
+        for rs in self.read_schemas:
+            out.append(re.findall(r"(\w+):", rs))
+        return out
+
+
+def plan_summary(df: DataFrame) -> PlanSummary:
+    s = plan_string(df)
+    pushed = [
+        m.group(1)
+        for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", s)
+    ]
+    schemas = [m.group(1) for m in re.finditer(r"ReadSchema: struct<([^>]*)>", s)]
+    return PlanSummary(
+        broadcast_joins=s.count("BroadcastHashJoin"),
+        sortmerge_joins=s.count("SortMergeJoin"),
+        shuffles=s.count("Exchange hashpartitioning")
+        + s.count("Exchange rangepartitioning"),
+        scans=s.count("FileScan"),
+        has_take_ordered="TakeOrderedAndProject" in s,
+        pushed_filters=pushed,
+        read_schemas=schemas,
+    )

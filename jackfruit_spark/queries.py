@@ -735,7 +735,9 @@ def q26_ann_lsh_bucketed(spark, sf_dir):
 )
 def q27_doc_fingerprint(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+    return d.select("doc_id", T.tokens("text").alias("__t")).select(
+        "doc_id", T.fingerprint_from_tokens("__t").alias("fingerprint")
+    )
 
 
 # ====================== batch 2: relational completeness (q28-q39) =======
@@ -1204,4 +1206,30 @@ def q45_count_distinct(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q46_supplier_balance",
+    oracle=f"""
+SELECT n.n_name, COUNT(*) AS n_suppliers,
+       {_sql_int_sum('s.s_acctbal', 2)} AS total_balance,
+       MAX(s.s_acctbal) AS max_balance
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    doc="Supplier-nation rollup (broadcast dim join) — covers the last "
+    "unused base table.",
+)
+def q46_supplier_balance(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            _int_sum(F.col("s_acctbal"), 2).alias("total_balance"),
+            F.max("s_acctbal").alias("max_balance"),
+        )
     )

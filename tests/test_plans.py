@@ -1,0 +1,74 @@
+"""Plan-shape regression tests: the engine's performance contract.
+
+A change that silently drops predicate pushdown, widens a scan, or turns a
+broadcast join into a sort-merge join fails here — before it costs
+anything at 100 TB.
+"""
+
+from __future__ import annotations
+
+from jackfruit_spark import queries as Q
+from jackfruit_spark.plans import plan_summary
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q01_pushdown_and_pruning(spark):
+    s = plan_summary(Q.registry()["q01_pricing_summary"].fn(spark, SF))
+    # shipdate filter reaches the parquet scan
+    assert any("l_shipdate" in p for p in s.pushed_filters)
+    # scan reads only the 7 needed columns of 11
+    cols = s.scan_columns()[0]
+    assert len(cols) == 7 and "l_orderkey" not in cols and "l_partkey" not in cols
+    assert s.broadcast_joins == 0 and s.sortmerge_joins == 0
+
+
+def test_q03_star_join_broadcasts(spark):
+    s = plan_summary(Q.registry()["q03_region_revenue"].fn(spark, SF))
+    # all four dim joins broadcast; the fact table never shuffles for a join
+    assert s.broadcast_joins == 4
+    assert s.sortmerge_joins == 0
+    # lineitem scan pruned to the 3 needed columns
+    assert min(len(c) for c in s.scan_columns()) <= 3
+
+
+def test_q02_topk_no_full_sort(spark):
+    s = plan_summary(Q.registry()["q02_top_revenue_orders"].fn(spark, SF))
+    assert s.has_take_ordered  # ORDER BY + LIMIT -> TakeOrderedAndProject
+
+
+def test_q12_bbox_filters_pushed(spark):
+    s = plan_summary(Q.registry()["q12_bbox_filter"].fn(spark, SF))
+    joined = " ".join(s.pushed_filters)
+    assert "value" in joined and "user_id" in joined
+
+
+def test_q22_ann_no_shuffle(spark):
+    # brute-force ANN: scan + project + TakeOrdered, zero shuffles
+    s = plan_summary(Q.registry()["q22_ann_cosine_topk"].fn(spark, SF))
+    assert s.shuffles == 0
+    assert s.has_take_ordered
+
+
+def test_grid_partition_pruning(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.grid.engine import GridEngine
+    from jackfruit_spark.plans import plan_string
+
+    eng = GridEngine(spark, str(tmp_path))
+    cols = ["variable", "timestamp", "lat", "lon", "value", "unit", "catalog_id", "inserted_at"]
+    for day in (1, 2, 3):
+        eng.insert_grid(
+            spark.createDataFrame(
+                [("t", dt.datetime(2026, 1, day), 50.0, 10.0, 1.0, "u", "c",
+                  dt.datetime(2026, 1, day))],
+                cols,
+            )
+        )
+    pruned = eng.grid_data_raw().filter(F.col("date") == "2026-01-02")
+    plan = plan_string(pruned)
+    # partition filter present; only one of three date partitions read
+    assert "PartitionFilters" in plan and "date" in plan

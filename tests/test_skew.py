@@ -1,0 +1,49 @@
+"""Salted aggregation / join correctness vs the direct forms."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jackfruit_spark.operators.skew import salted_agg, salted_broadcast_left
+
+
+def test_salted_agg_matches_direct(spark):
+    # one pathologically hot key
+    rows = [(1, float(i % 97)) for i in range(5000)] + [(k, float(k)) for k in range(2, 40)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    direct = {
+        (r["k"]): (r["n"], r["mx"], r["sm"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("v").alias("mx"),
+             F.sum(F.round(F.col("v") * 100).cast("long")).alias("sm"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["n"], r["mx"], r["sm"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "n": (lambda: F.count(F.lit(1)), F.sum),
+                "mx": (lambda: F.max("v"), F.max),
+                "sm": (lambda: F.sum(F.round(F.col("v") * 100).cast("long")), F.sum),
+            },
+            salt_buckets=8,
+        ).collect()
+    }
+    assert direct == salted
+
+
+def test_salted_join_matches_direct(spark):
+    big = spark.createDataFrame(
+        [(1, i) for i in range(2000)] + [(2, i) for i in range(5)], ["k", "payload"]
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "absent")], ["k", "label"])
+    direct = sorted(
+        (r["k"], r["payload"], r["label"]) for r in big.join(small, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["payload"], r["label"])
+        for r in salted_broadcast_left(big, small, "k", salt_buckets=4).collect()
+    )
+    assert direct == salted and len(direct) == 2005
