@@ -48,9 +48,13 @@ class GridEngine:
         Normalizes to the fixed schema: float32 coords/values, whole-second
         timestamps (init.sql:17 is second-precision DateTime — SURVEY §7.4
         risk 4), then appends sorted-within-partition parquet. Returns
-        written row count (the reference returns written_rows).
+        written row count (the reference returns written_rows) — counted
+        via Observation during the write itself, not a second evaluation
+        of the input plan.
         """
-        n = df.count()
+        from pyspark.sql import Observation
+
+        obs = Observation()
         out = (
             df.select(
                 F.col("variable").cast("string"),
@@ -63,12 +67,13 @@ class GridEngine:
                 F.col("inserted_at").cast("timestamp"),
             )
             .withColumn(S.GRID_DATA_PARTITION_COL, F.to_date("timestamp"))
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
             .sortWithinPartitions("variable", "timestamp", "lat", "lon")
         )
         out.write.mode("append").partitionBy(S.GRID_DATA_PARTITION_COL).parquet(
             self.grid_path
         )
-        return n
+        return obs.get["rows"]
 
     # -------------------------------------------------------------- read
 

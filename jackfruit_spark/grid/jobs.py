@@ -1,0 +1,128 @@
+"""Daily partition jobs + backfill: the reference's orchestration semantics
+(Dagster cron schedules + partitioned assets, defs/schedules.py:16-95,
+partitions.py:10-14) as plain date-parameterized Spark jobs.
+
+One ``run_partition(date)`` = the reference's asset chain
+ingest → transform → optimize for that partition (SURVEY §3.2):
+
+1. locate raw files for (source, dataset, date) via the raw-bucket key
+   convention ``{source}/{dataset}/{YYYY-MM-DD}/{run_id}.grib`` — the
+   lineage handoff reads the catalog, not an orchestrator event store
+   (SURVEY §2 #28);
+2. decode via the registered adapter (distributed binaryFile+mapInPandas);
+3. per-source transform chain → grid_data + curated_data;
+4. compact the day's partition (OPTIMIZE FINAL analog).
+
+``backfill(start, end)`` loops run_partition over a date range (§3.3) —
+safe to re-run: duplicate inserts collapse in the FINAL view and catalog
+upserts converge (idempotency contract, docs/layer-2-transformation.md:
+307-313).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from jackfruit_spark.grid.catalog import Catalog
+from jackfruit_spark.grid.engine import GridEngine
+from jackfruit_spark.grid.pipeline import TransformPipeline, uuid7
+from jackfruit_spark.sources import grib
+
+
+@dataclass
+class SourceConfig:
+    source: str  # adapter registry key + raw bucket prefix
+    dataset: str
+    kind: str  # 'cams' | 'ecmwf' — selects the transform chain
+
+
+class DailyJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        raw_root: str,
+        store_root: str,
+        sources: list[SourceConfig],
+    ):
+        self.spark = spark
+        self.raw_root = raw_root
+        self.engine = GridEngine(spark, store_root)
+        self.catalog = Catalog(spark, os.path.join(store_root, "catalog"))
+        self.pipeline = TransformPipeline(spark, self.engine, self.catalog)
+        self.sources = sources
+
+    def _raw_dir(self, cfg: SourceConfig, day: dt.date) -> str:
+        return os.path.join(self.raw_root, cfg.source, cfg.dataset, f"{day:%Y-%m-%d}")
+
+    def ingest(self, cfg: SourceConfig, day: dt.date, payload: bytes) -> str:
+        """Land one raw file under the key convention and register it in
+        raw_files (idempotent insert). In production the payload comes from
+        the driver-side API client (sources/clients.py); tests pass fake
+        bytes decoded by a synthetic adapter."""
+        run_id = uuid7()
+        d = self._raw_dir(cfg, day)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{run_id}.grib")
+        with open(path, "wb") as f:
+            f.write(payload)
+        rows = self.spark.createDataFrame(
+            [
+                (
+                    run_id,
+                    cfg.source,
+                    cfg.dataset,
+                    day,
+                    f"{cfg.source}/{cfg.dataset}/{day:%Y-%m-%d}/{run_id}.grib",
+                    dt.datetime.now(),
+                )
+            ],
+            ["id", "source", "dataset", "date", "s3_key", "created_at"],
+        )
+        self.catalog.insert_raw_file(rows)
+        return run_id
+
+    def run_partition(self, day: dt.date) -> dict[str, int]:
+        """transform + optimize for every source with raw data on ``day``.
+        Missing upstream raw data for a source -> hard failure, matching
+        the reference (assets.py:170-191 missing upstream => Failure)."""
+        written: dict[str, int] = {}
+        for cfg in self.sources:
+            raw_dir = self._raw_dir(cfg, day)
+            if not os.path.isdir(raw_dir) or not os.listdir(raw_dir):
+                raise FileNotFoundError(
+                    f"no raw data for {cfg.source}/{cfg.dataset} on {day:%Y-%m-%d}"
+                )
+            run_ids = {
+                f: f.rsplit("/", 1)[-1].removesuffix(".grib")
+                for f in os.listdir(raw_dir)
+            }
+            messages = grib.scan_grib(
+                self.spark,
+                raw_dir,
+                cfg.source,
+                run_id_from_path=lambda p: p.rsplit("/", 1)[-1].removesuffix(".grib"),
+            )
+            # one transform per raw file keeps catalog lineage per run
+            for run_id in run_ids.values():
+                msgs = messages.filter(messages.run_id == run_id)
+                if cfg.kind == "cams":
+                    n = self.pipeline.transform_cams(msgs, raw_file_id=run_id)
+                else:
+                    n = self.pipeline.transform_ecmwf(msgs, raw_file_id=run_id)
+                written[f"{cfg.source}:{run_id}"] = n
+        self.engine.compact(f"{day:%Y-%m-%d}")
+        return written
+
+    def backfill(self, start: dt.date, end: dt.date) -> dict[str, dict[str, int]]:
+        """Materialize a date range (docs/layer-2-transformation.md:277-286)
+        — identical code path per day, idempotent by construction."""
+        out = {}
+        day = start
+        while day <= end:
+            out[f"{day:%Y-%m-%d}"] = self.run_partition(day)
+            day += dt.timedelta(days=1)
+        return out

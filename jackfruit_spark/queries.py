@@ -709,20 +709,51 @@ def q25_simhash(spark, sf_dir):
     return simhash(d, "doc_id", "text")
 
 
-@register(
-    "q26_ann_lsh_bucketed",
-    oracle=None,
-    doc="Random-hyperplane-bucketed ANN (the 100 TB path: probe one bucket "
-    "instead of all vectors); pytest checks recall vs q22's exact top-k.",
-)
-def q26_ann_lsh_bucketed(spark, sf_dir):
-    qv = _query_vector(spark, sf_dir, 0)
-    dim = len(qv)
-    # deterministic pseudo-random hyperplanes (fixed seed constants)
+def _q26_planes(dim: int = 64, n: int = 4) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed seed), shared between
+    the Spark query and the generated oracle SQL."""
     import random
 
     rng = random.Random(42)
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n)]
+
+
+def _q26_oracle() -> str:
+    planes = _q26_planes()
+    values = ", ".join(
+        f"({1 << i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    dot_vp = "list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * p[i]))"
+    dot_qp = "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * p[i]))"
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+     planes(bit, p) AS (VALUES {values}),
+     qb AS (SELECT CAST(SUM(CASE WHEN {dot_qp} >= 0 THEN bit ELSE 0 END) AS INTEGER) AS b
+            FROM q, planes),
+     eb AS (SELECT vec_id, any_value(v) AS v,
+                   CAST(SUM(CASE WHEN {dot_vp} >= 0 THEN bit ELSE 0 END) AS INTEGER) AS b
+            FROM e, planes GROUP BY vec_id)
+SELECT vec_id,
+       ROUND({_SQL_DOT_VQ} / (SQRT({_SQL_DOT_VV}) * SQRT({_SQL_DOT_QQ})), 6) AS cosine_sim
+FROM eb, q, qb
+WHERE eb.b = qb.b
+ORDER BY cosine_sim DESC, vec_id LIMIT 10
+"""
+
+
+@register(
+    "q26_ann_lsh_bucketed",
+    oracle=_q26_oracle(),
+    doc="Random-hyperplane-bucketed ANN (the 100 TB path: probe one bucket "
+    "instead of all vectors). The bucket assignment (sign bits of "
+    "hyperplane dots) is replicated in the oracle with the same plane "
+    "literals; pytest additionally checks recall vs q22's exact top-k.",
+)
+def q26_ann_lsh_bucketed(spark, sf_dir):
+    qv = _query_vector(spark, sf_dir, 0)
+    planes = _q26_planes(dim=len(qv))
     e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return ann_lsh(e, "vec_id", "embedding", qv, planes, k=10)
 

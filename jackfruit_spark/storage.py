@@ -1,0 +1,44 @@
+"""Bucketed-table storage strategy: pre-shuffle once, join forever free.
+
+At 100 TB, repeated equi-joins on the same key (fact-to-fact joins,
+lineitem⋈orders-style) should not re-shuffle both sides every query.
+Hive-style bucketing persists the hash partitioning in the table layout:
+``bucketBy(n, key)`` + ``sortBy(key)`` writes each bucket pre-hashed and
+pre-sorted, so a join of two co-bucketed tables plans as a sort-merge join
+with ZERO Exchange on either side (asserted in tests/test_plans.py).
+
+This is the Spark analog of the reference's ClickHouse ``ORDER BY`` sparse
+index + co-located MergeTree parts (SURVEY §4): organize storage so the
+engine's physical plan skips the expensive step entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed managed table (overwrite)."""
+    keys = list(keys)
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
+
+
+def co_bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, keys: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """Join two co-bucketed tables; with matching bucket specs the plan
+    contains no Exchange (verified by plan tests)."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, list(keys), how)

@@ -1,0 +1,60 @@
+"""Daily job + backfill orchestration over the synthetic GRIB adapter."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.grid.jobs import DailyJob, SourceConfig
+from jackfruit_spark.sources import grib
+
+
+@pytest.fixture()
+def job(spark, tmp_path):
+    grib.register_adapter(
+        "synth-daily",
+        grib.SyntheticAdapter(
+            variables=("pm10", "pm2p5"),
+            shape=(5, 8),
+            timestamps=("2026-02-01T00:00:00", "2026-02-01T01:00:00"),
+        ),
+    )
+    return DailyJob(
+        spark,
+        raw_root=str(tmp_path / "raw"),
+        store_root=str(tmp_path / "store"),
+        sources=[SourceConfig("synth-daily", "test-ds", "cams")],
+    )
+
+
+def test_run_partition_end_to_end(spark, job):
+    day = dt.date(2026, 2, 1)
+    run_id = job.ingest(job.sources[0], day, b"GRIB-fake-1")
+    written = job.run_partition(day)
+    # 2 vars x 2 ts x 40 points
+    assert written == {f"synth-daily:{run_id}": 160}
+    final = job.engine.grid_data_final()
+    assert final.count() == 160
+    # lineage chain: grid -> curated -> raw file
+    cid = final.select("catalog_id").first()[0]
+    lin = job.catalog.lineage_for(cid)
+    assert lin == {"source": "synth-daily", "dataset": "test-ds", "raw_file_id": run_id}
+
+
+def test_missing_upstream_fails_hard(job):
+    with pytest.raises(FileNotFoundError):
+        job.run_partition(dt.date(2026, 2, 2))
+
+
+def test_backfill_idempotent(spark, job):
+    day = dt.date(2026, 2, 1)
+    job.ingest(job.sources[0], day, b"GRIB-fake-1")
+    job.backfill(day, day)
+    n1 = job.engine.grid_data_final().count()
+    raw1 = job.engine.grid_data_raw().count()
+    job.backfill(day, day)  # re-run the same partition
+    assert job.engine.grid_data_final().count() == n1
+    # compaction inside run_partition keeps the raw table bounded too
+    assert job.engine.grid_data_raw().count() == raw1

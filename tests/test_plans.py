@@ -72,3 +72,26 @@ def test_grid_partition_pruning(spark, tmp_path):
     plan = plan_string(pruned)
     # partition filter present; only one of three date partitions read
     assert "PartitionFilters" in plan and "date" in plan
+
+
+def test_co_bucketed_join_no_shuffle(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.plans import plan_summary
+    from jackfruit_spark.storage import co_bucketed_join, write_bucketed
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], buckets=8)
+    write_bucketed(o, "b_orders", ["l_orderkey"], buckets=8)
+    try:
+        joined = co_bucketed_join(spark, "b_lineitem", "b_orders", ["l_orderkey"])
+        s = plan_summary(joined)
+        # co-bucketed layout: the join needs NO exchange on either side
+        assert s.shuffles == 0, f"expected shuffle-free co-bucketed join, got {s}"
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
