@@ -1264,3 +1264,67 @@ def q46_supplier_balance(spark, sf_dir):
             F.max("s_acctbal").alias("max_balance"),
         )
     )
+
+
+@register(
+    "q47_small_quantity_revenue",
+    oracle=f"""
+SELECT {_sql_int_sum('l.l_extendedprice', 2)} / 7 AS avg_yearly, COUNT(*) AS n_rows
+FROM lineitem l
+JOIN (SELECT l_partkey, 0.2 * (SUM(l_quantity) / COUNT(*)) AS threshold
+      FROM lineitem GROUP BY l_partkey) t
+ON t.l_partkey = l.l_partkey
+WHERE l.l_quantity < t.threshold
+""",
+    doc="TPC-H Q17-shaped correlated aggregate: per-part average threshold "
+    "joined back (broadcast) — the decorrelated form of a correlated "
+    "scalar subquery.",
+)
+def q47_small_quantity_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    # quantity is integral so SUM/COUNT is exact; 0.2*avg matches the
+    # oracle bit-for-bit
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count(F.lit(1)))).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (_int_sum(F.col("l_extendedprice"), 2) / F.lit(7)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q48_quality_filter",
+    oracle=r"""
+SELECT doc_id, lang,
+  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+  ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS stopword_ratio
+FROM documents
+WHERE len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 200
+  AND ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) >= 0.02
+""",
+    doc="Quality-based document filtering: keep docs in a token-length band "
+    "with a minimum stopword ratio — the filter form of the q18 features "
+    "(what a training-data pipeline actually runs before dedup).",
+)
+def q48_quality_filter(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    stop_ratio = F.round(
+        T.stopword_count("text", T.LANG_STOPWORDS["en"]).cast("double")
+        / n_tokens.cast("double"),
+        6,
+    )
+    return (
+        d.select("doc_id", "lang", n_tokens.alias("n_tokens"), stop_ratio.alias("stopword_ratio"))
+        .filter(F.col("n_tokens").between(20, 200) & (F.col("stopword_ratio") >= 0.02))
+    )

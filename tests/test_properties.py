@@ -1,0 +1,86 @@
+"""Property-based tests: operators vs brute-force Python references on
+randomized inputs (hypothesis). The reference repo has no property tests
+(SURVEY §5 notes the gap); these harden the semantics the oracle queries
+exercise only on fixed data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from jackfruit_spark.operators.asof import asof_join, snap_latest
+from jackfruit_spark.operators.dedup import latest_by_keys
+
+TS0 = dt.datetime(2026, 1, 1)
+
+
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # key
+        st.integers(min_value=0, max_value=1000),       # ts offset seconds
+        st.integers(min_value=0, max_value=10**6),      # unique-ish id
+    ),
+    min_size=0,
+    max_size=40,
+    unique_by=lambda t: t[2],
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=events)
+@settings(**_SETTINGS)
+def test_latest_by_keys_matches_bruteforce(spark, rows):
+    if not rows:
+        return
+    data = [(k, TS0 + dt.timedelta(seconds=s), i) for k, s, i in rows]
+    df = spark.createDataFrame(data, ["k", "ts", "id"])
+    got = {(r["k"], r["ts"], r["id"]) for r in latest_by_keys(df, ["k"], "ts", tie_cols=["id"]).collect()}
+    expect = {}
+    for k, ts, i in data:
+        cur = expect.get(k)
+        if cur is None or (ts, i) > (cur[1], cur[2]):
+            expect[k] = (k, ts, i)
+    assert got == set(expect.values())
+
+
+@given(rows=events, cutoff=st.integers(min_value=0, max_value=1000))
+@settings(**_SETTINGS)
+def test_snap_latest_matches_bruteforce(spark, rows, cutoff):
+    if not rows:
+        return
+    data = [(k, TS0 + dt.timedelta(seconds=s), i) for k, s, i in rows]
+    cut = TS0 + dt.timedelta(seconds=cutoff)
+    df = spark.createDataFrame(data, ["k", "ts", "id"])
+    got = {(r["k"], r["ts"], r["id"]) for r in snap_latest(df, ["k"], "ts", cut, tie_cols=["id"]).collect()}
+    expect = {}
+    for k, ts, i in data:
+        if ts > cut:
+            continue
+        cur = expect.get(k)
+        if cur is None or (ts, i) > (cur[1], cur[2]):
+            expect[k] = (k, ts, i)
+    assert got == set(expect.values())
+
+
+@given(left=events, right=events)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    if not left:
+        return
+    ldata = [(k, TS0 + dt.timedelta(seconds=s), i) for k, s, i in left]
+    rdata = [(k, TS0 + dt.timedelta(seconds=s), i) for k, s, i in right]
+    ldf = spark.createDataFrame(ldata, ["k", "ts", "id"])
+    rdf = spark.createDataFrame(rdata or [(99, TS0, -1)], ["k", "ts", "id"])
+    out = asof_join(ldf, rdf, ["k"], "ts", "ts", ["ts"], prefix="r_")
+    got = {(r["id"]): r["r_ts"] for r in out.collect()}
+    for lk, lts, lid in ldata:
+        cands = [rts for rk, rts, _ in (rdata or [(99, TS0, -1)]) if rk == lk and rts <= lts]
+        expect = max(cands) if cands else None
+        assert got[lid] == expect, (lid, got[lid], expect)

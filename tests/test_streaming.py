@@ -82,3 +82,27 @@ def test_windowed_event_stats_with_watermark(spark, tmp_path):
     }
     assert res[dt.datetime(2026, 1, 1, 10)] == (2, 3.0)
     assert res[dt.datetime(2026, 1, 1, 11)] == (1, 4.0)
+
+
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    # streaming twin of the FINAL dedup: dropDuplicates on the key within
+    # the watermark horizon — duplicate ingests collapse exactly once
+    src = str(tmp_path / "dup_events")
+    rows = [
+        (1, dt.datetime(2026, 1, 1, 10, 0), 1.0),
+        (1, dt.datetime(2026, 1, 1, 10, 0), 1.0),   # duplicate id
+        (2, dt.datetime(2026, 1, 1, 10, 1), 2.0),
+    ]
+    spark.createDataFrame(rows, ["event_id", "ts", "value"]).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("event_id long, ts timestamp, value double").parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    assert sorted(r["event_id"] for r in out) == [1, 2]
