@@ -1328,3 +1328,46 @@ def q48_quality_filter(spark, sf_dir):
         d.select("doc_id", "lang", n_tokens.alias("n_tokens"), stop_ratio.alias("stopword_ratio"))
         .filter(F.col("n_tokens").between(20, 200) & (F.col("stopword_ratio") >= 0.02))
     )
+
+
+def _q49_centroids(dim: int = 64, n: int = 4) -> list[list[float]]:
+    import random
+
+    # sigma 0.125 puts centroid norms (~1) at the embeddings' scale —
+    # unit-variance centroids sit so far out that every vector would pick
+    # the smallest-norm centroid (degenerate single-cell assignment)
+    rng = random.Random(7)
+    return [[rng.gauss(0, 0.125) for _ in range(dim)] for _ in range(n)]
+
+
+def _q49_oracle() -> str:
+    cents = _q49_centroids()
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    d = "list_sum(list_transform(range(1, len(v) + 1), i -> (v[i] - c[i]) * (v[i] - c[i])))"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     cents(cell, c) AS (VALUES {values}),
+     dists AS (SELECT vec_id, cell, {d} AS dist FROM e, cents),
+     assigned AS (
+       SELECT vec_id, cell FROM (
+         SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         FROM dists) WHERE rn = 1)
+SELECT CAST(cell AS INTEGER) AS ivf_cell, COUNT(*) AS n_vectors
+FROM assigned GROUP BY cell
+"""
+
+
+@register(
+    "q49_ivf_cells",
+    oracle=_q49_oracle(),
+    doc="IVF coarse quantization: assign each embedding to its nearest of "
+    "4 fixed centroids (argmin over squared L2), count per cell. The "
+    "centroid literals are shared with the generated oracle; ties break "
+    "to the lowest cell id on both sides.",
+)
+def q49_ivf_cells(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(e, "embedding", _q49_centroids())
+    return assigned.groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("n_vectors"))

@@ -1,0 +1,38 @@
+"""Stream-stream joins: the unbounded form of the as-of lookup.
+
+Spark's stream-stream inner join with watermarks + an event-time interval
+condition bounds both join states: each side buffers only rows inside the
+watermark horizon, so state is O(rate x horizon), not O(stream).
+
+``stream_interval_join`` pairs each left event with right events in the
+trailing interval — the streaming analog of operators/asof.asof_join
+(exact as-of top-1 on streams additionally needs a per-key max aggregation
+downstream, or the applyInPandasWithState machine in stateful.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Inner join: right events within (left.ts - max_lag, left.ts],
+    per key. Both sides watermarked so the join state expires."""
+    l_ = left.withWatermark(left_ts, watermark).alias("l")
+    r_ = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts <= lts)
+        & (rts > lts - F.expr(f"INTERVAL {max_lag}"))
+    )
+    return l_.join(r_, cond, "inner")

@@ -136,3 +136,24 @@ def test_parse_request_valid():
 def test_parse_request_invalid(lat, lon, ts, vars_):
     with pytest.raises(RequestValidationError):
         parse_request(lat, lon, ts, vars_)
+
+
+def test_nearest_neighbor_cells_matches_full(spark, tmp_path):
+    # the cell-bucketed NN pre-filter returns the same winner as the full
+    # scan when the true NN lies in the 3x3 neighborhood (always, for
+    # cell_deg >= max point spacing)
+    import datetime as dt_
+
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.operators.nn import nearest_neighbor_cells, nearest_neighbor_top1
+
+    pts = [
+        ("t", T0, 30.0 + i * 0.5, -10.0 + j * 0.5, float(i * 100 + j), "u", "c", IA)
+        for i in range(20)
+        for j in range(20)
+    ]
+    df = spark.createDataFrame(pts, COLS)
+    full = nearest_neighbor_top1(df, [], "lat", "lon", 34.72, -6.28, tie_cols=["value"]).collect()[0]
+    cells = nearest_neighbor_cells(df, "lat", "lon", 34.72, -6.28, cell_deg=1.0, tie_cols=["value"]).collect()[0]
+    assert (full["lat"], full["lon"], full["value"]) == (cells["lat"], cells["lon"], cells["value"])

@@ -106,3 +106,33 @@ def test_streaming_dedup_with_watermark(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT event_id FROM dedup_stream").collect()
     assert sorted(r["event_id"] for r in out) == [1, 2]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from jackfruit_spark.streaming.joins import stream_interval_join
+
+    lsrc, rsrc = str(tmp_path / "purch"), str(tmp_path / "clicks")
+    t0 = dt.datetime(2026, 1, 1, 10, 0)
+    purchases = [(1, t0 + dt.timedelta(minutes=30), 100)]
+    clicks = [
+        (1, t0 + dt.timedelta(minutes=20), 7),   # within the 1h lag window
+        (1, t0 + dt.timedelta(minutes=40), 8),   # after the purchase -> excluded
+        (2, t0 + dt.timedelta(minutes=25), 9),   # other user -> excluded
+    ]
+    spark.createDataFrame(purchases, ["user_id", "ts", "amount"]).coalesce(1).write.parquet(lsrc)
+    spark.createDataFrame(clicks, ["user_id", "ts", "click_id"]).coalesce(1).write.parquet(rsrc)
+    l = spark.readStream.schema("user_id long, ts timestamp, amount long").parquet(lsrc)
+    r = spark.readStream.schema("user_id long, ts timestamp, click_id long").parquet(rsrc)
+    joined = stream_interval_join(l, r, "user_id", max_lag="1 hour").select(
+        "l.user_id", F.col("l.ts").alias("purchase_ts"), "r.click_id"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = [(r["user_id"], r["click_id"]) for r in spark.sql("SELECT * FROM ssj").collect()]
+    assert out == [(1, 7)]
