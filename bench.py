@@ -33,7 +33,10 @@ BENCH_QUERIES = [
     "q24_minhash_lsh_pairs",
     "q40_embedding_near_dup",
     "q42_sessionization",
+    "q47_small_quantity_revenue",
 ]
+
+REPEATS = 2  # report min-of-N: measures capability, suppresses GC/JIT noise
 
 
 def bench_grid(spark) -> dict[str, float]:
@@ -115,10 +118,13 @@ def main() -> None:
     reg = Q.registry()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        df = reg[name].fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(REPEATS):
+            df = reg[name].fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     timings.update(bench_grid(spark))
 

@@ -1371,3 +1371,55 @@ def q49_ivf_cells(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     assigned = ivf_assign(e, "embedding", _q49_centroids())
     return assigned.groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@register(
+    "q50_approx_stats",
+    oracle=None,
+    doc="Approximate aggregates — the 100 TB knobs: HLL++ distinct counts "
+    "and quantile sketches per event_type. No oracle (DuckDB's sketches "
+    "differ algorithmically); pytest bounds them against exact values.",
+)
+def q50_approx_stats(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+    )
+
+
+@register(
+    "q51_salted_agg",
+    oracle=f"""
+{EV_CTE}
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value,
+       {_sql_int_sum('value', 6)} AS sum_value
+FROM ev GROUP BY user_id
+""",
+    doc="Skew-resilient salted aggregation (operators/skew.salted_agg): "
+    "two-phase (key, salt) -> key combine. The oracle is the plain GROUP "
+    "BY — salting must be invisible in the result.",
+)
+def q51_salted_agg(spark, sf_dir):
+    from jackfruit_spark.operators.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "n_events": (lambda: F.count(F.lit(1)), F.sum),
+            "max_value": (lambda: F.max("value"), F.max),
+            "sum_scaled": (
+                lambda: F.sum(F.round(F.col("value") * F.lit(1000000)).cast("long")),
+                F.sum,
+            ),
+        },
+        salt_buckets=8,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        "max_value",
+        (F.col("sum_scaled").cast("double") / F.lit(1000000)).alias("sum_value"),
+    )

@@ -47,3 +47,22 @@ def test_salted_join_matches_direct(spark):
         for r in salted_broadcast_left(big, small, "k", salt_buckets=4).collect()
     )
     assert direct == salted and len(direct) == 2005
+
+
+def test_approx_stats_bounds(spark):
+    # q50's sketches vs exact values at sf0.001 (sanity bound, not oracle)
+    from jackfruit_spark import queries as Q
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r["event_type"]: r for r in Q.registry()["q50_approx_stats"].fn(spark, sf).collect()}
+    ev = Q.load(spark, sf, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"), F.expr("percentile(value, 0.5)").alias("med"))
+        .collect()
+    }
+    for et, a in approx.items():
+        assert abs(a["approx_users"] - exact[et]["n"]) <= max(2, 0.05 * exact[et]["n"])
+        assert abs(a["value_quantiles"][0] - exact[et]["med"]) <= 0.1 * max(1.0, exact[et]["med"])
