@@ -97,10 +97,12 @@ def bench_grid(spark) -> dict[str, float]:
         req = EnvironmentalRequest(
             52.52, 13.41, base + dt.timedelta(hours=3, minutes=30), ("pm10", "pm2p5")
         )
-        t0 = time.perf_counter()
-        rows = svc.get_variables(req)
-        t_lookup = round(time.perf_counter() - t0, 3)
-        assert len(rows) == 2
+        t_lookup = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            rows = svc.get_variables(req)
+            t_lookup = min(t_lookup, round(time.perf_counter() - t0, 3))
+            assert len(rows) == 2
         return {"grid_ingest_2.35M": t_ingest, "grid_point_lookup": t_lookup}
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -101,22 +101,25 @@ class EnvironmentalService:
         # back as an equality filter
         snap = g.groupBy("variable").agg(F.max("timestamp").alias("timestamp"))
         snapped_slice = g.join(F.broadcast(snap), ["variable", "timestamp"])
-        # FINAL dedup on the one-grid-per-variable slice only
-        snapped = latest_by_keys(
-            snapped_slice, S.DEDUP_KEYS, S.VERSION_COL, tie_cols=["catalog_id"]
-        )
         # nearest neighbor by squared Euclidean degrees (finder.go:42-49;
-        # deliberately not great-circle, docs/layer-3-serving.md:98)
+        # deliberately not great-circle, docs/layer-3-serving.md:98).
+        # The winning point is dedup-invariant (duplicate versions share
+        # lat/lon), so pick the point FIRST with a partial-aggregatable
+        # MIN over (dist, lat, lon) — map-side combinable, no window
+        # shuffle of the slice — and only then FINAL-dedup the handful of
+        # version rows at that point.
         dlat = F.col("lat") - F.lit(req.lat)
         dlon = F.col("lon") - F.lit(req.lon)
-        w_nn = Window.partitionBy("variable").orderBy(
-            (dlat * dlat + dlon * dlon).asc(), F.col("lat").asc(), F.col("lon").asc()
+        dist = (dlat * dlat + dlon * dlon).alias("d")
+        nn_key = snapped_slice.groupBy("variable").agg(
+            F.min(F.struct(dist, F.col("lat"), F.col("lon"))).alias("k")
         )
-        nn = (
-            snapped.withColumn("__rn", F.row_number().over(w_nn))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+        nn_rows = (
+            snapped_slice.join(F.broadcast(nn_key), "variable")
+            .filter((F.col("lat") == F.col("k.lat")) & (F.col("lon") == F.col("k.lon")))
+            .drop("k")
         )
+        nn = latest_by_keys(nn_rows, S.DEDUP_KEYS, S.VERSION_COL, tie_cols=["catalog_id"])
         # lineage join (lineage/finder.go:22-42): tiny dims → broadcast
         lineage = F.broadcast(
             self.curated.alias("cd")

@@ -1,0 +1,54 @@
+"""Range (interval) join: pair left rows with right rows whose timestamp
+falls in [left.ts + lower, left.ts + upper], per key.
+
+The naive formulation ``l JOIN r ON key AND r.ts BETWEEN ...`` plans as a
+join on key alone with a post-filter — one reducer per key value sees the
+full cross product (quadratic per key). The scalable form bins time into
+windows of width (upper - lower): a right row can only match left rows
+whose interval overlaps its bin, so joining on (key, bin) with the left
+side emitting its interval's bins turns the range join into a small
+constant number of EQUI-join probes per row, then an exact filter.
+
+Shuffle cost: |left| x (#bins per interval, usually 2) + |right| rows,
+hashed on (key, bin) — linear, skew-bounded by bin width.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join-on-bins implementation. ``lower_us``/``upper_us`` bound
+    ``right.ts - left.ts`` in microseconds (inclusive). Column names must
+    be disjoint apart from ``keys``."""
+    if upper_us < lower_us:
+        raise ValueError("upper_us must be >= lower_us")
+    width = max(upper_us - lower_us, 1)
+    keys = list(keys)
+
+    lus = F.unix_micros(F.col(left_ts))
+    rus = F.unix_micros(F.col(right_ts))
+
+    lo_bin = F.floor((lus + F.lit(lower_us)) / F.lit(width))
+    hi_bin = F.floor((lus + F.lit(upper_us)) / F.lit(width))
+    l_binned = left.withColumn(
+        "__bin", F.explode(F.sequence(lo_bin, hi_bin))
+    )
+    r_binned = right.withColumn("__bin", F.floor(rus / F.lit(width)))
+
+    joined = l_binned.join(r_binned, keys + ["__bin"], how).drop("__bin")
+    diff = F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts))
+    return joined.filter((diff >= lower_us) & (diff <= upper_us))

@@ -1423,3 +1423,40 @@ def q51_salted_agg(spark, sf_dir):
         "max_value",
         (F.col("sum_scaled").cast("double") / F.lit(1000000)).alias("sum_value"),
     )
+
+
+RANGE_JOIN_WINDOW_US = 5 * 60 * 1_000_000  # views within 5 min after a click
+
+
+@register(
+    "q52_range_join",
+    oracle=f"""
+{EV_CTE}
+SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+       c.ts AS click_ts, v.ts AS view_ts
+FROM ev c JOIN ev v
+  ON v.user_id = c.user_id
+ AND epoch_us(v.ts) - epoch_us(c.ts) BETWEEN 0 AND {RANGE_JOIN_WINDOW_US}
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+""",
+    doc="Range (interval) join: views within 5 minutes after each click, "
+    "per user — implemented as an equi-join on (user, time-bin) + exact "
+    "filter (operators/range_join.py), not a quadratic per-key "
+    "cross-product.",
+)
+def q52_range_join(spark, sf_dir):
+    from jackfruit_spark.operators.range_join import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    out = interval_join(
+        clicks, views, ["user_id"], "click_ts", "view_ts", 0, RANGE_JOIN_WINDOW_US
+    )
+    return out.select("click_id", "view_id", "user_id", "click_ts", "view_ts")

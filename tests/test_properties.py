@@ -84,3 +84,28 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         cands = [rts for rk, rts, _ in (rdata or [(99, TS0, -1)]) if rk == lk and rts <= lts]
         expect = max(cands) if cands else None
         assert got[lid] == expect, (lid, got[lid], expect)
+
+
+@given(left=events, right=events, window=st.integers(min_value=1, max_value=600))
+@settings(**_SETTINGS)
+def test_interval_join_matches_bruteforce(spark, left, right, window):
+    from jackfruit_spark.operators.range_join import interval_join
+
+    if not left or not right:
+        return
+    ldata = [(k, TS0 + dt.timedelta(seconds=s), i) for k, s, i in left]
+    rdata = [(k, TS0 + dt.timedelta(seconds=s), i + 10**7) for k, s, i in right]
+    ldf = spark.createDataFrame(ldata, ["k", "lts", "lid"])
+    rdf = spark.createDataFrame(rdata, ["k", "rts", "rid"])
+    win_us = window * 1_000_000
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(ldf, rdf, ["k"], "lts", "rts", 0, win_us).collect()
+    }
+    expect = {
+        (li, ri)
+        for lk, lt, li in ldata
+        for rk, rt, ri in rdata
+        if lk == rk and 0 <= (rt - lt).total_seconds() * 1e6 <= win_us
+    }
+    assert got == expect
