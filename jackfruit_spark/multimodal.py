@@ -111,3 +111,106 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+AUDIO_FEATURES = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sha256", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("rms_energy", StringType(), True),  # stub: textual marker
+        StructField("est_duration_ms", IntegerType(), True),
+    ]
+)
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    """STUB: real impl would use soundfile/librosa (absent here). fake=True
+    returns a deterministic pseudo-waveform from the payload hash."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs not available in this container; pass fake=True "
+            "for the deterministic test kernel"
+        )
+    h = hashlib.sha256(payload).digest()
+    rng = np.random.default_rng(int.from_bytes(h[8:16], "big"))
+    return rng.normal(size=1600).astype("float32")  # 0.1 s at 16 kHz
+
+
+def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas audio feature stage: hash/size real, decode-dependent
+    RMS energy via the (stubbed) kernel."""
+    from pyspark.sql import SparkSession
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(SparkSession.getActiveSession() or df.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "sha256": pdf["payload"].map(lambda b: hashlib.sha256(b).hexdigest()),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+            }
+            rms, durs = [], []
+            for b, dur in zip(pdf["payload"], pdf["duration_ms"]):
+                try:
+                    wave = decode_audio(bytes(b), fake=fake)
+                    rms.append(f"{float(np.sqrt((wave ** 2).mean())):.6f}")
+                    durs.append(int(dur) if pd.notna(dur) else len(wave) // 16)
+                except NotImplementedError:
+                    rms.append(None)
+                    durs.append(int(dur) if pd.notna(dur) else None)
+            out["rms_energy"] = rms
+            out["est_duration_ms"] = pd.array(durs, dtype="Int32")
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("modality") == "audio")
+        .select("media_id", "payload", "duration_ms")
+        .mapInPandas(extract, schema=AUDIO_FEATURES)
+    )
+
+
+RESIZED = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("out_width", IntegerType(), False),
+        StructField("out_height", IntegerType(), False),
+        StructField("pixels", BinaryType(), True),  # raw RGB bytes (stub kernel)
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 4, height: int = 4, fake: bool = True) -> DataFrame:
+    """mapInPandas resize stage: decode (stubbed) -> nearest-neighbor
+    downsample -> raw RGB bytes out. The Spark-side contract (schema,
+    batching, output sizing) is real; the decode kernel is the fake."""
+    from pyspark.sql import SparkSession
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(SparkSession.getActiveSession() or df.sparkSession)
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "out_width": [], "out_height": [], "pixels": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(mid)
+                rows["out_width"].append(width)
+                rows["out_height"].append(height)
+                try:
+                    img = decode_image(bytes(b), fake=fake)
+                    yi = np.linspace(0, img.shape[0] - 1, height).astype(int)
+                    xi = np.linspace(0, img.shape[1] - 1, width).astype(int)
+                    rows["pixels"].append(img[np.ix_(yi, xi)].tobytes())
+                except NotImplementedError:
+                    rows["pixels"].append(None)
+            yield pd.DataFrame(rows)
+
+    return (
+        df.filter(F.col("modality") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(do_resize, schema=RESIZED)
+    )

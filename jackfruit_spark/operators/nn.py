@@ -41,7 +41,6 @@ def nearest_neighbor_top1(
 ) -> DataFrame:
     """Per group, the single row nearest to (x0, y0) by squared Euclidean
     distance (finder.go:42-49 batched over groups)."""
-    dist = sq_euclidean(x_col, y_col, x0, y0).alias(dist_alias)
     with_dist = df.withColumn(dist_alias, sq_euclidean(x_col, y_col, x0, y0))
     order = [F.col(dist_alias).asc()] + [F.col(c).asc() for c in tie_cols]
     if group_keys:
