@@ -1,0 +1,87 @@
+"""Oracle-matchable 64-bit hashing.
+
+``xxhash64`` is the production hash (JVM intrinsic, fastest path) but has
+no DuckDB twin, so hash-dependent queries (MinHash/LSH, SimHash, document
+fingerprints) were rows-only at the driver correctness gate. This module
+provides a hash family BOTH engines compute bit-identically:
+
+- ``md5_hash64`` / ``sql_md5_hash64``: the top 60 bits of md5 as a
+  non-negative BIGINT — ``conv(substr(md5(x),1,15),16,10)`` in Spark,
+  ``('0x' || substr(md5(x),1,15))::UBIGINT`` in DuckDB (verified equal).
+- ``mix_exprs`` / ``sql_mix``: a multiply-mix family h_i(base) =
+  (A_i*hi + B_i*lo + C_i) mod (2^61-1) over the 30-bit halves of the
+  base hash. One md5 per input + K cheap integer ops replaces K seeded
+  md5 passes (MinHash needs K independent hashes; hashing the string K
+  times would K-fold the dominant cost). All intermediates stay < 2^61,
+  so neither engine's ANSI overflow check can fire.
+
+The mix constants come from a fixed-seed PRNG and are embedded as plain
+literals in both the Spark plan and the generated oracle SQL — same
+discipline as the q26 hyperplane literals.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MASK30 = (1 << 30) - 1
+P61 = (1 << 61) - 1  # Mersenne prime 2^61-1
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def md5_hash64(col, seed: str = "") -> Column:
+    """Non-negative 60-bit hash of a string column, DuckDB-matchable.
+
+    ``seed`` prefixes the input (``"{seed}|" || x``) for cheap keyed
+    variants; prefer ``mix_exprs`` when many independent hashes of the
+    same value are needed."""
+    c = _c(col)
+    if seed:
+        c = F.concat(F.lit(f"{seed}|"), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5_hash64(expr: str, seed: str = "") -> str:
+    """DuckDB fragment computing exactly ``md5_hash64(expr, seed)``."""
+    inner = f"'{seed}|' || ({expr})" if seed else f"({expr})"
+    return f"CAST(CAST(('0x' || substr(md5({inner}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+
+def mix_params(num: int, seed: int = 20260813) -> list[tuple[int, int, int]]:
+    """(A, B, C) literals for ``num`` mix functions; fixed seed so the
+    Spark plan and the generated oracle SQL embed identical constants."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+        for _ in range(num)
+    ]
+
+
+def mix_exprs(base_col, num: int) -> list[Column]:
+    """num independent hashes of a non-negative 60-bit base column.
+
+    (A*hi + B*lo + C) <= (2^30-1)*(2^30-1)*2 + 2^30 < 2^61: no 64-bit
+    overflow on either engine, ANSI-safe."""
+    base = _c(base_col)
+    hi = F.shiftright(base, 30)
+    lo = base.bitwiseAND(F.lit(MASK30))
+    return [
+        ((F.lit(a) * hi + F.lit(b) * lo + F.lit(c)) % F.lit(P61)).alias(f"h{i}")
+        for i, (a, b, c) in enumerate(mix_params(num))
+    ]
+
+
+def sql_mix(base_expr: str, i: int, num: int) -> str:
+    """DuckDB fragment for the i-th of ``num`` mix functions over a
+    non-negative 60-bit base expression."""
+    a, b, c = mix_params(num)[i]
+    return (
+        f"(({a} * (({base_expr}) >> 30) + {b} * (({base_expr}) & {MASK30}) + {c})"
+        f" % {P61})"
+    )

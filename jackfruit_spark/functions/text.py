@@ -92,22 +92,32 @@ def lang_id(text_col: str) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
-def fingerprint_from_tokens(tok_col, ngram: int = 8) -> Column:
-    """Document fingerprint: min xxhash64 over word n-grams (a winnowing-
+def fingerprint_from_tokens(tok_col, ngram: int = 8, hash_family: str = "xxhash64") -> Column:
+    """Document fingerprint: min hash over word n-grams (a winnowing-
     style rolling fingerprint). Takes a MATERIALIZED token-array column —
     embedding the tokenizer here would re-run the regex split per
-    element_at (see operators/dedup.shingles_from_tokens)."""
+    element_at (see operators/dedup.shingles_from_tokens).
+
+    try_element_at, not element_at: under ANSI mode (Spark 4 default)
+    element_at throws on out-of-bounds, so docs shorter than ngram tokens
+    would fail the job; NULLs are skipped by concat_ws (partial gram).
+
+    hash_family "md5mix" uses the md5-derived 60-bit hash
+    (functions/hashing.py) — DuckDB-matchable for the driver oracle."""
+    from jackfruit_spark.functions import hashing as H
+
     toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram, F.lit(0))),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(ngram)]
+            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(ngram)]
         ),
     )
-    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+    gram_hash = H.md5_hash64 if hash_family == "md5mix" else F.xxhash64
+    return F.array_min(F.transform(grams, lambda g: gram_hash(g)))
 
 
-def fingerprint(text_col: str, ngram: int = 8) -> Column:
+def fingerprint(text_col: str, ngram: int = 8, hash_family: str = "xxhash64") -> Column:
     """Convenience single-expression form; prefer projecting ``tokens()``
     first + ``fingerprint_from_tokens`` in hot paths."""
-    return fingerprint_from_tokens(tokens(text_col), ngram)
+    return fingerprint_from_tokens(tokens(text_col), ngram, hash_family)

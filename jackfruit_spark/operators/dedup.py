@@ -73,11 +73,15 @@ def shingles_from_tokens(tok_col, k: int = 3) -> Column:
     re-evaluate the regex split for every element_at (k per shingle), a
     ~150x blowup measured at sf0.1. Callers project tokens first."""
     toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    # try_element_at, not element_at: with spark.sql.ansi.enabled (the
+    # Spark 4 default) element_at THROWS on out-of-bounds, so a doc
+    # shorter than k tokens would fail the job; try_element_at yields
+    # NULL, which concat_ws skips — the documented partial-gram rule.
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+                " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
             ),
         )
     )
@@ -131,36 +135,82 @@ def shingled_exploded(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, array<long> signature): explode shingles, one groupBy with
-    num_hashes min-aggregates, each over a differently-seeded xxhash64.
-    Single shuffle; signature width is a pure CPU knob."""
+    num_hashes min-aggregates. Single shuffle; signature width is a pure
+    CPU knob.
+
+    hash_family:
+    - "xxhash64" (default): num_hashes differently-seeded xxhash64 calls —
+      the fast production path (JVM intrinsic, no string re-hash cost
+      worth optimizing away at these widths).
+    - "md5mix": ONE md5-derived 60-bit base per shingle + num_hashes
+      multiply-mix functions (functions/hashing.py) — bit-identical to
+      the generated DuckDB oracle, so MinHash becomes hash-matchable at
+      the driver gate instead of rows-only."""
+    from jackfruit_spark.functions import hashing as H
+
     # duplicates within a doc don't affect the min, so skip the distinct
     exploded = shingled_exploded(df, id_col, text_col, k, distinct=False).withColumnRenamed(
         "sh", "shingle"
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = exploded.groupBy(id_col).agg(*aggs)
+    if hash_family == "md5mix":
+        based = exploded.select(
+            F.col(id_col), H.md5_hash64("shingle").alias("__base")
+        )
+        aggs = [F.min(h).alias(f"h{i}") for i, h in enumerate(H.mix_exprs("__base", num_hashes))]
+        sig = based.groupBy(id_col).agg(*aggs)
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+        sig = exploded.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
     )
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+    sig: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH: hash each band of the signature, self-join on
     (band, band_hash). Output distinct candidate pairs (a < b).
 
     The join runs bucket-local: two docs shuffle to the same reducer only
     if a band collides, so cost tracks the number of near-duplicates, not
-    n^2. Skew guard: a degenerate band value (e.g. all-empty docs) is
-    bounded by dropping buckets larger than ``max_bucket`` would be the
-    production knob; at test scale we keep all."""
+    n^2.
+
+    Skew guard (``max_bucket``): a degenerate band value — e.g. a corpus
+    full of empty or boilerplate documents hashing to one band value —
+    makes a single reducer do |bucket|^2 work. With ``max_bucket=m`` set,
+    buckets larger than m are dropped before the self-join, bounding any
+    reducer at m^2 pairs. Oversized buckets are by construction FEW (at
+    most n/m of them), so the guard is a small groupBy + broadcast anti
+    join — no extra full shuffle of the postings. Default ``None`` keeps
+    every bucket (exact candidate set, right at test scale).
+
+    hash_family "md5mix" computes the band hash as the md5-derived 60-bit
+    hash of the '|'-joined band values (DuckDB-matchable, see
+    functions/hashing.py) instead of xxhash64 over the raw longs."""
+    from jackfruit_spark.functions import hashing as H
+
+    def band_hash(cols):
+        if hash_family == "md5mix":
+            return H.md5_hash64(F.concat_ws("|", *cols))
+        return F.xxhash64(*cols)
+
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -168,8 +218,8 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
+                        band_hash(
+                            [
                                 F.element_at("signature", b * rows_per_band + r + 1)
                                 for r in range(rows_per_band)
                             ]
@@ -180,6 +230,16 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.band_hash")
+    if max_bucket is not None:
+        oversized = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(
+            F.broadcast(oversized), ["band", "band_hash"], "left_anti"
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -200,6 +260,7 @@ def jaccard_pairs(
     id_col: str,
     text_col: str,
     k: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact word-k-shingle Jaccard for every pair sharing >= 1 shingle,
     via an inverted index: explode distinct shingles, EQUI-join on the
@@ -210,15 +271,31 @@ def jaccard_pairs(
     with shuffle-parallel equi-joins whose cost tracks shingle
     co-occurrence (the number of actually-similar pairs), not n^2. Pairs
     sharing no shingle have Jaccard 0 and are (correctly) absent.
-    Production skew guard: shingles with document frequency above a cap
-    contribute ~0 discrimination and can be dropped before the self-join;
-    kept exact here.
+
+    Skew guard (``max_shingle_df``): a stopword shingle ("of the and")
+    present in d documents produces d^2/2 pairs on ONE reducer. With the
+    cap set, shingles whose document frequency exceeds it are dropped
+    from the shingle universe before the self-join — both from postings
+    AND from per-doc sizes, so the returned value is the exact Jaccard
+    over the filtered universe (high-df shingles carry ~0 discrimination;
+    dropping them is the standard inverted-index prefix filter). Hot
+    shingles are by definition few (<= total_postings/cap), so the guard
+    is a groupBy + broadcast anti-join, not an extra full shuffle.
+    Default ``None`` = exact over all shingles (test scale).
     """
     # join key is the 64-bit shingle hash: the shuffle carries 8-byte keys
     # instead of strings (collision odds ~2^-64 per shingle pair — nil)
     postings = shingled_exploded(df, id_col, text_col, k, distinct=True).select(
         F.col(id_col).alias("__id"), F.xxhash64("sh").alias("sh")
     )
+    if max_shingle_df is not None:
+        hot = (
+            postings.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("sh")
+        )
+        postings = postings.join(F.broadcast(hot), ["sh"], "left_anti")
     sizes = postings.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     a = postings.select(F.col("__id").alias("id_a"), "sh")
     b = postings.select(F.col("__id").alias("id_b"), "sh")
@@ -267,12 +344,27 @@ def jaccard_for_candidates(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word tokens: per-token xxhash64, bit-vote via 64
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """SimHash over word tokens: per-token hash, bit-vote via ``bits``
     aggregate sums (one shuffle), sign → bit. Near-dup docs land on nearby
-    hashes (small Hamming distance)."""
+    hashes (small Hamming distance).
+
+    hash_family "md5mix" uses the md5-derived 60-bit token hash
+    (DuckDB-matchable; pair with bits=60 — the top 4 bits of a 60-bit
+    hash are always 0 and would vote uniformly -1)."""
+    from jackfruit_spark.functions import hashing as H
+
     toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
-    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    tok_hash = (
+        H.md5_hash64("tok") if hash_family == "md5mix" else F.xxhash64("tok")
+    )
+    hashed = toks.select(id_col, tok_hash.alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

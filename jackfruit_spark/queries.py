@@ -594,9 +594,14 @@ def q20_exact_dedup(spark, sf_dir):
     return exact_dedup(d, "text", "doc_id")
 
 
+# array_to_string over a (truncating) list slice, NOT toks[i]||' '||toks[i+1]
+# ||' '||toks[i+2]: the ||-form yields NULL when an index runs past the end,
+# silently dropping the partial gram Spark's concat_ws emits for docs
+# shorter than k tokens (ADVICE r1 item 1). Slicing truncates, matching
+# concat_ws's skip-missing semantics exactly.
 _SQL_SHINGLES = (
     r"list_distinct(list_transform(range(1, greatest(len(toks) - 1, 2)), "
-    r"i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    r"i -> array_to_string(toks[i:i+2], ' ')))"
 )
 
 
@@ -681,32 +686,96 @@ def q23_embedding_norms(spark, sf_dir):
     return e.select("vec_id", F.round(norm(F.col("embedding")), 6).alias("l2_norm"))
 
 
-# ================================= rows-only ops (no ANSI-SQL equivalent)
+# ==================== hash-based ops, oracle-ized via functions/hashing ==
+# xxhash64 has no DuckDB twin, so these were rows-only at the driver gate
+# in round 1 (VERDICT item 4). The md5mix hash family (one md5-derived
+# 60-bit base + multiply-mix literals shared with the generated SQL) makes
+# them fully hash-matchable; the xxhash64 production defaults remain on the
+# operators themselves.
+
+# DuckDB twin of operators/dedup.shingled_exploded(k=3, distinct=False):
+# full 3-grams, plus one truncated gram for docs shorter than 3 tokens
+# (array_to_string over a truncating slice == concat_ws skipping nulls).
+_SQL_TOKS = r"SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents"
+_SQL_GRAMS3 = (
+    r"SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 2)), "
+    r"i -> array_to_string(toks[i:i+2], ' '))) AS gram"
+)
+
+
+def _q24_oracle(num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4) -> str:
+    from jackfruit_spark.functions.hashing import sql_md5_hash64, sql_mix
+
+    mins = ",\n       ".join(
+        f"MIN({sql_mix('base', i, num_hashes)}) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = "\nUNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {h} AS band_hash FROM sig".format(
+            b=b,
+            h=sql_md5_hash64(
+                "concat_ws('|', "
+                + ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS ({_SQL_TOKS}),
+g AS (SELECT doc_id, {sql_md5_hash64('gram')} AS base FROM ({_SQL_GRAMS3} FROM t)),
+sig AS (SELECT doc_id, {mins} FROM g GROUP BY doc_id),
+banded AS ({band_rows})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
 
 
 @register(
     "q24_minhash_lsh_pairs",
-    oracle=None,
-    doc="MinHash(32) + LSH(8 bands x 4 rows) candidate pairs on documents. "
-    "Hash-based (xxhash64) so no DuckDB oracle; pytest verifies recall "
-    "against exact Jaccard.",
+    oracle=_q24_oracle(),
+    doc="MinHash(32) + LSH(8 bands x 4 rows) candidate pairs on documents, "
+    "hash-matchable against a full DuckDB replication of the "
+    "signature/banding pipeline (md5mix family, functions/hashing.py); "
+    "pytest additionally verifies recall against exact Jaccard.",
 )
 def q24_minhash_lsh_pairs(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    sig = minhash_signatures(d, "doc_id", "text", num_hashes=32, k=3)
-    pairs = lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=4)
+    sig = minhash_signatures(d, "doc_id", "text", num_hashes=32, k=3, hash_family="md5mix")
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=4, hash_family="md5mix")
     return pairs.withColumnRenamed("doc_id", "id_a")
+
+
+def _q25_oracle(bits: int = 60) -> str:
+    from jackfruit_spark.functions.hashing import sql_md5_hash64
+
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    bitsum = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    return f"""
+WITH t AS ({_SQL_TOKS}),
+h AS (SELECT doc_id, {sql_md5_hash64('tok')} AS h
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({bitsum} AS BIGINT) AS simhash FROM v
+"""
 
 
 @register(
     "q25_simhash",
-    oracle=None,
-    doc="64-bit SimHash fingerprints (xxhash64 bit-vote); pytest checks "
+    oracle=_q25_oracle(),
+    doc="60-bit SimHash fingerprints (md5-derived token hash, bit-vote), "
+    "hash-matched against the DuckDB bit-vote replication; pytest checks "
     "near-dup Hamming proximity.",
 )
 def q25_simhash(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    return simhash(d, "doc_id", "text")
+    return simhash(d, "doc_id", "text", bits=60, hash_family="md5mix")
 
 
 def _q26_planes(dim: int = 64, n: int = 4) -> list[list[float]]:
@@ -758,16 +827,31 @@ def q26_ann_lsh_bucketed(spark, sf_dir):
     return ann_lsh(e, "vec_id", "embedding", qv, planes, k=10)
 
 
+def _q27_oracle(ngram: int = 8) -> str:
+    from jackfruit_spark.functions.hashing import sql_md5_hash64
+
+    return f"""
+WITH t AS ({_SQL_TOKS}),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - {ngram - 2}, 2)),
+                    i -> array_to_string(toks[i:i+{ngram - 1}], ' '))) AS gram
+      FROM t)
+SELECT doc_id, MIN({sql_md5_hash64('gram')}) AS fingerprint FROM g GROUP BY doc_id
+"""
+
+
 @register(
     "q27_doc_fingerprint",
-    oracle=None,
-    doc="Rolling-hash document fingerprint (min xxhash64 over word "
-    "8-grams, winnowing-style).",
+    oracle=_q27_oracle(),
+    doc="Rolling-hash document fingerprint (min md5-derived hash over word "
+    "8-grams, winnowing-style), hash-matched against the DuckDB "
+    "replication.",
 )
 def q27_doc_fingerprint(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", T.tokens("text").alias("__t")).select(
-        "doc_id", T.fingerprint_from_tokens("__t").alias("fingerprint")
+        "doc_id",
+        T.fingerprint_from_tokens("__t", hash_family="md5mix").alias("fingerprint"),
     )
 
 
@@ -901,7 +985,12 @@ def q33_set_except(spark, sf_dir):
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return b.exceptAll(u).distinct()
+    # .subtract() is SQL EXCEPT (distinct). exceptAll().distinct() is NOT
+    # equivalent when the left side has duplicates of a value also present on
+    # the right: multiset-minus keeps surplus copies that distinct() then
+    # retains, while EXCEPT drops the value entirely (VERDICT r1 item 3;
+    # regression test in test_properties.py).
+    return b.subtract(u)
 
 
 @register(
@@ -1378,13 +1467,19 @@ def q49_ivf_cells(spark, sf_dir):
     oracle=None,
     doc="Approximate aggregates — the 100 TB knobs: HLL++ distinct counts "
     "and quantile sketches per event_type. No oracle (DuckDB's sketches "
-    "differ algorithmically); pytest bounds them against exact values.",
+    "differ algorithmically); pytest bounds them against exact values. "
+    "Quantiles are emitted as SCALAR columns (p50/p95/p99), not an "
+    "array column — the driver's pandas canonicalizer cannot hash lists "
+    "(CORRECTNESS_r01 q50 err).",
 )
 def q50_approx_stats(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        F.element_at(q, 1).alias("p50"),
+        F.element_at(q, 2).alias("p95"),
+        F.element_at(q, 3).alias("p99"),
     )
 
 

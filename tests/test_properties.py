@@ -86,6 +86,21 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         assert got[lid] == expect, (lid, got[lid], expect)
 
 
+@given(
+    left=st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=20),
+    right=st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=20),
+)
+@settings(**_SETTINGS)
+def test_set_except_matches_sql_semantics(spark, left, right):
+    """SQL EXCEPT drops a value entirely if it appears on the right — even
+    when the left has surplus duplicate copies. exceptAll().distinct() gets
+    this wrong (VERDICT r1 item 3); .subtract() is the correct operator."""
+    ldf = spark.createDataFrame([(v,) for v in left] or [(None,)], "v int").filter("v is not null")
+    rdf = spark.createDataFrame([(v,) for v in right] or [(None,)], "v int").filter("v is not null")
+    got = {r["v"] for r in ldf.subtract(rdf).collect()}
+    assert got == set(left) - set(right)
+
+
 @given(left=events, right=events, window=st.integers(min_value=1, max_value=600))
 @settings(**_SETTINGS)
 def test_interval_join_matches_bruteforce(spark, left, right, window):

@@ -66,6 +66,48 @@ def test_lsh_candidates_find_near_dups(spark, corpus):
     assert scored[(0, 2)] == 1.0
 
 
+def test_jaccard_hot_shingle_df_cap(spark):
+    """Skew guard: one shingle shared by EVERY doc would put n^2/2 pairs on
+    one reducer. With max_shingle_df set, that shingle is dropped from the
+    universe (postings AND sizes) so the pair count collapses to the truly
+    co-similar pairs; with the guard off, results are the exact baseline."""
+    hot = "of the and"                      # the injected high-df shingle
+    docs = [(i, f"{hot} unique{i} alpha{i} beta{i} gamma{i}") for i in range(40)]
+    docs += [(100, "aaa bbb ccc ddd eee"), (101, "aaa bbb ccc ddd fff")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    exact = jaccard_pairs(df, "doc_id", "text")
+    n_exact = exact.count()
+    assert n_exact >= 40 * 39 // 2          # hot shingle links all 40 docs
+
+    capped = jaccard_pairs(df, "doc_id", "text", max_shingle_df=10)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # pair count bounded: the 40-doc clique vanished, the real near-dup stays
+    assert len(rows) < 40
+    assert rows[(100, 101)] == pytest.approx(4 / 8)     # unaffected pair, exact
+    # guard off == previous exact behavior (oracle parity unchanged)
+    assert jaccard_pairs(df, "doc_id", "text", max_shingle_df=None).count() == n_exact
+
+
+def test_lsh_max_bucket_guard(spark):
+    """A degenerate corpus (many identical docs) makes one LSH bucket hold
+    them all -> |bucket|^2 pairs. max_bucket drops oversized buckets; the
+    distinct near-dup pair in a small bucket survives."""
+    docs = [(i, "same boilerplate text repeated across the whole corpus here") for i in range(30)]
+    docs += [(100, "genuinely distinct document about spark shuffles and joins today"),
+             (101, "genuinely distinct document about spark shuffles and joins tonight")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sig = minhash_signatures(df, "doc_id", "text", num_hashes=32, k=3)
+
+    unguarded = lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=4)
+    assert unguarded.count() >= 30 * 29 // 2
+
+    guarded = lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=4, max_bucket=10)
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert all(not (a < 30 and b < 30) for a, b in got)  # degenerate clique dropped
+    assert (100, 101) in got                             # real near-dup kept
+
+
 def test_simhash_hamming_proximity(spark, corpus):
     hashes = {r["doc_id"]: r["simhash"] for r in simhash(corpus, "doc_id", "text").collect()}
     ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
