@@ -103,7 +103,30 @@ def bench_grid(spark) -> dict[str, float]:
             rows = svc.get_variables(req)
             t_lookup = min(t_lookup, round(time.perf_counter() - t0, 3))
             assert len(rows) == 2
-        return {"grid_ingest_2.35M": t_ingest, "grid_point_lookup": t_lookup}
+
+        # interactive fast path: manifest snap + (variable, date)-pruned
+        # pre-deduped point read (grid/serving_table.py). Build cost is the
+        # MergeTree-merge analog, amortized over every lookup.
+        from jackfruit_spark.grid.serving_table import ServingTable
+
+        t0 = time.perf_counter()
+        st = ServingTable.build(spark, eng.grid_data_final(), os.path.join(root, "serve"))
+        t_build = round(time.perf_counter() - t0, 3)
+        fast_svc = EnvironmentalService(
+            eng.grid_data_raw(), svc.curated, svc.raw_files, serving_table=st
+        )
+        t_point = float("inf")
+        for _ in range(REPEATS + 1):  # first call loads the manifest (cold)
+            t0 = time.perf_counter()
+            rows = fast_svc.get_variables(req)
+            t_point = min(t_point, round(time.perf_counter() - t0, 3))
+            assert len(rows) == 2
+        return {
+            "grid_ingest_2.35M": t_ingest,
+            "grid_point_lookup": t_lookup,
+            "grid_serving_build": t_build,
+            "grid_point_lookup_served": t_point,
+        }
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -31,6 +31,8 @@ from jackfruit_spark.grid.catalog import Catalog
 from jackfruit_spark.grid.engine import GridEngine
 from jackfruit_spark.grid.pipeline import TransformPipeline, uuid7
 from jackfruit_spark.sources import grib
+from jackfruit_spark.sources.clients import raw_key
+from jackfruit_spark.sources.object_store import LocalFSBackend, ObjectStore
 
 
 @dataclass
@@ -50,6 +52,13 @@ class DailyJob:
     ):
         self.spark = spark
         self.raw_root = raw_root
+        # raw landing goes through the ObjectStore contract
+        # (sources/object_store.py): raw_root acts as the bucket; swap the
+        # backend for S3Backend in a real deployment — key layout unchanged.
+        self.store = ObjectStore(
+            LocalFSBackend(os.path.dirname(raw_root) or "."),
+            raw_bucket=os.path.basename(raw_root),
+        )
         self.engine = GridEngine(spark, store_root)
         self.catalog = Catalog(spark, os.path.join(store_root, "catalog"))
         self.pipeline = TransformPipeline(spark, self.engine, self.catalog)
@@ -64,22 +73,17 @@ class DailyJob:
         the driver-side API client (sources/clients.py); tests pass fake
         bytes decoded by a synthetic adapter."""
         run_id = uuid7()
-        d = self._raw_dir(cfg, day)
-        os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, f"{run_id}.grib")
-        with open(path, "wb") as f:
+        key = raw_key(cfg.source, cfg.dataset, day, run_id)
+        tmp = os.path.join(self.raw_root, f".landing-{run_id}.grib")
+        os.makedirs(self.raw_root, exist_ok=True)
+        with open(tmp, "wb") as f:
             f.write(payload)
+        try:
+            self.store.upload_raw(key, tmp)  # ValueError/IOError contract
+        finally:
+            os.unlink(tmp)
         rows = self.spark.createDataFrame(
-            [
-                (
-                    run_id,
-                    cfg.source,
-                    cfg.dataset,
-                    day,
-                    f"{cfg.source}/{cfg.dataset}/{day:%Y-%m-%d}/{run_id}.grib",
-                    dt.datetime.now(),
-                )
-            ],
+            [(run_id, cfg.source, cfg.dataset, day, key, dt.datetime.now())],
             ["id", "source", "dataset", "date", "s3_key", "created_at"],
         )
         self.catalog.insert_raw_file(rows)

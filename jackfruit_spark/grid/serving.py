@@ -82,10 +82,75 @@ class EnvironmentalService:
     resolved by the dedup in step 3), but the expensive window touches only
     ~one grid of rows per variable instead of the whole history."""
 
-    def __init__(self, grid: DataFrame, curated: DataFrame, raw_files: DataFrame):
+    def __init__(
+        self,
+        grid: DataFrame,
+        curated: DataFrame,
+        raw_files: DataFrame,
+        serving_table=None,
+    ):
         self.grid = grid
         self.curated = curated
         self.raw_files = raw_files
+        # optional grid/serving_table.ServingTable: pre-deduped,
+        # (variable, date)-partitioned materialization — the interactive
+        # fast path (manifest snap + partition-pruned point read)
+        self.serving_table = serving_table
+
+    def _lineage_dim(self) -> DataFrame:
+        """lineage join dims (lineage/finder.go:22-42): tiny → broadcast."""
+        return F.broadcast(
+            self.curated.alias("cd")
+            .join(
+                self.raw_files.alias("rf"),
+                F.col("cd.raw_file_id") == F.col("rf.id"),
+                "inner",
+            )
+            .select(
+                F.col("cd.id").alias("catalog_id"),
+                F.col("rf.source").alias("source"),
+                F.col("rf.dataset").alias("dataset"),
+                F.col("cd.raw_file_id").alias("raw_file_id"),
+            )
+        )
+
+    def _finish(self, nn: DataFrame) -> DataFrame:
+        return nn.join(self._lineage_dim(), "catalog_id", "left").select(
+            "variable",
+            F.col("value"),
+            F.col("unit"),
+            F.col("lat").alias("actual_lat"),
+            F.col("lon").alias("actual_lon"),
+            F.col("timestamp").alias("ref_timestamp"),
+            "source",
+            "dataset",
+            "raw_file_id",
+        )
+
+    def _fast_plan(
+        self, req: EnvironmentalRequest, variables: tuple[str, ...], prefilter_deg
+    ) -> DataFrame | None:
+        """Point read against the ServingTable: manifest snap (driver-side,
+        no data files touched), partition-pruned pre-deduped slice, +-1 deg
+        window, partial-agg NN. None when no variable has data."""
+        snaps = self.serving_table.snap(variables, req.timestamp)
+        if not snaps:
+            return None
+        sliced = self.serving_table.slice(
+            snaps, req.lat, req.lon, prefilter_deg=prefilter_deg
+        )
+        dlat = F.col("lat") - F.lit(req.lat)
+        dlon = F.col("lon") - F.lit(req.lon)
+        dist = (dlat * dlat + dlon * dlon).alias("d")
+        nn_key = sliced.groupBy("variable").agg(
+            F.min(F.struct(dist, F.col("lat"), F.col("lon"))).alias("k")
+        )
+        nn = (
+            sliced.join(F.broadcast(nn_key), "variable")
+            .filter((F.col("lat") == F.col("k.lat")) & (F.col("lon") == F.col("k.lon")))
+            .drop("k")
+        )
+        return self._finish(nn)
 
     def query_plan(self, req: EnvironmentalRequest) -> DataFrame:
         """The full read as one DataFrame (collect() is the caller's)."""
@@ -120,44 +185,94 @@ class EnvironmentalService:
             .drop("k")
         )
         nn = latest_by_keys(nn_rows, S.DEDUP_KEYS, S.VERSION_COL, tie_cols=["catalog_id"])
-        # lineage join (lineage/finder.go:22-42): tiny dims → broadcast
-        lineage = F.broadcast(
-            self.curated.alias("cd")
-            .join(
-                self.raw_files.alias("rf"),
-                F.col("cd.raw_file_id") == F.col("rf.id"),
-                "inner",
-            )
-            .select(
-                F.col("cd.id").alias("catalog_id"),
-                F.col("rf.source").alias("source"),
-                F.col("rf.dataset").alias("dataset"),
-                F.col("cd.raw_file_id").alias("raw_file_id"),
-            )
-        )
-        return (
-            nn.join(lineage, "catalog_id", "left")
-            .select(
-                "variable",
-                F.col("value"),
-                F.col("unit"),
-                F.col("lat").alias("actual_lat"),
-                F.col("lon").alias("actual_lon"),
-                F.col("timestamp").alias("ref_timestamp"),
-                "source",
-                "dataset",
-                "raw_file_id",
-            )
-        )
+        return self._finish(nn)
 
     def get_variables(self, req: EnvironmentalRequest) -> list[dict]:
         """All-or-nothing per-variable results (environmental.go:41-67):
         result count < len(variables) → VariableNotFoundError, no partial
-        responses (serving-go/README.md:59)."""
-        rows = self.query_plan(req).collect()
-        found = {r["variable"] for r in rows}
-        missing = [v for v in req.variables if v not in found]
+        responses (serving-go/README.md:59).
+
+        With a ServingTable attached the +-1 deg prefilter is tried first;
+        any variable it misses (point far from all grid points — possible
+        in principle, not with real forecast grids) retries without the
+        window before the not-found verdict, so the fast path never
+        changes answers, only latency."""
+        rows: list = []
+        missing = list(req.variables)
+        if self.serving_table is not None:
+            for prefilter in (1.0, None):
+                plan = self._fast_plan(req, tuple(missing), prefilter)
+                if plan is None:
+                    break
+                rows += plan.collect()
+                found = {r["variable"] for r in rows}
+                missing = [v for v in missing if v not in found]
+                if not missing:
+                    break
+        else:
+            rows = self.query_plan(req).collect()
+            found = {r["variable"] for r in rows}
+            missing = [v for v in req.variables if v not in found]
         if missing:
             raise VariableNotFoundError(f"no data for variables: {missing}")
         by_var = {r["variable"]: r.asDict() for r in rows}
         return [by_var[v] for v in req.variables]
+
+
+# ------------------------------------------------------ response envelope
+
+
+def _rfc3339(ts: datetime) -> str:
+    """UTC RFC3339 with Z suffix (Go time.Time JSON encoding)."""
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def assemble_response(req: EnvironmentalRequest, results: list[dict]) -> dict:
+    """The EnvironmentalResponse JSON shape (api/response.go:15-36):
+    requested lat/lon + timestamp echoed at top level; per-variable
+    actual_lat/actual_lon (the chosen grid point), ref_timestamp (the
+    snapped data timestamp), and nested lineage."""
+    return {
+        "lat": req.lat,
+        "lon": req.lon,
+        "requested_timestamp": _rfc3339(req.timestamp),
+        "variables": [
+            {
+                "name": r["variable"],
+                "value": float(r["value"]),
+                "unit": r["unit"],
+                "ref_timestamp": _rfc3339(r["ref_timestamp"]),
+                "actual_lat": r["actual_lat"],
+                "actual_lon": r["actual_lon"],
+                "lineage": {
+                    "source": r["source"],
+                    "dataset": r["dataset"],
+                    "raw_file_id": r["raw_file_id"],
+                },
+            }
+            for r in results
+        ],
+    }
+
+
+def handle_environmental(service: EnvironmentalService, params: dict) -> tuple[int, dict]:
+    """HTTP-free handler: (status, body) per api/handler.go:32-83 —
+    validation → 400, variable-not-found → 404, anything else → 500 with a
+    generic message (internal errors must not leak, api/handler_test.go:
+    25-47), success → 200 envelope."""
+    try:
+        req = parse_request(
+            params.get("lat"),
+            params.get("lon"),
+            params.get("timestamp"),
+            params.get("variables", ""),
+        )
+    except RequestValidationError as e:
+        return 400, {"error": str(e)}
+    try:
+        results = service.get_variables(req)
+    except VariableNotFoundError as e:
+        return 404, {"error": str(e)}
+    except Exception:
+        return 500, {"error": "internal server error"}
+    return 200, assemble_response(req, results)

@@ -1,0 +1,133 @@
+"""Cell-bucketed serving layout: the Spark answer to ClickHouse's
+sub-10 ms primary-index point read (docs/infrastructure.md:105).
+
+The generic read path (grid/serving.py) snaps + dedups + NNs over the
+append-log table — correct, but a point lookup pays a full slice scan.
+This module materializes what the reference gets from its storage engine:
+
+- **pre-deduped** rows (FINAL applied once at build, not per query) —
+  the ReplacingMergeTree post-merge state;
+- **partitioned by (variable, date)** so a point lookup prunes to ONE
+  partition directory per variable (ClickHouse PARTITION BY toYYYYMMDD
+  + primary-key variable prefix, init.sql:24-25);
+- **sorted within partitions by (timestamp, lat, lon)** so parquet
+  row-group min/max stats skip non-matching timestamps and lat bands
+  (the sparse-index analog);
+- a **driver-side manifest** of distinct (variable, timestamp) — the
+  tiny metadata ClickHouse keeps in memory per part; the timestamp snap
+  (max ts' <= ts per variable, finder.go:38-41) resolves against it
+  without touching data files.
+
+At 100 TB: the manifest stays kilobytes (variables x timestamps, not
+points), each lookup reads one partition's pruned row groups, and the
+build is one full-table dedup + write — amortized over every lookup,
+exactly like MergeTree background merges. Rebuild per ingested partition
+(or per day) keeps it fresh; the generic path remains available for
+querying unmaterialized data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from typing import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ServingTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.data_path = os.path.join(root, "data")
+        self.manifest_path = os.path.join(root, "manifest")
+        self._manifest: dict[str, list[tuple[dt.datetime, dt.date]]] | None = None
+
+    # ------------------------------------------------------------- build
+
+    @staticmethod
+    def build(spark: SparkSession, grid_final: DataFrame, root: str) -> "ServingTable":
+        """Materialize the FINAL view into the serving layout.
+
+        ``grid_final`` must already be deduplicated (pass
+        ``GridEngine.grid_data_final()``); this writes data + manifest.
+        """
+        st = ServingTable(spark, root)
+        data = grid_final.withColumn("date", F.to_date("timestamp"))
+        (
+            data.repartition("variable", "date")
+            .sortWithinPartitions("timestamp", "lat", "lon")
+            .write.mode("overwrite")
+            .partitionBy("variable", "date")
+            .parquet(st.data_path)
+        )
+        # tiny: |variables| x |timestamps| rows, read driver-side at query time
+        (
+            data.select("variable", "timestamp", "date")
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(st.manifest_path)
+        )
+        return st
+
+    # -------------------------------------------------------------- read
+
+    def _load_manifest(self) -> dict[str, list[tuple[dt.datetime, dt.date]]]:
+        if self._manifest is None:
+            rows = self.spark.read.parquet(self.manifest_path).collect()
+            m: dict[str, list[tuple[dt.datetime, dt.date]]] = {}
+            for r in rows:
+                m.setdefault(r["variable"], []).append((r["timestamp"], r["date"]))
+            for v in m.values():
+                v.sort()
+            self._manifest = m
+        return self._manifest
+
+    def snap(
+        self, variables: Iterable[str], ts: dt.datetime
+    ) -> dict[str, tuple[dt.datetime, dt.date]]:
+        """Per-variable max(timestamp <= ts) from the manifest — the
+        finder.go:38-41 scalar subquery resolved against metadata only.
+        Variables with no data at-or-before ``ts`` are absent."""
+        import bisect
+
+        out = {}
+        for var in variables:
+            entries = self._load_manifest().get(var)
+            if not entries:
+                continue
+            i = bisect.bisect_right(entries, (ts, dt.date.max))
+            if i:
+                out[var] = entries[i - 1]
+        return out
+
+    def slice(
+        self,
+        snaps: Mapping[str, tuple[dt.datetime, dt.date]],
+        lat: float | None = None,
+        lon: float | None = None,
+        prefilter_deg: float | None = 1.0,
+    ) -> DataFrame:
+        """Rows for the snapped (variable, timestamp) pairs, partition-pruned
+        by (variable, date) and optionally restricted to a +-prefilter_deg
+        window around the query point (row-group stats skip the rest; the
+        caller handles the empty-window fallback)."""
+        pred = None
+        for var, (ts, day) in snaps.items():
+            p = (
+                (F.col("variable") == var)
+                & (F.col("date") == F.lit(day))
+                & (F.col("timestamp") == F.lit(ts))
+            )
+            pred = p if pred is None else (pred | p)
+        if pred is None:
+            raise ValueError("no snapped variables to slice")
+        df = self.spark.read.parquet(self.data_path).filter(pred)
+        if prefilter_deg is not None and lat is not None and lon is not None:
+            df = df.filter(
+                F.col("lat").between(lat - prefilter_deg, lat + prefilter_deg)
+                & F.col("lon").between(lon - prefilter_deg, lon + prefilter_deg)
+            )
+        return df

@@ -1,0 +1,140 @@
+"""Raw-bucket object store with the reference's error-mapping contract.
+
+Mirrors ``pipeline-python/src/pipeline_python/storage/object_store.py:47-94``
+semantics (NOT its boto3-only implementation):
+
+- empty / whitespace-only key       -> ``ValueError``
+- download of a missing object      -> ``FileNotFoundError`` naming the bucket
+  (S3 error codes ``404`` / ``NoSuchKey``)
+- other client errors on download   -> propagated unchanged
+  (e.g. AccessDenied — caller must see the real cause)
+- any client error on upload        -> wrapped in ``IOError`` naming the bucket
+- download creates parent directories of the local target
+
+The backend is pluggable because this engine reads raw bytes through
+Spark's ``binaryFile`` source wherever possible (SURVEY §2 #3: no local
+temp hop needed) and only needs driver-side download/upload for the
+API-bound ingest step:
+
+- ``LocalFSBackend``: bucket = a directory root; what tests and the
+  sandboxed container use.
+- ``S3Backend``: boto3, import-gated (absent in this container); maps
+  ``botocore.ClientError`` into the backend error below so the
+  ObjectStore-level mapping is identical for both backends.
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+
+_NOT_FOUND_CODES = {"404", "NoSuchKey"}
+
+
+class ObjectStoreClientError(Exception):
+    """Backend-neutral stand-in for botocore's ClientError: carries the
+    S3-style error code the reference's mapping switches on."""
+
+    def __init__(self, code: str, message: str = ""):
+        super().__init__(f"{code}: {message}")
+        self.code = code
+
+
+class LocalFSBackend:
+    """Bucket as a local directory root (``{root}/{bucket}/{key}``)."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+
+    def download_file(self, bucket: str, key: str, local_path: str) -> None:
+        src = self.root / bucket / key
+        if not src.is_file():
+            raise ObjectStoreClientError("NoSuchKey", str(src))
+        shutil.copyfile(src, local_path)
+
+    def upload_file(self, local_path: str, bucket: str, key: str) -> None:
+        dst = self.root / bucket / key
+        if not Path(local_path).is_file():
+            raise ObjectStoreClientError("UploadFailure", local_path)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        tmp = dst.with_suffix(dst.suffix + ".tmp")
+        shutil.copyfile(local_path, tmp)
+        tmp.replace(dst)  # atomic within a filesystem
+
+
+class S3Backend:
+    """boto3-backed bucket access; import-gated (boto3 absent here)."""
+
+    def __init__(self, endpoint_url: str, access_key: str, secret_key: str, use_ssl: bool = False):
+        try:
+            import boto3
+        except ImportError as e:  # pragma: no cover - boto3 not in container
+            raise NotImplementedError("boto3 not installed in this environment") from e
+        self._client = boto3.client(
+            "s3",
+            endpoint_url=endpoint_url,
+            aws_access_key_id=access_key,
+            aws_secret_access_key=secret_key,
+            use_ssl=use_ssl,
+        )
+
+    def download_file(self, bucket: str, key: str, local_path: str) -> None:  # pragma: no cover
+        from botocore.exceptions import ClientError
+
+        try:
+            self._client.download_file(bucket, key, local_path)
+        except ClientError as e:
+            raise ObjectStoreClientError(
+                e.response.get("Error", {}).get("Code", "Unknown"), str(e)
+            ) from e
+
+    def upload_file(self, local_path: str, bucket: str, key: str) -> None:  # pragma: no cover
+        from botocore.exceptions import ClientError
+
+        try:
+            self._client.upload_file(local_path, bucket, key)
+        except ClientError as e:
+            raise ObjectStoreClientError(
+                e.response.get("Error", {}).get("Code", "Unknown"), str(e)
+            ) from e
+
+
+@dataclass
+class ObjectStore:
+    """Raw-bucket facade used by the ingest/transform jobs
+    (object_store.py:8-44 attribute surface; jackfruit-raw default)."""
+
+    backend: object
+    raw_bucket: str = "jackfruit-raw"
+
+    @staticmethod
+    def _validate_key(key: str) -> None:
+        if not key or not key.strip():
+            raise ValueError("object key cannot be empty")
+
+    def download_raw(self, key: str, local_path: str | Path) -> None:
+        """object_store.py:47-72: 404/NoSuchKey -> FileNotFoundError naming
+        the bucket; other client errors propagate; parent dirs created."""
+        self._validate_key(key)
+        local_path = Path(local_path)
+        local_path.parent.mkdir(parents=True, exist_ok=True)
+        try:
+            self.backend.download_file(self.raw_bucket, key, str(local_path))
+        except ObjectStoreClientError as e:
+            if e.code in _NOT_FOUND_CODES:
+                raise FileNotFoundError(
+                    f"Object not found in bucket '{self.raw_bucket}': {key}"
+                ) from e
+            raise
+
+    def upload_raw(self, key: str, local_path: str | Path) -> None:
+        """object_store.py:74-94: any client error -> IOError naming the
+        bucket."""
+        self._validate_key(key)
+        try:
+            self.backend.upload_file(str(local_path), self.raw_bucket, key)
+        except ObjectStoreClientError as e:
+            raise IOError(
+                f"Failed to upload to bucket '{self.raw_bucket}': {key}"
+            ) from e

@@ -1,0 +1,82 @@
+"""ObjectStore error-mapping contract, mirroring the reference's
+``tests/unit/test_storage/test_object_store.py`` cases: empty key,
+404/NoSuchKey -> FileNotFoundError, other download errors propagate,
+upload failures wrap in IOError, parent-dir creation — plus round-trips
+through the real LocalFSBackend."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from jackfruit_spark.sources.object_store import (
+    LocalFSBackend,
+    ObjectStore,
+    ObjectStoreClientError,
+)
+
+
+class _ErrBackend:
+    """Backend raising a coded client error (stand-in for botocore mocks)."""
+
+    def __init__(self, code: str):
+        self.code = code
+
+    def download_file(self, bucket, key, local_path):
+        raise ObjectStoreClientError(self.code, key)
+
+    def upload_file(self, local_path, bucket, key):
+        raise ObjectStoreClientError(self.code, key)
+
+
+@pytest.fixture
+def store(tmp_path):
+    return ObjectStore(LocalFSBackend(tmp_path / "buckets"), raw_bucket="test-raw")
+
+
+def test_roundtrip_upload_download(store, tmp_path):
+    src = tmp_path / "src.grib"
+    src.write_bytes(b"GRIB-bytes")
+    store.upload_raw("ads/ds/2026-01-01/run.grib", src)
+    dst = tmp_path / "out" / "nested" / "dst.grib"
+    store.download_raw("ads/ds/2026-01-01/run.grib", dst)
+    assert dst.read_bytes() == b"GRIB-bytes"
+    assert dst.parent.is_dir()  # parent dirs created by download_raw
+
+
+@pytest.mark.parametrize("key", ["", "   "])
+def test_empty_key_raises_value_error(store, tmp_path, key):
+    with pytest.raises(ValueError, match="cannot be empty"):
+        store.download_raw(key, tmp_path / "f.grib")
+    with pytest.raises(ValueError, match="cannot be empty"):
+        store.upload_raw(key, tmp_path / "f.grib")
+
+
+def test_missing_object_maps_to_file_not_found(store, tmp_path):
+    with pytest.raises(FileNotFoundError, match="test-raw"):
+        store.download_raw("missing/file.grib", tmp_path / "f.grib")
+
+
+@pytest.mark.parametrize("code", ["404", "NoSuchKey"])
+def test_not_found_codes_map_to_file_not_found(tmp_path, code):
+    store = ObjectStore(_ErrBackend(code), raw_bucket="test-raw")
+    with pytest.raises(FileNotFoundError, match="test-raw"):
+        store.download_raw("missing/file.grib", tmp_path / "f.grib")
+
+
+def test_other_download_errors_propagate(tmp_path):
+    store = ObjectStore(_ErrBackend("AccessDenied"), raw_bucket="test-raw")
+    with pytest.raises(ObjectStoreClientError, match="AccessDenied"):
+        store.download_raw("secret/file.grib", tmp_path / "f.grib")
+
+
+def test_upload_errors_wrap_in_io_error(tmp_path):
+    store = ObjectStore(_ErrBackend("AccessDenied"), raw_bucket="test-raw")
+    with pytest.raises(IOError, match="test-raw"):
+        store.upload_raw("ads/ds/2026-01-01/run.grib", tmp_path / "nope.grib")
+
+
+def test_upload_missing_local_file_wraps_in_io_error(store, tmp_path):
+    with pytest.raises(IOError, match="test-raw"):
+        store.upload_raw("ads/ds/2026-01-01/run.grib", tmp_path / "absent.grib")

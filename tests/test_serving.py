@@ -14,8 +14,10 @@ from jackfruit_spark.grid.serving import (
     EnvironmentalService,
     RequestValidationError,
     VariableNotFoundError,
+    handle_environmental,
     parse_request,
 )
+from jackfruit_spark.grid.serving_table import ServingTable
 
 COLS = ["variable", "timestamp", "lat", "lon", "value", "unit", "catalog_id", "inserted_at"]
 T0 = dt.datetime(2026, 1, 1, 12, 0, 0)
@@ -50,6 +52,16 @@ def service(spark, tmp_path_factory):
         ["id", "raw_file_id", "variable", "unit", "timestamp", "created_at"],
     )
     return EnvironmentalService(eng.grid_data_final(), curated, raw_files)
+
+
+@pytest.fixture(scope="module")
+def fast_service(spark, service, tmp_path_factory):
+    """Same data through the cell-bucketed ServingTable fast path."""
+    root = str(tmp_path_factory.mktemp("serve_fast"))
+    st = ServingTable.build(spark, service.grid, root)
+    return EnvironmentalService(
+        service.grid, service.curated, service.raw_files, serving_table=st
+    )
 
 
 def _req(lat, lon, ts, variables):
@@ -136,6 +148,100 @@ def test_parse_request_valid():
 def test_parse_request_invalid(lat, lon, ts, vars_):
     with pytest.raises(RequestValidationError):
         parse_request(lat, lon, ts, vars_)
+
+
+# -------------------------------------- ServingTable fast path + envelope
+
+
+def test_fast_path_matches_generic(service, fast_service):
+    """The ServingTable path must change latency, never answers."""
+    for req in [
+        _req(52.935, 13.595, T0, ["temperature"]),
+        _req(52.5, 13.4, T0 + dt.timedelta(minutes=30), ["temperature"]),
+        _req(52.5, 13.4, T0, ["temperature", "pm10"]),
+    ]:
+        slow = service.get_variables(req)
+        fast = fast_service.get_variables(req)
+        assert fast == slow
+
+
+def test_fast_path_not_found_semantics(fast_service):
+    with pytest.raises(VariableNotFoundError):
+        fast_service.get_variables(
+            _req(52.5, 13.4, T0 - dt.timedelta(days=1), ["temperature"])
+        )
+    with pytest.raises(VariableNotFoundError):
+        fast_service.get_variables(_req(52.5, 13.4, T0, ["temperature", "nope"]))
+
+
+def test_fast_path_prefilter_fallback(fast_service):
+    """Query point > 1 deg from every grid point: the +-1 deg window is
+    empty, the no-window retry must still find the true NN."""
+    out = fast_service.get_variables(_req(40.0, 0.0, T0, ["temperature"]))
+    # nearest grid corner of the 51.5..53.5 x 12.4..14.4 grid
+    assert (round(out[0]["actual_lat"], 3), round(out[0]["actual_lon"], 3)) == (51.5, 12.4)
+
+
+def test_envelope_success_shape(fast_service):
+    """api/response.go:15-46: requested lat/lon + timestamp at top level,
+    per-variable actual coords, snapped ref_timestamp, nested lineage
+    (handler_integration_test.go 'single variable' assertions)."""
+    status, body = handle_environmental(
+        fast_service,
+        {"lat": 52.935, "lon": 13.595, "timestamp": "2026-01-01T12:30:00Z",
+         "variables": "temperature,pm10"},
+    )
+    assert status == 200
+    assert body["lat"] == 52.935 and body["lon"] == 13.595
+    assert body["requested_timestamp"] == "2026-01-01T12:30:00Z"
+    assert [v["name"] for v in body["variables"]] == ["temperature", "pm10"]
+    t = body["variables"][0]
+    assert t["ref_timestamp"] == "2026-01-01T12:00:00Z"  # snapped down
+    assert (round(t["actual_lat"], 3), round(t["actual_lon"], 3)) == (53.0, 13.4)
+    pm = body["variables"][1]
+    assert pm["value"] == 9.0 and pm["unit"] == "µg/m³"
+    assert pm["lineage"] == {
+        "source": "ads",
+        "dataset": "cams-europe-air-quality-forecast",
+        "raw_file_id": "run-1",
+    }
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        {"lon": 13.4, "timestamp": "2026-01-01T12:00:00Z", "variables": "t"},  # missing lat
+        {"lat": 52.5, "lon": 13.4, "timestamp": "not-a-time", "variables": "t"},
+        {"lat": 52.5, "lon": 13.4, "timestamp": "2026-01-01T12:00:00Z", "variables": "  ,  "},
+    ],
+)
+def test_envelope_bad_request_400(fast_service, params):
+    status, body = handle_environmental(fast_service, params)
+    assert status == 400 and "error" in body
+
+
+def test_envelope_not_found_404(fast_service):
+    status, body = handle_environmental(
+        fast_service,
+        {"lat": 52.5, "lon": 13.4, "timestamp": "2026-01-01T12:00:00Z",
+         "variables": "nope"},
+    )
+    assert status == 404 and "nope" in body["error"]
+
+
+def test_envelope_internal_errors_do_not_leak():
+    """api/handler_test.go:25-47: 500 body must be generic."""
+
+    class Boom:
+        def get_variables(self, req):
+            raise RuntimeError("secret connection string")
+
+    status, body = handle_environmental(
+        Boom(),
+        {"lat": 1, "lon": 2, "timestamp": "2026-01-01T12:00:00Z", "variables": "t"},
+    )
+    assert status == 500
+    assert body == {"error": "internal server error"}
 
 
 def test_nearest_neighbor_cells_matches_full(spark, tmp_path):

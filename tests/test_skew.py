@@ -65,4 +65,4 @@ def test_approx_stats_bounds(spark):
     }
     for et, a in approx.items():
         assert abs(a["approx_users"] - exact[et]["n"]) <= max(2, 0.05 * exact[et]["n"])
-        assert abs(a["value_quantiles"][0] - exact[et]["med"]) <= 0.1 * max(1.0, exact[et]["med"])
+        assert abs(a["p50"] - exact[et]["med"]) <= 0.1 * max(1.0, exact[et]["med"])
