@@ -61,6 +61,42 @@ def hyperplane_bucket(vec_col: Column, planes: Sequence[Sequence[float]]) -> Col
     return sum(bits[1:], bits[0]).cast("int")
 
 
+def query_bucket(query_vec: Sequence[float], planes: Sequence[Sequence[float]]) -> int:
+    """Driver-side bucket id of a literal query vector (same sign-bit rule
+    as hyperplane_bucket)."""
+    import numpy as np
+
+    qv = np.array(query_vec, dtype="float64")
+    b = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(qv, np.array(p, dtype="float64"))) >= 0:
+            b |= 1 << i
+    return b
+
+
+def probe_buckets(bucket: int, n_planes: int, probes: int) -> list[int]:
+    """Multi-probe LSH probing sequence: the home bucket, then buckets at
+    Hamming distance 1, 2, ... until ``probes`` bucket ids are listed.
+    Rationale (Lv et al., Multi-Probe LSH, VLDB'07): a near neighbor that
+    misses the home bucket most likely differs in a single sign bit, so
+    probing Hamming-neighbors recovers recall without re-hashing or more
+    tables."""
+    from itertools import combinations
+
+    out = [bucket]
+    dist = 1
+    while len(out) < probes and dist <= n_planes:
+        for flip in combinations(range(n_planes), dist):
+            mask = 0
+            for f in flip:
+                mask |= 1 << f
+            out.append(bucket ^ mask)
+            if len(out) >= probes:
+                break
+        dist += 1
+    return out[:probes]
+
+
 def ann_lsh(
     df: DataFrame,
     id_col: str,
@@ -68,20 +104,18 @@ def ann_lsh(
     query_vec: Sequence[float],
     planes: Sequence[Sequence[float]],
     k: int = 10,
+    probes: int = 1,
 ) -> DataFrame:
-    """Bucket-pruned ANN: score only vectors whose hyperplane bucket matches
-    the query's. Recall < 1.0 by design; multi-probe = relax the filter to
-    Hamming-1 neighbors (left as the production knob). At scale, persist
-    the table bucketed/partitioned by this id so the filter prunes I/O."""
-    import numpy as np
-
-    qv = np.array(query_vec, dtype="float64")
-    qbucket = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(qv, np.array(p, dtype="float64"))) >= 0:
-            qbucket |= 1 << i
+    """Bucket-pruned ANN: score only vectors whose hyperplane bucket is in
+    the query's probing sequence. probes=1 scans just the home bucket (the
+    cheapest, lowest-recall point); probes=1+n_planes covers all Hamming-1
+    neighbors, trading a proportionally larger scan for recall — the knob
+    is a literal IN-list, so the plan stays a pruned scan + top-k with no
+    shuffle either way. At scale, persist the table bucketed/partitioned
+    by this id so the filter prunes I/O instead of rows."""
+    targets = probe_buckets(query_bucket(query_vec, planes), len(planes), probes)
     bucketed = df.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
-    cand = bucketed.filter(F.col("__bucket") == qbucket)
+    cand = bucketed.filter(F.col("__bucket").isin(targets))
     return ann_brute_force(cand.drop("__bucket"), id_col, vec_col, query_vec, k)
 
 

@@ -37,11 +37,19 @@ class Catalog:
         return self.spark.createDataFrame([], schema)
 
     def _atomic_overwrite(self, df: DataFrame, path: str) -> None:
+        """Staged write + rename-aside swap (see GridEngine.compact for the
+        honest guarantee: two metadata renames, crash leaves a recoverable
+        ``.old`` dir — not a transactional commit)."""
         staging = path + f"_stage_{uuid.uuid4().hex}"
         df.coalesce(1).write.mode("overwrite").parquet(staging)
+        old = path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(path):
-            shutil.rmtree(path)
-        shutil.move(staging, path)
+            os.rename(path, old)
+        os.rename(staging, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     # -------------------------------------------------------------- reads
 

@@ -56,16 +56,7 @@ class GridEngine:
 
         obs = Observation()
         out = (
-            df.select(
-                F.col("variable").cast("string"),
-                F.date_trunc("second", F.col("timestamp")).alias("timestamp"),
-                F.col("lat").cast("float"),
-                F.col("lon").cast("float"),
-                F.col("value").cast("float"),
-                F.col("unit").cast("string"),
-                F.col("catalog_id").cast("string"),
-                F.col("inserted_at").cast("timestamp"),
-            )
+            S.normalize_grid_columns(df)
             .withColumn(S.GRID_DATA_PARTITION_COL, F.to_date("timestamp"))
             .observe(obs, F.count(F.lit(1)).alias("rows"))
             .sortWithinPartitions("variable", "timestamp", "lat", "lon")
@@ -106,9 +97,16 @@ class GridEngine:
 
     def compact(self, date: str | None = None) -> None:
         """OPTIMIZE TABLE grid_data FINAL analog (clickhouse_grid_store.py:
-        70-72): rewrite partition(s) keeping only dedup winners. Staged
-        write + atomic directory swap per partition — no partial-commit
-        window (SURVEY §2 #29 fail-fast contract).
+        70-72): rewrite partition(s) keeping only dedup winners.
+
+        Guarantee (honest version, ADVICE r1): staged write, then per
+        partition a rename-aside swap — old dir renamed to ``.old-*``, new
+        dir renamed in, old deleted. Both renames are metadata ops, so the
+        exposure window is two renames (not a full rmtree+copy); a crash
+        in between leaves the data recoverable under the deterministic
+        ``.old-*`` name next to the partition. True multi-file atomicity
+        needs a transactional table format (Delta/Iceberg) — the documented
+        production choice.
         """
         raw = self.grid_data_raw()
         if date is not None:
@@ -128,7 +126,12 @@ class GridEngine:
         ]
         for part in staged_parts:
             dst = os.path.join(self.grid_path, part)
+            old = dst + ".old-compact"
+            if os.path.exists(old):  # leftover from a crashed prior swap
+                shutil.rmtree(old)
             if os.path.exists(dst):
-                shutil.rmtree(dst)
-            shutil.move(os.path.join(staging, part), dst)
+                os.rename(dst, old)  # metadata op, same fs
+            os.rename(os.path.join(staging, part), dst)
+            if os.path.exists(old):
+                shutil.rmtree(old)
         shutil.rmtree(staging, ignore_errors=True)

@@ -36,6 +36,27 @@ GRID_DATA = StructType(
 # partition column added at write time: date = to_date(timestamp)
 GRID_DATA_PARTITION_COL = "date"
 
+def normalize_grid_columns(df):
+    """THE normalization applied by every grid writer — batch
+    (engine.insert_grid) and streaming (streaming/ingest.write_grid_stream)
+    must agree bit-for-bit or rows ingested through both paths land under
+    different dedup keys and never collapse in the FINAL view (ADVICE r1):
+    whole-second timestamps (init.sql:17 DateTime is second-precision),
+    float32 coords/values (exact float32 round-trips are asserted by the
+    reference's tests), string variable/unit/catalog_id."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("variable").cast("string"),
+        F.date_trunc("second", F.col("timestamp")).alias("timestamp"),
+        F.col("lat").cast("float"),
+        F.col("lon").cast("float"),
+        F.col("value").cast("float"),
+        F.col("unit").cast("string"),
+        F.col("catalog_id").cast("string"),
+        F.col("inserted_at").cast("timestamp"),
+    )
+
 RAW_FILES = StructType(
     [
         StructField("id", StringType(), False),  # UUIDv7 run id

@@ -51,9 +51,16 @@ def asof_join(
     right_ts: str,
     right_value_cols: Sequence[str],
     prefix: str = "asof_",
+    tie_cols: Sequence[str] = (),
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` sharing ``keys``.
+
+    ``tie_cols`` (right-side columns) are appended to the window ordering
+    so that multiple right rows sharing the same (key, ts) resolve
+    deterministically — the row with the GREATEST tie value wins (same
+    convention as snap_latest/latest_by_keys). Without them the
+    carry-forward picks an arbitrary same-timestamp row (ADVICE r1).
 
     Scale design: tag both sides, union, and run ONE window per key ordered
     by (ts, side) carrying the last seen right-side values forward. This is
@@ -63,23 +70,32 @@ def asof_join(
     tie matches (inclusive as-of), matching the reference's ``<=`` snap.
     """
     keys = list(keys)
+    # carry tie columns through the union even when not requested as values
+    carry = list(right_value_cols) + [c for c in tie_cols if c not in right_value_cols]
     lcols = [c for c in left.columns]
     tagged_left = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in carry],
     )
     tagged_right = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in keys else F.col(c) for c in lcols],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        *[F.col(c).alias(f"__r_{c}") for c in carry],
     )
     unioned = tagged_left.unionByName(tagged_right)
+    # equal-(ts, side) right rows order by tie_cols asc, so F.last picks
+    # the greatest tie value; left rows all carry NULL tie columns and are
+    # unaffected (ignorenulls skips them anyway)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__side").asc(),
+            *[F.col(f"__r_{c}").asc() for c in tie_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -112,7 +112,12 @@ class SyntheticAdapter:
         lats_1d = np.linspace(self.lat_range[0], self.lat_range[1], nlat)
         lons_1d = np.linspace(self.lon_range[0], self.lon_range[1], nlon)
         lons, lats = np.meshgrid(lons_1d, lats_1d)
-        seed = abs(hash(path)) % (2**32)
+        # stable across processes/runs: Python's str hash is randomized per
+        # process (PYTHONHASHSEED), which made the "deterministic" fake
+        # grids differ between driver and executors (ADVICE r1)
+        import hashlib
+
+        seed = int.from_bytes(hashlib.sha256(path.encode()).digest()[:4], "big")
         rng = np.random.default_rng(seed)
         for ts in self.timestamps:
             for var in self.variables:

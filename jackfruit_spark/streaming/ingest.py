@@ -36,22 +36,37 @@ def write_grid_stream(
 ):
     """availableNow sink into the grid_data layout: append-only parquet
     partitioned by date; the FINAL view dedups as usual so streaming and
-    batch writers compose."""
-    out = (
-        messages.withColumn("value", F.col("value").cast("float"))
-        .withColumn("catalog_id", F.lit(catalog_id))
-        .withColumn("inserted_at", F.current_timestamp())
-        .withColumn("date", F.to_date("timestamp"))
-        .select(
-            "variable", "timestamp", "lat", "lon", "value", "unit",
-            "catalog_id", "inserted_at", "date",
-        )
-    )
+    batch writers genuinely compose. Two things make that true (both were
+    broken in round 1):
+
+    - SAME normalization as insert_grid (schemas.normalize_grid_columns):
+      without the whole-second truncation / float casts, a row ingested
+      via both paths lands under different dedup keys and never collapses
+      (ADVICE r1).
+    - foreachBatch + plain batch append, NOT the streaming parquet sink:
+      the file sink owns its directory via a _spark_metadata commit log,
+      and batch readers of such a directory see ONLY log-listed files —
+      a subsequent insert_grid append would be silently invisible. With
+      foreachBatch the guarantee degrades from exactly-once to
+      at-least-once per micro-batch (source offsets still checkpointed),
+      and the FINAL dedup view absorbs any replayed rows — the same
+      idempotency contract the reference leans on
+      (docs/layer-2-transformation.md:307-313)."""
+    from jackfruit_spark.grid import schemas as S
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        out = S.normalize_grid_columns(
+            batch_df.withColumn("catalog_id", F.lit(catalog_id)).withColumn(
+                "inserted_at", F.current_timestamp()
+            )
+        ).withColumn("date", F.to_date("timestamp"))
+        out.sortWithinPartitions("variable", "timestamp", "lat", "lon").write.mode(
+            "append"
+        ).partitionBy("date").parquet(grid_path)
+
     return (
-        out.writeStream.format("parquet")
-        .option("path", grid_path)
+        messages.writeStream.foreachBatch(_append)
         .option("checkpointLocation", checkpoint)
-        .partitionBy("date")
         .trigger(availableNow=True)
         .start()
     )

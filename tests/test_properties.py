@@ -86,6 +86,26 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         assert got[lid] == expect, (lid, got[lid], expect)
 
 
+@given(rows=events)
+@settings(**_SETTINGS)
+def test_asof_join_tie_cols_deterministic(spark, rows):
+    """Multiple right rows sharing (key, ts): tie_cols pins the carried
+    value to the GREATEST tie value (ADVICE r1: arbitrary otherwise)."""
+    if not rows:
+        return
+    # force collisions: every right ts duplicated with two different values
+    rdata = [(k, TS0 + dt.timedelta(seconds=s // 2 * 2), i) for k, s, i in rows]
+    ldata = [(k, TS0 + dt.timedelta(seconds=1000), 10**7 + n) for n, (k, _, _) in enumerate(rows)]
+    ldf = spark.createDataFrame(ldata, ["k", "ts", "id"])
+    rdf = spark.createDataFrame(rdata, ["k", "ts", "id"])
+    out = asof_join(ldf, rdf, ["k"], "ts", "ts", ["id"], prefix="r_", tie_cols=["id"])
+    got = {r["id"]: r["r_id"] for r in out.collect()}
+    for lk, _, lid in ldata:
+        cands = [(rts, ri) for rk, rts, ri in rdata if rk == lk]
+        expect = max(cands)[1] if cands else None
+        assert got[lid] == expect, (lid, got[lid], expect)
+
+
 @given(
     left=st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=20),
     right=st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=20),

@@ -59,6 +59,46 @@ def test_ann_lsh_recall_on_near_dup(spark, vectors):
     assert 7 in got
 
 
+def test_multi_probe_lsh_recall_monotone(spark, vectors):
+    """Multi-probe knob: recall vs the exact top-k is monotone in probes,
+    and probing every Hamming-1 neighbor (probes=1+n_planes) must recover
+    strictly more of the exact top-k than a home-bucket-only scan on a
+    query that sits near a hyperplane."""
+    from jackfruit_spark.functions.similarity import probe_buckets, query_bucket
+
+    df, vecs = vectors
+    # query near a plane: seed 5's first plane has a small margin for q,
+    # scattering true neighbors across the Hamming-1 buckets
+    q = vecs[0].astype("float64")
+    rng = np.random.default_rng(5)
+    planes = rng.normal(size=(4, 16)).tolist()
+    exact = {
+        r["vec_id"]
+        for r in ann_brute_force(df.filter(F.col("vec_id") != 0), "vec_id", "embedding", q, k=10).collect()
+    }
+    recalls = []
+    for probes in (1, 5, 16):
+        got = {
+            r["vec_id"]
+            for r in ann_lsh(
+                df.filter(F.col("vec_id") != 0), "vec_id", "embedding", q, planes, k=10, probes=probes
+            ).collect()
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls)          # monotone in probes
+    assert recalls[-1] == 1.0                  # probing all 16 buckets == exact
+
+
+def test_probe_buckets_sequence():
+    from jackfruit_spark.functions.similarity import probe_buckets
+
+    # home bucket first, then all Hamming-1 flips, then Hamming-2
+    seq = probe_buckets(0b0101, 4, 7)
+    assert seq[0] == 0b0101
+    assert set(seq[1:5]) == {0b0100, 0b0111, 0b0001, 0b1101}
+    assert len(seq) == 7 and len(set(seq)) == 7
+
+
 def test_ivf_assignment(spark):
     df = spark.createDataFrame(
         [(1, [10.0, 0.0]), (2, [0.0, 10.0]), (3, [9.0, 1.0])], ["vec_id", "embedding"]

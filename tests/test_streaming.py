@@ -56,6 +56,45 @@ def test_available_now_incremental(spark, tmp_path):
     assert eng.grid_data_raw().count() == 40
 
 
+def test_streaming_and_batch_writers_compose(spark, tmp_path):
+    """The same logical point ingested via BOTH writers (batch insert_grid
+    and streaming write_grid_stream) — with a sub-second timestamp — must
+    collapse to one row in the FINAL view. Requires both paths to share
+    normalize_grid_columns (ADVICE r1: streaming skipped the whole-second
+    truncation, splitting the dedup key)."""
+    landing = str(tmp_path / "landing")
+    grid_root = str(tmp_path / "grid")
+    ts_subsec = dt.datetime(2026, 1, 2, 0, 0, 0, 250_000)  # .25s fraction
+    row = ("ads", "r", "pm10", "µg/m³", ts_subsec, 40.0, 0.0, 5.0)
+    (
+        spark.createDataFrame([row], MSG_COLS)
+        .withColumn("lat", F.col("lat").cast("float"))
+        .withColumn("lon", F.col("lon").cast("float"))
+        .withColumn("value", F.col("value").cast("float"))
+        .write.mode("append")
+        .parquet(landing)
+    )
+    q = write_grid_stream(
+        stream_raw_messages(spark, landing),
+        str(tmp_path / "grid" / "grid_data"),
+        str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+    eng = GridEngine(spark, grid_root)
+    eng.insert_grid(
+        spark.createDataFrame(
+            [("pm10", ts_subsec, 40.0, 0.0, 5.0, "µg/m³", "batch-cat",
+              dt.datetime(2027, 1, 1))],  # after the stream's current_timestamp()
+            ["variable", "timestamp", "lat", "lon", "value", "unit",
+             "catalog_id", "inserted_at"],
+        )
+    )
+    final = eng.grid_data_final().filter(F.col("timestamp") == dt.datetime(2026, 1, 2))
+    rows = final.collect()
+    assert len(rows) == 1  # both writers landed under ONE dedup key
+    assert rows[0]["catalog_id"] == "batch-cat"  # later inserted_at wins
+
+
 def test_windowed_event_stats_with_watermark(spark, tmp_path):
     src = str(tmp_path / "events")
     rows = [
