@@ -62,9 +62,13 @@ class ServingTable:
             .partitionBy("variable", "date")
             .parquet(st.data_path)
         )
-        # tiny: |variables| x |timestamps| rows, read driver-side at query time
+        # tiny: |variables| x |timestamps| rows. Derived from the WRITTEN
+        # files, not the input plan — referencing `data` again would
+        # re-evaluate the whole dedup upstream a second time; re-reading
+        # the parquet is a 3-column dictionary-encoded scan.
         (
-            data.select("variable", "timestamp", "date")
+            spark.read.parquet(st.data_path)
+            .select("variable", "timestamp", "date")
             .distinct()
             .coalesce(1)
             .write.mode("overwrite")

@@ -344,6 +344,64 @@ def jaccard_for_candidates(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph: (id, cluster_id)
+    where cluster_id = min node id in the component (singletons label
+    themselves). The last step of large-scale dedup: LSH/Jaccard emit
+    PAIRS, but a near-dup triangle (a~b, b~c) must collapse to ONE keeper,
+    which requires the transitive closure.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbor labels); converges in O(component
+    diameter) rounds. Near-dup graphs have tiny diameters (dup clusters
+    are quasi-cliques), so a handful of rounds suffices; ``max_iter``
+    bounds pathological chains. Each round is one equi-join + one groupBy
+    (shuffle cost ~ |edges|); at the 100 TB north star swap in the
+    large-star/small-star variant (Kiveris et al., "Connected Components
+    in MapReduce", SoCC'14) which contracts paths in O(log^2 n) rounds —
+    same join/groupBy primitives, different edge rewriting.
+
+    Driver-side loop note: the per-round convergence check is ONE scalar
+    count per iteration (not a collect of data), and iteration count is
+    bounded by graph diameter, not data size — this stays a distributed
+    algorithm."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nlabel") < F.col("label")).alias("__improved"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        changed = new_labels.filter(F.col("__improved")).count()
+        labels = new_labels.drop("__improved")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash(
     df: DataFrame,
     id_col: str,

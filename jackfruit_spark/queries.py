@@ -1555,3 +1555,193 @@ def q52_range_join(spark, sf_dir):
         clicks, views, ["user_id"], "click_ts", "view_ts", 0, RANGE_JOIN_WINDOW_US
     )
     return out.select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+
+
+# ============== batch 4 (r2): end-to-end LLM-data curation (q53-q57) =====
+# The dedup family emits PAIRS; a real pipeline must also (a) close them
+# transitively into clusters and pick keepers, (b) sample reproducibly,
+# (c) mix sources by weight, (d) report corpus stats — each below, fully
+# oracle-checked (the md5 hash family keeps even the sampling decisions
+# bit-identical in DuckDB).
+
+DEDUP_JACCARD_THRESHOLD = 0.6
+
+
+def _q53_oracle() -> str:
+    # pair generation = q21's shingle expressions + threshold; the division
+    # has identical operand shapes on both sides, so >= compares equal bits
+    return f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) > 0
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        >= {DEDUP_JACCARD_THRESHOLD}
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT n.doc_id, LEAST(n.doc_id, COALESCE(MIN(r.d), n.doc_id)) AS cluster_id
+FROM documents n LEFT JOIN reach r ON r.s = n.doc_id
+GROUP BY n.doc_id
+"""
+
+
+@register(
+    "q53_dedup_clusters",
+    oracle=_q53_oracle(),
+    doc="Near-dup clustering: Jaccard pairs >= 0.6 closed transitively "
+    "into connected components (operators/dedup.connected_components, "
+    "min-label propagation), cluster_id = min doc_id. The oracle computes "
+    "the same closure with a DuckDB recursive CTE.",
+)
+def q53_dedup_clusters(spark, sf_dir):
+    from jackfruit_spark.operators.dedup import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", k=3).filter(
+        F.col("jaccard") >= DEDUP_JACCARD_THRESHOLD
+    )
+    return connected_components(d.select("doc_id"), pairs, id_col="doc_id")
+
+
+def _hash_pct(col_sql: str) -> str:
+    from jackfruit_spark.functions.hashing import sql_md5_hash64
+
+    return f"({sql_md5_hash64(col_sql)} % 100)"
+
+
+def _hash_pct_col(col):
+    from jackfruit_spark.functions.hashing import md5_hash64
+
+    return md5_hash64(col) % F.lit(100)
+
+
+@register(
+    "q54_hash_sample",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE {_hash_pct("CAST(doc_id AS VARCHAR)")} < 10
+""",
+    doc="Reproducible 10% sample by content-independent key hash — the "
+    "only sampling discipline that survives re-runs, backfills and "
+    "cluster changes at 100 TB (rand() does not). Hash-matched: the "
+    "sampling DECISION itself is oracle-verified bit-for-bit.",
+)
+def q54_hash_sample(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.filter(_hash_pct_col(F.col("doc_id").cast("string")) < 10).select(
+        "doc_id", "lang"
+    )
+
+
+MIX_RATES = {"en": 50, "fr": 20}  # percent kept per language; default 10
+MIX_DEFAULT = 10
+
+
+@register(
+    "q55_stratified_mix",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE {_hash_pct("CAST(doc_id AS VARCHAR)")}
+      < CASE {' '.join(f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_RATES.items())}
+        ELSE {MIX_DEFAULT} END
+""",
+    doc="Stratified data mixing: per-language keep rates (en 50% / fr 20% "
+    "/ rest 10%) applied via the same deterministic key hash — the "
+    "training-mix weighting step of a data pipeline, one scan, no "
+    "shuffle.",
+)
+def q55_stratified_mix(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(MIX_DEFAULT)
+    for k, v in reversed(MIX_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return d.filter(_hash_pct_col(F.col("doc_id").cast("string")) < rate).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "q56_corpus_stats",
+    oracle=r"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS total_tokens,
+       SUM(CAST(length(text) AS BIGINT)) AS total_chars,
+       CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) AS avg_tokens
+FROM documents GROUP BY lang
+""",
+    doc="Corpus-level statistics per language: doc/token/char totals and "
+    "mean doc length — integer sums (order-independent), one division at "
+    "the end.",
+)
+def q56_corpus_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = T.token_count("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        (F.sum(toks).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+def _q57_oracle() -> str:
+    # reuses q19's language CASE and q18's rounded ratio discipline
+    return f"""
+WITH feats AS (
+  SELECT doc_id, text,
+         CASE {' '.join(_LANG_CASE)} ELSE 'und' END AS lang_pred,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         ROUND(CAST({_sql_lang_score(T.LANG_STOPWORDS['en'])} AS DOUBLE)
+               / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6)
+           AS stop_ratio
+  FROM (SELECT doc_id, text, {_LANG_SCORES} FROM documents)
+),
+kept AS (
+  SELECT doc_id, text FROM feats
+  WHERE lang_pred = 'en' AND n_tokens BETWEEN 5 AND 1000 AND stop_ratio >= 0.05
+),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+SELECT doc_id FROM keepers
+WHERE {_hash_pct("CAST(doc_id AS VARCHAR)")} < 50
+"""
+
+
+@register(
+    "q57_curation_pipeline",
+    oracle=_q57_oracle(),
+    doc="End-to-end curation: language filter (en) -> quality gates "
+    "(5-1000 tokens, stopword ratio >= 0.05) -> exact-dedup keeper "
+    "(min doc_id per content hash) -> deterministic 50% sample. The "
+    "composition every training-data pipeline runs, as ONE declarative "
+    "plan: scan -> filters (pushed down) -> one groupBy -> hash filter.",
+)
+def q57_curation_pipeline(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = T.token_count("text")
+    stop_ratio = F.round(
+        T.stopword_count("text", T.LANG_STOPWORDS["en"]).cast("double")
+        / toks.cast("double"),
+        6,
+    )
+    kept = d.filter(
+        (T.lang_id("text") == "en")
+        & toks.between(5, 1000)
+        & (stop_ratio >= 0.05)
+    )
+    keepers = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    return keepers.filter(_hash_pct_col(F.col("doc_id").cast("string")) < 50).select(
+        "doc_id"
+    )

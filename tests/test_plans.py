@@ -74,7 +74,34 @@ def test_grid_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "date" in plan
 
 
-def test_co_bucketed_join_no_shuffle(spark, tmp_path):
+def test_serving_table_slice_prunes_partitions(spark, tmp_path):
+    """The ServingTable point read must be a partition-pruned scan:
+    (variable, date) land in PartitionFilters (directory pruning) and the
+    timestamp/lat/lon predicates in PushedFilters (row-group skipping on
+    the sorted files) — the primary-index-read analog the layout exists
+    for."""
+    import datetime as dt
+
+    from jackfruit_spark.grid.engine import GridEngine
+    from jackfruit_spark.grid.serving_table import ServingTable
+    from jackfruit_spark.plans import plan_string
+
+    eng = GridEngine(spark, str(tmp_path / "g"))
+    cols = ["variable", "timestamp", "lat", "lon", "value", "unit", "catalog_id", "inserted_at"]
+    rows = [
+        (v, dt.datetime(2026, 1, d), 50.0 + i, 10.0, 1.0, "u", "c", dt.datetime(2026, 1, d))
+        for v in ("t", "pm10")
+        for d in (1, 2)
+        for i in range(3)
+    ]
+    eng.insert_grid(spark.createDataFrame(rows, cols))
+    st = ServingTable.build(spark, eng.grid_data_final(), str(tmp_path / "serve"))
+
+    snaps = st.snap(["t"], dt.datetime(2026, 1, 2, 12))
+    assert snaps == {"t": (dt.datetime(2026, 1, 2), dt.date(2026, 1, 2))}
+    plan = plan_string(st.slice(snaps, 50.5, 10.0, prefilter_deg=1.0))
+    assert "PartitionFilters" in plan and "variable" in plan
+    assert "PushedFilters" in plan and "lat" in plan
     from pyspark.sql import functions as F
 
     from jackfruit_spark.plans import plan_summary

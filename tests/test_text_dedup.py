@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from jackfruit_spark.functions import text as T
 from jackfruit_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_for_candidates,
     jaccard_pairs,
@@ -129,6 +130,18 @@ def test_quality_features(spark):
     assert row["n_tokens"] == 7
     assert row["punct_ratio"] > 0
     assert row["stopword_ratio"] == pytest.approx(round(4 / 7, 6) , abs=1e-6)
+
+
+def test_connected_components_transitive_closure(spark):
+    """a~b, b~c but NOT a~c as a pair: all three must share one cluster
+    (the whole reason pairs aren't enough); chains longer than one round
+    converge via iteration; singletons label themselves."""
+    nodes = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (6, 7), (7, 8)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: r["cluster_id"] for r in connected_components(nodes, pairs).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 5, 8: 5, 9: 9}
 
 
 def test_fingerprint_stable_and_sensitive(spark, corpus):
