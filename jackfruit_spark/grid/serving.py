@@ -35,6 +35,43 @@ class VariableNotFoundError(LookupError):
     pass
 
 
+class QueryTimeoutError(TimeoutError):
+    pass
+
+
+def _collect_with_deadline(df, timeout_s: float | None):
+    """Collect with the reference's execution-guard semantics
+    (handler.go:38 18 s request deadline; main.go:48-50 ClickHouse
+    max_execution_time): a timer interrupts the tagged Spark jobs at the
+    deadline (spark.interruptTag — the Spark analog of a query kill), and
+    a post-hoc elapsed check catches the race where the interrupt lands
+    between jobs. No timeout (None) = plain collect."""
+    if timeout_s is None:
+        return df.collect()
+    import threading
+    import time
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    tag = f"env-deadline-{_uuid.uuid4().hex}"
+    spark.addTag(tag)
+    timer = threading.Timer(timeout_s, lambda: spark.interruptTag(tag))
+    timer.start()
+    t0 = time.monotonic()
+    try:
+        rows = df.collect()
+    except Exception as e:
+        if time.monotonic() - t0 >= timeout_s:
+            raise QueryTimeoutError(f"query exceeded {timeout_s}s deadline") from e
+        raise
+    finally:
+        timer.cancel()
+        spark.removeTag(tag)
+    if time.monotonic() - t0 >= timeout_s:
+        raise QueryTimeoutError(f"query exceeded {timeout_s}s deadline")
+    return rows
+
+
 @dataclass(frozen=True)
 class EnvironmentalRequest:
     """Validated request (api/request.go:11-16)."""
@@ -187,10 +224,13 @@ class EnvironmentalService:
         nn = latest_by_keys(nn_rows, S.DEDUP_KEYS, S.VERSION_COL, tie_cols=["catalog_id"])
         return self._finish(nn)
 
-    def get_variables(self, req: EnvironmentalRequest) -> list[dict]:
+    def get_variables(
+        self, req: EnvironmentalRequest, timeout_s: float | None = None
+    ) -> list[dict]:
         """All-or-nothing per-variable results (environmental.go:41-67):
         result count < len(variables) → VariableNotFoundError, no partial
-        responses (serving-go/README.md:59).
+        responses (serving-go/README.md:59). ``timeout_s`` enforces the
+        request deadline (→ QueryTimeoutError), SURVEY §2 #32.
 
         With a ServingTable attached the +-1 deg prefilter is tried first;
         any variable it misses (point far from all grid points — possible
@@ -204,13 +244,13 @@ class EnvironmentalService:
                 plan = self._fast_plan(req, tuple(missing), prefilter)
                 if plan is None:
                     break
-                rows += plan.collect()
+                rows += _collect_with_deadline(plan, timeout_s)
                 found = {r["variable"] for r in rows}
                 missing = [v for v in missing if v not in found]
                 if not missing:
                     break
         else:
-            rows = self.query_plan(req).collect()
+            rows = _collect_with_deadline(self.query_plan(req), timeout_s)
             found = {r["variable"] for r in rows}
             missing = [v for v in req.variables if v not in found]
         if missing:
@@ -255,11 +295,14 @@ def assemble_response(req: EnvironmentalRequest, results: list[dict]) -> dict:
     }
 
 
-def handle_environmental(service: EnvironmentalService, params: dict) -> tuple[int, dict]:
+def handle_environmental(
+    service: EnvironmentalService, params: dict, timeout_s: float | None = 18.0
+) -> tuple[int, dict]:
     """HTTP-free handler: (status, body) per api/handler.go:32-83 —
-    validation → 400, variable-not-found → 404, anything else → 500 with a
-    generic message (internal errors must not leak, api/handler_test.go:
-    25-47), success → 200 envelope."""
+    validation → 400, variable-not-found → 404, deadline exceeded → 504
+    (handler.go:38 18 s request context; the default mirrors it), anything
+    else → 500 with a generic message (internal errors must not leak,
+    api/handler_test.go:25-47), success → 200 envelope."""
     try:
         req = parse_request(
             params.get("lat"),
@@ -270,9 +313,11 @@ def handle_environmental(service: EnvironmentalService, params: dict) -> tuple[i
     except RequestValidationError as e:
         return 400, {"error": str(e)}
     try:
-        results = service.get_variables(req)
+        results = service.get_variables(req, timeout_s=timeout_s)
     except VariableNotFoundError as e:
         return 404, {"error": str(e)}
+    except QueryTimeoutError:
+        return 504, {"error": "query timed out"}
     except Exception:
         return 500, {"error": "internal server error"}
     return 200, assemble_response(req, results)

@@ -229,6 +229,29 @@ def test_envelope_not_found_404(fast_service):
     assert status == 404 and "nope" in body["error"]
 
 
+def test_request_deadline_504(service):
+    """SURVEY §2 #32 execution guards: an exceeded deadline maps to
+    504/'query timed out' (handler.go:38 + main.go:48-50 semantics).
+    timeout_s=0 makes the post-hoc deadline check deterministic."""
+    status, body = handle_environmental(
+        service,
+        {"lat": 52.5, "lon": 13.4, "timestamp": "2026-01-01T12:00:00Z",
+         "variables": "temperature"},
+        timeout_s=0.0,
+    )
+    assert (status, body) == (504, {"error": "query timed out"})
+
+
+def test_no_deadline_by_default_path_still_works(service):
+    from jackfruit_spark.grid.serving import QueryTimeoutError
+
+    with pytest.raises(QueryTimeoutError):
+        service.get_variables(_req(52.5, 13.4, T0, ["temperature"]), timeout_s=0.0)
+    # generous deadline: normal result
+    out = service.get_variables(_req(52.5, 13.4, T0, ["temperature"]), timeout_s=120.0)
+    assert out[0]["variable"] == "temperature"
+
+
 def test_envelope_internal_errors_do_not_leak():
     """api/handler_test.go:25-47: 500 body must be generic."""
 
