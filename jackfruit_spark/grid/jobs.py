@@ -49,6 +49,7 @@ class DailyJob:
         raw_root: str,
         store_root: str,
         sources: list[SourceConfig],
+        serving_root: str | None = None,
     ):
         self.spark = spark
         self.raw_root = raw_root
@@ -63,6 +64,13 @@ class DailyJob:
         self.catalog = Catalog(spark, os.path.join(store_root, "catalog"))
         self.pipeline = TransformPipeline(spark, self.engine, self.catalog)
         self.sources = sources
+        # optional interactive serving layout, refreshed per partition run
+        if serving_root is not None:
+            from jackfruit_spark.grid.serving_table import ServingTable
+
+            self.serving_table = ServingTable(spark, serving_root)
+        else:
+            self.serving_table = None
 
     def _raw_dir(self, cfg: SourceConfig, day: dt.date) -> str:
         return os.path.join(self.raw_root, cfg.source, cfg.dataset, f"{day:%Y-%m-%d}")
@@ -119,6 +127,11 @@ class DailyJob:
                     n = self.pipeline.transform_ecmwf(msgs, raw_file_id=run_id)
                 written[f"{cfg.source}:{run_id}"] = n
         self.engine.compact(f"{day:%Y-%m-%d}")
+        if self.serving_table is not None:
+            # incremental serving refresh: only this day's partitions
+            self.serving_table.refresh_dates(
+                self.engine.grid_data_final(), [f"{day:%Y-%m-%d}"]
+            )
         return written
 
     def backfill(self, start: dt.date, end: dt.date) -> dict[str, dict[str, int]]:

@@ -76,6 +76,35 @@ class ServingTable:
         )
         return st
 
+    def refresh_dates(self, grid_final: DataFrame, dates: list) -> None:
+        """Incremental freshness: rewrite ONLY the (variable, date)
+        partitions for the given dates via dynamic partition overwrite —
+        the per-ingest analog of a MergeTree merge (a daily pipeline calls
+        this after each partition's transform instead of rebuilding the
+        whole table). Untouched partitions keep their files; the manifest
+        is re-derived from the written layout (3-column dictionary scan)
+        and the in-memory cache invalidated."""
+        data = grid_final.withColumn("date", F.to_date("timestamp")).filter(
+            F.col("date").isin([d if isinstance(d, str) else str(d) for d in dates])
+        )
+        (
+            data.repartition("variable", "date")
+            .sortWithinPartitions("timestamp", "lat", "lon")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("variable", "date")
+            .parquet(self.data_path)
+        )
+        (
+            self.spark.read.parquet(self.data_path)
+            .select("variable", "timestamp", "date")
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(self.manifest_path)
+        )
+        self._manifest = None
+
     # -------------------------------------------------------------- read
 
     def _load_manifest(self) -> dict[str, list[tuple[dt.datetime, dt.date]]]:

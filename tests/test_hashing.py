@@ -1,0 +1,94 @@
+"""functions/hashing.py cross-engine guarantees: the md5-derived 60-bit
+hash and the multiply-mix family must agree bit-for-bit between Spark,
+DuckDB, and a pure-Python reference on arbitrary strings — this is the
+foundation the q24/q25/q27 oracles stand on."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions.hashing import (
+    MASK30,
+    P61,
+    md5_hash64,
+    mix_exprs,
+    mix_params,
+    sql_md5_hash64,
+    sql_mix,
+)
+
+
+def _py_md5_hash64(s: str, seed: str = "") -> int:
+    inner = f"{seed}|{s}" if seed else s
+    return int(hashlib.md5(inner.encode()).hexdigest()[:15], 16)
+
+
+def _py_mix(base: int, i: int, num: int) -> int:
+    a, b, c = mix_params(num)[i]
+    return (a * (base >> 30) + b * (base & MASK30) + c) % P61
+
+
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+)
+
+
+@given(s=texts, seed=st.sampled_from(["", "0", "17"]))
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_md5_hash64_three_engines_agree(spark, s, seed):
+    expect = _py_md5_hash64(s, seed)
+    got_spark = (
+        spark.createDataFrame([(s,)], ["x"]).select(md5_hash64("x", seed).alias("h")).collect()[0]["h"]
+    )
+    got_duck = duckdb.sql(
+        f"SELECT {sql_md5_hash64('x', seed)} AS h FROM (SELECT ? AS x)", params=[s]
+    ).fetchone()[0]
+    assert got_spark == expect == got_duck
+    assert 0 <= expect < 1 << 60  # non-negative, mix-safe range
+
+
+@given(s=texts)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_mix_family_three_engines_agree(spark, s):
+    base = _py_md5_hash64(s)
+    num = 8
+    expect = [_py_mix(base, i, num) for i in range(num)]
+    row = (
+        spark.createDataFrame([(s,)], ["x"])
+        .select(md5_hash64("x").alias("__base"))
+        .select(*mix_exprs("__base", num))
+        .collect()[0]
+    )
+    got_spark = [row[f"h{i}"] for i in range(num)]
+    duck_sql = ", ".join(f"{sql_mix('b', i, num)} AS h{i}" for i in range(num))
+    got_duck = list(
+        duckdb.sql(
+            f"SELECT {duck_sql} FROM (SELECT {sql_md5_hash64('x')} AS b FROM (SELECT ? AS x))",
+            params=[s],
+        ).fetchone()
+    )
+    assert got_spark == expect == got_duck
+    assert all(0 <= h < P61 for h in expect)
+
+
+def test_mix_params_fixed_and_in_range():
+    ps = mix_params(32)
+    assert ps == mix_params(32)  # deterministic across calls
+    for a, b, c in ps:
+        assert 1 <= a < 1 << 30 and 1 <= b < 1 << 30 and 0 <= c < 1 << 30
+        # worst-case product bound: no 64-bit overflow either engine
+        assert a * MASK30 + b * MASK30 + c < 1 << 62

@@ -43,6 +43,30 @@ def test_run_partition_end_to_end(spark, job):
     assert lin == {"source": "synth-daily", "dataset": "test-ds", "raw_file_id": run_id}
 
 
+def test_run_partition_refreshes_serving_table(spark, tmp_path):
+    grib.register_adapter(
+        "synth-serve",
+        grib.SyntheticAdapter(
+            variables=("pm10",), shape=(4, 4),
+            timestamps=("2026-02-01T00:00:00",),
+        ),
+    )
+    job = DailyJob(
+        spark,
+        raw_root=str(tmp_path / "raw"),
+        store_root=str(tmp_path / "store"),
+        sources=[SourceConfig("synth-serve", "ds", "cams")],
+        serving_root=str(tmp_path / "serve"),
+    )
+    day = dt.date(2026, 2, 1)
+    job.ingest(job.sources[0], day, b"GRIB-fake")
+    job.run_partition(day)
+    # the serving layout answers the day's snap without a full-table build
+    snaps = job.serving_table.snap(["pm10"], dt.datetime(2026, 2, 1, 12))
+    assert snaps["pm10"][0] == dt.datetime(2026, 2, 1)
+    assert job.serving_table.slice(snaps).count() == 16
+
+
 def test_missing_upstream_fails_hard(job):
     with pytest.raises(FileNotFoundError):
         job.run_partition(dt.date(2026, 2, 2))

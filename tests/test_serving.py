@@ -182,6 +182,35 @@ def test_fast_path_prefilter_fallback(fast_service):
     assert (round(out[0]["actual_lat"], 3), round(out[0]["actual_lon"], 3)) == (51.5, 12.4)
 
 
+def test_serving_table_incremental_refresh(spark, tmp_path):
+    """refresh_dates rewrites only the touched (variable, date) partitions
+    (dynamic overwrite) and re-derives the manifest; untouched partition
+    files remain byte-identical."""
+    import os
+
+    eng = GridEngine(spark, str(tmp_path / "g"))
+    d1, d2 = dt.datetime(2026, 1, 1, 12), dt.datetime(2026, 1, 2, 12)
+    eng.insert_grid(spark.createDataFrame(
+        [("t", d1, 50.0, 10.0, 1.0, "u", "c1", d1),
+         ("t", d2, 50.0, 10.0, 2.0, "u", "c2", d2)], COLS))
+    st = ServingTable.build(spark, eng.grid_data_final(), str(tmp_path / "s"))
+
+    day1_dir = os.path.join(st.data_path, "variable=t", "date=2026-01-01")
+    before = sorted(os.listdir(day1_dir))
+
+    # new data lands for day 2 only; refresh just that date
+    eng.insert_grid(spark.createDataFrame(
+        [("t", dt.datetime(2026, 1, 2, 13), 50.0, 10.0, 3.0, "u", "c3", dt.datetime(2026, 1, 2, 13))],
+        COLS))
+    st.refresh_dates(eng.grid_data_final(), ["2026-01-02"])
+
+    assert sorted(os.listdir(day1_dir)) == before  # untouched partition intact
+    snaps = st.snap(["t"], dt.datetime(2026, 1, 3))
+    assert snaps["t"][0] == dt.datetime(2026, 1, 2, 13)  # manifest sees new ts
+    rows = st.slice(snaps).collect()
+    assert [r["value"] for r in rows] == [3.0]
+
+
 def test_envelope_success_shape(fast_service):
     """api/response.go:15-46: requested lat/lon + timestamp at top level,
     per-variable actual coords, snapped ref_timestamp, nested lineage
