@@ -114,21 +114,22 @@ def shingled_exploded(
     """
     t = df.select(F.col(id_col), F.posexplode(tokens_expr(text_col)).alias("__pos", "__tok"))
     w = Window.partitionBy(id_col).orderBy("__pos")
-    wn = Window.partitionBy(id_col)
     gram = F.concat_ws(
         " ", F.col("__tok"), *[F.lead("__tok", j).over(w) for j in range(1, k)]
     )
+    # keep-row rule without a second (count-over-partition) window pass:
+    # a gram is FULL iff its last lead exists; the single partial gram for
+    # a <k-token doc is the pos==0 row (whose last lead is null). So
+    # keep = last-lead-present OR pos==0 — provably identical to the
+    # (pos <= n-k) | (pos == 0 & n < k) formulation, one Window op cheaper.
     out = (
         t.select(
             F.col(id_col),
             F.col("__pos"),
             gram.alias("sh"),
-            F.count(F.lit(1)).over(wn).alias("__n"),
+            F.lead("__tok", k - 1).over(w).alias("__last"),
         )
-        .filter(
-            (F.col("__pos") <= F.col("__n") - k)
-            | ((F.col("__pos") == 0) & (F.col("__n") < k))
-        )
+        .filter(F.col("__last").isNotNull() | (F.col("__pos") == 0))
         .select(F.col(id_col), "sh")
     )
     return out.distinct() if distinct else out

@@ -50,6 +50,22 @@ def test_q22_ann_no_shuffle(spark):
     assert s.has_take_ordered
 
 
+def test_q54_sampling_prunes_and_no_shuffle(spark):
+    # deterministic hash sample: one pruned scan + filter, nothing else
+    s = plan_summary(Q.registry()["q54_hash_sample"].fn(spark, SF))
+    assert s.shuffles == 0
+    assert s.scan_columns()[0] == ["doc_id", "lang"]  # 2 of 4 columns read
+
+
+def test_q57_curation_single_shuffle(spark):
+    # lang/quality filters + dedup keeper + sample: exactly ONE exchange
+    # (the content-hash groupBy) — filters and sampling stay scan-side
+    s = plan_summary(Q.registry()["q57_curation_pipeline"].fn(spark, SF))
+    assert s.shuffles == 1
+    cols = s.scan_columns()[0]
+    assert "doc_id" in cols and "text" in cols and len(cols) == 2
+
+
 def test_grid_partition_pruning(spark, tmp_path):
     import datetime as dt
 
@@ -102,9 +118,9 @@ def test_serving_table_slice_prunes_partitions(spark, tmp_path):
     plan = plan_string(st.slice(snaps, 50.5, 10.0, prefilter_deg=1.0))
     assert "PartitionFilters" in plan and "variable" in plan
     assert "PushedFilters" in plan and "lat" in plan
-    from pyspark.sql import functions as F
 
-    from jackfruit_spark.plans import plan_summary
+
+def test_co_bucketed_join_no_shuffle(spark, tmp_path):
     from jackfruit_spark.storage import co_bucketed_join, write_bucketed
 
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
