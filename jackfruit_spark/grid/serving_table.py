@@ -10,9 +10,10 @@ This module materializes what the reference gets from its storage engine:
 - **partitioned by (variable, date)** so a point lookup prunes to ONE
   partition directory per variable (ClickHouse PARTITION BY toYYYYMMDD
   + primary-key variable prefix, init.sql:24-25);
-- **sorted within partitions by (timestamp, lat, lon)** so parquet
-  row-group min/max stats skip non-matching timestamps and lat bands
-  (the sparse-index analog);
+- **sorted within partitions by (timestamp, Z-order(lat, lon))** so
+  parquet row-group min/max stats skip non-matching timestamps and give
+  tight ranges on BOTH coordinates (the sparse-index analog; Morton
+  interleaving is what Delta's Z-ORDER does — here it's just a sort key);
 - a **driver-side manifest** of distinct (variable, timestamp) — the
   tiny metadata ClickHouse keeps in memory per part; the timestamp snap
   (max ts' <= ts per variable, finder.go:38-41) resolves against it
@@ -55,13 +56,7 @@ class ServingTable:
         """
         st = ServingTable(spark, root)
         data = grid_final.withColumn("date", F.to_date("timestamp"))
-        (
-            data.repartition("variable", "date")
-            .sortWithinPartitions("timestamp", "lat", "lon")
-            .write.mode("overwrite")
-            .partitionBy("variable", "date")
-            .parquet(st.data_path)
-        )
+        st._write_data(data, mode="overwrite", dynamic=False)
         # tiny: |variables| x |timestamps| rows. Derived from the WRITTEN
         # files, not the input plan — referencing `data` again would
         # re-evaluate the whole dedup upstream a second time; re-reading
@@ -76,6 +71,25 @@ class ServingTable:
         )
         return st
 
+    def _write_data(self, data: DataFrame, mode: str, dynamic: bool) -> None:
+        """Partitioned write with the serving sort order: timestamp first
+        (snap equality prunes row groups), then the Z-order (Morton) code
+        of (lat, lon) so BOTH coordinates get tight min/max ranges per row
+        group — a lat-major sort only skips on lat (operators/nn.
+        morton_code)."""
+        from jackfruit_spark.operators.nn import morton_code
+
+        w = (
+            data.repartition("variable", "date")
+            .withColumn("__z", morton_code("lat", "lon"))
+            .sortWithinPartitions("timestamp", "__z")
+            .drop("__z")
+            .write.mode(mode)
+        )
+        if dynamic:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        w.partitionBy("variable", "date").parquet(self.data_path)
+
     def refresh_dates(self, grid_final: DataFrame, dates: list) -> None:
         """Incremental freshness: rewrite ONLY the (variable, date)
         partitions for the given dates via dynamic partition overwrite —
@@ -87,14 +101,7 @@ class ServingTable:
         data = grid_final.withColumn("date", F.to_date("timestamp")).filter(
             F.col("date").isin([d if isinstance(d, str) else str(d) for d in dates])
         )
-        (
-            data.repartition("variable", "date")
-            .sortWithinPartitions("timestamp", "lat", "lon")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("variable", "date")
-            .parquet(self.data_path)
-        )
+        self._write_data(data, mode="overwrite", dynamic=True)
         (
             self.spark.read.parquet(self.data_path)
             .select("variable", "timestamp", "date")

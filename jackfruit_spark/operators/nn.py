@@ -62,6 +62,30 @@ def cell_id(lat_col: str, lon_col: str, cell_deg: float = 1.0) -> Column:
     )
 
 
+def morton_code(lat_col: str, lon_col: str, bits: int = 16) -> Column:
+    """Z-order (Morton) code of a lat/lon point: quantize each coordinate
+    to ``bits`` bits over its full range, interleave the bits. Sorting
+    storage by this value clusters 2-D neighbors into the same parquet
+    row groups, so min/max stats give TIGHT ranges on BOTH lat and lon —
+    a lat-major sort only prunes on lat (the second sort key's ranges
+    span the whole partition). Pure bit-arithmetic expressions: codegen,
+    no UDF. The standard trick Delta's Z-ORDER applies; here it's just a
+    sort key."""
+    nlevels = F.lit((1 << bits) - 1)
+    u = F.floor((F.col(lat_col) + F.lit(90.0)) / F.lit(180.0) * (1 << bits))
+    v = F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * (1 << bits))
+    u = F.least(F.greatest(u, F.lit(0)), nlevels).cast("long")
+    v = F.least(F.greatest(v, F.lit(0)), nlevels).cast("long")
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        code = (
+            code
+            + F.shiftleft(F.shiftright(u, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(v, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return code
+
+
 def nearest_neighbor_cells(
     df: DataFrame,
     lat_col: str,

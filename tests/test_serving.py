@@ -296,6 +296,30 @@ def test_envelope_internal_errors_do_not_leak():
     assert body == {"error": "internal server error"}
 
 
+def test_morton_code_locality(spark):
+    """Z-order sanity: bit-interleave of quantized coords; spatial
+    neighbors end up adjacent in code order far more often than a
+    lat-major sort would place lon-neighbors."""
+    from jackfruit_spark.operators.nn import morton_code
+
+    pts = [(50.0 + 0.5 * i, 10.0 + 0.5 * j) for i in range(8) for j in range(8)]
+    df = spark.createDataFrame(pts, ["lat", "lon"])
+    rows = (
+        df.select("lat", "lon", morton_code("lat", "lon").alias("z"))
+        .orderBy("z")
+        .collect()
+    )
+    codes = [r["z"] for r in rows]
+    assert len(set(codes)) == len(codes)  # distinct points -> distinct codes
+    # consecutive codes are spatial neighbors: mean hop distance stays
+    # small (Z-curve locality), far below random shuffling of a 3.5-deg grid
+    hops = [
+        abs(a["lat"] - b["lat"]) + abs(a["lon"] - b["lon"])
+        for a, b in zip(rows, rows[1:])
+    ]
+    assert sum(hops) / len(hops) < 1.5
+
+
 def test_nearest_neighbor_cells_matches_full(spark, tmp_path):
     # the cell-bucketed NN pre-filter returns the same winner as the full
     # scan when the true NN lies in the 3x3 neighborhood (always, for
