@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "q40_embedding_near_dup",
     "q42_sessionization",
     "q47_small_quantity_revenue",
+    "q57_curation_pipeline",
 ]
 
 REPEATS = 2  # report min-of-N: measures capability, suppresses GC/JIT noise

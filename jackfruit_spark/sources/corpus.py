@@ -1,0 +1,105 @@
+"""Text-corpus sources/sinks: JSONL and CSV document ingestion.
+
+The analytic tables ship as parquet, but real training-data pipelines
+ingest crawled corpora as JSONL (one document object per line — the
+de-facto interchange format) or CSV exports. Same discipline as the grid
+schemas (SURVEY §1.3): FIXED schema, never inference — ``inferSchema``
+costs an extra full pass and lets a single malformed file silently change
+column types mid-pipeline.
+
+Malformed-record policy is explicit: PERMISSIVE (default) routes bad
+lines to ``_corrupt_record`` so a quality pass can quarantine them;
+FAILFAST for ingestion jobs that must halt on corruption (the reference's
+fail-fast contract, SURVEY §2 #29). Both are just Spark reader modes —
+declared here so callers make a choice instead of inheriting one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+# documents.parquet schema (TESTDATA.md) + corrupt-record channel
+DOCUMENTS = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("n_chars", LongType(), True),
+    ]
+)
+
+
+def _with_corrupt(schema: StructType) -> StructType:
+    return StructType(list(schema.fields) + [StructField("_corrupt_record", StringType(), True)])
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType = DOCUMENTS,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """JSONL corpus scan with a fixed schema. PERMISSIVE keeps malformed
+    lines in ``_corrupt_record`` (NULL elsewhere); FAILFAST raises on the
+    first bad line. JSONL is line-splittable, so Spark parallelizes within
+    files — unlike the GRIB binaries (SURVEY §7.4 risk 3)."""
+    s = _with_corrupt(schema) if mode == "PERMISSIVE" else schema
+    return (
+        spark.read.schema(s)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_documents_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType = DOCUMENTS,
+    mode: str = "PERMISSIVE",
+    header: bool = True,
+) -> DataFrame:
+    """CSV corpus scan, fixed schema, explicit quoting/escaping defaults
+    (RFC-4180 double-quote escape; multiline records for embedded
+    newlines in text columns)."""
+    s = _with_corrupt(schema) if mode == "PERMISSIVE" else schema
+    return (
+        spark.read.schema(s)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", str(header).lower())
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def quarantine_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, corrupt) split of a PERMISSIVE read — the quarantine step a
+    pipeline runs before dedup/quality scoring. ``clean`` drops the
+    corrupt-record column entirely; ``corrupt`` keeps the full schema with
+    the raw line in ``_corrupt_record``.
+
+    The parsed result is cached first: Spark refuses file scans whose only
+    referenced column is the internal corrupt-record column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — pruning would
+    otherwise re-parse the file per consumer anyway), and quarantine has
+    two consumers of one parse by construction. Call
+    ``df.unpersist()`` on the input when both splits are consumed."""
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull())
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return clean, corrupt
+
+
+def write_documents_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSONL export (per-partition files; gzip by default — JSONL gzips
+    ~5-10x and stays line-splittable per file boundary for re-ingestion)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -1,0 +1,77 @@
+"""JSONL/CSV corpus sources: fixed-schema reads, malformed-record
+quarantine, round-trips against the documents.parquet reference data."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.sources.corpus import (
+    quarantine_corrupt,
+    read_documents_csv,
+    read_documents_jsonl,
+    write_documents_jsonl,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_jsonl_roundtrip_matches_parquet(spark, tmp_path):
+    ref = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(ref, out)
+    back, corrupt = quarantine_corrupt(read_documents_jsonl(spark, out))
+    assert corrupt.count() == 0
+    a = {tuple(r) for r in ref.select("doc_id", "lang", "text").collect()}
+    b = {tuple(r) for r in back.select("doc_id", "lang", "text").collect()}
+    assert a == b
+
+
+def test_jsonl_malformed_lines_quarantined(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    lines = [
+        json.dumps({"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}),
+        "{this is not json",
+        json.dumps({"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web", "n_chars": 7}),
+    ]
+    p.write_text("\n".join(lines))
+    clean, corrupt = quarantine_corrupt(read_documents_jsonl(spark, str(p)))
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    assert corrupt.count() == 1
+    assert "_corrupt_record" not in clean.columns
+
+
+def test_jsonl_failfast_raises(spark, tmp_path):
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"doc_id": 1}\n{broken')
+    with pytest.raises(Exception):
+        read_documents_jsonl(spark, str(p), mode="FAILFAST").collect()
+
+
+def test_csv_with_quoted_multiline_text(spark, tmp_path):
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        'doc_id,text,lang,source,n_chars\n'
+        '1,"first line\nsecond line",en,web,22\n'
+        '2,"mit ""anfuehrung"" drin",de,web,21\n'
+    )
+    clean, corrupt = quarantine_corrupt(read_documents_csv(spark, str(p)))
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert corrupt.count() == 0
+    assert rows[1] == "first line\nsecond line"
+    assert rows[2] == 'mit "anfuehrung" drin'
+
+
+def test_jsonl_gzip_output(spark, tmp_path):
+    ref = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    out = str(tmp_path / "gz")
+    write_documents_jsonl(ref, out)
+    gz = [f for f in os.listdir(out) if f.endswith(".json.gz")]
+    assert gz
+    with gzip.open(os.path.join(out, gz[0]), "rt") as f:
+        first = json.loads(f.readline())
+    assert "doc_id" in first
