@@ -1745,3 +1745,77 @@ def q57_curation_pipeline(spark, sf_dir):
     return keepers.filter(_hash_pct_col(F.col("doc_id").cast("string")) < 50).select(
         "doc_id"
     )
+
+
+@register(
+    "q58_quality_topk_per_source",
+    oracle=r"""
+SELECT source, doc_id, stopword_ratio, rn FROM (
+  SELECT source, doc_id,
+         ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                        t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+               / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6)
+           AS stopword_ratio,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) DESC,
+                       doc_id) AS BIGINT) AS rn
+  FROM documents) WHERE rn <= 5
+""",
+    doc="Best-k selection per source by a quality signal (stopword ratio "
+    "as the natural-language proxy): row_number <= 5 per source over the "
+    "ROUNDED measure with doc_id tie-break — the 'keep the best docs "
+    "from each crawl' curation step.",
+)
+def q58_quality_topk_per_source(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    ratio = F.round(
+        T.stopword_count("text", T.LANG_STOPWORDS["en"]).cast("double")
+        / T.token_count("text").cast("double"),
+        6,
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("stopword_ratio").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("source", "doc_id", ratio.alias("stopword_ratio"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "q59_token_histogram",
+    oracle=r"""
+SELECT decile, COUNT(*) AS n_docs,
+       MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+FROM (
+  SELECT CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS decile,
+         n_tokens
+  FROM (SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents))
+GROUP BY decile
+""",
+    doc="Token-count decile histogram (ntile over a deterministic "
+    "ordering): the corpus length profile that drives packing/truncation "
+    "decisions in a training pipeline.",
+)
+def q59_token_histogram(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", T.token_count("text").alias("n_tokens"))
+        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
