@@ -285,9 +285,15 @@ def jaccard_pairs(
     Default ``None`` = exact over all shingles (test scale).
     """
     # join key is the 64-bit shingle hash: the shuffle carries 8-byte keys
-    # instead of strings (collision odds ~2^-64 per shingle pair — nil)
-    postings = shingled_exploded(df, id_col, text_col, k, distinct=True).select(
-        F.col(id_col).alias("__id"), F.xxhash64("sh").alias("sh")
+    # instead of strings (collision odds ~2^-64 per shingle pair — nil).
+    # Hash BEFORE the distinct, so the dedup shuffle also moves longs, not
+    # shingle strings (same result modulo the already-accepted collision
+    # odds). Neutral at sf0.1 where word 3-grams are ~20 bytes; the gap
+    # scales with shingle width (character k-grams, long tokens).
+    postings = (
+        shingled_exploded(df, id_col, text_col, k, distinct=False)
+        .select(F.col(id_col).alias("__id"), F.xxhash64("sh").alias("sh"))
+        .distinct()
     )
     if max_shingle_df is not None:
         hot = (
