@@ -1747,6 +1747,51 @@ def q57_curation_pipeline(spark, sf_dir):
     )
 
 
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # each funnel step within 24 h
+
+
+@register(
+    "q60_funnel_users",
+    oracle=f"""
+{EV_CTE}
+SELECT DISTINCT p.user_id FROM ev p
+WHERE p.event_type = 'purchase' AND EXISTS (
+  SELECT 1 FROM ev c
+  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+    AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND {FUNNEL_WINDOW_US}
+    AND EXISTS (
+      SELECT 1 FROM ev v
+      WHERE v.user_id = c.user_id AND v.event_type = 'view'
+        AND epoch_us(c.ts) - epoch_us(v.ts) BETWEEN 0 AND {FUNNEL_WINDOW_US}))
+""",
+    doc="Funnel analysis: users completing view -> click -> purchase with "
+    "each step within 24 h, as two chained interval joins (binned "
+    "equi-joins, operators/range_join) + distinct — no correlated "
+    "subquery execution, no per-key cross product. The oracle is the "
+    "EXISTS-chain formulation.",
+)
+def q60_funnel_users(spark, sf_dir):
+    from jackfruit_spark.operators.range_join import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", F.col("ts").alias("v_ts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    # clicks that had a view within the window (distinct: one qualifying
+    # view is enough — semi-join semantics)
+    vc = (
+        interval_join(v, c, ["user_id"], "v_ts", "c_ts", 0, FUNNEL_WINDOW_US)
+        .select("user_id", "c_id", "c_ts")
+        .distinct()
+    )
+    cp = interval_join(vc, p, ["user_id"], "c_ts", "p_ts", 0, FUNNEL_WINDOW_US)
+    return cp.select("user_id").distinct()
+
+
 @register(
     "q58_quality_topk_per_source",
     oracle=r"""
