@@ -50,6 +50,7 @@ class DailyJob:
         store_root: str,
         sources: list[SourceConfig],
         serving_root: str | None = None,
+        rollup_root: str | None = None,
     ):
         self.spark = spark
         self.raw_root = raw_root
@@ -71,6 +72,13 @@ class DailyJob:
             self.serving_table = ServingTable(spark, serving_root)
         else:
             self.serving_table = None
+        # optional continuous-aggregate layer, refreshed per partition run
+        if rollup_root is not None:
+            from jackfruit_spark.grid.rollup import GridRollup
+
+            self.rollup = GridRollup(spark, rollup_root)
+        else:
+            self.rollup = None
 
     def _raw_dir(self, cfg: SourceConfig, day: dt.date) -> str:
         return os.path.join(self.raw_root, cfg.source, cfg.dataset, f"{day:%Y-%m-%d}")
@@ -130,6 +138,10 @@ class DailyJob:
         if self.serving_table is not None:
             # incremental serving refresh: only this day's partitions
             self.serving_table.refresh_dates(
+                self.engine.grid_data_final(), [f"{day:%Y-%m-%d}"]
+            )
+        if self.rollup is not None:
+            self.rollup.refresh_dates(
                 self.engine.grid_data_final(), [f"{day:%Y-%m-%d}"]
             )
         return written

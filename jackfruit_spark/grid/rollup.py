@@ -1,0 +1,85 @@
+"""Continuous aggregate (rollup) maintenance job for the grid store.
+
+The reference serves only point lookups; any dashboard or trend query over
+the environmental grid would re-scan raw points per request. This module
+materializes the standard fix — a time-bucketed per-variable summary table
+(the TimescaleDB "continuous aggregate" / hypertable-rollup shape) — as a
+plain Spark maintenance job in the ingest → transform → optimize chain:
+
+- one row per (variable, bucket_start, date): point count, min/max value,
+  sum (double) for derived averages;
+- computed from the FINAL dedup view, so duplicate ingests never double
+  count (idempotency contract, docs/layer-2-transformation.md:307-313);
+- partitioned by date → refresh rewrites only the dates a new ingest
+  touched (dynamic partition overwrite), same incremental discipline as
+  ServingTable.refresh_dates;
+- the groupBy is map-side combinable (count/min/max/sum partial
+  aggregates), so at 100 TB the shuffle carries one row per (variable,
+  bucket) per task, not points.
+
+Averages are served as sum/count at read time: a stored float average
+would bake in one particular addition order; sum+count keeps the rollup
+mergeable (two rollups union+re-aggregate cleanly — the property that
+makes downstream weekly/monthly roll-ups free).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class GridRollup:
+    def __init__(self, spark: SparkSession, root: str, grain: str = "hour"):
+        if grain not in ("hour", "day"):
+            raise ValueError(f"unsupported grain: {grain}")
+        self.spark = spark
+        self.root = root
+        self.grain = grain
+        self.path = os.path.join(root, f"rollup_{grain}")
+
+    def _aggregate(self, grid_final: DataFrame) -> DataFrame:
+        bucket = F.date_trunc(self.grain, F.col("timestamp")).alias("bucket_start")
+        return (
+            grid_final.groupBy("variable", bucket)
+            .agg(
+                F.count(F.lit(1)).alias("n_points"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+                F.sum(F.col("value").cast("double")).alias("sum_value"),
+            )
+            .withColumn("date", F.to_date("bucket_start"))
+        )
+
+    def build(self, grid_final: DataFrame) -> None:
+        """Full materialization from the FINAL view."""
+        (
+            self._aggregate(grid_final)
+            .repartition("date")
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(self.path)
+        )
+
+    def refresh_dates(self, grid_final: DataFrame, dates: list) -> None:
+        """Rewrite only the given dates' partitions (dynamic overwrite) —
+        called per partition run, like the reference's optimize asset."""
+        day_strs = [d if isinstance(d, str) else str(d) for d in dates]
+        agg = self._aggregate(grid_final).filter(F.col("date").isin(day_strs))
+        (
+            agg.repartition("date")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date")
+            .parquet(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        """The rollup with the derived average (computed at read — see
+        module docstring for why the average isn't stored)."""
+        df = self.spark.read.parquet(self.path)
+        return df.withColumn(
+            "avg_value", F.col("sum_value") / F.col("n_points").cast("double")
+        )

@@ -66,6 +66,16 @@ def test_q57_curation_single_shuffle(spark):
     assert "doc_id" in cols and "text" in cols and len(cols) == 2
 
 
+def test_q60_funnel_no_nested_loop(spark):
+    # chained interval joins must plan as equi-joins on (key, bin) — a
+    # range predicate alone degenerates to BroadcastNestedLoop/Cartesian
+    from jackfruit_spark.plans import plan_string
+
+    plan = plan_string(Q.registry()["q60_funnel_users"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_grid_partition_pruning(spark, tmp_path):
     import datetime as dt
 

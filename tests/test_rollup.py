@@ -1,0 +1,86 @@
+"""GridRollup continuous aggregate: correctness vs a brute-force
+recomputation, dedup-awareness, incremental refresh, mergeability."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.grid.engine import GridEngine
+from jackfruit_spark.grid.rollup import GridRollup
+
+COLS = ["variable", "timestamp", "lat", "lon", "value", "unit", "catalog_id", "inserted_at"]
+IA = dt.datetime(2026, 3, 1, 9)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = GridEngine(spark, str(tmp_path / "g"))
+    rows = []
+    for h in (0, 1):
+        for i in range(4):
+            rows.append(("t", dt.datetime(2026, 3, 1, h, 15 * i), 50.0, 10.0 + i,
+                         float(10 * h + i), "u", "c1", IA))
+    # a duplicate version of one point: FINAL must count it ONCE
+    rows.append(("t", dt.datetime(2026, 3, 1, 0, 0), 50.0, 10.0, 99.0, "u", "c2",
+                 IA + dt.timedelta(hours=1)))
+    eng.insert_grid(spark.createDataFrame(rows, COLS))
+    return eng
+
+
+def test_rollup_matches_final_view(spark, engine, tmp_path):
+    ru = GridRollup(spark, str(tmp_path / "r"))
+    ru.build(engine.grid_data_final())
+    got = {r["bucket_start"]: r for r in ru.read().collect()}
+    assert len(got) == 2
+    h0 = got[dt.datetime(2026, 3, 1, 0)]
+    # 4 points in hour 0; the duplicate's dedup winner (99.0) replaces 0.0
+    assert h0["n_points"] == 4
+    assert h0["max_value"] == 99.0 and h0["min_value"] == 1.0
+    assert h0["avg_value"] == pytest.approx((99.0 + 1 + 2 + 3) / 4)
+    h1 = got[dt.datetime(2026, 3, 1, 1)]
+    assert h1["n_points"] == 4 and h1["min_value"] == 10.0 and h1["max_value"] == 13.0
+
+
+def test_rollup_incremental_refresh(spark, engine, tmp_path):
+    import os
+
+    ru = GridRollup(spark, str(tmp_path / "r"))
+    ru.build(engine.grid_data_final())
+    day1_dir = os.path.join(ru.path, "date=2026-03-01")
+    before = sorted(os.listdir(day1_dir))
+
+    engine.insert_grid(spark.createDataFrame(
+        [("t", dt.datetime(2026, 3, 2, 0, 0), 50.0, 10.0, 5.0, "u", "c3", IA)], COLS))
+    ru.refresh_dates(engine.grid_data_final(), ["2026-03-02"])
+
+    assert sorted(os.listdir(day1_dir)) == before  # day 1 untouched
+    got = {r["bucket_start"]: r["n_points"] for r in ru.read().collect()}
+    assert got[dt.datetime(2026, 3, 2, 0)] == 1
+    assert len(got) == 3
+
+
+def test_rollup_mergeable(spark, engine, tmp_path):
+    """sum+count (not stored averages) keep rollups mergeable: hourly
+    re-aggregated to daily equals a direct daily rollup."""
+    hourly = GridRollup(spark, str(tmp_path / "rh"), grain="hour")
+    daily = GridRollup(spark, str(tmp_path / "rd"), grain="day")
+    hourly.build(engine.grid_data_final())
+    daily.build(engine.grid_data_final())
+    merged = (
+        hourly.read()
+        .groupBy("variable", F.date_trunc("day", "bucket_start").alias("bucket_start"))
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+    a = {(r["variable"], r["bucket_start"]): (r["n_points"], r["min_value"], r["max_value"], round(r["sum_value"], 6))
+         for r in merged.collect()}
+    b = {(r["variable"], r["bucket_start"]): (r["n_points"], r["min_value"], r["max_value"], round(r["sum_value"], 6))
+         for r in daily.read().drop("avg_value").collect()}
+    assert a == b
