@@ -56,33 +56,51 @@ def bench_grid(spark) -> dict[str, float]:
 
     root = tempfile.mkdtemp(prefix="bench_grid_")
     try:
-        eng = GridEngine(spark, root)
         # synthesize the CAMS-sized partition distributedly (no driver loop)
         nlat, nlon = 420, 700
         base = dt.datetime(2026, 1, 1)
-        grid = (
-            spark.range(nlat * nlon)
-            .select(
-                (F.lit(30.0) + (F.col("id") / nlon).cast("int") * 0.1).alias("lat"),
-                (F.lit(-25.0) + (F.col("id") % nlon) * 0.1).alias("lon"),
-                (F.rand(42) * 50).alias("value"),
-            )
-            .crossJoin(
-                spark.createDataFrame(
-                    [(v, base + dt.timedelta(hours=h)) for v in ("pm10", "pm2p5") for h in range(4)],
-                    ["variable", "timestamp"],
+
+        def make_grid(npoints):
+            return (
+                spark.range(npoints)
+                .select(
+                    (F.lit(30.0) + (F.col("id") / nlon).cast("int") * 0.1).alias("lat"),
+                    (F.lit(-25.0) + (F.col("id") % nlon) * 0.1).alias("lon"),
+                    (F.rand(42) * 50).alias("value"),
+                )
+                .crossJoin(
+                    spark.createDataFrame(
+                        [(v, base + dt.timedelta(hours=h)) for v in ("pm10", "pm2p5") for h in range(4)],
+                        ["variable", "timestamp"],
+                    )
+                )
+                .select(
+                    "variable", "timestamp", "lat", "lon", "value",
+                    F.lit("µg/m³").alias("unit"),
+                    F.lit("bench-cat").alias("catalog_id"),
+                    F.current_timestamp().alias("inserted_at"),
                 )
             )
-            .select(
-                "variable", "timestamp", "lat", "lon", "value",
-                F.lit("µg/m³").alias("unit"),
-                F.lit("bench-cat").alias("catalog_id"),
-                F.current_timestamp().alias("inserted_at"),
-            )
+
+        # warm the ingest plan shape (codegen/JIT for crossJoin + casts +
+        # sorted parquet write) on a tiny input, then min-of-N real runs
+        # into fresh roots — same policy as the query timings; the first
+        # cold execution otherwise dominates with 2-6x JIT noise
+        from jackfruit_spark.grid.serving_table import ServingTable
+
+        warm = GridEngine(spark, tempfile.mkdtemp(prefix="bench_warm_"))
+        warm.insert_grid(make_grid(1000))
+        ServingTable.build(
+            spark, warm.grid_data_final(), os.path.join(warm.root, "serve")
         )
-        t0 = time.perf_counter()
-        eng.insert_grid(grid)
-        t_ingest = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(warm.root, ignore_errors=True)
+
+        t_ingest = float("inf")
+        for i in range(REPEATS):
+            eng = GridEngine(spark, os.path.join(root, f"r{i}"))
+            t0 = time.perf_counter()
+            eng.insert_grid(make_grid(nlat * nlon))
+            t_ingest = min(t_ingest, round(time.perf_counter() - t0, 3))
 
         svc = EnvironmentalService(
             eng.grid_data_raw(),  # fast path: service snaps then dedups
@@ -108,8 +126,6 @@ def bench_grid(spark) -> dict[str, float]:
         # interactive fast path: manifest snap + (variable, date)-pruned
         # pre-deduped point read (grid/serving_table.py). Build cost is the
         # MergeTree-merge analog, amortized over every lookup.
-        from jackfruit_spark.grid.serving_table import ServingTable
-
         t0 = time.perf_counter()
         st = ServingTable.build(spark, eng.grid_data_final(), os.path.join(root, "serve"))
         t_build = round(time.perf_counter() - t0, 3)
