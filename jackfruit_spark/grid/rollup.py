@@ -65,9 +65,17 @@ class GridRollup:
 
     def refresh_dates(self, grid_final: DataFrame, dates: list) -> None:
         """Rewrite only the given dates' partitions (dynamic overwrite) —
-        called per partition run, like the reference's optimize asset."""
+        called per partition run, like the reference's optimize asset.
+
+        The date filter is applied to the INPUT (on the grid table's
+        ``date`` partition column when present, so the scan partition-
+        prunes), not to the aggregate's output — filtering after the
+        groupBy would aggregate the entire history to refresh one day."""
         day_strs = [d if isinstance(d, str) else str(d) for d in dates]
-        agg = self._aggregate(grid_final).filter(F.col("date").isin(day_strs))
+        src_date = (
+            F.col("date") if "date" in grid_final.columns else F.to_date("timestamp")
+        )
+        agg = self._aggregate(grid_final.filter(src_date.isin(day_strs)))
         (
             agg.repartition("date")
             .write.mode("overwrite")

@@ -61,6 +61,13 @@ def test_rollup_incremental_refresh(spark, engine, tmp_path):
     assert got[dt.datetime(2026, 3, 2, 0)] == 1
     assert len(got) == 3
 
+    # the refresh filter must prune the INPUT scan by the grid table's
+    # date partition column, not post-filter the aggregate
+    from jackfruit_spark.plans import plan_string
+
+    src = engine.grid_data_final().filter(F.col("date").isin(["2026-03-02"]))
+    assert "PartitionFilters" in plan_string(src)
+
 
 def test_rollup_mergeable(spark, engine, tmp_path):
     """sum+count (not stored averages) keep rollups mergeable: hourly
