@@ -98,8 +98,16 @@ class ServingTable:
         whole table). Untouched partitions keep their files; the manifest
         is re-derived from the written layout (3-column dictionary scan)
         and the in-memory cache invalidated."""
-        data = grid_final.withColumn("date", F.to_date("timestamp")).filter(
-            F.col("date").isin([d if isinstance(d, str) else str(d) for d in dates])
+        day_strs = [d if isinstance(d, str) else str(d) for d in dates]
+        # filter BEFORE deriving the output date column: when the input
+        # carries the grid table's date partition column the predicate
+        # partition-prunes the scan; withColumn would replace it with a
+        # computed expression and force a full-history scan + dedup
+        src_date = (
+            F.col("date") if "date" in grid_final.columns else F.to_date("timestamp")
+        )
+        data = grid_final.filter(src_date.isin(day_strs)).withColumn(
+            "date", F.to_date("timestamp")
         )
         self._write_data(data, mode="overwrite", dynamic=True)
         (
