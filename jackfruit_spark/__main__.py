@@ -1,0 +1,142 @@
+"""Command-line entry: the operational surface of the engine.
+
+The reference is operated through Dagster's UI/cron (materialize a
+partition, backfill a range, docs/layer-2-transformation.md:277-286) and
+the Go serving binary. This CLI is the Spark-native equivalent — thin
+argparse over the library APIs, one subcommand per operational verb:
+
+    python -m jackfruit_spark run-partition --date 2026-02-01 \\
+        --raw-root /data/raw --store-root /data/store [--serving-root ...]
+    python -m jackfruit_spark backfill --start 2026-02-01 --end 2026-02-07 ...
+    python -m jackfruit_spark lookup --store-root /data/store \\
+        --lat 52.5 --lon 13.4 --timestamp 2026-02-01T12:00:00Z \\
+        --variables pm10,pm2p5 [--serving-root ...]
+
+``lookup`` prints the EnvironmentalResponse JSON envelope (or the error
+body) and exits non-zero on 4xx/5xx — the curlable analog of
+GET /v1/environmental.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+
+
+def _spark(cpus: str | None):
+    import os
+
+    from jackfruit_spark.session import get_spark
+
+    if cpus:
+        os.environ["SPARK_GRAFT_CPUS"] = cpus
+    return get_spark("jackfruit-cli")
+
+
+def _job(spark, args):
+    from jackfruit_spark.grid.jobs import DailyJob, SourceConfig
+
+    sources = [
+        SourceConfig(*s.split(":", 2))
+        for s in (args.sources or ["synthetic:default:cams"])
+    ]
+    return DailyJob(
+        spark,
+        raw_root=args.raw_root,
+        store_root=args.store_root,
+        sources=sources,
+        serving_root=args.serving_root,
+        rollup_root=args.rollup_root,
+    )
+
+
+def cmd_run_partition(args) -> int:
+    spark = _spark(args.cpus)
+    job = _job(spark, args)
+    written = job.run_partition(dt.date.fromisoformat(args.date))
+    print(json.dumps({"date": args.date, "written": written}))
+    return 0
+
+
+def cmd_backfill(args) -> int:
+    spark = _spark(args.cpus)
+    job = _job(spark, args)
+    out = job.backfill(dt.date.fromisoformat(args.start), dt.date.fromisoformat(args.end))
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_lookup(args) -> int:
+    from jackfruit_spark.grid.catalog import Catalog
+    from jackfruit_spark.grid.engine import GridEngine
+    from jackfruit_spark.grid.serving import EnvironmentalService, handle_environmental
+
+    spark = _spark(args.cpus)
+    import os
+
+    eng = GridEngine(spark, args.store_root)
+    cat = Catalog(spark, os.path.join(args.store_root, "catalog"))
+    serving_table = None
+    if args.serving_root:
+        from jackfruit_spark.grid.serving_table import ServingTable
+
+        serving_table = ServingTable(spark, args.serving_root)
+    svc = EnvironmentalService(
+        eng.grid_data_raw(), cat.curated_data(), cat.raw_files(),
+        serving_table=serving_table,
+    )
+    status, body = handle_environmental(
+        svc,
+        {"lat": args.lat, "lon": args.lon, "timestamp": args.timestamp,
+         "variables": args.variables},
+        timeout_s=args.timeout,
+    )
+    print(json.dumps({"status": status, **body}))
+    return 0 if status == 200 else 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="jackfruit_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--store-root", required=True)
+        sp.add_argument("--serving-root", default=None)
+        sp.add_argument("--rollup-root", default=None)
+        sp.add_argument("--cpus", default=None)
+
+    rp = sub.add_parser("run-partition", help="ingest->transform->optimize one date")
+    rp.add_argument("--date", required=True)
+    rp.add_argument("--raw-root", required=True)
+    rp.add_argument("--sources", nargs="*", help="source:dataset:kind triples")
+    common(rp)
+    rp.set_defaults(fn=cmd_run_partition)
+
+    bf = sub.add_parser("backfill", help="run-partition over a date range")
+    bf.add_argument("--start", required=True)
+    bf.add_argument("--end", required=True)
+    bf.add_argument("--raw-root", required=True)
+    bf.add_argument("--sources", nargs="*")
+    common(bf)
+    bf.set_defaults(fn=cmd_backfill)
+
+    lk = sub.add_parser("lookup", help="GET /v1/environmental equivalent")
+    lk.add_argument("--lat", required=True)
+    lk.add_argument("--lon", required=True)
+    lk.add_argument("--timestamp", required=True)
+    lk.add_argument("--variables", required=True)
+    lk.add_argument("--timeout", type=float, default=18.0)
+    common(lk)
+    lk.set_defaults(fn=cmd_lookup)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

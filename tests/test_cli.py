@@ -1,0 +1,60 @@
+"""CLI surface (__main__.py): run-partition -> lookup round trip through
+main() with in-process args (no subprocess — the session is shared)."""
+
+from __future__ import annotations
+
+import json
+
+from jackfruit_spark.__main__ import main
+from jackfruit_spark.sources import grib
+
+
+def test_cli_run_partition_and_lookup(spark, tmp_path, capsys):
+    grib.register_adapter(
+        "synth-cli",
+        grib.SyntheticAdapter(
+            variables=("pm10",), shape=(4, 4), timestamps=("2026-02-01T00:00:00",)
+        ),
+    )
+    # land a raw file via the library (ingest is API-driven in production)
+    from jackfruit_spark.grid.jobs import DailyJob, SourceConfig
+    import datetime as dt
+
+    job = DailyJob(
+        spark, str(tmp_path / "raw"), str(tmp_path / "store"),
+        [SourceConfig("synth-cli", "ds", "cams")],
+    )
+    job.ingest(job.sources[0], dt.date(2026, 2, 1), b"GRIB-fake")
+
+    rc = main([
+        "run-partition", "--date", "2026-02-01",
+        "--raw-root", str(tmp_path / "raw"),
+        "--store-root", str(tmp_path / "store"),
+        "--sources", "synth-cli:ds:cams",
+        "--serving-root", str(tmp_path / "serve"),
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and sum(out["written"].values()) == 16
+
+    rc = main([
+        "lookup",
+        "--store-root", str(tmp_path / "store"),
+        "--serving-root", str(tmp_path / "serve"),
+        "--lat", "50.0", "--lon", "-10.0",
+        "--timestamp", "2026-02-01T06:00:00Z",
+        "--variables", "pm10",
+    ])
+    body = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and body["status"] == 200
+    assert body["variables"][0]["name"] == "pm10"
+
+    # 404 path exits non-zero
+    rc = main([
+        "lookup",
+        "--store-root", str(tmp_path / "store"),
+        "--lat", "50.0", "--lon", "-10.0",
+        "--timestamp", "2026-02-01T06:00:00Z",
+        "--variables", "nope",
+    ])
+    body = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and body["status"] == 404
