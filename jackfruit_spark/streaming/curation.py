@@ -1,0 +1,92 @@
+"""Streaming curation: the incremental form of q57's batch pipeline.
+
+A crawl keeps landing JSONL shards; the curated corpus should grow
+incrementally instead of re-running the batch pipeline over all history.
+One Structured Streaming query composes the same stages:
+
+    readStream(JSONL, fixed schema)          corpus sources discipline
+      -> quarantine malformed lines          (routed to a reject sink)
+      -> language + quality gates            same expressions as q57
+      -> streaming exact-dedup               dropDuplicates on content
+                                             hash, state bounded by the
+                                             inserted_at watermark
+      -> deterministic hash sample           same md5 family as q54
+      -> append parquet via foreachBatch     (file-sink metadata caveat,
+                                             see ingest.write_grid_stream)
+
+Dedup-state note for 100 TB: ``dropDuplicates`` keeps one state row per
+content hash seen inside the watermark horizon — O(distinct recent docs)
+x 16 bytes, not the corpus. Cross-horizon duplicates are caught by the
+downstream batch dedup (q20/q53) exactly like the grid table's FINAL
+view absorbs re-ingests; the stream guarantees within-horizon uniqueness
+cheaply, the batch layer guarantees it globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions import text as T
+from jackfruit_spark.functions.hashing import md5_hash64
+from jackfruit_spark.sources.corpus import DOCUMENTS, _with_corrupt
+
+
+def stream_documents_jsonl(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Incremental JSONL scan, PERMISSIVE with the corrupt-record
+    channel (sources/corpus.py reader, streaming form)."""
+    return (
+        spark.readStream.schema(_with_corrupt(DOCUMENTS))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(landing_dir)
+    )
+
+
+def curate_stream(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 1000,
+    min_stopword_ratio: float = 0.05,
+    sample_pct: int = 50,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The q57 stage chain as a streaming transformation (language gate,
+    token-count and stopword-ratio gates, within-watermark exact dedup on
+    the content hash, deterministic keep-rate sample)."""
+    toks = T.token_count("text")
+    stop_ratio = F.round(
+        T.stopword_count("text", T.LANG_STOPWORDS["en"]).cast("double")
+        / toks.cast("double"),
+        6,
+    )
+    kept = (
+        docs.filter(F.col("_corrupt_record").isNull())
+        .drop("_corrupt_record")
+        .filter(
+            (T.lang_id("text") == "en")
+            & toks.between(min_tokens, max_tokens)
+            & (stop_ratio >= min_stopword_ratio)
+        )
+        .withColumn("content_hash", F.md5("text"))
+        .withColumn("ingested_at", F.current_timestamp())
+        .withWatermark("ingested_at", watermark)
+        .dropDuplicates(["content_hash"])
+    )
+    return kept.filter(md5_hash64(F.col("doc_id").cast("string")) % 100 < sample_pct)
+
+
+def write_curated(curated: DataFrame, out_dir: str, checkpoint: str):
+    """availableNow append of the curated shard — foreachBatch + batch
+    append (NOT the streaming file sink; its _spark_metadata log hides
+    batch-appended files from readers — see ingest.write_grid_stream)."""
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.drop("ingested_at").write.mode("append").parquet(out_dir)
+
+    return (
+        curated.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,104 @@
+"""Streaming curation pipeline: incremental JSONL -> quality gates ->
+within-watermark dedup -> deterministic sample, equivalence vs the batch
+q57 stages on the same data."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from jackfruit_spark.streaming.curation import (
+    curate_stream,
+    stream_documents_jsonl,
+    write_curated,
+)
+
+GOOD_EN = (
+    "the quick brown fox jumps over the lazy dog and runs to the river of light"
+)
+
+
+def _doc(i, text, lang="en"):
+    return json.dumps(
+        {"doc_id": i, "text": text, "lang": lang, "source": "web", "n_chars": len(text)}
+    )
+
+
+def _land(path, lines):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text("\n".join(lines))
+
+
+def test_streaming_curation_end_to_end(spark, tmp_path):
+    landing = tmp_path / "landing"
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: a keeper, a duplicate of it, a short doc, a French doc,
+    # and a malformed line
+    _land(
+        landing / "b1.jsonl",
+        [
+            _doc(1, GOOD_EN),
+            _doc(2, GOOD_EN),                        # exact dup of 1
+            _doc(3, "too short"),                    # fails min_tokens
+            _doc(4, "le chat noir dort sur le canapé dans la maison et le chien "
+                    "regarde par la fenêtre les oiseaux du jardin", lang="fr"),
+            "{not json",
+        ],
+    )
+    q = write_curated(
+        curate_stream(stream_documents_jsonl(spark, str(landing)), sample_pct=100),
+        out, ckpt,
+    )
+    q.awaitTermination(120)
+    first = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # exactly ONE of the two identical docs survives (dropDuplicates picks
+    # an arbitrary winner — unlike the batch keeper rule); gates drop 3/4
+    assert len(first) == 1 and first <= {1, 2}
+
+    # batch 2: only the new file is processed; a new distinct doc passes
+    _land(landing / "b2.jsonl", [_doc(10, GOOD_EN + " with some extra tokens here")])
+    q2 = write_curated(
+        curate_stream(stream_documents_jsonl(spark, str(landing)), sample_pct=100),
+        out, ckpt,
+    )
+    q2.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == first | {10}
+
+
+def test_streaming_matches_batch_stages(spark, tmp_path):
+    """Same docs through the stream and through q57's batch stage chain
+    (gates + content-hash dedup + 50% hash sample) give the same doc set
+    — streaming changes the cadence, not the curation decisions."""
+    from jackfruit_spark.functions import text as T
+    from jackfruit_spark.functions.hashing import md5_hash64
+
+    docs = [
+        (i, GOOD_EN + f" variant {i} with the tokens of a normal document") for i in range(30)
+    ]
+    landing = tmp_path / "landing"
+    _land(landing / "all.jsonl", [_doc(i, t) for i, t in docs])
+    out = str(tmp_path / "curated")
+    q = write_curated(
+        curate_stream(stream_documents_jsonl(spark, str(landing)), sample_pct=50),
+        out, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    streamed = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    bdf = spark.createDataFrame([(i, t, "en", "web", len(t)) for i, t in docs],
+                                ["doc_id", "text", "lang", "source", "n_chars"])
+    toks = T.token_count("text")
+    stop_ratio = F.round(
+        T.stopword_count("text", T.LANG_STOPWORDS["en"]).cast("double") / toks.cast("double"), 6
+    )
+    kept = bdf.filter((T.lang_id("text") == "en") & toks.between(5, 1000) & (stop_ratio >= 0.05))
+    keepers = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    batch = {
+        r["doc_id"]
+        for r in keepers.filter(md5_hash64(F.col("doc_id").cast("string")) % 100 < 50).collect()
+    }
+    assert streamed == batch
