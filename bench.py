@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "q24_minhash_lsh_pairs",
     "q40_embedding_near_dup",
     "q42_sessionization",
-    "q47_small_quantity_revenue",
+    "q28_scalar_aggregates",
     "q57_curation_pipeline",
 ]
 

@@ -38,7 +38,7 @@ def test_q02_topk_no_full_sort(spark):
 
 
 def test_q12_bbox_filters_pushed(spark):
-    s = plan_summary(Q.registry()["q12_bbox_filter"].fn(spark, SF))
+    s = plan_summary(Q.registry()["q12_bbox_unit_convert"].fn(spark, SF))
     joined = " ".join(s.pushed_filters)
     assert "value" in joined and "user_id" in joined
 
