@@ -66,6 +66,24 @@ def test_q57_curation_single_shuffle(spark):
     assert "doc_id" in cols and "text" in cols and len(cols) == 2
 
 
+def test_q59_no_global_per_row_window(spark):
+    # the decile histogram must NOT run ntile over an unpartitioned window
+    # (single task holding every row at 100x): the per-row window is
+    # partitioned by n_tokens; any SinglePartition exchange may only feed
+    # the aggregated token-count distribution (VERDICT r2 item 2)
+    import re
+
+    from jackfruit_spark.plans import plan_string
+
+    s = plan_string(Q.registry()["q59_token_histogram"].fn(spark, SF))
+    assert "ntile" not in s
+    assert re.search(r"Window \[row_number\(\).*\], \[n_tokens[^\]]*\], \[doc_id", s)
+    for m in re.finditer("Exchange SinglePartition", s):
+        # children print below their parent: an aggregate must sit under
+        # every single-partition exchange (tiny aggregated input only)
+        assert "HashAggregate" in s[m.start():]
+
+
 def test_q60_funnel_no_nested_loop(spark):
     # chained interval joins must plan as equi-joins on (key, bin) — a
     # range predicate alone degenerates to BroadcastNestedLoop/Cartesian
