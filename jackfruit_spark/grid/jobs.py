@@ -53,6 +53,11 @@ class DailyJob:
         rollup_root: str | None = None,
     ):
         self.spark = spark
+        # normalize first: a trailing separator ('/data/raw/') would make
+        # basename() return '' and raw keys silently land under the PARENT
+        # directory instead of raw_root (ADVICE r2 item 4; the CLI passes
+        # raw_root through verbatim)
+        raw_root = os.path.normpath(raw_root)
         self.raw_root = raw_root
         # raw landing goes through the ObjectStore contract
         # (sources/object_store.py): raw_root acts as the bucket; swap the

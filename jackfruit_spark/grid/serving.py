@@ -169,7 +169,16 @@ class EnvironmentalService:
     ) -> DataFrame | None:
         """Point read against the ServingTable: manifest snap (driver-side,
         no data files touched), partition-pruned pre-deduped slice, +-1 deg
-        window, partial-agg NN. None when no variable has data."""
+        window, partial-agg NN. None when no variable has data.
+
+        Correctness guard on the window (ADVICE r2 item 2): an in-box NN is
+        accepted only when its squared distance <= prefilter_deg² — then no
+        point OUTSIDE the box can be nearer, because any such point has
+        |dlat| > prefilter_deg or |dlon| > prefilter_deg and hence
+        d² > prefilter_deg². A variable whose in-box NN fails the bound
+        (sparse/irregular grid) drops out of this plan and is retried by
+        the caller without the window — the prefilter can only change
+        latency, never answers."""
         snaps = self.serving_table.snap(variables, req.timestamp)
         if not snaps:
             return None
@@ -182,6 +191,8 @@ class EnvironmentalService:
         nn_key = sliced.groupBy("variable").agg(
             F.min(F.struct(dist, F.col("lat"), F.col("lon"))).alias("k")
         )
+        if prefilter_deg is not None:
+            nn_key = nn_key.filter(F.col("k.d") <= F.lit(float(prefilter_deg) ** 2))
         nn = (
             sliced.join(F.broadcast(nn_key), "variable")
             .filter((F.col("lat") == F.col("k.lat")) & (F.col("lon") == F.col("k.lon")))
@@ -233,10 +244,13 @@ class EnvironmentalService:
         request deadline (→ QueryTimeoutError), SURVEY §2 #32.
 
         With a ServingTable attached the +-1 deg prefilter is tried first;
-        any variable it misses (point far from all grid points — possible
-        in principle, not with real forecast grids) retries without the
-        window before the not-found verdict, so the fast path never
-        changes answers, only latency."""
+        a variable whose in-box NN is not provably the global NN (distance
+        bound in _fast_plan) or that has no in-box rows retries without
+        the window, so the fast path never changes answers, only latency.
+        Variables the serving table cannot answer at all (stale or
+        partially refreshed manifest) fall back to the generic query_plan
+        against the grid store before the not-found verdict (ADVICE r2
+        item 3) — serving-table staleness must not 404 data that exists."""
         rows: list = []
         missing = list(req.variables)
         if self.serving_table is not None:
@@ -249,8 +263,11 @@ class EnvironmentalService:
                 missing = [v for v in missing if v not in found]
                 if not missing:
                     break
-        else:
-            rows = _collect_with_deadline(self.query_plan(req), timeout_s)
+        if missing:
+            # generic path: also serves the no-serving-table case (missing
+            # starts as the full variable list)
+            sub = EnvironmentalRequest(req.lat, req.lon, req.timestamp, tuple(missing))
+            rows += _collect_with_deadline(self.query_plan(sub), timeout_s)
             found = {r["variable"] for r in rows}
             missing = [v for v in req.variables if v not in found]
         if missing:

@@ -14,12 +14,16 @@ One Structured Streaming query composes the same stages:
       -> append parquet via foreachBatch     (file-sink metadata caveat,
                                              see ingest.write_grid_stream)
 
-Dedup-state note for 100 TB: ``dropDuplicates`` keeps one state row per
-content hash seen inside the watermark horizon — O(distinct recent docs)
-x 16 bytes, not the corpus. Cross-horizon duplicates are caught by the
-downstream batch dedup (q20/q53) exactly like the grid table's FINAL
-view absorbs re-ingests; the stream guarantees within-horizon uniqueness
-cheaply, the batch layer guarantees it globally.
+Dedup-state note for 100 TB: ``dropDuplicatesWithinWatermark`` keeps one
+state row per content hash seen inside the watermark horizon — O(distinct
+recent docs) x 16 bytes, not the corpus. Plain ``dropDuplicates`` would
+NOT do this: Spark only evicts dedup state by watermark when the
+event-time column is part of the dedup keys, so state (checkpointed
+between availableNow runs) would grow unboundedly (ADVICE r2 item 1).
+Cross-horizon duplicates are caught by the downstream batch dedup
+(q20/q53) exactly like the grid table's FINAL view absorbs re-ingests;
+the stream guarantees within-horizon uniqueness cheaply, the batch layer
+guarantees it globally (seam test: test_streaming_curation.py).
 """
 
 from __future__ import annotations
@@ -71,7 +75,10 @@ def curate_stream(
         .withColumn("content_hash", F.md5("text"))
         .withColumn("ingested_at", F.current_timestamp())
         .withWatermark("ingested_at", watermark)
-        .dropDuplicates(["content_hash"])
+        # NOT dropDuplicates: without the event-time column in the keys it
+        # gets no watermark eviction and its checkpointed state grows
+        # forever across incremental runs (ADVICE r2 item 1)
+        .dropDuplicatesWithinWatermark(["content_hash"])
     )
     return kept.filter(md5_hash64(F.col("doc_id").cast("string")) % 100 < sample_pct)
 

@@ -29,6 +29,34 @@ def job(spark, tmp_path):
     )
 
 
+def test_raw_root_trailing_slash_normalized(spark, tmp_path):
+    """raw_root='/x/raw/' must land keys under /x/raw, not the parent
+    (ADVICE r2 item 4: basename of a trailing-slash path is '')."""
+    import os
+
+    grib.register_adapter(
+        "synth-slash",
+        grib.SyntheticAdapter(
+            variables=("pm10",), shape=(2, 2),
+            timestamps=("2026-02-01T00:00:00",),
+        ),
+    )
+    raw = str(tmp_path / "raw")
+    job = DailyJob(
+        spark,
+        raw_root=raw + os.sep,  # trailing separator, as the CLI may pass
+        store_root=str(tmp_path / "store"),
+        sources=[SourceConfig("synth-slash", "test-ds", "cams")],
+    )
+    day = dt.date(2026, 2, 1)
+    job.ingest(job.sources[0], day, b"GRIB-fake-slash")
+    landed = []
+    for root, _dirs, files in os.walk(raw):
+        landed += [os.path.join(root, f) for f in files]
+    assert landed, "raw payload must land under raw_root"
+    assert all(p.startswith(raw + os.sep) for p in landed)
+
+
 def test_run_partition_end_to_end(spark, job):
     day = dt.date(2026, 2, 1)
     run_id = job.ingest(job.sources[0], day, b"GRIB-fake-1")

@@ -182,6 +182,56 @@ def test_fast_path_prefilter_fallback(fast_service):
     assert (round(out[0]["actual_lat"], 3), round(out[0]["actual_lon"], 3)) == (51.5, 12.4)
 
 
+def test_fast_path_prefilter_distance_bound(spark, tmp_path):
+    """An in-box NN farther than prefilter_deg is NOT provably global: a
+    point just outside the +-1 deg box can be nearer. The fast path must
+    reject the in-box candidate (d² > prefilter²) and retry without the
+    window so the true NN wins (ADVICE r2 item 2)."""
+    eng = GridEngine(spark, str(tmp_path / "g"))
+    rows = [
+        # in the +-1 deg box around (50, 10) but d² = 0.9² + 0.9² = 1.62
+        ("t", T0, 50.9, 10.9, 1.0, "u", "a", IA),
+        # OUTSIDE the box (dlat = 1.05 > 1) but d² = 1.1025 < 1.62 — true NN
+        ("t", T0, 51.05, 10.0, 2.0, "u", "b", IA),
+    ]
+    eng.insert_grid(spark.createDataFrame(rows, COLS))
+    st = ServingTable.build(spark, eng.grid_data_final(), str(tmp_path / "s"))
+    empty_cur = spark.createDataFrame(
+        [], "id string, raw_file_id string, variable string, unit string, timestamp timestamp, created_at timestamp")
+    empty_raw = spark.createDataFrame(
+        [], "id string, source string, dataset string, date date, s3_key string, created_at timestamp")
+    slow = EnvironmentalService(eng.grid_data_final(), empty_cur, empty_raw)
+    fast = EnvironmentalService(
+        eng.grid_data_final(), empty_cur, empty_raw, serving_table=st
+    )
+    req = _req(50.0, 10.0, T0, ["t"])
+    assert slow.get_variables(req)[0]["value"] == 2.0
+    assert fast.get_variables(req) == slow.get_variables(req)
+
+
+def test_fast_path_stale_manifest_falls_back_to_generic(spark, tmp_path):
+    """A variable present in the grid store but absent from a stale
+    serving manifest must be answered by the generic plan, not 404
+    (ADVICE r2 item 3)."""
+    eng = GridEngine(spark, str(tmp_path / "g"))
+    eng.insert_grid(spark.createDataFrame(
+        [("t", T0, 50.0, 10.0, 1.0, "u", "a", IA)], COLS))
+    # serving table built BEFORE variable 'x' lands
+    st = ServingTable.build(spark, eng.grid_data_final(), str(tmp_path / "s"))
+    eng.insert_grid(spark.createDataFrame(
+        [("x", T0, 50.0, 10.0, 5.0, "u", "b", IA)], COLS))
+    empty_cur = spark.createDataFrame(
+        [], "id string, raw_file_id string, variable string, unit string, timestamp timestamp, created_at timestamp")
+    empty_raw = spark.createDataFrame(
+        [], "id string, source string, dataset string, date date, s3_key string, created_at timestamp")
+    svc = EnvironmentalService(
+        eng.grid_data_final(), empty_cur, empty_raw, serving_table=st
+    )
+    out = svc.get_variables(_req(50.0, 10.0, T0, ["t", "x"]))
+    assert [r["variable"] for r in out] == ["t", "x"]
+    assert out[1]["value"] == 5.0
+
+
 def test_serving_table_incremental_refresh(spark, tmp_path):
     """refresh_dates rewrites only the touched (variable, date) partitions
     (dynamic overwrite) and re-derives the manifest; untouched partition

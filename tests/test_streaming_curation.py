@@ -69,6 +69,58 @@ def test_streaming_curation_end_to_end(spark, tmp_path):
     assert got == first | {10}
 
 
+def test_cross_horizon_duplicate_caught_by_batch_layer(spark, tmp_path):
+    """The stream only guarantees uniqueness WITHIN the watermark horizon
+    (dropDuplicatesWithinWatermark state): a duplicate arriving after its
+    twin's state was evicted passes the stream and must be absorbed by
+    the downstream batch exact dedup — the documented seam contract
+    (streaming/curation.py module docstring, q20 path)."""
+    import time
+
+    from jackfruit_spark.operators.dedup import exact_dedup
+
+    landing = tmp_path / "landing"
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = write_curated(
+            curate_stream(
+                stream_documents_jsonl(spark, str(landing)),
+                sample_pct=100,
+                watermark="1 second",
+            ),
+            out,
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    _land(landing / "b1.jsonl", [_doc(1, GOOD_EN)])
+    run()
+    time.sleep(3)
+    # unrelated doc advances the watermark; the end of this run evicts
+    # doc 1's dedup state (its event time falls below the new watermark)
+    _land(
+        landing / "b2.jsonl",
+        [_doc(2, GOOD_EN + " advancing the watermark of this stream")],
+    )
+    run()
+    time.sleep(3)
+    # exact duplicate of doc 1, now outside the horizon: the stream
+    # passes it — by design, not by accident
+    _land(landing / "b3.jsonl", [_doc(99, GOOD_EN)])
+    run()
+
+    curated = spark.read.parquet(out)
+    streamed_ids = {r["doc_id"] for r in curated.collect()}
+    assert 99 in streamed_ids, "cross-horizon duplicate should pass the stream"
+    # the seam: GLOBAL uniqueness is the batch layer's job
+    final = exact_dedup(curated, "text", "doc_id")
+    assert final.count() == 2
+    assert {r["keeper_id"] for r in final.collect()} == {1, 2}
+    assert {r["n_copies"] for r in final.collect()} == {2, 1}
+
+
 def test_streaming_matches_batch_stages(spark, tmp_path):
     """Same docs through the stream and through q57's batch stage chain
     (gates + content-hash dedup + 50% hash sample) give the same doc set
