@@ -148,6 +148,28 @@ def test_serving_table_slice_prunes_partitions(spark, tmp_path):
     assert "PushedFilters" in plan and "lat" in plan
 
 
+def test_serving_manifest_refresh_prunes_to_refreshed_dates(spark, tmp_path):
+    """The incremental manifest update must read ONLY the refreshed dates'
+    partition directories (PartitionFilters on date), not the full layout
+    (VERDICT r2 item 5)."""
+    import datetime as dt
+    import re
+
+    from jackfruit_spark.grid.engine import GridEngine
+    from jackfruit_spark.grid.serving_table import ServingTable
+    from jackfruit_spark.plans import plan_string
+
+    eng = GridEngine(spark, str(tmp_path / "g"))
+    cols = ["variable", "timestamp", "lat", "lon", "value", "unit", "catalog_id", "inserted_at"]
+    eng.insert_grid(spark.createDataFrame(
+        [("t", dt.datetime(2026, 1, d), 50.0, 10.0, 1.0, "u", "c", dt.datetime(2026, 1, d))
+         for d in (1, 2, 3)], cols))
+    st = ServingTable.build(spark, eng.grid_data_final(), str(tmp_path / "s"))
+    plan = plan_string(st._manifest_rows_for_dates(["2026-01-02"]))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "date" in m.group(1)
+
+
 def test_co_bucketed_join_no_shuffle(spark, tmp_path):
     from jackfruit_spark.storage import co_bucketed_join, write_bucketed
 

@@ -242,7 +242,8 @@ def test_serving_table_incremental_refresh(spark, tmp_path):
     d1, d2 = dt.datetime(2026, 1, 1, 12), dt.datetime(2026, 1, 2, 12)
     eng.insert_grid(spark.createDataFrame(
         [("t", d1, 50.0, 10.0, 1.0, "u", "c1", d1),
-         ("t", d2, 50.0, 10.0, 2.0, "u", "c2", d2)], COLS))
+         ("t", d2, 50.0, 10.0, 2.0, "u", "c2", d2),
+         ("x", d1, 50.0, 10.0, 4.0, "u", "c4", d1)], COLS))
     st = ServingTable.build(spark, eng.grid_data_final(), str(tmp_path / "s"))
 
     day1_dir = os.path.join(st.data_path, "variable=t", "date=2026-01-01")
@@ -259,6 +260,19 @@ def test_serving_table_incremental_refresh(spark, tmp_path):
     assert snaps["t"][0] == dt.datetime(2026, 1, 2, 13)  # manifest sees new ts
     rows = st.slice(snaps).collect()
     assert [r["value"] for r in rows] == [3.0]
+    # the incrementally merged manifest (kept rows for untouched dates +
+    # refreshed dates' rows) must equal a full rederivation of the layout
+    full = {
+        (r["variable"], r["timestamp"], r["date"])
+        for r in spark.read.parquet(st.data_path)
+        .select("variable", "timestamp", "date").distinct().collect()
+    }
+    merged = {
+        (r["variable"], r["timestamp"], r["date"])
+        for r in spark.read.parquet(st.manifest_path).collect()
+    }
+    assert merged == full
+    assert ("x", d1, d1.date()) in merged  # untouched variable's row kept
 
 
 def test_envelope_success_shape(fast_service):
