@@ -13,8 +13,15 @@ argparse over the library APIs, one subcommand per operational verb:
         --variables pm10,pm2p5 [--serving-root ...]
 
 ``lookup`` prints the EnvironmentalResponse JSON envelope (or the error
-body) and exits non-zero on 4xx/5xx — the curlable analog of
+body) and exits non-zero on 4xx/5xx — the one-shot analog of
 GET /v1/environmental.
+
+``serve`` starts the actual HTTP listener (grid/http_server.py) — the
+curlable equivalent of the reference serving binary
+(serving-go/cmd/serving/main.go):
+
+    python -m jackfruit_spark serve --store-root /data/store \\
+        [--serving-root ...] [--host 127.0.0.1] [--port 8080]
 """
 
 from __future__ import annotations
@@ -68,13 +75,12 @@ def cmd_backfill(args) -> int:
     return 0
 
 
-def cmd_lookup(args) -> int:
+def _service(spark, args):
+    import os
+
     from jackfruit_spark.grid.catalog import Catalog
     from jackfruit_spark.grid.engine import GridEngine
-    from jackfruit_spark.grid.serving import EnvironmentalService, handle_environmental
-
-    spark = _spark(args.cpus)
-    import os
+    from jackfruit_spark.grid.serving import EnvironmentalService
 
     eng = GridEngine(spark, args.store_root)
     cat = Catalog(spark, os.path.join(args.store_root, "catalog"))
@@ -83,10 +89,17 @@ def cmd_lookup(args) -> int:
         from jackfruit_spark.grid.serving_table import ServingTable
 
         serving_table = ServingTable(spark, args.serving_root)
-    svc = EnvironmentalService(
+    return EnvironmentalService(
         eng.grid_data_raw(), cat.curated_data(), cat.raw_files(),
         serving_table=serving_table,
     )
+
+
+def cmd_lookup(args) -> int:
+    from jackfruit_spark.grid.serving import handle_environmental
+
+    spark = _spark(args.cpus)
+    svc = _service(spark, args)
     status, body = handle_environmental(
         svc,
         {"lat": args.lat, "lon": args.lon, "timestamp": args.timestamp,
@@ -95,6 +108,21 @@ def cmd_lookup(args) -> int:
     )
     print(json.dumps({"status": status, **body}))
     return 0 if status == 200 else 1
+
+
+def cmd_serve(args) -> int:
+    from jackfruit_spark.grid.http_server import make_server
+
+    spark = _spark(args.cpus)
+    svc = _service(spark, args)
+    server = make_server(svc, host=args.host, port=args.port, timeout_s=args.timeout)
+    host, port = server.server_address[:2]
+    print(json.dumps({"listening": f"http://{host}:{port}"}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -130,6 +158,13 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument("--timeout", type=float, default=18.0)
     common(lk)
     lk.set_defaults(fn=cmd_lookup)
+
+    sv = sub.add_parser("serve", help="HTTP listener: GET /v1/environmental + /health")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--timeout", type=float, default=18.0)
+    common(sv)
+    sv.set_defaults(fn=cmd_serve)
     return p
 
 

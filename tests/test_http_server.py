@@ -1,0 +1,129 @@
+"""End-to-end HTTP round-trips against the stdlib listener — the curlable
+form of the reference's handler integration suite
+(serving-go/internal/api/handler_integration_test.go:35-266: health,
+single variable, multiple variables, variable not found, nearest-neighbor
+actual coords, bad request x3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from jackfruit_spark.grid.engine import GridEngine
+from jackfruit_spark.grid.http_server import make_server, serve_background
+from jackfruit_spark.grid.serving import EnvironmentalService
+
+COLS = ["variable", "timestamp", "lat", "lon", "value", "unit", "catalog_id", "inserted_at"]
+T0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+IA = dt.datetime(2026, 1, 1, 13, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def base_url(spark, tmp_path_factory):
+    eng = GridEngine(spark, str(tmp_path_factory.mktemp("http_store")))
+    rows = [
+        ("temperature", T0, 52.5, 13.4, 21.5, "°C", "cat-t", IA),
+        ("temperature", T0, 53.0, 13.4, 22.0, "°C", "cat-t", IA),
+        ("pm10", T0, 52.5, 13.4, 9.0, "µg/m³", "cat-p", IA),
+    ]
+    eng.insert_grid(spark.createDataFrame(rows, COLS))
+    raw_files = spark.createDataFrame(
+        [("run-1", "ads", "cams-europe-air-quality-forecast",
+          dt.date(2026, 1, 1), "ads/x/2026-01-01/run-1.grib", IA)],
+        ["id", "source", "dataset", "date", "s3_key", "created_at"],
+    )
+    curated = spark.createDataFrame(
+        [("cat-t", "run-1", "temperature", "°C", T0, IA),
+         ("cat-p", "run-1", "pm10", "µg/m³", T0, IA)],
+        ["id", "raw_file_id", "variable", "unit", "timestamp", "created_at"],
+    )
+    svc = EnvironmentalService(eng.grid_data_final(), curated, raw_files)
+    server = make_server(svc, port=0)  # ephemeral port
+    serve_background(server)
+    host, port = server.server_address[:2]
+    yield f"http://{host}:{port}"
+    server.shutdown()
+
+
+def _get(url: str) -> tuple[int, dict]:
+    try:
+        with urllib.request.urlopen(url, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(base_url):
+    status, body = _get(f"{base_url}/health")
+    assert status == 200 and body == {"status": "ok"}
+
+
+def test_single_variable_envelope(base_url):
+    status, body = _get(
+        f"{base_url}/v1/environmental?lat=52.5&lon=13.4"
+        "&timestamp=2026-01-01T12:30:00Z&variables=pm10"
+    )
+    assert status == 200
+    assert body["lat"] == 52.5 and body["lon"] == 13.4
+    assert body["requested_timestamp"] == "2026-01-01T12:30:00Z"
+    (v,) = body["variables"]
+    assert v["name"] == "pm10" and v["value"] == 9.0 and v["unit"] == "µg/m³"
+    assert v["ref_timestamp"] == "2026-01-01T12:00:00Z"  # snapped down
+    assert v["lineage"] == {
+        "source": "ads",
+        "dataset": "cams-europe-air-quality-forecast",
+        "raw_file_id": "run-1",
+    }
+
+
+def test_multiple_variables(base_url):
+    status, body = _get(
+        f"{base_url}/v1/environmental?lat=52.5&lon=13.4"
+        "&timestamp=2026-01-01T12:00:00Z&variables=temperature,pm10"
+    )
+    assert status == 200
+    assert [v["name"] for v in body["variables"]] == ["temperature", "pm10"]
+
+
+def test_nearest_neighbor_actual_coords(base_url):
+    # request between the two temperature points, nearer the (53.0, 13.4)
+    # one: the response carries the ACTUAL grid coords, not the requested
+    status, body = _get(
+        f"{base_url}/v1/environmental?lat=52.9&lon=13.5"
+        "&timestamp=2026-01-01T12:00:00Z&variables=temperature"
+    )
+    assert status == 200
+    (v,) = body["variables"]
+    # store-side float32 cast: compare at 3 decimals like test_serving
+    assert (round(v["actual_lat"], 3), round(v["actual_lon"], 3)) == (53.0, 13.4)
+    assert v["value"] == 22.0
+
+
+def test_variable_not_found_404(base_url):
+    status, body = _get(
+        f"{base_url}/v1/environmental?lat=52.5&lon=13.4"
+        "&timestamp=2026-01-01T12:00:00Z&variables=nope"
+    )
+    assert status == 404 and "nope" in body["error"]
+
+
+@pytest.mark.parametrize(
+    "qs",
+    [
+        "lon=13.4&timestamp=2026-01-01T12:00:00Z&variables=t",  # missing lat
+        "lat=52.5&lon=13.4&timestamp=not-a-time&variables=t",
+        "lat=52.5&lon=13.4&timestamp=2026-01-01T12:00:00Z&variables=%20%20,%20",
+    ],
+)
+def test_bad_request_400(base_url, qs):
+    status, body = _get(f"{base_url}/v1/environmental?{qs}")
+    assert status == 400 and "error" in body
+
+
+def test_unknown_route_404(base_url):
+    status, _ = _get(f"{base_url}/v2/nothing")
+    assert status == 404
