@@ -786,6 +786,20 @@ def q24_minhash_lsh_pairs(spark, sf_dir):
     return pairs.withColumnRenamed("doc_id", "id_a")
 
 
+def q24_minhash_lsh_pairs_xxh(spark, sf_dir):
+    """Bench-only twin of q24 on the xxhash64 PRODUCTION hash family (the
+    operator default). Not registered: xxhash64 has no DuckDB twin, and
+    the registry is capped at the driver's 50 checked entries — but BENCH
+    must track what a user actually runs (VERDICT r2 item 2: the md5mix
+    gate variant pays an md5-per-shingle oracle tax that production does
+    not). bench.py times both; pytest verifies this path's recall against
+    exact Jaccard (test_text_dedup.py)."""
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", num_hashes=32, k=3)
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=4)
+    return pairs.withColumnRenamed("doc_id", "id_a")
+
+
 def _q25_oracle(bits: int = 60) -> str:
     from jackfruit_spark.functions.hashing import sql_md5_hash64
 
