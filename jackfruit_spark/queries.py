@@ -220,9 +220,10 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 registry entries
 # (r1: 52 registered / 50 checked, r2: 60 / 50 — VERDICT r2 item 1).
 # Round 3 therefore folds near-redundant same-grain queries into combined
-# entries (q04+q44+q45, q12+q13, q17+q41, q18+q19, q25+q27, q28+q47,
+# entries (q04+q44+q45, q12+q13, q17+q41, q18+q19, q25+q27, q28+q47+q05,
 # q29+q30, q32+q33+q34) so the registry holds exactly 50 entries and every
-# distinct operator gets a driver-verified oracle row.
+# distinct operator gets a driver-verified oracle row (the q05 fold freed
+# the slot q61_sequence_packing occupies).
 
 
 @register(
@@ -268,27 +269,6 @@ def q04_event_type_stats(spark, sf_dir):
         .select("event_type", F.col("value").alias("median_value"))
     )
     return g.join(m, "event_type")
-
-
-@register(
-    "q05_minmax_stats",
-    oracle="""
-SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
-       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
-       MIN(l_shipdate) AS min_shipdate, MAX(l_shipdate) AS max_shipdate
-FROM lineitem
-""",
-    doc="min/max aggregates — SURVEY §2 #22 (test_transform_ecmwf.py:192-245).",
-)
-def q05_minmax_stats(spark, sf_dir):
-    return load(spark, sf_dir, "lineitem").agg(
-        F.min("l_quantity").alias("min_qty"),
-        F.max("l_quantity").alias("max_qty"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
-        F.min("l_shipdate").alias("min_shipdate"),
-        F.max("l_shipdate").alias("max_shipdate"),
-    )
 
 
 @register(
@@ -914,7 +894,9 @@ def q26_ann_lsh_bucketed(spark, sf_dir):
 @register(
     "q28_scalar_aggregates",
     oracle=f"""
-SELECT q6.revenue, q6.n_filtered, q17.avg_yearly, q17.n_small
+SELECT q6.revenue, q6.n_filtered, q17.avg_yearly, q17.n_small,
+       mm.min_qty, mm.max_qty, mm.min_price, mm.max_price,
+       mm.min_shipdate, mm.max_shipdate
 FROM
  (SELECT {_sql_int_sum('l_extendedprice * l_discount', 4)} AS revenue,
          COUNT(*) AS n_filtered
@@ -928,16 +910,29 @@ FROM
   JOIN (SELECT l_partkey, 0.2 * (SUM(l_quantity) / COUNT(*)) AS threshold
         FROM lineitem GROUP BY l_partkey) t
   ON t.l_partkey = l.l_partkey
-  WHERE l.l_quantity < t.threshold) q17
+  WHERE l.l_quantity < t.threshold) q17,
+ (SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+         MIN(l_shipdate) AS min_shipdate, MAX(l_shipdate) AS max_shipdate
+  FROM lineitem) mm
 """,
-    doc="Two single-row lineitem scalars, cross-joined: TPC-H Q6-shaped "
+    doc="Three single-row lineitem scalars, cross-joined: TPC-H Q6-shaped "
     "selective filter + aggregate (every predicate reaches the parquet "
-    "scan — PushedFilters) and TPC-H Q17-shaped correlated aggregate "
+    "scan — PushedFilters), TPC-H Q17-shaped correlated aggregate "
     "(per-part average threshold joined back via broadcast — the "
-    "decorrelated form of a correlated scalar subquery).",
+    "decorrelated form of a correlated scalar subquery), and the plain "
+    "min/max scan — SURVEY §2 #22 (test_transform_ecmwf.py:192-245).",
 )
 def q28_scalar_aggregates(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
     q6 = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -963,7 +958,7 @@ def q28_scalar_aggregates(spark, sf_dir):
             F.count(F.lit(1)).alias("n_small"),
         )
     )
-    return q6.crossJoin(q17)
+    return q6.crossJoin(q17).crossJoin(mm)
 
 
 @register(
@@ -1853,5 +1848,62 @@ def q59_token_histogram(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.min("n_tokens").alias("min_tokens"),
             F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+PACK_SEQ_TOKENS = 2048  # training-sequence capacity (tokens per chunk)
+
+
+@register(
+    "q61_sequence_packing",
+    oracle=rf"""
+SELECT source, chunk_id, COUNT(*) AS n_docs,
+       SUM(n_tokens) AS chunk_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {PACK_SEQ_TOKENS} AS chunk_id
+  FROM (SELECT source, doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents))
+GROUP BY source, chunk_id
+""",
+    doc="GPT-style sequence packing: concatenate documents in a "
+    "deterministic order per source and chunk the token stream into "
+    "{}-token training sequences — chunk_id = floor(tokens-before / "
+    "capacity), so a document starts in the chunk where its first token "
+    "lands (concat-then-chunk packing, the standard pretraining layout). "
+    "Reports per-chunk doc count / token count / doc span. The window is "
+    "PARTITIONED by source (no global sort); at 100 TB the same plan runs "
+    "per (source, shard) with shard = hash(doc_id) div N — packing only "
+    "needs determinism within a shard, not a corpus-global order.".format(
+        PACK_SEQ_TOKENS
+    ),
+)
+def q61_sequence_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", T.token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    chunk = F.expr(f"__cum_before div {PACK_SEQ_TOKENS}")
+    return (
+        d.withColumn("__cum_before", cum_before)
+        .withColumn("chunk_id", chunk)
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("chunk_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
         )
     )
