@@ -555,3 +555,68 @@ def simhash(
             F.lit(0).cast("long")
         )
     return voted.select(F.col(id_col), low.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str = "simhash",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Banded Hamming candidate generation over SimHash fingerprints —
+    the step that turns per-doc simhashes into near-dup PAIRS at scale.
+
+    Split the ``bits``-bit hash into ``bands`` contiguous blocks; two docs
+    become a candidate iff they agree EXACTLY on at least one block. By
+    pigeonhole, any pair with Hamming distance < ``bands`` shares an
+    unchanged block, so recall is 100% for distance <= bands-1 (the
+    classic simhash-dedup regime: 3-bit tolerance at 64 bits / 4 bands,
+    Manku et al., WWW'07); farther pairs collide with fast-decaying
+    probability. Same scale shape as MinHash-LSH banding: explode to
+    (band, block) — 8+4-byte shuffle keys — equi-join within bands,
+    distinct; no O(n^2) stage. ``max_hamming`` post-filters candidates by
+    exact Hamming distance (bit_count(xor), JVM-side); the ``hamming``
+    column is returned either way."""
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must divide evenly into bands ({bands})")
+    width = bits // bands
+    mask = (1 << width) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col(hash_col), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("block"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col(hash_col), F.explode(blocks).alias("bb")
+    ).select(
+        id_col,
+        hash_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.block").alias("block"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "band", "block"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "band", "block"
+    )
+    pairs = (
+        a.join(b, ["band", "block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
+        )
+    )
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs.select("id_a", "id_b", "hamming")

@@ -16,6 +16,7 @@ from jackfruit_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     simhash,
+    simhash_candidate_pairs,
 )
 
 BASE = (
@@ -115,6 +116,46 @@ def test_simhash_hamming_proximity(spark, corpus):
     assert ham(hashes[0], hashes[2]) == 0              # identical docs
     assert ham(hashes[0], hashes[1]) < 12              # near-dup: close
     assert ham(hashes[0], hashes[3]) > ham(hashes[0], hashes[1])  # unrelated: farther
+
+
+def test_simhash_candidate_pairs_pigeonhole(spark):
+    """The banding guarantee, on constructed hashes (bits=64, bands=4,
+    16-bit blocks): any pair within Hamming distance bands-1 MUST collide
+    (some block untouched); a pair with one flipped bit in EVERY block
+    must not (no block agrees)."""
+    base = 0x1234_5678_9ABC_DEF0
+    rows = [
+        (0, base),
+        (1, base ^ 0b111),                                  # 3 flips, block 0 only
+        (2, base ^ (1 | (1 << 16) | (1 << 32) | (1 << 48))),  # 1 flip per block
+    ]
+    sig = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidate_pairs(sig, "doc_id", bits=64, bands=4).collect()
+    }
+    assert pairs[(0, 1)] == 3           # within tolerance -> guaranteed caught
+    assert (0, 2) not in pairs          # every block touched -> no collision
+    # max_hamming post-filter drops the distance-3 pair
+    tight = simhash_candidate_pairs(
+        sig, "doc_id", bits=64, bands=4, max_hamming=2
+    ).collect()
+    assert tight == []
+
+
+def test_simhash_candidate_pairs_on_corpus(spark, corpus):
+    """End-to-end: simhash -> banded candidates finds the exact dup at
+    distance 0 and the one-word near-dup (Hamming 4 on this corpus —
+    bands=8 guarantees recall up to distance 7; bands=4 would only
+    guarantee 3 and in fact misses it, all four flips landing in distinct
+    16-bit blocks)."""
+    sig = simhash(corpus, "doc_id", "text", bits=64)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidate_pairs(sig, "doc_id", bits=64, bands=8).collect()
+    }
+    assert pairs[(0, 2)] == 0           # exact dup: identical hash
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 7  # near-dup: close hash
 
 
 def test_lang_id_on_phrases(spark, corpus):
