@@ -395,6 +395,10 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize ONCE: edges join into every round — without this the
+        # whole upstream pair generation (e.g. q53's Jaccard scoring)
+        # re-executes per iteration
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     for _ in range(max_iter):

@@ -84,6 +84,18 @@ def test_q59_no_global_per_row_window(spark):
         assert "HashAggregate" in s[m.start():]
 
 
+def test_q61_packing_window_partitioned(spark):
+    # sequence packing must use a source-PARTITIONED window (the 100x
+    # variant shards further) — never a global per-row sort
+    import re
+
+    from jackfruit_spark.plans import plan_string
+
+    s = plan_string(Q.registry()["q61_sequence_packing"].fn(spark, SF))
+    assert re.search(r"Window \[sum\(n_tokens.*\], \[source[^\]]*\], \[doc_id", s)
+    assert "Exchange SinglePartition" not in s
+
+
 def test_q60_funnel_no_nested_loop(spark):
     # chained interval joins must plan as equi-joins on (key, bin) — a
     # range predicate alone degenerates to BroadcastNestedLoop/Cartesian
