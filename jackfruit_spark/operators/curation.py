@@ -1,0 +1,173 @@
+"""Corpus-curation quality operators: repetition signals, benchmark
+decontamination, PII redaction.
+
+These extend the LLM-training-data family beyond the reference's surface
+(per the north star); the techniques are the public, standard ones:
+
+- Repetition signals are the Gopher quality filters (Rae et al. 2021,
+  "Scaling Language Models", Table A1): fraction of duplicate tokens and
+  fraction of the token stream covered by the single most frequent n-gram.
+  High values mark boilerplate / degenerate generations.
+- Decontamination is the n-gram-overlap test used by GPT-3/PaLM/Llama
+  evals: a training document is contaminated when it shares at least one
+  k-gram with a benchmark document.
+- PII redaction is regex scrubbing (emails, phone numbers, SSNs, IPv4) —
+  the C4/FineWeb-style pre-release pass.
+
+Scale notes (100 TB):
+
+- ``repetition_signals`` shuffles (doc_id, gram) rows exactly once — the
+  gram explosion reuses ``shingled_exploded``'s posexplode + window-lead
+  hot path (no interpreted higher-order lambdas), and the two per-doc
+  aggregations share the doc_id partitioning, so Spark plans groupBy +
+  join without a second exchange of the corpus.
+- ``decontaminate`` never shuffles the corpus at all: benchmark k-gram
+  sets are small by construction (real eval suites are MBs, not TBs), so
+  the membership test is a broadcast hash left-join streamed map-side,
+  followed by one groupBy on doc_id. The corpus-side gram stream is
+  per-doc distinct, bounding per-row fan-out by document length.
+- ``redact_pii`` is a pure column expression (chained ``regexp_replace``,
+  JVM codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jackfruit_spark.operators.dedup import shingled_exploded, tokens_expr
+
+# Ordered (label, java-regex) pairs; patterns deliberately avoid lookarounds
+# so they stay portable across regex engines. Longest/most-specific first so
+# an SSN isn't half-eaten by the phone pattern.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("PHONE", r"\b(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"),
+    ("IPV4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+]
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2
+) -> DataFrame:
+    """Per-document repetition scores (Gopher-style quality filters).
+
+    Returns one row per document: token counts, ``dup_token_ratio``
+    (1 - distinct/total tokens) and ``top_gram_ratio`` (occurrences of the
+    most frequent k-gram / total k-grams), both rounded to 6 dp so the
+    DuckDB oracle can match bit-for-bit.
+
+    Plan shape: the token-level columns are a pure projection (split +
+    array_distinct, codegen); only the k-gram mode needs a shuffle, and
+    its groupBy(doc_id, gram) → groupBy(doc_id) → join chain stays on the
+    doc_id partitioning established by the first exchange.
+    """
+    toks = tokens_expr(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+    grams = shingled_exploded(df, id_col, text_col, k=k, distinct=False)
+    per_gram = grams.groupBy(id_col, "sh").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.max("__c").cast("long").alias("top_gram_n"),
+        F.sum("__c").cast("long").alias("n_grams"),
+    )
+    return base.join(per_doc, id_col).select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("dup_token_ratio"),
+        "top_gram_n",
+        "n_grams",
+        F.round(
+            F.col("top_gram_n").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("top_gram_ratio"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Flag corpus documents sharing any k-gram with a benchmark set.
+
+    Returns one row per corpus document: ``n_grams`` (distinct k-grams in
+    the doc), ``n_contam_grams`` (how many also occur in the benchmark),
+    ``contaminated`` (0/1 as BIGINT for cross-engine hash stability) and
+    ``contam_ratio`` (rounded 6 dp).
+
+    The benchmark gram set is broadcast — eval suites are small by
+    construction, so the corpus is never shuffled for the membership test.
+    Better: the corpus is never RE-shuffled at all — ``shingled_exploded``'s
+    window already hash-partitions grams by doc_id, the broadcast join
+    preserves that, and both aggregations key on doc_id supersets, so the
+    whole chain plans with exactly one corpus exchange. The distinct-gram
+    counts deliberately avoid ``count_distinct`` — its Expand node reports
+    UnknownPartitioning and would force two more full-corpus exchanges;
+    the groupBy(doc, gram) → groupBy(doc) ladder computes the same thing
+    on the existing partitioning. k=8 is the GPT-3-style default; callers
+    testing tiny-vocab synthetic data want a smaller k to get a
+    non-degenerate hit rate.
+    """
+    bench_grams = (
+        shingled_exploded(benchmark, id_col, text_col, k=k, distinct=False)
+        .select("sh")
+        .distinct()
+        .withColumn("__hit", F.lit(1).cast("long"))
+    )
+    corpus_grams = shingled_exploded(corpus, id_col, text_col, k=k, distinct=False)
+    per_gram = (
+        corpus_grams.join(F.broadcast(bench_grams), "sh", "left")
+        .groupBy(id_col, "sh")
+        .agg(F.max("__hit").alias("__hit"))
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_contam_grams"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_grams",
+        "n_contam_grams",
+        (F.col("n_contam_grams") > 0).cast("long").alias("contaminated"),
+        F.round(
+            F.col("n_contam_grams").cast("double") / F.col("n_grams").cast("double"),
+            6,
+        ).alias("contam_ratio"),
+    )
+
+
+def redact_pii(col: str | Column, replacement: str = "[{label}]") -> Column:
+    """Scrub PII spans from a text column with chained regexp_replace.
+
+    ``replacement`` may reference ``{label}`` to tag the redaction kind
+    (default: ``user@x.com`` → ``[EMAIL]``). Pure JVM column expression —
+    safe in the 100 TB hot path.
+    """
+    out = F.col(col) if isinstance(col, str) else col
+    for label, pattern in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, replacement.format(label=label))
+    return out
+
+
+def pii_counts(col: str | Column) -> list[Column]:
+    """One BIGINT count column per PII pattern (``n_email``, ``n_ssn``,
+    ``n_phone``, ``n_ipv4``) — the audit twin of :func:`redact_pii`."""
+    src = F.col(col) if isinstance(col, str) else col
+    return [
+        F.size(F.regexp_extract_all(src, F.lit(pattern), 0))
+        .cast("long")
+        .alias(f"n_{label.lower()}")
+        for label, pattern in PII_PATTERNS
+    ]

@@ -527,28 +527,6 @@ def q16_tumbling_window(spark, sf_dir):
 # =============================================== text analysis (documents)
 
 
-@register(
-    "q17_token_counts",
-    oracle=r"""
-SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-       CAST(len(string_split_regex(trim(regexp_replace(text, '([^\w\s]+)', ' \1 ', 'g')),
-                '\s+')) AS BIGINT) AS n_bpe_tokens
-FROM documents
-""",
-    doc="Token counting over the documents table, one scan: whitespace "
-    "tokenizer + BPE-ish regex pre-tokenizer (words and punctuation runs "
-    "as separate tokens).",
-)
-def q17_token_counts(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        T.token_count("text").alias("n_tokens"),
-        F.size(T.bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"),
-    )
-
-
 def _sql_lang_score(words: list[str]) -> str:
     inlist = ",".join("'" + w.replace("'", "''") + "'" for w in words)
     return (
@@ -575,6 +553,8 @@ _LANG_SCORES = ",\n  ".join(
 SELECT doc_id, lang,
   CAST(length(text) AS BIGINT) AS n_chars_calc,
   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+  CAST(len(string_split_regex(trim(regexp_replace(text, '([^\w\s]+)', ' \1 ', 'g')),
+           '\s+')) AS BIGINT) AS n_bpe_tokens,
   ROUND(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
         / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
   ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
@@ -585,16 +565,19 @@ SELECT doc_id, lang,
   CASE {' '.join(_LANG_CASE)} ELSE 'und' END AS lang_pred
 FROM (SELECT doc_id, lang, text, {_LANG_SCORES} FROM documents)
 """,
-    doc="Per-document text analysis, one scan: quality scoring (length/"
-    "punctuation/stopword-ratio features for web-text filtering) + "
-    "language ID by stopword n-gram hits (argmax with fixed-precedence "
-    "tie-break en>fr>de>es>zh, 'und' when no hits).",
+    doc="Per-document text analysis, one scan (merged q17+q18 — same "
+    "per-doc grain): token counting (whitespace tokenizer + BPE-ish regex "
+    "pre-tokenizer counting words and punctuation runs separately), "
+    "quality scoring (length/punctuation/stopword-ratio features for "
+    "web-text filtering) + language ID by stopword n-gram hits (argmax "
+    "with fixed-precedence tie-break en>fr>de>es>zh, 'und' when no hits).",
 )
 def q18_text_features(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         "lang",
+        F.size(T.bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"),
         *T.quality_features("text"),
         T.lang_id("text").alias("lang_pred"),
     )
@@ -963,58 +946,51 @@ def q28_scalar_aggregates(spark, sf_dir):
 
 @register(
     "q29_semi_anti_join",
-    oracle="""
-SELECT 'semi' AS join_type, c_custkey, c_name FROM customer c
-WHERE EXISTS (SELECT 1 FROM orders o
-              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-UNION ALL
-SELECT 'anti' AS join_type, c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    oracle=f"""
+WITH tagged AS (
+  SELECT 'semi' AS join_type, c_custkey, c_name FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+  UNION ALL
+  SELECT 'anti' AS join_type, c_custkey, c_name FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+), agg AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         {_sql_int_sum('o_totalprice', 2)} AS total_spent
+  FROM orders GROUP BY o_custkey
+)
+SELECT t.join_type, t.c_custkey, t.c_name,
+       COALESCE(agg.n_orders, 0) AS n_orders,
+       COALESCE(agg.total_spent, CAST(0 AS DOUBLE)) AS total_spent
+FROM tagged t LEFT JOIN agg ON agg.o_custkey = t.c_custkey
 """,
-    doc="Left-semi (EXISTS) and left-anti (NOT EXISTS) joins over the same "
-    "filtered right side, tagged and unioned: customers with / without an "
-    "urgent order. The two legs partition the customer table exactly.",
+    doc="Join-suite query, one row per customer (merged q29+q31 — same "
+    "grain): left-semi (EXISTS) and left-anti (NOT EXISTS) joins over the "
+    "same filtered right side, tagged and unioned (the two legs partition "
+    "the customer table exactly), then a left-outer join with zero-fill "
+    "attaching each customer's order count / spend including order-less "
+    "customers.",
 )
 def q29_semi_anti_join(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    orders = load(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
         F.lit("semi").alias("join_type"), "c_custkey", "c_name"
     )
     anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         F.lit("anti").alias("join_type"), "c_custkey", "c_name"
     )
-    return semi.union(anti)
-
-
-@register(
-    "q31_outer_join_coalesce",
-    oracle=f"""
-SELECT c.c_custkey,
-       COALESCE(agg.n_orders, 0) AS n_orders,
-       COALESCE(agg.total_spent, CAST(0 AS DOUBLE)) AS total_spent
-FROM customer c LEFT JOIN (
-  SELECT o_custkey, COUNT(*) AS n_orders,
-         {_sql_int_sum('o_totalprice', 2)} AS total_spent
-  FROM orders GROUP BY o_custkey) agg
-ON agg.o_custkey = c.c_custkey
-""",
-    doc="Left-outer join with zero-fill: every customer with order count / "
-    "spend, including order-less customers.",
-)
-def q31_outer_join_coalesce(spark, sf_dir):
-    c = load(spark, sf_dir, "customer")
-    agg = (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            _int_sum(F.col("o_totalprice"), 2).alias("total_spent"),
-        )
+    tagged = semi.union(anti)
+    agg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _int_sum(F.col("o_totalprice"), 2).alias("total_spent"),
     )
-    return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+    return tagged.join(agg, tagged.c_custkey == agg.o_custkey, "left").select(
+        "join_type",
         "c_custkey",
+        "c_name",
         F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
         F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
     )
@@ -1906,4 +1882,102 @@ def q61_sequence_packing(spark, sf_dir):
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
+    )
+
+
+# k=2 twin of _SQL_SHINGLES (q21's k=3 idiom): slice truncation matches
+# concat_ws skip-missing, so a 1-token doc yields one partial gram on both
+# engines.
+_SQL_GRAMS2 = (
+    r"unnest(list_transform(range(1, greatest(len(toks), 2)), "
+    r"i -> array_to_string(toks[i:i+1], ' ')))"
+)
+
+
+@register(
+    "q62_repetition_signals",
+    oracle=r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, """ + _SQL_GRAMS2 + r""" AS sh FROM t),
+gc AS (SELECT doc_id, sh, COUNT(*) AS c FROM g GROUP BY doc_id, sh),
+ga AS (SELECT doc_id, MAX(c) AS top_gram_n, SUM(c) AS n_grams
+       FROM gc GROUP BY doc_id)
+SELECT t.doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+  ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE), 6) AS dup_token_ratio,
+  CAST(top_gram_n AS BIGINT) AS top_gram_n,
+  CAST(n_grams AS BIGINT) AS n_grams,
+  ROUND(CAST(top_gram_n AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS top_gram_ratio
+FROM t JOIN ga USING (doc_id)
+""",
+    doc="Gopher-style repetition quality signals, one row per document: "
+    "duplicate-token fraction (1 - distinct/total tokens, a pure "
+    "projection — split + array_distinct, codegen, no shuffle) and "
+    "top-bigram fraction (occurrences of the most frequent 2-gram over "
+    "all 2-grams — posexplode + window-lead grams, then "
+    "groupBy(doc,gram) -> groupBy(doc) reusing the doc_id partitioning "
+    "established by the gram window, so the corpus shuffles once). High "
+    "values mark boilerplate and degenerate text for filtering "
+    "(operators/curation.py).",
+)
+def q62_repetition_signals(spark, sf_dir):
+    from jackfruit_spark.operators.curation import repetition_signals
+
+    d = load(spark, sf_dir, "documents")
+    return repetition_signals(d, "doc_id", "text", k=2)
+
+
+DECONTAM_BENCH_PCT = 5  # doc_id-hash percent held out as the "benchmark" set
+
+
+@register(
+    "q63_decontamination",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         ({_hash_pct("CAST(doc_id AS VARCHAR)")} < {DECONTAM_BENCH_PCT}) AS is_bench,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+g AS (SELECT doc_id, is_bench,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 2)),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t),
+bg AS (SELECT DISTINCT sh FROM g WHERE is_bench)
+SELECT doc_id, n_grams, n_contam_grams,
+       CAST(CASE WHEN n_contam_grams > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated,
+       ROUND(CAST(n_contam_grams AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+         AS contam_ratio
+FROM (
+  SELECT g.doc_id,
+         CAST(COUNT(DISTINCT g.sh) AS BIGINT) AS n_grams,
+         CAST(COUNT(DISTINCT CASE WHEN bg.sh IS NOT NULL THEN g.sh END)
+              AS BIGINT) AS n_contam_grams
+  FROM g LEFT JOIN bg ON bg.sh = g.sh
+  WHERE NOT g.is_bench
+  GROUP BY g.doc_id)
+""",
+    doc="Benchmark decontamination (GPT-3-style n-gram overlap): a "
+    "deterministic doc_id-hash split holds out {pct}% of documents as the "
+    "'benchmark'; every remaining document reports how many of its "
+    "distinct 3-grams also occur in any benchmark document, plus a 0/1 "
+    "contaminated flag. The benchmark gram set is BROADCAST (eval suites "
+    "are small by construction) and the corpus-side groupBy reuses the "
+    "gram window's doc_id partitioning, so the corpus is never "
+    "re-shuffled — the scan streams map-side through the broadcast hash "
+    "join (operators/curation.py; k=3 here for a non-degenerate hit rate "
+    "on the tiny-vocab synthetic corpus, k=8 is the production default).".format(
+        pct=DECONTAM_BENCH_PCT
+    ),
+)
+def q63_decontamination(spark, sf_dir):
+    from jackfruit_spark.operators.curation import decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    is_bench = _hash_pct_col(F.col("doc_id").cast("string")) < DECONTAM_BENCH_PCT
+    return decontaminate(
+        d.filter(~is_bench), d.filter(is_bench), "doc_id", "text", k=3
     )

@@ -1,0 +1,122 @@
+"""Unit tests for the curation operators (repetition signals, benchmark
+decontamination, PII redaction) on hand-built documents with known answers,
+plus the plan-shape contracts the module docstring promises."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jackfruit_spark.operators.curation import (
+    decontaminate,
+    pii_counts,
+    redact_pii,
+    repetition_signals,
+)
+from jackfruit_spark.plans.explain import plan_string
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_repetition_signals_known_values(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "a a a a"),        # all-dup: 4 tokens, 1 distinct; bigrams "a a" x3
+            (2, "a b c"),          # no dup; bigrams "a b","b c" -> top ratio 0.5
+            (3, "x"),              # 1 token: one partial gram, ratio 1.0
+            (4, "go go go stop"),  # "go go" x2 of 3 bigrams
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_signals(d, "doc_id", "text", k=2).collect()
+    }
+    assert got[1]["n_tokens"] == 4 and got[1]["n_distinct_tokens"] == 1
+    assert got[1]["dup_token_ratio"] == 0.75
+    assert got[1]["top_gram_n"] == 3 and got[1]["n_grams"] == 3
+    assert got[1]["top_gram_ratio"] == 1.0
+    assert got[2]["dup_token_ratio"] == 0.0
+    assert got[2]["top_gram_ratio"] == 0.5
+    assert got[3]["n_tokens"] == 1 and got[3]["n_grams"] == 1
+    assert got[3]["top_gram_ratio"] == 1.0
+    assert got[4]["top_gram_n"] == 2 and got[4]["n_grams"] == 3
+    assert got[4]["dup_token_ratio"] == 0.5
+
+
+def test_decontaminate_known_overlap(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    corpus = _docs(
+        spark,
+        [
+            # 3-grams: "lazy quick brown", "quick brown fox", "brown fox dog"
+            # -> exactly one ("quick brown fox") occurs in the benchmark
+            (1, "lazy quick brown fox dog"),
+            (2, "entirely unrelated words here"),
+            # duplicate occurrences of a contaminated gram count once
+            (3, "quick brown fox quick brown fox"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(corpus, bench, "doc_id", "text", k=3).collect()
+    }
+    assert got[1]["n_grams"] == 3 and got[1]["n_contam_grams"] == 1
+    assert got[1]["contaminated"] == 1
+    assert round(got[1]["contam_ratio"], 6) == round(1 / 3, 6)
+    assert got[2]["n_contam_grams"] == 0 and got[2]["contaminated"] == 0
+    # doc 3 grams by position: qbf, bfq, fqb, qbf -> 3 distinct, and the
+    # twice-occurring contaminated gram counts once
+    assert got[3]["n_grams"] == 3 and got[3]["n_contam_grams"] == 1
+
+
+def test_decontaminate_plan_broadcast_no_expand(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    corpus = _docs(spark, [(1, "lazy quick brown fox dog")])
+    p = plan_string(decontaminate(corpus, bench, "doc_id", "text", k=3))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Expand" not in p  # count_distinct would reintroduce 2 exchanges
+
+
+def test_redact_pii_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail alice@example.com or bob.smith@corp.co.uk, "
+                "call 555-867-5309 or (212) 555-0199, "
+                "ssn 123-45-6789, host 192.168.0.1 ok",
+            ),
+            (2, "clean text with no identifiers at all"),
+        ],
+        "id LONG, text STRING",
+    )
+    out = df.select(
+        "id", redact_pii("text").alias("red"), *pii_counts("text")
+    ).collect()
+    got = {r["id"]: r.asDict() for r in out}
+    red = got[1]["red"]
+    assert "[EMAIL]" in red and "alice@example.com" not in red
+    assert "bob.smith@corp.co.uk" not in red
+    assert "[SSN]" in red and "123-45-6789" not in red
+    assert "[PHONE]" in red and "555-867-5309" not in red
+    assert "[IPV4]" in red and "192.168.0.1" not in red
+    assert got[1]["n_email"] == 2
+    assert got[1]["n_ssn"] == 1
+    assert got[1]["n_phone"] == 2
+    assert got[1]["n_ipv4"] == 1
+    assert got[2]["red"] == "clean text with no identifiers at all"
+    assert got[2]["n_email"] == got[2]["n_phone"] == 0
+
+
+def test_repetition_query_single_corpus_shuffle(spark):
+    from jackfruit_spark import queries as Q
+
+    p = plan_string(
+        Q.registry()["q62_repetition_signals"].fn(spark, "/root/testdata/sf0.001")
+    )
+    # one doc_id exchange for the gram window; the per-doc join broadcasts
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in p
