@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "q59_token_histogram",
     "q60_funnel_users",
     "q61_sequence_packing",
+    "q62_repetition_signals",
+    "q63_decontamination",
 ]
 
 REPEATS = 2  # report min-of-N: measures capability, suppresses GC/JIT noise

@@ -221,9 +221,9 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r1: 52 registered / 50 checked, r2: 60 / 50 — VERDICT r2 item 1).
 # Round 3 therefore folds near-redundant same-grain queries into combined
 # entries (q04+q44+q45, q12+q13, q17+q41, q18+q19, q25+q27, q28+q47+q05,
-# q29+q30, q32+q33+q34) so the registry holds exactly 50 entries and every
-# distinct operator gets a driver-verified oracle row (the q05 fold freed
-# the slot q61_sequence_packing occupies).
+# q29+q30, q32+q33+q34, and later q17+q18 per-doc and q29+q31 per-customer)
+# so the registry holds exactly 50 entries and every distinct operator gets
+# a driver-verified oracle row (the folds freed the slots q61-q63 occupy).
 
 
 @register(

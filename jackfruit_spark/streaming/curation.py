@@ -54,10 +54,15 @@ def curate_stream(
     min_stopword_ratio: float = 0.05,
     sample_pct: int = 50,
     watermark: str = "1 hour",
+    redact: bool = False,
 ) -> DataFrame:
     """The q57 stage chain as a streaming transformation (language gate,
     token-count and stopword-ratio gates, within-watermark exact dedup on
-    the content hash, deterministic keep-rate sample)."""
+    the content hash, deterministic keep-rate sample). ``redact=True``
+    adds the PII scrub (operators/curation.redact_pii) AFTER dedup — the
+    content hash must fingerprint the original bytes so replays of the
+    un-redacted source still collapse; redaction is a pure column
+    expression, so it adds no state and no shuffle."""
     toks = T.token_count("text")
     stop_ratio = F.round(
         T.stopword_count("text", T.LANG_STOPWORDS["en"]).cast("double")
@@ -80,7 +85,14 @@ def curate_stream(
         # forever across incremental runs (ADVICE r2 item 1)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
-    return kept.filter(md5_hash64(F.col("doc_id").cast("string")) % 100 < sample_pct)
+    kept = kept.filter(
+        md5_hash64(F.col("doc_id").cast("string")) % 100 < sample_pct
+    )
+    if redact:
+        from jackfruit_spark.operators.curation import redact_pii
+
+        kept = kept.withColumn("text", redact_pii("text"))
+    return kept
 
 
 def write_curated(curated: DataFrame, out_dir: str, checkpoint: str):

@@ -144,3 +144,70 @@ def test_interval_join_matches_bruteforce(spark, left, right, window):
         if lk == rk and 0 <= (rt - lt).total_seconds() * 1e6 <= win_us
     }
     assert got == expect
+
+
+def _ref_grams(tokens: list[str], k: int) -> list[str]:
+    """concat_ws skip-missing semantics: full k-grams, except docs shorter
+    than k tokens yield one truncated gram (shingled_exploded contract)."""
+    if len(tokens) < k:
+        return [" ".join(tokens)]
+    return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+
+_doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=1, max_size=12
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=_doc_texts)
+@settings(**_SETTINGS)
+def test_repetition_signals_match_bruteforce(spark, texts):
+    from collections import Counter
+
+    from jackfruit_spark.operators.curation import repetition_signals
+
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r.asDict() for r in
+           repetition_signals(df, "doc_id", "text", k=2).collect()}
+    for i, t in data:
+        toks = t.split()
+        grams = Counter(_ref_grams(toks, 2))
+        row = got[i]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_distinct_tokens"] == len(set(toks))
+        assert row["dup_token_ratio"] == round(1.0 - len(set(toks)) / len(toks), 6)
+        assert row["top_gram_n"] == max(grams.values())
+        assert row["n_grams"] == sum(grams.values())
+        assert row["top_gram_ratio"] == round(
+            max(grams.values()) / sum(grams.values()), 6
+        )
+
+
+@given(texts=_doc_texts, n_bench=st.integers(min_value=1, max_value=3))
+@settings(**_SETTINGS)
+def test_decontaminate_matches_bruteforce(spark, texts, n_bench):
+    from jackfruit_spark.operators.curation import decontaminate
+
+    if len(texts) <= n_bench:
+        return
+    data = [(i, t) for i, t in enumerate(texts)]
+    bench, corpus = data[:n_bench], data[n_bench:]
+    bdf = spark.createDataFrame(bench, "doc_id LONG, text STRING")
+    cdf = spark.createDataFrame(corpus, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r.asDict() for r in
+           decontaminate(cdf, bdf, "doc_id", "text", k=2).collect()}
+    bench_grams = {g for _, t in bench for g in _ref_grams(t.split(), 2)}
+    assert set(got) == {i for i, _ in corpus}
+    for i, t in corpus:
+        grams = set(_ref_grams(t.split(), 2))
+        hits = grams & bench_grams
+        row = got[i]
+        assert row["n_grams"] == len(grams)
+        assert row["n_contam_grams"] == len(hits)
+        assert row["contaminated"] == (1 if hits else 0)
+        assert row["contam_ratio"] == round(len(hits) / len(grams), 6)

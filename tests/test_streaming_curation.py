@@ -154,3 +154,33 @@ def test_streaming_matches_batch_stages(spark, tmp_path):
         for r in keepers.filter(md5_hash64(F.col("doc_id").cast("string")) % 100 < 50).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_redact_pii_after_dedup(spark, tmp_path):
+    """redact=True scrubs PII from the curated output while the dedup
+    hash still fingerprints the ORIGINAL text: two identical PII-bearing
+    docs collapse to one, and the survivor's text is redacted."""
+    landing = tmp_path / "landing"
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    pii_text = GOOD_EN + " contact alice@example.com at 192.168.0.1 now"
+    _land(landing / "b1.jsonl", [_doc(1, pii_text), _doc(2, pii_text)])
+    q = write_curated(
+        curate_stream(
+            stream_documents_jsonl(spark, str(landing)),
+            sample_pct=100,
+            redact=True,
+        ),
+        out, ckpt,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    text = rows[0]["text"]
+    assert "[EMAIL]" in text and "alice@example.com" not in text
+    assert "[IPV4]" in text and "192.168.0.1" not in text
+    # the stored content_hash is of the ORIGINAL bytes (replay contract)
+    import hashlib
+
+    assert rows[0]["content_hash"] == hashlib.md5(pii_text.encode()).hexdigest()
