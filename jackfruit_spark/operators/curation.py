@@ -35,7 +35,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from jackfruit_spark.operators.dedup import shingled_exploded, tokens_expr
+from pyspark.sql import Window
+
+from jackfruit_spark.operators.dedup import (
+    grams_with_pos,
+    shingled_exploded,
+    tokens_expr,
+)
 
 # Ordered (label, java-regex) pairs; patterns deliberately avoid lookarounds
 # so they stay portable across regex engines. Longest/most-specific first so
@@ -90,6 +96,81 @@ def repetition_signals(
         F.round(
             F.col("top_gram_n").cast("double") / F.col("n_grams").cast("double"), 6
         ).alias("top_gram_ratio"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 50, min_count: int = 2
+) -> DataFrame:
+    """Per-document duplicate-span coverage — substring-level dedup
+    signals (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": remove any k-token span that occurs more
+    than once in the corpus, k=50 in the paper; the synthetic-corpus
+    tests use a smaller k).
+
+    A token position is MARKED when the k-gram starting there occurs
+    >= min_count times corpus-wide (cross-doc AND intra-doc repeats both
+    count, per the paper). Marked windows overlap; merged coverage is
+    computed with a per-doc lag window: the first marked position in a
+    run contributes k covered tokens, each subsequent one
+    min(k, pos - prev). Returns one row per input document:
+
+      (id, n_tokens, dup_span_tokens, n_dup_spans, dup_span_ratio)
+
+    where n_dup_spans counts maximal merged spans and dup_span_ratio =
+    dup_span_tokens / n_tokens rounded to 6 dp (oracle-matchable).
+
+    Plan shape / 100 TB notes: gram occurrence counts use a
+    count-over-partition window on the gram (ONE shuffle of the gram
+    stream, no self-join — the join formulation would recompute the
+    posexplode+lead subtree twice). The marked stream then shuffles by
+    doc id for the merge window; both keys are bounded-size. A single
+    corpus-dominating gram concentrates its partition in one task —
+    at production scale hash grams to 64 bits (xxhash64) to shrink
+    shuffle width, and cap degenerate grams with a broadcast hot-key
+    anti-join exactly as jaccard_pairs does (operators/dedup.py); kept
+    as raw strings here so the DuckDB oracle matches bit-for-bit.
+    """
+    g = grams_with_pos(df, id_col, text_col, k)
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    marked = (
+        g.withColumn("__cnt", cnt)
+        .filter(F.col("__cnt") >= min_count)
+        .select(F.col(id_col), "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    spans = (
+        marked.select(
+            F.col(id_col),
+            F.when(prev.isNull(), F.lit(k))
+            .otherwise(F.least(F.lit(k), F.col("pos") - prev))
+            .alias("__cov"),
+            F.when(prev.isNull() | ((F.col("pos") - prev) >= k), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__new"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cov").cast("long").alias("dup_span_tokens"),
+            F.sum("__new").cast("long").alias("n_dup_spans"),
+        )
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens_expr(text_col)).cast("long").alias("n_tokens")
+    )
+    return base.join(spans, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce(F.col("dup_span_tokens"), F.lit(0)).cast("long").alias(
+            "dup_span_tokens"
+        ),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.round(
+            F.coalesce(F.col("dup_span_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("dup_span_ratio"),
     )
 
 

@@ -135,6 +135,37 @@ def shingled_exploded(
     return out.distinct() if distinct else out
 
 
+def grams_with_pos(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, sh): one row per FULL k-gram with its 0-based start
+    position in the token stream.
+
+    Same posexplode + window-lead hot path as ``shingled_exploded`` (one
+    tokenize per doc, no interpreted higher-order lambdas), but WITHOUT
+    the partial-gram rule: span semantics need exact k-token windows — a
+    document shorter than k tokens cannot contain a duplicated k-token
+    span, so it yields no rows here.
+    """
+    t = df.select(
+        F.col(id_col), F.posexplode(tokens_expr(text_col)).alias("__pos", "__tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    gram = F.concat_ws(
+        " ", F.col("__tok"), *[F.lead("__tok", j).over(w) for j in range(1, k)]
+    )
+    return (
+        t.select(
+            F.col(id_col),
+            F.col("__pos").alias("pos"),
+            gram.alias("sh"),
+            F.lead("__tok", k - 1).over(w).alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select(F.col(id_col), "pos", "sh")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -1894,15 +1894,34 @@ _SQL_GRAMS2 = (
 )
 
 
+SPAN_K = 5  # duplicate-span gram width for the test corpus (paper: 50)
+SPAN_MIN_COUNT = 2  # occurrences (corpus-wide) that make a span "duplicated"
+
+
 @register(
     "q62_repetition_signals",
     oracle=r"""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
            FROM documents),
-g AS (SELECT doc_id, """ + _SQL_GRAMS2 + r""" AS sh FROM t),
+g AS (SELECT doc_id, """ + _SQL_GRAMS2 + rf""" AS sh FROM t),
 gc AS (SELECT doc_id, sh, COUNT(*) AS c FROM g GROUP BY doc_id, sh),
 ga AS (SELECT doc_id, MAX(c) AS top_gram_n, SUM(c) AS n_grams
-       FROM gc GROUP BY doc_id)
+       FROM gc GROUP BY doc_id),
+sg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+              array_to_string(toks[i:i+{SPAN_K - 1}], ' ') AS sh
+       FROM t, UNNEST(range(1, greatest(len(toks) - {SPAN_K - 2}, 1))) AS u(i)),
+sm AS (SELECT doc_id, pos FROM (
+         SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY sh) AS c FROM sg)
+       WHERE c >= {SPAN_MIN_COUNT}),
+ss AS (SELECT doc_id,
+              SUM(CASE WHEN prev IS NULL THEN {SPAN_K}
+                       ELSE LEAST({SPAN_K}, pos - prev) END) AS dup_span_tokens,
+              SUM(CASE WHEN prev IS NULL OR pos - prev >= {SPAN_K}
+                       THEN 1 ELSE 0 END) AS n_dup_spans
+       FROM (SELECT doc_id, pos,
+                    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+             FROM sm)
+       GROUP BY doc_id)
 SELECT t.doc_id,
   CAST(len(toks) AS BIGINT) AS n_tokens,
   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
@@ -1910,24 +1929,38 @@ SELECT t.doc_id,
             / CAST(len(toks) AS DOUBLE), 6) AS dup_token_ratio,
   CAST(top_gram_n AS BIGINT) AS top_gram_n,
   CAST(n_grams AS BIGINT) AS n_grams,
-  ROUND(CAST(top_gram_n AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS top_gram_ratio
-FROM t JOIN ga USING (doc_id)
+  ROUND(CAST(top_gram_n AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS top_gram_ratio,
+  CAST(COALESCE(ss.dup_span_tokens, 0) AS BIGINT) AS dup_span_tokens,
+  CAST(COALESCE(ss.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+  ROUND(CAST(COALESCE(ss.dup_span_tokens, 0) AS DOUBLE)
+      / CAST(len(toks) AS DOUBLE), 6) AS dup_span_ratio
+FROM t JOIN ga USING (doc_id) LEFT JOIN ss USING (doc_id)
 """,
-    doc="Gopher-style repetition quality signals, one row per document: "
+    doc="Per-document duplication diagnostics, one row per document, two "
+    "families joined on doc_id. (a) Gopher-style repetition signals: "
     "duplicate-token fraction (1 - distinct/total tokens, a pure "
     "projection — split + array_distinct, codegen, no shuffle) and "
     "top-bigram fraction (occurrences of the most frequent 2-gram over "
     "all 2-grams — posexplode + window-lead grams, then "
     "groupBy(doc,gram) -> groupBy(doc) reusing the doc_id partitioning "
-    "established by the gram window, so the corpus shuffles once). High "
-    "values mark boilerplate and degenerate text for filtering "
-    "(operators/curation.py).",
+    "established by the gram window, so the corpus shuffles once). "
+    "(b) Duplicate-span coverage (Lee et al. 2022 substring dedup): "
+    "tokens covered by any corpus-wide repeated k-token span "
+    f"(k={SPAN_K} here, 50 in the paper), merged-interval count, and "
+    "coverage ratio — count-over-gram window (one gram shuffle, no "
+    "self-join) then a per-doc lag window merges overlaps "
+    "(operators/curation.py:duplicate_spans). High values mark "
+    "boilerplate and memorization risk for filtering/removal.",
 )
 def q62_repetition_signals(spark, sf_dir):
-    from jackfruit_spark.operators.curation import repetition_signals
+    from jackfruit_spark.operators.curation import duplicate_spans, repetition_signals
 
     d = load(spark, sf_dir, "documents")
-    return repetition_signals(d, "doc_id", "text", k=2)
+    rep = repetition_signals(d, "doc_id", "text", k=2)
+    spans = duplicate_spans(
+        d, "doc_id", "text", k=SPAN_K, min_count=SPAN_MIN_COUNT
+    ).drop("n_tokens")
+    return rep.join(spans, "doc_id")
 
 
 DECONTAM_BENCH_PCT = 5  # doc_id-hash percent held out as the "benchmark" set

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from jackfruit_spark.operators.curation import (
     decontaminate,
+    duplicate_spans,
     pii_counts,
     redact_pii,
     repetition_signals,
@@ -111,12 +112,58 @@ def test_redact_pii_and_counts(spark):
     assert got[2]["n_email"] == got[2]["n_phone"] == 0
 
 
-def test_repetition_query_single_corpus_shuffle(spark):
+def test_duplicate_spans_known_values(spark):
+    d = _docs(
+        spark,
+        [
+            # "a b" occurs in docs 1+2 (3x total) -> doc1 pos0 marked:
+            # 2 covered tokens, 1 span
+            (1, "a b c d e"),
+            # "a b" at pos 0 and 4 (gap >= k) -> 2 disjoint spans, 4 tokens
+            (2, "a b x y a b"),
+            (3, "z"),  # shorter than k: no grams, all zeros
+            (4, "p q r s"),  # all grams unique: zeros
+            # "m m" at pos 0,1,2 -> overlapping, merge to ONE span covering
+            # the whole doc: first pos contributes k, later min(k, gap)=1
+            (5, "m m m m"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in duplicate_spans(d, "doc_id", "text", k=2, min_count=2).collect()
+    }
+    assert got[1]["dup_span_tokens"] == 2 and got[1]["n_dup_spans"] == 1
+    assert got[1]["dup_span_ratio"] == 0.4
+    assert got[2]["dup_span_tokens"] == 4 and got[2]["n_dup_spans"] == 2
+    assert got[3]["n_tokens"] == 1
+    assert got[3]["dup_span_tokens"] == 0 and got[3]["n_dup_spans"] == 0
+    assert got[3]["dup_span_ratio"] == 0.0
+    assert got[4]["dup_span_tokens"] == 0 and got[4]["n_dup_spans"] == 0
+    assert got[5]["dup_span_tokens"] == 4 and got[5]["n_dup_spans"] == 1
+    assert got[5]["dup_span_ratio"] == 1.0
+
+
+def test_duplicate_spans_plan_shape(spark):
+    d = _docs(spark, [(1, "a b c d e"), (2, "a b x y a b")])
+    p = plan_string(duplicate_spans(d, "doc_id", "text", k=2, min_count=2))
+    # the count-over-gram WINDOW formulation explodes the corpus ONCE; the
+    # join formulation would recompute the posexplode subtree (2 Generates)
+    assert p.count("Generate posexplode") == 1
+    # gram lead window (id) + count window (sh) + lag window (id): three
+    # bounded-key exchanges on the token stream (the per-doc join may add
+    # its own, strategy-dependent)
+    assert p.count("ENSURE_REQUIREMENTS") >= 3
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_repetition_query_plan(spark):
     from jackfruit_spark import queries as Q
 
     p = plan_string(
         Q.registry()["q62_repetition_signals"].fn(spark, "/root/testdata/sf0.001")
     )
-    # one doc_id exchange for the gram window; the per-doc join broadcasts
-    assert p.count("Exchange hashpartitioning") == 1
-    assert "SortMergeJoin" not in p
+    # rep gram window (doc_id) + spans' three (doc_id, sh, doc_id): the two
+    # signal families each shuffle only bounded-size keys; per-doc joins
+    # broadcast at test scale (doc_id-keyed SMJ at cluster scale is fine)
+    assert p.count("Exchange hashpartitioning") == 4
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -211,3 +211,44 @@ def test_decontaminate_matches_bruteforce(spark, texts, n_bench):
         assert row["n_contam_grams"] == len(hits)
         assert row["contaminated"] == (1 if hits else 0)
         assert row["contam_ratio"] == round(len(hits) / len(grams), 6)
+
+
+@given(texts=_doc_texts)
+@settings(**_SETTINGS)
+def test_duplicate_spans_match_bruteforce(spark, texts):
+    from collections import Counter
+
+    from jackfruit_spark.operators.curation import duplicate_spans
+
+    k = 2
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r.asDict() for r in
+           duplicate_spans(df, "doc_id", "text", k=k, min_count=2).collect()}
+    # brute force: full k-grams only (no partial-gram rule for spans)
+    occ = Counter(
+        tuple(t.split()[i : i + k])
+        for _, t in data
+        for i in range(len(t.split()) - k + 1)
+    )
+    assert set(got) == {i for i, _ in data}
+    for i, t in data:
+        toks = t.split()
+        marked = [
+            p
+            for p in range(len(toks) - k + 1)
+            if occ[tuple(toks[p : p + k])] >= 2
+        ]
+        covered: set[int] = set()
+        spans = 0
+        prev_end = -1
+        for p in marked:
+            if p > prev_end:
+                spans += 1
+            covered.update(range(p, p + k))
+            prev_end = max(prev_end, p + k - 1)
+        row = got[i]
+        assert row["n_tokens"] == len(toks)
+        assert row["dup_span_tokens"] == len(covered)
+        assert row["n_dup_spans"] == spans
+        assert row["dup_span_ratio"] == round(len(covered) / len(toks), 6)
