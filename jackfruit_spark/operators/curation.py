@@ -174,6 +174,96 @@ def duplicate_spans(
     )
 
 
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style importance scores for domain-targeted data selection
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every raw document by its unigram
+    log-likelihood ratio between a small TARGET domain and the raw
+    corpus, then keep documents that look more target-like than
+    raw-like.
+
+    Per vocabulary word w (joint vocab of both corpora, add-alpha
+    smoothed):  lambda(w) = ln p_target(w) - ln p_raw(w), quantized to
+    integer ``scale``-ths so the per-document SUM is an exact BIGINT
+    aggregation (order-independent — the raw-double sum of logs would
+    drift across partitionings; see the queries.py determinism
+    docstring). Returns one row per raw document:
+
+      (id, n_tokens, dsir_score, keep)
+
+    with dsir_score = mean per-token log ratio rounded to 6 dp and
+    keep = 1 iff the exact integer sum is > 0. Full DSIR resamples
+    with Gumbel noise proportional to exp(score); the deterministic
+    threshold keeps the gate reproducible — swap the final comparison
+    for hash-Gumbel sampling in production if proportional sampling is
+    wanted.
+
+    Plan shape / 100 TB notes: one explode of each corpus; vocab counts
+    shuffle on the word (bounded key); the totals row is a broadcast
+    cross-join (3 scalars); the lambda table joins back to the raw
+    token stream on the word — AQE broadcasts it when the vocab is
+    small, and at web-scale vocabularies it degrades to a sort-merge
+    join on an 8-byte-hashable key. No driver-side collect anywhere.
+    """
+    rt = raw.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("w"))
+    tt = target.select(F.explode(tokens_expr(text_col)).alias("w"))
+    tc = tt.groupBy("w").agg(F.count(F.lit(1)).alias("tc"))
+    rc = rt.groupBy("w").agg(F.count(F.lit(1)).alias("rc"))
+    vocab = (
+        tc.join(rc, "w", "full")
+        .select(
+            "w",
+            F.coalesce(F.col("tc"), F.lit(0)).alias("tc"),
+            F.coalesce(F.col("rc"), F.lit(0)).alias("rc"),
+        )
+    )
+    tot = vocab.agg(
+        F.sum("tc").alias("tt_tot"),
+        F.sum("rc").alias("tr_tot"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    a = F.lit(float(alpha))
+    lam = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(
+            (
+                F.log((F.col("tc") + a) / (F.col("tt_tot") + a * F.col("v")))
+                - F.log((F.col("rc") + a) / (F.col("tr_tot") + a * F.col("v")))
+            )
+            * F.lit(float(scale))
+        )
+        .cast("long")
+        .alias("li"),
+    )
+    s = (
+        rt.join(lam, "w")
+        .groupBy(id_col)
+        .agg(F.sum("li").alias("s_int"), F.count(F.lit(1)).alias("n"))
+    )
+    # round the PER-TOKEN average to integer micro-nats BEFORE the final
+    # exact division: a rounding boundary at an integer+0.5 is exactly
+    # representable in binary, so Spark (BigDecimal HALF_UP on the shortest
+    # repr) and DuckDB (half away from zero on the value) agree — rounding
+    # at 6 dp AFTER dividing by `scale` would put the boundary at a
+    # non-representable decimal where the two engines can disagree by 1 ulp
+    avg_li = F.round(F.col("s_int").cast("double") / F.col("n")).cast("long")
+    return s.select(
+        F.col(id_col),
+        F.col("n").cast("long").alias("n_tokens"),
+        (avg_li.cast("double") / F.lit(float(scale))).alias("dsir_score"),
+        F.when(F.col("s_int") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias(
+            "keep"
+        ),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1555,48 +1555,41 @@ def _hash_pct_col(col):
     return md5_hash64(col) % F.lit(100)
 
 
-@register(
-    "q54_hash_sample",
-    oracle=f"""
-SELECT doc_id, lang FROM documents
-WHERE {_hash_pct("CAST(doc_id AS VARCHAR)")} < 10
-""",
-    doc="Reproducible 10% sample by content-independent key hash — the "
-    "only sampling discipline that survives re-runs, backfills and "
-    "cluster changes at 100 TB (rand() does not). Hash-matched: the "
-    "sampling DECISION itself is oracle-verified bit-for-bit.",
-)
-def q54_hash_sample(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    return d.filter(_hash_pct_col(F.col("doc_id").cast("string")) < 10).select(
-        "doc_id", "lang"
-    )
-
-
 MIX_RATES = {"en": 50, "fr": 20}  # percent kept per language; default 10
 MIX_DEFAULT = 10
 
 
 @register(
-    "q55_stratified_mix",
+    "q54_hash_sample",
     oracle=f"""
-SELECT doc_id, lang FROM documents
-WHERE {_hash_pct("CAST(doc_id AS VARCHAR)")}
-      < CASE {' '.join(f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_RATES.items())}
-        ELSE {MIX_DEFAULT} END
+SELECT doc_id, lang,
+  CAST(CASE WHEN {_hash_pct("CAST(doc_id AS VARCHAR)")} < 10
+       THEN 1 ELSE 0 END AS BIGINT) AS keep_flat,
+  CAST(CASE WHEN {_hash_pct("CAST(doc_id AS VARCHAR)")}
+       < CASE {' '.join(f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_RATES.items())}
+         ELSE {MIX_DEFAULT} END
+       THEN 1 ELSE 0 END AS BIGINT) AS keep_mix
+FROM documents
 """,
-    doc="Stratified data mixing: per-language keep rates (en 50% / fr 20% "
-    "/ rest 10%) applied via the same deterministic key hash — the "
-    "training-mix weighting step of a data pipeline, one scan, no "
-    "shuffle.",
+    doc="Reproducible sampling DECISIONS by content-independent key hash, "
+    "one row per document with two flags: keep_flat (flat 10% sample) "
+    "and keep_mix (stratified per-language mix, en 50% / fr 20% / rest "
+    "10% — the training-mix weighting step of a data pipeline). Key-hash "
+    "sampling is the only discipline that survives re-runs, backfills "
+    "and cluster changes at 100 TB (rand() does not); one scan, no "
+    "shuffle, both decisions oracle-verified bit-for-bit.",
 )
-def q55_stratified_mix(spark, sf_dir):
+def q54_hash_sample(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
+    h = _hash_pct_col(F.col("doc_id").cast("string"))
     rate = F.lit(MIX_DEFAULT)
     for k, v in reversed(MIX_RATES.items()):
         rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
-    return d.filter(_hash_pct_col(F.col("doc_id").cast("string")) < rate).select(
-        "doc_id", "lang"
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(h < 10, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep_flat"),
+        F.when(h < rate, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep_mix"),
     )
 
 
@@ -2013,4 +2006,70 @@ def q63_decontamination(spark, sf_dir):
     is_bench = _hash_pct_col(F.col("doc_id").cast("string")) < DECONTAM_BENCH_PCT
     return decontaminate(
         d.filter(~is_bench), d.filter(is_bench), "doc_id", "text", k=3
+    )
+
+
+DSIR_TARGET_SOURCE = "src0"  # the "high-quality" domain the selection targets
+DSIR_ALPHA = 0.5  # add-alpha unigram smoothing
+DSIR_SCALE = 1_000_000  # per-word log-ratio quantization (integer micro-nats)
+
+
+@register(
+    "q64_dsir_sampling",
+    oracle=rf"""
+WITH t AS (SELECT doc_id, source,
+                  unnest(string_split_regex(trim(text), '\s+')) AS w
+           FROM documents),
+tc AS (SELECT w, COUNT(*) AS c FROM t
+       WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY w),
+rc AS (SELECT w, COUNT(*) AS c FROM t
+       WHERE source <> '{DSIR_TARGET_SOURCE}' GROUP BY w),
+vocab AS (SELECT COALESCE(tc.w, rc.w) AS w,
+                 COALESCE(tc.c, 0) AS tc, COALESCE(rc.c, 0) AS rc
+          FROM tc FULL JOIN rc ON tc.w = rc.w),
+tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS tr, COUNT(*) AS v FROM vocab),
+lam AS (SELECT w,
+               CAST(ROUND((ln(CAST(tc + {DSIR_ALPHA} AS DOUBLE)
+                            / CAST(tt + {DSIR_ALPHA} * v AS DOUBLE))
+                         - ln(CAST(rc + {DSIR_ALPHA} AS DOUBLE)
+                            / CAST(tr + {DSIR_ALPHA} * v AS DOUBLE)))
+                          * {DSIR_SCALE}.0) AS BIGINT) AS li
+        FROM vocab, tot),
+s AS (SELECT t.doc_id, SUM(lam.li) AS s_int, COUNT(*) AS n
+      FROM t JOIN lam USING (w)
+      WHERE t.source <> '{DSIR_TARGET_SOURCE}' GROUP BY t.doc_id)
+SELECT s.doc_id, d.lang,
+       CAST(s.n AS BIGINT) AS n_tokens,
+       CAST(ROUND(CAST(s.s_int AS DOUBLE) / CAST(s.n AS DOUBLE)) AS BIGINT)
+         / {DSIR_SCALE}.0 AS dsir_score,
+       CAST(CASE WHEN s.s_int > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s JOIN documents d ON s.doc_id = d.doc_id
+""",
+    doc="DSIR-style importance sampling (Xie et al. 2023): score every "
+    f"non-'{DSIR_TARGET_SOURCE}' document by its unigram log-likelihood "
+    f"ratio between the '{DSIR_TARGET_SOURCE}' target domain and the raw "
+    "corpus (add-alpha smoothed, joint vocabulary), keep = the exact "
+    "integer-quantized sum is positive. Per-word log ratios are rounded "
+    "to integer micro-nats BEFORE the per-document sum, so the "
+    "aggregation is an order-independent BIGINT sum (raw double sums of "
+    "logs drift across partitionings). Totals ride a 3-scalar broadcast "
+    "cross-join; the lambda table joins the token stream on the word "
+    "(AQE-broadcast at test scale, sort-merge at web-scale vocab) — "
+    "operators/curation.py:dsir_scores.",
+)
+def q64_dsir_sampling(spark, sf_dir):
+    from jackfruit_spark.operators.curation import dsir_scores
+
+    d = load(spark, sf_dir, "documents")
+    is_target = F.col("source") == DSIR_TARGET_SOURCE
+    scored = dsir_scores(
+        d.filter(~is_target),
+        d.filter(is_target),
+        "doc_id",
+        "text",
+        alpha=DSIR_ALPHA,
+        scale=DSIR_SCALE,
+    )
+    return scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_tokens", "dsir_score", "keep"
     )

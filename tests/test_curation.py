@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from jackfruit_spark.operators.curation import (
     decontaminate,
+    dsir_scores,
     duplicate_spans,
     pii_counts,
     redact_pii,
@@ -167,3 +168,42 @@ def test_repetition_query_plan(spark):
     # broadcast at test scale (doc_id-keyed SMJ at cluster scale is fine)
     assert p.count("Exchange hashpartitioning") == 4
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_dsir_scores_known_values(spark):
+    import math
+
+    target = _docs(spark, [(100, "a a b")])
+    raw = _docs(spark, [(1, "a b"), (2, "c c")])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dsir_scores(raw, target, "doc_id", "text", alpha=0.5).collect()
+    }
+    # joint vocab {a,b,c}; tc a2 b1 c0, rc a1 b1 c2; tt=3 tr=4 v=3
+    def lam(tc, rc):
+        return round(
+            (math.log((tc + 0.5) / (3 + 1.5)) - math.log((rc + 0.5) / (4 + 1.5)))
+            * 1e6
+        )
+
+    def half_away(x):  # engines round .5 away from zero, Python to even
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    la, lb, lc = lam(2, 1), lam(1, 1), lam(0, 2)
+    assert got[1]["n_tokens"] == 2
+    assert got[1]["keep"] == 1  # target-like: positive log ratio
+    assert got[1]["dsir_score"] == half_away((la + lb) / 2) / 1e6
+    assert got[2]["keep"] == 0  # raw-only word: strongly negative
+    assert got[2]["dsir_score"] == half_away(2 * lc / 2) / 1e6
+
+
+def test_dsir_query_plan_no_corpus_cartesian(spark):
+    from jackfruit_spark import queries as Q
+
+    p = plan_string(
+        Q.registry()["q64_dsir_sampling"].fn(spark, "/root/testdata/sf0.001")
+    )
+    # the ONLY nested-loop join allowed is the 3-scalar totals broadcast;
+    # the token stream itself must never cross-join
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in p

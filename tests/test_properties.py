@@ -252,3 +252,43 @@ def test_duplicate_spans_match_bruteforce(spark, texts):
         assert row["dup_span_tokens"] == len(covered)
         assert row["n_dup_spans"] == spans
         assert row["dup_span_ratio"] == round(len(covered) / len(toks), 6)
+
+
+@given(texts=_doc_texts, n_target=st.integers(min_value=1, max_value=3))
+@settings(**_SETTINGS)
+def test_dsir_scores_match_bruteforce(spark, texts, n_target):
+    import math
+    from collections import Counter
+
+    from jackfruit_spark.operators.curation import dsir_scores
+
+    if len(texts) <= n_target:
+        return
+    data = [(i, t) for i, t in enumerate(texts)]
+    target, raw = data[:n_target], data[n_target:]
+    tdf = spark.createDataFrame(target, "doc_id LONG, text STRING")
+    rdf = spark.createDataFrame(raw, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r.asDict() for r in
+           dsir_scores(rdf, tdf, "doc_id", "text", alpha=0.5).collect()}
+    tc = Counter(w for _, t in target for w in t.split())
+    rc = Counter(w for _, t in raw for w in t.split())
+    v = len(set(tc) | set(rc))
+    tt, tr = sum(tc.values()), sum(rc.values())
+    lam = {
+        w: round(
+            (math.log((tc[w] + 0.5) / (tt + 0.5 * v))
+             - math.log((rc[w] + 0.5) / (tr + 0.5 * v))) * 1e6
+        )
+        for w in set(tc) | set(rc)
+    }
+    def half_away(x):  # engines round .5 away from zero, Python to even
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    assert set(got) == {i for i, _ in raw}
+    for i, t in raw:
+        toks = t.split()
+        s_int = sum(lam[w] for w in toks)
+        row = got[i]
+        assert row["n_tokens"] == len(toks)
+        assert row["dsir_score"] == half_away(s_int / len(toks)) / 1e6
+        assert row["keep"] == (1 if s_int > 0 else 0)
