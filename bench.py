@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "q61_sequence_packing",
     "q62_repetition_signals",
     "q63_decontamination",
+    "q64_dsir_sampling",
 ]
 
 REPEATS = 2  # report min-of-N: measures capability, suppresses GC/JIT noise

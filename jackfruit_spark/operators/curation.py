@@ -174,6 +174,78 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 50, min_count: int = 2
+) -> DataFrame:
+    """The removal twin of ``duplicate_spans``: drop every token covered
+    by a corpus-wide duplicated k-token span and rebuild the document
+    text (Lee et al. 2022 — their ExactSubstr dedup removes all copies;
+    keeping one canonical copy is a policy layer on top).
+
+    Returns one row per input document:
+
+      (id, clean_text, n_tokens, n_kept_tokens)
+
+    where clean_text is the surviving tokens joined by single spaces
+    (a fully-covered document yields the empty string).
+
+    Single-pass plan: one posexplode; the lead window builds grams; the
+    gram-count window marks duplicated starts (partial grams near the
+    document tail get a NULL gram key and never count); a running max
+    over the last k-1 positions turns start marks into per-token
+    coverage; the rebuild is a groupBy(id) with an array_sort on
+    (pos, token) structs — order-correct regardless of shuffle layout,
+    and the per-document array is bounded by document length, which is
+    the same bound every tokenizer already assumes. The final transform
+    lambda runs interpreted but over ONE small array per document,
+    not per token — not the hot path (cf. the shingles CSE trap in
+    operators/dedup.py).
+    """
+    t = df.select(
+        F.col(id_col), F.posexplode(tokens_expr(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", j).over(w) for j in range(1, k)]
+    )
+    full = F.lead("tok", k - 1).over(w).isNotNull()
+    g = t.select(
+        F.col(id_col),
+        "pos",
+        "tok",
+        F.when(full, gram).alias("gram_key"),  # NULL => partial, never marks
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("gram_key"))
+    marked = g.withColumn(
+        "mark",
+        F.when(F.col("gram_key").isNotNull() & (cnt >= min_count), F.col("pos")),
+    )
+    wk = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(k - 1), 0)
+    covered = F.max("mark").over(wk).isNotNull()
+    kept = marked.withColumn("covered", covered).filter(~F.col("covered"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept_tokens"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens_expr(text_col)).cast("long").alias("n_tokens")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_tokens",
+        F.coalesce(F.col("n_kept_tokens"), F.lit(0)).cast("long").alias(
+            "n_kept_tokens"
+        ),
+    )
+
+
 def dsir_scores(
     raw: DataFrame,
     target: DataFrame,

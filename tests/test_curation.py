@@ -207,3 +207,54 @@ def test_dsir_query_plan_no_corpus_cartesian(spark):
     # the token stream itself must never cross-join
     assert p.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in p
+
+
+def test_remove_duplicate_spans_known_values(spark):
+    from jackfruit_spark.operators.curation import remove_duplicate_spans
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d e"),    # "a b" duplicated (docs 1+2): tokens 0-1 removed
+            (2, "a b x y a b"),  # both "a b" occurrences removed
+            (3, "z"),            # shorter than k: untouched
+            (4, "p q r s"),      # nothing duplicated: untouched
+            (5, "m m m m"),      # fully covered -> empty string
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(d, "doc_id", "text", k=2, min_count=2).collect()
+    }
+    assert got[1]["clean_text"] == "c d e"
+    assert got[1]["n_tokens"] == 5 and got[1]["n_kept_tokens"] == 3
+    assert got[2]["clean_text"] == "x y"
+    assert got[3]["clean_text"] == "z" and got[3]["n_kept_tokens"] == 1
+    assert got[4]["clean_text"] == "p q r s"
+    assert got[5]["clean_text"] == "" and got[5]["n_kept_tokens"] == 0
+
+
+def test_remove_duplicate_spans_consistent_with_signals(spark):
+    """n_tokens - n_kept_tokens must equal q62's dup_span_tokens doc-by-doc."""
+    from jackfruit_spark.operators.curation import remove_duplicate_spans
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d e"),
+            (2, "a b x y a b"),
+            (3, "z"),
+            (4, "p q r s"),
+            (5, "m m m m"),
+            (6, "c d e a b c d"),
+        ],
+    )
+    removed = {
+        r["doc_id"]: r["n_tokens"] - r["n_kept_tokens"]
+        for r in remove_duplicate_spans(d, "doc_id", "text", k=2, min_count=2).collect()
+    }
+    signal = {
+        r["doc_id"]: r["dup_span_tokens"]
+        for r in duplicate_spans(d, "doc_id", "text", k=2, min_count=2).collect()
+    }
+    assert removed == signal

@@ -292,3 +292,33 @@ def test_dsir_scores_match_bruteforce(spark, texts, n_target):
         assert row["n_tokens"] == len(toks)
         assert row["dsir_score"] == half_away(s_int / len(toks)) / 1e6
         assert row["keep"] == (1 if s_int > 0 else 0)
+
+
+@given(texts=_doc_texts)
+@settings(**_SETTINGS)
+def test_remove_duplicate_spans_match_bruteforce(spark, texts):
+    from collections import Counter
+
+    from jackfruit_spark.operators.curation import remove_duplicate_spans
+
+    k = 2
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r.asDict() for r in
+           remove_duplicate_spans(df, "doc_id", "text", k=k, min_count=2).collect()}
+    occ = Counter(
+        tuple(t.split()[i : i + k])
+        for _, t in data
+        for i in range(len(t.split()) - k + 1)
+    )
+    for i, t in data:
+        toks = t.split()
+        covered: set[int] = set()
+        for p in range(len(toks) - k + 1):
+            if occ[tuple(toks[p : p + k])] >= 2:
+                covered.update(range(p, p + k))
+        keep = [w for j, w in enumerate(toks) if j not in covered]
+        row = got[i]
+        assert row["clean_text"] == " ".join(keep)
+        assert row["n_tokens"] == len(toks)
+        assert row["n_kept_tokens"] == len(keep)
