@@ -391,6 +391,37 @@ def decontaminate(
     )
 
 
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: int = 0, num_partitions: int | None = None
+) -> DataFrame:
+    """Reproducible global pseudo-random ordering for training-data
+    serialization: order by ``xxhash64(seed, id)`` with the id as a
+    tie-break, laid out via repartitionByRange + sortWithinPartitions so
+    every partition file holds one contiguous range of the shuffled
+    order (partition i sorts before partition i+1 — a reader that
+    concatenates files in partition order sees the full deterministic
+    permutation).
+
+    Why not ``orderBy(rand(seed))``: rand() is seeded per-partition, so
+    the permutation silently changes with the input's partitioning —
+    re-running after a compaction or on a different cluster yields a
+    different epoch order. A key hash depends only on the data, like the
+    sampling operators above (same rerun-stability argument as q54).
+
+    Scale: one range-partitioning pass (sampled boundaries) + local
+    sorts; no global single-task sort. The hash keys are uniform by
+    construction, so ranges balance without skew handling.
+    """
+    key = F.xxhash64(F.lit(int(seed)), F.col(id_col)).alias("__shuffle_key")
+    out = df.withColumn("__shuffle_key", key)
+    parts = num_partitions or out.sparkSession.sparkContext.defaultParallelism
+    return (
+        out.repartitionByRange(parts, "__shuffle_key", id_col)
+        .sortWithinPartitions("__shuffle_key", id_col)
+        .drop("__shuffle_key")
+    )
+
+
 def redact_pii(col: str | Column, replacement: str = "[{label}]") -> Column:
     """Scrub PII spans from a text column with chained regexp_replace.
 

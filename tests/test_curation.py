@@ -258,3 +258,31 @@ def test_remove_duplicate_spans_consistent_with_signals(spark):
         for r in duplicate_spans(d, "doc_id", "text", k=2, min_count=2).collect()
     }
     assert removed == signal
+
+
+def test_deterministic_shuffle_stable_and_complete(spark):
+    from jackfruit_spark.operators.curation import deterministic_shuffle
+
+    d = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = deterministic_shuffle(d, "doc_id", seed=7, num_partitions=8)
+    b = deterministic_shuffle(
+        d.repartition(3), "doc_id", seed=7, num_partitions=8  # different layout in
+    )
+    order_a = [r["doc_id"] for r in a.toLocalIterator()]
+    order_b = [r["doc_id"] for r in b.toLocalIterator()]
+    # same permutation regardless of the INPUT partitioning (rand() fails this)
+    assert order_a == order_b
+    assert sorted(order_a) == list(range(500))  # a permutation, nothing lost
+    assert order_a != list(range(500))  # and actually shuffled
+    # a different seed yields a different epoch order
+    c = deterministic_shuffle(d, "doc_id", seed=8, num_partitions=8)
+    assert [r["doc_id"] for r in c.toLocalIterator()] != order_a
+
+
+def test_deterministic_shuffle_no_global_sort(spark):
+    from jackfruit_spark.operators.curation import deterministic_shuffle
+
+    d = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    p = plan_string(deterministic_shuffle(d, "doc_id", seed=7, num_partitions=8))
+    assert "rangepartitioning" in p  # sampled range boundaries...
+    assert "SinglePartition" not in p  # ...never a one-task global sort
