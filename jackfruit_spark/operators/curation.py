@@ -277,17 +277,39 @@ def dsir_scores(
     for hash-Gumbel sampling in production if proportional sampling is
     wanted.
 
-    Plan shape / 100 TB notes: one explode of each corpus; vocab counts
-    shuffle on the word (bounded key); the totals row is a broadcast
-    cross-join (3 scalars); the lambda table joins back to the raw
-    token stream on the word — AQE broadcasts it when the vocab is
-    small, and at web-scale vocabularies it degrades to a sort-merge
-    join on an 8-byte-hashable key. No driver-side collect anywhere.
+    Plan shape / 100 TB notes: one explode of each corpus. The raw side
+    aggregates to per-(doc, word) counts first and materializes them
+    with a non-eager localCheckpoint (same precedent as
+    connected_components): corpus word totals and per-doc scoring BOTH
+    read that materialization, so the corpus is scanned and exploded
+    exactly once — column pruning specializes each consumer's aggregate,
+    so static exchange reuse alone never fires and every branch would
+    otherwise recompute from the scan (2 extra full corpus passes at
+    100 TB; locally the checkpoint is cost-neutral). The scoring join
+    carries distinct words per doc, not every token occurrence. The
+    totals row is a broadcast cross-join (3 scalars); the lambda table
+    joins on the word — AQE broadcasts it when the vocab is small, and
+    at web-scale vocabularies it degrades to a sort-merge join on an
+    8-byte-hashable key. No driver-side collect anywhere.
     """
     rt = raw.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("w"))
     tt = target.select(F.explode(tokens_expr(text_col)).alias("w"))
     tc = tt.groupBy("w").agg(F.count(F.lit(1)).alias("tc"))
-    rc = rt.groupBy("w").agg(F.count(F.lit(1)).alias("rc"))
+    # per-(doc, word) counts FIRST: both the corpus word totals and the
+    # per-doc scoring derive from this one aggregate, so its exchange is
+    # reused (ReusedExchange in the plan) instead of exploding the corpus
+    # twice — and the scoring join carries distinct words per doc, not
+    # every token occurrence
+    # localCheckpoint (non-eager), same precedent as connected_components:
+    # column pruning specializes each consumer's aggregate, so static
+    # exchange reuse never fires and every branch would re-explode the
+    # corpus from the scan
+    dw = (
+        rt.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    rc = dw.groupBy("w").agg(F.sum("c").alias("rc"))
     vocab = (
         tc.join(rc, "w", "full")
         .select(
@@ -295,6 +317,7 @@ def dsir_scores(
             F.coalesce(F.col("tc"), F.lit(0)).alias("tc"),
             F.coalesce(F.col("rc"), F.lit(0)).alias("rc"),
         )
+        .localCheckpoint(eager=False)  # feeds both `tot` and `lam`
     )
     tot = vocab.agg(
         F.sum("tc").alias("tt_tot"),
@@ -315,9 +338,12 @@ def dsir_scores(
         .alias("li"),
     )
     s = (
-        rt.join(lam, "w")
+        dw.join(lam, "w")
         .groupBy(id_col)
-        .agg(F.sum("li").alias("s_int"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("li") * F.col("c")).alias("s_int"),
+            F.sum("c").alias("n"),
+        )
     )
     # round the PER-TOKEN average to integer micro-nats BEFORE the final
     # exact division: a rounding boundary at an integer+0.5 is exactly

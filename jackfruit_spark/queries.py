@@ -2052,9 +2052,11 @@ FROM s JOIN documents d ON s.doc_id = d.doc_id
     "integer-quantized sum is positive. Per-word log ratios are rounded "
     "to integer micro-nats BEFORE the per-document sum, so the "
     "aggregation is an order-independent BIGINT sum (raw double sums of "
-    "logs drift across partitionings). Totals ride a 3-scalar broadcast "
-    "cross-join; the lambda table joins the token stream on the word "
-    "(AQE-broadcast at test scale, sort-merge at web-scale vocab) — "
+    "logs drift across partitionings). The raw corpus explodes ONCE into "
+    "checkpointed per-(doc, word) counts that both the vocab totals and "
+    "the scoring join read; totals ride a 3-scalar broadcast cross-join; "
+    "the lambda table joins the word-count stream (AQE-broadcast at test "
+    "scale, sort-merge at web-scale vocab) — "
     "operators/curation.py:dsir_scores.",
 )
 def q64_dsir_sampling(spark, sf_dir):
