@@ -22,6 +22,14 @@ curlable equivalent of the reference serving binary
 
     python -m jackfruit_spark serve --store-root /data/store \\
         [--serving-root ...] [--host 127.0.0.1] [--port 8080]
+
+``curate`` runs the batch training-data pipeline (the operational form
+of the q57 gate stages plus the release transforms) from a JSONL/CSV/
+parquet corpus to curated parquet, with one JSON stats line on stdout:
+
+    python -m jackfruit_spark curate --input docs.jsonl --output out/ \\
+        [--span-k 50] [--redact-pii] [--sample-pct 50] [--shuffle-seed 7] \\
+        [--quarantine bad/]
 """
 
 from __future__ import annotations
@@ -125,6 +133,48 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.curation import curate_corpus
+    from jackfruit_spark.sources import corpus as C
+
+    if args.input_format == "parquet":
+        clean, corrupt = spark.read.parquet(args.input), None
+    else:
+        reader = {"jsonl": C.read_documents_jsonl, "csv": C.read_documents_csv}[
+            args.input_format
+        ]
+        clean, corrupt = C.quarantine_corrupt(reader(spark, args.input))
+    n_in = clean.count()
+    curated = curate_corpus(
+        clean,
+        lang=None if args.lang == "any" else args.lang,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        min_stop_ratio=args.min_stop_ratio,
+        span_k=args.span_k,
+        redact=args.redact_pii,
+        sample_pct=args.sample_pct,
+        shuffle_seed=args.shuffle_seed,
+    )
+    curated.write.mode("overwrite").parquet(args.output)
+    n_bad = corrupt.count() if corrupt is not None else 0
+    if args.quarantine and n_bad:
+        corrupt.write.mode("overwrite").json(args.quarantine)
+    n_out = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "input": n_in,
+                "curated": n_out,
+                "quarantined": n_bad,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="jackfruit_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -158,6 +208,29 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument("--timeout", type=float, default=18.0)
     common(lk)
     lk.set_defaults(fn=cmd_lookup)
+
+    cu = sub.add_parser(
+        "curate",
+        help="batch corpus curation: gates -> dedup -> "
+        "[span removal | PII | sample | shuffle] -> parquet",
+    )
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument(
+        "--input-format", choices=["jsonl", "csv", "parquet"], default="jsonl"
+    )
+    cu.add_argument("--lang", default="en", help="'any' disables the language gate")
+    cu.add_argument("--min-tokens", type=int, default=5)
+    cu.add_argument("--max-tokens", type=int, default=1000)
+    cu.add_argument("--min-stop-ratio", type=float, default=0.05)
+    cu.add_argument("--span-k", type=int, default=None,
+                    help="enable duplicate-span removal at this gram width")
+    cu.add_argument("--redact-pii", action="store_true")
+    cu.add_argument("--sample-pct", type=int, default=100)
+    cu.add_argument("--shuffle-seed", type=int, default=None)
+    cu.add_argument("--quarantine", default=None)
+    cu.add_argument("--cpus", default=None)
+    cu.set_defaults(fn=cmd_curate)
 
     sv = sub.add_parser("serve", help="HTTP listener: GET /v1/environmental + /health")
     sv.add_argument("--host", default="127.0.0.1")

@@ -417,6 +417,78 @@ def decontaminate(
     )
 
 
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str | None = "en",
+    min_tokens: int = 5,
+    max_tokens: int = 1000,
+    min_stop_ratio: float = 0.05,
+    span_k: int | None = None,
+    span_min_count: int = 2,
+    redact: bool = False,
+    sample_pct: int = 100,
+    shuffle_seed: int | None = None,
+) -> DataFrame:
+    """One-call batch curation: quality gates -> exact dedup -> optional
+    duplicate-span removal -> optional PII redaction -> deterministic
+    hash sample -> optional epoch shuffle. The gate + dedup + sample
+    stages are exactly q57's (the oracle-checked pipeline); the optional
+    stages are the release-preparation transforms.
+
+    Stage order is deliberate: dedup runs before span marking so exact
+    copies don't inflate corpus-wide span counts with their own
+    duplicates; redaction runs after span removal because it rewrites
+    text (span statistics must see the original corpus); sampling and
+    shuffling are last because they only drop/reorder rows.
+
+    Returns the curated DataFrame with the input's columns (text
+    rewritten in place by span removal/redaction; fully-span-covered
+    documents are dropped).
+    """
+    from jackfruit_spark.functions import text as T
+    from jackfruit_spark.functions.hashing import md5_hash64
+
+    toks = T.token_count(text_col)
+    gates = toks.between(min_tokens, max_tokens)
+    if lang is not None:
+        gates = gates & (T.lang_id(text_col) == lang)
+        if min_stop_ratio > 0:
+            words = T.LANG_STOPWORDS.get(lang, T.LANG_STOPWORDS["en"])
+            ratio = T.stopword_count(text_col, words).cast("double") / toks.cast(
+                "double"
+            )
+            gates = gates & (ratio >= min_stop_ratio)
+    out = df.filter(gates)
+    # exact dedup keeping the smallest id per content hash (full rows,
+    # q57's keeper rule)
+    keep = (
+        out.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    out = out.join(keep, id_col, "left_semi")
+    if span_k is not None:
+        cleaned = remove_duplicate_spans(
+            out, id_col, text_col, k=span_k, min_count=span_min_count
+        )
+        out = (
+            out.drop(text_col)
+            .join(cleaned.select(id_col, F.col("clean_text").alias(text_col)), id_col)
+            .filter(F.length(text_col) > 0)
+        )
+    if redact:
+        out = out.withColumn(text_col, redact_pii(text_col))
+    if sample_pct < 100:
+        out = out.filter(
+            md5_hash64(F.col(id_col).cast("string")) % F.lit(100) < sample_pct
+        )
+    if shuffle_seed is not None:
+        out = deterministic_shuffle(out, id_col, seed=shuffle_seed)
+    return out
+
+
 def deterministic_shuffle(
     df: DataFrame, id_col: str, seed: int = 0, num_partitions: int | None = None
 ) -> DataFrame:

@@ -58,3 +58,44 @@ def test_cli_run_partition_and_lookup(spark, tmp_path, capsys):
     ])
     body = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and body["status"] == 404
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    import gzip
+
+    docs = [
+        # two exact duplicates (en, enough stopwords/tokens): one survives
+        {"doc_id": 1, "text": "the quick brown fox and the lazy dog are in the yard today", "lang": "en", "source": "a", "n_chars": 10},
+        {"doc_id": 2, "text": "the quick brown fox and the lazy dog are in the yard today", "lang": "en", "source": "a", "n_chars": 10},
+        # unique doc with PII to scrub
+        {"doc_id": 3, "text": "please mail the report to alice@example.com and the team will review it", "lang": "en", "source": "b", "n_chars": 10},
+        # too short: gated out
+        {"doc_id": 4, "text": "too short", "lang": "en", "source": "b", "n_chars": 9},
+    ]
+    import json as J
+
+    src = tmp_path / "docs.jsonl"
+    lines = [J.dumps(d) for d in docs] + ['{"doc_id": broken']  # one corrupt line
+    src.write_text("\n".join(lines))
+
+    out_dir = tmp_path / "curated"
+    quar_dir = tmp_path / "bad"
+    rc = main([
+        "curate",
+        "--input", str(src),
+        "--output", str(out_dir),
+        "--redact-pii",
+        "--shuffle-seed", "7",
+        "--quarantine", str(quar_dir),
+    ])
+    stats = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert stats["input"] == 4 and stats["quarantined"] == 1
+    assert stats["curated"] == 2  # dup collapsed, short doc gated
+
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(out_dir)).collect()}
+    assert set(got) == {1, 3}  # keeper rule: smallest doc_id survives
+    assert "alice@example.com" not in got[3] and "[EMAIL]" in got[3]
+    # quarantined line preserved verbatim for replay
+    quar = spark.read.json(str(quar_dir)).collect()
+    assert len(quar) == 1 and "broken" in quar[0]["_corrupt_record"]
