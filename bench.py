@@ -6,6 +6,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with a noop-format write (materializes every column,
 no driver collect overhead). First query absorbs session warm-up; a tiny
 warm-up job runs first so timings reflect steady state.
+
+Failure-isolated (round-3 lesson: one AnalysisException killed the whole
+run and the round shipped with no bench evidence): each query and the grid
+section run under try/except, failures land in an "errors" key, and the
+single JSON line is ALWAYS printed. Timings are min-of-REPEATS per metric.
 """
 
 from __future__ import annotations
@@ -41,6 +46,7 @@ BENCH_QUERIES = [
     "q16_tumbling_window",
     "q20_exact_dedup",
     "q22_ann_cosine_topk",
+    "q26_ann_lsh_bucketed",  # bucketed scale path for embedding near-dup (q40's twin)
     "q42_sessionization",
     "q28_scalar_aggregates",
     "q59_token_histogram",
@@ -139,10 +145,17 @@ def bench_grid(spark) -> dict[str, float]:
 
         # interactive fast path: manifest snap + (variable, date)-pruned
         # pre-deduped point read (grid/serving_table.py). Build cost is the
-        # MergeTree-merge analog, amortized over every lookup.
-        t0 = time.perf_counter()
-        st = ServingTable.build(spark, eng.grid_data_final(), os.path.join(root, "serve"))
-        t_build = round(time.perf_counter() - t0, 3)
+        # MergeTree-merge analog, amortized over every lookup. min-of-N like
+        # every other metric: the r2 driver recorded 7.66 s vs 2.6-3.3 s
+        # local for this single-shot timing — GC/JIT noise a one-sample
+        # measurement can't separate from capability.
+        t_build = float("inf")
+        for i in range(REPEATS):
+            t0 = time.perf_counter()
+            st = ServingTable.build(
+                spark, eng.grid_data_final(), os.path.join(root, f"serve{i}")
+            )
+            t_build = min(t_build, round(time.perf_counter() - t0, 3))
         fast_svc = EnvironmentalService(
             eng.grid_data_raw(), svc.curated, svc.raw_files, serving_table=st
         )
@@ -169,41 +182,50 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm up the JVM / parquet footer caches
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    try:
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    except Exception:  # noqa: BLE001 — warm-up is best-effort
+        pass
 
     reg = Q.registry()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         # bench-only twins (e.g. the xxhash64 production-path q24) live as
         # plain functions in queries.py, outside the 50-entry gate registry
         fn = reg[name].fn if name in reg else getattr(Q, name)
         best = float("inf")
-        for _ in range(REPEATS):
-            # fn() INSIDE the timer: queries with driver-coordinated
-            # iteration (q53's connected components) execute rounds during
-            # plan construction — timing only the final write would report
-            # ~0. For plain declarative queries this adds milliseconds of
-            # analysis time.
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(REPEATS):
+                # fn() INSIDE the timer: queries with driver-coordinated
+                # iteration (q53's connected components) execute rounds during
+                # plan construction — timing only the final write would report
+                # ~0. For plain declarative queries this adds milliseconds of
+                # analysis time.
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 — one failure must not kill the run
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
-    timings.update(bench_grid(spark))
+    try:
+        timings.update(bench_grid(spark))
+    except Exception as e:  # noqa: BLE001
+        errors["grid"] = f"{type(e).__name__}: {e}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

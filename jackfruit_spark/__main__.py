@@ -160,7 +160,16 @@ def cmd_curate(args) -> int:
     curated.write.mode("overwrite").parquet(args.output)
     n_bad = corrupt.count() if corrupt is not None else 0
     if args.quarantine and n_bad:
-        corrupt.write.mode("overwrite").json(args.quarantine)
+        # write the raw malformed lines VERBATIM as text: a JSON wrapper
+        # whose only field is `_corrupt_record` is unreadable by default
+        # (Spark refuses raw-JSON queries referencing only the internal
+        # corrupt-record column), and text replay is just read.text ->
+        # the original line
+        from pyspark.sql import functions as F
+
+        corrupt.select(F.col("_corrupt_record")).write.mode("overwrite").text(
+            args.quarantine
+        )
     n_out = spark.read.parquet(args.output).count()
     print(
         json.dumps(

@@ -74,13 +74,19 @@ def registry() -> dict[str, Query]:
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to microseconds.
+        # events.ts precision has drifted across testdata generations:
+        # TIMESTAMP(NANOS) (reads as long under nanosAsLong, which Spark's
+        # vectorized reader otherwise rejects) vs TIMESTAMP(MICROS) (reads as
+        # timestamp / timestamp_ntz). Branch on the dtype actually read so
+        # both layouts land on a session-TZ TIMESTAMP at µs precision.
         # Oracles read the same column through CAST(ts AS TIMESTAMP) so both
         # engines compare at identical microsecond precision.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long: truncate to µs
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -1598,8 +1604,9 @@ def q54_hash_sample(spark, sf_dir):
     oracle=r"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS total_tokens,
-       SUM(CAST(length(text) AS BIGINT)) AS total_chars,
+       CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+            AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
        CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS DOUBLE)
          / COUNT(*) AS avg_tokens
 FROM documents GROUP BY lang
@@ -1828,13 +1835,13 @@ PACK_SEQ_TOKENS = 2048  # training-sequence capacity (tokens per chunk)
     "q61_sequence_packing",
     oracle=rf"""
 SELECT source, chunk_id, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS chunk_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM (
   SELECT source, doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           // {PACK_SEQ_TOKENS} AS chunk_id
+           // {PACK_SEQ_TOKENS} AS BIGINT) AS chunk_id
   FROM (SELECT source, doc_id,
                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         FROM documents))

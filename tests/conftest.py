@@ -22,4 +22,5 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return SF_SMOKE
+    # full driver-gate rehearsal: JACKFRUIT_TEST_SF_DIR=/root/testdata/sf0.01
+    return os.environ.get("JACKFRUIT_TEST_SF_DIR", SF_SMOKE)

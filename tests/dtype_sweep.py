@@ -1,0 +1,92 @@
+"""Standalone dtype sweep: compare every oracle's DuckDB result dtypes to
+the Spark query's schema, canonicalized. Catches HUGEINT/DECIMAL output-type
+leaks the value-based parity test misses (the driver's hash is
+type-sensitive). Run: python tests/dtype_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pyarrow as pa
+
+
+def canon_arrow(t: pa.DataType) -> str:
+    """Canonical dtype name for a DuckDB arrow result type."""
+    if pa.types.is_timestamp(t):
+        return "timestamp"  # tz-naive vs session-tz tolerated (driver does)
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int8(t):
+        return "tinyint"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{canon_arrow(t.value_type)}>"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+
+def canon_spark(dtype: str) -> str:
+    if dtype.startswith("timestamp"):
+        return "timestamp"
+    return dtype
+
+
+def sweep(spark, sf_dir: str) -> list[str]:
+    from jackfruit_spark import queries as Q
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    problems = []
+    for name, q in sorted(Q.registry().items()):
+        if not q.oracle:
+            continue
+        sdf = q.fn(spark, sf_dir)  # analysis only — no execution
+        stypes = {f.name: canon_spark(f.dataType.simpleString()) for f in sdf.schema}
+        tbl = con.execute(q.oracle).arrow()
+        dtypes = {f.name: canon_arrow(f.type) for f in tbl.schema}
+        if set(stypes) != set(dtypes):
+            problems.append(f"{name}: columns {sorted(stypes)} vs {sorted(dtypes)}")
+            continue
+        for c in stypes:
+            if stypes[c] != dtypes[c]:
+                problems.append(f"{name}.{c}: spark={stypes[c]} duck={dtypes[c]}")
+    return problems
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    probs = sweep(spark, sf_dir)
+    for p in probs:
+        print("LEAK:", p)
+    print(f"{'FAIL' if probs else 'OK'}: {len(probs)} dtype leaks")
+    sys.exit(1 if probs else 0)

@@ -96,6 +96,8 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     got = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(out_dir)).collect()}
     assert set(got) == {1, 3}  # keeper rule: smallest doc_id survives
     assert "alice@example.com" not in got[3] and "[EMAIL]" in got[3]
-    # quarantined line preserved verbatim for replay
-    quar = spark.read.json(str(quar_dir)).collect()
-    assert len(quar) == 1 and "broken" in quar[0]["_corrupt_record"]
+    # quarantined line preserved verbatim for replay (plain text: a JSON
+    # wrapper named `_corrupt_record` would be unreadable — Spark refuses
+    # raw-JSON queries referencing only the internal corrupt-record column)
+    quar = spark.read.text(str(quar_dir)).collect()
+    assert len(quar) == 1 and quar[0]["value"] == '{"doc_id": broken'

@@ -1,8 +1,14 @@
 """Mimics the driver's correctness gate: run every registered query on
 Spark AND its DuckDB oracle on the same parquet, compare row count, column
-names, and order-insensitive values (exact for non-floats, bit-exact
+names, dtypes, and order-insensitive values (exact for non-floats, bit-exact
 expected for floats thanks to the integer-scaled aggregation discipline —
 compared here with a tiny tolerance only to localize failures usefully).
+
+The dtype comparison (canonicalized Spark schema vs DuckDB arrow result
+schema) is load-bearing: the driver's value hash is TYPE-sensitive, so a
+DuckDB ``SUM(BIGINT)`` leaking HUGEINT (arrow decimal128) hash-mismatches
+even when every cell is equal — exactly what sank q56/q61 in round 3 while
+the value-only comparison here stayed green.
 """
 
 from __future__ import annotations
@@ -13,6 +19,7 @@ import duckdb
 import pytest
 
 from jackfruit_spark import queries as Q
+from tests.dtype_sweep import canon_arrow, canon_spark
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -55,11 +62,14 @@ def test_oracle_match(spark, sf_dir, name):
     srows = [tuple(r) for r in sdf.collect()]
 
     con = _duck(sf_dir)
-    res = con.execute(q.oracle)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    dtbl = con.execute(q.oracle).arrow()
+    dcols = dtbl.schema.names
+    drows = [tuple(r.values()) for r in dtbl.to_pylist()]
 
     assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    stypes = {f.name: canon_spark(f.dataType.simpleString()) for f in sdf.schema}
+    dtypes = {f.name: canon_arrow(f.type) for f in dtbl.schema}
+    assert stypes == dtypes, f"{name}: dtype mismatch {stypes} vs {dtypes}"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
     sn, dn = _normalize(srows, scols), _normalize(drows, dcols)
     for i, (a, b) in enumerate(zip(sn, dn)):
@@ -78,6 +88,38 @@ def _row_eq(a, b):
         elif x != y:
             return False
     return True
+
+
+@pytest.mark.parametrize("unit", ["ns", "us"])
+def test_events_load_handles_both_timestamp_units(spark, tmp_path, unit):
+    """Round-3 regression guard: testdata's events.ts silently moved from
+    TIMESTAMP(NANOS) to TIMESTAMP(MICROS) between rounds and load()'s
+    unconditional nanos path threw on every events query. load() must accept
+    BOTH layouts and yield an identical session-TZ timestamp column."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0, 123456)
+    times = [base + datetime.timedelta(seconds=i) for i in range(5)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array(times, pa.timestamp(unit)),
+            "user_id": pa.array([1, 2, 1, 3, 2], pa.int64()),
+            "event_type": pa.array(["a", "b", "a", "c", "b"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+        }
+    )
+    d = tmp_path / unit
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+
+    df = Q.load(spark, str(d), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp", df.dtypes
+    got = sorted(r["ts"] for r in df.select("ts").collect())
+    assert got == times, (got, times)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
