@@ -431,7 +431,18 @@ def connected_components(
         # re-executes per iteration
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    # Iterate ONLY over nodes that touch an edge: singletons label
+    # themselves and never change, so carrying the full corpus through
+    # every round just multiplies per-round join/shuffle cost. The dup
+    # graph is always ≪ corpus (|V(edges)| <= 2|edges|), both here and at
+    # 100 TB — sf0.1 locally: 60k docs but ~400 edge nodes, and the tiny
+    # label frame broadcasts in every round under AQE.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -453,7 +464,16 @@ def connected_components(
         labels = new_labels.drop("__improved")
         if changed == 0:
             break
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    # singletons re-enter with their own id as label (left join against
+    # the tiny converged label frame -> broadcast, one pass over nodes)
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("label", F.col("node")).alias("cluster_id"),
+        )
+    )
 
 
 def _cc_star(
