@@ -262,6 +262,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.band_hash")
+    # Persist: banded feeds BOTH sides of the self-join (plus the optional
+    # bucket-size aggregate) and the differing aliases defeat ReuseExchange,
+    # so the whole signature pipeline (shingle explode + K min-aggs) would
+    # otherwise execute once per consumer. (id, band, band_hash) is
+    # bands x ndocs rows of three longs — far smaller than the corpus.
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket is not None:
         oversized = (
             banded.groupBy("band", "band_hash")
@@ -321,10 +329,20 @@ def jaccard_pairs(
     # shingle strings (same result modulo the already-accepted collision
     # odds). Neutral at sf0.1 where word 3-grams are ~20 bytes; the gap
     # scales with shingle width (character k-grams, long tokens).
+    # Persist the postings list: it feeds FOUR consumers (sizes, both
+    # sides of the self-join, and the optional df-cap aggregate) whose
+    # projections differ, so Catalyst's ReuseExchange never fires and the
+    # scan + shingle explode + distinct would execute once PER consumer
+    # (verified: 4 FileScans / 4 Generates in the un-persisted plan).
+    # MEMORY_AND_DISK: postings are (long, long) pairs, ~16 bytes/row —
+    # at 100 TB this is the inverted index you'd stage on SSD anyway.
+    from pyspark import StorageLevel
+
     postings = (
         shingled_exploded(df, id_col, text_col, k, distinct=False)
         .select(F.col(id_col).alias("__id"), F.xxhash64("sh").alias("sh"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if max_shingle_df is not None:
         hot = (
@@ -657,6 +675,12 @@ def simhash_candidate_pairs(
         F.col("bb.band").alias("band"),
         F.col("bb.block").alias("block"),
     )
+    # persist: both self-join sides would otherwise recompute the simhash
+    # (token explode + `bits` vote aggregates) — same ReuseExchange-defeat
+    # as lsh_candidate_pairs; (id, hash, band, block) is 4 longs/row
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "band", "block"
     )
