@@ -1,0 +1,94 @@
+"""Testdata-drift canary.
+
+Round 3 lesson: the driver regenerates `/root/testdata` between rounds and
+silently changed events.ts from TIMESTAMP(NANOS) to TIMESTAMP(MICROS),
+which took down 15 gate queries through one physical-type assumption. This
+test pins the CURRENT physical schema of every table at every scale factor
+so any future drift fails HERE first, with instructions — instead of as a
+pile of downstream oracle mismatches.
+
+If this test fails after a testdata regeneration:
+1. Update EXPECTED below to the new layout.
+2. Audit every physical-type assumption the drifted column feeds:
+   - `queries.load()` (events ts unit branch),
+   - oracle SQL casts (DuckDB result types are hash-sensitive at the gate
+     — run `python tests/dtype_sweep.py`),
+   - then the full rehearsal:
+     JACKFRUIT_TEST_SF_DIR=/root/testdata/sf0.01 pytest tests/test_oracle_parity.py
+
+Timestamp columns are deliberately matched loosely (any timestamp unit /
+bigint-nanos) — `load()` must handle every unit, and the ns+us fixture
+tests in test_oracle_parity.py pin that behavior.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+# column -> exact arrow type string, or "TIMESTAMP" (any timestamp unit or
+# int64, i.e. nanos read as long)
+EXPECTED = {
+    "region": {"r_regionkey": "int32", "r_name": "string"},
+    "nation": {"n_nationkey": "int32", "n_name": "string", "n_regionkey": "int32"},
+    "customer": {
+        "c_custkey": "int64", "c_name": "string", "c_nationkey": "int32",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "int64", "s_name": "string", "s_nationkey": "int32",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "int64", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int32", "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "int64", "o_custkey": "int64", "o_orderstatus": "string",
+        "o_totalprice": "double", "o_orderdate": "TIMESTAMP",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "int64", "l_partkey": "int64", "l_suppkey": "int64",
+        "l_linenumber": "int32", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double", "l_tax": "double",
+        "l_returnflag": "string", "l_linestatus": "string",
+        "l_shipdate": "TIMESTAMP",
+    },
+    "events": {
+        "event_id": "int64", "ts": "TIMESTAMP", "user_id": "int64",
+        "event_type": "string", "value": "double", "props": "string",
+    },
+    "documents": {
+        "doc_id": "int64", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "int64",
+    },
+    "embeddings": {
+        "vec_id": "int64", "embedding": "list<element: float>", "label": "int32",
+    },
+}
+
+
+def _matches(expected: str, actual: str) -> bool:
+    if expected == "TIMESTAMP":
+        return actual.startswith("timestamp") or actual == "int64"
+    return expected == actual
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("table", sorted(EXPECTED))
+def test_testdata_schema_pinned(sf_dir, table):
+    schema = pq.read_schema(f"{sf_dir}/{table}.parquet")
+    actual = {f.name: str(f.type) for f in schema}
+    exp = EXPECTED[table]
+    assert set(actual) == set(exp), (
+        f"{table} columns drifted: {sorted(actual)} vs expected {sorted(exp)} "
+        f"— testdata regenerated? See module docstring for the audit steps."
+    )
+    bad = {c: (exp[c], actual[c]) for c in exp if not _matches(exp[c], actual[c])}
+    assert not bad, (
+        f"{table} column types drifted: {bad} (expected, actual) "
+        f"— audit load()/oracle casts per the module docstring."
+    )
