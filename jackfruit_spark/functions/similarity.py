@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -136,13 +138,51 @@ def ivf_assign(
         ).alias(f"d{i}")
         for i, c in enumerate(centroids)
     ]
+    # argmin via array_min over (dist, idx) structs — lexicographic struct
+    # ordering picks min distance with lowest-index tie-break, identical to
+    # the strict '<' WHEN-chain this replaces. The chain form duplicated
+    # the running best INSIDE each step's condition and else-branch, so the
+    # expression tree doubled per centroid (2^C nodes: OOM at C=32 during
+    # analysis); this form is linear in C.
     with_d = df.select("*", *dists)
-    best = F.lit(0)
-    best_d = F.col("d0")
-    for i in range(1, len(centroids)):
-        cond = F.col(f"d{i}") < best_d
-        best = F.when(cond, F.lit(i)).otherwise(best)
-        best_d = F.when(cond, F.col(f"d{i}")).otherwise(best_d)
-    return with_d.withColumn("ivf_cell", best.cast("int")).drop(
+    pick = F.array_min(
+        F.array(
+            *[
+                F.struct(F.col(f"d{i}").alias("d"), F.lit(i).alias("i"))
+                for i in range(len(centroids))
+            ]
+        )
+    )
+    return with_d.withColumn("ivf_cell", pick["i"].cast("int")).drop(
         *[f"d{i}" for i in range(len(centroids))]
     )
+
+
+def ivf_assign_pandas(
+    df: DataFrame, vec_col: str, centroids: Sequence[Sequence[float]]
+) -> DataFrame:
+    """IVF coarse quantizer, Arrow-vectorized form: one pandas UDF batch
+    computes ||v-c||^2 for all C centroids as a BLAS matmul
+    (||v||^2 - 2 V@C.T + ||c||^2) and argmins row-wise.
+
+    This is the scale form of ``ivf_assign``: the expression form builds
+    C interpreted aggregate-folds (plan analysis alone costs seconds at
+    C=32, and evaluation runs lambda-interpreted per element), which is
+    fine at the oracle-matched C=4 gate but wrong for a real quantizer
+    (SemDeDup uses thousands of cells on high-dim embeddings — exactly
+    BLAS territory, the one place Python must touch the numbers).
+    Ties break to the lowest centroid index (np.argmin), matching the
+    expression form.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype="float64")
+    c_sq = (c * c).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        v = np.stack(vs.apply(lambda x: np.asarray(x, dtype="float64")))
+        d = (v * v).sum(axis=1)[:, None] - 2.0 * (v @ c.T) + c_sq[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return df.withColumn("ivf_cell", assign(F.col(vec_col)))

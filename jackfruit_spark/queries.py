@@ -769,6 +769,30 @@ def q24_minhash_lsh_pairs_xxh(spark, sf_dir):
     return pairs.withColumnRenamed("doc_id", "id_a")
 
 
+def semantic_dedup_ivf(spark, sf_dir):
+    """Bench-only: SemDeDup-style semantic dedup over the embeddings table
+    (operators/dedup.semantic_dedup — IVF cells, within-cell cosine pairs,
+    connected components, min-id keeper). Not registered: the registry is
+    capped at the driver's 50 checked entries and the family's gate
+    correctness is already carried by q40 (exact pairs) + q49 (cell
+    assignment) + q53 (CC); pytest verifies this composition against a
+    numpy brute-force (test_similarity.py). Benched as the 100 TB
+    embedding-dedup path next to the exact all-pairs q40.
+
+    32 cells, not q49's 4: the pair join's parallelism IS the number of
+    distinct cells (each cell lands on one reducer), and per-cell work is
+    |cell|^2 — with 4 cells the whole corpus pairs on 4 reducers (~6.4 s
+    at sf0.1); 32 cells cut both the pair count and the skew (~1 s). At
+    real scale the cell count grows with the corpus (k-means on a sample,
+    SemDeDup uses thousands) for exactly this reason."""
+    from jackfruit_spark.operators.dedup import semantic_dedup
+
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", _q49_centroids(n=32), threshold=0.9
+    )
+
+
 def _q25_oracle(bits: int = 60) -> str:
     from jackfruit_spark.functions.hashing import sql_md5_hash64
 

@@ -105,3 +105,62 @@ def test_ivf_assignment(spark):
     )
     cells = {r["vec_id"]: r["ivf_cell"] for r in ivf_assign(df, "embedding", [[10.0, 0.0], [0.0, 10.0]]).collect()}
     assert cells == {1: 0, 2: 1, 3: 0}
+
+
+@pytest.mark.parametrize("kernel", ["pandas", "expr"])
+def test_semantic_dedup_matches_numpy_union_find(spark, kernel):
+    """semantic_dedup == numpy brute force: IVF-assign each vector to its
+    nearest centroid, union all within-cell pairs with cosine >= t, expect
+    cluster_id = min id per component and keep only on representatives."""
+    from jackfruit_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    n, dim = 60, 8
+    base = rng.normal(size=(n, dim)).astype("float32")
+    # plant two near-dup families
+    base[10] = base[3] + rng.normal(scale=0.01, size=dim).astype("float32")
+    base[11] = base[3] + rng.normal(scale=0.01, size=dim).astype("float32")
+    base[20] = base[15] * 1.02
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in base[i]]) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    cents = [[0.5] * dim, [-0.5] * dim, [0.5] * (dim // 2) + [-0.5] * (dim // 2)]
+    t = 0.95
+
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", cents, threshold=t, kernel=kernel
+        ).collect()
+    }
+
+    v = base.astype("float64")
+    c = np.array(cents, dtype="float64")
+    cells = np.argmin(((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nrm = np.linalg.norm(v, axis=1)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cells[i] != cells[j]:
+                continue
+            if v[i] @ v[j] / (nrm[i] * nrm[j]) >= t:
+                parent[find(j)] = find(i)
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    expected = {}
+    for members in comp.values():
+        m = min(members)
+        for i in members:
+            expected[i] = (m, i == m)
+    assert got == expected
+    # the planted families actually collapsed (test is non-vacuous)
+    assert sum(1 for _, (cl, _k) in got.items() if cl == min(3, 10, 11)) >= 2
