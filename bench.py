@@ -182,9 +182,19 @@ def main() -> None:
     spark = get_spark("jackfruit-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM / parquet footer caches
+    # Warm up the JVM: parquet reader, then the heavy code paths (window
+    # shuffles, shingle explode, self-joins, CC driver loop) on the tiny
+    # sf0.001 set — different data than the timed runs, so this warms
+    # codegen/JIT, not the page cache for the measured queries. Without it
+    # the FIRST timed query pays a ~0.5-0.7 s JIT tax that min-of-N inside
+    # one position cannot remove (measured on q53 in the lead slot).
     try:
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
+        warm_reg = Q.registry()
+        for wq in ("q53_dedup_clusters", "q24_minhash_lsh_pairs"):
+            warm_reg[wq].fn(spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
     except Exception:  # noqa: BLE001 — warm-up is best-effort
         pass
 
