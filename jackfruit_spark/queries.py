@@ -170,6 +170,11 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
     "TakeOrderedAndProject (no full sort).",
 )
 def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Join-first deliberately (the q03 aggregate-pushdown shape was A/B'd
+    # here and LOST ~15%): the broadcast sides are selective (date-filtered
+    # orders, BUILDING customers), so the join drops most lineitems before
+    # any shuffle — pre-aggregating would shuffle revenue for orders the
+    # filters discard.
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp")
@@ -201,21 +206,36 @@ GROUP BY r.r_name
     "on the fact-side group key.",
 )
 def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate-pushdown shape: partially aggregate lineitem by l_orderkey
+    # BEFORE the dim joins, so the join input is |orders| rows, not
+    # |lineitem| (4x fewer hash probes here; at 100 TB the reduction is
+    # the lineitem-per-order multiplicity). Exact re-aggregation: the
+    # partial sums are scale-to-integer longs (queries.py discipline), so
+    # sum-of-sums is bit-identical to the single-pass oracle.
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    m = 10**4
+    pre = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * m).cast(
+                "long"
+            )
+        ).alias("__rev_scaled"),
+        F.count(F.lit(1)).alias("__n"),
+    )
     dims = F.broadcast(
         c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        pre.join(F.broadcast(o), pre.l_orderkey == o.o_orderkey)
         .join(dims, o.o_custkey == dims.c_custkey)
         .groupBy("r_name")
         .agg(
-            _int_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            (F.sum("__rev_scaled").cast("double") / F.lit(m)).alias("revenue"),
+            F.sum("__n").alias("n_lineitems"),
         )
     )
 
