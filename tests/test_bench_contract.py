@@ -1,0 +1,81 @@
+"""bench.py contract tests — the round-3 lesson codified.
+
+The driver parses exactly ONE JSON line from bench.py's stdout. In round 3
+a single AnalysisException aborted the whole run before that line and the
+round shipped with zero performance evidence. These tests pin the
+failure-isolation behavior without paying for a real sf0.1 run: main() is
+driven with a registry in which one query always throws.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import sys
+import types
+
+
+def test_bench_emits_json_line_even_when_a_query_throws(spark, monkeypatch):
+    import bench
+    from jackfruit_spark import queries as Q
+
+    def boom(spark, sf_dir):
+        raise RuntimeError("synthetic failure")
+
+    def tiny(spark, sf_dir):
+        return spark.range(3)
+
+    fake_reg = {
+        "q_ok": types.SimpleNamespace(fn=tiny),
+        "q_boom": types.SimpleNamespace(fn=boom),
+    }
+    monkeypatch.setattr(Q, "registry", lambda: fake_reg)
+    monkeypatch.setattr(bench, "BENCH_QUERIES", ["q_ok", "q_boom"])
+    monkeypatch.setattr(bench, "bench_grid", lambda s: {"grid_stub": 0.0})
+    monkeypatch.setattr(
+        bench, "get_spark", lambda name: spark
+    )  # reuse the test session
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    out = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", out)
+    bench.main()
+    sys.stdout = sys.__stdout__
+
+    lines = [ln for ln in out.getvalue().strip().splitlines() if ln]
+    assert len(lines) == 1, f"bench must print exactly one line, got {lines}"
+    d = json.loads(lines[0])
+    assert set(d) >= {"metric", "value", "unit", "queries", "sf"}
+    assert "q_ok" in d["queries"] and "q_boom" not in d["queries"]
+    assert d["errors"]["q_boom"].startswith("RuntimeError")
+    assert d["value"] == round(d["queries"]["q_ok"] + 0.0, 3)
+
+
+def test_bench_emits_json_line_even_when_grid_section_throws(spark, monkeypatch):
+    import bench
+    from jackfruit_spark import queries as Q
+
+    def tiny(spark, sf_dir):
+        return spark.range(3)
+
+    fake_reg = {"q_ok": types.SimpleNamespace(fn=tiny)}
+    monkeypatch.setattr(Q, "registry", lambda: fake_reg)
+    monkeypatch.setattr(bench, "BENCH_QUERIES", ["q_ok"])
+
+    def grid_boom(s):
+        raise RuntimeError("grid synthetic failure")
+
+    monkeypatch.setattr(bench, "bench_grid", grid_boom)
+    monkeypatch.setattr(bench, "get_spark", lambda name: spark)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    out = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", out)
+    bench.main()
+    sys.stdout = sys.__stdout__
+
+    lines = [ln for ln in out.getvalue().strip().splitlines() if ln]
+    assert len(lines) == 1
+    d = json.loads(lines[0])
+    assert d["errors"]["grid"].startswith("RuntimeError")
+    assert "q_ok" in d["queries"]
