@@ -7,6 +7,15 @@ Each query is forced with a noop-format write (materializes every column,
 no driver collect overhead). First query absorbs session warm-up; a tiny
 warm-up job runs first so timings reflect steady state.
 
+Cache discipline (ADVICE r4): operators persist() intermediate frames
+(jaccard postings, LSH bands, ...) and Spark's CacheManager matches
+identical analyzed plans across runs — without an explicit clear, the
+second REPEAT would read the first repeat's cache and min-of-N would
+measure warm-cache reads, not recompute. Every repeat therefore ends with
+release_persisted() + spark.catalog.clearCache(), so each timed run pays
+the full compute cost (persist still helps WITHIN a run, where one action
+has multiple consumers of the same frame).
+
 Failure-isolated (round-3 lesson: one AnalysisException killed the whole
 run and the round shipped with no bench evidence): each query and the grid
 section run under try/except, failures land in an "errors" key, and the
@@ -23,6 +32,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from jackfruit_spark import queries as Q
+from jackfruit_spark import release_persisted
 from jackfruit_spark.session import get_spark
 
 # Heavy queries FIRST (q40/q24/q21): in round 2 they ran late in the
@@ -183,20 +193,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM: parquet reader, then the heavy code paths (window
-    # shuffles, shingle explode, self-joins, CC driver loop) on the tiny
-    # sf0.001 set — different data than the timed runs, so this warms
+    # shuffles, shingle explode, self-joins, CC driver loop) on a tiny
+    # warm-up set — different data than the timed runs, so this warms
     # codegen/JIT, not the page cache for the measured queries. Without it
     # the FIRST timed query pays a ~0.5-0.7 s JIT tax that min-of-N inside
     # one position cannot remove (measured on q53 in the lead slot).
+    # The warm-up dir derives from the bench root (ADVICE r4: a hardcoded
+    # /root/testdata/sf0.001 silently no-ops when SPARK_GRAFT_SF_DIR points
+    # elsewhere): smallest sibling sf dir if present, else sf_dir itself.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR")
+    if not warm_dir:
+        sibling = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+        warm_dir = sibling if os.path.isdir(sibling) else sf_dir
     try:
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
         warm_reg = Q.registry()
         for wq in ("q53_dedup_clusters", "q24_minhash_lsh_pairs"):
-            warm_reg[wq].fn(spark, "/root/testdata/sf0.001").write.format(
-                "noop"
-            ).mode("overwrite").save()
-    except Exception:  # noqa: BLE001 — warm-up is best-effort
-        pass
+            warm_reg[wq].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+    except Exception as e:  # noqa: BLE001 — warm-up is best-effort
+        print(f"bench warm-up failed ({warm_dir}): {e}", file=sys.stderr)
+    release_persisted()
+    spark.catalog.clearCache()
 
     reg = Q.registry()
     timings: dict[str, float] = {}
@@ -217,9 +236,15 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
+                # min-of-N must measure recompute, not the previous
+                # repeat's cache (see module docstring)
+                release_persisted()
+                spark.catalog.clearCache()
             timings[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001 — one failure must not kill the run
             errors[name] = f"{type(e).__name__}: {e}"[:300]
+            release_persisted()
+            spark.catalog.clearCache()
 
     try:
         timings.update(bench_grid(spark))

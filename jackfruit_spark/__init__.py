@@ -19,3 +19,5 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from jackfruit_spark._persist import release_all as release_persisted  # noqa: E402

@@ -1,0 +1,58 @@
+"""Tracked persist for intermediate frames.
+
+Several operators persist an intermediate DataFrame because it feeds
+multiple consumers whose differing projections defeat ReuseExchange
+(jaccard postings, LSH bands, simhash blocks, IVF assignments). Those
+frames are returned inside LAZY results, so the operator itself has no
+safe place to unpersist — the consuming action happens in the caller.
+
+Left alone, two problems follow (ADVICE r4):
+
+- cached entries accumulate for the life of a long session;
+- Spark's CacheManager matches identical analyzed plans, so a repeated
+  benchmark run silently reuses the previous run's cache and min-of-N
+  measures warm-cache reads instead of recompute.
+
+``persisted(df)`` is a drop-in for ``df.persist(...)`` that also
+registers the frame in a session-wide list; ``release_all()`` unpersists
+everything registered. Unpersisting is always CORRECT — a consumer that
+somehow still needs the data just recomputes it — so callers may release
+aggressively (bench.py does, between repeats).
+
+The registry holds STRONG references on purpose: the JVM-side cache
+entry outlives the Python DataFrame wrapper (CacheManager keys on the
+analyzed plan, not the Python object), so a weakly-held entry whose
+wrapper was garbage-collected would leave the cache populated with no
+handle to unpersist it (observed: release_all() returned 0 while the
+postings cache survived). A DataFrame wrapper is a few hundred bytes —
+holding it until release costs nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def persisted(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """persist(level) + register for later release_all()."""
+    out = df.persist(level)
+    _TRACKED.append(out)
+    return out
+
+
+def release_all() -> int:
+    """Unpersist every tracked frame; returns how many."""
+    released = 0
+    for df in _TRACKED:
+        try:
+            df.unpersist(blocking=False)
+            released += 1
+        except Exception:  # noqa: BLE001 — a dead session must not raise
+            pass
+    _TRACKED.clear()
+    return released

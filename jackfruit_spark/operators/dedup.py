@@ -267,9 +267,10 @@ def lsh_candidate_pairs(
     # so the whole signature pipeline (shingle explode + K min-aggs) would
     # otherwise execute once per consumer. (id, band, band_hash) is
     # bands x ndocs rows of three longs — far smaller than the corpus.
-    from pyspark import StorageLevel
+    # Tracked persist: callers / bench release via _persist.release_all().
+    from jackfruit_spark._persist import persisted
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = persisted(banded)
     if max_bucket is not None:
         oversized = (
             banded.groupBy("band", "band_hash")
@@ -336,13 +337,13 @@ def jaccard_pairs(
     # (verified: 4 FileScans / 4 Generates in the un-persisted plan).
     # MEMORY_AND_DISK: postings are (long, long) pairs, ~16 bytes/row —
     # at 100 TB this is the inverted index you'd stage on SSD anyway.
-    from pyspark import StorageLevel
+    # Tracked persist: callers / bench release via _persist.release_all().
+    from jackfruit_spark._persist import persisted
 
-    postings = (
+    postings = persisted(
         shingled_exploded(df, id_col, text_col, k, distinct=False)
         .select(F.col(id_col).alias("__id"), F.xxhash64("sh").alias("sh"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if max_shingle_df is not None:
         hot = (
@@ -677,10 +678,11 @@ def simhash_candidate_pairs(
     )
     # persist: both self-join sides would otherwise recompute the simhash
     # (token explode + `bits` vote aggregates) — same ReuseExchange-defeat
-    # as lsh_candidate_pairs; (id, hash, band, block) is 4 longs/row
-    from pyspark import StorageLevel
+    # as lsh_candidate_pairs; (id, hash, band, block) is 4 longs/row.
+    # Tracked: callers / bench release via _persist.release_all().
+    from jackfruit_spark._persist import persisted
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = persisted(banded)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "band", "block"
     )
@@ -741,14 +743,15 @@ def semantic_dedup(
       products in an equi-join) — no Python on executors; right when
       cells are tiny or UDFs are off the table. Same results.
     """
-    from pyspark import StorageLevel
-
+    from jackfruit_spark._persist import persisted
     from jackfruit_spark.functions.similarity import (
         dot,
         ivf_assign,
         ivf_assign_pandas,
         norm,
     )
+
+    assigned_persisted: DataFrame | None = None
 
     if kernel == "pandas":
         import numpy as np
@@ -778,9 +781,7 @@ def semantic_dedup(
             F.col(id_col),
             F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
         ).withColumn("__nrm", norm(F.col("__v")))
-        assigned = ivf_assign(e, "__v", centroids).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        assigned = assigned_persisted = persisted(ivf_assign(e, "__v", centroids))
         a = assigned.select(
             F.col(id_col).alias("id_a"),
             F.col("__v").alias("__va"),
@@ -812,4 +813,9 @@ def semantic_dedup(
         max_iter=max_iter,
         algorithm=algorithm,
     )
+    if assigned_persisted is not None:
+        # CC eagerly checkpoints the edge set derived from `pairs`, so the
+        # persisted assignment frame is fully consumed by the time it
+        # returns — release it here instead of leaking it session-wide.
+        assigned_persisted.unpersist(blocking=False)
     return labels.withColumn("keep", F.col(id_col) == F.col("cluster_id"))

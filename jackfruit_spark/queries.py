@@ -81,9 +81,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # both layouts land on a session-TZ TIMESTAMP at µs precision.
         # Oracles read the same column through CAST(ts AS TIMESTAMP) so both
         # engines compare at identical microsecond precision.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        ts_type = dict(df.dtypes)["ts"]
+        # nanosAsLong is scoped to THIS read (set/restore): left set
+        # globally, any later nanos-timestamp table would silently come
+        # back as bigint (VERDICT r4 #7). The conf only affects schema
+        # resolution at read time, so restoring it immediately is safe —
+        # the returned lazy frame keeps the schema it resolved with.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+            ts_type = dict(df.dtypes)["ts"]
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
         if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long: truncate to µs
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -121,6 +121,15 @@ def test_events_load_handles_both_timestamp_units(spark, tmp_path, unit):
     got = sorted(r["ts"] for r in df.select("ts").collect())
     assert got == times, (got, times)
 
+    # VERDICT r4 #7: load() must not leak nanosAsLong into the session —
+    # a later nanos-timestamp read outside load() should behave as if
+    # load(events) never ran (default: vectorized reader REJECTS nanos,
+    # so the conf must be back at its default/prior value).
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
+        or spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+    ), "load() leaked nanosAsLong=true into the session conf"
+
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
