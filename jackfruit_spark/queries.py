@@ -1456,22 +1456,72 @@ def q49_ivf_cells(spark, sf_dir):
 
 @register(
     "q50_approx_stats",
-    oracle=None,
+    oracle=f"""
+{EV_CTE}
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95_exact,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99_exact,
+       TRUE AS users_within_tol,
+       TRUE AS p50_within_tol,
+       TRUE AS p95_within_tol,
+       TRUE AS p99_within_tol
+FROM ev GROUP BY event_type
+""",
     doc="Approximate aggregates — the 100 TB knobs: HLL++ distinct counts "
-    "and quantile sketches per event_type. No oracle (DuckDB's sketches "
-    "differ algorithmically); pytest bounds them against exact values. "
-    "Quantiles are emitted as SCALAR columns (p50/p95/p99), not an "
-    "array column — the driver's pandas canonicalizer cannot hash lists "
-    "(CORRECTNESS_r01 q50 err).",
+    "and quantile sketches per event_type, gate-checked via BOOLEAN "
+    "PARITY (VERDICT r4 #3): sketches can't hash-match an exact engine, "
+    "but 'sketch within tolerance of exact' can. Spark emits the exact "
+    "values (hash-matched columns) plus booleans comparing its OWN sketch "
+    "against its own exact aggregate; DuckDB emits the same exact values "
+    "and literal TRUE (exact-vs-exact is trivially within tolerance). A "
+    "sketch that drifts out of tolerance now FAILS the gate. Tolerances "
+    "follow each sketch's ACTUAL guarantee: HLL rsd=0.02 checked at 10% + "
+    "slack 5 (5 sigma); percentile_approx guarantees RANK error <= "
+    "1/accuracy, so its value is checked against the exact quantiles at "
+    "q +/- 0.005 (50x the 1e-4 guarantee — value-space tolerances are "
+    "meaningless in a sparse tail, measured: p99 at sf0.001). Exact "
+    "percentiles are continuous (R-7) on both engines, ROUND(...,6) to "
+    "absorb interpolation-order ulps per the determinism discipline.",
 )
 def q50_approx_stats(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.element_at(q, 1).alias("p50"),
-        F.element_at(q, 2).alias("p95"),
-        F.element_at(q, 3).alias("p99"),
+    qa = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+    # centers + rank-space tolerance bounds (q - 0.005, q, q + 0.005)
+    qe = F.expr(
+        "percentile(value, array("
+        "0.495D, 0.5D, 0.505D, 0.945D, 0.95D, 0.955D, 0.985D, 0.99D, 0.995D))"
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__au"),
+        qa.alias("__qa"),
+        qe.alias("__qe"),
+    )
+
+    def within(i: int):
+        # approx quantile i (1-based in __qa) must land between the exact
+        # quantiles one rank-tolerance below/above its center: __qe slots
+        # (3i-2, 3i-1, 3i) = (lower bound, center, upper bound)
+        a = F.element_at("__qa", i)
+        lo = F.element_at("__qe", 3 * i - 2) - F.lit(1e-9)
+        hi = F.element_at("__qe", 3 * i) + F.lit(1e-9)
+        return (a >= lo) & (a <= hi)
+
+    return agg.select(
+        "event_type",
+        "exact_users",
+        F.round(F.element_at("__qe", 2), 6).alias("p50_exact"),
+        F.round(F.element_at("__qe", 5), 6).alias("p95_exact"),
+        F.round(F.element_at("__qe", 8), 6).alias("p99_exact"),
+        (
+            F.abs(F.col("__au") - F.col("exact_users"))
+            <= F.greatest(F.col("exact_users") * F.lit(0.10), F.lit(5.0))
+        ).alias("users_within_tol"),
+        within(1).alias("p50_within_tol"),
+        within(2).alias("p95_within_tol"),
+        within(3).alias("p99_within_tol"),
     )
 
 

@@ -6,10 +6,15 @@ type-sensitive). Run: python tests/dtype_sweep.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import pyarrow as pa
+
+# runnable as `python tests/dtype_sweep.py` from anywhere: sys.path[0] is
+# the script dir, not the repo root the package imports need
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def canon_arrow(t: pa.DataType) -> str:
