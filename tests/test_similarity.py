@@ -164,3 +164,88 @@ def test_semantic_dedup_matches_numpy_union_find(spark, kernel):
     assert got == expected
     # the planted families actually collapsed (test is non-vacuous)
     assert sum(1 for _, (cl, _k) in got.items() if cl == min(3, 10, 11)) >= 2
+
+
+def test_split_oversized_cells_bounds_cell_size(spark):
+    """Skewed-quantizer guard (VERDICT r4 #1): a corpus whose vectors all
+    land in ONE IVF cell (would do |corpus|^2 work in a single task) must
+    be pre-split on secondary planes until every cell is under the bound,
+    and the planted near-dup pair must survive the split."""
+    from jackfruit_spark.functions.similarity import ivf_assign_pandas
+    from jackfruit_spark.operators.dedup import _split_oversized_cells, semantic_dedup
+
+    rng = np.random.default_rng(3)
+    n, dim = 200, 8
+    base = rng.normal(size=(n, dim)).astype("float64") + 5.0  # offset: one cell
+    base[50] = base[40] * 1.001  # planted near-dup pair (cosine ~1)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in base[i]]) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    # centroids far from the data except one: everything assigns to cell 0
+    cents = [[5.0] * dim, [-100.0] * dim, [100.0] * dim]
+
+    assigned = ivf_assign_pandas(
+        df.select(F.col("vec_id").alias("__id"), F.col("embedding").alias("__v0")),
+        "__v0",
+        cents,
+    )
+    pre = {r["ivf_cell"]: r["n"] for r in assigned.groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert max(pre.values()) == n  # the skew is real
+
+    split = _split_oversized_cells(assigned, "__v0", max_cell_size=50, pandas_kernel=True)
+    sizes = [r["n"] for r in split.groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert max(sizes) <= 50, sizes
+    assert sum(sizes) == n  # no rows lost
+
+    # end-to-end: the guard is wired into semantic_dedup and the planted
+    # pair still collapses to one keeper
+    labels = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", cents, threshold=0.99, max_cell_size=50
+        ).collect()
+    }
+    assert labels[50] == (40, False) and labels[40] == (40, True)
+
+
+def test_split_oversized_cells_identical_vectors_terminate(spark):
+    """A cell of IDENTICAL vectors can never split (every plane puts them
+    on one side): the guard must stop after a no-progress round instead of
+    looping, leaving the cell intact."""
+    from jackfruit_spark.functions.similarity import ivf_assign_pandas
+    from jackfruit_spark.operators.dedup import _split_oversized_cells
+
+    n, dim = 60, 4
+    df = spark.createDataFrame(
+        [(i, [1.0] * dim) for i in range(n)], ["__id", "__v0"]
+    )
+    assigned = ivf_assign_pandas(df, "__v0", [[1.0] * dim, [-1.0] * dim])
+    split = _split_oversized_cells(assigned, "__v0", max_cell_size=20, pandas_kernel=True)
+    sizes = [r["n"] for r in split.groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert sum(sizes) == n
+    assert max(sizes) == n  # unsplittable, left intact by the stop rule
+
+
+def test_kmeans_train_deterministic_and_balanced(spark):
+    """kmeans_train: same (data, seed) -> same centroids; the trained
+    quantizer covers the data (every cell non-degenerate on blob data)."""
+    from jackfruit_spark.functions.similarity import ivf_assign_pandas, kmeans_train
+
+    rng = np.random.default_rng(21)
+    blobs = np.concatenate([
+        rng.normal(loc=c, scale=0.1, size=(50, 6)) for c in (-2.0, 0.0, 2.0, 5.0)
+    ])
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in blobs[i]]) for i in range(len(blobs))],
+        ["vec_id", "embedding"],
+    )
+    c1 = kmeans_train(df, "embedding", k=4, seed=11)
+    c2 = kmeans_train(df, "embedding", k=4, seed=11)
+    assert c1 == c2
+    # 4 well-separated blobs -> 4 cells each holding exactly one blob
+    cells = ivf_assign_pandas(df, "embedding", c1)
+    sizes = sorted(
+        r["n"] for r in cells.groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert sizes == [50, 50, 50, 50]
