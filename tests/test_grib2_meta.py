@@ -1,0 +1,193 @@
+"""Pure-Python GRIB2 parser (VERDICT r4 #6): validated against the
+reference repo's OWN fixture (ECMWF global 0.25°, 4 messages, DRS 42)
+plus a synthetic simple-packed message whose values round-trip exactly.
+
+The fixture-driven tests mirror the reference's
+test_cams_adapter.py:65-80 expectations (message count, grid shape, lons
+normalized into [-180, 180]) and are skipped when the read-only
+reference tree is absent."""
+
+from __future__ import annotations
+
+import glob
+import struct
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from jackfruit_spark.sources import grib2_meta as G2
+
+FIXTURES = glob.glob(
+    "/root/reference/pipeline-python/tests/fixtures/*.grib"
+)
+
+needs_fixture = pytest.mark.skipif(
+    not FIXTURES, reason="reference GRIB fixture not available"
+)
+
+
+@pytest.fixture(scope="module")
+def msgs():
+    with open(FIXTURES[0], "rb") as f:
+        return G2.parse_grib2(f.read())
+
+
+@needs_fixture
+def test_message_walk_counts(msgs):
+    assert len(msgs) == 4  # the ECMWF fixture carries 4 messages
+    assert all(m.centre == 98 for m in msgs)  # ECMWF
+
+
+@needs_fixture
+def test_grid_shape_and_increments(msgs):
+    for m in msgs:
+        assert (m.grid.nj, m.grid.ni) == (721, 1440)  # global 0.25°
+        assert m.grid.di == m.grid.dj == 0.25
+        assert m.n_values == 721 * 1440
+
+
+@needs_fixture
+def test_analytic_latlon_normalized(msgs):
+    lats, lons = msgs[0].grid.latlon()
+    assert lats.shape == lons.shape == (721, 1440)
+    # lats scan north -> south
+    assert lats[0, 0] == 90.0 and lats[-1, 0] == -90.0
+    # the reference's regression: every lon in [-180, 180], none at -335
+    assert lons.min() >= -180.0 and lons.max() <= 180.0
+    assert lons.min() == -180.0 and lons.max() == 179.75
+    # first point lon1=180 normalizes to -180, step +0.25
+    assert lons[0, 0] == -180.0 and lons[0, 1] == -179.75
+
+
+@needs_fixture
+def test_variables_and_valid_times(msgs):
+    names = [m.variable_name for m in msgs]
+    assert set(names) == {"temperature", "dewpoint"}  # 2t / 2d mapped
+    assert all(m.unit == "K" for m in msgs)
+    assert all(m.ref_time == datetime(2026, 3, 16, 0, 0) for m in msgs)
+    assert all(m.valid_time >= m.ref_time for m in msgs)
+
+
+@needs_fixture
+def test_ccsds_values_flagged_not_decodable(msgs):
+    # the fixture uses DRS template 42 (CCSDS/AEC) — values genuinely
+    # need libaec; the parser must say so instead of guessing
+    assert all(m.drs_template == 42 for m in msgs)
+    assert all(not m.values_decodable for m in msgs)
+
+
+@needs_fixture
+def test_production_adapter_end_to_end(spark, tmp_path, msgs):
+    """The registered 'ecmwf' adapter runs the REAL metadata path on the
+    real fixture inside the Spark scan (values synthetic: DRS 42)."""
+    import shutil
+
+    from jackfruit_spark.sources import grib
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    shutil.copy(FIXTURES[0], d / "run-x.grib")
+    df = grib.scan_grib(
+        spark,
+        str(d),
+        "ecmwf",
+        run_id_from_path=lambda p: p.rsplit("/", 1)[-1].removesuffix(".grib"),
+    )
+    agg = df.groupBy("variable", "unit", "timestamp").count().collect()
+    assert {r["variable"] for r in agg} == {"temperature", "dewpoint"}
+    assert all(r["unit"] == "K" for r in agg)
+    assert all(r["count"] == 721 * 1440 for r in agg)
+    assert len(agg) == 4  # one group per message (var, valid_time)
+
+
+# --------------------------- synthetic simple-packing (DRS 5.0) roundtrip
+
+
+def _encode_grib2_simple(values, lat1, lon1, di, dj, ref, ctype=40008):
+    """Minimal GRIB2 writer: one message, template 3.0 grid + 4.40
+    product + 5.0 simple packing (E=0, D=0, 16-bit)."""
+    nj, ni = values.shape
+
+    def sec(num, body):
+        return struct.pack(">IB", 5 + len(body), num) + body
+
+    def sm32(deg):  # GRIB2 signed = sign-magnitude
+        v = int(round(abs(deg) * 1e6))
+        return struct.pack(">I", v | (0x80000000 if deg < 0 else 0))
+
+    vmin = float(values.min())
+    x = np.round(values - vmin).astype(np.int64).ravel()
+    assert x.max() < 65536
+    packed = np.zeros(x.size * 2, dtype=np.uint8)
+    packed[0::2] = (x >> 8) & 0xFF
+    packed[1::2] = x & 0xFF
+
+    s1 = sec(1, struct.pack(">HHBBBHBBBBB", 98, 0, 29, 1, 1,
+                            ref.year, ref.month, ref.day, ref.hour, ref.minute,
+                            ref.second) + b"\x00\x01")
+    grid_body = (
+        b"\x00" + struct.pack(">I", ni * nj) + b"\x00\x00" + struct.pack(">H", 0)
+        + b"\x06" + b"\x00" * 15
+        + struct.pack(">II", ni, nj)
+        + b"\x00" * 8
+        + sm32(lat1)
+        + sm32(lon1)
+        + b"\x30"
+        + sm32(lat1 - dj * (nj - 1))
+        + sm32(lon1 + di * (ni - 1))
+        + struct.pack(">II", int(di * 1e6), int(dj * 1e6))
+        + b"\x00"  # scan mode: +i, -j
+    )
+    s3 = sec(3, grid_body)
+    pdt_body = (
+        struct.pack(">H", 0) + struct.pack(">H", 40)  # NV=0, template 4.40
+        + bytes([0, 0]) + struct.pack(">H", ctype)
+        + bytes([2, 255, 255]) + struct.pack(">H", 0) + bytes([0, 1])
+        + struct.pack(">I", 3)  # forecastTime = 3 hours
+        + bytes([1, 0, 0, 0, 0, 0, 0, 0, 0])
+    )
+    s4 = sec(4, pdt_body)
+    s5 = sec(5, struct.pack(">I", ni * nj) + struct.pack(">H", 0)
+             + struct.pack(">f", vmin) + struct.pack(">hh", 0, 0)
+             + bytes([16, 0]))
+    s6 = sec(6, b"\xff")  # no bitmap
+    s7 = sec(7, packed.tobytes())
+    body = s1 + s3 + s4 + s5 + s6 + s7 + b"7777"
+    head = b"GRIB" + b"\x00\x00" + bytes([0, 2]) + struct.pack(">Q", 16 + len(body))
+    return head + body
+
+
+def test_simple_packing_roundtrip():
+    rng = np.random.default_rng(5)
+    vals = np.round(rng.random((6, 9)) * 1000.0)
+    ref = datetime(2026, 2, 1, 0, 0)
+    data = _encode_grib2_simple(vals, lat1=72.0, lon1=-25.0, di=0.1, dj=0.1, ref=ref)
+    (m,) = G2.parse_grib2(data)
+    assert m.values_decodable and m.drs_template == 0
+    assert np.allclose(m.values, vals)  # exact integer-scaled recovery
+    assert m.variable_name == "pm10" and m.unit == "kg m-3"
+    assert m.valid_time == ref + timedelta(hours=3)
+    lats, lons = m.grid.latlon()
+    assert lats[0, 0] == 72.0 and abs(lats[-1, 0] - 71.5) < 1e-9
+    assert lons[0, 0] == -25.0
+
+
+def test_simple_packing_through_adapter(spark, tmp_path):
+    """A simple-packed GRIB decodes FULLY for real (metadata AND values)
+    through the production adapter inside the Spark scan."""
+    from jackfruit_spark.sources import grib
+
+    rng = np.random.default_rng(9)
+    vals = np.round(rng.random((5, 8)) * 100.0)
+    data = _encode_grib2_simple(
+        vals, lat1=50.0, lon1=0.0, di=0.5, dj=0.5, ref=datetime(2026, 2, 1)
+    )
+    p = tmp_path / "sp.grib"
+    p.write_bytes(data)
+    df = grib.scan_grib(spark, str(tmp_path), "ads")
+    rows = df.collect()
+    assert len(rows) == 40
+    got = sorted(round(r["value"], 3) for r in rows)
+    assert got == sorted(round(float(v), 3) for v in vals.ravel())
+    assert {r["variable"] for r in rows} == {"pm10"}

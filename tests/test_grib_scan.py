@@ -1,6 +1,7 @@
 """GRIB scan plumbing: binaryFile + mapInPandas decode via the synthetic
-adapter (the real pygrib decode is stubbed; the Spark-side distribution,
-schema, and flatten are what's under test — SURVEY §2 #1/#2/#14)."""
+adapter (Spark-side distribution, schema, and flatten — SURVEY §2
+#1/#2/#14). The production adapters' REAL metadata parser is covered in
+test_grib2_meta.py against the reference fixture."""
 
 from __future__ import annotations
 
@@ -49,10 +50,12 @@ def test_unregistered_source_raises(spark):
         grib.get_adapter("nope")
 
 
-def test_real_adapter_stub_raises():
+def test_real_adapter_rejects_malformed():
     adapter = grib.get_adapter("ads")
-    with pytest.raises(NotImplementedError):
-        list(adapter("f.grib", b"GRIB"))
+    # truncated indicator: no parseable message, no rows
+    assert list(adapter("f.grib", b"GRIB")) == []
+    with pytest.raises(ValueError):
+        list(adapter("f.grib", b"NOTGRIB-" + b"\x00" * 16))
 
 
 def test_normalize_lons():
