@@ -1,0 +1,500 @@
+"""Pure-Python CCSDS 121.0-B (Rice/adaptive-entropy) codec — the packing
+behind GRIB2 DRS template 42, normally decoded by libaec.
+
+Decoder + encoder for the full option set of the CCSDS 121.0-B-2 lossless
+coder as produced/consumed by libaec (the implementation ecCodes links):
+
+- **block options**: fundamental-sequence (k=0), sample-splitting
+  (k = option id - 1), uncompressed (id = all-ones), and the two
+  low-entropy options signalled by a zero id plus one selector bit —
+  ``0`` → zero-block run (run length FS-coded; value 5 = rest-of-segment,
+  values above 5 shifted down by one), ``1`` → second extension (sample
+  pairs folded into one FS value m = (a+b)(a+b+1)/2 + b).
+- **unit-delay preprocessor** (AEC_DATA_PREPROCESS): the first sample of
+  every reference-sample interval is stored raw after the option id;
+  remaining samples are prediction residuals mapped to non-negative ints
+  by the standard CCSDS zig-zag-with-saturation rule
+  (theta = min(prev - xmin, xmax - prev); |d| <= theta → zig-zag,
+  else delta = theta + |d| with the sign implied by which bound has
+  head-room).
+
+Decode throughput relies on numpy: the whole bitstream is unpacked once,
+fundamental sequences are read by indexing the precomputed positions of
+1-bits (``np.searchsorted`` instead of bit-by-bit scanning), split-mode
+LSB fields are gathered as one reshape-matmul per block, and unmapping
+runs a vectorized zig-zag cumsum per reference interval with a sequential
+fallback only from the first saturated sample onward.
+
+Scope honestly stated: AEC_RESTRICTED (the n<=4 reduced option set) and
+AEC_PAD_RSI are not implemented (never produced by ecCodes for GRIB) and
+raise. AEC_DATA_MSB / AEC_DATA_3BYTE describe the caller's raw-buffer
+layout, not the bitstream, so they are accepted and ignored — this codec
+exchanges numpy integer arrays, not byte buffers.
+
+Validated two ways (tests/test_ccsds.py): encoder→decoder round-trips
+across all option paths (hypothesis + crafted streams), and a real decode
+of the reference repo's own fixture
+(``pipeline-python/tests/fixtures/019cf6d7-*.grib``, DRS 5.42, 12-bit
+samples, block 32, RSI 128) whose values must land in the physical ranges
+the reference's integration suite asserts
+(``tests/integration/test_transform_ecmwf.py:186-228``: temperature and
+dewpoint within (-80, 60) °C after K→°C).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+AEC_DATA_SIGNED = 1
+AEC_DATA_3BYTE = 2
+AEC_DATA_MSB = 4
+AEC_DATA_PREPROCESS = 8
+AEC_RESTRICTED = 16
+AEC_PAD_RSI = 32
+
+_ROS = 5  # zero-run count meaning "rest of segment/RSI"
+_SEGMENT_BLOCKS = 64
+
+
+class CcsdsError(ValueError):
+    pass
+
+
+def _id_len(bits_per_sample: int) -> int:
+    if bits_per_sample <= 8:
+        return 3
+    if bits_per_sample <= 16:
+        return 4
+    return 5
+
+
+def _check_flags(flags: int) -> None:
+    if flags & AEC_RESTRICTED:
+        raise CcsdsError("AEC_RESTRICTED option set not implemented")
+    if flags & AEC_PAD_RSI:
+        raise CcsdsError("AEC_PAD_RSI not implemented")
+
+
+# =========================================================== decoding
+
+
+class _BitReader:
+    """Bit cursor over a fully-unpacked bit array. FS runs are read by
+    searching the precomputed 1-bit positions — O(log n) per run instead
+    of a per-bit scan."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.ones = np.flatnonzero(self.bits).astype(np.int64)
+        self.pos = 0
+        self.n = len(self.bits)
+
+    def get(self, nbits: int) -> int:
+        p = self.pos
+        if p + nbits > self.n:
+            raise CcsdsError("bitstream truncated")
+        chunk = self.bits[p : p + nbits]
+        self.pos = p + nbits
+        v = 0
+        for b in chunk:
+            v = (v << 1) | int(b)
+        return v
+
+    def get_many(self, count: int, width: int) -> np.ndarray:
+        """``count`` consecutive big-endian fields of ``width`` bits."""
+        p = self.pos
+        end = p + count * width
+        if end > self.n:
+            raise CcsdsError("bitstream truncated")
+        self.pos = end
+        if width == 0 or count == 0:
+            return np.zeros(count, dtype=np.int64)
+        m = self.bits[p:end].reshape(count, width).astype(np.int64)
+        w = (1 << np.arange(width - 1, -1, -1, dtype=np.int64))
+        return m @ w
+
+    def get_fs_run(self, count: int) -> np.ndarray:
+        """``count`` consecutive fundamental-sequence (unary) values."""
+        if count == 0:
+            return np.zeros(0, dtype=np.int64)
+        idx = int(np.searchsorted(self.ones, self.pos))
+        if idx + count > len(self.ones):
+            raise CcsdsError("bitstream truncated in FS run")
+        sel = self.ones[idx : idx + count]
+        prev = np.empty(count, dtype=np.int64)
+        prev[0] = self.pos - 1
+        prev[1:] = sel[:-1]
+        self.pos = int(sel[-1]) + 1
+        return sel - prev - 1
+
+
+def _se_split(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Second-extension inverse: m -> (even, odd) sample pair.
+    beta = largest t with t(t+1)/2 <= m; odd = m - t(t+1)/2; even = t-odd."""
+    beta = ((np.sqrt(8.0 * m.astype(np.float64) + 1.0) - 1.0) / 2.0).astype(np.int64)
+    # float sqrt can land one off on exact triangular numbers — correct both ways
+    tri = beta * (beta + 1) // 2
+    over = tri > m
+    beta[over] -= 1
+    tri[over] = beta[over] * (beta[over] + 1) // 2
+    under = (beta + 1) * (beta + 2) // 2 <= m
+    beta[under] += 1
+    tri[under] = beta[under] * (beta[under] + 1) // 2
+    odd = m - tri
+    return beta - odd, odd
+
+
+def _unmap_interval(
+    deltas: np.ndarray, ref: int, xmin: int, xmax: int
+) -> np.ndarray:
+    """Invert the unit-delay preprocessor over one reference interval.
+
+    Fast path: assume no saturation (delta <= 2*theta everywhere), which
+    makes the residual the plain zig-zag code and the reconstruction a
+    cumsum. Verify theta bounds afterwards against the candidate
+    predecessors; from the first violated index, fall back to the exact
+    sequential rule and re-enter the fast path for the remaining suffix."""
+    n = len(deltas)
+    out = np.empty(n + 1, dtype=np.int64)
+    out[0] = ref
+    if n == 0:
+        return out
+    zig = np.where(deltas & 1 == 0, deltas >> 1, -((deltas + 1) >> 1))
+    start = 0
+    prev = ref
+    for _ in range(64):
+        cand = prev + np.cumsum(zig[start:])
+        pred = np.empty(n - start, dtype=np.int64)
+        pred[0] = prev
+        pred[1:] = cand[:-1]
+        theta = np.minimum(pred - xmin, xmax - pred)
+        bad = np.flatnonzero(deltas[start:] > 2 * theta)
+        if len(bad) == 0:
+            out[start + 1 :] = cand
+            return out
+        j = int(bad[0])
+        out[start + 1 : start + j + 1] = cand[:j]
+        # exact rule for the saturated sample
+        i = start + j
+        p = out[i]
+        d = int(deltas[i])
+        th = min(p - xmin, xmax - p)
+        if d <= 2 * th:
+            x = p + (d >> 1 if d % 2 == 0 else -((d + 1) >> 1))
+        else:
+            mag = d - th
+            x = p + mag if (xmax - p) > (p - xmin) else p - mag
+        if not (xmin <= x <= xmax):
+            raise CcsdsError("unmap out of range — corrupt stream")
+        out[i + 1] = x
+        prev = x
+        start = i + 1
+        if start == n:
+            return out
+    # pathological saturation density: finish sequentially
+    for i in range(start, n):
+        p = out[i]
+        d = int(deltas[i])
+        th = min(p - xmin, xmax - p)
+        if d <= 2 * th:
+            x = p + (d >> 1 if d % 2 == 0 else -((d + 1) >> 1))
+        else:
+            mag = d - th
+            x = p + mag if (xmax - p) > (p - xmin) else p - mag
+        if not (xmin <= x <= xmax):
+            raise CcsdsError("unmap out of range — corrupt stream")
+        out[i + 1] = x
+    return out
+
+
+def decode(
+    data: bytes,
+    n_samples: int,
+    bits_per_sample: int,
+    block_size: int,
+    rsi: int,
+    flags: int = AEC_DATA_PREPROCESS | AEC_DATA_MSB,
+) -> np.ndarray:
+    """Decode a CCSDS 121.0-B stream to ``n_samples`` integers.
+
+    Returns int64; unsigned range [0, 2^n - 1] or, with AEC_DATA_SIGNED,
+    [-2^(n-1), 2^(n-1) - 1]."""
+    _check_flags(flags)
+    if not 1 <= bits_per_sample <= 32:
+        raise CcsdsError(f"bits_per_sample {bits_per_sample} out of range")
+    if block_size not in (8, 16, 32, 64):
+        raise CcsdsError(f"block size {block_size} invalid")
+    pp = bool(flags & AEC_DATA_PREPROCESS)
+    signed = bool(flags & AEC_DATA_SIGNED)
+    if signed:
+        xmin, xmax = -(1 << (bits_per_sample - 1)), (1 << (bits_per_sample - 1)) - 1
+    else:
+        xmin, xmax = 0, (1 << bits_per_sample) - 1
+
+    r = _BitReader(data)
+    idlen = _id_len(bits_per_sample)
+    uncomp_id = (1 << idlen) - 1
+    J = block_size
+    rsi_samples = rsi * J
+
+    raw = np.empty(n_samples, dtype=np.int64)  # mapped deltas / ref samples
+    is_ref = np.zeros(n_samples, dtype=bool)
+    i = 0
+    while i < n_samples:
+        ref = pp and (i % rsi_samples == 0)
+        want = min(J, n_samples - i)  # last block may be short on paper
+        opt = r.get(idlen)
+        if opt == 0:
+            if r.get(1):  # second extension
+                if ref:
+                    raw[i] = _read_sample(r, bits_per_sample, signed)
+                    is_ref[i] = True
+                    body = want - 1
+                    m = r.get_fs_run((body + 1) // 2)
+                    even, odd = _se_split(m)
+                    pair = np.empty(2 * len(m), dtype=np.int64)
+                    # first m covers (ref, s1): only the odd half lands
+                    pair[0::2], pair[1::2] = even, odd
+                    raw[i + 1 : i + want] = pair[1 : body + 1]
+                else:
+                    m = r.get_fs_run(want // 2)
+                    even, odd = _se_split(m)
+                    pair = np.empty(2 * len(m), dtype=np.int64)
+                    pair[0::2], pair[1::2] = even, odd
+                    raw[i : i + want] = pair[:want]
+                i += want
+            else:  # zero-block run
+                if ref:
+                    raw[i] = _read_sample(r, bits_per_sample, signed)
+                    is_ref[i] = True
+                fs = int(r.get_fs_run(1)[0])
+                zb = fs + 1
+                if zb == _ROS:
+                    b = (i % rsi_samples) // J
+                    zb = min(rsi - b, _SEGMENT_BLOCKS - b % _SEGMENT_BLOCKS)
+                elif zb > _ROS:
+                    zb -= 1
+                span = min(zb * J - (1 if ref else 0), n_samples - i - (1 if ref else 0))
+                lo = i + (1 if ref else 0)
+                raw[lo : lo + span] = 0
+                i = lo + span
+        elif opt == uncomp_id:
+            vals = r.get_many(want, bits_per_sample)
+            # under preprocessing these are the non-negative MAPPED deltas
+            # (never sign-extended); only the reference sample — and raw
+            # samples when preprocessing is off — are two's complement
+            if signed and not pp:
+                vals = _sign_extend(vals, bits_per_sample)
+            raw[i : i + want] = vals
+            if ref:
+                is_ref[i] = True
+                if signed and vals[0] >= (1 << (bits_per_sample - 1)):
+                    raw[i] = int(vals[0]) - (1 << bits_per_sample)
+            i += want
+        else:  # splitting, k = opt - 1 (k = 0 is the pure FS option)
+            k = opt - 1
+            if k > bits_per_sample:
+                raise CcsdsError(f"split k={k} exceeds sample width")
+            if ref:
+                raw[i] = _read_sample(r, bits_per_sample, signed)
+                is_ref[i] = True
+            body = want - (1 if ref else 0)
+            fs = r.get_fs_run(body)
+            if k:
+                lsb = r.get_many(body, k)
+                vals = (fs << k) | lsb
+            else:
+                vals = fs
+            lo = i + (1 if ref else 0)
+            raw[lo : lo + body] = vals
+            i += want
+
+    if not pp:
+        if signed:
+            return raw  # already sign-extended where raw fields were read
+        return raw
+    # unit-delay postprocessing per reference interval. In uncompressed
+    # blocks at an RSI start the first sample is the (raw) reference even
+    # though is_ref marking above also flags it — both paths agree.
+    out = np.empty(n_samples, dtype=np.int64)
+    for s in range(0, n_samples, rsi_samples):
+        e = min(s + rsi_samples, n_samples)
+        ref_val = int(raw[s])
+        if not (xmin <= ref_val <= xmax):
+            raise CcsdsError("reference sample out of range")
+        out[s:e] = _unmap_interval(raw[s + 1 : e], ref_val, xmin, xmax)
+    return out
+
+
+def _read_sample(r: _BitReader, nbits: int, signed: bool) -> int:
+    v = r.get(nbits)
+    if signed and v >= (1 << (nbits - 1)):
+        v -= 1 << nbits
+    return v
+
+
+def _sign_extend(vals: np.ndarray, nbits: int) -> np.ndarray:
+    sign = 1 << (nbits - 1)
+    return np.where(vals >= sign, vals - (1 << nbits), vals)
+
+
+# =========================================================== encoding
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.chunks: list[np.ndarray] = []
+
+    def put(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        bits = (value >> np.arange(nbits - 1, -1, -1, dtype=np.int64)) & 1
+        self.chunks.append(bits.astype(np.uint8))
+
+    def put_fs(self, value: int) -> None:
+        arr = np.zeros(value + 1, dtype=np.uint8)
+        arr[-1] = 1
+        self.chunks.append(arr)
+
+    def tobytes(self) -> bytes:
+        if not self.chunks:
+            return b""
+        return np.packbits(np.concatenate(self.chunks)).tobytes()
+
+
+def _map_interval(x: np.ndarray, xmin: int, xmax: int) -> np.ndarray:
+    """Forward preprocessor for one reference interval: x[0] is the
+    reference; returns mapped deltas for x[1:]."""
+    prev = x[:-1]
+    d = x[1:] - prev
+    theta = np.minimum(prev - xmin, xmax - prev)
+    zig = np.where(d >= 0, 2 * d, -2 * d - 1)
+    sat = theta + np.abs(d)
+    return np.where(np.abs(d) <= theta, zig, sat)
+
+
+def encode(
+    samples: np.ndarray,
+    bits_per_sample: int,
+    block_size: int,
+    rsi: int,
+    flags: int = AEC_DATA_PREPROCESS | AEC_DATA_MSB,
+) -> bytes:
+    """Encode integers into a CCSDS 121.0-B stream ``decode`` (and libaec)
+    can read. Picks the cheapest option per block among zero-block (only
+    for maximal runs), second extension, splitting k, and uncompressed —
+    the same candidate set as libaec's encoder, so streams are valid even
+    if option choices differ from libaec's."""
+    _check_flags(flags)
+    pp = bool(flags & AEC_DATA_PREPROCESS)
+    signed = bool(flags & AEC_DATA_SIGNED)
+    if signed:
+        xmin, xmax = -(1 << (bits_per_sample - 1)), (1 << (bits_per_sample - 1)) - 1
+    else:
+        xmin, xmax = 0, (1 << bits_per_sample) - 1
+    x = np.asarray(samples, dtype=np.int64)
+    if x.min() < xmin or x.max() > xmax:
+        raise CcsdsError("sample out of declared range")
+    n = len(x)
+    J = block_size
+    rsi_samples = rsi * J
+    if n % J:
+        raise CcsdsError("encoder requires length to be a multiple of block_size")
+
+    # mapped representation: per-RSI [ref, deltas...]
+    mapped = np.empty(n, dtype=np.int64)
+    for s in range(0, n, rsi_samples):
+        e = min(s + rsi_samples, n)
+        if pp:
+            mapped[s] = x[s]
+            mapped[s + 1 : e] = _map_interval(x[s:e], xmin, xmax)
+        else:
+            mapped[s:e] = x[s:e]
+
+    w = _BitWriter()
+    idlen = _id_len(bits_per_sample)
+    uncomp_id = (1 << idlen) - 1
+    nb = n // J
+    bi = 0
+    while bi < nb:
+        s = bi * J
+        ref = pp and (s % rsi_samples == 0)
+        body = mapped[s + (1 if ref else 0) : s + J]
+        ref_val = int(mapped[s]) if ref else None
+
+        # zero-block run (mapped deltas all zero), greedily maximal
+        if not body.any() and pp:
+            run = 1
+            while bi + run < nb:
+                s2 = (bi + run) * J
+                if pp and s2 % rsi_samples == 0:
+                    break  # next RSI starts a new reference
+                b2 = mapped[s2 : s2 + J]
+                if b2.any():
+                    break
+                run += 1
+            b_in_rsi = (s % rsi_samples) // J
+            limit = min(rsi - b_in_rsi, _SEGMENT_BLOCKS - b_in_rsi % _SEGMENT_BLOCKS)
+            run = min(run, limit)
+            w.put(0, idlen + 1)
+            if ref:
+                w.put(_raw_bits(ref_val, bits_per_sample), bits_per_sample)
+            if run == limit and run > 1:
+                w.put_fs(4)  # rest-of-segment
+            elif run >= 5:
+                w.put_fs(run)
+            else:
+                w.put_fs(run - 1)
+            bi += run
+            continue
+
+        # cost of each candidate option
+        fs_cost = {k: int(np.sum(body >> k)) + len(body) + k * len(body)
+                   for k in range(0, min(bits_per_sample, uncomp_id - 1))}
+        best_k = min(fs_cost, key=lambda k: fs_cost[k])
+        best = fs_cost[best_k] + idlen
+        choice = ("split", best_k)
+
+        if len(body) % 2 == 0 and not ref:
+            pair_sum = body[0::2] + body[1::2]
+            m = pair_sum * (pair_sum + 1) // 2 + body[1::2]
+            se_cost = int(np.sum(m)) + len(m) + idlen + 1
+            if se_cost < best and np.all(m < (1 << 30)):
+                best, choice = se_cost, ("se", None)
+
+        unc_cost = idlen + J * bits_per_sample
+        if unc_cost < best:
+            best, choice = unc_cost, ("unc", None)
+
+        if choice[0] == "unc":
+            w.put(uncomp_id, idlen)
+            for v in x[s : s + J] if not pp else _reraw(mapped, s, J, ref):
+                w.put(_raw_bits(int(v), bits_per_sample), bits_per_sample)
+        elif choice[0] == "se":
+            w.put(1, idlen + 1)
+            pair_sum = body[0::2] + body[1::2]
+            m = pair_sum * (pair_sum + 1) // 2 + body[1::2]
+            for v in m:
+                w.put_fs(int(v))
+        else:
+            k = choice[1]
+            w.put(k + 1, idlen)
+            if ref:
+                w.put(_raw_bits(ref_val, bits_per_sample), bits_per_sample)
+            for v in body >> k:
+                w.put_fs(int(v))
+            if k:
+                mask = (1 << k) - 1
+                for v in body & mask:
+                    w.put(int(v), k)
+        bi += 1
+    return w.tobytes()
+
+
+def _raw_bits(v: int, nbits: int) -> int:
+    return v & ((1 << nbits) - 1)
+
+
+def _reraw(mapped: np.ndarray, s: int, J: int, ref: bool) -> np.ndarray:
+    """Uncompressed blocks store the MAPPED samples raw (ref included)."""
+    return mapped[s : s + J]

@@ -1,0 +1,205 @@
+"""CCSDS 121.0-B codec tests: encoder→decoder round-trips across every
+option path, crafted streams hitting specific branches, and a real decode
+of the reference repo's GRIB2 DRS-42 fixture validated against the value
+ranges the reference's own integration suite asserts
+(pipeline-python/tests/integration/test_transform_ecmwf.py:186-228)."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jackfruit_spark.sources import ccsds
+
+FIXTURE = (
+    "/root/reference/pipeline-python/tests/fixtures/"
+    "019cf6d7-02a0-745b-ac05-e1201d8f8a72.grib"
+)
+
+
+def _roundtrip(x, nbits, block=16, rsi=8, flags=ccsds.AEC_DATA_PREPROCESS):
+    x = np.asarray(x, dtype=np.int64)
+    enc = ccsds.encode(x, nbits, block, rsi, flags)
+    dec = ccsds.decode(enc, len(x), nbits, block, rsi, flags)
+    np.testing.assert_array_equal(dec, x)
+    return enc
+
+
+class TestRoundTrip:
+    def test_constant(self):
+        # constant signal → zero-block runs after the reference sample
+        x = np.full(256, 37)
+        enc = _roundtrip(x, 8)
+        # far smaller than raw: zero-runs collapse whole blocks
+        assert len(enc) < 256 // 4
+
+    def test_ramp(self):
+        _roundtrip(np.arange(512) % 200, 8)
+
+    def test_random_full_range(self):
+        rng = np.random.default_rng(7)
+        # white noise at full amplitude → uncompressed blocks win
+        _roundtrip(rng.integers(0, 1 << 12, 1024), 12, block=32, rsi=16)
+
+    def test_smooth_signal_12bit(self):
+        t = np.arange(4096)
+        x = (2000 + 1500 * np.sin(t / 50.0) + 20 * np.sin(t / 3.0)).astype(np.int64)
+        enc = _roundtrip(x, 12, block=32, rsi=128)
+        # deltas span ~±37 → ~6.7 bits/sample; assert real compression
+        assert len(enc) < 4096 * 12 // 8 * 3 // 4
+
+    def test_saturating_edges(self):
+        # values pinned near range edges exercise the saturated unmap path
+        rng = np.random.default_rng(11)
+        x = np.where(rng.random(512) < 0.5, rng.integers(0, 4, 512),
+                     rng.integers(252, 256, 512))
+        _roundtrip(x, 8)
+
+    def test_signed(self):
+        rng = np.random.default_rng(3)
+        x = rng.integers(-128, 128, 512)
+        _roundtrip(x, 8, flags=ccsds.AEC_DATA_PREPROCESS | ccsds.AEC_DATA_SIGNED)
+
+    def test_no_preprocess(self):
+        rng = np.random.default_rng(5)
+        x = rng.integers(0, 256, 256)
+        _roundtrip(x, 8, flags=0)
+
+    def test_multiple_rsi_partial_last(self):
+        # 6 RSIs of 8 blocks x 16 + a final partial RSI
+        x = (np.arange(16 * 8 * 6 + 96) % 251).astype(np.int64)
+        _roundtrip(x, 8, block=16, rsi=8)
+
+    def test_zero_run_crossing_segment(self):
+        # >64 consecutive zero-delta blocks inside one RSI → run must split
+        # at the 64-block segment boundary (rest-of-segment coding)
+        x = np.full(16 * 128, 100, dtype=np.int64)
+        x[0] = 5
+        _roundtrip(x, 8, block=16, rsi=128)
+
+    def test_second_extension_wins(self):
+        # tiny deltas of alternating parity make SE the cheapest option
+        rng = np.random.default_rng(13)
+        base = np.cumsum(rng.integers(-1, 2, 1024)) + 500
+        base = np.clip(base, 0, 1023)
+        _roundtrip(base, 10, block=16, rsi=32)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(0, 2**32 - 1),
+        st.sampled_from([8, 12, 16]),
+        st.sampled_from([8, 16, 32]),
+        st.sampled_from([4, 16, 64]),
+    )
+    def test_property_roundtrip(self, seed, nbits, block, rsi):
+        rng = np.random.default_rng(seed)
+        n = block * int(rng.integers(1, 24))
+        kind = int(rng.integers(0, 3))
+        hi = 1 << nbits
+        if kind == 0:
+            x = rng.integers(0, hi, n)
+        elif kind == 1:
+            x = np.clip(np.cumsum(rng.integers(-3, 4, n)) + hi // 2, 0, hi - 1)
+        else:
+            x = np.full(n, int(rng.integers(0, hi)))
+        _roundtrip(x, nbits, block=block, rsi=rsi)
+
+
+class TestCraftedStreams:
+    """Hand-built bitstreams pinning the exact on-wire conventions."""
+
+    def test_uncompressed_block(self):
+        # 8-bit data, idlen=3, no preprocess: id=0b111 then raw samples
+        w = ccsds._BitWriter()
+        w.put(0b111, 3)
+        for v in [1, 2, 3, 4, 5, 6, 7, 8]:
+            w.put(v, 8)
+        dec = ccsds.decode(w.tobytes(), 8, 8, 8, 4, flags=0)
+        np.testing.assert_array_equal(dec, [1, 2, 3, 4, 5, 6, 7, 8])
+
+    def test_split_k1_with_reference(self):
+        # preprocess on: id=k+1=2, ref raw, then FS parts then k LSBs
+        w = ccsds._BitWriter()
+        w.put(2, 3)  # k=1
+        w.put(100, 8)  # reference
+        deltas = [2, 3, 0, 1, 4, 2, 5]  # 7 mapped deltas (J=8 incl ref)
+        for d in deltas:
+            w.put_fs(d >> 1)
+        for d in deltas:
+            w.put(d & 1, 1)
+        dec = ccsds.decode(w.tobytes(), 8, 8, 8, 4,
+                           flags=ccsds.AEC_DATA_PREPROCESS)
+        # zig-zag inverse: 2->+1, 3->-2, 0->0, 1->-1, 4->+2, 2->+1, 5->-3
+        np.testing.assert_array_equal(dec, [100, 101, 99, 99, 98, 100, 101, 98])
+
+    def test_zero_block_count_shift(self):
+        # fs=6 → 6 zero blocks (counts above ROS=5 are stored unshifted)
+        w = ccsds._BitWriter()
+        w.put(0, 4)  # id=0 then selector 0 → zero block (idlen+1 zeros)
+        w.put(50, 8)  # reference
+        w.put_fs(6)
+        dec = ccsds.decode(w.tobytes(), 8 * 6, 8, 8, 8,
+                           flags=ccsds.AEC_DATA_PREPROCESS)
+        np.testing.assert_array_equal(dec, np.full(48, 50))
+
+    def test_second_extension_pairing(self):
+        # no preprocess: pairs (a,b) -> m=(a+b)(a+b+1)/2+b
+        pairs = [(0, 1), (2, 0), (1, 1), (3, 2)]
+        w = ccsds._BitWriter()
+        w.put(1, 4)  # idlen+1 bits value 1 → id 0, selector 1 → SE
+        for a, b in pairs:
+            s = a + b
+            w.put_fs(s * (s + 1) // 2 + b)
+        dec = ccsds.decode(w.tobytes(), 8, 8, 8, 4, flags=0)
+        np.testing.assert_array_equal(dec, [0, 1, 2, 0, 1, 1, 3, 2])
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="reference fixture absent")
+class TestReferenceFixture:
+    """Decode the reference repo's own DRS-42 GRIB fixture and hold the
+    values to the physical ranges its integration tests assert."""
+
+    @pytest.fixture(scope="class")
+    def messages(self):
+        from jackfruit_spark.sources.grib2_meta import parse_grib2
+
+        return parse_grib2(open(FIXTURE, "rb").read())
+
+    def test_all_messages_decode(self, messages):
+        assert len(messages) == 4
+        for m in messages:
+            assert m.drs_template == 42
+            assert m.values_decodable, "CCSDS decode should now be real"
+            assert m.values.shape == (721, 1440)
+            assert np.isfinite(m.values).all()
+
+    def test_kelvin_ranges(self, messages):
+        # test_transform_ecmwf.py:186-213 asserts -80..60 degC after K->degC;
+        # the raw fields are 2t/2d in K
+        for m in messages:
+            assert m.variable_name in ("temperature", "dewpoint")
+            assert m.values.min() > 193.15  # > -80 degC
+            assert m.values.max() < 333.15  # < 60 degC
+
+    def test_plausible_meteorology(self, messages):
+        # global 2m temperature: mean well inside the physical band, and
+        # the field must have real structure (not a constant / noise)
+        for m in messages:
+            assert 240.0 < float(m.values.mean()) < 300.0
+            assert 5.0 < float(m.values.std()) < 40.0
+
+    def test_dewpoint_le_temperature(self, messages):
+        # thermodynamics: 2d <= 2t almost everywhere at the same valid time
+        by_time: dict = {}
+        for m in messages:
+            by_time.setdefault(m.valid_time, {})[m.short_name] = m.values
+        assert len(by_time) == 2
+        for fields in by_time.values():
+            assert set(fields) == {"2t", "2d"}
+            frac = float(np.mean(fields["2d"] <= fields["2t"] + 0.5))
+            assert frac > 0.99
