@@ -237,12 +237,16 @@ def decode(
     J = block_size
     rsi_samples = rsi * J
 
-    raw = np.empty(n_samples, dtype=np.int64)  # mapped deltas / ref samples
-    is_ref = np.zeros(n_samples, dtype=bool)
+    # libaec pads the final partial block to a full J samples and emits it
+    # whole; decode the padded length and truncate afterwards (ADVICE r5:
+    # reading only `want` FS values misaligned the split-mode LSB fields).
+    n_padded = ((n_samples + J - 1) // J) * J
+    raw = np.empty(n_padded, dtype=np.int64)  # mapped deltas / ref samples
+    is_ref = np.zeros(n_padded, dtype=bool)
     i = 0
-    while i < n_samples:
+    while i < n_padded:
         ref = pp and (i % rsi_samples == 0)
-        want = min(J, n_samples - i)  # last block may be short on paper
+        want = J
         opt = r.get(idlen)
         if opt == 0:
             if r.get(1):  # second extension
@@ -274,17 +278,17 @@ def decode(
                     zb = min(rsi - b, _SEGMENT_BLOCKS - b % _SEGMENT_BLOCKS)
                 elif zb > _ROS:
                     zb -= 1
-                span = min(zb * J - (1 if ref else 0), n_samples - i - (1 if ref else 0))
+                span = min(zb * J - (1 if ref else 0), n_padded - i - (1 if ref else 0))
                 lo = i + (1 if ref else 0)
                 raw[lo : lo + span] = 0
                 i = lo + span
         elif opt == uncomp_id:
             vals = r.get_many(want, bits_per_sample)
             # under preprocessing these are the non-negative MAPPED deltas
-            # (never sign-extended); only the reference sample — and raw
-            # samples when preprocessing is off — are two's complement
-            if signed and not pp:
-                vals = _sign_extend(vals, bits_per_sample)
+            # (never sign-extended); the reference sample is two's
+            # complement. Without preprocessing everything is entropy-coded
+            # as the unsigned n-bit pattern and sign-extended once at the
+            # end (libaec semantics, ADVICE r5).
             raw[i : i + want] = vals
             if ref:
                 is_ref[i] = True
@@ -309,10 +313,11 @@ def decode(
             raw[lo : lo + body] = vals
             i += want
 
+    raw = raw[:n_samples]  # drop libaec's final-block padding
     if not pp:
-        if signed:
-            return raw  # already sign-extended where raw fields were read
-        return raw
+        # every sample was entropy-coded as its unsigned n-bit pattern;
+        # sign-extend the whole stream at once when the data is signed
+        return _sign_extend(raw, bits_per_sample) if signed else raw
     # unit-delay postprocessing per reference interval. In uncompressed
     # blocks at an RSI start the first sample is the (raw) reference even
     # though is_ref marking above also flags it — both paths agree.
@@ -393,13 +398,19 @@ def encode(
     else:
         xmin, xmax = 0, (1 << bits_per_sample) - 1
     x = np.asarray(samples, dtype=np.int64)
+    if len(x) == 0:
+        raise CcsdsError("empty input")
     if x.min() < xmin or x.max() > xmax:
         raise CcsdsError("sample out of declared range")
-    n = len(x)
     J = block_size
     rsi_samples = rsi * J
-    if n % J:
-        raise CcsdsError("encoder requires length to be a multiple of block_size")
+    if len(x) % J:
+        # libaec pads the final partial block to full J samples; repeating
+        # the last sample makes the padding's mapped deltas zero. decode()
+        # truncates back to the caller's n_samples.
+        pad = J - len(x) % J
+        x = np.concatenate([x, np.full(pad, x[-1], dtype=np.int64)])
+    n = len(x)
 
     # mapped representation: per-RSI [ref, deltas...]
     mapped = np.empty(n, dtype=np.int64)
@@ -409,7 +420,9 @@ def encode(
             mapped[s] = x[s]
             mapped[s + 1 : e] = _map_interval(x[s:e], xmin, xmax)
         else:
-            mapped[s:e] = x[s:e]
+            # entropy-code the unsigned n-bit pattern (libaec semantics);
+            # decode sign-extends at the end when AEC_DATA_SIGNED is set
+            mapped[s:e] = x[s:e] & ((1 << bits_per_sample) - 1)
 
     w = _BitWriter()
     idlen = _id_len(bits_per_sample)
@@ -448,11 +461,15 @@ def encode(
             bi += run
             continue
 
-        # cost of each candidate option
+        # cost of each candidate option, in total emitted bits (the split
+        # cost must include the ref sample's raw bits so it compares fairly
+        # with uncompressed, which re-emits the ref inside J*bits —
+        # ADVICE r5 low)
+        ref_bits = bits_per_sample if ref else 0
         fs_cost = {k: int(np.sum(body >> k)) + len(body) + k * len(body)
                    for k in range(0, min(bits_per_sample, uncomp_id - 1))}
         best_k = min(fs_cost, key=lambda k: fs_cost[k])
-        best = fs_cost[best_k] + idlen
+        best = fs_cost[best_k] + idlen + ref_bits
         choice = ("split", best_k)
 
         if len(body) % 2 == 0 and not ref:

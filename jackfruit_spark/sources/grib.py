@@ -24,10 +24,11 @@ Decode layering (exactly which layer is real, VERDICT r4 #6):
   (normalized to [-180, 180)), CAMS constituentType / ECMWF
   parameterCategory+Number variable mapping, valid timestamps — all
   validated against the reference's own fixture.
-- **Values are REAL for simple packing** (DRS template 5.0, numpy bit
-  unpack) — but the reference fixture itself is DRS template 42
-  (CCSDS/AEC), which genuinely requires libaec (absent here): those
-  messages fall back to deterministic synthetic values, flagged via
+- **Values are REAL for simple packing (DRS 5.0, numpy bit unpack) AND
+  CCSDS/AEC packing (DRS 5.42)** — the latter via the repo's pure-Python
+  CCSDS 121.0-B codec (``sources/ccsds.py``), so the reference's own
+  fixture decodes end-to-end with no libaec. Messages in any other
+  packing fall back to deterministic synthetic values, flagged via
   ``Grib2Message.values_decodable``.
 - ``SyntheticAdapter`` remains the pure-fake path for plumbing tests.
 """
@@ -84,9 +85,10 @@ def get_adapter(source: str) -> Adapter:
 def _grib2_meta_adapter(synthetic_values: bool = True) -> Adapter:
     """The production adapter: REAL pure-Python metadata decode
     (grib2_meta.parse_grib2 — message walk, analytic lat/lon, variable
-    map, valid time) + real values where the packing is decodable
-    (DRS 5.0 simple packing). CCSDS/AEC-packed values (the reference
-    fixture's DRS 42) need libaec: with ``synthetic_values=True`` they
+    map, valid time) + real values where the packing is decodable —
+    DRS 5.0 simple packing and DRS 5.42 CCSDS/AEC (via the repo's own
+    ``sources/ccsds.py`` codec; the reference fixture's packing).
+    Messages in any other packing: with ``synthetic_values=True`` they
     get deterministic path-seeded fakes (so the full pipeline runs
     end-to-end on real files); with False such messages raise."""
     import hashlib

@@ -22,11 +22,18 @@ lon-normalization regression):
 - **Data representation template 5.0 (simple packing)** values decode
   for real: value = (R + X*2^E) * 10^-D with numpy bit unpacking, bitmap
   honored.
+- **Data representation template 5.42 (CCSDS/AEC)** values decode for
+  real too, via the repo's own pure-Python CCSDS 121.0-B codec
+  (``sources/ccsds.py`` — the libaec bitstream): template octets carry
+  R/E/D plus the AEC flags, block size, and reference-sample interval;
+  the decoded integers go through the same (R + X*2^E)*10^-D scaling.
+  This is the packing the reference fixture itself uses
+  (``pipeline-python/tests/fixtures/019cf6d7-*.grib``, DRS 5.42, 12-bit,
+  block 32, RSI 128) — validated end-to-end in tests/test_ccsds.py
+  against the physical ranges the reference's integration suite asserts.
 
-What is NOT: DRS template 42 (CCSDS/AEC — the packing the reference
-fixture itself uses) genuinely requires libaec; those messages report
-``values_decodable == False`` and callers fall back to synthetic values
-(see ``sources/grib.py``).
+Messages with any other DRS template report ``values_decodable == False``
+and callers fall back to synthetic values (see ``sources/grib.py``).
 """
 
 from __future__ import annotations
@@ -152,6 +159,16 @@ class Grib2Message:
         )
 
 
+def _apply_bitmap(
+    flat: np.ndarray, bitmap: np.ndarray | None, n_points: int
+) -> np.ndarray:
+    if bitmap is not None:
+        out = np.full(n_points, np.nan)
+        out[bitmap] = flat
+        return out
+    return flat
+
+
 def _decode_simple_packing(
     sec5: bytes, sec7: bytes, bitmap: np.ndarray | None, n_points: int
 ) -> np.ndarray:
@@ -169,11 +186,35 @@ def _decode_simple_packing(
         bits = bits[: n_values * nbits].reshape(n_values, nbits)
         x = bits.astype(np.int64) @ (1 << np.arange(nbits - 1, -1, -1, dtype=np.int64))
         flat = (ref_value + x * (2.0 ** binary_scale)) * (10.0 ** -decimal_scale)
-    if bitmap is not None:
-        out = np.full(n_points, np.nan)
-        out[bitmap] = flat
-        return out
-    return flat
+    return _apply_bitmap(flat, bitmap, n_points)
+
+
+def _decode_ccsds_packing(
+    sec5: bytes, sec7: bytes, bitmap: np.ndarray | None, n_points: int
+) -> np.ndarray:
+    """DRS template 5.42 (CCSDS/AEC): the simple-packing scaling
+    (R + X * 2^E) * 10^-D, but with X delivered as a CCSDS 121.0-B
+    (Rice/AEC) entropy-coded stream. Template octets (1-based, spec):
+    12-15 R (IEEE f32), 16-17 E, 18-19 D (both sign-magnitude), 20 bits
+    per sample, 21 original-field type, 22 AEC compression-options mask,
+    23 block size, 24-25 reference-sample interval. Decoded with the
+    repo's pure-Python codec (``sources/ccsds.py``)."""
+    from jackfruit_spark.sources import ccsds
+
+    (ref_value,) = struct.unpack_from(">f", sec5, 11)
+    binary_scale = _s16(sec5, 15)
+    decimal_scale = _s16(sec5, 17)
+    nbits = sec5[19]
+    flags = sec5[21]
+    block_size = sec5[22]
+    rsi = _u16(sec5, 23)
+    n_values = _u32(sec5, 5)
+    if nbits == 0:
+        flat = np.full(n_values, ref_value * (10.0 ** -decimal_scale))
+    else:
+        x = ccsds.decode(sec7[5:], n_values, nbits, block_size, rsi, flags)
+        flat = (ref_value + x * (2.0 ** binary_scale)) * (10.0 ** -decimal_scale)
+    return _apply_bitmap(flat, bitmap, n_points)
 
 
 def parse_grib2(data: bytes) -> list[Grib2Message]:
@@ -251,9 +292,13 @@ def parse_grib2(data: bytes) -> list[Grib2Message]:
             elif snum == 7:
                 drs = _u16(sec5, 9) if sec5 is not None else -1
                 values = None
-                if drs == 0 and grid is not None and sec5 is not None:
-                    flat = _decode_simple_packing(sec5, sec, bitmap, n_points)
-                    values = flat.reshape(grid.nj, grid.ni)
+                if grid is not None and sec5 is not None:
+                    if drs == 0:
+                        flat = _decode_simple_packing(sec5, sec, bitmap, n_points)
+                        values = flat.reshape(grid.nj, grid.ni)
+                    elif drs == 42:
+                        flat = _decode_ccsds_packing(sec5, sec, bitmap, n_points)
+                        values = flat.reshape(grid.nj, grid.ni)
                 out.append(
                     Grib2Message(
                         discipline=discipline,

@@ -70,6 +70,31 @@ class TestRoundTrip:
         x = rng.integers(0, 256, 256)
         _roundtrip(x, 8, flags=0)
 
+    def test_partial_final_block(self):
+        # n not a multiple of block_size: libaec emits a full padded final
+        # block; decode must read full per-block fields then truncate —
+        # previously split-mode LSB reads misaligned (ADVICE r5 medium)
+        rng = np.random.default_rng(17)
+        for extra in (1, 7, 15):
+            n = 16 * 5 + extra
+            x = np.clip(np.cumsum(rng.integers(-3, 4, n)) + 128, 0, 255)
+            _roundtrip(x, 8, block=16, rsi=4)
+
+    def test_partial_block_white_noise(self):
+        # uncompressed-option final partial block
+        rng = np.random.default_rng(23)
+        _roundtrip(rng.integers(0, 1 << 12, 32 * 4 + 9), 12, block=32, rsi=4)
+
+    def test_signed_no_preprocess(self):
+        # AEC_DATA_SIGNED without PREPROCESS: samples entropy-coded as the
+        # unsigned n-bit pattern, sign-extended on output (ADVICE r5 medium
+        # — encode previously crashed on negative put_fs)
+        rng = np.random.default_rng(19)
+        x = np.concatenate(
+            [rng.integers(-128, 128, 128), rng.integers(-4, 4, 128)]
+        )
+        _roundtrip(x, 8, flags=ccsds.AEC_DATA_SIGNED)
+
     def test_multiple_rsi_partial_last(self):
         # 6 RSIs of 8 blocks x 16 + a final partial RSI
         x = (np.arange(16 * 8 * 6 + 96) % 251).astype(np.int64)

@@ -1,0 +1,137 @@
+"""End-to-end REAL-data golden: the reference repo's own DRS-42 GRIB
+fixture through the full Spark pipeline — binaryFile scan → pure-Python
+CCSDS decode → Europe clip → K→°C → Magnus humidity → grid_data +
+catalog — asserting the reference's integration goldens
+(pipeline-python/tests/integration/test_transform_ecmwf.py:28-36,66-245):
+94,978 rows per variable (169×281 clipped points × 2 timestamps),
+Celsius in (-80, 60), humidity [0, 105], bbox 30/72/-25/45, and the
+ClickHouse↔Postgres catalog_id link (6 curated grids)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.grid.catalog import Catalog
+from jackfruit_spark.grid.engine import GridEngine
+from jackfruit_spark.grid.pipeline import TransformPipeline
+from jackfruit_spark.sources import grib
+
+FIXTURE = (
+    "/root/reference/pipeline-python/tests/fixtures/"
+    "019cf6d7-02a0-745b-ac05-e1201d8f8a72.grib"
+)
+RUN_ID = "019cf6d7-02a0-745b-ac05-e1201d8f8a72"
+
+# test_transform_ecmwf.py:28-36: 169 lats × 281 lons after Europe clip,
+# 2 timestamps, 3 output variables
+POINTS_PER_MSG = 169 * 281  # 47,489
+ROWS_PER_VAR = 2 * POINTS_PER_MSG  # 94,978
+TOTAL_ROWS = 3 * ROWS_PER_VAR  # 284,934
+CURATED_COUNT = 3 * 2  # one catalog grid per (variable, timestamp)
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="reference fixture absent")
+class TestEcmwfFixtureEndToEnd:
+    @pytest.fixture(scope="class")
+    def stack(self, spark, tmp_path_factory):
+        root = tmp_path_factory.mktemp("fixture_e2e")
+        eng = GridEngine(spark, str(root / "grid"))
+        cat = Catalog(spark, str(root / "catalog"))
+        pipe = TransformPipeline(spark, eng, cat)
+        msgs = grib.scan_grib(
+            spark, FIXTURE, "ecmwf", run_id_from_path=lambda p: RUN_ID
+        )
+        written = pipe.transform_ecmwf(msgs, raw_file_id=RUN_ID)
+        return eng, cat, written
+
+    def test_row_counts_per_variable(self, stack):
+        # test_transform_ecmwf.py:66-83 + metadata accuracy :170-183
+        eng, _, written = stack
+        assert written == TOTAL_ROWS
+        counts = {
+            r["variable"]: r["n"]
+            for r in eng.grid_data_final()
+            .groupBy("variable")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert counts == {
+            "temperature": ROWS_PER_VAR,
+            "dewpoint": ROWS_PER_VAR,
+            "humidity": ROWS_PER_VAR,
+        }
+
+    def test_temperature_and_dewpoint_are_celsius(self, stack):
+        # test_transform_ecmwf.py:186-228: Celsius range, not Kelvin
+        eng, _, _ = stack
+        stats = (
+            eng.grid_data_final()
+            .filter(F.col("variable").isin("temperature", "dewpoint"))
+            .groupBy("variable")
+            .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+            .collect()
+        )
+        assert len(stats) == 2
+        for r in stats:
+            assert r["lo"] > -80.0
+            assert r["hi"] < 60.0
+        units = {
+            r["unit"]
+            for r in eng.grid_data_final()
+            .filter(F.col("variable") != "humidity")
+            .select("unit")
+            .distinct()
+            .collect()
+        }
+        assert units == {"°C"}
+
+    def test_humidity_is_percentage(self, stack):
+        # test_transform_ecmwf.py:231-245
+        eng, _, _ = stack
+        row = (
+            eng.grid_data_final()
+            .filter(F.col("variable") == "humidity")
+            .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+            .collect()[0]
+        )
+        assert row["lo"] >= 0.0
+        assert row["hi"] <= 105.0
+
+    def test_grid_clipped_to_europe(self, stack):
+        # test_transform_ecmwf.py:248-263: bbox 30/72/-25/45 within 0.3
+        eng, _, _ = stack
+        r = (
+            eng.grid_data_final()
+            .agg(
+                F.min("lat").alias("lat_lo"),
+                F.max("lat").alias("lat_hi"),
+                F.min("lon").alias("lon_lo"),
+                F.max("lon").alias("lon_hi"),
+            )
+            .collect()[0]
+        )
+        assert r["lat_lo"] == pytest.approx(30.0, abs=0.3)
+        assert r["lat_hi"] == pytest.approx(72.0, abs=0.3)
+        assert r["lon_lo"] == pytest.approx(-25.0, abs=0.3)
+        assert r["lon_hi"] == pytest.approx(45.0, abs=0.3)
+
+    def test_catalog_id_links_grid_and_catalog(self, stack):
+        # test_transform_ecmwf.py:150-167: every grid catalog_id has a
+        # curated_data row; one per (variable, timestamp)
+        eng, cat, _ = stack
+        grid_ids = {
+            r["catalog_id"]
+            for r in eng.grid_data_final().select("catalog_id").distinct().collect()
+        }
+        curated = cat.curated_data().filter(F.col("raw_file_id") == RUN_ID)
+        cat_ids = {r["id"] for r in curated.select("id").collect()}
+        assert grid_ids == cat_ids
+        assert len(grid_ids) == CURATED_COUNT
+        per_var = {
+            r["variable"]: r["n"]
+            for r in curated.groupBy("variable").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_var == {"temperature": 2, "dewpoint": 2, "humidity": 2}
