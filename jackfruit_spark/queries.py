@@ -835,6 +835,31 @@ def semantic_dedup_ivf(spark, sf_dir):
     )
 
 
+def ann_ivf_trained(spark, sf_dir):
+    """Bench-only (VERDICT r5 #5): the trained-quantizer IVF search path,
+    timed next to q22 (exact brute force) and q26 (LSH multi-probe) so the
+    100 TB ANN story has a number for its third leg. Same query shape as
+    q22 — top-10 cosine for the vec_id=0 query vector over the rest of the
+    corpus — but scanning only the nprobe=16 (of C=32) cells nearest the
+    query (functions/similarity.ann_ivf; measured recall ~0.84-0.89 at
+    this setting, tests/test_ann_recall.py). Not registered: approximate
+    results have no SQL oracle; recall floors are pytest-asserted."""
+    from jackfruit_spark.functions.similarity import ann_ivf, kmeans_train
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = kmeans_train(e, "embedding", k=32, sample_size=100_000, seed=42)
+    qv = _query_vector(spark, sf_dir, 0)
+    return ann_ivf(
+        e.filter(F.col("vec_id") != 0),
+        "vec_id",
+        "embedding",
+        qv,
+        cents,
+        k=10,
+        nprobe=16,
+    )
+
+
 def _q25_oracle(bits: int = 60) -> str:
     from jackfruit_spark.functions.hashing import sql_md5_hash64
 
@@ -1265,10 +1290,36 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 ORDER BY cosine_sim DESC, id_a, id_b LIMIT 20
 """,
     doc="Embedding-cosine near-duplicate detection: top-20 most-similar "
-    "vector pairs. All-pairs exact at test scale; the LSH-bucketed / IVF "
-    "operators are the 100 TB path (score only same-bucket pairs).",
+    "vector pairs. All-pairs exact — blocked-BLAS applyInPandas (one "
+    "float64 matmul per block pair, similarity.pair_cosine_blocked); the "
+    "LSH-bucketed / IVF operators are the 100 TB path (score only "
+    "same-bucket pairs). A/B vs the interpreted-fold twin "
+    "(q40_embedding_near_dup_exact_fold, identical output): ~wash at "
+    "sf0.1's n=2000 where fixed overhead dominates, 11x at n=8000 "
+    "(34.7 s vs 3.1 s — the fold grows with n^2, the BLAS path is still "
+    "overhead-bound; PERFORMANCE.md r6).",
 )
 def q40_embedding_near_dup(spark, sf_dir):
+    from jackfruit_spark.functions.similarity import pair_cosine_blocked
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = pair_cosine_blocked(
+        e, "vec_id", "embedding", block_size=512, per_block_top=50
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(F.col("cosine_raw"), 6).alias("cosine_sim")
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+    )
+
+
+def q40_embedding_near_dup_exact_fold(spark, sf_dir):
+    """The pre-r6 registered q40: exact all-pairs via a nested-loop join
+    with the JVM-interpreted aggregate/zip_with dot fold. Kept as the
+    A/B twin for pair_cosine_blocked (same output, bit-exact after
+    ROUND(...,6)); not registered, not benched per-round."""
     from jackfruit_spark.functions.similarity import dot, norm
 
     # precompute the double-cast array and the norm ONCE per vector (n

@@ -70,17 +70,18 @@ def test_variables_and_valid_times(msgs):
 
 
 @needs_fixture
-def test_ccsds_values_flagged_not_decodable(msgs):
-    # the fixture uses DRS template 42 (CCSDS/AEC) — values genuinely
-    # need libaec; the parser must say so instead of guessing
+def test_ccsds_values_decode_for_real(msgs):
+    # the fixture uses DRS template 42 (CCSDS/AEC) — decoded since r6 by
+    # the repo's own pure-Python codec (sources/ccsds.py); deep value
+    # validation lives in tests/test_ccsds.py::TestReferenceFixture
     assert all(m.drs_template == 42 for m in msgs)
-    assert all(not m.values_decodable for m in msgs)
+    assert all(m.values_decodable for m in msgs)
 
 
 @needs_fixture
 def test_production_adapter_end_to_end(spark, tmp_path, msgs):
-    """The registered 'ecmwf' adapter runs the REAL metadata path on the
-    real fixture inside the Spark scan (values synthetic: DRS 42)."""
+    """The registered 'ecmwf' adapter runs the REAL metadata + REAL CCSDS
+    value decode on the real fixture inside the Spark scan."""
     import shutil
 
     from jackfruit_spark.sources import grib

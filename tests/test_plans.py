@@ -202,14 +202,15 @@ def test_co_bucketed_join_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
-# Queries whose plans legitimately contain BroadcastNestedLoopJoin. Only
-# q40's is a data-pair join (exact all-pairs embedding near-dup, kept as the
-# oracle-exact gate twin of the bucketed q26/q49 scale paths — VERDICT r3);
-# the others broadcast a SINGLE-ROW aggregate (scalar stats / rank bounds /
-# corpus totals) against the fact side, which is O(n), not O(n^2).
+# Queries whose plans legitimately contain BroadcastNestedLoopJoin. Since
+# r6 every allowed one broadcasts a SINGLE-ROW aggregate (scalar stats /
+# rank bounds / corpus totals) against the fact side — O(n), not O(n^2).
+# q40 left this set in r6: its all-pairs cosine now runs as blocked-BLAS
+# applyInPandas over equi-joined block pairs (pair_cosine_blocked), so NO
+# registered query carries a data-pair nested loop anymore (the old fold
+# form survives unregistered as q40_embedding_near_dup_exact_fold).
 NESTED_LOOP_ALLOWED = {
     "q28_scalar_aggregates",  # scalar min/max/avg frame joined back
-    "q40_embedding_near_dup",  # THE all-pairs exception (test-scale exact)
     "q59_token_histogram",  # broadcast rank-arithmetic bounds (1 row)
     "q64_dsir_sampling",  # broadcast corpus-total scalars
 }
@@ -217,9 +218,9 @@ NESTED_LOOP_ALLOWED = {
 
 def test_all_pairs_confined_to_q40(spark):
     """Registry-wide O(n^2)-join audit: no CartesianProduct anywhere, and
-    nested-loop joins only where a scalar frame is broadcast — except q40,
-    the one deliberate all-pairs query (its bucketed twins q26/q49 are the
-    100 TB paths and are asserted nested-loop-free here)."""
+    nested-loop joins only where a scalar frame is broadcast (the bucketed
+    ANN paths q26/q49 and, since r6, the blocked-BLAS q40 are all
+    asserted nested-loop-free here)."""
     from jackfruit_spark.plans import plan_string
 
     offenders = {}
