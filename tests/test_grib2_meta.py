@@ -105,9 +105,10 @@ def test_production_adapter_end_to_end(spark, tmp_path, msgs):
 # --------------------------- synthetic simple-packing (DRS 5.0) roundtrip
 
 
-def _encode_grib2_simple(values, lat1, lon1, di, dj, ref, ctype=40008):
+def _encode_grib2_simple(values, lat1, lon1, di, dj, ref, ctype=40008, drs=0):
     """Minimal GRIB2 writer: one message, template 3.0 grid + 4.40
-    product + 5.0 simple packing (E=0, D=0, 16-bit)."""
+    product + 16-bit integer-offset packing (E=0, D=0) in either DRS 5.0
+    (simple) or DRS 5.42 (CCSDS/AEC via the repo's own ccsds.encode)."""
     nj, ni = values.shape
 
     def sec(num, body):
@@ -120,9 +121,16 @@ def _encode_grib2_simple(values, lat1, lon1, di, dj, ref, ctype=40008):
     vmin = float(values.min())
     x = np.round(values - vmin).astype(np.int64).ravel()
     assert x.max() < 65536
-    packed = np.zeros(x.size * 2, dtype=np.uint8)
-    packed[0::2] = (x >> 8) & 0xFF
-    packed[1::2] = x & 0xFF
+    if drs == 42:
+        from jackfruit_spark.sources import ccsds
+
+        aec_flags = ccsds.AEC_DATA_PREPROCESS | ccsds.AEC_DATA_MSB
+        payload = ccsds.encode(x, 16, 32, 128, aec_flags)
+    else:
+        packed = np.zeros(x.size * 2, dtype=np.uint8)
+        packed[0::2] = (x >> 8) & 0xFF
+        packed[1::2] = x & 0xFF
+        payload = packed.tobytes()
 
     s1 = sec(1, struct.pack(">HHBBBHBBBBB", 98, 0, 29, 1, 1,
                             ref.year, ref.month, ref.day, ref.hour, ref.minute,
@@ -149,11 +157,17 @@ def _encode_grib2_simple(values, lat1, lon1, di, dj, ref, ctype=40008):
         + bytes([1, 0, 0, 0, 0, 0, 0, 0, 0])
     )
     s4 = sec(4, pdt_body)
-    s5 = sec(5, struct.pack(">I", ni * nj) + struct.pack(">H", 0)
-             + struct.pack(">f", vmin) + struct.pack(">hh", 0, 0)
-             + bytes([16, 0]))
+    if drs == 42:
+        # template 5.42: R/E/D/nbits/type + AEC flags, block size, RSI
+        s5 = sec(5, struct.pack(">I", ni * nj) + struct.pack(">H", 42)
+                 + struct.pack(">f", vmin) + struct.pack(">hh", 0, 0)
+                 + bytes([16, 0, aec_flags, 32]) + struct.pack(">H", 128))
+    else:
+        s5 = sec(5, struct.pack(">I", ni * nj) + struct.pack(">H", 0)
+                 + struct.pack(">f", vmin) + struct.pack(">hh", 0, 0)
+                 + bytes([16, 0]))
     s6 = sec(6, b"\xff")  # no bitmap
-    s7 = sec(7, packed.tobytes())
+    s7 = sec(7, payload)
     body = s1 + s3 + s4 + s5 + s6 + s7 + b"7777"
     head = b"GRIB" + b"\x00\x00" + bytes([0, 2]) + struct.pack(">Q", 16 + len(body))
     return head + body
@@ -192,3 +206,44 @@ def test_simple_packing_through_adapter(spark, tmp_path):
     got = sorted(round(r["value"], 3) for r in rows)
     assert got == sorted(round(float(v), 3) for v in vals.ravel())
     assert {r["variable"] for r in rows} == {"pm10"}
+
+
+def test_cams_drs42_crafted_message_facts():
+    """VERDICT r5 #6: PDT 4.40 (atmospheric constituent) + DRS 5.42
+    (CCSDS) exercised TOGETHER, on the reference's CAMS grid facts
+    (test_cams_adapter.py:16-80): 420x700 Europe grid, lons in
+    [-24.95, 44.95], constituentType 40008/40009 -> pm10/pm2p5. The
+    message is crafted with the repo's own ccsds.encode, so this also
+    round-trips the codec at real field size (294k samples/message)."""
+    rng = np.random.default_rng(21)
+    nj, ni = 420, 700
+    # smooth field -> exercises the split/zero-run option mix, exact
+    # integer recovery under E=0/D=0 16-bit packing
+    base = np.cumsum(rng.integers(-2, 3, nj * ni)).reshape(nj, ni)
+    vals = (base - base.min() + 10).astype(np.float64)
+    ref = datetime(2026, 2, 1, 0, 0)
+    data = b"".join(
+        _encode_grib2_simple(
+            vals + off, lat1=71.95, lon1=-24.95, di=0.1, dj=0.1,
+            ref=ref, ctype=ctype, drs=42,
+        )
+        for off, ctype in ((0.0, 40008), (5.0, 40009))
+    )
+    msgs = G2.parse_grib2(data)
+    assert len(msgs) == 2
+    assert [m.variable_name for m in msgs] == ["pm10", "pm2p5"]
+    for i, m in enumerate(msgs):
+        assert m.drs_template == 42
+        assert m.pdt == 40
+        assert m.values_decodable
+        assert m.values.shape == (nj, ni)
+        assert np.array_equal(m.values, vals + 5.0 * i)  # exact recovery
+        assert m.unit == "kg m-3"
+        assert m.valid_time == ref + timedelta(hours=3)
+        lats, lons = m.grid.latlon()
+        assert lats.shape == (nj, ni)
+        # the reference's lon-normalization regression bounds
+        assert abs(lons.min() - -24.95) < 1e-6
+        assert abs(lons.max() - 44.95) < 1e-6
+        assert abs(lats.max() - 71.95) < 1e-6
+        assert abs(lats.min() - 30.05) < 1e-6
