@@ -123,8 +123,17 @@ class TestRoundTrip:
     )
     def test_property_roundtrip(self, seed, nbits, block, rsi):
         rng = np.random.default_rng(seed)
-        n = block * int(rng.integers(1, 24))
+        # arbitrary length, NOT necessarily a block multiple (the padded
+        # final-block path, ADVICE r5), and one of four flag sets incl.
+        # signed with and without preprocessing
+        n = int(rng.integers(1, block * 24))
         kind = int(rng.integers(0, 3))
+        flags = [
+            ccsds.AEC_DATA_PREPROCESS,
+            0,
+            ccsds.AEC_DATA_PREPROCESS | ccsds.AEC_DATA_SIGNED,
+            ccsds.AEC_DATA_SIGNED,
+        ][int(rng.integers(0, 4))]
         hi = 1 << nbits
         if kind == 0:
             x = rng.integers(0, hi, n)
@@ -132,7 +141,9 @@ class TestRoundTrip:
             x = np.clip(np.cumsum(rng.integers(-3, 4, n)) + hi // 2, 0, hi - 1)
         else:
             x = np.full(n, int(rng.integers(0, hi)))
-        _roundtrip(x, nbits, block=block, rsi=rsi)
+        if flags & ccsds.AEC_DATA_SIGNED:
+            x = x - hi // 2
+        _roundtrip(x, nbits, block=block, rsi=rsi, flags=flags)
 
 
 class TestCraftedStreams:

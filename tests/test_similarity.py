@@ -249,3 +249,73 @@ def test_kmeans_train_deterministic_and_balanced(spark):
         r["n"] for r in cells.groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert sizes == [50, 50, 50, 50]
+
+
+class TestPairCosineBlocked:
+    """pair_cosine_blocked (r6 q40 kernel): blocked-BLAS all-pairs must
+    equal the numpy brute force on every pair, across block-boundary
+    shapes, and per_block_top pruning must never change a global top-k."""
+
+    def _numpy_pairs(self, vecs):
+        v = vecs.astype("float64")
+        nrm = np.linalg.norm(v, axis=1)
+        s = (v @ v.T) / np.outer(nrm, nrm)
+        ii, jj = np.triu_indices(len(v), k=1)
+        return {(int(i), int(j)): s[i, j] for i, j in zip(ii, jj)}
+
+    def test_all_pairs_match_numpy(self, spark, vectors):
+        from jackfruit_spark.functions.similarity import pair_cosine_blocked
+
+        df, vecs = vectors
+        # block_size 16 over 50 ids -> 4 blocks incl. a partial one
+        out = pair_cosine_blocked(df, "vec_id", "embedding", block_size=16)
+        got = {(r["id_a"], r["id_b"]): r["cosine_raw"] for r in out.collect()}
+        want = self._numpy_pairs(vecs)
+        assert set(got) == set(want)  # every i<j pair exactly once
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    def test_single_block_diagonal_only(self, spark, vectors):
+        from jackfruit_spark.functions.similarity import pair_cosine_blocked
+
+        df, vecs = vectors
+        out = pair_cosine_blocked(df, "vec_id", "embedding", block_size=64)
+        assert out.count() == 50 * 49 // 2
+
+    def test_per_block_top_preserves_global_topk(self, spark, vectors):
+        from jackfruit_spark.functions.similarity import pair_cosine_blocked
+
+        df, vecs = vectors
+
+        def topk(per_block_top):
+            p = pair_cosine_blocked(
+                df, "vec_id", "embedding", block_size=16,
+                per_block_top=per_block_top,
+            )
+            return (
+                p.select(
+                    "id_a", "id_b",
+                    F.round(F.col("cosine_raw"), 6).alias("c"),
+                )
+                .orderBy(F.col("c").desc(), "id_a", "id_b")
+                .limit(10)
+                .collect()
+            )
+
+        assert topk(None) == topk(10)
+
+    def test_non_dense_ids(self, spark):
+        from jackfruit_spark.functions.similarity import pair_cosine_blocked
+
+        rng = np.random.default_rng(11)
+        ids = [3, 17, 40, 41, 99, 100, 255]  # gaps + block-edge ids
+        rows = [
+            (i, [float(x) for x in rng.normal(size=8)]) for i in ids
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = pair_cosine_blocked(df, "vec_id", "embedding", block_size=64)
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        want = {
+            (a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+        }
+        assert got == want
