@@ -711,17 +711,27 @@ def _split_oversized_cells(
     seed: int = 202,
     max_rounds: int = 16,
 ) -> DataFrame:
-    """Bound per-cell pair work: iteratively halve any IVF cell larger
-    than ``max_cell_size`` at the per-cell MEDIAN of a random projection
+    """Bound per-cell pair work: slice any IVF cell larger than
+    ``max_cell_size`` at per-cell QUANTILES of a random projection
     (VERDICT r4 #1 — a skewed quantizer must not OOM a task with
     |cell|^2 math).
 
-    The split is projection >= median(cell projections) onto a per-round
-    deterministic random direction — NOT the sign of the raw projection:
-    an IVF cell is off-center by construction, so a hyperplane through
-    the ORIGIN usually leaves the whole cell on one side (measured: a
-    cell at mean 5*ones never split), while the median cut halves any
-    cell whose projections aren't all equal.
+    One round aims straight at the target (VERDICT r5 #5 — the r5 form
+    repeatedly HALVED, paying a full pass over ``assigned`` per doubling):
+    each round cuts every oversized cell into ceil(max_n / max_cell_size)
+    quantile slices of that round's projection, so a single round
+    suffices unless projection TIES make a slice overshoot — only then
+    does another round run, with a fresh direction. Cuts are at
+    projection VALUES (percentile boundaries), not ntile ranks: rows with
+    equal projections always stay together, which is what keeps a cell of
+    identical vectors intact (see below) and near-identical pairs on the
+    same side of almost every cut.
+
+    Quantile cuts, not the sign of the raw projection: an IVF cell is
+    off-center by construction, so a hyperplane through the ORIGIN
+    usually leaves the whole cell on one side (measured: a cell at mean
+    5*ones never split), while value-quantile cuts slice any cell whose
+    projections aren't all equal.
 
     Near-duplicate pairs survive the split w.h.p.: near-identical
     vectors have near-identical projections and separate only when the
@@ -732,10 +742,11 @@ def _split_oversized_cells(
     cells intact (run exact dedup first — identical vectors are its
     job).
 
-    Cell ids stay disjoint across rounds by doubling every cell id and
-    adding the side bit only to split cells. Each round localCheckpoints:
-    the sizes count would otherwise re-run the assignment lineage per
-    round."""
+    Cell ids stay disjoint across rounds by scaling every cell id by the
+    round's slice count and adding the slice index only to split cells
+    (kept under 2^40 total scale — ANSI mode would throw on overflow).
+    Each round localCheckpoints: the sizes count would otherwise re-run
+    the assignment lineage per round."""
     import random
 
     dim_row = assigned.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -743,6 +754,7 @@ def _split_oversized_cells(
         return assigned
     dim = dim_row["d"]
     prev_max: int | None = None
+    id_scale = 1
     for rnd in range(max_rounds):
         assigned = assigned.localCheckpoint(eager=True)
         rows = (
@@ -761,6 +773,11 @@ def _split_oversized_cells(
             # largest task, stop
             break
         prev_max = max_n
+        # enough slices to reach the bound in THIS round (ties permitting)
+        q = min(-(-max_n // max_cell_size), 256)
+        if id_scale * q >= (1 << 40):
+            break  # id headroom exhausted — keep the bound best-effort
+        id_scale *= q
         rng = random.Random(seed + rnd)
         plane = [rng.gauss(0.0, 1.0) for _ in range(dim)]
         if pandas_kernel:
@@ -772,22 +789,29 @@ def _split_oversized_cells(
 
             proj = dot(F.col(vec_col), F.array(*[F.lit(p) for p in plane]))
         with_proj = assigned.withColumn("__proj", proj)
-        medians = (
+        fractions = F.array(*[F.lit(i / q) for i in range(1, q)])
+        cuts = (
             with_proj.filter(F.col("ivf_cell").isin(oversized))
             .groupBy("ivf_cell")
-            .agg(F.median("__proj").alias("__med"))
+            .agg(F.percentile("__proj", fractions).alias("__cuts"))
+        )
+        # slice index = number of cut values <= this row's projection;
+        # equal projections always share a slice (ties stay together)
+        side = F.aggregate(
+            F.col("__cuts"),
+            F.lit(0),
+            lambda acc, c: acc + (F.col("__proj") >= c).cast("int"),
         )
         assigned = (
-            with_proj.join(F.broadcast(medians), "ivf_cell", "left")
+            with_proj.join(F.broadcast(cuts), "ivf_cell", "left")
             .withColumn(
                 "ivf_cell",
                 F.when(
                     F.col("ivf_cell").isin(oversized),
-                    F.col("ivf_cell") * 2
-                    + (F.col("__proj") >= F.col("__med")).cast("int"),
-                ).otherwise(F.col("ivf_cell") * 2),
+                    F.col("ivf_cell") * q + side,
+                ).otherwise(F.col("ivf_cell") * q),
             )
-            .drop("__proj", "__med")
+            .drop("__proj", "__cuts")
         )
     return assigned
 
