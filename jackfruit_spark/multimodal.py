@@ -10,12 +10,14 @@ Design for a 100 TB training-data pipeline:
   a batch of decoded frames fits executor memory (maxRecordsPerBatch);
 - decode support is layered by what CPython itself can do (VERDICT r4 #4):
   **PNG** (non-interlaced, 8-bit gray/gray+alpha/RGB/RGBA — zlib inflate +
-  all five scanline filters, pure stdlib) and **WAV PCM** (8/16-bit via the
-  stdlib ``wave`` module) decode FOR REAL; payloads in formats needing
-  external codecs (JPEG, MP3, ...) fall back to the deterministic fake
-  kernel when ``fake=True`` or raise NotImplementedError. The Spark-side
-  plumbing (schema, batching, partitioning, UDF signatures) is identical
-  either way.
+  all five scanline filters, pure stdlib), **baseline JPEG** (SOF0
+  grayscale/YCbCr up to 2x2 sampling, restart intervals — the repo's own
+  pure-numpy codec, ``sources/jpeg.py``, r6) and **WAV PCM** (8/16-bit via
+  the stdlib ``wave`` module) decode FOR REAL; payloads in formats still
+  needing external codecs (progressive JPEG, MP3, video containers) fall
+  back to the deterministic fake kernel when ``fake=True`` or raise
+  NotImplementedError. The Spark-side plumbing (schema, batching,
+  partitioning, UDF signatures) is identical either way.
 """
 
 from __future__ import annotations
@@ -149,18 +151,23 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an (h, w, channels) uint8 array.
 
     PNG (8-bit non-interlaced) decodes FOR REAL via the stdlib
-    (zlib+struct) — no external codec involved. Other formats (JPEG, ...)
-    need libraries absent from this container: with fake=True they fall
-    back to a deterministic pseudo-image derived from the payload hash
-    (so downstream plumbing stays testable); otherwise
-    NotImplementedError."""
+    (zlib+struct), baseline JPEG via the repo's own pure-numpy codec
+    (``sources/jpeg.py`` — no external library). Remaining formats
+    (progressive JPEG, WebP, ...): with fake=True they fall back to a
+    deterministic pseudo-image derived from the payload hash (so
+    downstream plumbing stays testable); otherwise NotImplementedError."""
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(bytes(payload))
+    if payload[:2] == b"\xff\xd8":
+        from jackfruit_spark.sources import jpeg
+
+        img = jpeg.decode(bytes(payload))
+        return img[..., None] if img.ndim == 2 else img
     if not fake:
         raise NotImplementedError(
-            "only PNG decodes with the stdlib; other image codecs are not "
-            "available in this container — pass fake=True for the "
-            "deterministic test kernel"
+            "PNG and baseline JPEG decode without external codecs; other "
+            "image formats are not available in this container — pass "
+            "fake=True for the deterministic test kernel"
         )
     h = hashlib.sha256(payload).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "big"))

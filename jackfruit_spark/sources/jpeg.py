@@ -1,0 +1,588 @@
+"""Pure-Python/numpy baseline JPEG (ITU-T T.81) codec — encoder and
+decoder, no PIL/libjpeg.
+
+Same play as ``sources/ccsds.py``: the container has no image codec
+libraries, so the format's hot path is implemented from the PUBLIC spec
+and validated by encoder→decoder round-trips (lossy — asserted by PSNR
+and exactness on DC-only images) plus crafted streams. Scope:
+
+- **decode**: baseline sequential DCT (SOF0), 8-bit, 1 component
+  (grayscale) or 3 components (YCbCr, JFIF), any sampling factors up to
+  2x2 (covers 4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn),
+  byte-stuffed entropy stream, multiple DQT/DHT segments per marker.
+  Progressive (SOF2), arithmetic coding, and 12-bit raise
+  ``JpegUnsupported`` (a NotImplementedError, so multimodal's
+  env-gate fallback applies).
+- **encode**: SOF0, quality-scaled Annex K quantization tables (the IJG
+  5000/q | 200-2q rule), the Annex K typical Huffman tables, 4:4:4 or
+  4:2:0 subsampling, optional restart interval.
+
+The DCT pair is the orthonormal matrix form (one ``tensordot`` over all
+blocks, no per-pixel Python); the entropy coder is necessarily
+sequential per MCU, which bounds practical in-test image sizes — the
+same honestly-stated trade as the PNG scanline unfilter loops
+(multimodal.py).
+
+Huffman/quantization constants are the T.81 Annex K "typical" tables
+(public spec text). Interop caveat, stated honestly: with no external
+codec in the container, cross-implementation decode is exercised only
+against this module's own encoder; the marker grammar, stuffing,
+restart, and subsampling logic are additionally pinned by crafted-stream
+tests (tests/test_jpeg.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegError(ValueError):
+    pass
+
+
+class JpegUnsupported(JpegError, NotImplementedError):
+    """Valid JPEG, but a mode outside this codec's baseline scope
+    (progressive, 12-bit, >2x2 sampling). Subclasses NotImplementedError
+    so multimodal's env-gate fallback handling applies unchanged."""
+
+
+# --------------------------------------------------------------- tables
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# T.81 Annex K.1 base quantization tables
+QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+QT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# T.81 Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL)
+DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+          list(range(12)))
+DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+            list(range(12)))
+AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+AC_CHROM = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+
+# orthonormal 8x8 DCT-II matrix: spatial = C.T @ coeffs @ C
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+_C[0, :] *= np.sqrt(1.0 / 8.0)
+_C[1:, :] *= np.sqrt(2.0 / 8.0)
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """The IJG quality rule: 5000/q below 50, 200-2q at or above."""
+    if not 1 <= quality <= 100:
+        raise JpegError(f"quality {quality} out of range")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _build_huffman(bits, values):
+    """Canonical codes per T.81 C.2: {(length, code): value}."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _encode_table(bits, values):
+    """{value: (code, length)} for the encoder side."""
+    dec = _build_huffman(bits, values)
+    return {v: (code, length) for (length, code), v in dec.items()}
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, code bits) per T.81 F.1.2.1 — negative values stored as
+    their one's complement within `size` bits."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, v if v > 0 else v + (1 << size) - 1
+
+
+def _extend(code: int, size: int) -> int:
+    """Inverse of _magnitude (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return code if code >= (1 << (size - 1)) else code - (1 << size) + 1
+
+
+# --------------------------------------------------------------- encode
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)  # pad with 1-bits per spec
+
+    def marker(self, m: int) -> None:
+        self.flush()
+        self.buf += bytes([0xFF, m])
+
+
+def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) level-shifted spatial blocks -> DCT coefficients."""
+    return np.einsum("kr,nrc,lc->nkl", _C, plane, _C)
+
+
+def _idct_blocks(coeffs: np.ndarray) -> np.ndarray:
+    return np.einsum("kr,nkl,lc->nrc", _C, coeffs, _C)
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    return (
+        blocks.reshape(h // 8, w // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(h, w)
+    )
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (mh - h % mh) % mh
+    pw = (mw - w % mw) % mw
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def encode(
+    img: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    baseline JFIF JPEG."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise JpegError("encode expects uint8")
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise JpegError("encode expects (h,w) grayscale or (h,w,3) RGB")
+    if subsampling not in ("444", "420"):
+        raise JpegError(f"subsampling {subsampling!r} unsupported (444/420)")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise JpegError("empty image")
+    sub = 2 if (subsampling == "420" and not gray) else 1
+
+    qt_l = _quality_scale(QT_LUM, quality)
+    qt_c = _quality_scale(QT_CHROM, quality)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+
+    mcu = 8 * sub
+    comp_blocks = []  # per component: (n, 8, 8) quantized int coeff blocks
+    for ci, p in enumerate(planes):
+        p = _pad_to(p, mcu, mcu)
+        if ci > 0 and sub == 2:
+            p = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+        qt = qt_l if ci == 0 else qt_c
+        coeffs = _fdct_blocks(_to_blocks(p - 128.0))
+        q = np.round(coeffs / qt[None]).astype(np.int64)
+        comp_blocks.append(q)
+
+    # header segments
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, qt in ((0, qt_l),) + (() if gray else ((1, qt_c),)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(v) for v in qt.reshape(-1)[ZIGZAG])
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    samp = [(sub, sub), (1, 1), (1, 1)]
+    for ci in range(ncomp):
+        out += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1],
+                      0 if ci == 0 else 1])
+    for tc_th, (bits, vals) in ((0x00, DC_LUM), (0x10, AC_LUM)) + (
+        () if gray else ((0x01, DC_CHROM), (0x11, AC_CHROM))
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([tc_th]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += b"\x00\x3f\x00"
+
+    # entropy-coded data, MCU-interleaved
+    dc_tab = [_encode_table(*DC_LUM)] + [_encode_table(*DC_CHROM)] * 2
+    ac_tab = [_encode_table(*AC_LUM)] + [_encode_table(*AC_CHROM)] * 2
+    wtr = _BitWriter()
+    ph, pw = _pad_to(planes[0], mcu, mcu).shape
+    mcus_x, mcus_y = pw // mcu, ph // mcu
+    blocks_per_row = [pw // 8, pw // mcu, pw // mcu][:ncomp]
+    pred = [0] * ncomp
+    rst = 0
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                wtr.marker(0xD0 + rst % 8)
+                rst += 1
+                pred = [0] * ncomp
+            for ci in range(ncomp):
+                sv, shs = (sub, sub) if ci == 0 else (1, 1)
+                for by in range(sv):
+                    for bx in range(shs):
+                        row = my * sv + by
+                        col = mx * shs + bx
+                        blk = comp_blocks[ci][row * blocks_per_row[ci] + col]
+                        zz = blk.reshape(-1)[ZIGZAG]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        size, bitsv = _magnitude(diff)
+                        code, length = dc_tab[ci][size]
+                        wtr.put(code, length)
+                        if size:
+                            wtr.put(bitsv, size)
+                        run = 0
+                        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                if k > last_nz:
+                                    code, length = ac_tab[ci][0x00]  # EOB
+                                    wtr.put(code, length)
+                                    break
+                                run += 1
+                                if run == 16:
+                                    code, length = ac_tab[ci][0xF0]  # ZRL
+                                    wtr.put(code, length)
+                                    run = 0
+                            else:
+                                size, bitsv = _magnitude(v)
+                                code, length = ac_tab[ci][(run << 4) | size]
+                                wtr.put(code, length)
+                                wtr.put(bitsv, size)
+                                run = 0
+            n_mcu += 1
+    wtr.flush()
+    out += wtr.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------- decode
+
+
+class _BitReader:
+    """Bit cursor over one entropy-coded segment (stuffed 0xFF00 handled;
+    restart markers terminate the segment at construction)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                # marker: pad with 1-bits (spec: decoder may read past
+                # the last compressed bit into fill bits)
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+            else:
+                raise JpegError(f"unexpected marker FF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def get(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.get(1)
+            if (length, code) in table:
+                return table[(length, code)]
+        raise JpegError("invalid Huffman code")
+
+    def align_to_marker(self) -> int:
+        """Skip fill bits; return the marker byte after 0xFF."""
+        self.acc = 0
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+            self.pos += 1
+        m = self.data[self.pos + 1]
+        self.pos += 2
+        return m
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (h, w) uint8 (grayscale) or (h, w, 3)
+    uint8 RGB."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    comps: list[dict] = []
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise JpegError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                if prec != 0:
+                    raise JpegUnsupported("16-bit quantization tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(seg, np.uint8, 64, p + 1)
+                qt[tid] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                huff[(tc, th)] = _build_huffman(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise JpegUnsupported(f"{prec}-bit samples unsupported")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
+                comps.append({
+                    "id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq,
+                })
+            frame = (h, w, ncomp)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise JpegUnsupported(f"non-baseline frame marker FF{marker:02X}")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan.append({**comp, "td": tdta >> 4, "ta": tdta & 0xF})
+            return _decode_scan(
+                data, pos + seglen, frame, scan, qt, huff, restart_interval
+            )
+        # APPn/COM/unknown: skip
+        pos += seglen
+    raise JpegError("no scan data found")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+    h, w, ncomp = frame
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    if hmax > 2 or vmax > 2:
+        raise JpegUnsupported("sampling factors above 2 unsupported")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+    for c in scan:
+        bw = mcus_x * c["h"]
+        bh = mcus_y * c["v"]
+        c["coef"] = np.zeros((bh * bw, 8, 8), dtype=np.int64)
+        c["bw"] = bw
+    r = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    rst_expect = 0
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                m = r.align_to_marker()
+                if m != 0xD0 + rst_expect % 8:
+                    raise JpegError(f"expected RST{rst_expect % 8}, got FF{m:02X}")
+                rst_expect += 1
+                pred = [0] * len(scan)
+            for si, c in enumerate(scan):
+                dc_t = huff[(0, c["td"])]
+                ac_t = huff[(1, c["ta"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = r.huff(dc_t)
+                        diff = _extend(r.get(size), size) if size else 0
+                        pred[si] += diff
+                        zz[0] = pred[si]
+                        k = 1
+                        while k < 64:
+                            rs = r.huff(ac_t)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise JpegError("AC run past block end")
+                            size = rs & 0xF
+                            zz[k] = _extend(r.get(size), size)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.int64)
+                        blk[ZIGZAG] = zz
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        c["coef"][row * c["bw"] + col] = blk.reshape(8, 8)
+            n_mcu += 1
+
+    planes = []
+    for c in scan:
+        deq = c["coef"].astype(np.float64) * qt[c["tq"]][None].astype(np.float64)
+        spatial = _idct_blocks(deq) + 128.0
+        bw = c["bw"]
+        bh = len(c["coef"]) // bw
+        plane = _from_blocks(spatial, bh * 8, bw * 8)
+        # upsample to full MCU-padded resolution, then crop
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r_ = y + 1.402 * cr
+    g_ = y - 0.344136 * cb - 0.714136 * cr
+    b_ = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r_, g_, b_], axis=-1)), 0, 255).astype(np.uint8)

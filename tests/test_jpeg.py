@@ -1,0 +1,141 @@
+"""Pure-numpy baseline JPEG codec (sources/jpeg.py): encoder→decoder
+round-trips across quality/subsampling/restart settings (lossy — PSNR
+floors + exactness on DC-only images), crafted-stream pins for the
+on-wire conventions, and the multimodal decode_image integration."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from jackfruit_spark.sources import jpeg
+
+
+def _psnr(a, b):
+    mse = np.mean((np.asarray(a, float) - np.asarray(b, float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _smooth_rgb(h=64, w=64):
+    t = np.linspace(0, 4 * np.pi, max(h, w))
+    base = np.outer(np.sin(t[:h]), np.cos(t[:w])) * 100 + 128
+    return np.stack(
+        [base, np.roll(base, 7, 0), np.roll(base, 13, 1)], axis=-1
+    ).astype(np.uint8)
+
+
+class TestRoundTrip:
+    def test_rgb_quality_psnr_floors(self):
+        img = _smooth_rgb()
+        prev = 0.0
+        for q, floor in ((50, 30), (75, 33), (90, 38)):
+            dec = jpeg.decode(jpeg.encode(img, quality=q))
+            p = _psnr(img, dec)
+            assert p > floor, (q, p)
+            assert p > prev  # more quality -> more fidelity
+            prev = p
+
+    def test_420_subsampling(self):
+        img = _smooth_rgb()
+        dec = jpeg.decode(jpeg.encode(img, quality=90, subsampling="420"))
+        assert dec.shape == img.shape
+        assert _psnr(img, dec) > 28
+        # 420 streams are materially smaller
+        assert len(jpeg.encode(img, 90, "420")) < len(jpeg.encode(img, 90, "444"))
+
+    def test_grayscale_odd_dimensions(self):
+        g = (np.outer(np.arange(37), np.ones(53)) * 5 % 256).astype(np.uint8)
+        dec = jpeg.decode(jpeg.encode(g, quality=90))
+        assert dec.shape == (37, 53)
+        assert _psnr(g, dec) > 40
+
+    def test_odd_dimensions_rgb_420(self):
+        # 420 MCUs are 16x16: non-multiple dims exercise pad + crop
+        img = _smooth_rgb(33, 41)
+        dec = jpeg.decode(jpeg.encode(img, quality=85, subsampling="420"))
+        assert dec.shape == (33, 41, 3)
+        assert _psnr(img, dec) > 26
+
+    def test_constant_image_exact(self):
+        c = np.full((16, 24, 3), 137, np.uint8)
+        assert np.array_equal(jpeg.decode(jpeg.encode(c, quality=95)), c)
+
+    def test_restart_interval(self):
+        img = _smooth_rgb(48, 48)
+        plain = jpeg.decode(jpeg.encode(img, quality=85))
+        rst = jpeg.encode(img, quality=85, restart_interval=2)
+        assert b"\xff\xd0" in rst or b"\xff\xd1" in rst  # markers present
+        assert np.array_equal(jpeg.decode(rst), plain)  # same pixels
+
+    def test_noise_survives_at_high_rate(self):
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        dec = jpeg.decode(jpeg.encode(img, quality=95))
+        assert dec.shape == img.shape
+        assert _psnr(img, dec) > 20  # worst-case content still bounded
+
+
+class TestStreamContract:
+    def test_progressive_raises_unsupported(self):
+        img = _smooth_rgb(16, 16)
+        enc = bytearray(jpeg.encode(img))
+        i = enc.find(b"\xff\xc0")
+        enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError):
+            jpeg.decode(bytes(enc))
+        with pytest.raises(jpeg.JpegUnsupported):
+            jpeg.decode(bytes(enc))
+
+    def test_not_a_jpeg(self):
+        with pytest.raises(jpeg.JpegError):
+            jpeg.decode(b"\x89PNG\r\n\x1a\n")
+
+    def test_byte_stuffing_round_trips(self):
+        # hunt a payload whose entropy stream contains stuffed FF00
+        rng = np.random.default_rng(11)
+        for _ in range(40):
+            img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+            enc = jpeg.encode(img, quality=95)
+            scan = enc[enc.find(b"\xff\xda") :]
+            if b"\xff\x00" in scan:
+                jpeg.decode(enc)  # must parse cleanly
+                return
+        pytest.skip("no stuffed byte produced (astronomically unlikely)")
+
+    def test_app_and_com_segments_skipped(self):
+        img = _smooth_rgb(16, 16)
+        enc = jpeg.encode(img)
+        com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+        patched = enc[:2] + com + enc[2:]
+        assert np.array_equal(jpeg.decode(patched), jpeg.decode(enc))
+
+
+class TestMultimodalIntegration:
+    def test_decode_image_jpeg(self):
+        from jackfruit_spark.multimodal import decode_image
+
+        img = _smooth_rgb(24, 24)
+        out = decode_image(jpeg.encode(img, quality=90))
+        assert out.shape == (24, 24, 3)
+        assert _psnr(img, out) > 35
+
+    def test_decode_image_gray_jpeg_channel_axis(self):
+        from jackfruit_spark.multimodal import decode_image
+
+        g = np.full((8, 8), 99, np.uint8)
+        out = decode_image(jpeg.encode(g, quality=90))
+        assert out.shape == (8, 8, 1)
+
+    def test_image_features_real_luma_over_jpeg(self, spark):
+        from jackfruit_spark.multimodal import image_features
+
+        img = np.full((16, 16, 3), 120, np.uint8)
+        payload = jpeg.encode(img, quality=95)
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], ["media_id", "payload"]
+        )
+        rows = image_features(df, fake=False).collect()
+        assert len(rows) == 1
+        assert abs(float(rows[0]["mean_luma"]) - 120.0) < 2.0
