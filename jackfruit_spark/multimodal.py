@@ -332,9 +332,10 @@ RESIZED = StructType(
 
 
 def resize_images(df: DataFrame, width: int = 4, height: int = 4, fake: bool = True) -> DataFrame:
-    """mapInPandas resize stage: decode (stubbed) -> nearest-neighbor
-    downsample -> raw RGB bytes out. The Spark-side contract (schema,
-    batching, output sizing) is real; the decode kernel is the fake."""
+    """mapInPandas resize stage: decode -> nearest-neighbor downsample ->
+    raw RGB bytes out. With fake=False the decode is REAL for PNG and
+    baseline JPEG (stdlib + sources/jpeg.py); other formats yield NULL
+    pixels (or the fake kernel when fake=True)."""
     from pyspark.sql import SparkSession
 
     from jackfruit_spark._ship import ensure_shipped

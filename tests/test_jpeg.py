@@ -128,6 +128,21 @@ class TestMultimodalIntegration:
         out = decode_image(jpeg.encode(g, quality=90))
         assert out.shape == (8, 8, 1)
 
+    def test_resize_images_real_jpeg(self, spark):
+        from jackfruit_spark.multimodal import resize_images
+
+        img = np.zeros((32, 32, 3), np.uint8)
+        img[:16] = 200  # top half bright, bottom dark
+        payload = jpeg.encode(img, quality=95)
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(payload))],
+            ["media_id", "modality", "payload"],
+        )
+        rows = resize_images(df, width=2, height=2, fake=False).collect()
+        assert len(rows) == 1
+        px = np.frombuffer(rows[0]["pixels"], np.uint8).reshape(2, 2, 3)
+        assert px[0].mean() > 150 and px[1].mean() < 50  # structure kept
+
     def test_image_features_real_luma_over_jpeg(self, spark):
         from jackfruit_spark.multimodal import image_features
 
