@@ -110,9 +110,9 @@ def _grib2_meta_adapter(synthetic_values: bool = True) -> Adapter:
                 values = rng.random((m.grid.nj, m.grid.ni))
             else:
                 raise NotImplementedError(
-                    f"DRS template {m.drs_template} needs an external codec "
-                    "(libaec for CCSDS); only simple packing (5.0) decodes "
-                    "without one"
+                    f"DRS template {m.drs_template} undecodable: only "
+                    "simple packing (5.0) and CCSDS/AEC (5.42, via "
+                    "sources/ccsds.py) decode in this container"
                 )
             yield GribMessage(
                 variable_name=m.variable_name,
