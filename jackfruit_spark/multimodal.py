@@ -104,12 +104,13 @@ def _png_unfilter_line(
 
 def _decode_png(data: bytes) -> np.ndarray:
     """Pure-stdlib PNG decode: chunk walk, zlib inflate of IDAT, scanline
-    unfilter. Supports bit depth 8, color types 0/2/4/6 (gray, RGB,
-    gray+alpha, RGBA), non-interlaced — the overwhelming share of
-    training-data PNGs. Palette/16-bit/Adam7 raise NotImplementedError."""
+    unfilter. Supports non-interlaced images in color types 0/2/4/6
+    (gray, RGB, gray+alpha, RGBA) at depth 8 or 16 (16-bit reduced to the
+    high byte — uint8 out, stated), and type 3 (palette) at depth
+    1/2/4/8. Only Adam7 interlace still raises NotImplementedError."""
     if data[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, [], None
+    pos, idat, ihdr, plte = 8, [], None, None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -117,6 +118,8 @@ def _decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(chunk)
         elif ctype == b"IEND":
@@ -124,15 +127,20 @@ def _decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-    if depth != 8 or channels is None or interlace != 0:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    ok_depth = (1, 2, 4, 8) if color == 3 else (8, 16)
+    if channels is None or interlace != 0 or depth not in ok_depth:
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color} interlace={interlace} "
-            "unsupported (stdlib decoder handles 8-bit non-interlaced "
-            "gray/RGB/gray+alpha/RGBA)"
+            "unsupported (stdlib decoder handles non-interlaced "
+            "gray/RGB/gray+alpha/RGBA at 8/16-bit and palette at "
+            "1/2/4/8-bit)"
         )
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
+    stride = (w * channels * depth + 7) // 8
+    bpp = max(1, (channels * depth) // 8)  # filter distance in bytes
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT size mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
@@ -142,8 +150,21 @@ def _decode_png(data: bytes) -> np.ndarray:
         f = raw[p]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).copy()
         p += 1 + stride
-        prev = _png_unfilter_line(f, line, prev, channels)
+        prev = _png_unfilter_line(f, line, prev, bpp)
         out[y] = prev
+    if color == 3:
+        if depth == 8:
+            idx = out[:, :w]
+        else:
+            bits = np.unpackbits(out, axis=1)[:, : w * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            idx = bits.reshape(h, w, depth) @ weights
+        if int(idx.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]  # (h, w, 3)
+    if depth == 16:
+        hi = out[:, 0::2]  # big-endian sample pairs; keep the high byte
+        return hi.reshape(h, w, channels)
     return out.reshape(h, w, channels)
 
 

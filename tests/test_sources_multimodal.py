@@ -175,26 +175,96 @@ def test_png_roundtrip_all_filters(channels):
     assert (got == img).all()
 
 
-def test_png_unsupported_variants_raise():
+def _png_chunk(ctype, data):
     import struct
     import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def test_png_unsupported_variants_raise():
+    import struct
 
     import numpy as np
 
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     data = bytearray(_encode_png(img, filters=[0, 0]))
-    # corrupt IHDR to claim 16-bit depth: NotImplementedError, not garbage
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    # patch IHDR to claim Adam7 interlace: NotImplementedError, not garbage
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
     patched = (
-        bytes(data[:8])
-        + struct.pack(">I", len(ihdr))
-        + b"IHDR"
-        + ihdr
-        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
-        + bytes(data[8 + 12 + 13 :])
+        bytes(data[:8]) + _png_chunk(b"IHDR", ihdr) + bytes(data[8 + 12 + 13 :])
     )
     with pytest.raises(NotImplementedError):
         mm.decode_image(patched)
+
+
+@pytest.mark.parametrize("depth", [8, 4, 2, 1])
+def test_png_palette_roundtrip(depth):
+    """Color type 3 (palette) at every legal bit depth: indices pack
+    MSB-first within bytes; PLTE maps to RGB (r6)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(depth)
+    h, w = 5, 11  # w chosen so sub-byte rows need padding bits
+    n_colors = 1 << depth
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+    raw = b""
+    for y in range(h):
+        bits = np.unpackbits(idx[y][:, None], axis=1, count=8)[:, 8 - depth :]
+        packed = np.packbits(bits.reshape(-1))
+        raw += b"\x00" + packed.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = mm.decode_image(data)
+    assert got.shape == (h, w, 3)
+    assert (got == palette[idx]).all()
+
+
+@pytest.mark.parametrize("channels,color", [(1, 0), (3, 2)])
+def test_png_16bit_reduces_to_high_byte(channels, color):
+    """16-bit gray/RGB decodes (high byte kept, uint8 out, r6); the
+    filter distance is channels*2 bytes — exercised with the Sub filter."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(channels)
+    h, w = 4, 6
+    img16 = rng.integers(0, 1 << 16, size=(h, w, channels), dtype=np.uint16)
+    raw = b""
+    bpp = channels * 2
+    for y in range(h):
+        line = np.frombuffer(img16[y].astype(">u2").tobytes(), np.uint8).astype(int)
+        enc = line.copy()
+        for i in range(len(line) - 1, bpp - 1, -1):
+            enc[i] = (line[i] - line[i - bpp]) & 0xFF  # filter 1 (Sub)
+        raw += b"\x01" + bytes(enc.astype(np.uint8))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = mm.decode_image(data)
+    assert got.shape == (h, w, channels)
+    assert (got == (img16 >> 8).astype(np.uint8)).all()
 
 
 def _encode_wav(samples, rate=8000, channels=1, sampwidth=2):
