@@ -102,12 +102,33 @@ def _png_unfilter_line(
     raise ValueError(f"invalid PNG filter type {f}")
 
 
+# Adam7 pass layout: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _rows_to_samples(rows: np.ndarray, w: int, channels: int, depth: int) -> np.ndarray:
+    """(h, stride) unfiltered scanline bytes -> (h, w, channels) uint8
+    samples: 16-bit keeps the high byte; sub-byte depths (palette) unpack
+    MSB-first within each byte."""
+    h = rows.shape[0]
+    if depth == 16:
+        return rows[:, 0::2].reshape(h, w, channels)
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (bits.reshape(h, w, depth) @ weights).astype(np.uint8)[..., None]
+
+
 def _decode_png(data: bytes) -> np.ndarray:
     """Pure-stdlib PNG decode: chunk walk, zlib inflate of IDAT, scanline
-    unfilter. Supports non-interlaced images in color types 0/2/4/6
-    (gray, RGB, gray+alpha, RGBA) at depth 8 or 16 (16-bit reduced to the
-    high byte — uint8 out, stated), and type 3 (palette) at depth
-    1/2/4/8. Only Adam7 interlace still raises NotImplementedError."""
+    unfilter. COMPLETE for the still-image format (r6): color types
+    0/2/4/6 (gray, RGB, gray+alpha, RGBA) at depth 8 or 16 (16-bit
+    reduced to the high byte — uint8 out, stated), type 3 (palette) at
+    depth 1/2/4/8, and both interlace methods (none / Adam7 7-pass)."""
     if data[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
     pos, idat, ihdr, plte = 8, [], None, None
@@ -129,43 +150,52 @@ def _decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color, _comp, _filt, interlace = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     ok_depth = (1, 2, 4, 8) if color == 3 else (8, 16)
-    if channels is None or interlace != 0 or depth not in ok_depth:
+    if channels is None or interlace not in (0, 1) or depth not in ok_depth:
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color} interlace={interlace} "
-            "unsupported (stdlib decoder handles non-interlaced "
-            "gray/RGB/gray+alpha/RGBA at 8/16-bit and palette at "
-            "1/2/4/8-bit)"
+            "unsupported (stdlib decoder handles gray/RGB/gray+alpha/RGBA "
+            "at 8/16-bit and palette at 1/2/4/8-bit, none/Adam7)"
         )
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     raw = zlib.decompress(b"".join(idat))
-    stride = (w * channels * depth + 7) // 8
     bpp = max(1, (channels * depth) // 8)  # filter distance in bytes
-    if len(raw) != h * (stride + 1):
+
+    def unfilter_block(pw: int, ph: int, p: int) -> tuple[np.ndarray, int]:
+        stride = (pw * channels * depth + 7) // 8
+        if p + ph * (stride + 1) > len(raw):
+            raise ValueError("PNG IDAT size mismatch")
+        rows = np.empty((ph, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(ph):
+            f = raw[p]
+            line = np.frombuffer(raw, np.uint8, count=stride, offset=p + 1).copy()
+            p += 1 + stride
+            prev = _png_unfilter_line(f, line, prev, bpp)
+            rows[y] = prev
+        return rows, p
+
+    if interlace == 0:
+        rows, p = unfilter_block(w, h, 0)
+        samples = _rows_to_samples(rows, w, channels, depth)
+    else:  # Adam7: 7 sub-images, each filtered independently
+        samples = np.zeros((h, w, channels), dtype=np.uint8)
+        p = 0
+        for xs, ys, xst, yst in _ADAM7:
+            pw = (w - xs + xst - 1) // xst
+            ph = (h - ys + yst - 1) // yst
+            if pw == 0 or ph == 0:
+                continue
+            rows, p = unfilter_block(pw, ph, p)
+            samples[ys::yst, xs::xst] = _rows_to_samples(rows, pw, channels, depth)
+    if p != len(raw):
         raise ValueError("PNG IDAT size mismatch")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    p = 0
-    for y in range(h):
-        f = raw[p]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).copy()
-        p += 1 + stride
-        prev = _png_unfilter_line(f, line, prev, bpp)
-        out[y] = prev
     if color == 3:
-        if depth == 8:
-            idx = out[:, :w]
-        else:
-            bits = np.unpackbits(out, axis=1)[:, : w * depth]
-            weights = 1 << np.arange(depth - 1, -1, -1)
-            idx = bits.reshape(h, w, depth) @ weights
+        idx = samples[..., 0]
         if int(idx.max()) >= len(plte):
             raise ValueError("palette index out of range")
         return plte[idx]  # (h, w, 3)
-    if depth == 16:
-        hi = out[:, 0::2]  # big-endian sample pairs; keep the high byte
-        return hi.reshape(h, w, channels)
-    return out.reshape(h, w, channels)
+    return samples
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:

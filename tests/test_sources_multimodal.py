@@ -194,13 +194,89 @@ def test_png_unsupported_variants_raise():
 
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     data = bytearray(_encode_png(img, filters=[0, 0]))
-    # patch IHDR to claim Adam7 interlace: NotImplementedError, not garbage
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    # patch IHDR to claim 12-bit depth: NotImplementedError, not garbage
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 12, 2, 0, 0, 0)
     patched = (
         bytes(data[:8]) + _png_chunk(b"IHDR", ihdr) + bytes(data[8 + 12 + 13 :])
     )
     with pytest.raises(NotImplementedError):
         mm.decode_image(patched)
+
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+@pytest.mark.parametrize("hw", [(16, 16), (13, 9), (3, 5), (1, 1)])
+def test_png_adam7_roundtrip(hw):
+    """Adam7 interlace (r6): 7 independently-filtered sub-images scatter
+    back to the full grid; odd sizes leave some passes empty."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = hw
+    rng = np.random.default_rng(h * 100 + w)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    raw = b""
+    for i, (xs, ys, xst, yst) in enumerate(_ADAM7):
+        sub = img[ys::yst, xs::xst]
+        if sub.size == 0:
+            continue
+        prev = np.zeros(sub.shape[1] * 3, dtype=np.uint8)
+        for y in range(sub.shape[0]):
+            line = sub[y].reshape(-1)
+            if i % 2 == 0:  # alternate None / Up filters across passes
+                raw += b"\x00" + line.tobytes()
+            else:
+                raw += b"\x02" + ((line - prev) & 0xFF).astype(np.uint8).tobytes()
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = mm.decode_image(data)
+    assert got.shape == img.shape
+    assert (got == img).all()
+
+
+def test_png_adam7_palette_subbyte():
+    """Adam7 + palette depth 4: per-pass strides pack sub-byte indices
+    independently."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = 10, 7
+    rng = np.random.default_rng(42)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+    raw = b""
+    for xs, ys, xst, yst in _ADAM7:
+        sub = idx[ys::yst, xs::xst]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            bits = np.unpackbits(sub[y][:, None], axis=1, count=8)[:, 4:]
+            raw += b"\x00" + np.packbits(bits.reshape(-1)).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 4, 3, 0, 0, 1)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = mm.decode_image(data)
+    assert got.shape == (h, w, 3)
+    assert (got == palette[idx]).all()
 
 
 @pytest.mark.parametrize("depth", [8, 4, 2, 1])
