@@ -285,18 +285,71 @@ def _is_wav(payload: bytes) -> bool:
     return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
 
 
-def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """Stdlib WAV PCM decode: (mono float32 waveform in [-1, 1],
-    sample_rate_hz). 16-bit and 8-bit PCM; multi-channel folds to mono by
-    channel mean (the standard feature-extraction convention)."""
-    with wave.open(io.BytesIO(data), "rb") as w:
-        nch, sw, rate, nframes = (
-            w.getnchannels(),
-            w.getsampwidth(),
-            w.getframerate(),
-            w.getnframes(),
+# G.711 companded byte -> linear int16, built once from the standard
+# expansion formulas (CCITT G.711; the classic *law2linear recipes)
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    u = np.arange(256)
+    cu = ~u & 0xFF
+    mag = (((cu & 0x0F) << 3) + 0x84) << ((cu >> 4) & 7)
+    ulaw = np.where(cu & 0x80, 0x84 - mag, mag - 0x84).astype(np.int16)
+    a = np.arange(256) ^ 0x55
+    seg = (a >> 4) & 7
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(seg - 1, 0)))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
+def _decode_wav_g711(data: bytes) -> tuple[np.ndarray, int]:
+    """Manual RIFF walk for the G.711 companded WAV formats the stdlib
+    ``wave`` module rejects: format tag 7 (µ-law) and 6 (A-law), 8 bits
+    per companded sample, expanded via table lookup to 16-bit linear."""
+    pos, n = 12, len(data)
+    fmt = raw = None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, nch, rate, _brate, _align, bits = fmt
+    if tag not in (6, 7) or bits != 8:
+        raise NotImplementedError(
+            f"WAV format tag {tag} ({bits}-bit) unsupported (PCM, µ-law, "
+            "A-law decode in this container)"
         )
-        raw = w.readframes(nframes)
+    table = _ULAW_TABLE if tag == 7 else _ALAW_TABLE
+    arr = table[np.frombuffer(raw, dtype=np.uint8)].astype("float32") / 32768.0
+    if nch > 1:
+        arr = arr[: len(arr) - len(arr) % nch].reshape(-1, nch).mean(axis=1)
+    return arr, rate
+
+
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Stdlib WAV decode: (mono float32 waveform in [-1, 1],
+    sample_rate_hz). 16-bit and 8-bit PCM via the ``wave`` module, G.711
+    µ-law/A-law via the manual RIFF path; multi-channel folds to mono by
+    channel mean (the standard feature-extraction convention)."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            nch, sw, rate, nframes = (
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getframerate(),
+                w.getnframes(),
+            )
+            raw = w.readframes(nframes)
+    except wave.Error:
+        return _decode_wav_g711(data)
     if sw == 2:
         arr = np.frombuffer(raw, dtype="<i2").astype("float32") / 32768.0
     elif sw == 1:  # 8-bit WAV is unsigned, biased at 128

@@ -412,3 +412,63 @@ def test_audio_features_real_wav_in_mapinpandas(spark):
     out = mm.audio_features(df, fake=False).collect()[0]
     assert out["rms_energy"] == f"{0.5:.6f}"
     assert out["est_duration_ms"] == 100  # 1600 frames / 16 kHz, from the file itself
+
+
+def _riff_wav(fmt_tag, nch, rate, bits, payload):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", fmt_tag, nch, rate,
+                      rate * nch * bits // 8, nch * bits // 8, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_g711_table_anchor_values():
+    """The µ-law/A-law expansion tables hit the G.711 standard's known
+    anchor codes: µ-law's two zeros (0x7F/0xFF) and ±32124 extremes
+    (0x00/0x80); A-law's ±8 minima (0x55/0xD5) and ±32256 extremes
+    (0x2A/0xAA)."""
+    from jackfruit_spark.multimodal import _ALAW_TABLE, _ULAW_TABLE
+
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x7F] == 0
+    assert _ULAW_TABLE[0x00] == -32124 and _ULAW_TABLE[0x80] == 32124
+    assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+    assert _ALAW_TABLE[0x2A] == -32256 and _ALAW_TABLE[0xAA] == 32256
+    # each polarity's magnitude is monotone in the segment/mantissa code
+    import numpy as np
+
+    neg = _ULAW_TABLE[:0x80]  # sign-bit-clear bytes: negative half
+    assert (np.diff(neg) > 0).all()  # -32124 ... 0 strictly increasing
+    pos = _ULAW_TABLE[0x80:]
+    assert (np.diff(pos) < 0).all()  # 32124 ... 0 strictly decreasing
+
+
+def test_wav_ulaw_and_alaw_decode():
+    import numpy as np
+
+    from jackfruit_spark import multimodal as mm2
+
+    # all 256 codes as payload: decode must equal the table exactly
+    codes = bytes(range(256))
+    for tag, table_name in ((7, "_ULAW_TABLE"), (6, "_ALAW_TABLE")):
+        wav = _riff_wav(tag, 1, 8000, 8, codes)
+        arr, rate = mm2._decode_wav(wav)
+        assert rate == 8000 and len(arr) == 256
+        table = getattr(mm2, table_name)
+        assert np.allclose(arr, table.astype("float32") / 32768.0)
+
+
+def test_audio_features_real_ulaw(spark):
+    import numpy as np
+
+    # constant near-max code -> RMS close to 32124/32768
+    wav = _riff_wav(7, 1, 8000, 8, bytes([0x80] * 4000))
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), None)],
+        "media_id long, modality string, payload binary, duration_ms int",
+    )
+    rows = mm.audio_features(df, fake=False).collect()
+    assert len(rows) == 1
+    assert abs(float(rows[0]["rms_energy"]) - 32124.0 / 32768.0) < 1e-4
+    assert rows[0]["est_duration_ms"] == 500  # 4000 samples at 8 kHz
