@@ -1,0 +1,176 @@
+"""Byte-pair encoding tokenizer: train driver-side on a bounded sample,
+apply distributed — the train-small / apply-at-scale shape shared with
+``similarity.kmeans_train``.
+
+A training-data pipeline budgets, packs, and prices corpora in TOKENS;
+the repo's q56/q59/q61 token math used whitespace words plus a BPE-ish
+regex as the stand-in. This module is the real operator (Sennrich et al.
+2016, arXiv:1508.07909 — the algorithm GPT-2/RoBERTa-style tokenizers
+build on):
+
+- ``bpe_train``: single-pass seeded sample (no count() pre-scan), word
+  frequency table, then greedy highest-frequency pair merges with a
+  DETERMINISTIC tie-break (lexicographic) so the same (data, seed,
+  vocab_size) always yields the same merge list. Pure driver-side
+  Python over a bounded sample — the same contract as kmeans_train.
+- ``bpe_encode_udf`` / ``bpe_token_count``: distributed apply via an
+  Arrow-batched pandas UDF. Per distinct word the merge loop runs once
+  per batch (word→tokens memo) — natural-language batches repeat words
+  heavily, so the Python loop amortizes to roughly once per VOCABULARY
+  item, not once per token.
+
+Scale note: merges ship to executors as a broadcast-sized plain dict
+(vocab_size entries, a few hundred KB at 50k merges) captured in the UDF
+closure; the apply stage is embarrassingly parallel with no shuffle.
+Word pre-tokenization is whitespace + the end-of-word marker ``</w>``
+(the paper's formulation); characters, not bytes, are the base alphabet
+— stated scope, it keeps the alphabet printable and the tests exact.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"
+
+
+def _word_freqs(texts) -> dict[str, int]:
+    freqs: dict[str, int] = {}
+    for t in texts:
+        if t is None:
+            continue
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    return freqs
+
+
+def _symbolize(word: str) -> tuple[str, ...]:
+    return tuple(word[:-1]) + (word[-1] + EOW,) if word else ()
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 1000,
+    sample_size: int = 50_000,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a bounded sample of the text
+    column. Returns the ordered merge list (rank = position)."""
+    sample = df.select(text_col)
+    if sample_fraction is not None:
+        pdf = (
+            sample.sample(fraction=min(1.0, sample_fraction), seed=seed)
+            .limit(sample_size)
+            .toPandas()
+        )
+    else:
+        pdf = sample.sample(fraction=0.01, seed=seed).limit(sample_size).toPandas()
+        if len(pdf) < 1000:
+            pdf = sample.limit(sample_size).toPandas()
+    freqs = _word_freqs(pdf[text_col])
+    words = {w: _symbolize(w) for w in freqs}
+    # incremental pair bookkeeping (the textbook fast loop): global pair
+    # counts + pair -> words index, updated only for words a merge touches
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[str]] = {}
+    for w, syms in words.items():
+        f = freqs[w]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(w)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        # max frequency, lexicographically-smallest pair on ties —
+        # deterministic for a given sample
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        if pair_counts[best] < 2:
+            break  # nothing left that generalizes
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for w in list(pair_words.get(best, ())):
+            syms = words[w]
+            f = freqs[w]
+            for p in zip(syms, syms[1:]):  # retract the word's old pairs
+                pair_counts[p] -= f
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(w)
+                    if not ws:
+                        del pair_words[p]
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_syms = tuple(out)
+            words[w] = new_syms
+            for p in zip(new_syms, new_syms[1:]):  # add the new pairs
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                pair_words.setdefault(p, set()).add(w)
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges to one word, lowest rank first (the GPT-2 loop)."""
+    syms = list(_symbolize(word))
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode_udf(merges: list[tuple[str, str]]) -> Column:
+    """Returns a pandas UDF factory: col(text) -> array<string> tokens.
+    Distinct words are encoded once per Arrow batch (memo)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def enc(t):
+            if t is None:
+                return []
+            out: list[str] = []
+            for w in t.split():
+                toks = memo.get(w)
+                if toks is None:
+                    toks = _encode_word(w, ranks)
+                    memo[w] = toks
+                out.extend(toks)
+            return out
+
+        return texts.map(enc)
+
+    return encode
+
+
+def bpe_token_count(df: DataFrame, text_col: str, merges) -> DataFrame:
+    """Adds ``n_bpe_tokens`` (long) — the budgeting measure every
+    training pipeline prices by."""
+    enc = bpe_encode_udf(merges)
+    return df.withColumn(
+        "n_bpe_tokens", F.size(enc(F.col(text_col))).cast("long")
+    )

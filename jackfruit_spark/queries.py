@@ -860,6 +860,30 @@ def ann_ivf_trained(spark, sf_dir):
     )
 
 
+def bpe_tokenize(spark, sf_dir):
+    """Bench-only: REAL BPE token budgeting over the documents table
+    (functions/tokenizer.py — train 500 merges driver-side on a bounded
+    sample, apply via Arrow-batched pandas UDF with per-batch word memo,
+    aggregate per-language token totals). The training pipeline's
+    pricing/packing measure; q56/q59/q61's whitespace+regex token math is
+    the SQL-expressible approximation this operator replaces at
+    production fidelity. Not registered: the merge loop is not
+    SQL-expressible; correctness is pytest-carried (Sennrich dynamics,
+    determinism, encode/train agreement — tests/test_tokenizer.py)."""
+    from jackfruit_spark.functions.tokenizer import bpe_token_count, bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", num_merges=500, sample_size=5000, seed=42)
+    return (
+        bpe_token_count(d, "text", merges)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        )
+    )
+
+
 def _q25_oracle(bits: int = 60) -> str:
     from jackfruit_spark.functions.hashing import sql_md5_hash64
 

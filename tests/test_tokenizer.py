@@ -1,0 +1,94 @@
+"""BPE tokenizer (functions/tokenizer.py): the Sennrich merge dynamics on
+a controlled corpus, determinism, encode/train agreement, and the
+distributed Arrow apply path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions.tokenizer import (
+    EOW,
+    _encode_word,
+    _symbolize,
+    bpe_encode_udf,
+    bpe_token_count,
+    bpe_train,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    # the classic BPE illustration corpus (Sennrich et al. 2016 §3.2
+    # uses low/lower/newest/widest); frequencies chosen so merge order
+    # is unambiguous
+    rows = (
+        [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3
+    )
+    return spark.createDataFrame(rows, ["text"])
+
+
+def test_first_merges_follow_frequencies(corpus):
+    merges = bpe_train(corpus, "text", num_merges=4, sample_size=100)
+    # 'es' appears in newest(6)+widest(3)=9 — the most frequent pair
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t" + EOW)  # freq 9 again after merge 1
+    # then low's 'lo' (5+2=7)
+    assert ("l", "o") in merges[2:]
+
+
+def test_training_is_deterministic(corpus):
+    a = bpe_train(corpus, "text", num_merges=8, sample_size=100)
+    b = bpe_train(corpus, "text", num_merges=8, sample_size=100)
+    assert a == b
+
+
+def test_encode_matches_training_segmentation(corpus):
+    """Encoding a training word with the learned ranks reproduces the
+    symbols training ended with (the GPT-2 lowest-rank-first loop and
+    the training-side greedy merges agree)."""
+    merges = bpe_train(corpus, "text", num_merges=10, sample_size=100)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    assert _encode_word("newest", ranks) == ["newest" + EOW]  # freq 6: fully merged
+    # unseen word: merges apply partially, concatenation restores the word
+    toks = _encode_word("lowest", ranks)
+    assert "".join(toks).replace(EOW, "") == "lowest"
+    assert len(toks) >= 2  # not in vocab -> not a single token
+
+
+def test_encode_concat_restores_text_property(spark):
+    rows = [("the quick brown fox jumps over the lazy dog",),
+            ("pack my box with five dozen liquor jugs",),
+            (None,), ("",)]
+    df = spark.createDataFrame(rows, ["text"])
+    merges = bpe_train(df, "text", num_merges=50, sample_size=100)
+    enc = bpe_encode_udf(merges)
+    out = df.select(F.col("text"), enc(F.col("text")).alias("toks")).collect()
+    for r in out:
+        joined = "".join(r["toks"]).replace(EOW, "")
+        expect = "".join((r["text"] or "").split())
+        assert joined == expect
+
+
+def test_token_count_on_documents(spark, sf_dir):
+    from jackfruit_spark.queries import load
+
+    d = load(spark, sf_dir, "documents").limit(200)
+    merges = bpe_train(d, "text", num_merges=200, sample_size=1000)
+    out = bpe_token_count(d, "text", merges)
+    rows = out.select("doc_id", "n_bpe_tokens", F.col("text")).collect()
+    assert all(r["n_bpe_tokens"] >= 0 for r in rows)
+    for r in rows[:20]:
+        n_ws = len((r["text"] or "").split())
+        # BPE tokens per word >= 1, and merges can only reduce toward 1
+        assert r["n_bpe_tokens"] >= n_ws
+    # merges compress: fewer tokens than characters
+    chars = sum(len((r["text"] or "").replace(" ", "")) for r in rows)
+    total = sum(r["n_bpe_tokens"] for r in rows)
+    assert total < chars
+
+
+def test_symbolize_edges():
+    assert _symbolize("") == ()
+    assert _symbolize("a") == ("a" + EOW,)
+    assert _symbolize("ab") == ("a", "b" + EOW)
