@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -277,8 +278,26 @@ AUDIO_FEATURES = StructType(
         StructField("n_bytes", LongType(), False),
         StructField("rms_energy", StringType(), True),  # stub: textual marker
         StructField("est_duration_ms", IntegerType(), True),
+        # real-DSP features (r6), NULL when decode is unavailable:
+        StructField("spectral_centroid_hz", DoubleType(), True),
+        StructField("zero_cross_rate", DoubleType(), True),
     ]
 )
+
+
+def _spectral_features(wav: np.ndarray, rate: int) -> tuple[float, float]:
+    """(spectral centroid in Hz, zero-crossing rate per sample) — the two
+    cheapest genuinely-informative audio quality signals (speech/music
+    sit near known centroid bands; clipped or silent payloads stand out
+    in ZCR). One rfft, no external DSP dependency."""
+    if len(wav) == 0:
+        return 0.0, 0.0
+    mag = np.abs(np.fft.rfft(wav.astype("float64")))
+    freqs = np.fft.rfftfreq(len(wav), d=1.0 / rate)
+    denom = float(mag.sum())
+    centroid = float((freqs * mag).sum() / denom) if denom > 0 else 0.0
+    zcr = float(np.mean(np.signbit(wav[1:]) != np.signbit(wav[:-1])))
+    return centroid, zcr
 
 
 def _is_wav(payload: bytes) -> bool:
@@ -385,8 +404,10 @@ def decode_audio(
 
 
 def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
-    """mapInPandas audio feature stage: hash/size real, decode-dependent
-    RMS energy via the (stubbed) kernel."""
+    """mapInPandas audio feature stage: hash/size real; RMS, spectral
+    centroid and zero-crossing rate over the decoded waveform (real for
+    WAV PCM / G.711; the fake kernel's pseudo-waveform keeps plumbing
+    testable for gated codecs)."""
     from pyspark.sql import SparkSession
 
     from jackfruit_spark._ship import ensure_shipped
@@ -400,11 +421,14 @@ def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 "sha256": pdf["payload"].map(lambda b: hashlib.sha256(b).hexdigest()),
                 "n_bytes": pdf["payload"].map(len).astype("int64"),
             }
-            rms, durs = [], []
+            rms, durs, cents, zcrs = [], [], [], []
             for b, dur in zip(pdf["payload"], pdf["duration_ms"]):
                 try:
                     wav, rate = decode_audio(bytes(b), fake=fake)
                     rms.append(f"{float(np.sqrt((wav ** 2).mean())):.6f}")
+                    c, z = _spectral_features(wav, rate or 16_000)
+                    cents.append(c)
+                    zcrs.append(z)
                     if pd.notna(dur):
                         durs.append(int(dur))
                     elif rate:  # real decode knows its own duration
@@ -413,9 +437,13 @@ def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
                         durs.append(len(wav) // 16)  # fake kernel: 16 kHz
                 except NotImplementedError:
                     rms.append(None)
+                    cents.append(None)
+                    zcrs.append(None)
                     durs.append(int(dur) if pd.notna(dur) else None)
             out["rms_energy"] = rms
             out["est_duration_ms"] = pd.array(durs, dtype="Int32")
+            out["spectral_centroid_hz"] = pd.array(cents, dtype="float64")
+            out["zero_cross_rate"] = pd.array(zcrs, dtype="float64")
             yield pd.DataFrame(out)
 
     return (

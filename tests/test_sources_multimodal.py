@@ -472,3 +472,23 @@ def test_audio_features_real_ulaw(spark):
     assert len(rows) == 1
     assert abs(float(rows[0]["rms_energy"]) - 32124.0 / 32768.0) < 1e-4
     assert rows[0]["est_duration_ms"] == 500  # 4000 samples at 8 kHz
+
+
+def test_audio_spectral_features_pure_tone(spark):
+    """A 1 kHz tone at 8 kHz sampling: spectral centroid lands on the
+    tone, zero-crossing rate = 2 crossings per period = 2f/rate (r6)."""
+    import struct
+
+    import numpy as np
+
+    rate, f = 8000, 1000
+    t = np.arange(4000) / rate
+    pcm = (np.sin(2 * np.pi * f * t) * 20000).astype("<i2")
+    wav = _riff_wav(1, 1, rate, 16, pcm.tobytes())
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), None)],
+        "media_id long, modality string, payload binary, duration_ms int",
+    )
+    r = mm.audio_features(df, fake=False).collect()[0]
+    assert abs(r["spectral_centroid_hz"] - f) < 60.0
+    assert abs(r["zero_cross_rate"] - 2 * f / rate) < 0.01
