@@ -1,0 +1,209 @@
+"""WARC (ISO 28500) web-archive reader — the Common Crawl container, THE
+canonical 100 TB training-text source format. Pure stdlib parse.
+
+Spark shape: identical to the GRIB scan (sources/grib.py) — WARC files
+are non-splittable (per-record gzip members), so ``binaryFile``
+distributes whole files and the record walk + HTTP/HTML extraction run
+inside ``mapInPandas``. At Common Crawl scale the unit of parallelism is
+the file (segments are ~1 GB by construction); a (file, offset) manifest
+from the accompanying CDX index is the finer-grained production option.
+
+Parsing layers, all stdlib:
+
+- **WARC record walk**: version line + CRLF headers + Content-Length
+  payload + CRLF CRLF separator; both plain concatenation and the
+  Common Crawl layout (each record an independent gzip member — found by
+  decompressing members sequentially with zlib) are handled.
+- **HTTP response split**: status line, headers, body; charset from the
+  Content-Type header with utf-8/replace fallback.
+- **HTML -> text**: script/style/comment removal, tag strip, entity
+  unescape, whitespace collapse — the cheap extraction tier (a trafilatura
+  equivalent is model-grade, out of scope; this is the coverage tier that
+  feeds the quality classifiers in functions/text.py).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WARC_RECORDS = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("record_id", StringType(), True),
+        StructField("warc_type", StringType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("warc_date", StringType(), True),
+        StructField("content_type", StringType(), True),  # HTTP-level
+        StructField("http_status", IntegerType(), True),
+        StructField("content_length", LongType(), False),
+        StructField("text", StringType(), True),  # extracted, None for non-HTML
+    ]
+)
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _gunzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a stream of concatenated gzip members one at a time
+    (the Common Crawl record-per-member layout)."""
+    pos = 0
+    while pos < len(data) and data[pos : pos + 2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out = d.decompress(data[pos:])
+        yield out
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield (headers, payload) for every record in a WARC buffer —
+    gzipped (member-per-record or whole-file) or plain."""
+    if data[:2] == _GZIP_MAGIC:
+        for member in _gunzip_members(data):
+            yield from _iter_plain(member)
+        return
+    yield from _iter_plain(data)
+
+
+def _iter_plain(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return
+        head = data[pos:head_end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"not a WARC record at offset {pos}")
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            if ":" in ln:
+                k, v = ln.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        length = int(headers.get("content-length", "0"))
+        body_start = head_end + 4
+        yield headers, data[body_start : body_start + length]
+        pos = body_start + length
+
+
+_STATUS_RE = re.compile(rb"^HTTP/\d\.\d\s+(\d{3})")
+_CHARSET_RE = re.compile(r"charset=([\w\-]+)", re.I)
+
+
+def split_http_response(payload: bytes) -> tuple[int | None, dict[str, str], bytes]:
+    """(status, headers, body) from an HTTP response payload; (None, {},
+    payload) when it isn't one."""
+    m = _STATUS_RE.match(payload)
+    if not m:
+        return None, {}, payload
+    head_end = payload.find(b"\r\n\r\n")
+    if head_end < 0:
+        return int(m.group(1)), {}, b""
+    headers: dict[str, str] = {}
+    for ln in payload[:head_end].split(b"\r\n")[1:]:
+        if b":" in ln:
+            k, v = ln.split(b":", 1)
+            headers[k.decode("latin-1").strip().lower()] = v.decode(
+                "latin-1"
+            ).strip()
+    return int(m.group(1)), headers, payload[head_end + 4 :]
+
+
+_SCRIPT_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", re.I | re.S
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+_NL_RE = re.compile(r"\n\s*\n\s*\n+")
+_BLOCK_RE = re.compile(
+    r"</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|blockquote)\b[^>]*>",
+    re.I,
+)
+
+
+def html_to_text(markup: str) -> str:
+    """Cheap-tier HTML extraction: drop script/style/comments, turn block
+    boundaries into newlines, strip tags, unescape entities, collapse
+    whitespace."""
+    s = _COMMENT_RE.sub(" ", _SCRIPT_RE.sub(" ", markup))
+    s = _BLOCK_RE.sub("\n", s)
+    s = _TAG_RE.sub(" ", s)
+    s = _html.unescape(s)
+    s = _WS_RE.sub(" ", s)
+    s = "\n".join(ln.strip() for ln in s.split("\n"))
+    return _NL_RE.sub("\n\n", s).strip()
+
+
+def _decode_body(body: bytes, headers: dict[str, str]) -> str:
+    enc = "utf-8"
+    m = _CHARSET_RE.search(headers.get("content-type", ""))
+    if m:
+        enc = m.group(1)
+    try:
+        return body.decode(enc, "replace")
+    except LookupError:  # unknown charset label
+        return body.decode("utf-8", "replace")
+
+
+def scan_warc(
+    spark: SparkSession, path_glob: str, warc_types: tuple[str, ...] = ("response",)
+) -> DataFrame:
+    """binaryFile scan -> record walk -> one row per WARC record of the
+    requested types, with extracted text for HTML responses."""
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(spark)
+    files = spark.read.format("binaryFile").load(path_glob)
+    want = set(warc_types)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for headers, payload in iter_warc_records(bytes(content)):
+                    wtype = headers.get("warc-type")
+                    if want and wtype not in want:
+                        continue
+                    status, http_headers, body = split_http_response(payload)
+                    ctype = http_headers.get("content-type", "")
+                    text = None
+                    if status is not None and "html" in ctype.lower():
+                        text = html_to_text(_decode_body(body, http_headers))
+                    rows.append(
+                        (
+                            path,
+                            headers.get("warc-record-id"),
+                            wtype,
+                            headers.get("warc-target-uri"),
+                            headers.get("warc-date"),
+                            ctype or None,
+                            status,
+                            int(headers.get("content-length", "0")),
+                            text,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in WARC_RECORDS.fields])
+
+    return files.select("path", "content").mapInPandas(extract, schema=WARC_RECORDS)

@@ -1,0 +1,124 @@
+"""WARC reader (sources/warc.py): record walk over plain and
+member-per-record-gzipped buffers, HTTP split, HTML extraction, and the
+Spark scan path."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from jackfruit_spark.sources import warc
+
+HTML = (
+    b"<html><head><title>T</title><style>p{color:red}</style>"
+    b"<script>var x=1;</script></head>"
+    b"<body><h1>Hello &amp; welcome</h1><p>First para</p>"
+    b"<!-- hidden --><p>Second para</p></body></html>"
+)
+
+
+def _http_response(body: bytes, ctype=b"text/html; charset=utf-8", status=b"200 OK"):
+    return (
+        b"HTTP/1.1 " + status + b"\r\n"
+        b"Content-Type: " + ctype + b"\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+
+
+def _warc_record(wtype, uri, payload, rid="<urn:uuid:1>"):
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Record-ID: {rid}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+@pytest.fixture()
+def warc_bytes():
+    http = _http_response(HTML)
+    return (
+        _warc_record("warcinfo", "-", b"software: test\r\n", rid="<urn:uuid:0>")
+        + _warc_record("request", "http://ex.com/", b"GET / HTTP/1.1\r\n\r\n")
+        + _warc_record("response", "http://ex.com/", http)
+        + _warc_record(
+            "response",
+            "http://ex.com/img",
+            _http_response(b"\x89PNG....", ctype=b"image/png"),
+            rid="<urn:uuid:2>",
+        )
+    )
+
+
+def test_record_walk_plain(warc_bytes):
+    recs = list(warc.iter_warc_records(warc_bytes))
+    assert [h["warc-type"] for h, _ in recs] == [
+        "warcinfo", "request", "response", "response",
+    ]
+    assert recs[2][0]["warc-target-uri"] == "http://ex.com/"
+
+
+def test_record_walk_gzip_members(warc_bytes):
+    # Common Crawl layout: every record its own gzip member
+    http = _http_response(HTML)
+    members = b"".join(
+        gzip.compress(r)
+        for r in (
+            _warc_record("request", "http://ex.com/", b"GET / HTTP/1.1\r\n\r\n"),
+            _warc_record("response", "http://ex.com/", http),
+        )
+    )
+    recs = list(warc.iter_warc_records(members))
+    assert [h["warc-type"] for h, _ in recs] == ["request", "response"]
+    # whole-file gzip also works
+    whole = gzip.compress(warc_bytes)
+    assert len(list(warc.iter_warc_records(whole))) == 4
+
+
+def test_http_split_and_charset():
+    status, headers, body = warc.split_http_response(_http_response(b"abc"))
+    assert status == 200
+    assert headers["content-type"].startswith("text/html")
+    assert body == b"abc"
+    s, h, b = warc.split_http_response(b"not-http-bytes")
+    assert s is None and b == b"not-http-bytes"
+
+
+def test_html_to_text():
+    text = warc.html_to_text(HTML.decode())
+    assert "Hello & welcome" in text
+    assert "First para" in text and "Second para" in text
+    assert "var x" not in text and "color:red" not in text
+    assert "hidden" not in text
+    # block tags became line boundaries
+    assert text.index("Hello") < text.index("First para")
+    assert "\n" in text
+
+
+def test_scan_warc_spark(spark, tmp_path, warc_bytes):
+    p1 = tmp_path / "a.warc"
+    p1.write_bytes(warc_bytes)
+    p2 = tmp_path / "b.warc.gz"
+    p2.write_bytes(gzip.compress(warc_bytes))
+    df = warc.scan_warc(spark, str(tmp_path))
+    rows = df.collect()
+    # responses only, both files
+    assert len(rows) == 4
+    assert all(r["warc_type"] == "response" for r in rows)
+    html_rows = [r for r in rows if r["target_uri"] == "http://ex.com/"]
+    assert len(html_rows) == 2
+    for r in html_rows:
+        assert r["http_status"] == 200
+        assert "Hello & welcome" in r["text"]
+    png_rows = [r for r in rows if r["target_uri"] == "http://ex.com/img"]
+    assert all(r["text"] is None for r in png_rows)  # non-HTML: no extract
+
+
+def test_scan_warc_all_types(spark, tmp_path, warc_bytes):
+    (tmp_path / "a.warc").write_bytes(warc_bytes)
+    df = warc.scan_warc(spark, str(tmp_path), warc_types=())
+    assert df.count() == 4  # empty filter = every record type
