@@ -207,3 +207,38 @@ def scan_warc(
             yield pd.DataFrame(rows, columns=[f.name for f in WARC_RECORDS.fields])
 
     return files.select("path", "content").mapInPandas(extract, schema=WARC_RECORDS)
+
+
+def warc_to_documents(scanned: DataFrame, source: str = "warc") -> DataFrame:
+    """Bridge WARC responses into the curation family's ``documents``
+    shape (doc_id, text, lang, source, n_chars): successful HTML
+    responses with non-empty extracted text, doc_id = stable 63-bit hash
+    of the record id (deterministic across re-runs — the key-hash
+    sampling discipline, q54), lang via the n-gram heuristic
+    (functions/text.lang_id). The output plugs straight into exact/fuzzy
+    dedup, quality gates, DSIR, and packing."""
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.functions.text import lang_id
+
+    docs = (
+        scanned.filter(
+            (F.col("http_status") == 200) & F.col("text").isNotNull()
+            & (F.length(F.trim(F.col("text"))) > 0)
+        )
+        .select(
+            F.pmod(
+                F.xxhash64(F.coalesce(F.col("record_id"), F.col("target_uri"))),
+                F.lit(1 << 62).cast("long"),
+            ).alias("doc_id"),
+            F.col("text"),
+            F.lit(source).alias("source"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        "text",
+        lang_id("text").alias("lang"),
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+    )

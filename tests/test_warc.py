@@ -122,3 +122,17 @@ def test_scan_warc_all_types(spark, tmp_path, warc_bytes):
     (tmp_path / "a.warc").write_bytes(warc_bytes)
     df = warc.scan_warc(spark, str(tmp_path), warc_types=())
     assert df.count() == 4  # empty filter = every record type
+
+
+def test_warc_to_documents_bridge(spark, tmp_path, warc_bytes):
+    (tmp_path / "a.warc").write_bytes(warc_bytes)
+    docs = warc.warc_to_documents(warc.scan_warc(spark, str(tmp_path)))
+    rows = docs.collect()
+    assert len(rows) == 1  # only the HTML 200 response survives
+    r = rows[0]
+    assert set(docs.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert r["source"] == "warc" and r["n_chars"] == len(r["text"])
+    assert 0 <= r["doc_id"] < (1 << 62)
+    # deterministic doc_id across re-scans (key-hash discipline)
+    again = warc.warc_to_documents(warc.scan_warc(spark, str(tmp_path))).collect()
+    assert again[0]["doc_id"] == r["doc_id"]
