@@ -370,6 +370,15 @@ def pair_cosine_blocked(
         F.floor(F.col(id_col) / F.lit(block_size)).alias("__b"),
     )
     blocks = sorted(r["__b"] for r in e.select("__b").distinct().collect())
+    if len(blocks) > 2048:
+        # very sparse ids degenerate to one row per block and the driver-
+        # side pair list grows as blocks^2 — demand a re-index instead of
+        # silently building millions of near-empty groups
+        raise ValueError(
+            f"{len(blocks)} id blocks (block_size={block_size}): ids are too "
+            "sparse — densify the id column (e.g. zipWithIndex) or raise "
+            "block_size"
+        )
     pair_rows = [
         (int(bi), int(bj)) for i, bi in enumerate(blocks) for bj in blocks[i:]
     ]
