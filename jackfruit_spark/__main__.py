@@ -140,6 +140,10 @@ def cmd_curate(args) -> int:
 
     if args.input_format == "parquet":
         clean, corrupt = spark.read.parquet(args.input), None
+    elif args.input_format == "warc":
+        from jackfruit_spark.sources.warc import scan_warc, warc_to_documents
+
+        clean, corrupt = warc_to_documents(scan_warc(spark, args.input)), None
     else:
         reader = {"jsonl": C.read_documents_jsonl, "csv": C.read_documents_csv}[
             args.input_format
@@ -226,7 +230,9 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--input", required=True)
     cu.add_argument("--output", required=True)
     cu.add_argument(
-        "--input-format", choices=["jsonl", "csv", "parquet"], default="jsonl"
+        "--input-format",
+        choices=["jsonl", "csv", "parquet", "warc"],
+        default="jsonl",
     )
     cu.add_argument("--lang", default="en", help="'any' disables the language gate")
     cu.add_argument("--min-tokens", type=int, default=5)

@@ -101,3 +101,38 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     # raw-JSON queries referencing only the internal corrupt-record column)
     quar = spark.read.text(str(quar_dir)).collect()
     assert len(quar) == 1 and quar[0]["value"] == '{"doc_id": broken'
+
+
+def test_cli_curate_from_warc(spark, tmp_path, capsys):
+    """WARC in -> curated documents parquet out: the Common Crawl intake
+    path through the same gates (r6)."""
+    import json as J
+
+    from tests.test_warc import HTML, _http_response, _warc_record
+
+    body = (
+        b"<html><body><p>the quick brown fox and the lazy dog are in "
+        b"the yard today and the weather is fine</p></body></html>"
+    )
+    data = _warc_record(
+        "response", "http://ex.com/a", _http_response(body), rid="<urn:uuid:a>"
+    ) + _warc_record(
+        "response", "http://ex.com/b", _http_response(HTML), rid="<urn:uuid:b>"
+    )
+    src = tmp_path / "crawl.warc"
+    src.write_bytes(data)
+    out_dir = tmp_path / "curated"
+    rc = main([
+        "curate",
+        "--input", str(src),
+        "--output", str(out_dir),
+        "--input-format", "warc",
+        "--min-tokens", "5",
+    ])
+    stats = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert stats["input"] == 2
+    assert stats["curated"] == 1  # the long fluent doc survives the gates
+    rows = spark.read.parquet(str(out_dir)).collect()
+    assert "quick brown fox" in rows[0]["text"]
+    assert rows[0]["source"] == "warc"
