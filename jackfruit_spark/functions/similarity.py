@@ -395,7 +395,8 @@ def pair_cosine_blocked(
     out_schema = f"id_a {id_dt}, id_b {id_dt}, cosine_raw double"
     top = per_block_top
 
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(key, pdf):  # (key, pdf) -> pdf; unannotated on purpose —
+        # partial hints make Spark's eval-type inference warn
         a = pdf[pdf["__side"] == 0].sort_values("__id")
         va = np.stack(a["__v"].apply(lambda x: np.asarray(x, dtype="float64")))
         ia = a["__id"].to_numpy()
