@@ -9,13 +9,15 @@ Design for a 100 TB training-data pipeline:
   ``mapInPandas`` stages — the only place Python touches bytes — sized so
   a batch of decoded frames fits executor memory (maxRecordsPerBatch);
 - decode support is layered by what CPython itself can do (VERDICT r4 #4):
-  **PNG** (non-interlaced, 8-bit gray/gray+alpha/RGB/RGBA — zlib inflate +
-  all five scanline filters, pure stdlib), **baseline JPEG** (SOF0
-  grayscale/YCbCr up to 2x2 sampling, restart intervals — the repo's own
-  pure-numpy codec, ``sources/jpeg.py``, r6) and **WAV PCM** (8/16-bit via
-  the stdlib ``wave`` module) decode FOR REAL; payloads in formats still
-  needing external codecs (progressive JPEG, MP3, video containers) fall
-  back to the deterministic fake kernel when ``fake=True`` or raise
+  **complete PNG** (gray/RGB/gray+alpha/RGBA at 8/16-bit, palette at
+  1/2/4/8-bit, none/Adam7 interlace — zlib inflate + all five scanline
+  filters, pure stdlib), **baseline JPEG** (SOF0 grayscale/YCbCr up to
+  2x2 sampling, restart intervals — the repo's own pure-numpy codec,
+  ``sources/jpeg.py``, r6), **WAV PCM** (8/16-bit via the stdlib ``wave``
+  module) and **G.711 µ-law/A-law WAV** (manual RIFF walk + expansion
+  tables) decode FOR REAL; payloads in formats still needing external
+  codecs (progressive JPEG, MP3, video containers) fall back to the
+  deterministic fake kernel when ``fake=True`` or raise
   NotImplementedError. The Spark-side plumbing (schema, batching,
   partitioning, UDF signatures) is identical either way.
 """
@@ -62,7 +64,7 @@ IMAGE_FEATURES = StructType(
         StructField("media_id", LongType(), False),
         StructField("sha256", StringType(), False),
         StructField("n_bytes", LongType(), False),
-        StructField("mean_luma", StringType(), True),  # stub: textual marker
+        StructField("mean_luma", StringType(), True),  # None when undecodable
     ]
 )
 
@@ -228,7 +230,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
 def image_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas feature-extraction stage: hash + size always real;
-    decode-dependent features via the (stubbed) kernel. Arrow batches keep
+    decoded mean-luma real for PNG/JPEG (fake kernel covers gated
+    formats). Arrow batches keep
     the Python boundary amortized."""
 
     from pyspark.sql import SparkSession
@@ -276,7 +279,7 @@ AUDIO_FEATURES = StructType(
         StructField("media_id", LongType(), False),
         StructField("sha256", StringType(), False),
         StructField("n_bytes", LongType(), False),
-        StructField("rms_energy", StringType(), True),  # stub: textual marker
+        StructField("rms_energy", StringType(), True),  # None when undecodable
         StructField("est_duration_ms", IntegerType(), True),
         # real-DSP features (r6), NULL when decode is unavailable:
         StructField("spectral_centroid_hz", DoubleType(), True),
@@ -458,7 +461,7 @@ RESIZED = StructType(
         StructField("media_id", LongType(), False),
         StructField("out_width", IntegerType(), False),
         StructField("out_height", IntegerType(), False),
-        StructField("pixels", BinaryType(), True),  # raw RGB bytes (stub kernel)
+        StructField("pixels", BinaryType(), True),  # raw RGB bytes, None if undecodable
     ]
 )
 
