@@ -409,6 +409,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     algorithm: str = "label_propagation",
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over a candidate-pair graph: (id, cluster_id)
     where cluster_id = min node id in the component (singletons label
@@ -435,7 +436,17 @@ def connected_components(
     Driver-side loop note: the per-round convergence check is ONE scalar
     count per iteration (not a collect of data), and iteration count is
     bounded by diameter / log^2 n, not data size — this stays a
-    distributed algorithm."""
+    distributed algorithm.
+
+    ``driver_threshold`` (r6): when the deduplicated edge set is at most
+    this many edges, the closure runs as a single driver-side union-find
+    instead of iterated joins — the edge GRAPH after thresholding is
+    ≪ corpus by construction (it is the near-duplicate relation), and
+    100k edges is a few MB, while every distributed iteration costs 2-3
+    whole Spark jobs of scheduling floor. Same labels bit-for-bit (min
+    id per component; Python's str ordering equals Spark's UTF8 binary
+    ordering because UTF-8 preserves code-point order). Set 0 to force
+    the distributed loop (the property tests exercise both)."""
     if algorithm == "star":
         labels, _rounds = _cc_star(nodes, pairs, id_col, id_a, id_b, max_iter)
         return labels
@@ -450,6 +461,45 @@ def connected_components(
         # re-executes per iteration
         .localCheckpoint(eager=True)
     )
+    if driver_threshold and edges.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = set(parent)
+        for x in list(touched):
+            touched.add(find(x))
+        label_rows = [(x, find(x)) for x in touched]
+        if not label_rows:
+            return nodes.select(
+                F.col(id_col).alias(id_col),
+                F.col(id_col).alias("cluster_id"),
+            )
+        id_type = nodes.schema[id_col].dataType
+        from pyspark.sql.types import StructField as SF_, StructType as ST_
+
+        labels = nodes.sparkSession.createDataFrame(
+            label_rows,
+            ST_([SF_("node", id_type, False), SF_("label", id_type, False)]),
+        )
+        return (
+            nodes.select(F.col(id_col).alias("node"))
+            .join(F.broadcast(labels), "node", "left")
+            .select(
+                F.col("node").alias(id_col),
+                F.coalesce("label", F.col("node")).alias("cluster_id"),
+            )
+        )
     # Iterate ONLY over nodes that touch an edge: singletons label
     # themselves and never change, so carrying the full corpus through
     # every round just multiplies per-round join/shuffle cost. The dup
