@@ -14,8 +14,8 @@ and exactness on DC-only images) plus crafted streams. Scope:
   ``JpegUnsupported`` (a NotImplementedError, so multimodal's
   env-gate fallback applies).
 - **encode**: SOF0, quality-scaled Annex K quantization tables (the IJG
-  5000/q | 200-2q rule), the Annex K typical Huffman tables, 4:4:4 or
-  4:2:0 subsampling, optional restart interval.
+  5000/q | 200-2q rule), the Annex K typical Huffman tables, 4:4:4,
+  4:2:2 or 4:2:0 subsampling, optional restart interval.
 
 The DCT pair is the orthonormal matrix form (one ``tensordot`` over all
 blocks, no per-pixel Python); the entropy coder is necessarily
@@ -264,12 +264,18 @@ def encode(
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise JpegError("encode expects (h,w) grayscale or (h,w,3) RGB")
-    if subsampling not in ("444", "420"):
-        raise JpegError(f"subsampling {subsampling!r} unsupported (444/420)")
+    if subsampling not in ("444", "422", "420"):
+        raise JpegError(
+            f"subsampling {subsampling!r} unsupported (444/422/420)"
+        )
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise JpegError("empty image")
-    sub = 2 if (subsampling == "420" and not gray) else 1
+    if gray:
+        sub_h = sub_v = 1
+    else:
+        sub_h = 1 if subsampling == "444" else 2
+        sub_v = 2 if subsampling == "420" else 1
 
     qt_l = _quality_scale(QT_LUM, quality)
     qt_c = _quality_scale(QT_CHROM, quality)
@@ -283,12 +289,15 @@ def encode(
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y, cb, cr]
 
-    mcu = 8 * sub
+    mcu_w, mcu_h = 8 * sub_h, 8 * sub_v
     comp_blocks = []  # per component: (n, 8, 8) quantized int coeff blocks
     for ci, p in enumerate(planes):
-        p = _pad_to(p, mcu, mcu)
-        if ci > 0 and sub == 2:
-            p = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+        p = _pad_to(p, mcu_h, mcu_w)
+        if ci > 0 and (sub_h > 1 or sub_v > 1):
+            ph_, pw_ = p.shape
+            p = p.reshape(ph_ // sub_v, sub_v, pw_ // sub_h, sub_h).mean(
+                axis=(1, 3)
+            )
         qt = qt_l if ci == 0 else qt_c
         coeffs = _fdct_blocks(_to_blocks(p - 128.0))
         q = np.round(coeffs / qt[None]).astype(np.int64)
@@ -303,7 +312,7 @@ def encode(
             + bytes(int(v) for v in qt.reshape(-1)[ZIGZAG])
     ncomp = 1 if gray else 3
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    samp = [(sub, sub), (1, 1), (1, 1)]
+    samp = [(sub_h, sub_v), (1, 1), (1, 1)]
     for ci in range(ncomp):
         out += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1],
                       0 if ci == 0 else 1])
@@ -323,9 +332,9 @@ def encode(
     dc_tab = [_encode_table(*DC_LUM)] + [_encode_table(*DC_CHROM)] * 2
     ac_tab = [_encode_table(*AC_LUM)] + [_encode_table(*AC_CHROM)] * 2
     wtr = _BitWriter()
-    ph, pw = _pad_to(planes[0], mcu, mcu).shape
-    mcus_x, mcus_y = pw // mcu, ph // mcu
-    blocks_per_row = [pw // 8, pw // mcu, pw // mcu][:ncomp]
+    ph, pw = _pad_to(planes[0], mcu_h, mcu_w).shape
+    mcus_x, mcus_y = pw // mcu_w, ph // mcu_h
+    blocks_per_row = [pw // 8, pw // mcu_w, pw // mcu_w][:ncomp]
     pred = [0] * ncomp
     rst = 0
     n_mcu = 0
@@ -336,7 +345,7 @@ def encode(
                 rst += 1
                 pred = [0] * ncomp
             for ci in range(ncomp):
-                sv, shs = (sub, sub) if ci == 0 else (1, 1)
+                sv, shs = (sub_v, sub_h) if ci == 0 else (1, 1)
                 for by in range(sv):
                     for bx in range(shs):
                         row = my * sv + by

@@ -154,3 +154,16 @@ class TestMultimodalIntegration:
         rows = image_features(df, fake=False).collect()
         assert len(rows) == 1
         assert abs(float(rows[0]["mean_luma"]) - 120.0) < 2.0
+
+
+def test_422_subsampling_roundtrip():
+    """4:2:2 (h=2, v=1 luma sampling): decoder's ASYMMETRIC chroma
+    upsample (repeat on one axis only); odd dims exercise the 16x8 MCU
+    pad+crop."""
+    img = _smooth_rgb(29, 45)
+    enc = jpeg.encode(img, quality=90, subsampling="422")
+    dec = jpeg.decode(enc)
+    assert dec.shape == img.shape
+    assert _psnr(img, dec) > 28
+    # size sits between 444 and 420 at the same quality
+    assert len(jpeg.encode(img, 90, "420")) < len(enc) < len(jpeg.encode(img, 90, "444"))
