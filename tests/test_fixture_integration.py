@@ -43,7 +43,10 @@ class TestEcmwfFixtureEndToEnd:
         pipe = TransformPipeline(spark, eng, cat)
         msgs = grib.scan_grib(
             spark, FIXTURE, "ecmwf", run_id_from_path=lambda p: RUN_ID
-        )
+        ).localCheckpoint(eager=True)  # decode the CCSDS payloads ONCE —
+        # the transform evaluates its input twice (catalog grids collect
+        # + grid write) and each evaluation re-runs the ~4x1M-point
+        # pure-Python decode otherwise
         written = pipe.transform_ecmwf(msgs, raw_file_id=RUN_ID)
         return eng, cat, written
 
