@@ -11,15 +11,16 @@ Design for a 100 TB training-data pipeline:
 - decode support is layered by what CPython itself can do (VERDICT r4 #4):
   **complete PNG** (gray/RGB/gray+alpha/RGBA at 8/16-bit, palette at
   1/2/4/8-bit, none/Adam7 interlace — zlib inflate + all five scanline
-  filters, pure stdlib), **baseline JPEG** (SOF0 grayscale/YCbCr up to
-  2x2 sampling, restart intervals — the repo's own pure-numpy codec,
-  ``sources/jpeg.py``, r6), **WAV PCM** (8/16-bit via the stdlib ``wave``
-  module) and **G.711 µ-law/A-law WAV** (manual RIFF walk + expansion
-  tables) decode FOR REAL; payloads in formats still needing external
-  codecs (progressive JPEG, MP3, video containers) fall back to the
-  deterministic fake kernel when ``fake=True`` or raise
-  NotImplementedError. The Spark-side plumbing (schema, batching,
-  partitioning, UDF signatures) is identical either way.
+  filters, pure stdlib), **JPEG, baseline AND progressive** (SOF0/SOF2,
+  grayscale/YCbCr up to 2x2 sampling, restart intervals, spectral
+  selection + successive approximation — the repo's own pure-numpy
+  codec, ``sources/jpeg.py``, r6), **WAV PCM** (8/16-bit via the stdlib
+  ``wave`` module) and **G.711 µ-law/A-law WAV** (manual RIFF walk +
+  expansion tables) decode FOR REAL; payloads in formats still needing
+  external codecs (MP3, video containers) fall back to the deterministic
+  fake kernel when ``fake=True`` or raise NotImplementedError. The
+  Spark-side plumbing (schema, batching, partitioning, UDF signatures)
+  is identical either way.
 """
 
 from __future__ import annotations

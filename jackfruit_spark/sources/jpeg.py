@@ -6,16 +6,22 @@ libraries, so the format's hot path is implemented from the PUBLIC spec
 and validated by encoder→decoder round-trips (lossy — asserted by PSNR
 and exactness on DC-only images) plus crafted streams. Scope:
 
-- **decode**: baseline sequential DCT (SOF0), 8-bit, 1 component
-  (grayscale) or 3 components (YCbCr, JFIF), any sampling factors up to
-  2x2 (covers 4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn),
-  byte-stuffed entropy stream, multiple DQT/DHT segments per marker.
-  Progressive (SOF2), arithmetic coding, and 12-bit raise
-  ``JpegUnsupported`` (a NotImplementedError, so multimodal's
+- **decode**: baseline sequential (SOF0/1) AND progressive (SOF2 —
+  spectral selection, successive approximation, cross-block EOB runs,
+  refinement correction bits, per the T.81 G.2 / jdphuff recipe), 8-bit,
+  1 component (grayscale) or 3 components (YCbCr, JFIF), any sampling
+  factors up to 2x2 (covers 4:4:4, 4:2:2, 4:2:0), restart intervals
+  (DRI/RSTn), byte-stuffed entropy stream, multiple DQT/DHT segments per
+  marker. Lossless/hierarchical frames, arithmetic coding, and 12-bit
+  raise ``JpegUnsupported`` (a NotImplementedError, so multimodal's
   env-gate fallback applies).
-- **encode**: SOF0, quality-scaled Annex K quantization tables (the IJG
-  5000/q | 200-2q rule), the Annex K typical Huffman tables, 4:4:4,
-  4:2:2 or 4:2:0 subsampling, optional restart interval.
+- **encode**: SOF0 (quality-scaled Annex K quantization tables — the IJG
+  5000/q | 200-2q rule — and the Annex K typical Huffman tables) or SOF2
+  progressive with a DC+band+refinement scan script; 4:4:4, 4:2:2 or
+  4:2:0 subsampling, optional restart interval (baseline). Progressive
+  decode is validated by asserting its pixels BIT-IDENTICAL to the
+  baseline decode of the same quantized data — every scan type must
+  reconstruct the exact coefficients for that to hold.
 
 The DCT pair is the orthonormal matrix form (one ``tensordot`` over all
 blocks, no per-pixel Python); the entropy coder is necessarily
@@ -134,6 +140,15 @@ AC_CHROM = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ])
+
+# Flat AC table for the progressive test encoder: every symbol 0x00-0xFE
+# at 8 bits, 0xFF at 9 (progressive needs EOBn codes r<<4 that Annex K's
+# sequential tables lack; leaving the code INCOMPLETE keeps the all-ones
+# word reserved per T.81 C.2)
+FLAT_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
 
 # orthonormal 8x8 DCT-II matrix: spatial = C.T @ coeffs @ C
 _C = np.zeros((8, 8))
@@ -255,9 +270,16 @@ def encode(
     quality: int = 75,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    baseline JFIF JPEG."""
+    JFIF JPEG — baseline sequential by default, or progressive (SOF2)
+    with a spectral-selection + successive-approximation scan script
+    (DC Al=1 then refine; per-component AC bands 1-5/6-63 at Al=1 then a
+    full refinement pass), validating the progressive decoder's every
+    path. Progressive AC scans use a flat 8-bit Huffman table (every
+    symbol encodable without a per-image histogram pass; compression is
+    not the point of the test encoder)."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise JpegError("encode expects uint8")
@@ -311,16 +333,27 @@ def encode(
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
             + bytes(int(v) for v in qt.reshape(-1)[ZIGZAG])
     ncomp = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     samp = [(sub_h, sub_v), (1, 1), (1, 1)]
     for ci in range(ncomp):
         out += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1],
                       0 if ci == 0 else 1])
-    for tc_th, (bits, vals) in ((0x00, DC_LUM), (0x10, AC_LUM)) + (
-        () if gray else ((0x01, DC_CHROM), (0x11, AC_CHROM))
-    ):
+    dht = ((0x00, DC_LUM),) + (() if gray else ((0x01, DC_CHROM),))
+    if progressive:
+        dht += ((0x10, FLAT_AC),)
+    else:
+        dht += ((0x10, AC_LUM),) + (() if gray else ((0x11, AC_CHROM),))
+    for tc_th, (bits, vals) in dht:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
             + bytes([tc_th]) + bytes(bits) + bytes(vals)
+    if progressive:
+        ph, pw = _pad_to(planes[0], mcu_h, mcu_w).shape
+        out += _encode_progressive_scans(
+            comp_blocks, ncomp, h, w, sub_h, sub_v, ph, pw
+        )
+        out += b"\xff\xd9"
+        return bytes(out)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
@@ -386,6 +419,192 @@ def encode(
     return bytes(out)
 
 
+# ------------------------------------------------- progressive encoding
+
+
+def _sos(scan_comps, ss, se, ah, al) -> bytes:
+    """SOS header: [(comp_id, td, ta), ...] + band/approximation."""
+    ns = len(scan_comps)
+    out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+    for cid, td, ta in scan_comps:
+        out += bytes([cid, (td << 4) | ta])
+    return out + bytes([ss, se, (ah << 4) | al])
+
+
+def _encode_progressive_scans(
+    comp_blocks, ncomp, h, w, sub_h, sub_v, ph, pw
+) -> bytes:
+    """The scan script: interleaved DC-first (Al=1), per-component
+    AC-first over two bands (Al=1), DC refinement, per-component AC
+    refinement to Al=0. Mirrors the jcphuff encoder's refinement
+    bookkeeping (buffered correction bits + EOB runs)."""
+    czz = [cb.reshape(len(cb), 64)[:, ZIGZAG] for cb in comp_blocks]
+    samp = [(sub_h, sub_v)] + [(1, 1)] * (ncomp - 1)
+    bpr = [pw // 8] + [pw // (8 * sub_h)] * (ncomp - 1)
+    mcus_x, mcus_y = pw // (8 * sub_h), ph // (8 * sub_v)
+    # non-interleaved (per-component) block dims, WITHOUT MCU padding:
+    # ceil(ceil(size / subsample) / 8)
+    cw = [w] + [-(-w // sub_h)] * (ncomp - 1)
+    ch = [h] + [-(-h // sub_v)] * (ncomp - 1)
+    nw = [-(-x // 8) for x in cw]
+    nh = [-(-x // 8) for x in ch]
+    dc_tab = [_encode_table(*DC_LUM)] + [_encode_table(*DC_CHROM)] * 2
+    ac_tab = _encode_table(*FLAT_AC)
+
+    def dc_scan(al, refine):
+        wtr = _BitWriter()
+        pred = [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    shs, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(shs):
+                            idx = (my * sv + by) * bpr[ci] + (mx * shs + bx)
+                            v = int(czz[ci][idx, 0]) >> al
+                            if refine:
+                                wtr.put(v & 1, 1)
+                            else:
+                                diff = v - pred[ci]
+                                pred[ci] = v
+                                s, bits = _magnitude(diff)
+                                code, ln = dc_tab[ci][s]
+                                wtr.put(code, ln)
+                                if s:
+                                    wtr.put(bits, s)
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    def ac_first(ci, ss, se, al):
+        wtr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r4 = eobrun.bit_length() - 1
+                code, ln = ac_tab[r4 << 4]
+                wtr.put(code, ln)
+                if r4:
+                    wtr.put(eobrun - (1 << r4), r4)
+                eobrun = 0
+
+        for row in range(nh[ci]):
+            for col in range(nw[ci]):
+                zz = czz[ci][row * bpr[ci] + col]
+                vals = []
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    m = abs(v) >> al
+                    vals.append(m if v >= 0 else -m)
+                last_nz = -1
+                for i, v in enumerate(vals):
+                    if v:
+                        last_nz = i
+                if last_nz < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(last_nz + 1):
+                    v = vals[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tab[0xF0]
+                        wtr.put(code, ln)
+                        run -= 16
+                    s, bits = _magnitude(v)
+                    code, ln = ac_tab[(run << 4) | s]
+                    wtr.put(code, ln)
+                    wtr.put(bits, s)
+                    run = 0
+                if last_nz < len(vals) - 1:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    def ac_refine(ci, ss, se, al):
+        wtr = _BitWriter()
+        eobrun = 0
+        eob_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, eob_bits
+            if eobrun:
+                r4 = eobrun.bit_length() - 1
+                code, ln = ac_tab[r4 << 4]
+                wtr.put(code, ln)
+                if r4:
+                    wtr.put(eobrun - (1 << r4), r4)
+                for b in eob_bits:
+                    wtr.put(b, 1)
+                eob_bits = []
+                eobrun = 0
+
+        for row in range(nh[ci]):
+            for col in range(nw[ci]):
+                zz = czz[ci][row * bpr[ci] + col]
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                signs = [int(zz[k]) >= 0 for k in range(ss, se + 1)]
+                eob_idx = -1
+                for i, m in enumerate(absv):
+                    if m == 1:
+                        eob_idx = i  # last NEWLY nonzero coefficient
+                r = 0
+                br: list[int] = []
+                for i, m in enumerate(absv):
+                    if m == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob_idx:
+                        flush_eob()
+                        code, ln = ac_tab[0xF0]
+                        wtr.put(code, ln)
+                        r -= 16
+                        for b in br:
+                            wtr.put(b, 1)
+                        br = []
+                    if m > 1:  # already visible: one correction bit
+                        br.append(m & 1)
+                        continue
+                    flush_eob()
+                    code, ln = ac_tab[(r << 4) | 1]
+                    wtr.put(code, ln)
+                    wtr.put(1 if signs[i] else 0, 1)
+                    for b in br:
+                        wtr.put(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    eob_bits.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    all_comps = [(ci + 1, ci if ci < 2 else 1, 0) for ci in range(ncomp)]
+    out = b""
+    out += _sos(all_comps, 0, 0, 0, 1) + dc_scan(1, refine=False)
+    for ci in range(ncomp):
+        one = [(ci + 1, 0, 0)]
+        out += _sos(one, 1, 5, 0, 1) + ac_first(ci, 1, 5, 1)
+        out += _sos(one, 6, 63, 0, 1) + ac_first(ci, 6, 63, 1)
+    out += _sos(all_comps, 0, 0, 1, 0) + dc_scan(0, refine=True)
+    for ci in range(ncomp):
+        one = [(ci + 1, 0, 0)]
+        out += _sos(one, 1, 63, 1, 0) + ac_refine(ci, 1, 63, 0)
+    return out
+
+
 # --------------------------------------------------------------- decode
 
 
@@ -446,14 +665,15 @@ class _BitReader:
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (h, w) uint8 (grayscale) or (h, w, 3)
-    uint8 RGB."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to (h, w)
+    uint8 grayscale or (h, w, 3) uint8 RGB."""
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
     comps: list[dict] = []
     n = len(data)
@@ -485,7 +705,7 @@ def decode(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 huff[(tc, th)] = _build_huffman(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise JpegUnsupported(f"{prec}-bit samples unsupported")
@@ -496,9 +716,10 @@ def decode(data: bytes) -> np.ndarray:
                     "id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq,
                 })
             frame = (h, w, ncomp)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise JpegUnsupported(f"non-baseline frame marker FF{marker:02X}")
+            raise JpegUnsupported(f"unsupported frame marker FF{marker:02X}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows the segment
@@ -509,13 +730,212 @@ def decode(data: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
                 comp = next(c for c in comps if c["id"] == cs)
-                scan.append({**comp, "td": tdta >> 4, "ta": tdta & 0xF})
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qt, huff, restart_interval
+                if progressive:
+                    comp["td"], comp["ta"] = tdta >> 4, tdta & 0xF
+                    scan.append(comp)  # shared dict: coef accumulates
+                else:
+                    scan.append({**comp, "td": tdta >> 4, "ta": tdta & 0xF})
+            if not progressive:
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qt, huff, restart_interval
+                )
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            _alloc_progressive(frame, comps)
+            pos = _decode_prog_scan(
+                data, pos + seglen, frame, comps, scan, huff,
+                restart_interval, ss, se, ahal >> 4, ahal & 0xF,
             )
+            continue
         # APPn/COM/unknown: skip
         pos += seglen
+    if progressive and comps and "zz" in comps[0]:
+        for c in comps:
+            n = len(c["zz"])
+            nat = np.zeros((n, 64), dtype=np.int64)
+            nat[:, ZIGZAG] = c["zz"]
+            c["coef"] = nat.reshape(n, 8, 8)
+        return _reconstruct(frame, comps, qt)
     raise JpegError("no scan data found")
+
+
+def _alloc_progressive(frame, comps) -> None:
+    """Per-component DCT coefficient accumulators (zigzag order), sized
+    on the frame's MCU grid; plus the NON-padded block dims that
+    non-interleaved scans cover (T.81 A.2.2: ceil(comp_size/8), without
+    the MCU-alignment padding blocks interleaved scans carry)."""
+    if "zz" in comps[0]:
+        return
+    h, w, _ = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
+        c["bw"] = bw
+        c["zz"] = np.zeros((bh * bw, 64), dtype=np.int64)
+        cw = -(-(w * c["h"]) // hmax)  # component sample dims (A.1.1)
+        ch = -(-(h * c["v"]) // vmax)
+        c["nw"] = -(-cw // 8)
+        c["nh"] = -(-ch // 8)
+
+
+def _decode_prog_scan(
+    data, pos, frame, comps, scan, huff, restart_interval, ss, se, ah, al
+):
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved when
+    the scan lists several components), AC first/refine (always a single
+    component, non-interleaved). Returns the offset of the next marker."""
+    h, w, _ = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    r = _BitReader(data, pos)
+
+    def rst(n_unit, state_reset):
+        if restart_interval and n_unit and n_unit % restart_interval == 0:
+            m = r.align_to_marker()
+            if not 0xD0 <= m <= 0xD7:
+                raise JpegError(f"expected RSTn, got FF{m:02X}")
+            state_reset()
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise JpegError("DC scan must have Se=0")
+        interleaved = len(scan) > 1
+        pred = [0] * len(scan)
+        n_mcu = 0
+        units = (
+            [(my, mx) for my in range(mcus_y) for mx in range(mcus_x)]
+            if interleaved
+            else [(row, col) for row in range(scan[0]["nh"])
+                  for col in range(scan[0]["nw"])]
+        )
+        for uy, ux in units:
+            def _reset():
+                pred[:] = [0] * len(scan)
+            rst(n_mcu, _reset)
+            n_mcu += 1
+            for si, c in enumerate(scan):
+                sv, sh = (c["v"], c["h"]) if interleaved else (1, 1)
+                for by in range(sv):
+                    for bx in range(sh):
+                        if interleaved:
+                            idx = (uy * sv + by) * c["bw"] + (ux * sh + bx)
+                        else:
+                            idx = uy * c["bw"] + ux
+                        if ah == 0:
+                            size = r.huff(huff[(0, c["td"])])
+                            diff = _extend(r.get(size), size) if size else 0
+                            pred[si] += diff
+                            c["zz"][idx, 0] = pred[si] << al
+                        elif r.get(1):
+                            c["zz"][idx, 0] |= 1 << al
+    else:  # AC scan: exactly one component, non-interleaved
+        if len(scan) != 1:
+            raise JpegError("progressive AC scan must be single-component")
+        c = scan[0]
+        ac_t = huff[(1, c["ta"])]
+        zz = c["zz"]
+        eobrun = 0
+        n_blk = 0
+        for row in range(c["nh"]):
+            for col in range(c["nw"]):
+                def _reset():
+                    nonlocal eobrun
+                    eobrun = 0
+                rst(n_blk, _reset)
+                n_blk += 1
+                b = zz[row * c["bw"] + col]
+                if ah == 0:
+                    eobrun = _prog_ac_first_block(r, ac_t, b, ss, se, al, eobrun)
+                else:
+                    eobrun = _prog_ac_refine_block(r, ac_t, b, ss, se, al, eobrun)
+    return _skip_to_marker(data, r.pos)
+
+
+def _prog_ac_first_block(r, ac_t, b, ss, se, al, eobrun) -> int:
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = r.huff(ac_t)
+        r4, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r4 == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r4) - 1
+            if r4:
+                eobrun += r.get(r4)
+            break
+        k += r4
+        if k > se:
+            raise JpegError("AC run past band end")
+        b[k] = _extend(r.get(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine_block(r, ac_t, b, ss, se, al, eobrun) -> int:
+    """Successive-approximation AC refinement (T.81 G.1.2.3 / the
+    jdphuff recipe): newly-nonzero coefficients arrive as ±1<<Al with a
+    sign bit; every already-nonzero coefficient visited on the way —
+    including the tail of EOB-run blocks — receives one correction bit."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = r.huff(ac_t)
+            r4, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r4 < 15:
+                    eobrun = 1 << r4
+                    if r4:
+                        eobrun += r.get(r4)
+                    break
+                # r4 == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise JpegError("refinement scan carries size > 1")
+                val = p1 if r.get(1) else m1
+            while k <= se:
+                if b[k] != 0:
+                    if r.get(1) and (b[k] & p1) == 0:
+                        b[k] += p1 if b[k] > 0 else m1
+                else:
+                    if r4 == 0:
+                        break
+                    r4 -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise JpegError("refinement placement past band end")
+                b[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if b[k] != 0 and r.get(1) and (b[k] & p1) == 0:
+                b[k] += p1 if b[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _skip_to_marker(data: bytes, p: int) -> int:
+    """Advance past entropy data/fill bytes to the next non-RST,
+    non-stuffing marker's 0xFF."""
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return p
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
@@ -575,8 +995,17 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                         c["coef"][row * c["bw"] + col] = blk.reshape(8, 8)
             n_mcu += 1
 
+    return _reconstruct(frame, scan, qt)
+
+
+def _reconstruct(frame, comps, qt) -> np.ndarray:
+    """Dequantize + IDCT + chroma upsample + color convert the decoded
+    coefficient grids (shared by the baseline and progressive paths)."""
+    h, w, _ = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
-    for c in scan:
+    for c in comps:
         deq = c["coef"].astype(np.float64) * qt[c["tq"]][None].astype(np.float64)
         spatial = _idct_blocks(deq) + 128.0
         bw = c["bw"]

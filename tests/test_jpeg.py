@@ -77,12 +77,71 @@ class TestRoundTrip:
         assert _psnr(img, dec) > 20  # worst-case content still bounded
 
 
+class TestProgressive:
+    """SOF2: spectral selection + successive approximation. The decoder
+    must reconstruct EXACTLY the coefficients the baseline path decodes
+    from the same quantized data, so progressive and baseline pixels are
+    asserted bit-identical — the strongest check every scan type (DC
+    first/refine, AC first with cross-block EOB runs, AC refinement with
+    correction bits) must jointly pass."""
+
+    @pytest.mark.parametrize("sub", ["444", "422", "420"])
+    def test_pixels_identical_to_baseline(self, sub):
+        img = _smooth_rgb()
+        dec_p = jpeg.decode(jpeg.encode(img, 85, sub, progressive=True))
+        dec_b = jpeg.decode(jpeg.encode(img, 85, sub))
+        assert np.array_equal(dec_p, dec_b)
+
+    def test_grayscale_odd_dims(self):
+        g = (np.outer(np.arange(37), np.ones(53)) * 5 % 256).astype(np.uint8)
+        dp = jpeg.decode(jpeg.encode(g, quality=90, progressive=True))
+        db = jpeg.decode(jpeg.encode(g, quality=90))
+        assert np.array_equal(dp, db)
+
+    def test_constant_image_long_eob_runs(self):
+        # every AC block empty -> one EOB run spanning the whole scan
+        c = np.full((48, 64, 3), 77, np.uint8)
+        assert np.array_equal(jpeg.decode(jpeg.encode(c, 95, progressive=True)), c)
+
+    def test_noise_dense_coefficients(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (40, 24, 3), dtype=np.uint8)
+        dec_p = jpeg.decode(jpeg.encode(img, 95, progressive=True))
+        dec_b = jpeg.decode(jpeg.encode(img, 95))
+        assert np.array_equal(dec_p, dec_b)
+
+    def test_sparse_spikes_exercise_zrl_paths(self):
+        # mostly-flat image with isolated hard edges -> long zero runs
+        # around isolated coefficients in both first and refine scans
+        img = np.full((32, 32, 3), 128, np.uint8)
+        img[7, 9] = 255
+        img[20, 25] = 0
+        img[13, 2, 0] = 200
+        dec_p = jpeg.decode(jpeg.encode(img, 95, progressive=True))
+        dec_b = jpeg.decode(jpeg.encode(img, 95))
+        assert np.array_equal(dec_p, dec_b)
+
+    def test_odd_dims_420(self):
+        img = _smooth_rgb(33, 41)
+        dec_p = jpeg.decode(jpeg.encode(img, 85, "420", progressive=True))
+        dec_b = jpeg.decode(jpeg.encode(img, 85, "420"))
+        assert np.array_equal(dec_p, dec_b)
+
+    def test_decode_image_progressive(self):
+        from jackfruit_spark.multimodal import decode_image
+
+        img = _smooth_rgb(24, 24)
+        out = decode_image(jpeg.encode(img, 90, progressive=True))
+        assert out.shape == (24, 24, 3)
+        assert _psnr(img, out) > 35
+
+
 class TestStreamContract:
-    def test_progressive_raises_unsupported(self):
+    def test_hierarchical_raises_unsupported(self):
         img = _smooth_rgb(16, 16)
         enc = bytearray(jpeg.encode(img))
         i = enc.find(b"\xff\xc0")
-        enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        enc[i + 1] = 0xC3  # SOF3 (lossless) — outside scope
         with pytest.raises(NotImplementedError):
             jpeg.decode(bytes(enc))
         with pytest.raises(jpeg.JpegUnsupported):
