@@ -226,3 +226,39 @@ def test_422_subsampling_roundtrip():
     assert _psnr(img, dec) > 28
     # size sits between 444 and 420 at the same quality
     assert len(jpeg.encode(img, 90, "420")) < len(enc) < len(jpeg.encode(img, 90, "444"))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(8, 40),
+    st.integers(8, 40),
+    st.sampled_from([60, 80, 95]),
+    st.sampled_from(["444", "422", "420"]),
+    st.booleans(),
+)
+def test_property_fuzz(seed, h, w, quality, sub, gray):
+    """Random content/dims/settings: baseline and progressive decodes of
+    the same quantized data must agree exactly, and the round-trip must
+    stay within a loose PSNR floor."""
+    rng = np.random.default_rng(seed)
+    kind = int(rng.integers(0, 3))
+    if kind == 0:
+        img = rng.integers(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8)
+    elif kind == 1:
+        base = np.add.outer(np.arange(h) * 3, np.arange(w) * 5) % 256
+        img = base if gray else np.stack([base, 255 - base, base // 2], axis=-1)
+        img = img.astype(np.uint8)
+    else:
+        img = np.full((h, w) if gray else (h, w, 3), int(rng.integers(0, 256)),
+                      dtype=np.uint8)
+    dec_b = jpeg.decode(jpeg.encode(img, quality, sub))
+    dec_p = jpeg.decode(jpeg.encode(img, quality, sub, progressive=True))
+    assert np.array_equal(dec_b, dec_p)
+    assert dec_b.shape[:2] == (h, w)
+    if kind == 2:  # constant image: near-exact at any quality
+        assert _psnr(img, dec_b) > 45
