@@ -16,11 +16,14 @@ Design for a 100 TB training-data pipeline:
   selection + successive approximation — the repo's own pure-numpy
   codec, ``sources/jpeg.py``, r6), **WAV PCM** (8/16-bit via the stdlib
   ``wave`` module) and **G.711 µ-law/A-law WAV** (manual RIFF walk +
-  expansion tables) decode FOR REAL; payloads in formats still needing
-  external codecs (MP3, video containers) fall back to the deterministic
-  fake kernel when ``fake=True`` or raise NotImplementedError. The
-  Spark-side plumbing (schema, batching, partitioning, UDF signatures)
-  is identical either way.
+  expansion tables) decode FOR REAL, and **MP4 container metadata**
+  (box-tree walk, ``sources/mp4.py`` — duration/codec/dims/frame
+  timestamps for ``video_metadata`` and ``sample_frames_container``)
+  parses FOR REAL; payloads in formats still needing external codecs
+  (MP3, video frame pixels) fall back to the deterministic fake kernel
+  when ``fake=True`` or raise NotImplementedError. The Spark-side
+  plumbing (schema, batching, partitioning, UDF signatures) is identical
+  either way.
 """
 
 from __future__ import annotations
@@ -498,4 +501,122 @@ def resize_images(df: DataFrame, width: int = 4, height: int = 4, fake: bool = T
         df.filter(F.col("modality") == "image")
         .select("media_id", "payload")
         .mapInPandas(do_resize, schema=RESIZED)
+    )
+
+
+VIDEO_META = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("brand", StringType(), True),
+        StructField("container_duration_ms", DoubleType(), True),
+        StructField("codec", StringType(), True),
+        StructField("width", DoubleType(), True),
+        StructField("height", DoubleType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("fps", DoubleType(), True),
+    ]
+)
+
+
+def video_metadata(df: DataFrame) -> DataFrame:
+    """REAL video-container metadata (r6): the MP4/ISO-BMFF box tree
+    parses with the stdlib (sources/mp4.py) even though frame PIXEL
+    decode stays codec-gated — duration, codec fourcc, dimensions, frame
+    count and fps come from mvhd/tkhd/stsd/stts, not caller-supplied
+    metadata. Non-MP4 payloads yield NULL fields."""
+    from pyspark.sql import SparkSession
+
+    from jackfruit_spark._ship import ensure_shipped
+    from jackfruit_spark.sources.mp4 import Mp4Error, parse_mp4
+
+    ensure_shipped(SparkSession.getActiveSession() or df.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    info = parse_mp4(bytes(b))
+                    vts = info.video_tracks
+                    v = vts[0] if vts else None
+                    dur = info.duration_ms
+                    nf = v.n_samples if v else None
+                    fps = (
+                        nf * 1000.0 / v.duration_ms
+                        if v and v.duration_ms > 0 and nf
+                        else None
+                    )
+                    rows.append(
+                        (int(mid), info.brand, dur,
+                         v.codec if v else None,
+                         v.width if v else None, v.height if v else None,
+                         nf, fps)
+                    )
+                except (Mp4Error, ValueError, struct.error):
+                    rows.append((int(mid), None, None, None, None, None,
+                                 None, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_META.fields]
+            )
+
+    return (
+        df.filter(F.col("modality") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(extract, schema=VIDEO_META)
+    )
+
+
+FRAME_SCHEDULE = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("schedule_ms", LongType(), False),
+        StructField("frame_ts_ms", DoubleType(), True),
+        StructField("frame_index", LongType(), True),
+    ]
+)
+
+
+def sample_frames_container(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling against REAL container timing: for each schedule
+    tick, snap to the latest actual frame timestamp <= tick (the same
+    as-of/snap semantics as the grid read path) using the stts table —
+    so downstream extraction seeks true frames, not nominal times.
+    Payloads that do not parse emit no rows (metadata-only
+    `sample_frames` remains the fallback)."""
+    from pyspark.sql import SparkSession
+
+    from jackfruit_spark._ship import ensure_shipped
+    from jackfruit_spark.sources.mp4 import Mp4Error, parse_mp4
+
+    ensure_shipped(SparkSession.getActiveSession() or df.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    info = parse_mp4(bytes(b))
+                except (Mp4Error, ValueError, struct.error):
+                    continue
+                vts = info.video_tracks
+                if not vts:
+                    continue
+                times = vts[0].sample_times_ms()
+                if not times:
+                    continue
+                end = int(vts[0].duration_ms)
+                for tick in range(0, end + 1, every_ms):
+                    i = bisect.bisect_right(times, tick) - 1
+                    if i >= 0:
+                        rows.append((int(mid), tick, times[i], i))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEDULE.fields]
+            )
+
+    return (
+        df.filter(F.col("modality") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(extract, schema=FRAME_SCHEDULE)
     )

@@ -1,0 +1,190 @@
+"""MP4 / ISO base-media (ISO/IEC 14496-12) container metadata — pure
+struct walk, no codec.
+
+Video PIXEL decode genuinely needs a codec library (absent here, stated
+in multimodal.py), but the CONTAINER is just a box tree: everything a
+training pipeline's frame-sampling and filtering stages need — duration,
+timescale, track types, codec fourccs, dimensions, and the exact
+per-sample (frame) timestamps from the stts table — parses with the
+stdlib. This powers `multimodal.sample_frames` schedules from REAL
+container data instead of caller-supplied duration metadata.
+
+Box grammar: [u32 size][4cc type][payload]; size==1 -> u64 largesize
+follows; size==0 -> box extends to EOF. Containers (moov/trak/mdia/minf/
+stbl) nest. Versioned "full boxes" (mvhd/tkhd/mdhd/stts/...) start with
+u8 version + 24-bit flags and widen their fields at version 1.
+
+Validated by round-trip against a minimal writer in the tests (the same
+validation pattern as the CCSDS/JPEG codecs: both directions from the
+public spec, crafted-stream pins for the on-wire conventions).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+
+class Mp4Error(ValueError):
+    pass
+
+
+CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"mvex"}
+HANDLER_TYPES = {b"vide": "video", b"soun": "audio", b"text": "text",
+                 b"subt": "subtitle", b"meta": "metadata", b"hint": "hint"}
+
+
+@dataclass
+class Mp4Track:
+    track_id: int
+    handler: str  # 'video' | 'audio' | ...
+    codec: str | None  # sample-entry fourcc, e.g. 'avc1', 'mp4a'
+    timescale: int
+    duration_ms: float
+    width: float | None
+    height: float | None
+    n_samples: int
+    sample_deltas: list[tuple[int, int]]  # stts (count, delta) runs
+
+    def sample_times_ms(self, limit: int | None = None) -> list[float]:
+        """Decode timestamps of each sample (frame) from the stts runs."""
+        out: list[float] = []
+        t = 0
+        for count, delta in self.sample_deltas:
+            for _ in range(count):
+                if limit is not None and len(out) >= limit:
+                    return out
+                out.append(t * 1000.0 / self.timescale)
+                t += delta
+        return out
+
+
+@dataclass
+class Mp4Info:
+    brand: str | None
+    timescale: int
+    duration_ms: float
+    tracks: list[Mp4Track] = field(default_factory=list)
+
+    @property
+    def video_tracks(self) -> list[Mp4Track]:
+        return [t for t in self.tracks if t.handler == "video"]
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4 : pos + 8]
+        head = 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            head = 16
+        elif size == 0:
+            size = end - pos
+        if size < head or pos + size > end:
+            raise Mp4Error(f"bad box size {size} at offset {pos}")
+        yield btype, pos + head, pos + size
+        pos += size
+
+
+def _full_box(data: bytes, p: int) -> tuple[int, int]:
+    """(version, payload offset after version/flags)."""
+    return data[p], p + 4
+
+
+def parse_mp4(data: bytes) -> Mp4Info:
+    """Parse the box tree into movie + per-track metadata."""
+    brand = None
+    timescale, duration = 1, 0
+    tracks: list[Mp4Track] = []
+    saw_moov = False
+    for btype, p, e in _iter_boxes(data, 0, len(data)):
+        if btype == b"ftyp":
+            brand = data[p : p + 4].decode("latin-1")
+        elif btype == b"moov":
+            saw_moov = True
+            for bt2, p2, e2 in _iter_boxes(data, p, e):
+                if bt2 == b"mvhd":
+                    v, q = _full_box(data, p2)
+                    if v == 1:
+                        timescale = struct.unpack_from(">I", data, q + 16)[0]
+                        duration = struct.unpack_from(">Q", data, q + 20)[0]
+                    else:
+                        timescale = struct.unpack_from(">I", data, q + 8)[0]
+                        duration = struct.unpack_from(">I", data, q + 12)[0]
+                elif bt2 == b"trak":
+                    tracks.append(_parse_trak(data, p2, e2))
+    if not saw_moov:
+        raise Mp4Error("no moov box (not an MP4, or metadata-at-end file "
+                       "truncated before the moov)")
+    return Mp4Info(
+        brand=brand,
+        timescale=timescale,
+        duration_ms=duration * 1000.0 / max(timescale, 1),
+        tracks=tracks,
+    )
+
+
+def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
+    track_id = 0
+    width = height = None
+    handler = "unknown"
+    codec = None
+    tsc, dur = 1, 0
+    n_samples = 0
+    deltas: list[tuple[int, int]] = []
+    for bt, p, e in _iter_boxes(data, start, end):
+        if bt == b"tkhd":
+            v, q = _full_box(data, p)
+            track_id = struct.unpack_from(
+                ">I", data, q + (16 if v == 1 else 8)
+            )[0]
+            # width/height: last 8 bytes, 16.16 fixed point
+            width = struct.unpack_from(">I", data, e - 8)[0] / 65536.0
+            height = struct.unpack_from(">I", data, e - 4)[0] / 65536.0
+        elif bt == b"mdia":
+            for bt2, p2, e2 in _iter_boxes(data, p, e):
+                if bt2 == b"mdhd":
+                    v, q = _full_box(data, p2)
+                    if v == 1:
+                        tsc = struct.unpack_from(">I", data, q + 16)[0]
+                        dur = struct.unpack_from(">Q", data, q + 20)[0]
+                    else:
+                        tsc = struct.unpack_from(">I", data, q + 8)[0]
+                        dur = struct.unpack_from(">I", data, q + 12)[0]
+                elif bt2 == b"hdlr":
+                    _, q = _full_box(data, p2)
+                    handler = HANDLER_TYPES.get(
+                        data[q + 4 : q + 8], data[q + 4 : q + 8].decode("latin-1")
+                    )
+                elif bt2 == b"minf":
+                    for bt3, p3, e3 in _iter_boxes(data, p2, e2):
+                        if bt3 != b"stbl":
+                            continue
+                        for bt4, p4, e4 in _iter_boxes(data, p3, e3):
+                            if bt4 == b"stsd":
+                                _, q = _full_box(data, p4)
+                                for sb, sp, _se in _iter_boxes(data, q + 4, e4):
+                                    codec = sb.decode("latin-1")
+                                    break
+                            elif bt4 == b"stts":
+                                _, q = _full_box(data, p4)
+                                (n_ent,) = struct.unpack_from(">I", data, q)
+                                for i in range(n_ent):
+                                    c, d = struct.unpack_from(
+                                        ">II", data, q + 4 + 8 * i
+                                    )
+                                    deltas.append((c, d))
+                                    n_samples += c
+    return Mp4Track(
+        track_id=track_id,
+        handler=handler,
+        codec=codec,
+        timescale=max(tsc, 1),
+        duration_ms=dur * 1000.0 / max(tsc, 1),
+        width=width,
+        height=height,
+        n_samples=n_samples,
+        sample_deltas=deltas,
+    )

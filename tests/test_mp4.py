@@ -1,0 +1,142 @@
+"""MP4/ISO-BMFF container metadata (sources/mp4.py): box-tree walk
+against a minimal writer (v0 + v1 full boxes, 64-bit sizes, 16.16 dims,
+multi-run stts), plus the Spark video_metadata / frame-schedule stages."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from jackfruit_spark.sources import mp4
+
+
+def _box(btype: bytes, payload: bytes, large: bool = False) -> bytes:
+    if large:
+        return struct.pack(">I", 1) + btype + struct.pack(">Q", 16 + len(payload)) + payload
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(version: int, payload: bytes) -> bytes:
+    return bytes([version, 0, 0, 0]) + payload
+
+
+def _make_mp4(
+    *,
+    timescale=1000,
+    duration=5000,
+    v1=False,
+    track_timescale=30,
+    stts=((150, 1),),  # 150 frames at delta 1 (30 fps for 5 s)
+    width=640.0,
+    height=360.0,
+    codec=b"avc1",
+    handler=b"vide",
+    large_moov=False,
+) -> bytes:
+    if v1:
+        mvhd = _full(1, struct.pack(">QQIQ", 0, 0, timescale, duration) + b"\x00" * 80)
+        mdhd = _full(1, struct.pack(">QQIQ", 0, 0, track_timescale,
+                                    sum(c * d for c, d in stts)) + b"\x00\x00\x00\x00")
+    else:
+        mvhd = _full(0, struct.pack(">IIII", 0, 0, timescale, duration) + b"\x00" * 80)
+        mdhd = _full(0, struct.pack(">IIII", 0, 0, track_timescale,
+                                    sum(c * d for c, d in stts)) + b"\x00\x00\x00\x00")
+    # v0 tkhd: ctime mtime id res dur res8 layer alt vol res matrix36 w h
+    tkhd = _full(0, struct.pack(">III", 0, 0, 7) + b"\x00" * 60
+                 + struct.pack(">II", int(width * 65536), int(height * 65536)))
+    hdlr = _full(0, b"\x00\x00\x00\x00" + handler + b"\x00" * 12 + b"h\x00")
+    stts_body = _full(0, struct.pack(">I", len(stts))
+                      + b"".join(struct.pack(">II", c, d) for c, d in stts))
+    sample_entry = _box(codec, b"\x00" * 78)  # opaque body: only the fourcc matters
+    stsd = _full(0, struct.pack(">I", 1) + sample_entry)
+    stbl = _box(b"stbl", _box(b"stsd", stsd) + _box(b"stts", stts_body))
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", _box(b"mdhd", mdhd) + _box(b"hdlr", hdlr) + minf)
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak, large=large_moov)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov + _box(b"mdat", b"\x00" * 32)
+
+
+def test_parse_v0():
+    info = mp4.parse_mp4(_make_mp4())
+    assert info.brand == "isom"
+    assert info.duration_ms == pytest.approx(5000.0)
+    (t,) = info.video_tracks
+    assert t.handler == "video" and t.codec == "avc1"
+    assert (t.width, t.height) == (640.0, 360.0)
+    assert t.n_samples == 150
+    assert t.duration_ms == pytest.approx(5000.0)  # 150 deltas of 1/30 s
+    times = t.sample_times_ms(limit=4)
+    assert times == pytest.approx([0.0, 1000 / 30, 2000 / 30, 100.0])
+
+
+def test_parse_v1_and_large_box():
+    info = mp4.parse_mp4(_make_mp4(v1=True, large_moov=True))
+    assert info.duration_ms == pytest.approx(5000.0)
+    assert info.video_tracks[0].n_samples == 150
+
+
+def test_multi_run_stts():
+    # variable frame rate: 10 frames at 1/10 s then 20 at 1/40 s
+    info = mp4.parse_mp4(_make_mp4(track_timescale=40, stts=((10, 4), (20, 1))))
+    (t,) = info.video_tracks
+    assert t.n_samples == 30
+    times = t.sample_times_ms()
+    assert times[1] - times[0] == pytest.approx(100.0)
+    assert times[11] - times[10] == pytest.approx(25.0)
+
+
+def test_audio_track_classified():
+    info = mp4.parse_mp4(_make_mp4(handler=b"soun", codec=b"mp4a"))
+    assert info.video_tracks == []
+    assert info.tracks[0].handler == "audio" and info.tracks[0].codec == "mp4a"
+
+
+def test_not_mp4_raises():
+    with pytest.raises(mp4.Mp4Error):
+        mp4.parse_mp4(b"\x00" * 3)
+    with pytest.raises(mp4.Mp4Error):
+        mp4.parse_mp4(_box(b"free", b"xx"))  # boxes but no moov
+
+
+def test_video_metadata_stage(spark):
+    from jackfruit_spark import multimodal as mm
+
+    good = _make_mp4()
+    rows = [
+        (1, "video", bytearray(good), None),
+        (2, "video", bytearray(b"not an mp4 at all"), None),
+        (3, "audio", bytearray(b"x"), None),  # filtered out
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary, duration_ms int"
+    )
+    out = {r["media_id"]: r for r in mm.video_metadata(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["codec"] == "avc1" and out[1]["n_frames"] == 150
+    assert out[1]["fps"] == pytest.approx(30.0)
+    assert out[1]["container_duration_ms"] == pytest.approx(5000.0)
+    assert out[2]["codec"] is None and out[2]["n_frames"] is None
+
+
+def test_sample_frames_container_snaps_to_real_frames(spark):
+    from jackfruit_spark import multimodal as mm
+
+    # 10 fps video, 2 s: frames at 0, 100, 200, ... 1900 ms
+    payload = _make_mp4(track_timescale=10, stts=((20, 1),), duration=2000)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(payload), None)],
+        "media_id long, modality string, payload binary, duration_ms int",
+    )
+    rows = sorted(
+        mm.sample_frames_container(df, every_ms=300).collect(),
+        key=lambda r: r["schedule_ms"],
+    )
+    # schedule 0,300,...,1800 -> snap to latest frame <= tick
+    assert [r["schedule_ms"] for r in rows] == list(range(0, 2000, 300))
+    assert [r["frame_ts_ms"] for r in rows] == [
+        0.0, 300.0, 600.0, 900.0, 1200.0, 1500.0, 1800.0
+    ]
+    assert [r["frame_index"] for r in rows] == [0, 3, 6, 9, 12, 15, 18]
