@@ -443,10 +443,20 @@ def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
                     else:
                         durs.append(len(wav) // 16)  # fake kernel: 16 kHz
                 except NotImplementedError:
-                    rms.append(None)
+                    rms.append(None)  # samples undecodable — honest NULL
                     cents.append(None)
                     zcrs.append(None)
-                    durs.append(int(dur) if pd.notna(dur) else None)
+                    if pd.notna(dur):
+                        durs.append(int(dur))
+                    else:
+                        # MP3: sample decode is codec-gated but the frame
+                        # HEADERS parse for real (sources/mp4.parse_mp3)
+                        try:
+                            from jackfruit_spark.sources.mp4 import parse_mp3
+
+                            durs.append(int(parse_mp3(bytes(b)).duration_ms))
+                        except ValueError:
+                            durs.append(None)
             out["rms_energy"] = rms
             out["est_duration_ms"] = pd.array(durs, dtype="Int32")
             out["spectral_centroid_hz"] = pd.array(cents, dtype="float64")

@@ -188,3 +188,81 @@ def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
         n_samples=n_samples,
         sample_deltas=deltas,
     )
+
+
+# ----------------------------------------------------- MP3 frame headers
+#
+# Same layering as the MP4 box walk: SAMPLE decode needs a codec, but the
+# MPEG audio frame HEADERS are 4 plain bytes — enough for the metadata a
+# pipeline filters/budgets on (duration, bitrate mode, sample rate).
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96,
+                      112, 128, 160, 192, 224, 256, 320, 0]
+_MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56,
+                      64, 80, 96, 112, 128, 144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}  # MPEG1 / MPEG2 / MPEG2.5
+
+
+@dataclass
+class Mp3Info:
+    n_frames: int
+    duration_ms: float
+    sample_rate: int
+    bitrate_kbps: float  # average (VBR-aware: per-frame mean)
+    channels: int
+
+
+def parse_mp3(data: bytes, max_frames: int | None = None) -> Mp3Info:
+    """Walk MPEG-1/2/2.5 Layer III frame headers (ID3v2 tag skipped).
+    Duration = frames x 1152 (or 576) samples / rate; bitrate averaged
+    per frame so VBR files report their true mean."""
+    pos = 0
+    if data[:3] == b"ID3":
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + size
+    n = len(data)
+    frames = 0
+    total_kbps = 0.0
+    rate = 0
+    channels = 2
+    samples_per_frame = 1152
+    while pos + 4 <= n:
+        if data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+            pos += 1  # resync (garbage between frames)
+            continue
+        ver = (data[pos + 1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (data[pos + 1] >> 1) & 0x3  # 1 = Layer III
+        if ver == 1 or layer != 1:
+            pos += 1
+            continue
+        br_idx = (data[pos + 2] >> 4) & 0xF
+        sr_idx = (data[pos + 2] >> 2) & 0x3
+        if sr_idx == 3 or br_idx in (0, 15):
+            pos += 1
+            continue
+        padding = (data[pos + 2] >> 1) & 0x1
+        mode = (data[pos + 3] >> 6) & 0x3
+        kbps = (_MP3_BITRATES_V1L3 if ver == 3 else _MP3_BITRATES_V2L3)[br_idx]
+        rate = _MP3_RATES[ver][sr_idx]
+        samples_per_frame = 1152 if ver == 3 else 576
+        flen = samples_per_frame // 8 * kbps * 1000 // rate + padding
+        if flen <= 4:
+            pos += 1
+            continue
+        frames += 1
+        total_kbps += kbps
+        channels = 1 if mode == 3 else 2
+        pos += flen
+        if max_frames is not None and frames >= max_frames:
+            break
+    if frames == 0:
+        raise Mp4Error("no MPEG audio frames found")
+    return Mp3Info(
+        n_frames=frames,
+        duration_ms=frames * samples_per_frame * 1000.0 / rate,
+        sample_rate=rate,
+        bitrate_kbps=total_kbps / frames,
+        channels=channels,
+    )

@@ -140,3 +140,63 @@ def test_sample_frames_container_snaps_to_real_frames(spark):
         0.0, 300.0, 600.0, 900.0, 1200.0, 1500.0, 1800.0
     ]
     assert [r["frame_index"] for r in rows] == [0, 3, 6, 9, 12, 15, 18]
+
+
+# ------------------------------------------------------ MP3 frame headers
+
+
+_BR_IDX = {32: 1, 40: 2, 48: 3, 56: 4, 64: 5, 80: 6, 96: 7, 112: 8,
+           128: 9, 160: 10, 192: 11, 224: 12, 256: 13, 320: 14}
+
+
+def _mp3_frame(kbps=128, rate_idx=0, pad=0, mono=False):
+    hdr = bytes([
+        0xFF, 0xFB,
+        (_BR_IDX[kbps] << 4) | (rate_idx << 2) | (pad << 1),
+        0xC0 if mono else 0x00,
+    ])
+    flen = 1152 // 8 * kbps * 1000 // 44100 + pad
+    return hdr + b"\x00" * (flen - 4)
+
+
+def test_mp3_cbr_with_id3_tag():
+    data = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + b"\x00" * 10 \
+        + b"".join(_mp3_frame() for _ in range(38))
+    info = mp4.parse_mp3(data)
+    assert info.n_frames == 38
+    assert info.sample_rate == 44100
+    assert info.bitrate_kbps == 128.0
+    assert info.duration_ms == pytest.approx(38 * 1152 * 1000 / 44100)
+    assert info.channels == 2
+
+
+def test_mp3_vbr_average_and_mono():
+    data = b"".join(_mp3_frame(kbps=k, mono=True) for k in (64, 128, 192, 128))
+    info = mp4.parse_mp3(data)
+    assert info.n_frames == 4
+    assert info.bitrate_kbps == pytest.approx((64 + 128 + 192 + 128) / 4)
+    assert info.channels == 1
+
+
+def test_mp3_resync_over_garbage():
+    data = _mp3_frame() + b"\x12\x34\x56" + _mp3_frame(pad=1) + _mp3_frame()
+    info = mp4.parse_mp3(data)
+    assert info.n_frames == 3
+
+
+def test_mp3_no_frames_raises():
+    with pytest.raises(mp4.Mp4Error):
+        mp4.parse_mp3(b"\x00" * 64)
+
+
+def test_audio_features_mp3_duration(spark):
+    from jackfruit_spark import multimodal as mm
+
+    payload = b"".join(_mp3_frame() for _ in range(77))
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(payload), None)],
+        "media_id long, modality string, payload binary, duration_ms int",
+    )
+    r = mm.audio_features(df, fake=False).collect()[0]
+    assert r["rms_energy"] is None  # samples genuinely undecodable
+    assert r["est_duration_ms"] == int(77 * 1152 * 1000 / 44100)
