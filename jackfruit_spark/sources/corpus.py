@@ -17,7 +17,13 @@ declared here so callers make a choice instead of inheriting one.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # documents.parquet schema (TESTDATA.md) + corrupt-record channel
 DOCUMENTS = StructType(
@@ -103,3 +109,62 @@ def write_documents_jsonl(df: DataFrame, path: str, compression: str | None = "g
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+# ------------------------------------------------------ WebDataset shards
+#
+# The standard large-scale multimodal training layout: tar "shards" whose
+# members group into samples by key (basename up to the first dot) —
+# 000001.jpg + 000001.json + 000001.txt is ONE sample. Tar is seekless
+# sequential I/O (why the format exists), so the Spark shape is the same
+# as GRIB/WARC: shards are non-splittable, binaryFile distributes whole
+# files, and the member walk runs in mapInPandas. At real scale the unit
+# of parallelism is the shard (shards are sized ~1 GB by convention).
+
+WDS_MEMBERS = StructType(
+    [
+        StructField("shard", StringType(), False),
+        StructField("sample_key", StringType(), False),
+        StructField("ext", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def scan_webdataset(spark: SparkSession, path_glob: str) -> DataFrame:
+    """binaryFile scan -> tar member walk -> one row per sample member
+    (sample_key, ext, payload). Compressed shards (.tar.gz) are handled
+    by tarfile transparently. Pivot/groupBy sample_key downstream to
+    assemble full samples; image members feed multimodal.decode_image
+    (PNG/JPEG real)."""
+    import io
+    import tarfile
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(spark)
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        base = m.name.rsplit("/", 1)[-1]
+                        dot = base.find(".")
+                        if dot <= 0:
+                            continue  # extensionless member: not a sample
+                        key, ext = base[:dot], base[dot + 1 :].lower()
+                        payload = tf.extractfile(m).read()
+                        rows.append((path, key, ext, payload, len(payload)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WDS_MEMBERS.fields]
+            )
+
+    return files.select("path", "content").mapInPandas(extract, schema=WDS_MEMBERS)

@@ -75,3 +75,77 @@ def test_jsonl_gzip_output(spark, tmp_path):
     with gzip.open(os.path.join(out, gz[0]), "rt") as f:
         first = json.loads(f.readline())
     assert "doc_id" in first
+
+
+class TestWebDataset:
+    """WebDataset tar shards: member walk, key grouping, gzip shards,
+    and real image decode over the extracted members."""
+
+    @staticmethod
+    def _shard(tmp_path, name, samples, gz=False):
+        import io
+        import tarfile
+
+        mode = "w:gz" if gz else "w"
+        p = tmp_path / name
+        with tarfile.open(p, mode) as tf:
+            for fname, payload in samples:
+                ti = tarfile.TarInfo(fname)
+                ti.size = len(payload)
+                tf.addfile(ti, io.BytesIO(payload))
+        return p
+
+    def test_scan_members_and_keys(self, spark, tmp_path):
+        import json
+
+        import numpy as np
+
+        from jackfruit_spark.sources import jpeg
+        from jackfruit_spark.sources.corpus import scan_webdataset
+
+        img = np.full((8, 8, 3), 50, np.uint8)
+        jpg = jpeg.encode(img, quality=95)
+        meta0 = json.dumps({"caption": "a gray square"}).encode()
+        meta1 = json.dumps({"caption": "another"}).encode()
+        self._shard(tmp_path, "shard-000.tar", [
+            ("000000.jpg", jpg),
+            ("000000.json", meta0),
+            ("000001.jpg", jpg),
+            ("000001.json", meta1),
+            ("ignore_me", b"no extension"),
+        ])
+        self._shard(tmp_path, "shard-001.tar.gz", [
+            ("000002.jpg", jpg),
+            ("000002.json", meta0),
+        ], gz=True)
+        df = scan_webdataset(spark, str(tmp_path))
+        rows = df.collect()
+        assert len(rows) == 6  # extensionless member skipped
+        by_key = {}
+        for r in rows:
+            by_key.setdefault(r["sample_key"], set()).add(r["ext"])
+        assert by_key == {
+            "000000": {"jpg", "json"},
+            "000001": {"jpg", "json"},
+            "000002": {"jpg", "json"},
+        }
+        # gzip shard contributed
+        assert any("shard-001" in r["shard"] for r in rows)
+
+    def test_members_decode_for_real(self, spark, tmp_path):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from jackfruit_spark import multimodal as mm
+        from jackfruit_spark.sources import jpeg
+        from jackfruit_spark.sources.corpus import scan_webdataset
+
+        img = np.full((8, 8, 3), 200, np.uint8)
+        self._shard(tmp_path, "s.tar", [("7.jpg", jpeg.encode(img, quality=95))])
+        members = scan_webdataset(spark, str(tmp_path))
+        media = members.filter(F.col("ext") == "jpg").select(
+            F.monotonically_increasing_id().alias("media_id"), "payload"
+        )
+        feats = mm.image_features(media, fake=False).collect()
+        assert len(feats) == 1
+        assert abs(float(feats[0]["mean_luma"]) - 200.0) < 2.0
