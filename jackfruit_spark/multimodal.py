@@ -38,6 +38,22 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+# Corrupt payloads in a dirty corpus raise more than NotImplementedError:
+# truncated PNG -> zlib.error / ValueError (IDAT size mismatch, palette
+# index), bad JPEG -> JpegError (a ValueError), malformed RIFF ->
+# ValueError / struct.error from the manual walk or EOFError from
+# wave.open, short MP3 -> IndexError. Feature stages emit NULL features
+# for all of these instead of failing the whole Spark task (matching the
+# video paths' (Mp4Error, ValueError, struct.error) discipline).
+_DECODE_ERRORS = (
+    ValueError,
+    NotImplementedError,
+    zlib.error,
+    struct.error,
+    EOFError,
+    IndexError,
+)
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -208,12 +224,13 @@ def _decode_png(data: bytes) -> np.ndarray:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an (h, w, channels) uint8 array.
 
-    PNG (8-bit non-interlaced) decodes FOR REAL via the stdlib
-    (zlib+struct), baseline JPEG via the repo's own pure-numpy codec
-    (``sources/jpeg.py`` — no external library). Remaining formats
-    (progressive JPEG, WebP, ...): with fake=True they fall back to a
-    deterministic pseudo-image derived from the payload hash (so
-    downstream plumbing stays testable); otherwise NotImplementedError."""
+    PNG (all color types / bit depths / interlace, see module docstring)
+    decodes FOR REAL via the stdlib (zlib+struct); JPEG — baseline AND
+    progressive (SOF0/SOF2) — via the repo's own pure-numpy codec
+    (``sources/jpeg.py``, no external library). Remaining formats (WebP,
+    ...): with fake=True they fall back to a deterministic pseudo-image
+    derived from the payload hash (so downstream plumbing stays
+    testable); otherwise NotImplementedError."""
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(bytes(payload))
     if payload[:2] == b"\xff\xd8":
@@ -223,9 +240,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return img[..., None] if img.ndim == 2 else img
     if not fake:
         raise NotImplementedError(
-            "PNG and baseline JPEG decode without external codecs; other "
-            "image formats are not available in this container — pass "
-            "fake=True for the deterministic test kernel"
+            "PNG and JPEG (baseline + progressive) decode without external "
+            "codecs; other image formats are not available in this "
+            "container — pass fake=True for the deterministic test kernel"
         )
     h = hashlib.sha256(payload).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
@@ -258,7 +275,7 @@ def image_features(df: DataFrame, fake: bool = True) -> DataFrame:
                     # luma over color channels only (alpha would bias it)
                     rgb = img[..., :3] if img.shape[2] >= 3 else img
                     lumas.append(f"{float(rgb.mean()):.4f}")
-                except NotImplementedError:
+                except _DECODE_ERRORS:
                     lumas.append(None)
             out["mean_luma"] = lumas
             yield pd.DataFrame(out)
@@ -374,7 +391,10 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 w.getnframes(),
             )
             raw = w.readframes(nframes)
-    except wave.Error:
+    # stdlib wave raises EOFError/RuntimeError (not just wave.Error) on
+    # corrupt chunk layouts — fall to the manual RIFF walk, which raises
+    # a proper ValueError for genuinely broken payloads
+    except (wave.Error, EOFError, RuntimeError):
         return _decode_wav_g711(data)
     if sw == 2:
         arr = np.frombuffer(raw, dtype="<i2").astype("float32") / 32768.0
@@ -442,7 +462,7 @@ def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
                         durs.append(int(len(wav) * 1000 // rate))
                     else:
                         durs.append(len(wav) // 16)  # fake kernel: 16 kHz
-                except NotImplementedError:
+                except _DECODE_ERRORS:
                     rms.append(None)  # samples undecodable — honest NULL
                     cents.append(None)
                     zcrs.append(None)
@@ -455,7 +475,7 @@ def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
                             from jackfruit_spark.sources.mp4 import parse_mp3
 
                             durs.append(int(parse_mp3(bytes(b)).duration_ms))
-                        except ValueError:
+                        except (ValueError, IndexError):
                             durs.append(None)
             out["rms_energy"] = rms
             out["est_duration_ms"] = pd.array(durs, dtype="Int32")
@@ -503,7 +523,7 @@ def resize_images(df: DataFrame, width: int = 4, height: int = 4, fake: bool = T
                     yi = np.linspace(0, img.shape[0] - 1, height).astype(int)
                     xi = np.linspace(0, img.shape[1] - 1, width).astype(int)
                     rows["pixels"].append(img[np.ix_(yi, xi)].tobytes())
-                except NotImplementedError:
+                except _DECODE_ERRORS:
                     rows["pixels"].append(None)
             yield pd.DataFrame(rows)
 
@@ -576,6 +596,9 @@ def video_metadata(df: DataFrame) -> DataFrame:
     )
 
 
+# ~10 M frames = ~46 h at 60 fps — anything larger is a corrupt stts table
+_MAX_FRAMES_PER_VIDEO = 10_000_000
+
 FRAME_SCHEDULE = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -613,7 +636,14 @@ def sample_frames_container(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                 vts = info.video_tracks
                 if not vts:
                     continue
-                times = vts[0].sample_times_ms()
+                # stts (count, delta) runs are raw u32 file fields — a
+                # corrupt/hostile count near 2^32 would build a
+                # multi-billion-entry list. Cap the expansion and treat
+                # absurd frame counts as unparseable.
+                ns = vts[0].n_samples
+                if ns is not None and ns > _MAX_FRAMES_PER_VIDEO:
+                    continue
+                times = vts[0].sample_times_ms(limit=_MAX_FRAMES_PER_VIDEO)
                 if not times:
                     continue
                 end = int(vts[0].duration_ms)

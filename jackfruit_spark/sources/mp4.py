@@ -218,7 +218,7 @@ def parse_mp3(data: bytes, max_frames: int | None = None) -> Mp3Info:
     Duration = frames x 1152 (or 576) samples / rate; bitrate averaged
     per frame so VBR files report their true mean."""
     pos = 0
-    if data[:3] == b"ID3":
+    if data[:3] == b"ID3" and len(data) >= 10:  # truncated ID3 header: no tag skip
         size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
             | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
         pos = 10 + size

@@ -55,6 +55,18 @@ WARC_RECORDS = StructType(
 
 _GZIP_MAGIC = b"\x1f\x8b"
 
+# Corrupt-record channel (ADVICE r6): a malformed record mid-file must not
+# fail the whole Spark task. The walk emits one sentinel record per broken
+# region (bad version line, unparsable Content-Length, gzip error) and stops
+# that buffer — scan_warc surfaces them as warc_type='_corrupt' rows so
+# callers can count/quarantine, mirroring the jsonl/csv curate paths.
+CORRUPT_TYPE = "_corrupt"
+
+
+def _corrupt(offset: int, why: str) -> tuple[dict[str, str], bytes]:
+    return {"warc-type": CORRUPT_TYPE, "x-corrupt-offset": str(offset),
+            "x-corrupt-reason": why, "content-length": "0"}, b""
+
 
 def _gunzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress a stream of concatenated gzip members one at a time
@@ -63,6 +75,8 @@ def _gunzip_members(data: bytes) -> Iterator[bytes]:
     while pos < len(data) and data[pos : pos + 2] == _GZIP_MAGIC:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
         out = d.decompress(data[pos:])
+        if not d.eof:  # truncated member: zlib returns partial data silently
+            raise zlib.error("truncated gzip member")
         yield out
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
@@ -74,8 +88,11 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
     """Yield (headers, payload) for every record in a WARC buffer —
     gzipped (member-per-record or whole-file) or plain."""
     if data[:2] == _GZIP_MAGIC:
-        for member in _gunzip_members(data):
-            yield from _iter_plain(member)
+        try:
+            for member in _gunzip_members(data):
+                yield from _iter_plain(member)
+        except zlib.error:
+            yield _corrupt(0, "gzip decompression failed")
         return
     yield from _iter_plain(data)
 
@@ -95,13 +112,18 @@ def _iter_plain(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         head = data[pos:head_end].decode("utf-8", "replace")
         lines = head.split("\r\n")
         if not lines[0].startswith("WARC/"):
-            raise ValueError(f"not a WARC record at offset {pos}")
+            yield _corrupt(pos, "not a WARC record")
+            return  # framing lost — remaining bytes are unrecoverable
         headers: dict[str, str] = {}
         for ln in lines[1:]:
             if ":" in ln:
                 k, v = ln.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            yield _corrupt(pos, "unparsable Content-Length")
+            return  # cannot advance past an unknown-length payload
         body_start = head_end + 4
         yield headers, data[body_start : body_start + length]
         pos = body_start + length
@@ -184,7 +206,9 @@ def scan_warc(
             for path, content in zip(pdf["path"], pdf["content"]):
                 for headers, payload in iter_warc_records(bytes(content)):
                     wtype = headers.get("warc-type")
-                    if want and wtype not in want:
+                    # corrupt sentinels always pass the filter — they are
+                    # the quarantine channel, countable downstream
+                    if want and wtype not in want and wtype != CORRUPT_TYPE:
                         continue
                     status, http_headers, body = split_http_response(payload)
                     ctype = http_headers.get("content-type", "")
@@ -212,7 +236,7 @@ def scan_warc(
 def warc_to_documents(scanned: DataFrame, source: str = "warc") -> DataFrame:
     """Bridge WARC responses into the curation family's ``documents``
     shape (doc_id, text, lang, source, n_chars): successful HTML
-    responses with non-empty extracted text, doc_id = stable 63-bit hash
+    responses with non-empty extracted text, doc_id = stable 62-bit hash
     of the record id (deterministic across re-runs — the key-hash
     sampling discipline, q54), lang via the n-gram heuristic
     (functions/text.lang_id). The output plugs straight into exact/fuzzy

@@ -200,3 +200,22 @@ def test_audio_features_mp3_duration(spark):
     r = mm.audio_features(df, fake=False).collect()[0]
     assert r["rms_energy"] is None  # samples genuinely undecodable
     assert r["est_duration_ms"] == int(77 * 1152 * 1000 / 44100)
+
+
+def test_mp3_truncated_id3_header():
+    # payload shorter than the 10-byte ID3v2 header must not IndexError
+    with pytest.raises(mp4.Mp4Error):
+        mp4.parse_mp3(b"ID3\x04")
+
+
+def test_sample_frames_container_hostile_stts(spark):
+    # corrupt/hostile stts count near 2^32 must not hang/OOM the executor:
+    # the frame-count cap treats it as unparseable (ADVICE r6)
+    from jackfruit_spark import multimodal as mm
+
+    hostile = _make_mp4(stts=((0xFFFFFFF0, 1),))
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(hostile), None)],
+        "media_id long, modality string, payload binary, duration_ms int",
+    )
+    assert mm.sample_frames_container(df).collect() == []

@@ -492,3 +492,34 @@ def test_audio_spectral_features_pure_tone(spark):
     r = mm.audio_features(df, fake=False).collect()[0]
     assert abs(r["spectral_centroid_hz"] - f) < 60.0
     assert abs(r["zero_cross_rate"] - 2 * f / rate) < 0.01
+
+
+def test_feature_stages_survive_corrupt_payloads(spark):
+    """Dirty-corpus robustness (ADVICE r6): corrupt payloads raise
+    zlib.error/ValueError/EOFError/struct.error/IndexError from the real
+    decoders — feature stages must emit NULL features, not fail the task."""
+    import numpy as np
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    good_png = _encode_png(img, filters=[0, 0, 0, 0])
+    truncated_png = good_png[:-20]       # cut mid-IDAT
+    bad_jpeg = b"\xff\xd8" + b"garbage" * 4
+    rows = [(1, "image", "png", bytearray(good_png), 4, 4, None, None),
+            (2, "image", "png", bytearray(truncated_png), 4, 4, None, None),
+            (3, "image", "jpeg", bytearray(bad_jpeg), None, None, None, None)]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA)
+    out = {r["media_id"]: r for r in mm.image_features(df, fake=False).collect()}
+    assert out[1]["mean_luma"] is not None   # the good one still decodes
+    assert out[2]["mean_luma"] is None and out[3]["mean_luma"] is None
+    assert all(len(r["sha256"]) == 64 for r in out.values())  # metadata real
+    pix = {r["media_id"]: r for r in mm.resize_images(df, fake=False).collect()}
+    assert pix[1]["pixels"] is not None and pix[2]["pixels"] is None
+
+    bad_wav = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"\xff" * 8
+    short_id3 = b"ID3\x04"                   # < 10-byte ID3 header
+    arows = [(1, "audio", "wav", bytearray(bad_wav), None, None, None, None),
+             (2, "audio", "mp3", bytearray(short_id3), None, None, None, None)]
+    adf = spark.createDataFrame(arows, schema=mm.MEDIA)
+    aout = {r["media_id"]: r for r in mm.audio_features(adf, fake=False).collect()}
+    assert aout[1]["rms_energy"] is None
+    assert aout[2]["rms_energy"] is None and aout[2]["est_duration_ms"] is None

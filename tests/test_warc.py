@@ -79,6 +79,40 @@ def test_record_walk_gzip_members(warc_bytes):
     assert len(list(warc.iter_warc_records(whole))) == 4
 
 
+def test_corrupt_record_channel(warc_bytes):
+    # a malformed region mid-buffer yields a sentinel and stops — the
+    # preceding good records still come through (ADVICE r6)
+    good = _warc_record("response", "http://ex.com/", _http_response(HTML))
+    bad = good + b"GARBAGE-NOT-A-RECORD\r\nX: y\r\n\r\npayload"
+    recs = list(warc.iter_warc_records(bad))
+    assert [h["warc-type"] for h, _ in recs] == ["response", warc.CORRUPT_TYPE]
+    assert recs[1][0]["x-corrupt-reason"] == "not a WARC record"
+
+    # unparsable Content-Length
+    broken = good.replace(
+        f"Content-Length: {len(_http_response(HTML))}".encode(),
+        b"Content-Length: banana",
+    )
+    recs = list(warc.iter_warc_records(broken))
+    assert [h["warc-type"] for h, _ in recs] == [warc.CORRUPT_TYPE]
+
+    # truncated gzip member
+    import gzip as _gz
+
+    recs = list(warc.iter_warc_records(_gz.compress(good)[:20]))
+    assert recs and recs[-1][0]["warc-type"] == warc.CORRUPT_TYPE
+
+
+def test_scan_warc_surfaces_corrupt_rows(spark, tmp_path, warc_bytes):
+    (tmp_path / "a.warc").write_bytes(warc_bytes + b"NOT A RECORD\r\n\r\nx")
+    df = warc.scan_warc(spark, str(tmp_path))  # default: responses only
+    rows = df.collect()
+    kinds = sorted(r["warc_type"] for r in rows)
+    assert kinds.count("response") == 2 and warc.CORRUPT_TYPE in kinds
+    corrupt = [r for r in rows if r["warc_type"] == warc.CORRUPT_TYPE]
+    assert all(r["text"] is None and r["content_length"] == 0 for r in corrupt)
+
+
 def test_http_split_and_charset():
     status, headers, body = warc.split_http_response(_http_response(b"abc"))
     assert status == 200
