@@ -15,9 +15,10 @@ build on):
   Python over a bounded sample — the same contract as kmeans_train.
 - ``bpe_encode_udf`` / ``bpe_token_count``: distributed apply via an
   Arrow-batched pandas UDF. Per distinct word the merge loop runs once
-  per batch (word→tokens memo) — natural-language batches repeat words
-  heavily, so the Python loop amortizes to roughly once per VOCABULARY
-  item, not once per token.
+  per python-worker PROCESS (module-level word→tokens memo keyed by the
+  merges' fingerprint, bounded) — natural language repeats words heavily,
+  so the Python loop amortizes to roughly once per VOCABULARY item per
+  executor, not once per token.
 
 Scale note: merges ship to executors as a broadcast-sized plain dict
 (vocab_size entries, a few hundred KB at 50k merges) captured in the UDF
@@ -139,16 +140,43 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+# Per-PROCESS word->tokens memos, keyed by merges identity (r7, VERDICT r6
+# nit 4): the memo used to live inside the UDF body, so amortization was
+# per Arrow batch; module level makes it per python-worker LIFETIME — on a
+# skewed natural-language corpus the merge loop runs roughly once per
+# vocabulary item per executor, not per batch. Bounded: the memo resets
+# past _MEMO_MAX_WORDS (real vocabularies are ~1e5-1e6 distinct words, so
+# a reset indicates adversarial input, not steady state), and at most a
+# handful of distinct merge sets are kept.
+_WORD_MEMOS: dict[str, dict[str, list[str]]] = {}
+_MEMO_MAX_WORDS = 1_000_000
+
+
+def _memo_for(key: str) -> dict[str, list[str]]:
+    m = _WORD_MEMOS.get(key)
+    if m is None:
+        if len(_WORD_MEMOS) >= 4:
+            _WORD_MEMOS.clear()
+        m = _WORD_MEMOS[key] = {}
+    elif len(m) > _MEMO_MAX_WORDS:
+        m.clear()
+    return m
+
+
 def bpe_encode_udf(merges: list[tuple[str, str]]) -> Column:
     """Returns a pandas UDF factory: col(text) -> array<string> tokens.
-    Distinct words are encoded once per Arrow batch (memo)."""
+    Distinct words are encoded once per python-worker process (module-
+    level memo keyed by the merges' fingerprint)."""
+    import hashlib
+
     from pyspark.sql.functions import pandas_udf
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    merges_key = hashlib.md5(repr(sorted(ranks.items())).encode()).hexdigest()
 
     @pandas_udf("array<string>")
     def encode(texts: pd.Series) -> pd.Series:
-        memo: dict[str, list[str]] = {}
+        memo = _memo_for(merges_key)
 
         def enc(t):
             if t is None:

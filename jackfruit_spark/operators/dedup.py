@@ -458,8 +458,12 @@ def connected_components(
         .distinct()
         # materialize ONCE: edges join into every round — without this the
         # whole upstream pair generation (e.g. q53's Jaccard scoring)
-        # re-executes per iteration
-        .localCheckpoint(eager=True)
+        # re-executes per iteration. LAZY checkpoint (r7): the next action
+        # over edges performs the materialization, so the path-choice count
+        # below IS the checkpoint job, not an extra one — and with
+        # driver_threshold=0 the first round's join materializes instead
+        # (no probe job on the distributed path at all).
+        .localCheckpoint(eager=False)
     )
     if driver_threshold and edges.count() <= driver_threshold:
         parent: dict = {}

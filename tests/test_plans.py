@@ -202,25 +202,29 @@ def test_co_bucketed_join_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
-# Queries whose plans legitimately contain BroadcastNestedLoopJoin. Since
-# r6 every allowed one broadcasts a SINGLE-ROW aggregate (scalar stats /
-# rank bounds / corpus totals) against the fact side — O(n), not O(n^2).
-# q40 left this set in r6: its all-pairs cosine now runs as blocked-BLAS
-# applyInPandas over equi-joined block pairs (pair_cosine_blocked), so NO
-# registered query carries a data-pair nested loop anymore (the old fold
-# form survives unregistered as q40_embedding_near_dup_exact_fold).
+# Queries whose plans legitimately contain BroadcastNestedLoopJoin — every
+# allowed one broadcasts a METADATA-scale frame (scalar stats / rank bounds
+# / corpus totals / block ids), never data rows against data rows. q40's
+# data pairs run as blocked-BLAS applyInPandas over EQUI-joined block pairs
+# (pair_cosine_blocked, r6); since r7 its block-PAIR list is generated
+# distributively as a bi <= bj self-join of the distinct-blocks frame
+# (O(n/block_size) single-long rows, broadcast), replacing the driver-side
+# distinct().collect() — that join is the only nested loop in its plan.
+# The old fold form survives unregistered as
+# q40_embedding_near_dup_exact_fold.
 NESTED_LOOP_ALLOWED = {
     "q28_scalar_aggregates",  # scalar min/max/avg frame joined back
     "q59_token_histogram",  # broadcast rank-arithmetic bounds (1 row)
     "q64_dsir_sampling",  # broadcast corpus-total scalars
+    "q40_embedding_near_dup",  # block-id pair self-join (metadata scale)
 }
 
 
 def test_all_pairs_confined_to_q40(spark):
     """Registry-wide O(n^2)-join audit: no CartesianProduct anywhere, and
-    nested-loop joins only where a scalar frame is broadcast (the bucketed
-    ANN paths q26/q49 and, since r6, the blocked-BLAS q40 are all
-    asserted nested-loop-free here)."""
+    nested-loop joins only where a metadata-scale frame is broadcast
+    (scalar aggregates, or q40's block-id pair frame); the bucketed ANN
+    paths q26/q49 are asserted fully nested-loop-free below."""
     from jackfruit_spark.plans import plan_string
 
     offenders = {}

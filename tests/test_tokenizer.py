@@ -92,3 +92,25 @@ def test_symbolize_edges():
     assert _symbolize("") == ()
     assert _symbolize("a") == ("a" + EOW,)
     assert _symbolize("ab") == ("a", "b" + EOW)
+
+
+def test_word_memo_is_module_level_and_bounded():
+    """The word->tokens memo persists across UDF invocations within a
+    process (keyed by merges fingerprint) and resets past its bound."""
+    from jackfruit_spark.functions import tokenizer as tk
+
+    tk._WORD_MEMOS.clear()
+    m1 = tk._memo_for("k1")
+    m1["hello"] = ["hel", "lo</w>"]
+    assert tk._memo_for("k1") is m1 and tk._memo_for("k1")["hello"]
+    # distinct merge sets get distinct memos
+    assert tk._memo_for("k2") is not m1
+    # bound: an oversized memo clears on next access instead of growing
+    old_max = tk._MEMO_MAX_WORDS
+    try:
+        tk._MEMO_MAX_WORDS = 2
+        m1.update({"a": ["a</w>"], "b": ["b</w>"], "c": ["c</w>"]})
+        assert tk._memo_for("k1") == {}
+    finally:
+        tk._MEMO_MAX_WORDS = old_max
+    tk._WORD_MEMOS.clear()
