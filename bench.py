@@ -188,6 +188,53 @@ def bench_grid(spark) -> dict[str, float]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_ivf(spark, sf_dir: str) -> dict[str, float]:
+    """Served-ANN pair (VERDICT r6 #2) next to ann_ivf_trained: build the
+    cell-partitioned IVF index (train + assign + partitionBy write +
+    manifest swap) and run the partition-pruned point search against it.
+    Same quantizer/query/knobs as ann_ivf_trained (k=32 cells, nprobe=16,
+    top-10 for vec_id=0's vector) so the three numbers decompose: trained
+    = assign-per-query + scan-all; build = assign-once amortized; served
+    = pruned-scan search only."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+    from jackfruit_spark.functions.similarity import kmeans_train
+
+    root = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        e = Q.load(spark, sf_dir, "embeddings")
+        cents = kmeans_train(e, "embedding", k=32, sample_size=100_000, seed=42)
+        qv = Q._query_vector(spark, sf_dir, 0)
+        t_build = float("inf")
+        for i in range(REPEATS):
+            t0 = time.perf_counter()
+            idx = IvfIndex.build(
+                e, "vec_id", "embedding", os.path.join(root, f"i{i}"),
+                centroids=cents,
+            )
+            t_build = min(t_build, round(time.perf_counter() - t0, 3))
+        from jackfruit_spark.functions.similarity import ann_brute_force
+
+        t_served = float("inf")
+        for _ in range(REPEATS + 1):  # first call loads the manifest (cold)
+            t0 = time.perf_counter()
+            cand = (
+                idx.candidates(qv, nprobe=16)
+                .filter(F.col("vec_id") != 0)  # match ann_ivf_trained's shape
+                .drop("ivf_cell")
+            )
+            res = ann_brute_force(cand, "vec_id", "embedding", qv, k=10)
+            res.write.format("noop").mode("overwrite").save()
+            t_served = min(t_served, round(time.perf_counter() - t0, 3))
+        return {"ann_ivf_build": t_build, "ann_ivf_served": t_served}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -247,6 +294,11 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             release_persisted()
             spark.catalog.clearCache()
+
+    try:
+        timings.update(bench_ivf(spark, sf_dir))
+    except Exception as e:  # noqa: BLE001
+        errors["ivf"] = f"{type(e).__name__}: {e}"[:300]
 
     try:
         timings.update(bench_grid(spark))

@@ -1,0 +1,146 @@
+"""Cell-partitioned IVF index storage: the served ANN layout (r7).
+
+``similarity.ann_ivf`` prunes ROWS — it computes each vector's coarse
+cell on the fly and filters, so every search still scans (and assigns)
+the whole corpus. That is the right shape for ad-hoc search over a table
+that exists for other reasons, but a serving deployment amortizes the
+assignment ONCE into the storage layout, exactly like
+``grid/serving_table.py`` amortizes dedup + partition layout for grid
+point lookups. This module is that build/search split for ANN (the
+FAISS-IVF on-disk shape, re-expressed as Spark-native partitioned
+parquet):
+
+- **build**: train the coarse quantizer (``kmeans_train`` — bounded
+  driver-side sample), assign every vector distributedly
+  (``ivf_assign_pandas``, one BLAS matmul per Arrow batch), and write
+  parquet **partitioned by ivf_cell**. The centroid manifest (kilobytes:
+  C x dim floats + column names) is written driver-side with the
+  rename-aside atomic swap used by the grid serving manifest.
+- **search**: nearest ``nprobe`` centroids are computed driver-side from
+  the manifest (``similarity.nearest_cells``) and become a literal
+  IN-list over the PARTITION column — Catalyst turns it into
+  ``PartitionFilters``, so non-probed cells are never LISTED, OPENED, or
+  READ (I/O pruning, asserted in tests/test_ivf_store.py via
+  ``plans.plan_string``). The probed cells then take the same
+  ``ann_brute_force`` top-k as every other ANN leg.
+
+At 100 TB: search cost is nprobe/C of the corpus in bytes-read terms
+(plus a kilobyte manifest read), independent of total corpus size for a
+fixed cell budget; the build is one assignment pass + one shuffle-free
+partitioned write, amortized over every query. Cell-count guidance is
+the same as SemDeDup's (cells grow with the corpus so per-cell bytes
+stay bounded — see ``queries.semantic_dedup_ivf``); re-build (or append
+a new date-partition level) per ingest batch, like the serving table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions.similarity import (
+    ann_brute_force,
+    ivf_assign_pandas,
+    kmeans_train,
+    nearest_cells,
+)
+
+_MANIFEST = "ivf_manifest.json"
+
+
+class IvfIndex:
+    """Handle to a built index: ``root/data/ivf_cell=N/*.parquet`` plus
+    ``root/ivf_manifest.json`` (centroids + column names)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.data_path = os.path.join(root, "data")
+        self.manifest_path = os.path.join(root, _MANIFEST)
+        self._meta: dict | None = None
+
+    # ------------------------------------------------------------- build
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        root: str,
+        k: int = 32,
+        sample_size: int = 100_000,
+        seed: int = 42,
+        sample_fraction: float | None = None,
+        centroids: Sequence[Sequence[float]] | None = None,
+    ) -> "IvfIndex":
+        """Train (unless ``centroids`` is given), assign, and write the
+        cell-partitioned layout. Data first, manifest last with an atomic
+        rename — a crashed build leaves no readable index."""
+        spark = df.sparkSession
+        cents = (
+            [list(map(float, c)) for c in centroids]
+            if centroids is not None
+            else kmeans_train(
+                df,
+                vec_col,
+                k=k,
+                sample_size=sample_size,
+                seed=seed,
+                sample_fraction=sample_fraction,
+            )
+        )
+        idx = IvfIndex(spark, root)
+        assigned = ivf_assign_pandas(df.select(id_col, vec_col), vec_col, cents)
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("ivf_cell")
+            .parquet(idx.data_path)
+        )
+        meta = {"id_col": id_col, "vec_col": vec_col, "centroids": cents}
+        tmp = idx.manifest_path + ".tmp"
+        os.makedirs(root, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, idx.manifest_path)  # atomic swap (POSIX rename)
+        idx._meta = meta
+        return idx
+
+    # ------------------------------------------------------------ search
+
+    def _manifest(self) -> dict:
+        if self._meta is None:
+            with open(self.manifest_path) as f:
+                self._meta = json.load(f)
+        return self._meta
+
+    @property
+    def centroids(self) -> list[list[float]]:
+        return self._manifest()["centroids"]
+
+    def candidates(self, query_vec: Sequence[float], nprobe: int = 16) -> DataFrame:
+        """The partition-pruned scan of the nprobe cells nearest the
+        query — ``PartitionFilters: [ivf_cell IN (...)]``, no data read
+        from other cells. Exposed separately so callers can compose
+        (e.g. an extra metadata filter before the distance top-k)."""
+        meta = self._manifest()
+        cells = nearest_cells(query_vec, meta["centroids"], nprobe)
+        return self.spark.read.parquet(self.data_path).filter(
+            F.col("ivf_cell").isin([int(c) for c in cells])
+        )
+
+    def search(
+        self, query_vec: Sequence[float], k: int = 10, nprobe: int = 16
+    ) -> DataFrame:
+        """Top-k cosine over the probed cells: identical results to
+        ``similarity.ann_ivf`` with the same centroids/nprobe (asserted
+        in tests), but assignment cost is paid at build time and the scan
+        reads only nprobe/C of the data."""
+        meta = self._manifest()
+        cand = self.candidates(query_vec, nprobe).drop("ivf_cell")
+        return ann_brute_force(
+            cand, meta["id_col"], meta["vec_col"], query_vec, k
+        )

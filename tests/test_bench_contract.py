@@ -32,6 +32,7 @@ def test_bench_emits_json_line_even_when_a_query_throws(spark, monkeypatch):
     monkeypatch.setattr(Q, "registry", lambda: fake_reg)
     monkeypatch.setattr(bench, "BENCH_QUERIES", ["q_ok", "q_boom"])
     monkeypatch.setattr(bench, "bench_grid", lambda s: {"grid_stub": 0.0})
+    monkeypatch.setattr(bench, "bench_ivf", lambda s, d: {"ivf_stub": 0.0})
     monkeypatch.setattr(
         bench, "get_spark", lambda name: spark
     )  # reuse the test session
@@ -66,6 +67,7 @@ def test_bench_emits_json_line_even_when_grid_section_throws(spark, monkeypatch)
         raise RuntimeError("grid synthetic failure")
 
     monkeypatch.setattr(bench, "bench_grid", grid_boom)
+    monkeypatch.setattr(bench, "bench_ivf", lambda s, d: {"ivf_stub": 0.0})
     monkeypatch.setattr(bench, "get_spark", lambda name: spark)
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
