@@ -143,7 +143,10 @@ def cmd_curate(args) -> int:
     elif args.input_format == "warc":
         from jackfruit_spark.sources.warc import scan_warc, warc_to_documents
 
-        clean, corrupt = warc_to_documents(scan_warc(spark, args.input)), None
+        clean = warc_to_documents(
+            scan_warc(spark, args.input, extraction=args.warc_extraction)
+        )
+        corrupt = None
     else:
         reader = {"jsonl": C.read_documents_jsonl, "csv": C.read_documents_csv}[
             args.input_format
@@ -233,6 +236,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--input-format",
         choices=["jsonl", "csv", "parquet", "warc"],
         default="jsonl",
+    )
+    cu.add_argument(
+        "--warc-extraction",
+        choices=["strip", "boilerplate"],
+        default="strip",
+        help="HTML->text tier for --input-format warc: cheap tag strip "
+        "or jusText-style boilerplate removal",
     )
     cu.add_argument("--lang", default="en", help="'any' disables the language gate")
     cu.add_argument("--min-tokens", type=int, default=5)

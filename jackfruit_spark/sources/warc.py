@@ -16,10 +16,32 @@ Parsing layers, all stdlib:
   decompressing members sequentially with zlib) are handled.
 - **HTTP response split**: status line, headers, body; charset from the
   Content-Type header with utf-8/replace fallback.
-- **HTML -> text**: script/style/comment removal, tag strip, entity
-  unescape, whitespace collapse — the cheap extraction tier (a trafilatura
-  equivalent is model-grade, out of scope; this is the coverage tier that
-  feeds the quality classifiers in functions/text.py).
+- **HTML -> text**, two selectable tiers (``extraction=``):
+  ``"strip"`` — script/style/comment removal, tag strip, entity
+  unescape, whitespace collapse — the cheap coverage tier; and
+  ``"boilerplate"`` (r7, VERDICT r6 #5) — a jusText-style paragraph
+  classifier (Pomikálek 2011, the public algorithm trafilatura/jusText
+  implement): per-block link density, stopword density and length
+  decide good/near-good/short/bad context-free, then a context pass
+  promotes near-good blocks adjacent to good content (and short
+  headings followed by it) — navigation, footers and link farms drop
+  out, article text and headlines stay. This is the
+  model-grade tier a corpus pipeline runs before the quality
+  classifiers in functions/text.py.
+
+Scale tiers for READING (both implemented):
+
+- ``scan_warc``: whole files via ``binaryFile`` — unit of parallelism is
+  the shard (~1 GB Common Crawl segments), executor memory holds one
+  compressed shard + one decompressed record at a time.
+- ``scan_warc_cdx`` (r7, VERDICT r6 #3): the production tier — a
+  CDX-style manifest of (path, offset, length) member ranges (Common
+  Crawl publishes exactly this index next to every crawl) drives ranged
+  reads of individual records, so the unit of parallelism AND the memory
+  bound is the RECORD, not the shard, and record-level pushdown (by url,
+  type, ...) happens on the manifest before any payload byte is read.
+  ``build_cdx_manifest`` constructs the same manifest locally for
+  sources that don't ship one.
 """
 
 from __future__ import annotations
@@ -32,6 +54,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -178,6 +201,125 @@ def html_to_text(markup: str) -> str:
     return _NL_RE.sub("\n\n", s).strip()
 
 
+# --------------------------------------------------------- boilerplate tier
+
+# English function words for the paragraph classifier (top ~100 by corpus
+# frequency — enough that real prose saturates the density thresholds;
+# jusText ships per-language lists of the same nature, and the classifier
+# takes a custom set for other languages).
+CLASSIFIER_STOPWORDS = frozenset(
+    """a about above after again all also am an and any are as at be because
+    been before being below between both but by can could did do does doing
+    down during each few for from further had has have having he her here
+    hers him his how i if in into is it its just me more most my no nor not
+    now of off on once only or other our out over own same she so some such
+    than that the their them then there these they this those through to too
+    under until up very was we were what when where which while who whom why
+    will with would you your""".split()
+)
+
+_A_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.I | re.S)
+# capturing split: odd elements are the block tags themselves, so the
+# classifier knows which tag opened each block (headings get the jusText
+# headline rule in the context pass)
+_BLOCK_SPLIT_RE = re.compile(
+    r"(</?(?:p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article|header|"
+    r"footer|nav|aside|blockquote|main)\b[^>]*>)",
+    re.I,
+)
+_HEADING_OPEN_RE = re.compile(r"<h[1-6]\b", re.I)
+
+
+def _block_text(chunk: str) -> str:
+    return _WS_RE.sub(" ", _html.unescape(_TAG_RE.sub(" ", chunk))).strip()
+
+
+def classify_paragraphs(
+    markup: str,
+    stopwords: frozenset[str] = CLASSIFIER_STOPWORDS,
+    max_link_density: float = 0.2,
+    length_low: int = 70,
+    length_high: int = 200,
+    stopwords_low: float = 0.30,
+    stopwords_high: float = 0.32,
+) -> list[tuple[str, str]]:
+    """jusText-style paragraph classification: returns [(class, text)]
+    with class in {good, bad} after the context pass.
+
+    Context-free pass (the published rules, default thresholds):
+    link-dense blocks are bad; blocks under ``length_low`` chars are
+    'short' (undecidable alone; bad outright if they contain links);
+    stopword-dense blocks are good when long, near-good when medium;
+    stopword-poor blocks are bad. Context pass: near-good blocks become
+    good iff a neighboring decided block is good; short blocks become
+    good iff BOTH neighboring decided blocks are good, except short
+    HEADINGS, which need only the following block good (jusText's
+    headline rule — an article's h1 sits after the nav but before the
+    body)."""
+    s = _COMMENT_RE.sub(" ", _SCRIPT_RE.sub(" ", markup))
+    blocks: list[tuple[str, str, bool]] = []  # (cf class, text, heading)
+    heading = False
+    for i, chunk in enumerate(_BLOCK_SPLIT_RE.split(s)):
+        if i % 2 == 1:  # the block tag itself
+            heading = bool(_HEADING_OPEN_RE.match(chunk))
+            continue
+        text = _block_text(chunk)
+        if not text:
+            continue
+        anchor_chars = sum(
+            len(_block_text(m)) for m in _A_RE.findall(chunk)
+        )
+        link_density = anchor_chars / max(len(text), 1)
+        words = text.split()
+        stop_density = (
+            sum(1 for w in words if w.lower().strip(".,;:!?\"'()") in stopwords)
+            / max(len(words), 1)
+        )
+        if link_density > max_link_density:
+            cls = "bad"
+        elif len(text) < length_low:
+            cls = "bad" if anchor_chars > 0 else "short"
+        elif stop_density >= stopwords_high:
+            cls = "good" if len(text) > length_high else "neargood"
+        elif stop_density >= stopwords_low:
+            cls = "neargood"
+        else:
+            cls = "bad"
+        blocks.append((cls, text, heading))
+    # context pass over the decided (good/bad) skeleton
+    decided = [c for c, _, _ in blocks if c in ("good", "bad")]
+    out: list[tuple[str, str]] = []
+    di = 0  # index of the next decided block at-or-after position
+    for cls, text, is_heading in blocks:
+        if cls in ("good", "bad"):
+            di += 1
+            out.append((cls, text))
+            continue
+        prev_cls = decided[di - 1] if di > 0 else "bad"
+        next_cls = decided[di] if di < len(decided) else "bad"
+        if cls == "neargood":
+            resolved = "good" if "good" in (prev_cls, next_cls) else "bad"
+        elif is_heading:  # short heading: kept when its section is good
+            resolved = "good" if next_cls == "good" else "bad"
+        else:  # short
+            resolved = "good" if (prev_cls, next_cls) == ("good", "good") else "bad"
+        out.append((resolved, text))
+    return out
+
+
+def html_to_text_boilerplate(markup: str, **params) -> str:
+    """Model-grade extraction tier: only the paragraphs the jusText-style
+    classifier marks good, joined with blank lines. Empty string when the
+    page is all boilerplate (callers drop empty docs, same as strip-tier
+    empties)."""
+    return "\n\n".join(
+        t for cls, t in classify_paragraphs(markup, **params) if cls == "good"
+    )
+
+
+_EXTRACTORS = {"strip": html_to_text, "boilerplate": html_to_text_boilerplate}
+
+
 def _decode_body(body: bytes, headers: dict[str, str]) -> str:
     enc = "utf-8"
     m = _CHARSET_RE.search(headers.get("content-type", ""))
@@ -189,14 +331,40 @@ def _decode_body(body: bytes, headers: dict[str, str]) -> str:
         return body.decode("utf-8", "replace")
 
 
+def _record_row(path, headers, payload, extractor):
+    wtype = headers.get("warc-type")
+    status, http_headers, body = split_http_response(payload)
+    ctype = http_headers.get("content-type", "")
+    text = None
+    if status is not None and "html" in ctype.lower():
+        text = extractor(_decode_body(body, http_headers))
+    return (
+        path,
+        headers.get("warc-record-id"),
+        wtype,
+        headers.get("warc-target-uri"),
+        headers.get("warc-date"),
+        ctype or None,
+        status,
+        int(headers.get("content-length", "0")),
+        text,
+    )
+
+
 def scan_warc(
-    spark: SparkSession, path_glob: str, warc_types: tuple[str, ...] = ("response",)
+    spark: SparkSession,
+    path_glob: str,
+    warc_types: tuple[str, ...] = ("response",),
+    extraction: str = "strip",
 ) -> DataFrame:
     """binaryFile scan -> record walk -> one row per WARC record of the
-    requested types, with extracted text for HTML responses."""
+    requested types, with extracted text for HTML responses
+    (``extraction``: 'strip' coverage tier or 'boilerplate' quality
+    tier)."""
     from jackfruit_spark._ship import ensure_shipped
 
     ensure_shipped(spark)
+    extractor = _EXTRACTORS[extraction]
     files = spark.read.format("binaryFile").load(path_glob)
     want = set(warc_types)
 
@@ -210,27 +378,184 @@ def scan_warc(
                     # the quarantine channel, countable downstream
                     if want and wtype not in want and wtype != CORRUPT_TYPE:
                         continue
-                    status, http_headers, body = split_http_response(payload)
-                    ctype = http_headers.get("content-type", "")
-                    text = None
-                    if status is not None and "html" in ctype.lower():
-                        text = html_to_text(_decode_body(body, http_headers))
-                    rows.append(
-                        (
-                            path,
-                            headers.get("warc-record-id"),
-                            wtype,
-                            headers.get("warc-target-uri"),
-                            headers.get("warc-date"),
-                            ctype or None,
-                            status,
-                            int(headers.get("content-length", "0")),
-                            text,
-                        )
-                    )
+                    rows.append(_record_row(path, headers, payload, extractor))
             yield pd.DataFrame(rows, columns=[f.name for f in WARC_RECORDS.fields])
 
     return files.select("path", "content").mapInPandas(extract, schema=WARC_RECORDS)
+
+
+# ------------------------------------------------------- CDX manifest tier
+
+CDX_MANIFEST = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("offset", LongType(), False),
+        StructField("length", LongType(), False),
+        StructField("compressed", BooleanType(), False),
+        StructField("warc_type", StringType(), True),
+        StructField("target_uri", StringType(), True),
+    ]
+)
+
+
+def _local_path(p: str) -> str:
+    """binaryFile paths carry a scheme (file:/...); open() wants a plain
+    path. Object-store URIs would dispatch to the ranged-GET backend here
+    (sources/object_store.py; boto3 import-gated in this container)."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def build_cdx_manifest(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Construct a CDX-style (path, offset, length) manifest by walking
+    shard framing — gzip member boundaries for member-per-record files,
+    record framing for plain .warc. One full pass over the shards, run
+    ONCE per crawl delivery (Common Crawl ships the real CDX index with
+    every crawl, making this step unnecessary there); every later
+    ``scan_warc_cdx`` pass reads only manifest-selected byte ranges."""
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(spark)
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                for off, length, comp, rec in _iter_member_ranges(data):
+                    # probe the region: type/uri columns enable manifest
+                    # pushdown ONLY for single-record regions (the Common
+                    # Crawl member-per-record case); a multi-record region
+                    # (whole-file gzip) gets NULLs = "mixed, don't prune"
+                    # and is filtered per-record after the ranged read
+                    wtype = uri = None
+                    probed = []
+                    for headers, _payload in _iter_plain(rec):
+                        probed.append(headers)
+                        if len(probed) > 1:
+                            break
+                    if len(probed) == 1:
+                        wtype = probed[0].get("warc-type")
+                        uri = probed[0].get("warc-target-uri")
+                    rows.append((path, off, length, comp, wtype, uri))
+            yield pd.DataFrame(rows, columns=[f.name for f in CDX_MANIFEST.fields])
+
+    return files.select("path", "content").mapInPandas(index, schema=CDX_MANIFEST)
+
+
+def _iter_member_ranges(data: bytes):
+    """Yield (offset, length, compressed, record_bytes) per record region:
+    gzip member boundaries when the shard is member-per-record gzip,
+    record framing for plain WARC."""
+    if data[:2] == _GZIP_MAGIC:
+        pos = 0
+        while pos < len(data) and data[pos : pos + 2] == _GZIP_MAGIC:
+            d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+            try:
+                out = d.decompress(data[pos:])
+            except zlib.error:
+                return
+            if not d.eof:
+                return
+            consumed = len(data) - pos - len(d.unused_data)
+            if consumed <= 0:
+                return
+            yield pos, consumed, True, out
+            pos += consumed
+        return
+    # plain WARC: reuse the record walk but track byte offsets
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return
+        head = data[pos:head_end].decode("utf-8", "replace")
+        if not head.split("\r\n")[0].startswith("WARC/"):
+            return
+        length = 0
+        for ln in head.split("\r\n")[1:]:
+            if ln.lower().startswith("content-length:"):
+                try:
+                    length = int(ln.split(":", 1)[1].strip())
+                except ValueError:
+                    return
+        end = head_end + 4 + length
+        yield pos, end - pos, False, data[pos:end]
+        pos = end
+
+
+def scan_warc_cdx(
+    spark: SparkSession,
+    manifest: DataFrame,
+    warc_types: tuple[str, ...] = ("response",),
+    extraction: str = "strip",
+) -> DataFrame:
+    """The production-scale WARC read path: ranged reads driven by a
+    CDX-style manifest. Each task opens the shard, seeks to the member
+    offset, and reads exactly ``length`` bytes — executor memory is
+    bounded by ONE record (compressed + decompressed), never the shard,
+    and parallelism is per-record. Manifest-level filters (warc_type,
+    target_uri, path) are ordinary DataFrame pushdown — records outside
+    the selection cost zero I/O. Rows that fail to parse surface on the
+    '_corrupt' channel like the whole-file scanner's."""
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(spark)
+    extractor = _EXTRACTORS[extraction]
+    want = set(warc_types)
+    if want and "warc_type" in manifest.columns:
+        # manifest-side pushdown: never read bytes for unwanted types
+        # (NULL warc_type rows — plain-scan manifests without probing —
+        # stay in and are filtered after the read)
+        from pyspark.sql import functions as F
+
+        manifest = manifest.filter(
+            F.col("warc_type").isNull() | F.col("warc_type").isin(list(want))
+        )
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, off, length, comp in zip(
+                pdf["path"], pdf["offset"], pdf["length"], pdf["compressed"]
+            ):
+                try:
+                    with open(_local_path(path), "rb") as f:
+                        f.seek(int(off))
+                        buf = f.read(int(length))
+                    if comp:
+                        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+                        rec = d.decompress(buf)
+                        if not d.eof:
+                            raise zlib.error("truncated gzip member")
+                    else:
+                        rec = buf
+                    recs = list(_iter_plain(rec))
+                except (OSError, zlib.error) as e:
+                    rows.append(
+                        _record_row(
+                            path, _corrupt(int(off), str(e))[0], b"", extractor
+                        )
+                    )
+                    continue
+                for headers, payload in recs:
+                    wtype = headers.get("warc-type")
+                    if want and wtype not in want and wtype != CORRUPT_TYPE:
+                        continue
+                    rows.append(_record_row(path, headers, payload, extractor))
+            yield pd.DataFrame(rows, columns=[f.name for f in WARC_RECORDS.fields])
+
+    cols = ["path", "offset", "length", "compressed"]
+    return manifest.select(*cols).mapInPandas(fetch, schema=WARC_RECORDS)
 
 
 def warc_to_documents(scanned: DataFrame, source: str = "warc") -> DataFrame:

@@ -170,3 +170,150 @@ def test_warc_to_documents_bridge(spark, tmp_path, warc_bytes):
     # deterministic doc_id across re-scans (key-hash discipline)
     again = warc.warc_to_documents(warc.scan_warc(spark, str(tmp_path))).collect()
     assert again[0]["doc_id"] == r["doc_id"]
+
+
+# ------------------------------------------------- boilerplate tier (r7)
+
+ARTICLE_PARA = (
+    "The quick brown fox jumped over the lazy dog while the other animals "
+    "were watching from the shade of a large tree, and after a while they "
+    "all agreed that it was one of the most impressive jumps they had seen "
+    "in all of their lives out there in the quiet green field."
+)
+BOILER_PAGE = (
+    "<html><body>"
+    "<nav><a href='/'>Home</a> <a href='/about'>About</a> "
+    "<a href='/contact'>Contact</a> <a href='/shop'>Shop</a></nav>"
+    f"<h1>A fox story</h1>"
+    f"<p>{ARTICLE_PARA}</p>"
+    f"<p>{ARTICLE_PARA} It was talked about for a long time afterwards by "
+    "everyone who had been there on that day.</p>"
+    "<div><a href='/more'>More stories</a> | <a href='/archive'>Archive</a>"
+    "</div>"
+    "<footer>Copyright 2026 Example Corp. All rights reserved. "
+    "<a href='/privacy'>Privacy</a></footer>"
+    "</body></html>"
+)
+
+
+def test_boilerplate_extraction_keeps_article_drops_chrome():
+    text = warc.html_to_text_boilerplate(BOILER_PAGE)
+    assert ARTICLE_PARA in text                      # article body kept
+    assert "Home" not in text and "Privacy" not in text  # nav/footer gone
+    assert "More stories" not in text                # link farm gone
+    # headline between two good paragraphs survives the context pass
+    assert "A fox story" in text
+    # strip tier keeps everything — the tiers genuinely differ
+    assert "Home" in warc.html_to_text(BOILER_PAGE)
+
+
+def test_boilerplate_classifier_context_rules():
+    # a short block NOT surrounded by good content is dropped
+    lone = "<p><b>Menu</b></p><div><a href='/x'>x</a><a href='/y'>y</a></div>"
+    assert warc.html_to_text_boilerplate(lone) == ""
+    # stopword-poor long text (code/gibberish) is boilerplate
+    gibberish = "<p>" + " ".join(f"tok{i}" for i in range(100)) + "</p>"
+    assert warc.html_to_text_boilerplate(gibberish) == ""
+    # real prose alone is kept
+    prose = f"<p>{ARTICLE_PARA}</p>"
+    assert ARTICLE_PARA in warc.html_to_text_boilerplate(prose)
+
+
+def test_scan_warc_extraction_tier(spark, tmp_path):
+    http = _http_response(BOILER_PAGE.encode())
+    (tmp_path / "a.warc").write_bytes(
+        _warc_record("response", "http://ex.com/story", http)
+    )
+    strip_rows = warc.scan_warc(spark, str(tmp_path)).collect()
+    bp_rows = warc.scan_warc(
+        spark, str(tmp_path), extraction="boilerplate"
+    ).collect()
+    assert "Home" in strip_rows[0]["text"]
+    assert "Home" not in bp_rows[0]["text"]
+    assert ARTICLE_PARA in bp_rows[0]["text"]
+
+
+# ------------------------------------------------- CDX manifest tier (r7)
+
+
+def _multi_member_gz(records):
+    return b"".join(gzip.compress(r) for r in records)
+
+
+def test_cdx_manifest_and_ranged_scan_gzip(spark, tmp_path, warc_bytes):
+    # member-per-record gzip: manifest finds every member boundary and the
+    # ranged scan reproduces the whole-file scan exactly
+    http = _http_response(HTML)
+    recs = [
+        _warc_record("warcinfo", "-", b"software: test\r\n", rid="<urn:uuid:0>"),
+        _warc_record("request", "http://ex.com/", b"GET / HTTP/1.1\r\n\r\n"),
+        _warc_record("response", "http://ex.com/", http),
+    ]
+    p = tmp_path / "a.warc.gz"
+    p.write_bytes(_multi_member_gz(recs))
+    man = warc.build_cdx_manifest(spark, str(tmp_path))
+    mrows = man.orderBy("offset").collect()
+    assert [r["warc_type"] for r in mrows] == ["warcinfo", "request", "response"]
+    assert mrows[0]["offset"] == 0 and all(r["compressed"] for r in mrows)
+    assert sum(r["length"] for r in mrows) == p.stat().st_size
+
+    got = warc.scan_warc_cdx(spark, man).collect()
+    want = warc.scan_warc(spark, str(tmp_path)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert got and got[0]["warc_type"] == "response"
+
+
+def test_cdx_manifest_plain_warc(spark, tmp_path, warc_bytes):
+    (tmp_path / "a.warc").write_bytes(warc_bytes)
+    man = warc.build_cdx_manifest(spark, str(tmp_path))
+    mrows = man.orderBy("offset").collect()
+    assert len(mrows) == 4 and not any(r["compressed"] for r in mrows)
+    got = warc.scan_warc_cdx(spark, man, warc_types=()).collect()
+    assert len(got) == 4
+    html_rows = [r for r in got if r["target_uri"] == "http://ex.com/"
+                 and r["warc_type"] == "response"]
+    assert "Hello & welcome" in html_rows[0]["text"]
+
+
+def test_cdx_manifest_pushdown_prunes_reads(spark, tmp_path):
+    # member-per-record: the manifest knows each record's type, so the
+    # default warc_types filter drops non-response members BEFORE any
+    # payload byte is read (manifest-side pushdown)
+    recs = [
+        _warc_record("warcinfo", "-", b"software: test\r\n", rid="<urn:uuid:0>"),
+        _warc_record("request", "http://ex.com/", b"GET / HTTP/1.1\r\n\r\n"),
+        _warc_record("response", "http://ex.com/", _http_response(HTML)),
+    ]
+    (tmp_path / "a.warc.gz").write_bytes(_multi_member_gz(recs))
+    man = warc.build_cdx_manifest(spark, str(tmp_path))
+    got = warc.scan_warc_cdx(spark, man).collect()
+    assert [r["warc_type"] for r in got] == ["response"]
+
+
+def test_cdx_whole_file_gzip_mixed_member(spark, tmp_path, warc_bytes):
+    # whole-file gzip = one multi-record member: the manifest cannot prune
+    # (NULL type = "mixed"), but the per-record filter after the ranged
+    # read still applies
+    (tmp_path / "a.warc.gz").write_bytes(gzip.compress(warc_bytes))
+    man = warc.build_cdx_manifest(spark, str(tmp_path))
+    mrows = man.collect()
+    assert len(mrows) == 1 and mrows[0]["warc_type"] is None
+    got = warc.scan_warc_cdx(spark, man).collect()
+    assert {r["warc_type"] for r in got} == {"response"} and len(got) == 2
+
+
+def test_cdx_corrupt_range_surfaces(spark, tmp_path, warc_bytes):
+    (tmp_path / "a.warc.gz").write_bytes(
+        _multi_member_gz([_warc_record("response", "http://ex.com/",
+                                       _http_response(HTML))])
+    )
+    man = warc.build_cdx_manifest(spark, str(tmp_path))
+    r = man.collect()[0]
+    broken = spark.createDataFrame(
+        [(r["path"], r["offset"], r["length"] - 5, True, "response", None),
+         (r["path"], r["offset"], r["length"], True, "response", None)],
+        schema=warc.CDX_MANIFEST,
+    )
+    rows = warc.scan_warc_cdx(spark, broken).collect()
+    kinds = sorted(x["warc_type"] for x in rows)
+    assert kinds == [warc.CORRUPT_TYPE, "response"]
