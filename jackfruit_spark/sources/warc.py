@@ -351,21 +351,18 @@ def _record_row(path, headers, payload, extractor):
     )
 
 
-def scan_warc(
-    spark: SparkSession,
-    path_glob: str,
+def scan_warc_files(
+    files: DataFrame,
     warc_types: tuple[str, ...] = ("response",),
     extraction: str = "strip",
 ) -> DataFrame:
-    """binaryFile scan -> record walk -> one row per WARC record of the
-    requested types, with extracted text for HTML responses
-    (``extraction``: 'strip' coverage tier or 'boilerplate' quality
-    tier)."""
+    """The record-walk stage over a binaryFile frame (path, content) —
+    shared verbatim by the batch scan and the streaming curation source
+    (mapInPandas is streaming-compatible; the stage holds no state)."""
     from jackfruit_spark._ship import ensure_shipped
 
-    ensure_shipped(spark)
+    ensure_shipped(files.sparkSession)
     extractor = _EXTRACTORS[extraction]
-    files = spark.read.format("binaryFile").load(path_glob)
     want = set(warc_types)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -382,6 +379,20 @@ def scan_warc(
             yield pd.DataFrame(rows, columns=[f.name for f in WARC_RECORDS.fields])
 
     return files.select("path", "content").mapInPandas(extract, schema=WARC_RECORDS)
+
+
+def scan_warc(
+    spark: SparkSession,
+    path_glob: str,
+    warc_types: tuple[str, ...] = ("response",),
+    extraction: str = "strip",
+) -> DataFrame:
+    """binaryFile scan -> record walk -> one row per WARC record of the
+    requested types, with extracted text for HTML responses
+    (``extraction``: 'strip' coverage tier or 'boilerplate' quality
+    tier)."""
+    files = spark.read.format("binaryFile").load(path_glob)
+    return scan_warc_files(files, warc_types, extraction)
 
 
 # ------------------------------------------------------- CDX manifest tier

@@ -47,6 +47,46 @@ def stream_documents_jsonl(spark: SparkSession, landing_dir: str) -> DataFrame:
     )
 
 
+def stream_documents_warc(
+    spark: SparkSession,
+    landing_dir: str,
+    warc_types: tuple[str, ...] = ("response",),
+    extraction: str = "strip",
+    source: str = "warc",
+) -> DataFrame:
+    """Incremental WARC ingestion (r7, VERDICT r6 #6): readStream
+    binaryFile over the crawl landing dir — each availableNow run
+    processes only new shards, and each shard flows through the SAME
+    record walk + HTTP split + HTML extraction + documents bridge as the
+    batch path (``sources/warc.scan_warc_files`` /
+    ``warc_to_documents`` — stateless stages, streaming-compatible), so
+    batch and stream cannot drift. The output matches
+    ``stream_documents_jsonl``'s shape (documents + ``_corrupt_record``),
+    feeding ``curate_stream`` unchanged: within-watermark content-hash
+    dedup absorbs at-least-once shard replays, the downstream batch dedup
+    owns cross-horizon duplicates (the daily-batch semantics of the
+    reference's schedules, pipeline-python/src/pipeline_python/defs/
+    schedules.py:16-95, on crawl shards instead of GRIB files). WARC
+    parse corruption surfaces as '_corrupt' records upstream and never
+    produces a document; the _corrupt_record column exists for shape
+    parity with the JSONL source (NULL here)."""
+    from jackfruit_spark.sources.warc import scan_warc_files, warc_to_documents
+
+    # streaming sources require an explicit schema; binaryFile's is fixed
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(landing_dir)
+    )
+    docs = warc_to_documents(
+        scan_warc_files(files, warc_types, extraction), source=source
+    )
+    return docs.withColumn("_corrupt_record", F.lit(None).cast("string"))
+
+
 def curate_stream(
     docs: DataFrame,
     min_tokens: int = 5,
