@@ -30,11 +30,14 @@ same honestly-stated trade as the PNG scanline unfilter loops
 (multimodal.py).
 
 Huffman/quantization constants are the T.81 Annex K "typical" tables
-(public spec text). Interop caveat, stated honestly: with no external
-codec in the container, cross-implementation decode is exercised only
-against this module's own encoder; the marker grammar, stuffing,
-restart, and subsampling logic are additionally pinned by crafted-stream
-tests (tests/test_jpeg.py).
+(public spec text). Interop: decode is validated against this module's
+own encoder, crafted-stream tests, AND (r7) real third-party-encoded
+JPEGs — CPython's public imghdr test images
+(tests/fixtures/python{,-raw}.jpg, PSF-licensed), whose decoded pixels
+are pinned and whose JFIF/raw variants must decode bit-identically
+(tests/test_jpeg.py::TestThirdPartyFixture). Remaining caveat: with no
+external DECODER in the container, this module's encoder output cannot
+be cross-checked pixel-exactly against libjpeg.
 """
 
 from __future__ import annotations

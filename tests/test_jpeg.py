@@ -5,6 +5,8 @@ on-wire conventions, and the multimodal decode_image integration."""
 
 from __future__ import annotations
 
+import hashlib
+import os
 import struct
 
 import numpy as np
@@ -262,3 +264,53 @@ def test_property_fuzz(seed, h, w, quality, sub, gray):
     assert dec_b.shape[:2] == (h, w)
     if kind == 2:  # constant image: near-exact at any quality
         assert _psnr(img, dec_b) > 45
+
+
+# ------------------------------------------- third-party interop (r7)
+
+
+class TestThirdPartyFixture:
+    """VERDICT r6 #8b: decode JPEGs produced by a REAL third-party
+    encoder. tests/fixtures/python{,-raw}.jpg are CPython's own imghdr
+    test images (public, PSF-licensed, Lib/test/imghdrdata/ in the
+    CPython repo) — the same 16x16 Python-logo photo exported twice
+    (with and without the JFIF APP0 segment) by a conventional encoder,
+    NOT by this repo's codec. Decoding them exercises third-party
+    huffman/quant tables and marker layout; the two variants share scan
+    data, so their decodes must be bit-identical, and the pinned pixels
+    catch silent decoder drift."""
+
+    FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+    def _decode(self, name):
+        with open(os.path.join(self.FIXTURES, name), "rb") as f:
+            return jpeg.decode(f.read())
+
+    def test_decodes_and_matches_pin(self):
+        img = self._decode("python.jpg")
+        assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+        # pinned decode (recorded r7): logo-blue corner, yellow center
+        assert img[0, 0].tolist() == [0, 2, 7]
+        assert img[8, 8].tolist() == [250, 235, 74]
+        assert (
+            hashlib.sha256(img.tobytes()).hexdigest()
+            == "2a250932a73d84184d7996ac55ab3fb2f8c761ea3e2ce85731437fa0426aaece"
+        )
+
+    def test_jfif_and_raw_variants_bit_identical(self):
+        a = self._decode("python.jpg")
+        b = self._decode("python-raw.jpg")
+        assert np.array_equal(a, b)
+
+    def test_flows_through_image_features(self, spark):
+        from jackfruit_spark import multimodal as mm
+
+        with open(os.path.join(self.FIXTURES, "python.jpg"), "rb") as f:
+            payload = f.read()
+        df = spark.createDataFrame(
+            [(1, "image", "jpeg", bytearray(payload), 16, 16, None, None)],
+            schema=mm.MEDIA,
+        )
+        out = mm.image_features(df, fake=False).collect()[0]
+        assert out["mean_luma"] is not None
+        assert abs(float(out["mean_luma"]) - 92.1823) < 0.001
