@@ -191,6 +191,20 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_index_warc(args) -> int:
+    """Build the CDX-style (path, offset, length) manifest for a WARC
+    landing dir — run once per crawl delivery; later curate/scan passes
+    use ranged reads instead of whole shards (sources/warc.scan_warc_cdx)."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.sources.warc import build_cdx_manifest
+
+    man = build_cdx_manifest(spark, args.input)
+    man.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"records": n, "manifest": args.output}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="jackfruit_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -256,6 +270,15 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--quarantine", default=None)
     cu.add_argument("--cpus", default=None)
     cu.set_defaults(fn=cmd_curate)
+
+    iw = sub.add_parser(
+        "index-warc",
+        help="build a CDX-style ranged-read manifest for WARC shards",
+    )
+    iw.add_argument("--input", required=True)
+    iw.add_argument("--output", required=True)
+    iw.add_argument("--cpus", default=None)
+    iw.set_defaults(fn=cmd_index_warc)
 
     sv = sub.add_parser("serve", help="HTTP listener: GET /v1/environmental + /health")
     sv.add_argument("--host", default="127.0.0.1")

@@ -352,7 +352,12 @@ def jaccard_pairs(
             .filter(F.col("__df") > max_shingle_df)
             .select("sh")
         )
-        postings = postings.join(F.broadcast(hot), ["sh"], "left_anti")
+        # persist the FILTERED postings too (r7): the anti-join feeds the
+        # same three consumers, and without this the hot aggregate + its
+        # broadcast build re-run once per consumer — measured 1-5 s of
+        # pure scheduling/GC floor when the cap prunes nothing
+        # (PERFORMANCE.md r7 A/B)
+        postings = persisted(postings.join(F.broadcast(hot), ["sh"], "left_anti"))
     sizes = postings.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     a = postings.select(F.col("__id").alias("id_a"), "sh")
     b = postings.select(F.col("__id").alias("id_b"), "sh")

@@ -168,3 +168,104 @@ def scan_webdataset(spark: SparkSession, path_glob: str) -> DataFrame:
             )
 
     return files.select("path", "content").mapInPandas(extract, schema=WDS_MEMBERS)
+
+
+# Tar member manifest (r7): the ranged-read tier for WebDataset, exactly
+# parallel to the WARC CDX path (sources/warc.scan_warc_cdx). Tar headers
+# record each member's size and the payload sits at a fixed offset, so a
+# one-pass index over a shard delivers (offset, length) per member and
+# every later scan reads only the members it needs — unit of parallelism
+# and memory bound become the MEMBER, not the shard. Plain .tar only: the
+# WebDataset convention at scale is uncompressed tar holding
+# pre-compressed members (.jpg/.png/...) for exactly this seekability.
+
+WDS_MANIFEST = StructType(
+    [
+        StructField("shard", StringType(), False),
+        StructField("offset", LongType(), False),
+        StructField("length", LongType(), False),
+        StructField("sample_key", StringType(), False),
+        StructField("ext", StringType(), False),
+    ]
+)
+
+
+def build_webdataset_manifest(spark: SparkSession, path_glob: str) -> DataFrame:
+    """One header-walk pass per shard -> (shard, offset, length) per
+    sample member. Raises on compressed shards (no stable per-member
+    offsets in a gzip stream — use ``scan_webdataset`` for those)."""
+    import io
+    import tarfile
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(spark)
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def index(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    raise ValueError(
+                        f"{path}: gzip shard has no per-member offsets — "
+                        "ranged reads need plain .tar (WebDataset's "
+                        "at-scale convention); use scan_webdataset"
+                    )
+                with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        base = m.name.rsplit("/", 1)[-1]
+                        dot = base.find(".")
+                        if dot <= 0:
+                            continue
+                        rows.append(
+                            (path, m.offset_data, m.size,
+                             base[:dot], base[dot + 1 :].lower())
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WDS_MANIFEST.fields]
+            )
+
+    return files.select("path", "content").mapInPandas(index, schema=WDS_MANIFEST)
+
+
+def scan_webdataset_manifest(spark: SparkSession, manifest: DataFrame) -> DataFrame:
+    """Ranged member reads driven by the manifest: each task seeks to the
+    member's payload and reads exactly ``length`` bytes. Manifest-level
+    filters (ext, sample_key, shard) are ordinary DataFrame pushdown —
+    e.g. ``manifest.filter(col('ext') == 'json')`` reads ZERO image
+    bytes, where the whole-shard scanner decompresses everything. Same
+    output schema as ``scan_webdataset``."""
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def fetch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for shard, off, length, key, ext in zip(
+                pdf["shard"], pdf["offset"], pdf["length"],
+                pdf["sample_key"], pdf["ext"],
+            ):
+                p = shard
+                if p.startswith("file:"):
+                    p = p[len("file:"):]
+                    while p.startswith("//"):
+                        p = p[1:]
+                with open(p, "rb") as f:
+                    f.seek(int(off))
+                    payload = f.read(int(length))
+                rows.append((shard, key, ext, payload, len(payload)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WDS_MEMBERS.fields]
+            )
+
+    cols = ["shard", "offset", "length", "sample_key", "ext"]
+    return manifest.select(*cols).mapInPandas(fetch, schema=WDS_MEMBERS)

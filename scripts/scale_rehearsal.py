@@ -1,0 +1,267 @@
+"""Scale rehearsal (VERDICT r6 #1): MEASURE the growth laws the 100 TB
+design claims, instead of asserting them.
+
+Generates synthetic ``documents``/``embeddings`` with the same generative
+recipe as the driver testdata (31-word salad vocab, 10-100 words/doc,
+~0.2% seeded exact dups, en/zh/es/fr/de mix, 20 sources; dim-64
+10-cluster embeddings) at row multipliers M of the sf0.1 sizes, runs the
+heavy operator family cold at each M, and fits per-query scaling
+exponents alpha from t ~ c * N^alpha (least squares over log t vs log N).
+Every point INCLUDING M=1 comes from the same generator, so the exponent
+measures the OPERATOR, not generator drift vs the driver's tables.
+
+Heavy family: q21 (jaccard top-k), q24 xxh (minhash LSH), q40 (exact
+all-pairs cosine), q53 (exact jaccard + CC) plus its production twin with
+the hot-shingle cap, semantic_dedup_ivf, bpe_tokenize, ann_ivf_trained,
+and the grid ingest at 1x / 10x the 2.35M-row partition.
+
+Usage:
+    python scripts/scale_rehearsal.py [--mults 1,3,10] [--repeats 2]
+
+Writes data under /tmp/jackfruit_scale/ (not the read-only testdata) and
+prints one JSON line; the table belongs in PERFORMANCE.md "Round 7".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from jackfruit_spark import queries as Q  # noqa: E402
+from jackfruit_spark import release_persisted  # noqa: E402
+from jackfruit_spark.session import get_spark  # noqa: E402
+
+# sf0.1 row counts (TESTDATA.md tables this rehearsal scales from)
+DOCS_BASE = 5_000
+VECS_BASE = 2_000
+
+VOCAB = (
+    "spark window merge table column vector stream value data small sort "
+    "fast batch group agg filter key row part order line slow big hash "
+    "scan query a join scale dup read"
+).split()
+LANGS = ["en"] * 41 + ["zh"] * 15 + ["es"] * 15 + ["fr"] * 15 + ["de"] * 14
+
+
+def gen_documents(spark, n: int, out: str, seed: int = 42) -> None:
+    """Distributed seeded generation: word salad matching the testdata
+    recipe; every 500th row duplicates its predecessor's text (~0.2%
+    exact-dup rate, like the driver tables)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(seed + int(ids[0]) % (1 << 31))
+            texts = []
+            for i in ids:
+                r = np.random.default_rng(seed * 31 + int(i) - (1 if i % 500 == 1 else 0))
+                nw = int(r.integers(10, 101))
+                texts.append(" ".join(np.asarray(VOCAB)[r.integers(0, len(VOCAB), nw)]))
+            del rng
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text": texts,
+                    "lang": [LANGS[int(i) % 100] for i in ids],
+                    "source": [f"src{int(i) % 20}" for i in ids],
+                    "n_chars": [len(t) for t in texts],
+                }
+            )
+
+    (
+        spark.range(n, numPartitions=32)
+        .mapInPandas(
+            gen,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+
+
+def gen_embeddings(spark, n: int, out: str, seed: int = 7, dim: int = 64) -> None:
+    centers = np.random.default_rng(seed).normal(size=(10, dim)) * 2.0
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(seed + 13 + int(ids[0]) % (1 << 31))
+            labels = (ids % 10).astype("int32")
+            vecs = centers[labels] + rng.normal(size=(len(ids), dim))
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "embedding": [v.astype("float32").tolist() for v in vecs],
+                    "label": labels,
+                }
+            )
+
+    (
+        spark.range(n, numPartitions=32)
+        .mapInPandas(gen, "vec_id long, embedding array<float>, label int")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "embeddings.parquet"))
+    )
+
+
+def q53_capped(spark, sf_dir):
+    """q53's production form: same pipeline with the hot-shingle df cap
+    (the inverted-index prefix filter) — the knob that keeps exact
+    Jaccard's co-occurrence cost linear when the shingle space is denser
+    than the corpus (see PERFORMANCE.md r7)."""
+    from jackfruit_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    d = Q.load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", k=3, max_shingle_df=200).filter(
+        F.col("jaccard") >= Q.DEDUP_JACCARD_THRESHOLD
+    )
+    return connected_components(d.select("doc_id"), pairs, id_col="doc_id")
+
+
+def heavy_family():
+    reg = Q.registry()
+    return {
+        "q21_jaccard_topk": reg["q21_jaccard_topk"].fn,
+        "q24_minhash_lsh_pairs_xxh": Q.q24_minhash_lsh_pairs_xxh,
+        "q40_embedding_near_dup": reg["q40_embedding_near_dup"].fn,
+        "q53_dedup_clusters": reg["q53_dedup_clusters"].fn,
+        "q53_capped_df200": q53_capped,
+        "semantic_dedup_ivf": Q.semantic_dedup_ivf,
+        "bpe_tokenize": Q.bpe_tokenize,
+        "ann_ivf_trained": Q.ann_ivf_trained,
+    }
+
+
+def time_query(spark, fn, sf_dir, repeats: int) -> float:
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+        release_persisted()
+        spark.catalog.clearCache()
+    return round(best, 3)
+
+
+def grid_ingest(spark, mult: int, root: str) -> float:
+    """One batch insert of mult x the CAMS-sized partition (2 vars x 4 ts
+    x 420x700 points), the bench_grid shape scaled."""
+    import datetime as dt
+
+    from jackfruit_spark.grid.engine import GridEngine
+
+    nlat, nlon = 420, 700 * mult
+    base = dt.datetime(2026, 1, 1)
+    grid = (
+        spark.range(nlat * nlon)
+        .select(
+            (F.lit(30.0) + (F.col("id") / nlon).cast("int") * 0.1).alias("lat"),
+            (F.lit(-25.0) + (F.col("id") % nlon) * 0.001).alias("lon"),
+            (F.rand(42) * 50).alias("value"),
+        )
+        .crossJoin(
+            spark.createDataFrame(
+                [
+                    (v, base.replace(hour=h))
+                    for v in ("pm10", "pm2p5")
+                    for h in range(4)
+                ],
+                ["variable", "timestamp"],
+            )
+        )
+        .select(
+            "variable", "timestamp", "lat", "lon", "value",
+            F.lit("µg/m³").alias("unit"),
+            F.lit("bench-cat").alias("catalog_id"),
+            F.current_timestamp().alias("inserted_at"),
+        )
+    )
+    eng = GridEngine(spark, os.path.join(root, f"grid{mult}"))
+    t0 = time.perf_counter()
+    eng.insert_grid(grid)
+    return round(time.perf_counter() - t0, 3)
+
+
+def fit_alpha(points: dict[int, float]) -> float | None:
+    xs = [math.log(m) for m, t in points.items() if t and t > 0]
+    ys = [math.log(t) for m, t in points.items() if t and t > 0]
+    if len(xs) < 2:
+        return None
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    denom = sum((x - mx) ** 2 for x in xs)
+    if denom == 0:
+        return None
+    return round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,3,10")
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--root", default="/tmp/jackfruit_scale")
+    ap.add_argument("--skip", default="", help="comma-separated query names")
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+    skip = set(filter(None, args.skip.split(",")))
+
+    spark = get_spark("jackfruit-scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for m in mults:
+        out = os.path.join(args.root, f"mult{m}")
+        if not os.path.exists(os.path.join(out, "embeddings.parquet")):
+            gen_documents(spark, DOCS_BASE * m, out)
+            gen_embeddings(spark, VECS_BASE * m, out)
+
+    fam = {k: v for k, v in heavy_family().items() if k not in skip}
+    results: dict[str, dict] = {name: {} for name in fam}
+    for m in mults:
+        out = os.path.join(args.root, f"mult{m}")
+        # warm codegen on the smallest mult's data once per session is
+        # unnecessary here: min-of-N cold repeats absorb JIT like bench.py
+        for name, fn in fam.items():
+            try:
+                results[name][m] = time_query(spark, fn, out, args.repeats)
+            except Exception as e:  # noqa: BLE001 — isolate failures
+                results[name][m] = None
+                print(f"{name}@x{m}: {type(e).__name__}: {e}"[:200],
+                      file=sys.stderr)
+            print(f"done {name}@x{m}: {results[name][m]}", file=sys.stderr)
+
+    if "grid_ingest" not in skip:
+        results["grid_ingest"] = {}
+        for m in (1, 10):
+            try:
+                results["grid_ingest"][m] = grid_ingest(spark, m, args.root)
+            except Exception as e:  # noqa: BLE001
+                results["grid_ingest"][m] = None
+                print(f"grid@x{m}: {e}"[:200], file=sys.stderr)
+            print(f"done grid_ingest@x{m}", file=sys.stderr)
+
+    out = {
+        name: {
+            "t": {f"x{m}": t for m, t in pts.items()},
+            "alpha": fit_alpha(pts),
+        }
+        for name, pts in results.items()
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

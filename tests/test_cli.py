@@ -136,3 +136,40 @@ def test_cli_curate_from_warc(spark, tmp_path, capsys):
     rows = spark.read.parquet(str(out_dir)).collect()
     assert "quick brown fox" in rows[0]["text"]
     assert rows[0]["source"] == "warc"
+
+
+def test_cli_index_warc(spark, tmp_path, monkeypatch):
+    """index-warc builds the ranged-read manifest; scan_warc_cdx over it
+    reproduces the whole-file scan."""
+    import gzip
+    import json as _json
+
+    from jackfruit_spark import __main__ as cli
+    from jackfruit_spark.sources import warc
+
+    body = b"<html><body><p>hello there from the index test page</p></body></html>"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
+            + str(len(body)).encode() + b"\r\n\r\n" + body)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Record-ID: <urn:uuid:9>\r\n"
+           b"WARC-Target-URI: http://ex.com/\r\n"
+           b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+           + http + b"\r\n\r\n")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "s.warc.gz").write_bytes(gzip.compress(rec))
+    out = str(tmp_path / "manifest")
+
+    monkeypatch.setattr(cli, "_spark", lambda cpus: spark)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(["index-warc", "--input", str(landing), "--output", out])
+    assert rc == 0
+    info = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert info["records"] == 1
+    man = spark.read.parquet(out)
+    rows = warc.scan_warc_cdx(spark, man).collect()
+    assert len(rows) == 1 and "hello there" in rows[0]["text"]

@@ -149,3 +149,74 @@ class TestWebDataset:
         feats = mm.image_features(media, fake=False).collect()
         assert len(feats) == 1
         assert abs(float(feats[0]["mean_luma"]) - 200.0) < 2.0
+
+
+class TestWebDatasetManifest:
+    """Ranged-read tier (r7): tar member manifest + per-member reads,
+    paralleling the WARC CDX path."""
+
+    _shard = staticmethod(TestWebDataset._shard)
+
+    def test_manifest_and_ranged_scan_match_full_scan(self, spark, tmp_path):
+        import json
+
+        import numpy as np
+
+        from jackfruit_spark.sources import jpeg
+        from jackfruit_spark.sources.corpus import (
+            build_webdataset_manifest,
+            scan_webdataset,
+            scan_webdataset_manifest,
+        )
+
+        img = np.full((8, 8, 3), 90, np.uint8)
+        jpg = jpeg.encode(img, quality=95)
+        meta = json.dumps({"caption": "x"}).encode()
+        self._shard(tmp_path, "s.tar", [
+            ("000000.jpg", jpg),
+            ("000000.json", meta),
+            ("000001.jpg", jpg),
+            ("noext", b"skipped"),
+        ])
+        man = build_webdataset_manifest(spark, str(tmp_path))
+        mrows = man.orderBy("offset").collect()
+        assert [(r["sample_key"], r["ext"]) for r in mrows] == [
+            ("000000", "jpg"), ("000000", "json"), ("000001", "jpg"),
+        ]
+        # tar payloads sit at 512-byte-aligned offsets after each header
+        assert all(r["offset"] % 512 == 0 and r["offset"] > 0 for r in mrows)
+        got = sorted(
+            map(tuple, scan_webdataset_manifest(spark, man).collect())
+        )
+        want = sorted(map(tuple, scan_webdataset(spark, str(tmp_path)).collect()))
+        assert got == want
+
+    def test_manifest_pushdown_reads_only_selected_ext(self, spark, tmp_path):
+        import json
+
+        from pyspark.sql import functions as F
+
+        from jackfruit_spark.sources.corpus import (
+            build_webdataset_manifest,
+            scan_webdataset_manifest,
+        )
+
+        self._shard(tmp_path, "s.tar", [
+            ("0.jpg", b"\xff\xd8 fake image payload"),
+            ("0.json", json.dumps({"caption": "only me"}).encode()),
+        ])
+        man = build_webdataset_manifest(spark, str(tmp_path))
+        rows = scan_webdataset_manifest(
+            spark, man.filter(F.col("ext") == "json")
+        ).collect()
+        assert len(rows) == 1 and rows[0]["ext"] == "json"
+        assert b"only me" in bytes(rows[0]["payload"])
+
+    def test_gzip_shard_rejected(self, spark, tmp_path):
+        import pytest
+
+        from jackfruit_spark.sources.corpus import build_webdataset_manifest
+
+        self._shard(tmp_path, "s.tar.gz", [("0.json", b"{}")], gz=True)
+        with pytest.raises(Exception, match="no per-member offsets"):
+            build_webdataset_manifest(spark, str(tmp_path)).collect()
