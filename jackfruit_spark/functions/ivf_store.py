@@ -109,6 +109,28 @@ class IvfIndex:
         idx._meta = meta
         return idx
 
+    def append(self, df: DataFrame) -> "IvfIndex":
+        """Incremental index maintenance (the serving-table pattern): new
+        vectors are assigned with the EXISTING centroids and appended to
+        their cell partitions — one assignment pass + partition-local
+        appends, no re-train, no rewrite of existing cells. The quantizer
+        drifts as the corpus grows (centroids stop being the sample
+        argmin); rebuild on a schedule like MergeTree background merges —
+        searches stay correct either way because search scans whole
+        probed cells."""
+        meta = self._manifest()
+        assigned = ivf_assign_pandas(
+            df.select(meta["id_col"], meta["vec_col"]),
+            meta["vec_col"],
+            meta["centroids"],
+        )
+        (
+            assigned.write.mode("append")
+            .partitionBy("ivf_cell")
+            .parquet(self.data_path)
+        )
+        return self
+
     # ------------------------------------------------------------ search
 
     def _manifest(self) -> dict:

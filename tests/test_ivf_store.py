@@ -102,3 +102,35 @@ def test_search_trained_end_to_end(spark, tmp_path, vectors):
 
     brute = ann_brute_force(df, "vec_id", "embedding", qv, k=5).collect()
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in brute]
+
+
+def test_append_assigns_with_existing_centroids(spark, tmp_path, vectors, centroids):
+    """Incremental append: new vectors join their cells without a
+    rebuild, and a search that probes every cell sees old + new."""
+    df, rows = vectors
+    first = df.filter(F.col("vec_id") < 150)
+    rest = df.filter(F.col("vec_id") >= 150)
+    root = str(tmp_path / "ivf")
+    idx = IvfIndex.build(
+        first, "vec_id", "embedding", root, centroids=centroids
+    )
+    n_before = spark.read.parquet(idx.data_path).count()
+    idx.append(rest)
+    assert spark.read.parquet(idx.data_path).count() == len(rows)
+    assert n_before == 150
+    # appended rows landed in the same cells a fresh build would pick
+    full = IvfIndex.build(
+        df, "vec_id", "embedding", str(tmp_path / "ivf_full"),
+        centroids=centroids,
+    )
+    a = sorted(map(tuple, spark.read.parquet(idx.data_path)
+                   .select("vec_id", "ivf_cell").collect()))
+    b = sorted(map(tuple, spark.read.parquet(full.data_path)
+                   .select("vec_id", "ivf_cell").collect()))
+    assert a == b
+    # and search over the appended index == search over the fresh build
+    qv = rows[170][1]
+    assert (
+        idx.search(qv, k=5, nprobe=8).collect()
+        == full.search(qv, k=5, nprobe=8).collect()
+    )
