@@ -317,3 +317,47 @@ def test_cdx_corrupt_range_surfaces(spark, tmp_path, warc_bytes):
     rows = warc.scan_warc_cdx(spark, broken).collect()
     kinds = sorted(x["warc_type"] for x in rows)
     assert kinds == [warc.CORRUPT_TYPE, "response"]
+
+
+# ---------------------------------------------------- fuzz (r7, hypothesis)
+
+
+def test_fuzz_record_walk_never_raises():
+    """Dirty-corpus contract: arbitrary bytes through the record walk
+    yield records and/or corrupt sentinels — never an exception out of
+    the scan task."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=2048))
+    def walk(data):
+        for headers, payload in warc.iter_warc_records(data):
+            assert isinstance(headers, dict) and isinstance(payload, bytes)
+
+    walk()
+    # and seeded near-valid prefixes (the adversarial region)
+    good = _warc_record("response", "http://e/", _http_response(b"ok"))
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(min_value=0, max_value=len(good)),
+           st.binary(max_size=64))
+    def truncated_plus_noise(cut, noise):
+        for headers, payload in warc.iter_warc_records(good[:cut] + noise):
+            assert isinstance(headers, dict)
+
+    truncated_plus_noise()
+
+
+def test_fuzz_classifier_never_raises():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(max_size=1024))
+    def classify(markup):
+        out = warc.classify_paragraphs(markup)
+        assert all(cls in ("good", "bad") for cls, _ in out)
+        warc.html_to_text_boilerplate(markup)
+
+    classify()
