@@ -286,12 +286,17 @@ def image_features(df: DataFrame, fake: bool = True) -> DataFrame:
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video: one output row per sampled frame
     timestamp — the schedule is computed JVM-side from duration metadata;
-    only the (stubbed) frame decode would touch Python."""
+    only the (stubbed) frame decode would touch Python. duration_ms is
+    caller-supplied metadata, so it gets the same hostile-input clamp as
+    the container path: a corrupt duration cannot ask F.sequence for a
+    multi-billion-element array (ANSI Spark would throw and fail the
+    task; _MAX_FRAMES_PER_VIDEO ticks ~= 10M rows per video is already
+    far beyond any real schedule)."""
+    dur = F.coalesce(F.col("duration_ms"), F.lit(0)).cast("long")
+    dur = F.least(dur, F.lit(int(every_ms) * _MAX_FRAMES_PER_VIDEO))
     return df.filter(F.col("modality") == "video").select(
         "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms))
-        ).alias("frame_ts_ms"),
+        F.explode(F.sequence(F.lit(0), dur, F.lit(every_ms))).alias("frame_ts_ms"),
     )
 
 

@@ -131,6 +131,10 @@ WDS_MEMBERS = StructType(
     ]
 )
 
+# corrupt-shard sentinel (sample_key AND ext) — the quarantine channel,
+# filterable/countable downstream like the WARC walk's CORRUPT_TYPE
+WDS_CORRUPT = "_corrupt"
+
 
 def scan_webdataset(spark: SparkSession, path_glob: str) -> DataFrame:
     """binaryFile scan -> tar member walk -> one row per sample member
@@ -152,17 +156,24 @@ def scan_webdataset(spark: SparkSession, path_glob: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
-                    for m in tf:
-                        if not m.isfile():
-                            continue
-                        base = m.name.rsplit("/", 1)[-1]
-                        dot = base.find(".")
-                        if dot <= 0:
-                            continue  # extensionless member: not a sample
-                        key, ext = base[:dot], base[dot + 1 :].lower()
-                        payload = tf.extractfile(m).read()
-                        rows.append((path, key, ext, payload, len(payload)))
+                # corrupt-shard channel (mirrors the WARC walk): a broken
+                # tar yields one sentinel row and the remaining shards in
+                # the batch still process — one bad shard in a 100 TB
+                # crawl must not fail the task
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                        for m in tf:
+                            if not m.isfile():
+                                continue
+                            base = m.name.rsplit("/", 1)[-1]
+                            dot = base.find(".")
+                            if dot <= 0:
+                                continue  # extensionless member: not a sample
+                            key, ext = base[:dot], base[dot + 1 :].lower()
+                            payload = tf.extractfile(m).read()
+                            rows.append((path, key, ext, payload, len(payload)))
+                except (tarfile.TarError, EOFError, OSError, ValueError):
+                    rows.append((path, WDS_CORRUPT, WDS_CORRUPT, b"", 0))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WDS_MEMBERS.fields]
             )
@@ -259,9 +270,13 @@ def scan_webdataset_manifest(spark: SparkSession, manifest: DataFrame) -> DataFr
                     p = p[len("file:"):]
                     while p.startswith("//"):
                         p = p[1:]
-                with open(p, "rb") as f:
-                    f.seek(int(off))
-                    payload = f.read(int(length))
+                try:
+                    with open(p, "rb") as f:
+                        f.seek(int(off))
+                        payload = f.read(int(length))
+                except OSError:
+                    rows.append((shard, WDS_CORRUPT, WDS_CORRUPT, b"", 0))
+                    continue
                 rows.append((shard, key, ext, payload, len(payload)))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WDS_MEMBERS.fields]

@@ -220,3 +220,22 @@ class TestWebDatasetManifest:
         self._shard(tmp_path, "s.tar.gz", [("0.json", b"{}")], gz=True)
         with pytest.raises(Exception, match="no per-member offsets"):
             build_webdataset_manifest(spark, str(tmp_path)).collect()
+
+
+def test_webdataset_corrupt_shard_channel(spark, tmp_path):
+    """A broken tar yields one '_corrupt' sentinel row; good shards in
+    the same scan still produce their members (dirty-corpus contract,
+    mirroring the WARC walk)."""
+    import json
+
+    from jackfruit_spark.sources.corpus import WDS_CORRUPT, scan_webdataset
+
+    TestWebDataset._shard(tmp_path, "good.tar", [
+        ("0.json", json.dumps({"ok": True}).encode()),
+    ])
+    (tmp_path / "bad.tar").write_bytes(b"definitely not a tar archive")
+    rows = scan_webdataset(spark, str(tmp_path)).collect()
+    by_ext = {r["ext"]: r for r in rows}
+    assert set(by_ext) == {"json", WDS_CORRUPT}
+    assert "bad.tar" in by_ext[WDS_CORRUPT]["shard"]
+    assert by_ext[WDS_CORRUPT]["n_bytes"] == 0

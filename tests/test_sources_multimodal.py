@@ -523,3 +523,19 @@ def test_feature_stages_survive_corrupt_payloads(spark):
     aout = {r["media_id"]: r for r in mm.audio_features(adf, fake=False).collect()}
     assert aout[1]["rms_energy"] is None
     assert aout[2]["rms_energy"] is None and aout[2]["est_duration_ms"] is None
+
+
+def test_sample_frames_hostile_duration_clamped(spark):
+    """A corrupt metadata duration must not ask F.sequence for a
+    multi-billion-element array (ANSI Spark throws; pre-clamp the
+    schedule length instead)."""
+    rows = [(1, "video", "h264", bytearray(b"v"), None, None, 2**31 - 1, None)]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA)
+    # below the clamp: the real schedule comes through untouched
+    assert mm.sample_frames(df, every_ms=60_000).count() == (2**31 - 1) // 60_000 + 1
+    # above it: bounded at _MAX_FRAMES_PER_VIDEO ticks instead of a
+    # 21M-element (or with long metadata, arbitrarily large) array
+    assert (
+        mm.sample_frames(df, every_ms=100).count()
+        == mm._MAX_FRAMES_PER_VIDEO + 1
+    )
