@@ -211,3 +211,95 @@ def scan_grib(
                     )
 
     return files.select("path", "content").mapInPandas(decode, schema=S.RAW_MESSAGES)
+
+
+# ------------------------------------------------ message manifest (r7)
+#
+# SURVEY §7.4 risk 3, implemented: at 100 TB a multi-GB GRIB file
+# serializes one whole-file task. The manifest walks only the 16-byte
+# indicator sections (message offsets + lengths), then the scan
+# REPARTITIONS on (path, offset) so every message decodes in its own
+# task — parallelism = files x messages, memory bound = one message.
+# Same tier design as the WARC CDX and WebDataset tar-member manifests.
+
+GRIB_MANIFEST = "path string, msg_index int, offset long, length long"
+
+
+def build_grib_manifest(spark: SparkSession, path_glob: str) -> DataFrame:
+    """(path, msg_index, offset, length) per GRIB2 message. One
+    indicator-walk pass per file (at object-store scale the walk itself
+    needs only ranged 16-byte header GETs; locally binaryFile is fine)."""
+    from jackfruit_spark._ship import ensure_shipped
+    from jackfruit_spark.sources.grib2_meta import iter_grib2_message_ranges
+
+    ensure_shipped(spark)
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for i, (off, length) in enumerate(
+                    iter_grib2_message_ranges(bytes(content))
+                ):
+                    rows.append((path, i, off, length))
+            yield pd.DataFrame(
+                rows, columns=["path", "msg_index", "offset", "length"]
+            )
+
+    return files.select("path", "content").mapInPandas(index, schema=GRIB_MANIFEST)
+
+
+def scan_grib_manifest(
+    spark: SparkSession,
+    manifest: DataFrame,
+    source: str,
+    run_id_from_path: Callable[[str], str] | None = None,
+) -> DataFrame:
+    """Message-parallel GRIB decode: ranged read per manifest row →
+    adapter on the single message. Decoded values are bit-identical to
+    ``scan_grib`` (same adapter on the same bytes); only messages whose
+    packing falls back to the SYNTHETIC kernel differ (the fake is seeded
+    per (path, index-within-input), and here every input is one
+    message)."""
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(spark)
+    adapter = get_adapter(source)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                path, off, length = row["path"], int(row["offset"]), int(row["length"])
+                p = path
+                if p.startswith("file:"):
+                    p = p[len("file:"):]
+                    while p.startswith("//"):
+                        p = p[1:]
+                with open(p, "rb") as f:
+                    f.seek(off)
+                    chunk = f.read(length)
+                run_id = run_id_from_path(path) if run_id_from_path else path
+                for msg in adapter(path, chunk):
+                    n = msg.values.size
+                    yield pd.DataFrame(
+                        {
+                            "source": np.full(n, source, dtype=object),
+                            "run_id": np.full(n, run_id, dtype=object),
+                            "variable": np.full(n, msg.variable_name, dtype=object),
+                            "unit": np.full(n, msg.unit, dtype=object),
+                            "timestamp": np.full(n, msg.timestamp),
+                            "lat": msg.lats.ravel().astype("float32"),
+                            "lon": msg.lons.ravel().astype("float32"),
+                            "value": msg.values.ravel().astype("float32"),
+                        }
+                    )
+
+    # THE repartition from SURVEY §7.4: one task per message, regardless
+    # of how messages pack into files
+    spread = manifest.repartition(F.col("path"), F.col("offset"))
+    return spread.select("path", "offset", "length").mapInPandas(
+        decode, schema=S.RAW_MESSAGES
+    )

@@ -217,6 +217,22 @@ def _decode_ccsds_packing(
     return _apply_bitmap(flat, bitmap, n_points)
 
 
+def iter_grib2_message_ranges(data: bytes):
+    """(offset, length) per GRIB2 message — indicator-section walk only
+    (the 16-byte section 0 carries the total message length), no section
+    parse, no value decode. The cheap pass behind the message manifest
+    (sources/grib.build_grib_manifest)."""
+    pos, n = 0, len(data)
+    while pos + 16 <= n:
+        if data[pos : pos + 4] != b"GRIB":
+            raise ValueError(f"bad GRIB indicator at offset {pos}")
+        (total_len,) = struct.unpack_from(">Q", data, pos + 8)
+        if total_len < 16 or pos + total_len > n:
+            raise ValueError(f"truncated GRIB message at offset {pos}")
+        yield pos, int(total_len)
+        pos += total_len
+
+
 def parse_grib2(data: bytes) -> list[Grib2Message]:
     """Walk every GRIB2 message in ``data`` (files are simple
     concatenations). Sections 3/4/5/6 carry forward within a message per

@@ -69,3 +69,85 @@ def test_variable_maps_match_reference():
     # cams_adapter.py:14-16, ecmwf_adapter.py:14-16
     assert grib.CAMS_CONSTITUENTS == {40008: "pm10", 40009: "pm2p5"}
     assert grib.ECMWF_SHORT_NAMES == {"2t": "temperature", "2d": "dewpoint"}
+
+
+# ------------------------------------------------ message manifest (r7)
+
+
+FIXTURE = (
+    "/root/reference/pipeline-python/tests/fixtures/"
+    "019cf6d7-02a0-745b-ac05-e1201d8f8a72.grib"
+)
+
+
+class TestGribManifest:
+    def test_manifest_ranges_cover_file(self, spark):
+        import os
+
+        import pytest as _pytest
+
+        if not os.path.exists(FIXTURE):
+            _pytest.skip("reference fixture absent")
+        from jackfruit_spark.sources.grib import build_grib_manifest
+        from jackfruit_spark.sources.grib2_meta import parse_grib2
+
+        man = build_grib_manifest(spark, FIXTURE).orderBy("offset").collect()
+        data = open(FIXTURE, "rb").read()
+        assert len(man) == len(parse_grib2(data))
+        assert man[0]["offset"] == 0
+        # contiguous, gap-free coverage of the whole file
+        for a, b in zip(man, man[1:]):
+            assert a["offset"] + a["length"] == b["offset"]
+        assert man[-1]["offset"] + man[-1]["length"] == len(data)
+        assert [r["msg_index"] for r in man] == list(range(len(man)))
+
+    def test_manifest_scan_matches_whole_file_scan(self, spark):
+        import os
+
+        import pytest as _pytest
+
+        if not os.path.exists(FIXTURE):
+            _pytest.skip("reference fixture absent")
+        from pyspark.sql import functions as F
+
+        from jackfruit_spark.sources.grib import (
+            build_grib_manifest,
+            scan_grib,
+            scan_grib_manifest,
+        )
+
+        man = build_grib_manifest(spark, FIXTURE)
+        a = scan_grib_manifest(spark, man, "ecmwf")
+        b = scan_grib(spark, FIXTURE, "ecmwf")
+
+        def summary(df):
+            return sorted(
+                map(
+                    tuple,
+                    df.groupBy("variable", "timestamp")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.col("value").cast("double")).alias("s"),
+                        F.min("lat").alias("lat0"),
+                        F.max("lon").alias("lon1"),
+                    )
+                    .collect(),
+                )
+            )
+
+        # real CCSDS-decoded values: bit-identical between the tiers
+        assert summary(a) == summary(b)
+
+    def test_manifest_rejects_truncated(self, spark, tmp_path):
+        from jackfruit_spark.sources.grib2_meta import iter_grib2_message_ranges
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="bad GRIB indicator"):
+            list(iter_grib2_message_ranges(b"NOTGRIB" + b"\x00" * 20))
+        good = open(FIXTURE, "rb").read() if __import__("os").path.exists(
+            FIXTURE
+        ) else None
+        if good is not None:
+            with _pytest.raises(ValueError, match="truncated"):
+                list(iter_grib2_message_ranges(good[: len(good) // 2]))
