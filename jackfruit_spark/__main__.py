@@ -141,11 +141,25 @@ def cmd_curate(args) -> int:
     if args.input_format == "parquet":
         clean, corrupt = spark.read.parquet(args.input), None
     elif args.input_format == "warc":
-        from jackfruit_spark.sources.warc import scan_warc, warc_to_documents
-
-        clean = warc_to_documents(
-            scan_warc(spark, args.input, extraction=args.warc_extraction)
+        from jackfruit_spark.sources.warc import (
+            scan_warc,
+            scan_warc_cdx,
+            warc_to_documents,
         )
+
+        if args.warc_manifest:
+            # ranged-read tier: the manifest from `index-warc` drives
+            # per-record reads instead of whole-shard scans
+            scanned = scan_warc_cdx(
+                spark,
+                spark.read.parquet(args.warc_manifest),
+                extraction=args.warc_extraction,
+            )
+        else:
+            scanned = scan_warc(
+                spark, args.input, extraction=args.warc_extraction
+            )
+        clean = warc_to_documents(scanned)
         corrupt = None
     else:
         reader = {"jsonl": C.read_documents_jsonl, "csv": C.read_documents_csv}[
@@ -257,6 +271,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="strip",
         help="HTML->text tier for --input-format warc: cheap tag strip "
         "or jusText-style boilerplate removal",
+    )
+    cu.add_argument(
+        "--warc-manifest",
+        default=None,
+        help="parquet manifest from `index-warc`: curate via ranged "
+        "per-record reads instead of whole-shard scans",
     )
     cu.add_argument("--lang", default="en", help="'any' disables the language gate")
     cu.add_argument("--min-tokens", type=int, default=5)

@@ -173,3 +173,46 @@ def test_cli_index_warc(spark, tmp_path, monkeypatch):
     man = spark.read.parquet(out)
     rows = warc.scan_warc_cdx(spark, man).collect()
     assert len(rows) == 1 and "hello there" in rows[0]["text"]
+
+
+def test_cli_curate_from_warc_manifest(spark, tmp_path, monkeypatch):
+    """curate --input-format warc --warc-manifest: the ranged-read tier
+    end-to-end (index-warc output feeding the curation pipeline)."""
+    import gzip
+    import json as _json
+
+    from jackfruit_spark import __main__ as cli
+
+    text = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "river of light near the old mill by the quiet bridge")
+    body = f"<html><body><p>{text}</p></body></html>".encode()
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
+            + str(len(body)).encode() + b"\r\n\r\n" + body)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Record-ID: <urn:uuid:5>\r\n"
+           b"WARC-Target-URI: http://ex.com/\r\n"
+           b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+           + http + b"\r\n\r\n")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "s.warc.gz").write_bytes(gzip.compress(rec))
+    manifest = str(tmp_path / "manifest")
+    out = str(tmp_path / "out")
+
+    monkeypatch.setattr(cli, "_spark", lambda cpus: spark)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cli.main(["index-warc", "--input", str(landing),
+                         "--output", manifest]) == 0
+        assert cli.main([
+            "curate", "--input", str(landing), "--output", out,
+            "--input-format", "warc", "--warc-manifest", manifest,
+            "--sample-pct", "100",
+        ]) == 0
+    info = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert info["curated"] == 1
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and "quick brown fox" in rows[0]["text"]
