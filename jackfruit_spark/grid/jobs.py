@@ -51,6 +51,7 @@ class DailyJob:
         sources: list[SourceConfig],
         serving_root: str | None = None,
         rollup_root: str | None = None,
+        message_parallel: bool = False,
     ):
         self.spark = spark
         # normalize first: a trailing separator ('/data/raw/') would make
@@ -70,6 +71,7 @@ class DailyJob:
         self.catalog = Catalog(spark, os.path.join(store_root, "catalog"))
         self.pipeline = TransformPipeline(spark, self.engine, self.catalog)
         self.sources = sources
+        self.message_parallel = message_parallel
         # optional interactive serving layout, refreshed per partition run
         if serving_root is not None:
             from jackfruit_spark.grid.serving_table import ServingTable
@@ -125,12 +127,20 @@ class DailyJob:
                 f: f.rsplit("/", 1)[-1].removesuffix(".grib")
                 for f in os.listdir(raw_dir)
             }
-            messages = grib.scan_grib(
-                self.spark,
-                raw_dir,
-                cfg.source,
-                run_id_from_path=lambda p: p.rsplit("/", 1)[-1].removesuffix(".grib"),
-            )
+            rid = lambda p: p.rsplit("/", 1)[-1].removesuffix(".grib")  # noqa: E731
+            if self.message_parallel:
+                # message-manifest tier (SURVEY §7.4 risk 3): one task per
+                # GRIB MESSAGE, so a multi-GB raw file cannot serialize a
+                # whole-file task. Decoded values are identical to the
+                # whole-file tier (same adapter, same bytes).
+                manifest = grib.build_grib_manifest(self.spark, raw_dir)
+                messages = grib.scan_grib_manifest(
+                    self.spark, manifest, cfg.source, run_id_from_path=rid
+                )
+            else:
+                messages = grib.scan_grib(
+                    self.spark, raw_dir, cfg.source, run_id_from_path=rid
+                )
             # one transform per raw file keeps catalog lineage per run
             for run_id in run_ids.values():
                 msgs = messages.filter(messages.run_id == run_id)

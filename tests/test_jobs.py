@@ -110,3 +110,43 @@ def test_backfill_idempotent(spark, job):
     assert job.engine.grid_data_final().count() == n1
     # compaction inside run_partition keeps the raw table bounded too
     assert job.engine.grid_data_raw().count() == raw1
+
+
+def test_run_partition_message_parallel_matches_whole_file(spark, tmp_path):
+    """message_parallel=True (GRIB message manifest tier) produces the
+    same grid_data as the whole-file scan — real crafted GRIB2 payloads,
+    decoded for real through the 'ads' production adapter both ways."""
+    import numpy as np
+
+    from test_grib2_meta import _encode_grib2_simple
+
+    rng = np.random.default_rng(5)
+    payload = b"".join(
+        _encode_grib2_simple(
+            np.round(rng.random((4, 6)) * 100.0),
+            lat1=52.0, lon1=4.0, di=0.5, dj=0.5,
+            ref=dt.datetime(2026, 2, 2), ctype=ct,
+        )
+        for ct in (40008, 40009)  # pm10 + pm2p5, one message each
+    )
+    day = dt.date(2026, 2, 2)
+
+    def build(root, parallel):
+        job = DailyJob(
+            spark,
+            raw_root=str(tmp_path / root / "raw"),
+            store_root=str(tmp_path / root / "store"),
+            sources=[SourceConfig("ads", "cams-ds", "cams")],
+            message_parallel=parallel,
+        )
+        job.ingest(job.sources[0], day, payload)
+        job.run_partition(day)
+        return (
+            job.engine.grid_data_final()
+            .select("variable", "timestamp", "lat", "lon", "value")
+            .collect()
+        )
+
+    whole = sorted(map(tuple, build("whole", False)))
+    per_msg = sorted(map(tuple, build("permsg", True)))
+    assert per_msg == whole and len(whole) == 2 * 24
