@@ -444,14 +444,17 @@ def build_cdx_manifest(spark: SparkSession, path_glob: str) -> DataFrame:
                     # (whole-file gzip) gets NULLs = "mixed, don't prune"
                     # and is filtered per-record after the ranged read
                     wtype = uri = None
-                    probed = []
-                    for headers, _payload in _iter_plain(rec):
-                        probed.append(headers)
-                        if len(probed) > 1:
-                            break
-                    if len(probed) == 1:
-                        wtype = probed[0].get("warc-type")
-                        uri = probed[0].get("warc-target-uri")
+                    if rec is None:  # unparseable region: indexed, marked
+                        wtype = CORRUPT_TYPE
+                    else:
+                        probed = []
+                        for headers, _payload in _iter_plain(rec):
+                            probed.append(headers)
+                            if len(probed) > 1:
+                                break
+                        if len(probed) == 1:
+                            wtype = probed[0].get("warc-type")
+                            uri = probed[0].get("warc-target-uri")
                     rows.append((path, off, length, comp, wtype, uri))
             yield pd.DataFrame(rows, columns=[f.name for f in CDX_MANIFEST.fields])
 
@@ -461,26 +464,34 @@ def build_cdx_manifest(spark: SparkSession, path_glob: str) -> DataFrame:
 def _iter_member_ranges(data: bytes):
     """Yield (offset, length, compressed, record_bytes) per record region:
     gzip member boundaries when the shard is member-per-record gzip,
-    record framing for plain WARC."""
+    record framing for plain WARC. An unparseable TAIL is yielded as one
+    final region with record_bytes=None — no silent truncation of the
+    index; the manifest marks it corrupt and the ranged scan surfaces it
+    on the quarantine channel."""
+    n = len(data)
     if data[:2] == _GZIP_MAGIC:
         pos = 0
-        while pos < len(data) and data[pos : pos + 2] == _GZIP_MAGIC:
+        while pos < n and data[pos : pos + 2] == _GZIP_MAGIC:
             d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
             try:
                 out = d.decompress(data[pos:])
             except zlib.error:
+                yield pos, n - pos, True, None
                 return
-            if not d.eof:
+            if not d.eof:  # truncated final member
+                yield pos, n - pos, True, None
                 return
-            consumed = len(data) - pos - len(d.unused_data)
+            consumed = n - pos - len(d.unused_data)
             if consumed <= 0:
+                yield pos, n - pos, True, None
                 return
             yield pos, consumed, True, out
             pos += consumed
+        if pos < n:  # trailing non-gzip garbage
+            yield pos, n - pos, True, None
         return
     # plain WARC: reuse the record walk but track byte offsets
     pos = 0
-    n = len(data)
     while pos < n:
         while pos < n and data[pos : pos + 2] == b"\r\n":
             pos += 2
@@ -488,17 +499,23 @@ def _iter_member_ranges(data: bytes):
             return
         head_end = data.find(b"\r\n\r\n", pos)
         if head_end < 0:
+            yield pos, n - pos, False, None
             return
         head = data[pos:head_end].decode("utf-8", "replace")
         if not head.split("\r\n")[0].startswith("WARC/"):
+            yield pos, n - pos, False, None
             return
         length = 0
+        bad_length = False
         for ln in head.split("\r\n")[1:]:
             if ln.lower().startswith("content-length:"):
                 try:
                     length = int(ln.split(":", 1)[1].strip())
                 except ValueError:
-                    return
+                    bad_length = True
+        if bad_length:
+            yield pos, n - pos, False, None
+            return
         end = head_end + 4 + length
         yield pos, end - pos, False, data[pos:end]
         pos = end
@@ -530,7 +547,9 @@ def scan_warc_cdx(
         from pyspark.sql import functions as F
 
         manifest = manifest.filter(
-            F.col("warc_type").isNull() | F.col("warc_type").isin(list(want))
+            F.col("warc_type").isNull()
+            | F.col("warc_type").isin(list(want))
+            | (F.col("warc_type") == CORRUPT_TYPE)  # quarantine stays visible
         )
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

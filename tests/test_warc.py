@@ -361,3 +361,23 @@ def test_fuzz_classifier_never_raises():
         warc.html_to_text_boilerplate(markup)
 
     classify()
+
+
+def test_cdx_manifest_indexes_corrupt_tail(spark, tmp_path):
+    """No silent truncation: a corrupt tail after good members becomes an
+    indexed '_corrupt' manifest region, and the ranged scan surfaces it
+    on the quarantine channel alongside the good records."""
+    good = _warc_record("response", "http://ex.com/", _http_response(HTML))
+    (tmp_path / "a.warc.gz").write_bytes(
+        gzip.compress(good) + b"TRAILING GARBAGE NOT GZIP"
+    )
+    man = warc.build_cdx_manifest(spark, str(tmp_path)).orderBy("offset")
+    mrows = man.collect()
+    assert [r["warc_type"] for r in mrows] == ["response", warc.CORRUPT_TYPE]
+    # the two regions cover the whole file
+    assert mrows[-1]["offset"] + mrows[-1]["length"] == (
+        tmp_path / "a.warc.gz"
+    ).stat().st_size
+    rows = warc.scan_warc_cdx(spark, man).collect()
+    kinds = sorted(r["warc_type"] for r in rows)
+    assert kinds == [warc.CORRUPT_TYPE, "response"]
