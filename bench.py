@@ -124,7 +124,10 @@ def bench_grid(spark) -> dict[str, float]:
         warm = GridEngine(spark, tempfile.mkdtemp(prefix="bench_warm_"))
         warm.insert_grid(make_grid(1000))
         ServingTable.build(
-            spark, warm.grid_data_final(), os.path.join(warm.root, "serve")
+            spark,
+            warm.grid_data_final_clustered(),
+            os.path.join(warm.root, "serve"),
+            clustered=True,
         )
         shutil.rmtree(warm.root, ignore_errors=True)
 
@@ -165,8 +168,14 @@ def bench_grid(spark) -> dict[str, float]:
         t_build = float("inf")
         for i in range(REPEATS):
             t0 = time.perf_counter()
+            # single-shuffle build path (r7): clustered dedup + no write
+            # repartition — the production composition for engine-owned
+            # tables (grid/engine.grid_data_final_clustered)
             st = ServingTable.build(
-                spark, eng.grid_data_final(), os.path.join(root, f"serve{i}")
+                spark,
+                eng.grid_data_final_clustered(),
+                os.path.join(root, f"serve{i}"),
+                clustered=True,
             )
             t_build = min(t_build, round(time.perf_counter() - t0, 3))
         fast_svc = EnvironmentalService(

@@ -153,7 +153,9 @@ class DailyJob:
         if self.serving_table is not None:
             # incremental serving refresh: only this day's partitions
             self.serving_table.refresh_dates(
-                self.engine.grid_data_final(), [f"{day:%Y-%m-%d}"]
+                self.engine.grid_data_final_clustered(),
+                [f"{day:%Y-%m-%d}"],
+                clustered=True,
             )
         if self.rollup is not None:
             self.rollup.refresh_dates(

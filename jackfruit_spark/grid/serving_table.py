@@ -48,15 +48,25 @@ class ServingTable:
     # ------------------------------------------------------------- build
 
     @staticmethod
-    def build(spark: SparkSession, grid_final: DataFrame, root: str) -> "ServingTable":
+    def build(
+        spark: SparkSession,
+        grid_final: DataFrame,
+        root: str,
+        clustered: bool = False,
+    ) -> "ServingTable":
         """Materialize the FINAL view into the serving layout.
 
-        ``grid_final`` must already be deduplicated (pass
-        ``GridEngine.grid_data_final()``); this writes data + manifest.
+        ``grid_final`` must already be deduplicated. Pass
+        ``GridEngine.grid_data_final_clustered()`` with ``clustered=True``
+        for the single-shuffle build: the dedup window then reuses the
+        (variable, timestamp) clustering and the write skips its own
+        repartition (each task already holds whole groups) — measured
+        1.7x on the bench build (PERFORMANCE.md r7). Default stays the
+        generic two-shuffle path for arbitrary deduped frames.
         """
         st = ServingTable(spark, root)
         data = grid_final.withColumn("date", F.to_date("timestamp"))
-        st._write_data(data, mode="overwrite", dynamic=False)
+        st._write_data(data, mode="overwrite", dynamic=False, clustered=clustered)
         # tiny: |variables| x |timestamps| rows. Derived from the WRITTEN
         # files, not the input plan — referencing `data` again would
         # re-evaluate the whole dedup upstream a second time; re-reading
@@ -71,16 +81,21 @@ class ServingTable:
         )
         return st
 
-    def _write_data(self, data: DataFrame, mode: str, dynamic: bool) -> None:
+    def _write_data(
+        self, data: DataFrame, mode: str, dynamic: bool, clustered: bool = False
+    ) -> None:
         """Partitioned write with the serving sort order: timestamp first
         (snap equality prunes row groups), then the Z-order (Morton) code
         of (lat, lon) so BOTH coordinates get tight min/max ranges per row
         group — a lat-major sort only skips on lat (operators/nn.
-        morton_code)."""
+        morton_code). ``clustered=True``: the input is already hash-
+        partitioned on (variable, timestamp) (a superset grouping of the
+        write's (variable, date) dirs), so skip the repartition."""
         from jackfruit_spark.operators.nn import morton_code
 
+        spread = data if clustered else data.repartition("variable", "date")
         w = (
-            data.repartition("variable", "date")
+            spread
             .withColumn("__z", morton_code("lat", "lon"))
             .sortWithinPartitions("timestamp", "__z")
             .drop("__z")
@@ -102,7 +117,9 @@ class ServingTable:
             .distinct()
         )
 
-    def refresh_dates(self, grid_final: DataFrame, dates: list) -> None:
+    def refresh_dates(
+        self, grid_final: DataFrame, dates: list, clustered: bool = False
+    ) -> None:
         """Incremental freshness: rewrite ONLY the (variable, date)
         partitions for the given dates via dynamic partition overwrite —
         the per-ingest analog of a MergeTree merge (a daily pipeline calls
@@ -130,7 +147,7 @@ class ServingTable:
         data = grid_final.filter(src_date.isin(day_strs)).withColumn(
             "date", F.to_date("timestamp")
         )
-        self._write_data(data, mode="overwrite", dynamic=True)
+        self._write_data(data, mode="overwrite", dynamic=True, clustered=clustered)
         if not os.path.exists(self.manifest_path):
             # bootstrap (first refresh without a prior build, e.g. a
             # DailyJob-owned table): derive from the whole layout once

@@ -403,3 +403,41 @@ def test_nearest_neighbor_cells_matches_full(spark, tmp_path):
     full = nearest_neighbor_top1(df, [], "lat", "lon", 34.72, -6.28, tie_cols=["value"]).collect()[0]
     cells = nearest_neighbor_cells(df, "lat", "lon", 34.72, -6.28, cell_deg=1.0, tie_cols=["value"]).collect()[0]
     assert (full["lat"], full["lon"], full["value"]) == (cells["lat"], cells["lon"], cells["value"])
+
+
+def test_clustered_build_single_shuffle_identical(spark, tmp_path):
+    """grid_data_final_clustered + clustered=True (r7): the dedup window
+    reuses the explicit (variable, timestamp) repartition — exactly ONE
+    Exchange in the dedup plan — and the serving layout is row-identical
+    to the generic two-shuffle build."""
+    import datetime as dt2
+
+    from jackfruit_spark.plans import plan_string
+
+    root = str(tmp_path / "g")
+    eng = GridEngine(spark, root)
+    t0 = dt2.datetime(2026, 1, 2, 12)
+    ia = dt2.datetime(2026, 1, 2, 13)
+    rows = [
+        ("pm10", t0 + dt2.timedelta(hours=h), 50.0 + i * 0.5, 10.0 + i * 0.5,
+         float(10 * h + i), "µg/m³", "c", ia)
+        for h in range(3) for i in range(20)
+    ] + [
+        # dedup duplicate: later version must win on both paths
+        ("pm10", t0, 50.0, 10.0, 999.0, "µg/m³", "c2", ia + dt2.timedelta(hours=1)),
+    ]
+    eng.insert_grid(spark.createDataFrame(rows, COLS))
+
+    clustered = eng.grid_data_final_clustered()
+    assert plan_string(clustered).count("Exchange") == 1
+    st_fast = ServingTable.build(
+        spark, clustered, str(tmp_path / "fast"), clustered=True
+    )
+    st_slow = ServingTable.build(
+        spark, eng.grid_data_final(), str(tmp_path / "slow")
+    )
+    pick = ["variable", "timestamp", "lat", "lon", "value"]
+    a = sorted(map(tuple, spark.read.parquet(st_fast.data_path).select(*pick).collect()))
+    b = sorted(map(tuple, spark.read.parquet(st_slow.data_path).select(*pick).collect()))
+    assert a == b and len(a) == 60  # the duplicate collapsed identically
+    assert (999.0 in {r[4] for r in a})
