@@ -129,6 +129,12 @@ class GridEngine:
         raw = self.grid_data_raw()
         if date is not None:
             raw = raw.filter(F.col(S.GRID_DATA_PARTITION_COL) == F.lit(date))
+        # cluster on (variable, timestamp) first (r7, same trick as the
+        # serving build): the dedup window reuses this exchange instead of
+        # adding its own, and each task then holds whole groups — so a
+        # date's partition dir gets one file per (variable, timestamp)
+        # grid instead of one per shuffle task (32 small files)
+        raw = raw.repartition("variable", "timestamp")
         winners = latest_by_keys(raw, S.DEDUP_KEYS, S.VERSION_COL, tie_cols=["catalog_id"])
         staging = os.path.join(self.root, f"_compact_{uuid.uuid4().hex}")
         (
