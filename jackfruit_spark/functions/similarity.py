@@ -435,3 +435,112 @@ def pair_cosine_blocked(
         return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine_raw": cos})
 
     return both.groupBy("bi", "bj").applyInPandas(score, schema=out_schema)
+
+
+def ivf_cells_pandas(
+    df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    nprobe: int,
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Multi-cell assignment: EXPLODE each vector into its ``nprobe``
+    nearest cells (one output row per (vector, probed cell)). The batch
+    form of driver-side ``nearest_cells`` — one BLAS distance matmul +
+    argpartition per Arrow batch. Feeds ``knn_join``."""
+    from pyspark.sql.functions import pandas_udf
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    c = np.asarray(centroids, dtype="float64")
+    c_sq = (c * c).sum(axis=1)
+    p = min(nprobe, len(c))
+
+    @pandas_udf("array<int>")
+    def probes(vs: pd.Series) -> pd.Series:
+        v = np.stack(vs.apply(lambda x: np.asarray(x, dtype="float64")))
+        d = (v * v).sum(axis=1)[:, None] - 2.0 * (v @ c.T) + c_sq[None, :]
+        # argsort (not argpartition): probe order is irrelevant for the
+        # join, but a full sort keeps the cell list deterministic
+        idx = np.argsort(d, axis=1, kind="stable")[:, :p]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return df.withColumn(out_col, F.explode(probes(F.col(vec_col))))
+
+
+def knn_join(
+    queries: DataFrame,
+    base: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_q: str,
+    vec_q: str,
+    id_b: str,
+    vec_b: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Batch ANN: top-k cosine neighbors in ``base`` for EVERY query row
+    (the kNN-join a training pipeline runs for retrieval augmentation,
+    near-dup linking, or label propagation — "one query vector" ANN run
+    once per corpus row would be a driver-side loop; this is the join
+    form).
+
+    Shape: base vectors are assigned to their home cell
+    (``ivf_assign_pandas``), queries explode to their ``nprobe`` nearest
+    cells (``ivf_cells_pandas``), and candidates come from the EQUI-join
+    on the cell id — cost ~ |Q| x nprobe x avg_cell_size pairs, never
+    |Q| x |B|. Per-pair cosine is one Arrow-batched BLAS pass; top-k per
+    query is a window over the candidate set with the registry's
+    deterministic ordering (rounded cosine desc, neighbor id asc).
+    Self-joins (queries IS base) work — pass the same frame and filter
+    ``id_q != id_b`` downstream if self-matches are unwanted.
+
+    Recall matches single-query ``ann_ivf`` at equal nprobe by
+    construction (same probed cells); tests assert parity and measure
+    floors (tests/test_similarity.py)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(queries.sparkSession)
+
+    b = ivf_assign_pandas(
+        base.select(
+            F.col(id_b).alias("__bid"), F.col(vec_b).alias("__bv")
+        ),
+        "__bv",
+        centroids,
+    )
+    q = ivf_cells_pandas(
+        queries.select(
+            F.col(id_q).alias("__qid"), F.col(vec_q).alias("__qv")
+        ),
+        "__qv",
+        centroids,
+        nprobe,
+    )
+    cand = q.join(b, "ivf_cell")
+
+    @pandas_udf("double")
+    def pair_cos(qs: pd.Series, bs: pd.Series) -> pd.Series:
+        qv = np.stack(qs.apply(lambda x: np.asarray(x, dtype="float64")))
+        bv = np.stack(bs.apply(lambda x: np.asarray(x, dtype="float64")))
+        num = (qv * bv).sum(axis=1)
+        den = np.sqrt((qv * qv).sum(axis=1)) * np.sqrt((bv * bv).sum(axis=1))
+        return pd.Series(num / den)
+
+    scored = cand.select(
+        F.col("__qid").alias(id_q),
+        F.col("__bid").alias(id_b),
+        F.round(pair_cos(F.col("__qv"), F.col("__bv")), 6).alias("cosine_sim"),
+    ).dropDuplicates([id_q, id_b])  # a pair can meet in several probed cells
+    w = Window.partitionBy(id_q).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_b).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -860,6 +860,26 @@ def ann_ivf_trained(spark, sf_dir):
     )
 
 
+def ann_knn_join(spark, sf_dir):
+    """Bench-only: batch kNN-join over the embeddings table
+    (functions/similarity.knn_join) — top-10 cosine neighbors for EVERY
+    vector at once via trained-IVF cell equi-joins (|Q| x nprobe x
+    avg_cell pairs, never |Q| x |B|). The retrieval/linking primitive a
+    training pipeline runs corpus-wide, timed next to the single-query
+    ANN legs. Not registered: approximate results have no SQL oracle;
+    exhaustive-probe parity with numpy brute force is pytest-carried
+    (tests/test_similarity.py::TestKnnJoin)."""
+    from jackfruit_spark.functions.similarity import kmeans_train, knn_join
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = kmeans_train(e, "embedding", k=32, sample_size=100_000, seed=42)
+    q = e.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return knn_join(q, e, cents, "qid", "qv", "vec_id", "embedding",
+                    k=10, nprobe=4)
+
+
 def bpe_tokenize(spark, sf_dir):
     """Bench-only: REAL BPE token budgeting over the documents table
     (functions/tokenizer.py — train 500 merges driver-side on a bounded

@@ -319,3 +319,70 @@ class TestPairCosineBlocked:
             (a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
         }
         assert got == want
+
+
+class TestKnnJoin:
+    """Batch kNN-join (r7): IVF-bucketed top-k neighbors for every query
+    row, vs numpy brute force."""
+
+    @pytest.fixture()
+    def setup(self, spark):
+        rng = np.random.default_rng(3)
+        base = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(300)]
+        cents = [[float(x) for x in rng.normal(size=8)] for _ in range(8)]
+        df = spark.createDataFrame(base, ["vec_id", "embedding"])
+        return df, base, cents
+
+    def _brute_topk(self, base, qid, k, probe_ids=None):
+        v = np.stack([np.asarray(e, dtype="float64") for _, e in base])
+        q = v[qid]
+        cos = (v @ q) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
+        order = sorted(range(len(base)),
+                       key=lambda i: (-round(cos[i], 6), i))
+        if probe_ids is not None:
+            order = [i for i in order if i in probe_ids]
+        return order[:k]
+
+    def test_self_join_topk(self, spark, setup):
+        # nprobe = C: exhaustive probing, so results must equal numpy
+        # brute force exactly (per-query spot checks below)
+        from jackfruit_spark.functions.similarity import knn_join
+
+        df, base, cents = setup
+        out = knn_join(
+            df.withColumnRenamed("vec_id", "qid").withColumnRenamed(
+                "embedding", "qv"),
+            df, cents, "qid", "qv", "vec_id", "embedding",
+            k=5, nprobe=8,
+        )
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["qid"], []).append((r["cosine_sim"], r["vec_id"]))
+        assert set(got) == set(range(300))  # every query answered
+        for qid in (0, 17, 123, 299):
+            want = self._brute_topk(base, qid, 5)
+            have = [i for _, i in sorted(got[qid], key=lambda t: (-t[0], t[1]))]
+            assert have == want, qid
+        # self-match tops its own list at cosine 1.0
+        assert all(any(i == qid and abs(c - 1.0) < 1e-9 for c, i in v)
+                   for qid, v in got.items())
+
+    def test_partial_probe_matches_single_query_ann_ivf(self, spark, setup):
+        from jackfruit_spark.functions.similarity import ann_ivf, knn_join
+
+        df, base, cents = setup
+        out = knn_join(
+            df.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "qid")
+              .withColumnRenamed("embedding", "qv"),
+            df, cents, "qid", "qv", "vec_id", "embedding", k=4, nprobe=2,
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["qid"], []).append(
+                (r["cosine_sim"], r["vec_id"]))
+        for qid in range(0, 20, 7):
+            single = ann_ivf(df, "vec_id", "embedding", base[qid][1],
+                             cents, k=4, nprobe=2).collect()
+            want = [(r["cosine_sim"], r["vec_id"]) for r in single]
+            have = sorted(by_q[qid], key=lambda t: (-t[0], t[1]))
+            assert have == want, qid
