@@ -498,7 +498,13 @@ def knn_join(
 
     Recall matches single-query ``ann_ivf`` at equal nprobe by
     construction (same probed cells); tests assert parity and measure
-    floors (tests/test_similarity.py)."""
+    floors (tests/test_similarity.py).
+
+    Scale knob (measured, PERFORMANCE.md r7): with C FIXED, pairs grow
+    quadratically in the corpus (both |Q| and N/C grow) — grow the CELL
+    COUNT with the corpus at fixed nprobe (C ~ N / target cell size) to
+    keep the join linear; do NOT scale nprobe with C (constant probed
+    fraction = still quadratic)."""
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 

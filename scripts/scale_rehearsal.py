@@ -143,6 +143,7 @@ def heavy_family():
         "semantic_dedup_ivf": Q.semantic_dedup_ivf,
         "bpe_tokenize": Q.bpe_tokenize,
         "ann_ivf_trained": Q.ann_ivf_trained,
+        "ann_knn_join": Q.ann_knn_join,
     }
 
 
