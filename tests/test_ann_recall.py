@@ -116,3 +116,37 @@ def test_ivf_probe_all_equals_exact(spark, emb, exact_topk, centroids):
         lambda df, qv: ann_ivf(df, "vec_id", "embedding", qv, centroids, k=K, nprobe=32),
     )
     assert r == 1.0, f"probe-all IVF recall {r:.3f} != 1.0"
+
+
+def test_knn_join_batch_recall_floor(spark, emb):
+    """Batch kNN-join recall@10, measured corpus-wide (every vector a
+    query, not a 6-query sample): at nprobe=16/C=32 the batch path must
+    clear the same >=0.8 floor as single-query IVF — same probed cells
+    per query by construction, asserted here over the whole corpus.
+    Self-matches excluded on both sides."""
+    import numpy as np
+
+    from jackfruit_spark.functions.similarity import kmeans_train, knn_join
+
+    cents = kmeans_train(emb, "embedding", k=32, sample_size=100_000, seed=42)
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    got = {}
+    # k+1 then drop the self-match: keeps k true neighbors per query
+    for r in knn_join(q, emb, cents, "qid", "qv", "vec_id", "embedding",
+                      k=K + 1, nprobe=16).collect():
+        if r["vec_id"] != r["qid"]:
+            got.setdefault(r["qid"], []).append((r["cosine_sim"], r["vec_id"]))
+    rows = emb.collect()
+    v = np.stack([np.asarray(r["embedding"], dtype="float64") for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    nrm = np.linalg.norm(v, axis=1)
+    recalls = []
+    for qi in range(len(ids)):
+        cos = (v @ v[qi]) / (nrm * nrm[qi])
+        order = np.argsort(-np.round(cos, 6), kind="stable")
+        true = [int(ids[j]) for j in order if j != qi][:K]
+        approx = [i for _, i in sorted(got.get(int(ids[qi]), []),
+                                       key=lambda t: (-t[0], t[1]))][:K]
+        recalls.append(len(set(true) & set(approx)) / K)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.8, f"batch kNN-join mean recall@10 {mean:.3f} < 0.8"
