@@ -478,7 +478,7 @@ def knn_join(
     id_b: str,
     vec_b: str,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int = 16,
 ) -> DataFrame:
     """Batch ANN: top-k cosine neighbors in ``base`` for EVERY query row
     (the kNN-join a training pipeline runs for retrieval augmentation,
