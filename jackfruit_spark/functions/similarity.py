@@ -488,12 +488,17 @@ def knn_join(
 
     Shape: base vectors are assigned to their home cell
     (``ivf_assign_pandas``), queries explode to their ``nprobe`` nearest
-    cells (``ivf_cells_pandas``), and candidates come from the EQUI-join
-    on the cell id — cost ~ |Q| x nprobe x avg_cell_size pairs, never
-    |Q| x |B|. Per-pair cosine is one Arrow-batched BLAS pass; top-k per
-    query is a window over the candidate set with the registry's
-    deterministic ordering (rounded cosine desc, neighbor id asc).
-    Self-joins (queries IS base) work — pass the same frame and filter
+    cells (``ivf_cells_pandas``), and scoring is ONE ``applyInPandas``
+    group per cell — a |Qc| x |Bc| BLAS matmul with per-(query, cell)
+    top-k pruning — so each vector crosses the Arrow boundary once per
+    cell it touches, never once per PAIR (the row-wise pair form shipped
+    ~|Q| x nprobe x avg_cell duplicated arrays; measured 10.2 -> ~2 s at
+    sf0.1/nprobe=16, PERFORMANCE.md r7). The global window then ranks at
+    most nprobe x k survivors per query with the registry's
+    deterministic ordering (cosine rounded to 6dp desc, neighbor id
+    asc); per-cell pruning cannot change the global top-k because any
+    global winner is in its own cell's per-query top-k. Self-joins
+    (queries IS base) work — pass the same frame and filter
     ``id_q != id_b`` downstream if self-matches are unwanted.
 
     Recall matches single-query ``ann_ivf`` at equal nprobe by
@@ -506,7 +511,6 @@ def knn_join(
     keep the join linear; do NOT scale nprobe with C (constant probed
     fraction = still quadratic)."""
     from pyspark.sql import Window
-    from pyspark.sql.functions import pandas_udf
 
     from jackfruit_spark._ship import ensure_shipped
 
@@ -527,21 +531,51 @@ def knn_join(
         centroids,
         nprobe,
     )
-    cand = q.join(b, "ivf_cell")
+    both = q.select(
+        "ivf_cell",
+        F.col("__qid").alias("__id"),
+        F.col("__qv").alias("__v"),
+        F.lit(0).alias("__side"),
+    ).unionByName(
+        b.select(
+            "ivf_cell",
+            F.col("__bid").alias("__id"),
+            F.col("__bv").alias("__v"),
+            F.lit(1).alias("__side"),
+        )
+    )
+    id_dt = base.schema[id_b].dataType.simpleString()
+    qid_dt = queries.schema[id_q].dataType.simpleString()
+    out_schema = f"{id_q} {qid_dt}, {id_b} {id_dt}, cosine_sim double"
+    kk = k
 
-    @pandas_udf("double")
-    def pair_cos(qs: pd.Series, bs: pd.Series) -> pd.Series:
-        qv = np.stack(qs.apply(lambda x: np.asarray(x, dtype="float64")))
-        bv = np.stack(bs.apply(lambda x: np.asarray(x, dtype="float64")))
-        num = (qv * bv).sum(axis=1)
-        den = np.sqrt((qv * qv).sum(axis=1)) * np.sqrt((bv * bv).sum(axis=1))
-        return pd.Series(num / den)
+    def score(key, pdf):  # per-cell BLAS; unannotated like pair_cosine's
+        qs = pdf[pdf["__side"] == 0]
+        bs = pdf[pdf["__side"] == 1]
+        if qs.empty or bs.empty:
+            return pd.DataFrame({c: [] for c in (id_q, id_b, "cosine_sim")})
+        qv = np.stack(qs["__v"].apply(lambda x: np.asarray(x, dtype="float64")))
+        bv = np.stack(bs["__v"].apply(lambda x: np.asarray(x, dtype="float64")))
+        qi = qs["__id"].to_numpy()
+        bi = bs["__id"].to_numpy()
+        s = (qv @ bv.T) / np.outer(
+            np.sqrt((qv * qv).sum(axis=1)), np.sqrt((bv * bv).sum(axis=1))
+        )
+        # per-(query, cell) top-k in the GLOBAL output order (6dp-rounded
+        # cosine desc, id asc): a global winner is always in its own
+        # cell's per-query top-k, so pruning here is lossless
+        r = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+        out_q, out_b, out_c = [], [], []
+        kc = min(kk, len(bi))
+        for row in range(len(qi)):
+            order = np.lexsort((bi, -r[row]))[:kc]
+            out_q.extend([qi[row]] * len(order))
+            out_b.extend(bi[order])
+            out_c.extend(s[row, order])
+        return pd.DataFrame({id_q: out_q, id_b: out_b, "cosine_sim": out_c})
 
-    scored = cand.select(
-        F.col("__qid").alias(id_q),
-        F.col("__bid").alias(id_b),
-        F.round(pair_cos(F.col("__qv"), F.col("__bv")), 6).alias("cosine_sim"),
-    ).dropDuplicates([id_q, id_b])  # a pair can meet in several probed cells
+    survivors = both.groupBy("ivf_cell").applyInPandas(score, schema=out_schema)
+    scored = survivors.withColumn("cosine_sim", F.round("cosine_sim", 6))
     w = Window.partitionBy(id_q).orderBy(
         F.col("cosine_sim").desc(), F.col(id_b).asc()
     )
