@@ -246,12 +246,14 @@ def build_webdataset_manifest(spark: SparkSession, path_glob: str) -> DataFrame:
 
 
 def scan_webdataset_manifest(spark: SparkSession, manifest: DataFrame) -> DataFrame:
-    """Ranged member reads driven by the manifest: each task seeks to the
-    member's payload and reads exactly ``length`` bytes. Manifest-level
-    filters (ext, sample_key, shard) are ordinary DataFrame pushdown —
-    e.g. ``manifest.filter(col('ext') == 'json')`` reads ZERO image
-    bytes, where the whole-shard scanner decompresses everything. Same
-    output schema as ``scan_webdataset``."""
+    """Ranged member reads driven by the manifest: each task fetches
+    exactly ``length`` bytes at the member's payload offset through the
+    ranged-read seam (``object_store.read_range`` — local seek+read here,
+    S3 ranged GET in a deployment; r8). Manifest-level filters (ext,
+    sample_key, shard) are ordinary DataFrame pushdown — e.g.
+    ``manifest.filter(col('ext') == 'json')`` reads ZERO image bytes,
+    where the whole-shard scanner decompresses everything. Same output
+    schema as ``scan_webdataset``."""
     from jackfruit_spark._ship import ensure_shipped
 
     ensure_shipped(spark)
@@ -259,21 +261,16 @@ def scan_webdataset_manifest(spark: SparkSession, manifest: DataFrame) -> DataFr
     def fetch(batches):
         import pandas as pd
 
+        from jackfruit_spark.sources.object_store import read_range
+
         for pdf in batches:
             rows = []
             for shard, off, length, key, ext in zip(
                 pdf["shard"], pdf["offset"], pdf["length"],
                 pdf["sample_key"], pdf["ext"],
             ):
-                p = shard
-                if p.startswith("file:"):
-                    p = p[len("file:"):]
-                    while p.startswith("//"):
-                        p = p[1:]
                 try:
-                    with open(p, "rb") as f:
-                        f.seek(int(off))
-                        payload = f.read(int(length))
+                    payload = read_range(shard, int(off), int(length))
                 except OSError:
                     rows.append((shard, WDS_CORRUPT, WDS_CORRUPT, b"", 0))
                     continue

@@ -270,17 +270,15 @@ def scan_grib_manifest(
     adapter = get_adapter(source)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jackfruit_spark.sources.object_store import read_range
+
         for pdf in batches:
             for _, row in pdf.iterrows():
                 path, off, length = row["path"], int(row["offset"]), int(row["length"])
-                p = path
-                if p.startswith("file:"):
-                    p = p[len("file:"):]
-                    while p.startswith("//"):
-                        p = p[1:]
-                with open(p, "rb") as f:
-                    f.seek(off)
-                    chunk = f.read(length)
+                # ranged-read seam (r8): local seek+read here, S3 ranged
+                # GET in a deployment; a failed fetch propagates — GRIB
+                # ingest keeps the reference's fail-fast contract (§2 #29)
+                chunk = read_range(path, off, length)
                 run_id = run_id_from_path(path) if run_id_from_path else path
                 for msg in adapter(path, chunk):
                     n = msg.values.size

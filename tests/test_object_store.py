@@ -80,3 +80,143 @@ def test_upload_errors_wrap_in_io_error(tmp_path):
 def test_upload_missing_local_file_wraps_in_io_error(store, tmp_path):
     with pytest.raises(IOError, match="test-raw"):
         store.upload_raw("ads/ds/2026-01-01/run.grib", tmp_path / "absent.grib")
+
+
+# ------------------------------------------------- ranged-read seam (r8)
+
+from jackfruit_spark.sources.object_store import (  # noqa: E402
+    read_range,
+    register_ranged_reader,
+    strip_file_scheme,
+)
+
+
+@pytest.fixture
+def blob(tmp_path):
+    p = tmp_path / "shard.bin"
+    p.write_bytes(bytes(range(256)))
+    return p
+
+
+def test_read_range_offset_length(blob):
+    assert read_range(str(blob), 0, 4) == bytes([0, 1, 2, 3])
+    assert read_range(str(blob), 100, 3) == bytes([100, 101, 102])
+    assert read_range(str(blob), 255, 1) == bytes([255])
+
+
+def test_read_range_zero_length(blob):
+    # zero-length members (empty tar entries) are legal, not an error
+    assert read_range(str(blob), 10, 0) == b""
+
+
+def test_read_range_file_scheme_variants(blob):
+    # binaryFile emits file:/abs and file:///abs depending on the path
+    for uri in (f"file:{blob}", f"file://{blob}", f"file:///{str(blob).lstrip('/')}"):
+        assert read_range(uri, 5, 2) == bytes([5, 6])
+
+
+def test_read_range_missing_file_raises_file_not_found(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_range(str(tmp_path / "absent.bin"), 0, 4)
+
+
+def test_read_range_past_eof_raises_oserror(blob):
+    # mirrors S3 416 InvalidRange: a silent b'' would parse as an empty
+    # record instead of surfacing on the corrupt channel
+    with pytest.raises(OSError, match="past EOF"):
+        read_range(str(blob), 256, 4)
+
+
+def test_read_range_crossing_eof_returns_available_prefix(blob):
+    # S3 semantics: a range crossing EOF returns what exists; the record
+    # parse downstream flags the truncation
+    assert read_range(str(blob), 254, 10) == bytes([254, 255])
+
+
+def test_read_range_s3_gating_or_construction():
+    # boto3 was absent through r7 (import-gated); it appeared in the r8
+    # container. Either way the gate behaves: absent -> clear
+    # NotImplementedError; present -> the reader constructs (no network
+    # call happens at construction).
+    from jackfruit_spark.sources.object_store import S3RangedReader
+
+    try:
+        import boto3  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="boto3"):
+            S3RangedReader()
+    else:
+        assert S3RangedReader() is not None
+
+
+def test_s3_ranged_reader_error_mapping_and_range_header():
+    # stubbed client (no network): NoSuchKey/404 -> FileNotFoundError,
+    # InvalidRange (416) -> OSError, other codes propagate, and the
+    # Range header / bucket / key are derived correctly from the URI
+    pytest.importorskip("botocore")
+    from botocore.exceptions import ClientError
+
+    from jackfruit_spark.sources.object_store import S3RangedReader
+
+    class FakeBody:
+        def __init__(self, data):
+            self._d = data
+
+        def read(self):
+            return self._d
+
+    class FakeClient:
+        def __init__(self, code=None):
+            self.code = code
+            self.calls = []
+
+        def get_object(self, Bucket, Key, Range):
+            self.calls.append((Bucket, Key, Range))
+            if self.code:
+                raise ClientError({"Error": {"Code": self.code}}, "GetObject")
+            return {"Body": FakeBody(b"abcd")}
+
+    def reader_with(client):
+        r = S3RangedReader.__new__(S3RangedReader)
+        r._client = client
+        return r
+
+    ok = FakeClient()
+    assert reader_with(ok).read_range("s3://bkt/a/b.warc.gz", 100, 4) == b"abcd"
+    assert ok.calls == [("bkt", "a/b.warc.gz", "bytes=100-103")]
+
+    with pytest.raises(FileNotFoundError):
+        reader_with(FakeClient("NoSuchKey")).read_range("s3://bkt/k", 0, 4)
+    with pytest.raises(OSError, match="past EOF"):
+        reader_with(FakeClient("InvalidRange")).read_range("s3://bkt/k", 9, 4)
+    with pytest.raises(ClientError):
+        reader_with(FakeClient("AccessDenied")).read_range("s3://bkt/k", 0, 4)
+
+
+def test_read_range_unknown_scheme_raises(blob):
+    with pytest.raises(ValueError, match="no ranged reader"):
+        read_range("gs://bucket/key", 0, 4)
+
+
+def test_read_range_registered_scheme_dispatches(blob):
+    calls = []
+
+    class FakeReader:
+        def read_range(self, uri, offset, length):
+            calls.append((uri, offset, length))
+            return b"xy"
+
+    register_ranged_reader("fake", FakeReader())
+    try:
+        assert read_range("fake://b/k", 7, 2) == b"xy"
+        assert calls == [("fake://b/k", 7, 2)]
+    finally:
+        from jackfruit_spark.sources import object_store
+
+        object_store._RANGED_READERS.pop("fake", None)
+
+
+def test_strip_file_scheme():
+    assert strip_file_scheme("file:/a/b") == "/a/b"
+    assert strip_file_scheme("file:///a/b") == "/a/b"
+    assert strip_file_scheme("/a/b") == "/a/b"
