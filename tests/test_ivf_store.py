@@ -134,3 +134,96 @@ def test_append_assigns_with_existing_centroids(spark, tmp_path, vectors, centro
         idx.search(qv, k=5, nprobe=8).collect()
         == full.search(qv, k=5, nprobe=8).collect()
     )
+
+
+def test_rebuild_is_versioned_and_atomic(spark, tmp_path, vectors, centroids):
+    """ADVICE r7: rebuilding into an existing root must never let the old
+    manifest point at new/partial data — data goes to a fresh versioned
+    directory and the manifest swaps last. vacuum() prunes the rest."""
+    df, rows = vectors
+    root = str(tmp_path / "ivf")
+    idx1 = IvfIndex.build(df, "vec_id", "embedding", root, centroids=centroids)
+    v1_dir = idx1.data_path
+    assert os.path.basename(v1_dir) == "data_v1"
+    qv = rows[0][1]
+    before = idx1.search(qv, k=5, nprobe=8).collect()
+
+    # rebuild with DIFFERENT centroids (simulates retraining): new data
+    # version, old version untouched until vacuum
+    rng = np.random.default_rng(99)
+    cents2 = [[float(x) for x in rng.normal(size=8)] for _ in range(4)]
+    idx2 = IvfIndex.build(df, "vec_id", "embedding", root, centroids=cents2)
+    assert os.path.basename(idx2.data_path) == "data_v2"
+    assert os.path.isdir(v1_dir)  # old version still intact on disk
+    # a fresh handle resolves the new version through the manifest
+    reopened = IvfIndex(spark, root)
+    assert os.path.basename(reopened.data_path) == "data_v2"
+    assert reopened.centroids == cents2
+    # exhaustive search is quantizer-independent: same answer either build
+    assert reopened.search(qv, k=5, nprobe=4).collect() == before
+
+    removed = reopened.vacuum()
+    assert removed == ["data_v1"]
+    assert not os.path.isdir(v1_dir)
+    assert reopened.search(qv, k=5, nprobe=4).collect() == before
+
+
+class TestServedKnnJoin:
+    def test_parity_with_knn_join(self, spark, tmp_path, vectors, centroids):
+        """Identical centroids/nprobe => identical rows to the
+        re-assigning similarity.knn_join, with and without cell_cap."""
+        from jackfruit_spark.functions.similarity import knn_join
+
+        df, rows = vectors
+        idx = IvfIndex.build(
+            df, "vec_id", "embedding", str(tmp_path / "ivf"),
+            centroids=centroids,
+        )
+        q = df.filter(F.col("vec_id") < 30).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        direct = sorted(
+            map(tuple, knn_join(
+                q, df, centroids, "qid", "qv", "vec_id", "embedding",
+                k=5, nprobe=3,
+            ).collect())
+        )
+        served = sorted(
+            map(tuple, idx.knn_join(q, "qid", "qv", k=5, nprobe=3).collect())
+        )
+        assert served == direct
+        capped = sorted(
+            map(tuple, idx.knn_join(
+                q, "qid", "qv", k=5, nprobe=3, cell_cap=10
+            ).collect())
+        )
+        assert capped == direct
+
+    def test_scan_is_partition_pruned(self, spark, tmp_path, vectors, centroids):
+        """The union of probed cells must land in PartitionFilters —
+        unprobed cells are never listed/opened/read."""
+        from jackfruit_spark.plans import plan_string
+
+        df, rows = vectors
+        idx = IvfIndex.build(
+            df, "vec_id", "embedding", str(tmp_path / "ivf"),
+            centroids=centroids,
+        )
+        q = df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        p = plan_string(idx.knn_join(q, "qid", "qv", k=5, nprobe=2))
+        scan_lines = [
+            ln for ln in p.splitlines()
+            if "PartitionFilters" in ln and "ivf_cell" in ln
+        ]
+        assert scan_lines, p
+
+    def test_id_collision_raises(self, spark, tmp_path, vectors, centroids):
+        df, rows = vectors
+        idx = IvfIndex.build(
+            df, "vec_id", "embedding", str(tmp_path / "ivf"),
+            centroids=centroids,
+        )
+        with pytest.raises(ValueError, match="must differ"):
+            idx.knn_join(df, "vec_id", "embedding")

@@ -386,3 +386,42 @@ class TestKnnJoin:
             want = [(r["cosine_sim"], r["vec_id"]) for r in single]
             have = sorted(by_q[qid], key=lambda t: (-t[0], t[1]))
             assert have == want, qid
+
+    def test_cell_cap_invariance_on_skewed_corpus(self, spark):
+        """VERDICT r7 #3: splitting an oversized cell into hash
+        sub-blocks must not change a single output row. Corpus built so
+        ~ALL base vectors land in ONE cell (every vector near centroid 0)
+        — the worst-case straggler the cap exists to bound."""
+        from jackfruit_spark.functions.similarity import knn_join
+
+        rng = np.random.default_rng(11)
+        c0 = rng.normal(size=8)
+        # base: tight cloud around c0 => one hot cell
+        base = [
+            (i, [float(x) for x in c0 + 0.01 * rng.normal(size=8)])
+            for i in range(400)
+        ]
+        cents = [list(map(float, c0))] + [
+            [float(x) for x in rng.normal(size=8) + 50.0] for _ in range(3)
+        ]
+        df = spark.createDataFrame(base, ["vec_id", "embedding"])
+        q = df.filter(F.col("vec_id") < 25).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        uncapped = sorted(map(tuple, knn_join(
+            q, df, cents, "qid", "qv", "vec_id", "embedding", k=6, nprobe=2,
+        ).collect()))
+        for cap in (50, 100, 399):
+            capped = sorted(map(tuple, knn_join(
+                q, df, cents, "qid", "qv", "vec_id", "embedding",
+                k=6, nprobe=2, cell_cap=cap,
+            ).collect()))
+            assert capped == uncapped, cap
+
+    def test_id_collision_raises(self, spark, setup):
+        from jackfruit_spark.functions.similarity import knn_join
+
+        df, base, cents = setup
+        with pytest.raises(ValueError, match="must differ"):
+            knn_join(df, df, cents, "vec_id", "embedding",
+                     "vec_id", "embedding")
