@@ -1,0 +1,143 @@
+"""IVF maintenance policy, measured (r8, VERDICT r7 #6).
+
+``IvfIndex.append`` assigns new vectors with FROZEN centroids. This
+script measures what that costs as the corpus drifts, and what
+``rebuild()`` recovers:
+
+- build an index on a 10-cluster base corpus (the rehearsal generator's
+  recipe), then append 5 equal batches whose cluster mix shifts per
+  batch toward NEW modes the quantizer never saw;
+- after each append, record (a) recall@10 for queries drawn from the
+  freshest batch and (b) the cell-size spread (`IvfIndex.stats`);
+- after the last append, ``rebuild()`` and measure both again.
+
+Recall here is the index-structure recall, computed driver-side from the
+STORED assignments (exact for this layout: search brute-forces whole
+probed cells, so a true neighbor is found iff its stored cell is
+probed) — no per-query Spark jobs, so the curve costs seconds.
+
+Usage: python scripts/ivf_drift.py [--batches 5] [--nprobe 8] [--cells 32]
+Prints one JSON line; the curve belongs in PERFORMANCE.md "Round 8".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jackfruit_spark.functions.ivf_store import IvfIndex  # noqa: E402
+from jackfruit_spark.functions.similarity import nearest_cells  # noqa: E402
+from jackfruit_spark.session import get_spark  # noqa: E402
+
+DIM = 64
+BASE_N = 4_000
+BATCH_N = 2_000
+N_QUERIES = 200
+
+
+def make_batch(rng, centers, weights, n, id_off):
+    labels = rng.choice(len(centers), size=n, p=weights)
+    vecs = centers[labels] + rng.normal(size=(n, DIM))
+    return [
+        (int(id_off + i), [float(x) for x in vecs[i]]) for i in range(n)
+    ], vecs
+
+
+def recall_at_10(index_pdf, centroids, query_vecs, nprobe):
+    """Structure recall: fraction of each query's true top-10 (cosine,
+    over the full indexed corpus) whose STORED cell is probed."""
+    ids = index_pdf["id"].to_numpy()
+    cells = index_pdf["ivf_cell"].to_numpy()
+    v = np.stack(index_pdf["vec"].apply(lambda x: np.asarray(x, dtype="float64")))
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    del ids
+    hits = total = 0
+    for q in query_vecs:
+        qn = q / np.linalg.norm(q)
+        cos = vn @ qn
+        top = np.argsort(-cos, kind="stable")[:10]
+        probed = set(nearest_cells(q, centroids, nprobe))
+        hits += sum(1 for t in top if int(cells[t]) in probed)
+        total += 10
+    return round(hits / total, 3)
+
+
+def snapshot(spark, idx, queries, nprobe):
+    pdf = (
+        spark.read.parquet(idx.data_path)
+        .selectExpr("vec_id as id", "embedding as vec", "ivf_cell")
+        .toPandas()
+    )
+    st = idx.stats()
+    return {
+        "recall@10": recall_at_10(pdf, idx.centroids, queries, nprobe),
+        "rows": st["rows"],
+        "max_cell": st["max"],
+        "imbalance": st["imbalance"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=5)
+    ap.add_argument("--nprobe", type=int, default=8)
+    ap.add_argument("--cells", type=int, default=32)
+    args = ap.parse_args()
+
+    spark = get_spark("jackfruit-ivf-drift")
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.default_rng(17)
+    old_centers = rng.normal(size=(10, DIM)) * 2.0
+    new_centers = rng.normal(size=(10, DIM)) * 2.0 + 6.0  # unseen modes
+
+    root = tempfile.mkdtemp(prefix="ivf_drift_")
+    out = {"nprobe": args.nprobe, "cells": args.cells, "steps": []}
+    try:
+        rows, _ = make_batch(rng, old_centers, np.full(10, 0.1), BASE_N, 0)
+        base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        idx = IvfIndex.build(
+            base, "vec_id", "embedding", root, k=args.cells, seed=5
+        )
+        # queries from the build distribution for the step-0 reference
+        _, q0 = make_batch(rng, old_centers, np.full(10, 0.1), N_QUERIES, 0)
+        out["steps"].append(
+            {"step": "build", **snapshot(spark, idx, q0, args.nprobe)}
+        )
+
+        for b in range(1, args.batches + 1):
+            drift = b / args.batches  # batch mix shifts old -> new modes
+            w = np.concatenate(
+                [np.full(10, (1 - drift) / 10), np.full(10, drift / 10)]
+            )
+            centers = np.vstack([old_centers, new_centers])
+            rows, _ = make_batch(
+                rng, centers, w, BATCH_N, 100_000 * b
+            )
+            idx.append(spark.createDataFrame(rows, ["vec_id", "embedding"]))
+            _, qb = make_batch(rng, centers, w, N_QUERIES, 0)
+            out["steps"].append(
+                {"step": f"append{b}", "drift": drift,
+                 **snapshot(spark, idx, qb, args.nprobe)}
+            )
+
+        rebuilt = idx.rebuild(seed=5)
+        out["steps"].append(
+            {"step": "rebuild", **snapshot(spark, rebuilt, qb, args.nprobe)}
+        )
+        removed = rebuilt.vacuum()
+        out["vacuumed"] = removed
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

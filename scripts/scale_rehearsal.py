@@ -53,11 +53,37 @@ VOCAB = (
 ).split()
 LANGS = ["en"] * 41 + ["zh"] * 15 + ["es"] * 15 + ["fr"] * 15 + ["de"] * 14
 
+# Zipf vocabulary (r8, VERDICT r7 #5): the uniform 31-word salad makes
+# every shingle's df grow linearly with the corpus (the shingle space
+# saturates), which drives exact Jaccard artificially quadratic and lets
+# the max_shingle_df cap prune nothing at realistic settings. Real text
+# is Zipfian: a handful of head words dominate, the tail is huge — so
+# most shingles are RARE (df stays O(1) as the corpus grows) and the cap
+# prunes exactly the head. 10k words, p_i ~ 1/i^1.1 (the classic fit for
+# natural-language rank-frequency).
+ZIPF_VOCAB_SIZE = 10_000
+ZIPF_EXPONENT = 1.1
 
-def gen_documents(spark, n: int, out: str, seed: int = 42) -> None:
+
+def _zipf_probs() -> np.ndarray:
+    w = 1.0 / np.arange(1, ZIPF_VOCAB_SIZE + 1) ** ZIPF_EXPONENT
+    return w / w.sum()
+
+
+def gen_documents(spark, n: int, out: str, seed: int = 42,
+                  vocab: str = "uniform") -> None:
     """Distributed seeded generation: word salad matching the testdata
-    recipe; every 500th row duplicates its predecessor's text (~0.2%
-    exact-dup rate, like the driver tables)."""
+    recipe (``vocab='uniform'``: the driver's 31-word salad;
+    ``vocab='zipf'``: 10k-word Zipf draws); every 500th row duplicates
+    its predecessor's text (~0.2% exact-dup rate, like the driver
+    tables)."""
+    zipf = vocab == "zipf"
+    words = (
+        np.array([f"w{i:05d}" for i in range(ZIPF_VOCAB_SIZE)])
+        if zipf
+        else np.asarray(VOCAB)
+    )
+    probs = _zipf_probs() if zipf else None
 
     def gen(batches):
         for pdf in batches:
@@ -67,7 +93,12 @@ def gen_documents(spark, n: int, out: str, seed: int = 42) -> None:
             for i in ids:
                 r = np.random.default_rng(seed * 31 + int(i) - (1 if i % 500 == 1 else 0))
                 nw = int(r.integers(10, 101))
-                texts.append(" ".join(np.asarray(VOCAB)[r.integers(0, len(VOCAB), nw)]))
+                picks = (
+                    r.choice(len(words), size=nw, p=probs)
+                    if probs is not None
+                    else r.integers(0, len(words), nw)
+                )
+                texts.append(" ".join(words[picks]))
             del rng
             yield pd.DataFrame(
                 {
@@ -216,6 +247,9 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--root", default="/tmp/jackfruit_scale")
     ap.add_argument("--skip", default="", help="comma-separated query names")
+    ap.add_argument("--vocab", default="uniform", choices=("uniform", "zipf"),
+                    help="document vocabulary: the driver's uniform 31-word "
+                         "salad, or a 10k-word Zipf draw (realistic df tail)")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     skip = set(filter(None, args.skip.split(",")))
@@ -223,16 +257,17 @@ def main() -> None:
     spark = get_spark("jackfruit-scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
+    suffix = "" if args.vocab == "uniform" else f"_{args.vocab}"
     for m in mults:
-        out = os.path.join(args.root, f"mult{m}")
+        out = os.path.join(args.root, f"mult{m}{suffix}")
         if not os.path.exists(os.path.join(out, "embeddings.parquet")):
-            gen_documents(spark, DOCS_BASE * m, out)
+            gen_documents(spark, DOCS_BASE * m, out, vocab=args.vocab)
             gen_embeddings(spark, VECS_BASE * m, out)
 
     fam = {k: v for k, v in heavy_family().items() if k not in skip}
     results: dict[str, dict] = {name: {} for name in fam}
     for m in mults:
-        out = os.path.join(args.root, f"mult{m}")
+        out = os.path.join(args.root, f"mult{m}{suffix}")
         # warm codegen on the smallest mult's data once per session is
         # unnecessary here: min-of-N cold repeats absorb JIT like bench.py
         for name, fn in fam.items():

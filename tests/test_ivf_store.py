@@ -168,6 +168,41 @@ def test_rebuild_is_versioned_and_atomic(spark, tmp_path, vectors, centroids):
     assert reopened.search(qv, k=5, nprobe=4).collect() == before
 
 
+def test_rebuild_recenters_drifted_appends(spark, tmp_path):
+    """Maintenance hook (VERDICT r7 #6): append with frozen centroids
+    piles drifted vectors into few hot cells; rebuild retrains on the
+    current corpus, rebalancing the layout without changing search
+    results at exhaustive probe."""
+    rng = np.random.default_rng(3)
+    around = lambda c, n, off: [  # noqa: E731
+        (off + i, [float(x) for x in c + 0.1 * rng.normal(size=8)])
+        for i in range(n)
+    ]
+    c_old = rng.normal(size=8)
+    c_new = c_old + 8.0  # drifted mode far from the build distribution
+    base = spark.createDataFrame(around(c_old, 120, 0), ["vec_id", "embedding"])
+    idx = IvfIndex.build(
+        base, "vec_id", "embedding", str(tmp_path / "ivf"), k=8, seed=1
+    )
+    drifted = spark.createDataFrame(
+        around(c_new, 120, 1000), ["vec_id", "embedding"]
+    )
+    idx.append(drifted)
+    skewed = idx.stats()
+    qv = [float(x) for x in c_new]
+    before = idx.search(qv, k=5, nprobe=8).collect()
+
+    rebuilt = idx.rebuild(seed=1)
+    balanced = rebuilt.stats()
+    # the drifted mode now owns real cells: the max-cell share shrinks
+    assert balanced["imbalance"] < skewed["imbalance"]
+    assert balanced["rows"] == skewed["rows"] == 240
+    # exhaustive-probe search is quantizer-independent
+    assert rebuilt.search(qv, k=5, nprobe=8).collect() == before
+    # and the handle that called rebuild() follows the swap
+    assert idx.data_path == rebuilt.data_path
+
+
 class TestServedKnnJoin:
     def test_parity_with_knn_join(self, spark, tmp_path, vectors, centroids):
         """Identical centroids/nprobe => identical rows to the
