@@ -220,3 +220,39 @@ def test_strip_file_scheme():
     assert strip_file_scheme("file:/a/b") == "/a/b"
     assert strip_file_scheme("file:///a/b") == "/a/b"
     assert strip_file_scheme("/a/b") == "/a/b"
+
+
+def test_s3_ranged_reader_against_botocore_stubber():
+    """The real request wiring, validated against botocore's S3 service
+    model (no network): Range header formed correctly, NoSuchKey maps to
+    FileNotFoundError through the genuine ClientError path."""
+    boto3 = pytest.importorskip("boto3")
+    import io
+
+    from botocore.stub import Stubber
+
+    from jackfruit_spark.sources.object_store import S3RangedReader
+
+    client = boto3.client(
+        "s3", region_name="us-east-1",
+        aws_access_key_id="k", aws_secret_access_key="s",
+    )
+    reader = S3RangedReader.__new__(S3RangedReader)
+    reader._client = client
+
+    with Stubber(client) as st:
+        st.add_response(
+            "get_object",
+            {"Body": io.BytesIO(b"abcd")},
+            {"Bucket": "bkt", "Key": "crawl/a.warc.gz", "Range": "bytes=10-13"},
+        )
+        assert reader.read_range("s3://bkt/crawl/a.warc.gz", 10, 4) == b"abcd"
+        st.assert_no_pending_responses()
+
+    with Stubber(client) as st:
+        st.add_client_error(
+            "get_object", service_error_code="NoSuchKey",
+            expected_params={"Bucket": "bkt", "Key": "k", "Range": "bytes=0-3"},
+        )
+        with pytest.raises(FileNotFoundError):
+            reader.read_range("s3://bkt/k", 0, 4)
