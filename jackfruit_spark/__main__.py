@@ -219,6 +219,35 @@ def cmd_index_warc(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """End-to-end crawl curation (operators/curation.
+    warc_training_pipeline): WARC shards -> CDX ranged reads ->
+    extraction -> quality gate -> LSH near-dup dedup -> sequence
+    packing, written as parquet, with the observed per-stage row counts
+    on stdout. Pass --manifest to reuse an `index-warc` output instead
+    of re-walking shards."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.curation import warc_training_pipeline
+
+    manifest = (
+        spark.read.parquet(args.manifest) if args.manifest else None
+    )
+    packed, obs = warc_training_pipeline(
+        spark,
+        args.input,
+        extraction=args.extraction,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        pack_tokens=args.pack_tokens,
+        manifest=manifest,
+    )
+    packed.write.mode("overwrite").parquet(args.output)
+    stats = {k: int(o.get["rows"]) for k, o in obs.items()}
+    stats["packed"] = spark.read.parquet(args.output).count()
+    print(json.dumps({**stats, "output": args.output}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="jackfruit_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -290,6 +319,25 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--quarantine", default=None)
     cu.add_argument("--cpus", default=None)
     cu.set_defaults(fn=cmd_curate)
+
+    pl = sub.add_parser(
+        "pipeline",
+        help="WARC shards -> extracted/gated/deduped/packed training corpus",
+    )
+    pl.add_argument("--input", required=True, help="WARC shard glob")
+    pl.add_argument("--output", required=True)
+    pl.add_argument(
+        "--manifest", default=None,
+        help="prebuilt CDX manifest parquet (from index-warc)",
+    )
+    pl.add_argument(
+        "--extraction", choices=("strip", "boilerplate"), default="boilerplate"
+    )
+    pl.add_argument("--min-tokens", type=int, default=5)
+    pl.add_argument("--max-tokens", type=int, default=2000)
+    pl.add_argument("--pack-tokens", type=int, default=2048)
+    pl.add_argument("--cpus", default=None)
+    pl.set_defaults(fn=cmd_pipeline)
 
     iw = sub.add_parser(
         "index-warc",

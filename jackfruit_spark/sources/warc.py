@@ -552,14 +552,14 @@ def scan_warc_cdx(
         )
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jackfruit_spark.sources.object_store import read_range
+
         for pdf in batches:
             rows = []
             for path, off, length, comp in zip(
                 pdf["path"], pdf["offset"], pdf["length"], pdf["compressed"]
             ):
                 try:
-                    from jackfruit_spark.sources.object_store import read_range
-
                     buf = read_range(path, int(off), int(length))
                     if comp:
                         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)

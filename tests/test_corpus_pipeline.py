@@ -98,6 +98,27 @@ def test_pipeline_stages_and_dedup(spark, shards):
         assert r["first_doc"] <= r["last_doc"]
 
 
+def test_pipeline_cli(spark, shards, tmp_path, capsys):
+    """The `pipeline` subcommand: WARC glob -> packed parquet + one JSON
+    stats line, optionally reusing an index-warc manifest."""
+    import json
+
+    from jackfruit_spark import __main__ as cli
+
+    out = str(tmp_path / "packed")
+    man = str(tmp_path / "manifest")
+    assert cli.main(["index-warc", "--input", shards, "--output", man]) == 0
+    capsys.readouterr()
+    rc = cli.main(
+        ["pipeline", "--input", shards, "--output", out,
+         "--manifest", man, "--min-tokens", "60"]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (stats["docs"], stats["gated"], stats["deduped"]) == (43, 42, 39)
+    assert stats["packed"] == spark.read.parquet(out).count() > 0
+
+
 def test_pipeline_drops_boilerplate_chrome(spark, shards):
     # inspect bridged text directly at the extraction tier
     from jackfruit_spark.sources.warc import (
