@@ -270,14 +270,13 @@ def bench_ivf(spark, sf_dir: str) -> dict[str, float]:
 
 
 def _ensure_bench_warc(spark, sf_dir: str) -> str:
-    """Synthesize WARC shards from the documents table ONCE per sf (input
-    prep, outside the timed region): each doc becomes an HTML page whose
-    article paragraphs carry the doc's words joined with English stopword
-    glue (so the jusText-style classifier keeps them) between link-heavy
-    nav/footer chrome (which it must drop), wrapped as a gzip
-    member-per-record WARC response. Deterministic; cached under /tmp."""
-    import gzip
+    """Synthesize WARC shards from the documents table ONCE per sf
+    (input prep, outside the timed region), via the shared synthetic
+    corpus writer (sources/warc_synth.py). Deterministic; cached under
+    /tmp."""
     import hashlib
+
+    from jackfruit_spark.sources.warc_synth import shards_from_documents
 
     key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
     root = f"/tmp/jackfruit_bench_warc_{key}"
@@ -286,57 +285,9 @@ def _ensure_bench_warc(spark, sf_dir: str) -> str:
         f.endswith(".warc.gz") for f in os.listdir(root)
     ):
         return glob
-
-    glue = ["the", "of", "and", "in", "to", "is"]
-    chrome = (
-        '<div><a href="/">home</a> <a href="/a">news</a> '
-        '<a href="/b">about</a> <a href="/c">contact</a></div>'
+    return shards_from_documents(
+        spark, os.path.join(sf_dir, "documents.parquet"), root
     )
-
-    def page(doc_id: int, text: str) -> bytes:
-        words = text.split()
-        paras = []
-        for i in range(0, len(words), 30):
-            grp = words[i : i + 30]
-            glued = " ".join(
-                w for pair in zip(grp, (glue[j % 6] for j in range(len(grp))))
-                for w in pair
-            )
-            paras.append(f"<p>{glued}</p>")
-        body = f"<html><body>{chrome}<h1>doc {doc_id}</h1>" + "".join(
-            paras
-        ) + f"{chrome}</body></html>"
-        return body.encode()
-
-    def record(doc_id: int, body: bytes) -> bytes:
-        http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
-            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
-        )
-        head = (
-            b"WARC/1.0\r\n"
-            b"WARC-Type: response\r\n"
-            b"WARC-Record-ID: <urn:uuid:bench-" + str(doc_id).encode() + b">\r\n"
-            b"WARC-Target-URI: https://bench.example/" + str(doc_id).encode() + b"\r\n"
-            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
-        )
-        return head + http + b"\r\n\r\n"
-
-    docs = (
-        Q.load(spark, sf_dir, "documents").select("doc_id", "text").collect()
-    )
-    n_shards = 8
-    bufs: list[list[bytes]] = [[] for _ in range(n_shards)]
-    for r in docs:
-        did = int(r["doc_id"])
-        bufs[did % n_shards].append(
-            gzip.compress(record(did, page(did, r["text"] or "")))
-        )
-    os.makedirs(root, exist_ok=True)
-    for i, members in enumerate(bufs):
-        with open(os.path.join(root, f"shard{i:02d}.warc.gz"), "wb") as f:
-            f.write(b"".join(members))
-    return glob
 
 
 def bench_corpus_pipeline(spark, sf_dir: str) -> tuple[dict, dict]:

@@ -1,0 +1,96 @@
+"""Synthetic WARC corpus writer (r8): one place that turns a documents
+table into member-per-record gzip WARC shards, shared by bench.py's
+corpus-pipeline input prep, the scale rehearsal, and tests — so the page
+shape (what the boilerplate classifier sees) can't drift between them.
+
+Pages are built to exercise the jusText-style extraction tier honestly:
+article paragraphs carry the document's words joined with English
+stopword GLUE (>=0.32 stopword density) in >200-char paragraphs (the
+classifier's context-free "good" threshold — shorter paragraphs are
+'neargood' and die next to bad chrome, measured r8), between link-heavy
+nav/footer chrome the classifier must drop. Documents under ~23 words
+therefore extract to EMPTY and vanish before the bridge, like real short
+pages do.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+GLUE = ["the", "of", "and", "in", "to", "is"]
+CHROME = (
+    '<div><a href="/">home</a> <a href="/a">news</a> '
+    '<a href="/b">about</a> <a href="/c">contact</a></div>'
+)
+_PARA_WORDS = 30  # 30 content + 30 glue words ~ 280 chars > the 200 bar
+
+
+def page_html(doc_id: int, text: str) -> bytes:
+    """Document text -> HTML page: glued article paragraphs between
+    link-dense chrome."""
+    words = text.split()
+    paras = []
+    for i in range(0, len(words), _PARA_WORDS):
+        grp = words[i : i + _PARA_WORDS]
+        glued = " ".join(
+            w
+            for pair in zip(grp, (GLUE[j % 6] for j in range(len(grp))))
+            for w in pair
+        )
+        paras.append(f"<p>{glued}</p>")
+    return (
+        f"<html><body>{CHROME}<h1>doc {doc_id}</h1>"
+        + "".join(paras)
+        + f"{CHROME}</body></html>"
+    ).encode()
+
+
+def warc_response_record(doc_id: int, body: bytes, host: str = "bench.example") -> bytes:
+    """One WARC/1.0 response record wrapping an HTTP 200 HTML payload."""
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    return (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:synth-" + str(doc_id).encode() + b">\r\n"
+        b"WARC-Target-URI: https://" + host.encode() + b"/"
+        + str(doc_id).encode() + b"\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+
+
+def write_warc_shards(
+    docs: list[tuple[int, str]], out_dir: str, n_shards: int = 8
+) -> str:
+    """Write (doc_id, text) pairs as member-per-record gzip shards
+    (doc_id % n_shards keeps the layout deterministic). Returns the
+    shard glob."""
+    bufs: list[list[bytes]] = [[] for _ in range(n_shards)]
+    for doc_id, text in docs:
+        did = int(doc_id)
+        bufs[did % n_shards].append(
+            gzip.compress(warc_response_record(did, page_html(did, text or "")))
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    for i, members in enumerate(bufs):
+        with open(os.path.join(out_dir, f"shard{i:02d}.warc.gz"), "wb") as f:
+            f.write(b"".join(members))
+    return os.path.join(out_dir, "*.warc.gz")
+
+
+def shards_from_documents(spark, documents_parquet_dir: str, out_dir: str,
+                          n_shards: int = 8) -> str:
+    """documents.parquet -> shards. Driver-side by design: shard files
+    are plain local files here (the rehearsal/bench input-prep path);
+    corpus sizes in play are test-scale."""
+    rows = (
+        spark.read.parquet(documents_parquet_dir)
+        .select("doc_id", "text")
+        .collect()
+    )
+    return write_warc_shards(
+        [(r["doc_id"], r["text"]) for r in rows], out_dir, n_shards
+    )

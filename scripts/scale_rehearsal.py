@@ -163,6 +163,19 @@ def q53_capped(spark, sf_dir):
     return connected_components(d.select("doc_id"), pairs, id_col="doc_id")
 
 
+def corpus_pipeline(spark, sf_dir):
+    """The r8 end-to-end composition over the rehearsal corpus's WARC
+    rendering (sources/warc_synth.py): extraction -> gate -> LSH+CC
+    dedup -> packing. CC's driver loop runs during construction, which
+    time_query's fn-inside-timer protocol measures correctly."""
+    from jackfruit_spark.operators.curation import warc_training_pipeline
+
+    packed, _ = warc_training_pipeline(
+        spark, os.path.join(sf_dir, "warc", "*.warc.gz")
+    )
+    return packed
+
+
 def heavy_family():
     reg = Q.registry()
     return {
@@ -175,6 +188,7 @@ def heavy_family():
         "bpe_tokenize": Q.bpe_tokenize,
         "ann_ivf_trained": Q.ann_ivf_trained,
         "ann_knn_join": Q.ann_knn_join,
+        "corpus_pipeline_warc": corpus_pipeline,
     }
 
 
@@ -263,6 +277,16 @@ def main() -> None:
         if not os.path.exists(os.path.join(out, "embeddings.parquet")):
             gen_documents(spark, DOCS_BASE * m, out, vocab=args.vocab)
             gen_embeddings(spark, VECS_BASE * m, out)
+        if "corpus_pipeline_warc" not in skip and not os.path.isdir(
+            os.path.join(out, "warc")
+        ):
+            from jackfruit_spark.sources.warc_synth import shards_from_documents
+
+            shards_from_documents(
+                spark,
+                os.path.join(out, "documents.parquet"),
+                os.path.join(out, "warc"),
+            )
 
     fam = {k: v for k, v in heavy_family().items() if k not in skip}
     results: dict[str, dict] = {name: {} for name in fam}

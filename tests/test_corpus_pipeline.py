@@ -11,41 +11,16 @@ import pytest
 
 from jackfruit_spark.operators.curation import warc_training_pipeline
 
-GLUE = ["the", "of", "and", "in", "to", "is"]
-CHROME = (
-    '<div><a href="/">home</a> <a href="/n">news</a> '
-    '<a href="/a">about</a> <a href="/c">contact</a></div>'
-)
-
-
 def _page(doc_id: int, words: list[str]) -> bytes:
-    paras = []
-    for i in range(0, len(words), 30):
-        grp = words[i : i + 30]
-        glued = " ".join(
-            w for pair in zip(grp, (GLUE[j % 6] for j in range(len(grp))))
-            for w in pair
-        )
-        paras.append(f"<p>{glued}</p>")
-    return (
-        f"<html><body>{CHROME}<h1>doc {doc_id}</h1>"
-        + "".join(paras)
-        + f"{CHROME}</body></html>"
-    ).encode()
+    from jackfruit_spark.sources.warc_synth import page_html
+
+    return page_html(doc_id, " ".join(words))
 
 
 def _record(doc_id: int, body: bytes) -> bytes:
-    http = (
-        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
-        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
-    )
-    return (
-        b"WARC/1.0\r\nWARC-Type: response\r\n"
-        b"WARC-Record-ID: <urn:uuid:t-" + str(doc_id).encode() + b">\r\n"
-        b"WARC-Target-URI: https://t.example/" + str(doc_id).encode() + b"\r\n"
-        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
-        + http + b"\r\n\r\n"
-    )
+    from jackfruit_spark.sources.warc_synth import warc_response_record
+
+    return warc_response_record(doc_id, body, host="t.example")
 
 
 @pytest.fixture()
