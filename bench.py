@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q26_ann_lsh_bucketed",  # bucketed scale path for embedding near-dup (q40's twin)
     "ann_ivf_trained",  # trained-quantizer IVF search (bench-only, VERDICT r5 #5)
     "bpe_tokenize",  # real BPE train+apply token budgeting (bench-only, r6)
+    "ccnet_perplexity",  # bigram-LM quality scoring, CCNet tier (bench-only, r8)
     "ann_knn_join",  # corpus-wide batch kNN-join via IVF cells (bench-only, r7)
     "semantic_dedup_ivf",  # SemDeDup composition: IVF cells -> cosine pairs -> CC
     "q42_sessionization",

@@ -1,0 +1,168 @@
+"""N-gram language-model perplexity scoring — the CCNet quality tier.
+
+CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") ranks crawled documents by the perplexity
+of a language model trained on trusted text: low-perplexity documents
+read like the reference corpus, high-perplexity ones are gibberish,
+boilerplate, or the wrong register. This module is that tier with an
+n-gram model instead of CCNet's KenLM (no external model artifacts; the
+math is the classic interpolated bigram LM):
+
+- **train** (``train_bigram_lm``): distributed counting — one
+  tokens-explode per document for unigrams, one posexplode+lead pass
+  (the shingle hot path) for bigrams — then a BOUNDED driver-side model:
+  top ``vocab_size`` unigrams and top ``max_bigrams`` bigrams by count.
+  The kmeans_train shape: count at scale, assemble small.
+- **score** (``perplexity``): one Arrow-batched pandas UDF over the
+  broadcast count dicts. Jelinek-Mercer interpolation
+  ``p(w2|w1) = lam * c(w1 w2)/c(w1) + (1-lam) * p_uni(w2)`` with
+  add-one-smoothed unigrams over the capped vocab (OOV falls to the
+  uniform floor ``1/(T+V)``), perplexity = exp(mean negative log prob)
+  over the doc's bigram transitions. Tokenization matches
+  ``operators/dedup.tokens_expr`` (whitespace split of trimmed text) so
+  LM counts and shingle/dedup counts describe the same token stream.
+
+At 100 TB: training cost is two count aggregations (shuffle ~ corpus
+tokens, map-side combined); the model is megabytes by construction and
+ships once per executor; scoring is embarrassingly parallel with zero
+shuffle. This is exactly how production CCNet runs (train once on a
+trusted slice, score everything).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WS = re.compile(r"\s+")
+
+
+def _py_tokens(text: str) -> list[str]:
+    """Python twin of operators/dedup.tokens_expr — MUST stay identical
+    (whitespace split of trimmed text; empty text -> ['']-like Spark
+    behavior is normalized to [] here and in the count path)."""
+    t = (text or "").strip()
+    return _WS.split(t) if t else []
+
+
+class BigramLM:
+    """Frozen counts + smoothing knobs; picklable for broadcast."""
+
+    def __init__(
+        self,
+        unigrams: dict[str, int],
+        bigrams: dict[tuple[str, str], int],
+        total_tokens: int,
+        lam: float = 0.7,
+    ):
+        self.unigrams = unigrams
+        self.bigrams = bigrams
+        self.total = total_tokens
+        self.vocab = len(unigrams)
+        self.lam = lam
+
+    def p_uni(self, w: str) -> float:
+        # add-one over the CAPPED vocab: OOV gets the uniform floor
+        return (self.unigrams.get(w, 0) + 1) / (self.total + self.vocab + 1)
+
+    def log_p(self, w1: str, w2: str) -> float:
+        uni = self.p_uni(w2)
+        c1 = self.unigrams.get(w1, 0)
+        if c1 > 0:
+            p = self.lam * self.bigrams.get((w1, w2), 0) / c1 + (1 - self.lam) * uni
+        else:
+            p = uni
+        return math.log(p)
+
+    def doc_perplexity(self, text: str) -> float | None:
+        """exp(mean negative log p) over the doc's bigram transitions;
+        None for docs with < 2 tokens (no transitions to score)."""
+        toks = _py_tokens(text)
+        if len(toks) < 2:
+            return None
+        s = 0.0
+        for i in range(len(toks) - 1):
+            s += self.log_p(toks[i], toks[i + 1])
+        return math.exp(-s / (len(toks) - 1))
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 50_000,
+    max_bigrams: int = 500_000,
+    lam: float = 0.7,
+) -> BigramLM:
+    """Distributed exact counting, bounded driver-side assembly. The
+    count aggregations are map-side-combined groupBys; only the top-K
+    heads come back to the driver (two TakeOrdered jobs), so the model
+    stays megabytes no matter the corpus size. Deterministic: exact
+    counts, count-desc/token-asc tie-broken heads."""
+    from jackfruit_spark._persist import persisted
+    from jackfruit_spark.operators.dedup import shingled_exploded, tokens_expr
+
+    toks = df.select(F.explode(tokens_expr(text_col)).alias("w")).filter(
+        F.col("w") != ""
+    )
+    # one corpus pass: total tokens = sum over the grouped counts (a
+    # distinct-words-sized frame, persisted for the head selection) —
+    # NOT a second full scan via toks.count()
+    grouped = persisted(toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    total = grouped.agg(F.sum("c")).collect()[0][0] or 0
+    uni_rows = (
+        grouped.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(vocab_size)
+        .collect()
+    )
+    # bigrams via the posexplode+lead hot path (k=2 grams include the
+    # final partial 1-gram by the slice-truncation rule — drop grams
+    # without a space, they have no transition). Synthetic row id: the
+    # window must partition per DOCUMENT (duplicate texts would collide
+    # and let lead() cross documents).
+    with_id = df.select(
+        F.monotonically_increasing_id().alias("__lmid"), F.col(text_col)
+    )
+    big_rows = (
+        shingled_exploded(with_id, "__lmid", text_col, k=2, distinct=False)
+        .filter(F.col("sh").contains(" "))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("sh").asc())
+        .limit(max_bigrams)
+        .collect()
+    )
+    unigrams = {r["w"]: int(r["c"]) for r in uni_rows}
+    bigrams = {}
+    for r in big_rows:
+        w1, _, w2 = r["sh"].partition(" ")
+        bigrams[(w1, w2)] = int(r["c"])
+    return BigramLM(unigrams, bigrams, int(total), lam=lam)
+
+
+def with_perplexity(
+    df: DataFrame, text_col: str, model: BigramLM, out_col: str = "perplexity"
+) -> DataFrame:
+    """Add a per-document bigram-perplexity column under ``model``
+    (rounded 6dp; NULL for docs with < 2 tokens). One Arrow batch per
+    partition chunk, dict lookups only — no shuffle, no JVM round-trips;
+    the model ships once per executor inside the UDF closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    @pandas_udf("double")
+    def score(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype="float64")
+        for i, t in enumerate(texts):
+            p = model.doc_perplexity(t)
+            out[i] = np.nan if p is None else round(p, 6)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, score(F.col(text_col)))

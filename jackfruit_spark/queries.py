@@ -904,6 +904,34 @@ def bpe_tokenize(spark, sf_dir):
     )
 
 
+def ccnet_perplexity(spark, sf_dir):
+    """Bench-only: CCNet-style LM quality scoring over the documents
+    table (functions/lm.py — distributed bigram/unigram counting, bounded
+    driver-side model, Arrow-batched scoring). Trains on the 'en' slice
+    (the trusted-corpus stand-in) and scores EVERYTHING, aggregating
+    per-source quantized perplexity stats — the ranking CCNet buckets a
+    crawl by. Not registered: the model head selection (top-K counts) is
+    not worth an oracle contortion; counts/scoring/backoff are
+    pytest-carried against a pure-Python reference (tests/test_lm.py)."""
+    from jackfruit_spark.functions.lm import train_bigram_lm, with_perplexity
+
+    d = load(spark, sf_dir, "documents")
+    lm = train_bigram_lm(d.filter(F.col("lang") == "en"), "text")
+    scored = with_perplexity(d, "text", lm)
+    return (
+        scored.filter(F.col("perplexity").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum((F.col("perplexity") * 1e6).cast("long")) / F.lit(1e6)
+            ).alias("sum_ppl"),
+            F.min("perplexity").alias("min_ppl"),
+            F.max("perplexity").alias("max_ppl"),
+        )
+    )
+
+
 def _q25_oracle(bits: int = 60) -> str:
     from jackfruit_spark.functions.hashing import sql_md5_hash64
 

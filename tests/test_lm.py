@@ -1,0 +1,87 @@
+"""CCNet-style bigram-LM perplexity (functions/lm.py): exact counts vs
+a hand computation, scoring parity with a pure-Python reference,
+in-distribution vs gibberish separation, and caps."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions.lm import (
+    BigramLM,
+    train_bigram_lm,
+    with_perplexity,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "the dog sat on the mat"),
+        (4, "a dog ran fast"),
+        (5, "the cat sat on the mat"),  # duplicate text: counts must add
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_counts_exact(spark, corpus):
+    lm = train_bigram_lm(corpus, "text")
+    assert lm.total == 6 + 3 + 6 + 4 + 6
+    assert lm.unigrams["the"] == 7
+    assert lm.unigrams["cat"] == 3
+    assert lm.unigrams["fast"] == 1
+    # duplicate texts contribute independently (the __lmid window): "the
+    # cat" appears in docs 1, 2, 5
+    assert lm.bigrams[("the", "cat")] == 3
+    assert lm.bigrams[("sat", "on")] == 3
+    assert lm.bigrams[("on", "the")] == 3
+    assert ("ran", "fast") in lm.bigrams
+    # no partial grams leaked in as bigrams
+    assert all(len(k) == 2 and k[0] and k[1] for k in lm.bigrams)
+
+
+def test_scoring_matches_python_reference(spark, corpus):
+    lm = train_bigram_lm(corpus, "text")
+    scored = {
+        r["doc_id"]: r["perplexity"]
+        for r in with_perplexity(corpus, "text", lm).collect()
+    }
+    for r in corpus.collect():
+        want = lm.doc_perplexity(r["text"])
+        assert scored[r["doc_id"]] == pytest.approx(round(want, 6))
+    # manual spot check of one transition: p("cat"|"the")
+    uni = (lm.unigrams["cat"] + 1) / (lm.total + lm.vocab + 1)
+    p = 0.7 * lm.bigrams[("the", "cat")] / lm.unigrams["the"] + 0.3 * uni
+    assert math.isclose(lm.log_p("the", "cat"), math.log(p))
+
+
+def test_gibberish_scores_higher(spark, corpus):
+    lm = train_bigram_lm(corpus, "text")
+    test = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zx qv blorp wug snark plim")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["perplexity"]
+           for r in with_perplexity(test, "text", lm).collect()}
+    assert got[2] > got[1] * 10  # OOV gibberish is far out of distribution
+
+
+def test_short_docs_are_null_and_caps_bound_model(spark, corpus):
+    lm = train_bigram_lm(corpus, "text", vocab_size=3, max_bigrams=2)
+    assert len(lm.unigrams) == 3 and len(lm.bigrams) == 2
+    # head-by-count, token-asc tie-break: 'the' (7) first
+    assert "the" in lm.unigrams
+    test = spark.createDataFrame([(1, "single"), (2, "")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["perplexity"]
+           for r in with_perplexity(test, "text", lm).collect()}
+    assert all(v is None or math.isnan(v) for v in got.values())
+
+
+def test_unseen_context_backs_off_to_unigram(spark, corpus):
+    lm = train_bigram_lm(corpus, "text")
+    # w1 not in vocab: p = p_uni(w2) exactly
+    assert lm.log_p("zzz", "the") == math.log(lm.p_uni("the"))
