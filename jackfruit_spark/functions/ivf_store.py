@@ -62,12 +62,25 @@ class IvfIndex:
         self.root = root
         self.manifest_path = os.path.join(root, _MANIFEST)
         self._meta: dict | None = None
+        self._df: DataFrame | None = None
+        self._df_path: str | None = None
 
     @property
     def data_path(self) -> str:
         """Current data directory, resolved through the manifest so
         rebuilds swap atomically (older manifests read ``data``)."""
         return os.path.join(self.root, self._manifest().get("data_dir", "data"))
+
+    def _data_df(self) -> DataFrame:
+        """Cached reader handle for the current data version — parquet
+        schema inference re-lists the directory per ``spark.read`` call,
+        a per-search tax at serving QPS. Keyed by the resolved data path
+        so a rebuild/append-following handle refreshes itself."""
+        path = self.data_path
+        if self._df is None or self._df_path != path:
+            self._df = self.spark.read.parquet(path)
+            self._df_path = path
+        return self._df
 
     # ------------------------------------------------------------- build
 
@@ -136,7 +149,7 @@ class IvfIndex:
         signal ``rebuild`` acts on. One aggregate over the partition
         column (column-pruned scan of file footers + partition values)."""
         rows = (
-            self.spark.read.parquet(self.data_path)
+            self._data_df()
             .groupBy("ivf_cell")
             .count()
             .collect()
@@ -221,6 +234,7 @@ class IvfIndex:
             .partitionBy("ivf_cell")
             .parquet(self.data_path)
         )
+        self._df = None  # cached reader snapshot misses appended files
         return self
 
     # ------------------------------------------------------------ search
@@ -242,7 +256,7 @@ class IvfIndex:
         (e.g. an extra metadata filter before the distance top-k)."""
         meta = self._manifest()
         cells = nearest_cells(query_vec, meta["centroids"], nprobe)
-        return self.spark.read.parquet(self.data_path).filter(
+        return self._data_df().filter(
             F.col("ivf_cell").isin([int(c) for c in cells])
         )
 
@@ -309,7 +323,7 @@ class IvfIndex:
             int(r[0]) for r in q.select("ivf_cell").distinct().collect()
         )
         b = (
-            self.spark.read.parquet(self.data_path)
+            self._data_df()
             .filter(F.col("ivf_cell").isin(cells))
             .select(
                 F.col(id_b).alias("__bid"),

@@ -85,3 +85,13 @@ def test_unseen_context_backs_off_to_unigram(spark, corpus):
     lm = train_bigram_lm(corpus, "text")
     # w1 not in vocab: p = p_uni(w2) exactly
     assert lm.log_p("zzz", "the") == math.log(lm.p_uni("the"))
+
+
+def test_scoring_plan_is_shuffle_free(spark, corpus):
+    """The docstring's zero-shuffle claim, enforced: scoring is scan +
+    ArrowEvalPython + project, no Exchange."""
+    from jackfruit_spark.plans import plan_string
+
+    lm = train_bigram_lm(corpus, "text")
+    p = plan_string(with_perplexity(corpus, "text", lm))
+    assert "Exchange" not in p, p
