@@ -167,6 +167,20 @@ def cmd_curate(args) -> int:
         ]
         clean, corrupt = C.quarantine_corrupt(reader(spark, args.input))
     n_in = clean.count()
+    lm = None
+    if args.max_perplexity is not None:
+        # CCNet tier: train on the language-matching slice of THIS
+        # corpus (the trusted-corpus stand-in) and gate by perplexity
+        from pyspark.sql import functions as F
+
+        from jackfruit_spark.functions.lm import train_bigram_lm
+
+        train_df = (
+            clean
+            if args.lang == "any"
+            else clean.filter(F.col("lang") == args.lang)
+        )
+        lm = train_bigram_lm(train_df, "text")
     curated = curate_corpus(
         clean,
         lang=None if args.lang == "any" else args.lang,
@@ -177,6 +191,8 @@ def cmd_curate(args) -> int:
         redact=args.redact_pii,
         sample_pct=args.sample_pct,
         shuffle_seed=args.shuffle_seed,
+        lm=lm,
+        max_perplexity=args.max_perplexity,
     )
     curated.write.mode("overwrite").parquet(args.output)
     n_bad = corrupt.count() if corrupt is not None else 0
@@ -314,6 +330,11 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--span-k", type=int, default=None,
                     help="enable duplicate-span removal at this gram width")
     cu.add_argument("--redact-pii", action="store_true")
+    cu.add_argument(
+        "--max-perplexity", type=float, default=None,
+        help="CCNet tier: drop docs whose bigram-LM perplexity (model "
+             "trained on this corpus's --lang slice) exceeds the cap",
+    )
     cu.add_argument("--sample-pct", type=int, default=100)
     cu.add_argument("--shuffle-seed", type=int, default=None)
     cu.add_argument("--quarantine", default=None)

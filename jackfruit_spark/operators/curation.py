@@ -430,18 +430,29 @@ def curate_corpus(
     redact: bool = False,
     sample_pct: int = 100,
     shuffle_seed: int | None = None,
+    lm=None,
+    max_perplexity: float | None = None,
 ) -> DataFrame:
     """One-call batch curation: quality gates -> exact dedup -> optional
-    duplicate-span removal -> optional PII redaction -> deterministic
-    hash sample -> optional epoch shuffle. The gate + dedup + sample
-    stages are exactly q57's (the oracle-checked pipeline); the optional
-    stages are the release-preparation transforms.
+    LM-perplexity gate -> optional duplicate-span removal -> optional
+    PII redaction -> deterministic hash sample -> optional epoch
+    shuffle. The gate + dedup + sample stages are exactly q57's (the
+    oracle-checked pipeline); the optional stages are the
+    release-preparation transforms.
 
     Stage order is deliberate: dedup runs before span marking so exact
     copies don't inflate corpus-wide span counts with their own
     duplicates; redaction runs after span removal because it rewrites
     text (span statistics must see the original corpus); sampling and
     shuffling are last because they only drop/reorder rows.
+
+    ``lm`` + ``max_perplexity`` add the CCNet quality tier
+    (functions/lm.py): documents whose bigram perplexity under the
+    CALLER-TRAINED model exceeds the cap are dropped (docs too short to
+    score pass — the token gates own that axis). The model is an
+    explicit argument on purpose: training runs Spark jobs, and this
+    function stays a pure plan builder; train once per corpus/epoch with
+    ``train_bigram_lm`` and reuse.
 
     Returns the curated DataFrame with the input's columns (text
     rewritten in place by span removal/redaction; fully-span-covered
@@ -469,6 +480,14 @@ def curate_corpus(
         .select(id_col)
     )
     out = out.join(keep, id_col, "left_semi")
+    if lm is not None and max_perplexity is not None:
+        from jackfruit_spark.functions.lm import with_perplexity
+
+        out = (
+            with_perplexity(out, text_col, lm, out_col="__ppl")
+            .filter(F.col("__ppl").isNull() | (F.col("__ppl") <= max_perplexity))
+            .drop("__ppl")
+        )
     if span_k is not None:
         cleaned = remove_duplicate_spans(
             out, id_col, text_col, k=span_k, min_count=span_min_count

@@ -102,6 +102,21 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     quar = spark.read.text(str(quar_dir)).collect()
     assert len(quar) == 1 and quar[0]["value"] == '{"doc_id": broken'
 
+    # CCNet tier: a lax cap keeps everything the gates kept; a cap of 0
+    # drops every scoreable doc
+    rc = main([
+        "curate", "--input", str(src), "--output", str(out_dir),
+        "--max-perplexity", "1e9",
+    ])
+    stats = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and stats["curated"] == 2
+    rc = main([
+        "curate", "--input", str(src), "--output", str(out_dir),
+        "--max-perplexity", "0.0",
+    ])
+    stats = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and stats["curated"] == 0
+
 
 def test_cli_curate_from_warc(spark, tmp_path, capsys):
     """WARC in -> curated documents parquet out: the Common Crawl intake

@@ -87,6 +87,59 @@ def test_unseen_context_backs_off_to_unigram(spark, corpus):
     assert lm.log_p("zzz", "the") == math.log(lm.p_uni("the"))
 
 
+def test_curate_corpus_perplexity_gate(spark, corpus):
+    """The CCNet tier inside curate_corpus: a caller-trained model +
+    cap drops the out-of-distribution doc, keeps the rest."""
+    from jackfruit_spark.operators.curation import curate_corpus
+
+    lm = train_bigram_lm(corpus, "text")
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog ran fast"),
+            (2, "zx qv blorp wug snark plim zorp flim blat werp"),
+        ],
+        ["doc_id", "text"],
+    )
+    cap = lm.doc_perplexity("the cat sat on the mat and the dog ran fast") * 2
+    kept = curate_corpus(
+        docs, lang=None, min_tokens=2, max_tokens=100,
+        lm=lm, max_perplexity=cap,
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+    # without the cap both survive the same gates
+    both = curate_corpus(docs, lang=None, min_tokens=2, max_tokens=100)
+    assert both.count() == 2
+
+
+def test_counts_match_python_counter_property(spark):
+    """Property: distributed counts == collections.Counter on random
+    corpora (incl. empty docs, repeated tokens, duplicate texts)."""
+    import random
+    from collections import Counter
+
+    rnd = random.Random(7)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    for trial in range(5):
+        texts = [
+            " ".join(rnd.choices(vocab, k=rnd.randint(0, 8)))
+            for _ in range(rnd.randint(1, 20))
+        ]
+        if trial % 2:
+            texts.append(texts[0])  # duplicate text
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        lm = train_bigram_lm(df, "text")
+        uni, big = Counter(), Counter()
+        for t in texts:
+            toks = t.split()
+            uni.update(toks)
+            big.update(zip(toks, toks[1:]))
+        assert lm.unigrams == dict(uni), trial
+        assert lm.bigrams == dict(big), trial
+        assert lm.total == sum(uni.values()), trial
+
+
 def test_scoring_plan_is_shuffle_free(spark, corpus):
     """The docstring's zero-shuffle claim, enforced: scoring is scan +
     ArrowEvalPython + project, no Exchange."""
