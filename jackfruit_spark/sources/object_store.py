@@ -248,6 +248,10 @@ def read_range(uri: str, offset: int, length: int) -> bytes:
     whatever holds the bytes. Executor-safe by construction — a plain
     module function (pickled by reference) with lazy per-process client
     creation, never a captured client object."""
+    if length <= 0:
+        # zero-length members (empty tar entries) are legal everywhere;
+        # an S3 Range header can't express them (bytes=o--1 is malformed)
+        return b""
     m = _SCHEME_RE.match(uri)
     scheme = m.group(1) if m else ("file" if uri.startswith("file:") else "")
     if scheme in _RANGED_READERS:
