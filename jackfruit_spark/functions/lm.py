@@ -144,6 +144,43 @@ def train_bigram_lm(
     return BigramLM(unigrams, bigrams, int(total), lam=lam)
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    model: BigramLM,
+    by: str = "lang",
+    quantiles: tuple[float, float] = (1 / 3, 2 / 3),
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: score every document, compute the
+    EXACT per-group perplexity quantile cuts (one tiny aggregate —
+    ``percentile`` over the scored column, |groups| rows), broadcast the
+    cuts back, and label each document's tercile. CCNet trains on head
+    (+middle) buckets and drops or down-samples tail; the bucket column
+    is the knob. Adds ``perplexity`` and ``out_col``; documents too
+    short to score get NULL in both (they never had a distribution to
+    rank in). Deterministic: exact percentile, fixed cut rule
+    (<= cut1 -> head, <= cut2 -> middle, else tail)."""
+    q1, q2 = quantiles
+    scored = with_perplexity(df, text_col, model, out_col="perplexity")
+    cuts = scored.groupBy(by).agg(
+        F.expr(f"percentile(perplexity, array({q1}, {q2}))").alias("__cuts")
+    )
+    return (
+        scored.join(F.broadcast(cuts), by, "left")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("perplexity").isNull() | F.col("__cuts").isNull(), None
+            )
+            .when(F.col("perplexity") <= F.col("__cuts")[0], "head")
+            .when(F.col("perplexity") <= F.col("__cuts")[1], "middle")
+            .otherwise("tail"),
+        )
+        .drop("__cuts")
+    )
+
+
 def with_perplexity(
     df: DataFrame, text_col: str, model: BigramLM, out_col: str = "perplexity"
 ) -> DataFrame:

@@ -140,6 +140,42 @@ def test_counts_match_python_counter_property(spark):
         assert lm.total == sum(uni.values()), trial
 
 
+def test_perplexity_buckets_terciles(spark, corpus):
+    """Head/middle/tail split per group: terciles partition the
+    scoreable docs, short docs get NULL, cut rule is deterministic."""
+    from jackfruit_spark.functions.lm import perplexity_buckets
+
+    lm = train_bigram_lm(corpus, "text")
+    docs = spark.createDataFrame(
+        [
+            # 9 scoreable en docs of increasing strangeness + 1 short
+            (1, "en", "the cat sat on the mat"),
+            (2, "en", "the dog sat on the mat"),
+            (3, "en", "the cat ran"),
+            (4, "en", "a dog ran fast"),
+            (5, "en", "the mat sat the cat on"),
+            (6, "en", "dog the cat a mat on"),
+            (7, "en", "zx the cat sat"),
+            (8, "en", "zx qv blorp wug"),
+            (9, "en", "wug snark plim zorp"),
+            (10, "en", "one"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = {r["doc_id"]: (r["ppl_bucket"], r["perplexity"])
+           for r in perplexity_buckets(docs, "text", lm).collect()}
+    assert out[10][0] is None and out[10][1] is None
+    buckets = [b for b, _ in out.values() if b is not None]
+    assert sorted(set(buckets)) == ["head", "middle", "tail"]
+    assert buckets.count("head") == 3  # exact terciles of 9
+    # bucket order tracks perplexity order
+    ranked = sorted(
+        ((p, b) for b, p in out.values() if b is not None)
+    )
+    labels = [b for _, b in ranked]
+    assert labels == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+
+
 def test_scoring_plan_is_shuffle_free(spark, corpus):
     """The docstring's zero-shuffle claim, enforced: scoring is scan +
     ArrowEvalPython + project, no Exchange."""
