@@ -261,10 +261,46 @@ def bench_ivf(spark, sf_dir: str) -> dict[str, float]:
             t_knn = min(t_knn, round(time.perf_counter() - t0, 3))
             release_persisted()
             spark.catalog.clearCache()
+        # IVF-PQ served search (r8): codes are encoded ONCE from the
+        # index layout (the amortized build step, like assignment), then
+        # the timed search is coarse-cell pruning over the 8-byte codes
+        # + ADC top-50 + exact re-rank of just those 50 raw vectors —
+        # the FAISS IVFPQ shape (32x less data scanned per probed cell)
+        from jackfruit_spark.functions.pq import (
+            pq_encode,
+            pq_rerank,
+            pq_search,
+            pq_train,
+        )
+        from jackfruit_spark.functions.similarity import nearest_cells
+
+        book = pq_train(e, "embedding", m=8, sample_fraction=1.0, seed=42)
+        codes = (
+            pq_encode(
+                spark.read.parquet(idx.data_path), "embedding", book
+            )
+            .select("vec_id", "pq_code", "ivf_cell")
+            .cache()
+        )
+        codes.count()
+        raw_rest = e.filter(F.col("vec_id") != 0)
+        t_pq = float("inf")
+        for _ in range(REPEATS + 1):
+            t0 = time.perf_counter()
+            cells = nearest_cells(qv, cents, 16)
+            cand = codes.filter(
+                F.col("ivf_cell").isin(cells) & (F.col("vec_id") != 0)
+            )
+            top = pq_search(cand, "vec_id", "pq_code", book, qv, k=50)
+            res = pq_rerank(top, raw_rest, "vec_id", "embedding", qv, k=10)
+            res.write.format("noop").mode("overwrite").save()
+            t_pq = min(t_pq, round(time.perf_counter() - t0, 3))
+        codes.unpersist()
         return {
             "ann_ivf_build": t_build,
             "ann_ivf_served": t_served,
             "ann_knn_join_served": t_knn,
+            "ann_ivfpq_served": t_pq,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -1,0 +1,218 @@
+"""Product quantization: the memory half of the FAISS-IVF story.
+
+The IVF legs (``similarity.ann_ivf``, ``ivf_store.IvfIndex``) prune how
+much of the corpus a search READS; PQ (Jégou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011) shrinks what each
+vector COSTS: split the dimension into ``m`` contiguous subspaces, train
+a 256-centroid k-means codebook per subspace, and store each vector as
+``m`` uint8 codes — 8 bytes instead of 256 for a 64-dim float32
+embedding (32x). Search uses the asymmetric distance computation (ADC):
+the query stays exact, one (m, 256) table of per-subspace partial
+squared distances is computed driver-side per query, and each stored
+vector's approximate distance is ``m`` table lookups + a sum — no
+decode, no floats per vector.
+
+Spark shape, same discipline as the coarse quantizer:
+
+- **train** driver-side on a bounded sample (``lloyd_kmeans`` per
+  subspace — the exact core the IVF quantizer uses);
+- **encode** distributedly: one Arrow batch = m small BLAS argmins
+  (``pq_encode``); codes live in an ``array<smallint>`` column (values
+  0..255; Spark has no unsigned byte) next to — or instead of — the raw
+  vector;
+- **search** distributedly: the ADC table is a literal broadcast
+  (kilobytes), scoring is ``np.take`` + row sum per Arrow batch
+  (``pq_search``), then the usual rounded top-k.
+
+Cosine support: vectors are L2-NORMALIZED before encoding
+(``normalize=True``), which makes squared L2 monotone with cosine
+(||a-b||^2 = 2 - 2 cos on the unit sphere) — queries normalize the same
+way, and the output reports the ADC-approximated cosine. This is the
+standard FAISS recipe (IndexFlatIP via normalized L2).
+
+Compose with the IVF layout for IVF-PQ: encode the corpus once, store
+codes partitioned by ``ivf_cell`` (the ``IvfIndex`` layout), prune cells
+with the coarse quantizer, ADC-score only the probed cells' CODES, then
+(optionally) re-rank the ADC top-R with exact cosine over just those R
+raw vectors — measured recall in tests/test_pq.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions.similarity import lloyd_kmeans
+
+
+@dataclass
+class PQCodebook:
+    """(m, ksub, dsub) centroids + the normalization flag the encoder
+    used; picklable for broadcast into the encode/score closures."""
+
+    centroids: np.ndarray  # float64 (m, ksub, dsub)
+    dim: int
+    normalize: bool
+
+    @property
+    def m(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def ksub(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def dsub(self) -> int:
+        return self.centroids.shape[2]
+
+
+def _prep(x: np.ndarray, normalize: bool) -> np.ndarray:
+    if not normalize:
+        return x
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0] = 1.0  # zero vectors stay zero instead of NaN
+    return x / n
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    nbits: int = 8,
+    sample_size: int = 100_000,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    normalize: bool = True,
+) -> PQCodebook:
+    """Train the m sub-quantizers on a bounded sample (the
+    ``kmeans_train`` sampling discipline: single-pass, explicit fraction
+    when the caller knows the corpus). ``dim % m`` must be 0 (contiguous
+    equal subspaces — the standard PQ layout)."""
+    ksub = 1 << nbits
+    sample = df.select(vec_col)
+    if sample_fraction is not None:
+        pdf = (
+            sample.sample(fraction=min(1.0, sample_fraction), seed=seed)
+            .limit(sample_size)
+            .toPandas()
+        )
+    else:
+        pdf = sample.sample(fraction=0.01, seed=seed).limit(sample_size).toPandas()
+        if len(pdf) < 1000:
+            pdf = sample.limit(sample_size).toPandas()
+    x = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype="float64")))
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    x = _prep(x, normalize)
+    dsub = dim // m
+    cents = np.empty((m, ksub, dsub), dtype="float64")
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cj = lloyd_kmeans(sub, ksub, seed=seed + j)
+        if len(cj) < ksub:  # fewer distinct points than ksub: pad by repeat
+            cj = np.vstack([cj] * (ksub // len(cj) + 1))[:ksub]
+        cents[j] = cj
+    return PQCodebook(centroids=cents, dim=dim, normalize=normalize)
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, book: PQCodebook, out_col: str = "pq_code"
+) -> DataFrame:
+    """Add the ``array<smallint>`` code column: per Arrow batch, m BLAS
+    distance matmuls + argmins (one per subspace)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    cents = book.centroids
+    dsub = book.dsub
+    norm = book.normalize
+
+    @pandas_udf("array<smallint>")
+    def encode(vs: pd.Series) -> pd.Series:
+        v = _prep(
+            np.stack(vs.apply(lambda x: np.asarray(x, dtype="float64"))), norm
+        )
+        codes = np.empty((len(v), cents.shape[0]), dtype="int16")
+        for j in range(cents.shape[0]):
+            sub = v[:, j * dsub : (j + 1) * dsub]
+            c = cents[j]
+            d = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * (sub @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            codes[:, j] = np.argmin(d, axis=1).astype("int16")
+        return pd.Series([row.tolist() for row in codes])
+
+    return df.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def adc_table(book: PQCodebook, query_vec) -> np.ndarray:
+    """(m, ksub) table of per-subspace partial squared distances from
+    the (prepped) query to every sub-centroid — kilobytes, computed once
+    per query driver-side."""
+    q = _prep(np.asarray(query_vec, dtype="float64")[None, :], book.normalize)[0]
+    t = np.empty((book.m, book.ksub), dtype="float64")
+    for j in range(book.m):
+        qs = q[j * book.dsub : (j + 1) * book.dsub]
+        t[j] = ((book.centroids[j] - qs[None, :]) ** 2).sum(axis=1)
+    return t
+
+
+def pq_search(
+    df_codes: DataFrame,
+    id_col: str,
+    code_col: str,
+    book: PQCodebook,
+    query_vec,
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k over the code column. Emits ``cosine_sim`` on the same
+    6dp-rounded scale as the exact ANN legs (ADC-approximated: for
+    normalized books, cos ~ 1 - d2/2), ordered (cosine desc, id asc) so
+    results are directly comparable to / re-rankable against them."""
+    from pyspark.sql.functions import pandas_udf
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(df_codes.sparkSession)
+    table = adc_table(book, query_vec)
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        c = np.stack(codes.apply(lambda x: np.asarray(x, dtype="int64")))
+        # d2[i] = sum_j table[j, c[i, j]]
+        d2 = table[np.arange(c.shape[1])[None, :], c].sum(axis=1)
+        return pd.Series(1.0 - d2 / 2.0)
+
+    scored = df_codes.select(
+        F.col(id_col), F.round(adc(F.col(code_col)), 6).alias("cosine_sim")
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def pq_rerank(
+    candidates: DataFrame,
+    raw: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-PQ's exact re-rank tail: join the ADC top-R candidate ids
+    back to their RAW vectors (R rows — a broadcast-sized semi-join, the
+    only place floats are touched) and take the exact cosine top-k."""
+    from jackfruit_spark.functions.similarity import ann_brute_force
+
+    cand_raw = raw.join(
+        F.broadcast(candidates.select(id_col)), id_col, "left_semi"
+    )
+    return ann_brute_force(cand_raw, id_col, vec_col, query_vec, k)

@@ -161,10 +161,22 @@ def kmeans_train(
         if len(pdf) < max(10 * k, 1000):
             pdf = sample.limit(sample_size).toPandas()
     x = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype="float64")))
+    cents = lloyd_kmeans(x, k, seed=seed, max_iter=max_iter)
+    return [[float(v) for v in c] for c in cents]
+
+
+def lloyd_kmeans(
+    x: np.ndarray, k: int, seed: int = 42, max_iter: int = 20
+) -> np.ndarray:
+    """The numpy k-means core shared by the IVF coarse quantizer and the
+    PQ sub-quantizers: k-means++ init (Arthur & Vassilvitskii, SODA'07),
+    Lloyd iterations, empty clusters reseeded to the farthest point.
+    Deterministic for a given (x, seed). Extracted verbatim from
+    ``kmeans_train`` (r8) — same rng draw sequence, so previously
+    trained quantizers reproduce bit-for-bit."""
     k = min(k, len(x))
     rng = np.random.default_rng(seed)
 
-    # k-means++ init (Arthur & Vassilvitskii, SODA'07)
     cents = np.empty((k, x.shape[1]), dtype="float64")
     cents[0] = x[rng.integers(len(x))]
     d2 = ((x - cents[0]) ** 2).sum(axis=1)
@@ -189,7 +201,7 @@ def kmeans_train(
             cents = new
             break
         cents = new
-    return [[float(v) for v in c] for c in cents]
+    return cents
 
 
 def plane_projection_pandas(vec_col: Column, plane: Sequence[float]) -> Column:

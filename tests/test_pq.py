@@ -1,0 +1,133 @@
+"""Product quantization (functions/pq.py): codebook shape/determinism,
+encode correctness vs numpy, ADC fidelity, and measured recall floors on
+the real test embeddings (ADC-only and ADC+exact-rerank)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions.pq import (
+    PQCodebook,
+    adc_table,
+    pq_encode,
+    pq_rerank,
+    pq_search,
+    pq_train,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def book(emb):
+    return pq_train(emb, "embedding", m=8, sample_fraction=1.0, seed=42)
+
+
+def test_codebook_shape_and_determinism(emb, book):
+    assert (book.m, book.ksub, book.dsub) == (8, 256, 8)
+    assert book.dim == 64 and book.normalize
+    again = pq_train(emb, "embedding", m=8, sample_fraction=1.0, seed=42)
+    assert np.array_equal(book.centroids, again.centroids)
+
+
+def test_dim_not_divisible_raises(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, "embedding", m=7, sample_fraction=1.0)
+
+
+def test_encode_matches_numpy_argmin(spark, emb, book):
+    rows = emb.limit(20).collect()
+    got = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(emb.limit(20), "embedding", book).collect()
+    }
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype="float64")
+        v = v / np.linalg.norm(v)
+        want = []
+        for j in range(book.m):
+            sub = v[j * book.dsub : (j + 1) * book.dsub]
+            want.append(int(((book.centroids[j] - sub) ** 2).sum(axis=1).argmin()))
+        assert got[r["vec_id"]] == want
+        assert all(0 <= c < 256 for c in want)
+
+
+def test_adc_tracks_exact_distance(emb, book):
+    """ADC distance must correlate strongly with the true distance —
+    the property that makes the top-R candidate set meaningful."""
+    rows = emb.limit(200).collect()
+    v = np.stack([np.asarray(r["embedding"], dtype="float64") for r in rows])
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    q = vn[0]
+    true_d2 = ((vn - q) ** 2).sum(axis=1)
+    t = adc_table(book, rows[0]["embedding"])
+    codes = []
+    for x in vn:
+        codes.append(
+            [
+                int(((book.centroids[j] - x[j * 8 : (j + 1) * 8]) ** 2).sum(axis=1).argmin())
+                for j in range(book.m)
+            ]
+        )
+    adc_d2 = np.array(
+        [t[np.arange(book.m), c].sum() for c in codes]
+    )
+    corr = np.corrcoef(true_d2, adc_d2)[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_recall_floors_adc_and_rerank(spark, emb, book):
+    """Measured r8 on sf0.001 (500 x 64-dim, 30 queries): ADC-only
+    recall@10 = 0.653 at 8 bytes/vector (32x vs float32); ADC top-50 +
+    exact re-rank = 0.993. Floors pinned below with margin."""
+    import random
+
+    rows = emb.collect()
+    v = np.stack([np.asarray(r["embedding"], dtype="float64") for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    codes = pq_encode(emb, "embedding", book).cache()
+    codes.count()
+    rnd = random.Random(0)
+    qs = rnd.sample(range(len(rows)), 10)
+    hits = rehits = 0
+    for qi in qs:
+        cos = vn @ vn[qi]
+        order = np.lexsort((ids, -np.round(cos, 6)))
+        true10 = set(ids[order[:10]])
+        got = {
+            r["vec_id"]
+            for r in pq_search(
+                codes, "vec_id", "pq_code", book, rows[qi]["embedding"], k=10
+            ).collect()
+        }
+        hits += len(true10 & got)
+        cand = pq_search(
+            codes, "vec_id", "pq_code", book, rows[qi]["embedding"], k=50
+        )
+        rr = {
+            r["vec_id"]
+            for r in pq_rerank(
+                cand, emb, "vec_id", "embedding", rows[qi]["embedding"], k=10
+            ).collect()
+        }
+        rehits += len(true10 & rr)
+    codes.unpersist()
+    assert hits / 100 >= 0.55, hits / 100
+    assert rehits / 100 >= 0.95, rehits / 100
+
+
+def test_zero_vector_encodes_without_nan(spark, book):
+    df = spark.createDataFrame([(1, [0.0] * 64)], ["vec_id", "embedding"])
+    row = pq_encode(df, "embedding", book).collect()[0]
+    assert len(row["pq_code"]) == 8
+    out = pq_search(
+        pq_encode(df, "embedding", book), "vec_id", "pq_code", book,
+        [1.0] + [0.0] * 63, k=1,
+    ).collect()
+    assert len(out) == 1 and out[0]["cosine_sim"] is not None
