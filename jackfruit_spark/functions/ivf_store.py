@@ -95,6 +95,7 @@ class IvfIndex:
         seed: int = 42,
         sample_fraction: float | None = None,
         centroids: Sequence[Sequence[float]] | None = None,
+        pq_m: int | None = None,
     ) -> "IvfIndex":
         """Train (unless ``centroids`` is given), assign, and write the
         cell-partitioned layout. Data lands in a fresh VERSIONED
@@ -103,7 +104,14 @@ class IvfIndex:
         — a crash mid-rewrite left the old manifest pointing at partial
         new data). A crashed first build leaves no manifest; a crashed
         rebuild leaves the old manifest pointing at the old, untouched
-        version. ``vacuum()`` prunes superseded versions."""
+        version. ``vacuum()`` prunes superseded versions.
+
+        ``pq_m`` (r8): additionally train an m x 8-bit product quantizer
+        (functions/pq.py) and store each vector's 8-byte code column
+        next to it — the IVF-PQ layout. ``search(mode='adc')`` then
+        scans only codes in the probed cells (32x fewer bytes at dim=64
+        float32) and re-ranks the ADC top-R exactly; the codebook rides
+        in the manifest (m x 256 x dsub floats — kilobytes)."""
         spark = df.sparkSession
         cents = (
             [list(map(float, c)) for c in centroids]
@@ -126,23 +134,53 @@ class IvfIndex:
         ]
         data_dir = f"data_v{max(versions, default=0) + 1}"
         assigned = ivf_assign_pandas(df.select(id_col, vec_col), vec_col, cents)
-        (
-            assigned.write.mode("overwrite")
-            .partitionBy("ivf_cell")
-            .parquet(os.path.join(root, data_dir))
-        )
         meta = {
             "id_col": id_col,
             "vec_col": vec_col,
             "centroids": cents,
             "data_dir": data_dir,
         }
+        if pq_m is not None:
+            from jackfruit_spark.functions.pq import pq_encode, pq_train
+
+            book = pq_train(
+                df, vec_col, m=pq_m, seed=seed,
+                sample_size=sample_size, sample_fraction=sample_fraction,
+            )
+            assigned = pq_encode(assigned, vec_col, book)
+            meta["pq"] = {
+                "centroids": book.centroids.tolist(),
+                "dim": book.dim,
+                "normalize": book.normalize,
+            }
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("ivf_cell")
+            .parquet(os.path.join(root, data_dir))
+        )
         tmp = idx.manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, idx.manifest_path)  # atomic swap (POSIX rename)
         idx._meta = meta
         return idx
+
+    def _codebook(self):
+        meta = self._manifest()
+        if "pq" not in meta:
+            raise ValueError(
+                "index was built without pq_m — no PQ codes to search"
+            )
+        import numpy as np
+
+        from jackfruit_spark.functions.pq import PQCodebook
+
+        pq = meta["pq"]
+        return PQCodebook(
+            centroids=np.asarray(pq["centroids"], dtype="float64"),
+            dim=int(pq["dim"]),
+            normalize=bool(pq["normalize"]),
+        )
 
     def stats(self) -> dict:
         """Cell-size distribution of the current layout — the drift
@@ -229,6 +267,10 @@ class IvfIndex:
             meta["vec_col"],
             meta["centroids"],
         )
+        if "pq" in meta:  # PQ layout: appended vectors get codes too
+            from jackfruit_spark.functions.pq import pq_encode
+
+            assigned = pq_encode(assigned, meta["vec_col"], self._codebook())
         (
             assigned.write.mode("append")
             .partitionBy("ivf_cell")
@@ -261,16 +303,54 @@ class IvfIndex:
         )
 
     def search(
-        self, query_vec: Sequence[float], k: int = 10, nprobe: int = 16
+        self,
+        query_vec: Sequence[float],
+        k: int = 10,
+        nprobe: int = 16,
+        mode: str = "exact",
+        rerank: int = 50,
     ) -> DataFrame:
-        """Top-k cosine over the probed cells: identical results to
-        ``similarity.ann_ivf`` with the same centroids/nprobe (asserted
-        in tests), but assignment cost is paid at build time and the scan
-        reads only nprobe/C of the data."""
+        """Top-k cosine over the probed cells. ``mode='exact'``:
+        identical results to ``similarity.ann_ivf`` with the same
+        centroids/nprobe (asserted in tests) — assignment cost paid at
+        build time, scan reads only nprobe/C of the data.
+        ``mode='adc'`` (requires ``build(pq_m=...)``): ADC over the
+        probed cells' 8-byte CODES (column pruning keeps the raw vectors
+        unread — 32x fewer bytes at dim=64 float32), then an exact
+        re-rank of the ADC top-``rerank`` ids (``rerank=0`` returns pure
+        ADC results). The re-rank leg re-scans the probed cells' vector
+        column for just those ids — I/O bounded by probed cells either
+        way; the ADC leg is what shrinks when cells stop fitting in
+        cache."""
         meta = self._manifest()
-        cand = self.candidates(query_vec, nprobe).drop("ivf_cell")
-        return ann_brute_force(
-            cand, meta["id_col"], meta["vec_col"], query_vec, k
+        if mode == "exact":
+            cand = self.candidates(query_vec, nprobe).drop("ivf_cell")
+            return ann_brute_force(
+                cand, meta["id_col"], meta["vec_col"], query_vec, k
+            )
+        if mode != "adc":
+            raise ValueError(f"unknown search mode '{mode}'")
+        from jackfruit_spark.functions.pq import pq_rerank, pq_search
+
+        book = self._codebook()
+        cand = self.candidates(query_vec, nprobe)
+        top = pq_search(
+            cand.select(meta["id_col"], "pq_code"),
+            meta["id_col"],
+            "pq_code",
+            book,
+            query_vec,
+            k=max(k, rerank) if rerank else k,
+        )
+        if not rerank:
+            return top
+        return pq_rerank(
+            top,
+            cand.select(meta["id_col"], meta["vec_col"]),
+            meta["id_col"],
+            meta["vec_col"],
+            query_vec,
+            k,
         )
 
     def knn_join(

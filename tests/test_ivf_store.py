@@ -203,6 +203,59 @@ def test_rebuild_recenters_drifted_appends(spark, tmp_path):
     assert idx.data_path == rebuilt.data_path
 
 
+class TestIvfPq:
+    def test_build_search_append_adc(self, spark, tmp_path, vectors):
+        """IVF-PQ layout: codes stored next to vectors, ADC+rerank
+        search recovers the exact search's results at exhaustive probe,
+        appends encode with the stored codebook, codes-only projection
+        prunes the vector column from the scan."""
+        df, rows = vectors
+        first = df.filter(F.col("vec_id") < 150)
+        rest = df.filter(F.col("vec_id") >= 150)
+        idx = IvfIndex.build(
+            first, "vec_id", "embedding", str(tmp_path / "ivfpq"),
+            k=8, seed=42, pq_m=4, sample_fraction=1.0,
+        )
+        cols = spark.read.parquet(idx.data_path).columns
+        assert "pq_code" in cols
+        qv = rows[0][1]
+        exact = idx.search(qv, k=5, nprobe=8).collect()
+        adc = idx.search(qv, k=5, nprobe=8, mode="adc", rerank=60).collect()
+        # exhaustive probe + wide rerank: exact top-5 recovered
+        assert [r["vec_id"] for r in adc] == [r["vec_id"] for r in exact]
+        # pure ADC returns approximate ranks but valid rows
+        pure = idx.search(qv, k=5, nprobe=8, mode="adc", rerank=0).collect()
+        assert len(pure) == 5
+
+        idx.append(rest)
+        assert (
+            spark.read.parquet(idx.data_path)
+            .filter(F.col("pq_code").isNull())
+            .count()
+            == 0
+        )
+        after = idx.search(qv, k=5, nprobe=8, mode="adc", rerank=60).collect()
+        assert len(after) == 5
+
+        # codes-only leg prunes the vector column from the parquet read
+        from jackfruit_spark.plans import plan_string
+
+        p = plan_string(
+            idx.candidates(qv, nprobe=2).select("vec_id", "pq_code")
+        )
+        scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+        assert scan and "embedding" not in scan[0], p
+
+    def test_adc_without_pq_raises(self, spark, tmp_path, vectors, centroids):
+        df, rows = vectors
+        idx = IvfIndex.build(
+            df, "vec_id", "embedding", str(tmp_path / "plain"),
+            centroids=centroids,
+        )
+        with pytest.raises(ValueError, match="without pq_m"):
+            idx.search(rows[0][1], k=5, mode="adc")
+
+
 class TestServedKnnJoin:
     def test_parity_with_knn_join(self, spark, tmp_path, vectors, centroids):
         """Identical centroids/nprobe => identical rows to the
