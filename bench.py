@@ -261,41 +261,36 @@ def bench_ivf(spark, sf_dir: str) -> dict[str, float]:
             t_knn = min(t_knn, round(time.perf_counter() - t0, 3))
             release_persisted()
             spark.catalog.clearCache()
-        # IVF-PQ served search (r8): codes are encoded ONCE from the
-        # index layout (the amortized build step, like assignment), then
-        # the timed search is coarse-cell pruning over the 8-byte codes
-        # + ADC top-50 + exact re-rank of just those 50 raw vectors —
-        # the FAISS IVFPQ shape (32x less data scanned per probed cell)
-        from jackfruit_spark.functions.pq import (
-            pq_encode,
-            pq_rerank,
-            pq_search,
-            pq_train,
-        )
-        from jackfruit_spark.functions.similarity import nearest_cells
+        # IVF-PQ served search (r8): the on-disk IVF-PQ layout —
+        # build(pq_m=8) stores 8-byte codes next to each vector and the
+        # codebook in the manifest (amortized, untimed like assignment).
+        # The timed search reads ONLY the probed cells' code column
+        # (PartitionFilters + column pruning: 32x fewer bytes/vector
+        # than the float32 embeddings), ADC top-50, exact re-rank of
+        # just those 50 raw vectors — the FAISS IVFPQ shape.
+        from jackfruit_spark.functions.pq import pq_rerank, pq_search
 
-        book = pq_train(e, "embedding", m=8, sample_fraction=1.0, seed=42)
-        codes = (
-            pq_encode(
-                spark.read.parquet(idx.data_path), "embedding", book
-            )
-            .select("vec_id", "pq_code", "ivf_cell")
-            .cache()
+        idx_pq = IvfIndex.build(
+            e, "vec_id", "embedding", os.path.join(root, "pq"),
+            centroids=cents, pq_m=8, sample_fraction=1.0, seed=42,
         )
-        codes.count()
-        raw_rest = e.filter(F.col("vec_id") != 0)
+        book = idx_pq._codebook()
         t_pq = float("inf")
         for _ in range(REPEATS + 1):
             t0 = time.perf_counter()
-            cells = nearest_cells(qv, cents, 16)
-            cand = codes.filter(
-                F.col("ivf_cell").isin(cells) & (F.col("vec_id") != 0)
+            cand = idx_pq.candidates(qv, nprobe=16).filter(
+                F.col("vec_id") != 0  # match ann_ivf_served's shape
             )
-            top = pq_search(cand, "vec_id", "pq_code", book, qv, k=50)
-            res = pq_rerank(top, raw_rest, "vec_id", "embedding", qv, k=10)
+            top = pq_search(
+                cand.select("vec_id", "pq_code"),
+                "vec_id", "pq_code", book, qv, k=50,
+            )
+            res = pq_rerank(
+                top, cand.select("vec_id", "embedding"),
+                "vec_id", "embedding", qv, k=10,
+            )
             res.write.format("noop").mode("overwrite").save()
             t_pq = min(t_pq, round(time.perf_counter() - t0, 3))
-        codes.unpersist()
         return {
             "ann_ivf_build": t_build,
             "ann_ivf_served": t_served,
