@@ -96,6 +96,7 @@ class IvfIndex:
         sample_fraction: float | None = None,
         centroids: Sequence[Sequence[float]] | None = None,
         pq_m: int | None = None,
+        pq_residual: bool = False,
     ) -> "IvfIndex":
         """Train (unless ``centroids`` is given), assign, and write the
         cell-partitioned layout. Data lands in a fresh VERSIONED
@@ -111,7 +112,11 @@ class IvfIndex:
         next to it — the IVF-PQ layout. ``search(mode='adc')`` then
         scans only codes in the probed cells (32x fewer bytes at dim=64
         float32) and re-ranks the ADC top-R exactly; the codebook rides
-        in the manifest (m x 256 x dsub floats — kilobytes)."""
+        in the manifest (m x 256 x dsub floats — kilobytes).
+        ``pq_residual=True`` codes each vector's residual against its
+        own cell's (prepped) centroid — the classic IVF-PQ refinement;
+        offsets derive from the coarse centroids already in the
+        manifest, so only a flag is stored."""
         spark = df.sparkSession
         cents = (
             [list(map(float, c)) for c in centroids]
@@ -146,12 +151,17 @@ class IvfIndex:
             book = pq_train(
                 df, vec_col, m=pq_m, seed=seed,
                 sample_size=sample_size, sample_fraction=sample_fraction,
+                coarse=cents if pq_residual else None,
             )
-            assigned = pq_encode(assigned, vec_col, book)
+            assigned = pq_encode(
+                assigned, vec_col, book,
+                cell_col="ivf_cell" if pq_residual else None,
+            )
             meta["pq"] = {
                 "centroids": book.centroids.tolist(),
                 "dim": book.dim,
                 "normalize": book.normalize,
+                "residual": pq_residual,
             }
         (
             assigned.write.mode("overwrite")
@@ -173,13 +183,22 @@ class IvfIndex:
             )
         import numpy as np
 
-        from jackfruit_spark.functions.pq import PQCodebook
+        from jackfruit_spark.functions.pq import PQCodebook, _prep
 
         pq = meta["pq"]
+        offsets = None
+        if pq.get("residual"):
+            # residual offsets = prepped coarse centroids — derived, not
+            # duplicated in the manifest
+            offsets = _prep(
+                np.asarray(meta["centroids"], dtype="float64"),
+                bool(pq["normalize"]),
+            )
         return PQCodebook(
             centroids=np.asarray(pq["centroids"], dtype="float64"),
             dim=int(pq["dim"]),
             normalize=bool(pq["normalize"]),
+            offsets=offsets,
         )
 
     def stats(self) -> dict:
@@ -270,7 +289,11 @@ class IvfIndex:
         if "pq" in meta:  # PQ layout: appended vectors get codes too
             from jackfruit_spark.functions.pq import pq_encode
 
-            assigned = pq_encode(assigned, meta["vec_col"], self._codebook())
+            book = self._codebook()
+            assigned = pq_encode(
+                assigned, meta["vec_col"], book,
+                cell_col="ivf_cell" if book.residual else None,
+            )
         (
             assigned.write.mode("append")
             .partitionBy("ivf_cell")
@@ -334,13 +357,19 @@ class IvfIndex:
 
         book = self._codebook()
         cand = self.candidates(query_vec, nprobe)
+        probed = nearest_cells(query_vec, meta["centroids"], nprobe)
+        code_cols = [meta["id_col"], "pq_code"] + (
+            ["ivf_cell"] if book.residual else []
+        )
         top = pq_search(
-            cand.select(meta["id_col"], "pq_code"),
+            cand.select(*code_cols),
             meta["id_col"],
             "pq_code",
             book,
             query_vec,
             k=max(k, rerank) if rerank else k,
+            cell_col="ivf_cell" if book.residual else None,
+            cells=probed if book.residual else None,
         )
         if not rerank:
             return top

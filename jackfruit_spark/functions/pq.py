@@ -35,6 +35,17 @@ codes partitioned by ``ivf_cell`` (the ``IvfIndex`` layout), prune cells
 with the coarse quantizer, ADC-score only the probed cells' CODES, then
 (optionally) re-rank the ADC top-R with exact cosine over just those R
 raw vectors — measured recall in tests/test_pq.py.
+
+Residual encoding (the classic IVF-PQ refinement, Jégou et al. §IV):
+pass the coarse centroids to ``pq_train(coarse=...)`` and the cell
+column to ``pq_encode``/``pq_search``, and the sub-quantizers code
+``prep(v) - offset[cell]`` instead of ``prep(v)`` — any per-cell
+constant offset shared by the encode and query sides leaves
+``||q - v||^2 == ||r_q - r_v||^2`` exact, and residuals concentrate
+around 0 so the same 8-byte budget spends its resolution on a much
+smaller ball. The query side pays one ADC table per PROBED cell
+(nprobe tables, kilobytes). Offsets are the PREPPED coarse centroids,
+so they derive from the IVF manifest with no extra state.
 """
 
 from __future__ import annotations
@@ -52,11 +63,18 @@ from jackfruit_spark.functions.similarity import lloyd_kmeans
 @dataclass
 class PQCodebook:
     """(m, ksub, dsub) centroids + the normalization flag the encoder
-    used; picklable for broadcast into the encode/score closures."""
+    used; picklable for broadcast into the encode/score closures.
+    ``offsets`` (residual books only): (C, dim) per-cell offsets in
+    PREPPED space — the prepped coarse centroids."""
 
     centroids: np.ndarray  # float64 (m, ksub, dsub)
     dim: int
     normalize: bool
+    offsets: np.ndarray | None = None  # float64 (C, dim) or None
+
+    @property
+    def residual(self) -> bool:
+        return self.offsets is not None
 
     @property
     def m(self) -> int:
@@ -88,11 +106,17 @@ def pq_train(
     seed: int = 42,
     sample_fraction: float | None = None,
     normalize: bool = True,
+    coarse=None,
 ) -> PQCodebook:
     """Train the m sub-quantizers on a bounded sample (the
     ``kmeans_train`` sampling discipline: single-pass, explicit fraction
     when the caller knows the corpus). ``dim % m`` must be 0 (contiguous
-    equal subspaces — the standard PQ layout)."""
+    equal subspaces — the standard PQ layout).
+
+    ``coarse`` (residual mode): the RAW coarse centroids. Sample rows
+    are assigned raw-L2 argmin (identical to ``ivf_assign_pandas``, so
+    training sees the same cells the stored layout has) and the
+    sub-quantizers train on ``prep(x) - prep(coarse)[cell]``."""
     ksub = 1 << nbits
     sample = df.select(vec_col)
     if sample_fraction is not None:
@@ -109,7 +133,20 @@ def pq_train(
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    raw = x
     x = _prep(x, normalize)
+    offsets = None
+    if coarse is not None:
+        c = np.asarray(coarse, dtype="float64")
+        # raw-L2 assignment, lowest-index tie-break == ivf_assign_pandas
+        d = (
+            (raw * raw).sum(axis=1)[:, None]
+            - 2.0 * (raw @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        cells = np.argmin(d, axis=1)
+        offsets = _prep(c, normalize)
+        x = x - offsets[cells]
     dsub = dim // m
     cents = np.empty((m, ksub, dsub), dtype="float64")
     for j in range(m):
@@ -118,28 +155,34 @@ def pq_train(
         if len(cj) < ksub:  # fewer distinct points than ksub: pad by repeat
             cj = np.vstack([cj] * (ksub // len(cj) + 1))[:ksub]
         cents[j] = cj
-    return PQCodebook(centroids=cents, dim=dim, normalize=normalize)
+    return PQCodebook(
+        centroids=cents, dim=dim, normalize=normalize, offsets=offsets
+    )
 
 
 def pq_encode(
-    df: DataFrame, vec_col: str, book: PQCodebook, out_col: str = "pq_code"
+    df: DataFrame,
+    vec_col: str,
+    book: PQCodebook,
+    out_col: str = "pq_code",
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Add the ``array<smallint>`` code column: per Arrow batch, m BLAS
-    distance matmuls + argmins (one per subspace)."""
+    distance matmuls + argmins (one per subspace). Residual books
+    require ``cell_col`` (the IVF cell each row's offset comes from)."""
     from pyspark.sql.functions import pandas_udf
 
     from jackfruit_spark._ship import ensure_shipped
 
     ensure_shipped(df.sparkSession)
+    if book.residual and cell_col is None:
+        raise ValueError("residual codebook: pq_encode needs cell_col")
     cents = book.centroids
     dsub = book.dsub
     norm = book.normalize
+    offsets = book.offsets
 
-    @pandas_udf("array<smallint>")
-    def encode(vs: pd.Series) -> pd.Series:
-        v = _prep(
-            np.stack(vs.apply(lambda x: np.asarray(x, dtype="float64"))), norm
-        )
+    def _codes(v: np.ndarray) -> pd.Series:
         codes = np.empty((len(v), cents.shape[0]), dtype="int16")
         for j in range(cents.shape[0]):
             sub = v[:, j * dsub : (j + 1) * dsub]
@@ -152,14 +195,40 @@ def pq_encode(
             codes[:, j] = np.argmin(d, axis=1).astype("int16")
         return pd.Series([row.tolist() for row in codes])
 
+    if book.residual:
+
+        @pandas_udf("array<smallint>")
+        def encode_res(vs: pd.Series, cells: pd.Series) -> pd.Series:
+            v = _prep(
+                np.stack(vs.apply(lambda x: np.asarray(x, dtype="float64"))),
+                norm,
+            )
+            return _codes(v - offsets[cells.to_numpy(dtype="int64")])
+
+        return df.withColumn(
+            out_col, encode_res(F.col(vec_col), F.col(cell_col))
+        )
+
+    @pandas_udf("array<smallint>")
+    def encode(vs: pd.Series) -> pd.Series:
+        v = _prep(
+            np.stack(vs.apply(lambda x: np.asarray(x, dtype="float64"))), norm
+        )
+        return _codes(v)
+
     return df.withColumn(out_col, encode(F.col(vec_col)))
 
 
-def adc_table(book: PQCodebook, query_vec) -> np.ndarray:
+def adc_table(book: PQCodebook, query_vec, cell: int | None = None) -> np.ndarray:
     """(m, ksub) table of per-subspace partial squared distances from
     the (prepped) query to every sub-centroid — kilobytes, computed once
-    per query driver-side."""
+    per query driver-side. Residual books need the probed ``cell`` (the
+    query residualizes against the same offset the stored codes did)."""
     q = _prep(np.asarray(query_vec, dtype="float64")[None, :], book.normalize)[0]
+    if book.residual:
+        if cell is None:
+            raise ValueError("residual codebook: adc_table needs cell")
+        q = q - book.offsets[int(cell)]
     t = np.empty((book.m, book.ksub), dtype="float64")
     for j in range(book.m):
         qs = q[j * book.dsub : (j + 1) * book.dsub]
@@ -174,16 +243,56 @@ def pq_search(
     book: PQCodebook,
     query_vec,
     k: int = 10,
+    cell_col: str | None = None,
+    cells=None,
 ) -> DataFrame:
     """ADC top-k over the code column. Emits ``cosine_sim`` on the same
     6dp-rounded scale as the exact ANN legs (ADC-approximated: for
     normalized books, cos ~ 1 - d2/2), ordered (cosine desc, id asc) so
-    results are directly comparable to / re-rankable against them."""
+    results are directly comparable to / re-rankable against them.
+
+    Residual books need ``cell_col`` plus ``cells`` (the probed cell
+    ids — one ADC table each; defaults to every cell in the book, fine
+    for small C but pass the probed list at scale). Rows whose cell is
+    not in ``cells`` raise — the caller must have pruned already."""
     from pyspark.sql.functions import pandas_udf
 
     from jackfruit_spark._ship import ensure_shipped
 
     ensure_shipped(df_codes.sparkSession)
+    if book.residual:
+        if cell_col is None:
+            raise ValueError("residual codebook: pq_search needs cell_col")
+        probe = sorted(
+            int(c) for c in (cells if cells is not None else range(len(book.offsets)))
+        )
+        cell_ids = np.asarray(probe, dtype="int64")
+        tables = np.stack([adc_table(book, query_vec, c) for c in probe])
+
+        @pandas_udf("double")
+        def adc_res(codes: pd.Series, cell: pd.Series) -> pd.Series:
+            c = np.stack(codes.apply(lambda x: np.asarray(x, dtype="int64")))
+            slot = np.searchsorted(cell_ids, cell.to_numpy(dtype="int64"))
+            slot = np.clip(slot, 0, len(cell_ids) - 1)
+            if not np.array_equal(
+                cell_ids[slot], cell.to_numpy(dtype="int64")
+            ):
+                raise ValueError("row cell outside the probed-cell tables")
+            d2 = tables[
+                slot[:, None], np.arange(c.shape[1])[None, :], c
+            ].sum(axis=1)
+            return pd.Series(1.0 - d2 / 2.0)
+
+        scored = df_codes.select(
+            F.col(id_col),
+            F.round(
+                adc_res(F.col(code_col), F.col(cell_col)), 6
+            ).alias("cosine_sim"),
+        )
+        return scored.orderBy(
+            F.col("cosine_sim").desc(), F.col(id_col).asc()
+        ).limit(k)
+
     table = adc_table(book, query_vec)
 
     @pandas_udf("double")

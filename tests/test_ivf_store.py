@@ -246,6 +246,37 @@ class TestIvfPq:
         scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
         assert scan and "embedding" not in scan[0], p
 
+    def test_residual_build_search_append(self, spark, tmp_path, vectors):
+        """pq_residual=True: flag round-trips through the manifest (a
+        FRESH handle reconstructs the offsets from the coarse
+        centroids), exhaustive probe + wide rerank recovers the exact
+        top-5, appends residual-encode against the appended rows'
+        cells."""
+        df, rows = vectors
+        first = df.filter(F.col("vec_id") < 150)
+        rest = df.filter(F.col("vec_id") >= 150)
+        root = str(tmp_path / "ivfpq_res")
+        IvfIndex.build(
+            first, "vec_id", "embedding", root,
+            k=8, seed=42, pq_m=4, pq_residual=True, sample_fraction=1.0,
+        )
+        idx = IvfIndex(spark, root)  # fresh handle: manifest round-trip
+        book = idx._codebook()
+        assert book.residual and book.offsets.shape[0] == 8
+        qv = rows[0][1]
+        exact = idx.search(qv, k=5, nprobe=8).collect()
+        adc = idx.search(qv, k=5, nprobe=8, mode="adc", rerank=60).collect()
+        assert [r["vec_id"] for r in adc] == [r["vec_id"] for r in exact]
+        idx.append(rest)
+        assert (
+            spark.read.parquet(idx.data_path)
+            .filter(F.col("pq_code").isNull())
+            .count()
+            == 0
+        )
+        after = idx.search(qv, k=5, nprobe=8, mode="adc", rerank=60).collect()
+        assert len(after) == 5
+
     def test_adc_without_pq_raises(self, spark, tmp_path, vectors, centroids):
         df, rows = vectors
         idx = IvfIndex.build(
