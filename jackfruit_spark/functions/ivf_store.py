@@ -390,6 +390,8 @@ class IvfIndex:
         k: int = 10,
         nprobe: int = 16,
         cell_cap: int | None = None,
+        mode: str = "exact",
+        rerank: int = 50,
     ) -> DataFrame:
         """Served batch kNN-join (r8, VERDICT r7 #2): the twin of
         ``similarity.knn_join`` that does NOT re-assign the base corpus —
@@ -404,7 +406,17 @@ class IvfIndex:
         ``knn_join`` at equal centroids/nprobe. The cell union costs one
         driver-side distinct over the exploded query cells (<= C values);
         the exploded queries are persisted so that pass is not repeated
-        by the join. ``cell_cap`` bounds skewed cells as in ``knn_join``."""
+        by the join. ``cell_cap`` bounds skewed cells as in ``knn_join``.
+
+        ``mode='adc'`` (requires ``build(pq_m=...)``): the batch twin of
+        ``search(mode='adc')`` — the scoring pass reads only the probed
+        cells' 8-byte CODE column (column pruning keeps the raw vectors
+        out of the big scan), each query builds its ADC table in-kernel,
+        and the exact re-rank touches raw vectors for just the ADC
+        top-``rerank`` survivors per query (a semi-join back into the
+        pruned layout + the expression cosine the point search's re-rank
+        uses). ``rerank=0`` returns pure ADC results. ``cell_cap`` is
+        exact-mode only."""
         from jackfruit_spark._persist import persisted
         from jackfruit_spark.functions.similarity import (
             _knn_join_scored,
@@ -431,13 +443,60 @@ class IvfIndex:
         cells = sorted(
             int(r[0]) for r in q.select("ivf_cell").distinct().collect()
         )
-        b = (
-            self._data_df()
-            .filter(F.col("ivf_cell").isin(cells))
-            .select(
+        pruned = self._data_df().filter(F.col("ivf_cell").isin(cells))
+        if mode == "exact":
+            b = pruned.select(
                 F.col(id_b).alias("__bid"),
                 F.col(meta["vec_col"]).alias("__bv"),
                 "ivf_cell",
             )
+            return _knn_join_scored(q, b, id_q, id_b, k, cell_cap)
+        if mode != "adc":
+            raise ValueError(f"unknown knn_join mode '{mode}'")
+        from jackfruit_spark.functions.pq import adc_knn_scored
+
+        book = self._codebook()  # raises if built without pq_m
+        codes = pruned.select(
+            F.col(id_b).alias("__bid"),
+            F.col("pq_code").alias("__code"),
+            "ivf_cell",
         )
-        return _knn_join_scored(q, b, id_q, id_b, k, cell_cap)
+        top = adc_knn_scored(
+            q, codes, book, id_q, id_b, max(k, rerank) if rerank else k
+        )
+        if not rerank:
+            return top
+        from pyspark.sql import Window
+
+        from jackfruit_spark.functions.similarity import cosine
+
+        pairs = (
+            top.select(id_q, id_b)
+            .join(
+                pruned.select(
+                    F.col(id_b), F.col(meta["vec_col"]).alias("__bv")
+                ),
+                id_b,
+            )
+            .join(
+                queries.select(
+                    F.col(id_q), F.col(vec_q).alias("__qv")
+                ),
+                id_q,
+            )
+        )
+        scored = pairs.select(
+            id_q,
+            id_b,
+            F.round(cosine(F.col("__qv"), F.col("__bv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        w = Window.partitionBy(id_q).orderBy(
+            F.col("cosine_sim").desc(), F.col(id_b).asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )

@@ -308,6 +308,92 @@ def pq_search(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def adc_knn_scored(
+    q: DataFrame,
+    codes: DataFrame,
+    book: PQCodebook,
+    id_q: str,
+    id_b: str,
+    k: int,
+) -> DataFrame:
+    """Batch-ADC half of the served kNN-join (``IvfIndex.knn_join
+    (mode='adc')``): one ``applyInPandas`` group per cell, like
+    ``similarity._knn_join_scored``, but the base side is the 8-byte
+    CODE column — the scoring pass never reads the raw vectors. Per
+    group: every query builds its (m, ksub) ADC table in one einsum
+    (residual books offset by the group's cell first), scores all codes
+    with m fancy-indexed gathers, and the per-(query, cell) top-k cut
+    uses the exact kernel's shared tie-free key (``_topk_rows``) over
+    the ADC-approximated cosine. ``q``: (__qid, __qv, ivf_cell)
+    exploded to probed cells; ``codes``: (__bid, __code, ivf_cell)."""
+    from pyspark.sql import Window
+    from jackfruit_spark._ship import ensure_shipped
+    from jackfruit_spark.functions.similarity import _topk_rows
+
+    ensure_shipped(q.sparkSession)
+    cents = book.centroids
+    csq = (cents * cents).sum(axis=2)  # (m, ksub)
+    m, dsub = book.m, book.dsub
+    norm = book.normalize
+    offsets = book.offsets
+    both = q.select(
+        "ivf_cell",
+        F.col("__qid").alias("__id"),
+        F.col("__qv").alias("__v"),
+        F.lit(None).cast("array<smallint>").alias("__code"),
+        F.lit(0).alias("__side"),
+    ).unionByName(
+        codes.select(
+            "ivf_cell",
+            F.col("__bid").alias("__id"),
+            F.lit(None).cast("array<double>").alias("__v"),
+            F.col("__code"),
+            F.lit(1).alias("__side"),
+        )
+    )
+    qid_dt = q.schema["__qid"].dataType.simpleString()
+    bid_dt = codes.schema["__bid"].dataType.simpleString()
+    out_schema = f"{id_q} {qid_dt}, {id_b} {bid_dt}, cosine_sim double"
+    kk = k
+
+    def score(key, pdf):
+        qs = pdf[pdf["__side"] == 0]
+        bs = pdf[pdf["__side"] == 1]
+        if qs.empty or bs.empty:
+            return pd.DataFrame({c: [] for c in (id_q, id_b, "cosine_sim")})
+        qv = _prep(
+            np.stack(qs["__v"].apply(lambda x: np.asarray(x, dtype="float64"))),
+            norm,
+        )
+        if offsets is not None:
+            qv = qv - offsets[int(key[0])]
+        qsub = qv.reshape(len(qv), m, dsub)
+        # (|Qc|, m, ksub) tables in one einsum
+        tables = (
+            (qsub * qsub).sum(axis=2)[:, :, None]
+            - 2.0 * np.einsum("qmd,mkd->qmk", qsub, cents)
+            + csq[None, :, :]
+        )
+        cd = np.stack(bs["__code"].apply(lambda x: np.asarray(x, dtype="int64")))
+        d2 = np.zeros((len(qv), len(cd)), dtype="float64")
+        for j in range(m):
+            d2 += tables[:, j, :][:, cd[:, j]]
+        s = 1.0 - d2 / 2.0
+        return _topk_rows(
+            s, qs["__id"].to_numpy(), bs["__id"].to_numpy(), kk, id_q, id_b
+        )
+
+    survivors = both.groupBy("ivf_cell").applyInPandas(score, schema=out_schema)
+    w = Window.partitionBy(id_q).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_b).asc()
+    )
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def pq_rerank(
     candidates: DataFrame,
     raw: DataFrame,

@@ -577,6 +577,47 @@ def knn_join(
     return _knn_join_scored(q, b, id_q, id_b, k, cell_cap)
 
 
+def _topk_rows(
+    s: "np.ndarray",
+    qi: "np.ndarray",
+    bi: "np.ndarray",
+    kk: int,
+    id_q: str,
+    id_b: str,
+) -> "pd.DataFrame":
+    """Per-(query, group) top-k of a (|Q|, |B|) score matrix in the
+    GLOBAL output order (6dp-rounded cosine desc, id asc), fully
+    vectorized (VERDICT r7 #4): the 6dp cosine and the neighbor's
+    id-RANK pack into one tie-free int64 key, so argpartition (O(nb)
+    per row, vs the old per-row Python lexsort) never chooses among
+    equal keys and stays exact; only the kc selected get sorted.
+    Measured 2.0x on a 10k x 2k hot cell, exactness fuzzed vs lexsort
+    (PERFORMANCE.md r8). Emits the ROUNDED value so the pruning key and
+    the downstream window key are the identical number (ADVICE r7).
+    Shared by the exact kernel and the ADC kernel (pq.adc_knn_scored)."""
+    r = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+    # zero-norm vectors yield NaN cosines: rank them below any real
+    # cosine (the int cast below would otherwise overflow)
+    r = np.nan_to_num(r, nan=-2.0)
+    n = len(bi)
+    kc = min(kk, n)
+    rk = np.empty(n, dtype=np.int64)
+    rk[np.argsort(bi, kind="stable")] = np.arange(n)
+    negkey = rk[None, :] - np.rint(r * 1e6).astype(np.int64) * n
+    part = np.argpartition(negkey, kc - 1, axis=1)[:, :kc]
+    ord2 = np.argsort(
+        np.take_along_axis(negkey, part, axis=1), axis=1, kind="stable"
+    )
+    order = np.take_along_axis(part, ord2, axis=1)
+    return pd.DataFrame(
+        {
+            id_q: np.repeat(qi, kc),
+            id_b: bi[order].reshape(-1),
+            "cosine_sim": np.take_along_axis(r, order, axis=1).reshape(-1),
+        }
+    )
+
+
 def _knn_join_scored(
     q: DataFrame,
     b: DataFrame,
@@ -642,35 +683,7 @@ def _knn_join_scored(
         s = (qv @ bv.T) / np.outer(
             np.sqrt((qv * qv).sum(axis=1)), np.sqrt((bv * bv).sum(axis=1))
         )
-        # per-(query, cell) top-k in the GLOBAL output order (6dp-rounded
-        # cosine desc, id asc), fully vectorized (VERDICT r7 #4): the 6dp
-        # cosine and the neighbor's id-RANK pack into one tie-free int64
-        # key, so argpartition (O(nb) per row, vs the old per-row Python
-        # lexsort) never chooses among equal keys and stays exact; only
-        # the kc selected get sorted. Measured 2.0x on a 10k x 2k hot
-        # cell, exactness fuzzed vs lexsort (PERFORMANCE.md r8).
-        r = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
-        # zero-norm vectors yield NaN cosines: rank them below any real
-        # cosine (the int cast below would otherwise overflow)
-        r = np.nan_to_num(r, nan=-2.0)
-        n = len(bi)
-        kc = min(kk, n)
-        rk = np.empty(n, dtype=np.int64)
-        rk[np.argsort(bi, kind="stable")] = np.arange(n)
-        negkey = rk[None, :] - np.rint(r * 1e6).astype(np.int64) * n
-        part = np.argpartition(negkey, kc - 1, axis=1)[:, :kc]
-        ord2 = np.argsort(
-            np.take_along_axis(negkey, part, axis=1), axis=1, kind="stable"
-        )
-        order = np.take_along_axis(part, ord2, axis=1)
-        return pd.DataFrame(
-            {
-                id_q: np.repeat(qi, kc),
-                id_b: bi[order].reshape(-1),
-                # emit the ROUNDED value: pruning key == window key
-                "cosine_sim": np.take_along_axis(r, order, axis=1).reshape(-1),
-            }
-        )
+        return _topk_rows(s, qi, bi, kk, id_q, id_b)
 
     survivors = both.groupBy("ivf_cell", "__sub").applyInPandas(
         score, schema=out_schema

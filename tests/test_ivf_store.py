@@ -346,3 +346,70 @@ class TestServedKnnJoin:
         )
         with pytest.raises(ValueError, match="must differ"):
             idx.knn_join(df, "vec_id", "embedding")
+
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_adc_join_recovers_exact(
+        self, spark, tmp_path, vectors, residual
+    ):
+        """Batch ADC join at exhaustive probe + wide rerank reproduces
+        the exact served join's (qid, bid) pairs; rerank=0 still returns
+        k rows per query (approximate ranks)."""
+        df, rows = vectors
+        idx = IvfIndex.build(
+            df, "vec_id", "embedding",
+            str(tmp_path / f"ivfpq{int(residual)}"),
+            k=8, seed=42, pq_m=4, pq_residual=residual,
+            sample_fraction=1.0,
+        )
+        q = df.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        exact = idx.knn_join(q, "qid", "qv", k=5, nprobe=8)
+        adc = idx.knn_join(
+            q, "qid", "qv", k=5, nprobe=8, mode="adc", rerank=100
+        )
+        pairs = lambda d: sorted((r["qid"], r["vec_id"]) for r in d.collect())
+        assert pairs(adc) == pairs(exact)
+        pure = idx.knn_join(
+            q, "qid", "qv", k=5, nprobe=8, mode="adc", rerank=0
+        )
+        counts = pure.groupBy("qid").count().collect()
+        assert len(counts) == 20 and all(r["count"] == 5 for r in counts)
+
+    def test_adc_join_scoring_scan_prunes_vector_column(
+        self, spark, tmp_path, vectors
+    ):
+        """rerank=0: the only scan reads (vec_id, pq_code, ivf_cell) —
+        the raw vector column stays out of ReadSchema."""
+        from jackfruit_spark.plans import plan_string
+
+        df, rows = vectors
+        idx = IvfIndex.build(
+            df, "vec_id", "embedding", str(tmp_path / "ivfpq_plan"),
+            k=8, seed=42, pq_m=4, sample_fraction=1.0,
+        )
+        q = df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        p = plan_string(
+            idx.knn_join(q, "qid", "qv", k=5, nprobe=2, mode="adc", rerank=0)
+        )
+        scans = [
+            ln for ln in p.splitlines()
+            if "ReadSchema" in ln and "pq_code" in ln
+        ]
+        assert scans and all("embedding" not in ln for ln in scans), p
+
+    def test_adc_join_without_pq_raises(
+        self, spark, tmp_path, vectors, centroids
+    ):
+        df, rows = vectors
+        idx = IvfIndex.build(
+            df, "vec_id", "embedding", str(tmp_path / "plainj"),
+            centroids=centroids,
+        )
+        q = df.limit(2).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        with pytest.raises(ValueError, match="without pq_m"):
+            idx.knn_join(q, "qid", "qv", mode="adc")
