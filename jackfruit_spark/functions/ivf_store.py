@@ -392,6 +392,7 @@ class IvfIndex:
         cell_cap: int | None = None,
         mode: str = "exact",
         rerank: int = 50,
+        broadcast_candidates: bool = True,
     ) -> DataFrame:
         """Served batch kNN-join (r8, VERDICT r7 #2): the twin of
         ``similarity.knn_join`` that does NOT re-assign the base corpus —
@@ -416,7 +417,12 @@ class IvfIndex:
         top-``rerank`` survivors per query (a semi-join back into the
         pruned layout + the expression cosine the point search's re-rank
         uses). ``rerank=0`` returns pure ADC results. ``cell_cap`` is
-        exact-mode only."""
+        exact-mode only. ``broadcast_candidates`` (default True) hints
+        the re-rank's |Q| x rerank candidate frame and the query frame
+        as broadcast sides — right for serving-sized batches, where AQE
+        can't see their size through the window + applyInPandas
+        (measured 2x on the rerank leg); disable for corpus-scale query
+        batches and let the joins shuffle on the ids."""
         from jackfruit_spark._persist import persisted
         from jackfruit_spark.functions.similarity import (
             _knn_join_scored,
@@ -470,21 +476,14 @@ class IvfIndex:
 
         from jackfruit_spark.functions.similarity import cosine
 
-        pairs = (
-            top.select(id_q, id_b)
-            .join(
-                pruned.select(
-                    F.col(id_b), F.col(meta["vec_col"]).alias("__bv")
-                ),
-                id_b,
-            )
-            .join(
-                queries.select(
-                    F.col(id_q), F.col(vec_q).alias("__qv")
-                ),
-                id_q,
-            )
-        )
+        cand = top.select(id_q, id_b)
+        qv_side = queries.select(F.col(id_q), F.col(vec_q).alias("__qv"))
+        if broadcast_candidates:
+            cand = F.broadcast(cand)
+            qv_side = F.broadcast(qv_side)
+        pairs = pruned.select(
+            F.col(id_b), F.col(meta["vec_col"]).alias("__bv")
+        ).join(cand, id_b).join(qv_side, id_q)
         scored = pairs.select(
             id_q,
             id_b,

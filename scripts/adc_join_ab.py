@@ -1,0 +1,140 @@
+"""Exact-vs-ADC served kNN-join A/B (late r8).
+
+``IvfIndex.knn_join(mode='adc')`` scores the probed cells' 8-byte code
+column instead of the raw float32 vectors — 32x fewer bytes per vector
+in the big scan at dim=64. This script measures what that buys (or
+costs) wall-clock on one machine, where the parquet DECODE of the
+vector column is the dominant savings (page cache hides the I/O):
+
+- generate an N-vector clustered corpus (the drift script's recipe),
+  build one IvfIndex with pq_m=8, C ~ N/1000 cells;
+- run a Q-query batch join three ways, interleaved, min-of-2:
+  exact | adc+rerank50 | adc rerank=0;
+- also report the candidate quality: fraction of exact-mode pairs the
+  ADC+rerank output reproduces (rerank makes values exact; misses are
+  ADC top-R candidate misses).
+
+Usage: python scripts/adc_join_ab.py [--n 320000] [--queries 2000]
+Prints one JSON line; results belong in PERFORMANCE.md "Round 8".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jackfruit_spark.functions.ivf_store import IvfIndex  # noqa: E402
+from jackfruit_spark.session import get_spark  # noqa: E402
+
+DIM = 64
+
+
+def gen_corpus(spark, n: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    k = 40
+    centers = rng.normal(size=(k, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = rng.integers(0, k, n)
+    v = centers[lab] + 0.15 * rng.normal(size=(n, DIM))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>"
+    ).repartition(32)
+
+
+def timed(fn, repeats: int = 2) -> float:
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=320_000)
+    ap.add_argument("--queries", type=int, default=2_000)
+    ap.add_argument("--nprobe", type=int, default=16)
+    ap.add_argument("--rerank", type=int, default=50)
+    ap.add_argument("--residual", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="adc_ab_")
+    try:
+        df = gen_corpus(spark, args.n).cache()
+        df.count()
+        cells = max(32, args.n // 1000)
+        idx = IvfIndex.build(
+            df, "vec_id", "embedding", os.path.join(root, "idx"),
+            k=cells, sample_size=100_000, sample_fraction=1.0,
+            seed=42, pq_m=8, pq_residual=args.residual,
+        )
+        from pyspark.sql import functions as F
+
+        q = df.filter(F.col("vec_id") < args.queries).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        ).cache()
+        q.count()
+        df.unpersist()
+
+        def run(mode, rerank=args.rerank):
+            kwargs = {} if mode == "exact" else {
+                "mode": "adc", "rerank": rerank
+            }
+            idx.knn_join(
+                q, "qid", "qv", k=10, nprobe=args.nprobe, **kwargs
+            ).write.format("noop").mode("overwrite").save()
+
+        # interleave: exact, adc, adc0, exact, adc, adc0
+        t = {"exact": [], "adc_rerank": [], "adc_only": []}
+        for _ in range(2):
+            for key, fn in (
+                ("exact", lambda: run("exact")),
+                ("adc_rerank", lambda: run("adc")),
+                ("adc_only", lambda: run("adc", 0)),
+            ):
+                t0 = time.perf_counter()
+                fn()
+                t[key].append(time.perf_counter() - t0)
+        times = {k: round(min(v), 2) for k, v in t.items()}
+
+        exact_pairs = {
+            (r["qid"], r["vec_id"])
+            for r in idx.knn_join(
+                q, "qid", "qv", k=10, nprobe=args.nprobe
+            ).collect()
+        }
+        adc_pairs = {
+            (r["qid"], r["vec_id"])
+            for r in idx.knn_join(
+                q, "qid", "qv", k=10, nprobe=args.nprobe,
+                mode="adc", rerank=args.rerank,
+            ).collect()
+        }
+        overlap = round(len(exact_pairs & adc_pairs) / len(exact_pairs), 4)
+        print(json.dumps({
+            "n": args.n, "queries": args.queries, "cells": cells,
+            "residual": args.residual, "rerank": args.rerank,
+            "nprobe": args.nprobe, "times_sec": times,
+            "adc_rerank_vs_exact_pair_overlap": overlap,
+        }))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
