@@ -229,6 +229,7 @@ class IvfIndex:
         sample_size: int = 100_000,
         seed: int = 42,
         sample_fraction: float | None = None,
+        dedup: bool = False,
     ) -> "IvfIndex":
         """Quantizer maintenance (r8, VERDICT r7 #6): retrain on the
         CURRENT indexed vectors and swap in a fresh versioned layout —
@@ -239,11 +240,20 @@ class IvfIndex:
         PERFORMANCE.md r8); rebuilding re-centers both. Reads the old
         version while writing the new one (versioned dirs make this
         safe), swaps the manifest atomically; run ``vacuum()`` once old
-        readers drain."""
+        readers drain. PQ settings (``pq_m``/``pq_residual``) carry
+        through: the sub-quantizers retrain and every vector re-encodes
+        in the same pass. ``dedup=True`` keeps one row per id (arbitrary
+        but deterministic winner via max(vec) — absorbs the bounded
+        at-least-once window of ``streaming.vectors`` replays)."""
         meta = self._manifest()
         df = self.spark.read.parquet(self.data_path).select(
             meta["id_col"], meta["vec_col"]
         )
+        if dedup:
+            df = df.groupBy(meta["id_col"]).agg(
+                F.max(meta["vec_col"]).alias(meta["vec_col"])
+            )
+        pq = meta.get("pq")
         rebuilt = IvfIndex.build(
             df,
             meta["id_col"],
@@ -253,6 +263,8 @@ class IvfIndex:
             sample_size=sample_size,
             seed=seed,
             sample_fraction=sample_fraction,
+            pq_m=len(pq["centroids"]) if pq else None,
+            pq_residual=bool(pq.get("residual")) if pq else False,
         )
         self._meta = rebuilt._meta  # this handle follows the swap
         return rebuilt

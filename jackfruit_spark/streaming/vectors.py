@@ -1,0 +1,103 @@
+"""Streaming vector ingestion into the cell-partitioned IVF index.
+
+Completes the ANN lifecycle the batch side already has: ``build`` once,
+then land new embedding batches continuously (a crawler or encoder
+writing parquet shards), ``append`` them with frozen centroids as they
+arrive, watch drift via ``stats()``, and ``rebuild()`` when imbalance
+crosses the measured ~3x policy (PERFORMANCE.md r8 drift curve).
+
+Shape, same discipline as ``streaming/ingest.write_grid_stream``:
+``readStream`` over the landing directory -> ``foreachBatch`` calling
+``IvfIndex.append`` (the streaming file sink is wrong here for the same
+reason as the grid path — its ``_spark_metadata`` log would hide
+batch-appended files from readers — and ``append`` must also encode PQ
+codes and bump the reader cache, which only the batch path does).
+
+Exactly-once vs replays: foreachBatch is at-least-once — after a crash
+the LAST batch may replay. A replayed ``append`` would duplicate its
+rows (duplicate ids pollute top-k: the window keeps both). We record
+the max applied batch id in a ledger file NEXT TO THE CHECKPOINT
+(tmp+rename, same atomic-swap discipline as the index manifest) and
+skip batches at-or-below it, because batch ids are monotonic per
+checkpoint; the ledger shares the checkpoint's lifecycle — delete them
+together. The one remaining window (crash AFTER the append files land
+but BEFORE the ledger bump) duplicates at most one batch; absorb it
+with ``IvfIndex.rebuild(dedup=True)``, the documented maintenance step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jackfruit_spark.functions.ivf_store import IvfIndex
+
+_LEDGER = "_jackfruit_applied.json"
+
+
+def stream_vectors_parquet(
+    spark: SparkSession, landing_dir: str, schema: str
+) -> DataFrame:
+    """Landing-directory stream of embedding rows. ``schema`` is
+    explicit (streaming parquet has no inference), e.g.
+    ``"vec_id bigint, embedding array<float>"`` — match the index's
+    id/vec columns. Recursive lookup: each landed batch is typically a
+    parquet DIRECTORY written by an upstream job (part files inside) —
+    the flat file listing would see none of them."""
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(landing_dir)
+    )
+
+
+def _ledger_path(checkpoint: str) -> str:
+    return os.path.join(checkpoint, _LEDGER)
+
+
+def _applied_max(checkpoint: str) -> int:
+    try:
+        with open(_ledger_path(checkpoint)) as f:
+            return int(json.load(f)["max_batch_id"])
+    except (FileNotFoundError, ValueError, KeyError):
+        return -1
+
+
+def _record_applied(checkpoint: str, batch_id: int) -> None:
+    os.makedirs(checkpoint, exist_ok=True)
+    tmp = _ledger_path(checkpoint) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"max_batch_id": int(batch_id)}, f)
+    os.replace(tmp, _ledger_path(checkpoint))
+
+
+def append_batch(index_root: str, checkpoint: str, batch_df: DataFrame,
+                 batch_id: int) -> bool:
+    """One foreachBatch step, exposed for tests: skip if the ledger says
+    this id (or a later one) was applied, else append + bump the
+    ledger. Returns whether the batch was applied."""
+    if batch_id <= _applied_max(checkpoint):
+        return False
+    IvfIndex(batch_df.sparkSession, index_root).append(batch_df)
+    _record_applied(checkpoint, batch_id)
+    return True
+
+
+def write_index_stream(
+    vectors: DataFrame, index_root: str, checkpoint: str
+):
+    """availableNow append of landed vector batches into an EXISTING
+    index (build it first — ``append`` needs the manifest's centroids,
+    and a PQ index encodes codes with the manifest codebook)."""
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch(index_root, checkpoint, batch_df, batch_id)
+
+    return (
+        vectors.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,100 @@
+"""Streaming vector ingestion (streaming/vectors.py): availableNow
+appends into a built IvfIndex, replay-idempotence via the checkpoint
+ledger, PQ codes encoded on streamed appends, and rebuild(dedup=True)
+absorbing the documented one-batch duplicate window."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions.ivf_store import IvfIndex
+from jackfruit_spark.streaming.vectors import (
+    append_batch,
+    stream_vectors_parquet,
+    write_index_stream,
+)
+
+SCHEMA = "vec_id int, embedding array<float>"
+
+
+def _batch_df(spark, start, n, seed):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, 16))
+    rows = [
+        (int(start + i), [float(x) for x in v[i]]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    base = _batch_df(spark, 0, 120, seed=1)
+    idx = IvfIndex.build(
+        base, "vec_id", "embedding", str(tmp_path / "idx"),
+        k=4, seed=42, pq_m=4, sample_fraction=1.0,
+    )
+    return idx
+
+
+def test_stream_appends_and_serves(spark, tmp_path, built):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _batch_df(spark, 200, 40, seed=2).write.parquet(
+        str(landing / "b1.parquet")
+    )
+    q = write_index_stream(
+        stream_vectors_parquet(spark, str(landing), SCHEMA),
+        built.root, ckpt,
+    )
+    q.awaitTermination(120)
+    data = spark.read.parquet(built.data_path)
+    assert data.count() == 160
+    # streamed rows got PQ codes from the manifest codebook
+    assert data.filter(F.col("pq_code").isNull()).count() == 0
+    # the appended vectors are searchable (exhaustive probe)
+    qv = [1.0] + [0.0] * 15
+    got = built.search(qv, k=160, nprobe=4).count()
+    assert got == 160
+
+    # second availableNow run: only the NEW landing file processes
+    _batch_df(spark, 300, 25, seed=3).write.parquet(
+        str(landing / "b2.parquet")
+    )
+    q2 = write_index_stream(
+        stream_vectors_parquet(spark, str(landing), SCHEMA),
+        built.root, ckpt,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(built.data_path).count() == 185
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path, built):
+    ckpt = str(tmp_path / "ckpt")
+    b = _batch_df(spark, 500, 10, seed=4)
+    assert append_batch(built.root, ckpt, b, 0) is True
+    # replay of the same batch id (post-crash restart): skipped
+    assert append_batch(built.root, ckpt, b, 0) is False
+    assert spark.read.parquet(built.data_path).count() == 130
+    # a LATER batch applies
+    assert append_batch(built.root, ckpt, _batch_df(spark, 600, 5, 5), 1)
+    assert spark.read.parquet(built.data_path).count() == 135
+
+
+def test_rebuild_dedup_absorbs_double_append(spark, tmp_path, built):
+    """The crash-between-append-and-ledger window: same batch appended
+    twice -> duplicate ids; rebuild(dedup=True) keeps one row per id
+    and re-encodes PQ codes in the new layout."""
+    b = _batch_df(spark, 700, 15, seed=6)
+    built.append(b)
+    built.append(b)
+    assert spark.read.parquet(built.data_path).count() == 150
+    rebuilt = built.rebuild(dedup=True, sample_fraction=1.0)
+    data = spark.read.parquet(rebuilt.data_path)
+    assert data.count() == 135
+    assert data.select("vec_id").distinct().count() == 135
+    # PQ settings carried through the rebuild
+    assert "pq_code" in data.columns
+    assert data.filter(F.col("pq_code").isNull()).count() == 0
