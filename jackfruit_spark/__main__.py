@@ -264,6 +264,52 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_index_vectors(args) -> int:
+    """Build / append / rebuild the cell-partitioned IVF index
+    (functions/ivf_store.IvfIndex) from a parquet of (id, embedding)
+    rows — the operational form of the served-ANN build. Prints the
+    cell-size stats JSON (the drift signal the rebuild policy acts on,
+    PERFORMANCE.md r8: rebuild at imbalance ~3x)."""
+    if args.mode in ("build", "append") and not args.input:
+        print(json.dumps({"error": f"--input required for {args.mode}"}))
+        return 2
+    spark = _spark(args.cpus)
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+
+    if args.mode == "build":
+        df = spark.read.parquet(args.input)
+        idx = IvfIndex.build(
+            df, args.id_col, args.vec_col, args.root,
+            k=args.cells, pq_m=args.pq_m, pq_residual=args.pq_residual,
+        )
+    elif args.mode == "append":
+        idx = IvfIndex(spark, args.root).append(
+            spark.read.parquet(args.input)
+        )
+    else:  # rebuild (no --input; retrains on the indexed vectors)
+        idx = IvfIndex(spark, args.root).rebuild(dedup=args.dedup)
+    print(json.dumps({"root": args.root, "mode": args.mode, **idx.stats()}))
+    return 0
+
+
+def cmd_ann_search(args) -> int:
+    """Point search against a built index: top-k cosine neighbors of
+    --vec (comma-separated floats), PartitionFilters-pruned to nprobe
+    cells; --mode adc scans the 8-byte PQ codes and re-ranks exactly.
+    Prints one JSON line of (id, cosine_sim) rows."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+
+    idx = IvfIndex(spark, args.root)
+    qv = [float(x) for x in args.vec.split(",")]
+    res = idx.search(
+        qv, k=args.k, nprobe=args.nprobe, mode=args.mode,
+        rerank=args.rerank,
+    )
+    print(json.dumps({"neighbors": [r.asDict() for r in res.collect()]}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="jackfruit_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -368,6 +414,39 @@ def build_parser() -> argparse.ArgumentParser:
     iw.add_argument("--output", required=True)
     iw.add_argument("--cpus", default=None)
     iw.set_defaults(fn=cmd_index_warc)
+
+    iv = sub.add_parser(
+        "index-vectors",
+        help="build/append/rebuild the cell-partitioned IVF(-PQ) index",
+    )
+    iv.add_argument("--root", required=True)
+    iv.add_argument("--mode", choices=["build", "append", "rebuild"],
+                    default="build")
+    iv.add_argument("--input", default=None,
+                    help="parquet of (id, embedding) rows; build/append")
+    iv.add_argument("--id-col", default="vec_id")
+    iv.add_argument("--vec-col", default="embedding")
+    iv.add_argument("--cells", type=int, default=32)
+    iv.add_argument("--pq-m", type=int, default=None,
+                    help="store m x 8-bit PQ codes next to vectors")
+    iv.add_argument("--pq-residual", action="store_true")
+    iv.add_argument("--dedup", action="store_true",
+                    help="rebuild only: keep one row per id")
+    iv.add_argument("--cpus", default=None)
+    iv.set_defaults(fn=cmd_index_vectors)
+
+    an = sub.add_parser(
+        "ann-search", help="top-k cosine point search against the index"
+    )
+    an.add_argument("--root", required=True)
+    an.add_argument("--vec", required=True,
+                    help="query vector, comma-separated floats")
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--nprobe", type=int, default=16)
+    an.add_argument("--mode", choices=["exact", "adc"], default="exact")
+    an.add_argument("--rerank", type=int, default=50)
+    an.add_argument("--cpus", default=None)
+    an.set_defaults(fn=cmd_ann_search)
 
     sv = sub.add_parser("serve", help="HTTP listener: GET /v1/environmental + /health")
     sv.add_argument("--host", default="127.0.0.1")

@@ -231,3 +231,58 @@ def test_cli_curate_from_warc_manifest(spark, tmp_path, monkeypatch):
     assert info["curated"] == 1
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and "quick brown fox" in rows[0]["text"]
+
+
+def test_cli_index_vectors_and_search(spark, tmp_path, capsys):
+    """index-vectors build -> ann-search exact + adc -> append ->
+    rebuild --dedup, each printing one JSON line."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(120, 16))
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(120)]
+    inp = str(tmp_path / "vecs")
+    spark.createDataFrame(rows, "vec_id int, embedding array<float>").write.parquet(inp)
+    root = str(tmp_path / "idx")
+
+    assert main([
+        "index-vectors", "--root", root, "--input", inp,
+        "--cells", "4", "--pq-m", "4",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] == 120 and stats["cells"] == 4
+
+    qv = ",".join(str(x) for x in v[0])
+    assert main([
+        "ann-search", "--root", root, "--vec", qv, "--k", "3",
+        "--nprobe", "4",
+    ]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(res["neighbors"]) == 3
+    assert res["neighbors"][0]["vec_id"] == 0  # self is nearest
+
+    assert main([
+        "ann-search", "--root", root, "--vec", qv, "--k", "3",
+        "--nprobe", "4", "--mode", "adc", "--rerank", "50",
+    ]) == 0
+    adc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [n["vec_id"] for n in adc["neighbors"]] == [
+        n["vec_id"] for n in res["neighbors"]
+    ]
+
+    assert main([
+        "index-vectors", "--root", root, "--mode", "append",
+        "--input", inp,
+    ]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["rows"] == 240
+
+    assert main([
+        "index-vectors", "--root", root, "--mode", "rebuild", "--dedup",
+    ]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["rows"] == 120
+
+    assert main(["index-vectors", "--root", root, "--mode", "append"]) == 2
