@@ -1,0 +1,166 @@
+"""Feature-hashed text embeddings (the "hashing trick", Weinberger et
+al., ICML 2009): a deterministic text -> dense-vector featurizer so the
+similarity / semantic-dedup / kNN-join family runs end-to-end from raw
+documents without an external encoder.
+
+Every token n-gram hashes to one of ``dim`` buckets (xxhash64 -> pmod)
+with a second, independent hash picking a +/-1 sign (the signed variant
+— bucket collisions cancel in expectation instead of accumulating
+bias); each document's vector is the signed sum of its gram weights
+(tf, or tf-idf with one extra distributed df pass), L2-normalized for
+cosine geometry. Entirely JVM-side column expressions: gram generation
+is the window-lead hot path MinHash uses (``operators/dedup.
+shingled_exploded`` — posexplode + lead, NOT the interpreted
+array-lambda form), here emitting ALL gram sizes from one window pass;
+hashing/bucketing is codegen. Shuffles: one token window (on the id —
+the same key every downstream consumer groups on), the tf groupBy, and
+the final per-document assembly; the idf pass adds a groupBy on the
+gram plus a broadcast-sized doc-count join (no driver action — the
+count rides the plan as a 1-row cross join).
+
+The map->dense assembly runs one interpreted transform over ``dim``
+elements per document — linear, small (dim<=1024), and measured fine;
+the CLAUDE.md higher-order-function trap is about lambdas that
+re-evaluate an upstream projection PER ELEMENT, which ``try_element_at``
+on a pre-built map does not.
+
+No DuckDB oracle (xxhash64 is Spark-side); correctness is pinned by
+invariance tests (determinism, unit norm, tf-scale invariance, near-dup
+geometry) in tests/test_featurize.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hashed_embedding(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 256,
+    ngram: int = 2,
+    idf: bool = True,
+    normalize: bool = True,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """(id, out_col) one row per input document; ``out_col`` is
+    ``array<float>`` of length ``dim`` (the testdata embeddings schema,
+    so the ANN legs consume it unchanged). Grams of size 1..``ngram``
+    all contribute. Empty/null texts yield the zero vector (cosine
+    against it is NaN downstream — the ANN kernels already rank NaN
+    below any real cosine)."""
+    from pyspark.sql import Window
+
+    from jackfruit_spark.operators.dedup import tokens_expr
+
+    # all gram sizes from ONE posexplode + window pass (one window
+    # shuffle total vs one per size when unioning shingled_exploded
+    # calls — a wall-clock wash at sf0.1 where the tf/idf groupBys
+    # dominate, but one less full-token-frame shuffle at scale): lead
+    # 1..ngram-1 once, emit the valid sizes as an array, explode.
+    # Validity matches shingled_exploded's rule per size: full n-grams
+    # only, except a <n-token doc keeps its single pos==0 partial
+    # (concat_ws skips the missing tails).
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_expr(text_col)).alias("__pos", "__tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    # window exprs can't live inside a generator: project the leads to
+    # plain columns first, then build the per-size gram array
+    t = t.select(
+        F.col(id_col),
+        "__pos",
+        "__tok",
+        *[
+            F.lead("__tok", j).over(w).alias(f"__l{j}")
+            for j in range(1, ngram)
+        ],
+    )
+    leads = [F.col(f"__l{j}") for j in range(1, ngram)]
+    per_size = [
+        F.when(
+            (
+                F.lit(True)
+                if n == 1
+                else leads[n - 2].isNotNull() | (F.col("__pos") == 0)
+            ),
+            F.concat_ws(" ", F.col("__tok"), *leads[: n - 1]),
+        )
+        for n in range(1, ngram + 1)
+    ]
+    grams = (
+        t.select(
+            F.col(id_col), F.explode(F.array(*per_size)).alias("sh")
+        )
+        .filter(F.col("sh").isNotNull() & (F.col("sh") != ""))
+    )
+    tf = grams.groupBy(id_col, "sh").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf")
+    )
+    if idf:
+        dfc = grams.groupBy("sh").agg(
+            F.countDistinct(id_col).alias("__df")
+        )
+        n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+        weighted = (
+            tf.join(dfc, "sh")
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                id_col,
+                "sh",
+                (
+                    F.col("__tf")
+                    * F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0))
+                ).alias("__w"),
+            )
+        )
+    else:
+        weighted = tf.select(id_col, "sh", F.col("__tf").alias("__w"))
+    signed = weighted.select(
+        id_col,
+        F.pmod(F.xxhash64("sh"), F.lit(dim)).cast("int").alias("__b"),
+        (
+            (F.pmod(F.xxhash64("sh", F.lit("sign")), F.lit(2)) * 2 - 1)
+            * F.col("__w")
+        ).alias("__sw"),
+    )
+    buckets = signed.groupBy(id_col, "__b").agg(F.sum("__sw").alias("__v"))
+    # the L2 norm comes from the BUCKET values (the dense array is just
+    # those values scattered over zeros), so it rides the same aggregate
+    # as the map — never express it as aggregate(dense): CollapseProject
+    # would inline the whole dense transform into the normalizing lambda
+    # and re-evaluate it PER ELEMENT (the CLAUDE.md interpreted-HOF
+    # trap; measured 29 s vs 3.2 s warm at sf0.1 for this form)
+    assembled = buckets.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__b", "__v"))
+        ).alias("__m"),
+        F.sqrt(F.sum(F.col("__v") * F.col("__v"))).alias("__nrm"),
+    )
+    div = (
+        F.when(F.col("__nrm") > 0, F.col("__nrm")).otherwise(F.lit(1.0))
+        if normalize
+        else F.lit(1.0)
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.try_element_at(F.col("__m"), i), F.lit(0.0))
+        / div,
+    )
+    vec = assembled.select(
+        F.col(id_col), dense.cast("array<float>").alias(out_col)
+    )
+    # empty/null-text docs produce no grams: restore them as zero vectors
+    # so the output is total over the input ids
+    zeros = (
+        df.select(id_col)
+        .join(vec.select(id_col), id_col, "left_anti")
+        .withColumn(
+            out_col,
+            F.array_repeat(F.lit(0.0), dim).cast("array<float>"),
+        )
+    )
+    return vec.unionByName(zeros)

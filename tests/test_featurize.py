@@ -1,0 +1,92 @@
+"""Feature-hashed embeddings (functions/featurize.py): invariance tests
+(no oracle — xxhash64 is Spark-side): determinism, shape/type/norm,
+tf-scale invariance, near-dup geometry, zero-vector totality, and
+end-to-end composition into the batch kNN-join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions.featurize import hashed_embedding
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river"),
+    (2, "the quick brown fox jumps over the lazy dog near the bank"),
+    (3, "completely different text about astrophysics and galaxies far away"),
+    (4, "the quick brown fox jumps over the lazy dog near the river"),
+    (5, ""),
+    (6, None),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def _vecs(df):
+    return {
+        r["doc_id"]: np.asarray(r["embedding"], dtype="float64")
+        for r in df.collect()
+    }
+
+
+def test_shape_norm_total_and_determinism(spark, docs):
+    out = hashed_embedding(docs, "doc_id", "text", dim=64)
+    v = _vecs(out)
+    assert set(v) == {1, 2, 3, 4, 5, 6}  # total over input ids
+    assert all(len(x) == 64 for x in v.values())
+    for i in (1, 2, 3):
+        assert abs(np.linalg.norm(v[i]) - 1.0) < 1e-5
+    assert np.linalg.norm(v[5]) == 0.0 and np.linalg.norm(v[6]) == 0.0
+    again = _vecs(hashed_embedding(docs, "doc_id", "text", dim=64))
+    for i in v:
+        assert np.array_equal(v[i], again[i])
+
+
+def test_neardup_geometry(spark, docs):
+    """Identical docs -> identical vectors; one-word-changed doc is far
+    closer than an unrelated doc."""
+    v = _vecs(hashed_embedding(docs, "doc_id", "text", dim=256))
+    assert np.allclose(v[1], v[4])
+    near = float(v[1] @ v[2])
+    far = float(v[1] @ v[3])
+    assert near > 0.6 > far
+
+
+def test_tf_scaling_is_direction_invariant(spark):
+    """With idf off, repeating the text scales every gram weight
+    equally -> same normalized vector."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma " * 3)],
+        "doc_id int, text string",
+    )
+    # ngram=1: repetition also creates seam bigrams, unigrams don't
+    v = _vecs(hashed_embedding(df, "doc_id", "text", dim=64, ngram=1, idf=False))
+    assert float(v[1] @ v[2]) > 0.9999
+
+
+def test_composes_with_knn_join(spark, docs):
+    from jackfruit_spark.functions.similarity import kmeans_train, knn_join
+
+    emb = hashed_embedding(docs, "doc_id", "text", dim=64).filter(
+        F.col("doc_id") <= 4
+    )
+    cents = kmeans_train(emb, "embedding", k=2, sample_fraction=1.0, seed=1)
+    q = emb.select(
+        F.col("doc_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    res = knn_join(
+        q, emb, cents, "qid", "qv", "doc_id", "embedding", k=2, nprobe=2
+    ).collect()
+    top = {
+        r["qid"]: r["doc_id"]
+        for r in res
+        if r["qid"] != r["doc_id"]  # skip self-match rows
+    }
+    # doc 1's nearest non-self neighbor is its exact duplicate 4 (or
+    # vice versa), and 2's is one of the near-dups
+    assert top[1] == 4 and top[4] == 1
+    assert top[2] in (1, 4)
