@@ -1019,3 +1019,39 @@ def semantic_dedup(
         # returns — release it here instead of leaking it session-wide.
         assigned_persisted.unpersist(blocking=False)
     return labels.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+
+
+def semantic_dedup_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 256,
+    cells: int = 32,
+    threshold: float = 0.85,
+    seed: int = 42,
+    **dedup_kwargs,
+) -> DataFrame:
+    """Text-native SemDeDup: ``functions.featurize.hashed_embedding``
+    (signed tf-idf hashing trick — no external encoder) feeding
+    ``semantic_dedup``. The near-dup tier for corpora with NO embedding
+    column: paraphrase-level duplicates that exact/MinHash shingle dedup
+    misses (reordered or lightly reworded text keeps most of its gram
+    mass, so hashed cosine stays high while shingle Jaccard collapses).
+    Returns the shared (id, cluster_id, keep) contract. The default
+    threshold sits below the embedding-model default (0.9): hashed
+    vectors carry collision noise, and one-word-changed 12-token docs
+    measure ~0.9 while unrelated docs sit <0.2 (tests/test_featurize).
+    The embedding pass is persisted around the quantizer sample + dedup
+    scan (two consumers)."""
+    from jackfruit_spark._persist import persisted
+    from jackfruit_spark.functions.featurize import hashed_embedding
+    from jackfruit_spark.functions.similarity import kmeans_train
+
+    emb = persisted(hashed_embedding(df, id_col, text_col, dim=dim))
+    cents = kmeans_train(
+        emb, "embedding", k=cells, seed=seed, sample_fraction=1.0
+    )
+    return semantic_dedup(
+        emb, id_col, "embedding", cents, threshold=threshold,
+        **dedup_kwargs,
+    )

@@ -90,3 +90,30 @@ def test_composes_with_knn_join(spark, docs):
     # vice versa), and 2's is one of the near-dups
     assert top[1] == 4 and top[4] == 1
     assert top[2] in (1, 4)
+
+
+def test_semantic_dedup_text(spark):
+    """Paraphrase-level near-dups cluster together; unrelated docs keep
+    their own clusters; keeper rule is min-id."""
+    from jackfruit_spark.operators.dedup import semantic_dedup_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "the quick brown fox jumps over the lazy dog near the river"),
+            (3, "near the river the quick brown fox jumps over the lazy dog"),
+            (4, "completely different text about astrophysics and galaxies"),
+            (5, "unrelated cooking recipe with tomatoes basil and olive oil"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup_text(
+            docs, "doc_id", "text", dim=128, cells=2, threshold=0.8
+        ).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)          # exact dup joins 1
+    assert out[3][0] == 1 and not out[3][1]  # reordered text joins too
+    assert out[4] == (4, True) and out[5] == (5, True)
