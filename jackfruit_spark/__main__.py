@@ -193,6 +193,8 @@ def cmd_curate(args) -> int:
         shuffle_seed=args.shuffle_seed,
         lm=lm,
         max_perplexity=args.max_perplexity,
+        semantic_dedup=args.semantic_dedup,
+        semantic_threshold=args.semantic_threshold,
     )
     curated.write.mode("overwrite").parquet(args.output)
     n_bad = corrupt.count() if corrupt is not None else 0
@@ -381,6 +383,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="CCNet tier: drop docs whose bigram-LM perplexity (model "
              "trained on this corpus's --lang slice) exceeds the cap",
     )
+    cu.add_argument(
+        "--semantic-dedup", action="store_true",
+        help="paraphrase-level near-dup tier (hashed embeddings -> "
+             "SemDeDup) after exact dedup",
+    )
+    cu.add_argument("--semantic-threshold", type=float, default=0.85)
     cu.add_argument("--sample-pct", type=int, default=100)
     cu.add_argument("--shuffle-seed", type=int, default=None)
     cu.add_argument("--quarantine", default=None)

@@ -432,6 +432,10 @@ def curate_corpus(
     shuffle_seed: int | None = None,
     lm=None,
     max_perplexity: float | None = None,
+    semantic_dedup: bool = False,
+    semantic_threshold: float = 0.85,
+    semantic_dim: int = 256,
+    semantic_cells: int = 32,
 ) -> DataFrame:
     """One-call batch curation: quality gates -> exact dedup -> optional
     LM-perplexity gate -> optional duplicate-span removal -> optional
@@ -445,6 +449,13 @@ def curate_corpus(
     duplicates; redaction runs after span removal because it rewrites
     text (span statistics must see the original corpus); sampling and
     shuffling are last because they only drop/reorder rows.
+
+    ``semantic_dedup=True`` adds the paraphrase-level near-dup tier
+    (``dedup.semantic_dedup_text``: hashed embeddings -> trained IVF ->
+    SemDeDup, min-id keeper) after exact dedup. Opt-in AND the one
+    stage that breaks the pure-plan-builder property: its connected
+    components run Spark jobs during plan CONSTRUCTION (the q53
+    lesson), so flip it only where eager work is acceptable.
 
     ``lm`` + ``max_perplexity`` add the CCNet quality tier
     (functions/lm.py): documents whose bigram perplexity under the
@@ -488,6 +499,22 @@ def curate_corpus(
             .filter(F.col("__ppl").isNull() | (F.col("__ppl") <= max_perplexity))
             .drop("__ppl")
         )
+    if semantic_dedup:
+        from jackfruit_spark.operators.dedup import semantic_dedup_text
+
+        keepers = (
+            semantic_dedup_text(
+                out.select(id_col, text_col),
+                id_col,
+                text_col,
+                dim=semantic_dim,
+                cells=semantic_cells,
+                threshold=semantic_threshold,
+            )
+            .filter(F.col("keep"))
+            .select(id_col)
+        )
+        out = out.join(keepers, id_col, "left_semi")
     if span_k is not None:
         cleaned = remove_duplicate_spans(
             out, id_col, text_col, k=span_k, min_count=span_min_count

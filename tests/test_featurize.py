@@ -117,3 +117,32 @@ def test_semantic_dedup_text(spark):
     assert out[2] == (1, False)          # exact dup joins 1
     assert out[3][0] == 1 and not out[3][1]  # reordered text joins too
     assert out[4] == (4, True) and out[5] == (5, True)
+
+
+def test_curate_semantic_tier(spark):
+    """curate_corpus(semantic_dedup=True): the reordered paraphrase is
+    dropped; distinct keepers survive; all other stages untouched."""
+    from jackfruit_spark.operators.curation import curate_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and it runs to "
+        "the river of light in the morning with the other animals"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "web", len(base)),
+            (2, "in the morning with the other animals the quick brown "
+                "fox jumps over the lazy dog and it runs to the river "
+                "of light", "en", "web", 120),
+            (3, "this is some other english text about the weather and "
+                "the sea with many common words in it for the gates",
+                "en", "web", 110),
+        ],
+        "doc_id int, text string, lang string, source string, n_chars long",
+    )
+    out = curate_corpus(
+        docs, semantic_dedup=True, semantic_dim=128, semantic_cells=2,
+        semantic_threshold=0.8,
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 3}
