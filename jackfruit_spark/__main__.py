@@ -288,6 +288,13 @@ def cmd_index_vectors(args) -> int:
         idx = IvfIndex(spark, args.root).append(
             spark.read.parquet(args.input)
         )
+    elif args.mode == "maintain":
+        # the measured drift policy: rebuild iff imbalance > threshold
+        report = IvfIndex(spark, args.root).maintain(
+            max_imbalance=args.max_imbalance
+        )
+        print(json.dumps({"root": args.root, "mode": "maintain", **report}))
+        return 0
     else:  # rebuild (no --input; retrains on the indexed vectors)
         idx = IvfIndex(spark, args.root).rebuild(dedup=args.dedup)
     print(json.dumps({"root": args.root, "mode": args.mode, **idx.stats()}))
@@ -428,8 +435,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="build/append/rebuild the cell-partitioned IVF(-PQ) index",
     )
     iv.add_argument("--root", required=True)
-    iv.add_argument("--mode", choices=["build", "append", "rebuild"],
-                    default="build")
+    iv.add_argument(
+        "--mode",
+        choices=["build", "append", "rebuild", "maintain"],
+        default="build",
+    )
+    iv.add_argument("--max-imbalance", type=float, default=3.0,
+                    help="maintain only: rebuild above this cell skew")
     iv.add_argument("--input", default=None,
                     help="parquet of (id, embedding) rows; build/append")
     iv.add_argument("--id-col", default="vec_id")

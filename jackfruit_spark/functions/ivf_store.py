@@ -283,6 +283,26 @@ class IvfIndex:
                 removed.append(d)
         return removed
 
+    def maintain(
+        self, max_imbalance: float = 3.0, vacuum: bool = True
+    ) -> dict:
+        """The measured drift policy as one call (PERFORMANCE.md r8:
+        frozen-centroid appends grew imbalance 2 -> 6 while nprobe=2
+        recall slid 0.83 -> 0.81; rebuild recovered both — policy:
+        rebuild at ~3x): check ``stats()``, rebuild (same k, PQ carried
+        through) iff ``imbalance > max_imbalance``, optionally vacuum
+        superseded versions after the swap. Returns the stats dict plus
+        ``rebuilt``/``vacuumed`` keys — cron-able as
+        ``python -m jackfruit_spark index-vectors --mode maintain``."""
+        st = self.stats()
+        rebuilt = st["imbalance"] > max_imbalance
+        if rebuilt:
+            self.rebuild()
+            if vacuum:
+                st["vacuumed"] = self.vacuum()
+            st["after"] = self.stats()
+        return {**st, "rebuilt": rebuilt}
+
     def append(self, df: DataFrame) -> "IvfIndex":
         """Incremental index maintenance (the serving-table pattern): new
         vectors are assigned with the EXISTING centroids and appended to

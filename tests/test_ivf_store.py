@@ -413,3 +413,32 @@ class TestServedKnnJoin:
         )
         with pytest.raises(ValueError, match="without pq_m"):
             idx.knn_join(q, "qid", "qv", mode="adc")
+
+
+def test_maintain_policy(spark, tmp_path, vectors):
+    """maintain() is a no-op under the threshold and rebuilds (then
+    vacuums) above it; the skewed layout comes from appending a batch
+    that all lands in one frozen cell."""
+    import numpy as np
+
+    df, rows = vectors
+    idx = IvfIndex.build(
+        df, "vec_id", "embedding", str(tmp_path / "m"),
+        k=8, seed=42, sample_fraction=1.0,
+    )
+    before = idx.maintain(max_imbalance=50.0)
+    assert before["rebuilt"] is False and "after" not in before
+
+    # pile a hot batch onto one point's neighborhood -> one hot cell
+    hot = np.asarray(rows[0][1], dtype="float64")
+    rng = np.random.default_rng(9)
+    batch = [
+        (int(10_000 + i),
+         [float(x) for x in hot + 0.01 * rng.normal(size=len(hot))])
+        for i in range(400)
+    ]
+    idx.append(spark.createDataFrame(batch, "vec_id int, embedding array<float>"))
+    report = idx.maintain(max_imbalance=3.0)
+    assert report["rebuilt"] is True
+    assert report["after"]["imbalance"] < report["imbalance"]
+    assert report["vacuumed"], report
