@@ -258,6 +258,7 @@ def cmd_pipeline(args) -> int:
         max_tokens=args.max_tokens,
         pack_tokens=args.pack_tokens,
         manifest=manifest,
+        dedup=args.dedup,
     )
     packed.write.mode("overwrite").parquet(args.output)
     stats = {k: int(o.get["rows"]) for k, o in obs.items()}
@@ -418,6 +419,10 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--min-tokens", type=int, default=5)
     pl.add_argument("--max-tokens", type=int, default=2000)
     pl.add_argument("--pack-tokens", type=int, default=2048)
+    pl.add_argument(
+        "--dedup", choices=("lsh", "semantic"), default="lsh",
+        help="near-dup tier: shingle LSH or hashed-embedding SemDeDup",
+    )
     pl.add_argument("--cpus", default=None)
     pl.set_defaults(fn=cmd_pipeline)
 

@@ -547,6 +547,8 @@ def warc_training_pipeline(
     shingle_k: int = 3,
     pack_tokens: int = 2048,
     manifest: DataFrame | None = None,
+    dedup: str = "lsh",
+    semantic_threshold: float = 0.85,
 ):
     """End-to-end crawl-to-training-corpus composition (r8, VERDICT r7
     #7): WARC shards -> CDX manifest ranged reads -> boilerplate
@@ -604,18 +606,48 @@ def warc_training_pipeline(
 
     # dedup branch: OBSERVATION-FREE on purpose — an Observation is
     # one-shot per query, and CC's internal actions would consume it
-    # before the caller's action; this branch reads the cache instead
-    sig = minhash_signatures(
-        gated_raw, "doc_id", "text", num_hashes=num_hashes, k=shingle_k
-    )
-    pairs = lsh_candidate_pairs(
-        sig, "doc_id", bands=bands, rows_per_band=rows_per_band
-    )
-    cc = connected_components(
-        gated_raw.select("doc_id"), pairs, id_col="doc_id"
-    )
-    # keeper = the component's min id (cluster_id labels ARE min ids)
-    keep = cc.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    # before the caller's action; this branch reads the cache instead.
+    # ``dedup``: "lsh" (shingle near-dups — the flat-alpha default) or
+    # "semantic" (hashed-embedding SemDeDup — catches reorderings and
+    # paraphrases whose shingle overlap collapses); both end in the
+    # min-id keeper rule.
+    if dedup == "lsh":
+        sig = minhash_signatures(
+            gated_raw, "doc_id", "text", num_hashes=num_hashes, k=shingle_k
+        )
+        pairs = lsh_candidate_pairs(
+            sig, "doc_id", bands=bands, rows_per_band=rows_per_band
+        )
+        cc = connected_components(
+            gated_raw.select("doc_id"), pairs, id_col="doc_id"
+        )
+        # keeper = the component's min id (cluster_id labels ARE min ids)
+        keep = cc.filter(F.col("doc_id") == F.col("cluster_id")).select(
+            "doc_id"
+        )
+    elif dedup == "semantic":
+        from jackfruit_spark.operators.dedup import semantic_dedup_text
+
+        # size the quantizer to ~512 docs/cell (SemDeDup's bounded-cell
+        # guidance): too many cells on a small corpus scatters near-dup
+        # pairs into different cells and they are never compared. The
+        # count is one job over the ALREADY-PERSISTED corpus, in the
+        # observation-free branch where eager actions are allowed.
+        n = gated_raw.count()
+        cells = max(2, min(4096, -(-n // 512)))
+        keep = (
+            semantic_dedup_text(
+                gated_raw.select("doc_id", "text"),
+                "doc_id",
+                "text",
+                cells=cells,
+                threshold=semantic_threshold,
+            )
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+    else:
+        raise ValueError(f"unknown dedup strategy {dedup!r}")
 
     # observed chain: the caller's single action flows each observe once
     obs_docs = Observation("docs")

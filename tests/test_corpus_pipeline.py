@@ -112,3 +112,22 @@ def test_pipeline_drops_boilerplate_chrome(spark, shards):
     for t in texts:
         assert "home" not in t and "contact" not in t  # nav dropped
         assert "tok" in t  # article kept
+
+
+def test_pipeline_semantic_dedup(spark, shards):
+    """dedup='semantic': the seeded exact/near-dup cluster {0,40,41,42}
+    collapses through the hashed-embedding tier too; unrelated docs
+    survive (same stage counts as the LSH path on this corpus)."""
+    packed, obs = warc_training_pipeline(
+        spark, shards, min_tokens=60, dedup="semantic"
+    )
+    rows = packed.collect()
+    counts = {k: int(o.get["rows"]) for k, o in obs.items()}
+    assert counts["docs"] == 43 and counts["gated"] == 42
+    assert counts["deduped"] == 39
+    assert rows
+
+
+def test_pipeline_unknown_dedup_raises(spark, shards):
+    with pytest.raises(ValueError, match="unknown dedup"):
+        warc_training_pipeline(spark, shards, dedup="nope")
