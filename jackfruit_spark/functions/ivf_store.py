@@ -448,8 +448,9 @@ class IvfIndex:
         and the exact re-rank touches raw vectors for just the ADC
         top-``rerank`` survivors per query (a semi-join back into the
         pruned layout + the expression cosine the point search's re-rank
-        uses). ``rerank=0`` returns pure ADC results. ``cell_cap`` is
-        exact-mode only. ``broadcast_candidates`` (default True) hints
+        uses). ``rerank=0`` returns pure ADC results. ``cell_cap``
+        bounds the skew tail in both modes (hash sub-blocks, lossless).
+        ``broadcast_candidates`` (default True) hints
         the re-rank's |Q| x rerank candidate frame and the query frame
         as broadcast sides — right for serving-sized batches, where AQE
         can't see their size through the window + applyInPandas
@@ -500,7 +501,9 @@ class IvfIndex:
             "ivf_cell",
         )
         top = adc_knn_scored(
-            q, codes, book, id_q, id_b, max(k, rerank) if rerank else k
+            q, codes, book, id_q, id_b,
+            max(k, rerank) if rerank else k,
+            cell_cap=cell_cap,
         )
         if not rerank:
             return top

@@ -315,6 +315,7 @@ def adc_knn_scored(
     id_q: str,
     id_b: str,
     k: int,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Batch-ADC half of the served kNN-join (``IvfIndex.knn_join
     (mode='adc')``): one ``applyInPandas`` group per cell, like
@@ -325,7 +326,11 @@ def adc_knn_scored(
     with m fancy-indexed gathers, and the per-(query, cell) top-k cut
     uses the exact kernel's shared tie-free key (``_topk_rows``) over
     the ADC-approximated cosine. ``q``: (__qid, __qv, ivf_cell)
-    exploded to probed cells; ``codes``: (__bid, __code, ivf_cell)."""
+    exploded to probed cells; ``codes``: (__bid, __code, ivf_cell).
+    ``cell_cap`` bounds the skew tail exactly as in the exact kernel
+    (``_knn_join_scored``): an oversized cell's codes split into hash
+    sub-blocks, queries replicate across them, and the group key gains
+    the sub-block — lossless for the same per-group top-k argument."""
     from pyspark.sql import Window
     from jackfruit_spark._ship import ensure_shipped
     from jackfruit_spark.functions.similarity import _topk_rows
@@ -336,8 +341,39 @@ def adc_knn_scored(
     m, dsub = book.m, book.dsub
     norm = book.normalize
     offsets = book.offsets
+    if cell_cap is not None:
+        from jackfruit_spark._persist import persisted
+
+        codes = persisted(codes)  # counts + join read the codes once
+        nsub = codes.groupBy("ivf_cell").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(cell_cap))
+            .cast("int")
+            .alias("__nsub")
+        )
+        codes = (
+            codes.join(F.broadcast(nsub), "ivf_cell")
+            .withColumn(
+                "__sub",
+                F.pmod(F.xxhash64(F.col("__bid")), F.col("__nsub")).cast(
+                    "int"
+                ),
+            )
+            .drop("__nsub")
+        )
+        q = (
+            q.join(F.broadcast(nsub), "ivf_cell")
+            .withColumn(
+                "__sub",
+                F.explode(F.sequence(F.lit(0), F.col("__nsub") - 1)),
+            )
+            .drop("__nsub")
+        )
+    else:
+        codes = codes.withColumn("__sub", F.lit(0))
+        q = q.withColumn("__sub", F.lit(0))
     both = q.select(
         "ivf_cell",
+        "__sub",
         F.col("__qid").alias("__id"),
         F.col("__qv").alias("__v"),
         F.lit(None).cast("array<smallint>").alias("__code"),
@@ -345,6 +381,7 @@ def adc_knn_scored(
     ).unionByName(
         codes.select(
             "ivf_cell",
+            "__sub",
             F.col("__bid").alias("__id"),
             F.lit(None).cast("array<double>").alias("__v"),
             F.col("__code"),
@@ -383,7 +420,9 @@ def adc_knn_scored(
             s, qs["__id"].to_numpy(), bs["__id"].to_numpy(), kk, id_q, id_b
         )
 
-    survivors = both.groupBy("ivf_cell").applyInPandas(score, schema=out_schema)
+    survivors = both.groupBy("ivf_cell", "__sub").applyInPandas(
+        score, schema=out_schema
+    )
     w = Window.partitionBy(id_q).orderBy(
         F.col("cosine_sim").desc(), F.col(id_b).asc()
     )

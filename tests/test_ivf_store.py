@@ -442,3 +442,40 @@ def test_maintain_policy(spark, tmp_path, vectors):
     assert report["rebuilt"] is True
     assert report["after"]["imbalance"] < report["imbalance"]
     assert report["vacuumed"], report
+
+
+def test_adc_join_cell_cap_invariance(spark, tmp_path):
+    """One hot cell (every vector near one centroid): capping splits it
+    into sub-blocks without changing any output row — the lossless
+    argument shared with the exact kernel's cell_cap."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    hot = rng.normal(size=8)
+    rows = [
+        (i, [float(x) for x in hot + 0.05 * rng.normal(size=8)])
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    idx = IvfIndex.build(
+        df, "vec_id", "embedding", str(tmp_path / "hot"),
+        k=4, seed=42, pq_m=4, sample_fraction=1.0,
+    )
+    q = df.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    free = sorted(map(tuple, idx.knn_join(
+        q, "qid", "qv", k=5, nprobe=4, mode="adc", rerank=0
+    ).collect()))
+    capped = sorted(map(tuple, idx.knn_join(
+        q, "qid", "qv", k=5, nprobe=4, mode="adc", rerank=0, cell_cap=20
+    ).collect()))
+    assert capped == free
+    # and the reranked form too
+    free_r = sorted(map(tuple, idx.knn_join(
+        q, "qid", "qv", k=5, nprobe=4, mode="adc", rerank=40
+    ).collect()))
+    capped_r = sorted(map(tuple, idx.knn_join(
+        q, "qid", "qv", k=5, nprobe=4, mode="adc", rerank=40, cell_cap=20
+    ).collect()))
+    assert capped_r == free_r
