@@ -1051,7 +1051,12 @@ def semantic_dedup_text(
     cents = kmeans_train(
         emb, "embedding", k=cells, seed=seed, sample_fraction=1.0
     )
-    return semantic_dedup(
+    labels = semantic_dedup(
         emb, id_col, "embedding", cents, threshold=threshold,
         **dedup_kwargs,
     )
+    # semantic_dedup's CC eagerly checkpoints its edge set, so the
+    # embedding cache is fully consumed by the time it returns — release
+    # it instead of leaking it session-wide (the assigned-frame rule).
+    emb.unpersist(blocking=False)
+    return labels

@@ -150,3 +150,34 @@ def test_knn_join_batch_recall_floor(spark, emb):
         recalls.append(len(set(true) & set(approx)) / K)
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.8, f"batch kNN-join mean recall@10 {mean:.3f} < 0.8"
+
+
+def test_adc_join_recall_floor(spark, emb, tmp_path):
+    """Served batch ADC join (codes scan + wide exact re-rank) vs the
+    exact served join at the same centroids/nprobe: the re-rank makes
+    surviving values exact, so the only loss is ADC top-R candidate
+    misses. Measured: 0.994 at R=50, 1.000 at R=100 on the sf0.001
+    embeddings — near-perfect because at 500 vectors the probed
+    candidate pool (~250) barely exceeds R, so re-rank sees almost
+    everything; the 320k-vector A/B in PERFORMANCE.md r8 is the real
+    stress number (0.45-0.92 by book/R). Floor 0.8 guards the
+    machinery, not the asymptotics."""
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+
+    idx = IvfIndex.build(
+        emb, "vec_id", "embedding", str(tmp_path / "adc_recall"),
+        k=32, seed=42, pq_m=8, sample_fraction=1.0,
+    )
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in idx.knn_join(q, "qid", "qv", k=K, nprobe=16).collect()
+    }
+    adc = {
+        (r["qid"], r["vec_id"])
+        for r in idx.knn_join(
+            q, "qid", "qv", k=K, nprobe=16, mode="adc", rerank=100
+        ).collect()
+    }
+    overlap = len(exact & adc) / len(exact)
+    assert overlap >= 0.8, f"ADC join pair overlap {overlap:.3f} < 0.8"
