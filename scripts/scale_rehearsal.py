@@ -176,6 +176,29 @@ def corpus_pipeline(spark, sf_dir):
     return packed
 
 
+def hashed_embed(spark, sf_dir):
+    """The signed tf-idf hashing-trick featurizer over the rehearsal
+    documents — expression-only, expected flat-ish (window + groupBys,
+    all shuffles on keys that scale with the corpus)."""
+    from jackfruit_spark.functions.featurize import hashed_embedding
+
+    d = Q.load(spark, sf_dir, "documents")
+    return hashed_embedding(d, "doc_id", "text", dim=256)
+
+
+def semantic_text(spark, sf_dir):
+    """Text-native SemDeDup (hashed embeddings -> trained IVF -> CC),
+    cells auto-sized ~512 docs/cell like the WARC pipeline does — with
+    C growing with the corpus the per-cell pair work stays bounded."""
+    from jackfruit_spark.operators.dedup import semantic_dedup_text
+
+    d = Q.load(spark, sf_dir, "documents")
+    n = d.count()
+    return semantic_dedup_text(
+        d, "doc_id", "text", dim=256, cells=max(2, min(4096, -(-n // 512)))
+    )
+
+
 def heavy_family():
     reg = Q.registry()
     return {
@@ -189,6 +212,8 @@ def heavy_family():
         "ann_ivf_trained": Q.ann_ivf_trained,
         "ann_knn_join": Q.ann_knn_join,
         "corpus_pipeline_warc": corpus_pipeline,
+        "hashed_embedding": hashed_embed,
+        "semantic_dedup_text": semantic_text,
     }
 
 

@@ -146,3 +146,12 @@ def test_curate_semantic_tier(spark):
     )
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {1, 3}
+
+
+def test_plan_no_real_cartesian(spark, docs):
+    """The idf doc-count rides as a broadcast nested-loop over ONE row —
+    a real CartesianProduct (row-pair explosion) must never appear."""
+    from jackfruit_spark.plans import plan_string
+
+    p = plan_string(hashed_embedding(docs, "doc_id", "text", dim=64))
+    assert "CartesianProduct" not in p, p
