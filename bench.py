@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "ann_ivf_trained",  # trained-quantizer IVF search (bench-only, VERDICT r5 #5)
     "bpe_tokenize",  # real BPE train+apply token budgeting (bench-only, r6)
     "ccnet_perplexity",  # bigram-LM quality scoring, CCNet tier (bench-only, r8)
+    "quality_classifier",  # learned quality tier: train+score+Pareto (bench-only, r8)
     "ann_knn_join",  # corpus-wide batch kNN-join via IVF cells (bench-only, r7)
     "semantic_dedup_ivf",  # SemDeDup composition: IVF cells -> cosine pairs -> CC
     "q42_sessionization",
@@ -328,7 +329,10 @@ def bench_corpus_pipeline(spark, sf_dir: str) -> tuple[dict, dict]:
     quality gate -> MinHash-LSH dedup + CC keeper -> sequence packing —
     with per-stage row counts observed on the same action (no count
     jobs). Returns ({bench_key: sec}, stage_counts)."""
-    from jackfruit_spark.operators.curation import warc_training_pipeline
+    from jackfruit_spark.operators.curation import (
+        observation_rows,
+        warc_training_pipeline,
+    )
 
     glob = _ensure_bench_warc(spark, sf_dir)
     best = float("inf")
@@ -344,7 +348,7 @@ def bench_corpus_pipeline(spark, sf_dir: str) -> tuple[dict, dict]:
         packed.write.format("noop").mode("overwrite").save()
         best = min(best, round(time.perf_counter() - t0, 3))
         obs["packed"] = obs_packed
-        stages = {k: int(o.get["rows"]) for k, o in obs.items()}
+        stages = {k: observation_rows(o) for k, o in obs.items()}
         release_persisted()
         spark.catalog.clearCache()
     return {"corpus_pipeline_warc": best}, stages

@@ -181,6 +181,22 @@ def cmd_curate(args) -> int:
             else clean.filter(F.col("lang") == args.lang)
         )
         lm = train_bigram_lm(train_df, "text")
+    quality_model = None
+    if args.min_quality is not None or args.quality_alpha is not None:
+        if not args.quality_positives:
+            raise SystemExit(
+                "--min-quality/--quality-alpha need --quality-positives "
+                "(a trusted-document parquet to train against)"
+            )
+        from jackfruit_spark.functions.classifier import (
+            train_quality_classifier,
+        )
+
+        quality_model = train_quality_classifier(
+            spark.read.parquet(args.quality_positives),
+            clean,
+            sample_fraction=args.quality_sample_fraction,
+        )
     curated = curate_corpus(
         clean,
         lang=None if args.lang == "any" else args.lang,
@@ -193,6 +209,9 @@ def cmd_curate(args) -> int:
         shuffle_seed=args.shuffle_seed,
         lm=lm,
         max_perplexity=args.max_perplexity,
+        quality_model=quality_model,
+        min_quality=args.min_quality,
+        quality_alpha=args.quality_alpha,
         semantic_dedup=args.semantic_dedup,
         semantic_threshold=args.semantic_threshold,
     )
@@ -250,6 +269,38 @@ def cmd_pipeline(args) -> int:
     manifest = (
         spark.read.parquet(args.manifest) if args.manifest else None
     )
+    quality_model = None
+    if args.min_quality is not None or args.quality_alpha is not None:
+        if not args.quality_positives:
+            raise SystemExit(
+                "--min-quality/--quality-alpha need --quality-positives"
+            )
+        # train curated-vs-raw against a bridged scan of THIS crawl (an
+        # extra read of the shards — training is once per crawl; the
+        # pipeline proper still makes its own observed pass)
+        from jackfruit_spark.functions.classifier import (
+            train_quality_classifier,
+        )
+        from jackfruit_spark.sources.warc import (
+            build_cdx_manifest,
+            scan_warc_cdx,
+            warc_to_documents,
+        )
+
+        man = (
+            manifest
+            if manifest is not None
+            else build_cdx_manifest(spark, args.input)
+        )
+        raw = warc_to_documents(
+            scan_warc_cdx(spark, man, extraction=args.extraction)
+        )
+        quality_model = train_quality_classifier(
+            spark.read.parquet(args.quality_positives),
+            raw,
+            sample_fraction=args.quality_sample_fraction,
+        )
+        manifest = man
     packed, obs = warc_training_pipeline(
         spark,
         args.input,
@@ -259,9 +310,14 @@ def cmd_pipeline(args) -> int:
         pack_tokens=args.pack_tokens,
         manifest=manifest,
         dedup=args.dedup,
+        quality_model=quality_model,
+        min_quality=args.min_quality,
+        quality_alpha=args.quality_alpha,
     )
     packed.write.mode("overwrite").parquet(args.output)
-    stats = {k: int(o.get["rows"]) for k, o in obs.items()}
+    from jackfruit_spark.operators.curation import observation_rows
+
+    stats = {k: observation_rows(o) for k, o in obs.items()}
     stats["packed"] = spark.read.parquet(args.output).count()
     print(json.dumps({**stats, "output": args.output}))
     return 0
@@ -392,6 +448,26 @@ def build_parser() -> argparse.ArgumentParser:
              "trained on this corpus's --lang slice) exceeds the cap",
     )
     cu.add_argument(
+        "--quality-positives", default=None,
+        help="GPT-3-style learned quality tier: parquet of trusted "
+             "documents (doc_id, text) to train curated-vs-raw against "
+             "this corpus; requires --min-quality and/or --quality-alpha",
+    )
+    cu.add_argument(
+        "--min-quality", type=float, default=None,
+        help="hard score cut for the learned quality tier",
+    )
+    cu.add_argument(
+        "--quality-alpha", type=float, default=None,
+        help="Pareto-threshold sampling (GPT-3 Appendix A; 9.0 is the "
+             "paper's alpha) — keeps a calibrated low-score trickle",
+    )
+    cu.add_argument(
+        "--quality-sample-fraction", type=float, default=None,
+        help="thin both training slices before featurizing (single "
+             "pass; at corpus scale always set this)",
+    )
+    cu.add_argument(
         "--semantic-dedup", action="store_true",
         help="paraphrase-level near-dup tier (hashed embeddings -> "
              "SemDeDup) after exact dedup",
@@ -423,6 +499,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--dedup", choices=("lsh", "semantic"), default="lsh",
         help="near-dup tier: shingle LSH or hashed-embedding SemDeDup",
     )
+    pl.add_argument(
+        "--quality-positives", default=None,
+        help="trusted-documents parquet (doc_id, text): enables the "
+             "learned quality tier, trained curated-vs-this-crawl",
+    )
+    pl.add_argument("--min-quality", type=float, default=None)
+    pl.add_argument("--quality-alpha", type=float, default=None)
+    pl.add_argument("--quality-sample-fraction", type=float, default=None)
     pl.add_argument("--cpus", default=None)
     pl.set_defaults(fn=cmd_pipeline)
 

@@ -1,0 +1,356 @@
+"""Trained corpus-quality classifier — the GPT-3 / fastText-style tier.
+
+The third quality tier alongside the heuristic gates (functions/text.py)
+and the CCNet perplexity LM (functions/lm.py): a logistic-regression
+classifier over the hashing-trick embeddings
+(functions/featurize.hashed_embedding), trained distributed, scored as a
+pure column expression. Public recipe: Brown et al. 2020 (GPT-3),
+Appendix A — train a classifier on curated-vs-raw text, then keep a raw
+document iff ``np.random.pareto(alpha) > 1 - score`` (the Pareto
+threshold admits a calibrated trickle of low-scoring documents instead
+of a hard cut, preserving tail diversity). Joulin et al. 2016 (fastText)
+is the featurizer shape: mean of hashed n-gram vectors -> linear model.
+
+Design for 100 TB:
+
+- **train** (``train_quality_classifier``): featurize both labeled
+  slices with ``hashed_embedding(idf=False)`` — tf-only on purpose, so a
+  document's vector is a pure function of its TEXT, not of corpus-wide
+  df statistics; a model trained on one corpus then scores any other
+  corpus identically — and fit Spark MLlib's ``LogisticRegression``
+  (distributed L-BFGS, JVM-side). The model is ``dim`` doubles + a bias:
+  kilobytes, ships as expression literals.
+- **score** (``quality_scores`` / ``score_vectors``): broadcast-free —
+  the weight vector rides the plan as an array literal; dot product is
+  the same interpreted ``zip_with``/``aggregate`` fold the similarity
+  kernels use (do NOT unroll per-element codegen sums: measured 5x
+  slower, PERFORMANCE.md r4). ``score_vectors`` on a pre-embedded frame
+  is a zero-shuffle projection; ``quality_scores`` pays only the
+  featurizer's own aggregations.
+- **sample** (``pareto_filter``): deterministic seeded acceptance — the
+  uniform draw comes from ``xxhash64(id, seed)``, so re-runs keep the
+  same rows (the deterministic_shuffle discipline) and no RNG state
+  crosses executors.
+
+The reference has no learned quality tier; this belongs to the
+LLM-training-data family built on top (like DSIR at queries.py q64 and
+the CCNet tier), per the build brief.
+
+No DuckDB oracle (xxhash64 + MLlib training are Spark-side); correctness
+is pinned by separation/determinism/plan tests in
+tests/test_classifier.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class QualityClassifier:
+    """Linear model over hashed-text features: ``sigmoid(w . x + b)``.
+
+    ``dim``/``ngram`` record the featurizer geometry the weights were
+    trained in; scoring re-derives features with exactly these settings
+    (idf is always False here — see module docstring).
+    """
+
+    def __init__(self, weights, bias: float, dim: int, ngram: int = 2):
+        self.weights = np.asarray(weights, dtype=np.float64)
+        if self.weights.shape != (dim,):
+            raise ValueError(
+                f"weights shape {self.weights.shape} != (dim={dim},)"
+            )
+        self.bias = float(bias)
+        self.dim = int(dim)
+        self.ngram = int(ngram)
+
+    def to_dict(self) -> dict:
+        return {
+            "weights": [float(w) for w in self.weights],
+            "bias": self.bias,
+            "dim": self.dim,
+            "ngram": self.ngram,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "QualityClassifier":
+        return cls(d["weights"], d["bias"], d["dim"], d.get("ngram", 2))
+
+
+def train_quality_classifier(
+    positives: DataFrame,
+    negatives: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    ngram: int = 2,
+    reg: float = 1e-3,
+    max_iter: int = 50,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    solver: str = "local",
+    max_train_rows: int = 100_000,
+) -> QualityClassifier:
+    """Fit the quality model on two labeled text slices (curated vs raw).
+
+    Runs Spark jobs (featurize + the fit) — train once per corpus/epoch
+    and pass the model explicitly to the scoring/curation plan builders,
+    the same contract as ``train_bigram_lm`` (curate stays a pure plan
+    builder). Both slices are featurized with the SAME tf-only hashed
+    embedding the scorers use, so train/score geometry cannot drift.
+
+    ``sample_fraction`` thins BOTH slices before featurizing (single
+    pass, no pre-count — the ``kmeans_train`` convention): a ``dim``-
+    parameter linear probe needs thousands of examples, not the corpus,
+    so at scale training cost is the sample's, while scoring still
+    touches every document. Sampling is seeded and per-partition
+    deterministic (same input files → same sample).
+
+    ``solver``: the featurizer (the expensive half) is ALWAYS
+    distributed; the fit over the featurized sample is either
+
+    - ``"local"`` (default) — collect up to ``max_train_rows`` rows
+      (bounded: dim doubles per row) and run numpy IRLS driver-side,
+      the ``kmeans_train`` pattern. ~10 Spark jobs of pure scheduling
+      overhead cheaper than MLlib on a thinned sample (measured:
+      MLlib fit ≈ 0.25 s/iteration at local[32] regardless of data).
+    - ``"mllib"`` — Spark MLlib ``LogisticRegression`` (distributed
+      L-BFGS, JVM-side): the path for samples too large to collect.
+
+    Both minimize the same convex objective (mean log-loss +
+    reg·||w||²/2, bias unpenalized) so they converge to the same
+    optimum; tests pin the separation either way.
+    """
+    if solver not in ("local", "mllib"):
+        raise ValueError(f"solver must be 'local' or 'mllib', got {solver!r}")
+
+    from jackfruit_spark.functions.featurize import hashed_embedding
+
+    # ONE featurizer pass over the labeled union (not one per slice —
+    # the featurizer is the expensive half of training): a label-prefixed
+    # synthetic id keeps colliding ids from the two slices apart and
+    # carries the label through the per-document aggregation.
+    def tagged(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.concat(
+                F.lit(tag), F.col(id_col).cast("string")
+            ).alias("__tid"),
+            F.col(text_col),
+        )
+
+    union = tagged(positives, "p").unionByName(tagged(negatives, "n"))
+    if sample_fraction is not None:
+        union = union.sample(fraction=min(1.0, sample_fraction), seed=seed)
+    emb = hashed_embedding(
+        union, "__tid", text_col, dim=dim, ngram=ngram, idf=False
+    )
+    labeled = emb.select(
+        F.col("embedding").cast("array<double>").alias("x"),
+        F.when(F.col("__tid").startswith("p"), 1.0)
+        .otherwise(0.0)
+        .alias("label"),
+    )
+
+    if solver == "mllib":
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.functions import array_to_vector
+
+        train = labeled.select(
+            array_to_vector(F.col("x")).alias("features"), "label"
+        ).coalesce(1)
+        lr = LogisticRegression(
+            maxIter=max_iter,
+            regParam=reg,
+            elasticNetParam=0.0,
+            standardization=False,
+        )
+        model = lr.fit(train)
+        return QualityClassifier(
+            model.coefficients.toArray(), model.intercept, dim, ngram
+        )
+
+    pdf = labeled.limit(max_train_rows).toPandas()
+    if len(pdf) == 0:
+        raise ValueError("no training rows after sampling")
+    x = np.stack(pdf["x"].to_numpy())
+    y = pdf["label"].to_numpy(dtype=np.float64)
+    w, b = _fit_logistic_irls(x, y, reg=reg, max_iter=max_iter)
+    return QualityClassifier(w, b, dim, ngram)
+
+
+def train_quality_vectors(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 256,
+    ngram: int = 2,
+    reg: float = 1e-3,
+    max_iter: int = 50,
+    max_train_rows: int = 100_000,
+) -> QualityClassifier:
+    """Fit on a pre-featurized labeled frame — the featurize-ONCE
+    pipeline shape: when scoring will need the embedding of every
+    document anyway, persist that frame and train on a sample of it
+    instead of paying a second featurizer pass (measured ~2 s per pass
+    at sf0.1 even for a 15% sample — featurizer cost is job-overhead-
+    bound at small scale and data-bound at large; either way one pass
+    beats two). Driver-side IRLS on up to ``max_train_rows`` collected
+    rows (``dim`` doubles per row). ``dim``/``ngram`` record the
+    geometry ``vec_col`` was built with — the model scores only frames
+    featurized the same way."""
+    pdf = (
+        df.select(
+            F.col(vec_col).cast("array<double>").alias("x"),
+            F.col(label_col).cast("double").alias("y"),
+        )
+        .limit(max_train_rows)
+        .toPandas()
+    )
+    if len(pdf) == 0:
+        raise ValueError("no training rows")
+    x = np.stack(pdf["x"].to_numpy())
+    if x.shape[1] != dim:
+        raise ValueError(f"{vec_col} width {x.shape[1]} != dim={dim}")
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    w, b = _fit_logistic_irls(x, y, reg=reg, max_iter=max_iter)
+    return QualityClassifier(w, b, dim, ngram)
+
+
+def _fit_logistic_irls(
+    x: np.ndarray,
+    y: np.ndarray,
+    reg: float,
+    max_iter: int,
+    tol: float = 1e-8,
+) -> tuple[np.ndarray, float]:
+    """Driver-side L2-regularized logistic regression via IRLS (Newton).
+
+    Minimizes ``mean(logloss) + reg * ||w||^2 / 2`` (bias unpenalized) —
+    the SAME objective MLlib's LogisticRegression(regParam=reg,
+    standardization=False) minimizes, so the two solvers are
+    interchangeable. One (dim+1)^2 solve per iteration; Newton converges
+    in < ~15 iterations on a separable-ish sample. Deterministic (no
+    RNG, numpy LAPACK solve)."""
+    n, d = x.shape
+    xb = np.hstack([x, np.ones((n, 1))])  # bias as the last column
+    wb = np.zeros(d + 1)
+    penalty = np.full(d + 1, float(reg))
+    penalty[-1] = 0.0  # bias unpenalized
+    for _ in range(max_iter):
+        z = np.clip(xb @ wb, -35.0, 35.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        grad = xb.T @ (p - y) / n + penalty * wb
+        if float(np.max(np.abs(grad))) < tol:
+            break
+        r = np.maximum(p * (1.0 - p), 1e-10)
+        hess = (xb.T * r) @ xb / n + np.diag(penalty)
+        # Levenberg damping keeps the step sane when the sample is
+        # perfectly separable (hessian near-singular at the boundary)
+        hess[np.diag_indices_from(hess)] += 1e-10
+        wb = wb - np.linalg.solve(hess, grad)
+    return wb[:-1], float(wb[-1])
+
+
+def _score_expr(vec_col: str, model: QualityClassifier) -> Column:
+    """sigmoid(w . x + b) as one interpreted fold over the vector.
+
+    The weights ride as an array LITERAL (kilobytes in the plan — fine);
+    zip_with + aggregate is the measured-right shape for array dots
+    (PERFORMANCE.md r4: per-element codegen sum chains fall out of
+    whole-stage codegen and run 5x slower).
+    """
+    wlit = F.array(*[F.lit(float(w)) for w in model.weights])
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            wlit,
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return 1.0 / (1.0 + F.exp(-(dot + F.lit(model.bias))))
+
+
+def score_vectors(
+    df: DataFrame,
+    model: QualityClassifier,
+    vec_col: str = "embedding",
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Score a pre-embedded frame: pure projection, zero shuffle
+    (plan-asserted in tests). The vector must come from the same
+    featurizer geometry the model records (dim/ngram, idf=False)."""
+    return df.withColumn(out_col, _score_expr(vec_col, model))
+
+
+def quality_scores(
+    df: DataFrame,
+    model: QualityClassifier,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Attach ``out_col`` to a raw text frame: featurize with the
+    model's recorded geometry, score, join back on ``id_col`` (the
+    featurizer aggregates per document, so one equi-join on the id is
+    structural). Empty/null texts get the zero vector -> sigmoid(bias)."""
+    from jackfruit_spark.functions.featurize import hashed_embedding
+
+    emb = hashed_embedding(
+        df.select(id_col, text_col),
+        id_col,
+        text_col,
+        dim=model.dim,
+        ngram=model.ngram,
+        idf=False,
+    )
+    scored = score_vectors(emb, model, "embedding", out_col).select(
+        id_col, out_col
+    )
+    return df.join(scored, id_col)
+
+
+def pareto_keep_expr(
+    score_col: str,
+    id_col: str,
+    alpha: float = 9.0,
+    seed: int = 0,
+) -> Column:
+    """GPT-3 Appendix A acceptance as a deterministic boolean column:
+    keep iff ``pareto_draw > 1 - score``, where the Pareto(alpha) draw
+    (numpy's Lomax convention, ``u**(-1/alpha) - 1``) derives its
+    uniform from ``xxhash64(id, seed)`` — rerun-stable, no executor RNG.
+
+    score=1 documents are always kept (the draw is strictly positive);
+    score=0 documents survive with probability ``2**-alpha`` (~0.2% at
+    the GPT-3 alpha=9) — the deliberate low-quality trickle.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    # strictly-interior uniform in (0,1): pmod keeps the hash in
+    # [0, 1e6), +1 / 1e6+2 bounds it away from both endpoints (ANSI-safe
+    # long arithmetic, far under 2^63)
+    u = (
+        F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed))),
+            F.lit(1_000_000),
+        )
+        + 1
+    ).cast("double") / F.lit(1_000_002.0)
+    draw = F.pow(u, F.lit(-1.0 / float(alpha))) - 1.0
+    return draw > (F.lit(1.0) - F.col(score_col))
+
+
+def pareto_filter(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    alpha: float = 9.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Filter a scored frame by the Pareto acceptance rule (pure
+    filter, no shuffle, deterministic under reruns)."""
+    return df.filter(pareto_keep_expr(score_col, id_col, alpha, seed))

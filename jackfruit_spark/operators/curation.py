@@ -417,6 +417,37 @@ def decontaminate(
     )
 
 
+def _apply_quality_tier(
+    df: DataFrame,
+    quality_model,
+    id_col: str,
+    text_col: str,
+    min_quality: float | None,
+    quality_alpha: float | None,
+    quality_seed: int,
+) -> DataFrame:
+    """Shared learned-quality gate (curate_corpus + the WARC pipeline):
+    score with the caller-trained model, hard-cut at ``min_quality``
+    and/or Pareto-threshold-sample at ``quality_alpha`` (the cut applies
+    first). At least one knob is required — a model with neither is a
+    caller mistake, not a no-op."""
+    if min_quality is None and quality_alpha is None:
+        raise ValueError("quality_model needs min_quality and/or quality_alpha")
+    from jackfruit_spark.functions.classifier import (
+        pareto_keep_expr,
+        quality_scores,
+    )
+
+    out = quality_scores(df, quality_model, id_col, text_col, out_col="__q")
+    if min_quality is not None:
+        out = out.filter(F.col("__q") >= min_quality)
+    if quality_alpha is not None:
+        out = out.filter(
+            pareto_keep_expr("__q", id_col, quality_alpha, quality_seed)
+        )
+    return out.drop("__q")
+
+
 def curate_corpus(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -432,6 +463,10 @@ def curate_corpus(
     shuffle_seed: int | None = None,
     lm=None,
     max_perplexity: float | None = None,
+    quality_model=None,
+    min_quality: float | None = None,
+    quality_alpha: float | None = None,
+    quality_seed: int = 0,
     semantic_dedup: bool = False,
     semantic_threshold: float = 0.85,
     semantic_dim: int = 256,
@@ -464,6 +499,14 @@ def curate_corpus(
     explicit argument on purpose: training runs Spark jobs, and this
     function stays a pure plan builder; train once per corpus/epoch with
     ``train_bigram_lm`` and reuse.
+
+    ``quality_model`` adds the GPT-3-style learned quality tier
+    (functions/classifier.py): documents are scored by the
+    CALLER-TRAINED logistic model (same explicit-argument contract as
+    ``lm``), then either hard-cut at ``min_quality`` or
+    Pareto-threshold-sampled with ``quality_alpha`` (GPT-3 Appendix A;
+    both may combine — the cut applies first). At least one of the two
+    knobs must accompany the model.
 
     Returns the curated DataFrame with the input's columns (text
     rewritten in place by span removal/redaction; fully-span-covered
@@ -498,6 +541,11 @@ def curate_corpus(
             with_perplexity(out, text_col, lm, out_col="__ppl")
             .filter(F.col("__ppl").isNull() | (F.col("__ppl") <= max_perplexity))
             .drop("__ppl")
+        )
+    if quality_model is not None:
+        out = _apply_quality_tier(
+            out, quality_model, id_col, text_col,
+            min_quality, quality_alpha, quality_seed,
         )
     if semantic_dedup:
         from jackfruit_spark.operators.dedup import semantic_dedup_text
@@ -549,19 +597,32 @@ def warc_training_pipeline(
     manifest: DataFrame | None = None,
     dedup: str = "lsh",
     semantic_threshold: float = 0.85,
+    quality_model=None,
+    min_quality: float | None = None,
+    quality_alpha: float | None = None,
+    quality_seed: int = 0,
 ):
     """End-to-end crawl-to-training-corpus composition (r8, VERDICT r7
     #7): WARC shards -> CDX manifest ranged reads -> boilerplate
     extraction -> documents bridge -> token-count quality gate ->
-    MinHash-LSH near-dup dedup (banded pairs -> connected components ->
-    min-id keeper) -> GPT-style sequence packing.
+    [learned quality tier] -> MinHash-LSH near-dup dedup (banded pairs
+    -> connected components -> min-id keeper) -> GPT-style sequence
+    packing.
 
     Returns ``(packed, observations)``: per-stage row counts ride the
     SAME action that materializes ``packed`` via ``Observation`` (the
     ``grid/engine.insert_grid`` pattern — no extra count jobs; read
     ``obs.get['rows']`` after the caller's write/collect). Stages:
     ``docs`` (bridged records), ``gated`` (post quality gate),
-    ``deduped`` (post near-dup), plus the packed result itself.
+    ``quality`` (post learned tier, only when enabled), ``deduped``
+    (post near-dup), plus the packed result itself.
+
+    ``quality_model`` (functions/classifier.py, caller-trained — same
+    explicit-model contract as ``curate_corpus``) inserts the GPT-3
+    learned tier before dedup: hard cut at ``min_quality`` and/or
+    Pareto-threshold sampling at ``quality_alpha``. Scoring is a pure
+    plan (featurize + literal-weights fold), so it rides both the
+    observed chain and the observation-free dedup branch identically.
 
     Scale shape: every stage is the production form measured in the
     rehearsals — ranged reads bound executor memory by one record, LSH
@@ -603,6 +664,19 @@ def warc_training_pipeline(
     gated_raw = docs_raw.filter(toks.between(min_tokens, max_tokens)).withColumn(
         "n_tokens", toks
     )
+
+    # learned quality tier: the scorer's featurize-join would duplicate
+    # an upstream CollectMetrics node on the observed chain (the frame
+    # joins a projection of itself), so compute keeper ids on THIS
+    # observation-free branch and semi-join them everywhere — the same
+    # shape as the dedup keeper.
+    q_keep = None
+    if quality_model is not None:
+        gated_raw = _apply_quality_tier(
+            gated_raw, quality_model, "doc_id", "text",
+            min_quality, quality_alpha, quality_seed,
+        )
+        q_keep = gated_raw.select("doc_id")
 
     # dedup branch: OBSERVATION-FREE on purpose — an Observation is
     # one-shot per query, and CC's internal actions would consume it
@@ -658,6 +732,12 @@ def warc_training_pipeline(
         .withColumn("n_tokens", toks)
         .observe(obs_gated, F.count(F.lit(1)).alias("rows"))
     )
+    obs_quality = None
+    if q_keep is not None:
+        obs_quality = Observation("quality")
+        gated = gated.join(q_keep, "doc_id", "left_semi").observe(
+            obs_quality, F.count(F.lit(1)).alias("rows")
+        )
     deduped = gated.join(keep, "doc_id", "left_semi")
     obs_dedup = Observation("deduped")
     deduped = deduped.observe(obs_dedup, F.count(F.lit(1)).alias("rows"))
@@ -679,7 +759,28 @@ def warc_training_pipeline(
             F.max("doc_id").alias("last_doc"),
         )
     )
-    return packed, {"docs": obs_docs, "gated": obs_gated, "deduped": obs_dedup}
+    obs = {"docs": obs_docs, "gated": obs_gated, "deduped": obs_dedup}
+    if obs_quality is not None:
+        obs["quality"] = obs_quality
+    return packed, obs
+
+
+def observation_rows(obs) -> int:
+    """Read an ``Observation``'s ``rows`` count after the materializing
+    action, tolerating erased metrics nodes: when a stage goes empty at
+    RUNTIME (e.g. an aggressive quality threshold drops every document),
+    AQE's empty-relation propagation can eliminate the CollectMetrics
+    operators during re-planning — the runtime twin of the documented
+    statically-empty-source trap — and ``Observation.get`` then fails on
+    an empty metrics row instead of reporting zeros. After a completed
+    action, missing metrics can only mean the observed branch produced
+    no rows, so 0 is the faithful answer. Only call this AFTER the
+    action; before it, ``get`` blocks rather than raises, same as the
+    raw API."""
+    try:
+        return int(obs.get["rows"])
+    except Exception:  # noqa: BLE001 — erased-metrics assertion, see above
+        return 0
 
 
 def deterministic_shuffle(

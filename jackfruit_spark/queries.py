@@ -932,6 +932,63 @@ def ccnet_perplexity(spark, sf_dir):
     )
 
 
+def quality_classifier(spark, sf_dir):
+    """Bench-only: GPT-3-style learned quality tier over the documents
+    table (functions/classifier.py — hashed-embedding featurizer,
+    driver-side IRLS fit on a thinned sample, expression-only scoring,
+    deterministic Pareto acceptance). Trains curated-vs-raw with the
+    'en' slice as the trusted-corpus stand-in (the ccnet_perplexity
+    convention), scores EVERYTHING, and aggregates per-source keep
+    rates under the GPT-3 alpha=9 Pareto rule. Featurizes ONCE: the
+    scoring pass needs every document's embedding anyway, so training
+    samples the same persisted frame instead of paying a second
+    featurizer pass (train_quality_vectors docstring has the numbers).
+    Not registered: the trained fit + xxhash64 sampling are Spark-side;
+    separation/determinism/plan shapes are pytest-carried
+    (tests/test_classifier.py)."""
+    from jackfruit_spark._persist import persisted
+    from jackfruit_spark.functions.classifier import (
+        pareto_keep_expr,
+        score_vectors,
+        train_quality_vectors,
+    )
+    from jackfruit_spark.functions.featurize import hashed_embedding
+
+    d = load(spark, sf_dir, "documents")
+    emb = hashed_embedding(
+        d.select("doc_id", "text"), "doc_id", "text", dim=256, ngram=2,
+        idf=False,
+    )
+    frame = persisted(
+        emb.join(
+            d.select(
+                "doc_id",
+                "source",
+                (F.col("lang") == "en").cast("double").alias("label"),
+            ),
+            "doc_id",
+        )
+    )
+    model = train_quality_vectors(
+        frame.sample(fraction=0.15, seed=42), dim=256
+    )
+    scored = score_vectors(frame, model)
+    return (
+        scored.withColumn(
+            "kept",
+            pareto_keep_expr("quality_score", "doc_id", alpha=9.0).cast("int"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            (
+                F.sum((F.col("quality_score") * 1e6).cast("long")) / F.lit(1e6)
+            ).alias("sum_score"),
+        )
+    )
+
+
 def _q25_oracle(bits: int = 60) -> str:
     from jackfruit_spark.functions.hashing import sql_md5_hash64
 

@@ -1,0 +1,194 @@
+"""Trained quality classifier (functions/classifier.py): separation on a
+separable corpus, scoring determinism + zero-shuffle plan, Pareto
+acceptance semantics (always-keep at score=1, trickle at score=0,
+rerun determinism), model serialization round-trip, and the
+curate_corpus integration."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions.classifier import (
+    QualityClassifier,
+    pareto_filter,
+    quality_scores,
+    score_vectors,
+    train_quality_classifier,
+)
+
+CLEAN_WORDS = (
+    "the quick brown fox jumps over a lazy dog and runs through green "
+    "fields near the quiet river where small birds sing every morning"
+).split()
+JUNK_WORDS = "zxq jkw vbn qqq xvz wkj bzx kqv zzj xxk wvq jjz".split()
+
+
+def _mk(words, n_docs, seed):
+    rng = random.Random(seed)
+    return [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(12, 40))))
+        for i in range(n_docs)
+    ]
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    pos = spark.createDataFrame(_mk(CLEAN_WORDS, 40, 1), "doc_id int, text string")
+    neg = spark.createDataFrame(_mk(JUNK_WORDS, 40, 2), "doc_id int, text string")
+    return train_quality_classifier(pos, neg, dim=128, max_iter=30)
+
+
+def test_separation_on_held_out(spark, model):
+    """Freshly generated (different seeds) clean vs junk docs score on
+    the right sides of 0.5."""
+    held = spark.createDataFrame(
+        [(100 + i, t) for i, (_, t) in enumerate(_mk(CLEAN_WORDS, 10, 7))]
+        + [(200 + i, t) for i, (_, t) in enumerate(_mk(JUNK_WORDS, 10, 8))],
+        "doc_id int, text string",
+    )
+    s = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_scores(held, model).collect()
+    }
+    clean = [s[k] for k in s if k < 200]
+    junk = [s[k] for k in s if k >= 200]
+    assert min(clean) > 0.5 > max(junk)
+    assert sum(clean) / len(clean) > 0.9
+    assert sum(junk) / len(junk) < 0.1
+
+
+def test_scoring_deterministic_and_json_roundtrip(spark, model):
+    d = spark.createDataFrame(_mk(CLEAN_WORDS, 5, 3), "doc_id int, text string")
+    a = sorted(quality_scores(d, model).collect())
+    m2 = QualityClassifier.from_dict(json.loads(json.dumps(model.to_dict())))
+    b = sorted(quality_scores(d, m2).collect())
+    assert a == b
+
+
+def test_score_vectors_plan_shuffle_free(spark, model):
+    """Pre-embedded scoring is a pure projection: no Exchange, no join —
+    the weights ride as literals."""
+    from jackfruit_spark.plans import plan_string
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * model.dim)], "doc_id int, embedding array<float>"
+    )
+    p = plan_string(score_vectors(emb, model))
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+
+
+def test_empty_text_scores_at_bias(spark, model):
+    import math
+
+    d = spark.createDataFrame([(1, ""), (2, None)], "doc_id int, text string")
+    rows = quality_scores(d, model).collect()
+    want = 1.0 / (1.0 + math.exp(-model.bias))
+    for r in rows:
+        assert abs(r["quality_score"] - want) < 1e-9
+
+
+def test_solvers_agree(spark, model):
+    """Driver-side IRLS and MLlib L-BFGS minimize the same convex
+    objective — the two models must make identical keep/drop decisions
+    and near-identical scores on held-out docs (model fixture is the
+    default 'local'; this trains the 'mllib' twin)."""
+    pos = spark.createDataFrame(_mk(CLEAN_WORDS, 40, 1), "doc_id int, text string")
+    neg = spark.createDataFrame(_mk(JUNK_WORDS, 40, 2), "doc_id int, text string")
+    m2 = train_quality_classifier(
+        pos, neg, dim=128, max_iter=100, solver="mllib"
+    )
+    held = spark.createDataFrame(
+        [(100 + i, t) for i, (_, t) in enumerate(_mk(CLEAN_WORDS, 10, 11))]
+        + [(200 + i, t) for i, (_, t) in enumerate(_mk(JUNK_WORDS, 10, 12))],
+        "doc_id int, text string",
+    )
+    a = {r["doc_id"]: r["quality_score"] for r in quality_scores(held, model).collect()}
+    b = {r["doc_id"]: r["quality_score"] for r in quality_scores(held, m2).collect()}
+    for k in a:
+        assert (a[k] > 0.5) == (b[k] > 0.5), (k, a[k], b[k])
+        assert abs(a[k] - b[k]) < 0.05, (k, a[k], b[k])
+
+
+def test_train_from_vectors_matches_text_path(spark, model):
+    """train_quality_vectors on a pre-featurized labeled frame (the
+    featurize-once pipeline shape) reaches the same optimum as the
+    text-path trainer on the same rows."""
+    from jackfruit_spark.functions.classifier import train_quality_vectors
+    from jackfruit_spark.functions.featurize import hashed_embedding
+
+    pos = _mk(CLEAN_WORDS, 40, 1)
+    neg = [(1000 + i, t) for i, (_, t) in enumerate(_mk(JUNK_WORDS, 40, 2))]
+    d = spark.createDataFrame(pos + neg, "doc_id int, text string")
+    emb = hashed_embedding(d, "doc_id", "text", dim=128, ngram=2, idf=False)
+    labeled = emb.withColumn(
+        "label", (F.col("doc_id") < 1000).cast("double")
+    )
+    m2 = train_quality_vectors(labeled, dim=128, max_iter=30)
+    held = spark.createDataFrame(_mk(CLEAN_WORDS, 8, 21) , "doc_id int, text string")
+    a = sorted(r["quality_score"] for r in quality_scores(held, model).collect())
+    b = sorted(r["quality_score"] for r in quality_scores(held, m2).collect())
+    for x, y in zip(a, b):
+        assert abs(x - y) < 1e-6, (x, y)
+
+
+def test_train_vectors_dim_mismatch(spark):
+    from jackfruit_spark.functions.classifier import train_quality_vectors
+
+    bad = spark.createDataFrame(
+        [([0.1] * 8, 1.0)], "embedding array<double>, label double"
+    )
+    with pytest.raises(ValueError, match="width"):
+        train_quality_vectors(bad, dim=128)
+
+
+def test_pareto_semantics_and_determinism(spark):
+    n = 400
+    scored = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 200, F.lit(1.0)).otherwise(F.lit(0.0)).alias(
+            "quality_score"
+        ),
+    )
+    kept = pareto_filter(scored, alpha=9.0, seed=0).collect()
+    hi = [r for r in kept if r["quality_score"] == 1.0]
+    lo = [r for r in kept if r["quality_score"] == 0.0]
+    # score=1: always kept; score=0: ~2^-9 trickle (0 or a few of 200)
+    assert len(hi) == 200
+    assert len(lo) <= 10
+    again = pareto_filter(scored, alpha=9.0, seed=0).collect()
+    assert sorted(kept) == sorted(again)
+    # a different seed reshuffles the trickle but never the sure keeps
+    other = pareto_filter(scored, alpha=9.0, seed=1).collect()
+    assert len([r for r in other if r["quality_score"] == 1.0]) == 200
+
+
+def test_pareto_alpha_validation(spark):
+    with pytest.raises(ValueError, match="alpha"):
+        pareto_filter(spark.range(1).select(
+            F.col("id").alias("doc_id"), F.lit(0.5).alias("quality_score")
+        ), alpha=0.0)
+
+
+def test_curate_quality_tier(spark, model):
+    """curate_corpus(quality_model=...) drops junk the heuristic gates
+    alone would pass (junk docs here clear length gates; lang gate off)."""
+    from jackfruit_spark.operators.curation import curate_corpus
+
+    d = spark.createDataFrame(
+        [(1, " ".join(CLEAN_WORDS)), (2, " ".join(JUNK_WORDS * 3))],
+        "doc_id int, text string",
+    )
+    out = curate_corpus(
+        d,
+        lang=None,
+        min_tokens=5,
+        max_tokens=1000,
+        quality_model=model,
+        min_quality=0.5,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1}

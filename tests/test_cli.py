@@ -118,6 +118,53 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     assert rc == 0 and stats["curated"] == 0
 
 
+def test_cli_curate_quality_tier(spark, tmp_path, capsys):
+    """--quality-positives + --min-quality: the learned tier drops junk
+    the heuristic gates alone pass (stop-ratio gate disabled here so
+    only the classifier separates)."""
+    import json as J
+
+    from tests.test_classifier import CLEAN_WORDS, JUNK_WORDS, _mk
+
+    pos_dir = tmp_path / "trusted"
+    spark.createDataFrame(
+        _mk(CLEAN_WORDS, 30, 31), "doc_id int, text string"
+    ).write.parquet(str(pos_dir))
+
+    # raw corpus: clean-vocab docs among junk-vocab docs. The trained
+    # cut sits between the junk band (scores < 0.06 on this seeded
+    # corpus) and the clean band (> 0.2) — everything is seeded and the
+    # IRLS fit is RNG-free, so the bands are deterministic.
+    docs = [
+        {"doc_id": i, "text": t, "lang": "en", "source": "a", "n_chars": 10}
+        for i, (_, t) in enumerate(_mk(CLEAN_WORDS, 5, 41))
+    ] + [
+        {"doc_id": 10 + i, "text": t, "lang": "en", "source": "a", "n_chars": 10}
+        for i, (_, t) in enumerate(_mk(JUNK_WORDS, 10, 42))
+    ]
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(J.dumps(d) for d in docs))
+    out_dir = tmp_path / "curated"
+    rc = main([
+        "curate", "--input", str(src), "--output", str(out_dir),
+        "--lang", "any", "--min-stop-ratio", "0",
+        "--quality-positives", str(pos_dir), "--min-quality", "0.12",
+    ])
+    stats = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and stats["curated"] == 5
+    got = spark.read.parquet(str(out_dir)).collect()
+    assert {r["doc_id"] for r in got} == {0, 1, 2, 3, 4}
+
+    # the knobs without a trusted corpus are a usage error, not a crash
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="quality-positives"):
+        main([
+            "curate", "--input", str(src), "--output", str(out_dir),
+            "--min-quality", "0.5",
+        ])
+
+
 def test_cli_curate_from_warc(spark, tmp_path, capsys):
     """WARC in -> curated documents parquet out: the Common Crawl intake
     path through the same gates (r6)."""

@@ -94,6 +94,32 @@ def test_pipeline_cli(spark, shards, tmp_path, capsys):
     assert stats["packed"] == spark.read.parquet(out).count() > 0
 
 
+def test_pipeline_cli_quality_tier(spark, shards, tmp_path, capsys):
+    """`pipeline --quality-positives`: the learned tier trains against a
+    bridged scan of the crawl and reports its observed stage. A
+    permissive cut (0.0) keeps every gated doc — this pins the CLI
+    wiring; discrimination itself is test_classifier.py's job."""
+    import json
+
+    from jackfruit_spark import __main__ as cli
+    from tests.test_classifier import CLEAN_WORDS, _mk
+
+    pos_dir = str(tmp_path / "trusted")
+    spark.createDataFrame(
+        _mk(CLEAN_WORDS, 10, 51), "doc_id int, text string"
+    ).write.parquet(pos_dir)
+    out = str(tmp_path / "packed")
+    rc = cli.main(
+        ["pipeline", "--input", shards, "--output", out,
+         "--min-tokens", "60",
+         "--quality-positives", pos_dir, "--min-quality", "0.0"]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["quality"] == stats["gated"] == 42
+    assert stats["deduped"] == 39 and stats["packed"] > 0
+
+
 def test_pipeline_drops_boilerplate_chrome(spark, shards):
     # inspect bridged text directly at the extraction tier
     from jackfruit_spark.sources.warc import (
@@ -131,3 +157,45 @@ def test_pipeline_semantic_dedup(spark, shards):
 def test_pipeline_unknown_dedup_raises(spark, shards):
     with pytest.raises(ValueError, match="unknown dedup"):
         warc_training_pipeline(spark, shards, dedup="nope")
+
+
+def test_pipeline_quality_tier(spark, shards):
+    """quality_model inserts an observed stage between the token gate and
+    dedup. Constant-score models (zero weights, bias-only) pin the
+    plumbing deterministically: keep-all passes every gated doc through,
+    drop-all empties the corpus at the quality stage. The drop-all leg
+    must read counts through ``observation_rows``: a RUNTIME-empty join
+    lets AQE's empty-relation propagation erase every CollectMetrics
+    node in the re-planned query (the runtime twin of the documented
+    statically-empty-source trap), so the raw ``Observation.get`` raises
+    on ALL stages — including ones upstream of the empty join."""
+    import numpy as np
+
+    from jackfruit_spark.functions.classifier import QualityClassifier
+    from jackfruit_spark.operators.curation import observation_rows
+
+    keep_all = QualityClassifier(np.zeros(16), 5.0, 16)
+    packed, obs = warc_training_pipeline(
+        spark, shards, min_tokens=60, quality_model=keep_all, min_quality=0.5
+    )
+    rows = packed.collect()
+    counts = {k: observation_rows(o) for k, o in obs.items()}
+    assert counts["gated"] == 42 and counts["quality"] == 42
+    assert counts["deduped"] == 39 and rows
+
+    drop_all = QualityClassifier(np.zeros(16), -5.0, 16)
+    packed, obs = warc_training_pipeline(
+        spark, shards, min_tokens=60, quality_model=drop_all, min_quality=0.5
+    )
+    rows = packed.collect()
+    assert rows == []
+    counts = {k: observation_rows(o) for k, o in obs.items()}
+    # AQE erased the metrics nodes wholesale: even "docs" (43 real rows,
+    # upstream of the empty join) reads 0 — faithful for the stages at
+    # and below the empty point, lossy above it; the helper's contract
+    # is "no crash, zeros for what cannot be measured"
+    assert counts["quality"] == 0 and counts["deduped"] == 0
+
+    # a model without either knob is a caller mistake, not a no-op
+    with pytest.raises(ValueError, match="min_quality"):
+        warc_training_pipeline(spark, shards, quality_model=keep_all)
