@@ -183,20 +183,26 @@ def cmd_curate(args) -> int:
         lm = train_bigram_lm(train_df, "text")
     quality_model = None
     if args.min_quality is not None or args.quality_alpha is not None:
-        if not args.quality_positives:
+        if args.quality_model:
+            from jackfruit_spark.functions.classifier import QualityClassifier
+
+            quality_model = QualityClassifier.load(args.quality_model)
+        elif args.quality_positives:
+            from jackfruit_spark.functions.classifier import (
+                train_quality_classifier,
+            )
+
+            quality_model = train_quality_classifier(
+                spark.read.parquet(args.quality_positives),
+                clean,
+                sample_fraction=args.quality_sample_fraction,
+            )
+        else:
             raise SystemExit(
                 "--min-quality/--quality-alpha need --quality-positives "
-                "(a trusted-document parquet to train against)"
+                "(a trusted-document parquet to train against) or "
+                "--quality-model (a saved train-classifier JSON)"
             )
-        from jackfruit_spark.functions.classifier import (
-            train_quality_classifier,
-        )
-
-        quality_model = train_quality_classifier(
-            spark.read.parquet(args.quality_positives),
-            clean,
-            sample_fraction=args.quality_sample_fraction,
-        )
     curated = curate_corpus(
         clean,
         lang=None if args.lang == "any" else args.lang,
@@ -256,6 +262,40 @@ def cmd_index_warc(args) -> int:
     return 0
 
 
+def cmd_train_classifier(args) -> int:
+    """Train the learned quality classifier ONCE (trusted-corpus
+    positives vs raw-corpus negatives, both document parquets) and save
+    it as a kilobyte JSON for reuse across curate/pipeline runs via
+    --quality-model — scoring is then a pure plan with no training jobs
+    (the production shape: one model per corpus epoch, many scoring
+    runs)."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.functions.classifier import train_quality_classifier
+
+    model = train_quality_classifier(
+        spark.read.parquet(args.positives),
+        spark.read.parquet(args.negatives),
+        dim=args.dim,
+        ngram=args.ngram,
+        reg=args.reg,
+        max_iter=args.max_iter,
+        sample_fraction=args.sample_fraction,
+        solver=args.solver,
+    )
+    model.save(args.output)
+    print(
+        json.dumps(
+            {
+                "dim": model.dim,
+                "ngram": model.ngram,
+                "bias": round(model.bias, 6),
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     """End-to-end crawl curation (operators/curation.
     warc_training_pipeline): WARC shards -> CDX ranged reads ->
@@ -271,36 +311,42 @@ def cmd_pipeline(args) -> int:
     )
     quality_model = None
     if args.min_quality is not None or args.quality_alpha is not None:
-        if not args.quality_positives:
-            raise SystemExit(
-                "--min-quality/--quality-alpha need --quality-positives"
-            )
-        # train curated-vs-raw against a bridged scan of THIS crawl (an
-        # extra read of the shards — training is once per crawl; the
-        # pipeline proper still makes its own observed pass)
-        from jackfruit_spark.functions.classifier import (
-            train_quality_classifier,
-        )
-        from jackfruit_spark.sources.warc import (
-            build_cdx_manifest,
-            scan_warc_cdx,
-            warc_to_documents,
-        )
+        if args.quality_model:
+            from jackfruit_spark.functions.classifier import QualityClassifier
 
-        man = (
-            manifest
-            if manifest is not None
-            else build_cdx_manifest(spark, args.input)
-        )
-        raw = warc_to_documents(
-            scan_warc_cdx(spark, man, extraction=args.extraction)
-        )
-        quality_model = train_quality_classifier(
-            spark.read.parquet(args.quality_positives),
-            raw,
-            sample_fraction=args.quality_sample_fraction,
-        )
-        manifest = man
+            quality_model = QualityClassifier.load(args.quality_model)
+        elif args.quality_positives:
+            # train curated-vs-raw against a bridged scan of THIS crawl
+            # (an extra read of the shards — training is once per crawl;
+            # the pipeline proper still makes its own observed pass)
+            from jackfruit_spark.functions.classifier import (
+                train_quality_classifier,
+            )
+            from jackfruit_spark.sources.warc import (
+                build_cdx_manifest,
+                scan_warc_cdx,
+                warc_to_documents,
+            )
+
+            man = (
+                manifest
+                if manifest is not None
+                else build_cdx_manifest(spark, args.input)
+            )
+            raw = warc_to_documents(
+                scan_warc_cdx(spark, man, extraction=args.extraction)
+            )
+            quality_model = train_quality_classifier(
+                spark.read.parquet(args.quality_positives),
+                raw,
+                sample_fraction=args.quality_sample_fraction,
+            )
+            manifest = man
+        else:
+            raise SystemExit(
+                "--min-quality/--quality-alpha need --quality-positives "
+                "or --quality-model"
+            )
     packed, obs = warc_training_pipeline(
         spark,
         args.input,
@@ -468,6 +514,10 @@ def build_parser() -> argparse.ArgumentParser:
              "pass; at corpus scale always set this)",
     )
     cu.add_argument(
+        "--quality-model", default=None,
+        help="saved train-classifier JSON (skips in-run training)",
+    )
+    cu.add_argument(
         "--semantic-dedup", action="store_true",
         help="paraphrase-level near-dup tier (hashed embeddings -> "
              "SemDeDup) after exact dedup",
@@ -507,8 +557,31 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--min-quality", type=float, default=None)
     pl.add_argument("--quality-alpha", type=float, default=None)
     pl.add_argument("--quality-sample-fraction", type=float, default=None)
+    pl.add_argument(
+        "--quality-model", default=None,
+        help="saved train-classifier JSON (skips in-run training)",
+    )
     pl.add_argument("--cpus", default=None)
     pl.set_defaults(fn=cmd_pipeline)
+
+    tc = sub.add_parser(
+        "train-classifier",
+        help="train the learned quality classifier once, save JSON for "
+             "--quality-model reuse",
+    )
+    tc.add_argument("--positives", required=True,
+                    help="trusted-documents parquet (doc_id, text)")
+    tc.add_argument("--negatives", required=True,
+                    help="raw-corpus documents parquet")
+    tc.add_argument("--output", required=True, help="model JSON path")
+    tc.add_argument("--dim", type=int, default=256)
+    tc.add_argument("--ngram", type=int, default=2)
+    tc.add_argument("--reg", type=float, default=1e-3)
+    tc.add_argument("--max-iter", type=int, default=50)
+    tc.add_argument("--sample-fraction", type=float, default=None)
+    tc.add_argument("--solver", choices=("local", "mllib"), default="local")
+    tc.add_argument("--cpus", default=None)
+    tc.set_defaults(fn=cmd_train_classifier)
 
     iw = sub.add_parser(
         "index-warc",

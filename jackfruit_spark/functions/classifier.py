@@ -78,6 +78,21 @@ class QualityClassifier:
     def from_dict(cls, d: dict) -> "QualityClassifier":
         return cls(d["weights"], d["bias"], d["dim"], d.get("ngram", 2))
 
+    def save(self, path: str) -> None:
+        """Write the model as JSON (kilobytes): train once per corpus
+        epoch (`train-classifier` CLI), reuse across curation runs."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f)
+
+    @classmethod
+    def load(cls, path: str) -> "QualityClassifier":
+        import json
+
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
 
 def train_quality_classifier(
     positives: DataFrame,

@@ -214,6 +214,10 @@ def heavy_family():
         "corpus_pipeline_warc": corpus_pipeline,
         "hashed_embedding": hashed_embed,
         "semantic_dedup_text": semantic_text,
+        # learned quality tier (late r8): featurize-once train+score —
+        # expected featurizer-shaped (the IRLS fit is a fixed-size
+        # sample collect, constant by construction)
+        "quality_classifier": Q.quality_classifier,
     }
 
 

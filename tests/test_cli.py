@@ -164,6 +164,31 @@ def test_cli_curate_quality_tier(spark, tmp_path, capsys):
             "--min-quality", "0.5",
         ])
 
+    # train-once / score-many: `train-classifier` saves the model JSON,
+    # `curate --quality-model` reproduces the inline-trained result
+    # exactly (same rows survive) without training jobs in the run
+    model_path = tmp_path / "quality.json"
+    neg_dir = tmp_path / "neg"
+    spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id int, text string"
+    ).write.parquet(str(neg_dir))
+    rc = main([
+        "train-classifier", "--positives", str(pos_dir),
+        "--negatives", str(neg_dir), "--output", str(model_path),
+    ])
+    meta = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and meta["dim"] == 256 and model_path.exists()
+    out2 = tmp_path / "curated2"
+    rc = main([
+        "curate", "--input", str(src), "--output", str(out2),
+        "--lang", "any", "--min-stop-ratio", "0",
+        "--quality-model", str(model_path), "--min-quality", "0.12",
+    ])
+    stats = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and stats["curated"] == 5
+    got2 = {r["doc_id"] for r in spark.read.parquet(str(out2)).collect()}
+    assert got2 == {0, 1, 2, 3, 4}
+
 
 def test_cli_curate_from_warc(spark, tmp_path, capsys):
     """WARC in -> curated documents parquet out: the Common Crawl intake

@@ -35,6 +35,9 @@ GUARDED = {
     "q24_minhash_lsh_pairs_xxh": 0.35,
     "bpe_tokenize": 0.35,
     "ann_ivf_trained": 0.50,
+    # learned quality tier: featurize-once train+score, measured
+    # alpha 0.06 at x1/x3/x10 zipf (late r8) — featurizer-shaped
+    "quality_classifier": 0.35,
 }
 
 MULTS = (1, 10)
