@@ -302,6 +302,60 @@ def bench_ivf(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_lsh(spark, sf_dir: str) -> dict[str, float]:
+    """Incremental-dedup pair (late r8, operators/lsh_store.py), the
+    dedup twin of the served-ANN keys: build the persistent LSH
+    signature index over the documents table (one shingle pass ->
+    sigs + bp-partitioned postings + manifest swap), then dedup a
+    100-doc delta (50 exact dups of indexed docs + 50 word-reversed
+    fresh docs) against it — the daily-crawl loop, joining postings
+    (3 longs/row, partition-pruned to the delta's bp residues) instead
+    of rescanning corpus text."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.operators.lsh_store import LshIndex
+
+    root = tempfile.mkdtemp(prefix="bench_lsh_")
+    try:
+        d = Q.load(spark, sf_dir, "documents")
+        t_build = float("inf")
+        for i in range(REPEATS):
+            t0 = time.perf_counter()
+            idx = LshIndex.build(
+                d, "doc_id", "text", os.path.join(root, f"i{i}")
+            )
+            t_build = min(t_build, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
+        dups = d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        fresh = d.filter(
+            (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+        ).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.reverse(F.split(F.col("text"), " "))
+            ).alias("text"),
+        )
+        delta = dups.unionByName(fresh)
+        t_delta = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            idx.dedup_batch(delta).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t_delta = min(t_delta, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
+        return {"lsh_index_build": t_build, "lsh_dedup_delta": t_delta}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _ensure_bench_warc(spark, sf_dir: str) -> str:
     """Synthesize WARC shards from the documents table ONCE per sf
     (input prep, outside the timed region), via the shared synthetic
@@ -418,6 +472,11 @@ def main() -> None:
         timings.update(bench_ivf(spark, sf_dir))
     except Exception as e:  # noqa: BLE001
         errors["ivf"] = f"{type(e).__name__}: {e}"[:300]
+
+    try:
+        timings.update(bench_lsh(spark, sf_dir))
+    except Exception as e:  # noqa: BLE001
+        errors["lsh"] = f"{type(e).__name__}: {e}"[:300]
 
     pipeline_stages: dict[str, int] = {}
     try:

@@ -209,6 +209,47 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(
+    sig: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Expand (id, signature) to the banded postings (id, band,
+    band_hash): one row per band, the LSH bucket key. Shared by the
+    in-memory candidate join (``lsh_candidate_pairs``) and the
+    persistent signature index (``operators/lsh_store.py``) — the
+    band-hash expression must be IDENTICAL in both or cross-run
+    probes miss."""
+    from jackfruit_spark.functions import hashing as H
+
+    def band_hash(cols):
+        if hash_family == "md5mix":
+            return H.md5_hash64(F.concat_ws("|", *cols))
+        return F.xxhash64(*cols)
+
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_hash(
+                            [
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str,
@@ -236,32 +277,7 @@ def lsh_candidate_pairs(
     hash_family "md5mix" computes the band hash as the md5-derived 60-bit
     hash of the '|'-joined band values (DuckDB-matchable, see
     functions/hashing.py) instead of xxhash64 over the raw longs."""
-    from jackfruit_spark.functions import hashing as H
-
-    def band_hash(cols):
-        if hash_family == "md5mix":
-            return H.md5_hash64(F.concat_ws("|", *cols))
-        return F.xxhash64(*cols)
-
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_hash(
-                            [
-                                F.element_at("signature", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.band_hash")
+    banded = banded_signatures(sig, id_col, bands, rows_per_band, hash_family)
     # Persist: banded feeds BOTH sides of the self-join (plus the optional
     # bucket-size aggregate) and the differing aliases defeat ReuseExchange,
     # so the whole signature pipeline (shingle explode + K min-aggs) would

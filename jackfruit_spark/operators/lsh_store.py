@@ -1,0 +1,423 @@
+"""Persistent MinHash-LSH signature index: incremental corpus dedup.
+
+The batch dedup operators (``operators/dedup.py``) rescan the WHOLE
+corpus per run — the right shape for one-shot curation, wrong for the
+operational loop where a daily crawl delta must be deduplicated against
+everything already ingested. This module is the dedup twin of
+``functions/ivf_store.IvfIndex``: amortize the corpus's signature
+computation ONCE into a partitioned on-disk layout, then dedup each
+delta with joins against kilobyte-per-doc postings instead of corpus
+text.
+
+Layout (``root/lsh_manifest.json`` + versioned data dirs, the IvfIndex
+atomic-swap pattern):
+
+- ``data_vN/sigs/`` — ``(id, signature array<long>)``, the SOURCE OF
+  TRUTH (num_hashes longs per doc; postings re-derive from it).
+- ``data_vN/postings/bp=P/`` — ``(id, band, band_hash)`` partitioned by
+  ``bp = pmod(band_hash, parts)``. A delta's postings touch only the
+  ``bp`` residues its own band hashes land in, and those are collected
+  driver-side into a literal IN-list → ``PartitionFilters``, so a small
+  delta never lists/opens/reads most of the corpus postings (asserted in
+  tests/test_lsh_store.py, the ivf_store assertion pattern).
+
+Dedup semantics (``dedup_batch``): a batch doc sharing any LSH band
+bucket with an indexed doc is a duplicate of the corpus (the corpus
+always wins — it is already ingested); intra-batch candidates feed
+connected components and the min-id keeper rule, and a component
+containing any corpus-duplicate drops entirely (its members duplicate,
+transitively, something already ingested). Optional
+``est_threshold``: verify candidates by SIGNATURE-estimated Jaccard
+(matching minhash fraction, the unbiased estimator) — no text rescan,
+the index stores no text.
+
+At 100 TB: corpus text is never re-read after build/append; a delta
+dedup joins |delta|·bands posting rows against the pruned slice of
+corpus postings (3 longs/row), shuffling on (band, band_hash) — cost
+tracks the delta and its collisions, not the corpus. Appends are
+file-appends into the same layout; ``rebuild()`` re-derives postings
+from sigs into a fresh version (healing fragmentation and the
+documented sigs-vs-postings crash window) with the atomic manifest
+swap; ``vacuum()`` prunes superseded versions.
+
+No reference analog (the reference has no incremental dedup store);
+this belongs to the LLM-training-data family, per the build brief.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jackfruit_spark.operators.dedup import (
+    banded_signatures,
+    connected_components,
+    minhash_signatures,
+)
+
+_MANIFEST = "lsh_manifest.json"
+
+
+class LshIndex:
+    """Handle to a built index: ``root/data_vN/{sigs,postings}`` plus
+    ``root/lsh_manifest.json`` (LSH geometry + current data dir)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.manifest_path = os.path.join(root, _MANIFEST)
+        self._meta: dict | None = None
+        self._postings: DataFrame | None = None
+        self._sigs: DataFrame | None = None
+        self._df_path: str | None = None
+
+    # ----------------------------------------------------------- paths
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.root, self._manifest()["data_dir"])
+
+    def _readers(self) -> tuple[DataFrame, DataFrame]:
+        """Cached (postings, sigs) reader handles for the current data
+        version (the IvfIndex per-version cache: schema inference
+        re-lists directories per spark.read call); append/rebuild
+        invalidate by path or explicitly."""
+        path = self.data_path
+        if self._postings is None or self._df_path != path:
+            self._postings = self.spark.read.parquet(
+                os.path.join(path, "postings")
+            )
+            self._sigs = self.spark.read.parquet(os.path.join(path, "sigs"))
+            self._df_path = path
+        return self._postings, self._sigs
+
+    def _invalidate(self) -> None:
+        self._postings = self._sigs = None
+        self._df_path = None
+
+    def _manifest(self) -> dict:
+        if self._meta is None:
+            with open(self.manifest_path) as f:
+                self._meta = json.load(f)
+        return self._meta
+
+    # ------------------------------------------------------------ build
+
+    @staticmethod
+    def build(
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        root: str,
+        num_hashes: int = 32,
+        bands: int = 8,
+        rows_per_band: int = 4,
+        shingle_k: int = 3,
+        hash_family: str = "xxhash64",
+        parts: int = 64,
+    ) -> "LshIndex":
+        """Signature the corpus once and write the layout. ONE shingle
+        pass: sigs are written first, postings derive from reading the
+        just-written sigs parquet back (no persist, no recompute). Data
+        lands in a fresh versioned dir; the manifest swaps last
+        (os.replace), so a crashed build leaves the old version (or no
+        manifest) — never a half-indexed corpus."""
+        if bands * rows_per_band > num_hashes:
+            raise ValueError(
+                f"bands*rows_per_band={bands * rows_per_band} exceeds "
+                f"num_hashes={num_hashes}"
+            )
+        spark = docs.sparkSession
+        idx = LshIndex(spark, root)
+        os.makedirs(root, exist_ok=True)
+        versions = [
+            int(d[len("data_v"):])
+            for d in os.listdir(root)
+            if d.startswith("data_v") and d[len("data_v"):].isdigit()
+        ]
+        data_dir = f"data_v{max(versions, default=0) + 1}"
+        meta = {
+            "id_col": id_col,
+            "text_col": text_col,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "rows_per_band": rows_per_band,
+            "shingle_k": shingle_k,
+            "hash_family": hash_family,
+            "parts": parts,
+            "data_dir": data_dir,
+        }
+        sig = minhash_signatures(
+            docs, id_col, text_col,
+            num_hashes=num_hashes, k=shingle_k, hash_family=hash_family,
+        )
+        sigs_path = os.path.join(root, data_dir, "sigs")
+        sig.write.mode("overwrite").parquet(sigs_path)
+        LshIndex._write_postings(
+            spark.read.parquet(sigs_path), meta,
+            os.path.join(root, data_dir, "postings"), "overwrite",
+        )
+        tmp = idx.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, idx.manifest_path)
+        idx._meta = meta
+        return idx
+
+    @staticmethod
+    def _write_postings(
+        sig: DataFrame, meta: dict, path: str, mode: str
+    ) -> None:
+        postings = banded_signatures(
+            sig,
+            meta["id_col"],
+            bands=meta["bands"],
+            rows_per_band=meta["rows_per_band"],
+            hash_family=meta["hash_family"],
+        ).withColumn("bp", F.pmod(F.col("band_hash"), F.lit(meta["parts"])))
+        postings.write.mode(mode).partitionBy("bp").parquet(path)
+
+    # ------------------------------------------------------------ probe
+
+    def _batch_sig(self, batch: DataFrame) -> DataFrame:
+        m = self._manifest()
+        return minhash_signatures(
+            batch,
+            m["id_col"],
+            m["text_col"],
+            num_hashes=m["num_hashes"],
+            k=m["shingle_k"],
+            hash_family=m["hash_family"],
+        )
+
+    @staticmethod
+    def _est_jaccard(a, b, num_hashes: int):
+        """Signature-estimated Jaccard: the fraction of matching minhash
+        components (unbiased estimator of the true Jaccard)."""
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.lit(float(num_hashes))
+
+    def corpus_candidates(
+        self, batch_sig: DataFrame, est_threshold: float | None = None
+    ) -> DataFrame:
+        """(id, corpus_id) candidate pairs of a signatured batch against
+        the index: the batch's banded postings equi-join the stored
+        postings on (band, band_hash), with the corpus side pruned to
+        the delta's own ``bp`` residues (driver-side collect of at most
+        ``parts`` values → literal IN-list → PartitionFilters; the
+        collect is one tiny job over the already-computed batch
+        postings). ``est_threshold`` adds the signature-Jaccard verify
+        join against stored sigs."""
+        m = self._manifest()
+        id_col = m["id_col"]
+        postings, sigs = self._readers()
+        banded_b = banded_signatures(
+            batch_sig, id_col,
+            bands=m["bands"], rows_per_band=m["rows_per_band"],
+            hash_family=m["hash_family"],
+        ).withColumn("bp", F.pmod(F.col("band_hash"), F.lit(m["parts"])))
+        bps = [
+            r["bp"] for r in banded_b.select("bp").distinct().collect()
+        ]
+        pruned = postings.filter(F.col("bp").isin(bps)).select(
+            F.col(id_col).alias("corpus_id"), "band", "band_hash"
+        )
+        pairs = (
+            banded_b.join(pruned, ["band", "band_hash"])
+            .select(id_col, "corpus_id")
+            .distinct()
+        )
+        if est_threshold is not None:
+            pairs = (
+                pairs.join(batch_sig.select(id_col, "signature"), id_col)
+                .join(
+                    sigs.select(
+                        F.col(id_col).alias("corpus_id"),
+                        F.col("signature").alias("__csig"),
+                    ),
+                    "corpus_id",
+                )
+                .filter(
+                    self._est_jaccard(
+                        F.col("signature"), F.col("__csig"), m["num_hashes"]
+                    )
+                    >= est_threshold
+                )
+                .select(id_col, "corpus_id")
+            )
+        return pairs
+
+    def dedup_batch(
+        self, batch: DataFrame, est_threshold: float | None = None
+    ) -> DataFrame:
+        """Flag a delta against the corpus AND itself in one plan:
+        returns ``(id, dup_of_corpus, keep)`` — ``keep`` is true for
+        exactly the docs to ingest (min-id keeper of each intra-batch
+        component, excluding any component that touches a corpus
+        duplicate: its members transitively duplicate ingested data).
+        Feed ``batch.filter`` on the flags' keep ids to ``append``.
+
+        The batch signatures are persisted (tracked) — they feed the
+        corpus probe, the intra-batch join, and the optional verify;
+        connected components additionally drives actions during plan
+        construction."""
+        from jackfruit_spark._persist import persisted
+        from jackfruit_spark.operators.dedup import lsh_candidate_pairs
+
+        m = self._manifest()
+        id_col = m["id_col"]
+        batch_sig = persisted(self._batch_sig(batch))
+        cross = self.corpus_candidates(batch_sig, est_threshold)
+        dup_corpus = cross.select(id_col).distinct()
+
+        intra = lsh_candidate_pairs(
+            batch_sig, id_col,
+            bands=m["bands"], rows_per_band=m["rows_per_band"],
+            hash_family=m["hash_family"],
+        )
+        if est_threshold is not None:
+            sig_a = batch_sig.select(
+                F.col(id_col).alias("id_a"), F.col("signature").alias("__sa")
+            )
+            sig_b = batch_sig.select(
+                F.col(id_col).alias("id_b"), F.col("signature").alias("__sb")
+            )
+            intra = (
+                intra.join(sig_a, "id_a")
+                .join(sig_b, "id_b")
+                .filter(
+                    self._est_jaccard(
+                        F.col("__sa"), F.col("__sb"), m["num_hashes"]
+                    )
+                    >= est_threshold
+                )
+                .select("id_a", "id_b")
+            )
+        cc = connected_components(
+            batch.select(id_col), intra, id_col=id_col
+        )
+        # a component is tainted when ANY member duplicates the corpus
+        tainted = (
+            cc.join(dup_corpus, id_col, "left_semi")
+            .select("cluster_id")
+            .distinct()
+        )
+        return (
+            cc.join(
+                dup_corpus.withColumn("__dc", F.lit(True)), id_col, "left"
+            )
+            .join(
+                tainted.withColumn("__tt", F.lit(True)), "cluster_id", "left"
+            )
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("__dc"), F.lit(False)).alias(
+                    "dup_of_corpus"
+                ),
+                (
+                    F.col("__tt").isNull()
+                    & (F.col(id_col) == F.col("cluster_id"))
+                ).alias("keep"),
+            )
+        )
+
+    # ---------------------------------------------------- append/rebuild
+
+    def append(self, docs: DataFrame) -> "LshIndex":
+        """Signature ``docs`` (the KEPT slice of a deduped delta) and
+        append into the current version: sigs first, postings second —
+        a crash between the two leaves docs signatured but unprobeable
+        (false-negative window, not corruption); ``rebuild()`` re-derives
+        postings from sigs and heals it. Appended docs are immediately
+        probeable by the next ``dedup_batch`` (reader handles refresh)."""
+        m = self._manifest()
+        path = self.data_path
+        sig = self._batch_sig(docs)
+        sigs_path = os.path.join(path, "sigs")
+        sig.write.mode("append").parquet(sigs_path)
+        # re-derive from the written files, like build: one shingle pass
+        appended = self.spark.read.parquet(sigs_path).join(
+            docs.select(m["id_col"]), m["id_col"], "left_semi"
+        )
+        self._write_postings(
+            appended, m, os.path.join(path, "postings"), "append"
+        )
+        self._invalidate()
+        return self
+
+    def rebuild(self) -> "LshIndex":
+        """Rewrite the current version into a fresh one from the sigs
+        source of truth: drops duplicate ids (first build wins — absorbs
+        replayed appends), compacts fragmentation, re-derives postings,
+        swaps the manifest atomically, leaves the old version for
+        ``vacuum()``."""
+        m = dict(self._manifest())
+        _, sigs = self._readers()
+        id_col = m["id_col"]
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(F.col("signature"))
+        deduped = (
+            sigs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        versions = [
+            int(d[len("data_v"):])
+            for d in os.listdir(self.root)
+            if d.startswith("data_v") and d[len("data_v"):].isdigit()
+        ]
+        data_dir = f"data_v{max(versions, default=0) + 1}"
+        sigs_path = os.path.join(self.root, data_dir, "sigs")
+        deduped.write.mode("overwrite").parquet(sigs_path)
+        self._write_postings(
+            self.spark.read.parquet(sigs_path), m,
+            os.path.join(self.root, data_dir, "postings"), "overwrite",
+        )
+        m["data_dir"] = data_dir
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self.manifest_path)
+        self._meta = m
+        self._invalidate()
+        return self
+
+    def vacuum(self) -> list[str]:
+        """Delete superseded data versions; returns removed dirs."""
+        import shutil
+
+        live = self._manifest()["data_dir"]
+        removed = []
+        for d in os.listdir(self.root):
+            if (
+                d.startswith("data_v")
+                and d[len("data_v"):].isdigit()
+                and d != live
+            ):
+                shutil.rmtree(os.path.join(self.root, d))
+                removed.append(d)
+        return removed
+
+    def stats(self) -> dict:
+        """Corpus size + posting layout stats (the fragmentation signal
+        for the rebuild decision)."""
+        postings, sigs = self._readers()
+        n_docs = sigs.count()
+        n_postings = postings.count()
+        files = 0
+        proot = os.path.join(self.data_path, "postings")
+        for _, _, fs in os.walk(proot):
+            files += sum(1 for f in fs if f.endswith(".parquet"))
+        return {
+            "n_docs": n_docs,
+            "n_postings": n_postings,
+            "posting_files": files,
+            "data_dir": self._manifest()["data_dir"],
+        }
