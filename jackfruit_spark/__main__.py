@@ -404,6 +404,81 @@ def cmd_index_vectors(args) -> int:
     return 0
 
 
+def cmd_index_corpus(args) -> int:
+    """Build / append / rebuild / vacuum the persistent LSH signature
+    index (operators/lsh_store.LshIndex) from a documents parquet — the
+    operational form of incremental corpus dedup. Prints the layout
+    stats JSON (posting_files is the fragmentation signal the rebuild
+    decision acts on)."""
+    if args.mode in ("build", "append") and not args.input:
+        print(json.dumps({"error": f"--input required for {args.mode}"}))
+        return 2
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.lsh_store import LshIndex
+
+    if args.mode == "build":
+        idx = LshIndex.build(
+            spark.read.parquet(args.input),
+            args.id_col, args.text_col, args.root,
+            num_hashes=args.num_hashes, bands=args.bands,
+            rows_per_band=args.rows_per_band, shingle_k=args.shingle_k,
+            parts=args.parts,
+        )
+    elif args.mode == "append":
+        idx = LshIndex(spark, args.root).append(
+            spark.read.parquet(args.input)
+        )
+    elif args.mode == "vacuum":
+        idx = LshIndex(spark, args.root)
+        removed = idx.vacuum()
+        print(json.dumps({"root": args.root, "mode": "vacuum",
+                          "removed": removed}))
+        return 0
+    else:  # rebuild: dedup sigs -> fresh version -> manifest swap
+        idx = LshIndex(spark, args.root).rebuild()
+    print(json.dumps({"root": args.root, "mode": args.mode, **idx.stats()}))
+    return 0
+
+
+def cmd_dedup_delta(args) -> int:
+    """Dedup a delta parquet against the LSH index: write the KEPT
+    docs (and optionally the full flags) out, append the kept docs'
+    signatures unless --no-append — the one-shot form of the daily
+    loop (streaming/dedup.py is the continuous form)."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.lsh_store import LshIndex
+
+    idx = LshIndex(spark, args.root)
+    id_col = idx._manifest()["id_col"]
+    delta = spark.read.parquet(args.input)
+    flags = idx.dedup_batch(delta, est_threshold=args.est_threshold)
+    kept = delta.join(
+        flags.filter("keep").select(id_col), id_col, "left_semi"
+    )
+    from jackfruit_spark._persist import persisted
+
+    kept = persisted(kept)
+    kept.write.mode("overwrite").parquet(args.output)
+    if args.flags_output:
+        flags.write.mode("overwrite").parquet(args.flags_output)
+    if not args.no_append:
+        idx.append(kept)
+    n_in = delta.count()
+    n_kept = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "input": n_in,
+                "kept": n_kept,
+                "dropped": n_in - n_kept,
+                "appended": not args.no_append,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_ann_search(args) -> int:
     """Point search against a built index: top-k cosine neighbors of
     --vec (comma-separated floats), PartitionFilters-pruned to nprobe
@@ -616,6 +691,43 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rebuild only: keep one row per id")
     iv.add_argument("--cpus", default=None)
     iv.set_defaults(fn=cmd_index_vectors)
+
+    ic = sub.add_parser(
+        "index-corpus",
+        help="build/append/rebuild/vacuum the persistent LSH dedup index",
+    )
+    ic.add_argument("--root", required=True)
+    ic.add_argument(
+        "--mode", choices=["build", "append", "rebuild", "vacuum"],
+        default="build",
+    )
+    ic.add_argument("--input", default=None,
+                    help="documents parquet; build/append")
+    ic.add_argument("--id-col", default="doc_id")
+    ic.add_argument("--text-col", default="text")
+    ic.add_argument("--num-hashes", type=int, default=32)
+    ic.add_argument("--bands", type=int, default=8)
+    ic.add_argument("--rows-per-band", type=int, default=4)
+    ic.add_argument("--shingle-k", type=int, default=3)
+    ic.add_argument("--parts", type=int, default=64)
+    ic.add_argument("--cpus", default=None)
+    ic.set_defaults(fn=cmd_index_corpus)
+
+    dd = sub.add_parser(
+        "dedup-delta",
+        help="dedup a delta parquet against the LSH index, append keeps",
+    )
+    dd.add_argument("--root", required=True)
+    dd.add_argument("--input", required=True, help="delta documents parquet")
+    dd.add_argument("--output", required=True, help="kept-docs parquet")
+    dd.add_argument("--flags-output", default=None,
+                    help="also write (id, dup_of_corpus, keep) flags")
+    dd.add_argument("--est-threshold", type=float, default=None,
+                    help="signature-estimated Jaccard verify cut")
+    dd.add_argument("--no-append", action="store_true",
+                    help="flag only; do not ingest the kept docs")
+    dd.add_argument("--cpus", default=None)
+    dd.set_defaults(fn=cmd_dedup_delta)
 
     an = sub.add_parser(
         "ann-search", help="top-k cosine point search against the index"

@@ -407,7 +407,12 @@ class LshIndex:
 
     def stats(self) -> dict:
         """Corpus size + posting layout stats (the fragmentation signal
-        for the rebuild decision)."""
+        for the rebuild decision). Always re-lists: stats is the
+        monitoring call, and another handle (e.g. the streaming step's
+        per-batch instance) may have appended since — a cached parquet
+        snapshot pins its file listing at read creation and would
+        undercount."""
+        self._invalidate()
         postings, sigs = self._readers()
         n_docs = sigs.count()
         n_postings = postings.count()

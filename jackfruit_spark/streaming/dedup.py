@@ -1,0 +1,109 @@
+"""Streaming incremental dedup through the persistent LSH index.
+
+The online form of the daily-crawl loop (``operators/lsh_store.py``):
+document batches land continuously (a crawler writing parquet shards);
+each batch is deduplicated against EVERYTHING ingested so far
+(``LshIndex.dedup_batch`` — corpus collisions drop, intra-batch
+components keep their min-id doc), the survivors append to the curated
+output AND their signatures append to the index, so the next batch
+dedups against them too.
+
+Shape, same discipline as ``streaming/vectors.py``: ``readStream`` →
+``foreachBatch`` (the streaming file sink's ``_spark_metadata`` log
+would hide batch-appended files from readers; and the index append must
+refresh reader caches, which only the batch path does). Replays: the
+checkpoint-side ledger (max applied batch id, tmp+rename) skips
+at-or-below batches. The crash window — output written, index
+appended, ledger not bumped — is naturally idempotent on the OUTPUT
+side only if the index append landed (the replayed docs then collide
+with their own signatures and nothing new is written); the ledger
+closes the window where it did not, and ``LshIndex.rebuild()`` absorbs
+duplicated signatures either way (the documented maintenance step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jackfruit_spark.operators.lsh_store import LshIndex
+from jackfruit_spark.streaming.vectors import _applied_max, _record_applied
+
+
+def stream_documents_parquet(
+    spark: SparkSession, landing_dir: str, schema: str
+) -> DataFrame:
+    """Landing-directory stream of document rows. ``schema`` explicit
+    (streaming parquet has no inference), e.g. ``"doc_id bigint, text
+    string"`` — must cover the index's id/text columns. Recursive
+    lookup: landed batches are parquet DIRECTORIES."""
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(landing_dir)
+    )
+
+
+def dedup_batch_step(
+    index_root: str,
+    checkpoint: str,
+    out_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    est_threshold: float | None = None,
+) -> bool:
+    """One foreachBatch step, exposed for tests: ledger-skip replays,
+    else flag the batch against the index, append the kept docs to
+    ``out_dir`` (batch parquet append) and their signatures to the
+    index, then bump the ledger. Returns whether the batch applied.
+
+    The kept frame is persisted for its two consumers (the output write
+    and the signature append would otherwise re-run the probe joins),
+    and released before returning — foreachBatch owns the action, so
+    unlike the batch operators there IS a safe unpersist point here."""
+    if batch_id <= _applied_max(checkpoint):
+        return False
+    idx = LshIndex(batch_df.sparkSession, index_root)
+    id_col = idx._manifest()["id_col"]
+    flags = idx.dedup_batch(batch_df, est_threshold=est_threshold)
+    kept = batch_df.join(
+        flags.filter("keep").select(id_col), id_col, "left_semi"
+    ).persist()
+    try:
+        kept.write.mode("append").parquet(out_dir)
+        idx.append(kept)
+        _record_applied(checkpoint, batch_id)
+    finally:
+        kept.unpersist(blocking=False)
+        # dedup_batch's tracked persists (batch signatures) would
+        # accumulate over a long-running stream; releasing is always
+        # correct (_persist contract) and each batch re-signatures its
+        # own delta anyway
+        from jackfruit_spark import release_persisted
+
+        release_persisted()
+    return True
+
+
+def write_dedup_stream(
+    docs: DataFrame,
+    index_root: str,
+    checkpoint: str,
+    out_dir: str,
+    est_threshold: float | None = None,
+):
+    """availableNow dedup of landed document batches against an
+    EXISTING index (build it first — the probe needs the manifest's
+    LSH geometry). Output: curated parquet under ``out_dir``."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_batch_step(
+            index_root, checkpoint, out_dir, batch_df, batch_id,
+            est_threshold=est_threshold,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -342,6 +342,75 @@ def main() -> None:
                 print(f"grid@x{m}: {e}"[:200], file=sys.stderr)
             print(f"done grid_ingest@x{m}", file=sys.stderr)
 
+    if "lsh_dedup_delta" not in skip:
+        # THE LshIndex claim: a FIXED delta's dedup cost must stay flat
+        # as the indexed corpus grows (joins pruned postings, never
+        # corpus text). Build per mult is untimed prep; the timed region
+        # is dedup_batch of the same 100-doc delta shape at every mult.
+        from jackfruit_spark.operators.lsh_store import LshIndex
+
+        results["lsh_dedup_delta"] = {}
+        results["lsh_index_build"] = {}
+        # untimed warm-up: the first build+probe of a session pays the
+        # whole minhash/CC/arrow JIT bill (~3x, measured — a cold x1
+        # leg read DECREASING timings across mults, alpha -0.25, pure
+        # warm-up gradient); one throwaway round levels the field
+        try:
+            wsf = os.path.join(args.root, f"mult{mults[0]}{suffix}")
+            wd = Q.load(spark, wsf, "documents").limit(500)
+            widx = LshIndex.build(
+                wd, "doc_id", "text", os.path.join(wsf, "lsh_warm")
+            )
+            widx.dedup_batch(wd.limit(20)).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            release_persisted()
+            spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001
+            print(f"lsh warm-up: {e}"[:200], file=sys.stderr)
+        for m in mults:
+            sf = os.path.join(args.root, f"mult{m}{suffix}")
+            try:
+                d = Q.load(spark, sf, "documents")
+                t_build = float("inf")
+                idx = None
+                for i in range(args.repeats):
+                    t0 = time.perf_counter()
+                    idx = LshIndex.build(
+                        d, "doc_id", "text",
+                        os.path.join(sf, f"lsh_idx{i}"),
+                    )
+                    t_build = min(t_build, round(time.perf_counter() - t0, 3))
+                    release_persisted()
+                    spark.catalog.clearCache()
+                results["lsh_index_build"][m] = t_build
+                dups = d.filter(F.col("doc_id") < 50).select(
+                    (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+                )
+                fresh = d.filter(
+                    (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+                ).select(
+                    (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                    F.concat_ws(
+                        " ", F.reverse(F.split(F.col("text"), " "))
+                    ).alias("text"),
+                )
+                delta = dups.unionByName(fresh)
+                best = float("inf")
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    idx.dedup_batch(delta).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, round(time.perf_counter() - t0, 3))
+                    release_persisted()
+                    spark.catalog.clearCache()
+                results["lsh_dedup_delta"][m] = best
+            except Exception as e:  # noqa: BLE001
+                results["lsh_dedup_delta"][m] = None
+                print(f"lsh@x{m}: {e}"[:200], file=sys.stderr)
+            print(f"done lsh_dedup_delta@x{m}", file=sys.stderr)
+
     out = {
         name: {
             "t": {f"x{m}": t for m, t in pts.items()},

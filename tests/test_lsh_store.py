@@ -174,6 +174,55 @@ def test_rebuild_heals_replay_and_vacuum(spark, corpus, tmp_path):
     assert flags[300]["dup_of_corpus"] and flags[301]["keep"]
 
 
+def test_cli_lifecycle(spark, corpus, tmp_path, capsys):
+    """index-corpus build -> dedup-delta (append) -> a second delta sees
+    the first's keeps as corpus -> rebuild + vacuum via the CLI."""
+    import json
+
+    from jackfruit_spark import __main__ as cli
+
+    root = str(tmp_path / "idx")
+    src = str(tmp_path / "corpus")
+    corpus.write.parquet(src)
+    rc = cli.main([
+        "index-corpus", "--root", root, "--input", src, "--parts", "16",
+    ])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["n_docs"] == 50
+
+    d1 = str(tmp_path / "d1")
+    spark.createDataFrame(
+        [(100, _text(3)), (101, _text(900))], "doc_id long, text string"
+    ).write.parquet(d1)
+    out1 = str(tmp_path / "kept1")
+    rc = cli.main(["dedup-delta", "--root", root, "--input", d1,
+                   "--output", out1])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["kept"] == 1 and st["dropped"] == 1
+    assert {r["doc_id"] for r in spark.read.parquet(out1).collect()} == {101}
+
+    d2 = str(tmp_path / "d2")
+    spark.createDataFrame(
+        [(200, _text(900))], "doc_id long, text string"
+    ).write.parquet(d2)
+    out2 = str(tmp_path / "kept2")
+    flags2 = str(tmp_path / "flags2")
+    rc = cli.main(["dedup-delta", "--root", root, "--input", d2,
+                   "--output", out2, "--flags-output", flags2,
+                   "--no-append"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["kept"] == 0 and st["appended"] is False
+    fl = spark.read.parquet(flags2).collect()
+    assert len(fl) == 1 and fl[0]["dup_of_corpus"] and not fl[0]["keep"]
+
+    rc = cli.main(["index-corpus", "--root", root, "--mode", "rebuild"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["n_docs"] == 51
+    rc = cli.main(["index-corpus", "--root", root, "--mode", "vacuum"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["removed"] == ["data_v1"]
+
+
 def test_build_validates_geometry(spark, corpus, tmp_path):
     with pytest.raises(ValueError, match="num_hashes"):
         LshIndex.build(

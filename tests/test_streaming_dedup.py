@@ -1,0 +1,88 @@
+"""Streaming incremental dedup (streaming/dedup.py): availableNow
+batches dedup against the LshIndex and feed it forward (batch N+1
+dedups against batch N's survivors), replay-idempotence via the
+checkpoint ledger, stream output == batch dedup_batch decisions."""
+
+from __future__ import annotations
+
+import pytest
+
+from jackfruit_spark.operators.lsh_store import LshIndex
+from jackfruit_spark.streaming.dedup import (
+    dedup_batch_step,
+    stream_documents_parquet,
+    write_dedup_stream,
+)
+from tests.test_lsh_store import _text
+
+SCHEMA = "doc_id long, text string"
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [(i, _text(i)) for i in range(30)], SCHEMA
+    )
+    return LshIndex.build(
+        corpus, "doc_id", "text", str(tmp_path / "idx"), parts=16
+    )
+
+
+def test_stream_dedups_and_feeds_forward(spark, tmp_path, built):
+    """Batch 1: one corpus dup + two fresh docs -> 2 kept. Batch 2
+    (second availableNow run): a dup of a BATCH-1 survivor is now a
+    corpus dup — the stream feeds the index forward."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(100, _text(3)), (101, _text(900)), (102, _text(901))], SCHEMA
+    ).write.parquet(str(landing / "b1.parquet"))
+    q = write_dedup_stream(
+        stream_documents_parquet(spark, str(landing), SCHEMA),
+        built.root, ckpt, out,
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {101, 102}
+    assert built.stats()["n_docs"] == 32
+
+    spark.createDataFrame(
+        [(200, _text(900)), (201, _text(902))], SCHEMA
+    ).write.parquet(str(landing / "b2.parquet"))
+    q2 = write_dedup_stream(
+        stream_documents_parquet(spark, str(landing), SCHEMA),
+        built.root, ckpt, out,
+    )
+    q2.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {101, 102, 201}  # 200 duplicates batch-1's 101
+    assert built.stats()["n_docs"] == 33
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path, built):
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    b = spark.createDataFrame([(500, _text(950))], SCHEMA)
+    assert dedup_batch_step(built.root, ckpt, out, b, 0) is True
+    assert dedup_batch_step(built.root, ckpt, out, b, 0) is False
+    assert spark.read.parquet(out).count() == 1
+    assert built.stats()["n_docs"] == 31
+
+
+def test_stream_matches_batch_decisions(spark, tmp_path, built):
+    """The streamed kept-set equals the batch operator's keep flags on
+    the same delta (one shared decision path, two drivers)."""
+    delta = spark.createDataFrame(
+        [(100, _text(3)), (101, _text(900)), (102, _text(900)), (103, _text(901))],
+        SCHEMA,
+    )
+    batch_keep = {
+        r["doc_id"]
+        for r in built.dedup_batch(delta).filter("keep").collect()
+    }
+    out = str(tmp_path / "curated")
+    dedup_batch_step(built.root, str(tmp_path / "ckpt"), out, delta, 0)
+    streamed = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert streamed == batch_keep == {101, 103}
