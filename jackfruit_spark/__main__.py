@@ -359,6 +359,8 @@ def cmd_pipeline(args) -> int:
         quality_model=quality_model,
         min_quality=args.min_quality,
         quality_alpha=args.quality_alpha,
+        url_dedup=args.url_dedup,
+        host_cap=args.host_cap,
     )
     packed.write.mode("overwrite").parquet(args.output)
     from jackfruit_spark.operators.curation import observation_rows
@@ -623,6 +625,15 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument(
         "--dedup", choices=("lsh", "semantic"), default="lsh",
         help="near-dup tier: shingle LSH or hashed-embedding SemDeDup",
+    )
+    pl.add_argument(
+        "--url-dedup", action="store_true",
+        help="URL tier: exact dedup on normalized URLs before any "
+             "text processing (the C4 pre-stage)",
+    )
+    pl.add_argument(
+        "--host-cap", type=int, default=None,
+        help="URL tier: at most N docs per host (RefinedWeb diversity)",
     )
     pl.add_argument(
         "--quality-positives", default=None,

@@ -417,6 +417,88 @@ def decontaminate(
     )
 
 
+def normalize_url(col: str | Column) -> Column:
+    """Canonical URL for dedup keys (the C4/RefinedWeb pre-stage):
+    lowercase, fragment stripped, tracking params removed (utm_*,
+    fbclid, gclid, msclkid, ref), dangling separators healed, scheme
+    and leading www. dropped, trailing slash trimmed. Pure expressions
+    — Catalyst-only, no UDF."""
+    u = F.lower(col if isinstance(col, Column) else F.col(col))
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(
+        u, r"[?&](utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*", ""
+    )
+    # a stripped leading param leaves 'path&k=v' — promote the first
+    # '&' back to '?' (only when no '?' remains before it)
+    u = F.regexp_replace(u, r"^([^?]*)&", "$1?")
+    u = F.regexp_replace(u, r"\?$", "")
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    return F.regexp_replace(u, r"/$", "")
+
+
+def url_host(col: str | Column) -> Column:
+    """Host of a ``normalize_url`` output (text before the first '/')."""
+    return F.substring_index(
+        col if isinstance(col, Column) else F.col(col), "/", 1
+    )
+
+
+def url_curation(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    host_cap: int | None = None,
+    quality_col: str | None = None,
+) -> DataFrame:
+    """URL-level curation, the cheap tier BEFORE content dedup (C4
+    dedups exact URLs; RefinedWeb caps per-host document counts so one
+    crawler-friendly domain cannot dominate the corpus):
+
+    - exact dedup on the NORMALIZED url (min ``id_col`` keeps, the
+      corpus keeper rule; docs with a null url pass through untouched);
+    - ``host_cap``: at most N docs per host, best-first by
+      ``quality_col`` (descending, nulls last) when given, else lowest
+      id first.
+
+    ONE exchange for both windows (the r7 window-reuse rule): an
+    explicit repartition on ``host`` — a subset of the url window's
+    (host, url) partition keys — satisfies both windows'
+    ClusteredDistribution, plan-asserted in tests. Same-url rows share
+    a host by construction, so the (host, url) key is equivalent to
+    url alone."""
+    # null-url docs get a UNIQUE synthetic key (their own id): each is
+    # its own url group AND its own "host", so they always survive and
+    # never pile into one null window partition (skew — a conditional
+    # window still sorts the whole null partition)
+    nu = F.when(F.col(url_col).isNotNull(), normalize_url(url_col)).otherwise(
+        F.concat(F.lit("\x00nourl:"), F.col(id_col).cast("string"))
+    )
+    out = (
+        df.withColumn("__nu", nu)
+        .withColumn("__host", url_host("__nu"))
+        .repartition("__host")
+    )
+    w_url = Window.partitionBy("__host", "__nu").orderBy(id_col)
+    out = (
+        out.withColumn("__rn", F.row_number().over(w_url))
+        .filter(F.col("__rn") == 1)
+    )
+    if host_cap is not None:
+        order = (
+            [F.col(quality_col).desc_nulls_last(), F.col(id_col)]
+            if quality_col
+            else [F.col(id_col)]
+        )
+        w_host = Window.partitionBy("__host").orderBy(*order)
+        out = (
+            out.withColumn("__hr", F.row_number().over(w_host))
+            .filter(F.col("__hr") <= host_cap)
+            .drop("__hr")
+        )
+    return out.drop("__nu", "__host", "__rn")
+
+
 def _apply_quality_tier(
     df: DataFrame,
     quality_model,
@@ -601,13 +683,22 @@ def warc_training_pipeline(
     min_quality: float | None = None,
     quality_alpha: float | None = None,
     quality_seed: int = 0,
+    url_dedup: bool = False,
+    host_cap: int | None = None,
 ):
     """End-to-end crawl-to-training-corpus composition (r8, VERDICT r7
     #7): WARC shards -> CDX manifest ranged reads -> boilerplate
-    extraction -> documents bridge -> token-count quality gate ->
-    [learned quality tier] -> MinHash-LSH near-dup dedup (banded pairs
-    -> connected components -> min-id keeper) -> GPT-style sequence
-    packing.
+    extraction -> documents bridge -> [URL tier] -> token-count quality
+    gate -> [learned quality tier] -> MinHash-LSH near-dup dedup
+    (banded pairs -> connected components -> min-id keeper) -> GPT-style
+    sequence packing.
+
+    ``url_dedup``/``host_cap`` enable the URL tier (``url_curation``:
+    normalized exact-URL dedup, per-host diversity cap) right after the
+    bridge — the cheap C4/RefinedWeb pre-stage that prunes before any
+    text is shingled. Window-only (no self-join), so it rides both the
+    observed chain and the dedup branch inline; stage ``url`` reports
+    its survivor count.
 
     Returns ``(packed, observations)``: per-stage row counts ride the
     SAME action that materializes ``packed`` via ``Observation`` (the
@@ -659,10 +750,21 @@ def warc_training_pipeline(
     # ACTIONS before the caller's one materializing action, and the
     # dedup branch + the packing branch both read this frame — without
     # the cache the WARC scan re-runs per CC round and per branch
-    docs_raw = persisted(warc_to_documents(scanned))
+    use_url = url_dedup or host_cap is not None
+    docs_raw = persisted(warc_to_documents(scanned, keep_url=use_url))
+
+    def url_stage(frame: DataFrame) -> DataFrame:
+        return (
+            url_curation(frame, "doc_id", "url", host_cap=host_cap)
+            if use_url
+            else frame
+        )
+
     toks = T.token_count("text")
-    gated_raw = docs_raw.filter(toks.between(min_tokens, max_tokens)).withColumn(
-        "n_tokens", toks
+    gated_raw = (
+        url_stage(docs_raw)
+        .filter(toks.between(min_tokens, max_tokens))
+        .withColumn("n_tokens", toks)
     )
 
     # learned quality tier: the scorer's featurize-join would duplicate
@@ -726,9 +828,16 @@ def warc_training_pipeline(
     # observed chain: the caller's single action flows each observe once
     obs_docs = Observation("docs")
     docs = docs_raw.observe(obs_docs, F.count(F.lit(1)).alias("rows"))
+    obs_url = None
+    urled = docs
+    if use_url:
+        obs_url = Observation("url")
+        urled = url_stage(docs).observe(
+            obs_url, F.count(F.lit(1)).alias("rows")
+        )
     obs_gated = Observation("gated")
     gated = (
-        docs.filter(toks.between(min_tokens, max_tokens))
+        urled.filter(toks.between(min_tokens, max_tokens))
         .withColumn("n_tokens", toks)
         .observe(obs_gated, F.count(F.lit(1)).alias("rows"))
     )
@@ -760,6 +869,8 @@ def warc_training_pipeline(
         )
     )
     obs = {"docs": obs_docs, "gated": obs_gated, "deduped": obs_dedup}
+    if obs_url is not None:
+        obs["url"] = obs_url
     if obs_quality is not None:
         obs["quality"] = obs_quality
     return packed, obs

@@ -587,14 +587,18 @@ def scan_warc_cdx(
     return manifest.select(*cols).mapInPandas(fetch, schema=WARC_RECORDS)
 
 
-def warc_to_documents(scanned: DataFrame, source: str = "warc") -> DataFrame:
+def warc_to_documents(
+    scanned: DataFrame, source: str = "warc", keep_url: bool = False
+) -> DataFrame:
     """Bridge WARC responses into the curation family's ``documents``
     shape (doc_id, text, lang, source, n_chars): successful HTML
     responses with non-empty extracted text, doc_id = stable 62-bit hash
     of the record id (deterministic across re-runs — the key-hash
     sampling discipline, q54), lang via the n-gram heuristic
     (functions/text.lang_id). The output plugs straight into exact/fuzzy
-    dedup, quality gates, DSIR, and packing."""
+    dedup, quality gates, DSIR, and packing. ``keep_url`` adds the raw
+    ``target_uri`` as a ``url`` column for the URL-tier curation
+    (``operators/curation.url_curation`` normalizes it)."""
     from pyspark.sql import functions as F
 
     from jackfruit_spark.functions.text import lang_id
@@ -611,12 +615,16 @@ def warc_to_documents(scanned: DataFrame, source: str = "warc") -> DataFrame:
             ).alias("doc_id"),
             F.col("text"),
             F.lit(source).alias("source"),
+            F.col("target_uri"),
         )
     )
-    return docs.select(
-        "doc_id",
-        "text",
+    cols = [
+        F.col("doc_id"),
+        F.col("text"),
         lang_id("text").alias("lang"),
-        "source",
+        F.col("source"),
         F.length("text").cast("long").alias("n_chars"),
-    )
+    ]
+    if keep_url:
+        cols.append(F.col("target_uri").alias("url"))
+    return docs.select(*cols)

@@ -159,6 +159,30 @@ def test_pipeline_unknown_dedup_raises(spark, shards):
         warc_training_pipeline(spark, shards, dedup="nope")
 
 
+def test_pipeline_url_tier(spark, shards):
+    """url_dedup alone drops nothing here (every synthetic URI is
+    distinct); host_cap bites hard (one shared host) and the observed
+    ``url`` stage reports the survivors."""
+    from jackfruit_spark.operators.curation import observation_rows
+
+    packed, obs = warc_training_pipeline(
+        spark, shards, min_tokens=60, url_dedup=True
+    )
+    packed.collect()
+    counts = {k: observation_rows(o) for k, o in obs.items()}
+    assert counts["docs"] == 43 and counts["url"] == 43
+    assert counts["gated"] == 42 and counts["deduped"] == 39
+
+    packed, obs = warc_training_pipeline(
+        spark, shards, min_tokens=60, host_cap=5
+    )
+    packed.collect()
+    counts = {k: observation_rows(o) for k, o in obs.items()}
+    # all pages share host t.example: the cap keeps the 5 lowest ids
+    assert counts["url"] == 5
+    assert counts["gated"] <= 5 and counts["deduped"] <= counts["gated"]
+
+
 def test_pipeline_quality_tier(spark, shards):
     """quality_model inserts an observed stage between the token gate and
     dedup. Constant-score models (zero weights, bias-only) pin the

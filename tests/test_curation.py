@@ -286,3 +286,70 @@ def test_deterministic_shuffle_no_global_sort(spark):
     p = plan_string(deterministic_shuffle(d, "doc_id", seed=7, num_partitions=8))
     assert "rangepartitioning" in p  # sampled range boundaries...
     assert "SinglePartition" not in p  # ...never a one-task global sort
+
+
+def test_normalize_url_cases(spark):
+    from jackfruit_spark.operators.curation import normalize_url, url_host
+
+    cases = [
+        ("https://WWW.Example.com/Path/?utm_source=x&utm_medium=y#frag",
+         "example.com/path"),
+        ("http://example.com/a?utm_x=1&real=2", "example.com/a?real=2"),
+        ("https://example.com/", "example.com"),
+        ("http://Example.com", "example.com"),
+        ("https://sub.example.com/p?fbclid=abc", "sub.example.com/p"),
+        ("example.com/bare", "example.com/bare"),
+    ]
+    d = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["n"]
+        for r in d.select(normalize_url("url").alias("n")).collect()
+    ]
+    assert got == [w for _, w in cases]
+    hosts = [
+        r["h"]
+        for r in d.select(url_host(normalize_url("url")).alias("h")).collect()
+    ]
+    assert hosts[0] == "example.com" and hosts[4] == "sub.example.com"
+
+
+def test_url_curation_dedup_and_host_cap(spark):
+    from jackfruit_spark.operators.curation import url_curation
+
+    rows = [
+        # same page, three spellings -> min id (1) keeps
+        (1, "https://example.com/a?utm_source=x", 0.9),
+        (2, "http://www.example.com/a", 0.8),
+        (3, "example.com/a/", 0.7),
+        # same host, distinct pages, quality-ordered for the cap
+        (4, "https://example.com/b", 0.5),
+        (5, "https://example.com/c", 0.95),
+        # other host untouched by example.com's cap
+        (6, "https://other.org/x", 0.1),
+        # null url always survives
+        (7, None, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, url string, q double")
+    no_cap = {r["doc_id"] for r in url_curation(d, "doc_id", "url").collect()}
+    assert no_cap == {1, 4, 5, 6, 7}
+    capped = {
+        r["doc_id"]
+        for r in url_curation(
+            d, "doc_id", "url", host_cap=2, quality_col="q"
+        ).collect()
+    }
+    # example.com keeps its best two by q (1: 0.9, 5: 0.95); 4 (0.5) drops
+    assert capped == {1, 5, 6, 7}
+
+
+def test_url_curation_single_exchange(spark):
+    """Both windows (url dedup + host cap) ride ONE explicit host
+    repartition (the r7 window-reuse rule: host is a subset of the url
+    window's (host, url) keys)."""
+    from jackfruit_spark.operators.curation import url_curation
+
+    d = spark.createDataFrame(
+        [(1, "https://example.com/a", 0.5)], "doc_id long, url string, q double"
+    )
+    p = plan_string(url_curation(d, "doc_id", "url", host_cap=3, quality_col="q"))
+    assert p.count("Exchange") == 1, p
