@@ -283,16 +283,35 @@ def cmd_train_classifier(args) -> int:
         solver=args.solver,
     )
     model.save(args.output)
-    print(
-        json.dumps(
-            {
-                "dim": model.dim,
-                "ngram": model.ngram,
-                "bias": round(model.bias, 6),
-                "output": args.output,
-            }
+    out = {
+        "dim": model.dim,
+        "ngram": model.ngram,
+        "bias": round(model.bias, 6),
+        "output": args.output,
+    }
+    if args.eval:
+        # training-slice AUC (sanity signal; costs one extra featurize
+        # pass over the two slices, hence opt-in)
+        from pyspark.sql import functions as F
+
+        from jackfruit_spark.functions.classifier import (
+            auc_score,
+            quality_scores,
         )
-    )
+
+        pos = spark.read.parquet(args.positives).withColumn(
+            "label", F.lit(1.0)
+        )
+        neg = spark.read.parquet(args.negatives).withColumn(
+            "label", F.lit(0.0)
+        )
+        both = pos.select("doc_id", "text", "label").unionByName(
+            neg.select("doc_id", "text", "label")
+        ).withColumn("doc_id", F.monotonically_increasing_id())
+        out["train_auc"] = round(
+            auc_score(quality_scores(both, model)), 4
+        )
+    print(json.dumps(out))
     return 0
 
 
@@ -666,6 +685,8 @@ def build_parser() -> argparse.ArgumentParser:
     tc.add_argument("--max-iter", type=int, default=50)
     tc.add_argument("--sample-fraction", type=float, default=None)
     tc.add_argument("--solver", choices=("local", "mllib"), default="local")
+    tc.add_argument("--eval", action="store_true",
+                    help="report training-slice AUC (one extra pass)")
     tc.add_argument("--cpus", default=None)
     tc.set_defaults(fn=cmd_train_classifier)
 

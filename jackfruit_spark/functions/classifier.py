@@ -328,6 +328,54 @@ def quality_scores(
     return df.join(scored, id_col)
 
 
+def auc_score(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "quality_score",
+    precision: int = 6,
+) -> float:
+    """Exact ROC-AUC of a scored frame (Mann-Whitney U with average
+    ranks for ties), shaped for scale: a naive rank is a GLOBAL window
+    — one single-partition sort of the corpus. Instead scores are
+    quantized to ``precision`` decimals (the repo's rounding
+    discipline; bounds distinct values), aggregated per distinct score
+    (one shuffle, corpus-sized), and the tie-aware U sum runs as a
+    cumulative window over the per-score frame — ordered, but over at
+    most 10^precision rows, not the corpus. Returns 0.5 when either
+    class is absent (undefined — the conventional coin-flip value).
+
+    U = sum over score groups g ascending of
+        n_pos(g) * (cum_neg_below(g) + n_neg(g)/2);  AUC = U / (P*N).
+    """
+    from pyspark.sql import Window
+
+    per_score = (
+        df.select(
+            F.round(F.col(score_col), precision).alias("__s"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").alias("__np"),
+            F.sum(F.lit(1.0) - F.col("__y")).alias("__nn"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    staged = per_score.withColumn(
+        "__cumneg", F.coalesce(F.sum("__nn").over(w), F.lit(0.0))
+    )
+    row = staged.select(
+        F.sum(
+            F.col("__np") * (F.col("__cumneg") + F.col("__nn") / 2.0)
+        ).alias("u"),
+        F.sum("__np").alias("p"),
+        F.sum("__nn").alias("n"),
+    ).collect()[0]
+    if not row["p"] or not row["n"]:
+        return 0.5
+    return float(row["u"]) / (float(row["p"]) * float(row["n"]))
+
+
 def pareto_keep_expr(
     score_col: str,
     id_col: str,

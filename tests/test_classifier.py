@@ -146,6 +146,56 @@ def test_train_vectors_dim_mismatch(spark):
         train_quality_vectors(bad, dim=128)
 
 
+def test_auc_matches_brute_force(spark):
+    """The grouped-cumulative AUC equals the O(P*N) pairwise definition
+    (ties counted half) on a corpus WITH duplicate scores, and hits the
+    textbook endpoints."""
+    import numpy as np
+
+    from jackfruit_spark.functions.classifier import auc_score
+
+    rng = np.random.default_rng(5)
+    scores = np.round(rng.uniform(size=200), 2)  # 2dp -> many ties
+    labels = (scores + rng.normal(scale=0.3, size=200) > 0.5).astype(float)
+    d = spark.createDataFrame(
+        [(float(s), float(y)) for s, y in zip(scores, labels)],
+        "quality_score double, label double",
+    )
+    got = auc_score(d)
+    pos, neg = scores[labels == 1.0], scores[labels == 0.0]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert got == pytest.approx(want, abs=1e-12)
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0)],
+        "quality_score double, label double",
+    )
+    assert auc_score(perfect) == pytest.approx(1.0)
+    inverted = spark.createDataFrame(
+        [(0.1, 1.0), (0.9, 0.0)], "quality_score double, label double"
+    )
+    assert auc_score(inverted) == pytest.approx(0.0)
+    one_class = spark.createDataFrame(
+        [(0.5, 1.0)], "quality_score double, label double"
+    )
+    assert auc_score(one_class) == 0.5
+
+
+def test_auc_on_trained_model(spark, model):
+    """The trained separator's AUC on held-out clean-vs-junk is ~1."""
+    from jackfruit_spark.functions.classifier import auc_score
+
+    held = spark.createDataFrame(
+        [(100 + i, t, 1.0) for i, (_, t) in enumerate(_mk(CLEAN_WORDS, 10, 61))]
+        + [(200 + i, t, 0.0) for i, (_, t) in enumerate(_mk(JUNK_WORDS, 10, 62))],
+        "doc_id int, text string, label double",
+    )
+    scored = quality_scores(held, model)
+    assert auc_score(scored) == pytest.approx(1.0)
+
+
 def test_pareto_semantics_and_determinism(spark):
     n = 400
     scored = spark.range(n).select(

@@ -175,9 +175,12 @@ def test_cli_curate_quality_tier(spark, tmp_path, capsys):
     rc = main([
         "train-classifier", "--positives", str(pos_dir),
         "--negatives", str(neg_dir), "--output", str(model_path),
+        "--eval",
     ])
     meta = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and meta["dim"] == 256 and model_path.exists()
+    # separable train slices: the reported AUC is ~1
+    assert meta["train_auc"] > 0.95
     out2 = tmp_path / "curated2"
     rc = main([
         "curate", "--input", str(src), "--output", str(out2),
