@@ -422,7 +422,9 @@ def normalize_url(col: str | Column) -> Column:
     lowercase, fragment stripped, tracking params removed (utm_*,
     fbclid, gclid, msclkid, ref), dangling separators healed, scheme
     and leading www. dropped, trailing slash trimmed. Pure expressions
-    — Catalyst-only, no UDF."""
+    — Catalyst-only, no UDF. Query-param ORDER is deliberately not
+    canonicalized (C4-style exact matching; reordered-param aliases are
+    rare and the content tiers catch them anyway)."""
     u = F.lower(col if isinstance(col, Column) else F.col(col))
     u = F.regexp_replace(u, r"#.*$", "")
     u = F.regexp_replace(

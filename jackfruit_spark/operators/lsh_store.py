@@ -262,6 +262,10 @@ class LshIndex:
         component, excluding any component that touches a corpus
         duplicate: its members transitively duplicate ingested data).
         Feed ``batch.filter`` on the flags' keep ids to ``append``.
+        Batch ids must be unique within the delta (the documents-shape
+        contract); short texts below the shingle width produce no
+        signature and always keep (unprobeable — same as the batch LSH
+        operators).
 
         The batch signatures are persisted (tracked) — they feed the
         corpus probe, the intra-batch join, and the optional verify;
@@ -338,16 +342,20 @@ class LshIndex:
         probeable by the next ``dedup_batch`` (reader handles refresh)."""
         m = self._manifest()
         path = self.data_path
-        sig = self._batch_sig(docs)
-        sigs_path = os.path.join(path, "sigs")
-        sig.write.mode("append").parquet(sigs_path)
-        # re-derive from the written files, like build: one shingle pass
-        appended = self.spark.read.parquet(sigs_path).join(
-            docs.select(m["id_col"]), m["id_col"], "left_semi"
-        )
-        self._write_postings(
-            appended, m, os.path.join(path, "postings"), "append"
-        )
+        # persist the DELTA's signatures for the two writes — build
+        # reads its own output back instead, but an append cannot
+        # isolate its new files from the old ones, and a semi-join
+        # against the full sigs table would make every append scan the
+        # whole corpus (O(corpus) appends — the exact cost the store
+        # exists to avoid)
+        sig = self._batch_sig(docs).persist()
+        try:
+            sig.write.mode("append").parquet(os.path.join(path, "sigs"))
+            self._write_postings(
+                sig, m, os.path.join(path, "postings"), "append"
+            )
+        finally:
+            sig.unpersist(blocking=False)
         self._invalidate()
         return self
 
@@ -415,14 +423,28 @@ class LshIndex:
         self._invalidate()
         postings, sigs = self._readers()
         n_docs = sigs.count()
-        n_postings = postings.count()
+        bucket = postings.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        row = bucket.select(
+            F.sum("n").alias("n_postings"),
+            F.max("n").alias("max_bucket"),
+            F.percentile_approx("n", 0.99).alias("p99_bucket"),
+        ).collect()[0]
         files = 0
         proot = os.path.join(self.data_path, "postings")
         for _, _, fs in os.walk(proot):
             files += sum(1 for f in fs if f.endswith(".parquet"))
         return {
             "n_docs": n_docs,
-            "n_postings": n_postings,
+            "n_postings": int(row["n_postings"] or 0),
+            # hot-bucket signal: a degenerate band value (boilerplate
+            # corpora) makes one probe reducer do |bucket| work per
+            # colliding delta doc — watch max_bucket like IvfIndex's
+            # imbalance, and cap with lsh_candidate_pairs-style
+            # max_bucket guards upstream if it grows
+            "max_bucket": int(row["max_bucket"] or 0),
+            "p99_bucket": int(row["p99_bucket"] or 0),
             "posting_files": files,
             "data_dir": self._manifest()["data_dir"],
         }
