@@ -455,9 +455,45 @@ def cmd_index_corpus(args) -> int:
         print(json.dumps({"root": args.root, "mode": "vacuum",
                           "removed": removed}))
         return 0
+    elif args.mode == "stats":
+        idx = LshIndex(spark, args.root)
     else:  # rebuild: dedup sigs -> fresh version -> manifest swap
         idx = LshIndex(spark, args.root).rebuild()
     print(json.dumps({"root": args.root, "mode": args.mode, **idx.stats()}))
+    return 0
+
+
+def cmd_chunk(args) -> int:
+    """Sliding-window chunking of a documents parquet
+    (operators/curation.chunk_documents): context-window prep for long
+    documents, with optional overlap via --stride."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.curation import chunk_documents
+
+    chunks = chunk_documents(
+        spark.read.parquet(args.input),
+        max_tokens=args.max_tokens,
+        stride=args.stride,
+    )
+    chunks.write.mode("overwrite").parquet(args.output)
+    from pyspark.sql import functions as F
+
+    out = spark.read.parquet(args.output)
+    row = out.select(
+        F.count(F.lit(1)).alias("chunks"),
+        F.countDistinct("doc_id").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "docs": row["docs"],
+                "chunks": row["chunks"],
+                "tokens": int(row["tokens"] or 0),
+                "output": args.output,
+            }
+        )
+    )
     return 0
 
 
@@ -730,7 +766,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ic.add_argument("--root", required=True)
     ic.add_argument(
-        "--mode", choices=["build", "append", "rebuild", "vacuum"],
+        "--mode",
+        choices=["build", "append", "rebuild", "vacuum", "stats"],
         default="build",
     )
     ic.add_argument("--input", default=None,
@@ -744,6 +781,19 @@ def build_parser() -> argparse.ArgumentParser:
     ic.add_argument("--parts", type=int, default=64)
     ic.add_argument("--cpus", default=None)
     ic.set_defaults(fn=cmd_index_corpus)
+
+    ck = sub.add_parser(
+        "chunk",
+        help="sliding-window chunking of long documents (overlap via "
+             "--stride)",
+    )
+    ck.add_argument("--input", required=True, help="documents parquet")
+    ck.add_argument("--output", required=True)
+    ck.add_argument("--max-tokens", type=int, default=512)
+    ck.add_argument("--stride", type=int, default=None,
+                    help="start offset step; < max-tokens overlaps")
+    ck.add_argument("--cpus", default=None)
+    ck.set_defaults(fn=cmd_chunk)
 
     dd = sub.add_parser(
         "dedup-delta",

@@ -896,6 +896,72 @@ def observation_rows(obs) -> int:
         return 0
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Sliding-window chunking for long documents — the context-window
+    prep that complements q61's concat-then-chunk packing (packing
+    fills fixed budgets across documents; chunking splits WITHIN one,
+    with overlap so no training context starts cold at a hard cut).
+
+    Emits ``(id, chunk_id, chunk_text, n_tokens)``: whitespace-token
+    windows of ``max_tokens`` starting every ``stride`` tokens
+    (default: no overlap, stride = max_tokens). The last window is the
+    final ``max_tokens`` tokens (clamped start — full-width whenever
+    the doc is long enough, never a sliver), so every token appears in
+    at least one chunk and chunk width is bounded by construction.
+
+    Shape: project the token array FIRST, then posexplode a computed
+    start-offset ``sequence`` and slice the materialized array — the
+    known interpreted-HOF trap otherwise re-runs the split per chunk
+    (CollapseProject inlines upstream projections into lambda bodies).
+    No shuffle, no window: pure per-row generation, embarrassingly
+    parallel at any corpus size."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be > 0, got {max_tokens}")
+    stride = max_tokens if stride is None else stride
+    if not 0 < stride <= max_tokens:
+        raise ValueError(
+            f"stride must be in (0, max_tokens={max_tokens}], got {stride}"
+        )
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    # clamped last start: max(0, n - max_tokens), aligned down to a
+    # stride multiple would UNDERSHOOT coverage — instead generate the
+    # stride grid to the clamp point and add the clamp itself
+    last = F.greatest(F.lit(0), F.col("__n") - F.lit(max_tokens))
+    starts = F.array_distinct(
+        F.concat(
+            F.sequence(F.lit(0), last, F.lit(stride)), F.array(last)
+        )
+    )
+    return (
+        toks.filter(F.col("__n") > 0)
+        .select(
+            id_col,
+            "__toks",
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start") + 1, max_tokens),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(max_tokens), F.size("__toks") - F.col("__start")
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, id_col: str, seed: int = 0, num_partitions: int | None = None
 ) -> DataFrame:

@@ -361,3 +361,21 @@ def test_cli_index_vectors_and_search(spark, tmp_path, capsys):
     )["rows"] == 120
 
     assert main(["index-vectors", "--root", root, "--mode", "append"]) == 2
+
+
+def test_cli_chunk(spark, tmp_path, capsys):
+    """`chunk`: documents parquet -> sliding-window chunks + stats line."""
+    import json as J
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b c")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "chunks")
+    rc = main(["chunk", "--input", src, "--output", out,
+               "--max-tokens", "4"])
+    stats = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert stats["docs"] == 2 and stats["chunks"] == 4  # 3 + 1
+    assert stats["tokens"] == 4 * 3 + 3

@@ -353,3 +353,81 @@ def test_url_curation_single_exchange(spark):
     )
     p = plan_string(url_curation(d, "doc_id", "url", host_cap=3, quality_col="q"))
     assert p.count("Exchange") == 1, p
+
+
+def test_chunk_documents_coverage_and_widths(spark):
+    from jackfruit_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(d, max_tokens=4).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # stride grid [0,4] + clamped last start 6: full-width tail, no sliver
+    assert [r["chunk_text"].split() for r in rows] == [
+        [f"t{i}" for i in range(0, 4)],
+        [f"t{i}" for i in range(4, 8)],
+        [f"t{i}" for i in range(6, 10)],
+    ]
+    assert all(r["n_tokens"] == 4 for r in rows)
+
+    # overlap: stride 2, max 4 over 8 tokens
+    text8 = " ".join(f"t{i}" for i in range(8))
+    d8 = spark.createDataFrame([(1, text8)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(d8, max_tokens=4, stride=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_text"].split()[0] for r in rows] == ["t0", "t2", "t4"]
+
+    # short doc: one partial chunk, nothing invented
+    ds = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    rows = chunk_documents(ds, max_tokens=4).collect()
+    assert len(rows) == 1 and rows[0]["chunk_text"] == "a b c"
+    assert rows[0]["n_tokens"] == 3
+
+
+def test_chunk_documents_every_token_covered(spark):
+    """Property over assorted lengths/strides: each token index appears
+    in at least one chunk, and non-overlapping stride reconstructs the
+    document exactly."""
+    from jackfruit_spark.operators.curation import chunk_documents
+
+    docs = [(n, " ".join(f"w{i}" for i in range(n))) for n in (1, 5, 16, 17, 100)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    for max_t, stride in ((16, 16), (16, 8), (7, 3)):
+        got = chunk_documents(d, max_tokens=max_t, stride=stride).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], set()).update(
+                r["chunk_text"].split()
+            )
+        for n, _ in docs:
+            assert by_doc[n] == {f"w{i}" for i in range(n)}, (n, max_t, stride)
+    # exact reconstruction at stride == max on an even multiple
+    even = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(32)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(even, max_tokens=8).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert " ".join(r["chunk_text"] for r in rows) == " ".join(
+        f"w{i}" for i in range(32)
+    )
+
+
+def test_chunk_documents_validation_and_plan(spark):
+    import pytest as _pytest
+
+    from jackfruit_spark.operators.curation import chunk_documents
+
+    d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(d, max_tokens=0)
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(d, max_tokens=4, stride=5)
+    # pure per-row generation: no shuffle anywhere in the plan
+    p = plan_string(chunk_documents(d, max_tokens=4, stride=2))
+    assert "Exchange" not in p, p

@@ -221,6 +221,9 @@ def test_cli_lifecycle(spark, corpus, tmp_path, capsys):
     rc = cli.main(["index-corpus", "--root", root, "--mode", "vacuum"])
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and st["removed"] == ["data_v1"]
+    rc = cli.main(["index-corpus", "--root", root, "--mode", "stats"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["n_docs"] == 51 and st["max_bucket"] >= 1
 
 
 def test_build_validates_geometry(spark, corpus, tmp_path):
