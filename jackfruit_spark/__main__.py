@@ -455,6 +455,10 @@ def cmd_index_corpus(args) -> int:
         print(json.dumps({"root": args.root, "mode": "vacuum",
                           "removed": removed}))
         return 0
+    elif args.mode == "maintain":
+        report = LshIndex(spark, args.root).maintain()
+        print(json.dumps({"root": args.root, "mode": "maintain", **report}))
+        return 0
     elif args.mode == "stats":
         idx = LshIndex(spark, args.root)
     else:  # rebuild: dedup sigs -> fresh version -> manifest swap
@@ -767,7 +771,7 @@ def build_parser() -> argparse.ArgumentParser:
     ic.add_argument("--root", required=True)
     ic.add_argument(
         "--mode",
-        choices=["build", "append", "rebuild", "vacuum", "stats"],
+        choices=["build", "append", "rebuild", "vacuum", "stats", "maintain"],
         default="build",
     )
     ic.add_argument("--input", default=None,

@@ -397,6 +397,36 @@ class LshIndex:
         self._invalidate()
         return self
 
+    def maintain(
+        self, max_files_per_part: float = 8.0, vacuum: bool = True
+    ) -> dict:
+        """The append-hygiene policy as one call (the IvfIndex.maintain
+        shape): rebuild iff EITHER signal trips —
+
+        - fragmentation: mean posting files per bp partition above
+          ``max_files_per_part`` (every append adds up to one file per
+          partition; probe latency grows with files opened);
+        - replay duplicates: sig ROWS exceeding DISTINCT ids (a crashed
+          retry re-appended a batch; duplicate ids pollute probe pairs
+          and inflate every bucket) — ``rebuild()`` collapses them.
+
+        Returns stats plus ``rebuilt``/``vacuumed``; cron-able as
+        ``python -m jackfruit_spark index-corpus --mode maintain``."""
+        st = self.stats()
+        _, sigs = self._readers()
+        m = self._manifest()
+        distinct_docs = sigs.select(m["id_col"]).distinct().count()
+        frag = st["posting_files"] / max(1, m["parts"])
+        replayed = st["n_docs"] > distinct_docs
+        rebuilt = frag > max_files_per_part or replayed
+        st["distinct_docs"] = distinct_docs
+        if rebuilt:
+            self.rebuild()
+            if vacuum:
+                st["vacuumed"] = self.vacuum()
+            st["after"] = self.stats()
+        return {**st, "rebuilt": rebuilt}
+
     def vacuum(self) -> list[str]:
         """Delete superseded data versions; returns removed dirs."""
         import shutil

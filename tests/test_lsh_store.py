@@ -226,6 +226,27 @@ def test_cli_lifecycle(spark, corpus, tmp_path, capsys):
     assert rc == 0 and st["n_docs"] == 51 and st["max_bucket"] >= 1
 
 
+def test_maintain_policy(spark, corpus, tmp_path):
+    """maintain() rebuilds on the replay signal (row count > distinct
+    ids) and reports clean health otherwise."""
+    idx = LshIndex.build(
+        corpus, "doc_id", "text", str(tmp_path / "idx"), parts=16
+    )
+    rep = idx.maintain()
+    assert rep["rebuilt"] is False and rep["distinct_docs"] == 50
+
+    extra = spark.createDataFrame(
+        [(100, _text(900))], "doc_id long, text string"
+    )
+    idx.append(extra)
+    idx.append(extra)  # replayed append
+    rep = idx.maintain()
+    assert rep["rebuilt"] is True
+    assert rep["n_docs"] == 52 and rep["distinct_docs"] == 51
+    assert rep["after"]["n_docs"] == 51
+    assert idx.maintain()["rebuilt"] is False
+
+
 def test_build_validates_geometry(spark, corpus, tmp_path):
     with pytest.raises(ValueError, match="num_hashes"):
         LshIndex.build(
