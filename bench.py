@@ -302,6 +302,27 @@ def bench_ivf(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def lsh_bench_delta(d):
+    """The 100-doc delta shape shared by bench_lsh and the scale
+    rehearsal's flat-alpha measurement (the two MUST stay identical or
+    the rehearsal's exponent stops describing the benched key): 50
+    exact dups of indexed docs + 50 word-reversed fresh docs."""
+    from pyspark.sql import functions as F
+
+    dups = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    fresh = d.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+    ).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.reverse(F.split(F.col("text"), " "))
+        ).alias("text"),
+    )
+    return dups.unionByName(fresh)
+
+
 def bench_lsh(spark, sf_dir: str) -> dict[str, float]:
     """Incremental-dedup pair (late r8, operators/lsh_store.py), the
     dedup twin of the served-ANN keys: build the persistent LSH
@@ -330,18 +351,7 @@ def bench_lsh(spark, sf_dir: str) -> dict[str, float]:
             t_build = min(t_build, round(time.perf_counter() - t0, 3))
             release_persisted()
             spark.catalog.clearCache()
-        dups = d.filter(F.col("doc_id") < 50).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
-        fresh = d.filter(
-            (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
-        ).select(
-            (F.col("doc_id") + 2_000_000).alias("doc_id"),
-            F.concat_ws(
-                " ", F.reverse(F.split(F.col("text"), " "))
-            ).alias("text"),
-        )
-        delta = dups.unionByName(fresh)
+        delta = lsh_bench_delta(d)
         t_delta = float("inf")
         for _ in range(REPEATS):
             t0 = time.perf_counter()

@@ -182,6 +182,17 @@ def cmd_curate(args) -> int:
         )
         lm = train_bigram_lm(train_df, "text")
     quality_model = None
+    if (
+        (args.quality_model or args.quality_positives)
+        and args.min_quality is None
+        and args.quality_alpha is None
+    ):
+        # a model with no cut knob would silently no-op — the same
+        # caller mistake _apply_quality_tier raises for
+        raise SystemExit(
+            "--quality-model/--quality-positives need --min-quality "
+            "and/or --quality-alpha"
+        )
     if args.min_quality is not None or args.quality_alpha is not None:
         if args.quality_model:
             from jackfruit_spark.functions.classifier import QualityClassifier
@@ -299,17 +310,26 @@ def cmd_train_classifier(args) -> int:
             quality_scores,
         )
 
-        pos = spark.read.parquet(args.positives).withColumn(
-            "label", F.lit(1.0)
+        # deterministic label-prefixed ids (the train_quality_classifier
+        # shape): the scorer equi-joins the frame against a featurized
+        # projection of itself, so the id expression is evaluated in
+        # separate subtrees — a nondeterministic id (e.g.
+        # monotonically_increasing_id) could diverge between them and
+        # silently join labels to the wrong embeddings
+        def tagged(path, tag, label):
+            return spark.read.parquet(path).select(
+                F.concat(
+                    F.lit(tag), F.col("doc_id").cast("string")
+                ).alias("__tid"),
+                "text",
+                F.lit(label).alias("label"),
+            )
+
+        both = tagged(args.positives, "p", 1.0).unionByName(
+            tagged(args.negatives, "n", 0.0)
         )
-        neg = spark.read.parquet(args.negatives).withColumn(
-            "label", F.lit(0.0)
-        )
-        both = pos.select("doc_id", "text", "label").unionByName(
-            neg.select("doc_id", "text", "label")
-        ).withColumn("doc_id", F.monotonically_increasing_id())
         out["train_auc"] = round(
-            auc_score(quality_scores(both, model)), 4
+            auc_score(quality_scores(both, model, id_col="__tid")), 4
         )
     print(json.dumps(out))
     return 0
@@ -329,6 +349,15 @@ def cmd_pipeline(args) -> int:
         spark.read.parquet(args.manifest) if args.manifest else None
     )
     quality_model = None
+    if (
+        (args.quality_model or args.quality_positives)
+        and args.min_quality is None
+        and args.quality_alpha is None
+    ):
+        raise SystemExit(
+            "--quality-model/--quality-positives need --min-quality "
+            "and/or --quality-alpha"
+        )
     if args.min_quality is not None or args.quality_alpha is not None:
         if args.quality_model:
             from jackfruit_spark.functions.classifier import QualityClassifier

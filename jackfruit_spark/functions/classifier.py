@@ -172,9 +172,13 @@ def train_quality_classifier(
         from pyspark.ml.classification import LogisticRegression
         from pyspark.ml.functions import array_to_vector
 
+        # no coalesce: an early A/B showed coalesce(1) shaving ~15% of
+        # job overhead at toy scale, but this solver exists precisely
+        # for samples too large to collect — funneling them through one
+        # task would defeat it (code-review r8)
         train = labeled.select(
             array_to_vector(F.col("x")).alias("features"), "label"
-        ).coalesce(1)
+        )
         lr = LogisticRegression(
             maxIter=max_iter,
             regParam=reg,

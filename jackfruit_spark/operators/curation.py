@@ -776,9 +776,15 @@ def warc_training_pipeline(
     # shape as the dedup keeper.
     q_keep = None
     if quality_model is not None:
-        gated_raw = _apply_quality_tier(
-            gated_raw, quality_model, "doc_id", "text",
-            min_quality, quality_alpha, quality_seed,
+        # persist the quality-filtered frame: its featurize-join
+        # (hashed embedding + equi-join) would otherwise re-run for
+        # every consumer — the dedup branch's signatures, CC's nodes
+        # join, and the observed chain's semi-join (code-review r8)
+        gated_raw = persisted(
+            _apply_quality_tier(
+                gated_raw, quality_model, "doc_id", "text",
+                min_quality, quality_alpha, quality_seed,
+            )
         )
         q_keep = gated_raw.select("doc_id")
 
@@ -928,10 +934,16 @@ def chunk_documents(
         raise ValueError(
             f"stride must be in (0, max_tokens={max_tokens}], got {stride}"
         )
-    toks = df.select(
-        F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
-    ).withColumn("__n", F.size("__toks"))
+    # empty/whitespace-only texts must emit NO chunks: split(trim(""))
+    # yields [""] (size 1, one phantom token) — gate on trimmed length
+    toks = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+        )
+        .withColumn("__n", F.size("__toks"))
+    )
     # clamped last start: max(0, n - max_tokens), aligned down to a
     # stride multiple would UNDERSHOOT coverage — instead generate the
     # stride grid to the clamp point and add the clamp itself

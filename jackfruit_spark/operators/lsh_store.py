@@ -133,12 +133,7 @@ class LshIndex:
         spark = docs.sparkSession
         idx = LshIndex(spark, root)
         os.makedirs(root, exist_ok=True)
-        versions = [
-            int(d[len("data_v"):])
-            for d in os.listdir(root)
-            if d.startswith("data_v") and d[len("data_v"):].isdigit()
-        ]
-        data_dir = f"data_v{max(versions, default=0) + 1}"
+        data_dir = idx._next_version()
         meta = {
             "id_col": id_col,
             "text_col": text_col,
@@ -160,11 +155,7 @@ class LshIndex:
             spark.read.parquet(sigs_path), meta,
             os.path.join(root, data_dir, "postings"), "overwrite",
         )
-        tmp = idx.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, idx.manifest_path)
-        idx._meta = meta
+        idx._swap_manifest(meta)
         return idx
 
     @staticmethod
@@ -179,6 +170,24 @@ class LshIndex:
             hash_family=meta["hash_family"],
         ).withColumn("bp", F.pmod(F.col("band_hash"), F.lit(meta["parts"])))
         postings.write.mode(mode).partitionBy("bp").parquet(path)
+
+    def _next_version(self) -> str:
+        versions = [
+            int(d[len("data_v"):])
+            for d in os.listdir(self.root)
+            if d.startswith("data_v") and d[len("data_v"):].isdigit()
+        ]
+        return f"data_v{max(versions, default=0) + 1}"
+
+    def _swap_manifest(self, meta: dict) -> None:
+        """tmp-write + os.replace: the atomic-swap invariant (a crash
+        leaves the OLD version live) that build and rebuild both rely
+        on — one implementation so a future fix cannot miss a copy."""
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.manifest_path)
+        self._meta = meta
 
     # ------------------------------------------------------------ probe
 
@@ -376,12 +385,7 @@ class LshIndex:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        versions = [
-            int(d[len("data_v"):])
-            for d in os.listdir(self.root)
-            if d.startswith("data_v") and d[len("data_v"):].isdigit()
-        ]
-        data_dir = f"data_v{max(versions, default=0) + 1}"
+        data_dir = self._next_version()
         sigs_path = os.path.join(self.root, data_dir, "sigs")
         deduped.write.mode("overwrite").parquet(sigs_path)
         self._write_postings(
@@ -389,11 +393,7 @@ class LshIndex:
             os.path.join(self.root, data_dir, "postings"), "overwrite",
         )
         m["data_dir"] = data_dir
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, self.manifest_path)
-        self._meta = m
+        self._swap_manifest(m)
         self._invalidate()
         return self
 

@@ -13,15 +13,16 @@ Shape, same discipline as ``streaming/vectors.py``: ``readStream`` →
 would hide batch-appended files from readers; and the index append must
 refresh reader caches, which only the batch path does). Replays: the
 checkpoint-side ledger (max applied batch id, tmp+rename) skips
-at-or-below batches. The crash window — output written, index
-appended, ledger not bumped — is naturally idempotent on the OUTPUT
-side only if the index append landed (the replayed docs then collide
-with their own signatures and nothing new is written); the ledger
-closes the window where it did not, and ``LshIndex.rebuild()`` absorbs
-duplicated signatures either way (the documented maintenance step).
+at-or-below batches; for the windows the ledger cannot close, the step
+stages its keep/drop decisions per batch and writes output as an
+idempotent per-batch overwrite — ``dedup_batch_step``'s docstring walks
+the crash positions. The one at-least-once leg is the signature append;
+``LshIndex.maintain()`` detects and collapses the duplicates.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -51,29 +52,49 @@ def dedup_batch_step(
     batch_id: int,
     est_threshold: float | None = None,
 ) -> bool:
-    """One foreachBatch step, exposed for tests: ledger-skip replays,
-    else flag the batch against the index, append the kept docs to
-    ``out_dir`` (batch parquet append) and their signatures to the
-    index, then bump the ledger. Returns whether the batch applied.
+    """One foreachBatch step, exposed for tests. Replay-safe by
+    construction, not by recomputation:
 
-    The kept frame is persisted for its two consumers (the output write
-    and the signature append would otherwise re-run the probe joins),
-    and released before returning — foreachBatch owns the action, so
-    unlike the batch operators there IS a safe unpersist point here."""
+    - Keep/drop DECISIONS are staged to ``checkpoint/flags/batch_id=N``
+      before anything else and REUSED on replay — recomputing them
+      after a partial crash would see the batch's own appended
+      signatures and flag everything as a corpus duplicate (a replayed
+      overwrite would then EMPTY the batch's output: data loss).
+    - The curated output is an idempotent per-batch overwrite
+      (``out_dir/batch_id=N`` — batch_id surfaces as a partition column
+      when reading ``out_dir``), so no crash position can duplicate or
+      lose output rows.
+    - The index append is the one remaining at-least-once leg (a crash
+      between it and the ledger bump re-appends the batch's
+      signatures); duplicate sigs are harmless to probe correctness
+      (candidate pairs are distinct'd) and ``LshIndex.maintain()``
+      detects and collapses them — the documented maintenance step.
+
+    Returns whether the batch applied."""
     if batch_id <= _applied_max(checkpoint):
         return False
-    idx = LshIndex(batch_df.sparkSession, index_root)
+    spark = batch_df.sparkSession
+    idx = LshIndex(spark, index_root)
     id_col = idx._manifest()["id_col"]
-    flags = idx.dedup_batch(batch_df, est_threshold=est_threshold)
-    kept = batch_df.join(
-        flags.filter("keep").select(id_col), id_col, "left_semi"
-    ).persist()
+    flags_dir = os.path.join(checkpoint, "flags", f"batch_id={batch_id}")
     try:
-        kept.write.mode("append").parquet(out_dir)
-        idx.append(kept)
-        _record_applied(checkpoint, batch_id)
+        if not os.path.exists(os.path.join(flags_dir, "_SUCCESS")):
+            idx.dedup_batch(batch_df, est_threshold=est_threshold).write.mode(
+                "overwrite"
+            ).parquet(flags_dir)
+        flags = spark.read.parquet(flags_dir)
+        kept = batch_df.join(
+            flags.filter("keep").select(id_col), id_col, "left_semi"
+        ).persist()
+        try:
+            kept.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
+            idx.append(kept)
+            _record_applied(checkpoint, batch_id)
+        finally:
+            kept.unpersist(blocking=False)
     finally:
-        kept.unpersist(blocking=False)
         # dedup_batch's tracked persists (batch signatures) would
         # accumulate over a long-running stream; releasing is always
         # correct (_persist contract) and each batch re-signatures its
@@ -93,7 +114,8 @@ def write_dedup_stream(
 ):
     """availableNow dedup of landed document batches against an
     EXISTING index (build it first — the probe needs the manifest's
-    LSH geometry). Output: curated parquet under ``out_dir``."""
+    LSH geometry). Output: curated parquet under ``out_dir``, one
+    ``batch_id=N`` partition per landed batch."""
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
         dedup_batch_step(

@@ -384,18 +384,9 @@ def main() -> None:
                     release_persisted()
                     spark.catalog.clearCache()
                 results["lsh_index_build"][m] = t_build
-                dups = d.filter(F.col("doc_id") < 50).select(
-                    (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-                )
-                fresh = d.filter(
-                    (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
-                ).select(
-                    (F.col("doc_id") + 2_000_000).alias("doc_id"),
-                    F.concat_ws(
-                        " ", F.reverse(F.split(F.col("text"), " "))
-                    ).alias("text"),
-                )
-                delta = dups.unionByName(fresh)
+                from bench import lsh_bench_delta
+
+                delta = lsh_bench_delta(d)
                 best = float("inf")
                 for _ in range(args.repeats):
                     t0 = time.perf_counter()

@@ -163,6 +163,13 @@ def test_cli_curate_quality_tier(spark, tmp_path, capsys):
             "curate", "--input", str(src), "--output", str(out_dir),
             "--min-quality", "0.5",
         ])
+    # ... and a model/positives with NO cut knob would silently no-op —
+    # also a usage error (code-review r8)
+    with _pytest.raises(SystemExit, match="min-quality"):
+        main([
+            "curate", "--input", str(src), "--output", str(out_dir),
+            "--quality-positives", str(pos_dir),
+        ])
 
     # train-once / score-many: `train-classifier` saves the model JSON,
     # `curate --quality-model` reproduces the inline-trained result

@@ -387,6 +387,15 @@ def test_chunk_documents_coverage_and_widths(spark):
     assert len(rows) == 1 and rows[0]["chunk_text"] == "a b c"
     assert rows[0]["n_tokens"] == 3
 
+    # empty / whitespace-only / null texts emit NO chunks (split of a
+    # trimmed empty string would otherwise yield one phantom token)
+    de = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real token")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(de, max_tokens=4).collect()
+    assert [r["doc_id"] for r in rows] == [4]
+
 
 def test_chunk_documents_every_token_covered(spark):
     """Property over assorted lengths/strides: each token index appears

@@ -71,6 +71,30 @@ def test_replayed_batch_is_skipped(spark, tmp_path, built):
     assert built.stats()["n_docs"] == 31
 
 
+def test_replay_after_partial_crash_preserves_output(spark, tmp_path, built):
+    """The worst crash position: output written AND signatures appended,
+    ledger NOT bumped. The replay must reuse the STAGED decisions — a
+    recomputation would see the batch's own signatures in the index,
+    flag everything as a corpus duplicate, and overwrite the batch's
+    output with an empty set (data loss). The re-append duplicates
+    signatures, which maintain() detects and collapses."""
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    b = spark.createDataFrame(
+        [(500, _text(950)), (501, _text(951))], SCHEMA
+    )
+    assert dedup_batch_step(built.root, ckpt, out, b, 0) is True
+    import os
+
+    os.remove(os.path.join(ckpt, "_jackfruit_applied.json"))  # crash sim
+    assert dedup_batch_step(built.root, ckpt, out, b, 0) is True
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {500, 501}  # neither duplicated nor lost
+    rep = built.maintain()
+    assert rep["rebuilt"] is True  # duplicate sigs detected + collapsed
+    assert rep["after"]["n_docs"] == 32
+
+
 def test_stream_matches_batch_decisions(spark, tmp_path, built):
     """The streamed kept-set equals the batch operator's keep flags on
     the same delta (one shared decision path, two drivers)."""
