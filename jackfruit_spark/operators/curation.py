@@ -431,12 +431,18 @@ def normalize_url(col: str | Column) -> Column:
         u, r"[?&](utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*", ""
     )
     # a stripped leading param leaves 'path&k=v' — promote the first
-    # '&' back to '?' (only when no '?' remains before it)
-    u = F.regexp_replace(u, r"^([^?]*)&", "$1?")
-    u = F.regexp_replace(u, r"\?$", "")
-    u = F.regexp_replace(u, r"^https?://", "")
-    u = F.regexp_replace(u, r"^www\.", "")
-    return F.regexp_replace(u, r"/$", "")
+    # '&' back to '?' (only when no '?' remains before it AND a
+    # key=value actually follows: a bare trailing '&' must NOT become
+    # '?', or the tail-strip below makes the function non-idempotent —
+    # hypothesis found '…&' -> '&' -> '' across two passes)
+    u = F.regexp_replace(u, r"^([^?]*)&(?=[^&=?]*=)", "$1?")
+    # repeated prefixes stripped in ONE pass ('https://https://x',
+    # 'www.www.x' — one-layer strips fail the idempotence fuzz)
+    u = F.regexp_replace(u, r"^(https?://)+", "")
+    u = F.regexp_replace(u, r"^(www\.)+", "")
+    # trailing separator runs as one strip: '/', '?', '&' in any mix
+    # ('a?/' and 'a/?' both land on 'a' in a single pass)
+    return F.regexp_replace(u, r"[/?&]+$", "")
 
 
 def url_host(col: str | Column) -> Column:

@@ -1,0 +1,97 @@
+"""Measure the LshIndex probe's PartitionFilters payoff: a small
+delta's corpus-candidate join with the bp IN-list prune vs the same
+join over the full postings scan — interleaved A/B in one session (the
+repo's cross-session-wobble rule).
+
+Uses the rehearsal's x10 zipf corpus (50k docs) and its prebuilt index
+if present (scripts/scale_rehearsal.py leaves lsh_idx* under the mult
+dirs); builds one otherwise. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from jackfruit_spark import queries as Q  # noqa: E402
+from jackfruit_spark import release_persisted  # noqa: E402
+from jackfruit_spark.operators.dedup import banded_signatures  # noqa: E402
+from jackfruit_spark.operators.lsh_store import LshIndex  # noqa: E402
+from jackfruit_spark.session import get_spark  # noqa: E402
+
+
+def probe(idx, batch_sig, prune: bool) -> float:
+    m = idx._manifest()
+    id_col = m["id_col"]
+    postings, _ = idx._readers()
+    banded_b = banded_signatures(
+        batch_sig, id_col,
+        bands=m["bands"], rows_per_band=m["rows_per_band"],
+        hash_family=m["hash_family"],
+    ).withColumn("bp", F.pmod(F.col("band_hash"), F.lit(m["parts"])))
+    t0 = time.perf_counter()
+    side = postings
+    if prune:
+        bps = [r["bp"] for r in banded_b.select("bp").distinct().collect()]
+        side = postings.filter(F.col("bp").isin(bps))
+    (
+        banded_b.join(
+            side.select(
+                F.col(id_col).alias("corpus_id"), "band", "band_hash"
+            ),
+            ["band", "band_hash"],
+        )
+        .select(id_col, "corpus_id")
+        .distinct()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jackfruit_scale/mult10_zipf"
+    spark = get_spark("lsh-prune-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = Q.load(spark, sf, "documents")
+    root = os.path.join(sf, "lsh_idx0")
+    if os.path.exists(os.path.join(root, "lsh_manifest.json")):
+        idx = LshIndex(spark, root)
+    else:
+        idx = LshIndex.build(d, "doc_id", "text", root)
+
+    # 3-doc delta: the serving-scale probe (one landed page, one dup)
+    delta = d.filter(F.col("doc_id") < 3)
+    sig = idx._batch_sig(delta).persist()
+    sig.count()  # materialize once; both arms read the same cached sigs
+
+    res: dict[str, list[float]] = {"pruned": [], "full": []}
+    for _ in range(4):  # interleaved, warm
+        res["full"].append(probe(idx, sig, prune=False))
+        res["pruned"].append(probe(idx, sig, prune=True))
+        spark.catalog.clearCache()
+        sig.persist()
+        sig.count()
+    release_persisted()
+    print(
+        json.dumps(
+            {
+                "corpus_docs": d.count(),
+                "parts": idx._manifest()["parts"],
+                "pruned_min": min(res["pruned"]),
+                "full_min": min(res["full"]),
+                "runs": res,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

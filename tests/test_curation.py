@@ -440,3 +440,28 @@ def test_chunk_documents_validation_and_plan(spark):
     # pure per-row generation: no shuffle anywhere in the plan
     p = plan_string(chunk_documents(d, max_tokens=4, stride=2))
     assert "Exchange" not in p, p
+
+
+def test_normalize_url_idempotent_fuzz(spark):
+    """Property: normalization is idempotent (a second pass changes
+    nothing) and total (no crash) over adversarial URL shapes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jackfruit_spark.operators.curation import normalize_url
+
+    urls = st.text(
+        alphabet="abcXYZ019:/?&=#._-%~ ", min_size=0, max_size=60
+    ).map(lambda s: "https://" + s)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(urls, min_size=1, max_size=8))
+    def check(batch):
+        d = spark.createDataFrame([(u,) for u in batch], "url string")
+        once = d.select(normalize_url("url").alias("u"))
+        twice = once.select(normalize_url("u").alias("u"))
+        assert [r["u"] for r in once.collect()] == [
+            r["u"] for r in twice.collect()
+        ]
+
+    check()
