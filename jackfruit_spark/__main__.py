@@ -530,6 +530,47 @@ def cmd_chunk(args) -> int:
     return 0
 
 
+def cmd_mix(args) -> int:
+    """Source-weighted epoch composition (operators/curation.mix_corpus):
+    sample a documents parquet to a token budget with per-source target
+    weights — scarce sources upsample with an epoch column."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.curation import mix_corpus
+
+    try:
+        weights = {
+            k: float(v)
+            for k, v in (p.split("=", 1) for p in args.weights.split(","))
+        }
+    except ValueError:
+        raise SystemExit(
+            "--weights must be 'source=w,source=w,...' with numeric w"
+        )
+    out = mix_corpus(
+        spark.read.parquet(args.input),
+        weights,
+        total_tokens=args.total_tokens,
+        seed=args.seed,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.functions import text as T
+
+    stats = {
+        r["source"]: {"docs": r["docs"], "tokens": int(r["toks"])}
+        for r in spark.read.parquet(args.output)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(T.token_count("text")).alias("toks"),
+        )
+        .collect()
+    }
+    print(json.dumps({"sources": stats, "output": args.output}))
+    return 0
+
+
 def cmd_dedup_delta(args) -> int:
     """Dedup a delta parquet against the LSH index: write the KEPT
     docs (and optionally the full flags) out, append the kept docs'
@@ -827,6 +868,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="start offset step; < max-tokens overlaps")
     ck.add_argument("--cpus", default=None)
     ck.set_defaults(fn=cmd_chunk)
+
+    mx = sub.add_parser(
+        "mix",
+        help="source-weighted token-budget mixture (epoch upsampling)",
+    )
+    mx.add_argument("--input", required=True, help="documents parquet")
+    mx.add_argument("--output", required=True)
+    mx.add_argument("--weights", required=True,
+                    help="'source=w,source=w,...' target mixture weights")
+    mx.add_argument("--total-tokens", type=int, required=True)
+    mx.add_argument("--seed", type=int, default=0)
+    mx.add_argument("--cpus", default=None)
+    mx.set_defaults(fn=cmd_mix)
 
     dd = sub.add_parser(
         "dedup-delta",

@@ -908,6 +908,81 @@ def observation_rows(obs) -> int:
         return 0
 
 
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    seed: int = 0,
+    max_repeat: float = 20.0,
+) -> DataFrame:
+    """Source-weighted epoch composition — the LLaMA/GPT mixture stage:
+    given target ``weights`` per source and a ``total_tokens`` budget,
+    emit a corpus whose expected per-source token mass is
+    ``weight_s / sum(weights) * total_tokens``, downsampling abundant
+    sources and UPSAMPLING scarce ones (whole copies + a fractional
+    remainder — small high-quality sources legitimately repeat across
+    an epoch; the returned ``epoch`` column distinguishes copies so
+    downstream packing/shuffling can key on (id, epoch)).
+
+    One statistics pass (per-source token totals, driver-collected —
+    sources are few by definition), then a broadcast of the per-source
+    ratio and a pure generate+filter: every decision is a seeded
+    ``xxhash64(id, epoch)`` comparison (the deterministic-sampling
+    discipline: rerun- and partitioning-stable, no rand()). Sources
+    absent from ``weights`` are dropped; a ratio above ``max_repeat``
+    raises (a typoed budget would silently explode the corpus)."""
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be > 0, got {total_tokens}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+    from jackfruit_spark.functions import text as T
+
+    stats = {
+        r["s"]: r["toks"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(T.token_count(text_col)).alias("toks"))
+        .collect()
+    }
+    ratios = []
+    for s, w in weights.items():
+        if s not in stats or not stats[s]:
+            continue
+        r = (w / wsum) * total_tokens / float(stats[s])
+        if r > max_repeat:
+            raise ValueError(
+                f"source {s!r} would repeat {r:.1f}x (> max_repeat="
+                f"{max_repeat}); shrink its weight or raise the guard"
+            )
+        ratios.append((s, r))
+    if not ratios:
+        raise ValueError("no weighted source present in the corpus")
+    plan = df.sparkSession.createDataFrame(
+        ratios, f"{source_col} string, __r double"
+    )
+    full = F.floor("__r").cast("int")
+    u = (
+        F.pmod(
+            F.xxhash64(
+                F.col(id_col).cast("string"), F.col("epoch"), F.lit(int(seed))
+            ),
+            F.lit(1_000_000),
+        )
+        + 1
+    ).cast("double") / F.lit(1_000_002.0)
+    return (
+        df.join(F.broadcast(plan), source_col)
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), full)).alias("epoch")
+        )
+        .filter((F.col("epoch") < full) | (u < F.col("__r") - full))
+        .drop("__r")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -386,3 +386,28 @@ def test_cli_chunk(spark, tmp_path, capsys):
     assert rc == 0
     assert stats["docs"] == 2 and stats["chunks"] == 4  # 3 + 1
     assert stats["tokens"] == 4 * 3 + 3
+
+
+def test_cli_mix(spark, tmp_path, capsys):
+    """`mix`: weighted token-budget mixture with per-source stats."""
+    import json as J
+
+    src = str(tmp_path / "docs")
+    rows = [(i, " ".join(f"w{j}" for j in range(20)), "a") for i in range(50)]
+    rows += [(100 + i, " ".join(f"r{j}" for j in range(20)), "b") for i in range(5)]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(src)
+    out = str(tmp_path / "mixed")
+    rc = main(["mix", "--input", src, "--output", out,
+               "--weights", "a=0.5,b=0.5", "--total-tokens", "400"])
+    stats = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and set(stats["sources"]) == {"a", "b"}
+    # b upsamples (100 tokens available, 200 targeted): epoch column present
+    got = spark.read.parquet(out)
+    assert "epoch" in got.columns
+    assert stats["sources"]["b"]["tokens"] >= 100
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="weights"):
+        main(["mix", "--input", src, "--output", out,
+              "--weights", "a=x", "--total-tokens", "100"])

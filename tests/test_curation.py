@@ -465,3 +465,64 @@ def test_normalize_url_idempotent_fuzz(spark):
         ]
 
     check()
+
+
+def test_mix_corpus_budget_and_upsampling(spark):
+    """Expected token mass per source tracks the weights; a scarce
+    source upsamples via whole epoch copies + fractional remainder;
+    reruns are identical (seeded hash decisions)."""
+    from jackfruit_spark.operators.curation import mix_corpus
+
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    # big: 500 docs x ~20 tokens ≈ 10k tokens; rare: 10 docs ≈ 200
+    for i in range(500):
+        rows.append((i, " ".join(f"w{rng.randrange(50)}" for _ in range(20)), "big"))
+    for i in range(10):
+        rows.append((1000 + i, " ".join(f"r{j}" for j in range(20)), "rare"))
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = mix_corpus(
+        d, {"big": 0.5, "rare": 0.5}, total_tokens=2000, seed=7
+    )
+    from pyspark.sql import functions as F
+    from jackfruit_spark.functions import text as T
+
+    got = {
+        r["source"]: r["toks"]
+        for r in out.groupBy("source")
+        .agg(F.sum(T.token_count("text")).alias("toks"))
+        .collect()
+    }
+    # each side targets 1000 tokens; hash sampling is binomial — allow
+    # generous slack on the downsampled side, exact-ish on the upsampled
+    assert 600 < got["big"] < 1400, got
+    assert 800 <= got["rare"] <= 1200, got
+    # rare upsamples: ratio 1000/200 = 5 -> epochs 0..4 fully present
+    epochs = {
+        r["epoch"]
+        for r in out.filter(F.col("source") == "rare").collect()
+    }
+    assert {0, 1, 2, 3} <= epochs
+    # deterministic rerun
+    a = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mix_corpus(
+            d, {"big": 0.5, "rare": 0.5}, total_tokens=2000, seed=7
+        ).collect()
+    )
+    assert a == b
+    # unweighted sources drop; ratio guard trips on absurd budgets
+    assert (
+        mix_corpus(d, {"rare": 1.0}, 200).filter(
+            F.col("source") == "big"
+        ).count()
+        == 0
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_repeat"):
+        mix_corpus(d, {"rare": 1.0}, 10_000_000)
