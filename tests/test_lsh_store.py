@@ -226,6 +226,44 @@ def test_cli_lifecycle(spark, corpus, tmp_path, capsys):
     assert rc == 0 and st["n_docs"] == 51 and st["max_bucket"] >= 1
 
 
+def test_dedup_matches_union_lsh(spark, corpus, index):
+    """The incremental probe is EQUIVALENT to the one-shot operator:
+    dedup_batch's corpus-duplicate set equals the (delta, corpus) pairs
+    of lsh_candidate_pairs over the UNION of corpus and delta, under
+    identical LSH geometry — the store changes the I/O shape, never the
+    candidate semantics."""
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    delta_rows = [(200 + i, _text(800 + i)) for i in range(15)] + [
+        (300 + i, _text(i)) for i in range(5)  # 5 corpus near-copies
+    ]
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+    union = corpus.unionByName(delta)
+    sig = minhash_signatures(
+        union, "doc_id", "text", num_hashes=32, k=3
+    )
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=4)
+    # (delta, corpus) pairs from the one-shot operator (a<b ordering:
+    # corpus ids are < 200, delta ids >= 200 here, so corpus is id_a)
+    expected = {
+        r["id_b"]
+        for r in pairs.filter(
+            (F.col("id_a") < 200) & (F.col("id_b") >= 200)
+        ).collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in index.dedup_batch(delta).filter("dup_of_corpus").collect()
+    }
+    assert got == expected
+    assert {300, 301, 302, 303, 304} <= got  # the seeded copies found
+
+
 def test_maintain_policy(spark, corpus, tmp_path):
     """maintain() rebuilds on the replay signal (row count > distinct
     ids) and reports clean health otherwise."""
