@@ -430,16 +430,19 @@ def normalize_url(col: str | Column) -> Column:
     u = F.regexp_replace(
         u, r"[?&](utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*", ""
     )
-    # a stripped leading param leaves 'path&k=v' — promote the first
-    # '&' back to '?' (only when no '?' remains before it AND a
-    # key=value actually follows: a bare trailing '&' must NOT become
-    # '?', or the tail-strip below makes the function non-idempotent —
-    # hypothesis found '…&' -> '&' -> '' across two passes)
-    u = F.regexp_replace(u, r"^([^?]*)&(?=[^&=?]*=)", "$1?")
-    # repeated prefixes stripped in ONE pass ('https://https://x',
-    # 'www.www.x' — one-layer strips fail the idempotence fuzz)
-    u = F.regexp_replace(u, r"^(https?://)+", "")
-    u = F.regexp_replace(u, r"^(www\.)+", "")
+    # a stripped leading param leaves 'path&k=v' — promote the FIRST
+    # '&' back to '?'. [^?&]* (not [^?]*): a greedy any-non-? prefix
+    # promoted the LAST '&' of 'page&a=1&b=2' -> 'page&a=1?b=2', a
+    # wrong key AND non-idempotent (code-review r8). No '=' lookahead:
+    # valueless params ('?download') must promote too, and the bare-
+    # trailing-'&' case the lookahead guarded is absorbed by the tail
+    # strip below ('p&' -> 'p?' -> 'p', same as the clean twin).
+    u = F.regexp_replace(u, r"^([^?&]*)&", "$1?")
+    # prefixes stripped in ONE pass, INTERLEAVED: separate
+    # (https?://)+ and (www\.)+ passes left 'www.https://x' ->
+    # 'https://x' (scheme strip ran first, the inner scheme survived
+    # to bucket its host as 'https:')
+    u = F.regexp_replace(u, r"^((https?://)|(www\.))+", "")
     # trailing separator runs as one strip: '/', '?', '&' in any mix
     # ('a?/' and 'a/?' both land on 'a' in a single pass)
     return F.regexp_replace(u, r"[/?&]+$", "")
@@ -932,10 +935,19 @@ def mix_corpus(
     ratio and a pure generate+filter: every decision is a seeded
     ``xxhash64(id, epoch)`` comparison (the deterministic-sampling
     discipline: rerun- and partitioning-stable, no rand()). Sources
-    absent from ``weights`` are dropped; a ratio above ``max_repeat``
-    raises (a typoed budget would silently explode the corpus)."""
+    absent from ``weights`` are dropped (subsetting is deliberate);
+    the inverse — a WEIGHTED source with no corpus tokens — raises, as
+    does a ratio above ``max_repeat`` (a typoed name or budget must
+    not silently shrink or explode the epoch), and negative weights
+    raise (exclusion is spelled by omission)."""
     if total_tokens <= 0:
         raise ValueError(f"total_tokens must be > 0, got {total_tokens}")
+    negative = {s: w for s, w in weights.items() if w < 0}
+    if negative:
+        # a negative ratio would flow into sequence(0, floor(r)) whose
+        # negative auto-step emits epoch=-1 garbage rows — exclusion is
+        # spelled by OMITTING the source, not a negative weight
+        raise ValueError(f"weights must be >= 0, got {negative}")
     wsum = float(sum(weights.values()))
     if wsum <= 0:
         raise ValueError("weights must sum to > 0")
@@ -947,9 +959,19 @@ def mix_corpus(
         .agg(F.sum(T.token_count(text_col)).alias("toks"))
         .collect()
     }
+    missing = [
+        s for s, w in weights.items() if w > 0 and not stats.get(s)
+    ]
+    if missing:
+        # the same guard philosophy as max_repeat: a typoed source name
+        # must not silently vanish that share of the token budget
+        raise ValueError(
+            f"weighted sources have no tokens in the corpus: {missing} "
+            f"(present: {sorted(stats)})"
+        )
     ratios = []
     for s, w in weights.items():
-        if s not in stats or not stats[s]:
+        if not w:
             continue
         r = (w / wsum) * total_tokens / float(stats[s])
         if r > max_repeat:

@@ -73,12 +73,14 @@ def main() -> None:
     sig.count()  # materialize once; both arms read the same cached sigs
 
     res: dict[str, list[float]] = {"pruned": [], "full": []}
-    for _ in range(4):  # interleaved, warm
+    rounds = 4
+    for i in range(rounds):  # interleaved, warm
         res["full"].append(probe(idx, sig, prune=False))
         res["pruned"].append(probe(idx, sig, prune=True))
-        spark.catalog.clearCache()
-        sig.persist()
-        sig.count()
+        if i < rounds - 1:  # no wasted re-materialization after the last
+            spark.catalog.clearCache()
+            sig.persist()
+            sig.count()
     release_persisted()
     print(
         json.dumps(

@@ -401,10 +401,12 @@ def test_cli_mix(spark, tmp_path, capsys):
                "--weights", "a=0.5,b=0.5", "--total-tokens", "400"])
     stats = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and set(stats["sources"]) == {"a", "b"}
-    # b upsamples (100 tokens available, 200 targeted): epoch column present
+    # b upsamples (100 tokens available, 200 targeted = ratio exactly
+    # 2.0): two full epoch copies, zero fractional — EXACTLY 200 tokens,
+    # deterministically (>= 100 would pass with upsampling broken)
     got = spark.read.parquet(out)
     assert "epoch" in got.columns
-    assert stats["sources"]["b"]["tokens"] >= 100
+    assert stats["sources"]["b"]["tokens"] == 200
 
     import pytest as _pytest
 

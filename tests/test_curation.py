@@ -299,6 +299,13 @@ def test_normalize_url_cases(spark):
         ("http://Example.com", "example.com"),
         ("https://sub.example.com/p?fbclid=abc", "sub.example.com/p"),
         ("example.com/bare", "example.com/bare"),
+        # code-review r8 regressions: FIRST-& promotion with multiple
+        # surviving params (greedy prefix promoted the last), valueless
+        # params, and interleaved scheme/www prefixes
+        ("https://example.com/page?utm_source=x&a=1&b=2",
+         "example.com/page?a=1&b=2"),
+        ("https://ex.com/p?utm_source=x&flag", "ex.com/p?flag"),
+        ("www.https://example.com/x", "example.com/x"),
     ]
     d = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [
@@ -450,8 +457,10 @@ def test_normalize_url_idempotent_fuzz(spark):
 
     from jackfruit_spark.operators.curation import normalize_url
 
+    # alphabet must be able to SPELL 'https://' and 'www.' mid-string,
+    # or the prefix-strip regexes are fuzzed vacuously (code-review r8)
     urls = st.text(
-        alphabet="abcXYZ019:/?&=#._-%~ ", min_size=0, max_size=60
+        alphabet="abchpstw019:/?&=#._-%~ ", min_size=0, max_size=60
     ).map(lambda s: "https://" + s)
 
     @settings(max_examples=30, deadline=None)
@@ -526,3 +535,9 @@ def test_mix_corpus_budget_and_upsampling(spark):
 
     with _pytest.raises(ValueError, match="max_repeat"):
         mix_corpus(d, {"rare": 1.0}, 10_000_000)
+    # a typoed source name must not silently vanish its budget share
+    with _pytest.raises(ValueError, match="no tokens"):
+        mix_corpus(d, {"big": 0.5, "bigg": 0.5}, 2000)
+    # negative weights would emit epoch=-1 garbage via sequence(0,-1)
+    with _pytest.raises(ValueError, match=">= 0"):
+        mix_corpus(d, {"big": 2.0, "rare": -1.0}, 2000)
