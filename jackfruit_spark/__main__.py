@@ -571,6 +571,41 @@ def cmd_mix(args) -> int:
     return 0
 
 
+def cmd_split(args) -> int:
+    """Leakage-safe train/val/test split (operators/curation.
+    split_corpus): deterministic hash assignment, train docs that
+    near-duplicate any held-out doc purged, written partitioned by
+    split."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.curation import split_corpus
+
+    try:
+        fractions = {
+            k: float(v)
+            for k, v in (p.split("=", 1) for p in args.fractions.split(","))
+        }
+    except ValueError:
+        raise SystemExit(
+            "--fractions must be 'name=f,name=f,...' with numeric f"
+        )
+    out = split_corpus(
+        spark.read.parquet(args.input),
+        fractions,
+        seed=args.seed,
+        purge_leakage=not args.no_purge,
+    )
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    counts = {
+        r["split"]: r["count"]
+        for r in spark.read.parquet(args.output)
+        .groupBy("split")
+        .count()
+        .collect()
+    }
+    print(json.dumps({"splits": counts, "output": args.output}))
+    return 0
+
+
 def cmd_dedup_delta(args) -> int:
     """Dedup a delta parquet against the LSH index: write the KEPT
     docs (and optionally the full flags) out, append the kept docs'
@@ -868,6 +903,20 @@ def build_parser() -> argparse.ArgumentParser:
                     help="start offset step; < max-tokens overlaps")
     ck.add_argument("--cpus", default=None)
     ck.set_defaults(fn=cmd_chunk)
+
+    sp = sub.add_parser(
+        "split",
+        help="leakage-safe train/val/test split (near-dup purge)",
+    )
+    sp.add_argument("--input", required=True, help="documents parquet")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--fractions", default="train=0.98,val=0.01,test=0.01",
+                    help="'name=f,...'; the FIRST split is leakage-purged")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--no-purge", action="store_true",
+                    help="hash assignment only, keep cross-split near-dups")
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_split)
 
     mx = sub.add_parser(
         "mix",

@@ -911,6 +911,101 @@ def observation_rows(obs) -> int:
         return 0
 
 
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    purge_leakage: bool = True,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Deterministic train/val/test split with near-duplicate leakage
+    purging: assign each doc a split by seeded hash (rerun- and
+    partitioning-stable — the deterministic-sampling discipline), then
+    remove every doc in the FIRST split (by convention training) that
+    is an LSH near-duplicate of a doc in ANY other split — a held-out
+    document whose near-copy remains in training silently inflates
+    eval scores (the q63 decontamination concern applied to the
+    corpus's own splits; held-out rows are never dropped).
+
+    ``fractions``: ordered mapping, e.g. ``{"train": .98, "val": .01,
+    "test": .01}`` — must sum to ~1; the first key is the purged side.
+    Output: the input columns plus ``split``. The purge is the
+    LSH-candidate tier (no exact-Jaccard verify): dropping a
+    false-positive train doc costs a document; keeping a false-negative
+    leak costs eval validity — asymmetric, so candidates are enough.
+    """
+    fsum = float(sum(fractions.values()))
+    if not 0.999 <= fsum <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {fsum}")
+    if any(v < 0 for v in fractions.values()):
+        raise ValueError("fractions must be >= 0")
+    names = list(fractions)
+    u = (
+        F.pmod(
+            F.xxhash64(
+                F.col(id_col).cast("string"), F.lit(int(seed)),
+                F.lit("split"),
+            ),
+            F.lit(1_000_000),
+        )
+    ).cast("double") / F.lit(1_000_000.0)
+    expr = F.lit(names[-1])
+    acc = 0.0
+    cuts = []
+    for n in names[:-1]:
+        acc += fractions[n] / fsum
+        cuts.append((n, acc))
+    for n, c in reversed(cuts):
+        expr = F.when(u < F.lit(c), F.lit(n)).otherwise(expr)
+    out = df.withColumn("split", expr)
+    if not purge_leakage or len(names) < 2:
+        return out
+
+    from jackfruit_spark._persist import persisted
+    from jackfruit_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    train = names[0]
+    sig = minhash_signatures(
+        out.select(id_col, text_col, "split"), id_col, text_col,
+        num_hashes=num_hashes, k=shingle_k,
+    )
+    # pairs over the WHOLE corpus, then keep the cross-split ones:
+    # banding already bounds the join to colliding buckets, and the
+    # split column rejoins by id (signatures frame drops it)
+    pairs = lsh_candidate_pairs(
+        sig, id_col, bands=bands, rows_per_band=rows_per_band
+    )
+    splits = persisted(out.select(id_col, "split"))
+    sa = splits.select(
+        F.col(id_col).alias("id_a"), F.col("split").alias("__sa")
+    )
+    sb = splits.select(
+        F.col(id_col).alias("id_b"), F.col("split").alias("__sb")
+    )
+    crossed = pairs.join(sa, "id_a").join(sb, "id_b").filter(
+        F.col("__sa") != F.col("__sb")
+    )
+    leaked = (
+        crossed.filter(F.col("__sa") == train)
+        .select(F.col("id_a").alias(id_col))
+        .unionByName(
+            crossed.filter(F.col("__sb") == train).select(
+                F.col("id_b").alias(id_col)
+            )
+        )
+        .distinct()
+    )
+    return out.join(leaked, id_col, "left_anti")
+
+
 def mix_corpus(
     df: DataFrame,
     weights: dict[str, float],

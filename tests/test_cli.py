@@ -413,3 +413,31 @@ def test_cli_mix(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit, match="weights"):
         main(["mix", "--input", src, "--output", out,
               "--weights", "a=x", "--total-tokens", "100"])
+
+
+def test_cli_split(spark, tmp_path, capsys):
+    """`split`: deterministic split parquet partitioned by split, with a
+    near-dup leak purged from train."""
+    import json as J
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(300)}" for _ in range(25)))
+        for i in range(300)
+    ]
+    rows += [(10_000 + i, rows[i][1]) for i in range(20)]  # clones
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "splits")
+    rc = main(["split", "--input", src, "--output", out,
+               "--fractions", "train=0.5,heldout=0.5", "--seed", "3"])
+    stats = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and set(stats["splits"]) == {"train", "heldout"}
+    got = spark.read.parquet(out)
+    # every clone pair that straddles the boundary lost its train member
+    t = {r["doc_id"] for r in got.filter("split = 'train'").collect()}
+    h = {r["doc_id"] for r in got.filter("split = 'heldout'").collect()}
+    for i in range(20):
+        assert not (i in t and 10_000 + i in h)
+        assert not (10_000 + i in t and i in h)
