@@ -663,6 +663,25 @@ def cmd_ann_search(args) -> int:
     return 0
 
 
+def cmd_ann_serve(args) -> int:
+    """HTTP listener over a built ANN index (functions/ann_http.py):
+    GET /health + GET /v1/ann/search — the ANN twin of `serve`."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.functions.ann_http import make_server
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+
+    server = make_server(
+        IvfIndex(spark, args.root), host=args.host, port=args.port
+    )
+    host, port = server.server_address[:2]
+    print(json.dumps({"listening": f"http://{host}:{port}"}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="jackfruit_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -959,6 +978,15 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--rerank", type=int, default=50)
     an.add_argument("--cpus", default=None)
     an.set_defaults(fn=cmd_ann_search)
+
+    asv = sub.add_parser(
+        "ann-serve", help="HTTP listener over a built ANN index"
+    )
+    asv.add_argument("--root", required=True)
+    asv.add_argument("--host", default="127.0.0.1")
+    asv.add_argument("--port", type=int, default=8081)
+    asv.add_argument("--cpus", default=None)
+    asv.set_defaults(fn=cmd_ann_serve)
 
     sv = sub.add_parser("serve", help="HTTP listener: GET /v1/environmental + /health")
     sv.add_argument("--host", default="127.0.0.1")

@@ -1,0 +1,106 @@
+"""HTTP serving for the cell-partitioned ANN index — the ANN twin of
+``grid/http_server.py`` (the reference's serving layer is HTTP,
+serving-go/internal/api/handler.go:26-28; the grid side mirrors it, and
+a served ANN index deserves the same surface). Same split of concerns:
+``handle_ann_search`` carries every semantic (validation 400, empty
+index/opaque failure 500, envelope 200) with no transport, and the
+listener is nothing but a stdlib ThreadingHTTPServer parsing the query
+string.
+
+Routes: GET /health (liveness, no Spark), GET /v1/ann/search with
+``vec`` (comma-separated floats, required), ``k``, ``nprobe``,
+``mode`` (exact|adc), ``rerank``. At production scale the same handler
+sits behind a real ASGI front; the semantics live here either way.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from jackfruit_spark.functions.ivf_store import IvfIndex
+
+
+def handle_ann_search(index: IvfIndex, params: dict) -> tuple[int, dict]:
+    """Transport-free request handler: parse/validate knobs, run the
+    index search, shape the envelope. Returns (status, body)."""
+    raw = params.get("vec")
+    if not raw:
+        return 400, {"error": "missing required parameter 'vec'"}
+    try:
+        vec = [float(x) for x in raw.split(",") if x != ""]
+    except ValueError:
+        return 400, {"error": "vec must be comma-separated floats"}
+    dim = len(index.centroids[0])
+    if len(vec) != dim:
+        return 400, {"error": f"vec has {len(vec)} dims, index has {dim}"}
+    try:
+        k = int(params.get("k", 10))
+        nprobe = int(params.get("nprobe", 16))
+        rerank = int(params.get("rerank", 50))
+    except ValueError:
+        return 400, {"error": "k/nprobe/rerank must be integers"}
+    if k <= 0 or nprobe <= 0:
+        return 400, {"error": "k and nprobe must be > 0"}
+    mode = params.get("mode", "exact")
+    if mode not in ("exact", "adc"):
+        return 400, {"error": f"unknown mode {mode!r} (exact|adc)"}
+    id_col = index._manifest()["id_col"]
+    try:
+        rows = index.search(
+            vec, k=k, nprobe=nprobe, mode=mode, rerank=rerank
+        ).collect()
+    except Exception as e:  # noqa: BLE001 — opaque failures are 500s
+        return 500, {"error": f"{type(e).__name__}: {e}"[:300]}
+    return 200, {
+        "neighbors": [
+            {"id": r[id_col], "cosine_sim": r["cosine_sim"]} for r in rows
+        ],
+        "k": k,
+        "nprobe": nprobe,
+        "mode": mode,
+    }
+
+
+def _make_handler(index: IvfIndex):
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (http.server API)
+            parsed = urlparse(self.path)
+            if parsed.path == "/health":
+                self._send(200, {"status": "ok"})
+                return
+            if parsed.path != "/v1/ann/search":
+                self._send(404, {"error": "not found"})
+                return
+            params = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+            status, body = handle_ann_search(index, params)
+            self._send(status, body)
+
+        def _send(self, status: int, body: dict) -> None:
+            payload = json.dumps(body).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *args):  # quiet: stdout belongs to the CLI
+            pass
+
+    return Handler
+
+
+def make_server(
+    index: IvfIndex, host: str = "127.0.0.1", port: int = 8080
+) -> ThreadingHTTPServer:
+    """Bound but not yet serving — call serve_forever() (or
+    serve_background for tests). port=0 binds an ephemeral port."""
+    return ThreadingHTTPServer((host, port), _make_handler(index))
+
+
+def serve_background(server: ThreadingHTTPServer) -> threading.Thread:
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return t

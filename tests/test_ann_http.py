@@ -1,0 +1,81 @@
+"""HTTP round-trips against the ANN listener (functions/ann_http.py):
+health, exact and ADC search envelopes, parity with the direct
+IvfIndex.search, and the 400-validation family."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from jackfruit_spark.functions.ann_http import make_server, serve_background
+from jackfruit_spark.functions.ivf_store import IvfIndex
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=DIM)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    idx = IvfIndex.build(
+        df, "vec_id", "embedding",
+        str(tmp_path_factory.mktemp("annhttp") / "idx"),
+        k=4, seed=42, pq_m=4, sample_fraction=1.0,
+    )
+    server = make_server(idx, port=0)
+    serve_background(server)
+    host, port = server.server_address[:2]
+    yield f"http://{host}:{port}", idx, rows
+    server.shutdown()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_and_search_parity(served):
+    base, idx, rows = served
+    assert _get(f"{base}/health") == (200, {"status": "ok"})
+
+    qv = rows[7][1]
+    vec = ",".join(str(x) for x in qv)
+    status, body = _get(f"{base}/v1/ann/search?vec={vec}&k=5&nprobe=4")
+    assert status == 200 and body["mode"] == "exact"
+    direct = idx.search(qv, k=5, nprobe=4).collect()
+    assert [n["id"] for n in body["neighbors"]] == [
+        r["vec_id"] for r in direct
+    ]
+    assert body["neighbors"][0]["id"] == 7  # own vector is its 1-NN
+
+    status, body = _get(
+        f"{base}/v1/ann/search?vec={vec}&k=5&nprobe=4&mode=adc"
+    )
+    assert status == 200 and body["mode"] == "adc"
+    assert body["neighbors"][0]["id"] == 7
+
+
+def test_validation_envelope(served):
+    base, _, _ = served
+    for q, frag in (
+        ("k=5", "vec"),                              # missing vec
+        ("vec=a,b&k=5", "floats"),                   # unparseable
+        ("vec=1.0,2.0&k=5", "dims"),                 # wrong width
+        (f"vec={','.join('1' for _ in range(DIM))}&k=0", "> 0"),
+        (f"vec={','.join('1' for _ in range(DIM))}&mode=warp", "mode"),
+        (f"vec={','.join('1' for _ in range(DIM))}&k=x", "integers"),
+    ):
+        status, body = _get(f"{base}/v1/ann/search?{q}")
+        assert status == 400 and frag in body["error"], (q, body)
+    status, _ = _get(f"{base}/nope")
+    assert status == 404
