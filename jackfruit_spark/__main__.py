@@ -130,6 +130,8 @@ def cmd_serve(args) -> int:
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+    finally:
+        server.server_close()  # release the listening socket
     return 0
 
 
@@ -595,13 +597,18 @@ def cmd_split(args) -> int:
         purge_leakage=not args.no_purge,
     )
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
-    counts = {
-        r["split"]: r["count"]
-        for r in spark.read.parquet(args.output)
-        .groupBy("split")
-        .count()
-        .collect()
-    }
+    # seed with zeros: a split that received no rows must read 0, not
+    # vanish from the report (indistinguishable from a typoed name)
+    counts = {n: 0 for n in fractions}
+    counts.update(
+        {
+            r["split"]: r["count"]
+            for r in spark.read.parquet(args.output)
+            .groupBy("split")
+            .count()
+            .collect()
+        }
+    )
     print(json.dumps({"splits": counts, "output": args.output}))
     return 0
 
@@ -671,14 +678,17 @@ def cmd_ann_serve(args) -> int:
     from jackfruit_spark.functions.ivf_store import IvfIndex
 
     server = make_server(
-        IvfIndex(spark, args.root), host=args.host, port=args.port
+        IvfIndex(spark, args.root), host=args.host, port=args.port,
+        timeout_s=args.timeout,
     )
     host, port = server.server_address[:2]
     print(json.dumps({"listening": f"http://{host}:{port}"}), flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        pass
+        server.shutdown()
+    finally:
+        server.server_close()  # release the listening socket
     return 0
 
 
@@ -985,6 +995,8 @@ def build_parser() -> argparse.ArgumentParser:
     asv.add_argument("--root", required=True)
     asv.add_argument("--host", default="127.0.0.1")
     asv.add_argument("--port", type=int, default=8081)
+    asv.add_argument("--timeout", type=float, default=18.0,
+                    help="per-request deadline seconds (504 past it)")
     asv.add_argument("--cpus", default=None)
     asv.set_defaults(fn=cmd_ann_serve)
 

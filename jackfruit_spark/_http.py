@@ -1,0 +1,67 @@
+"""Shared stdlib HTTP transport for the serving layers.
+
+Both listeners (grid ``/v1/environmental``, ANN ``/v1/ann/search``) are
+deliberately nothing but transport — semantics live in their
+transport-free handlers — so the plumbing (query-string parse, JSON
+envelope write, quiet logging, threaded server, background helper) is
+ONE implementation here instead of two drifting copies (code-review
+r8: the copies had already diverged on the timeout knob).
+
+``routes``: path -> fn(params: dict) -> (status, body). A handler that
+raises is answered with a GENERIC 500 — internal errors must not leak
+to clients (the reference's handler_test discipline, mirrored from
+grid/serving.py) — rather than a closed connection.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from collections.abc import Callable
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+Handler = Callable[[dict], "tuple[int, dict]"]
+
+
+def _make_handler(routes: dict[str, Handler]):
+    class _H(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (http.server API)
+            parsed = urlparse(self.path)
+            fn = routes.get(parsed.path)
+            if fn is None:
+                self._send(404, {"error": "not found"})
+                return
+            params = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+            try:
+                status, body = fn(params)
+            except Exception:  # noqa: BLE001 — never leak internals
+                status, body = 500, {"error": "internal server error"}
+            self._send(status, body)
+
+        def _send(self, status: int, body: dict) -> None:
+            payload = json.dumps(body).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *args):  # quiet: stdout belongs to the CLI
+            pass
+
+    return _H
+
+
+def make_routed_server(
+    routes: dict[str, Handler], host: str = "127.0.0.1", port: int = 8080
+) -> ThreadingHTTPServer:
+    """Bound but not yet serving — call serve_forever() (or use
+    serve_background for tests). port=0 binds an ephemeral port."""
+    return ThreadingHTTPServer((host, port), _make_handler(routes))
+
+
+def serve_background(server: ThreadingHTTPServer) -> threading.Thread:
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return t

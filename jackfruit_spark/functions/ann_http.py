@@ -2,30 +2,45 @@
 ``grid/http_server.py`` (the reference's serving layer is HTTP,
 serving-go/internal/api/handler.go:26-28; the grid side mirrors it, and
 a served ANN index deserves the same surface). Same split of concerns:
-``handle_ann_search`` carries every semantic (validation 400, empty
-index/opaque failure 500, envelope 200) with no transport, and the
-listener is nothing but a stdlib ThreadingHTTPServer parsing the query
-string.
+``handle_ann_search`` carries every semantic with no transport —
+validation 400, deadline 504 (the grid's 18 s execution-guard
+machinery, ``grid/serving._collect_with_deadline``), opaque failure
+500 with a GENERIC body (internal errors must not leak — the
+reference's handler_test discipline), envelope 200 — and the listener
+is the shared stdlib transport (``jackfruit_spark/_http.py``).
+
+Long-lived-process discipline: the handler REFRESHES the index's
+cached manifest per request, so an external ``rebuild()`` +
+``vacuum()`` (the maintain policy) swaps under a running server
+cleanly — a pinned manifest would resolve the vacuumed data dir and
+500 every search until restart (code-review r8; the grid side's analog
+is the stale-serving-manifest fallback).
 
 Routes: GET /health (liveness, no Spark), GET /v1/ann/search with
 ``vec`` (comma-separated floats, required), ``k``, ``nprobe``,
-``mode`` (exact|adc), ``rerank``. At production scale the same handler
-sits behind a real ASGI front; the semantics live here either way.
+``mode`` (exact|adc), ``rerank``.
 """
 
 from __future__ import annotations
 
-import json
-import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from http.server import ThreadingHTTPServer
 
+from jackfruit_spark._http import make_routed_server, serve_background  # noqa: F401  (re-export)
 from jackfruit_spark.functions.ivf_store import IvfIndex
 
 
-def handle_ann_search(index: IvfIndex, params: dict) -> tuple[int, dict]:
-    """Transport-free request handler: parse/validate knobs, run the
-    index search, shape the envelope. Returns (status, body)."""
+def handle_ann_search(
+    index: IvfIndex, params: dict, timeout_s: float | None = 18.0
+) -> tuple[int, dict]:
+    """Transport-free request handler: refresh the manifest cache,
+    parse/validate knobs, run the search under the request deadline,
+    shape the envelope. Returns (status, body); raises nothing the
+    transport's generic-500 net shouldn't catch."""
+    from jackfruit_spark.grid.serving import (
+        QueryTimeoutError,
+        _collect_with_deadline,
+    )
+
     raw = params.get("vec")
     if not raw:
         return 400, {"error": "missing required parameter 'vec'"}
@@ -33,27 +48,35 @@ def handle_ann_search(index: IvfIndex, params: dict) -> tuple[int, dict]:
         vec = [float(x) for x in raw.split(",") if x != ""]
     except ValueError:
         return 400, {"error": "vec must be comma-separated floats"}
-    dim = len(index.centroids[0])
-    if len(vec) != dim:
-        return 400, {"error": f"vec has {len(vec)} dims, index has {dim}"}
     try:
         k = int(params.get("k", 10))
         nprobe = int(params.get("nprobe", 16))
         rerank = int(params.get("rerank", 50))
     except ValueError:
         return 400, {"error": "k/nprobe/rerank must be integers"}
-    if k <= 0 or nprobe <= 0:
-        return 400, {"error": "k and nprobe must be > 0"}
+    if k <= 0 or nprobe <= 0 or rerank < 0:
+        return 400, {"error": "k and nprobe must be > 0, rerank >= 0"}
     mode = params.get("mode", "exact")
     if mode not in ("exact", "adc"):
         return 400, {"error": f"unknown mode {mode!r} (exact|adc)"}
-    id_col = index._manifest()["id_col"]
     try:
-        rows = index.search(
-            vec, k=k, nprobe=nprobe, mode=mode, rerank=rerank
-        ).collect()
-    except Exception as e:  # noqa: BLE001 — opaque failures are 500s
-        return 500, {"error": f"{type(e).__name__}: {e}"[:300]}
+        # per-request refresh: see the maintain-under-a-running-server
+        # note in the module docstring
+        index.refresh()
+        dim = len(index.centroids[0])
+        if len(vec) != dim:
+            return 400, {
+                "error": f"vec has {len(vec)} dims, index has {dim}"
+            }
+        id_col = index._manifest()["id_col"]
+        rows = _collect_with_deadline(
+            index.search(vec, k=k, nprobe=nprobe, mode=mode, rerank=rerank),
+            timeout_s,
+        )
+    except QueryTimeoutError:
+        return 504, {"error": f"query exceeded {timeout_s}s deadline"}
+    except Exception:  # noqa: BLE001 — never leak internals to clients
+        return 500, {"error": "internal server error"}
     return 200, {
         "neighbors": [
             {"id": r[id_col], "cosine_sim": r["cosine_sim"]} for r in rows
@@ -64,43 +87,21 @@ def handle_ann_search(index: IvfIndex, params: dict) -> tuple[int, dict]:
     }
 
 
-def _make_handler(index: IvfIndex):
-    class Handler(BaseHTTPRequestHandler):
-        def do_GET(self):  # noqa: N802 (http.server API)
-            parsed = urlparse(self.path)
-            if parsed.path == "/health":
-                self._send(200, {"status": "ok"})
-                return
-            if parsed.path != "/v1/ann/search":
-                self._send(404, {"error": "not found"})
-                return
-            params = {k: v[0] for k, v in parse_qs(parsed.query).items()}
-            status, body = handle_ann_search(index, params)
-            self._send(status, body)
-
-        def _send(self, status: int, body: dict) -> None:
-            payload = json.dumps(body).encode("utf-8")
-            self.send_response(status)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(payload)))
-            self.end_headers()
-            self.wfile.write(payload)
-
-        def log_message(self, *args):  # quiet: stdout belongs to the CLI
-            pass
-
-    return Handler
-
-
 def make_server(
-    index: IvfIndex, host: str = "127.0.0.1", port: int = 8080
+    index: IvfIndex,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    timeout_s: float | None = 18.0,
 ) -> ThreadingHTTPServer:
     """Bound but not yet serving — call serve_forever() (or
     serve_background for tests). port=0 binds an ephemeral port."""
-    return ThreadingHTTPServer((host, port), _make_handler(index))
-
-
-def serve_background(server: ThreadingHTTPServer) -> threading.Thread:
-    t = threading.Thread(target=server.serve_forever, daemon=True)
-    t.start()
-    return t
+    return make_routed_server(
+        {
+            "/health": lambda p: (200, {"status": "ok"}),
+            "/v1/ann/search": lambda p: handle_ann_search(
+                index, p, timeout_s=timeout_s
+            ),
+        },
+        host,
+        port,
+    )

@@ -71,6 +71,18 @@ class IvfIndex:
         rebuilds swap atomically (older manifests read ``data``)."""
         return os.path.join(self.root, self._manifest().get("data_dir", "data"))
 
+    def refresh(self) -> "IvfIndex":
+        """Drop the cached manifest + reader handle so the next access
+        re-reads from disk. Long-lived holders (the ANN HTTP server)
+        must call this per request: an external rebuild()+vacuum()
+        swaps the manifest to a new data version and DELETES the old
+        one — a pinned manifest would resolve the vacuumed path and
+        fail every search until restart."""
+        self._meta = None
+        self._df = None
+        self._df_path = None
+        return self
+
     def _data_df(self) -> DataFrame:
         """Cached reader handle for the current data version — parquet
         schema inference re-lists the directory per ``spark.read`` call,

@@ -1,59 +1,27 @@
-"""Thin stdlib HTTP listener over the HTTP-free serving handler.
+"""Thin HTTP listener over the HTTP-free serving handler.
 
 The reference serves real HTTP (serving-go/cmd/serving/main.go:82-98;
 routes registered at internal/api/handler.go:26-28: GET /health and
 GET /v1/environmental). grid/serving.handle_environmental already carries
 every semantic — validation 400, not-found 404, deadline 504, opaque 500,
-envelope 200 — so this module is deliberately nothing but transport:
-parse the query string, call the handler, write the JSON body with the
-status it returned.
+envelope 200 — so this module is deliberately nothing but routing: the
+transport itself (query-string parse, JSON write, threaded server) is
+the shared ``jackfruit_spark/_http.py``, one implementation for this
+listener and the ANN one (functions/ann_http.py).
 
 ThreadingHTTPServer: each request collects on its own thread against the
 shared SparkSession (thread-safe; jobs are tagged per request by the
 deadline guard in serving._collect_with_deadline, so interrupts do not
-cross requests). At production scale the same handler would sit behind a
-real ASGI/WSGI front — the semantics live in serving.py either way.
+cross requests). At production scale the same handlers would sit behind
+a real ASGI/WSGI front — the semantics live in serving.py either way.
 """
 
 from __future__ import annotations
 
-import json
-import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from http.server import ThreadingHTTPServer
 
+from jackfruit_spark._http import make_routed_server, serve_background  # noqa: F401  (re-export)
 from jackfruit_spark.grid.serving import EnvironmentalService, handle_environmental
-
-
-def _make_handler(service: EnvironmentalService, timeout_s: float | None):
-    class Handler(BaseHTTPRequestHandler):
-        def do_GET(self):  # noqa: N802 (http.server API)
-            parsed = urlparse(self.path)
-            if parsed.path == "/health":
-                # handler.go:31-36: health is a liveness probe, no Spark
-                self._send(200, {"status": "ok"})
-                return
-            if parsed.path != "/v1/environmental":
-                self._send(404, {"error": "not found"})
-                return
-            # parse_qs drops empty values; missing params surface as None
-            # to parse_request and map to 400, same as the Go handler
-            params = {k: v[0] for k, v in parse_qs(parsed.query).items()}
-            status, body = handle_environmental(service, params, timeout_s=timeout_s)
-            self._send(status, body)
-
-        def _send(self, status: int, body: dict) -> None:
-            payload = json.dumps(body).encode("utf-8")
-            self.send_response(status)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(payload)))
-            self.end_headers()
-            self.wfile.write(payload)
-
-        def log_message(self, *args):  # quiet: stdout belongs to the CLI
-            pass
-
-    return Handler
 
 
 def make_server(
@@ -64,10 +32,14 @@ def make_server(
 ) -> ThreadingHTTPServer:
     """Bound but not yet serving — call serve_forever() (or use
     serve_background for tests). port=0 binds an ephemeral port."""
-    return ThreadingHTTPServer((host, port), _make_handler(service, timeout_s))
-
-
-def serve_background(server: ThreadingHTTPServer) -> threading.Thread:
-    t = threading.Thread(target=server.serve_forever, daemon=True)
-    t.start()
-    return t
+    return make_routed_server(
+        {
+            # handler.go:31-36: health is a liveness probe, no Spark
+            "/health": lambda p: (200, {"status": "ok"}),
+            "/v1/environmental": lambda p: handle_environmental(
+                service, p, timeout_s=timeout_s
+            ),
+        },
+        host,
+        port,
+    )

@@ -34,6 +34,7 @@ def served(spark, tmp_path_factory):
     host, port = server.server_address[:2]
     yield f"http://{host}:{port}", idx, rows
     server.shutdown()
+    server.server_close()  # release the listening socket fd
 
 
 def _get(url):
@@ -72,6 +73,7 @@ def test_validation_envelope(served):
         ("vec=a,b&k=5", "floats"),                   # unparseable
         ("vec=1.0,2.0&k=5", "dims"),                 # wrong width
         (f"vec={','.join('1' for _ in range(DIM))}&k=0", "> 0"),
+        (f"vec={','.join('1' for _ in range(DIM))}&rerank=-5", ">= 0"),
         (f"vec={','.join('1' for _ in range(DIM))}&mode=warp", "mode"),
         (f"vec={','.join('1' for _ in range(DIM))}&k=x", "integers"),
     ):
@@ -79,3 +81,39 @@ def test_validation_envelope(served):
         assert status == 400 and frag in body["error"], (q, body)
     status, _ = _get(f"{base}/nope")
     assert status == 404
+
+
+def test_broken_index_is_generic_500(spark, tmp_path):
+    """A missing/empty index root answers the documented 500 envelope
+    with a GENERIC body (internal errors must not leak paths), not a
+    closed connection."""
+    server = make_server(IvfIndex(spark, str(tmp_path / "nothing")), port=0)
+    serve_background(server)
+    host, port = server.server_address[:2]
+    try:
+        vec = ",".join("1" for _ in range(DIM))
+        status, body = _get(f"http://{host}:{port}/v1/ann/search?vec={vec}")
+        assert status == 500
+        assert body == {"error": "internal server error"}
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_rebuild_and_vacuum_under_running_server(spark, served):
+    """The maintain policy runs against a LIVE server: an external
+    handle rebuilds into a new data version and vacuums the old one;
+    the next request's manifest refresh picks up the swap instead of
+    resolving the deleted directory."""
+    base, idx, rows = served
+    qv = rows[3][1]
+    vec = ",".join(str(x) for x in qv)
+    status, before = _get(f"{base}/v1/ann/search?vec={vec}&k=3&nprobe=4")
+    assert status == 200
+
+    other = IvfIndex(spark, idx.root)  # a separate operational handle
+    other.rebuild()
+    assert other.vacuum()  # the old data dir is GONE
+    status, after = _get(f"{base}/v1/ann/search?vec={vec}&k=3&nprobe=4")
+    assert status == 200
+    assert after["neighbors"][0]["id"] == before["neighbors"][0]["id"] == 3
