@@ -438,6 +438,7 @@ def cmd_index_vectors(args) -> int:
         idx = IvfIndex.build(
             df, args.id_col, args.vec_col, args.root,
             k=args.cells, pq_m=args.pq_m, pq_residual=args.pq_residual,
+            pq_opq=args.pq_opq,
         )
     elif args.mode == "append":
         idx = IvfIndex(spark, args.root).append(
@@ -893,6 +894,9 @@ def build_parser() -> argparse.ArgumentParser:
     iv.add_argument("--pq-m", type=int, default=None,
                     help="store m x 8-bit PQ codes next to vectors")
     iv.add_argument("--pq-residual", action="store_true")
+    iv.add_argument("--pq-opq", action="store_true",
+                    help="learn an OPQ rotation before sub-quantizing "
+                         "(recall win on correlated dims, measured)")
     iv.add_argument("--dedup", action="store_true",
                     help="rebuild only: keep one row per id")
     iv.add_argument("--cpus", default=None)

@@ -109,6 +109,7 @@ class IvfIndex:
         centroids: Sequence[Sequence[float]] | None = None,
         pq_m: int | None = None,
         pq_residual: bool = False,
+        pq_opq: bool = False,
     ) -> "IvfIndex":
         """Train (unless ``centroids`` is given), assign, and write the
         cell-partitioned layout. Data lands in a fresh VERSIONED
@@ -164,6 +165,7 @@ class IvfIndex:
                 df, vec_col, m=pq_m, seed=seed,
                 sample_size=sample_size, sample_fraction=sample_fraction,
                 coarse=cents if pq_residual else None,
+                opq_iters=10 if pq_opq else 0,
             )
             assigned = pq_encode(
                 assigned, vec_col, book,
@@ -175,6 +177,8 @@ class IvfIndex:
                 "normalize": book.normalize,
                 "residual": pq_residual,
             }
+            if book.rotation is not None:
+                meta["pq"]["rotation"] = book.rotation.tolist()
         (
             assigned.write.mode("overwrite")
             .partitionBy("ivf_cell")
@@ -206,11 +210,17 @@ class IvfIndex:
                 np.asarray(meta["centroids"], dtype="float64"),
                 bool(pq["normalize"]),
             )
+        rotation = (
+            np.asarray(pq["rotation"], dtype="float64")
+            if "rotation" in pq
+            else None
+        )
         return PQCodebook(
             centroids=np.asarray(pq["centroids"], dtype="float64"),
             dim=int(pq["dim"]),
             normalize=bool(pq["normalize"]),
             offsets=offsets,
+            rotation=rotation,
         )
 
     def stats(self) -> dict:
@@ -277,6 +287,7 @@ class IvfIndex:
             sample_fraction=sample_fraction,
             pq_m=len(pq["centroids"]) if pq else None,
             pq_residual=bool(pq.get("residual")) if pq else False,
+            pq_opq=("rotation" in pq) if pq else False,
         )
         self._meta = rebuilt._meta  # this handle follows the swap
         return rebuilt

@@ -71,6 +71,7 @@ class PQCodebook:
     dim: int
     normalize: bool
     offsets: np.ndarray | None = None  # float64 (C, dim) or None
+    rotation: np.ndarray | None = None  # float64 (dim, dim) orthogonal, OPQ
 
     @property
     def residual(self) -> bool:
@@ -97,6 +98,49 @@ def _prep(x: np.ndarray, normalize: bool) -> np.ndarray:
     return x / n
 
 
+def _opq_rotation(
+    x: np.ndarray,
+    m: int,
+    ksub: int,
+    seed: int,
+    iters: int = 10,
+    kmeans_iters: int = 6,
+    cap: int = 20_000,
+) -> np.ndarray:
+    """OPQ-NP (Ge et al., "Optimized Product Quantization", CVPR 2013,
+    Algorithm 1): learn an orthogonal rotation R minimizing the PQ
+    reconstruction error of ``x @ R.T``. Alternate (a) refresh the m
+    sub-codebooks in the rotated space (few Lloyd iterations — they
+    only steer the rotation; the FINAL codebooks retrain fully in
+    pq_train), (b) encode and reconstruct, (c) solve the orthogonal
+    Procrustes problem R = U·Vt from svd(ŷᵀx). Driver-side numpy on a
+    capped sample (the kmeans_train discipline; FAISS trains its OPQ
+    matrix on a capped sample too). Deterministic for (x, seed)."""
+    if len(x) > cap:
+        idx = np.random.default_rng(seed).choice(len(x), cap, replace=False)
+        x = x[idx]
+    dim = x.shape[1]
+    dsub = dim // m
+    r = np.eye(dim)
+    for _ in range(iters):
+        y = x @ r.T
+        yhat = np.empty_like(y)
+        for j in range(m):
+            sub = y[:, j * dsub : (j + 1) * dsub]
+            cj = lloyd_kmeans(sub, ksub, seed=seed + j, max_iter=kmeans_iters)
+            if len(cj) < ksub:
+                cj = np.vstack([cj] * (ksub // len(cj) + 1))[:ksub]
+            d = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * (sub @ cj.T)
+                + (cj * cj).sum(axis=1)[None, :]
+            )
+            yhat[:, j * dsub : (j + 1) * dsub] = cj[np.argmin(d, axis=1)]
+        u, _, vt = np.linalg.svd(yhat.T @ x)
+        r = u @ vt
+    return r
+
+
 def pq_train(
     df: DataFrame,
     vec_col: str,
@@ -107,6 +151,7 @@ def pq_train(
     sample_fraction: float | None = None,
     normalize: bool = True,
     coarse=None,
+    opq_iters: int = 0,
 ) -> PQCodebook:
     """Train the m sub-quantizers on a bounded sample (the
     ``kmeans_train`` sampling discipline: single-pass, explicit fraction
@@ -116,7 +161,16 @@ def pq_train(
     ``coarse`` (residual mode): the RAW coarse centroids. Sample rows
     are assigned raw-L2 argmin (identical to ``ivf_assign_pandas``, so
     training sees the same cells the stored layout has) and the
-    sub-quantizers train on ``prep(x) - prep(coarse)[cell]``."""
+    sub-quantizers train on ``prep(x) - prep(coarse)[cell]``.
+
+    ``opq_iters`` > 0 enables OPQ (``_opq_rotation``): a learned
+    orthogonal rotation applied AFTER prep (and after the residual
+    offset — rotating residuals preserves distances exactly, since
+    ``||Rq - Rv|| == ||q - v||`` for orthogonal R), so correlated /
+    unevenly-variant dimensions are mixed before the contiguous
+    subspace split that plain PQ is blind to. The rotation rides the
+    codebook and every consumer (encode, ADC table, batch kernel)
+    applies it at the same point."""
     ksub = 1 << nbits
     sample = df.select(vec_col)
     if sample_fraction is not None:
@@ -147,6 +201,10 @@ def pq_train(
         cells = np.argmin(d, axis=1)
         offsets = _prep(c, normalize)
         x = x - offsets[cells]
+    rotation = None
+    if opq_iters > 0:
+        rotation = _opq_rotation(x, m, ksub, seed=seed, iters=opq_iters)
+        x = x @ rotation.T
     dsub = dim // m
     cents = np.empty((m, ksub, dsub), dtype="float64")
     for j in range(m):
@@ -156,7 +214,8 @@ def pq_train(
             cj = np.vstack([cj] * (ksub // len(cj) + 1))[:ksub]
         cents[j] = cj
     return PQCodebook(
-        centroids=cents, dim=dim, normalize=normalize, offsets=offsets
+        centroids=cents, dim=dim, normalize=normalize, offsets=offsets,
+        rotation=rotation,
     )
 
 
@@ -181,8 +240,11 @@ def pq_encode(
     dsub = book.dsub
     norm = book.normalize
     offsets = book.offsets
+    rot = book.rotation
 
     def _codes(v: np.ndarray) -> pd.Series:
+        if rot is not None:
+            v = v @ rot.T
         codes = np.empty((len(v), cents.shape[0]), dtype="int16")
         for j in range(cents.shape[0]):
             sub = v[:, j * dsub : (j + 1) * dsub]
@@ -229,6 +291,8 @@ def adc_table(book: PQCodebook, query_vec, cell: int | None = None) -> np.ndarra
         if cell is None:
             raise ValueError("residual codebook: adc_table needs cell")
         q = q - book.offsets[int(cell)]
+    if book.rotation is not None:
+        q = q @ book.rotation.T
     t = np.empty((book.m, book.ksub), dtype="float64")
     for j in range(book.m):
         qs = q[j * book.dsub : (j + 1) * book.dsub]
@@ -341,6 +405,7 @@ def adc_knn_scored(
     m, dsub = book.m, book.dsub
     norm = book.normalize
     offsets = book.offsets
+    rot = book.rotation
     if cell_cap is not None:
         from jackfruit_spark._persist import persisted
 
@@ -404,6 +469,8 @@ def adc_knn_scored(
         )
         if offsets is not None:
             qv = qv - offsets[int(key[0])]
+        if rot is not None:
+            qv = qv @ rot.T
         qsub = qv.reshape(len(qv), m, dsub)
         # (|Qc|, m, ksub) tables in one einsum
         tables = (

@@ -249,3 +249,93 @@ def test_zero_vector_encodes_without_nan(spark, book):
         [1.0] + [0.0] * 63, k=1,
     ).collect()
     assert len(out) == 1 and out[0]["cosine_sim"] is not None
+
+
+class TestOPQ:
+    """Learned-rotation PQ (OPQ, Ge et al. 2013): orthogonality,
+    measured recall win on a cross-subspace-correlated corpus (the case
+    plain PQ's contiguous split is blind to), and the IvfIndex
+    manifest/rebuild round trip."""
+
+    @pytest.fixture(scope="class")
+    def correlated(self, spark):
+        rng = np.random.default_rng(5)
+        n, dim, latent = 2000, 64, 16
+        a = rng.normal(size=(latent, dim))
+        x = rng.normal(size=(n, latent)) @ a + 0.05 * rng.normal(
+            size=(n, dim)
+        )
+        rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+        return (
+            spark.createDataFrame(rows, "vec_id int, embedding array<float>"),
+            x,
+        )
+
+    @staticmethod
+    def _recall(book, x, queries=25, k=10):
+        from jackfruit_spark.functions.pq import _prep, adc_table
+
+        xp = _prep(x.astype("float64"), True)
+        enc = xp if book.rotation is None else xp @ book.rotation.T
+        m, dsub = book.m, book.dsub
+        codes = np.empty((len(x), m), dtype=int)
+        for j in range(m):
+            sub = enc[:, j * dsub : (j + 1) * dsub]
+            c = book.centroids[j]
+            d = (
+                (sub * sub).sum(1)[:, None]
+                - 2 * (sub @ c.T)
+                + (c * c).sum(1)[None, :]
+            )
+            codes[:, j] = d.argmin(1)
+        hits = 0
+        for qi in range(queries):
+            q = x[qi]
+            qp = _prep(q[None, :].astype("float64"), True)[0]
+            exact = np.argsort(-(xp @ qp))[:k]
+            t = adc_table(book, q)
+            d2 = np.zeros(len(x))
+            for j in range(m):
+                d2 += t[j][codes[:, j]]
+            adc = np.argsort(d2)[:k]
+            hits += len(set(exact) & set(adc))
+        return hits / (queries * k)
+
+    def test_rotation_orthogonal_and_recall_win(self, correlated):
+        df, x = correlated
+        pq = pq_train(df, "embedding", m=8, sample_fraction=1.0, seed=42)
+        opq = pq_train(
+            df, "embedding", m=8, sample_fraction=1.0, seed=42,
+            opq_iters=10,
+        )
+        assert np.allclose(
+            opq.rotation @ opq.rotation.T, np.eye(64), atol=1e-9
+        )
+        r_pq = self._recall(pq, x)
+        r_opq = self._recall(opq, x)
+        # measured at these seeds: ~0.68 vs ~0.83 at n=4000 (r8 A/B);
+        # require a real margin, not a tie
+        assert r_opq > r_pq + 0.05, (r_pq, r_opq)
+
+    def test_ivf_store_round_trip_and_rebuild(self, spark, correlated, tmp_path):
+        from jackfruit_spark.functions.ivf_store import IvfIndex
+
+        df, x = correlated
+        idx = IvfIndex.build(
+            df, "vec_id", "embedding", str(tmp_path / "opq"),
+            k=4, seed=42, sample_fraction=1.0, pq_m=8, pq_opq=True,
+        )
+        assert "rotation" in idx._manifest()["pq"]
+        # the served ADC search works and rerank recovers the own-vector
+        got = idx.search(
+            [float(v) for v in x[11]], k=5, nprobe=4, mode="adc"
+        ).collect()
+        assert got[0]["vec_id"] == 11
+        # rebuild carries the OPQ setting through (a fresh rotation is
+        # learned on the re-encoded layout)
+        idx.rebuild()
+        assert "rotation" in idx._manifest()["pq"]
+        got = idx.search(
+            [float(v) for v in x[11]], k=5, nprobe=4, mode="adc"
+        ).collect()
+        assert got[0]["vec_id"] == 11
