@@ -366,6 +366,57 @@ def bench_lsh(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_bm25(spark, sf_dir: str) -> dict[str, float]:
+    """Lexical-retrieval pair (late r8, functions/bm25.py), the third
+    index family: build the tp-partitioned BM25 index over the
+    documents table (one tokenize pass -> postings + termstats +
+    docstats + manifest swap), then run a 20-query top-10 search batch
+    (each query = the first 5 tokens of every 500th document — always
+    hits) whose scans are PartitionFilters-pruned to the query terms'
+    residues."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.functions.bm25 import Bm25Index
+
+    root = tempfile.mkdtemp(prefix="bench_bm25_")
+    try:
+        d = Q.load(spark, sf_dir, "documents")
+        t_build = float("inf")
+        for i in range(REPEATS):
+            t0 = time.perf_counter()
+            idx = Bm25Index.build(
+                d, "doc_id", "text", os.path.join(root, f"i{i}")
+            )
+            t_build = min(t_build, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
+        queries = (
+            d.filter(F.col("doc_id") % 500 == 0)
+            .limit(20)
+            .select(
+                F.col("doc_id").cast("string").alias("query_id"),
+                F.concat_ws(
+                    " ", F.slice(F.split(F.col("text"), r"\s+"), 1, 5)
+                ).alias("query"),
+            )
+        )
+        t_search = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            idx.search(queries, k=10).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t_search = min(t_search, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
+        return {"bm25_index_build": t_build, "bm25_search": t_search}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _ensure_bench_warc(spark, sf_dir: str) -> str:
     """Synthesize WARC shards from the documents table ONCE per sf
     (input prep, outside the timed region), via the shared synthetic
@@ -487,6 +538,11 @@ def main() -> None:
         timings.update(bench_lsh(spark, sf_dir))
     except Exception as e:  # noqa: BLE001
         errors["lsh"] = f"{type(e).__name__}: {e}"[:300]
+
+    try:
+        timings.update(bench_bm25(spark, sf_dir))
+    except Exception as e:  # noqa: BLE001
+        errors["bm25"] = f"{type(e).__name__}: {e}"[:300]
 
     pipeline_stages: dict[str, int] = {}
     try:

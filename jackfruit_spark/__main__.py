@@ -671,6 +671,58 @@ def cmd_ann_search(args) -> int:
     return 0
 
 
+def cmd_index_bm25(args) -> int:
+    """Build / append / rebuild / vacuum the partitioned BM25 retrieval
+    index (functions/bm25.Bm25Index) from a documents parquet. Prints
+    the layout stats JSON (postings_files is the fragmentation signal
+    the rebuild decision acts on)."""
+    if args.mode in ("build", "append") and not args.input:
+        print(json.dumps({"error": f"--input required for {args.mode}"}))
+        return 2
+    spark = _spark(args.cpus)
+    from jackfruit_spark.functions.bm25 import Bm25Index
+
+    if args.mode == "build":
+        idx = Bm25Index.build(
+            spark.read.parquet(args.input),
+            args.id_col, args.text_col, args.root,
+            k1=args.k1, b=args.b, parts=args.parts,
+        )
+    elif args.mode == "append":
+        idx = Bm25Index(spark, args.root).append(
+            spark.read.parquet(args.input)
+        )
+    elif args.mode == "vacuum":
+        removed = Bm25Index(spark, args.root).vacuum()
+        print(json.dumps({"root": args.root, "mode": "vacuum",
+                          "removed": removed}))
+        return 0
+    elif args.mode == "stats":
+        idx = Bm25Index(spark, args.root)
+    else:  # rebuild: compact postings -> fresh version -> manifest swap
+        idx = Bm25Index(spark, args.root).rebuild()
+    print(json.dumps({"root": args.root, "mode": args.mode, **idx.stats()}))
+    return 0
+
+
+def cmd_bm25_search(args) -> int:
+    """Top-k lexical search against a built BM25 index. --query is free
+    text; prints one JSON line of ranked (id, score) rows."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.functions.bm25 import Bm25Index
+
+    idx = Bm25Index(spark, args.root)
+    qdf = spark.createDataFrame(
+        [("q", args.query)], "query_id string, query string"
+    )
+    rows = idx.search(qdf, k=args.k).orderBy("rank").collect()
+    print(json.dumps({
+        "hits": [{"id": r["id"], "score": r["score"], "rank": r["rank"]}
+                 for r in rows]
+    }))
+    return 0
+
+
 def cmd_ann_serve(args) -> int:
     """HTTP listener over a built ANN index (functions/ann_http.py):
     GET /health + GET /v1/ann/search — the ANN twin of `serve`."""
@@ -992,6 +1044,35 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--rerank", type=int, default=50)
     an.add_argument("--cpus", default=None)
     an.set_defaults(fn=cmd_ann_search)
+
+    ib = sub.add_parser(
+        "index-bm25",
+        help="build/append/rebuild/vacuum the partitioned BM25 index",
+    )
+    ib.add_argument("--root", required=True)
+    ib.add_argument(
+        "--mode",
+        choices=["build", "append", "rebuild", "vacuum", "stats"],
+        default="build",
+    )
+    ib.add_argument("--input", default=None,
+                    help="documents parquet; build/append")
+    ib.add_argument("--id-col", default="doc_id")
+    ib.add_argument("--text-col", default="text")
+    ib.add_argument("--k1", type=float, default=1.2)
+    ib.add_argument("--b", type=float, default=0.75)
+    ib.add_argument("--parts", type=int, default=64)
+    ib.add_argument("--cpus", default=None)
+    ib.set_defaults(fn=cmd_index_bm25)
+
+    bs = sub.add_parser(
+        "bm25-search", help="top-k lexical search against the BM25 index"
+    )
+    bs.add_argument("--root", required=True)
+    bs.add_argument("--query", required=True, help="free-text query")
+    bs.add_argument("--k", type=int, default=10)
+    bs.add_argument("--cpus", default=None)
+    bs.set_defaults(fn=cmd_bm25_search)
 
     asv = sub.add_parser(
         "ann-serve", help="HTTP listener over a built ANN index"

@@ -1,0 +1,497 @@
+"""Distributed BM25 retrieval index over a document corpus.
+
+The third leg of the index family: ``IvfIndex`` (dense vectors),
+``LshIndex`` (near-dup signatures), and now ``Bm25Index`` (lexical
+top-k retrieval). A training-data pipeline needs lexical retrieval for
+retrieval-based decontamination (find the corpus documents most similar
+to each benchmark item, then verify by n-gram overlap — the GPT-3 /
+Llama decontamination recipe) and for corpus search/debugging at scale.
+
+Layout (``root/bm25_manifest.json`` + versioned data dirs — the
+IvfIndex/LshIndex atomic-swap lifecycle):
+
+- ``data_vN/postings/tp=P/`` — ``(term, id, tf, dl)`` partitioned by
+  ``tp = pmod(xxhash64(term), parts)``. ``dl`` (doc token length) is
+  denormalized onto the posting row, Lucene-norm style, so scoring
+  never joins a per-doc side table.
+- ``data_vN/termstats_vK/tp=P/`` — ``(term, df)`` partitioned the same
+  way; swapped as a unit on ``append`` (df merge) via the manifest.
+- ``data_vN/docstats/`` — ``(id, dl)``; feeds N/avgdl and rebuilds.
+
+A search touches ONLY the ``tp`` residues its own query terms hash to:
+the residues are computed driver-side from the (tiny) query-term list
+into a literal IN-list, which lands in the parquet scans'
+``PartitionFilters`` (asserted in tests/test_bm25.py) — at 100 TB the
+non-queried vocabulary is never listed, opened, or read. The per-term
+frame (query terms ⨝ pruned termstats) is broadcast into the postings
+join, so the only shuffle is the final (query_id, id) score aggregate.
+
+Scoring is the Lucene BM25 variant (non-negative idf)::
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(q, d) = sum over unique t in q of
+                  idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+Determinism discipline (CLAUDE.md): the per-term contribution is
+quantized to integer micro-units (``CAST(ROUND(c*1e6) AS BIGINT)``)
+BEFORE the sum, so the score is independent of partial-sum order and
+bit-reproducible against the pure-Python twin in the tests; ranking
+ties break on ``id``.
+
+Analyzer: lowercase + split on non-alphanumeric ASCII runs
+(``[^a-z0-9]+``), empties dropped — deliberately simple and documented
+so the Python reference in tests/test_bm25.py is character-identical.
+
+No reference analog (the reference engine has no text retrieval); this
+belongs to the LLM-training-data family per the build brief.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "bm25_manifest.json"
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def bm25_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, term, tf, dl)`` — one row per distinct term per doc.
+
+    One explode, then an explicit ``repartition("id")``: hash(id) is a
+    subset-clustering that satisfies BOTH the (id, term) tf aggregate
+    and the dl window's ClusteredDistribution(id) (the r7 window-reuse
+    rule) — one shuffle total where the naive plan pays two. Docs with
+    no tokens (empty/whitespace text) produce no rows — they are
+    unretrievable, matching every lexical engine's behavior.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT), lambda t: t != ""
+    )
+    tok_rows = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    )
+    from pyspark.sql.window import Window
+
+    tf = (
+        tok_rows.repartition("id")
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # sum of tf over a doc's terms == its token count
+    return tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("id"))
+    )
+
+
+class Bm25Index:
+    """Handle to a built index: ``root/data_vN/{postings,termstats_vK,
+    docstats}`` plus ``root/bm25_manifest.json``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.manifest_path = os.path.join(root, _MANIFEST)
+        self._meta: dict | None = None
+        self._postings: DataFrame | None = None
+        self._termstats: DataFrame | None = None
+        self._df_paths: tuple[str, str] | None = None
+
+    # ----------------------------------------------------------- paths
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.root, self._manifest()["data_dir"])
+
+    @property
+    def _termstats_path(self) -> str:
+        return os.path.join(self.data_path, self._manifest()["termstats_dir"])
+
+    def _manifest(self) -> dict:
+        if self._meta is None:
+            with open(self.manifest_path) as f:
+                self._meta = json.load(f)
+        return self._meta
+
+    def refresh(self) -> "Bm25Index":
+        """Drop cached manifest + readers (external append/rebuild)."""
+        self._meta = None
+        self._invalidate()
+        return self
+
+    def _invalidate(self) -> None:
+        self._postings = self._termstats = None
+        self._df_paths = None
+
+    def _readers(self) -> tuple[DataFrame, DataFrame]:
+        """Cached (postings, termstats) readers for the current paths —
+        a spark.read.parquet re-lists the directory per call otherwise;
+        append/rebuild invalidate (appended files would be missed by a
+        cached snapshot, the IvfIndex lesson)."""
+        paths = (os.path.join(self.data_path, "postings"), self._termstats_path)
+        if self._postings is None or self._df_paths != paths:
+            self._postings = self.spark.read.parquet(paths[0])
+            self._termstats = self.spark.read.parquet(paths[1])
+            self._df_paths = paths
+        return self._postings, self._termstats
+
+    def _next_version(self) -> str:
+        versions = [
+            int(d[len("data_v"):])
+            for d in os.listdir(self.root)
+            if d.startswith("data_v") and d[len("data_v"):].isdigit()
+        ]
+        return f"data_v{max(versions, default=0) + 1}"
+
+    def _swap_manifest(self, meta: dict) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.manifest_path)
+        self._meta = meta
+
+    # ------------------------------------------------------------ build
+
+    @staticmethod
+    def build(
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        root: str,
+        k1: float = 1.2,
+        b: float = 0.75,
+        parts: int = 64,
+    ) -> "Bm25Index":
+        """Tokenize the corpus ONCE into postings, then derive term and
+        doc stats by reading the written parquet back (the LshIndex
+        one-pass shape — no persist, no recompute). Data lands in a
+        fresh versioned dir; the manifest swaps last, so a crashed
+        build leaves the old version live."""
+        if parts < 1:
+            raise ValueError(f"parts must be >= 1, got {parts}")
+        spark = docs.sparkSession
+        idx = Bm25Index(spark, root)
+        os.makedirs(root, exist_ok=True)
+        data_dir = idx._next_version()
+        post_path = os.path.join(root, data_dir, "postings")
+        terms = bm25_terms(docs, id_col, text_col).withColumn(
+            "tp", F.pmod(F.xxhash64("term"), F.lit(parts))
+        )
+        # repartition on tp before the partitioned write: otherwise every
+        # task holds every residue and emits tasks*parts small files
+        terms.repartition("tp").write.mode("overwrite").partitionBy(
+            "tp"
+        ).parquet(post_path)
+
+        written = spark.read.parquet(post_path)
+        written.groupBy("term", "tp").agg(
+            F.count("*").alias("df")
+        ).write.mode("overwrite").partitionBy("tp").parquet(
+            os.path.join(root, data_dir, "termstats_v1")
+        )
+        doc_path = os.path.join(root, data_dir, "docstats")
+        written.groupBy("id").agg(F.first("dl").alias("dl")).write.mode(
+            "overwrite"
+        ).parquet(doc_path)
+        agg = (
+            spark.read.parquet(doc_path)
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
+            .first()
+        )
+        idx._swap_manifest({
+            "id_col": id_col,
+            "text_col": text_col,
+            "k1": k1,
+            "b": b,
+            "parts": parts,
+            "data_dir": data_dir,
+            "termstats_dir": "termstats_v1",
+            "n_docs": int(agg["n"]),
+            "total_dl": int(agg["t"] or 0),
+        })
+        return idx
+
+    # ----------------------------------------------------------- search
+
+    def _query_terms(self, queries: DataFrame, qid: str, qtext: str) -> DataFrame:
+        """Distinct (query_id, term) — classic Lucene BM25 ignores query
+        term frequency, summing over unique terms."""
+        toks = F.filter(
+            F.split(F.lower(F.col(qtext)), _TOKEN_SPLIT), lambda t: t != ""
+        )
+        return (
+            queries.select(
+                F.col(qid).alias("query_id"), F.explode(toks).alias("term")
+            )
+            .distinct()
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        query_id_col: str = "query_id",
+        query_col: str = "query",
+    ) -> DataFrame:
+        """Top-k docs per query: ``(query_id, id, score, rank)``.
+
+        The query-term list is tiny by construction: its ``tp``
+        residues are collected driver-side into an IN-list (parquet
+        ``PartitionFilters`` on both postings and termstats), and the
+        per-term (query_id, term, idf) frame is broadcast into the
+        pruned postings join. Only the (query_id, id) score aggregate
+        and the per-query top-k window shuffle. Score is the
+        micro-unit-quantized sum (order-independent; see module doc);
+        rank ties break on id ascending.
+        """
+        m = self._manifest()
+        postings, termstats = self._readers()
+        qterms = self._query_terms(queries, query_id_col, query_col).withColumn(
+            "tp", F.pmod(F.xxhash64("term"), F.lit(m["parts"]))
+        )
+        tps = sorted({r["tp"] for r in qterms.select("tp").distinct().collect()})
+        if not tps:
+            # schema-correct empty frame (query_id keeps its input type)
+            return (
+                queries.select(F.col(query_id_col).alias("query_id"))
+                .limit(0)
+                .crossJoin(postings.select("id").limit(0))
+                .withColumn("score", F.lit(0.0))
+                .withColumn("rank", F.lit(0))
+            )
+        n, avgdl = m["n_docs"], m["total_dl"] / max(m["n_docs"], 1)
+        k1, b = m["k1"], m["b"]
+        qts = (
+            termstats.filter(F.col("tp").isin(tps))
+            .select("term", "df")
+            .join(F.broadcast(qterms.select("query_id", "term")), "term")
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ),
+            )
+            .select("query_id", "term", "idf")
+        )
+        contrib = (
+            postings.filter(F.col("tp").isin(tps))
+            .join(F.broadcast(qts), "term")
+            .withColumn(
+                "__c",
+                F.round(
+                    F.col("idf")
+                    * (F.col("tf") * (k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+                    )
+                    * 1e6
+                ).cast("bigint"),
+            )
+        )
+        from pyspark.sql.window import Window
+
+        scored = contrib.groupBy("query_id", "id").agg(
+            (F.sum("__c") / 1e6).alias("score")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "id", "score", "rank")
+        )
+
+    # ---------------------------------------------------- append/rebuild
+
+    def append(self, docs: DataFrame) -> "Bm25Index":
+        """Index a delta into the current version: postings + docstats
+        file-append, then termstats df-merge into a fresh
+        ``termstats_vK`` dir swapped with the manifest (which also
+        carries the updated N/avgdl), so post-swap a search is EXACTLY
+        a fresh build's (pinned in tests). A crash before the swap
+        leaves appended postings scored with stale df/N — retrievable,
+        slightly mis-scored, healed by ``rebuild()``. Delta ids must be
+        new to the corpus (the documents-shape contract)."""
+        from jackfruit_spark._persist import persisted
+
+        m = self._manifest()
+        post_path = os.path.join(self.data_path, "postings")
+        # persist the delta's terms: they feed the postings write, the
+        # docstats append AND the df merge — never rescan the corpus
+        # postings for a delta-sized job
+        terms = persisted(
+            bm25_terms(docs, m["id_col"], m["text_col"]).withColumn(
+                "tp", F.pmod(F.xxhash64("term"), F.lit(m["parts"]))
+            )
+        )
+        terms.repartition("tp").write.mode("append").partitionBy(
+            "tp"
+        ).parquet(post_path)
+
+        doc_path = os.path.join(self.data_path, "docstats")
+        terms.groupBy("id").agg(F.first("dl").alias("dl")).write.mode(
+            "append"
+        ).parquet(doc_path)
+
+        old_ts = self.spark.read.parquet(self._termstats_path)
+        delta_df = terms.groupBy("term", "tp").agg(F.count("*").alias("df"))
+        merged = (
+            old_ts.select("term", "tp", "df")
+            .unionByName(delta_df)
+            .groupBy("term", "tp")
+            .agg(F.sum("df").alias("df"))
+        )
+        ver = int(m["termstats_dir"][len("termstats_v"):]) + 1
+        new_dir = f"termstats_v{ver}"
+        merged.write.mode("overwrite").partitionBy("tp").parquet(
+            os.path.join(self.data_path, new_dir)
+        )
+        agg = (
+            self.spark.read.parquet(doc_path)
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
+            .first()
+        )
+        self._swap_manifest({
+            **m,
+            "termstats_dir": new_dir,
+            "n_docs": int(agg["n"]),
+            "total_dl": int(agg["t"] or 0),
+        })
+        self._invalidate()
+        return self
+
+    def rebuild(self) -> "Bm25Index":
+        """Compact postings + re-derive all stats into a fresh versioned
+        dir with the atomic manifest swap — heals the append crash
+        window and small-file fragmentation. Postings (term, id, tf,
+        dl) are the source of truth; text is never re-read."""
+        m = self._manifest()
+        postings, _ = self._readers()
+        data_dir = self._next_version()
+        post_path = os.path.join(self.root, data_dir, "postings")
+        postings.select("term", "id", "tf", "dl", "tp").repartition(
+            "tp"
+        ).write.mode("overwrite").partitionBy("tp").parquet(post_path)
+        written = self.spark.read.parquet(post_path)
+        written.groupBy("term", "tp").agg(F.count("*").alias("df")).write.mode(
+            "overwrite"
+        ).partitionBy("tp").parquet(
+            os.path.join(self.root, data_dir, "termstats_v1")
+        )
+        doc_path = os.path.join(self.root, data_dir, "docstats")
+        written.groupBy("id").agg(F.first("dl").alias("dl")).write.mode(
+            "overwrite"
+        ).parquet(doc_path)
+        agg = (
+            self.spark.read.parquet(doc_path)
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
+            .first()
+        )
+        self._swap_manifest({
+            **m,
+            "data_dir": data_dir,
+            "termstats_dir": "termstats_v1",
+            "n_docs": int(agg["n"]),
+            "total_dl": int(agg["t"] or 0),
+        })
+        self._invalidate()
+        return self
+
+    def vacuum(self) -> list[str]:
+        """Remove superseded version dirs (and superseded termstats dirs
+        inside the live version). Returns removed paths."""
+        import shutil
+
+        live = self._manifest()["data_dir"]
+        removed = []
+        for d in os.listdir(self.root):
+            if d.startswith("data_v") and d != live:
+                p = os.path.join(self.root, d)
+                shutil.rmtree(p)
+                removed.append(p)
+        live_ts = self._manifest()["termstats_dir"]
+        for d in os.listdir(self.data_path):
+            if d.startswith("termstats_v") and d != live_ts:
+                p = os.path.join(self.data_path, d)
+                shutil.rmtree(p)
+                removed.append(p)
+        return removed
+
+    def stats(self) -> dict:
+        """Corpus/index shape: doc count, avgdl, vocab size, postings
+        rows + files (fragmentation signal for rebuild decisions)."""
+        self.refresh()  # cross-handle appends (the LshIndex lesson)
+        m = self._manifest()
+        postings, termstats = self._readers()
+        n_files = 0
+        for base, _dirs, files in os.walk(os.path.join(self.data_path, "postings")):
+            n_files += sum(1 for f in files if f.endswith(".parquet"))
+        return {
+            "n_docs": m["n_docs"],
+            "avgdl": m["total_dl"] / max(m["n_docs"], 1),
+            "vocab": termstats.count(),
+            "postings_rows": postings.count(),
+            "postings_files": n_files,
+            "data_dir": m["data_dir"],
+            "termstats_dir": m["termstats_dir"],
+        }
+
+
+def python_bm25(
+    docs: list[tuple[str, str]],
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict[str, list[tuple[str, float]]]:
+    """Pure-Python reference twin of ``Bm25Index.search`` — identical
+    analyzer, identical Lucene-idf formula, identical micro-unit
+    quantization (HALF_UP via floor(x*1e6+0.5); contributions are
+    non-negative) and identical (score desc, id asc) tie-break. Used by
+    the tests to pin the distributed implementation bit-for-bit."""
+    import re
+
+    def toks(s):
+        return [t for t in re.split(_TOKEN_SPLIT, s.lower()) if t]
+
+    tf: dict[str, dict[str, int]] = {}
+    dl: dict[str, int] = {}
+    for did, text in docs:
+        ts = toks(text)
+        if not ts:
+            continue
+        dl[did] = len(ts)
+        m = tf.setdefault(did, {})
+        for t in ts:
+            m[t] = m.get(t, 0) + 1
+    n = len(dl)
+    avgdl = sum(dl.values()) / max(n, 1)
+    df: dict[str, int] = {}
+    for m in tf.values():
+        for t in m:
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        scores: dict[str, int] = {}
+        for t in set(toks(qtext)):
+            if t not in df:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            for did, m in tf.items():
+                if t not in m:
+                    continue
+                f_ = m[t]
+                c = idf * (f_ * (k1 + 1.0)) / (
+                    f_ + k1 * (1.0 - b + b * dl[did] / avgdl)
+                )
+                scores[did] = scores.get(did, 0) + math.floor(c * 1e6 + 0.5)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = [(did, q / 1e6) for did, q in ranked]
+    return out

@@ -1,0 +1,230 @@
+"""Bm25Index: distributed BM25 retrieval pinned bit-for-bit against the
+pure-Python twin, partition pruning plan-asserted, append == fresh
+build, lifecycle (rebuild/vacuum/stats)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from jackfruit_spark.functions.bm25 import Bm25Index, bm25_terms, python_bm25
+
+DOCS = [
+    ("d01", "the quick brown fox jumps over the lazy dog"),
+    ("d02", "a quick brown dog outpaces a quick fox"),
+    ("d03", "grid interpolation of environmental data at scale"),
+    ("d04", "spark structured streaming for environmental pipelines"),
+    ("d05", "the dog barks; the fox listens. The DOG wins!"),
+    ("d06", "minhash signatures bucket near-duplicate documents"),
+    ("d07", "bm25 ranks documents by term frequency and rarity"),
+    ("d08", "rarity of a term raises its idf weight in bm25 scoring"),
+    ("d09", "environmental sensors stream pm10 and ozone data"),
+    ("d10", "   "),  # tokenless: unretrievable, must not break stats
+    ("d11", "fox fox fox fox fox fox fox fox fox fox fox fox"),
+    ("d12", "quick scoring of streaming documents with spark"),
+]
+
+QUERIES = [
+    ("q1", "quick brown fox"),
+    ("q2", "environmental data streaming"),
+    ("q3", "BM25 term rarity"),
+    ("q4", "zzzunknownword"),  # no hit anywhere
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs_df, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bm25") / "idx")
+    return Bm25Index.build(
+        docs_df, "doc_id", "text", root, parts=16
+    )
+
+
+def _search_dict(idx, spark, queries, k=10):
+    qdf = spark.createDataFrame(queries, "query_id string, query string")
+    rows = idx.search(qdf, k=k).collect()
+    out = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        out.setdefault(r["query_id"], []).append((r["id"], r["score"]))
+    return out
+
+
+def test_terms_frame(spark, docs_df):
+    t = {(r["id"], r["term"]): (r["tf"], r["dl"])
+         for r in bm25_terms(docs_df, "doc_id", "text").collect()}
+    # case-folded + punctuation-split: d05 has 'the' x3, 'dog' x3
+    assert t[("d05", "the")] == (3, 9)
+    assert t[("d05", "dog")][0] == 2
+    assert t[("d11", "fox")] == (12, 12)
+    # tokenless doc emits no rows
+    assert not any(k[0] == "d10" for k in t)
+
+
+def test_terms_single_shuffle(spark, docs_df):
+    """The repartition(id) must satisfy both the tf aggregate and the dl
+    window: exactly one Exchange in the plan (the r7 window-reuse rule)."""
+    from jackfruit_spark.plans import plan_string
+
+    p = plan_string(bm25_terms(docs_df, "doc_id", "text"))
+    assert p.count("Exchange") == 1, p
+
+
+def test_search_matches_python_reference(spark, index):
+    got = _search_dict(index, spark, QUERIES, k=5)
+    want = python_bm25(DOCS, QUERIES, k=5)
+    want = {q: r for q, r in want.items() if r}
+    assert got == want
+    # sanity on the semantics, not just the twin: q1 top doc is the
+    # fox-spam doc or a quick/brown doc, and scores strictly ordered
+    assert got["q1"][0][0] in ("d02", "d11", "d01")
+    scores = [s for _, s in got["q1"]]
+    assert scores == sorted(scores, reverse=True)
+    assert "q4" not in got  # unknown term: no rows
+
+
+def test_search_plan_pruned_and_broadcast(spark, index):
+    """Query-term residues land in PartitionFilters on the postings scan
+    (non-queried vocabulary never read) and the per-term frame joins in
+    broadcast — the only shuffles are the score aggregate + top-k window."""
+    from jackfruit_spark.plans import plan_string
+
+    qdf = spark.createDataFrame([("q1", "fox")], "query_id string, query string")
+    p = plan_string(index.search(qdf, k=3))
+    scan_lines = [
+        ln for ln in p.splitlines()
+        if "PartitionFilters" in ln and "tp" in ln
+    ]
+    assert len(scan_lines) >= 2, p  # postings AND termstats pruned
+    assert all("tp#" in ln for ln in scan_lines), p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_empty_query_schema(spark, index):
+    qdf = spark.createDataFrame([("q0", "   ")], "query_id string, query string")
+    out = index.search(qdf, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "id", "score", "rank"
+    ]
+
+
+def test_append_equals_fresh_build(spark, tmp_path):
+    """After the termstats/manifest swap, an appended index scores
+    IDENTICALLY to a fresh build over the union corpus — df, N and
+    avgdl all merged exactly."""
+    first, delta = DOCS[:8], DOCS[8:]
+    inc_root = str(tmp_path / "inc")
+    idx = Bm25Index.build(
+        spark.createDataFrame(first, "doc_id string, text string"),
+        "doc_id", "text", inc_root, parts=16,
+    )
+    idx.append(spark.createDataFrame(delta, "doc_id string, text string"))
+
+    full_root = str(tmp_path / "full")
+    full = Bm25Index.build(
+        spark.createDataFrame(DOCS, "doc_id string, text string"),
+        "doc_id", "text", full_root, parts=16,
+    )
+    assert _search_dict(idx, spark, QUERIES) == _search_dict(
+        full, spark, QUERIES
+    )
+    m = idx._manifest()
+    assert m["termstats_dir"] == "termstats_v2"
+    assert m["n_docs"] == full._manifest()["n_docs"]
+    assert m["total_dl"] == full._manifest()["total_dl"]
+
+
+def test_rebuild_and_vacuum(spark, docs_df, tmp_path):
+    root = str(tmp_path / "rb")
+    idx = Bm25Index.build(docs_df, "doc_id", "text", root, parts=16)
+    before = _search_dict(idx, spark, QUERIES)
+    idx.append(
+        spark.createDataFrame(
+            [("d99", "a brand new fox document")], "doc_id string, text string"
+        )
+    )
+    idx.rebuild()
+    assert idx._manifest()["data_dir"] == "data_v2"
+    assert idx._manifest()["termstats_dir"] == "termstats_v1"
+    after = _search_dict(idx, spark, QUERIES)
+    assert set(before) == set(after)
+    assert any(i == "d99" for i, _ in after["q1"])
+    removed = idx.vacuum()
+    assert any("data_v1" in p for p in removed)
+    # index still serves after vacuum
+    assert _search_dict(idx, spark, QUERIES) == after
+
+
+def test_stats_and_cross_handle_refresh(spark, docs_df, tmp_path):
+    root = str(tmp_path / "st")
+    idx = Bm25Index.build(docs_df, "doc_id", "text", root, parts=16)
+    s = idx.stats()
+    assert s["n_docs"] == 11  # d10 is tokenless
+    assert s["postings_rows"] > 0 and s["vocab"] > 0
+    assert s["avgdl"] == pytest.approx(
+        sum(len([t for t in txt.lower().split() if t]) for _, txt in DOCS)
+        / 11.0, rel=0.5,
+    )
+    # a second handle sees a first-handle append after refresh (stats
+    # self-refreshes — the LshIndex cross-handle lesson)
+    other = Bm25Index(spark, root)
+    assert other.stats()["n_docs"] == 11
+    idx.append(
+        spark.createDataFrame(
+            [("d99", "one more doc")], "doc_id string, text string"
+        )
+    )
+    assert other.stats()["n_docs"] == 12
+
+
+def test_cli_lifecycle(spark, docs_df, tmp_path, capsys):
+    """index-bm25 build -> bm25-search -> append -> rebuild -> vacuum ->
+    stats, all through the CLI."""
+    import json
+
+    from jackfruit_spark import __main__ as cli
+
+    root = str(tmp_path / "idx")
+    src = str(tmp_path / "docs")
+    docs_df.write.parquet(src)
+    rc = cli.main(["index-bm25", "--root", root, "--input", src,
+                   "--parts", "16"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["n_docs"] == 11
+
+    rc = cli.main(["bm25-search", "--root", root, "--query",
+                   "quick brown fox", "--k", "3"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and len(st["hits"]) == 3
+    assert st["hits"][0]["rank"] == 1 and st["hits"][0]["score"] > 0
+
+    d1 = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [("d99", "another fox appears")], "doc_id string, text string"
+    ).write.parquet(d1)
+    rc = cli.main(["index-bm25", "--root", root, "--mode", "append",
+                   "--input", d1])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["n_docs"] == 12
+
+    rc = cli.main(["index-bm25", "--root", root, "--mode", "rebuild"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["data_dir"] == "data_v2"
+    rc = cli.main(["index-bm25", "--root", root, "--mode", "vacuum"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and any("data_v1" in p for p in st["removed"])
+    rc = cli.main(["index-bm25", "--root", root, "--mode", "stats"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["n_docs"] == 12 and st["vocab"] > 0
+
+
+def test_build_validates(spark, docs_df, tmp_path):
+    with pytest.raises(ValueError, match="parts"):
+        Bm25Index.build(docs_df, "doc_id", "text", str(tmp_path / "x"), parts=0)
