@@ -417,6 +417,98 @@ def decontaminate(
     )
 
 
+def decontaminate_retrieval(
+    index,
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    top_k: int = 20,
+) -> DataFrame:
+    """Retrieval-bounded fuzzy decontamination over a ``Bm25Index``.
+
+    ``decontaminate`` shingles the ENTIRE corpus per benchmark set —
+    one full-corpus pass each time a new eval suite arrives. This
+    variant amortizes the corpus pass into the BM25 index build (done
+    once, reused across suites): each benchmark item retrieves its
+    ``top_k`` lexically-closest corpus docs, and ONLY those
+    |benchmark| x top_k candidate pairs are verified by k-gram overlap
+    — corpus text is re-read just for the candidate slice (a
+    broadcast-semi join on candidate ids prunes the scan).
+
+    Returns one row per candidate pair: ``(bench_id, doc_id,
+    bench_grams, hit_grams, overlap)`` where ``overlap`` is the
+    fraction of the benchmark item's distinct k-grams found verbatim
+    in the doc (rounded 6 dp). Callers threshold (GPT-3 uses any
+    13-gram collision, i.e. overlap > 0; Llama-style fuzzier cuts use
+    ~0.8 token overlap) and drop/flag the doc_ids. Recall caveat,
+    stated honestly: a contaminated doc is only found if it ranks in
+    its benchmark item's lexical top-k — raise ``top_k`` for stronger
+    guarantees; the exact operator remains the exhaustive tool.
+
+    Benchmark items shorter than ``k`` tokens verify on their single
+    partial gram (the ``shingled_exploded`` contract).
+    """
+    from jackfruit_spark.operators.dedup import shingled_exploded
+
+    bench_q = benchmark.select(
+        F.col(id_col).cast("string").alias("query_id"),
+        F.col(text_col).alias("query"),
+    )
+    pairs = (
+        index.search(bench_q, k=top_k)
+        .select(
+            F.col("query_id").alias("__bench_id"),
+            F.col("id").alias("__doc_id"),
+        )
+    )
+    cand_ids = pairs.select(
+        F.col("__doc_id").alias(id_col)
+    ).distinct()
+    cand_docs = corpus.join(
+        F.broadcast(cand_ids), id_col, "left_semi"
+    )
+    doc_grams = (
+        shingled_exploded(cand_docs, id_col, text_col, k=k, distinct=True)
+        .select(F.col(id_col).alias("__doc_id"), "sh")
+    )
+    bench_grams = (
+        shingled_exploded(benchmark, id_col, text_col, k=k, distinct=True)
+        .select(
+            F.col(id_col).cast("string").alias("__bench_id"), "sh"
+        )
+    )
+    # per-pair verify: expand bench grams onto the candidate pairs, then
+    # count which of them the doc actually contains
+    expanded = bench_grams.join(pairs, "__bench_id")
+    hits = (
+        expanded.join(
+            doc_grams.withColumn("__hit", F.lit(1).cast("long")),
+            ["__doc_id", "sh"],
+            "left",
+        )
+        .groupBy("__bench_id", "__doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bench_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias(
+                "hit_grams"
+            ),
+        )
+    )
+    return hits.select(
+        F.col("__bench_id").alias("bench_id"),
+        F.col("__doc_id").alias("doc_id"),
+        "bench_grams",
+        "hit_grams",
+        F.round(
+            F.col("hit_grams").cast("double")
+            / F.col("bench_grams").cast("double"),
+            6,
+        ).alias("overlap"),
+    )
+
+
 def normalize_url(col: str | Column) -> Column:
     """Canonical URL for dedup keys (the C4/RefinedWeb pre-stage):
     lowercase, fragment stripped, tracking params removed (utm_*,

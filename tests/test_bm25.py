@@ -225,6 +225,53 @@ def test_cli_lifecycle(spark, docs_df, tmp_path, capsys):
     assert rc == 0 and st["n_docs"] == 12 and st["vocab"] > 0
 
 
+def test_decontaminate_retrieval(spark, tmp_path):
+    """BM25-candidate fuzzy decontamination: a corpus doc quoting a
+    benchmark item verbatim scores overlap 1.0, a paraphrase scores a
+    partial overlap, unrelated docs never enter the verify stage; the
+    flagged set agrees with the exhaustive exact operator."""
+    from jackfruit_spark.operators.curation import (
+        decontaminate,
+        decontaminate_retrieval,
+    )
+
+    corpus_rows = [
+        # verbatim copy of the benchmark item
+        (1, "question the capital city of france is paris obviously"),
+        # shares a long run but not all grams
+        (2, "the capital city of france is lyon according to nobody"),
+        (3, "minhash signatures bucket near duplicate documents fast"),
+        (4, "spark structured streaming processes environmental data"),
+    ]
+    bench_rows = [(100, "the capital city of france is paris")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    idx = Bm25Index.build(
+        corpus, "doc_id", "text", str(tmp_path / "dc"), parts=16
+    )
+    got = {
+        (r["bench_id"], r["doc_id"]): r.asDict()
+        for r in decontaminate_retrieval(
+            idx, corpus, bench, "doc_id", "text", k=3, top_k=3
+        ).collect()
+    }
+    assert got[("100", 1)]["overlap"] == 1.0
+    assert 0.0 < got[("100", 2)]["overlap"] < 1.0
+    # doc 3/4 share no query term above the distractors' — only 3
+    # candidates retrieved, and any retrieved distractor has overlap 0
+    for key, r in got.items():
+        if key[1] in (3, 4):
+            assert r["overlap"] == 0.0
+    # agreement with the exhaustive operator on who is contaminated
+    exact = {
+        r["doc_id"]
+        for r in decontaminate(corpus, bench, "doc_id", "text", k=3).collect()
+        if r["contaminated"] == 1
+    }
+    fuzzy = {d for (_, d), r in got.items() if r["overlap"] > 0}
+    assert fuzzy == exact
+
+
 def test_build_validates(spark, docs_df, tmp_path):
     with pytest.raises(ValueError, match="parts"):
         Bm25Index.build(docs_df, "doc_id", "text", str(tmp_path / "x"), parts=0)
