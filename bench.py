@@ -366,6 +366,25 @@ def bench_lsh(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bm25_bench_queries(d):
+    """The 20-query search batch shared by bench_bm25 and the scale
+    rehearsal (the lsh_bench_delta discipline: identical shapes or the
+    rehearsal's exponent stops describing the benched key): first 5
+    tokens of every 500th document — always hits, mixed-df terms."""
+    from pyspark.sql import functions as F
+
+    return (
+        d.filter(F.col("doc_id") % 500 == 0)
+        .limit(20)
+        .select(
+            F.col("doc_id").cast("string").alias("query_id"),
+            F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), r"\s+"), 1, 5)
+            ).alias("query"),
+        )
+    )
+
+
 def bench_bm25(spark, sf_dir: str) -> dict[str, float]:
     """Lexical-retrieval pair (late r8, functions/bm25.py), the third
     index family: build the tp-partitioned BM25 index over the
@@ -376,8 +395,6 @@ def bench_bm25(spark, sf_dir: str) -> dict[str, float]:
     residues."""
     import shutil
     import tempfile
-
-    from pyspark.sql import functions as F
 
     from jackfruit_spark.functions.bm25 import Bm25Index
 
@@ -393,16 +410,7 @@ def bench_bm25(spark, sf_dir: str) -> dict[str, float]:
             t_build = min(t_build, round(time.perf_counter() - t0, 3))
             release_persisted()
             spark.catalog.clearCache()
-        queries = (
-            d.filter(F.col("doc_id") % 500 == 0)
-            .limit(20)
-            .select(
-                F.col("doc_id").cast("string").alias("query_id"),
-                F.concat_ws(
-                    " ", F.slice(F.split(F.col("text"), r"\s+"), 1, 5)
-                ).alias("query"),
-            )
-        )
+        queries = bm25_bench_queries(d)
         t_search = float("inf")
         for _ in range(REPEATS):
             t0 = time.perf_counter()

@@ -402,6 +402,72 @@ def main() -> None:
                 print(f"lsh@x{m}: {e}"[:200], file=sys.stderr)
             print(f"done lsh_dedup_delta@x{m}", file=sys.stderr)
 
+    if "bm25_search" not in skip:
+        # The Bm25Index claim: a FIXED query batch's search cost tracks
+        # the query terms' posting lists (df grows with the corpus for
+        # common terms — expect sub-linear but NOT flat on a Zipf
+        # vocab), never the non-queried vocabulary (PartitionFilters
+        # prune those residues entirely). Build per mult is timed as
+        # its own key; the search region reuses bench.py's exact query
+        # shape (bm25_bench_queries).
+        from bench import bm25_bench_queries
+        from jackfruit_spark.functions.bm25 import Bm25Index
+
+        results["bm25_index_build"] = {}
+        results["bm25_search"] = {}
+        # untimed warm-up round, the lsh lesson: first build+search of
+        # a session pays the whole JIT bill and reads as a negative
+        # alpha gradient otherwise
+        try:
+            wsf = os.path.join(args.root, f"mult{mults[0]}{suffix}")
+            wd = Q.load(spark, wsf, "documents").limit(500)
+            widx = Bm25Index.build(
+                wd, "doc_id", "text", os.path.join(wsf, "bm25_warm")
+            )
+            widx.search(bm25_bench_queries(wd), k=10).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            release_persisted()
+            spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001
+            print(f"bm25 warm-up: {e}"[:200], file=sys.stderr)
+        for m in mults:
+            sf = os.path.join(args.root, f"mult{m}{suffix}")
+            try:
+                d = Q.load(spark, sf, "documents")
+                t_build = float("inf")
+                idx = None
+                for i in range(args.repeats):
+                    t0 = time.perf_counter()
+                    idx = Bm25Index.build(
+                        d, "doc_id", "text",
+                        os.path.join(sf, f"bm25_idx{i}"),
+                    )
+                    t_build = min(t_build, round(time.perf_counter() - t0, 3))
+                    release_persisted()
+                    spark.catalog.clearCache()
+                results["bm25_index_build"][m] = t_build
+                # FIXED batch across mults: restrict to the x1 id range
+                # (the generator's prefix is mult-stable), else x1 would
+                # see 10 queries and x10 twenty
+                queries = bm25_bench_queries(
+                    d.filter(F.col("doc_id") < DOCS_BASE)
+                )
+                best = float("inf")
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    idx.search(queries, k=10).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, round(time.perf_counter() - t0, 3))
+                    release_persisted()
+                    spark.catalog.clearCache()
+                results["bm25_search"][m] = best
+            except Exception as e:  # noqa: BLE001
+                results["bm25_search"][m] = None
+                print(f"bm25@x{m}: {e}"[:200], file=sys.stderr)
+            print(f"done bm25_search@x{m}", file=sys.stderr)
+
     out = {
         name: {
             "t": {f"x{m}": t for m, t in pts.items()},
