@@ -82,3 +82,37 @@ def test_flat_family_stays_flat(spark, rehearsal_dirs):
             f"{n}: alpha={a} > {c} (timings {p})" for n, a, c, p in failures
         )
     )
+
+
+def test_bm25_stays_subquadratic(spark, rehearsal_dirs, tmp_path):
+    """Build + fixed-batch search of the BM25 index (measured alpha
+    0.02-0.12 at x1/x3/x10, PERFORMANCE.md late r8). Ceiling 0.50 like
+    the IVF/classifier keys: overhead->linear crossover is fine, a
+    reintroduced full-vocab scan or all-pairs stage (~1.0) is not."""
+    import time
+
+    import scale_rehearsal as SR
+    from bench import bm25_bench_queries
+    from jackfruit_spark import queries as Q
+    from jackfruit_spark._persist import release_all
+    from jackfruit_spark.functions.bm25 import Bm25Index
+
+    pts = {}
+    for m in MULTS:
+        d = Q.load(spark, rehearsal_dirs[m], "documents")
+        queries = bm25_bench_queries(d.filter(d.doc_id < SR.DOCS_BASE))
+        best = float("inf")
+        for i in range(REPEATS):
+            t0 = time.perf_counter()
+            idx = Bm25Index.build(
+                d, "doc_id", "text", str(tmp_path / f"g{m}_{i}")
+            )
+            idx.search(queries, k=10).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+            release_all()
+            spark.catalog.clearCache()
+        pts[m] = best
+    alpha = SR.fit_alpha(pts)
+    assert alpha is not None and alpha <= 0.50, (alpha, pts)
