@@ -233,6 +233,11 @@ def cmd_curate(args) -> int:
         quality_alpha=args.quality_alpha,
         semantic_dedup=args.semantic_dedup,
         semantic_threshold=args.semantic_threshold,
+        decontam_bench=(
+            spark.read.parquet(args.decontam_bench)
+            if args.decontam_bench else None
+        ),
+        decontam_k=args.decontam_k,
     )
     curated.write.mode("overwrite").parquet(args.output)
     n_bad = corrupt.count() if corrupt is not None else 0
@@ -840,6 +845,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--quality-model", default=None,
         help="saved train-classifier JSON (skips in-run training)",
     )
+    cu.add_argument(
+        "--decontam-bench", default=None,
+        help="benchmark documents parquet; drops docs sharing any "
+             "--decontam-k gram with it (GPT-3 any-collision rule)",
+    )
+    cu.add_argument("--decontam-k", type=int, default=8)
     cu.add_argument(
         "--semantic-dedup", action="store_true",
         help="paraphrase-level near-dup tier (hashed embeddings -> "

@@ -656,6 +656,8 @@ def curate_corpus(
     semantic_threshold: float = 0.85,
     semantic_dim: int = 256,
     semantic_cells: int = 32,
+    decontam_bench: DataFrame | None = None,
+    decontam_k: int = 8,
 ) -> DataFrame:
     """One-call batch curation: quality gates -> exact dedup -> optional
     LM-perplexity gate -> optional duplicate-span removal -> optional
@@ -692,6 +694,14 @@ def curate_corpus(
     Pareto-threshold-sampled with ``quality_alpha`` (GPT-3 Appendix A;
     both may combine — the cut applies first). At least one of the two
     knobs must accompany the model.
+
+    ``decontam_bench`` adds benchmark decontamination (the GPT-3
+    any-collision rule): documents sharing ANY ``decontam_k``-gram with
+    the benchmark frame (same id/text column names) are dropped. The
+    benchmark gram set broadcasts, so the stage costs one corpus
+    shingle pass and no extra shuffle beyond it. For repeated suites
+    over a fixed corpus, ``decontaminate_retrieval`` over a Bm25Index
+    is the amortized alternative.
 
     Returns the curated DataFrame with the input's columns (text
     rewritten in place by span removal/redaction; fully-span-covered
@@ -732,6 +742,25 @@ def curate_corpus(
             out, quality_model, id_col, text_col,
             min_quality, quality_alpha, quality_seed,
         )
+    if decontam_bench is not None:
+        bench_grams = (
+            shingled_exploded(
+                decontam_bench, id_col, text_col, k=decontam_k,
+                distinct=False,
+            )
+            .select("sh")
+            .distinct()
+        )
+        contaminated = (
+            shingled_exploded(
+                out.select(id_col, text_col), id_col, text_col,
+                k=decontam_k, distinct=False,
+            )
+            .join(F.broadcast(bench_grams), "sh", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        out = out.join(contaminated, id_col, "left_anti")
     if semantic_dedup:
         from jackfruit_spark.operators.dedup import semantic_dedup_text
 

@@ -73,6 +73,33 @@ def test_decontaminate_known_overlap(spark):
     assert got[3]["n_grams"] == 3 and got[3]["n_contam_grams"] == 1
 
 
+def test_curate_corpus_decontam_stage(spark):
+    """curate_corpus(decontam_bench=...): the any-collision rule drops
+    exactly the docs sharing a k-gram with the benchmark; the stage
+    composes with the standard gates (doc 3 dies to the token gate,
+    not decontamination)."""
+    from jackfruit_spark.operators.curation import curate_corpus
+
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over a lazy sleeping dog"),
+            (2, "entirely unrelated words about environmental pipelines"),
+            (3, "tiny"),
+        ],
+    )
+    bench = _docs(spark, [(100, "quick brown fox jumps over")])
+    kept = curate_corpus(
+        corpus, lang=None, min_tokens=2, max_tokens=100,
+        decontam_bench=bench, decontam_k=3,
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [2]
+    # without the benchmark, docs 1 and 2 both survive
+    assert curate_corpus(
+        corpus, lang=None, min_tokens=2, max_tokens=100
+    ).count() == 2
+
+
 def test_decontaminate_plan_broadcast_no_expand(spark):
     bench = _docs(spark, [(100, "the quick brown fox jumps")])
     corpus = _docs(spark, [(1, "lazy quick brown fox dog")])
