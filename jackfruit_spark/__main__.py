@@ -238,6 +238,12 @@ def cmd_curate(args) -> int:
             if args.decontam_bench else None
         ),
         decontam_k=args.decontam_k,
+        c4=args.c4,
+        badwords=(
+            [w for w in args.badwords.split(",") if w]
+            if args.badwords else None
+        ),
+        paragraph_dedup=args.paragraph_dedup,
     )
     curated.write.mode("overwrite").parquet(args.output)
     n_bad = corrupt.count() if corrupt is not None else 0
@@ -844,6 +850,19 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--quality-model", default=None,
         help="saved train-classifier JSON (skips in-run training)",
+    )
+    cu.add_argument(
+        "--c4", action="store_true",
+        help="C4 heuristic cleanup first: line filters + lorem-ipsum/"
+             "code/sentence-count document gates",
+    )
+    cu.add_argument(
+        "--badwords", default=None,
+        help="comma-separated blocklist; implies the C4 document gate",
+    )
+    cu.add_argument(
+        "--paragraph-dedup", action="store_true",
+        help="corpus-wide keep-first exact paragraph dedup",
     )
     cu.add_argument(
         "--decontam-bench", default=None,

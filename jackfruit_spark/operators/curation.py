@@ -417,6 +417,130 @@ def decontaminate(
     )
 
 
+def remove_duplicate_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_count: int = 2,
+    keep_first: bool = True,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the MassiveText/RefinedWeb
+    tier; Rae et al. 2021 §A.1.2 remove duplicated paragraphs, C4 keeps
+    one copy of repeated three-sentence spans — ``keep_first`` selects
+    between the two policies).
+
+    Splits each document on ``sep``, counts identical paragraphs across
+    the ENTIRE corpus, and drops occurrences of any paragraph seen
+    ``min_count``+ times — all of them, or all but the globally first
+    (ordered by (id, position), deterministic) with ``keep_first``.
+    Paragraphs shorter than ``min_chars`` (blank lines, separators,
+    headers) are structural, not content: they are always kept and
+    never counted — AND they get UNIQUE synthetic keys, because a
+    shared NULL/constant key would funnel every blank line in the
+    corpus into one window partition (the url-tier null-key skew
+    lesson).
+
+    Returns (id, clean_text, n_paras, n_kept) — one row per input doc;
+    a doc whose every content paragraph was removed keeps only its
+    structural lines (callers filter empties, the span-removal
+    contract). Two shuffles, both forced by the semantics: the
+    paragraph-hash window (corpus-wide counts) and the groupBy(id)
+    rebuild.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    eligible = F.length("para") >= min_chars
+    keyed = paras.withColumn(
+        "__key",
+        F.when(eligible, F.md5(F.col("para"))).otherwise(
+            F.concat(
+                F.lit("__u"), F.col(id_col).cast("string"),
+                F.lit("_"), F.col("pos").cast("string"),
+            )
+        ),
+    )
+    wk = Window.partitionBy("__key")
+    rn = F.row_number().over(wk.orderBy(id_col, "pos"))
+    cnt = F.count(F.lit(1)).over(wk)
+    flagged = keyed.withColumn(
+        "__drop",
+        (cnt >= min_count) & (rn > 1 if keep_first else F.lit(True)),
+    )
+    # one rebuild aggregate: collect_list skips the NULLs the when()
+    # leaves on dropped rows, so counts and surviving text come out of
+    # the SAME groupBy — no second aggregate, no join
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("__drop"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s.para,
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum((~F.col("__drop")).cast("long")).alias("n_kept"),
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    badwords: list[str] | None = None,
+) -> DataFrame:
+    """The C4 heuristic cleanup (Raffel et al. 2020 §2.2), expressed
+    entirely as column expressions — no shuffle, no UDF, whole-stage
+    codegen end to end.
+
+    Line level (keep a line iff all hold): ends in terminal
+    punctuation ('.', '!', '?', '"' or a closing quote after one);
+    has at least ``min_line_words`` whitespace words; does not mention
+    'javascript' (case-insensitive). Document level (drop the doc if
+    any hold): fewer than ``min_sentences`` sentence-ending marks in
+    the CLEANED text; contains 'lorem ipsum'; contains '{' (source
+    code); contains any ``badwords`` entry as a whole word. Documents
+    whose cleaned text is empty are dropped.
+
+    Returns the input frame with ``text_col`` rewritten to the kept
+    lines; per-line work is inherent to the semantics and runs inside
+    the array ``filter`` over ONE split per document (the lambda reads
+    its element argument only — the upstream split is a lambda
+    ARGUMENT, evaluated once, unlike the shingles CSE trap where the
+    projection got inlined INTO the lambda body).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    line_ok = (
+        lambda ln: ln.rlike(r"""[.!?]["')\]]?\s*$""")
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_line_words)
+        & ~F.lower(ln).contains("javascript")
+    )
+    cleaned = F.array_join(F.filter(lines, line_ok), "\n")
+    out = df.withColumn(text_col, cleaned)
+    txt = F.lower(F.col(text_col))
+    doc_ok = (
+        (F.length(F.regexp_replace(F.col(text_col), r"[^.!?]", ""))
+         >= min_sentences)
+        & ~txt.contains("lorem ipsum")
+        & ~txt.contains("{")
+        & (F.length(F.col(text_col)) > 0)
+    )
+    if badwords:
+        import re as _re
+
+        pat = "(?i)\\b(" + "|".join(_re.escape(w) for w in badwords) + ")\\b"
+        doc_ok = doc_ok & ~F.col(text_col).rlike(pat)
+    return out.filter(doc_ok)
+
+
 def decontaminate_retrieval(
     index,
     corpus: DataFrame,
@@ -658,6 +782,10 @@ def curate_corpus(
     semantic_cells: int = 32,
     decontam_bench: DataFrame | None = None,
     decontam_k: int = 8,
+    c4: bool = False,
+    badwords: list[str] | None = None,
+    paragraph_dedup: bool = False,
+    paragraph_min_count: int = 2,
 ) -> DataFrame:
     """One-call batch curation: quality gates -> exact dedup -> optional
     LM-perplexity gate -> optional duplicate-span removal -> optional
@@ -703,6 +831,14 @@ def curate_corpus(
     over a fixed corpus, ``decontaminate_retrieval`` over a Bm25Index
     is the amortized alternative.
 
+    ``c4=True`` (optionally with ``badwords``) prepends the C4
+    heuristic cleanup (``c4_clean``) BEFORE the gates — it rewrites
+    text, so every later stage must see the cleaned form.
+    ``paragraph_dedup=True`` adds corpus-wide keep-first paragraph
+    dedup (``remove_duplicate_paragraphs``) after exact dedup, for the
+    same reason the span stage sits there: exact copies must not
+    inflate corpus-wide paragraph counts with their own duplicates.
+
     Returns the curated DataFrame with the input's columns (text
     rewritten in place by span removal/redaction; fully-span-covered
     documents are dropped).
@@ -710,6 +846,8 @@ def curate_corpus(
     from jackfruit_spark.functions import text as T
     from jackfruit_spark.functions.hashing import md5_hash64
 
+    if c4 or badwords:
+        df = c4_clean(df, text_col, badwords=badwords)
     toks = T.token_count(text_col)
     gates = toks.between(min_tokens, max_tokens)
     if lang is not None:
@@ -741,6 +879,20 @@ def curate_corpus(
         out = _apply_quality_tier(
             out, quality_model, id_col, text_col,
             min_quality, quality_alpha, quality_seed,
+        )
+    if paragraph_dedup:
+        cleaned = remove_duplicate_paragraphs(
+            out, id_col, text_col, min_count=paragraph_min_count
+        )
+        out = (
+            out.drop(text_col)
+            .join(
+                cleaned.select(
+                    id_col, F.col("clean_text").alias(text_col)
+                ),
+                id_col,
+            )
+            .filter(F.length(F.trim(F.col(text_col))) > 0)
         )
     if decontam_bench is not None:
         bench_grams = (

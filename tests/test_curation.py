@@ -73,6 +73,155 @@ def test_decontaminate_known_overlap(spark):
     assert got[3]["n_grams"] == 3 and got[3]["n_contam_grams"] == 1
 
 
+def test_remove_duplicate_paragraphs_keep_first(spark):
+    from jackfruit_spark.operators.curation import remove_duplicate_paragraphs
+
+    boiler = "subscribe to our newsletter for the latest updates"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{boiler}\nunique content about foxes\n\n{boiler}"),
+            (2, f"more unique content here\n{boiler}"),
+            (3, "short\nentirely different paragraph text"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_paragraphs(
+            docs, "doc_id", "text", min_chars=10
+        ).collect()
+    }
+    # doc 1 keeps its FIRST boilerplate copy (global first by (id,pos)),
+    # loses the second; the blank structural line survives
+    assert got[1]["clean_text"] == f"{boiler}\nunique content about foxes\n"
+    assert got[1]["n_paras"] == 4 and got[1]["n_kept"] == 3
+    # doc 2 loses its copy entirely
+    assert got[2]["clean_text"] == "more unique content here"
+    # 'short' is structural (< min_chars): kept, never counted
+    assert got[3]["clean_text"] == "short\nentirely different paragraph text"
+    assert got[3]["n_kept"] == 2
+
+    # keep_first=False removes every copy (the MassiveText policy)
+    got2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_paragraphs(
+            docs, "doc_id", "text", min_chars=10, keep_first=False
+        ).collect()
+    }
+    assert got2[1] == "unique content about foxes\n"
+    assert got2[2] == "more unique content here"
+
+
+def test_remove_duplicate_paragraphs_matches_bruteforce(spark):
+    """Property on a random-ish corpus: distributed keep-first dedup ==
+    a driver-side reference over the same split/ordering rules."""
+    import random
+
+    rng = random.Random(11)
+    pool = [
+        "paragraph alpha with enough characters",
+        "paragraph beta also long enough to count",
+        "paragraph gamma likewise sufficiently long",
+        "x",  # structural
+        "",
+    ]
+    rows = [
+        (i, "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 6))))
+        for i in range(40)
+    ]
+    from jackfruit_spark.operators.curation import remove_duplicate_paragraphs
+
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_paragraphs(
+            _docs(spark, rows), "doc_id", "text", min_chars=10
+        ).collect()
+    }
+    seen: set[str] = set()
+    want = {}
+    for i, text in sorted(rows):
+        kept = []
+        for p in text.split("\n"):
+            if len(p) < 10:
+                kept.append(p)
+            elif p not in seen:
+                seen.add(p)
+                kept.append(p)
+        want[i] = "\n".join(kept)
+    assert got == want
+
+
+def test_c4_clean(spark):
+    from jackfruit_spark.operators.curation import c4_clean
+
+    keep_doc = (
+        "This is a perfectly reasonable first sentence of text.\n"
+        "menu home about contact\n"
+        "Here is another quite long and useful sentence for you!\n"
+        "Is this a third sentence with enough words in it?"
+    )
+    docs = _docs(
+        spark,
+        [
+            (1, keep_doc),
+            (2, "Enable javascript to view this page properly please.\n"
+                "Too short.\nNo terminal punctuation here at all"),
+            (3, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+                "Second sentence is fine right here honestly!\n"
+                "And a third one to pass the sentence gate too."),
+            (4, "function f() { return 1; } is code and gets dropped.\n"
+                "Even though it has sentences one two three four!\n"
+                "And yet another sentence to pass the count."),
+            (5, "One bad word makes this entire document disappear now.\n"
+                "Second sentence exists right here as well today!\n"
+                "Third sentence rounds out the document nicely."),
+        ],
+    )
+    got = {r["doc_id"]: r["text"] for r in c4_clean(docs).collect()}
+    # doc 1 survives; the no-punctuation menu line is stripped
+    assert 1 in got and "menu home" not in got[1]
+    assert got[1].count("\n") == 2
+    assert 2 not in got  # all lines die (javascript / short / no punct)
+    assert 3 not in got  # lorem ipsum
+    assert 4 not in got  # '{'
+    assert 5 in got      # no badwords list passed -> survives
+    got_bw = {
+        r["doc_id"]
+        for r in c4_clean(docs, badwords=["bad"]).collect()
+    }
+    assert got_bw == {1}
+
+
+def test_curate_corpus_c4_and_paragraph_stages(spark):
+    from jackfruit_spark.operators.curation import curate_corpus
+
+    boiler = "subscribe to our newsletter for all the latest updates."
+    docs = _docs(
+        spark,
+        [
+            (1, f"Real content sentence number one lives right here.\n"
+                f"{boiler}\nAnother genuine sentence follows in the doc!\n"
+                f"And a third sentence closes out this document."),
+            (2, f"{boiler}\nDifferent genuine content sits here instead.\n"
+                f"Second real sentence of the second document too!\n"
+                f"Third sentence of the second document as well."),
+            (3, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+                "More sentences to otherwise pass every gate here!\n"
+                "Third sentence to pass the sentence-count gate."),
+        ],
+    )
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in curate_corpus(
+            docs, lang=None, min_tokens=2, max_tokens=1000,
+            c4=True, paragraph_dedup=True,
+        ).collect()
+    }
+    assert set(kept) == {1, 2}  # lorem ipsum doc dies to the C4 gate
+    # doc 1 holds the globally-first boilerplate copy; doc 2 loses its
+    assert boiler in kept[1] and boiler not in kept[2]
+
+
 def test_curate_corpus_decontam_stage(spark):
     """curate_corpus(decontam_bench=...): the any-collision rule drops
     exactly the docs sharing a k-gram with the benchmark; the stage
