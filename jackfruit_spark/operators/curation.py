@@ -438,16 +438,23 @@ def remove_duplicate_paragraphs(
     Paragraphs shorter than ``min_chars`` (blank lines, separators,
     headers) are structural, not content: they are always kept and
     never counted — AND they get UNIQUE synthetic keys, because a
-    shared NULL/constant key would funnel every blank line in the
-    corpus into one window partition (the url-tier null-key skew
-    lesson).
+    shared NULL/constant key would make one aggregation group of every
+    blank line in the corpus (the url-tier null-key skew lesson).
 
     Returns (id, clean_text, n_paras, n_kept) — one row per input doc;
     a doc whose every content paragraph was removed keeps only its
     structural lines (callers filter empties, the span-removal
-    contract). Two shuffles, both forced by the semantics: the
-    paragraph-hash window (corpus-wide counts) and the groupBy(id)
-    rebuild.
+    contract).
+
+    Scale shape: corpus-wide stats come from a groupBy(key) AGGREGATE
+    (min first-occurrence struct + count), deliberately NOT a window —
+    partial (map-side) aggregation collapses a viral paragraph's
+    millions of copies to one row per map task, where a window would
+    sort them all in a single straggler partition. The stats frame then
+    prunes to DUPLICATED keys only (typically corpus-tiny) before
+    joining back, so AQE can broadcast it; a left join + null check
+    flags drops. Two forced shuffles: the stats aggregate and the
+    groupBy(id) rebuild.
     """
     paras = df.select(
         F.col(id_col),
@@ -463,12 +470,23 @@ def remove_duplicate_paragraphs(
             )
         ),
     )
-    wk = Window.partitionBy("__key")
-    rn = F.row_number().over(wk.orderBy(id_col, "pos"))
-    cnt = F.count(F.lit(1)).over(wk)
-    flagged = keyed.withColumn(
+    dup = (
+        keyed.groupBy("__key")
+        .agg(
+            F.min(F.struct(id_col, "pos")).alias("__first"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .filter(F.col("__cnt") >= min_count)
+        .select("__key", "__first")
+    )
+    flagged = keyed.join(dup, "__key", "left").withColumn(
         "__drop",
-        (cnt >= min_count) & (rn > 1 if keep_first else F.lit(True)),
+        F.col("__first").isNotNull()
+        & (
+            F.struct(id_col, "pos") != F.col("__first")
+            if keep_first
+            else F.lit(True)
+        ),
     )
     # one rebuild aggregate: collect_list skips the NULLs the when()
     # leaves on dropped rows, so counts and surviving text come out of

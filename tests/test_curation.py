@@ -112,6 +112,19 @@ def test_remove_duplicate_paragraphs_keep_first(spark):
     assert got2[2] == "more unique content here"
 
 
+def test_remove_duplicate_paragraphs_plan_is_aggregate_shaped(spark):
+    """The corpus-wide stats must come from an aggregate (map-side
+    partial collapse of viral-paragraph copies), never a window (one
+    straggler sort of all copies)."""
+    from jackfruit_spark.operators.curation import remove_duplicate_paragraphs
+    from jackfruit_spark.plans import plan_string
+
+    docs = _docs(spark, [(1, "one paragraph of text here")])
+    p = plan_string(remove_duplicate_paragraphs(docs, "doc_id", "text"))
+    assert "Window" not in p, p
+    assert "HashAggregate" in p or "ObjectHashAggregate" in p, p
+
+
 def test_remove_duplicate_paragraphs_matches_bruteforce(spark):
     """Property on a random-ish corpus: distributed keep-first dedup ==
     a driver-side reference over the same split/ordering rules."""
