@@ -682,6 +682,28 @@ def cmd_ann_search(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """One-pass corpus report card (operators/profile.py): doc/token
+    counts, length percentiles, language mix, quality means; --dedup
+    adds the exact-duplication block (a second, hash-shuffling job).
+    Prints one JSON line; --output also writes it to a file."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.profile import profile_corpus
+
+    report = profile_corpus(
+        spark.read.parquet(args.input),
+        id_col=args.id_col,
+        text_col=args.text_col,
+        dedup_stats=args.dedup,
+    )
+    line = json.dumps(report)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(line + "\n")
+    print(line)
+    return 0
+
+
 def cmd_index_bm25(args) -> int:
     """Build / append / rebuild / vacuum the partitioned BM25 retrieval
     index (functions/bm25.Bm25Index) from a documents parquet. Prints
@@ -1074,6 +1096,18 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--rerank", type=int, default=50)
     an.add_argument("--cpus", default=None)
     an.set_defaults(fn=cmd_ann_search)
+
+    pf = sub.add_parser(
+        "profile", help="one-pass corpus report card (JSON)"
+    )
+    pf.add_argument("--input", required=True, help="documents parquet")
+    pf.add_argument("--output", default=None, help="also write JSON here")
+    pf.add_argument("--id-col", default="doc_id")
+    pf.add_argument("--text-col", default="text")
+    pf.add_argument("--dedup", action="store_true",
+                    help="add exact-duplication stats (second job)")
+    pf.add_argument("--cpus", default=None)
+    pf.set_defaults(fn=cmd_profile)
 
     ib = sub.add_parser(
         "index-bm25",

@@ -1,0 +1,126 @@
+"""Corpus profiling: the one-pass report card of a document corpus.
+
+Before (and after) running curation over 100 TB, an operator needs the
+shape of the data: how many documents and tokens, the length
+distribution, the language mix, quality-signal averages, and how much
+exact duplication is present — without launching a job per statistic.
+
+``profile_corpus`` computes the whole scalar block in ONE aggregate job
+over ONE scan (counts, token totals, approx length percentiles, quality
+means, lang distribution via pivot-free map counting), plus one
+deliberately separate job for the exact-duplication block
+(``dedup_stats=True``; it shuffles on the content hash, which no
+merge-into-one-pass trick avoids) — and nothing else. All outputs are
+plain-Python JSON-serializable values.
+
+Percentiles use ``approx_percentile`` (t-digest, mergeable, bounded
+memory) — at 100 TB an exact percentile would sort the corpus; the
+1e-4 default accuracy is far tighter than any decision made on it.
+
+No reference analog (the reference profiles nothing); this belongs to
+the LLM-training-data operations family per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions import text as T
+
+_PCTS = [0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def profile_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dedup_stats: bool = False,
+) -> dict:
+    """Return the corpus report card as a JSON-serializable dict.
+
+    Keys: ``docs``, ``empty_docs``, ``tokens`` (whitespace), ``chars``,
+    ``token_percentiles`` (p5/p25/p50/p75/p95/p99), ``avg_punct_ratio``,
+    ``avg_stopword_ratio``, ``avg_token_len``, ``languages`` (doc count
+    per lang_id bucket, descending). With ``dedup_stats=True`` adds
+    ``distinct_texts``, ``dup_docs`` (docs beyond the first of each
+    exact-content group) and ``dup_ratio`` — the second job.
+    """
+    blank = F.length(F.trim(F.col(text_col))) == 0
+    # split(trim('')) is [''] not [] (the chunk empty-text lesson):
+    # blank docs must be zero-token by explicit gate, not by size()
+    toks = F.when(blank, F.lit(0).cast("long")).otherwise(
+        T.token_count(text_col)
+    )
+    chars = F.length(F.col(text_col)).cast("long")
+    punct = T.punct_count(text_col)
+    stop = T.stopword_count(text_col, T.LANG_STOPWORDS["en"])
+    lang = T.lang_id(text_col)
+
+    langs = sorted(T.LANG_STOPWORDS) + ["und"]
+    row = df.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum((toks == 0).cast("long")).alias("empty_docs"),
+        F.sum(toks).alias("tokens"),
+        F.sum(chars).alias("chars"),
+        F.percentile_approx(
+            toks, F.array(*[F.lit(p) for p in _PCTS]), F.lit(10000)
+        ).alias("tok_pcts"),
+        F.avg(punct.cast("double") / F.greatest(chars, F.lit(1)).cast("double")).alias(
+            "avg_punct_ratio"
+        ),
+        F.avg(stop.cast("double") / F.greatest(toks, F.lit(1)).cast("double")).alias(
+            "avg_stopword_ratio"
+        ),
+        F.avg(
+            chars.cast("double") / F.greatest(toks, F.lit(1)).cast("double")
+        ).alias("avg_token_len"),
+        # language mix WITHOUT a second groupBy job: one conditional
+        # count per known bucket (the list is small and fixed)
+        *[
+            F.sum((lang == lg).cast("long")).alias(f"__lang_{lg}")
+            for lg in langs
+        ],
+    ).first()
+
+    out = {
+        "docs": int(row["docs"]),
+        "empty_docs": int(row["empty_docs"] or 0),
+        "tokens": int(row["tokens"] or 0),
+        "chars": int(row["chars"] or 0),
+        "token_percentiles": {
+            f"p{int(p * 100)}": int(v)
+            for p, v in zip(_PCTS, row["tok_pcts"] or [])
+        },
+        "avg_punct_ratio": round(float(row["avg_punct_ratio"] or 0.0), 6),
+        "avg_stopword_ratio": round(
+            float(row["avg_stopword_ratio"] or 0.0), 6
+        ),
+        "avg_token_len": round(float(row["avg_token_len"] or 0.0), 6),
+        "languages": dict(
+            sorted(
+                (
+                    (lg, int(row[f"__lang_{lg}"] or 0))
+                    for lg in langs
+                    if int(row[f"__lang_{lg}"] or 0) > 0
+                ),
+                key=lambda kv: (-kv[1], kv[0]),
+            )
+        ),
+    }
+    if dedup_stats:
+        d = (
+            df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.count(F.lit(1)).alias("distinct_texts"),
+                F.sum(F.col("__n") - 1).alias("dup_docs"),
+            )
+            .first()
+        )
+        out["distinct_texts"] = int(d["distinct_texts"] or 0)
+        out["dup_docs"] = int(d["dup_docs"] or 0)
+        out["dup_ratio"] = round(
+            out["dup_docs"] / max(out["docs"], 1), 6
+        )
+    return out

@@ -1,0 +1,57 @@
+"""profile_corpus: values pinned against driver-side arithmetic on a
+known corpus; one-job claim pinned on the scalar block; CLI surface."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from jackfruit_spark.operators.profile import profile_corpus
+
+ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog"),   # en, 9 toks
+    (2, "the cat and the dog sat of a mat"),               # en, 9 toks
+    (3, "le chat de la maison et les oiseaux de paris"),   # fr, 10 toks
+    (4, "xqz wvk jjj"),                                    # und, 3 toks
+    (5, ""),                                               # empty
+    (6, "the quick brown fox jumps over the lazy dog"),    # dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_profile_values(docs):
+    r = profile_corpus(docs, dedup_stats=True)
+    assert r["docs"] == 6 and r["empty_docs"] == 1
+    # 9+9+10+3+0+9: the blank doc is zero-token by the explicit gate
+    # (split(trim('')) is [''], so size() alone would count 1)
+    assert r["tokens"] == 40
+    assert r["chars"] == sum(len(t) for _, t in ROWS)
+    assert r["languages"]["en"] == 3 and r["languages"]["fr"] == 1
+    assert r["token_percentiles"]["p50"] >= 3
+    assert 0 < r["avg_stopword_ratio"] < 1
+    assert r["distinct_texts"] == 5 and r["dup_docs"] == 1
+    assert r["dup_ratio"] == round(1 / 6, 6)
+
+
+def test_profile_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r = profile_corpus(empty, dedup_stats=True)
+    assert r["docs"] == 0 and r["tokens"] == 0
+    assert r["languages"] == {} and r["dup_docs"] == 0
+
+
+def test_profile_cli(spark, docs, tmp_path, capsys):
+    from jackfruit_spark import __main__ as cli
+
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "report.json")
+    rc = cli.main(["profile", "--input", src, "--output", out, "--dedup"])
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and printed["docs"] == 6
+    assert json.load(open(out)) == printed
