@@ -1,0 +1,67 @@
+"""Streaming document ingestion into the BM25 retrieval index.
+
+The lexical twin of ``streaming/vectors.py`` (IVF) and
+``streaming/dedup.py`` (LSH): ``Bm25Index.build`` once, then land new
+document batches continuously and ``append`` them as they arrive —
+each append file-appends postings/docstats and swaps a merged
+termstats version with the manifest, so a reader between batches
+always scores against a consistent (N, avgdl, df) snapshot.
+
+Replay safety is the shared checkpoint-ledger protocol
+(``streaming/vectors._applied_max``/``_record_applied``): foreachBatch
+is at-least-once, duplicate ids would double tf/df mass, so batches
+at-or-below the recorded max id are skipped. The one-batch crash
+window (postings landed, ledger not bumped) double-counts at most one
+batch until ``rebuild()``; unlike the vector path there is no
+dedup-on-rebuild — re-run the append from the source batch after
+healing, or rebuild from the original corpus (the index stores no
+text, by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jackfruit_spark.functions.bm25 import Bm25Index
+from jackfruit_spark.streaming.vectors import _applied_max, _record_applied
+
+
+def stream_documents_parquet(
+    spark: SparkSession, landing_dir: str,
+    schema: str = "doc_id long, text string",
+) -> DataFrame:
+    """Landing-directory stream of document rows (explicit schema;
+    recursive lookup for parquet-directory landings — the vectors.py
+    lesson)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(landing_dir)
+    )
+
+
+def append_batch(index_root: str, checkpoint: str, batch_df: DataFrame,
+                 batch_id: int) -> bool:
+    """One foreachBatch step, exposed for tests: ledger-skip replayed
+    ids, else append + bump. Returns whether the batch was applied."""
+    if batch_id <= _applied_max(checkpoint):
+        return False
+    Bm25Index(batch_df.sparkSession, index_root).append(batch_df)
+    _record_applied(checkpoint, batch_id)
+    return True
+
+
+def write_index_stream(docs: DataFrame, index_root: str, checkpoint: str):
+    """availableNow append of landed document batches into an EXISTING
+    index (build it first — append needs the manifest's analyzer
+    config and stats to merge into)."""
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch(index_root, checkpoint, batch_df, batch_id)
+
+    return (
+        docs.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,76 @@
+"""Streaming document ingestion into Bm25Index (streaming/bm25.py):
+availableNow appends, replay-idempotence via the shared checkpoint
+ledger, and stream-result == batch-append-result equivalence."""
+
+from __future__ import annotations
+
+import pytest
+
+from jackfruit_spark.functions.bm25 import Bm25Index
+from jackfruit_spark.streaming.bm25 import (
+    append_batch,
+    stream_documents_parquet,
+    write_index_stream,
+)
+from tests.test_bm25 import DOCS, QUERIES, _search_dict
+
+SCHEMA = "doc_id string, text string"
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    base = spark.createDataFrame(DOCS[:8], SCHEMA)
+    return Bm25Index.build(
+        base, "doc_id", "text", str(tmp_path / "idx"), parts=16
+    )
+
+
+def test_stream_appends_and_serves(spark, tmp_path, built):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(DOCS[8:], SCHEMA).write.parquet(
+        str(landing / "b1.parquet")
+    )
+    q = write_index_stream(
+        stream_documents_parquet(spark, str(landing), SCHEMA),
+        built.root, ckpt,
+    )
+    q.awaitTermination(120)
+    built.refresh()
+    # streamed state == a fresh build over the union corpus, the
+    # append-equals-fresh-build guarantee carried through the stream
+    full = Bm25Index.build(
+        spark.createDataFrame(DOCS, SCHEMA),
+        "doc_id", "text", str(tmp_path / "full"), parts=16,
+    )
+    assert _search_dict(built, spark, QUERIES) == _search_dict(
+        full, spark, QUERIES
+    )
+
+    # second availableNow run: only the NEW landing file processes
+    spark.createDataFrame(
+        [("d99", "a freshly streamed fox document")], SCHEMA
+    ).write.parquet(str(landing / "b2.parquet"))
+    q2 = write_index_stream(
+        stream_documents_parquet(spark, str(landing), SCHEMA),
+        built.root, ckpt,
+    )
+    q2.awaitTermination(120)
+    assert built.refresh().stats()["n_docs"] == 12
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path, built):
+    ckpt = str(tmp_path / "ckpt")
+    b = spark.createDataFrame([("d50", "replay candidate doc")], SCHEMA)
+    assert append_batch(built.root, ckpt, b, 0) is True
+    n = built.refresh().stats()["n_docs"]
+    # replay of the same batch id (post-crash restart): skipped —
+    # a double append would double this doc's tf/df mass
+    assert append_batch(built.root, ckpt, b, 0) is False
+    assert built.refresh().stats()["n_docs"] == n
+    assert append_batch(
+        built.root, ckpt,
+        spark.createDataFrame([("d51", "later batch doc")], SCHEMA), 1,
+    ) is True
+    assert built.refresh().stats()["n_docs"] == n + 1
