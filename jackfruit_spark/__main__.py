@@ -778,6 +778,28 @@ def cmd_ann_serve(args) -> int:
     return 0
 
 
+def cmd_bm25_serve(args) -> int:
+    """HTTP listener over a built BM25 index (functions/bm25_http.py):
+    GET /health + GET /v1/bm25/search — the lexical twin of ann-serve."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.functions.bm25 import Bm25Index
+    from jackfruit_spark.functions.bm25_http import make_server
+
+    server = make_server(
+        Bm25Index(spark, args.root), host=args.host, port=args.port,
+        timeout_s=args.timeout,
+    )
+    host, port = server.server_address[:2]
+    print(json.dumps({"listening": f"http://{host}:{port}"}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    finally:
+        server.server_close()  # release the listening socket
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="jackfruit_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -1148,6 +1170,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="per-request deadline seconds (504 past it)")
     asv.add_argument("--cpus", default=None)
     asv.set_defaults(fn=cmd_ann_serve)
+
+    bsv = sub.add_parser(
+        "bm25-serve", help="HTTP listener over a built BM25 index"
+    )
+    bsv.add_argument("--root", required=True)
+    bsv.add_argument("--host", default="127.0.0.1")
+    bsv.add_argument("--port", type=int, default=8082)
+    bsv.add_argument("--timeout", type=float, default=18.0,
+                     help="per-request deadline seconds (504 past it)")
+    bsv.add_argument("--cpus", default=None)
+    bsv.set_defaults(fn=cmd_bm25_serve)
 
     sv = sub.add_parser("serve", help="HTTP listener: GET /v1/environmental + /health")
     sv.add_argument("--host", default="127.0.0.1")

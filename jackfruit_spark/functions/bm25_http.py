@@ -1,0 +1,86 @@
+"""HTTP serving for the BM25 retrieval index — the lexical twin of
+``functions/ann_http.py`` on the shared stdlib transport
+(``jackfruit_spark/_http.py``). Every index family is buildable,
+appendable, streamable, and now servable behind the same envelope
+discipline: validation 400, request-deadline 504 (the grid's
+execution-guard machinery), opaque 500 (internals never leak), 200
+with a ranked-hits envelope.
+
+Long-lived-process discipline (the ann_http lesson): the handler
+refreshes the index's cached manifest per request, so an external
+``append``/``rebuild()`` + ``vacuum()`` swaps under a running server
+cleanly — a pinned manifest would keep scoring with stale N/df (or
+resolve a vacuumed data dir) until restart.
+
+Routes: GET /health (liveness, no Spark), GET /v1/bm25/search with
+``q`` (free-text query, required) and ``k``.
+"""
+
+from __future__ import annotations
+
+from http.server import ThreadingHTTPServer
+
+from jackfruit_spark._http import make_routed_server, serve_background  # noqa: F401  (re-export)
+from jackfruit_spark.functions.bm25 import Bm25Index
+
+
+def handle_bm25_search(
+    index: Bm25Index, params: dict, timeout_s: float | None = 18.0
+) -> tuple[int, dict]:
+    """Transport-free request handler. Returns (status, body); raises
+    nothing the transport's generic-500 net shouldn't catch."""
+    from jackfruit_spark.grid.serving import (
+        QueryTimeoutError,
+        _collect_with_deadline,
+    )
+
+    q = params.get("q")
+    if not q or not q.strip():
+        return 400, {"error": "missing required parameter 'q'"}
+    try:
+        k = int(params.get("k", 10))
+    except ValueError:
+        return 400, {"error": "k must be an integer"}
+    if k <= 0:
+        return 400, {"error": "k must be > 0"}
+    try:
+        # per-request refresh: an external append/rebuild+vacuum must
+        # swap cleanly under a running server
+        index.refresh()
+        qdf = index.spark.createDataFrame(
+            [("q", q)], "query_id string, query string"
+        )
+        rows = _collect_with_deadline(
+            index.search(qdf, k=k).orderBy("rank"), timeout_s
+        )
+    except QueryTimeoutError:
+        return 504, {"error": f"query exceeded {timeout_s}s deadline"}
+    except Exception:  # noqa: BLE001 — never leak internals to clients
+        return 500, {"error": "internal server error"}
+    return 200, {
+        "hits": [
+            {"id": r["id"], "score": r["score"], "rank": r["rank"]}
+            for r in rows
+        ],
+        "k": k,
+    }
+
+
+def make_server(
+    index: Bm25Index,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    timeout_s: float | None = 18.0,
+) -> ThreadingHTTPServer:
+    """Bound but not yet serving — call serve_forever() (or
+    serve_background for tests). port=0 binds an ephemeral port."""
+    return make_routed_server(
+        {
+            "/health": lambda p: (200, {"status": "ok"}),
+            "/v1/bm25/search": lambda p: handle_bm25_search(
+                index, p, timeout_s=timeout_s
+            ),
+        },
+        host,
+        port,
+    )

@@ -1,0 +1,113 @@
+"""BM25 HTTP serving (functions/bm25_http.py): envelope parity with a
+direct search, validation 400s, generic 500, and append+rebuild+vacuum
+swapping under a running server."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from jackfruit_spark.functions.bm25 import Bm25Index
+from jackfruit_spark.functions.bm25_http import make_server, serve_background
+from tests.test_bm25 import DOCS
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    idx = Bm25Index.build(
+        df, "doc_id", "text",
+        str(tmp_path_factory.mktemp("bm25http") / "idx"), parts=16,
+    )
+    server = make_server(idx, port=0)
+    serve_background(server)
+    host, port = server.server_address[:2]
+    yield f"http://{host}:{port}", idx
+    server.shutdown()
+    server.server_close()  # release the listening socket fd
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_and_search_parity(served, spark):
+    base, idx = served
+    assert _get(f"{base}/health") == (200, {"status": "ok"})
+
+    status, body = _get(f"{base}/v1/bm25/search?q=quick+brown+fox&k=3")
+    assert status == 200 and len(body["hits"]) == 3
+    direct = (
+        idx.search(
+            spark.createDataFrame(
+                [("q", "quick brown fox")], "query_id string, query string"
+            ),
+            k=3,
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(h["id"], h["score"]) for h in body["hits"]] == [
+        (r["id"], r["score"]) for r in direct
+    ]
+
+
+def test_validation_envelope(served):
+    base, _ = served
+    for q, frag in (
+        ("k=5", "'q'"),
+        ("q=%20%20&k=5", "'q'"),
+        ("q=fox&k=0", "> 0"),
+        ("q=fox&k=x", "integer"),
+    ):
+        status, body = _get(f"{base}/v1/bm25/search?{q}")
+        assert status == 400 and frag in body["error"], (q, body)
+    status, _ = _get(f"{base}/nope")
+    assert status == 404
+
+
+def test_unknown_terms_empty_hits(served):
+    base, _ = served
+    status, body = _get(f"{base}/v1/bm25/search?q=zzzunknownword")
+    assert status == 200 and body["hits"] == []
+
+
+def test_broken_index_is_generic_500(spark, tmp_path):
+    server = make_server(Bm25Index(spark, str(tmp_path / "nothing")), port=0)
+    serve_background(server)
+    host, port = server.server_address[:2]
+    try:
+        status, body = _get(f"http://{host}:{port}/v1/bm25/search?q=fox")
+        assert status == 500
+        assert body == {"error": "internal server error"}
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_append_under_running_server(spark, served):
+    """An external handle appends + rebuilds + vacuums; the next
+    request's manifest refresh scores against the swapped state."""
+    base, idx = served
+    other = Bm25Index(spark, idx.root)
+    other.append(
+        spark.createDataFrame(
+            [("d77", "a fox appended under a live server")],
+            "doc_id string, text string",
+        )
+    )
+    status, body = _get(f"{base}/v1/bm25/search?q=appended+under+live")
+    assert status == 200
+    assert any(h["id"] == "d77" for h in body["hits"])
+    other.rebuild()
+    other.vacuum()
+    status, body = _get(f"{base}/v1/bm25/search?q=appended+under+live&k=2")
+    assert status == 200
+    assert any(h["id"] == "d77" for h in body["hits"])
