@@ -436,35 +436,20 @@ def adc_knn_scored(
     else:
         codes = codes.withColumn("__sub", F.lit(0))
         q = q.withColumn("__sub", F.lit(0))
-    both = q.select(
-        "ivf_cell",
-        "__sub",
-        F.col("__qid").alias("__id"),
-        F.col("__qv").alias("__v"),
-        F.lit(None).cast("array<smallint>").alias("__code"),
-        F.lit(0).alias("__side"),
-    ).unionByName(
-        codes.select(
-            "ivf_cell",
-            "__sub",
-            F.col("__bid").alias("__id"),
-            F.lit(None).cast("array<double>").alias("__v"),
-            F.col("__code"),
-            F.lit(1).alias("__side"),
-        )
-    )
+    # cogroup, not a union (late r8, the _knn_join_scored lesson): each
+    # side keeps its own dtypes (a union coerced mismatched id types and
+    # crashed the kernel's declared schema) and no null code/vector
+    # column ships with the opposite side's rows
     qid_dt = q.schema["__qid"].dataType.simpleString()
     bid_dt = codes.schema["__bid"].dataType.simpleString()
     out_schema = f"{id_q} {qid_dt}, {id_b} {bid_dt}, cosine_sim double"
     kk = k
 
-    def score(key, pdf):
-        qs = pdf[pdf["__side"] == 0]
-        bs = pdf[pdf["__side"] == 1]
+    def score(key, qs, bs):
         if qs.empty or bs.empty:
             return pd.DataFrame({c: [] for c in (id_q, id_b, "cosine_sim")})
         qv = _prep(
-            np.stack(qs["__v"].apply(lambda x: np.asarray(x, dtype="float64"))),
+            np.stack(qs["__qv"].apply(lambda x: np.asarray(x, dtype="float64"))),
             norm,
         )
         if offsets is not None:
@@ -484,11 +469,13 @@ def adc_knn_scored(
             d2 += tables[:, j, :][:, cd[:, j]]
         s = 1.0 - d2 / 2.0
         return _topk_rows(
-            s, qs["__id"].to_numpy(), bs["__id"].to_numpy(), kk, id_q, id_b
+            s, qs["__qid"].to_numpy(), bs["__bid"].to_numpy(), kk, id_q, id_b
         )
 
-    survivors = both.groupBy("ivf_cell", "__sub").applyInPandas(
-        score, schema=out_schema
+    survivors = (
+        q.groupBy("ivf_cell", "__sub")
+        .cogroup(codes.groupBy("ivf_cell", "__sub"))
+        .applyInPandas(score, schema=out_schema)
     )
     w = Window.partitionBy(id_q).orderBy(
         F.col("cosine_sim").desc(), F.col(id_b).asc()

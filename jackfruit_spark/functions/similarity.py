@@ -629,7 +629,17 @@ def _knn_join_scored(
     """Scoring half of the kNN-join, shared with ``IvfIndex.knn_join``
     (which reads ``b`` pre-assigned from the cell-partitioned layout
     instead of re-assigning per call). ``q``: (__qid, __qv, ivf_cell)
-    exploded to probed cells; ``b``: (__bid, __bv, ivf_cell) home cells."""
+    exploded to probed cells; ``b``: (__bid, __bv, ivf_cell) home cells.
+
+    The two sides meet in a COGROUP (late r8): each arrives in the
+    kernel as its own pandas frame with its own dtypes. The previous
+    single-frame union coerced mismatched id types (string query ids +
+    bigint base ids -> the union's common type), so the kernel emitted a
+    dtype the declared schema rejected — crashed in the hybrid-search
+    bench; a side-tagged-nulls union instead would NaN-float integer ids
+    in pandas. Cogroup also stops shipping a null vector column per
+    opposite-side row and keeps the kernel's id tie-break in the SAME
+    type (hence order) as the downstream window's."""
     from pyspark.sql import Window
 
     if cell_cap is not None:
@@ -651,42 +661,27 @@ def _knn_join_scored(
     else:
         b = b.withColumn("__sub", F.lit(0))
         q = q.withColumn("__sub", F.lit(0))
-    both = q.select(
-        "ivf_cell",
-        "__sub",
-        F.col("__qid").alias("__id"),
-        F.col("__qv").alias("__v"),
-        F.lit(0).alias("__side"),
-    ).unionByName(
-        b.select(
-            "ivf_cell",
-            "__sub",
-            F.col("__bid").alias("__id"),
-            F.col("__bv").alias("__v"),
-            F.lit(1).alias("__side"),
-        )
-    )
     id_dt = b.schema["__bid"].dataType.simpleString()
     qid_dt = q.schema["__qid"].dataType.simpleString()
     out_schema = f"{id_q} {qid_dt}, {id_b} {id_dt}, cosine_sim double"
     kk = k
 
-    def score(key, pdf):  # per-cell BLAS; unannotated like pair_cosine's
-        qs = pdf[pdf["__side"] == 0]
-        bs = pdf[pdf["__side"] == 1]
+    def score(qs, bs):  # per-cell BLAS; unannotated like pair_cosine's
         if qs.empty or bs.empty:
             return pd.DataFrame({c: [] for c in (id_q, id_b, "cosine_sim")})
-        qv = np.stack(qs["__v"].apply(lambda x: np.asarray(x, dtype="float64")))
-        bv = np.stack(bs["__v"].apply(lambda x: np.asarray(x, dtype="float64")))
-        qi = qs["__id"].to_numpy()
-        bi = bs["__id"].to_numpy()
+        qv = np.stack(qs["__qv"].apply(lambda x: np.asarray(x, dtype="float64")))
+        bv = np.stack(bs["__bv"].apply(lambda x: np.asarray(x, dtype="float64")))
+        qi = qs["__qid"].to_numpy()
+        bi = bs["__bid"].to_numpy()
         s = (qv @ bv.T) / np.outer(
             np.sqrt((qv * qv).sum(axis=1)), np.sqrt((bv * bv).sum(axis=1))
         )
         return _topk_rows(s, qi, bi, kk, id_q, id_b)
 
-    survivors = both.groupBy("ivf_cell", "__sub").applyInPandas(
-        score, schema=out_schema
+    survivors = (
+        q.groupBy("ivf_cell", "__sub")
+        .cogroup(b.groupBy("ivf_cell", "__sub"))
+        .applyInPandas(score, schema=out_schema)
     )
     w = Window.partitionBy(id_q).orderBy(
         F.col("cosine_sim").desc(), F.col(id_b).asc()

@@ -425,3 +425,31 @@ class TestKnnJoin:
         with pytest.raises(ValueError, match="must differ"):
             knn_join(df, df, cents, "vec_id", "embedding",
                      "vec_id", "embedding")
+
+    def test_mixed_id_types(self, spark, setup):
+        """String query ids against bigint base ids (the hybrid-search
+        bench shape). The old single-union kernel coerced both ids to
+        one type and crashed the declared applyInPandas schema; the
+        cogroup kernel keeps each side's dtype."""
+        from pyspark.sql import functions as F
+
+        from jackfruit_spark.functions.similarity import knn_join
+
+        df, base, cents = setup
+        q = df.filter(F.col("vec_id") < 10).select(
+            F.concat(F.lit("q"), F.col("vec_id")).alias("qid"),
+            F.col("embedding").alias("qv"),
+        )
+        out = knn_join(q, df, cents, "qid", "qv", "vec_id", "embedding",
+                       k=3, nprobe=8)
+        rows = out.collect()
+        assert dict(out.dtypes) == {
+            "qid": "string", "vec_id": "bigint", "cosine_sim": "double"
+        }
+        got = {}
+        for r in rows:
+            got.setdefault(r["qid"], []).append(r["vec_id"])
+        assert set(got) == {f"q{i}" for i in range(10)}
+        for i in range(10):
+            # nprobe = C: exhaustive, must match numpy brute force
+            assert got[f"q{i}"] == self._brute_topk(base, i, 3)
