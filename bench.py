@@ -425,6 +425,50 @@ def bench_bm25(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_hybrid(spark, sf_dir: str) -> dict[str, float]:
+    """Hybrid retrieval (functions/retrieval.py): RRF fusion of the
+    BM25 lexical leg and the served-ANN dense leg over ONE corpus (the
+    documents table, hashed-embedded). Index builds are UNTIMED — they
+    are the already-benched bm25_index_build / ann_ivf_build shapes;
+    the timed region is the 20-query fused search (two partition-pruned
+    candidate retrievals + the candidate-scale fusion)."""
+    import shutil
+    import tempfile
+
+    from jackfruit_spark.functions.bm25 import Bm25Index
+    from jackfruit_spark.functions.featurize import hashed_embedding
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+    from jackfruit_spark.functions.retrieval import hybrid_search
+
+    root = tempfile.mkdtemp(prefix="bench_hybrid_")
+    try:
+        d = Q.load(spark, sf_dir, "documents")
+        emb = hashed_embedding(d, "doc_id", "text", dim=64, idf=False)
+        bm25 = Bm25Index.build(d, "doc_id", "text", os.path.join(root, "bm25"))
+        ivf = IvfIndex.build(
+            emb, "doc_id", "embedding", os.path.join(root, "ivf"),
+            k=32, sample_fraction=1.0, seed=42,
+        )
+        qtext = bm25_bench_queries(d)
+        qs = qtext.join(
+            hashed_embedding(qtext, "query_id", "query", dim=64, idf=False)
+            .withColumnRenamed("embedding", "query_vec"),
+            "query_id",
+        )
+        t = float("inf")
+        for _ in range(REPEATS + 1):  # first call loads both manifests
+            t0 = time.perf_counter()
+            hybrid_search(bm25, ivf, qs, k=10, nprobe=8).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            t = min(t, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
+        return {"hybrid_search": t}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _ensure_bench_warc(spark, sf_dir: str) -> str:
     """Synthesize WARC shards from the documents table ONCE per sf
     (input prep, outside the timed region), via the shared synthetic
@@ -551,6 +595,11 @@ def main() -> None:
         timings.update(bench_bm25(spark, sf_dir))
     except Exception as e:  # noqa: BLE001
         errors["bm25"] = f"{type(e).__name__}: {e}"[:300]
+
+    try:
+        timings.update(bench_hybrid(spark, sf_dir))
+    except Exception as e:  # noqa: BLE001
+        errors["hybrid"] = f"{type(e).__name__}: {e}"[:300]
 
     pipeline_stages: dict[str, int] = {}
     try:

@@ -778,6 +778,78 @@ def cmd_ann_serve(args) -> int:
     return 0
 
 
+def cmd_export_webdataset(args) -> int:
+    """Export a documents parquet into WebDataset tar shards
+    (sources/wds_writer.py) — the sink the training data loader reads.
+    Prints one JSON line with the per-shard summary."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.sources.wds_writer import write_webdataset
+
+    summary = write_webdataset(
+        spark.read.parquet(args.input),
+        args.output,
+        args.key_col,
+        {args.ext: args.text_col},
+        num_shards=args.num_shards,
+    )
+    print(json.dumps({
+        "shards": [
+            {"shard": s["shard"], "samples": s["samples"],
+             "bytes": s["bytes"]}
+            for s in summary
+        ],
+        "samples": sum(s["samples"] for s in summary),
+    }))
+    return 0
+
+
+def cmd_hybrid_search(args) -> int:
+    """RRF-fused lexical + dense search (functions/retrieval.py) over a
+    BM25 index and an IVF index built on the SAME corpus ids. The dense
+    query vector comes from --vec (comma-separated floats) or, when the
+    IVF index was built over hashed_embedding(idf=False) text features,
+    from hashing --query itself (--hash-dim). Prints one JSON line of
+    fused (id, rrf_score, rank, lex_rank, dense_rank) rows."""
+    spark = _spark(args.cpus)
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.functions.bm25 import Bm25Index
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+    from jackfruit_spark.functions.retrieval import hybrid_search
+
+    if (args.vec is None) == (args.hash_dim is None):
+        raise SystemExit("provide exactly one of --vec / --hash-dim")
+    qdf = spark.createDataFrame(
+        [("q", args.query)], "query_id string, query string"
+    )
+    if args.vec is not None:
+        vec = [float(x) for x in args.vec.split(",")]
+        qs = qdf.withColumn(
+            "query_vec",
+            F.array(*[F.lit(v).cast("float") for v in vec]),
+        )
+    else:
+        from jackfruit_spark.functions.featurize import hashed_embedding
+
+        qs = qdf.join(
+            hashed_embedding(
+                qdf, "query_id", "query", dim=args.hash_dim, idf=False
+            ).withColumnRenamed("embedding", "query_vec"),
+            "query_id",
+        )
+    res = hybrid_search(
+        Bm25Index(spark, args.bm25_root),
+        IvfIndex(spark, args.ivf_root),
+        qs,
+        k=args.k,
+        nprobe=args.nprobe,
+        rrf_k=args.rrf_k,
+    )
+    rows = res.orderBy("rank").collect()
+    print(json.dumps({"hits": [r.asDict() for r in rows]}))
+    return 0
+
+
 def cmd_bm25_serve(args) -> int:
     """HTTP listener over a built BM25 index (functions/bm25_http.py):
     GET /health + GET /v1/bm25/search — the lexical twin of ann-serve."""
@@ -1170,6 +1242,37 @@ def build_parser() -> argparse.ArgumentParser:
                     help="per-request deadline seconds (504 past it)")
     asv.add_argument("--cpus", default=None)
     asv.set_defaults(fn=cmd_ann_serve)
+
+    ew = sub.add_parser(
+        "export-webdataset",
+        help="write documents into WebDataset tar shards",
+    )
+    ew.add_argument("--input", required=True, help="documents parquet")
+    ew.add_argument("--output", required=True, help="shard directory")
+    ew.add_argument("--key-col", default="doc_id")
+    ew.add_argument("--text-col", default="text")
+    ew.add_argument("--ext", default="txt",
+                    help="member extension for --text-col")
+    ew.add_argument("--num-shards", type=int, default=16)
+    ew.add_argument("--cpus", default=None)
+    ew.set_defaults(fn=cmd_export_webdataset)
+
+    hy = sub.add_parser(
+        "hybrid-search",
+        help="RRF-fused BM25 + ANN search over one corpus",
+    )
+    hy.add_argument("--bm25-root", required=True)
+    hy.add_argument("--ivf-root", required=True)
+    hy.add_argument("--query", required=True, help="free-text query")
+    hy.add_argument("--vec", default=None,
+                    help="dense query vector (comma-separated floats)")
+    hy.add_argument("--hash-dim", type=int, default=None,
+                    help="hash-embed --query at this dim instead of --vec")
+    hy.add_argument("--k", type=int, default=10)
+    hy.add_argument("--nprobe", type=int, default=16)
+    hy.add_argument("--rrf-k", type=int, default=60)
+    hy.add_argument("--cpus", default=None)
+    hy.set_defaults(fn=cmd_hybrid_search)
 
     bsv = sub.add_parser(
         "bm25-serve", help="HTTP listener over a built BM25 index"

@@ -1,0 +1,283 @@
+"""Hybrid retrieval: reciprocal-rank fusion over the repo's index
+families.
+
+A training-data pipeline that retrieves (for augmentation, dedup
+linking, or eval-set mining) rarely trusts one signal: lexical BM25
+(``functions/bm25.Bm25Index``) catches exact terminology, dense ANN
+(``functions/ivf_store.IvfIndex``) catches paraphrase. Reciprocal-rank
+fusion (Cormack, Clarke & Buettcher, SIGIR 2009) combines ranked lists
+without score calibration: ``score(d) = sum_legs w_leg / (rrf_k +
+rank_leg(d))`` — only RANKS cross the legs, so BM25's unbounded scores
+and cosine's [-1, 1] never need to be put on one scale.
+
+Scale shape: each leg is already a top-``k_each`` frame (|Q| x k_each
+rows — candidate-scale, not corpus-scale). Fusion is one union + one
+groupBy + one per-query window over those candidates; the corpus is
+never touched again. At 100 TB the cost lives entirely in the legs,
+which are the partition-pruned index searches benched separately
+(bm25_search / ann_knn_join_served).
+
+Determinism (the registry discipline, see queries.py): per-leg RRF
+contributions are quantized to integer micro-units BEFORE the sum, so
+the aggregate is order-independent; the fused window orders by the
+quantized score with full id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["rrf_fuse", "hybrid_search", "mine_hard_negatives"]
+
+
+def rrf_fuse(
+    legs: Sequence[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    weights: Sequence[float] | None = None,
+    leg_names: Sequence[str] | None = None,
+    query_col: str = "query_id",
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Fuse ranked lists into ``(query_col, id_col, rrf_score, rank)``
+    plus one nullable ``<leg>_rank`` column per leg.
+
+    Each leg frame must carry ``(query_col, id_col, rank_col)`` with
+    ranks unique per (query, id) within the leg — exactly what
+    ``Bm25Index.search`` and a windowed ``knn_join`` emit. A document a
+    leg did not retrieve simply contributes nothing for that leg (its
+    ``<leg>_rank`` is null in the output).
+
+    ``rrf_score = sum_i weights[i] / (rrf_k + rank_i)``, computed as a
+    micro-unit-quantized bigint sum (order-independent across
+    partitions); the output ``rank`` orders by that quantized score
+    descending with ``id_col`` ascending ties.
+    """
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one leg")
+    if weights is None:
+        weights = [1.0] * len(legs)
+    if len(weights) != len(legs):
+        raise ValueError(f"{len(legs)} legs but {len(weights)} weights")
+    if leg_names is None:
+        leg_names = [f"leg{i}" for i in range(len(legs))]
+    if len(leg_names) != len(legs):
+        raise ValueError(f"{len(legs)} legs but {len(leg_names)} names")
+    if len(set(leg_names)) != len(leg_names):
+        raise ValueError(f"duplicate leg names: {leg_names}")
+
+    tagged = None
+    for i, (leg, w) in enumerate(zip(legs, weights)):
+        part = leg.select(
+            F.col(query_col).alias("__q"),
+            F.col(id_col).alias("__id"),
+            F.col(rank_col).cast("int").alias("__r"),
+            F.lit(i).alias("__leg"),
+            # quantize BEFORE the sum: bigint addition is
+            # order-independent, a double sum is not (queries.py
+            # determinism discipline)
+            F.round(
+                F.lit(float(w)) * 1e6 / (F.col(rank_col) + F.lit(int(rrf_k)))
+            )
+            .cast("bigint")
+            .alias("__c"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+
+    per_leg = [
+        F.min(F.when(F.col("__leg") == i, F.col("__r"))).alias(
+            f"{leg_names[i]}_rank"
+        )
+        for i in range(len(legs))
+    ]
+    fused = tagged.groupBy("__q", "__id").agg(
+        F.sum("__c").alias("__s"), *per_leg
+    )
+    w_rank = Window.partitionBy("__q").orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__id").alias(id_col),
+            (F.col("__s") / 1e6).alias("rrf_score"),
+            "rank",
+            *[f"{n}_rank" for n in leg_names],
+        )
+    )
+
+
+def hybrid_search(
+    bm25_index,
+    ivf_index,
+    queries: DataFrame,
+    k: int = 10,
+    k_each: int | None = None,
+    nprobe: int = 16,
+    rrf_k: int = 60,
+    weights: Sequence[float] = (1.0, 1.0),
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    vec_col: str = "query_vec",
+    mode: str = "exact",
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """Batch hybrid search: BM25 lexical leg + served-ANN dense leg,
+    RRF-fused. ``queries`` carries all three columns (id, free text,
+    embedding); output is ``(query_id, id, rrf_score, rank, lex_rank,
+    dense_rank)`` with at most ``k`` rows per query.
+
+    Both legs retrieve ``k_each`` candidates (default ``2*k`` — fusing
+    deeper-than-k lists is what lets a mid-ranked-in-both document beat
+    a top-ranked-in-one; Cormack et al. fuse full runs, 2*k is the
+    cheap batch compromise). The dense leg reuses the cell-partitioned
+    index's ``knn_join`` (PartitionFilters-pruned scan; ``mode='adc'``
+    for the PQ-coded byte-saving path), ranked with the same
+    deterministic (rounded cosine desc, id asc) order its single-query
+    twin uses. A query whose terms are all out-of-vocabulary still gets
+    dense results, and vice versa — fusion treats a missing leg entry
+    as zero contribution, not a filter.
+    """
+    if k_each is None:
+        k_each = 2 * k
+    lex = bm25_index.search(
+        queries.select(query_id_col, query_col),
+        k=k_each,
+        query_id_col=query_id_col,
+        query_col=query_col,
+    ).select(F.col("query_id"), F.col("id"), F.col("rank"))
+
+    meta_id = ivf_index._manifest()["id_col"]
+    dense_raw = ivf_index.knn_join(
+        queries.select(
+            F.col(query_id_col).alias("__hq"), F.col(vec_col).alias("__hv")
+        ),
+        "__hq",
+        "__hv",
+        k=k_each,
+        nprobe=nprobe,
+        mode=mode,
+        cell_cap=cell_cap,
+    )
+    w_dense = Window.partitionBy("__hq").orderBy(
+        F.col("cosine_sim").desc(), F.col(meta_id).asc()
+    )
+    dense = dense_raw.select(
+        F.col("__hq").alias("query_id"),
+        F.col(meta_id).alias("id"),
+        F.row_number().over(w_dense).alias("rank"),
+    )
+    return rrf_fuse(
+        [lex, dense],
+        k=k,
+        rrf_k=rrf_k,
+        weights=weights,
+        leg_names=("lex", "dense"),
+    )
+
+
+def mine_hard_negatives(
+    ivf_index,
+    queries: DataFrame,
+    positives: DataFrame,
+    n: int = 5,
+    k_fetch: int | None = None,
+    nprobe: int = 16,
+    margin: float | None = None,
+    query_id_col: str = "query_id",
+    vec_col: str = "query_vec",
+    pos_id_col: str = "pos_id",
+    mode: str = "exact",
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """Hard negatives for embedding-model training (the DPR / Sentence-
+    Transformers mining step): for each query, its top-``n`` ANN
+    neighbors that are NOT labeled positives — the near-misses a
+    contrastive loss learns the most from (random negatives are too
+    easy; the ranker never sees them confused).
+
+    ``queries``: (query_id, vec); ``positives``: (query_id, pos_id) —
+    multiple positives per query allowed. Candidates come from the
+    served index (``IvfIndex.knn_join``, PartitionFilters-pruned;
+    ``k_fetch`` defaults to ``n + 10`` headroom so dropping positives
+    still leaves n). Labeled positives are removed with an anti-join.
+
+    ``margin`` (the Sentence-Transformers false-negative guard): also
+    drop candidates scoring ABOVE ``max_pos_cosine - margin`` — an
+    unlabeled candidate nearly as close as a labeled positive is more
+    likely a missing label than a hard negative; training on it teaches
+    the model to push true matches apart. Positive cosines are computed
+    from the index's own stored vectors (one broadcast id-join — rows
+    whose positive id is absent from the index keep all candidates).
+
+    Output: (query_id, id, cosine_sim, rank) with rank 1..<=n per query
+    in the deterministic (rounded cosine desc, id asc) order. Scale
+    shape: everything after the knn_join is candidate-scale (|Q| x
+    k_fetch); the margin join touches corpus rows only via a broadcast
+    semi-join on the positive ids.
+    """
+    if k_fetch is None:
+        k_fetch = n + 10
+    meta = ivf_index._manifest()
+    meta_id, meta_vec = meta["id_col"], meta["vec_col"]
+    cand = ivf_index.knn_join(
+        queries.select(
+            F.col(query_id_col).alias("__nq"), F.col(vec_col).alias("__nv")
+        ),
+        "__nq",
+        "__nv",
+        k=k_fetch,
+        nprobe=nprobe,
+        mode=mode,
+        cell_cap=cell_cap,
+    ).select(
+        F.col("__nq").alias("query_id"),
+        F.col(meta_id).alias("id"),
+        "cosine_sim",
+    )
+    pos = positives.select(
+        F.col(query_id_col).alias("query_id"), F.col(pos_id_col).alias("id")
+    )
+    neg = cand.join(F.broadcast(pos), ["query_id", "id"], "left_anti")
+    if margin is not None:
+        from jackfruit_spark.functions.similarity import cosine
+
+        pos_vec = ivf_index._data_df().join(
+            F.broadcast(pos.withColumnRenamed("id", meta_id).distinct()),
+            meta_id,
+        )
+        pos_cos = (
+            pos_vec.join(
+                F.broadcast(
+                    queries.select(
+                        F.col(query_id_col).alias("query_id"),
+                        F.col(vec_col).alias("__qv"),
+                    )
+                ),
+                "query_id",
+            )
+            .withColumn(
+                "__pc",
+                F.round(cosine(F.col(meta_vec), F.col("__qv")), 6),
+            )
+            .groupBy("query_id")
+            .agg(F.max("__pc").alias("__max_pos"))
+        )
+        neg = neg.join(F.broadcast(pos_cos), "query_id", "left").filter(
+            F.col("__max_pos").isNull()
+            | (F.col("cosine_sim") <= F.col("__max_pos") - F.lit(float(margin)))
+        ).drop("__max_pos")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("id").asc()
+    )
+    return (
+        neg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("query_id", "id", "cosine_sim", "rank")
+    )

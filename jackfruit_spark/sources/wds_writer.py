@@ -1,0 +1,137 @@
+"""WebDataset shard WRITER — the export sink twin of
+``sources/corpus.scan_webdataset`` (training pipelines don't just read
+WebDataset; the curation output has to land in it for the data loader).
+
+Layout produced is exactly what the repo's own reader/manifest tiers
+consume (round-trip tested): UNCOMPRESSED ``.tar`` shards holding
+members named ``<sample_key>.<ext>`` — the WebDataset convention at
+scale is plain tar over pre-compressed members (.jpg/.txt.gz/...) so
+member payloads stay individually seekable (``build_webdataset_manifest``
+indexes them; a .tar.gz shard would destroy ranged reads).
+
+Distribution shape: one shard per Spark partition. Samples are assigned
+to shards by a deterministic hash of the sample key (rerun-stable: the
+same corpus always produces the same shard membership), repartitioned on
+that assignment, sorted within the partition by key (stable member
+order inside each tar), and streamed member-by-member into the tar via
+``mapInPandas`` — executor memory is bounded by one Arrow BATCH, never
+a whole shard. Each task writes to a temp name and renames on close, so
+a killed task never leaves a half-written shard under the final name
+(speculative retries overwrite cleanly).
+
+Writes land on the filesystem visible to executors (local[
+*]/NFS/fuse-mounted object store). A direct-to-S3 variant would stage
+through the ranged-IO seam (``sources/object_store``); upload is a
+straight put of each closed shard.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: summary row per written shard
+WDS_WRITE_SUMMARY = "shard string, samples long, bytes long"
+
+
+def write_webdataset(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    members: Mapping[str, str],
+    num_shards: int = 16,
+    prefix: str = "shard",
+) -> list:
+    """Write one row per SAMPLE into ``num_shards`` WebDataset tars.
+
+    ``members`` maps member EXTENSION -> source column, e.g. ``{"txt":
+    "text", "jpg": "image_bytes"}``; string columns are utf-8 encoded,
+    binary columns written as-is, null members skipped (a sample may
+    lack an optional modality). Keys are sanitized dot-free (the reader
+    splits ``base.ext`` at the FIRST dot, so a dotted key would corrupt
+    the extension) and must be unique per row.
+
+    This is an ACTION: returns the collected per-shard summary rows
+    (shard path, samples, bytes). Empty shards (hash assigned nothing)
+    are not created.
+    """
+    if not members:
+        raise ValueError("members must map at least one extension")
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be > 0, got {num_shards}")
+    import pandas as pd  # noqa: F401 — executor-side too
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    os.makedirs(out_dir, exist_ok=True)
+
+    exts = sorted(members)  # deterministic member order within a sample
+    cols = [
+        F.regexp_replace(F.col(key_col).cast("string"), r"\.", "_").alias(
+            "__key"
+        )
+    ]
+    for e in exts:
+        cols.append(F.col(members[e]).alias(f"__m_{e}"))
+    staged = (
+        df.select(*cols)
+        .withColumn(
+            "__shard", F.pmod(F.xxhash64("__key"), F.lit(num_shards))
+        )
+        .repartition(num_shards, "__shard")
+        .sortWithinPartitions("__shard", "__key")
+    )
+
+    def write(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tf = None
+        final = tmp = None
+        n = 0
+        for pdf in batches:
+            if tf is None and len(pdf):
+                final = os.path.join(out_dir, f"{prefix}-{pid:05d}.tar")
+                tmp = final + ".inprogress"
+                tf = tarfile.open(tmp, "w")
+            # no itertuples: namedtuple positional-renames the __-prefixed
+            # columns, so attribute access would silently break
+            keys = pdf["__key"].tolist()
+            payloads = {e: pdf[f"__m_{e}"].tolist() for e in exts}
+            for i, key in enumerate(keys):
+                for e in exts:
+                    payload = payloads[e][i]
+                    if payload is None:
+                        continue
+                    if isinstance(payload, str):
+                        payload = payload.encode("utf-8")
+                    else:
+                        payload = bytes(payload)
+                    info = tarfile.TarInfo(name=f"{key}.{e}")
+                    info.size = len(payload)
+                    info.mtime = 0  # bit-stable shards across reruns
+                    tf.addfile(info, io.BytesIO(payload))
+                n += 1  # noqa: SIM113 — counts samples, not loop turns
+        if tf is None:
+            yield pd.DataFrame({"shard": [], "samples": [], "bytes": []})
+            return
+        tf.close()
+        os.replace(tmp, final)  # never a half-written shard at the name
+        yield pd.DataFrame(
+            {
+                "shard": [final],
+                "samples": [n],
+                "bytes": [os.path.getsize(final)],
+            }
+        )
+
+    summary = staged.mapInPandas(write, schema=WDS_WRITE_SUMMARY)
+    return sorted(summary.collect(), key=lambda r: r["shard"])

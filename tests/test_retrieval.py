@@ -1,0 +1,282 @@
+"""RRF fusion + hybrid (BM25 x IVF) search (functions/retrieval.py):
+python-reference parity for the fusion math, both-legs-beat-one-leg
+ordering, weights, missing-leg behavior, and the end-to-end hybrid
+over one corpus indexed both ways."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions.retrieval import hybrid_search, rrf_fuse
+
+
+def _leg(spark, rows):
+    return spark.createDataFrame(rows, "query_id string, id string, rank int")
+
+
+def _py_rrf(legs, weights, rrf_k):
+    """Driver-side reference: same micro-unit quantization."""
+    acc = {}
+    for leg, w in zip(legs, weights):
+        for q, d, r in leg:
+            acc.setdefault((q, d), 0)
+            acc[(q, d)] += round(w * 1e6 / (r + rrf_k))
+    return acc
+
+
+class TestRrfFuse:
+    def test_matches_python_reference(self, spark):
+        lex = [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+               ("q2", "x", 1), ("q2", "y", 2)]
+        den = [("q1", "b", 1), ("q1", "d", 2), ("q2", "y", 1),
+               ("q2", "z", 2)]
+        out = rrf_fuse(
+            [_leg(spark, lex), _leg(spark, den)], k=10, rrf_k=60
+        ).collect()
+        ref = _py_rrf([lex, den], [1.0, 1.0], 60)
+        got = {(r["query_id"], r["id"]): round(r["rrf_score"] * 1e6)
+               for r in out}
+        assert got == ref
+        # ranks: descending score, id-asc ties, 1-based dense per query
+        for q in ("q1", "q2"):
+            rows = sorted(
+                (r for r in out if r["query_id"] == q),
+                key=lambda r: r["rank"],
+            )
+            keys = [(-round(r["rrf_score"] * 1e6), r["id"]) for r in rows]
+            assert keys == sorted(keys)
+            assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+    def test_both_legs_beat_single_leg_at_equal_rank(self, spark):
+        # 'b' is rank 2 in BOTH legs; 'a'/'c' are rank 1 in ONE leg.
+        # RRF: 2/62 > 1/61, so the agreed document wins.
+        lex = _leg(spark, [("q", "a", 1), ("q", "b", 2)])
+        den = _leg(spark, [("q", "c", 1), ("q", "b", 2)])
+        out = rrf_fuse(
+            [lex, den], k=3, leg_names=("lex", "dense")
+        ).orderBy("rank").collect()
+        assert out[0]["id"] == "b"
+        assert out[0]["lex_rank"] == 2 and out[0]["dense_rank"] == 2
+        # single-leg docs carry a null rank for the absent leg
+        byid = {r["id"]: r for r in out}
+        assert byid["a"]["dense_rank"] is None
+        assert byid["c"]["lex_rank"] is None
+
+    def test_weights_flip_the_order(self, spark):
+        lex = _leg(spark, [("q", "a", 1)])
+        den = _leg(spark, [("q", "b", 1)])
+        top = rrf_fuse([lex, den], k=1, weights=[1.0, 3.0]).collect()
+        assert top[0]["id"] == "b"
+        top = rrf_fuse([lex, den], k=1, weights=[3.0, 1.0]).collect()
+        assert top[0]["id"] == "a"
+
+    def test_k_truncates_per_query(self, spark):
+        lex = _leg(spark, [("q", c, i + 1) for i, c in enumerate("abcdef")])
+        assert rrf_fuse([lex], k=4).count() == 4
+
+    def test_validation(self, spark):
+        leg = _leg(spark, [("q", "a", 1)])
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])
+        with pytest.raises(ValueError, match="weights"):
+            rrf_fuse([leg], weights=[1.0, 2.0])
+        with pytest.raises(ValueError, match="names"):
+            rrf_fuse([leg], leg_names=["a", "b"])
+        with pytest.raises(ValueError, match="duplicate"):
+            rrf_fuse([leg, leg], leg_names=["a", "a"])
+
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog near the river"),
+    ("d2", "a slow green turtle walks under the busy bridge every day"),
+    ("d3", "the quick brown fox sleeps in the quiet forest at night"),
+    ("d4", "market prices for fresh fruit rose sharply this summer season"),
+    ("d5", "the lazy dog naps beside the warm stone wall all afternoon"),
+    ("d6", "fresh fruit markets open early near the old town bridge"),
+    ("d7", "quick foxes and lazy dogs share the same river meadow"),
+    ("d8", "summer prices at the market fell after the fruit harvest"),
+]
+
+
+@pytest.fixture(scope="module")
+def hybrid_ctx(spark, tmp_path_factory):
+    from jackfruit_spark.functions.bm25 import Bm25Index
+    from jackfruit_spark.functions.featurize import hashed_embedding
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+
+    root = tmp_path_factory.mktemp("hybrid")
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    emb = hashed_embedding(docs, "doc_id", "text", dim=64, idf=False)
+    bm25 = Bm25Index.build(docs, "doc_id", "text", str(root / "bm25"),
+                           parts=8)
+    ivf = IvfIndex.build(emb, "doc_id", "embedding", str(root / "ivf"),
+                         k=2, seed=7)
+    return bm25, ivf, docs, emb
+
+
+def _queries(spark, emb, texts):
+    """Query frame with id, text, and the hashed embedding of the text
+    (same featurizer as the corpus — idf=False keeps it text-pure)."""
+    from jackfruit_spark.functions.featurize import hashed_embedding
+
+    qdf = spark.createDataFrame(
+        [(f"q{i}", t) for i, t in enumerate(texts)],
+        "query_id string, query string",
+    )
+    qv = hashed_embedding(qdf, "query_id", "query", dim=64, idf=False)
+    return qdf.join(qv.withColumnRenamed("embedding", "query_vec"),
+                    "query_id")
+
+
+class TestHybridSearch:
+    def test_end_to_end_and_leg_parity(self, spark, hybrid_ctx):
+        bm25, ivf, docs, emb = hybrid_ctx
+        qs = _queries(spark, emb, ["quick brown fox", "fruit market prices"])
+        out = hybrid_search(bm25, ivf, qs, k=4, nprobe=2)
+        rows = out.orderBy("query_id", "rank").collect()
+        assert set(out.columns) == {
+            "query_id", "id", "rrf_score", "rank", "lex_rank", "dense_rank"
+        }
+        # verbatim-topic queries retrieve their on-topic docs first
+        q0 = [r["id"] for r in rows if r["query_id"] == "q0"]
+        assert q0[0] in {"d1", "d3"}
+        q1 = [r["id"] for r in rows if r["query_id"] == "q1"]
+        assert q1[0] in {"d4", "d8", "d6"}
+
+        # parity with manually fused legs (same k_each/ordering)
+        from pyspark.sql import Window
+
+        lex = bm25.search(qs.select("query_id", "query"), k=8).select(
+            "query_id", "id", "rank"
+        )
+        w = Window.partitionBy("__hq").orderBy(
+            F.col("cosine_sim").desc(), F.col("doc_id").asc()
+        )
+        dense = ivf.knn_join(
+            qs.select(F.col("query_id").alias("__hq"),
+                      F.col("query_vec").alias("__hv")),
+            "__hq", "__hv", k=8, nprobe=2,
+        ).select(
+            F.col("__hq").alias("query_id"),
+            F.col("doc_id").alias("id"),
+            F.row_number().over(w).alias("rank"),
+        )
+        manual = rrf_fuse([lex, dense], k=4, leg_names=("lex", "dense"))
+        assert sorted(map(tuple, rows)) == sorted(
+            map(tuple, manual.collect())
+        )
+
+    def test_oov_query_still_gets_dense_results(self, spark, hybrid_ctx):
+        bm25, ivf, docs, emb = hybrid_ctx
+        # terms absent from the corpus: lexical leg is empty, but the
+        # query's hashed embedding still lands in some IVF cell
+        qs = _queries(spark, emb, ["zzqq wwxx yyvv"])
+        rows = hybrid_search(bm25, ivf, qs, k=3, nprobe=2).collect()
+        assert len(rows) == 3
+        assert all(r["lex_rank"] is None for r in rows)
+        assert all(r["dense_rank"] is not None for r in rows)
+
+    def test_cli_hybrid_search(self, spark, hybrid_ctx, capsys):
+        import json
+
+        from jackfruit_spark.__main__ import main
+
+        bm25, ivf, docs, emb = hybrid_ctx
+        rc = main([
+            "hybrid-search", "--bm25-root", bm25.root,
+            "--ivf-root", ivf.root, "--query", "quick brown fox",
+            "--hash-dim", "64", "--k", "3", "--nprobe", "2",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert len(out["hits"]) == 3
+        assert out["hits"][0]["id"] in {"d1", "d3"}
+        assert out["hits"][0]["rank"] == 1
+
+        with pytest.raises(SystemExit):
+            main([
+                "hybrid-search", "--bm25-root", bm25.root,
+                "--ivf-root", ivf.root, "--query", "x",
+            ])  # neither --vec nor --hash-dim
+
+    def test_deterministic_rerun(self, spark, hybrid_ctx):
+        bm25, ivf, docs, emb = hybrid_ctx
+        qs = _queries(spark, emb, ["lazy dog river", "summer harvest"])
+        a = sorted(map(tuple, hybrid_search(bm25, ivf, qs, k=5).collect()))
+        b = sorted(map(tuple, hybrid_search(bm25, ivf, qs, k=5).collect()))
+        assert a == b
+
+
+@pytest.fixture(scope="module")
+def neg_ivf(spark, tmp_path_factory):
+    """Tiny controlled-geometry index: unit vectors in the plane at
+    known angles from the +x axis, bigint ids (exercises mixed id types
+    against the string query ids)."""
+    import math
+
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+
+    angles = {0: 0.0, 1: 10.0, 2: 25.0, 3: 45.0, 4: 80.0, 5: 160.0}
+    rows = [
+        (i, [math.cos(math.radians(a)), math.sin(math.radians(a))])
+        for i, a in angles.items()
+    ]
+    df = spark.createDataFrame(rows, "vid long, vec array<float>")
+    idx = IvfIndex.build(
+        df, "vid", "vec",
+        str(tmp_path_factory.mktemp("negivf") / "idx"), k=1, seed=1,
+    )
+    return idx
+
+
+class TestMineHardNegatives:
+    QS = [("qa", [1.0, 0.0])]  # query along +x: cosine = cos(angle)
+
+    def _qdf(self, spark):
+        return spark.createDataFrame(
+            self.QS, "query_id string, query_vec array<float>"
+        )
+
+    def test_excludes_positives_and_ranks(self, spark, neg_ivf):
+        from jackfruit_spark.functions.retrieval import mine_hard_negatives
+
+        pos = spark.createDataFrame(
+            [("qa", 0), ("qa", 1)], "query_id string, pos_id long"
+        )
+        out = mine_hard_negatives(
+            neg_ivf, self._qdf(spark), pos, n=3, nprobe=1
+        ).orderBy("rank").collect()
+        # positives 0 (cos 1.0) and 1 (cos .985) removed; next by cosine:
+        # 2 (cos 25deg), 3 (cos 45deg), 4 (cos 80deg)
+        assert [r["id"] for r in out] == [2, 3, 4]
+        assert [r["rank"] for r in out] == [1, 2, 3]
+        assert out[0]["cosine_sim"] > out[1]["cosine_sim"] > out[2]["cosine_sim"]
+
+    def test_margin_drops_near_positives(self, spark, neg_ivf):
+        import math
+
+        from jackfruit_spark.functions.retrieval import mine_hard_negatives
+
+        pos = spark.createDataFrame(
+            [("qa", 1)], "query_id string, pos_id long"
+        )
+        # max_pos_cos = cos(10deg) ~ .9848; margin .2 drops everything
+        # with cosine > .7848: ids 0 (1.0), 2 (.906); keeps 3 (.707),
+        # 4 (.174), 5 (-.94)
+        out = mine_hard_negatives(
+            neg_ivf, self._qdf(spark), pos, n=5, nprobe=1, margin=0.2
+        ).orderBy("rank").collect()
+        assert [r["id"] for r in out] == [3, 4, 5]
+        assert abs(out[0]["cosine_sim"] - math.cos(math.radians(45))) < 1e-5
+
+    def test_margin_with_absent_positive_keeps_all(self, spark, neg_ivf):
+        from jackfruit_spark.functions.retrieval import mine_hard_negatives
+
+        pos = spark.createDataFrame(
+            [("qa", 999)], "query_id string, pos_id long"
+        )  # id not in the index: no reference cosine -> no margin cut
+        out = mine_hard_negatives(
+            neg_ivf, self._qdf(spark), pos, n=6, nprobe=1, margin=0.2
+        ).collect()
+        assert sorted(r["id"] for r in out) == [0, 1, 2, 3, 4, 5]

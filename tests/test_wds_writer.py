@@ -1,0 +1,122 @@
+"""WebDataset writer (sources/wds_writer.py): round-trips through the
+repo's own reader tiers (scan_webdataset AND the manifest ranged-read
+path), deterministic shard membership, dotted-key sanitization, null
+members, and the no-partial-shard rename discipline."""
+
+from __future__ import annotations
+
+import os
+import tarfile
+
+import pytest
+
+from jackfruit_spark.sources.corpus import (
+    build_webdataset_manifest,
+    scan_webdataset,
+    scan_webdataset_manifest,
+)
+from jackfruit_spark.sources.wds_writer import write_webdataset
+
+
+@pytest.fixture()
+def samples(spark):
+    rows = [
+        (f"doc{i:03d}", f"text body {i}", bytes([i % 256]) * (i + 1))
+        for i in range(40)
+    ]
+    return rows, spark.createDataFrame(
+        rows, "doc_id string, text string, payload binary"
+    )
+
+
+def test_round_trip_reader(spark, tmp_path, samples):
+    rows, df = samples
+    out = str(tmp_path / "wds")
+    summary = write_webdataset(
+        df, out, "doc_id", {"txt": "text", "bin": "payload"}, num_shards=4
+    )
+    assert sum(s["samples"] for s in summary) == 40
+    assert all(s["shard"].endswith(".tar") for s in summary)
+    assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
+
+    back = scan_webdataset(spark, out + "/*.tar").collect()
+    got = {}
+    for r in back:
+        got.setdefault(r["sample_key"], {})[r["ext"]] = bytes(r["payload"])
+    assert set(got) == {k for k, _, _ in rows}
+    for k, t, p in rows:
+        assert got[k]["txt"].decode() == t
+        assert got[k]["bin"] == p
+
+
+def test_round_trip_manifest_ranged(spark, tmp_path, samples):
+    rows, df = samples
+    out = str(tmp_path / "wds")
+    write_webdataset(df, out, "doc_id", {"txt": "text"}, num_shards=2)
+    man = build_webdataset_manifest(spark, out + "/*.tar")
+    fetched = scan_webdataset_manifest(spark, man).collect()
+    assert {r["sample_key"] for r in fetched} == {k for k, _, _ in rows}
+    by_key = {r["sample_key"]: bytes(r["payload"]).decode() for r in fetched}
+    for k, t, _ in rows:
+        assert by_key[k] == t
+
+
+def test_deterministic_and_stable_bytes(spark, tmp_path, samples):
+    rows, df = samples
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    sa = write_webdataset(df, a, "doc_id", {"txt": "text"}, num_shards=3)
+    sb = write_webdataset(df, b, "doc_id", {"txt": "text"}, num_shards=3)
+    assert [(os.path.basename(s["shard"]), s["samples"], s["bytes"])
+            for s in sa] == [
+        (os.path.basename(s["shard"]), s["samples"], s["bytes"]) for s in sb
+    ]
+    for s in sa:
+        with open(s["shard"], "rb") as f1, open(
+            os.path.join(b, os.path.basename(s["shard"])), "rb"
+        ) as f2:
+            assert f1.read() == f2.read()  # mtime=0 + sorted members
+
+
+def test_dotted_keys_sanitized_and_null_members(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a.b.c", "hello", None), ("plain", None, b"\x01\x02")],
+        "doc_id string, text string, payload binary",
+    )
+    out = str(tmp_path / "wds")
+    summary = write_webdataset(
+        df, out, "doc_id", {"txt": "text", "bin": "payload"}, num_shards=1
+    )
+    assert summary[0]["samples"] == 2
+    with tarfile.open(summary[0]["shard"]) as tf:
+        names = sorted(m.name for m in tf)
+    # dotted key flattened (reader splits at FIRST dot); null members absent
+    assert names == ["a_b_c.txt", "plain.bin"]
+
+
+def test_cli_export_webdataset(spark, tmp_path, samples, capsys):
+    import json
+
+    from jackfruit_spark.__main__ import main
+
+    rows, df = samples
+    src = str(tmp_path / "docs")
+    df.write.parquet(src)
+    out = str(tmp_path / "wds")
+    rc = main([
+        "export-webdataset", "--input", src, "--output", out,
+        "--key-col", "doc_id", "--text-col", "text", "--num-shards", "2",
+    ])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["samples"] == 40
+    back = scan_webdataset(spark, out + "/*.tar")
+    assert back.count() == 40
+
+
+def test_validation(spark, samples):
+    _, df = samples
+    with pytest.raises(ValueError, match="at least one"):
+        write_webdataset(df, "/tmp/x", "doc_id", {})
+    with pytest.raises(ValueError, match="num_shards"):
+        write_webdataset(df, "/tmp/x", "doc_id", {"txt": "text"},
+                         num_shards=0)
