@@ -245,7 +245,18 @@ def cmd_curate(args) -> int:
         ),
         paragraph_dedup=args.paragraph_dedup,
     )
-    curated.write.mode("overwrite").parquet(args.output)
+    if args.output_format == "webdataset":
+        # land the curated docs directly in the training loader's format
+        from jackfruit_spark.sources.wds_writer import write_webdataset
+
+        summary = write_webdataset(
+            curated, args.output, "doc_id", {"txt": "text"},
+            num_shards=args.output_shards,
+        )
+        n_out = sum(s["samples"] for s in summary)
+    else:
+        curated.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
     n_bad = corrupt.count() if corrupt is not None else 0
     if args.quarantine and n_bad:
         # write the raw malformed lines VERBATIM as text: a JSON wrapper
@@ -258,7 +269,6 @@ def cmd_curate(args) -> int:
         corrupt.select(F.col("_corrupt_record")).write.mode("overwrite").text(
             args.quarantine
         )
-    n_out = spark.read.parquet(args.output).count()
     print(
         json.dumps(
             {
@@ -913,6 +923,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cu.add_argument("--input", required=True)
     cu.add_argument("--output", required=True)
+    cu.add_argument(
+        "--output-format",
+        choices=["parquet", "webdataset"],
+        default="parquet",
+        help="webdataset = tar shards the training loader reads directly",
+    )
+    cu.add_argument("--output-shards", type=int, default=16,
+                    help="shard count for --output-format webdataset")
     cu.add_argument(
         "--input-format",
         choices=["jsonl", "csv", "parquet", "warc"],

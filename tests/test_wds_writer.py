@@ -113,6 +113,32 @@ def test_cli_export_webdataset(spark, tmp_path, samples, capsys):
     assert back.count() == 40
 
 
+def test_cli_curate_webdataset_output(spark, tmp_path, capsys):
+    """curate --output-format webdataset lands the curated docs as tar
+    shards readable by the repo's own scanner."""
+    import json
+
+    from jackfruit_spark.__main__ import main
+
+    rows = [
+        (i, f"a clean document body number {i} with several useful words")
+        for i in range(30)
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "wds")
+    rc = main([
+        "curate", "--input", src, "--output", out,
+        "--input-format", "parquet",
+        "--output-format", "webdataset", "--output-shards", "2",
+    ])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["curated"] > 0
+    back = scan_webdataset(spark, out + "/*.tar")
+    assert back.count() == got["curated"]
+
+
 def test_validation(spark, samples):
     _, df = samples
     with pytest.raises(ValueError, match="at least one"):
