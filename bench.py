@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q59_token_histogram",
     "q60_funnel_users",
     "q61_sequence_packing",
+    "token_packing",  # materialized input_ids packing (bench-only, r8)
     "q62_repetition_signals",
     "q63_decontamination",
     "q64_dsir_sampling",

@@ -1463,6 +1463,124 @@ def chunk_documents(
     )
 
 
+def pack_token_ids(
+    df: DataFrame,
+    tokens_col: str,
+    seq_len: int,
+    order_col: str,
+    source_col: str | None = None,
+    drop_last: bool = True,
+    pad_id: int | None = None,
+) -> DataFrame:
+    """Materialized GPT-style packing: emit the ACTUAL fixed-length
+    training sequences (``input_ids``), not just chunk accounting
+    (q61's window form counts tokens per chunk; the training loader
+    needs the packed arrays themselves).
+
+    Semantics: within each source, documents concatenate in ``order_col``
+    order into one token stream, split every ``seq_len`` tokens.
+    ``drop_last=True`` keeps only full sequences (the usual pretraining
+    choice); ``drop_last=False`` pads the final partial sequence with
+    ``pad_id``. Deterministic: same inputs -> byte-identical sequences.
+
+    Scale shape — never one row per token: a cumulative window gives
+    each doc its global start offset, each doc explodes to only the
+    O(len/seq_len) chunks it OVERLAPS with a per-overlap ``slice`` of
+    its own array, and one aggregate per (source, chunk) reassembles the
+    sequence (sort the collected (offset, piece) structs, flatten).
+    Rows shuffled = O(docs + chunks); bytes = the token stream once.
+    One Exchange total: the explicit repartition on source satisfies
+    both the window's clustering AND the chunk aggregate's (subset-key
+    reuse, the serving-build rule; plan-asserted in tests). The
+    cumulative window does sort each source's docs on one partition —
+    partition by real source/shard keys at 100 TB, exactly like q61;
+    a ``source_col=None`` corpus packs as ONE stream (single-sorter
+    caveat applies).
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be > 0, got {seq_len}")
+    if not drop_last and pad_id is None:
+        raise ValueError("drop_last=False requires pad_id")
+    src = (F.col(source_col) if source_col else F.lit("all")).alias("__src")
+    d = (
+        df.select(
+            src,
+            F.col(order_col).alias("__ord"),
+            F.col(tokens_col).alias("__toks"),
+            F.size(F.col(tokens_col)).alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .repartition("__src")
+    )
+    w = (
+        Window.partitionBy("__src")
+        .orderBy("__ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "__start", F.coalesce(F.sum("__n").over(w), F.lit(0).cast("long"))
+    )
+    # chunks this doc overlaps: start div L .. (start + n - 1) div L
+    # (`div` = integer division on longs; a double-cast floor would lose
+    # exactness past 2^53 tokens)
+    d = d.withColumn(
+        "__chunk",
+        F.explode(
+            F.sequence(
+                F.expr(f"__start div {seq_len}"),
+                F.expr(f"(__start + __n - 1) div {seq_len}"),
+            )
+        ),
+    )
+    lo = F.greatest(F.col("__start"), F.col("__chunk") * seq_len)
+    hi = F.least(
+        F.col("__start") + F.col("__n") - 1,
+        F.col("__chunk") * seq_len + (seq_len - 1),
+    )
+    pieces = d.select(
+        "__src",
+        "__chunk",
+        lo.alias("__off"),
+        F.slice(
+            F.col("__toks"),
+            (lo - F.col("__start") + 1).cast("int"),
+            (hi - lo + 1).cast("int"),
+        ).alias("__piece"),
+    )
+    seqs = pieces.groupBy("__src", "__chunk").agg(
+        # array_sort on array<struct> orders by the first field (__off,
+        # unique per doc within a chunk); the lambda runs once per
+        # OUTPUT sequence over <= seq_len tokens — candidate-scale
+        F.flatten(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__off, __piece)))"
+                ", x -> x.__piece)"
+            )
+        ).alias("input_ids"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    if drop_last:
+        seqs = seqs.filter(F.size("input_ids") == seq_len)
+    else:
+        # pad in the SAME element type as the tokens column (the op is
+        # element-type generic; an int literal would fight an array<long>)
+        elem_dt = df.schema[tokens_col].dataType.elementType.simpleString()
+        fill = F.array_repeat(
+            F.lit(pad_id).cast(elem_dt), seq_len - F.size("input_ids")
+        )
+        seqs = seqs.withColumn(
+            "input_ids",
+            F.when(F.size("input_ids") < seq_len,
+                   F.concat("input_ids", fill)).otherwise(F.col("input_ids")),
+        )
+    return seqs.select(
+        F.col("__src").alias("source"),
+        F.col("__chunk").alias("chunk_id"),
+        "input_ids",
+        "n_docs",
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, id_col: str, seed: int = 0, num_partitions: int | None = None
 ) -> DataFrame:

@@ -802,6 +802,33 @@ def q24_minhash_lsh_pairs_xxh(spark, sf_dir):
     return pairs.withColumnRenamed("doc_id", "id_a")
 
 
+def token_packing(spark, sf_dir):
+    """Bench-only: materialized GPT-style packing over the documents
+    table (operators/curation.pack_token_ids) — the training sequences
+    themselves (array<int> input_ids per fixed-length chunk), not q61's
+    per-chunk token accounting. Not registered: the registry is capped
+    at the driver's 50 checked entries and the packing MATH is already
+    gate-carried by q61 (same cumulative-window chunk assignment);
+    pytest pins the materialized arrays against a python reference
+    (test_token_packing.py). Token ids are per-token crc32 of the
+    whitespace tokens — the id-assignment cost a real loader pays, with
+    the packing's one-Exchange shape (plan-asserted in tests) doing the
+    assembly."""
+    from jackfruit_spark.operators.curation import pack_token_ids
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        "doc_id",
+        F.expr(
+            r"transform(split(trim(text), '\\s+'), x -> crc32(x))"
+        ).alias("toks"),
+    )
+    return pack_token_ids(
+        toks, "toks", 2048, order_col="doc_id", source_col="lang"
+    )
+
+
 def semantic_dedup_ivf(spark, sf_dir):
     """Bench-only: SemDeDup-style semantic dedup over the embeddings table
     (operators/dedup.semantic_dedup — IVF cells, within-cell cosine pairs,

@@ -1,0 +1,123 @@
+"""Materialized token packing (operators/curation.pack_token_ids):
+python-reference reconstruction, chunk widths, multi-chunk spanning
+docs, per-source independence, pad/drop_last, determinism, and the
+one-Exchange plan claim."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.operators.curation import pack_token_ids
+
+
+def _docs(spark, lens, source="s"):
+    """Docs with recognizable token ids: doc i holds tokens
+    i*1000 .. i*1000+len-1 (reconstruction is visually checkable)."""
+    rows = [
+        (source, i, list(range(i * 1000, i * 1000 + n))) for i, n in enumerate(lens)
+    ]
+    return spark.createDataFrame(
+        rows, "src string, doc_id long, toks array<int>"
+    )
+
+
+def _py_pack(lens, seq_len):
+    stream = []
+    for i, n in enumerate(lens):
+        stream.extend(range(i * 1000, i * 1000 + n))
+    return [
+        stream[o : o + seq_len] for o in range(0, len(stream), seq_len)
+    ]
+
+
+class TestPackTokenIds:
+    def test_reconstruction_matches_python(self, spark):
+        lens = [3, 7, 1, 25, 4, 9, 2]  # doc 3 spans 4 chunks at L=8
+        df = _docs(spark, lens)
+        out = pack_token_ids(
+            df, "toks", 8, order_col="doc_id", source_col="src"
+        ).orderBy("chunk_id").collect()
+        ref = _py_pack(lens, 8)
+        full = [c for c in ref if len(c) == 8]
+        assert [r["input_ids"] for r in out] == full
+        assert all(r["source"] == "s" for r in out)
+        assert [r["chunk_id"] for r in out] == list(range(len(full)))
+        # n_docs: chunk 0 = docs 0,1 (3+5 of 7); spot-check
+        assert out[0]["n_docs"] == 2
+
+    def test_pad_last(self, spark):
+        lens = [3, 7, 4]  # 14 tokens -> one full chunk of 8 + 6 padded
+        df = _docs(spark, lens)
+        out = pack_token_ids(
+            df, "toks", 8, order_col="doc_id", source_col="src",
+            drop_last=False, pad_id=-1,
+        ).orderBy("chunk_id").collect()
+        ref = _py_pack(lens, 8)
+        assert len(out) == 2
+        assert out[0]["input_ids"] == ref[0]
+        assert out[1]["input_ids"] == ref[1] + [-1] * (8 - len(ref[1]))
+
+    def test_sources_pack_independently(self, spark):
+        a = _docs(spark, [5, 6], source="a")
+        b = _docs(spark, [9, 3], source="b")
+        out = pack_token_ids(
+            a.unionByName(b), "toks", 4, order_col="doc_id",
+            source_col="src",
+        ).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(
+                (r["chunk_id"], r["input_ids"])
+            )
+        ref_a = [c for c in _py_pack([5, 6], 4) if len(c) == 4]
+        ref_b = [c for c in _py_pack([9, 3], 4) if len(c) == 4]
+        assert [c for _, c in sorted(by_src["a"])] == ref_a
+        assert [c for _, c in sorted(by_src["b"])] == ref_b
+
+    def test_empty_docs_skipped_and_determinism(self, spark):
+        rows = [("s", 0, [1, 2, 3]), ("s", 1, []), ("s", 2, [4, 5, 6, 7, 8])]
+        df = spark.createDataFrame(
+            rows, "src string, doc_id long, toks array<int>"
+        )
+        runs = [
+            sorted(map(tuple, pack_token_ids(
+                df, "toks", 4, order_col="doc_id", source_col="src"
+            ).collect()))
+            for _ in range(2)
+        ]
+        assert runs[0] == runs[1]
+        assert [list(r[2]) for r in runs[0]] == [[1, 2, 3, 4], [5, 6, 7, 8]]
+
+    def test_single_exchange_plan(self, spark):
+        from jackfruit_spark.plans import plan_string
+
+        df = _docs(spark, [10, 20, 30])
+        p = plan_string(
+            pack_token_ids(df, "toks", 8, order_col="doc_id",
+                           source_col="src")
+        )
+        # the explicit source repartition serves the window AND the
+        # chunk aggregate: exactly one shuffle
+        assert p.count("Exchange") == 1, p
+
+    def test_validation(self, spark):
+        df = _docs(spark, [3])
+        with pytest.raises(ValueError, match="seq_len"):
+            pack_token_ids(df, "toks", 0, order_col="doc_id")
+        with pytest.raises(ValueError, match="pad_id"):
+            pack_token_ids(df, "toks", 4, order_col="doc_id",
+                           drop_last=False)
+
+    def test_string_tokens_generic(self, spark):
+        df = spark.createDataFrame(
+            [("s", 0, ["a", "b", "c"]), ("s", 1, ["d", "e"])],
+            "src string, doc_id long, toks array<string>",
+        )
+        out = pack_token_ids(
+            df, "toks", 2, order_col="doc_id", source_col="src",
+            drop_last=False, pad_id=0,
+        ).orderBy("chunk_id").collect()
+        assert [r["input_ids"] for r in out] == [
+            ["a", "b"], ["c", "d"], ["e", "0"]
+        ]
