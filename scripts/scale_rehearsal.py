@@ -218,6 +218,9 @@ def heavy_family():
         # expected featurizer-shaped (the IRLS fit is a fixed-size
         # sample collect, constant by construction)
         "quality_classifier": Q.quality_classifier,
+        # materialized input_ids packing (late r8): one token-stream
+        # shuffle — linear in token bytes by design
+        "token_packing": Q.token_packing,
     }
 
 

@@ -43,6 +43,10 @@ GUARDED = {
     # overhead, and the guard's job is catching a quadratic (~1.0),
     # not penalizing the overhead->linear crossover.
     "quality_classifier": 0.50,
+    # materialized packing: one token-stream shuffle, linear in token
+    # bytes by design — same 0.50 band as the other ops whose x1 leg is
+    # overhead-bound (a quadratic regression reads ~1.0)
+    "token_packing": 0.50,
 }
 
 MULTS = (1, 10)
