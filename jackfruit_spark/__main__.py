@@ -788,6 +788,35 @@ def cmd_ann_serve(args) -> int:
     return 0
 
 
+def cmd_ingest_corpus(args) -> int:
+    """Incremental crawl ingestion (operators/ingest_job.py): every
+    unprocessed batch=<id> directory under --input runs curate ->
+    cross-batch LSH dedup -> kept docs land under <root>/corpus, with
+    optional BM25/IVF index appends. Idempotent: done batches are
+    skipped via the ledger. Prints one JSON line of applied-batch
+    stats."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.ingest_job import CorpusIngestJob
+
+    job = CorpusIngestJob(
+        spark,
+        args.root,
+        curate_kwargs={
+            "lang": args.lang or None,
+            "min_tokens": args.min_tokens,
+            "max_tokens": args.max_tokens,
+        },
+        with_bm25=args.bm25,
+        ivf_dim=args.ivf_dim,
+    )
+    applied = job.process_pending(args.input)
+    out = {"applied": applied, "ledger": job.stats()}
+    if args.maintain:
+        out["maintain"] = job.maintain()
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_export_webdataset(args) -> int:
     """Export a documents parquet into WebDataset tar shards
     (sources/wds_writer.py) — the sink the training data loader reads.
@@ -1260,6 +1289,26 @@ def build_parser() -> argparse.ArgumentParser:
                     help="per-request deadline seconds (504 past it)")
     asv.add_argument("--cpus", default=None)
     asv.set_defaults(fn=cmd_ann_serve)
+
+    ic = sub.add_parser(
+        "ingest-corpus",
+        help="incremental crawl ingestion: curate + dedup + index appends",
+    )
+    ic.add_argument("--root", required=True, help="job state root")
+    ic.add_argument("--input", required=True,
+                    help="landing dir of batch=<id>/ parquet directories")
+    ic.add_argument("--lang", default="en",
+                    help="language gate ('' disables)")
+    ic.add_argument("--min-tokens", type=int, default=5)
+    ic.add_argument("--max-tokens", type=int, default=1000)
+    ic.add_argument("--bm25", action="store_true",
+                    help="also append kept docs into <root>/bm25")
+    ic.add_argument("--ivf-dim", type=int, default=None,
+                    help="also append hashed embeddings into <root>/ivf")
+    ic.add_argument("--maintain", action="store_true",
+                    help="run the index maintenance pass after ingesting")
+    ic.add_argument("--cpus", default=None)
+    ic.set_defaults(fn=cmd_ingest_corpus)
 
     ew = sub.add_parser(
         "export-webdataset",

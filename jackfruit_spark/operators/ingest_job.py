@@ -1,0 +1,293 @@
+"""Daily/batch corpus ingestion job — the training-data twin of the
+grid's ``DailyJob`` (grid/jobs.py): each landed crawl batch runs
+curate -> incremental LSH dedup (against EVERYTHING ingested so far) ->
+kept docs land partitioned, and optionally appends into the lexical
+(Bm25Index) and dense (IvfIndex over hashed embeddings) serving
+indexes — one call per crawl date keeps corpus and indexes in lockstep.
+
+Re-run discipline (the streaming/dedup.py crash-window analysis, batch
+form):
+
+- A batch's keep/drop DECISIONS are staged to ``flags/batch=<id>``
+  BEFORE any index append and reused on re-run — recomputing them after
+  a partial crash would see the batch's own appended signatures and
+  flag everything as a corpus duplicate (the replayed output would then
+  be EMPTY: data loss).
+- Kept docs are an idempotent per-batch overwrite
+  (``corpus/batch=<id>``); no crash position duplicates or loses rows.
+- Each index append records a per-leg applied marker; a crash between
+  an append and its marker re-appends that leg once (at-least-once).
+  For LSH duplicate sigs are probe-harmless and ``maintain()`` collapses
+  them; for IVF ``rebuild(dedup=True)`` absorbs them; for BM25 a
+  re-append double-counts the batch's term stats until ``rebuild()``
+  from deduplicated postings — the same documented windows as the
+  streaming forms (streaming/{dedup,vectors,bm25}.py).
+- The batch's done marker (``ledger/<id>.json``, tmp+rename) commits
+  last; ``run_batch`` on a done batch returns the recorded stats
+  without touching anything.
+
+Scale shape: everything is the composed operators' own measured shapes
+(curate = pure gates + exact-dup groupBy; dedup = partition-pruned
+probes, flat vs corpus size; appends = delta-sized). The job itself
+adds only driver-side markers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CorpusIngestJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        curate_kwargs: dict | None = None,
+        with_bm25: bool = False,
+        ivf_dim: int | None = None,
+        ivf_cell_docs: int = 512,
+        lsh_kwargs: dict | None = None,
+    ):
+        self.spark = spark
+        self.root = os.path.normpath(root)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.curate_kwargs = dict(curate_kwargs or {})
+        self.with_bm25 = with_bm25
+        self.ivf_dim = ivf_dim
+        self.ivf_cell_docs = ivf_cell_docs
+        self.lsh_kwargs = dict(lsh_kwargs or {})
+        for d in ("ledger", "flags", "corpus"):
+            os.makedirs(os.path.join(self.root, d), exist_ok=True)
+
+    # ------------------------------------------------------------ paths
+    def _marker(self, batch_id: str) -> str:
+        return os.path.join(self.root, "ledger", f"{batch_id}.json")
+
+    def _leg_marker(self, leg: str, batch_id: str) -> str:
+        d = os.path.join(self.root, "ledger", f"{leg}_applied")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, batch_id)
+
+    def _lsh(self):
+        from jackfruit_spark.operators.lsh_store import LshIndex
+
+        return LshIndex(self.spark, os.path.join(self.root, "lsh"))
+
+    # ------------------------------------------------------------- run
+    def run_batch(self, batch_id: str, docs: DataFrame) -> dict:
+        """Ingest one landed batch. Returns the stats dict; on an
+        already-done batch returns the recorded stats with
+        ``applied=False`` and performs no work."""
+        if "/" in batch_id or batch_id.startswith("."):
+            raise ValueError(f"invalid batch_id {batch_id!r}")
+        marker = self._marker(batch_id)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                return {**json.load(f), "applied": False}
+        from jackfruit_spark._persist import persisted
+        from jackfruit_spark.operators.curation import curate_corpus
+        from jackfruit_spark.operators.lsh_store import LshIndex
+
+        curated = persisted(
+            curate_corpus(
+                docs, id_col=self.id_col, text_col=self.text_col,
+                **self.curate_kwargs,
+            )
+        )
+        n_in = docs.count()
+        n_cur = curated.count()
+
+        lsh_root = os.path.join(self.root, "lsh")
+        idx = self._lsh()
+        # decided BEFORE any index mutation and re-read from the staged
+        # dir on replay: recomputing after a partial crash would probe
+        # the batch's own appended/built signatures
+        idx_exists = os.path.exists(idx.manifest_path)
+        flags_dir = os.path.join(self.root, "flags", f"batch={batch_id}")
+        if not os.path.exists(os.path.join(flags_dir, "_SUCCESS")):
+            flags_df = (
+                idx.dedup_batch(curated)
+                if idx_exists
+                # first batch: no corpus to probe — intra-batch flags
+                # only (same geometry, same min-id keeper rule), then
+                # the index BUILDS from the kept docs below. An
+                # empty-corpus build would not bootstrap this: a
+                # zero-row partitioned parquet dir is unreadable.
+                else self._bootstrap_flags(curated)
+            )
+            flags_df.write.mode("overwrite").parquet(flags_dir)
+        flags = self.spark.read.parquet(flags_dir)
+        kept = persisted(
+            curated.join(
+                flags.filter("keep").select(self.id_col),
+                self.id_col,
+                "left_semi",
+            )
+        )
+        n_kept = kept.count()
+        kept.write.mode("overwrite").parquet(
+            os.path.join(self.root, "corpus", f"batch={batch_id}")
+        )
+
+        self._append_leg(
+            "lsh",
+            batch_id,
+            lambda: (
+                idx.append(kept)
+                if idx_exists
+                else LshIndex.build(
+                    kept, self.id_col, self.text_col, lsh_root,
+                    **self.lsh_kwargs,
+                )
+            ),
+        )
+        if self.with_bm25:
+            self._append_leg(
+                "bm25", batch_id, lambda: self._bm25_apply(kept)
+            )
+        if self.ivf_dim is not None:
+            self._append_leg(
+                "ivf", batch_id, lambda: self._ivf_apply(kept, n_kept)
+            )
+
+        stats = {
+            "batch_id": batch_id,
+            "input": n_in,
+            "curated": n_cur,
+            "kept": n_kept,
+            "dropped_dup": n_cur - n_kept,
+        }
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, marker)
+        from jackfruit_spark import release_persisted
+
+        release_persisted()
+        return {**stats, "applied": True}
+
+    def _bootstrap_flags(self, curated: DataFrame) -> DataFrame:
+        """First-batch flags without an index: intra-batch LSH pairs
+        with the SAME geometry the index will be built with, connected
+        components, min-id keeper — exactly ``dedup_batch`` against an
+        empty corpus (``dup_of_corpus`` all false). Short texts below
+        the shingle width produce no signature and keep, matching the
+        index's documented rule."""
+        from jackfruit_spark.operators.dedup import (
+            connected_components,
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        kw = self.lsh_kwargs
+        sig = minhash_signatures(
+            curated, self.id_col, self.text_col,
+            num_hashes=kw.get("num_hashes", 32),
+            k=kw.get("shingle_k", 3),
+            hash_family=kw.get("hash_family", "xxhash64"),
+        )
+        pairs = lsh_candidate_pairs(
+            sig, self.id_col,
+            bands=kw.get("bands", 8),
+            rows_per_band=kw.get("rows_per_band", 4),
+            hash_family=kw.get("hash_family", "xxhash64"),
+        )
+        cc = connected_components(
+            curated.select(self.id_col), pairs, id_col=self.id_col
+        )
+        return cc.select(
+            self.id_col,
+            F.lit(False).alias("dup_of_corpus"),
+            (F.col(self.id_col) == F.col("cluster_id")).alias("keep"),
+        )
+
+    def _append_leg(self, leg: str, batch_id: str, apply_fn) -> None:
+        m = self._leg_marker(leg, batch_id)
+        if os.path.exists(m):
+            return
+        apply_fn()
+        with open(m, "w") as f:
+            f.write("")
+
+    def _bm25_apply(self, kept: DataFrame) -> None:
+        from jackfruit_spark.functions.bm25 import Bm25Index
+
+        root = os.path.join(self.root, "bm25")
+        idx = Bm25Index(self.spark, root)
+        if os.path.exists(idx.manifest_path):
+            idx.append(kept.select(self.id_col, self.text_col))
+        else:
+            Bm25Index.build(kept, self.id_col, self.text_col, root)
+
+    def _ivf_apply(self, kept: DataFrame, n_kept: int) -> None:
+        from jackfruit_spark.functions.featurize import hashed_embedding
+        from jackfruit_spark.functions.ivf_store import IvfIndex
+
+        # idf=False: embeddings must be text-pure so a doc embeds
+        # identically regardless of which batch carried it (idf would
+        # tie the vector to the batch's df distribution)
+        emb = hashed_embedding(
+            kept, self.id_col, self.text_col, dim=self.ivf_dim, idf=False
+        )
+        root = os.path.join(self.root, "ivf")
+        idx = IvfIndex(self.spark, root)
+        if os.path.exists(idx.manifest_path):
+            idx.append(emb)
+        else:
+            cells = max(1, n_kept // self.ivf_cell_docs)
+            IvfIndex.build(
+                emb, self.id_col, "embedding", root, k=cells
+            )
+
+    # ------------------------------------------------------ pending scan
+    def process_pending(self, landing_root: str) -> list[dict]:
+        """Run every ``batch=<id>`` directory under ``landing_root``
+        not yet in the ledger, in sorted (chronological-by-name) order.
+        Returns the applied batches' stats."""
+        out = []
+        for name in sorted(os.listdir(landing_root)):
+            if not name.startswith("batch="):
+                continue
+            bid = name.split("=", 1)[1]
+            if os.path.exists(self._marker(bid)):
+                continue
+            docs = self.spark.read.parquet(
+                os.path.join(landing_root, name)
+            )
+            out.append(self.run_batch(bid, docs))
+        return out
+
+    def corpus(self) -> DataFrame:
+        """The ingested corpus (all kept batches; ``batch`` surfaces as
+        a partition column)."""
+        return self.spark.read.parquet(os.path.join(self.root, "corpus"))
+
+    def stats(self) -> list[dict]:
+        """Ledger contents, sorted by batch id."""
+        led = os.path.join(self.root, "ledger")
+        out = []
+        for name in sorted(os.listdir(led)):
+            if name.endswith(".json"):
+                with open(os.path.join(led, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def maintain(self) -> dict:
+        """The documented at-least-once cleanup pass: collapse duplicate
+        LSH signatures; rebuild+vacuum the dense index when imbalanced
+        (its own measured policy); BM25 untouched (rebuild() is the
+        explicit knob when a re-append window was actually hit)."""
+        report: dict = {"lsh": self._lsh().maintain()}
+        ivf_root = os.path.join(self.root, "ivf")
+        if self.ivf_dim is not None and os.path.isdir(ivf_root):
+            from jackfruit_spark.functions.ivf_store import IvfIndex
+
+            report["ivf"] = IvfIndex(self.spark, ivf_root).maintain()
+        return report

@@ -1,0 +1,165 @@
+"""CorpusIngestJob (operators/ingest_job.py): incremental crawl
+ingestion — cross-batch dedup, idempotent re-runs, the staged-flags
+crash window, per-leg index appends, and process_pending."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from jackfruit_spark.operators.ingest_job import CorpusIngestJob
+
+CURATE = {"lang": None, "min_tokens": 3, "min_stop_ratio": 0.0}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+BATCH1 = [
+    ("a1", "the quick brown fox jumps over the lazy dog by the river"),
+    ("a2", "the quick brown fox jumps over the lazy dog by the river"),
+    ("a3", "a completely different sentence about the market and the "
+           "price of fresh fruit in the summer"),
+]
+BATCH2 = [
+    # near-verbatim copy of a1 (one word changed): cross-batch near-dup
+    ("b1", "the quick brown fox jumps over the lazy dog by the stream"),
+    ("b2", "another new document discussing the harvest and the cold "
+           "weather in the northern valley"),
+]
+
+
+def test_two_batches_cross_dedup_and_idempotent_rerun(spark, tmp_path):
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE
+    )
+    s1 = job.run_batch("2026-01-01", _docs(spark, BATCH1))
+    assert s1["applied"] and s1["input"] == 3
+    # a1/a2 are EXACT dups: curate's exact-dedup stage already keeps one
+    assert s1["curated"] == 2 and s1["kept"] == 2
+
+    s2 = job.run_batch("2026-01-02", _docs(spark, BATCH2))
+    assert s2["applied"] and s2["kept"] == 1 and s2["dropped_dup"] == 1
+
+    corpus = job.corpus()
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [
+        "a1", "a3", "b2"
+    ]
+
+    # re-run: recorded stats, nothing re-applied, corpus unchanged
+    r = job.run_batch("2026-01-01", _docs(spark, BATCH1))
+    assert r["applied"] is False and r["kept"] == 2
+    assert corpus.count() == 3
+    assert [s["batch_id"] for s in job.stats()] == [
+        "2026-01-01", "2026-01-02"
+    ]
+
+
+def test_index_legs_append_and_serve(spark, tmp_path):
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE,
+        with_bm25=True, ivf_dim=32, ivf_cell_docs=2,
+    )
+    job.run_batch("d1", _docs(spark, BATCH1))
+    job.run_batch("d2", _docs(spark, BATCH2))
+
+    from jackfruit_spark.functions.bm25 import Bm25Index
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+
+    bm25 = Bm25Index(spark, os.path.join(job.root, "bm25"))
+    q = spark.createDataFrame(
+        [("q", "harvest northern valley")], "query_id string, query string"
+    )
+    hits = bm25.search(q, k=2).collect()
+    assert hits and hits[0]["id"] == "b2"
+    assert bm25.stats()["n_docs"] == 3  # kept docs only, both batches
+
+    ivf = IvfIndex(spark, os.path.join(job.root, "ivf"))
+    assert ivf.stats()["rows"] == 3
+
+    # leg markers written; a second run_batch call is a no-op
+    assert os.path.exists(
+        os.path.join(job.root, "ledger", "bm25_applied", "d2")
+    )
+    job.run_batch("d2", _docs(spark, BATCH2))
+    assert bm25.refresh().stats()["n_docs"] == 3
+
+
+def test_staged_flags_survive_partial_crash(spark, tmp_path, monkeypatch):
+    """Crash AFTER the lsh append but BEFORE the done marker: the
+    re-run must reuse the staged decisions — recomputing against the
+    index (which now holds this batch's own sigs) would flag everything
+    as a corpus dup and EMPTY the batch's output."""
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE
+    )
+    job.run_batch("d1", _docs(spark, BATCH1))
+
+    orig = CorpusIngestJob._append_leg
+
+    def crash_after_lsh(self, leg, batch_id, apply_fn):
+        orig(self, leg, batch_id, apply_fn)
+        raise RuntimeError("synthetic crash after append, before marker")
+
+    monkeypatch.setattr(CorpusIngestJob, "_append_leg", crash_after_lsh)
+    with pytest.raises(RuntimeError, match="synthetic"):
+        job.run_batch("d2", _docs(spark, BATCH2))
+    monkeypatch.setattr(CorpusIngestJob, "_append_leg", orig)
+
+    s = job.run_batch("d2", _docs(spark, BATCH2))
+    assert s["applied"] and s["kept"] == 1  # b2 survived the replay
+    assert sorted(r["doc_id"] for r in job.corpus().collect()) == [
+        "a1", "a3", "b2"
+    ]
+
+
+def test_process_pending(spark, tmp_path):
+    landing = tmp_path / "landing"
+    _docs(spark, BATCH1).write.parquet(str(landing / "batch=d1"))
+    _docs(spark, BATCH2).write.parquet(str(landing / "batch=d2"))
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE
+    )
+    applied = job.process_pending(str(landing))
+    assert [s["batch_id"] for s in applied] == ["d1", "d2"]
+    assert job.process_pending(str(landing)) == []
+
+
+def test_cli_ingest_corpus(spark, tmp_path, capsys):
+    from jackfruit_spark.__main__ import main
+
+    landing = tmp_path / "landing"
+    _docs(spark, BATCH1).write.parquet(str(landing / "batch=d1"))
+    _docs(spark, BATCH2).write.parquet(str(landing / "batch=d2"))
+    rc = main([
+        "ingest-corpus", "--root", str(tmp_path / "job"),
+        "--input", str(landing), "--lang", "", "--min-tokens", "3",
+        "--bm25",
+    ])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [s["batch_id"] for s in got["applied"]] == ["d1", "d2"]
+    assert got["ledger"][0]["kept"] == 2 and got["ledger"][1]["kept"] == 1
+
+    # second invocation: nothing pending, ledger intact
+    rc = main([
+        "ingest-corpus", "--root", str(tmp_path / "job"),
+        "--input", str(landing), "--lang", "",
+    ])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["applied"] == [] and len(got["ledger"]) == 2
+
+
+def test_validation_and_maintain(spark, tmp_path):
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE, ivf_dim=16
+    )
+    with pytest.raises(ValueError, match="batch_id"):
+        job.run_batch("a/b", _docs(spark, BATCH1))
+    job.run_batch("d1", _docs(spark, BATCH1))
+    report = job.maintain()
+    assert "lsh" in report and "ivf" in report
