@@ -788,6 +788,32 @@ def cmd_ann_serve(args) -> int:
     return 0
 
 
+def cmd_mine_negatives(args) -> int:
+    """Hard-negative mining for embedding-model training
+    (functions/retrieval.mine_hard_negatives): per-query ANN top-n from
+    the served index minus labeled positives, optional false-negative
+    margin guard. Writes (query_id, id, cosine_sim, rank) parquet."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+    from jackfruit_spark.functions.retrieval import mine_hard_negatives
+
+    out = mine_hard_negatives(
+        IvfIndex(spark, args.ivf_root),
+        spark.read.parquet(args.queries),
+        spark.read.parquet(args.positives),
+        n=args.n,
+        nprobe=args.nprobe,
+        margin=args.margin,
+        query_id_col=args.query_id_col,
+        vec_col=args.vec_col,
+        pos_id_col=args.pos_id_col,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"negatives": n, "output": args.output}))
+    return 0
+
+
 def cmd_ingest_corpus(args) -> int:
     """Incremental crawl ingestion (operators/ingest_job.py): every
     unprocessed batch=<id> directory under --input runs curate ->
@@ -1289,6 +1315,26 @@ def build_parser() -> argparse.ArgumentParser:
                     help="per-request deadline seconds (504 past it)")
     asv.add_argument("--cpus", default=None)
     asv.set_defaults(fn=cmd_ann_serve)
+
+    mn = sub.add_parser(
+        "mine-negatives",
+        help="hard negatives: ANN top-n minus labeled positives",
+    )
+    mn.add_argument("--ivf-root", required=True)
+    mn.add_argument("--queries", required=True,
+                    help="parquet with query id + vector columns")
+    mn.add_argument("--positives", required=True,
+                    help="parquet with (query_id, pos_id)")
+    mn.add_argument("--output", required=True)
+    mn.add_argument("--n", type=int, default=5)
+    mn.add_argument("--nprobe", type=int, default=16)
+    mn.add_argument("--margin", type=float, default=None,
+                    help="drop candidates above max_pos_cos - margin")
+    mn.add_argument("--query-id-col", default="query_id")
+    mn.add_argument("--vec-col", default="query_vec")
+    mn.add_argument("--pos-id-col", default="pos_id")
+    mn.add_argument("--cpus", default=None)
+    mn.set_defaults(fn=cmd_mine_negatives)
 
     ic = sub.add_parser(
         "ingest-corpus",

@@ -279,6 +279,42 @@ class CorpusIngestJob:
                     out.append(json.load(f))
         return out
 
+    def compact(self, target_files: int = 1) -> dict:
+        """Small-files maintenance for the landed corpus: every DONE
+        batch partition with more part-files than ``target_files`` is
+        rewritten coalesced and swapped in with the rename-aside pattern
+        (write aside -> rename old away -> rename new in -> drop old),
+        so readers never see a half-written partition. Safe because done
+        batches never replay (the ledger gates ``run_batch``); at 100 TB
+        this is the same job the grid's OPTIMIZE-analog runs — thousands
+        of per-batch task files otherwise accumulate into a listing
+        bottleneck. Returns {batch_id: (files_before, files_after)}."""
+        import shutil
+
+        report: dict = {}
+        for s in self.stats():
+            bid = s["batch_id"]
+            final = os.path.join(self.root, "corpus", f"batch={bid}")
+            if not os.path.isdir(final):
+                continue
+            parts = [f for f in os.listdir(final) if f.endswith(".parquet")]
+            if len(parts) <= target_files:
+                continue
+            aside = os.path.join(self.root, "corpus", f".compact-{bid}")
+            trash = final + ".old"
+            shutil.rmtree(aside, ignore_errors=True)
+            self.spark.read.parquet(final).coalesce(target_files).write.mode(
+                "overwrite"
+            ).parquet(aside)
+            os.rename(final, trash)
+            os.rename(aside, final)
+            shutil.rmtree(trash)
+            report[bid] = (
+                len(parts),
+                len([f for f in os.listdir(final) if f.endswith(".parquet")]),
+            )
+        return report
+
     def maintain(self) -> dict:
         """The documented at-least-once cleanup pass: collapse duplicate
         LSH signatures; rebuild+vacuum the dense index when imbalanced

@@ -163,3 +163,19 @@ def test_validation_and_maintain(spark, tmp_path):
     job.run_batch("d1", _docs(spark, BATCH1))
     report = job.maintain()
     assert "lsh" in report and "ivf" in report
+
+
+def test_compact(spark, tmp_path):
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE
+    )
+    job.run_batch("d1", _docs(spark, BATCH1))
+    job.run_batch("d2", _docs(spark, BATCH2))
+    before = sorted(map(tuple, job.corpus().collect()))
+    report = job.compact(target_files=1)
+    assert job.compact(target_files=1) == {}  # idempotent: already compact
+    after_dirs = os.listdir(os.path.join(job.root, "corpus"))
+    assert sorted(after_dirs) == ["batch=d1", "batch=d2"]
+    for bid, (nb, na) in report.items():
+        assert na == 1 and nb >= na
+    assert sorted(map(tuple, job.corpus().collect())) == before

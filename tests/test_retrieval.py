@@ -270,6 +270,29 @@ class TestMineHardNegatives:
         assert [r["id"] for r in out] == [3, 4, 5]
         assert abs(out[0]["cosine_sim"] - math.cos(math.radians(45))) < 1e-5
 
+    def test_cli_mine_negatives(self, spark, neg_ivf, tmp_path, capsys):
+        import json
+
+        from jackfruit_spark.__main__ import main
+
+        qsrc = str(tmp_path / "q")
+        psrc = str(tmp_path / "p")
+        self._qdf(spark).write.parquet(qsrc)
+        spark.createDataFrame(
+            [("qa", 0)], "query_id string, pos_id long"
+        ).write.parquet(psrc)
+        out = str(tmp_path / "neg")
+        rc = main([
+            "mine-negatives", "--ivf-root", neg_ivf.root,
+            "--queries", qsrc, "--positives", psrc, "--output", out,
+            "--n", "3", "--nprobe", "1",
+        ])
+        assert rc == 0
+        got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert got["negatives"] == 3
+        rows = spark.read.parquet(out).orderBy("rank").collect()
+        assert [r["id"] for r in rows] == [1, 2, 3]  # 0 excluded
+
     def test_margin_with_absent_positive_keeps_all(self, spark, neg_ivf):
         from jackfruit_spark.functions.retrieval import mine_hard_negatives
 
