@@ -93,6 +93,41 @@ def test_dotted_keys_sanitized_and_null_members(spark, tmp_path):
     assert names == ["a_b_c.txt", "plain.bin"]
 
 
+def test_multimodal_round_trip_pixels(spark, tmp_path):
+    """The full multimodal export loop: (caption, image) samples ->
+    WebDataset shards -> scanner -> REAL PNG decode, pixels equal."""
+    import numpy as np
+
+    from jackfruit_spark.multimodal import decode_image
+    from tests.test_sources_multimodal import _encode_png
+
+    rng = np.random.default_rng(5)
+    imgs = {
+        f"img{i}": rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+        for i in range(6)
+    }
+    rows = [
+        (k, f"caption for {k}", _encode_png(img, [0, 1, 2, 3]))
+        for k, img in imgs.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, caption string, image binary"
+    )
+    out = str(tmp_path / "wds")
+    write_webdataset(
+        df, out, "doc_id", {"txt": "caption", "png": "image"}, num_shards=2
+    )
+    back = scan_webdataset(spark, out + "/*.tar").collect()
+    got = {}
+    for r in back:
+        got.setdefault(r["sample_key"], {})[r["ext"]] = bytes(r["payload"])
+    assert set(got) == set(imgs)
+    for k, img in imgs.items():
+        assert got[k]["txt"].decode() == f"caption for {k}"
+        decoded = decode_image(got[k]["png"])
+        assert np.array_equal(decoded, img)
+
+
 def test_cli_export_webdataset(spark, tmp_path, samples, capsys):
     import json
 
