@@ -788,6 +788,31 @@ def cmd_ann_serve(args) -> int:
     return 0
 
 
+def cmd_hybrid_serve(args) -> int:
+    """HTTP listener over a BM25 + IVF index pair
+    (functions/hybrid_http.py): GET /health + GET /v1/hybrid/search —
+    the fused twin of ann-serve/bm25-serve."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.functions.bm25 import Bm25Index
+    from jackfruit_spark.functions.hybrid_http import make_server
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+
+    server = make_server(
+        Bm25Index(spark, args.bm25_root),
+        IvfIndex(spark, args.ivf_root),
+        host=args.host, port=args.port, timeout_s=args.timeout,
+    )
+    host, port = server.server_address[:2]
+    print(json.dumps({"listening": f"http://{host}:{port}"}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    finally:
+        server.server_close()  # release the listening socket
+    return 0
+
+
 def cmd_mine_negatives(args) -> int:
     """Hard-negative mining for embedding-model training
     (functions/retrieval.mine_hard_negatives): per-query ANN top-n from
@@ -1315,6 +1340,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="per-request deadline seconds (504 past it)")
     asv.add_argument("--cpus", default=None)
     asv.set_defaults(fn=cmd_ann_serve)
+
+    hsv = sub.add_parser(
+        "hybrid-serve", help="HTTP listener over a BM25 + IVF index pair"
+    )
+    hsv.add_argument("--bm25-root", required=True)
+    hsv.add_argument("--ivf-root", required=True)
+    hsv.add_argument("--host", default="127.0.0.1")
+    hsv.add_argument("--port", type=int, default=8083)
+    hsv.add_argument("--timeout", type=float, default=18.0,
+                     help="per-request deadline seconds (504 past it)")
+    hsv.add_argument("--cpus", default=None)
+    hsv.set_defaults(fn=cmd_hybrid_serve)
 
     mn = sub.add_parser(
         "mine-negatives",

@@ -1,0 +1,135 @@
+"""HTTP serving for hybrid retrieval — the fused twin of
+``functions/ann_http.py`` and ``functions/bm25_http.py`` on the shared
+stdlib transport (``jackfruit_spark/_http.py``). One endpoint runs the
+BM25 lexical leg and the served-ANN dense leg and returns the RRF-fused
+ranking (``functions/retrieval.hybrid_search``).
+
+Envelope discipline (grid-twin): validation 400, request-deadline 504
+via the grid's execution guard, GENERIC 500 (internals never leak), 200
+with ranked hits carrying per-leg rank provenance. Long-lived-process
+discipline: BOTH indexes refresh their cached manifests per request, so
+external append/rebuild()+vacuum() swaps cleanly under a running server.
+
+The dense query vector comes from ``vec`` (comma-separated floats) or,
+when the IVF index was built over ``hashed_embedding(idf=False)`` text
+features, from hashing ``q`` itself (``hash_dim``).
+
+Routes: GET /health (liveness, no Spark), GET /v1/hybrid/search with
+``q`` (required), one of ``vec``/``hash_dim``, and ``k``/``nprobe``/
+``rrf_k`` knobs.
+"""
+
+from __future__ import annotations
+
+from http.server import ThreadingHTTPServer
+
+from jackfruit_spark._http import make_routed_server, serve_background  # noqa: F401  (re-export)
+
+
+def handle_hybrid_search(
+    bm25_index,
+    ivf_index,
+    params: dict,
+    timeout_s: float | None = 18.0,
+) -> tuple[int, dict]:
+    """Transport-free request handler. Returns (status, body)."""
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.functions.retrieval import hybrid_search
+    from jackfruit_spark.grid.serving import (
+        QueryTimeoutError,
+        _collect_with_deadline,
+    )
+
+    q = params.get("q")
+    if not q or not q.strip():
+        return 400, {"error": "missing required parameter 'q'"}
+    vec, hash_dim = params.get("vec"), params.get("hash_dim")
+    if (vec is None) == (hash_dim is None):
+        return 400, {"error": "provide exactly one of 'vec' / 'hash_dim'"}
+    try:
+        k = int(params.get("k", 10))
+        nprobe = int(params.get("nprobe", 16))
+        rrf_k = int(params.get("rrf_k", 60))
+    except ValueError:
+        return 400, {"error": "k, nprobe and rrf_k must be integers"}
+    if k <= 0 or nprobe <= 0 or rrf_k <= 0:
+        return 400, {"error": "k, nprobe and rrf_k must be > 0"}
+    if vec is not None:
+        try:
+            qv = [float(x) for x in vec.split(",")]
+        except ValueError:
+            return 400, {"error": "vec must be comma-separated floats"}
+    else:
+        try:
+            hash_dim = int(hash_dim)
+        except ValueError:
+            return 400, {"error": "hash_dim must be an integer"}
+        if hash_dim <= 0:
+            return 400, {"error": "hash_dim must be > 0"}
+    try:
+        # external append/rebuild+vacuum must swap under a live server
+        bm25_index.refresh()
+        ivf_index.refresh()
+        spark = ivf_index.spark
+        qdf = spark.createDataFrame(
+            [("q", q)], "query_id string, query string"
+        )
+        if vec is not None:
+            qs = qdf.withColumn(
+                "query_vec",
+                F.array(*[F.lit(v).cast("float") for v in qv]),
+            )
+        else:
+            from jackfruit_spark.functions.featurize import hashed_embedding
+
+            qs = qdf.join(
+                hashed_embedding(
+                    qdf, "query_id", "query", dim=hash_dim, idf=False
+                ).withColumnRenamed("embedding", "query_vec"),
+                "query_id",
+            )
+        rows = _collect_with_deadline(
+            hybrid_search(
+                bm25_index, ivf_index, qs, k=k, nprobe=nprobe, rrf_k=rrf_k
+            ).orderBy("rank"),
+            timeout_s,
+        )
+    except QueryTimeoutError:
+        return 504, {"error": f"query exceeded {timeout_s}s deadline"}
+    except Exception:  # noqa: BLE001 — never leak internals to clients
+        return 500, {"error": "internal server error"}
+    return 200, {
+        "hits": [
+            {
+                "id": r["id"],
+                "rrf_score": r["rrf_score"],
+                "rank": r["rank"],
+                "lex_rank": r["lex_rank"],
+                "dense_rank": r["dense_rank"],
+            }
+            for r in rows
+        ],
+        "k": k,
+    }
+
+
+def make_server(
+    bm25_index,
+    ivf_index,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    timeout_s: float | None = 18.0,
+) -> ThreadingHTTPServer:
+    """Bound but not yet serving — call serve_forever() (or
+    serve_background for tests). port=0 binds an ephemeral port."""
+    return make_routed_server(
+        {
+            "/health": lambda p: (200, {"status": "ok"}),
+            "/v1/hybrid/search": lambda p: handle_hybrid_search(
+                bm25_index, ivf_index, p, timeout_s=timeout_s
+            ),
+        },
+        host,
+        port,
+    )

@@ -1,0 +1,146 @@
+"""Hybrid HTTP serving (functions/hybrid_http.py): envelope parity with
+a direct hybrid_search, validation 400s, generic 500, and index swaps
+under a running server."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from jackfruit_spark.functions.hybrid_http import make_server, serve_background
+from tests.test_retrieval import DOCS, _queries
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    from jackfruit_spark.functions.bm25 import Bm25Index
+    from jackfruit_spark.functions.featurize import hashed_embedding
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+
+    root = tmp_path_factory.mktemp("hyhttp")
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    emb = hashed_embedding(docs, "doc_id", "text", dim=64, idf=False)
+    bm25 = Bm25Index.build(docs, "doc_id", "text", str(root / "bm25"),
+                           parts=8)
+    ivf = IvfIndex.build(emb, "doc_id", "embedding", str(root / "ivf"),
+                         k=2, seed=7)
+    server = make_server(bm25, ivf, port=0)
+    serve_background(server)
+    host, port = server.server_address[:2]
+    yield f"http://{host}:{port}", bm25, ivf
+    server.shutdown()
+    server.server_close()  # release the listening socket fd
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_and_parity_with_direct(served, spark):
+    from jackfruit_spark.functions.retrieval import hybrid_search
+
+    base, bm25, ivf = served
+    assert _get(f"{base}/health") == (200, {"status": "ok"})
+
+    status, body = _get(
+        f"{base}/v1/hybrid/search?q=quick+brown+fox&hash_dim=64&k=4&nprobe=2"
+    )
+    assert status == 200 and len(body["hits"]) == 4
+    qs = _queries(spark, None, ["quick brown fox"])
+    direct = (
+        hybrid_search(bm25, ivf, qs, k=4, nprobe=2)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(h["id"], h["rank"]) for h in body["hits"]] == [
+        (r["id"], r["rank"]) for r in direct
+    ]
+    # per-leg provenance present
+    assert any(h["lex_rank"] is not None for h in body["hits"])
+    assert any(h["dense_rank"] is not None for h in body["hits"])
+
+
+def test_validation_envelope(served):
+    base, _, _ = served
+    for qstr, frag in (
+        ("hash_dim=64", "'q'"),
+        ("q=fox", "exactly one"),
+        ("q=fox&vec=1,2&hash_dim=64", "exactly one"),
+        ("q=fox&hash_dim=64&k=0", "> 0"),
+        ("q=fox&hash_dim=64&k=x", "integers"),
+        ("q=fox&vec=a,b", "floats"),
+        ("q=fox&hash_dim=zz", "hash_dim"),
+    ):
+        status, body = _get(f"{base}/v1/hybrid/search?{qstr}")
+        assert status == 400 and frag in body["error"], (qstr, body)
+    status, _ = _get(f"{base}/nope")
+    assert status == 404
+
+
+def test_explicit_vec_leg(served, spark):
+    base, bm25, ivf = served
+    from jackfruit_spark.functions.featurize import hashed_embedding
+
+    qdf = spark.createDataFrame(
+        [("q", "fresh fruit market")], "query_id string, query string"
+    )
+    vec = hashed_embedding(
+        qdf, "query_id", "query", dim=64, idf=False
+    ).collect()[0]["embedding"]
+    vs = ",".join(str(float(x)) for x in vec)
+    status, body = _get(
+        f"{base}/v1/hybrid/search?q=fresh+fruit+market&vec={vs}&k=3&nprobe=2"
+    )
+    assert status == 200 and len(body["hits"]) == 3
+    assert body["hits"][0]["id"] in {"d4", "d6", "d8"}
+
+
+def test_broken_index_is_generic_500(spark, tmp_path):
+    from jackfruit_spark.functions.bm25 import Bm25Index
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+
+    server = make_server(
+        Bm25Index(spark, str(tmp_path / "nothing")),
+        IvfIndex(spark, str(tmp_path / "nothing2")),
+        port=0,
+    )
+    serve_background(server)
+    host, port = server.server_address[:2]
+    try:
+        status, body = _get(
+            f"http://{host}:{port}/v1/hybrid/search?q=fox&hash_dim=64"
+        )
+        assert status == 500
+        assert body == {"error": "internal server error"}
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_append_under_running_server(spark, served):
+    base, bm25, ivf = served
+    from jackfruit_spark.functions.bm25 import Bm25Index
+    from jackfruit_spark.functions.featurize import hashed_embedding
+
+    new = spark.createDataFrame(
+        [("d99", "a zebra gallops across the open grassland at dawn")],
+        "doc_id string, text string",
+    )
+    Bm25Index(spark, bm25.root).append(new)
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+
+    IvfIndex(spark, ivf.root).append(
+        hashed_embedding(new, "doc_id", "text", dim=64, idf=False)
+    )
+    status, body = _get(
+        f"{base}/v1/hybrid/search?q=zebra+gallops+grassland&hash_dim=64&k=2&nprobe=2"
+    )
+    assert status == 200
+    assert body["hits"][0]["id"] == "d99"
