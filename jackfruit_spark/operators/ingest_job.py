@@ -136,26 +136,30 @@ class CorpusIngestJob:
             os.path.join(self.root, "corpus", f"batch={batch_id}")
         )
 
-        self._append_leg(
-            "lsh",
-            batch_id,
-            lambda: (
-                idx.append(kept)
-                if idx_exists
-                else LshIndex.build(
-                    kept, self.id_col, self.text_col, lsh_root,
-                    **self.lsh_kwargs,
+        # a fully-deduped batch appends nothing — and MUST not reach a
+        # bootstrap build: an index built from an empty frame is an
+        # unreadable zero-row partitioned parquet (the flags lesson)
+        if n_kept > 0:
+            self._append_leg(
+                "lsh",
+                batch_id,
+                lambda: (
+                    idx.append(kept)
+                    if idx_exists
+                    else LshIndex.build(
+                        kept, self.id_col, self.text_col, lsh_root,
+                        **self.lsh_kwargs,
+                    )
+                ),
+            )
+            if self.with_bm25:
+                self._append_leg(
+                    "bm25", batch_id, lambda: self._bm25_apply(kept)
                 )
-            ),
-        )
-        if self.with_bm25:
-            self._append_leg(
-                "bm25", batch_id, lambda: self._bm25_apply(kept)
-            )
-        if self.ivf_dim is not None:
-            self._append_leg(
-                "ivf", batch_id, lambda: self._ivf_apply(kept, n_kept)
-            )
+            if self.ivf_dim is not None:
+                self._append_leg(
+                    "ivf", batch_id, lambda: self._ivf_apply(kept, n_kept)
+                )
 
         stats = {
             "batch_id": batch_id,

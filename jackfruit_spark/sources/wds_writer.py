@@ -9,15 +9,19 @@ scale is plain tar over pre-compressed members (.jpg/.txt.gz/...) so
 member payloads stay individually seekable (``build_webdataset_manifest``
 indexes them; a .tar.gz shard would destroy ranged reads).
 
-Distribution shape: one shard per Spark partition. Samples are assigned
-to shards by a deterministic hash of the sample key (rerun-stable: the
-same corpus always produces the same shard membership), repartitioned on
-that assignment, sorted within the partition by key (stable member
-order inside each tar), and streamed member-by-member into the tar via
-``mapInPandas`` — executor memory is bounded by one Arrow BATCH, never
-a whole shard. Each task writes to a temp name and renames on close, so
-a killed task never leaves a half-written shard under the final name
-(speculative retries overwrite cleanly).
+Distribution shape: samples are assigned to shards by a deterministic
+hash of the sample key (rerun-stable: the same corpus always produces
+the same shard membership), repartitioned on that assignment, sorted
+within the partition by (shard, key) and streamed member-by-member into
+one tar PER SHARD VALUE via ``mapInPandas`` — executor memory is
+bounded by one Arrow BATCH, never a whole shard. Tars are named by the
+shard value, not the partition id (hash repartitioning can co-locate
+two shard values in one partition — a partition-id name would silently
+merge them). Each task writes to an attempt-unique temp name and
+renames on close, so a killed task never leaves a half-written shard
+under the final name and concurrent speculative attempts never share a
+temp file (the final rename is atomic last-wins on identical content);
+stale ``.inprogress-*`` files from killed attempts are vacuumable.
 
 Writes land on the filesystem visible to executors (local[
 *]/NFS/fuse-mounted object store). A direct-to-S3 variant would stage
@@ -93,20 +97,43 @@ def write_webdataset(
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        tf = None
-        final = tmp = None
-        n = 0
+        # tmp names carry the task ATTEMPT id: with speculation or a
+        # retried task, two attempts of this partition may run
+        # concurrently — a shared tmp path would interleave bytes; the
+        # final os.replace is atomic last-wins on identical content
+        attempt = TaskContext.get().taskAttemptId()
+        # one tar per __shard VALUE, rolled on value change (rows arrive
+        # sorted by __shard, __key): hash repartitioning can co-locate
+        # two shard values in one partition — naming the tar by the
+        # partition id would silently MERGE those shards
+        state = {"tf": None, "tmp": None, "final": None, "sh": None, "n": 0}
+        out = {"shard": [], "samples": [], "bytes": []}
+
+        def roll():
+            if state["tf"] is None:
+                return
+            state["tf"].close()
+            os.replace(state["tmp"], state["final"])  # never a half shard
+            out["shard"].append(state["final"])
+            out["samples"].append(state["n"])
+            out["bytes"].append(os.path.getsize(state["final"]))
+            state.update(tf=None, tmp=None, final=None, sh=None, n=0)
+
         for pdf in batches:
-            if tf is None and len(pdf):
-                final = os.path.join(out_dir, f"{prefix}-{pid:05d}.tar")
-                tmp = final + ".inprogress"
-                tf = tarfile.open(tmp, "w")
             # no itertuples: namedtuple positional-renames the __-prefixed
             # columns, so attribute access would silently break
             keys = pdf["__key"].tolist()
+            shards = pdf["__shard"].tolist()
             payloads = {e: pdf[f"__m_{e}"].tolist() for e in exts}
             for i, key in enumerate(keys):
+                if shards[i] != state["sh"]:
+                    roll()
+                    state["sh"] = shards[i]
+                    state["final"] = os.path.join(
+                        out_dir, f"{prefix}-{int(shards[i]):05d}.tar"
+                    )
+                    state["tmp"] = f"{state['final']}.inprogress-{attempt}"
+                    state["tf"] = tarfile.open(state["tmp"], "w")
                 for e in exts:
                     payload = payloads[e][i]
                     if payload is None:
@@ -118,20 +145,10 @@ def write_webdataset(
                     info = tarfile.TarInfo(name=f"{key}.{e}")
                     info.size = len(payload)
                     info.mtime = 0  # bit-stable shards across reruns
-                    tf.addfile(info, io.BytesIO(payload))
-                n += 1  # noqa: SIM113 — counts samples, not loop turns
-        if tf is None:
-            yield pd.DataFrame({"shard": [], "samples": [], "bytes": []})
-            return
-        tf.close()
-        os.replace(tmp, final)  # never a half-written shard at the name
-        yield pd.DataFrame(
-            {
-                "shard": [final],
-                "samples": [n],
-                "bytes": [os.path.getsize(final)],
-            }
-        )
+                    state["tf"].addfile(info, io.BytesIO(payload))
+                state["n"] += 1
+        roll()
+        yield pd.DataFrame(out)
 
     summary = staged.mapInPandas(write, schema=WDS_WRITE_SUMMARY)
     return sorted(summary.collect(), key=lambda r: r["shard"])

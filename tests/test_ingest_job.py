@@ -116,6 +116,28 @@ def test_staged_flags_survive_partial_crash(spark, tmp_path, monkeypatch):
     ]
 
 
+def test_fully_deduped_batch_mutates_nothing(spark, tmp_path):
+    """A batch whose every doc duplicates the corpus keeps zero rows and
+    must not touch the indexes (an empty bootstrap/append is either an
+    unreadable index or pointless I/O); the job stays healthy after."""
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE, with_bm25=True,
+        ivf_dim=16,
+    )
+    job.run_batch("d1", _docs(spark, BATCH1))
+    dup_batch = [("x1", BATCH1[0][1]), ("x2", BATCH1[2][1])]
+    s = job.run_batch("d2", _docs(spark, dup_batch))
+    assert s["kept"] == 0
+    from jackfruit_spark.functions.bm25 import Bm25Index
+
+    assert Bm25Index(spark, os.path.join(job.root, "bm25")).stats()[
+        "n_docs"
+    ] == 2  # batch 1 only
+    # and a later batch with new content still ingests normally
+    s3 = job.run_batch("d3", _docs(spark, BATCH2))
+    assert s3["kept"] == 1
+
+
 def test_process_pending(spark, tmp_path):
     landing = tmp_path / "landing"
     _docs(spark, BATCH1).write.parquet(str(landing / "batch=d1"))

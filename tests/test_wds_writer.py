@@ -37,7 +37,7 @@ def test_round_trip_reader(spark, tmp_path, samples):
     )
     assert sum(s["samples"] for s in summary) == 40
     assert all(s["shard"].endswith(".tar") for s in summary)
-    assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
+    assert not [f for f in os.listdir(out) if ".inprogress" in f]
 
     back = scan_webdataset(spark, out + "/*.tar").collect()
     got = {}
@@ -75,6 +75,29 @@ def test_deterministic_and_stable_bytes(spark, tmp_path, samples):
             os.path.join(b, os.path.basename(s["shard"])), "rb"
         ) as f2:
             assert f1.read() == f2.read()  # mtime=0 + sorted members
+
+
+def test_shard_membership_matches_hash(spark, tmp_path, samples):
+    """Tars are named by the key's hash shard VALUE (not the Spark
+    partition id): hash repartitioning can co-locate two shard values
+    in one partition, and a partition-id name would silently merge
+    them."""
+    from pyspark.sql import functions as F
+
+    rows, df = samples
+    out = str(tmp_path / "wds")
+    write_webdataset(df, out, "doc_id", {"txt": "text"}, num_shards=4)
+    expected = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(4)).alias("s")
+        ).collect()
+    }
+    for r in scan_webdataset(spark, out + "/*.tar").collect():
+        shard_no = int(
+            os.path.basename(r["shard"]).split("-")[1].split(".")[0]
+        )
+        assert expected[r["sample_key"]] == shard_no, r["sample_key"]
 
 
 def test_dotted_keys_sanitized_and_null_members(spark, tmp_path):
