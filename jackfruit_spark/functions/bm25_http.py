@@ -31,7 +31,7 @@ def handle_bm25_search(
     nothing the transport's generic-500 net shouldn't catch."""
     from jackfruit_spark.grid.serving import (
         QueryTimeoutError,
-        _collect_with_deadline,
+        _run_with_deadline,
     )
 
     q = params.get("q")
@@ -43,16 +43,20 @@ def handle_bm25_search(
         return 400, {"error": "k must be an integer"}
     if k <= 0:
         return 400, {"error": "k must be > 0"}
-    try:
+
+    def run():
         # per-request refresh: an external append/rebuild+vacuum must
         # swap cleanly under a running server
         index.refresh()
         qdf = index.spark.createDataFrame(
             [("q", q)], "query_id string, query string"
         )
-        rows = _collect_with_deadline(
-            index.search(qdf, k=k).orderBy("rank"), timeout_s
-        )
+        return index.search(qdf, k=k).orderBy("rank").collect()
+
+    try:
+        # the deadline wraps plan construction too: search() collects
+        # the query terms' residues driver-side BEFORE any final collect
+        rows = _run_with_deadline(index.spark, run, timeout_s)
     except QueryTimeoutError:
         return 504, {"error": f"query exceeded {timeout_s}s deadline"}
     except Exception:  # noqa: BLE001 — never leak internals to clients

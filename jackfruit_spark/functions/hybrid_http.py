@@ -38,7 +38,7 @@ def handle_hybrid_search(
     from jackfruit_spark.functions.retrieval import hybrid_search
     from jackfruit_spark.grid.serving import (
         QueryTimeoutError,
-        _collect_with_deadline,
+        _run_with_deadline,
     )
 
     q = params.get("q")
@@ -67,7 +67,7 @@ def handle_hybrid_search(
             return 400, {"error": "hash_dim must be an integer"}
         if hash_dim <= 0:
             return 400, {"error": "hash_dim must be > 0"}
-    try:
+    def run():
         # external append/rebuild+vacuum must swap under a live server
         bm25_index.refresh()
         ivf_index.refresh()
@@ -89,16 +89,30 @@ def handle_hybrid_search(
                 ).withColumnRenamed("embedding", "query_vec"),
                 "query_id",
             )
-        rows = _collect_with_deadline(
+        return (
             hybrid_search(
                 bm25_index, ivf_index, qs, k=k, nprobe=nprobe, rrf_k=rrf_k
-            ).orderBy("rank"),
-            timeout_s,
+            )
+            .orderBy("rank")
+            .collect()
         )
+
+    try:
+        # the deadline wraps plan construction too: both legs run
+        # driver-side collects (term residues, probed cells) before the
+        # final collect ever starts
+        rows = _run_with_deadline(ivf_index.spark, run, timeout_s)
     except QueryTimeoutError:
         return 504, {"error": f"query exceeded {timeout_s}s deadline"}
     except Exception:  # noqa: BLE001 — never leak internals to clients
         return 500, {"error": "internal server error"}
+    finally:
+        # knn_join persists its exploded-query frame per call; a
+        # long-lived server would otherwise accumulate one cached frame
+        # per request (the streaming release_persisted discipline)
+        from jackfruit_spark import release_persisted
+
+        release_persisted()
     return 200, {
         "hits": [
             {

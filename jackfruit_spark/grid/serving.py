@@ -39,27 +39,30 @@ class QueryTimeoutError(TimeoutError):
     pass
 
 
-def _collect_with_deadline(df, timeout_s: float | None):
-    """Collect with the reference's execution-guard semantics
+def _run_with_deadline(spark, fn, timeout_s: float | None):
+    """Run ``fn()`` under the reference's execution-guard semantics
     (handler.go:38 18 s request deadline; main.go:48-50 ClickHouse
     max_execution_time): a timer interrupts the tagged Spark jobs at the
     deadline (spark.interruptTag — the Spark analog of a query kill), and
     a post-hoc elapsed check catches the race where the interrupt lands
-    between jobs. No timeout (None) = plain collect."""
+    between jobs. Generalized over a callable (not just a collect)
+    because several index searches run driver-side Spark jobs during
+    PLAN CONSTRUCTION (BM25's term-residue collect, knn_join's
+    probed-cell collect) — a deadline wrapping only the final collect
+    would never fire while those block. No timeout (None) = plain run."""
     if timeout_s is None:
-        return df.collect()
+        return fn()
     import threading
     import time
     import uuid as _uuid
 
-    spark = df.sparkSession
     tag = f"env-deadline-{_uuid.uuid4().hex}"
     spark.addTag(tag)
     timer = threading.Timer(timeout_s, lambda: spark.interruptTag(tag))
     timer.start()
     t0 = time.monotonic()
     try:
-        rows = df.collect()
+        rows = fn()
     except Exception as e:
         if time.monotonic() - t0 >= timeout_s:
             raise QueryTimeoutError(f"query exceeded {timeout_s}s deadline") from e
@@ -70,6 +73,11 @@ def _collect_with_deadline(df, timeout_s: float | None):
     if time.monotonic() - t0 >= timeout_s:
         raise QueryTimeoutError(f"query exceeded {timeout_s}s deadline")
     return rows
+
+
+def _collect_with_deadline(df, timeout_s: float | None):
+    """Collect under the execution guard (see ``_run_with_deadline``)."""
+    return _run_with_deadline(df.sparkSession, df.collect, timeout_s)
 
 
 @dataclass(frozen=True)

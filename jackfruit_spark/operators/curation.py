@@ -1481,7 +1481,10 @@ def pack_token_ids(
     order into one token stream, split every ``seq_len`` tokens.
     ``drop_last=True`` keeps only full sequences (the usual pretraining
     choice); ``drop_last=False`` pads the final partial sequence with
-    ``pad_id``. Deterministic: same inputs -> byte-identical sequences.
+    ``pad_id``. Deterministic: same inputs -> byte-identical sequences
+    (``order_col`` ties break on a hash of the token array, so docs
+    sharing an order value land in a fixed order too; use a unique key —
+    the doc id — as ``order_col`` for a fully specified stream).
 
     Scale shape — never one row per token: a cumulative window gives
     each doc its global start offset, each doc explodes to only the
@@ -1514,7 +1517,9 @@ def pack_token_ids(
     )
     w = (
         Window.partitionBy("__src")
-        .orderBy("__ord")
+        # hash tie-break: duplicate __ord values would otherwise get
+        # sort-order-dependent offsets (nondeterministic stream)
+        .orderBy("__ord", F.xxhash64("__toks"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     d = d.withColumn(

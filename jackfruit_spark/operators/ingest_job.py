@@ -296,17 +296,27 @@ class CorpusIngestJob:
         import shutil
 
         report: dict = {}
+        corpus_dir = os.path.join(self.root, "corpus")
         for s in self.stats():
             bid = s["batch_id"]
-            final = os.path.join(self.root, "corpus", f"batch={bid}")
+            final = os.path.join(corpus_dir, f"batch={bid}")
+            # trash/aside are DOT-prefixed inside corpus/: Spark's file
+            # listing ignores hidden paths, so a crash mid-swap never
+            # surfaces a duplicate partition to corpus() readers
+            aside = os.path.join(corpus_dir, f".compact-{bid}")
+            trash = os.path.join(corpus_dir, f".trash-{bid}")
+            # crash repair from a previous compact run, in swap order:
+            if os.path.isdir(trash) and not os.path.isdir(final):
+                # died between rename(final->trash) and rename(aside->
+                # final): restore the original and redo from scratch
+                os.rename(trash, final)
+            shutil.rmtree(trash, ignore_errors=True)
+            shutil.rmtree(aside, ignore_errors=True)
             if not os.path.isdir(final):
                 continue
             parts = [f for f in os.listdir(final) if f.endswith(".parquet")]
             if len(parts) <= target_files:
                 continue
-            aside = os.path.join(self.root, "corpus", f".compact-{bid}")
-            trash = final + ".old"
-            shutil.rmtree(aside, ignore_errors=True)
             self.spark.read.parquet(final).coalesce(target_files).write.mode(
                 "overwrite"
             ).parquet(aside)
@@ -324,7 +334,10 @@ class CorpusIngestJob:
         LSH signatures; rebuild+vacuum the dense index when imbalanced
         (its own measured policy); BM25 untouched (rebuild() is the
         explicit knob when a re-append window was actually hit)."""
-        report: dict = {"lsh": self._lsh().maintain()}
+        report: dict = {}
+        lsh = self._lsh()
+        if os.path.exists(lsh.manifest_path):  # nothing ingested yet
+            report["lsh"] = lsh.maintain()
         ivf_root = os.path.join(self.root, "ivf")
         if self.ivf_dim is not None and os.path.isdir(ivf_root):
             from jackfruit_spark.functions.ivf_store import IvfIndex

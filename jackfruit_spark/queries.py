@@ -817,7 +817,10 @@ def token_packing(spark, sf_dir):
     from jackfruit_spark.operators.curation import pack_token_ids
 
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
+    # blank-text gate: split(trim('')) is [''] not [] — an ungated blank
+    # doc would inject one crc32('') token and shift every later
+    # sequence boundary in its source (CLAUDE.md round-8 rule)
+    toks = d.filter(F.length(F.trim("text")) > 0).select(
         "lang",
         "doc_id",
         F.expr(

@@ -126,6 +126,16 @@ def write_webdataset(
             shards = pdf["__shard"].tolist()
             payloads = {e: pdf[f"__m_{e}"].tolist() for e in exts}
             for i, key in enumerate(keys):
+                # duplicate sample keys (input dups, or distinct keys
+                # collapsed by the dot sanitization: 'a.b' and 'a_b')
+                # would silently merge samples in the reader; they hash
+                # to the same shard and sort adjacent, so one comparison
+                # catches every case
+                if key == state.get("last_key") and shards[i] == state["sh"]:
+                    raise ValueError(
+                        f"duplicate sample key {key!r} after sanitization"
+                    )
+                state["last_key"] = key
                 if shards[i] != state["sh"]:
                     roll()
                     state["sh"] = shards[i]

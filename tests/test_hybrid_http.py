@@ -84,6 +84,20 @@ def test_validation_envelope(served):
     assert status == 404
 
 
+def test_request_releases_persisted_frames(served):
+    """knn_join persists per call; a long-lived server must not
+    accumulate one cached frame per request (code-review r8)."""
+    from jackfruit_spark import _persist
+
+    base, _, _ = served
+    for _ in range(3):
+        status, _ = _get(
+            f"{base}/v1/hybrid/search?q=quick+fox&hash_dim=64&k=2&nprobe=2"
+        )
+        assert status == 200
+    assert _persist._TRACKED == []
+
+
 def test_explicit_vec_leg(served, spark):
     base, bm25, ivf = served
     from jackfruit_spark.functions.featurize import hashed_embedding

@@ -187,6 +187,30 @@ def test_validation_and_maintain(spark, tmp_path):
     assert "lsh" in report and "ivf" in report
 
 
+def test_maintain_before_first_batch_is_empty(spark, tmp_path):
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE, ivf_dim=16
+    )
+    assert job.maintain() == {}  # no index yet: no FileNotFoundError
+
+
+def test_compact_crash_repair(spark, tmp_path):
+    """Simulated crash between the two renames (final moved to trash,
+    new layout never moved in): the next compact restores the batch —
+    corpus() must never silently lose a done batch's rows."""
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE
+    )
+    job.run_batch("d1", _docs(spark, BATCH1))
+    before = sorted(map(tuple, job.corpus().collect()))
+    final = os.path.join(job.root, "corpus", "batch=d1")
+    os.rename(final, os.path.join(job.root, "corpus", ".trash-d1"))
+    # hidden trash dir: readers see the batch missing, not duplicated
+    job.compact(target_files=1)
+    assert sorted(map(tuple, job.corpus().collect())) == before
+    assert not os.path.isdir(os.path.join(job.root, "corpus", ".trash-d1"))
+
+
 def test_compact(spark, tmp_path):
     job = CorpusIngestJob(
         spark, str(tmp_path / "job"), curate_kwargs=CURATE

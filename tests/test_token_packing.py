@@ -101,6 +101,27 @@ class TestPackTokenIds:
         # chunk aggregate: exactly one shuffle
         assert p.count("Exchange") == 1, p
 
+    def test_duplicate_order_values_are_deterministic(self, spark):
+        """Ties on order_col break on a hash of the token array — two
+        docs sharing an order value must land in ONE fixed stream order
+        across reruns (code-review r8: a bare rows-window on a
+        duplicated key gets sort-order-dependent offsets)."""
+        rows = [("s", 7, [1, 2, 3]), ("s", 7, [9, 8]), ("s", 7, [5])]
+        df = spark.createDataFrame(
+            rows, "src string, doc_id long, toks array<int>"
+        )
+        runs = {
+            tuple(
+                tuple(r["input_ids"])
+                for r in pack_token_ids(
+                    df.repartition(p), "toks", 3, order_col="doc_id",
+                    source_col="src", drop_last=False, pad_id=0,
+                ).orderBy("chunk_id").collect()
+            )
+            for p in (1, 4, 8)  # vary physical layout, not content
+        }
+        assert len(runs) == 1  # identical stream regardless of layout
+
     def test_validation(self, spark):
         df = _docs(spark, [3])
         with pytest.raises(ValueError, match="seq_len"):

@@ -197,6 +197,20 @@ def test_cli_curate_webdataset_output(spark, tmp_path, capsys):
     assert back.count() == got["curated"]
 
 
+def test_duplicate_keys_after_sanitization_raise(spark, tmp_path):
+    """'a.b' and 'a_b' sanitize to the same member basename — the
+    reader would silently merge the two samples; the writer must raise
+    instead (they hash to one shard and sort adjacent)."""
+    df = spark.createDataFrame(
+        [("a.b", "one"), ("a_b", "two")], "doc_id string, text string"
+    )
+    with pytest.raises(Exception, match="duplicate sample key"):
+        write_webdataset(
+            df, str(tmp_path / "wds"), "doc_id", {"txt": "text"},
+            num_shards=2,
+        )
+
+
 def test_validation(spark, samples):
     _, df = samples
     with pytest.raises(ValueError, match="at least one"):
