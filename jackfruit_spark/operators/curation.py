@@ -1471,6 +1471,7 @@ def pack_token_ids(
     source_col: str | None = None,
     drop_last: bool = True,
     pad_id: int | None = None,
+    sep_id: int | None = None,
 ) -> DataFrame:
     """Materialized GPT-style packing: emit the ACTUAL fixed-length
     training sequences (``input_ids``), not just chunk accounting
@@ -1481,7 +1482,11 @@ def pack_token_ids(
     order into one token stream, split every ``seq_len`` tokens.
     ``drop_last=True`` keeps only full sequences (the usual pretraining
     choice); ``drop_last=False`` pads the final partial sequence with
-    ``pad_id``. Deterministic: same inputs -> byte-identical sequences
+    ``pad_id``. ``sep_id`` appends a document separator (the GPT-style
+    EOS between packed docs) to every document BEFORE chunking, so
+    sequence boundaries count it like any token — the attention mask /
+    doc-boundary reconstruction downstream needs exactly this layout.
+    Deterministic: same inputs -> byte-identical sequences
     (``order_col`` ties break on a hash of the token array, so docs
     sharing an order value land in a fixed order too; use a unique key —
     the doc id — as ``order_col`` for a fully specified stream).
@@ -1505,14 +1510,22 @@ def pack_token_ids(
     if not drop_last and pad_id is None:
         raise ValueError("drop_last=False requires pad_id")
     src = (F.col(source_col) if source_col else F.lit("all")).alias("__src")
+    toks = F.col(tokens_col)
+    if sep_id is not None:
+        elem = df.schema[tokens_col].dataType.elementType.simpleString()
+        toks = F.concat(toks, F.array(F.lit(sep_id).cast(elem)))
     d = (
         df.select(
             src,
             F.col(order_col).alias("__ord"),
-            F.col(tokens_col).alias("__toks"),
-            F.size(F.col(tokens_col)).alias("__n"),
+            toks.alias("__toks"),
+            # gate on the ORIGINAL tokens: an empty doc must not emit a
+            # lone separator into the stream
+            F.size(F.col(tokens_col)).alias("__n0"),
         )
-        .filter(F.col("__n") > 0)
+        .filter(F.col("__n0") > 0)
+        .drop("__n0")
+        .withColumn("__n", F.size("__toks"))
         .repartition("__src")
     )
     w = (

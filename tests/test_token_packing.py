@@ -101,6 +101,22 @@ class TestPackTokenIds:
         # chunk aggregate: exactly one shuffle
         assert p.count("Exchange") == 1, p
 
+    def test_sep_id_between_docs(self, spark):
+        """sep_id appends EOS to every doc before chunking — boundaries
+        count it like any token; empty docs emit no lone separator."""
+        rows = [("s", 0, [1, 2, 3]), ("s", 1, []), ("s", 2, [4, 5])]
+        df = spark.createDataFrame(
+            rows, "src string, doc_id long, toks array<int>"
+        )
+        out = pack_token_ids(
+            df, "toks", 4, order_col="doc_id", source_col="src",
+            drop_last=False, pad_id=0, sep_id=-9,
+        ).orderBy("chunk_id").collect()
+        # stream: 1 2 3 -9 | 4 5 -9 (doc 1 empty: no separator)
+        assert [r["input_ids"] for r in out] == [
+            [1, 2, 3, -9], [4, 5, -9, 0]
+        ]
+
     def test_duplicate_order_values_are_deterministic(self, spark):
         """Ties on order_col break on a hash of the token array — two
         docs sharing an order value must land in ONE fixed stream order
