@@ -1509,11 +1509,25 @@ def pack_token_ids(
         raise ValueError(f"seq_len must be > 0, got {seq_len}")
     if not drop_last and pad_id is None:
         raise ValueError("drop_last=False requires pad_id")
+    # one element-type resolution shared by the sep and pad literals
+    elem_dt = df.schema[tokens_col].dataType.elementType.simpleString()
+    # validate injected ids fit the element type at CALL time: under
+    # ANSI (Spark 4 default) an overflowing cast throws deep in job
+    # execution; with ANSI off it silently wraps to a DIFFERENT token id
+    bounds = {
+        "tinyint": 7, "smallint": 15, "int": 31, "bigint": 63
+    }.get(elem_dt)
+    for name, val in (("sep_id", sep_id), ("pad_id", pad_id)):
+        if val is not None and bounds is not None and not (
+            -(1 << bounds) <= int(val) < (1 << bounds)
+        ):
+            raise ValueError(
+                f"{name}={val} does not fit token element type {elem_dt}"
+            )
     src = (F.col(source_col) if source_col else F.lit("all")).alias("__src")
     toks = F.col(tokens_col)
     if sep_id is not None:
-        elem = df.schema[tokens_col].dataType.elementType.simpleString()
-        toks = F.concat(toks, F.array(F.lit(sep_id).cast(elem)))
+        toks = F.concat(toks, F.array(F.lit(sep_id).cast(elem_dt)))
     d = (
         df.select(
             src,
@@ -1582,7 +1596,6 @@ def pack_token_ids(
     else:
         # pad in the SAME element type as the tokens column (the op is
         # element-type generic; an int literal would fight an array<long>)
-        elem_dt = df.schema[tokens_col].dataType.elementType.simpleString()
         fill = F.array_repeat(
             F.lit(pad_id).cast(elem_dt), seq_len - F.size("input_ids")
         )

@@ -22,10 +22,12 @@ def _docs(spark, lens, source="s"):
     )
 
 
-def _py_pack(lens, seq_len):
+def _py_pack(lens, seq_len, sep=None):
     stream = []
     for i, n in enumerate(lens):
         stream.extend(range(i * 1000, i * 1000 + n))
+        if sep is not None and n > 0:
+            stream.append(sep)
     return [
         stream[o : o + seq_len] for o in range(0, len(stream), seq_len)
     ]
@@ -116,6 +118,39 @@ class TestPackTokenIds:
         assert [r["input_ids"] for r in out] == [
             [1, 2, 3, -9], [4, 5, -9, 0]
         ]
+
+    def test_sep_id_straddles_boundaries_vs_python(self, spark):
+        """Separators that cross a sequence boundary (sep becomes the
+        FIRST token of the next chunk) must match the python reference,
+        under both drop_last modes."""
+        lens = [4, 7, 2, 13, 1]  # doc0's sep = first token of chunk 1
+        df = _docs(spark, lens)
+        ref = _py_pack(lens, 4, sep=-9)
+        got_drop = pack_token_ids(
+            df, "toks", 4, order_col="doc_id", source_col="src",
+            sep_id=-9,
+        ).orderBy("chunk_id").collect()
+        assert [r["input_ids"] for r in got_drop] == [
+            c for c in ref if len(c) == 4
+        ]
+        got_pad = pack_token_ids(
+            df, "toks", 4, order_col="doc_id", source_col="src",
+            drop_last=False, pad_id=0, sep_id=-9,
+        ).orderBy("chunk_id").collect()
+        assert [r["input_ids"] for r in got_pad] == [
+            c + [0] * (4 - len(c)) for c in ref
+        ]
+
+    def test_injected_id_overflow_raises_at_call_time(self, spark):
+        df = spark.createDataFrame(
+            [("s", 0, [1, 2])], "src string, doc_id long, toks array<smallint>"
+        )
+        with pytest.raises(ValueError, match="sep_id.*smallint"):
+            pack_token_ids(df, "toks", 4, order_col="doc_id",
+                           sep_id=50256)
+        with pytest.raises(ValueError, match="pad_id.*smallint"):
+            pack_token_ids(df, "toks", 4, order_col="doc_id",
+                           drop_last=False, pad_id=40000)
 
     def test_duplicate_order_values_are_deterministic(self, spark):
         """Ties on order_col break on a hash of the token array — two
