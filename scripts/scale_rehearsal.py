@@ -471,6 +471,58 @@ def main() -> None:
                 print(f"bm25@x{m}: {e}"[:200], file=sys.stderr)
             print(f"done bm25_search@x{m}", file=sys.stderr)
 
+    if "hybrid_search" not in skip:
+        # The fusion claim: RRF itself is candidate-scale (|Q| x k_each
+        # rows), so a FIXED 20-query fused batch's growth must track the
+        # two LEGS' own growth (bm25_search + the pruned knn_join), with
+        # no super-linear fusion stage on top. Index builds per mult are
+        # untimed prep (their growth is benched by their own keys).
+        from bench import bm25_bench_queries
+        from jackfruit_spark.functions.bm25 import Bm25Index
+        from jackfruit_spark.functions.featurize import hashed_embedding
+        from jackfruit_spark.functions.ivf_store import IvfIndex
+        from jackfruit_spark.functions.retrieval import hybrid_search
+
+        results["hybrid_search"] = {}
+        for m in mults:
+            sf = os.path.join(args.root, f"mult{m}{suffix}")
+            try:
+                d = Q.load(spark, sf, "documents")
+                emb = hashed_embedding(d, "doc_id", "text", dim=64,
+                                       idf=False)
+                bm25 = Bm25Index.build(
+                    d, "doc_id", "text", os.path.join(sf, "hy_bm25")
+                )
+                # C grows with the corpus at fixed nprobe (the measured
+                # linear-pairs law)
+                ivf = IvfIndex.build(
+                    emb, "doc_id", "embedding", os.path.join(sf, "hy_ivf"),
+                    k=32 * m, sample_fraction=1.0, seed=42,
+                )
+                qtext = bm25_bench_queries(
+                    d.filter(F.col("doc_id") < DOCS_BASE)
+                )
+                qs = qtext.join(
+                    hashed_embedding(qtext, "query_id", "query", dim=64,
+                                     idf=False)
+                    .withColumnRenamed("embedding", "query_vec"),
+                    "query_id",
+                )
+                best = float("inf")
+                for _ in range(args.repeats + (1 if m == mults[0] else 0)):
+                    t0 = time.perf_counter()
+                    hybrid_search(
+                        bm25, ivf, qs, k=10, nprobe=8
+                    ).write.format("noop").mode("overwrite").save()
+                    best = min(best, round(time.perf_counter() - t0, 3))
+                    release_persisted()
+                    spark.catalog.clearCache()
+                results["hybrid_search"][m] = best
+            except Exception as e:  # noqa: BLE001
+                results["hybrid_search"][m] = None
+                print(f"hybrid@x{m}: {e}"[:200], file=sys.stderr)
+            print(f"done hybrid_search@x{m}", file=sys.stderr)
+
     out = {
         name: {
             "t": {f"x{m}": t for m, t in pts.items()},
