@@ -30,7 +30,12 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rrf_fuse", "hybrid_search", "mine_hard_negatives"]
+__all__ = [
+    "rrf_fuse",
+    "hybrid_search",
+    "mine_hard_negatives",
+    "eval_retrieval",
+]
 
 
 def rrf_fuse(
@@ -280,4 +285,96 @@ def mine_hard_negatives(
         neg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n)
         .select("query_id", "id", "cosine_sim", "rank")
+    )
+
+
+def eval_retrieval(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "id",
+    rank_col: str = "rank",
+    rel_col: str | None = None,
+) -> DataFrame:
+    """Standard retrieval metrics per query — the measurement loop every
+    index change needs (TREC-style): ``recall_at_k``, ``rr`` (reciprocal
+    rank of the first relevant hit; mean over queries = MRR), and
+    ``ndcg_at_k`` (graded when ``rel_col`` names a relevance column in
+    ``qrels``; binary otherwise). ``recall_at_k`` is the CAPPED form
+    (BEIR-style: hits / min(n_relevant, k)) so a query with more
+    relevant docs than k can still score 1.0 on a perfect run.
+
+    ``run``: ranked results (query, id, rank) — any search output here
+    (Bm25Index.search, a windowed knn_join, hybrid_search). ``qrels``:
+    (query, id[, rel>0]) ground truth. Every query present in qrels is
+    scored; one with no retrieved relevant rows scores zeros (dropping
+    it would inflate the averages). Queries in ``run`` but absent from
+    qrels are ignored, per TREC convention.
+
+    Shape: run is candidate-scale (|Q| x k) and qrels is label-scale —
+    one broadcast-friendly equi-join + one groupBy each; the ideal-DCG
+    side ranks each query's labels with a window over the qrels frame
+    only. No corpus is touched.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    rel = (
+        F.col(rel_col).cast("double")
+        if rel_col
+        else F.lit(1.0)
+    )
+    labels = qrels.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        rel.alias("__rel"),
+    ).filter(F.col("__rel") > 0)
+    hits = (
+        run.filter(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("__q"),
+            F.col(id_col).alias("__id"),
+            F.col(rank_col).cast("int").alias("__r"),
+        )
+        .join(labels, ["__q", "__id"])
+    )
+    got = hits.groupBy("__q").agg(
+        F.count(F.lit(1)).alias("__hits"),
+        (F.lit(1.0) / F.min("__r")).alias("__rr"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("__rel")) - 1.0)
+            / F.log2(F.col("__r") + 1.0)
+        ).alias("__dcg"),
+    )
+    # ideal DCG: each query's labels sorted by grade desc, top-k
+    w = Window.partitionBy("__q").orderBy(
+        F.col("__rel").desc(), F.col("__id").asc()
+    )
+    ideal = (
+        labels.withColumn("__ir", F.row_number().over(w))
+        .filter(F.col("__ir") <= k)
+        .groupBy("__q")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("__rel")) - 1.0)
+                / F.log2(F.col("__ir") + 1.0)
+            ).alias("__idcg"),
+            F.count(F.lit(1)).alias("__ideal_k"),
+        )
+    )
+    totals = labels.groupBy("__q").agg(F.count(F.lit(1)).alias("__n_rel"))
+    return (
+        totals.join(ideal, "__q")
+        .join(got, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            (
+                F.coalesce(F.col("__hits"), F.lit(0))
+                / F.least(F.col("__n_rel"), F.lit(k))
+            ).alias("recall_at_k"),
+            F.coalesce(F.col("__rr"), F.lit(0.0)).alias("rr"),
+            (
+                F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.col("__idcg")
+            ).alias("ndcg_at_k"),
+        )
     )

@@ -208,6 +208,99 @@ class TestHybridSearch:
         assert a == b
 
 
+class TestEvalRetrieval:
+    def _frames(self, spark):
+        run = spark.createDataFrame(
+            [
+                ("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+                ("q2", "x", 1), ("q2", "y", 2),
+                # q3 retrieved nothing relevant
+                ("q3", "zz", 1),
+            ],
+            "query_id string, id string, rank int",
+        )
+        qrels = spark.createDataFrame(
+            [
+                ("q1", "b", 1), ("q1", "d", 1),      # 1 of 2 found (rank 2)
+                ("q2", "x", 2), ("q2", "y", 1),      # graded, both found
+                ("q3", "m", 1),                       # miss
+                ("q4", "n", 1),                       # query absent from run
+            ],
+            "query_id string, id string, rel int",
+        )
+        return run, qrels
+
+    def test_binary_metrics_vs_python(self, spark):
+        import math
+
+        from jackfruit_spark.functions.retrieval import eval_retrieval
+
+        run, qrels = self._frames(spark)
+        out = {
+            r["query_id"]: r
+            for r in eval_retrieval(run, qrels, k=3).collect()
+        }
+        assert set(out) == {"q1", "q2", "q3", "q4"}
+        # q1: hit 'b' at rank 2 of 2 relevant -> recall .5, rr .5,
+        # dcg = 1/log2(3), idcg = 1 + 1/log2(3)
+        assert abs(out["q1"]["recall_at_k"] - 0.5) < 1e-12
+        assert abs(out["q1"]["rr"] - 0.5) < 1e-12
+        exp = (1 / math.log2(3)) / (1 + 1 / math.log2(3))
+        assert abs(out["q1"]["ndcg_at_k"] - exp) < 1e-12
+        # q2 binary: both found at 1,2 = perfect
+        assert out["q2"]["recall_at_k"] == 1.0
+        assert out["q2"]["rr"] == 1.0
+        assert abs(out["q2"]["ndcg_at_k"] - 1.0) < 1e-12
+        # q3 miss and q4 never retrieved: zeros, present in output
+        for q in ("q3", "q4"):
+            assert (out[q]["recall_at_k"], out[q]["rr"],
+                    out[q]["ndcg_at_k"]) == (0.0, 0.0, 0.0)
+
+    def test_graded_ndcg(self, spark):
+        import math
+
+        from jackfruit_spark.functions.retrieval import eval_retrieval
+
+        run, qrels = self._frames(spark)
+        out = {
+            r["query_id"]: r
+            for r in eval_retrieval(run, qrels, k=3, rel_col="rel").collect()
+        }
+        # q2 graded: x(rel2)@1, y(rel1)@2; ideal = x@1, y@2 -> ndcg 1
+        assert abs(out["q2"]["ndcg_at_k"] - 1.0) < 1e-12
+        # flip the run order and ndcg drops below 1 by the exact ratio
+        flipped = spark.createDataFrame(
+            [("q2", "y", 1), ("q2", "x", 2)],
+            "query_id string, id string, rank int",
+        )
+        got = {
+            r["query_id"]: r
+            for r in eval_retrieval(
+                flipped, qrels, k=3, rel_col="rel"
+            ).collect()
+        }
+        dcg = 1.0 / math.log2(2) + 3.0 / math.log2(3)
+        idcg = 3.0 / math.log2(2) + 1.0 / math.log2(3)
+        assert abs(got["q2"]["ndcg_at_k"] - dcg / idcg) < 1e-12
+
+    def test_capped_recall_and_k_cut(self, spark):
+        from jackfruit_spark.functions.retrieval import eval_retrieval
+
+        run = spark.createDataFrame(
+            [("q", c, i + 1) for i, c in enumerate("abcde")],
+            "query_id string, id string, rank int",
+        )
+        qrels = spark.createDataFrame(
+            [("q", c, 1) for c in "abcd"],
+            "query_id string, id string, rel int",
+        )
+        out = eval_retrieval(run, qrels, k=2).collect()[0]
+        # 2 hits in the top-2, 4 relevant total: capped recall = 2/2
+        assert out["recall_at_k"] == 1.0
+        with pytest.raises(ValueError, match="k must"):
+            eval_retrieval(run, qrels, k=0)
+
+
 @pytest.fixture(scope="module")
 def neg_ivf(spark, tmp_path_factory):
     """Tiny controlled-geometry index: unit vectors in the plane at
