@@ -788,6 +788,40 @@ def cmd_ann_serve(args) -> int:
     return 0
 
 
+def cmd_eval_retrieval(args) -> int:
+    """Score a retrieval run against TREC-style qrels
+    (functions/retrieval.eval_retrieval): writes per-query metrics
+    parquet and prints one JSON line of the means (recall@k, MRR,
+    nDCG@k)."""
+    spark = _spark(args.cpus)
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.functions.retrieval import eval_retrieval
+
+    out = eval_retrieval(
+        spark.read.parquet(args.run),
+        spark.read.parquet(args.qrels),
+        k=args.k,
+        rel_col=args.rel_col,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    m = spark.read.parquet(args.output).agg(
+        F.avg("recall_at_k").alias("recall"),
+        F.avg("rr").alias("mrr"),
+        F.avg("ndcg_at_k").alias("ndcg"),
+        F.count(F.lit(1)).alias("queries"),
+    ).collect()[0]
+    print(json.dumps({
+        "k": args.k,
+        "queries": m["queries"],
+        "recall_at_k": round(m["recall"], 6),
+        "mrr": round(m["mrr"], 6),
+        "ndcg_at_k": round(m["ndcg"], 6),
+        "output": args.output,
+    }))
+    return 0
+
+
 def cmd_hybrid_serve(args) -> int:
     """HTTP listener over a BM25 + IVF index pair
     (functions/hybrid_http.py): GET /health + GET /v1/hybrid/search —
@@ -1340,6 +1374,22 @@ def build_parser() -> argparse.ArgumentParser:
                     help="per-request deadline seconds (504 past it)")
     asv.add_argument("--cpus", default=None)
     asv.set_defaults(fn=cmd_ann_serve)
+
+    ev = sub.add_parser(
+        "eval-retrieval",
+        help="score a retrieval run vs qrels: recall@k / MRR / nDCG@k",
+    )
+    ev.add_argument("--run", required=True,
+                    help="parquet with (query_id, id, rank)")
+    ev.add_argument("--qrels", required=True,
+                    help="parquet with (query_id, id[, rel])")
+    ev.add_argument("--output", required=True,
+                    help="per-query metrics parquet")
+    ev.add_argument("--k", type=int, default=10)
+    ev.add_argument("--rel-col", default=None,
+                    help="graded-relevance column in --qrels")
+    ev.add_argument("--cpus", default=None)
+    ev.set_defaults(fn=cmd_eval_retrieval)
 
     hsv = sub.add_parser(
         "hybrid-serve", help="HTTP listener over a BM25 + IVF index pair"

@@ -315,7 +315,9 @@ def eval_retrieval(
     Shape: run is candidate-scale (|Q| x k) and qrels is label-scale —
     one broadcast-friendly equi-join + one groupBy each; the ideal-DCG
     side ranks each query's labels with a window over the qrels frame
-    only. No corpus is touched.
+    only. No corpus is touched. Both frames must be unique per
+    (query, id) — the TREC qrels/run contract; a duplicated label row
+    would double-count its hit.
     """
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")

@@ -283,6 +283,49 @@ class TestEvalRetrieval:
         idcg = 3.0 / math.log2(2) + 1.0 / math.log2(3)
         assert abs(got["q2"]["ndcg_at_k"] - dcg / idcg) < 1e-12
 
+    def test_cli_eval_retrieval(self, spark, tmp_path, capsys):
+        import json
+
+        from jackfruit_spark.__main__ import main
+
+        run, qrels = self._frames(spark)
+        rsrc, qsrc = str(tmp_path / "run"), str(tmp_path / "qrels")
+        run.write.parquet(rsrc)
+        qrels.write.parquet(qsrc)
+        out = str(tmp_path / "metrics")
+        rc = main([
+            "eval-retrieval", "--run", rsrc, "--qrels", qsrc,
+            "--output", out, "--k", "3", "--rel-col", "rel",
+        ])
+        assert rc == 0
+        got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert got["queries"] == 4
+        # q2 perfect (1.0), q1 partial, q3/q4 zero -> MRR = (0.5+1)/4
+        assert abs(got["mrr"] - 0.375) < 1e-6
+        assert spark.read.parquet(out).count() == 4
+
+    def test_three_leg_fusion(self, spark):
+        """rrf_fuse is n-ary, not a 2-leg special case: three legs
+        against the python reference with distinct weights."""
+        legs = [
+            [("q", "a", 1), ("q", "b", 2)],
+            [("q", "b", 1), ("q", "c", 2)],
+            [("q", "c", 1), ("q", "a", 2), ("q", "d", 3)],
+        ]
+        weights = [1.0, 2.0, 0.5]
+        out = rrf_fuse(
+            [_leg(spark, rows) for rows in legs],
+            k=10, rrf_k=60, weights=weights,
+        ).collect()
+        ref = _py_rrf(legs, weights, 60)
+        got = {(r["query_id"], r["id"]): round(r["rrf_score"] * 1e6)
+               for r in out}
+        assert got == ref
+        # per-leg provenance columns exist for all three legs
+        assert {"leg0_rank", "leg1_rank", "leg2_rank"} <= set(
+            out[0].asDict()
+        )
+
     def test_capped_recall_and_k_cut(self, spark):
         from jackfruit_spark.functions.retrieval import eval_retrieval
 
