@@ -176,6 +176,57 @@ def test_cli_ingest_corpus(spark, tmp_path, capsys):
     assert got["applied"] == [] and len(got["ledger"]) == 2
 
 
+def test_lifecycle_ingest_to_hybrid_to_eval(spark, tmp_path):
+    """The full retrieval lifecycle over the job's own artifacts:
+    ingest two batches (indexes kept in lockstep) -> hybrid search over
+    the job's BM25 + IVF roots -> score the run against hand labels.
+    The pieces are each tested alone; this pins that they COMPOSE —
+    same ids, same embedding space, same manifests."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.functions.bm25 import Bm25Index
+    from jackfruit_spark.functions.featurize import hashed_embedding
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+    from jackfruit_spark.functions.retrieval import (
+        eval_retrieval,
+        hybrid_search,
+    )
+
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE,
+        with_bm25=True, ivf_dim=64, ivf_cell_docs=2,
+    )
+    job.run_batch("d1", _docs(spark, BATCH1))
+    job.run_batch("d2", _docs(spark, BATCH2))
+
+    bm25 = Bm25Index(spark, _os.path.join(job.root, "bm25"))
+    ivf = IvfIndex(spark, _os.path.join(job.root, "ivf"))
+    qdf = spark.createDataFrame(
+        [("q1", "quick brown fox river"),
+         ("q2", "harvest cold weather valley")],
+        "query_id string, query string",
+    )
+    qs = qdf.join(
+        hashed_embedding(qdf, "query_id", "query", dim=64, idf=False)
+        .withColumnRenamed("embedding", "query_vec"),
+        "query_id",
+    )
+    run = hybrid_search(bm25, ivf, qs, k=2, nprobe=4)
+    qrels = spark.createDataFrame(
+        [("q1", "a1", 1), ("q2", "b2", 1)],
+        "query_id string, id string, rel int",
+    )
+    m = {
+        r["query_id"]: r
+        for r in eval_retrieval(run, qrels, k=2).collect()
+    }
+    # both on-topic docs retrieved at rank 1 from the job's own indexes
+    assert m["q1"]["rr"] == 1.0 and m["q2"]["rr"] == 1.0
+    assert m["q1"]["recall_at_k"] == 1.0 and m["q2"]["recall_at_k"] == 1.0
+
+
 def test_validation_and_maintain(spark, tmp_path):
     job = CorpusIngestJob(
         spark, str(tmp_path / "job"), curate_kwargs=CURATE, ivf_dim=16
