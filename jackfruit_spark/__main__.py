@@ -811,6 +811,18 @@ def cmd_eval_retrieval(args) -> int:
         F.avg("ndcg_at_k").alias("ndcg"),
         F.count(F.lit(1)).alias("queries"),
     ).collect()[0]
+    if m["queries"] == 0:
+        # empty qrels → F.avg yields NULL; round(None) would raise.
+        # Report the empty result explicitly instead (ADVICE r8).
+        print(json.dumps({
+            "k": args.k,
+            "queries": 0,
+            "recall_at_k": 0.0,
+            "mrr": 0.0,
+            "ndcg_at_k": 0.0,
+            "output": args.output,
+        }))
+        return 0
     print(json.dumps({
         "k": args.k,
         "queries": m["queries"],

@@ -67,6 +67,22 @@ def handle_hybrid_search(
             return 400, {"error": "hash_dim must be an integer"}
         if hash_dim <= 0:
             return 400, {"error": "hash_dim must be > 0"}
+    # dim mismatch is a CLIENT error (ADVICE r8): check against the
+    # index before the kernel turns it into a generic 500. Refresh
+    # first so the check reads the post-rebuild manifest.
+    try:
+        ivf_index.refresh()
+        index_dim = len(ivf_index.centroids[0])
+    except Exception:  # noqa: BLE001 — manifest trouble is a server error
+        return 500, {"error": "internal server error"}
+    query_dim = len(qv) if vec is not None else hash_dim
+    if query_dim != index_dim:
+        return 400, {
+            "error": (
+                f"query vector has {query_dim} dims, index has {index_dim}"
+            )
+        }
+
     def run():
         # external append/rebuild+vacuum must swap under a live server
         bm25_index.refresh()

@@ -226,7 +226,15 @@ class IvfIndex:
     def stats(self) -> dict:
         """Cell-size distribution of the current layout — the drift
         signal ``rebuild`` acts on. One aggregate over the partition
-        column (column-pruned scan of file footers + partition values)."""
+        column (column-pruned scan of file footers + partition values).
+
+        Self-invalidates first (ADVICE r8): appends made through ANOTHER
+        handle (streaming append_batch builds a fresh IvfIndex per batch)
+        don't touch this handle's cached reader, whose parquet file
+        listing is pinned at creation — a long-lived handle's maintain()
+        would otherwise under-detect imbalance. Same rule as
+        LshIndex.stats() / Bm25Index.stats()."""
+        self.refresh()
         rows = (
             self._data_df()
             .groupBy("ivf_cell")

@@ -254,11 +254,23 @@ class CorpusIngestJob:
     def process_pending(self, landing_root: str) -> list[dict]:
         """Run every ``batch=<id>`` directory under ``landing_root``
         not yet in the ledger, in sorted (chronological-by-name) order.
-        Returns the applied batches' stats."""
+        All-digit ids sort NUMERICALLY (ADVICE r8: lexicographic order
+        would ingest batch=10 before batch=2, changing which copy wins
+        the dedup-vs-all-ingested-so-far rule); non-numeric ids (e.g.
+        date-named) keep lexicographic order, which IS chronological
+        for ISO dates. Returns the applied batches' stats."""
+
+        def _order(name: str):
+            bid = name.split("=", 1)[1]
+            # numeric ids sort before and among themselves numerically;
+            # mixed corpora fall back to the name within each class
+            return (0, int(bid), "") if bid.isdigit() else (1, 0, bid)
+
         out = []
-        for name in sorted(os.listdir(landing_root)):
-            if not name.startswith("batch="):
-                continue
+        names = [
+            n for n in os.listdir(landing_root) if n.startswith("batch=")
+        ]
+        for name in sorted(names, key=_order):
             bid = name.split("=", 1)[1]
             if os.path.exists(self._marker(bid)):
                 continue
@@ -268,13 +280,41 @@ class CorpusIngestJob:
             out.append(self.run_batch(bid, docs))
         return out
 
+    def _repair_compaction(self) -> None:
+        """Crash repair for compact()'s rename-aside swap (ADVICE r8):
+        a crash between rename(final->trash) and rename(aside->final)
+        leaves the batch partition missing until the NEXT compact run.
+        Running the same repair at corpus()/stats() entry closes that
+        window — readers restore the original instead of silently
+        losing a batch. Scans the corpus dir directly (no ledger read,
+        so stats() can call it without recursion)."""
+        import shutil
+
+        corpus_dir = os.path.join(self.root, "corpus")
+        if not os.path.isdir(corpus_dir):
+            return
+        for name in os.listdir(corpus_dir):
+            if not name.startswith(".trash-"):
+                continue
+            bid = name[len(".trash-"):]
+            final = os.path.join(corpus_dir, f"batch={bid}")
+            trash = os.path.join(corpus_dir, name)
+            if not os.path.isdir(final):
+                # died mid-swap: the trash copy IS the data — restore
+                os.rename(trash, final)
+            else:
+                # swap completed; the trash copy is stale — drop it
+                shutil.rmtree(trash, ignore_errors=True)
+
     def corpus(self) -> DataFrame:
         """The ingested corpus (all kept batches; ``batch`` surfaces as
         a partition column)."""
+        self._repair_compaction()
         return self.spark.read.parquet(os.path.join(self.root, "corpus"))
 
     def stats(self) -> list[dict]:
         """Ledger contents, sorted by batch id."""
+        self._repair_compaction()
         led = os.path.join(self.root, "ledger")
         out = []
         for name in sorted(os.listdir(led)):

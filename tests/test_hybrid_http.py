@@ -77,6 +77,9 @@ def test_validation_envelope(served):
         ("q=fox&hash_dim=64&k=x", "integers"),
         ("q=fox&vec=a,b", "floats"),
         ("q=fox&hash_dim=zz", "hash_dim"),
+        # dim mismatch is a 400, not a kernel 500 (ADVICE r8)
+        ("q=fox&hash_dim=32", "dims"),
+        ("q=fox&vec=1,2,3", "dims"),
     ):
         status, body = _get(f"{base}/v1/hybrid/search?{qstr}")
         assert status == 400 and frag in body["error"], (qstr, body)

@@ -150,6 +150,47 @@ def test_process_pending(spark, tmp_path):
     assert job.process_pending(str(landing)) == []
 
 
+def test_process_pending_numeric_order(spark, tmp_path):
+    """ADVICE r8: all-digit batch ids must ingest in NUMERIC order —
+    lexicographic would run batch=10 before batch=2, changing which
+    copy wins the dedup-vs-all-ingested-so-far rule."""
+    landing = tmp_path / "landing"
+    # batch 2 carries doc x1; batch 10 carries an exact copy under a
+    # different id. Whoever ingests FIRST wins the cross-batch dedup.
+    _docs(spark, [("x1", BATCH1[0][1])]).write.parquet(
+        str(landing / "batch=2")
+    )
+    _docs(spark, [("y1", BATCH1[0][1])]).write.parquet(
+        str(landing / "batch=10")
+    )
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE
+    )
+    applied = job.process_pending(str(landing))
+    assert [s["batch_id"] for s in applied] == ["2", "10"]
+    assert [r["doc_id"] for r in job.corpus().collect()] == ["x1"]
+
+
+def test_corpus_entry_repairs_crashed_compact(spark, tmp_path):
+    """ADVICE r8: a crash between compact()'s two renames leaves the
+    batch partition in .trash-<id>; corpus()/stats() repair it at entry
+    instead of silently losing the batch until the next compact run."""
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE
+    )
+    job.run_batch("d1", _docs(spark, BATCH1))
+    before = sorted(map(tuple, job.corpus().collect()))
+    final = os.path.join(job.root, "corpus", "batch=d1")
+    os.rename(final, os.path.join(job.root, "corpus", ".trash-d1"))
+    # no compact() call — the reader itself must repair
+    assert sorted(map(tuple, job.corpus().collect())) == before
+    assert os.path.isdir(final)
+    # stats() entry repairs too; a completed-swap leftover is dropped
+    os.makedirs(os.path.join(job.root, "corpus", ".trash-d1"))
+    assert [s["batch_id"] for s in job.stats()] == ["d1"]
+    assert not os.path.isdir(os.path.join(job.root, "corpus", ".trash-d1"))
+
+
 def test_cli_ingest_corpus(spark, tmp_path, capsys):
     from jackfruit_spark.__main__ import main
 

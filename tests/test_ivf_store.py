@@ -136,6 +136,23 @@ def test_append_assigns_with_existing_centroids(spark, tmp_path, vectors, centro
     )
 
 
+def test_stats_sees_cross_handle_appends(spark, tmp_path, vectors, centroids):
+    """ADVICE r8: stats() (and therefore maintain()) must self-invalidate
+    — appends made through ANOTHER handle (streaming append_batch builds
+    a fresh IvfIndex per batch) are invisible to a cached reader whose
+    parquet file listing was pinned at creation."""
+    df, rows = vectors
+    first = df.filter(F.col("vec_id") < 150)
+    rest = df.filter(F.col("vec_id") >= 150)
+    root = str(tmp_path / "ivf")
+    idx = IvfIndex.build(
+        first, "vec_id", "embedding", root, centroids=centroids
+    )
+    assert idx.stats()["rows"] == 150  # pins the cached reader
+    IvfIndex(spark, root).append(rest)  # a DIFFERENT handle appends
+    assert idx.stats()["rows"] == len(rows)
+
+
 def test_rebuild_is_versioned_and_atomic(spark, tmp_path, vectors, centroids):
     """ADVICE r7: rebuilding into an existing root must never let the old
     manifest point at new/partial data — data goes to a fresh versioned

@@ -304,6 +304,26 @@ class TestEvalRetrieval:
         assert abs(got["mrr"] - 0.375) < 1e-6
         assert spark.read.parquet(out).count() == 4
 
+    def test_cli_eval_retrieval_empty_qrels(self, spark, tmp_path, capsys):
+        """ADVICE r8: zero scored queries → F.avg yields NULL; the CLI
+        must print an explicit zero line, not raise on round(None)."""
+        import json
+
+        from jackfruit_spark.__main__ import main
+
+        run, qrels = self._frames(spark)
+        rsrc, qsrc = str(tmp_path / "run"), str(tmp_path / "qrels")
+        run.write.parquet(rsrc)
+        qrels.limit(0).write.parquet(qsrc)
+        out = str(tmp_path / "metrics")
+        rc = main([
+            "eval-retrieval", "--run", rsrc, "--qrels", qsrc,
+            "--output", out, "--k", "3", "--rel-col", "rel",
+        ])
+        assert rc == 0
+        got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert got["queries"] == 0 and got["mrr"] == 0.0
+
     def test_three_leg_fusion(self, spark):
         """rrf_fuse is n-ary, not a 2-leg special case: three legs
         against the python reference with distinct weights."""
