@@ -243,6 +243,7 @@ def cmd_curate(args) -> int:
             [w for w in args.badwords.split(",") if w]
             if args.badwords else None
         ),
+        gopher=args.gopher,
         paragraph_dedup=args.paragraph_dedup,
     )
     if args.output_format == "webdataset":
@@ -1119,6 +1120,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--badwords", default=None,
         help="comma-separated blocklist; implies the C4 document gate",
+    )
+    cu.add_argument(
+        "--gopher", action="store_true",
+        help="Gopher quality rules (Rae et al. 2021 App. A1.1): word "
+             "count/length, symbol/bullet/ellipsis ratios, alpha words, "
+             "required stop words",
     )
     cu.add_argument(
         "--paragraph-dedup", action="store_true",

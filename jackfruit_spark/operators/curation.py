@@ -32,6 +32,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -559,6 +561,110 @@ def c4_clean(
     return out.filter(doc_ok)
 
 
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS = ("•", "‣", "▪", "◦", "- ", "* ")
+
+
+def gopher_rule_columns(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_required_words: int = 2,
+) -> dict:
+    """The Gopher quality rules (Rae et al. 2021, Appendix A1.1) as
+    per-rule boolean columns — pure expressions, no UDF, no shuffle,
+    exactly the ``c4_clean`` discipline. Keys are rule names; a doc
+    passes Gopher iff every column is true.
+
+    Rules (keep iff): word count in [50, 100k]; mean word length in
+    [3, 10]; (#-or-ellipsis symbols)/words <= 0.1; <= 90% of lines
+    bullet-led; <= 30% of lines ellipsis-terminated; >= 80% of words
+    contain an alphabetic character; at least 2 of the 8 required
+    English stop words appear. The array lambdas read only their
+    element argument (the split is a lambda ARGUMENT, evaluated once —
+    not the shingles CollapseProject trap)."""
+    text = F.col(text_col)
+    blank = F.length(F.trim(text)) == 0
+    words = F.split(F.trim(text), r"\s+")
+    # split(trim('')) is [''] not [] — gate blanks explicitly
+    n_words = F.when(blank, F.lit(0)).otherwise(F.size(words))
+    # ANSI mode: x/0 THROWS even under a false WHEN branch (no
+    # short-circuit across expressions) — clamp every denominator
+    n_words_d = F.greatest(n_words, F.lit(1)).cast("double")
+    n_chars = F.length(F.regexp_replace(text, r"\s+", ""))
+    mean_wl = n_chars.cast("double") / n_words_d
+    n_symbols = (
+        F.regexp_count(text, F.lit(r"#"))
+        + F.regexp_count(text, F.lit(r"\.\.\."))
+        + F.regexp_count(text, F.lit("…"))
+    )
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet = lambda ln: reduce(  # noqa: E731
+        lambda a, b: a | b,
+        [F.ltrim(ln).startswith(p) for p in GOPHER_BULLETS],
+    )
+    n_bullet = F.size(F.filter(lines, bullet))
+    ellipsis = lambda ln: (  # noqa: E731
+        F.rtrim(ln).endswith("...") | F.rtrim(ln).endswith("…")
+    )
+    n_ellipsis = F.size(F.filter(lines, ellipsis))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+    lowered = F.lower(text)
+    n_required = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(lowered.rlike(rf"\b{w}\b"), 1).otherwise(0)
+            for w in GOPHER_REQUIRED_WORDS
+        ],
+    )
+    return {
+        "gopher_word_count": n_words.between(min_words, max_words),
+        "gopher_mean_word_len": ~blank
+        & mean_wl.between(min_mean_word_len, max_mean_word_len),
+        "gopher_symbol_ratio": ~blank
+        & (n_symbols.cast("double") / n_words_d <= max_symbol_ratio),
+        "gopher_bullet_lines": (
+            n_bullet.cast("double") / n_lines.cast("double")
+            <= max_bullet_ratio
+        ),
+        "gopher_ellipsis_lines": (
+            n_ellipsis.cast("double") / n_lines.cast("double")
+            <= max_ellipsis_ratio
+        ),
+        "gopher_alpha_words": ~blank
+        & (n_alpha.cast("double") / n_words_d >= min_alpha_ratio),
+        "gopher_required_words": n_required >= min_required_words,
+    }
+
+
+def gopher_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    flags: bool = False,
+    **knobs,
+) -> DataFrame:
+    """Apply the Gopher quality gate: keep documents passing every rule
+    in ``gopher_rule_columns``. ``flags=True`` returns ALL rows with the
+    per-rule booleans + ``gopher_pass`` attached instead of filtering —
+    the audit form (which rule rejects how much is the knob-tuning
+    signal at corpus scale)."""
+    rules = gopher_rule_columns(text_col, **knobs)
+    keep = reduce(lambda a, b: a & b, rules.values())
+    if flags:
+        out = df
+        for name, col in rules.items():
+            out = out.withColumn(name, col)
+        return out.withColumn("gopher_pass", keep)
+    return df.filter(keep)
+
+
 def decontaminate_retrieval(
     index,
     corpus: DataFrame,
@@ -802,6 +908,8 @@ def curate_corpus(
     decontam_k: int = 8,
     c4: bool = False,
     badwords: list[str] | None = None,
+    gopher: bool = False,
+    gopher_knobs: dict | None = None,
     paragraph_dedup: bool = False,
     paragraph_min_count: int = 2,
 ) -> DataFrame:
@@ -852,6 +960,9 @@ def curate_corpus(
     ``c4=True`` (optionally with ``badwords``) prepends the C4
     heuristic cleanup (``c4_clean``) BEFORE the gates — it rewrites
     text, so every later stage must see the cleaned form.
+    ``gopher=True`` (optionally ``gopher_knobs``) applies the Gopher
+    rule set (``gopher_clean``) right after C4 — pure expressions on
+    the same scan, no extra shuffle.
     ``paragraph_dedup=True`` adds corpus-wide keep-first paragraph
     dedup (``remove_duplicate_paragraphs``) after exact dedup, for the
     same reason the span stage sits there: exact copies must not
@@ -866,6 +977,11 @@ def curate_corpus(
 
     if c4 or badwords:
         df = c4_clean(df, text_col, badwords=badwords)
+    if gopher:
+        # after C4 (it rewrites text — Gopher must judge the kept form),
+        # before the cheap token gates purely for plan readability: all
+        # of these are codegen expressions on the same scan
+        df = gopher_clean(df, text_col, **(gopher_knobs or {}))
     toks = T.token_count(text_col)
     gates = toks.between(min_tokens, max_tokens)
     if lang is not None:

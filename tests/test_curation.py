@@ -816,3 +816,124 @@ def test_split_corpus_validation(spark):
         split_corpus(d, {"train": 0.5, "val": 0.1})
     with _pytest.raises(ValueError, match=">= 0"):
         split_corpus(d, {"train": 1.5, "val": -0.5})
+
+
+# ----------------------------------------------------------- gopher rules
+
+def _py_gopher(text: str) -> dict:
+    """Brute-force reference for gopher_rule_columns (Rae et al. 2021
+    App. A1.1) — independent implementation, compared flag-by-flag."""
+    import re
+
+    from jackfruit_spark.operators.curation import (
+        GOPHER_BULLETS,
+        GOPHER_REQUIRED_WORDS,
+    )
+
+    words = text.split()
+    n_words = len(words)
+    lines = text.split("\n")
+    n_chars = sum(len(w) for w in words)
+    n_symbols = (
+        text.count("#")
+        + len(re.findall(r"\.\.\.", text))
+        + text.count("…")
+    )
+    n_bullet = sum(
+        1 for ln in lines
+        if any(ln.lstrip().startswith(b) for b in GOPHER_BULLETS)
+    )
+    n_ellipsis = sum(
+        1 for ln in lines
+        if ln.rstrip().endswith("...") or ln.rstrip().endswith("…")
+    )
+    n_alpha = sum(1 for w in words if re.search(r"[^\W\d_]", w))
+    n_required = sum(
+        1 for w in GOPHER_REQUIRED_WORDS
+        if re.search(rf"\b{w}\b", text.lower())
+    )
+    return {
+        "gopher_word_count": 50 <= n_words <= 100_000,
+        "gopher_mean_word_len": n_words > 0
+        and 3.0 <= n_chars / n_words <= 10.0,
+        "gopher_symbol_ratio": n_words > 0
+        and n_symbols / n_words <= 0.1,
+        "gopher_bullet_lines": n_bullet / len(lines) <= 0.9,
+        "gopher_ellipsis_lines": n_ellipsis / len(lines) <= 0.3,
+        "gopher_alpha_words": n_words > 0 and n_alpha / n_words >= 0.8,
+        "gopher_required_words": n_required >= 2,
+    }
+
+
+GOPHER_DOCS = [
+    # a clean doc passing everything (needs >=50 words, stop words)
+    (1, ("the quick brown fox jumps over the lazy dog and runs to "
+         "the river bank where it sits down to rest for a while "
+         "because the day has been long and the sun is warm with "
+         "plenty of light that covers all of the valley floor and "
+         "every tree that grows beside the old stone wall there")),
+    (2, ""),                                   # blank: fails word gates
+    (3, "short doc only"),                     # too few words
+    (4, "- one\n- two\n- three\n- four"),      # bullet-dominated
+    (5, "wait...\nmore...\nhuh...\nok"),       # ellipsis-heavy lines
+    (6, " ".join(["1234567890123"] * 60)),     # non-alpha + long words
+    (7, " ".join(["##" ] * 30 + ["the", "of", "and"] * 20)),  # symbols
+    (8, " ".join(["word"] * 60)),              # no required stop words
+    # unicode bullet + unicode ellipsis + accented letters
+    (9, "• punkt eins\nzwei…\n" + " ".join(["wörter"] * 55)),
+]
+
+
+def test_gopher_rules_match_bruteforce(spark):
+    from jackfruit_spark.operators.curation import gopher_clean
+
+    df = _docs(spark, GOPHER_DOCS)
+    got = {
+        r["doc_id"]: r
+        for r in gopher_clean(df, flags=True).collect()
+    }
+    assert set(got) == {d for d, _ in GOPHER_DOCS}
+    for doc_id, text in GOPHER_DOCS:
+        exp = _py_gopher(text)
+        for rule, want in exp.items():
+            assert bool(got[doc_id][rule]) == want, (doc_id, rule)
+        assert bool(got[doc_id]["gopher_pass"]) == all(exp.values()), doc_id
+    # the filter form keeps exactly the all-pass docs
+    kept = sorted(
+        r["doc_id"] for r in gopher_clean(df).select("doc_id").collect()
+    )
+    assert kept == sorted(
+        d for d, t in GOPHER_DOCS if all(_py_gopher(t).values())
+    )
+    # sanity: at least one doc passes and one fails each direction
+    assert 1 in kept and 2 not in kept and 4 not in kept
+
+
+def test_gopher_plan_is_shuffle_free(spark):
+    from jackfruit_spark.operators.curation import gopher_clean
+
+    df = _docs(spark, GOPHER_DOCS)
+    plan = plan_string(gopher_clean(df))
+    assert "Exchange" not in plan
+
+
+def test_curate_corpus_gopher_stage(spark):
+    from jackfruit_spark.operators.curation import curate_corpus
+
+    df = _docs(spark, GOPHER_DOCS).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    out = curate_corpus(
+        df, lang=None, min_tokens=1, max_tokens=10_000, gopher=True,
+        min_stop_ratio=0.0,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == ["1"]
+    # knobs thread through
+    loose = curate_corpus(
+        df, lang=None, min_tokens=1, max_tokens=10_000, gopher=True,
+        min_stop_ratio=0.0,
+        gopher_knobs={"min_words": 1, "min_required_words": 0,
+                      "min_alpha_ratio": 0.0, "max_mean_word_len": 99.0,
+                      "max_symbol_ratio": 99.0},
+    )
+    assert loose.count() > 1
