@@ -238,6 +238,7 @@ def cmd_curate(args) -> int:
             if args.decontam_bench else None
         ),
         decontam_k=args.decontam_k,
+        decontam_bloom=args.decontam_bloom,
         c4=args.c4,
         badwords=(
             [w for w in args.badwords.split(",") if w]
@@ -1137,6 +1138,11 @@ def build_parser() -> argparse.ArgumentParser:
              "--decontam-k gram with it (GPT-3 any-collision rule)",
     )
     cu.add_argument("--decontam-k", type=int, default=8)
+    cu.add_argument(
+        "--decontam-bloom", action="store_true",
+        help="decontaminate via broadcast Bloom bitset + exact verify "
+             "of flagged docs (same result, object-size-bounded at scale)",
+    )
     cu.add_argument(
         "--semantic-dedup", action="store_true",
         help="paraphrase-level near-dup tier (hashed embeddings -> "

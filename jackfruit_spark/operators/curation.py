@@ -419,6 +419,137 @@ def decontaminate(
     )
 
 
+def _bloom_build(h1, h2, fpp: float):
+    """Size + populate a Bloom bitset from two 64-bit hash arrays
+    (Kirsch-Mitzenmacher double hashing: position_i = h1 + i*h2, all
+    arithmetic mod 2^64 via uint64 wrap). Returns (m_bits, k_hashes,
+    bits bytes)."""
+    import math
+
+    import numpy as np
+
+    n = len(h1)
+    m_bits = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m_bits = ((m_bits + 63) // 64) * 64
+    k_h = max(1, round(m_bits / n * math.log(2)))
+    u1 = np.asarray(h1, dtype=np.int64).view(np.uint64)
+    u2 = np.asarray(h2, dtype=np.int64).view(np.uint64)
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    for i in range(k_h):
+        pos = (u1 + np.uint64(i) * u2) % np.uint64(m_bits)
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        np.bitwise_or.at(bits, word, bit)
+    return m_bits, k_h, bits.tobytes()
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    fpp: float = 0.01,
+    verify: bool = True,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the 100 TB form of
+    ``decontaminate``. Returns one row per corpus document with
+    ``contaminated`` (0/1 BIGINT).
+
+    Scale argument: the broadcast-join form ships every distinct
+    benchmark GRAM STRING to every executor and builds a per-task hash
+    relation over them; at eval-suite scale that is already tens of MB
+    of strings, and the relation is rebuilt per task. Here the
+    benchmark grams are hashed JVM-side (xxhash64 twice — once plain,
+    once salted — for Kirsch-Mitzenmacher double hashing), collapsed
+    into a FIXED-SIZE bitset on the driver (~1.2 MB per million grams
+    at fpp=0.01), broadcast once, and the corpus side streams through a
+    vectorized Arrow batch membership test: no join relation, no extra
+    shuffle — the only corpus-wide cost stays the one shingle window
+    every gram consumer pays.
+
+    Bloom filters have NO false negatives, so the flagged set is a
+    superset of the exact answer by construction. ``verify=True``
+    (default) re-checks only the flagged documents with the exact
+    broadcast-gram join — the candidate set is contamination-sized,
+    not corpus-sized — making the final flags EXACTLY equal to
+    ``decontaminate``'s (property-tested). ``verify=False`` keeps the
+    one-pass form and accepts ~``fpp`` over-flagging: at a typical
+    1e-4 doc-level hit rate the extra drop rate is ~fpp of the corpus
+    (a gram FP anywhere in a doc flags it), so keep fpp small.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    spark = corpus.sparkSession
+    ensure_shipped(spark)
+
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        g = shingled_exploded(df, id_col, text_col, k=k, distinct=False)
+        return g.select(
+            F.col(id_col),
+            F.xxhash64("sh").alias("__h1"),
+            F.xxhash64("sh", F.lit(1)).alias("__h2"),
+        )
+
+    ids = corpus.select(id_col).distinct()
+    bench_pdf = (
+        gram_hashes(benchmark).select("__h1", "__h2").distinct().toPandas()
+    )
+    if len(bench_pdf) == 0:
+        return ids.withColumn("contaminated", F.lit(0).cast("long"))
+    m_bits, k_h, bit_bytes = _bloom_build(
+        bench_pdf["__h1"].to_numpy(), bench_pdf["__h2"].to_numpy(), fpp
+    )
+    bc = spark.sparkContext.broadcast((m_bits, k_h, bit_bytes))
+
+    @pandas_udf("boolean")
+    def might_contain(h1, h2):
+        import numpy as np
+        import pandas as pd
+
+        m, kh, raw = bc.value
+        bits = np.frombuffer(raw, dtype=np.uint64)
+        u1 = h1.to_numpy(dtype=np.int64).view(np.uint64)
+        u2 = h2.to_numpy(dtype=np.int64).view(np.uint64)
+        hit = np.ones(len(u1), dtype=bool)
+        for i in range(kh):
+            pos = (u1 + np.uint64(i) * u2) % np.uint64(m)
+            word = (pos >> np.uint64(6)).astype(np.int64)
+            bit = pos & np.uint64(63)
+            hit &= ((bits[word] >> bit) & np.uint64(1)).astype(bool)
+        return pd.Series(hit)
+
+    flagged = (
+        gram_hashes(corpus)
+        .filter(might_contain(F.col("__h1"), F.col("__h2")))
+        .select(id_col)
+        .distinct()
+    )
+    if verify:
+        bench_grams = (
+            shingled_exploded(benchmark, id_col, text_col, k=k, distinct=False)
+            .select("sh")
+            .distinct()
+        )
+        flagged = (
+            shingled_exploded(
+                corpus.join(flagged, id_col, "left_semi"),
+                id_col, text_col, k=k, distinct=False,
+            )
+            .join(F.broadcast(bench_grams), "sh", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+    return ids.join(
+        flagged.withColumn("__c", F.lit(1)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("contaminated"),
+    )
+
+
 def remove_duplicate_paragraphs(
     df: DataFrame,
     id_col: str,
@@ -906,6 +1037,7 @@ def curate_corpus(
     semantic_cells: int = 32,
     decontam_bench: DataFrame | None = None,
     decontam_k: int = 8,
+    decontam_bloom: bool = False,
     c4: bool = False,
     badwords: list[str] | None = None,
     gopher: bool = False,
@@ -1029,23 +1161,37 @@ def curate_corpus(
             .filter(F.length(F.trim(F.col(text_col))) > 0)
         )
     if decontam_bench is not None:
-        bench_grams = (
-            shingled_exploded(
-                decontam_bench, id_col, text_col, k=decontam_k,
-                distinct=False,
+        if decontam_bloom:
+            # the 100 TB form: fixed-size broadcast bitset + verify pass
+            # — final flags identical to the join form (decontaminate_bloom
+            # docstring has the scale argument). NOTE: builds the bloom
+            # EAGERLY (driver collect of benchmark gram hashes).
+            contaminated = (
+                decontaminate_bloom(
+                    out.select(id_col, text_col), decontam_bench,
+                    id_col, text_col, k=decontam_k,
+                )
+                .filter(F.col("contaminated") == 1)
+                .select(id_col)
             )
-            .select("sh")
-            .distinct()
-        )
-        contaminated = (
-            shingled_exploded(
-                out.select(id_col, text_col), id_col, text_col,
-                k=decontam_k, distinct=False,
+        else:
+            bench_grams = (
+                shingled_exploded(
+                    decontam_bench, id_col, text_col, k=decontam_k,
+                    distinct=False,
+                )
+                .select("sh")
+                .distinct()
             )
-            .join(F.broadcast(bench_grams), "sh", "left_semi")
-            .select(id_col)
-            .distinct()
-        )
+            contaminated = (
+                shingled_exploded(
+                    out.select(id_col, text_col), id_col, text_col,
+                    k=decontam_k, distinct=False,
+                )
+                .join(F.broadcast(bench_grams), "sh", "left_semi")
+                .select(id_col)
+                .distinct()
+            )
         out = out.join(contaminated, id_col, "left_anti")
     if semantic_dedup:
         from jackfruit_spark.operators.dedup import semantic_dedup_text

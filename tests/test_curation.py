@@ -937,3 +937,116 @@ def test_curate_corpus_gopher_stage(spark):
                       "max_symbol_ratio": 99.0},
     )
     assert loose.count() > 1
+
+
+# ----------------------------------------------------- bloom decontamination
+
+def test_bloom_builder_no_false_negatives():
+    """Every inserted (h1,h2) tests positive — Bloom's hard guarantee."""
+    import numpy as np
+
+    from jackfruit_spark.operators.curation import _bloom_build
+
+    rng = np.random.default_rng(3)
+    h1 = rng.integers(-(2**63), 2**63, size=10_000, dtype=np.int64)
+    h2 = rng.integers(-(2**63), 2**63, size=10_000, dtype=np.int64)
+    m, kh, raw = _bloom_build(h1, h2, fpp=0.01)
+    bits = np.frombuffer(raw, dtype=np.uint64)
+    u1, u2 = h1.view(np.uint64), h2.view(np.uint64)
+    hit = np.ones(len(u1), dtype=bool)
+    for i in range(kh):
+        pos = (u1 + np.uint64(i) * u2) % np.uint64(m)
+        hit &= (
+            (bits[(pos >> np.uint64(6)).astype(np.int64)]
+             >> (pos & np.uint64(63))) & np.uint64(1)
+        ).astype(bool)
+    assert hit.all()
+    # and the sizing gives a usably sparse filter (FPR sanity on fresh keys)
+    f1 = rng.integers(-(2**63), 2**63, size=20_000, dtype=np.int64)
+    f2 = rng.integers(-(2**63), 2**63, size=20_000, dtype=np.int64)
+    v1, v2 = f1.view(np.uint64), f2.view(np.uint64)
+    fp = np.ones(len(v1), dtype=bool)
+    for i in range(kh):
+        pos = (v1 + np.uint64(i) * v2) % np.uint64(m)
+        fp &= (
+            (bits[(pos >> np.uint64(6)).astype(np.int64)]
+             >> (pos & np.uint64(63))) & np.uint64(1)
+        ).astype(bool)
+    assert fp.mean() < 0.03  # sized for 0.01
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    """verify=True makes the Bloom path EXACTLY equal to the broadcast
+    join, and verify=False is a superset (no false negatives)."""
+    from jackfruit_spark.operators.curation import decontaminate_bloom
+
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "lazy quick brown fox dog"),
+            (2, "entirely unrelated words here"),
+            (3, "quick brown fox quick brown fox"),
+            (4, "more clean text with no overlap at all"),
+        ],
+    )
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(corpus, bench, "doc_id", "text", k=3).collect()
+    }
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_bloom(
+            corpus, bench, "doc_id", "text", k=3
+        ).collect()
+    }
+    assert got == exact
+    loose = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_bloom(
+            corpus, bench, "doc_id", "text", k=3, verify=False
+        ).collect()
+    }
+    assert set(loose) == set(exact)
+    for d, c in exact.items():
+        if c:
+            assert loose[d] == 1  # flagged docs can never be missed
+
+
+def test_decontaminate_bloom_empty_benchmark(spark):
+    from jackfruit_spark.operators.curation import decontaminate_bloom
+
+    corpus = _docs(spark, [(1, "some words"), (2, "other words")])
+    bench = _docs(spark, []).limit(0)
+    out = decontaminate_bloom(corpus, bench, "doc_id", "text", k=3).collect()
+    assert sorted((r["doc_id"], r["contaminated"]) for r in out) == [
+        (1, 0), (2, 0)
+    ]
+
+
+def test_curate_corpus_decontam_bloom_matches_join(spark):
+    from jackfruit_spark.operators.curation import curate_corpus
+
+    bench = spark.createDataFrame(
+        [("b", "the quick brown fox jumps")], "doc_id string, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("1", "lazy quick brown fox dog"),
+            ("2", "entirely unrelated words here today"),
+            ("3", "quick brown fox quick brown fox"),
+        ],
+        "doc_id string, text string",
+    )
+    kw = dict(
+        lang=None, min_tokens=1, max_tokens=100, min_stop_ratio=0.0,
+        decontam_bench=bench, decontam_k=3,
+    )
+    join_ids = sorted(
+        r["doc_id"] for r in curate_corpus(corpus, **kw).collect()
+    )
+    bloom_ids = sorted(
+        r["doc_id"]
+        for r in curate_corpus(corpus, decontam_bloom=True, **kw).collect()
+    )
+    assert bloom_ids == join_ids == ["2"]
