@@ -182,7 +182,7 @@ def cmd_curate(args) -> int:
             if args.lang == "any"
             else clean.filter(F.col("lang") == args.lang)
         )
-        lm = train_bigram_lm(train_df, "text")
+        lm = train_bigram_lm(train_df, "text", smoothing=args.lm_smoothing)
     quality_model = None
     if (
         (args.quality_model or args.quality_positives)
@@ -1088,6 +1088,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--max-perplexity", type=float, default=None,
         help="CCNet tier: drop docs whose bigram-LM perplexity (model "
              "trained on this corpus's --lang slice) exceeds the cap",
+    )
+    cu.add_argument(
+        "--lm-smoothing", choices=("jm", "kn"), default="jm",
+        help="bigram-LM smoothing for the perplexity tier: "
+             "Jelinek-Mercer (jm) or interpolated Kneser-Ney (kn)",
     )
     cu.add_argument(
         "--quality-positives", default=None,

@@ -17,7 +17,10 @@ math is the classic interpolated bigram LM):
   broadcast count dicts. Jelinek-Mercer interpolation
   ``p(w2|w1) = lam * c(w1 w2)/c(w1) + (1-lam) * p_uni(w2)`` with
   add-one-smoothed unigrams over the capped vocab (OOV falls to the
-  uniform floor ``1/(T+V)``), perplexity = exp(mean negative log prob)
+  uniform floor ``1/(T+V)``), or interpolated Kneser-Ney
+  (``smoothing="kn"`` — absolute discounting + continuation
+  probabilities, the KenLM family; see the BigramLM docstring),
+  perplexity = exp(mean negative log prob)
   over the doc's bigram transitions. Tokenization matches
   ``operators/dedup.tokens_expr`` (whitespace split of trimmed text) so
   LM counts and shingle/dedup counts describe the same token stream.
@@ -51,7 +54,26 @@ def _py_tokens(text: str) -> list[str]:
 
 
 class BigramLM:
-    """Frozen counts + smoothing knobs; picklable for broadcast."""
+    """Frozen counts + smoothing knobs; picklable for broadcast.
+
+    ``smoothing``: ``"jm"`` (default) is Jelinek-Mercer interpolation
+    with weight ``lam``; ``"kn"`` is interpolated Kneser-Ney with
+    absolute discount ``discount`` — the KenLM/CCNet smoothing family
+    (Kneser & Ney 1995; Chen & Goodman 1999 "An empirical study of
+    smoothing techniques"):
+
+        p(w2|w1) = max(c(w1 w2) - D, 0)/c(w1) + lam(w1) * p_cont(w2)
+        lam(w1)  = D * N1+(w1,·)/c(w1)
+        p_cont(w2) ∝ N1+(·,w2)   (distinct-PREDECESSOR count — how many
+                                  contexts w2 completes, not how often)
+
+    The continuation statistics derive from the stored (capped) bigram
+    dict at construction — no extra Spark passes; with a capped model
+    the fan-outs are clipped to the head, so two guards keep the score
+    finite: p_cont is add-one smoothed over the capped vocab (OOV
+    floor, the p_uni discipline), and a seen w1 whose bigrams all fell
+    below the cap gets N1+(w1,·) >= 1 (any seen token has at least one
+    follower unless it only ever ends documents)."""
 
     def __init__(
         self,
@@ -59,20 +81,52 @@ class BigramLM:
         bigrams: dict[tuple[str, str], int],
         total_tokens: int,
         lam: float = 0.7,
+        smoothing: str = "jm",
+        discount: float = 0.75,
     ):
+        if smoothing not in ("jm", "kn"):
+            raise ValueError(f"unknown smoothing {smoothing!r} (jm|kn)")
+        if not (0.0 < discount < 1.0):
+            raise ValueError("discount must be in (0, 1)")
         self.unigrams = unigrams
         self.bigrams = bigrams
         self.total = total_tokens
         self.vocab = len(unigrams)
         self.lam = lam
+        self.smoothing = smoothing
+        self.discount = discount
+        # continuation statistics (KN): computed unconditionally — they
+        # are O(|bigrams|) once and keep pickles smoothing-agnostic
+        fanout: dict[str, int] = {}
+        pred: dict[str, int] = {}
+        for w1, w2 in bigrams:
+            fanout[w1] = fanout.get(w1, 0) + 1
+            pred[w2] = pred.get(w2, 0) + 1
+        self._fanout = fanout
+        self._pred = pred
+        self._n_types = len(bigrams)
 
     def p_uni(self, w: str) -> float:
         # add-one over the CAPPED vocab: OOV gets the uniform floor
         return (self.unigrams.get(w, 0) + 1) / (self.total + self.vocab + 1)
 
+    def p_cont(self, w: str) -> float:
+        """Continuation probability (KN): fraction of distinct bigram
+        types w completes, add-one smoothed over the capped vocab."""
+        return (self._pred.get(w, 0) + 1) / (self._n_types + self.vocab + 1)
+
     def log_p(self, w1: str, w2: str) -> float:
-        uni = self.p_uni(w2)
         c1 = self.unigrams.get(w1, 0)
+        if self.smoothing == "kn":
+            cont = self.p_cont(w2)
+            if c1 > 0:
+                d = self.discount
+                lam = d * max(self._fanout.get(w1, 0), 1) / c1
+                p = max(self.bigrams.get((w1, w2), 0) - d, 0) / c1 + lam * cont
+            else:
+                p = cont
+            return math.log(p)
+        uni = self.p_uni(w2)
         if c1 > 0:
             p = self.lam * self.bigrams.get((w1, w2), 0) / c1 + (1 - self.lam) * uni
         else:
@@ -97,6 +151,8 @@ def train_bigram_lm(
     vocab_size: int = 50_000,
     max_bigrams: int = 500_000,
     lam: float = 0.7,
+    smoothing: str = "jm",
+    discount: float = 0.75,
 ) -> BigramLM:
     """Distributed exact counting, bounded driver-side assembly. The
     count aggregations are map-side-combined groupBys; only the top-K
@@ -141,7 +197,10 @@ def train_bigram_lm(
     for r in big_rows:
         w1, _, w2 = r["sh"].partition(" ")
         bigrams[(w1, w2)] = int(r["c"])
-    return BigramLM(unigrams, bigrams, int(total), lam=lam)
+    return BigramLM(
+        unigrams, bigrams, int(total), lam=lam,
+        smoothing=smoothing, discount=discount,
+    )
 
 
 def perplexity_buckets(

@@ -184,3 +184,82 @@ def test_scoring_plan_is_shuffle_free(spark, corpus):
     lm = train_bigram_lm(corpus, "text")
     p = plan_string(with_perplexity(corpus, "text", lm))
     assert "Exchange" not in p, p
+
+
+# ------------------------------------------------------------ Kneser-Ney
+
+def _py_kn_logp(lm, w1, w2):
+    """Independent KN reference: interpolated bigram Kneser-Ney with
+    absolute discount D, add-one-smoothed continuation over the capped
+    vocab, fanout clamped >= 1 for seen contexts (the capped-model
+    guard the BigramLM docstring states)."""
+    import math as _m
+
+    pred = {}
+    fanout = {}
+    for a, b in lm.bigrams:
+        fanout[a] = fanout.get(a, 0) + 1
+        pred[b] = pred.get(b, 0) + 1
+    n_types = len(lm.bigrams)
+    cont = (pred.get(w2, 0) + 1) / (n_types + lm.vocab + 1)
+    c1 = lm.unigrams.get(w1, 0)
+    if c1 == 0:
+        return _m.log(cont)
+    d = lm.discount
+    lam = d * max(fanout.get(w1, 0), 1) / c1
+    return _m.log(max(lm.bigrams.get((w1, w2), 0) - d, 0) / c1 + lam * cont)
+
+
+def test_kn_matches_python_reference(spark, corpus):
+    lm = train_bigram_lm(corpus, "text", smoothing="kn")
+    # every transition in the corpus, plus unseen/OOV shapes
+    probes = [
+        ("the", "cat"), ("sat", "on"), ("on", "the"),
+        ("cat", "ran"),                # sparse seen context
+        ("the", "zebra"),              # seen context, OOV follower
+        ("zebra", "the"),              # OOV context -> continuation
+        ("fast", "the"),               # seen w1 with clamped fanout path
+    ]
+    for w1, w2 in probes:
+        assert lm.log_p(w1, w2) == pytest.approx(
+            _py_kn_logp(lm, w1, w2)
+        ), (w1, w2)
+    # KN mass is always positive/finite even off the capped head
+    tiny = train_bigram_lm(corpus, "text", vocab_size=3, max_bigrams=2,
+                           smoothing="kn")
+    for w1, w2 in probes:
+        assert math.isfinite(tiny.log_p(w1, w2))
+
+
+def test_kn_scoring_end_to_end_and_ordering(spark, corpus):
+    lm = train_bigram_lm(corpus, "text", smoothing="kn")
+    scored = {
+        r["doc_id"]: r["perplexity"]
+        for r in with_perplexity(corpus, "text", lm).collect()
+    }
+    for r in corpus.collect():
+        assert scored[r["doc_id"]] == pytest.approx(
+            round(lm.doc_perplexity(r["text"]), 6)
+        )
+    # in-domain text still beats gibberish under KN
+    probe = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "zxq wvut plorf gnash vrek")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["perplexity"]
+        for r in with_perplexity(probe, "text", lm).collect()
+    }
+    assert got[1] < got[2]
+
+
+def test_lm_validation():
+    import pytest as _pytest
+
+    from jackfruit_spark.functions.lm import BigramLM
+
+    with _pytest.raises(ValueError, match="smoothing"):
+        BigramLM({}, {}, 0, smoothing="kenlm")
+    with _pytest.raises(ValueError, match="discount"):
+        BigramLM({}, {}, 0, smoothing="kn", discount=1.5)
