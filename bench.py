@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "token_packing",  # materialized input_ids packing (bench-only, r8)
     "q62_repetition_signals",
     "q63_decontamination",
+    "q63_decontamination_bloom",  # Bloom-bitset twin (bench-only, r9)
     "q64_dsir_sampling",
 ]
 

@@ -233,6 +233,7 @@ def cmd_curate(args) -> int:
         quality_alpha=args.quality_alpha,
         semantic_dedup=args.semantic_dedup,
         semantic_threshold=args.semantic_threshold,
+        semantic_keeper=args.semantic_keeper,
         decontam_bench=(
             spark.read.parquet(args.decontam_bench)
             if args.decontam_bench else None
@@ -1154,6 +1155,11 @@ def build_parser() -> argparse.ArgumentParser:
              "SemDeDup) after exact dedup",
     )
     cu.add_argument("--semantic-threshold", type=float, default=0.85)
+    cu.add_argument(
+        "--semantic-keeper", choices=("min_id", "longest"), default="min_id",
+        help="near-dup cluster keeper: deterministic min id, or the most "
+             "complete copy (token count, min-id ties)",
+    )
     cu.add_argument("--sample-pct", type=int, default=100)
     cu.add_argument("--shuffle-seed", type=int, default=None)
     cu.add_argument("--quarantine", default=None)

@@ -489,6 +489,7 @@ def decontaminate_bloom(
         g = shingled_exploded(df, id_col, text_col, k=k, distinct=False)
         return g.select(
             F.col(id_col),
+            F.col("sh"),
             F.xxhash64("sh").alias("__h1"),
             F.xxhash64("sh", F.lit(1)).alias("__h2"),
         )
@@ -521,27 +522,26 @@ def decontaminate_bloom(
             hit &= ((bits[word] >> bit) & np.uint64(1)).astype(bool)
         return pd.Series(hit)
 
-    flagged = (
-        gram_hashes(corpus)
-        .filter(might_contain(F.col("__h1"), F.col("__h2")))
-        .select(id_col)
-        .distinct()
+    # candidate GRAM rows — the bloom pre-filter runs inside the one
+    # corpus shingle pass; everything downstream sees only candidates
+    candidates = gram_hashes(corpus).filter(
+        might_contain(F.col("__h1"), F.col("__h2"))
     )
     if verify:
+        # exact-check the candidate grams themselves (bloom is a
+        # gram-level superset, so join-verifying candidates == the
+        # exact answer) — no second corpus pass, no doc re-shingle.
+        # The benchmark-gram relation still broadcasts once, but only
+        # the contamination-sized candidate stream probes it; the
+        # corpus-sized stream probes the cache-resident bitset instead
+        # of a multi-GB string hash map
         bench_grams = (
             shingled_exploded(benchmark, id_col, text_col, k=k, distinct=False)
             .select("sh")
             .distinct()
         )
-        flagged = (
-            shingled_exploded(
-                corpus.join(flagged, id_col, "left_semi"),
-                id_col, text_col, k=k, distinct=False,
-            )
-            .join(F.broadcast(bench_grams), "sh", "left_semi")
-            .select(id_col)
-            .distinct()
-        )
+        candidates = candidates.join(F.broadcast(bench_grams), "sh", "left_semi")
+    flagged = candidates.select(id_col).distinct()
     return ids.join(
         flagged.withColumn("__c", F.lit(1)), id_col, "left"
     ).select(
@@ -1035,6 +1035,7 @@ def curate_corpus(
     semantic_threshold: float = 0.85,
     semantic_dim: int = 256,
     semantic_cells: int = 32,
+    semantic_keeper: str = "min_id",
     decontam_bench: DataFrame | None = None,
     decontam_k: int = 8,
     decontam_bloom: bool = False,
@@ -1196,18 +1197,29 @@ def curate_corpus(
     if semantic_dedup:
         from jackfruit_spark.operators.dedup import semantic_dedup_text
 
-        keepers = (
-            semantic_dedup_text(
-                out.select(id_col, text_col),
-                id_col,
-                text_col,
-                dim=semantic_dim,
-                cells=semantic_cells,
-                threshold=semantic_threshold,
+        if semantic_keeper not in ("min_id", "longest"):
+            raise ValueError(
+                f"unknown semantic_keeper {semantic_keeper!r} (min_id|longest)"
             )
-            .filter(F.col("keep"))
-            .select(id_col)
+        labels = semantic_dedup_text(
+            out.select(id_col, text_col),
+            id_col,
+            text_col,
+            dim=semantic_dim,
+            cells=semantic_cells,
+            threshold=semantic_threshold,
         )
+        if semantic_keeper == "longest":
+            # near-dup components mix truncated and complete variants;
+            # keep the most complete copy (token count, min-id ties)
+            from jackfruit_spark.operators.dedup import select_cluster_keepers
+
+            labels = select_cluster_keepers(
+                labels, id_col,
+                out.select(id_col, T.token_count(text_col).alias("__len")),
+                score_col="__len",
+            )
+        keepers = labels.filter(F.col("keep")).select(id_col)
         out = out.join(keepers, id_col, "left_semi")
     if span_k is not None:
         cleaned = remove_duplicate_spans(

@@ -1037,6 +1037,55 @@ def semantic_dedup(
     return labels.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
 
 
+def select_cluster_keepers(
+    labels: DataFrame,
+    id_col: str,
+    scores: DataFrame,
+    score_col: str = "score",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Re-pick each cluster's keeper by QUALITY instead of min-id: keep
+    the member with the highest score (ties and unscored members fall
+    back to min id — the deterministic rule every dedup family shares).
+
+    Near-dup clusters are where this matters: exact-dup copies are
+    byte-identical so any keeper is the same document, but a
+    MinHash/SemDeDup component mixes truncated, boilerplate-wrapped and
+    complete variants of one text — min-id keeps an arbitrary one,
+    while a length or classifier score keeps the best.
+
+    Aggregate-shaped on purpose (the paragraph-dedup rule): a viral
+    cluster under a window keeper would be one straggler sort; here it
+    is two groupBys + joins on ``cluster_col``, all map-side
+    combinable. NaN scores are the caller's bug (NaN poisons max) —
+    pass rounded/quantized scores.
+
+    Returns ``labels`` with ``keep`` recomputed (and any previous
+    ``keep`` column replaced)."""
+    m = labels.select(id_col, cluster_col).join(
+        scores.select(
+            F.col(id_col), F.col(score_col).cast("double").alias("__s")
+        ),
+        id_col,
+        "left",
+    ).withColumn(
+        "__s", F.coalesce(F.col("__s"), F.lit(float("-inf")))
+    )
+    best = m.groupBy(cluster_col).agg(F.max("__s").alias("__best"))
+    keepers = (
+        m.join(best, cluster_col)
+        .filter(F.col("__s") == F.col("__best"))
+        .groupBy(cluster_col)
+        .agg(F.min(id_col).alias("__keeper"))
+    )
+    return (
+        labels.drop("keep")
+        .join(keepers, cluster_col)
+        .withColumn("keep", F.col(id_col) == F.col("__keeper"))
+        .drop("__keeper")
+    )
+
+
 def semantic_dedup_text(
     df: DataFrame,
     id_col: str,

@@ -2347,6 +2347,21 @@ def q63_decontamination(spark, sf_dir):
     )
 
 
+def q63_decontamination_bloom(spark, sf_dir):
+    """Bench-only twin of q63 on the Bloom path (registry stays 50):
+    same split, same k, verify=True — result flags identical to the
+    broadcast-join form by the decontaminate_bloom contract; the bench
+    delta is the fixed-size-bitset scan vs the gram-string hash
+    relation."""
+    from jackfruit_spark.operators.curation import decontaminate_bloom
+
+    d = load(spark, sf_dir, "documents")
+    is_bench = _hash_pct_col(F.col("doc_id").cast("string")) < DECONTAM_BENCH_PCT
+    return decontaminate_bloom(
+        d.filter(~is_bench), d.filter(is_bench), "doc_id", "text", k=3
+    )
+
+
 DSIR_TARGET_SOURCE = "src0"  # the "high-quality" domain the selection targets
 DSIR_ALPHA = 0.5  # add-alpha unigram smoothing
 DSIR_SCALE = 1_000_000  # per-word log-ratio quantization (integer micro-nats)

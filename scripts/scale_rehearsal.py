@@ -199,6 +199,41 @@ def semantic_text(spark, sf_dir):
     )
 
 
+def _decontam_split(spark, sf_dir, fixed_bench: bool):
+    """Two regimes for the exact-vs-Bloom A/B:
+
+    - ``fixed_bench=True`` (the production shape): a FIXED 2k-doc
+      benchmark while the corpus grows — measures the PROBE side,
+      which is the Bloom claim (corpus grams stream through a
+      cache-resident bitset vs a string hash relation).
+    - ``fixed_bench=False`` (build stress): benchmark = 30% of the
+      corpus, so the bitset BUILD's driver collect grows with the
+      mult — the documented cost ceiling of the Bloom form (eval
+      suites are small in production; this leg is the adversarial
+      bound, expected to grow linearly)."""
+    d = Q.load(spark, sf_dir, "documents")
+    if fixed_bench:
+        bench = d.orderBy("doc_id").limit(2000)
+        corpus = d.join(bench.select("doc_id"), "doc_id", "left_anti")
+        return corpus, bench
+    is_b = Q._hash_pct_col(F.col("doc_id").cast("string")) < 30
+    return d.filter(~is_b), d.filter(is_b)
+
+
+def decontam_exact(spark, sf_dir, fixed_bench=True):
+    from jackfruit_spark.operators.curation import decontaminate
+
+    corpus, bench = _decontam_split(spark, sf_dir, fixed_bench)
+    return decontaminate(corpus, bench, "doc_id", "text", k=3)
+
+
+def decontam_bloom(spark, sf_dir, fixed_bench=True):
+    from jackfruit_spark.operators.curation import decontaminate_bloom
+
+    corpus, bench = _decontam_split(spark, sf_dir, fixed_bench)
+    return decontaminate_bloom(corpus, bench, "doc_id", "text", k=3)
+
+
 def heavy_family():
     reg = Q.registry()
     return {
@@ -221,6 +256,14 @@ def heavy_family():
         # materialized input_ids packing (late r8): one token-stream
         # shuffle — linear in token bytes by design
         "token_packing": Q.token_packing,
+        # decontamination A/B (r9): exact broadcast-gram join vs Bloom
+        # bitset + candidate verify — fixed 2k-doc benchmark (probe
+        # growth, the production shape) and 30%-of-corpus benchmark
+        # (build stress: the bitset's driver collect grows)
+        "decontam_exact_bfix": decontam_exact,
+        "decontam_bloom_bfix": decontam_bloom,
+        "decontam_exact_b30": lambda s, d: decontam_exact(s, d, False),
+        "decontam_bloom_b30": lambda s, d: decontam_bloom(s, d, False),
     }
 
 

@@ -234,3 +234,93 @@ def test_fingerprint_stable_and_sensitive(spark, corpus):
     fp = {r["doc_id"]: r["fp"] for r in corpus.select("doc_id", T.fingerprint("text").alias("fp")).collect()}
     assert fp[0] == fp[2]                              # identical -> same fingerprint
     assert fp[0] != fp[3]                              # different text -> different
+
+
+# ------------------------------------------------- quality-aware keepers
+
+def test_select_cluster_keepers_by_score(spark):
+    from jackfruit_spark.operators.dedup import select_cluster_keepers
+
+    labels = spark.createDataFrame(
+        [
+            ("a", "a"), ("b", "a"), ("c", "a"),  # cluster a
+            ("d", "d"), ("e", "d"),              # cluster d
+            ("f", "f"),                          # singleton
+        ],
+        "doc_id string, cluster_id string",
+    ).withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    scores = spark.createDataFrame(
+        [
+            ("a", 1.0), ("b", 5.0), ("c", 5.0),   # tie b/c -> min id b
+            ("d", 2.0),                            # e unscored -> -inf
+            # f unscored entirely: min-id fallback keeps it
+        ],
+        "doc_id string, score double",
+    )
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in select_cluster_keepers(
+            labels, "doc_id", scores
+        ).collect()
+    }
+    assert got == {
+        "a": False, "b": True, "c": False,   # highest score, tie -> min id
+        "d": True, "e": False,
+        "f": True,                            # unscored singleton survives
+    }
+    # exactly one keeper per cluster, every row labeled
+    assert len(got) == 6
+
+
+def test_select_cluster_keepers_plan_is_window_free(spark):
+    from jackfruit_spark.operators.dedup import select_cluster_keepers
+    from jackfruit_spark.plans import plan_string
+
+    labels = spark.createDataFrame(
+        [("a", "a")], "doc_id string, cluster_id string"
+    ).withColumn("keep", F.lit(True))
+    scores = spark.createDataFrame(
+        [("a", 1.0)], "doc_id string, score double"
+    )
+    p = plan_string(select_cluster_keepers(labels, "doc_id", scores))
+    assert "Window" not in p, p
+
+
+def test_curate_corpus_semantic_keeper_longest(spark):
+    """Two near-dup variants (one truncated): keeper='longest' keeps the
+    complete copy even though it has the LARGER id; min_id keeps the
+    truncated one. Same corpus, same threshold."""
+    from jackfruit_spark.operators.curation import curate_corpus
+
+    full = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank while the warm sun shines on the quiet valley "
+            "and the tall trees sway in the gentle wind all afternoon")
+    trunc = " ".join(full.split()[:28])
+    others = [
+        ("z1", "a completely different document about market prices and "
+               "the cost of fresh fruit during the long summer season"),
+    ]
+    df = spark.createDataFrame(
+        [("a_trunc", trunc), ("b_full", full)] + others,
+        "doc_id string, text string",
+    )
+    # one cell (3 docs must share a cell or the pair is never compared —
+    # the auto-size lesson in CLAUDE.md) and a threshold between the
+    # measured near-dup cosine (~0.71 idf-hashed) and unrelated (~-0.16)
+    kw = dict(
+        lang=None, min_tokens=3, max_tokens=1000, min_stop_ratio=0.0,
+        semantic_dedup=True, semantic_cells=1, semantic_threshold=0.6,
+    )
+    by_len = sorted(
+        r["doc_id"]
+        for r in curate_corpus(df, semantic_keeper="longest", **kw).collect()
+    )
+    by_id = sorted(
+        r["doc_id"] for r in curate_corpus(df, **kw).collect()
+    )
+    assert "b_full" in by_len and "a_trunc" not in by_len
+    assert "a_trunc" in by_id and "b_full" not in by_id
+    assert "z1" in by_len and "z1" in by_id
+
+    with pytest.raises(ValueError, match="semantic_keeper"):
+        curate_corpus(df, semantic_keeper="best", **kw).collect()
