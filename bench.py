@@ -294,11 +294,36 @@ def bench_ivf(spark, sf_dir: str) -> dict[str, float]:
             )
             res.write.format("noop").mode("overwrite").save()
             t_pq = min(t_pq, round(time.perf_counter() - t0, 3))
+        # IVF-SQ8 served search (r9): the scalar-quantization tier —
+        # 1 byte/dim codes (4x fewer bytes than float32), near-exact
+        # recall so NO rerank leg; same probed cells/query as the
+        # exact and PQ twins, so the three served numbers decompose by
+        # bytes-scanned per recall point.
+        from jackfruit_spark.functions.sq import sq_search
+
+        idx_sq = IvfIndex.build(
+            e, "vec_id", "embedding", os.path.join(root, "sq"),
+            centroids=cents, sq8=True, sample_fraction=1.0, seed=42,
+        )
+        sbook = idx_sq._sq_codebook()
+        t_sq = float("inf")
+        for _ in range(REPEATS + 1):
+            t0 = time.perf_counter()
+            cand = idx_sq.candidates(qv, nprobe=16).filter(
+                F.col("vec_id") != 0  # match ann_ivf_served's shape
+            )
+            res = sq_search(
+                cand.select("vec_id", "sq_code"),
+                "vec_id", "sq_code", sbook, qv, k=10,
+            )
+            res.write.format("noop").mode("overwrite").save()
+            t_sq = min(t_sq, round(time.perf_counter() - t0, 3))
         return {
             "ann_ivf_build": t_build,
             "ann_ivf_served": t_served,
             "ann_knn_join_served": t_knn,
             "ann_ivfpq_served": t_pq,
+            "ann_ivfsq_served": t_sq,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -462,7 +462,7 @@ def cmd_index_vectors(args) -> int:
         idx = IvfIndex.build(
             df, args.id_col, args.vec_col, args.root,
             k=args.cells, pq_m=args.pq_m, pq_residual=args.pq_residual,
-            pq_opq=args.pq_opq,
+            pq_opq=args.pq_opq, sq8=args.sq8,
         )
     elif args.mode == "append":
         idx = IvfIndex(spark, args.root).append(
@@ -1263,6 +1263,9 @@ def build_parser() -> argparse.ArgumentParser:
     iv.add_argument("--pq-opq", action="store_true",
                     help="learn an OPQ rotation before sub-quantizing "
                          "(recall win on correlated dims, measured)")
+    iv.add_argument("--sq8", action="store_true",
+                    help="store per-dimension 8-bit scalar-quantized "
+                         "codes (1 byte/dim, near-exact recall)")
     iv.add_argument("--dedup", action="store_true",
                     help="rebuild only: keep one row per id")
     iv.add_argument("--cpus", default=None)
@@ -1354,7 +1357,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="query vector, comma-separated floats")
     an.add_argument("--k", type=int, default=10)
     an.add_argument("--nprobe", type=int, default=16)
-    an.add_argument("--mode", choices=["exact", "adc"], default="exact")
+    an.add_argument("--mode", choices=["exact", "adc", "sq"], default="exact")
     an.add_argument("--rerank", type=int, default=50)
     an.add_argument("--cpus", default=None)
     an.set_defaults(fn=cmd_ann_search)

@@ -18,7 +18,7 @@ is the stale-serving-manifest fallback).
 
 Routes: GET /health (liveness, no Spark), GET /v1/ann/search with
 ``vec`` (comma-separated floats, required), ``k``, ``nprobe``,
-``mode`` (exact|adc), ``rerank``.
+``mode`` (exact|adc|sq), ``rerank``.
 """
 
 from __future__ import annotations
@@ -57,8 +57,8 @@ def handle_ann_search(
     if k <= 0 or nprobe <= 0 or rerank < 0:
         return 400, {"error": "k and nprobe must be > 0, rerank >= 0"}
     mode = params.get("mode", "exact")
-    if mode not in ("exact", "adc"):
-        return 400, {"error": f"unknown mode {mode!r} (exact|adc)"}
+    if mode not in ("exact", "adc", "sq"):
+        return 400, {"error": f"unknown mode {mode!r} (exact|adc|sq)"}
     try:
         # per-request refresh: see the maintain-under-a-running-server
         # note in the module docstring

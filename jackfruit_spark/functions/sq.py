@@ -1,0 +1,268 @@
+"""Scalar quantization (SQ8) for the vector store — per-dimension
+8-bit codes, the FAISS ``IndexIVFScalarQuantizer`` middle ground
+between flat floats and product quantization.
+
+Reference analog: the reference engine stores raw embedding arrays
+only; SQ8 is the standard production compression tier between them and
+PQ (FAISS SQ8 public docs/paper: Johnson et al. 2017, "Billion-scale
+similarity search with GPUs").
+
+Where it sits in the family (functions/pq.py is the other end):
+
+- **flat** — exact floats, 4 bytes/dim (float32 at rest).
+- **SQ8 (this module)** — one affine map per DIMENSION, 1 byte/dim:
+  4x fewer bytes than float32, reconstruction keeps the full
+  dimensionality so recall loss is tiny (no subspace argmin), and
+  decode is one fused multiply-add — no codebook gathers at all.
+- **PQ** — 8 bytes/vector at dim=64 (m=8): 32x smaller than float32,
+  but reconstruction collapses each subspace to one of 256 centroids;
+  needs a rerank leg for high recall.
+
+Train: per-dimension ``[vmin, vmax]`` over a bounded sample of PREPPED
+vectors (the ``pq_train`` sampling discipline — L2-normalize first for
+cosine, so codes quantize the unit sphere, not raw magnitudes).
+Encode: ``code = round((x - vmin) / (vmax - vmin) * 255)`` clipped to
+[0, 255], stored as BINARY (1 byte/dim — parquet's most compact
+fixed-width vector encoding; an ``array<smallint>`` would be 2+ bytes
+per element plus offsets). Decode is the inverse affine; scoring is
+cosine of the decoded approximations (query side stays exact), so SQ8
+scores are directly comparable to the exact legs' 6dp-rounded cosines.
+
+At 100 TB: the scoring scan reads 1/4 the bytes of the exact path
+(column-pruned to the code column, same PartitionFilters pruning), the
+codebook is two dim-length float lists in the manifest (bytes, not
+kilobytes), and train/encode are one bounded sample + one Arrow pass.
+Out-of-range values at encode time (vectors beyond the training
+sample's envelope) clip saturating — the standard SQ8 behavior; a
+rebuild retrains the envelope.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions.pq import _prep
+
+
+@dataclass
+class SQCodebook:
+    """Per-dimension affine quantizer; picklable for broadcast."""
+
+    vmin: np.ndarray  # (dim,)
+    vmax: np.ndarray  # (dim,)
+    normalize: bool
+
+    @property
+    def dim(self) -> int:
+        return len(self.vmin)
+
+    @property
+    def scale(self) -> np.ndarray:
+        # zero-width dimensions (constant across the train sample)
+        # decode to vmin exactly; guard the 0/0
+        return np.where(self.vmax > self.vmin, self.vmax - self.vmin, 1.0)
+
+    def encode_np(self, x: np.ndarray) -> np.ndarray:
+        """(n, dim) prepped floats -> (n, dim) uint8 (saturating)."""
+        q = np.rint((x - self.vmin[None, :]) / self.scale[None, :] * 255.0)
+        return np.clip(q, 0, 255).astype(np.uint8)
+
+    def decode_np(self, codes: np.ndarray) -> np.ndarray:
+        """(n, dim) uint8 -> (n, dim) float64 approximations."""
+        return (
+            codes.astype(np.float64) / 255.0 * self.scale[None, :]
+            + self.vmin[None, :]
+        )
+
+
+def _sample_pdf(df: DataFrame, vec_col: str, sample_size, seed,
+                sample_fraction) -> np.ndarray:
+    """The pq_train sampling discipline, shared shape."""
+    sample = df.select(vec_col)
+    if sample_fraction is not None:
+        pdf = (
+            sample.sample(fraction=min(1.0, sample_fraction), seed=seed)
+            .limit(sample_size)
+            .toPandas()
+        )
+    else:
+        pdf = sample.sample(fraction=0.01, seed=seed).limit(sample_size).toPandas()
+        if len(pdf) < 1000:
+            pdf = sample.limit(sample_size).toPandas()
+    return np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype="float64")))
+
+
+def sq_train(
+    df: DataFrame,
+    vec_col: str,
+    sample_size: int = 100_000,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    normalize: bool = True,
+) -> SQCodebook:
+    """Per-dimension min/max envelope over a bounded sample of prepped
+    vectors. Deterministic for a fixed seed/sample."""
+    x = _prep(_sample_pdf(df, vec_col, sample_size, seed, sample_fraction),
+              normalize)
+    return SQCodebook(
+        vmin=x.min(axis=0), vmax=x.max(axis=0), normalize=normalize
+    )
+
+
+def sq_encode(
+    df: DataFrame,
+    vec_col: str,
+    book: SQCodebook,
+    out_col: str = "sq_code",
+) -> DataFrame:
+    """Add the BINARY code column (dim bytes/row): one Arrow pass,
+    prep + affine + clip all vectorized."""
+    from pyspark.sql.functions import pandas_udf
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    norm = book.normalize
+
+    @pandas_udf("binary")
+    def encode(vs: pd.Series) -> pd.Series:
+        v = _prep(
+            np.stack(vs.apply(lambda x: np.asarray(x, dtype="float64"))),
+            norm,
+        )
+        codes = book.encode_np(v)
+        return pd.Series([row.tobytes() for row in codes])
+
+    return df.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def _decode_col(col: pd.Series, book: SQCodebook) -> np.ndarray:
+    raw = np.frombuffer(b"".join(col.tolist()), dtype=np.uint8)
+    return book.decode_np(raw.reshape(len(col), book.dim))
+
+
+def sq_search(
+    df_codes: DataFrame,
+    id_col: str,
+    code_col: str,
+    book: SQCodebook,
+    query_vec,
+    k: int = 10,
+) -> DataFrame:
+    """SQ top-k: cosine(exact prepped query, decoded approximation),
+    6dp-rounded and (cosine desc, id asc) ordered like every ANN leg —
+    directly re-rankable with ``pq.pq_rerank``."""
+    from pyspark.sql.functions import pandas_udf
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(df_codes.sparkSession)
+    q = _prep(np.asarray(query_vec, dtype="float64")[None, :], book.normalize)[0]
+    qn = float(np.sqrt((q * q).sum())) or float("inf")
+
+    @pandas_udf("double")
+    def score(codes: pd.Series) -> pd.Series:
+        v = _decode_col(codes, book)
+        nrm = np.sqrt((v * v).sum(axis=1)) * qn
+        nrm[nrm == 0.0] = np.inf  # zero decode -> cosine 0, not NaN
+        return pd.Series((v @ q) / nrm)
+
+    scored = df_codes.select(
+        F.col(id_col), F.round(score(F.col(code_col)), 6).alias("cosine_sim")
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def sq_knn_scored(
+    q: DataFrame,
+    codes: DataFrame,
+    book: SQCodebook,
+    id_q: str,
+    id_b: str,
+    k: int,
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """Batch-SQ half of the served kNN-join — the SQ twin of
+    ``pq.adc_knn_scored`` with the identical cogroup/skew/top-k
+    machinery: one ``applyInPandas`` group per (cell, sub-block), the
+    base side is the 1-byte-per-dim CODE column, per group the codes
+    decode once (one affine) and score against every query in one BLAS
+    matmul, and the per-(query, cell) cut uses the shared tie-free
+    kernel (``similarity._topk_rows``). ``cell_cap`` bounds the skew
+    tail exactly as in the exact/ADC kernels (hash sub-blocks,
+    lossless)."""
+    from pyspark.sql import Window
+
+    from jackfruit_spark._ship import ensure_shipped
+    from jackfruit_spark.functions.similarity import _topk_rows
+
+    ensure_shipped(q.sparkSession)
+    norm = book.normalize
+    if cell_cap is not None:
+        from jackfruit_spark._persist import persisted
+
+        codes = persisted(codes)  # counts + join read the codes once
+        nsub = codes.groupBy("ivf_cell").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(cell_cap))
+            .cast("int")
+            .alias("__nsub")
+        )
+        codes = (
+            codes.join(F.broadcast(nsub), "ivf_cell")
+            .withColumn(
+                "__sub",
+                F.pmod(F.xxhash64(F.col("__bid")), F.col("__nsub")).cast("int"),
+            )
+            .drop("__nsub")
+        )
+        q = (
+            q.join(F.broadcast(nsub), "ivf_cell")
+            .withColumn(
+                "__sub",
+                F.explode(F.sequence(F.lit(0), F.col("__nsub") - 1)),
+            )
+            .drop("__nsub")
+        )
+    else:
+        codes = codes.withColumn("__sub", F.lit(0))
+        q = q.withColumn("__sub", F.lit(0))
+    qid_dt = q.schema["__qid"].dataType.simpleString()
+    bid_dt = codes.schema["__bid"].dataType.simpleString()
+    out_schema = f"{id_q} {qid_dt}, {id_b} {bid_dt}, cosine_sim double"
+    kk = k
+
+    def score(key, qs, bs):
+        if qs.empty or bs.empty:
+            return pd.DataFrame({c: [] for c in (id_q, id_b, "cosine_sim")})
+        qv = _prep(
+            np.stack(qs["__qv"].apply(lambda x: np.asarray(x, dtype="float64"))),
+            norm,
+        )
+        v = _decode_col(bs["__code"], book)
+        qn = np.sqrt((qv * qv).sum(axis=1))
+        qn[qn == 0.0] = np.inf
+        nrm = np.sqrt((v * v).sum(axis=1))
+        nrm[nrm == 0.0] = np.inf
+        s = (qv @ v.T) / (qn[:, None] * nrm[None, :])
+        return _topk_rows(
+            s, qs["__qid"].to_numpy(), bs["__bid"].to_numpy(), kk, id_q, id_b
+        )
+
+    survivors = (
+        q.groupBy("ivf_cell", "__sub")
+        .cogroup(codes.groupBy("ivf_cell", "__sub"))
+        .applyInPandas(score, schema=out_schema)
+    )
+    w = Window.partitionBy(id_q).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_b).asc()
+    )
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

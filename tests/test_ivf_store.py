@@ -496,3 +496,140 @@ def test_adc_join_cell_cap_invariance(spark, tmp_path):
         q, "qid", "qv", k=5, nprobe=4, mode="adc", rerank=40, cell_cap=20
     ).collect()))
     assert capped_r == free_r
+
+
+class TestIvfSq:
+    def test_codebook_roundtrip_error_bound(self):
+        """Encode/decode reconstruction: per-dim error <= scale/510 (half
+        a quantization step) for in-envelope vectors; cosine of the
+        reconstruction vs the original stays ~1 for gaussian vectors."""
+        import numpy as np
+
+        from jackfruit_spark.functions.pq import _prep
+        from jackfruit_spark.functions.sq import SQCodebook
+
+        rng = np.random.default_rng(5)
+        x = _prep(rng.normal(size=(500, 64)), True)
+        book = SQCodebook(vmin=x.min(0), vmax=x.max(0), normalize=True)
+        dec = book.decode_np(book.encode_np(x))
+        step = book.scale / 255.0
+        assert (np.abs(dec - x) <= step / 2 + 1e-12).all()
+        cos = (dec * x).sum(1) / (
+            np.linalg.norm(dec, axis=1) * np.linalg.norm(x, axis=1)
+        )
+        assert cos.min() > 0.999
+
+    def test_build_search_append_sq(self, spark, tmp_path, vectors):
+        """SQ layout: binary codes stored, mode='sq' + rerank recovers
+        the exact search at exhaustive probe, pure SQ (rerank=0) top-5
+        matches exact top-5 on ids (near-exact recall is the SQ claim),
+        appends encode with the frozen envelope, codes-only projection
+        prunes the vector column."""
+        df, rows = vectors
+        first = df.filter(F.col("vec_id") < 150)
+        rest = df.filter(F.col("vec_id") >= 150)
+        IvfIndex.build(
+            first, "vec_id", "embedding", str(tmp_path / "ivfsq"),
+            k=8, seed=42, sq8=True, sample_fraction=1.0,
+        )
+        idx = IvfIndex(spark, str(tmp_path / "ivfsq"))  # manifest roundtrip
+        cols = spark.read.parquet(idx.data_path).columns
+        assert "sq_code" in cols
+        qv = rows[0][1]
+        exact = idx.search(qv, k=5, nprobe=8).collect()
+        sq = idx.search(qv, k=5, nprobe=8, mode="sq", rerank=60).collect()
+        assert [r["vec_id"] for r in sq] == [r["vec_id"] for r in exact]
+        pure = idx.search(qv, k=5, nprobe=8, mode="sq", rerank=0).collect()
+        assert sorted(r["vec_id"] for r in pure) == sorted(
+            r["vec_id"] for r in exact
+        )
+
+        idx.append(rest)
+        assert (
+            spark.read.parquet(idx.data_path)
+            .filter(F.col("sq_code").isNull())
+            .count()
+            == 0
+        )
+        after = idx.search(qv, k=5, nprobe=8, mode="sq", rerank=60).collect()
+        assert len(after) == 5
+
+        from jackfruit_spark.plans import plan_string
+
+        p = plan_string(
+            idx.candidates(qv, nprobe=2).select("vec_id", "sq_code")
+        )
+        scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+        assert scan and "embedding" not in scan[0], p
+
+    def test_sq_knn_join_recovers_exact(self, spark, tmp_path, vectors):
+        """Batch twin: mode='sq' with a wide rerank == exact served
+        join; pure SQ ids overlap heavily; cell_cap invariant."""
+        df, rows = vectors
+        idx = IvfIndex.build(
+            df, "vec_id", "embedding", str(tmp_path / "ivfsq_j"),
+            k=8, seed=42, sq8=True, sample_fraction=1.0,
+        )
+        q = df.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        exact = sorted(
+            map(tuple, idx.knn_join(q, "qid", "qv", k=5, nprobe=8).collect())
+        )
+        sq = sorted(
+            map(tuple, idx.knn_join(
+                q, "qid", "qv", k=5, nprobe=8, mode="sq", rerank=60
+            ).collect())
+        )
+        assert sq == exact
+        capped = sorted(
+            map(tuple, idx.knn_join(
+                q, "qid", "qv", k=5, nprobe=8, mode="sq", rerank=60,
+                cell_cap=10,
+            ).collect())
+        )
+        assert capped == exact
+        # pure-SQ neighbor sets: near-exact per query
+        pure = idx.knn_join(
+            q, "qid", "qv", k=5, nprobe=8, mode="sq", rerank=0
+        ).collect()
+        exact_sets = {}
+        for qid, vid, _ in exact:
+            exact_sets.setdefault(qid, set()).add(vid)
+        got_sets = {}
+        for r in pure:
+            got_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+        overlap = [
+            len(got_sets[qq] & exact_sets[qq]) / 5 for qq in exact_sets
+        ]
+        assert sum(overlap) / len(overlap) >= 0.9
+
+    def test_rebuild_carries_sq(self, spark, tmp_path, vectors):
+        df, rows = vectors
+        idx = IvfIndex.build(
+            df, "vec_id", "embedding", str(tmp_path / "ivfsq_r"),
+            k=4, seed=42, sq8=True, sample_fraction=1.0,
+        )
+        rebuilt = idx.rebuild(seed=3)
+        assert "sq" in rebuilt._manifest()
+        assert (
+            spark.read.parquet(rebuilt.data_path)
+            .filter(F.col("sq_code").isNull())
+            .count()
+            == 0
+        )
+        assert len(rebuilt.search(rows[0][1], k=5, mode="sq").collect()) == 5
+
+    def test_sq_without_build_flag_raises(self, spark, tmp_path, vectors, centroids):
+        df, rows = vectors
+        idx = IvfIndex.build(
+            df, "vec_id", "embedding", str(tmp_path / "plain_sq"),
+            centroids=centroids,
+        )
+        with pytest.raises(ValueError, match="without sq8"):
+            idx.search(rows[0][1], k=5, mode="sq")
+        q = df.limit(2).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        with pytest.raises(ValueError, match="without sq8"):
+            idx.knn_join(q, "qid", "qv", k=2, mode="sq")
