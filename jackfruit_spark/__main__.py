@@ -435,6 +435,7 @@ def cmd_pipeline(args) -> int:
         quality_alpha=args.quality_alpha,
         url_dedup=args.url_dedup,
         host_cap=args.host_cap,
+        gopher=args.gopher,
     )
     packed.write.mode("overwrite").parquet(args.output)
     from jackfruit_spark.operators.curation import observation_rows
@@ -1194,6 +1195,10 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument(
         "--host-cap", type=int, default=None,
         help="URL tier: at most N docs per host (RefinedWeb diversity)",
+    )
+    pl.add_argument(
+        "--gopher", action="store_true",
+        help="Gopher quality rules before the token gate (same scan)",
     )
     pl.add_argument(
         "--quality-positives", default=None,

@@ -1261,6 +1261,8 @@ def warc_training_pipeline(
     quality_seed: int = 0,
     url_dedup: bool = False,
     host_cap: int | None = None,
+    gopher: bool = False,
+    gopher_knobs: dict | None = None,
 ):
     """End-to-end crawl-to-training-corpus composition (r8, VERDICT r7
     #7): WARC shards -> CDX manifest ranged reads -> boilerplate
@@ -1337,8 +1339,12 @@ def warc_training_pipeline(
         )
 
     toks = T.token_count("text")
+    gated_raw = url_stage(docs_raw)
+    if gopher:
+        # same codegen scan as the token gate — no extra stage cost
+        gated_raw = gopher_clean(gated_raw, "text", **(gopher_knobs or {}))
     gated_raw = (
-        url_stage(docs_raw)
+        gated_raw
         .filter(toks.between(min_tokens, max_tokens))
         .withColumn("n_tokens", toks)
     )
@@ -1418,8 +1424,13 @@ def warc_training_pipeline(
             obs_url, F.count(F.lit(1)).alias("rows")
         )
     obs_gated = Observation("gated")
+    gated = urled
+    if gopher:
+        # mirror the observation-free branch: the observed chain must
+        # apply the SAME gates or stage counts drift from the data
+        gated = gopher_clean(gated, "text", **(gopher_knobs or {}))
     gated = (
-        urled.filter(toks.between(min_tokens, max_tokens))
+        gated.filter(toks.between(min_tokens, max_tokens))
         .withColumn("n_tokens", toks)
         .observe(obs_gated, F.count(F.lit(1)).alias("rows"))
     )

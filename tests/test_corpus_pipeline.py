@@ -223,3 +223,22 @@ def test_pipeline_quality_tier(spark, shards):
     # a model without either knob is a caller mistake, not a no-op
     with pytest.raises(ValueError, match="min_quality"):
         warc_training_pipeline(spark, shards, quality_model=keep_all)
+
+
+def test_pipeline_gopher_gate(spark, shards):
+    """gopher=True composes into the observed chain: the synthetic
+    corpus has no English stop words (required-words knob relaxed);
+    page 39 extracts to exactly 50 words (24+24 content + glue) vs
+    ~122 for full pages, so min_words=51 drops precisely it — with
+    the token gate wide open, the drop is Gopher's."""
+    packed, obs = warc_training_pipeline(
+        spark, shards, min_tokens=1,
+        gopher=True,
+        gopher_knobs={"min_required_words": 0, "min_words": 51},
+    )
+    rows = packed.collect()
+    counts = {k: int(o.get["rows"]) for k, o in obs.items()}
+    assert counts["docs"] == 43
+    assert counts["gated"] == 42  # 39 fails gopher_word_count, not toks
+    assert counts["deduped"] == 39
+    assert rows
