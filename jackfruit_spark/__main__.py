@@ -709,6 +709,7 @@ def cmd_profile(args) -> int:
         id_col=args.id_col,
         text_col=args.text_col,
         dedup_stats=args.dedup,
+        gopher_stats=args.gopher,
     )
     line = json.dumps(report)
     if args.output:
@@ -1376,6 +1377,8 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--text-col", default="text")
     pf.add_argument("--dedup", action="store_true",
                     help="add exact-duplication stats (second job)")
+    pf.add_argument("--gopher", action="store_true",
+                    help="add per-Gopher-rule fail counts (same job)")
     pf.add_argument("--cpus", default=None)
     pf.set_defaults(fn=cmd_profile)
 

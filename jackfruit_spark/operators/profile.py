@@ -31,11 +31,18 @@ from jackfruit_spark.functions import text as T
 _PCTS = [0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
 
 
+def _all_true(cols) -> "F.Column":
+    from functools import reduce
+
+    return reduce(lambda a, b: a & b, cols)
+
+
 def profile_corpus(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     dedup_stats: bool = False,
+    gopher_stats: bool = False,
 ) -> dict:
     """Return the corpus report card as a JSON-serializable dict.
 
@@ -45,7 +52,12 @@ def profile_corpus(
     per lang_id bucket, descending). With ``dedup_stats=True`` adds
     ``distinct_texts``, ``dup_docs`` (docs beyond the first of each
     exact-content group) and ``dup_ratio`` — the second job.
+    ``gopher_stats=True`` adds ``gopher``: per-rule FAIL counts plus
+    the all-rules pass count (operators/curation.gopher_rule_columns)
+    — the knob-tuning signal before flipping the gate on; rides the
+    SAME single aggregate (8 more conditional sums, zero extra jobs).
     """
+    from jackfruit_spark.operators.curation import gopher_rule_columns
     blank = F.length(F.trim(F.col(text_col))) == 0
     # split(trim('')) is [''] not [] (the chunk empty-text lesson):
     # blank docs must be zero-token by explicit gate, not by size()
@@ -81,6 +93,21 @@ def profile_corpus(
             F.sum((lang == lg).cast("long")).alias(f"__lang_{lg}")
             for lg in langs
         ],
+        *(
+            [
+                F.sum((~col).cast("long")).alias(f"__gfail_{name}")
+                for name, col in gopher_rule_columns(text_col).items()
+            ]
+            + [
+                F.sum(
+                    _all_true(gopher_rule_columns(text_col).values()).cast(
+                        "long"
+                    )
+                ).alias("__gpass")
+            ]
+            if gopher_stats
+            else []
+        ),
     ).first()
 
     out = {
@@ -108,6 +135,16 @@ def profile_corpus(
             )
         ),
     }
+    if gopher_stats:
+        from jackfruit_spark.operators.curation import gopher_rule_columns as _grc
+
+        out["gopher"] = {
+            **{
+                name: int(row[f"__gfail_{name}"] or 0)
+                for name in _grc(text_col)
+            },
+            "pass": int(row["__gpass"] or 0),
+        }
     if dedup_stats:
         d = (
             df.groupBy(F.md5(F.col(text_col)).alias("__h"))

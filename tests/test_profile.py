@@ -55,3 +55,29 @@ def test_profile_cli(spark, docs, tmp_path, capsys):
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and printed["docs"] == 6
     assert json.load(open(out)) == printed
+
+
+def test_profile_gopher_stats(spark):
+    """gopher_stats=True: per-rule fail counts + all-pass count, one
+    job, consistent with gopher_clean's own verdicts."""
+    from jackfruit_spark.operators.curation import gopher_clean
+    from jackfruit_spark.operators.profile import profile_corpus
+
+    docs = spark.createDataFrame(
+        [
+            ("a", " ".join(
+                ["the", "be", "to", "of", "and"] * 12  # 60 words, stops
+            )),
+            ("b", "short doc"),
+            ("c", ""),
+        ],
+        "doc_id string, text string",
+    )
+    rep = profile_corpus(docs, gopher_stats=True)
+    g = rep["gopher"]
+    n_pass = gopher_clean(docs).count()
+    assert g["pass"] == n_pass
+    # blank + short docs fail the word-count rule; 'a' passes it
+    assert g["gopher_word_count"] == 2
+    # every fail count is bounded by the corpus
+    assert all(0 <= v <= 3 for v in g.values())
