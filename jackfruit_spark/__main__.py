@@ -476,6 +476,23 @@ def cmd_index_vectors(args) -> int:
         )
         print(json.dumps({"root": args.root, "mode": "maintain", **report}))
         return 0
+    elif args.mode == "delete":
+        if not args.ids and not args.input:
+            print(json.dumps({"error": "--ids or --input required"}))
+            return 2
+        from pyspark.sql import functions as F
+
+        h = IvfIndex(spark, args.root)
+        if args.input:
+            idx = h.delete(spark.read.parquet(args.input))
+        else:
+            # CLI id literals arrive as strings; cast to the index's type
+            id_col = h._manifest()["id_col"]
+            id_type = h._data_df().schema[id_col].dataType.simpleString()
+            ids = spark.createDataFrame(
+                [(s,) for s in args.ids.split(",") if s], f"{id_col} string"
+            ).select(F.col(id_col).cast(id_type).alias(id_col))
+            idx = h.delete(ids)
     else:  # rebuild (no --input; retrains on the indexed vectors)
         idx = IvfIndex(spark, args.root).rebuild(dedup=args.dedup)
     print(json.dumps({"root": args.root, "mode": args.mode, **idx.stats()}))
@@ -1253,13 +1270,16 @@ def build_parser() -> argparse.ArgumentParser:
     iv.add_argument("--root", required=True)
     iv.add_argument(
         "--mode",
-        choices=["build", "append", "rebuild", "maintain"],
+        choices=["build", "append", "rebuild", "maintain", "delete"],
         default="build",
     )
     iv.add_argument("--max-imbalance", type=float, default=3.0,
                     help="maintain only: rebuild above this cell skew")
     iv.add_argument("--input", default=None,
-                    help="parquet of (id, embedding) rows; build/append")
+                    help="parquet of (id, embedding) rows for build/"
+                         "append; parquet of ids for delete")
+    iv.add_argument("--ids", default=None,
+                    help="delete only: comma-separated id literals")
     iv.add_argument("--id-col", default="vec_id")
     iv.add_argument("--vec-col", default="embedding")
     iv.add_argument("--cells", type=int, default=32)

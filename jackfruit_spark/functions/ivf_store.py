@@ -281,9 +281,11 @@ class IvfIndex:
         sizes = sorted(r["count"] for r in rows)
         total = sum(sizes)
         mean = total / len(sizes)
+        t = self._tombstones()
         return {
             "cells": len(sizes),
-            "rows": total,
+            "rows": total,  # PHYSICAL rows; tombstoned ids still counted
+            "deleted": t.distinct().count() if t is not None else 0,
             "min": sizes[0],
             "p50": sizes[len(sizes) // 2],
             "max": sizes[-1],
@@ -313,8 +315,10 @@ class IvfIndex:
         but deterministic winner via max(vec) — absorbs the bounded
         at-least-once window of ``streaming.vectors`` replays)."""
         meta = self._manifest()
-        df = self.spark.read.parquet(self.data_path).select(
-            meta["id_col"], meta["vec_col"]
+        df = self._mask(
+            self.spark.read.parquet(self.data_path).select(
+                meta["id_col"], meta["vec_col"]
+            )
         )
         if dedup:
             df = df.groupBy(meta["id_col"]).agg(
@@ -335,6 +339,14 @@ class IvfIndex:
             pq_opq=("rotation" in pq) if pq else False,
             sq8="sq" in meta,  # SQ envelope retrains like the PQ books
         )
+        # tombstone compaction: masked rows were dropped above (rebuild
+        # reads through _mask), so the tombstones are spent — clear AFTER
+        # the manifest swap (a crash in between leaves harmless
+        # double-masking of already-gone ids, never resurrections)
+        if os.path.isdir(self.deletes_dir):
+            import shutil
+
+            shutil.rmtree(self.deletes_dir, ignore_errors=True)
         self._meta = rebuilt._meta  # this handle follows the swap
         return rebuilt
 
@@ -353,7 +365,10 @@ class IvfIndex:
         return removed
 
     def maintain(
-        self, max_imbalance: float = 3.0, vacuum: bool = True
+        self,
+        max_imbalance: float = 3.0,
+        vacuum: bool = True,
+        max_deleted_frac: float = 0.2,
     ) -> dict:
         """The measured drift policy as one call (PERFORMANCE.md r8:
         frozen-centroid appends grew imbalance 2 -> 6 while nprobe=2
@@ -364,13 +379,72 @@ class IvfIndex:
         ``rebuilt``/``vacuumed`` keys — cron-able as
         ``python -m jackfruit_spark index-vectors --mode maintain``."""
         st = self.stats()
-        rebuilt = st["imbalance"] > max_imbalance
+        # two rebuild triggers: quantizer drift (imbalance) and tombstone
+        # debt (every search pays the anti-join + scans dead rows)
+        rebuilt = (
+            st["imbalance"] > max_imbalance
+            or st["deleted"] / max(st["rows"], 1) > max_deleted_frac
+        )
         if rebuilt:
             self.rebuild()
             if vacuum:
                 st["vacuumed"] = self.vacuum()
             st["after"] = self.stats()
         return {**st, "rebuilt": rebuilt}
+
+    # ------------------------------------------------------------ deletes
+
+    @property
+    def deletes_dir(self) -> str:
+        return os.path.join(self.root, "deletes")
+
+    def delete(self, ids) -> "IvfIndex":
+        """Tombstone deletes — the Lucene/segment-store pattern: removing
+        a vector never rewrites cell partitions; the id lands in a tiny
+        ``deletes/`` parquet that every read path anti-joins (broadcast —
+        tombstones are deletion-sized, not corpus-sized). ``rebuild()``
+        is the compaction: it drops masked rows physically and clears
+        the tombstones with the version swap.
+
+        Semantics: id-level masking. A deleted id stays masked even if
+        ``append`` later re-adds it; to resurrect an id, ``rebuild()``
+        first (drops the old row + clears its tombstone), then append.
+
+        ``ids``: a python list, or a DataFrame whose FIRST column is the
+        id. Idempotent — deleting twice appends a duplicate tombstone
+        row, which the anti-join ignores and rebuild clears."""
+        meta = self._manifest()
+        id_col = meta["id_col"]
+        if isinstance(ids, DataFrame):
+            df = ids.select(F.col(ids.columns[0]).alias(id_col))
+        else:
+            id_type = (
+                self._data_df().schema[id_col].dataType.simpleString()
+            )
+            df = self.spark.createDataFrame(
+                [(i,) for i in ids], f"{id_col} {id_type}"
+            )
+        # plain parquet append: files surface only after task commit, and
+        # masking is idempotent, so a crashed partial batch just means
+        # re-issuing the delete
+        df.write.mode("append").parquet(self.deletes_dir)
+        return self
+
+    def _tombstones(self) -> DataFrame | None:
+        d = self.deletes_dir
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return None
+        return self.spark.read.parquet(d)
+
+    def _mask(self, df: DataFrame) -> DataFrame:
+        t = self._tombstones()
+        if t is None:
+            return df
+        return df.join(
+            F.broadcast(t.distinct()), self._manifest()["id_col"], "left_anti"
+        )
 
     def append(self, df: DataFrame) -> "IvfIndex":
         """Incremental index maintenance (the serving-table pattern): new
@@ -428,8 +502,10 @@ class IvfIndex:
         (e.g. an extra metadata filter before the distance top-k)."""
         meta = self._manifest()
         cells = nearest_cells(query_vec, meta["centroids"], nprobe)
-        return self._data_df().filter(
-            F.col("ivf_cell").isin([int(c) for c in cells])
+        return self._mask(
+            self._data_df().filter(
+                F.col("ivf_cell").isin([int(c) for c in cells])
+            )
         )
 
     def search(
@@ -578,7 +654,9 @@ class IvfIndex:
         cells = sorted(
             int(r[0]) for r in q.select("ivf_cell").distinct().collect()
         )
-        pruned = self._data_df().filter(F.col("ivf_cell").isin(cells))
+        pruned = self._mask(
+            self._data_df().filter(F.col("ivf_cell").isin(cells))
+        )
         if mode == "exact":
             b = pruned.select(
                 F.col(id_b).alias("__bid"),

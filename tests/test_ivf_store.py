@@ -633,3 +633,98 @@ class TestIvfSq:
         )
         with pytest.raises(ValueError, match="without sq8"):
             idx.knn_join(q, "qid", "qv", k=2, mode="sq")
+
+
+class TestDeletes:
+    def test_delete_masks_every_read_path(self, spark, tmp_path, vectors):
+        """Tombstoned ids vanish from exact/SQ/ADC search AND the batch
+        join without any partition rewrite; rebuild compacts them away
+        and clears the tombstones."""
+        df, rows = vectors
+        root = str(tmp_path / "ivfdel")
+        idx = IvfIndex.build(
+            df, "vec_id", "embedding", root,
+            k=8, seed=42, sq8=True, pq_m=4, sample_fraction=1.0,
+        )
+        qv = rows[5][1]
+        top = idx.search(qv, k=3, nprobe=8).collect()
+        victim = top[0]["vec_id"]  # the query's own vector
+        idx.delete([victim])
+        assert idx.stats()["deleted"] == 1
+        for mode, kw in (("exact", {}), ("sq", {"rerank": 20}),
+                         ("adc", {"rerank": 20})):
+            got = {r["vec_id"] for r in idx.search(
+                qv, k=5, nprobe=8, mode=mode, **kw
+            ).collect()}
+            assert victim not in got, mode
+        q = df.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        joined = {r["vec_id"] for r in idx.knn_join(
+            q, "qid", "qv", k=5, nprobe=8
+        ).collect()}
+        assert victim not in joined
+        # deleting twice is a no-op for readers
+        idx.delete([victim])
+        assert idx.stats()["deleted"] == 1
+
+        n_before = idx.stats()["rows"]
+        rebuilt = idx.rebuild(seed=1)
+        st = rebuilt.stats()
+        assert st["rows"] == n_before - 1 and st["deleted"] == 0
+        assert not os.path.isdir(idx.deletes_dir)
+        got = {r["vec_id"] for r in rebuilt.search(qv, k=5, nprobe=8).collect()}
+        assert victim not in got
+
+    def test_delete_frame_and_reappend_semantics(self, spark, tmp_path, vectors):
+        """DataFrame-shaped deletes work; a re-appended deleted id stays
+        masked until rebuild (id-level tombstone, documented)."""
+        df, rows = vectors
+        root = str(tmp_path / "ivfdel2")
+        idx = IvfIndex.build(
+            df.filter(F.col("vec_id") < 100), "vec_id", "embedding", root,
+            k=4, seed=42, sample_fraction=1.0,
+        )
+        ids = spark.createDataFrame([(7,), (9,)], "vec_id long")
+        idx.delete(ids)
+        qv = rows[7][1]
+        got = {r["vec_id"] for r in idx.search(qv, k=10, nprobe=4).collect()}
+        assert 7 not in got and 9 not in got
+        # re-append id 7: still masked (tombstone outlives the append)
+        idx.append(df.filter(F.col("vec_id") == 7))
+        got = {r["vec_id"] for r in idx.search(qv, k=10, nprobe=4).collect()}
+        assert 7 not in got
+        # rebuild drops BOTH copies + clears; a fresh append resurrects
+        rebuilt = idx.rebuild(seed=2)
+        idx.append(df.filter(F.col("vec_id") == 7))
+        got = {r["vec_id"] for r in rebuilt.search(qv, k=10, nprobe=4).collect()}
+        assert 7 in got
+
+    def test_maintain_rebuilds_on_tombstone_debt(self, spark, tmp_path, vectors):
+        df, rows = vectors
+        idx = IvfIndex.build(
+            df.filter(F.col("vec_id") < 100), "vec_id", "embedding",
+            str(tmp_path / "ivfdel3"), k=4, seed=42, sample_fraction=1.0,
+        )
+        idx.delete(list(range(30)))  # 30% tombstone debt > default 20%
+        report = idx.maintain(max_imbalance=1e9)  # imbalance can't trip
+        assert report["rebuilt"] is True
+        assert report["after"]["rows"] == 70
+        assert report["after"]["deleted"] == 0
+
+    def test_cli_delete(self, spark, tmp_path, vectors, capsys):
+        import json as _json
+
+        from jackfruit_spark.__main__ import main
+
+        df, rows = vectors
+        src = str(tmp_path / "vecs")
+        df.write.parquet(src)
+        root = str(tmp_path / "ivfcli")
+        assert main(["index-vectors", "--root", root, "--input", src,
+                     "--cells", "4"]) == 0
+        capsys.readouterr()
+        assert main(["index-vectors", "--root", root, "--mode", "delete",
+                     "--ids", "1,2,3"]) == 0
+        got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert got["deleted"] == 3
