@@ -533,6 +533,25 @@ def cmd_index_corpus(args) -> int:
         report = LshIndex(spark, args.root).maintain()
         print(json.dumps({"root": args.root, "mode": "maintain", **report}))
         return 0
+    elif args.mode == "delete":
+        if not args.ids and not args.input:
+            print(json.dumps({"error": "--ids or --input required"}))
+            return 2
+        from pyspark.sql import functions as F
+
+        h = LshIndex(spark, args.root)
+        if args.input:
+            idx = h.delete(spark.read.parquet(args.input))
+        else:
+            id_col = h._manifest()["id_col"]
+            _, sigs = h._readers()
+            id_type = sigs.schema[id_col].dataType.simpleString()
+            idx = h.delete(
+                spark.createDataFrame(
+                    [(x,) for x in args.ids.split(",") if x],
+                    f"{id_col} string",
+                ).select(F.col(id_col).cast(id_type).alias(id_col))
+            )
     elif args.mode == "stats":
         idx = LshIndex(spark, args.root)
     else:  # rebuild: dedup sigs -> fresh version -> manifest swap
@@ -762,6 +781,23 @@ def cmd_index_bm25(args) -> int:
         print(json.dumps({"root": args.root, "mode": "vacuum",
                           "removed": removed}))
         return 0
+    elif args.mode == "delete":
+        if not args.ids and not args.input:
+            print(json.dumps({"error": "--ids or --input required"}))
+            return 2
+        from pyspark.sql import functions as F
+
+        h = Bm25Index(spark, args.root)
+        if args.input:
+            idx = h.delete(spark.read.parquet(args.input))
+        else:
+            postings, _ = h._readers()
+            id_type = postings.schema["id"].dataType.simpleString()
+            idx = h.delete(
+                spark.createDataFrame(
+                    [(x,) for x in args.ids.split(",") if x], "id string"
+                ).select(F.col("id").cast(id_type).alias("id"))
+            )
     elif args.mode == "stats":
         idx = Bm25Index(spark, args.root)
     else:  # rebuild: compact postings -> fresh version -> manifest swap
@@ -1304,7 +1340,7 @@ def build_parser() -> argparse.ArgumentParser:
     ic.add_argument("--root", required=True)
     ic.add_argument(
         "--mode",
-        choices=["build", "append", "rebuild", "vacuum", "stats", "maintain"],
+        choices=["build", "append", "rebuild", "vacuum", "stats", "maintain", "delete"],
         default="build",
     )
     ic.add_argument("--input", default=None,
@@ -1316,6 +1352,8 @@ def build_parser() -> argparse.ArgumentParser:
     ic.add_argument("--rows-per-band", type=int, default=4)
     ic.add_argument("--shingle-k", type=int, default=3)
     ic.add_argument("--parts", type=int, default=64)
+    ic.add_argument("--ids", default=None,
+                    help="delete only: comma-separated id literals")
     ic.add_argument("--cpus", default=None)
     ic.set_defaults(fn=cmd_index_corpus)
 
@@ -1409,7 +1447,7 @@ def build_parser() -> argparse.ArgumentParser:
     ib.add_argument("--root", required=True)
     ib.add_argument(
         "--mode",
-        choices=["build", "append", "rebuild", "vacuum", "stats"],
+        choices=["build", "append", "rebuild", "vacuum", "stats", "delete"],
         default="build",
     )
     ib.add_argument("--input", default=None,
@@ -1419,6 +1457,8 @@ def build_parser() -> argparse.ArgumentParser:
     ib.add_argument("--k1", type=float, default=1.2)
     ib.add_argument("--b", type=float, default=0.75)
     ib.add_argument("--parts", type=int, default=64)
+    ib.add_argument("--ids", default=None,
+                    help="delete only: comma-separated id literals")
     ib.add_argument("--cpus", default=None)
     ib.set_defaults(fn=cmd_index_bm25)
 

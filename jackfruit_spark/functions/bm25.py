@@ -147,6 +147,51 @@ class Bm25Index:
         ]
         return f"data_v{max(versions, default=0) + 1}"
 
+    # ---------------------------------------------------------- deletes
+
+    @property
+    def deletes_dir(self) -> str:
+        return os.path.join(self.root, "deletes")
+
+    def delete(self, ids) -> "Bm25Index":
+        """Tombstone deletes (the IvfIndex.delete pattern, r9): ids land
+        in a tiny ``deletes/`` parquet; ``search`` anti-joins the pruned
+        postings leg broadcast-side, so removed docs never score —
+        without rewriting a single postings partition (a doc's terms
+        scatter across ALL tp partitions, so physical per-delete
+        rewrites would touch the whole index; this is exactly why
+        Lucene uses delete markers + merge-time purge).
+
+        Lucene-faithful staleness: N, avgdl and per-term df keep
+        counting deleted docs until ``rebuild()`` compacts — scores of
+        SURVIVING docs shift by at most the deleted share of those
+        global stats, never resurrect a deleted doc. ``ids``: list or
+        DataFrame (first column)."""
+        postings, _ = self._readers()
+        if isinstance(ids, DataFrame):
+            df = ids.select(F.col(ids.columns[0]).alias("id"))
+        else:
+            id_type = postings.schema["id"].dataType.simpleString()
+            df = self.spark.createDataFrame(
+                [(i,) for i in ids], f"id {id_type}"
+            )
+        df.write.mode("append").parquet(self.deletes_dir)
+        return self
+
+    def _tombstones(self) -> DataFrame | None:
+        d = self.deletes_dir
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return None
+        return self.spark.read.parquet(d)
+
+    def _mask(self, df: DataFrame) -> DataFrame:
+        t = self._tombstones()
+        if t is None:
+            return df
+        return df.join(F.broadcast(t.distinct()), "id", "left_anti")
+
     def _swap_manifest(self, meta: dict) -> None:
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
@@ -250,6 +295,7 @@ class Bm25Index:
         """
         m = self._manifest()
         postings, termstats = self._readers()
+        postings = self._mask(postings)  # tombstoned docs never score
         qterms = self._query_terms(queries, query_id_col, query_col).withColumn(
             "tp", F.pmod(F.xxhash64("term"), F.lit(m["parts"]))
         )
@@ -374,6 +420,9 @@ class Bm25Index:
         dl) are the source of truth; text is never re-read."""
         m = self._manifest()
         postings, _ = self._readers()
+        # tombstone compaction: masked rows drop physically here, and
+        # every derived stat (df, N, total_dl) re-derives without them
+        postings = self._mask(postings)
         data_dir = self._next_version()
         post_path = os.path.join(self.root, data_dir, "postings")
         postings.select("term", "id", "tf", "dl", "tp").repartition(
@@ -401,6 +450,12 @@ class Bm25Index:
             "n_docs": int(agg["n"]),
             "total_dl": int(agg["t"] or 0),
         })
+        # clear spent tombstones AFTER the swap (the IvfIndex rule: a
+        # crash in between double-masks already-gone ids, harmlessly)
+        if os.path.isdir(self.deletes_dir):
+            import shutil
+
+            shutil.rmtree(self.deletes_dir, ignore_errors=True)
         self._invalidate()
         return self
 
@@ -433,8 +488,10 @@ class Bm25Index:
         n_files = 0
         for base, _dirs, files in os.walk(os.path.join(self.data_path, "postings")):
             n_files += sum(1 for f in files if f.endswith(".parquet"))
+        t = self._tombstones()
         return {
-            "n_docs": m["n_docs"],
+            "n_docs": m["n_docs"],  # PHYSICAL; tombstones still counted
+            "deleted": t.distinct().count() if t is not None else 0,
             "avgdl": m["total_dl"] / max(m["n_docs"], 1),
             "vocab": termstats.count(),
             "postings_rows": postings.count(),

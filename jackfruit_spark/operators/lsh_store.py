@@ -104,6 +104,49 @@ class LshIndex:
                 self._meta = json.load(f)
         return self._meta
 
+    # ---------------------------------------------------------- deletes
+
+    @property
+    def deletes_dir(self) -> str:
+        return os.path.join(self.root, "deletes")
+
+    def delete(self, ids) -> "LshIndex":
+        """Tombstone deletes (the IvfIndex.delete pattern, r9): removed
+        corpus docs stop producing candidate pairs — a delta that
+        near-duplicates ONLY deleted docs now keeps — without rewriting
+        sig/posting partitions. Masking anti-joins the pruned postings
+        scan broadcast-side; ``rebuild()`` compacts (drops masked sigs,
+        re-derives postings, clears tombstones after the swap).
+        ``ids``: list or DataFrame (first column)."""
+        m = self._manifest()
+        id_col = m["id_col"]
+        if isinstance(ids, DataFrame):
+            df = ids.select(F.col(ids.columns[0]).alias(id_col))
+        else:
+            _, sigs = self._readers()
+            id_type = sigs.schema[id_col].dataType.simpleString()
+            df = self.spark.createDataFrame(
+                [(i,) for i in ids], f"{id_col} {id_type}"
+            )
+        df.write.mode("append").parquet(self.deletes_dir)
+        return self
+
+    def _tombstones(self) -> DataFrame | None:
+        d = self.deletes_dir
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return None
+        return self.spark.read.parquet(d)
+
+    def _mask(self, df: DataFrame) -> DataFrame:
+        t = self._tombstones()
+        if t is None:
+            return df
+        return df.join(
+            F.broadcast(t.distinct()), self._manifest()["id_col"], "left_anti"
+        )
+
     # ------------------------------------------------------------ build
 
     @staticmethod
@@ -234,7 +277,11 @@ class LshIndex:
         bps = [
             r["bp"] for r in banded_b.select("bp").distinct().collect()
         ]
-        pruned = postings.filter(F.col("bp").isin(bps)).select(
+        # tombstone mask BEFORE the alias (the id column must still
+        # carry the index's name for the anti-join); a pair requires a
+        # posting row, so masking postings alone removes deleted docs
+        # from every downstream path (verify join included)
+        pruned = self._mask(postings.filter(F.col("bp").isin(bps))).select(
             F.col(id_col).alias("corpus_id"), "band", "band_hash"
         )
         pairs = (
@@ -381,7 +428,8 @@ class LshIndex:
 
         w = Window.partitionBy(id_col).orderBy(F.col("signature"))
         deduped = (
-            sigs.withColumn("__rn", F.row_number().over(w))
+            self._mask(sigs)  # tombstone compaction rides the rewrite
+            .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
@@ -394,6 +442,11 @@ class LshIndex:
         )
         m["data_dir"] = data_dir
         self._swap_manifest(m)
+        # clear spent tombstones AFTER the swap (the IvfIndex rule)
+        if os.path.isdir(self.deletes_dir):
+            import shutil
+
+            shutil.rmtree(self.deletes_dir, ignore_errors=True)
         self._invalidate()
         return self
 
@@ -418,7 +471,10 @@ class LshIndex:
         distinct_docs = sigs.select(m["id_col"]).distinct().count()
         frag = st["posting_files"] / max(1, m["parts"])
         replayed = st["n_docs"] > distinct_docs
-        rebuilt = frag > max_files_per_part or replayed
+        # third trigger (r9): tombstone debt — probes pay the anti-join
+        # and scan dead postings until compaction
+        debt = st["deleted"] / max(st["n_docs"], 1) > 0.2
+        rebuilt = frag > max_files_per_part or replayed or debt
         st["distinct_docs"] = distinct_docs
         if rebuilt:
             self.rebuild()
@@ -465,8 +521,10 @@ class LshIndex:
         proot = os.path.join(self.data_path, "postings")
         for _, _, fs in os.walk(proot):
             files += sum(1 for f in fs if f.endswith(".parquet"))
+        t = self._tombstones()
         return {
-            "n_docs": n_docs,
+            "n_docs": n_docs,  # PHYSICAL; tombstones still counted
+            "deleted": t.distinct().count() if t is not None else 0,
             "n_postings": int(row["n_postings"] or 0),
             # hot-bucket signal: a degenerate band value (boilerplate
             # corpora) makes one probe reducer do |bucket| work per

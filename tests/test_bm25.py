@@ -275,3 +275,38 @@ def test_decontaminate_retrieval(spark, tmp_path):
 def test_build_validates(spark, docs_df, tmp_path):
     with pytest.raises(ValueError, match="parts"):
         Bm25Index.build(docs_df, "doc_id", "text", str(tmp_path / "x"), parts=0)
+
+
+def test_delete_masks_and_rebuild_compacts(spark, docs_df, tmp_path):
+    """Tombstoned docs never score (no postings rewrite); global stats
+    stay Lucene-stale until rebuild, which compacts to EXACTLY the
+    fresh-build of the surviving corpus (python_bm25 parity)."""
+    from jackfruit_spark.functions.bm25 import python_bm25
+
+    root = str(tmp_path / "bm25del")
+    idx = Bm25Index.build(docs_df, "doc_id", "text", root, parts=16)
+    qdf = spark.createDataFrame(
+        [("q1", "quick brown fox")], "query_id string, query string"
+    )
+    before = {r["id"] for r in idx.search(qdf, k=10).collect()}
+    assert "d11" in before and "d01" in before
+    idx.delete(["d11", "d01"])
+    assert idx.stats()["deleted"] == 2
+    got = {r["id"] for r in idx.search(qdf, k=10).collect()}
+    assert "d11" not in got and "d01" not in got and got
+    # stats stale by design until rebuild: N unchanged
+    assert idx.stats()["n_docs"] == 11  # d10 is tokenless, never indexed
+
+    idx.rebuild()
+    st = idx.stats()
+    assert st["deleted"] == 0 and st["n_docs"] == 9
+    assert not os.path.isdir(idx.deletes_dir)
+    # post-compaction scores == python reference over the survivors
+    survivors = [(d, t) for d, t in DOCS if d not in ("d11", "d01")]
+    want = python_bm25(survivors, [("q1", "quick brown fox")], k=10)["q1"]
+    rows = idx.search(qdf, k=10).collect()
+    got_ranked = [
+        (r["id"], round(r["score"], 6))
+        for r in sorted(rows, key=lambda r: r["rank"])
+    ]
+    assert got_ranked == [(d, round(s, 6)) for d, s in want]

@@ -291,3 +291,45 @@ def test_build_validates_geometry(spark, corpus, tmp_path):
             corpus, "doc_id", "text", str(tmp_path / "bad"),
             num_hashes=16, bands=8, rows_per_band=4,
         )
+
+
+def test_delete_unmasks_corpus_collisions(spark, corpus, tmp_path):
+    """A delta near-duplicating ONLY a deleted corpus doc must keep;
+    rebuild compacts the tombstones away and preserves the decision."""
+    root = str(tmp_path / "lshdel")
+    idx = LshIndex.build(
+        corpus, "doc_id", "text", root, num_hashes=32, bands=8,
+        rows_per_band=4, shingle_k=3, parts=16,
+    )
+    delta = spark.createDataFrame(
+        [(100, _text(3))], "doc_id long, text string"  # exact copy of 3
+    )
+    flags = {r["doc_id"]: r for r in idx.dedup_batch(delta).collect()}
+    assert flags[100]["dup_of_corpus"] and not flags[100]["keep"]
+
+    idx.delete([3])
+    assert idx.stats()["deleted"] == 1
+    flags = {r["doc_id"]: r for r in idx.dedup_batch(delta).collect()}
+    assert not flags[100]["dup_of_corpus"] and flags[100]["keep"]
+
+    idx.rebuild()
+    st = idx.stats()
+    assert st["deleted"] == 0 and st["n_docs"] == 49
+    import os as _os
+
+    assert not _os.path.isdir(idx.deletes_dir)
+    flags = {r["doc_id"]: r for r in idx.dedup_batch(delta).collect()}
+    assert flags[100]["keep"]
+
+
+def test_maintain_rebuilds_on_tombstone_debt(spark, corpus, tmp_path):
+    root = str(tmp_path / "lshdebt")
+    idx = LshIndex.build(
+        corpus, "doc_id", "text", root, num_hashes=32, bands=8,
+        rows_per_band=4, shingle_k=3, parts=16,
+    )
+    idx.delete(list(range(15)))  # 30% > the 20% debt trigger
+    report = idx.maintain(max_files_per_part=1e9)
+    assert report["rebuilt"] is True
+    assert report["after"]["n_docs"] == 35
+    assert report["after"]["deleted"] == 0
