@@ -950,6 +950,9 @@ def cmd_ingest_corpus(args) -> int:
     optional BM25/IVF index appends. Idempotent: done batches are
     skipped via the ledger. Prints one JSON line of applied-batch
     stats."""
+    if not args.retract and not args.input:
+        print(json.dumps({"error": "--input required (or --retract)"}))
+        return 2
     spark = _spark(args.cpus)
     from jackfruit_spark.operators.ingest_job import CorpusIngestJob
 
@@ -964,6 +967,11 @@ def cmd_ingest_corpus(args) -> int:
         with_bm25=args.bm25,
         ivf_dim=args.ivf_dim,
     )
+    if args.retract:
+        out = {"retracted": job.retract_batch(args.retract),
+               "ledger": job.stats()}
+        print(json.dumps(out))
+        return 0
     applied = job.process_pending(args.input)
     out = {"applied": applied, "ledger": job.stats()}
     if args.maintain:
@@ -1535,8 +1543,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="incremental crawl ingestion: curate + dedup + index appends",
     )
     ic.add_argument("--root", required=True, help="job state root")
-    ic.add_argument("--input", required=True,
-                    help="landing dir of batch=<id>/ parquet directories")
+    ic.add_argument("--input", default=None,
+                    help="landing dir of batch=<id>/ parquet directories "
+                         "(required unless --retract)")
+    ic.add_argument("--retract", default=None, metavar="BATCH_ID",
+                    help="takedown: tombstone a done batch's docs out of "
+                         "corpus + indexes instead of ingesting")
     ic.add_argument("--lang", default="en",
                     help="language gate ('' disables)")
     ic.add_argument("--min-tokens", type=int, default=5)

@@ -423,6 +423,13 @@ class Bm25Index:
         # tombstone compaction: masked rows drop physically here, and
         # every derived stat (df, N, total_dl) re-derives without them
         postings = self._mask(postings)
+        if not postings.head(1):
+            # zero-row partitioned postings are unreadable (the
+            # ingest-job bootstrap lesson): fail loudly instead
+            raise ValueError(
+                "rebuild would produce an empty index (every doc "
+                "deleted?) — drop the index directory instead"
+            )
         data_dir = self._next_version()
         post_path = os.path.join(self.root, data_dir, "postings")
         postings.select("term", "id", "tf", "dl", "tp").repartition(

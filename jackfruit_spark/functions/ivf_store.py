@@ -324,6 +324,14 @@ class IvfIndex:
             df = df.groupBy(meta["id_col"]).agg(
                 F.max(meta["vec_col"]).alias(meta["vec_col"])
             )
+        if not df.head(1):
+            # a zero-row partitionBy parquet has no files to infer a
+            # schema from (the ingest-job bootstrap lesson): refuse to
+            # compact a fully-tombstoned index into an unreadable one
+            raise ValueError(
+                "rebuild would produce an empty index (every row "
+                "deleted?) — drop the index directory instead"
+            )
         pq = meta.get("pq")
         rebuilt = IvfIndex.build(
             df,

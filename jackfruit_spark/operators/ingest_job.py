@@ -250,6 +250,78 @@ class CorpusIngestJob:
                 emb, self.id_col, "embedding", root, k=cells
             )
 
+    # -------------------------------------------------------- takedown
+    def retract_batch(self, batch_id: str) -> dict:
+        """Takedown: remove a DONE batch's documents from the landed
+        corpus and tombstone them out of every index leg that was
+        applied — the operational answer to legal/compliance removals
+        without rewriting any index partition (r9 delete markers:
+        IvfIndex/Bm25Index/LshIndex.delete; the next
+        rebuild()/maintain() compacts them physically).
+
+        Semantics: this RETRACTS data, it does not BLOCK re-ingestion —
+        with the batch's docs tombstoned out of the LSH corpus, a
+        future crawl carrying a copy will be admitted again (by design:
+        dedup state must not resurrect removed content as a phantom
+        keeper). A denylist is a separate, upstream concern
+        (``curate_corpus(decontam_bench=...)`` over the removal set is
+        the one-liner if re-ingestion must also be blocked).
+
+        Idempotent: a second retract returns the recorded outcome and
+        touches nothing. Crash-safe order: tombstones first (extra
+        tombstones for already-gone docs are harmless), corpus
+        partition removal second (rename-aside then delete — readers
+        see the partition vanish atomically), ledger update last."""
+        import shutil
+
+        marker = self._marker(batch_id)
+        if not os.path.exists(marker):
+            raise ValueError(f"unknown or un-ingested batch {batch_id!r}")
+        with open(marker) as f:
+            stats = json.load(f)
+        if stats.get("retracted"):
+            return {**stats, "applied": False}
+        part = os.path.join(self.root, "corpus", f"batch={batch_id}")
+        n_docs = 0
+        if os.path.isdir(part):
+            ids = self.spark.read.parquet(part).select(self.id_col)
+            n_docs = ids.count()
+            legs = []
+            lsh = self._lsh()
+            if os.path.exists(lsh.manifest_path):
+                lsh.delete(ids)
+                legs.append("lsh")
+            if self.with_bm25:
+                from jackfruit_spark.functions.bm25 import Bm25Index
+
+                b = Bm25Index(self.spark, os.path.join(self.root, "bm25"))
+                if os.path.exists(b.manifest_path):
+                    b.delete(ids)
+                    legs.append("bm25")
+            if self.ivf_dim is not None:
+                from jackfruit_spark.functions.ivf_store import IvfIndex
+
+                v = IvfIndex(self.spark, os.path.join(self.root, "ivf"))
+                if os.path.exists(v.manifest_path):
+                    v.delete(ids)
+                    legs.append("ivf")
+            # dot-prefixed aside (NOT .trash- : _repair_compaction would
+            # RESTORE that on the next read), rename first so readers
+            # never see a half-deleted partition
+            aside = os.path.join(self.root, "corpus", f".retract-{batch_id}")
+            shutil.rmtree(aside, ignore_errors=True)
+            os.rename(part, aside)
+            shutil.rmtree(aside)
+        else:
+            legs = []
+        stats = {**stats, "retracted": True, "retracted_docs": n_docs,
+                 "retracted_legs": legs}
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, marker)
+        return {**stats, "applied": True}
+
     # ------------------------------------------------------ pending scan
     def process_pending(self, landing_root: str) -> list[dict]:
         """Run every ``batch=<id>`` directory under ``landing_root``

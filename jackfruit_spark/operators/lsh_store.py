@@ -433,6 +433,13 @@ class LshIndex:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        if not deduped.head(1):
+            # zero-row partitioned postings are unreadable (the
+            # ingest-job bootstrap lesson): fail loudly instead
+            raise ValueError(
+                "rebuild would produce an empty index (every doc "
+                "deleted?) — drop the index directory instead"
+            )
         data_dir = self._next_version()
         sigs_path = os.path.join(self.root, data_dir, "sigs")
         deduped.write.mode("overwrite").parquet(sigs_path)

@@ -317,3 +317,94 @@ def test_compact(spark, tmp_path):
     for bid, (nb, na) in report.items():
         assert na == 1 and nb >= na
     assert sorted(map(tuple, job.corpus().collect())) == before
+
+def test_retract_batch_takedown(spark, tmp_path):
+    """Takedown: a retracted batch's docs vanish from corpus() AND stop
+    counting as corpus collisions in future dedup; idempotent; a copy
+    re-ingested later is admitted again (retraction != denylist)."""
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE, with_bm25=True,
+    )
+    job.run_batch("d1", _docs(spark, BATCH1))
+    job.run_batch("d2", _docs(spark, BATCH2))
+    assert sorted(r["doc_id"] for r in job.corpus().collect()) == [
+        "a1", "a3", "b2"
+    ]
+
+    out = job.retract_batch("d1")
+    assert out["applied"] and out["retracted_docs"] == 2
+    assert set(out["retracted_legs"]) == {"lsh", "bm25"}
+    assert sorted(r["doc_id"] for r in job.corpus().collect()) == ["b2"]
+    # idempotent
+    again = job.retract_batch("d1")
+    assert again["applied"] is False and again["retracted"]
+    # ledger keeps the history
+    led = {s["batch_id"]: s for s in job.stats()}
+    assert led["d1"]["retracted"] and "retracted" not in led["d2"]
+
+    # a copy of retracted a1 arrives in a NEW batch: admitted again
+    s3 = job.run_batch("d3", _docs(spark, [("c1", BATCH1[0][1])]))
+    assert s3["kept"] == 1 and s3["dropped_dup"] == 0
+    assert "c1" in {r["doc_id"] for r in job.corpus().collect()}
+
+    with pytest.raises(ValueError, match="unknown"):
+        job.retract_batch("nope")
+
+
+def test_retract_then_bm25_search_masks(spark, tmp_path):
+    from jackfruit_spark.functions.bm25 import Bm25Index
+
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE, with_bm25=True,
+    )
+    job.run_batch("d1", _docs(spark, BATCH1))
+    idx = Bm25Index(spark, os.path.join(job.root, "bm25"))
+    q = spark.createDataFrame(
+        [("q", "quick brown fox")], "query_id string, query string"
+    )
+    assert {r["id"] for r in idx.search(q, k=5).collect()} == {"a1"}
+    job.retract_batch("d1")
+    assert idx.search(q, k=5).collect() == []
+
+
+def test_rebuild_empty_index_raises(spark, tmp_path):
+    """Compacting a fully-tombstoned index must fail loudly, not write
+    an unreadable zero-row partitioned layout (all three families)."""
+    from jackfruit_spark.functions.bm25 import Bm25Index
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+    from jackfruit_spark.operators.lsh_store import LshIndex
+
+    docs = _docs(spark, BATCH1)
+    b = Bm25Index.build(docs, "doc_id", "text", str(tmp_path / "b"), parts=4)
+    b.delete([d for d, _ in BATCH1])
+    with pytest.raises(ValueError, match="empty index"):
+        b.rebuild()
+    l = LshIndex.build(docs, "doc_id", "text", str(tmp_path / "l"), parts=4)
+    l.delete([d for d, _ in BATCH1])
+    with pytest.raises(ValueError, match="empty index"):
+        l.rebuild()
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    v = IvfIndex.build(
+        vecs, "vec_id", "embedding", str(tmp_path / "v"),
+        centroids=[[1.0, 0.0], [0.0, 1.0]],
+    )
+    v.delete([1, 2])
+    with pytest.raises(ValueError, match="empty index"):
+        v.rebuild()
+
+
+def test_cli_retract(spark, tmp_path, capsys):
+    from jackfruit_spark.__main__ import main
+
+    landing = tmp_path / "landing"
+    _docs(spark, BATCH1).write.parquet(str(landing / "batch=d1"))
+    root = str(tmp_path / "job")
+    assert main(["ingest-corpus", "--root", root, "--input", str(landing),
+                 "--lang", "", "--min-tokens", "3"]) == 0
+    capsys.readouterr()
+    assert main(["ingest-corpus", "--root", root, "--retract", "d1"]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["retracted"]["retracted_docs"] == 2
+    assert got["ledger"][0]["retracted"] is True
