@@ -539,6 +539,127 @@ def resize_images(df: DataFrame, width: int = 4, height: int = 4, fake: bool = T
     )
 
 
+PHASH = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), True),  # None when undecodable
+    ]
+)
+
+_DCT_CACHE: dict[int, np.ndarray] = {}
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n x n): row k is
+    c(k) * cos(pi * (2i + 1) * k / (2n)). 2-D DCT of a block A is then
+    D @ A @ D.T — two small matmuls, no FFT library needed (scipy is
+    absent in this container; at 32x32 the matmul form is microseconds)."""
+    d = _DCT_CACHE.get(n)
+    if d is None:
+        k = np.arange(n, dtype=np.float64)[:, None]
+        i = np.arange(n, dtype=np.float64)[None, :]
+        d = np.cos(np.pi * (2.0 * i + 1.0) * k / (2.0 * n)) * np.sqrt(2.0 / n)
+        d[0] /= np.sqrt(2.0)
+        _DCT_CACHE[n] = d
+    return d
+
+
+def _area_resize(a: np.ndarray, size: int) -> np.ndarray:
+    """Area-mean downsample a 2-D float array to (size, size). Axes
+    smaller than ``size`` are first nearest-upsampled (linspace index) so
+    every output cell owns >= 1 source pixel; larger axes average over
+    near-equal pixel blocks via two reduceat passes — the box filter that
+    makes the hash stable under re-encoding, unlike bare nearest
+    sampling which aliases high-frequency detail."""
+    h, w = a.shape
+    if h < size:
+        a = a[np.linspace(0, h - 1, size).astype(int), :]
+        h = size
+    if w < size:
+        a = a[:, np.linspace(0, w - 1, size).astype(int)]
+        w = size
+    ys = np.arange(size + 1, dtype=np.int64) * h // size
+    xs = np.arange(size + 1, dtype=np.int64) * w // size
+    out = np.add.reduceat(np.add.reduceat(a, ys[:-1], axis=0), xs[:-1], axis=1)
+    counts = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
+    return out / counts
+
+
+def phash64(
+    img: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4
+) -> int:
+    """64-bit perceptual hash of a decoded image (classic DCT pHash:
+    Zauner 2010, "Implementation and Benchmarking of Perceptual Image
+    Hash Functions"; same construction as the ImageHash library):
+    BT.601 luma -> area-mean resize to (hash_size*highfreq_factor)^2
+    (32x32) -> 2-D DCT-II -> keep the top-left hash_size^2 low-frequency
+    block -> threshold each coefficient against the block median -> pack
+    row-major into a signed int64 (bit i = coefficient i > median).
+
+    Median thresholding makes the hash invariant to global brightness /
+    contrast shifts (they scale DC and all AC terms together); dropping
+    high frequencies makes it stable under resize and lossy re-encoding.
+    Near-duplicate images land within a few bits of Hamming distance —
+    the same regime `simhash_candidate_pairs` bands over."""
+    if img.ndim == 3:
+        if img.shape[2] >= 3:
+            rgb = img[..., :3].astype(np.float64)
+            luma = rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+        else:
+            luma = img[..., 0].astype(np.float64)
+    else:
+        luma = img.astype(np.float64)
+    size = hash_size * highfreq_factor
+    small = _area_resize(luma, size)
+    d = _dct_matrix(size)
+    dct = d @ small @ d.T
+    low = dct[:hash_size, :hash_size]
+    med = float(np.median(low))
+    bits = (low > med).ravel()
+    v = 0
+    for i in range(bits.size):
+        if bits[i]:
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def image_phash(df: DataFrame, fake: bool = True, hash_size: int = 8) -> DataFrame:
+    """Per-image perceptual hash as an Arrow-batched ``mapInPandas``
+    stage: (media_id, phash) with NULL for undecodable payloads (the
+    corrupt-payload discipline — a dirty corpus must not fail the task).
+
+    This is the map side of image near-duplicate detection; the pair
+    stage is `operators.dedup.simhash_candidate_pairs` on the ``phash``
+    column (banded Hamming — no O(n^2) stage), composed end-to-end by
+    `operators.dedup.image_near_dup`. Decode is REAL for PNG and JPEG
+    (baseline + progressive); ``fake=True`` additionally hashes the
+    deterministic pseudo-image for still-gated formats so plumbing tests
+    cover them."""
+    from pyspark.sql import SparkSession
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(SparkSession.getActiveSession() or df.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for b in pdf["payload"]:
+                try:
+                    hashes.append(
+                        phash64(decode_image(bytes(b), fake=fake), hash_size=hash_size)
+                    )
+                except _DECODE_ERRORS:
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(extract, schema=PHASH)
+
+
 VIDEO_META = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -778,6 +778,57 @@ def simhash_candidate_pairs(
     return pairs.select("id_a", "id_b", "hamming")
 
 
+def image_near_dup(
+    media_df: DataFrame,
+    fake: bool = True,
+    bands: int = 4,
+    max_hamming: int = 3,
+    algorithm: str = "label_propagation",
+) -> DataFrame:
+    """Image near-duplicate clusters via perceptual hashing: pHash every
+    payload (`multimodal.image_phash`, Arrow-batched decode), band the
+    64-bit hashes for candidate pairs (`simhash_candidate_pairs` —
+    recall is exact for Hamming distance <= bands-1 by pigeonhole), close
+    transitively, keep min media_id per component.
+
+    Returns (media_id, cluster_id, keep) — the shape shared with the
+    text/semantic dedup family. Undecodable payloads hash to NULL, never
+    pair, and keep themselves (dedup must not drop rows it could not
+    inspect).
+
+    Scale shape: decode cost is one Arrow pass over payload bytes (the
+    unavoidable part); everything after runs on 8-byte hashes — banding
+    shuffles (band, block) keys, the pair join touches only colliding
+    buckets, and CC sees just the near-dup edge set. The 100 TB posture
+    is identical to SimHash text dedup: no stage is quadratic in corpus
+    size, and payload bytes never shuffle (the phash projection drops
+    them before any join)."""
+    from jackfruit_spark import multimodal as mm
+    from jackfruit_spark._persist import persisted
+
+    # hashes: one decode pass; persisted because the banded self-join AND
+    # the final labels join would otherwise re-decode every payload
+    sig = persisted(mm.image_phash(media_df, fake=fake))
+    hashed = sig.filter(F.col("phash").isNotNull())
+    pairs = simhash_candidate_pairs(
+        hashed,
+        "media_id",
+        hash_col="phash",
+        bits=64,
+        bands=bands,
+        max_hamming=max_hamming,
+    )
+    labels = connected_components(
+        sig.select(F.col("media_id").alias("id")),
+        pairs.select("id_a", "id_b"),
+    )
+    return labels.select(
+        F.col("id").alias("media_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def _split_oversized_cells(
     assigned: DataFrame,
     vec_col: str,

@@ -1,0 +1,141 @@
+"""Perceptual-hash image near-dup: DCT pHash kernel invariances + the
+banded-Hamming dedup composition (multimodal.image_phash ->
+simhash_candidate_pairs -> connected_components)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from jackfruit_spark import multimodal as mm
+from jackfruit_spark.operators.dedup import image_near_dup
+from jackfruit_spark.sources import jpeg
+
+
+def _png(img: np.ndarray) -> bytes:
+    """Filter-0-only PNG encoder (the round-trip encoder in
+    test_sources_multimodal exercises all filters; here any valid PNG
+    will do)."""
+    h, w, c = img.shape
+    color = {1: 0, 3: 2}[c]
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _img(seed: int, size: int = 48) -> np.ndarray:
+    """Smooth random image: a 6x6 random pattern block-upsampled — pure
+    per-pixel noise has no low-frequency structure for a perceptual hash
+    to key on, so tests use images with actual content."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(6, 6, 3)).astype(np.float64)
+    up = np.kron(base, np.ones((size // 6, size // 6, 1)))
+    return np.clip(up, 0, 255).astype(np.uint8)
+
+
+class TestPhashKernel:
+    def test_distinct_images_far(self):
+        hs = [mm.phash64(_img(s)) for s in range(6)]
+        dists = [_ham(hs[i], hs[j]) for i in range(6) for j in range(i + 1, 6)]
+        # measured 24-38 on these seeds; random 64-bit hashes center at 32
+        assert min(dists) > 16
+
+    def test_jpeg_reencode_near_zero(self):
+        # the core near-dup case: same image, different lossy encoding
+        a = _img(1)
+        dec = mm.decode_image(jpeg.encode(a, quality=90))
+        assert _ham(mm.phash64(a), mm.phash64(dec)) <= 2
+
+    def test_brightness_contrast_invariant(self):
+        # median thresholding: global affine luma changes barely move bits
+        a = _img(2)
+        b = np.clip(a.astype(np.float64) * 1.15 + 10, 0, 255).astype(np.uint8)
+        assert _ham(mm.phash64(a), mm.phash64(b)) <= 4
+
+    def test_resize_stable(self):
+        a = _img(3)
+        up = np.kron(a, np.ones((2, 2, 1))).astype(np.uint8)
+        assert _ham(mm.phash64(a), mm.phash64(up)) <= 8
+
+    def test_grayscale_and_small_inputs(self):
+        a = _img(4)
+        assert isinstance(mm.phash64(a[..., 0]), int)
+        # image smaller than the 32x32 DCT grid: nearest-upsample path
+        tiny = a[:8, :8]
+        h = mm.phash64(tiny)
+        assert isinstance(h, int) and -(1 << 63) <= h < (1 << 63)
+
+    def test_deterministic(self):
+        a = _img(5)
+        assert mm.phash64(a) == mm.phash64(a)
+
+
+class TestImagePhashStage:
+    def test_null_on_corrupt(self, spark):
+        good = _png(_img(7))
+        rows = [
+            (1, bytearray(good)),
+            (2, bytearray(b"\x89PNG\r\n\x1a\n" + b"garbage-not-chunks")),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = {r["media_id"]: r["phash"] for r in mm.image_phash(df, fake=False).collect()}
+        assert out[1] is not None
+        assert out[2] is None
+
+    def test_matches_driver_kernel(self, spark):
+        img = _img(8)
+        df = spark.createDataFrame(
+            [(1, bytearray(_png(img)))], "media_id long, payload binary"
+        )
+        [row] = mm.image_phash(df, fake=False).collect()
+        assert row["phash"] == mm.phash64(img)
+
+
+class TestImageNearDup:
+    def test_clusters_reencodes_keeps_distinct(self, spark):
+        from jackfruit_spark._persist import release_all
+
+        a, b, c = _img(10), _img(11), _img(12)
+        rows = [
+            (1, bytearray(_png(a))),
+            (2, bytearray(jpeg.encode(a, quality=90))),  # near-dup of 1
+            (3, bytearray(_png(b))),
+            (4, bytearray(_png(c))),
+            (5, bytearray(b"not an image at all")),  # undecodable
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        try:
+            out = {
+                r["media_id"]: r
+                for r in image_near_dup(df, fake=False).collect()
+            }
+        finally:
+            release_all()
+        assert len(out) == 5
+        # the two encodings of image a share a cluster; min id keeps
+        assert out[2]["cluster_id"] == out[1]["cluster_id"] == 1
+        assert out[1]["keep"] and not out[2]["keep"]
+        # distinct images and the undecodable payload keep themselves
+        for mid in (3, 4, 5):
+            assert out[mid]["cluster_id"] == mid and out[mid]["keep"]
