@@ -786,3 +786,99 @@ def sample_frames_container(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(extract, schema=FRAME_SCHEDULE)
     )
+
+
+def image_training_pipeline(
+    spark,
+    path_glob: str,
+    image_exts: tuple = ("png", "jpg", "jpeg"),
+    fake: bool = False,
+    bands: int = 4,
+    max_hamming: int = 3,
+):
+    """End-to-end image-corpus curation (the multimodal twin of
+    `operators.curation.warc_training_pipeline`): WebDataset shards ->
+    image sample members -> perceptual-hash near-dup dedup (banded
+    Hamming pairs -> connected components -> min-id keeper) -> curated
+    sample rows ready for `sources.wds_writer.write_webdataset` or
+    feature extraction.
+
+    Returns ``(kept, observations)``: ``kept`` carries (media_id, shard,
+    sample_key, phash, payload) for the surviving samples; per-stage
+    counts ride the caller's ONE materializing action via
+    ``Observation`` — stage ``members`` reports (rows, decoded) over all
+    image members (``decoded`` counts payloads pHash could decode;
+    corrupt-shard sentinel rows are excluded upstream), stage ``kept``
+    the post-dedup survivors. Read via
+    ``operators.curation.observation_rows`` / ``obs.get``.
+
+    Scale shape: payload bytes are decoded ONCE (the pHash pass) and
+    never shuffle — dedup runs entirely on 8-byte hashes; the kept set
+    is recovered by a semi-join on media_id against the persisted member
+    frame, so survivors' payloads are read from cache, not re-extracted.
+    media_id is xxhash64(shard, sample_key) — content-independent, so
+    byte-identical copies in different shards still count as distinct
+    members and dedup (not ingest ordering) decides the keeper.
+
+    Observation discipline (the r8 lesson): connected components drives
+    iterative driver-side actions during construction, so the CC branch
+    is observation-free and reads the persisted frames; observes attach
+    only to the final chain. An all-corrupt input yields an EMPTY kept
+    frame and AQE may erase the metrics nodes — ``observation_rows``
+    reads that as 0."""
+    from pyspark.sql import Observation
+
+    from jackfruit_spark._persist import persisted
+    from jackfruit_spark.operators.dedup import (
+        connected_components,
+        simhash_candidate_pairs,
+    )
+    from jackfruit_spark.sources.corpus import WDS_CORRUPT, scan_webdataset
+
+    members = scan_webdataset(spark, path_glob)
+    media = persisted(
+        members.filter(
+            F.col("ext").isin(list(image_exts))
+            & (F.col("sample_key") != WDS_CORRUPT)
+        ).select(
+            F.xxhash64("shard", "sample_key").alias("media_id"),
+            "shard",
+            "sample_key",
+            "payload",
+        )
+    )
+    # one decode pass: the signature frame is all later stages need
+    sig = persisted(image_phash(media, fake=fake))
+
+    # dedup branch — observation-free (CC's convergence loop runs jobs
+    # before the caller's action and would consume one-shot observes)
+    pairs = simhash_candidate_pairs(
+        sig.filter(F.col("phash").isNotNull()),
+        "media_id",
+        hash_col="phash",
+        bits=64,
+        bands=bands,
+        max_hamming=max_hamming,
+    )
+    cc = connected_components(
+        sig.select(F.col("media_id").alias("id")), pairs
+    )
+    keep_ids = cc.filter(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias("media_id")
+    )
+
+    # observed chain: media join sig is 1:1 (sig derives from media), so
+    # `rows` counts members and count(phash) counts decodable payloads
+    obs_members = Observation("members")
+    chain = media.join(sig, "media_id").observe(
+        obs_members,
+        F.count(F.lit(1)).alias("rows"),
+        F.count("phash").alias("decoded"),
+    )
+    obs_kept = Observation("kept")
+    kept = (
+        chain.join(keep_ids, "media_id", "left_semi")
+        .observe(obs_kept, F.count(F.lit(1)).alias("rows"))
+        .select("media_id", "shard", "sample_key", "phash", "payload")
+    )
+    return kept, {"members": obs_members, "kept": obs_kept}

@@ -139,3 +139,61 @@ class TestImageNearDup:
         # distinct images and the undecodable payload keep themselves
         for mid in (3, 4, 5):
             assert out[mid]["cluster_id"] == mid and out[mid]["keep"]
+
+
+class TestImageTrainingPipeline:
+    def _shard(self, tmp_path, name, samples):
+        import io
+        import tarfile
+
+        p = tmp_path / name
+        with tarfile.open(p, "w") as tf:
+            for fname, payload in samples:
+                info = tarfile.TarInfo(fname)
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+        return p
+
+    def test_end_to_end_dedup_and_observations(self, spark, tmp_path):
+        from jackfruit_spark._persist import release_all
+        from jackfruit_spark.multimodal import image_training_pipeline
+        from jackfruit_spark.operators.curation import observation_rows
+
+        a, b, c = _img(20), _img(21), _img(22)
+        self._shard(
+            tmp_path,
+            "s1.tar",
+            [
+                ("a.png", _png(a)),
+                ("b.png", _png(b)),
+                ("meta.txt", b"not an image"),  # non-image ext: excluded
+            ],
+        )
+        self._shard(
+            tmp_path,
+            "s2.tar",
+            [
+                ("a2.jpg", jpeg.encode(a, quality=90)),  # near-dup of a.png
+                ("c.png", _png(c)),
+                ("bad.png", b"\x89PNG\r\n\x1a\ngarbage"),  # undecodable
+            ],
+        )
+        try:
+            kept, obs = image_training_pipeline(
+                spark, str(tmp_path / "*.tar"), fake=False
+            )
+            rows = kept.collect()
+        finally:
+            release_all()
+        # 5 image members total, 4 decodable, one near-dup pair collapsed
+        assert observation_rows(obs["members"]) == 5
+        assert int(obs["members"].get["decoded"]) == 4
+        assert observation_rows(obs["kept"]) == 4
+        keys = sorted(r["sample_key"] for r in rows)
+        # exactly one of {a, a2} survives; b, c and the undecodable
+        # payload (which keeps itself) all survive
+        assert keys.count("b") == 1 and keys.count("c") == 1
+        assert keys.count("bad") == 1
+        assert (keys.count("a") + keys.count("a2")) == 1
+        # survivors carry payloads ready for re-sharding
+        assert all(len(r["payload"]) > 0 for r in rows)
