@@ -616,10 +616,13 @@ def phash64(
     low = dct[:hash_size, :hash_size]
     med = float(np.median(low))
     bits = (low > med).ravel()
-    v = 0
-    for i in range(bits.size):
-        if bits[i]:
-            v |= 1 << i
+    # 100 TB note: this function is bounded by DECODE throughput (pure-
+    # Python JPEG/PNG, embarrassingly parallel across Arrow batches); the
+    # hash itself is a vectorized pack.
+    head = bits[:64]
+    packed = np.zeros(8, dtype=np.uint8)
+    packed[: (head.size + 7) // 8] = np.packbits(head, bitorder="little")
+    v = int(packed.view("<u8")[0])
     if v >= 1 << 63:
         v -= 1 << 64
     return v
@@ -804,7 +807,7 @@ def image_training_pipeline(
     feature extraction.
 
     Returns ``(kept, observations)``: ``kept`` carries (media_id, shard,
-    sample_key, phash, payload) for the surviving samples; per-stage
+    sample_key, ext, phash, payload) for the surviving samples; per-stage
     counts ride the caller's ONE materializing action via
     ``Observation`` — stage ``members`` reports (rows, decoded) over all
     image members (``decoded`` counts payloads pHash could decode;
@@ -816,9 +819,10 @@ def image_training_pipeline(
     never shuffle — dedup runs entirely on 8-byte hashes; the kept set
     is recovered by a semi-join on media_id against the persisted member
     frame, so survivors' payloads are read from cache, not re-extracted.
-    media_id is xxhash64(shard, sample_key) — content-independent, so
-    byte-identical copies in different shards still count as distinct
-    members and dedup (not ingest ordering) decides the keeper.
+    media_id is xxhash64(shard, sample_key, ext) — content-independent,
+    so byte-identical copies in different shards still count as distinct
+    members and dedup (not ingest ordering) decides the keeper; ext is in
+    the key because one sample may carry several image members.
 
     Observation discipline (the r8 lesson): connected components drives
     iterative driver-side actions during construction, so the CC branch
@@ -841,9 +845,15 @@ def image_training_pipeline(
             F.col("ext").isin(list(image_exts))
             & (F.col("sample_key") != WDS_CORRUPT)
         ).select(
-            F.xxhash64("shard", "sample_key").alias("media_id"),
+            # ext participates in the hash: one sample may carry TWO image
+            # members (a.png + a.jpg) and the media⋈sig join below is
+            # documented 1:1 — a (shard, sample_key)-only id would collide
+            # them into a many-to-many join (duplicated kept rows,
+            # inflated observation counts).
+            F.xxhash64("shard", "sample_key", "ext").alias("media_id"),
             "shard",
             "sample_key",
+            "ext",
             "payload",
         )
     )
@@ -879,6 +889,6 @@ def image_training_pipeline(
     kept = (
         chain.join(keep_ids, "media_id", "left_semi")
         .observe(obs_kept, F.count(F.lit(1)).alias("rows"))
-        .select("media_id", "shard", "sample_key", "phash", "payload")
+        .select("media_id", "shard", "sample_key", "ext", "phash", "payload")
     )
     return kept, {"members": obs_members, "kept": obs_kept}

@@ -821,6 +821,7 @@ def image_near_dup(
     labels = connected_components(
         sig.select(F.col("media_id").alias("id")),
         pairs.select("id_a", "id_b"),
+        algorithm=algorithm,
     )
     return labels.select(
         F.col("id").alias("media_id"),

@@ -140,6 +140,26 @@ class TestImageNearDup:
         for mid in (3, 4, 5):
             assert out[mid]["cluster_id"] == mid and out[mid]["keep"]
 
+    def test_algorithm_forwarded_and_validated(self, spark):
+        from jackfruit_spark._persist import release_all
+
+        a = _img(13)
+        rows = [
+            (1, bytearray(_png(a))),
+            (2, bytearray(jpeg.encode(a, quality=90))),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        try:
+            out = {
+                r["media_id"]: r
+                for r in image_near_dup(df, fake=False, algorithm="star").collect()
+            }
+            assert out[1]["keep"] and not out[2]["keep"]
+            with pytest.raises(ValueError, match="algorithm"):
+                image_near_dup(df, fake=False, algorithm="nope").collect()
+        finally:
+            release_all()
+
 
 class TestImageTrainingPipeline:
     def _shard(self, tmp_path, name, samples):
@@ -197,3 +217,32 @@ class TestImageTrainingPipeline:
         assert (keys.count("a") + keys.count("a2")) == 1
         # survivors carry payloads ready for re-sharding
         assert all(len(r["payload"]) > 0 for r in rows)
+
+    def test_two_image_members_one_sample_distinct_ids(self, spark, tmp_path):
+        # a.png + a.jpg in ONE sample: media_id hashes ext, so the
+        # media⋈sig join stays 1:1 and counts are not inflated
+        from jackfruit_spark._persist import release_all
+        from jackfruit_spark.multimodal import image_training_pipeline
+        from jackfruit_spark.operators.curation import observation_rows
+
+        a, b = _img(30), _img(31)
+        self._shard(
+            tmp_path,
+            "s1.tar",
+            [
+                ("a.png", _png(a)),
+                ("a.jpg", jpeg.encode(b, quality=90)),  # DIFFERENT image
+            ],
+        )
+        try:
+            kept, obs = image_training_pipeline(
+                spark, str(tmp_path / "*.tar"), fake=False
+            )
+            rows = kept.collect()
+        finally:
+            release_all()
+        assert observation_rows(obs["members"]) == 2
+        assert observation_rows(obs["kept"]) == 2
+        assert len(rows) == 2
+        assert len({r["media_id"] for r in rows}) == 2
+        assert sorted(r["ext"] for r in rows) == ["jpg", "png"]
