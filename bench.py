@@ -517,6 +517,123 @@ def _ensure_bench_warc(spark, sf_dir: str) -> str:
     )
 
 
+IMG_SEED = 7  # media_synth base seed — delta re-encodes key off it too
+
+
+def _ensure_bench_images(spark, sf_dir: str) -> str:
+    """Synthesize WebDataset image shards ONCE per sf (input prep,
+    outside the timed region) via the shared writer
+    (sources/media_synth.py): one image per documents row (sf-scaled
+    volume) + 20% JPEG re-encode near-dups. Cached under /tmp."""
+    import hashlib
+
+    from jackfruit_spark.sources.media_synth import (
+        image_corpus,
+        write_image_wds_shards,
+    )
+
+    key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    root = f"/tmp/jackfruit_bench_img_{key}"
+    glob = os.path.join(root, "*.tar")
+    if os.path.isdir(root) and any(f.endswith(".tar") for f in os.listdir(root)):
+        return glob
+    n = min(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count(),
+        20_000,
+    )
+    return write_image_wds_shards(
+        image_corpus(n, dup_frac=0.2, seed=IMG_SEED), root, n_shards=32
+    )
+
+
+def image_bench_media(spark, glob):
+    """WDS shards -> the media frame every image bench leg consumes
+    (shared with the scale rehearsal — the lsh_bench_delta rule)."""
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.sources.corpus import WDS_CORRUPT, scan_webdataset
+
+    return (
+        scan_webdataset(spark, glob)
+        .filter(F.col("sample_key") != WDS_CORRUPT)
+        .select(
+            F.xxhash64("shard", "sample_key", "ext").alias("media_id"),
+            "payload",
+        )
+    )
+
+
+def image_bench_delta(spark):
+    """The fixed 100-image delta (rehearsal-shared shape): 50 JPEG
+    re-encodes of indexed originals + 50 fresh images."""
+    from jackfruit_spark.sources import jpeg
+    from jackfruit_spark.sources.media_synth import encode_png, synth_image
+
+    rows = [
+        (1_000_000 + i, bytearray(jpeg.encode(synth_image(IMG_SEED + i), quality=85)))
+        for i in range(50)
+    ] + [
+        (2_000_000 + i, bytearray(encode_png(synth_image(9_000_000 + i))))
+        for i in range(50)
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def bench_image_dedup(spark, sf_dir: str) -> dict[str, float]:
+    """Multimodal dedup keys (r10, VERDICT r9 #1/#2): ``image_dedup`` =
+    the batch composition (one Arrow decode pass -> banded-Hamming pairs
+    -> CC -> keeper flags) over the sf-scaled image corpus;
+    ``phash_index_build`` = persist those hashes into the PhashIndex
+    layout; ``image_dedup_delta`` = the daily-crawl loop, a 100-image
+    delta deduped against the index WITHOUT re-reading stored payloads
+    (hash-only joins, partition-pruned)."""
+    import shutil
+    import tempfile
+
+    from jackfruit_spark.operators.dedup import image_near_dup
+    from jackfruit_spark.operators.phash_store import PhashIndex
+
+    glob = _ensure_bench_images(spark, sf_dir)
+    media = image_bench_media(spark, glob)
+    root = tempfile.mkdtemp(prefix="bench_phash_")
+    try:
+        t_batch = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            image_near_dup(media, fake=False).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t_batch = min(t_batch, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
+        t_build = float("inf")
+        for i in range(REPEATS):
+            t0 = time.perf_counter()
+            idx = PhashIndex.build(
+                media, "media_id", os.path.join(root, f"i{i}")
+            )
+            t_build = min(t_build, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
+        delta = image_bench_delta(spark)
+        t_delta = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            idx.dedup_batch(delta).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t_delta = min(t_delta, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
+        return {
+            "image_dedup": t_batch,
+            "phash_index_build": t_build,
+            "image_dedup_delta": t_delta,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_corpus_pipeline(spark, sf_dir: str) -> tuple[dict, dict]:
     """VERDICT r7 #7: the crawl-to-training-corpus composition as ONE
     timed pipeline — WARC(CDX ranged reads) -> boilerplate extraction ->
@@ -627,6 +744,11 @@ def main() -> None:
         timings.update(bench_hybrid(spark, sf_dir))
     except Exception as e:  # noqa: BLE001
         errors["hybrid"] = f"{type(e).__name__}: {e}"[:300]
+
+    try:
+        timings.update(bench_image_dedup(spark, sf_dir))
+    except Exception as e:  # noqa: BLE001
+        errors["image_dedup"] = f"{type(e).__name__}: {e}"[:300]
 
     pipeline_stages: dict[str, int] = {}
     try:

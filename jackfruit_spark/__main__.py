@@ -421,7 +421,9 @@ def cmd_pipeline(args) -> int:
                 "--min-quality/--quality-alpha need --quality-positives "
                 "or --quality-model"
             )
-    packed, obs = warc_training_pipeline(
+    if args.media_dedup and not args.media_output:
+        raise SystemExit("--media-dedup needs --media-output")
+    res = warc_training_pipeline(
         spark,
         args.input,
         extraction=args.extraction,
@@ -436,12 +438,20 @@ def cmd_pipeline(args) -> int:
         url_dedup=args.url_dedup,
         host_cap=args.host_cap,
         gopher=args.gopher,
+        media_dedup=args.media_dedup,
     )
+    if args.media_dedup:
+        packed, media_kept, obs = res
+        media_kept.write.mode("overwrite").parquet(args.media_output)
+    else:
+        packed, obs = res
     packed.write.mode("overwrite").parquet(args.output)
     from jackfruit_spark.operators.curation import observation_rows
 
     stats = {k: observation_rows(o) for k, o in obs.items()}
     stats["packed"] = spark.read.parquet(args.output).count()
+    if args.media_dedup:
+        stats["media_output"] = args.media_output
     print(json.dumps({**stats, "output": args.output}))
     return 0
 
@@ -693,6 +703,101 @@ def cmd_dedup_delta(args) -> int:
     from jackfruit_spark._persist import persisted
 
     kept = persisted(kept)
+    kept.write.mode("overwrite").parquet(args.output)
+    if args.flags_output:
+        flags.write.mode("overwrite").parquet(args.flags_output)
+    if not args.no_append:
+        idx.append(kept)
+    n_in = delta.count()
+    n_kept = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "input": n_in,
+                "kept": n_kept,
+                "dropped": n_in - n_kept,
+                "appended": not args.no_append,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_index_images(args) -> int:
+    """Build / append / rebuild / maintain / delete / vacuum the
+    persistent perceptual-hash image index
+    (operators/phash_store.PhashIndex) from a parquet of
+    (media_id, payload) — or pre-hashed (media_id, phash) — rows.
+    Prints the layout stats JSON."""
+    if args.mode in ("build", "append") and not args.input:
+        print(json.dumps({"error": f"--input required for {args.mode}"}))
+        return 2
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.phash_store import PhashIndex
+
+    if args.mode == "build":
+        idx = PhashIndex.build(
+            spark.read.parquet(args.input), args.id_col, args.root,
+            bands=args.bands, max_hamming=args.max_hamming,
+            parts=args.parts,
+        )
+    elif args.mode == "append":
+        idx = PhashIndex(spark, args.root).append(
+            spark.read.parquet(args.input)
+        )
+    elif args.mode == "vacuum":
+        removed = PhashIndex(spark, args.root).vacuum()
+        print(json.dumps({"root": args.root, "mode": "vacuum",
+                          "removed": removed}))
+        return 0
+    elif args.mode == "maintain":
+        report = PhashIndex(spark, args.root).maintain()
+        print(json.dumps({"root": args.root, "mode": "maintain", **report}))
+        return 0
+    elif args.mode == "delete":
+        if not args.ids and not args.input:
+            print(json.dumps({"error": "--ids or --input required"}))
+            return 2
+        from pyspark.sql import functions as F
+
+        h = PhashIndex(spark, args.root)
+        if args.input:
+            idx = h.delete(spark.read.parquet(args.input))
+        else:
+            id_col = h._manifest()["id_col"]
+            _, sigs = h._readers()
+            id_type = sigs.schema[id_col].dataType.simpleString()
+            idx = h.delete(
+                spark.createDataFrame(
+                    [(x,) for x in args.ids.split(",") if x],
+                    f"{id_col} string",
+                ).select(F.col(id_col).cast(id_type).alias(id_col))
+            )
+    elif args.mode == "stats":
+        idx = PhashIndex(spark, args.root)
+    else:  # rebuild
+        idx = PhashIndex(spark, args.root).rebuild()
+    print(json.dumps({"root": args.root, "mode": args.mode, **idx.stats()}))
+    return 0
+
+
+def cmd_dedup_images(args) -> int:
+    """Dedup an image delta parquet against the PhashIndex: write the
+    kept rows (and optionally the flags), append the kept images unless
+    --no-append — the media twin of dedup-delta."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.phash_store import PhashIndex
+
+    idx = PhashIndex(spark, args.root)
+    id_col = idx._manifest()["id_col"]
+    delta = spark.read.parquet(args.input)
+    flags = idx.dedup_batch(delta)
+    from jackfruit_spark._persist import persisted
+
+    kept = persisted(
+        delta.join(flags.filter("keep").select(id_col), id_col, "left_semi")
+    )
     kept.write.mode("overwrite").parquet(args.output)
     if args.flags_output:
         flags.write.mode("overwrite").parquet(args.flags_output)
@@ -966,6 +1071,7 @@ def cmd_ingest_corpus(args) -> int:
         },
         with_bm25=args.bm25,
         ivf_dim=args.ivf_dim,
+        denylist=args.denylist,
     )
     if args.retract:
         out = {"retracted": job.retract_batch(args.retract),
@@ -1274,6 +1380,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--quality-model", default=None,
         help="saved train-classifier JSON (skips in-run training)",
     )
+    pl.add_argument(
+        "--media-dedup", action="store_true",
+        help="also scan image/* responses and pHash-dedup them "
+             "(requires --media-output)",
+    )
+    pl.add_argument(
+        "--media-output", default=None,
+        help="parquet dir for the deduplicated media rows",
+    )
     pl.add_argument("--cpus", default=None)
     pl.set_defaults(fn=cmd_pipeline)
 
@@ -1421,6 +1536,45 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--cpus", default=None)
     dd.set_defaults(fn=cmd_dedup_delta)
 
+    ii = sub.add_parser(
+        "index-images",
+        help="build/append/rebuild/maintain the persistent pHash "
+             "image-dedup index",
+    )
+    ii.add_argument("--root", required=True)
+    ii.add_argument(
+        "--mode",
+        choices=["build", "append", "rebuild", "vacuum", "stats",
+                 "maintain", "delete"],
+        default="build",
+    )
+    ii.add_argument("--input", default=None,
+                    help="media parquet (media_id, payload) or pre-hashed "
+                         "(media_id, phash); build/append; ids for delete")
+    ii.add_argument("--ids", default=None,
+                    help="delete only: comma-separated id literals")
+    ii.add_argument("--id-col", default="media_id")
+    ii.add_argument("--bands", type=int, default=4)
+    ii.add_argument("--max-hamming", type=int, default=3)
+    ii.add_argument("--parts", type=int, default=64)
+    ii.add_argument("--cpus", default=None)
+    ii.set_defaults(fn=cmd_index_images)
+
+    di = sub.add_parser(
+        "dedup-images",
+        help="dedup an image delta parquet against the pHash index, "
+             "append keeps",
+    )
+    di.add_argument("--root", required=True)
+    di.add_argument("--input", required=True, help="delta media parquet")
+    di.add_argument("--output", required=True, help="kept-media parquet")
+    di.add_argument("--flags-output", default=None,
+                    help="also write (id, dup_of_corpus, keep) flags")
+    di.add_argument("--no-append", action="store_true",
+                    help="flag only; do not ingest the kept images")
+    di.add_argument("--cpus", default=None)
+    di.set_defaults(fn=cmd_dedup_images)
+
     an = sub.add_parser(
         "ann-search", help="top-k cosine point search against the index"
     )
@@ -1559,6 +1713,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also append hashed embeddings into <root>/ivf")
     ic.add_argument("--maintain", action="store_true",
                     help="run the index maintenance pass after ingesting")
+    ic.add_argument("--denylist", action="store_true",
+                    help="retracts also append to <root>/denylist and "
+                         "ingest refuses exact/near copies of taken-down "
+                         "docs")
     ic.add_argument("--cpus", default=None)
     ic.set_defaults(fn=cmd_ingest_corpus)
 

@@ -421,8 +421,11 @@ class Bm25Index:
         m = self._manifest()
         postings, _ = self._readers()
         # tombstone compaction: masked rows drop physically here, and
-        # every derived stat (df, N, total_dl) re-derives without them
-        postings = self._mask(postings)
+        # every derived stat (df, N, total_dl) re-derives without them.
+        # dropDuplicates collapses replayed-append rows (a crash between
+        # an ingest append and its marker re-appends the batch once:
+        # identical (term,id,tf,dl) rows that would otherwise double df)
+        postings = self._mask(postings).dropDuplicates(["term", "id"])
         if not postings.head(1):
             # zero-row partitioned postings are unreadable (the
             # ingest-job bootstrap lesson): fail loudly instead
@@ -465,6 +468,44 @@ class Bm25Index:
             shutil.rmtree(self.deletes_dir, ignore_errors=True)
         self._invalidate()
         return self
+
+    def maintain(
+        self, max_files_per_part: float = 8.0, vacuum: bool = True,
+        max_deleted_frac: float = 0.2,
+    ) -> dict:
+        """The append-hygiene policy as one call (VERDICT r9 #3 — the
+        IvfIndex/LshIndex.maintain shape): rebuild iff ANY trigger
+        trips —
+
+        - fragmentation: mean postings files per tp partition above
+          ``max_files_per_part`` (every append adds up to one file per
+          partition; term probes open them all);
+        - replayed appends: docstats ROWS exceeding DISTINCT ids (a
+          crashed retry re-appended a batch — df double-counts its
+          terms until the deduplicating rebuild);
+        - tombstone debt above ``max_deleted_frac``: deleted docs still
+          count in N/total_dl, shifting every surviving score by the
+          deleted share, and searches pay the anti-join mask — the
+          documented drift is now bounded by policy, not operator
+          vigilance (measured read-tax curve: PERFORMANCE.md r10).
+
+        Returns stats plus ``rebuilt``/``vacuumed``."""
+        st = self.stats()
+        m = self._manifest()
+        doc_path = os.path.join(self.data_path, "docstats")
+        docstats = self.spark.read.parquet(doc_path)
+        distinct_docs = docstats.select("id").distinct().count()
+        frag = st["postings_files"] / max(1, m["parts"])
+        replayed = docstats.count() > distinct_docs
+        debt = st["deleted"] / max(st["n_docs"], 1) > max_deleted_frac
+        rebuilt = frag > max_files_per_part or replayed or debt
+        st["distinct_docs"] = distinct_docs
+        if rebuilt:
+            self.rebuild()
+            if vacuum:
+                st["vacuumed"] = self.vacuum()
+            st["after"] = self.stats()
+        return {**st, "rebuilt": rebuilt}
 
     def vacuum(self) -> list[str]:
         """Remove superseded version dirs (and superseded termstats dirs

@@ -1263,6 +1263,10 @@ def warc_training_pipeline(
     host_cap: int | None = None,
     gopher: bool = False,
     gopher_knobs: dict | None = None,
+    media_dedup: bool = False,
+    media_prefixes: tuple = ("image/",),
+    phash_bands: int = 4,
+    phash_max_hamming: int = 3,
 ):
     """End-to-end crawl-to-training-corpus composition (r8, VERDICT r7
     #7): WARC shards -> CDX manifest ranged reads -> boilerplate
@@ -1299,6 +1303,18 @@ def warc_training_pipeline(
     threshold-guarded, and packing is one window over (lang, doc_id).
     Pass ``manifest`` to reuse a CDX index built once per crawl delivery
     instead of re-walking shards per run.
+
+    ``media_dedup`` (r10, VERDICT r9 #1) adds the multimodal tier: the
+    SAME manifest drives a second ranged scan selecting ``image/*``
+    responses (``scan_warc_media_cdx`` — records outside the text path
+    cost no extra shard walk), bridged to media rows and deduplicated by
+    perceptual hash (``operators/dedup.image_near_dup``: banded Hamming
+    pairs -> CC -> min-id keeper; undecodable payloads keep themselves).
+    The return becomes ``(packed, media_kept, observations)`` with two
+    extra stages: ``media`` (bridged image records) and ``media_dedup``
+    (survivors). ``media_kept`` carries (media_id, url, content_type,
+    payload) and is a SEPARATE frame — materialize it with its own
+    action (its observations flow on that action, not on packed's).
 
     Sharp edge (observed r8): if the corpus comes out EMPTY (e.g. the
     boilerplate tier rejects every page), Catalyst's empty-relation
@@ -1466,7 +1482,39 @@ def warc_training_pipeline(
         obs["url"] = obs_url
     if obs_quality is not None:
         obs["quality"] = obs_quality
-    return packed, obs
+    if not media_dedup:
+        return packed, obs
+
+    # ---------------------------------------------------- media tier
+    from jackfruit_spark.operators.dedup import image_near_dup
+    from jackfruit_spark.sources.warc import scan_warc_media_cdx, warc_to_media
+
+    # same manifest, second ranged scan: image responses only. Persisted
+    # for the same reason as docs_raw — the dedup branch decodes it and
+    # the observed chain re-reads the survivors' payloads from cache.
+    media_raw = persisted(
+        warc_to_media(scan_warc_media_cdx(spark, manifest, media_prefixes))
+    )
+    # dedup branch, observation-free (CC drives driver-side actions)
+    media_keep = (
+        image_near_dup(
+            media_raw, fake=False,
+            bands=phash_bands, max_hamming=phash_max_hamming,
+        )
+        .filter(F.col("keep"))
+        .select("media_id")
+    )
+    obs_media = Observation("media")
+    obs_media_dedup = Observation("media_dedup")
+    media_kept = (
+        media_raw.observe(obs_media, F.count(F.lit(1)).alias("rows"))
+        .join(media_keep, "media_id", "left_semi")
+        .observe(obs_media_dedup, F.count(F.lit(1)).alias("rows"))
+        .select("media_id", "url", "content_type", "payload")
+    )
+    obs["media"] = obs_media
+    obs["media_dedup"] = obs_media_dedup
+    return packed, media_kept, obs
 
 
 def observation_rows(obs) -> int:

@@ -706,6 +706,45 @@ def simhash(
     return voted.select(F.col(id_col), low.alias("simhash"))
 
 
+def hamming_bands(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    bands: int = 4,
+) -> DataFrame:
+    """Explode a ``bits``-bit fingerprint into ``bands`` contiguous
+    blocks: (id, hash, band, block). THE banded-Hamming posting
+    expression — `simhash_candidate_pairs` (batch pairs) and
+    `operators/phash_store.PhashIndex` (persistent postings) both derive
+    from this one function, so a stored block and a probe block can
+    never drift (the `banded_signatures` lesson: a probe computed with a
+    different band expression silently misses every stored bucket)."""
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must divide evenly into bands ({bands})")
+    width = bits // bands
+    mask = (1 << width) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col(hash_col), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("block"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.col(hash_col), F.explode(blocks).alias("bb")
+    ).select(
+        id_col,
+        hash_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.block").alias("block"),
+    )
+
+
 def simhash_candidate_pairs(
     sig: DataFrame,
     id_col: str,
@@ -728,29 +767,7 @@ def simhash_candidate_pairs(
     distinct; no O(n^2) stage. ``max_hamming`` post-filters candidates by
     exact Hamming distance (bit_count(xor), JVM-side); the ``hamming``
     column is returned either way."""
-    if bits % bands != 0:
-        raise ValueError(f"bits ({bits}) must divide evenly into bands ({bands})")
-    width = bits // bands
-    mask = (1 << width) - 1
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col(hash_col), i * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("block"),
-            )
-            for i in range(bands)
-        ]
-    )
-    banded = sig.select(
-        F.col(id_col), F.col(hash_col), F.explode(blocks).alias("bb")
-    ).select(
-        id_col,
-        hash_col,
-        F.col("bb.band").alias("band"),
-        F.col("bb.block").alias("block"),
-    )
+    banded = hamming_bands(sig, id_col, hash_col, bits=bits, bands=bands)
     # persist: both self-join sides would otherwise recompute the simhash
     # (token explode + `bits` vote aggregates) — same ReuseExchange-defeat
     # as lsh_candidate_pairs; (id, hash, band, block) is 4 longs/row.

@@ -53,6 +53,9 @@ class CorpusIngestJob:
         ivf_dim: int | None = None,
         ivf_cell_docs: int = 512,
         lsh_kwargs: dict | None = None,
+        with_media: bool = False,
+        phash_kwargs: dict | None = None,
+        denylist: bool = False,
     ):
         self.spark = spark
         self.root = os.path.normpath(root)
@@ -63,6 +66,9 @@ class CorpusIngestJob:
         self.ivf_dim = ivf_dim
         self.ivf_cell_docs = ivf_cell_docs
         self.lsh_kwargs = dict(lsh_kwargs or {})
+        self.with_media = with_media
+        self.phash_kwargs = dict(phash_kwargs or {})
+        self.denylist = denylist
         for d in ("ledger", "flags", "corpus"):
             os.makedirs(os.path.join(self.root, d), exist_ok=True)
 
@@ -80,13 +86,28 @@ class CorpusIngestJob:
 
         return LshIndex(self.spark, os.path.join(self.root, "lsh"))
 
+    def _phash(self):
+        from jackfruit_spark.operators.phash_store import PhashIndex
+
+        return PhashIndex(self.spark, os.path.join(self.root, "phash"))
+
     # ------------------------------------------------------------- run
-    def run_batch(self, batch_id: str, docs: DataFrame) -> dict:
+    def run_batch(
+        self, batch_id: str, docs: DataFrame, media: DataFrame | None = None
+    ) -> dict:
         """Ingest one landed batch. Returns the stats dict; on an
         already-done batch returns the recorded stats with
-        ``applied=False`` and performs no work."""
+        ``applied=False`` and performs no work.
+
+        ``media`` (r10, requires ``with_media=True``): the batch's image
+        rows (``media_id``, ``payload``, ...) — deduplicated against the
+        persistent PhashIndex with the same staged-flags / idempotent-
+        land / marker-gated-append discipline as the text leg; kept rows
+        land under ``media/batch=<id>``."""
         if "/" in batch_id or batch_id.startswith("."):
             raise ValueError(f"invalid batch_id {batch_id!r}")
+        if media is not None and not self.with_media:
+            raise ValueError("media passed but with_media=False")
         marker = self._marker(batch_id)
         if os.path.exists(marker):
             with open(marker) as f:
@@ -102,6 +123,7 @@ class CorpusIngestJob:
             )
         )
         n_in = docs.count()
+        curated, n_denied = self._apply_denylist(curated)
         n_cur = curated.count()
 
         lsh_root = os.path.join(self.root, "lsh")
@@ -161,12 +183,18 @@ class CorpusIngestJob:
                     "ivf", batch_id, lambda: self._ivf_apply(kept, n_kept)
                 )
 
+        media_stats = {}
+        if media is not None:
+            media_stats = self._run_media(batch_id, media)
+
         stats = {
             "batch_id": batch_id,
             "input": n_in,
+            "denied": n_denied,
             "curated": n_cur,
             "kept": n_kept,
             "dropped_dup": n_cur - n_kept,
+            **media_stats,
         }
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
@@ -211,6 +239,171 @@ class CorpusIngestJob:
             F.lit(False).alias("dup_of_corpus"),
             (F.col(self.id_col) == F.col("cluster_id")).alias("keep"),
         )
+
+    # ------------------------------------------------------ media leg
+    def _run_media(self, batch_id: str, media: DataFrame) -> dict:
+        """The image twin of the text path: staged flags BEFORE index
+        mutation (the streaming/dedup.py data-loss rule), idempotent
+        per-batch landing, marker-gated PhashIndex append (bootstrap
+        build on the first batch — an index built from an empty frame is
+        unreadable, the flags lesson)."""
+        from jackfruit_spark._persist import persisted
+        from jackfruit_spark.operators.phash_store import PhashIndex
+
+        media = persisted(media)
+        n_in = media.count()
+        idx = self._phash()
+        idx_exists = os.path.exists(idx.manifest_path)
+        flags_dir = os.path.join(
+            self.root, "flags_media", f"batch={batch_id}"
+        )
+        if not os.path.exists(os.path.join(flags_dir, "_SUCCESS")):
+            flags_df = (
+                idx.dedup_batch(media)
+                if idx_exists
+                else self._bootstrap_media_flags(media)
+            )
+            flags_df.write.mode("overwrite").parquet(flags_dir)
+        flags = self.spark.read.parquet(flags_dir)
+        kept = persisted(
+            media.join(
+                flags.filter("keep").select("media_id"),
+                "media_id",
+                "left_semi",
+            )
+        )
+        n_kept = kept.count()
+        kept.write.mode("overwrite").parquet(
+            os.path.join(self.root, "media", f"batch={batch_id}")
+        )
+        if n_kept > 0:
+            self._append_leg(
+                "phash",
+                batch_id,
+                lambda: (
+                    idx.append(kept)
+                    if idx_exists
+                    else PhashIndex.build(
+                        kept, "media_id",
+                        os.path.join(self.root, "phash"),
+                        **self.phash_kwargs,
+                    )
+                ),
+            )
+        return {
+            "media_input": n_in,
+            "media_kept": n_kept,
+            "media_dropped_dup": n_in - n_kept,
+        }
+
+    def _bootstrap_media_flags(self, media: DataFrame) -> DataFrame:
+        """First-batch media flags without an index: intra-batch pHash
+        near-dup with the SAME geometry the index will be built with
+        (``image_near_dup`` = banded Hamming pairs -> CC -> min-id
+        keeper; undecodable payloads keep themselves)."""
+        from jackfruit_spark.operators.dedup import image_near_dup
+
+        kw = self.phash_kwargs
+        return image_near_dup(
+            media,
+            fake=kw.get("fake", False),
+            bands=kw.get("bands", 4),
+            max_hamming=kw.get("max_hamming", 3),
+        ).select(
+            "media_id",
+            F.lit(False).alias("dup_of_corpus"),
+            F.col("keep"),
+        )
+
+    def media(self) -> DataFrame:
+        """The ingested media corpus (all kept batches)."""
+        return self.spark.read.parquet(os.path.join(self.root, "media"))
+
+    # ------------------------------------------------------ denylist
+    @property
+    def denylist_dir(self) -> str:
+        return os.path.join(self.root, "denylist")
+
+    def _denylist_rows(self, docs: DataFrame) -> DataFrame:
+        """Denylist rows for retracted docs: one row per LSH band —
+        (__md5, band, band_hash) with the job's OWN index geometry, so
+        the ingest gate's banded probe hits exactly the buckets a
+        re-crawled near-copy would land in. The exact gate reads the
+        distinct __md5 column; no text is retained."""
+        from jackfruit_spark.operators.dedup import (
+            banded_signatures,
+            minhash_signatures,
+        )
+
+        kw = self.lsh_kwargs
+        sig = minhash_signatures(
+            docs, self.id_col, self.text_col,
+            num_hashes=kw.get("num_hashes", 32),
+            k=kw.get("shingle_k", 3),
+            hash_family=kw.get("hash_family", "xxhash64"),
+        )
+        banded = banded_signatures(
+            sig, self.id_col,
+            bands=kw.get("bands", 8),
+            rows_per_band=kw.get("rows_per_band", 4),
+            hash_family=kw.get("hash_family", "xxhash64"),
+        )
+        md5s = docs.select(
+            self.id_col, F.md5(F.col(self.text_col)).alias("__md5")
+        )
+        return banded.join(md5s, self.id_col).select(
+            "__md5", "band", "band_hash"
+        )
+
+    def _apply_denylist(self, curated: DataFrame):
+        """Gate a curated batch against the takedown denylist (r10,
+        VERDICT r9 #5): exact md5 match OR any LSH band collision with a
+        retracted doc drops the row — a future crawl carrying a copy (or
+        a near-copy) of taken-down content is refused re-admission.
+        Returns (gated_frame, n_denied); a no-op (0 extra jobs) when the
+        denylist is off or empty."""
+        d = self.denylist_dir
+        if not self.denylist or not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for _, _, fs in os.walk(d) for f in fs
+        ):
+            return curated, 0
+        from jackfruit_spark._persist import persisted
+        from jackfruit_spark.operators.dedup import (
+            banded_signatures,
+            minhash_signatures,
+        )
+
+        deny = self.spark.read.parquet(d)
+        n_before = curated.count()
+        exact_gated = curated.join(
+            F.broadcast(deny.select("__md5").distinct()),
+            F.md5(F.col(self.text_col)) == F.col("__md5"),
+            "left_anti",
+        )
+        kw = self.lsh_kwargs
+        sig = minhash_signatures(
+            exact_gated, self.id_col, self.text_col,
+            num_hashes=kw.get("num_hashes", 32),
+            k=kw.get("shingle_k", 3),
+            hash_family=kw.get("hash_family", "xxhash64"),
+        )
+        hit = (
+            banded_signatures(
+                sig, self.id_col,
+                bands=kw.get("bands", 8),
+                rows_per_band=kw.get("rows_per_band", 4),
+                hash_family=kw.get("hash_family", "xxhash64"),
+            )
+            .join(
+                F.broadcast(deny.select("band", "band_hash").distinct()),
+                ["band", "band_hash"],
+                "left_semi",
+            )
+            .select(self.id_col)
+            .distinct()
+        )
+        gated = persisted(exact_gated.join(hit, self.id_col, "left_anti"))
+        return gated, n_before - gated.count()
 
     def _append_leg(self, leg: str, batch_id: str, apply_fn) -> None:
         m = self._leg_marker(leg, batch_id)
@@ -259,19 +452,24 @@ class CorpusIngestJob:
         IvfIndex/Bm25Index/LshIndex.delete; the next
         rebuild()/maintain() compacts them physically).
 
-        Semantics: this RETRACTS data, it does not BLOCK re-ingestion —
-        with the batch's docs tombstoned out of the LSH corpus, a
-        future crawl carrying a copy will be admitted again (by design:
-        dedup state must not resurrect removed content as a phantom
-        keeper). A denylist is a separate, upstream concern
-        (``curate_corpus(decontam_bench=...)`` over the removal set is
-        the one-liner if re-ingestion must also be blocked).
+        Semantics: this RETRACTS data; re-ingestion blocking is the
+        ``denylist=True`` knob (r10) — when on, the batch's docs append
+        (md5 + LSH band rows, no text retained) to ``denylist/`` BEFORE
+        anything is removed, and every future ``run_batch`` refuses
+        exact copies and LSH near-copies at the curate gate. With the
+        knob off, dedup state must not resurrect removed content as a
+        phantom keeper, so a future crawl carrying a copy is admitted
+        again (documented r9 behavior).
 
         Idempotent: a second retract returns the recorded outcome and
-        touches nothing. Crash-safe order: tombstones first (extra
-        tombstones for already-gone docs are harmless), corpus
-        partition removal second (rename-aside then delete — readers
-        see the partition vanish atomically), ledger update last."""
+        touches nothing; the denylist append is a per-batch overwrite
+        (re-running a crashed retract rewrites, never duplicates).
+        Crash-safe order: denylist first (extra denylist rows for a
+        still-present batch are harmless — it is already ingested),
+        tombstones second (extra tombstones for already-gone docs are
+        harmless), corpus/media partition removal third (rename-aside
+        then delete — readers see the partition vanish atomically),
+        ledger update last."""
         import shutil
 
         marker = self._marker(batch_id)
@@ -284,9 +482,15 @@ class CorpusIngestJob:
         part = os.path.join(self.root, "corpus", f"batch={batch_id}")
         n_docs = 0
         if os.path.isdir(part):
-            ids = self.spark.read.parquet(part).select(self.id_col)
+            docs = self.spark.read.parquet(part)
+            ids = docs.select(self.id_col)
             n_docs = ids.count()
             legs = []
+            if self.denylist:
+                self._denylist_rows(docs).write.mode("overwrite").parquet(
+                    os.path.join(self.denylist_dir, f"batch={batch_id}")
+                )
+                legs.append("denylist")
             lsh = self._lsh()
             if os.path.exists(lsh.manifest_path):
                 lsh.delete(ids)
@@ -314,8 +518,22 @@ class CorpusIngestJob:
             shutil.rmtree(aside)
         else:
             legs = []
+        # media leg: tombstone the batch's images, drop its partition
+        n_media = 0
+        mpart = os.path.join(self.root, "media", f"batch={batch_id}")
+        if self.with_media and os.path.isdir(mpart):
+            mids = self.spark.read.parquet(mpart).select("media_id")
+            n_media = mids.count()
+            ph = self._phash()
+            if os.path.exists(ph.manifest_path):
+                ph.delete(mids)
+                legs.append("phash")
+            aside = os.path.join(self.root, "media", f".retract-{batch_id}")
+            shutil.rmtree(aside, ignore_errors=True)
+            os.rename(mpart, aside)
+            shutil.rmtree(aside)
         stats = {**stats, "retracted": True, "retracted_docs": n_docs,
-                 "retracted_legs": legs}
+                 "retracted_media": n_media, "retracted_legs": legs}
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
             json.dump(stats, f)
@@ -442,10 +660,12 @@ class CorpusIngestJob:
         return report
 
     def maintain(self) -> dict:
-        """The documented at-least-once cleanup pass: collapse duplicate
-        LSH signatures; rebuild+vacuum the dense index when imbalanced
-        (its own measured policy); BM25 untouched (rebuild() is the
-        explicit knob when a re-append window was actually hit)."""
+        """The documented at-least-once cleanup pass: every index leg
+        runs its own debt policy — collapse duplicate LSH signatures;
+        rebuild+vacuum the dense index when imbalanced; rebuild BM25 on
+        fragmentation / replayed appends / tombstone debt (r10 —
+        previously operator-vigilance only); same for the media pHash
+        leg."""
         report: dict = {}
         lsh = self._lsh()
         if os.path.exists(lsh.manifest_path):  # nothing ingested yet
@@ -455,4 +675,14 @@ class CorpusIngestJob:
             from jackfruit_spark.functions.ivf_store import IvfIndex
 
             report["ivf"] = IvfIndex(self.spark, ivf_root).maintain()
+        if self.with_bm25:
+            from jackfruit_spark.functions.bm25 import Bm25Index
+
+            b = Bm25Index(self.spark, os.path.join(self.root, "bm25"))
+            if os.path.exists(b.manifest_path):
+                report["bm25"] = b.maintain()
+        if self.with_media:
+            ph = self._phash()
+            if os.path.exists(ph.manifest_path):
+                report["phash"] = ph.maintain()
         return report

@@ -1,0 +1,436 @@
+"""Persistent perceptual-hash index: incremental IMAGE near-dup dedup.
+
+The image twin of ``operators/lsh_store.LshIndex`` (VERDICT r9 #2): the
+batch operator (``operators/dedup.image_near_dup``) re-decodes the whole
+image corpus per run — right for one-shot curation, wrong for the
+operational loop where each crawl delta's images must be deduplicated
+against everything already ingested. This store amortizes the decode:
+each image's 64-bit DCT pHash (``multimodal.phash64``) is computed ONCE
+at build/append and persisted; a delta dedup joins 8-byte hashes against
+partition-pruned postings — stored payload bytes are NEVER re-read (the
+index stores no pixels at all).
+
+Layout (``root/phash_manifest.json`` + versioned data dirs, the
+LshIndex/IvfIndex atomic-swap pattern):
+
+- ``data_vN/sigs/`` — ``(id, phash)``, the SOURCE OF TRUTH (one long per
+  image; undecodable payloads produce NO sig row — they are unprobeable
+  and always keep, the corrupt-payload discipline).
+- ``data_vN/postings/bp=P/`` — ``(id, phash, band, block)`` partitioned
+  by ``bp = pmod(xxhash64(band, block), parts)``; phash rides the
+  posting row (the BM25 dl-denormalization trick) so the exact-Hamming
+  verify needs no second join. Banding uses ``dedup.hamming_bands`` —
+  the SAME expression as the batch pair generator, so stored blocks and
+  probe blocks can never drift. A delta's probes touch only its own
+  ``bp`` residues (driver-side IN-list -> PartitionFilters).
+
+Dedup semantics (``dedup_batch``, the LshIndex contract): a batch image
+within ``max_hamming`` bits of an indexed image is a duplicate of the
+corpus (the corpus wins); intra-batch candidates feed connected
+components and the min-id keeper; a component touching any corpus
+duplicate drops entirely. Banded recall is exact for Hamming distance
+<= bands-1 (pigeonhole); every candidate is verified by true
+``bit_count(xor)`` before it counts — hashes are stored, so the verify
+is free (no payload rescan).
+
+At 100 TB: decode cost (the real bottleneck — pure-Arrow pass over
+payload bytes) is paid exactly once per image ever ingested; delta
+dedup shuffles (band, block) keys over hash rows only, pruned to the
+delta's residues. Tombstone deletes, debt-triggered rebuild, and vacuum
+follow the r9 lifecycle shared by all index families.
+
+No reference analog (the reference has no media dedup); this belongs to
+the LLM-training-data family, per the build brief.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jackfruit_spark.operators.dedup import (
+    connected_components,
+    hamming_bands,
+    simhash_candidate_pairs,
+)
+
+_MANIFEST = "phash_manifest.json"
+
+
+class PhashIndex:
+    """Handle to a built index: ``root/data_vN/{sigs,postings}`` plus
+    ``root/phash_manifest.json`` (banding geometry + current data dir)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.manifest_path = os.path.join(root, _MANIFEST)
+        self._meta: dict | None = None
+        self._postings: DataFrame | None = None
+        self._sigs: DataFrame | None = None
+        self._df_path: str | None = None
+
+    # ----------------------------------------------------------- paths
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.root, self._manifest()["data_dir"])
+
+    def _readers(self) -> tuple[DataFrame, DataFrame]:
+        path = self.data_path
+        if self._postings is None or self._df_path != path:
+            self._postings = self.spark.read.parquet(
+                os.path.join(path, "postings")
+            )
+            self._sigs = self.spark.read.parquet(os.path.join(path, "sigs"))
+            self._df_path = path
+        return self._postings, self._sigs
+
+    def _invalidate(self) -> None:
+        self._postings = self._sigs = None
+        self._df_path = None
+
+    def _manifest(self) -> dict:
+        if self._meta is None:
+            with open(self.manifest_path) as f:
+                self._meta = json.load(f)
+        return self._meta
+
+    # ---------------------------------------------------------- deletes
+
+    @property
+    def deletes_dir(self) -> str:
+        return os.path.join(self.root, "deletes")
+
+    def delete(self, ids) -> "PhashIndex":
+        """Tombstone deletes (the shared r9 lifecycle): removed images
+        stop producing candidate pairs without rewriting partitions;
+        ``rebuild()`` compacts. ``ids``: list or DataFrame (first
+        column)."""
+        m = self._manifest()
+        id_col = m["id_col"]
+        if isinstance(ids, DataFrame):
+            df = ids.select(F.col(ids.columns[0]).alias(id_col))
+        else:
+            _, sigs = self._readers()
+            id_type = sigs.schema[id_col].dataType.simpleString()
+            df = self.spark.createDataFrame(
+                [(i,) for i in ids], f"{id_col} {id_type}"
+            )
+        df.write.mode("append").parquet(self.deletes_dir)
+        return self
+
+    def _tombstones(self) -> DataFrame | None:
+        d = self.deletes_dir
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return None
+        return self.spark.read.parquet(d)
+
+    def _mask(self, df: DataFrame) -> DataFrame:
+        t = self._tombstones()
+        if t is None:
+            return df
+        return df.join(
+            F.broadcast(t.distinct()), self._manifest()["id_col"], "left_anti"
+        )
+
+    # ------------------------------------------------------------ build
+
+    @staticmethod
+    def build(
+        media: DataFrame,
+        id_col: str,
+        root: str,
+        payload_col: str = "payload",
+        bands: int = 4,
+        max_hamming: int = 3,
+        parts: int = 64,
+        fake: bool = False,
+    ) -> "PhashIndex":
+        """Hash the image corpus once and write the layout. If ``media``
+        already carries a ``phash`` column (e.g. the pipeline's own
+        decode pass) it is used as-is — no second decode; otherwise one
+        Arrow pass over ``payload_col`` computes it. Sigs land first,
+        postings derive from reading the written sigs back; the manifest
+        swaps last (a crashed build leaves the old version live)."""
+        spark = media.sparkSession
+        idx = PhashIndex(spark, root)
+        os.makedirs(root, exist_ok=True)
+        data_dir = idx._next_version()
+        meta = {
+            "id_col": id_col,
+            "payload_col": payload_col,
+            "bands": bands,
+            "max_hamming": max_hamming,
+            "parts": parts,
+            "fake": fake,
+            "data_dir": data_dir,
+        }
+        sig = PhashIndex._sig_of(media, meta)
+        sigs_path = os.path.join(root, data_dir, "sigs")
+        sig.write.mode("overwrite").parquet(sigs_path)
+        PhashIndex._write_postings(
+            spark.read.parquet(sigs_path), meta,
+            os.path.join(root, data_dir, "postings"), "overwrite",
+        )
+        idx._swap_manifest(meta)
+        return idx
+
+    @staticmethod
+    def _sig_of(media: DataFrame, meta: dict) -> DataFrame:
+        """(id, phash) for a media frame: reuse a caller-computed
+        ``phash`` column, else run the Arrow decode pass. NULL hashes
+        (undecodable payloads) never enter the index."""
+        id_col = meta["id_col"]
+        if "phash" in media.columns:
+            sig = media.select(id_col, "phash")
+        else:
+            from jackfruit_spark import multimodal as mm
+
+            renamed = media.select(
+                F.col(id_col).alias("media_id"), F.col(meta["payload_col"]).alias("payload")
+            )
+            sig = mm.image_phash(renamed, fake=meta["fake"]).select(
+                F.col("media_id").alias(id_col), "phash"
+            )
+        return sig.filter(F.col("phash").isNotNull())
+
+    @staticmethod
+    def _write_postings(
+        sig: DataFrame, meta: dict, path: str, mode: str
+    ) -> None:
+        banded = hamming_bands(
+            sig, meta["id_col"], "phash", bits=64, bands=meta["bands"]
+        )
+        banded.withColumn(
+            "bp",
+            F.pmod(F.xxhash64(F.col("band"), F.col("block")), F.lit(meta["parts"])),
+        ).write.mode(mode).partitionBy("bp").parquet(path)
+
+    def _next_version(self) -> str:
+        versions = [
+            int(d[len("data_v"):])
+            for d in os.listdir(self.root)
+            if d.startswith("data_v") and d[len("data_v"):].isdigit()
+        ]
+        return f"data_v{max(versions, default=0) + 1}"
+
+    def _swap_manifest(self, meta: dict) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.manifest_path)
+        self._meta = meta
+
+    # ------------------------------------------------------------ probe
+
+    def corpus_candidates(self, batch_sig: DataFrame) -> DataFrame:
+        """(id, corpus_id, hamming) verified near-dup pairs of a hashed
+        batch against the index: banded equi-join on (band, block) with
+        the corpus side pruned to the delta's own ``bp`` residues
+        (driver IN-list -> PartitionFilters), then the exact
+        ``bit_count(xor)`` Hamming gate — stored hashes make the verify
+        free."""
+        m = self._manifest()
+        id_col = m["id_col"]
+        postings, _ = self._readers()
+        banded_b = hamming_bands(
+            batch_sig, id_col, "phash", bits=64, bands=m["bands"]
+        ).withColumn(
+            "bp",
+            F.pmod(F.xxhash64(F.col("band"), F.col("block")), F.lit(m["parts"])),
+        )
+        bps = [r["bp"] for r in banded_b.select("bp").distinct().collect()]
+        pruned = self._mask(postings.filter(F.col("bp").isin(bps))).select(
+            F.col(id_col).alias("corpus_id"),
+            F.col("phash").alias("__cp"),
+            "band",
+            "block",
+        )
+        return (
+            banded_b.join(pruned, ["band", "block"])
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("phash").bitwiseXOR(F.col("__cp"))).cast("int"),
+            )
+            .filter(F.col("hamming") <= m["max_hamming"])
+            .select(id_col, "corpus_id", "hamming")
+            .distinct()
+        )
+
+    def dedup_batch(self, batch: DataFrame) -> DataFrame:
+        """Flag a media delta against the corpus AND itself in one pass:
+        ``(id, dup_of_corpus, keep)`` — the LshIndex contract. Batch
+        rows whose payload does not decode produce no hash, never pair,
+        and keep themselves. The batch hashes are persisted (tracked —
+        release via ``_persist.release_persisted``): they feed the
+        corpus probe, the intra-batch pair join, and CC drives actions
+        during plan construction."""
+        from jackfruit_spark._persist import persisted
+
+        m = self._manifest()
+        id_col = m["id_col"]
+        batch_sig = persisted(self._sig_of(batch, m))
+        cross = self.corpus_candidates(batch_sig)
+        dup_corpus = cross.select(id_col).distinct()
+
+        intra = simhash_candidate_pairs(
+            batch_sig, id_col,
+            hash_col="phash", bits=64,
+            bands=m["bands"], max_hamming=m["max_hamming"],
+        )
+        cc = connected_components(
+            batch.select(id_col), intra.select("id_a", "id_b"), id_col=id_col
+        )
+        tainted = (
+            cc.join(dup_corpus, id_col, "left_semi")
+            .select("cluster_id")
+            .distinct()
+        )
+        return (
+            cc.join(
+                dup_corpus.withColumn("__dc", F.lit(True)), id_col, "left"
+            )
+            .join(
+                tainted.withColumn("__tt", F.lit(True)), "cluster_id", "left"
+            )
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("__dc"), F.lit(False)).alias("dup_of_corpus"),
+                (
+                    F.col("__tt").isNull()
+                    & (F.col(id_col) == F.col("cluster_id"))
+                ).alias("keep"),
+            )
+        )
+
+    # ---------------------------------------------------- append/rebuild
+
+    def append(self, media: DataFrame) -> "PhashIndex":
+        """Hash the KEPT slice of a deduped delta and append: sigs
+        first, postings second (a crash between the two is a
+        false-negative window, healed by ``rebuild()``). Appended images
+        are immediately probeable by the next ``dedup_batch``."""
+        m = self._manifest()
+        path = self.data_path
+        sig = self._sig_of(media, m).persist()
+        try:
+            sig.write.mode("append").parquet(os.path.join(path, "sigs"))
+            self._write_postings(
+                sig, m, os.path.join(path, "postings"), "append"
+            )
+        finally:
+            sig.unpersist(blocking=False)
+        self._invalidate()
+        return self
+
+    def rebuild(self) -> "PhashIndex":
+        """Rewrite into a fresh version from the sigs source of truth:
+        drop duplicate ids (absorbs replayed appends), apply tombstones,
+        re-derive postings, swap the manifest atomically."""
+        m = dict(self._manifest())
+        _, sigs = self._readers()
+        id_col = m["id_col"]
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(F.col("phash"))
+        deduped = (
+            self._mask(sigs)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not deduped.head(1):
+            raise ValueError(
+                "rebuild would produce an empty index (every image "
+                "deleted?) — drop the index directory instead"
+            )
+        data_dir = self._next_version()
+        sigs_path = os.path.join(self.root, data_dir, "sigs")
+        deduped.write.mode("overwrite").parquet(sigs_path)
+        self._write_postings(
+            self.spark.read.parquet(sigs_path), m,
+            os.path.join(self.root, data_dir, "postings"), "overwrite",
+        )
+        m["data_dir"] = data_dir
+        self._swap_manifest(m)
+        if os.path.isdir(self.deletes_dir):
+            import shutil
+
+            shutil.rmtree(self.deletes_dir, ignore_errors=True)
+        self._invalidate()
+        return self
+
+    def maintain(
+        self, max_files_per_part: float = 8.0, vacuum: bool = True,
+        max_deleted_frac: float = 0.2,
+    ) -> dict:
+        """Append-hygiene policy (the LshIndex.maintain triggers):
+        rebuild iff fragmentation, replayed-append duplicates, or
+        tombstone debt above ``max_deleted_frac`` (the measured r10
+        read-tax threshold, PERFORMANCE.md)."""
+        st = self.stats()
+        _, sigs = self._readers()
+        m = self._manifest()
+        distinct = sigs.select(m["id_col"]).distinct().count()
+        frag = st["posting_files"] / max(1, m["parts"])
+        replayed = st["n_images"] > distinct
+        debt = st["deleted"] / max(st["n_images"], 1) > max_deleted_frac
+        rebuilt = frag > max_files_per_part or replayed or debt
+        st["distinct_images"] = distinct
+        if rebuilt:
+            self.rebuild()
+            if vacuum:
+                st["vacuumed"] = self.vacuum()
+            st["after"] = self.stats()
+        return {**st, "rebuilt": rebuilt}
+
+    def vacuum(self) -> list[str]:
+        import shutil
+
+        live = self._manifest()["data_dir"]
+        removed = []
+        for d in os.listdir(self.root):
+            if (
+                d.startswith("data_v")
+                and d[len("data_v"):].isdigit()
+                and d != live
+            ):
+                shutil.rmtree(os.path.join(self.root, d))
+                removed.append(d)
+        return removed
+
+    def stats(self) -> dict:
+        """Index size + posting-bucket stats. Always re-lists (the
+        cross-handle append lesson: a cached parquet snapshot pins its
+        file listing)."""
+        self._invalidate()
+        postings, sigs = self._readers()
+        n = sigs.count()
+        bucket = postings.groupBy("band", "block").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        row = bucket.select(
+            F.sum("n").alias("n_postings"),
+            F.max("n").alias("max_bucket"),
+            F.percentile_approx("n", 0.99).alias("p99_bucket"),
+        ).collect()[0]
+        files = 0
+        proot = os.path.join(self.data_path, "postings")
+        for _, _, fs in os.walk(proot):
+            files += sum(1 for f in fs if f.endswith(".parquet"))
+        t = self._tombstones()
+        return {
+            "n_images": n,
+            "deleted": t.distinct().count() if t is not None else 0,
+            "n_postings": int(row["n_postings"] or 0),
+            "max_bucket": int(row["max_bucket"] or 0),
+            "p99_bucket": int(row["p99_bucket"] or 0),
+            "posting_files": files,
+            "data_dir": self._manifest()["data_dir"],
+        }

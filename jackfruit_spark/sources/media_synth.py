@@ -1,0 +1,140 @@
+"""Synthetic image corpus writer (r10): the ONE place that generates
+deterministic test/bench images and lands them as WebDataset tar shards
+or WARC response records — shared by bench.py's image-dedup input prep,
+the scale rehearsal, and tests, so the image shape (what the pHash
+kernel sees) can't drift between them (the warc_synth rule).
+
+Images are block-upsampled random patterns (smooth low-frequency
+content — pure per-pixel noise has nothing for a perceptual hash to key
+on); near-duplicates are JPEG re-encodes of an earlier original (the
+exact regime image dedup exists for: same picture, different lossy
+encoding). Originals are filter-0 PNGs (cheap pure-Python decode).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import struct
+import tarfile
+import zlib
+
+import numpy as np
+
+
+def synth_image(seed: int, size: int = 48) -> np.ndarray:
+    """Deterministic smooth RGB image: 6x6 random pattern upsampled."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(6, 6, 3)).astype(np.float64)
+    up = np.kron(base, np.ones((size // 6, size // 6, 1)))
+    return np.clip(up, 0, 255).astype(np.uint8)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal filter-0 PNG (8-bit gray or RGB)."""
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    color = {1: 0, 3: 2}[c]
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def image_corpus(
+    n: int, dup_frac: float = 0.2, seed: int = 0, size: int = 48,
+    quality: int = 88,
+) -> list[tuple[str, str, bytes]]:
+    """(name, ext, payload) rows: ``n`` original PNGs plus
+    ``round(n*dup_frac)`` JPEG re-encodes of evenly-spaced originals —
+    each re-encode is a true near-duplicate (Hamming <= 2 measured on
+    this generator). Deterministic in (n, dup_frac, seed, size)."""
+    from jackfruit_spark.sources import jpeg
+
+    rows = []
+    for i in range(n):
+        rows.append((f"img{i:06d}", "png", encode_png(synth_image(seed + i, size))))
+    n_dup = int(round(n * dup_frac))
+    for j in range(n_dup):
+        src = (j * max(1, n // max(1, n_dup))) % n
+        img = synth_image(seed + src, size)
+        rows.append((f"dup{j:06d}", "jpg", jpeg.encode(img, quality=quality)))
+    return rows
+
+
+def write_image_wds_shards(
+    images: list[tuple[str, str, bytes]], out_dir: str, n_shards: int = 8
+) -> str:
+    """Land (name, ext, payload) rows as WebDataset tar shards (member
+    ``<name>.<ext>``; shard = stable hash of name). Returns the glob."""
+    os.makedirs(out_dir, exist_ok=True)
+    bufs: list[list[tuple[str, bytes]]] = [[] for _ in range(n_shards)]
+    for name, ext, payload in images:
+        h = zlib.crc32(name.encode()) % n_shards
+        bufs[h].append((f"{name}.{ext}", payload))
+    for i, members in enumerate(bufs):
+        with tarfile.open(os.path.join(out_dir, f"media{i:03d}.tar"), "w") as tf:
+            for fname, payload in members:
+                info = tarfile.TarInfo(fname)
+                info.size = len(payload)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(payload))
+    return os.path.join(out_dir, "*.tar")
+
+
+def warc_media_record(
+    name: str, payload: bytes, content_type: str, host: str = "bench.example"
+) -> bytes:
+    """One WARC/1.0 response record wrapping an HTTP 200 media payload
+    (the image twin of warc_synth.warc_response_record)."""
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + content_type.encode() + b"\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n" + payload
+    )
+    return (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:media-" + name.encode() + b">\r\n"
+        b"WARC-Target-URI: https://" + host.encode() + b"/" + name.encode() + b"\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+
+
+_CTYPE = {"png": "image/png", "jpg": "image/jpeg", "jpeg": "image/jpeg"}
+
+
+def append_media_warc_shards(
+    images: list[tuple[str, str, bytes]], out_dir: str, n_shards: int = 8
+) -> str:
+    """APPEND (name, ext, payload) rows as member-per-record gzip WARC
+    records into ``out_dir``'s shard files (creating them if absent) —
+    compose with ``warc_synth.write_warc_shards`` to build mixed
+    text+image crawls for the pipeline's media tier. Returns the glob."""
+    os.makedirs(out_dir, exist_ok=True)
+    bufs: list[list[bytes]] = [[] for _ in range(n_shards)]
+    for name, ext, payload in images:
+        h = zlib.crc32(name.encode()) % n_shards
+        bufs[h].append(
+            gzip.compress(
+                warc_media_record(name, payload, _CTYPE.get(ext, "application/octet-stream"))
+            )
+        )
+    for i, members in enumerate(bufs):
+        with open(os.path.join(out_dir, f"shard{i:02d}.warc.gz"), "ab") as f:
+            f.write(b"".join(members))
+    return os.path.join(out_dir, "*.warc.gz")

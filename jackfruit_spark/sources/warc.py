@@ -53,7 +53,9 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     IntegerType,
     LongType,
@@ -585,6 +587,166 @@ def scan_warc_cdx(
 
     cols = ["path", "offset", "length", "compressed"]
     return manifest.select(*cols).mapInPandas(fetch, schema=WARC_RECORDS)
+
+
+# ------------------------------------------------------------ media tier
+
+WARC_MEDIA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("record_id", StringType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def _media_row(path, headers, payload, prefixes):
+    """(row or None) for one WARC record: status-200 responses whose
+    HTTP content-type starts with any of ``prefixes`` yield the DECODED
+    HTTP body bytes (the image/audio/video payload downstream codecs
+    consume); everything else is skipped. Corrupt sentinels pass through
+    with a NULL payload so the quarantine channel stays countable."""
+    wtype = headers.get("warc-type")
+    if wtype == CORRUPT_TYPE:
+        return (path, None, None, CORRUPT_TYPE, None)
+    status, http_headers, body = split_http_response(payload)
+    ctype = http_headers.get("content-type", "")
+    base = ctype.split(";", 1)[0].strip().lower()
+    if status != 200 or not any(base.startswith(p) for p in prefixes):
+        return None
+    return (
+        path,
+        headers.get("warc-record-id"),
+        headers.get("warc-target-uri"),
+        base,
+        body,
+    )
+
+
+def scan_warc_media_files(
+    files: DataFrame, media_prefixes: tuple[str, ...] = ("image/",)
+) -> DataFrame:
+    """Media twin of `scan_warc_files`: walk WARC shards from a
+    binaryFile frame and emit one row per status-200 response whose
+    content-type matches ``media_prefixes`` — payload BYTES included
+    (the text scanner deliberately drops non-HTML bodies). Same
+    streaming-compatible mapInPandas shape."""
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(files.sparkSession)
+    prefixes = tuple(p.lower() for p in media_prefixes)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for headers, payload in iter_warc_records(bytes(content)):
+                    if headers.get("warc-type") not in ("response", CORRUPT_TYPE):
+                        continue
+                    row = _media_row(path, headers, payload, prefixes)
+                    if row is not None:
+                        rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in WARC_MEDIA.fields])
+
+    return files.select("path", "content").mapInPandas(extract, schema=WARC_MEDIA)
+
+
+def scan_warc_media(
+    spark: SparkSession,
+    path_glob: str,
+    media_prefixes: tuple[str, ...] = ("image/",),
+) -> DataFrame:
+    files = spark.read.format("binaryFile").load(path_glob)
+    return scan_warc_media_files(files, media_prefixes)
+
+
+def scan_warc_media_cdx(
+    spark: SparkSession,
+    manifest: DataFrame,
+    media_prefixes: tuple[str, ...] = ("image/",),
+) -> DataFrame:
+    """Ranged-read media scan: the `scan_warc_cdx` shape (manifest-driven
+    per-record fetches through the object-store seam, executor memory
+    bounded by one record) emitting media payload rows. The manifest
+    carries no content-type, so type selection happens after the ranged
+    read — but warc_type pushdown still prunes request/metadata records,
+    and at 100 TB a media-only manifest (filter target_uri by extension
+    upstream) makes the pruning exact."""
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(spark)
+    prefixes = tuple(p.lower() for p in media_prefixes)
+    if "warc_type" in manifest.columns:
+        manifest = manifest.filter(
+            F.col("warc_type").isNull()
+            | (F.col("warc_type") == "response")
+            | (F.col("warc_type") == CORRUPT_TYPE)
+        )
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jackfruit_spark.sources.object_store import read_range
+
+        for pdf in batches:
+            rows = []
+            for path, off, length, comp in zip(
+                pdf["path"], pdf["offset"], pdf["length"], pdf["compressed"]
+            ):
+                try:
+                    buf = read_range(path, int(off), int(length))
+                    if comp:
+                        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+                        rec = d.decompress(buf)
+                        if not d.eof:
+                            raise zlib.error("truncated gzip member")
+                    else:
+                        rec = buf
+                    recs = list(_iter_plain(rec))
+                except (OSError, zlib.error) as e:
+                    rows.append(
+                        _media_row(
+                            path, _corrupt(int(off), str(e))[0], b"", prefixes
+                        )
+                    )
+                    continue
+                for headers, payload in recs:
+                    if headers.get("warc-type") not in ("response", CORRUPT_TYPE):
+                        continue
+                    row = _media_row(path, headers, payload, prefixes)
+                    if row is not None:
+                        rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in WARC_MEDIA.fields])
+
+    cols = ["path", "offset", "length", "compressed"]
+    return manifest.select(*cols).mapInPandas(fetch, schema=WARC_MEDIA)
+
+
+def warc_to_media(scanned: DataFrame, source: str = "warc") -> DataFrame:
+    """Bridge scanned media records into the multimodal family's media
+    shape (media_id, url, content_type, payload, source): media_id is
+    the same stable 62-bit record-id hash as `warc_to_documents`'
+    doc_id — content-independent and deterministic across re-runs, so
+    byte-identical copies crawled at different URIs stay distinct
+    members and DEDUP (not scan order) picks the keeper. Corrupt
+    sentinels (NULL payload) are excluded here; count them upstream."""
+    return (
+        scanned.filter(
+            (F.col("content_type") != CORRUPT_TYPE)
+            & F.col("payload").isNotNull()
+            & (F.length("payload") > 0)
+        )
+        .select(
+            F.pmod(
+                F.xxhash64(F.coalesce(F.col("record_id"), F.col("target_uri"))),
+                F.lit(1 << 62).cast("long"),
+            ).alias("media_id"),
+            F.col("target_uri").alias("url"),
+            "content_type",
+            "payload",
+            F.lit(source).alias("source"),
+        )
+    )
 
 
 def warc_to_documents(

@@ -39,6 +39,9 @@ def test_bench_emits_json_line_even_when_a_query_throws(spark, monkeypatch):
         bench, "bench_hybrid", lambda s, d: {"hybrid_stub": 0.0}
     )
     monkeypatch.setattr(
+        bench, "bench_image_dedup", lambda s, d: {"img_stub": 0.0}
+    )
+    monkeypatch.setattr(
         bench, "bench_corpus_pipeline", lambda s, d: ({"pipe_stub": 0.0}, {})
     )
     monkeypatch.setattr(
@@ -80,6 +83,9 @@ def test_bench_emits_json_line_even_when_grid_section_throws(spark, monkeypatch)
     monkeypatch.setattr(bench, "bench_bm25", lambda s, d: {"bm25_stub": 0.0})
     monkeypatch.setattr(
         bench, "bench_hybrid", lambda s, d: {"hybrid_stub": 0.0}
+    )
+    monkeypatch.setattr(
+        bench, "bench_image_dedup", lambda s, d: {"img_stub": 0.0}
     )
     monkeypatch.setattr(
         bench, "bench_corpus_pipeline", lambda s, d: ({"pipe_stub": 0.0}, {})

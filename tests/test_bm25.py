@@ -310,3 +310,54 @@ def test_delete_masks_and_rebuild_compacts(spark, docs_df, tmp_path):
         for r in sorted(rows, key=lambda r: r["rank"])
     ]
     assert got_ranked == [(d, round(s, 6)) for d, s in want]
+
+
+def test_maintain_rebuilds_on_tombstone_debt(spark, docs_df, tmp_path):
+    """maintain() (r10, VERDICT r9 #3): a past-threshold delete triggers
+    the compacting rebuild automatically and scores return to
+    fresh-build-exact — N/total_dl drift is bounded by policy now."""
+    root = str(tmp_path / "bm25maint")
+    idx = Bm25Index.build(docs_df, "doc_id", "text", root, parts=16)
+    # below threshold: nothing happens
+    rep0 = idx.maintain()
+    assert not rep0["rebuilt"]
+    # 3 of 11 indexed docs = 27% > the 20% debt threshold
+    idx.delete(["d11", "d01", "d02"])
+    rep = idx.maintain()
+    assert rep["rebuilt"] and rep["deleted"] == 3
+    st = idx.stats()
+    assert st["deleted"] == 0 and st["n_docs"] == 8
+    # post-maintain scores == fresh build of the survivors
+    survivors = [(d, t) for d, t in DOCS if d not in ("d11", "d01", "d02")]
+    qdf = spark.createDataFrame(
+        [("q1", "quick brown fox")], "query_id string, query string"
+    )
+    want = python_bm25(survivors, [("q1", "quick brown fox")], k=10)["q1"]
+    rows = sorted(idx.search(qdf, k=10).collect(), key=lambda r: r["rank"])
+    assert [(r["id"], round(r["score"], 6)) for r in rows] == [
+        (d, round(s, 6)) for d, s in want
+    ]
+
+
+def test_maintain_rebuilds_on_replayed_append(spark, docs_df, tmp_path):
+    """A crashed-marker replay re-appends a batch: df double-counts its
+    terms until maintain()'s deduplicating rebuild collapses the
+    identical posting rows (the r10 rebuild fix — previously rebuild
+    preserved the duplicates and df stayed doubled)."""
+    root = str(tmp_path / "bm25replay")
+    base = spark.createDataFrame(DOCS[:8], "doc_id string, text string")
+    idx = Bm25Index.build(base, "doc_id", "text", root, parts=16)
+    delta = spark.createDataFrame(DOCS[8:], "doc_id string, text string")
+    idx.append(delta)
+    idx.append(delta)  # simulated replay
+    rep = idx.maintain()
+    assert rep["rebuilt"]
+    # scores equal ONE clean append (== fresh build of the union)
+    want = python_bm25(DOCS, [("q1", "quick brown fox")], k=10)["q1"]
+    qdf = spark.createDataFrame(
+        [("q1", "quick brown fox")], "query_id string, query string"
+    )
+    rows = sorted(idx.search(qdf, k=10).collect(), key=lambda r: r["rank"])
+    assert [(r["id"], round(r["score"], 6)) for r in rows] == [
+        (d, round(s, 6)) for d, s in want
+    ]

@@ -120,6 +120,45 @@ def test_pipeline_cli_quality_tier(spark, shards, tmp_path, capsys):
     assert stats["deduped"] == 39 and stats["packed"] > 0
 
 
+def test_pipeline_cli_media_dedup(spark, tmp_path, capsys):
+    """`pipeline --media-dedup --media-output`: deduped media rows land
+    as parquet and the stats line carries the media stages."""
+    import json
+
+    from jackfruit_spark import __main__ as cli
+    from jackfruit_spark.sources.media_synth import (
+        append_media_warc_shards,
+        image_corpus,
+    )
+    from jackfruit_spark.sources.warc_synth import write_warc_shards
+
+    crawl = tmp_path / "crawl"
+    docs = [
+        (i, " ".join(f"w{i}tok{j}" for j in range(60))) for i in range(4)
+    ]
+    write_warc_shards(docs, str(crawl), n_shards=1)
+    append_media_warc_shards(
+        image_corpus(4, dup_frac=0.25, seed=33, quality=90), str(crawl),
+        n_shards=1,
+    )
+    out = str(tmp_path / "packed")
+    media_out = str(tmp_path / "media")
+    rc = cli.main(
+        ["pipeline", "--input", str(crawl / "*.warc.gz"), "--output", out,
+         "--min-tokens", "5", "--media-dedup", "--media-output", media_out]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["media"] == 5 and stats["media_dedup"] == 4
+    assert spark.read.parquet(media_out).count() == 4
+
+    with pytest.raises(SystemExit, match="media-output"):
+        cli.main(
+            ["pipeline", "--input", str(crawl / "*.warc.gz"),
+             "--output", out, "--media-dedup"]
+        )
+
+
 def test_pipeline_drops_boilerplate_chrome(spark, shards):
     # inspect bridged text directly at the extraction tier
     from jackfruit_spark.sources.warc import (
@@ -157,6 +196,47 @@ def test_pipeline_semantic_dedup(spark, shards):
 def test_pipeline_unknown_dedup_raises(spark, shards):
     with pytest.raises(ValueError, match="unknown dedup"):
         warc_training_pipeline(spark, shards, dedup="nope")
+
+
+def test_pipeline_media_dedup(spark, tmp_path):
+    """media_dedup=True (r10, VERDICT r9 #1): the SAME crawl's image
+    responses flow through a second ranged scan, pHash near-dup dedup
+    drops the JPEG re-encode of an original IN THE PIPELINE (not just
+    the operator), and the ``media``/``media_dedup`` stages count it —
+    while the text stages are untouched."""
+    from jackfruit_spark._persist import release_all
+    from jackfruit_spark.operators.curation import observation_rows
+    from jackfruit_spark.sources.media_synth import (
+        append_media_warc_shards,
+        image_corpus,
+    )
+    from jackfruit_spark.sources.warc_synth import write_warc_shards
+
+    docs = [
+        (i, " ".join(f"w{i}tok{j}" for j in range(60))) for i in range(8)
+    ]
+    write_warc_shards(docs, str(tmp_path), n_shards=2)
+    # 6 originals + 2 JPEG re-encode near-dups (of originals 0 and 3)
+    imgs = image_corpus(6, dup_frac=1 / 3, seed=21, quality=90)
+    assert len(imgs) == 8
+    append_media_warc_shards(imgs, str(tmp_path), n_shards=2)
+
+    try:
+        packed, media_kept, obs = warc_training_pipeline(
+            spark, str(tmp_path / "*.warc.gz"),
+            min_tokens=5, media_dedup=True,
+        )
+        media_rows = media_kept.collect()
+        packed.collect()
+    finally:
+        release_all()
+    counts = {k: observation_rows(o) for k, o in obs.items()}
+    assert counts["media"] == 8
+    assert counts["media_dedup"] == 6 == len(media_rows)
+    # text tier unaffected by the media tier
+    assert counts["docs"] == 8 and counts["deduped"] == 8
+    # survivors carry payload + url, exactly one per near-dup cluster
+    assert all(r["payload"] and r["url"] for r in media_rows)
 
 
 def test_pipeline_url_tier(spark, shards):

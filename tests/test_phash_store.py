@@ -1,0 +1,235 @@
+"""Persistent perceptual-hash image index (operators/phash_store.py):
+build → delta dedup flags (corpus dup / intra keeper / tainted component
+/ undecodable keeps), partition-pruned probe plan, append-then-probe,
+tombstone deletes, replay-healing rebuild + maintain policy — the
+LshIndex contract on the image modality."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.operators.phash_store import PhashIndex
+from jackfruit_spark.sources import jpeg
+from jackfruit_spark.sources.media_synth import encode_png, synth_image
+
+
+def _png(seed: int) -> bytes:
+    return encode_png(synth_image(seed))
+
+
+def _jpg(seed: int, quality: int = 88) -> bytes:
+    return jpeg.encode(synth_image(seed), quality=quality)
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "media_id long, payload binary"
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _media(spark, [(i, _png(i)) for i in range(30)])
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("phash") / "idx")
+    return PhashIndex.build(corpus, "media_id", root, parts=16)
+
+
+def test_dedup_batch_flags(spark, index):
+    """One delta, every decision class: 100 = byte-identical copy of
+    corpus image 3; 101 = JPEG re-encode of corpus image 7 (near-dup);
+    102/103 = intra-batch near-pair (PNG + its re-encode, min-id
+    keeper); 104 = fresh; 105 = another copy of corpus image 3 (tainted
+    component); 106 = undecodable (keeps itself — unprobeable)."""
+    batch = _media(
+        spark,
+        [
+            (100, _png(3)),
+            (101, _jpg(7)),
+            (102, _png(900)),
+            (103, _jpg(900)),
+            (104, _png(901)),
+            (105, _png(3)),
+            (106, b"not an image"),
+        ],
+    )
+    flags = {r["media_id"]: r for r in index.dedup_batch(batch).collect()}
+    assert flags[100]["dup_of_corpus"] and not flags[100]["keep"]
+    assert flags[101]["dup_of_corpus"] and not flags[101]["keep"]
+    assert not flags[102]["dup_of_corpus"] and flags[102]["keep"]
+    assert not flags[103]["dup_of_corpus"] and not flags[103]["keep"]
+    assert not flags[104]["dup_of_corpus"] and flags[104]["keep"]
+    assert not flags[105]["keep"]
+    assert not flags[106]["dup_of_corpus"] and flags[106]["keep"]
+
+
+def test_probe_plan_partition_pruned(spark, index):
+    """A single-image delta touches at most ``bands`` bp residues: the
+    literal IN-list must land in the postings scan's PartitionFilters
+    (the lsh_store/ivf_store assertion pattern)."""
+    from jackfruit_spark.plans import plan_string
+
+    batch = _media(spark, [(200, _png(3))])
+    sig = index._sig_of(batch, index._manifest())
+    pairs = index.corpus_candidates(sig)
+    p = plan_string(pairs)
+    scan_lines = [
+        ln for ln in p.splitlines()
+        if "PartitionFilters" in ln and "bp" in ln
+    ]
+    assert any("bp IN" in ln or "bp#" in ln for ln in scan_lines), p
+    assert pairs.count() > 0
+
+
+def test_precomputed_phash_skips_decode(spark, index, tmp_path):
+    """A frame already carrying ``phash`` must be used as-is (no second
+    decode): build + dedup_batch from hash-only frames, no payload
+    column at all."""
+    from jackfruit_spark import multimodal as mm
+
+    hashes = [
+        (i, mm.phash64(synth_image(i))) for i in range(10)
+    ]
+    pre = spark.createDataFrame(hashes, "media_id long, phash long")
+    root = str(tmp_path / "pre")
+    idx = PhashIndex.build(pre, "media_id", root, parts=8)
+    assert idx.stats()["n_images"] == 10
+    probe = spark.createDataFrame([hashes[4]], "media_id long, phash long")
+    flags = idx.dedup_batch(
+        probe.select((F.col("media_id") + 100).alias("media_id"), "phash")
+    ).collect()
+    assert len(flags) == 1 and flags[0]["dup_of_corpus"]
+
+
+def test_append_then_probe(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    idx = PhashIndex.build(
+        _media(spark, [(i, _png(i)) for i in range(10)]),
+        "media_id", root, parts=8,
+    )
+    # fresh image appends, then its re-encode probes as a corpus dup
+    idx.append(_media(spark, [(50, _png(500))]))
+    flags = {
+        r["media_id"]: r
+        for r in idx.dedup_batch(_media(spark, [(60, _jpg(500))])).collect()
+    }
+    assert flags[60]["dup_of_corpus"] and not flags[60]["keep"]
+    assert idx.stats()["n_images"] == 11
+
+
+def test_delete_unmasks_and_rebuild_compacts(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    idx = PhashIndex.build(
+        _media(spark, [(i, _png(i)) for i in range(10)]),
+        "media_id", root, parts=8,
+    )
+    probe = _media(spark, [(70, _jpg(4))])
+    assert not idx.dedup_batch(probe).collect()[0]["keep"]
+    idx.delete([4])
+    # deleted corpus image no longer blocks the delta
+    assert idx.dedup_batch(probe).collect()[0]["keep"]
+    st = idx.stats()
+    assert st["n_images"] == 10 and st["deleted"] == 1
+    idx.rebuild()
+    st2 = idx.stats()
+    assert st2["n_images"] == 9 and st2["deleted"] == 0
+    assert not os.path.isdir(idx.deletes_dir)
+    removed = idx.vacuum()
+    assert removed == ["data_v1"]
+
+
+def test_rebuild_heals_replayed_append(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    idx = PhashIndex.build(
+        _media(spark, [(i, _png(i)) for i in range(8)]),
+        "media_id", root, parts=8,
+    )
+    delta = _media(spark, [(20, _png(200))])
+    idx.append(delta)
+    idx.append(delta)  # simulated crashed-marker replay
+    assert idx.stats()["n_images"] == 10  # physical rows, one dup
+    rep = idx.maintain(vacuum=True)
+    assert rep["rebuilt"]
+    assert idx.stats()["n_images"] == 9
+
+
+def test_maintain_rebuilds_on_tombstone_debt(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    idx = PhashIndex.build(
+        _media(spark, [(i, _png(i)) for i in range(10)]),
+        "media_id", root, parts=8,
+    )
+    idx.delete([0, 1, 2])  # 30% > the 20% debt threshold
+    rep = idx.maintain()
+    assert rep["rebuilt"]
+    assert idx.stats()["n_images"] == 7
+
+
+def test_cli_lifecycle(spark, tmp_path, capsys):
+    """index-images build/stats/maintain + dedup-images: the media twin
+    of the index-corpus/dedup-delta CLI pair."""
+    import json
+
+    from jackfruit_spark import __main__ as cli
+
+    media_dir = str(tmp_path / "media")
+    _media(spark, [(i, _png(i)) for i in range(12)]).write.parquet(media_dir)
+    root = str(tmp_path / "idx")
+    assert cli.main([
+        "index-images", "--root", root, "--input", media_dir,
+        "--parts", "8",
+    ]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_images"] == 12 and st["mode"] == "build"
+
+    delta_dir = str(tmp_path / "delta")
+    _media(
+        spark, [(100, _jpg(3)), (101, _png(777))]
+    ).write.parquet(delta_dir)
+    out_dir = str(tmp_path / "kept")
+    assert cli.main([
+        "dedup-images", "--root", root, "--input", delta_dir,
+        "--output", out_dir,
+        "--flags-output", str(tmp_path / "flags"),
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input"] == 2 and rep["kept"] == 1 and rep["dropped"] == 1
+    assert rep["appended"]
+    kept_ids = [
+        r["media_id"] for r in spark.read.parquet(out_dir).collect()
+    ]
+    assert kept_ids == [101]
+
+    assert cli.main(["index-images", "--root", root, "--mode", "stats"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_images"] == 13  # the kept delta image was appended
+
+    assert cli.main([
+        "index-images", "--root", root, "--mode", "delete", "--ids", "3",
+    ]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["deleted"] == 1
+    assert cli.main([
+        "index-images", "--root", root, "--mode", "maintain",
+    ]) == 0
+
+
+def test_cross_handle_stats(spark, tmp_path):
+    """stats() must see appends made through ANOTHER handle (the cached
+    parquet snapshot pins its file listing — the LshIndex lesson)."""
+    root = str(tmp_path / "idx")
+    PhashIndex.build(
+        _media(spark, [(i, _png(i)) for i in range(6)]),
+        "media_id", root, parts=8,
+    )
+    a = PhashIndex(spark, root)
+    assert a.stats()["n_images"] == 6
+    b = PhashIndex(spark, root)
+    b.append(_media(spark, [(90, _png(909))]))
+    assert a.stats()["n_images"] == 7

@@ -1,0 +1,83 @@
+"""WARC media tier (sources/warc.py r10): image payload scan (whole-file
++ CDX ranged paths agree byte-for-byte), media bridge ids, corrupt
+channel — and the media_synth writer the bench/rehearsal share."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.sources.media_synth import (
+    append_media_warc_shards,
+    image_corpus,
+)
+from jackfruit_spark.sources.warc import (
+    build_cdx_manifest,
+    scan_warc_media,
+    scan_warc_media_cdx,
+    warc_to_media,
+)
+from jackfruit_spark.sources.warc_synth import write_warc_shards
+
+
+@pytest.fixture()
+def mixed_shards(tmp_path):
+    """2 shards carrying 6 HTML pages + 8 images (6 PNG originals, 2
+    JPEG re-encode near-dups)."""
+    docs = [
+        (i, " ".join(f"w{i}tok{j}" for j in range(40))) for i in range(6)
+    ]
+    write_warc_shards(docs, str(tmp_path), n_shards=2)
+    imgs = image_corpus(6, dup_frac=1 / 3, seed=11)
+    assert len(imgs) == 8
+    append_media_warc_shards(imgs, str(tmp_path), n_shards=2)
+    return str(tmp_path / "*.warc.gz")
+
+
+def test_media_scan_selects_images_only(spark, mixed_shards):
+    rows = scan_warc_media(spark, mixed_shards).collect()
+    assert len(rows) == 8
+    assert {r["content_type"] for r in rows} == {"image/png", "image/jpeg"}
+    assert all(r["payload"] and len(r["payload"]) > 50 for r in rows)
+    # HTML pages are invisible to the media scan
+    assert not [r for r in rows if r["content_type"].startswith("text/")]
+
+
+def test_cdx_and_wholefile_paths_agree(spark, mixed_shards):
+    whole = {
+        r["record_id"]: bytes(r["payload"])
+        for r in scan_warc_media(spark, mixed_shards).collect()
+    }
+    man = build_cdx_manifest(spark, mixed_shards)
+    ranged = {
+        r["record_id"]: bytes(r["payload"])
+        for r in scan_warc_media_cdx(spark, man).collect()
+    }
+    assert whole == ranged
+
+
+def test_media_bridge_ids_stable(spark, mixed_shards):
+    scanned = scan_warc_media(spark, mixed_shards)
+    a = {r["media_id"] for r in warc_to_media(scanned).collect()}
+    b = {r["media_id"] for r in warc_to_media(scanned).collect()}
+    assert a == b and len(a) == 8
+    # 62-bit non-negative ids, one per record
+    assert all(0 <= i < (1 << 62) for i in a)
+
+
+def test_media_scan_corrupt_channel(spark, tmp_path):
+    import gzip
+
+    from jackfruit_spark.sources.warc import CORRUPT_TYPE
+
+    (tmp_path / "bad.warc.gz").write_bytes(
+        gzip.compress(b"NOT A WARC RECORD AT ALL\r\n\r\n")
+    )
+    rows = scan_warc_media(spark, str(tmp_path / "*.warc.gz")).collect()
+    assert len(rows) == 1 and rows[0]["content_type"] == CORRUPT_TYPE
+    # the bridge excludes sentinels (count them upstream)
+    assert (
+        warc_to_media(scan_warc_media(spark, str(tmp_path / "*.warc.gz")))
+        .count()
+        == 0
+    )
