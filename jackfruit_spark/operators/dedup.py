@@ -847,6 +847,78 @@ def image_near_dup(
     )
 
 
+def audio_near_dup(
+    media_df: DataFrame,
+    fake: bool = False,
+    min_matches: int = 30,
+    max_hash_df: int = 1000,
+    algorithm: str = "label_propagation",
+) -> DataFrame:
+    """Audio near-duplicate clusters via constellation fingerprints —
+    the audio twin of `image_near_dup`, completing the multimodal dedup
+    matrix (text/image/audio): landmark every track
+    (`multimodal.audio_landmarks`, Shazam-style (f1, f2, Δt) hashes over
+    spectral peaks), candidate-pair on shared hashes through an inverted
+    index, require ``min_matches`` OFFSET-CONSISTENT hits (copies agree
+    on t1_a - t1_b; coincidental collisions scatter across offsets),
+    close transitively, keep min media_id per component.
+
+    Returns (media_id, cluster_id, keep) — the shape shared with the
+    text/image dedup family. Undecodable payloads produce no landmarks,
+    never pair, and keep themselves.
+
+    ``max_hash_df`` drops hashes present in more tracks than the cap
+    before the self-join (the jaccard max_shingle_df lesson: silence /
+    hum / codec artifacts produce viral hashes whose posting lists go
+    quadratic; true copies share hundreds of RARE hashes, so the cap
+    costs no recall).
+
+    Scale shape: decode+FFT is one Arrow pass over payload bytes (the
+    unavoidable part, embarrassingly parallel); everything after runs
+    on (8-byte hash, frame) rows — the self-join touches only colliding
+    hash buckets (df-capped), the offset vote is one groupBy, and CC
+    sees just the near-dup edge set. No stage is quadratic in corpus
+    size, and payload bytes never shuffle."""
+    from jackfruit_spark import multimodal as mm
+    from jackfruit_spark._persist import persisted
+
+    # landmarks: one decode+FFT pass; persisted because the df-cap, both
+    # self-join sides, and nothing else should ever re-decode audio
+    lm = persisted(mm.audio_landmarks(media_df, fake=fake))
+    hot = (
+        lm.groupBy("lmhash")
+        .agg(F.count_distinct("media_id").alias("__df"))
+        .filter(F.col("__df") > max_hash_df)
+        .select("lmhash")
+    )
+    pruned = lm.join(F.broadcast(hot), "lmhash", "left_anti")
+    a = pruned.select(
+        F.col("media_id").alias("id_a"), "lmhash", F.col("t1").alias("__ta")
+    )
+    b = pruned.select(
+        F.col("media_id").alias("id_b"), "lmhash", F.col("t1").alias("__tb")
+    )
+    pairs = (
+        a.join(b, "lmhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", (F.col("__ta") - F.col("__tb")).alias("__off"))
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("__hits").alias("matches"))
+        .filter(F.col("matches") >= min_matches)
+    )
+    labels = connected_components(
+        media_df.select(F.col("media_id").alias("id")),
+        pairs.select("id_a", "id_b"),
+        algorithm=algorithm,
+    )
+    return labels.select(
+        F.col("id").alias("media_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def _split_oversized_cells(
     assigned: DataFrame,
     vec_col: str,

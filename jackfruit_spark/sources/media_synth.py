@@ -97,6 +97,61 @@ def write_image_wds_shards(
     return os.path.join(out_dir, "*.tar")
 
 
+def synth_audio(seed: int, secs: float = 4.0, rate: int = 8000) -> np.ndarray:
+    """Deterministic chirp-mixture waveform: time-varying spectral peaks
+    for the constellation fingerprint to key on (pure tones collapse to
+    one bin; white noise has no stable peaks)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(secs * rate)) / rate
+    x = np.zeros_like(t)
+    # 6 chirps over most of the Nyquist range: measured max cross-seed
+    # constellation score 15 over 10 seeds (vs 22 with 4 narrow-band
+    # chirps — too self-similar) against ~1500 for a true re-encode
+    for _ in range(6):
+        f0, f1 = rng.uniform(200, 3500, 2)
+        x += np.sin(
+            2 * np.pi * (f0 * t + (f1 - f0) / (2 * secs) * t * t)
+            + rng.uniform(0, 2 * np.pi)
+        )
+    x += 0.01 * rng.normal(size=t.size)
+    return (x / np.max(np.abs(x)) * 0.8).astype(np.float32)
+
+
+def encode_wav(x: np.ndarray, rate: int = 8000, sampwidth: int = 2) -> bytes:
+    """Mono PCM WAV (16- or 8-bit)."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        if sampwidth == 2:
+            w.writeframes((x * 32767).astype("<i2").tobytes())
+        else:
+            w.writeframes(np.clip(x * 127 + 128, 0, 255).astype("u1").tobytes())
+    return buf.getvalue()
+
+
+def audio_corpus(
+    n: int, dup_frac: float = 0.2, seed: int = 0
+) -> list[tuple[str, str, bytes]]:
+    """(name, ext, payload) rows: ``n`` original 16-bit WAVs plus
+    ``round(n*dup_frac)`` 8-bit re-quantized near-duplicates of
+    evenly-spaced originals — the audio twin of ``image_corpus``."""
+    rows = []
+    for i in range(n):
+        rows.append((f"aud{i:06d}", "wav", encode_wav(synth_audio(seed + i))))
+    n_dup = int(round(n * dup_frac))
+    for j in range(n_dup):
+        src = (j * max(1, n // max(1, n_dup))) % n
+        rows.append(
+            (f"adup{j:06d}", "wav",
+             encode_wav(synth_audio(seed + src), sampwidth=1))
+        )
+    return rows
+
+
 def warc_media_record(
     name: str, payload: bytes, content_type: str, host: str = "bench.example"
 ) -> bytes:
@@ -115,7 +170,12 @@ def warc_media_record(
     )
 
 
-_CTYPE = {"png": "image/png", "jpg": "image/jpeg", "jpeg": "image/jpeg"}
+_CTYPE = {
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "wav": "audio/wav",
+}
 
 
 def append_media_warc_shards(

@@ -339,6 +339,9 @@ def main() -> None:
     ap.add_argument("--vocab", default="uniform", choices=("uniform", "zipf"),
                     help="document vocabulary: the driver's uniform 31-word "
                          "salad, or a 10k-word Zipf draw (realistic df tail)")
+    ap.add_argument("--tombstone-tax", action="store_true",
+                    help="also sweep probe latency vs deleted fraction "
+                         "(0/5/20/50%%) for all four index families")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     skip = set(filter(None, args.skip.split(",")))
@@ -566,6 +569,84 @@ def main() -> None:
                 print(f"hybrid@x{m}: {e}"[:200], file=sys.stderr)
             print(f"done hybrid_search@x{m}", file=sys.stderr)
 
+    if "image_dedup_delta" not in skip:
+        # The PhashIndex claim (VERDICT r9 #2): a FIXED 100-image
+        # delta's dedup cost must stay flat as the indexed image corpus
+        # grows — probes join 8-byte hashes against partition-pruned
+        # postings, stored payloads are never re-read. Build per mult is
+        # timed as its own key; the delta is bench.py's exact shape.
+        from bench import image_bench_delta, image_bench_media
+        from jackfruit_spark.operators.phash_store import PhashIndex
+        from jackfruit_spark.sources.media_synth import (
+            image_corpus,
+            write_image_wds_shards,
+        )
+
+        results["phash_index_build"] = {}
+        results["image_dedup_delta"] = {}
+        # untimed warm-up (the lsh lesson: first Arrow decode + CC of a
+        # session pays the JIT bill and reads as a negative alpha)
+        try:
+            wdir = os.path.join(args.root, "img_warm")
+            if not os.path.isdir(wdir):
+                write_image_wds_shards(
+                    image_corpus(50, dup_frac=0.2, seed=99), wdir
+                )
+            wmedia = image_bench_media(spark, os.path.join(wdir, "*.tar"))
+            widx = PhashIndex.build(
+                wmedia, "media_id", os.path.join(args.root, "phash_warm")
+            )
+            widx.dedup_batch(image_bench_delta(spark)).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            release_persisted()
+            spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001
+            print(f"phash warm-up: {e}"[:200], file=sys.stderr)
+        for m in mults:
+            sf = os.path.join(args.root, f"mult{m}{suffix}")
+            img_dir = os.path.join(sf, "media")
+            try:
+                if not os.path.isdir(img_dir):
+                    # bench.py's IMG_SEED so the fixed delta's 50
+                    # re-encodes hit indexed originals at every mult
+                    from bench import IMG_SEED
+
+                    write_image_wds_shards(
+                        image_corpus(IMG_BASE * m, dup_frac=0.2,
+                                     seed=IMG_SEED),
+                        img_dir, n_shards=32,
+                    )
+                media = image_bench_media(
+                    spark, os.path.join(img_dir, "*.tar")
+                )
+                t_build = float("inf")
+                idx = None
+                for i in range(args.repeats):
+                    t0 = time.perf_counter()
+                    idx = PhashIndex.build(
+                        media, "media_id", os.path.join(sf, f"phash_idx{i}")
+                    )
+                    t_build = min(t_build, round(time.perf_counter() - t0, 3))
+                    release_persisted()
+                    spark.catalog.clearCache()
+                results["phash_index_build"][m] = t_build
+                delta = image_bench_delta(spark)
+                best = float("inf")
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    idx.dedup_batch(delta).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, round(time.perf_counter() - t0, 3))
+                    release_persisted()
+                    spark.catalog.clearCache()
+                results["image_dedup_delta"][m] = best
+            except Exception as e:  # noqa: BLE001
+                results["image_dedup_delta"][m] = None
+                print(f"phash@x{m}: {e}"[:200], file=sys.stderr)
+            print(f"done image_dedup_delta@x{m}", file=sys.stderr)
+
     out = {
         name: {
             "t": {f"x{m}": t for m, t in pts.items()},
@@ -573,7 +654,118 @@ def main() -> None:
         }
         for name, pts in results.items()
     }
+
+    if args.tombstone_tax:
+        out["tombstone_tax"] = tombstone_tax(
+            spark, os.path.join(args.root, f"mult{mults[0]}{suffix}"),
+            args.repeats,
+        )
     print(json.dumps(out))
+
+
+IMG_BASE = 1000
+
+
+def tombstone_tax(spark, sf: str, repeats: int) -> dict:
+    """VERDICT r9 #4: the tombstone READ-TAX curve — fixed probe latency
+    vs deleted fraction (0/5/20/50%) for all four index families. The
+    masking anti-join broadcasts the tombstone set, so the expected
+    shape is a small, deletion-set-sized additive cost; this measures
+    it and validates (or moves) the max_deleted_frac=0.2 policy."""
+    import tempfile
+
+    from bench import (
+        bm25_bench_queries,
+        image_bench_delta,
+        image_bench_media,
+        lsh_bench_delta,
+    )
+    from jackfruit_spark.functions.bm25 import Bm25Index
+    from jackfruit_spark.functions.featurize import hashed_embedding
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+    from jackfruit_spark.operators.lsh_store import LshIndex
+    from jackfruit_spark.operators.phash_store import PhashIndex
+    from jackfruit_spark.sources.media_synth import (
+        image_corpus,
+        write_image_wds_shards,
+    )
+
+    root = tempfile.mkdtemp(prefix="tombtax_")
+    d = Q.load(spark, sf, "documents")
+    n_docs = d.count()
+    img_dir = os.path.join(sf, "media")
+    if not os.path.isdir(img_dir):
+        from bench import IMG_SEED
+
+        write_image_wds_shards(
+            image_corpus(IMG_BASE, dup_frac=0.2, seed=IMG_SEED), img_dir,
+            n_shards=32,
+        )
+    media = image_bench_media(spark, os.path.join(img_dir, "*.tar"))
+
+    lsh = LshIndex.build(d, "doc_id", "text", os.path.join(root, "lsh"))
+    bm25 = Bm25Index.build(d, "doc_id", "text", os.path.join(root, "bm25"))
+    emb = hashed_embedding(d, "doc_id", "text", dim=64, idf=False)
+    ivf = IvfIndex.build(
+        emb, "doc_id", "embedding", os.path.join(root, "ivf"),
+        k=32, sample_fraction=1.0, seed=42,
+    )
+    phash = PhashIndex.build(media, "media_id", os.path.join(root, "phash"))
+    n_img = phash.stats()["n_images"]
+
+    probes = {
+        "lsh": lambda: lsh.dedup_batch(lsh_bench_delta(d)),
+        "bm25": lambda: bm25.search(bm25_bench_queries(d), k=10),
+        "ivf": lambda: ivf.knn_join(
+            d.filter(F.col("doc_id") < 200)
+            .select(F.col("doc_id").alias("qid"))
+            .join(emb.select(F.col("doc_id").alias("qid"),
+                             F.col("embedding").alias("qv")), "qid"),
+            "qid", "qv", k=10, nprobe=8,
+        ),
+        "phash": lambda: phash.dedup_batch(image_bench_delta(spark)),
+    }
+    curve: dict = {f: {} for f in probes}
+    deleted_docs = 0
+    deleted_imgs = 0
+    for frac in (0.0, 0.05, 0.2, 0.5):
+        want_docs = int(n_docs * frac)
+        if want_docs > deleted_docs:
+            ids = d.filter(
+                (F.col("doc_id") >= deleted_docs)
+                & (F.col("doc_id") < want_docs)
+            ).select("doc_id")
+            lsh.delete(ids)
+            bm25.delete(ids)
+            ivf.delete(ids)
+            deleted_docs = want_docs
+        want_imgs = int(n_img * frac)
+        if want_imgs > deleted_imgs:
+            _, sigs = phash._readers()
+            more = (
+                sigs.select("media_id").orderBy("media_id")
+                .limit(want_imgs)
+                .exceptAll(
+                    sigs.select("media_id").orderBy("media_id")
+                    .limit(deleted_imgs)
+                )
+            )
+            phash.delete(more)
+            deleted_imgs = want_imgs
+        for fam, mk in probes.items():
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                mk().write.format("noop").mode("overwrite").save()
+                best = min(best, round(time.perf_counter() - t0, 3))
+                release_persisted()
+                spark.catalog.clearCache()
+            curve[fam][f"{int(frac * 100)}%"] = best
+        print(f"done tombstone_tax@{frac}", file=sys.stderr)
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return curve
 
 
 if __name__ == "__main__":

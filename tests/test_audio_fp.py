@@ -1,0 +1,153 @@
+"""Audio fingerprint near-dup (multimodal.audio_landmarks_kernel +
+operators/dedup.audio_near_dup): constellation-hash invariances
+(re-quantization, G.711 re-encode, gain shift) and the end-to-end
+offset-consistent cluster composition — the audio leg of the multimodal
+dedup matrix."""
+
+from __future__ import annotations
+
+import io
+import wave
+
+import numpy as np
+import pytest
+
+from jackfruit_spark import multimodal as mm
+from jackfruit_spark.operators.dedup import audio_near_dup
+
+RATE = 8000
+
+
+def _signal(seed: int, secs: float = 3.0) -> np.ndarray:
+    """Chirp mixture: time-varying spectral peaks (pure tones would put
+    every landmark on one bin; white noise has no stable peaks)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(secs * RATE)) / RATE
+    x = np.zeros_like(t)
+    for _ in range(4):
+        f0, f1 = rng.uniform(200, 1500, 2)
+        x += np.sin(
+            2 * np.pi * (f0 * t + (f1 - f0) / (2 * secs) * t * t)
+            + rng.uniform(0, 2 * np.pi)
+        )
+    x += 0.01 * rng.normal(size=t.size)
+    return (x / np.max(np.abs(x)) * 0.8).astype(np.float32)
+
+
+def _wav(x: np.ndarray, sampwidth: int = 2) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(RATE)
+        if sampwidth == 2:
+            w.writeframes((x * 32767).astype("<i2").tobytes())
+        else:
+            w.writeframes(
+                np.clip(x * 127 + 128, 0, 255).astype("u1").tobytes()
+            )
+    return buf.getvalue()
+
+
+def _wav_ulaw(x: np.ndarray) -> bytes:
+    """µ-law WAV via nearest-table re-encode (the exact inverse of the
+    G.711 decode table multimodal uses — a faithful companded copy)."""
+    import struct
+
+    table = mm._ULAW_TABLE.astype(np.int32)
+    order = np.argsort(table)
+    tsorted = table[order]
+    target = (x * 32767).astype(np.int32)
+    pos = np.clip(np.searchsorted(tsorted, target), 1, 255)
+    left = np.abs(tsorted[pos - 1] - target) <= np.abs(tsorted[pos] - target)
+    codes = order[np.where(left, pos - 1, pos)].astype(np.uint8)
+    fmt = struct.pack("<HHIIHH", 7, 1, RATE, RATE, 1, 8)
+    data = codes.tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _match_score(a, b) -> int:
+    """Max offset-consistent shared-hash count (the operator's vote,
+    driver-side)."""
+    from collections import Counter, defaultdict
+
+    bt = defaultdict(list)
+    for h, t1 in b:
+        bt[h].append(t1)
+    votes = Counter()
+    for h, t1 in a:
+        for t2 in bt.get(h, ()):
+            votes[t1 - t2] += 1
+    return max(votes.values(), default=0)
+
+
+class TestKernel:
+    def test_deterministic_and_nonempty(self):
+        x = _signal(1)
+        lm1 = mm.audio_landmarks_kernel(x)
+        lm2 = mm.audio_landmarks_kernel(x)
+        assert lm1 == lm2 and len(lm1) > 200
+
+    def test_requantization_matches(self):
+        x = _signal(2)
+        a = mm.audio_landmarks_kernel(x)
+        wav8, _ = mm.decode_audio(_wav(x, sampwidth=1))
+        b = mm.audio_landmarks_kernel(wav8)
+        assert _match_score(a, b) >= 30  # the operator's default bar
+
+    def test_gain_shift_matches(self):
+        x = _signal(3)
+        a = mm.audio_landmarks_kernel(x)
+        b = mm.audio_landmarks_kernel(0.4 * x)
+        assert _match_score(a, b) >= 30
+
+    def test_ulaw_reencode_matches(self):
+        x = _signal(4)
+        a = mm.audio_landmarks_kernel(x)
+        wavu, rate = mm.decode_audio(_wav_ulaw(x))
+        assert rate == RATE
+        b = mm.audio_landmarks_kernel(wavu)
+        assert _match_score(a, b) >= 30
+
+    def test_distinct_signals_do_not_match(self):
+        a = mm.audio_landmarks_kernel(_signal(5))
+        b = mm.audio_landmarks_kernel(_signal(6))
+        assert _match_score(a, b) < 30
+
+    def test_short_input_padded(self):
+        assert mm.audio_landmarks_kernel(np.zeros(10, dtype=np.float32)) == []
+
+
+class TestAudioNearDup:
+    def test_clusters_reencodes_keeps_distinct(self, spark):
+        from jackfruit_spark._persist import release_all
+
+        sa, sb = _signal(10), _signal(11)
+        rows = [
+            (1, _wav(sa)),                 # original, 16-bit
+            (2, _wav(sa, sampwidth=1)),    # 8-bit re-quantization
+            (3, _wav(0.4 * sa)),           # gain shift
+            (4, _wav_ulaw(sa)),            # G.711 companded copy
+            (5, _wav(sb)),                 # different recording
+            (6, b"not audio at all"),      # undecodable
+        ]
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in rows],
+            "media_id long, payload binary",
+        )
+        try:
+            out = {
+                r["media_id"]: r for r in audio_near_dup(df).collect()
+            }
+        finally:
+            release_all()
+        assert len(out) == 6
+        for mid in (2, 3, 4):
+            assert out[mid]["cluster_id"] == 1 and not out[mid]["keep"]
+        assert out[1]["keep"]
+        for mid in (5, 6):
+            assert out[mid]["cluster_id"] == mid and out[mid]["keep"]

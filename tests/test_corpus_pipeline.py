@@ -212,6 +212,8 @@ def test_pipeline_media_dedup(spark, tmp_path):
     )
     from jackfruit_spark.sources.warc_synth import write_warc_shards
 
+    from jackfruit_spark.sources.media_synth import audio_corpus
+
     docs = [
         (i, " ".join(f"w{i}tok{j}" for j in range(60))) for i in range(8)
     ]
@@ -220,19 +222,30 @@ def test_pipeline_media_dedup(spark, tmp_path):
     imgs = image_corpus(6, dup_frac=1 / 3, seed=21, quality=90)
     assert len(imgs) == 8
     append_media_warc_shards(imgs, str(tmp_path), n_shards=2)
+    # 4 original WAVs + 1 8-bit re-quantized near-dup (audio modality)
+    auds = audio_corpus(4, dup_frac=0.25, seed=50)
+    assert len(auds) == 5
+    append_media_warc_shards(auds, str(tmp_path), n_shards=2)
 
     try:
         packed, media_kept, obs = warc_training_pipeline(
             spark, str(tmp_path / "*.warc.gz"),
             min_tokens=5, media_dedup=True,
+            media_prefixes=("image/", "audio/"),
         )
         media_rows = media_kept.collect()
         packed.collect()
     finally:
         release_all()
     counts = {k: observation_rows(o) for k, o in obs.items()}
-    assert counts["media"] == 8
-    assert counts["media_dedup"] == 6 == len(media_rows)
+    assert counts["media"] == 13
+    assert counts["media_dedup"] == 10 == len(media_rows)
+    # per-modality survivors: 6 images, 4 audio tracks
+    by_mod = {}
+    for r in media_rows:
+        mod = r["content_type"].split("/")[0]
+        by_mod[mod] = by_mod.get(mod, 0) + 1
+    assert by_mod == {"image": 6, "audio": 4}
     # text tier unaffected by the media tier
     assert counts["docs"] == 8 and counts["deduped"] == 8
     # survivors carry payload + url, exactly one per near-dup cluster

@@ -254,6 +254,69 @@ def test_kn_scoring_end_to_end_and_ordering(spark, corpus):
     assert got[1] < got[2]
 
 
+def test_kn_buckets_and_curate_gate_end_to_end(spark, corpus):
+    """VERDICT r9 #8: the perplexity-bucket and curate max_perplexity
+    paths under smoothing='kn', pinned against the driver-side python
+    scorer (doc_perplexity IS the python reference: test_kn_matches_
+    python_reference pins its log_p against an independent KN
+    implementation)."""
+    from jackfruit_spark.functions.lm import perplexity_buckets
+    from jackfruit_spark.operators.curation import curate_corpus
+
+    lm = train_bigram_lm(corpus, "text", smoothing="kn")
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat on the mat"),
+            (2, "en", "the dog sat on the mat"),
+            (3, "en", "the cat ran"),
+            (4, "en", "a dog ran fast"),
+            (5, "en", "the mat sat the cat on"),
+            (6, "en", "dog the cat a mat on"),
+            (7, "en", "zx the cat sat"),
+            (8, "en", "zx qv blorp wug"),
+            (9, "en", "wug snark plim zorp"),
+            (10, "en", "one"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = {r["doc_id"]: (r["ppl_bucket"], r["perplexity"])
+           for r in perplexity_buckets(docs, "text", lm).collect()}
+    # distributed KN perplexities == the python scorer, doc by doc
+    for did, _lang, text in docs.collect():
+        want = lm.doc_perplexity(text)
+        if want is None:
+            assert out[did][1] is None
+        else:
+            assert out[did][1] == pytest.approx(round(want, 6)), did
+    # tercile labels track the python-side perplexity ranking exactly
+    ranked = sorted(
+        (lm.doc_perplexity(t), d) for d, _l, t in docs.collect()
+        if lm.doc_perplexity(t) is not None
+    )
+    want_labels = {
+        d: ("head", "middle", "tail")[i // 3]
+        for i, (_p, d) in enumerate(ranked)
+    }
+    got_labels = {d: b for d, (b, _p) in out.items() if b is not None}
+    assert got_labels == want_labels
+
+    # curate gate under KN: cap computed by the python scorer keeps
+    # exactly the docs at or under it
+    probe = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the dog ran fast"),
+         (2, "zx qv blorp wug snark plim zorp flim blat werp")],
+        ["doc_id", "text"],
+    )
+    cap = lm.doc_perplexity(
+        "the cat sat on the mat and the dog ran fast"
+    ) * 2
+    kept = curate_corpus(
+        probe, lang=None, min_tokens=2, max_tokens=100,
+        lm=lm, max_perplexity=cap,
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+
+
 def test_lm_validation():
     import pytest as _pytest
 
