@@ -212,7 +212,11 @@ class LshIndex:
             rows_per_band=meta["rows_per_band"],
             hash_family=meta["hash_family"],
         ).withColumn("bp", F.pmod(F.col("band_hash"), F.lit(meta["parts"])))
-        postings.write.mode(mode).partitionBy("bp").parquet(path)
+        # repartition("bp") before the partitioned write (the bm25 tp
+        # lesson, applied r10): tasks x parts small files otherwise —
+        # probe latency and the maintain() fragmentation trigger both
+        # track files opened
+        postings.repartition("bp").write.mode(mode).partitionBy("bp").parquet(path)
 
     def _next_version(self) -> str:
         versions = [

@@ -726,6 +726,16 @@ def tombstone_tax(spark, sf: str, repeats: int) -> dict:
         "phash": lambda: phash.dedup_batch(image_bench_delta(spark)),
     }
     curve: dict = {f: {} for f in probes}
+    # untimed warm round: each family's first probe of a session pays
+    # the JIT/worker-spawn bill — without this the 0% leg reads 2-4x
+    # its steady state and the "curve" is a warm-up gradient
+    for mk in probes.values():
+        try:
+            mk().write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            print(f"tax warm-up: {e}"[:200], file=sys.stderr)
+        release_persisted()
+        spark.catalog.clearCache()
     deleted_docs = 0
     deleted_imgs = 0
     for frac in (0.0, 0.05, 0.2, 0.5):
