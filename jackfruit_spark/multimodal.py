@@ -519,8 +519,10 @@ def audio_landmarks_kernel(
     Robustness regime: re-quantization (16->8-bit, G.711 companding)
     and gain changes move peak magnitudes but not band-max LOCATIONS;
     different recordings share almost no (f1, f2, Δt) triples at
-    consistent offsets. Same-sample-rate copies only — resampling
-    shifts every bin (documented; the dedup operator's contract)."""
+    consistent offsets. The kernel itself is same-sample-rate only —
+    resampling shifts every bin — so `audio_landmarks` resamples every
+    decoded track to CANONICAL_AUDIO_RATE first (`_resample_linear`),
+    making 8/16/44.1 kHz encodes of one recording cluster together."""
     if len(wav) < n_fft:
         wav = np.pad(wav, (0, n_fft - len(wav)))
     n_frames = 1 + (len(wav) - n_fft) // hop
@@ -571,6 +573,26 @@ LANDMARKS = StructType(
     ]
 )
 
+# Fingerprinting sample rate (Wang 2003 operates at ~8 kHz mono): every
+# decoded track is resampled here before the STFT so cross-rate encodes
+# of one recording produce the same landmarks. Speech/music peaks used
+# by the constellation live well below the 4 kHz Nyquist.
+CANONICAL_AUDIO_RATE = 8000
+
+
+def _resample_linear(
+    wav: np.ndarray, rate: int | None, target: int = CANONICAL_AUDIO_RATE
+) -> np.ndarray:
+    """Linear-interpolation resample to ``target`` Hz — enough for peak
+    LOCATIONS (the only thing landmarks read; VERDICT r10 #6). A rate of
+    None (the fake kernel's pseudo-waveform) passes through unchanged:
+    its 'samples' carry no physical rate to convert."""
+    if not rate or rate == target or len(wav) == 0:
+        return wav
+    n_out = max(int(round(len(wav) * target / rate)), 1)
+    xi = np.arange(n_out, dtype=np.float64) * (rate / target)
+    return np.interp(xi, np.arange(len(wav)), wav).astype(np.float32)
+
 
 def audio_landmarks(df: DataFrame, fake: bool = False) -> DataFrame:
     """Per-track constellation landmarks as an Arrow-batched
@@ -580,7 +602,9 @@ def audio_landmarks(df: DataFrame, fake: bool = False) -> DataFrame:
     unprobeable and keep themselves downstream — the corrupt-payload
     discipline). Decode is REAL for WAV PCM and G.711 µ/A-law;
     ``fake=True`` additionally fingerprints the deterministic
-    pseudo-waveform for still-gated codecs (MP3 pixels)."""
+    pseudo-waveform for still-gated codecs (MP3 pixels). Every decoded
+    track is resampled to CANONICAL_AUDIO_RATE before landmarking, so
+    8/16/44.1 kHz encodes of one recording fingerprint identically."""
     from pyspark.sql import SparkSession
 
     from jackfruit_spark._ship import ensure_shipped
@@ -592,9 +616,10 @@ def audio_landmarks(df: DataFrame, fake: bool = False) -> DataFrame:
             out_id, out_h, out_t = [], [], []
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    wav, _rate = decode_audio(bytes(b), fake=fake)
+                    wav, rate = decode_audio(bytes(b), fake=fake)
                 except _DECODE_ERRORS:
                     continue
+                wav = _resample_linear(wav, rate)
                 for h, t1 in audio_landmarks_kernel(wav):
                     out_id.append(int(mid))
                     out_h.append(h)

@@ -797,7 +797,7 @@ def simhash_candidate_pairs(
 
 def image_near_dup(
     media_df: DataFrame,
-    fake: bool = True,
+    fake: bool = False,
     bands: int = 4,
     max_hamming: int = 3,
     algorithm: str = "label_propagation",
@@ -847,66 +847,116 @@ def image_near_dup(
     )
 
 
-def audio_near_dup(
-    media_df: DataFrame,
-    fake: bool = False,
-    min_matches: int = 30,
-    max_hash_df: int = 1000,
-    algorithm: str = "label_propagation",
+def landmark_signatures(
+    lm: DataFrame, num_hashes: int = 32, id_col: str = "media_id"
 ) -> DataFrame:
-    """Audio near-duplicate clusters via constellation fingerprints —
-    the audio twin of `image_near_dup`, completing the multimodal dedup
-    matrix (text/image/audio): landmark every track
-    (`multimodal.audio_landmarks`, Shazam-style (f1, f2, Δt) hashes over
-    spectral peaks), candidate-pair on shared hashes through an inverted
-    index, require ``min_matches`` OFFSET-CONSISTENT hits (copies agree
-    on t1_a - t1_b; coincidental collisions scatter across offsets),
-    close transitively, keep min media_id per component.
+    """(media_id, array<long> signature): MinHash over each track's
+    LANDMARK-HASH SET — `minhash_signatures`' audio twin, taking
+    pre-hashed long items instead of text shingles. One groupBy with
+    ``num_hashes`` min-aggregates over seeded xxhash64(lmhash, i); the
+    signature estimates landmark-set Jaccard (measured on the invariance
+    corpus: true re-encodes 0.95-1.0, distinct recordings 0.05-0.10 —
+    far apart, so banding separates them with huge margin).
 
-    Returns (media_id, cluster_id, keep) — the shape shared with the
-    text/image dedup family. Undecodable payloads produce no landmarks,
-    never pair, and keep themselves.
-
-    ``max_hash_df`` drops hashes present in more tracks than the cap
-    before the self-join (the jaccard max_shingle_df lesson: silence /
-    hum / codec artifacts produce viral hashes whose posting lists go
-    quadratic; true copies share hundreds of RARE hashes, so the cap
-    costs no recall).
-
-    Scale shape: decode+FFT is one Arrow pass over payload bytes (the
-    unavoidable part, embarrassingly parallel); everything after runs
-    on (8-byte hash, frame) rows — the self-join touches only colliding
-    hash buckets (df-capped), the offset vote is one groupBy, and CC
-    sees just the near-dup edge set. No stage is quadratic in corpus
-    size, and payload bytes never shuffle."""
-    from jackfruit_spark import multimodal as mm
-    from jackfruit_spark._persist import persisted
-
-    # landmarks: one decode+FFT pass; persisted because the df-cap, both
-    # self-join sides, and nothing else should ever re-decode audio
-    lm = persisted(mm.audio_landmarks(media_df, fake=fake))
-    hot = (
-        lm.groupBy("lmhash")
-        .agg(F.count_distinct("media_id").alias("__df"))
-        .filter(F.col("__df") > max_hash_df)
-        .select("lmhash")
+    Shared by the batch operator (`audio_near_dup`) and the persistent
+    audio index — the expression must stay IDENTICAL across both or
+    cross-run probes miss (the `banded_signatures` lesson)."""
+    aggs = [
+        F.min(F.xxhash64(F.col("lmhash"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = lm.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
     )
-    pruned = lm.join(F.broadcast(hot), "lmhash", "left_anti")
-    a = pruned.select(
+
+
+def offset_consistent_pairs(
+    cands: DataFrame, lm: DataFrame, min_matches: int
+) -> DataFrame:
+    """Verify candidate track pairs by the constellation OFFSET VOTE
+    (Wang 2003): join each candidate's landmark rows on shared lmhash,
+    bucket by t1_a - t1_b, and require ``min_matches`` hits at ONE
+    offset — true copies agree on the time shift, coincidental hash
+    collisions scatter across offsets. Runs only on ``cands``
+    (candidate pairs from LSH banding), so cost tracks the number of
+    near-duplicates, never corpus^2."""
+    la = lm.select(
         F.col("media_id").alias("id_a"), "lmhash", F.col("t1").alias("__ta")
     )
-    b = pruned.select(
+    lb = lm.select(
         F.col("media_id").alias("id_b"), "lmhash", F.col("t1").alias("__tb")
     )
-    pairs = (
-        a.join(b, "lmhash")
-        .filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cands.join(la, "id_a")
+        .join(lb, ["id_b", "lmhash"])
         .groupBy("id_a", "id_b", (F.col("__ta") - F.col("__tb")).alias("__off"))
         .agg(F.count(F.lit(1)).alias("__hits"))
         .groupBy("id_a", "id_b")
         .agg(F.max("__hits").alias("matches"))
         .filter(F.col("matches") >= min_matches)
     )
+
+
+def audio_near_dup(
+    media_df: DataFrame,
+    fake: bool = False,
+    min_matches: int = 30,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int | None = 200,
+    algorithm: str = "label_propagation",
+) -> DataFrame:
+    """Audio near-duplicate clusters via constellation fingerprints —
+    the audio twin of `image_near_dup`, completing the multimodal dedup
+    matrix (text/image/audio): landmark every track
+    (`multimodal.audio_landmarks`, Shazam-style (f1, f2, Δt) hashes over
+    spectral peaks), candidate-pair by MinHash-LSH over each track's
+    LANDMARK SET (`landmark_signatures` + `lsh_candidate_pairs` — the
+    text-dedup machinery, reused verbatim), then VERIFY candidates with
+    the offset-consistent vote (`offset_consistent_pairs`: copies agree
+    on t1_a - t1_b; coincidental collisions scatter), close
+    transitively, keep min media_id per component.
+
+    Returns (media_id, cluster_id, keep) — the shape shared with the
+    text/image dedup family. Undecodable payloads produce no landmarks,
+    never pair, and keep themselves.
+
+    Why LSH, not an inverted index on raw landmark hashes (the r10
+    form): the 27-bit hash space SATURATES — mean per-hash df grows
+    linearly with corpus size, so per-hash join pair-rows grow
+    quadratically (measured r10: 2.87 M pair-rows at just 300 tracks).
+    Banded minhash buckets are keyed on 64-bit combinations of the
+    whole set; unrelated tracks collide per band with prob J^r (J
+    0.05-0.10 measured between distinct recordings -> ~1e-4 at r=4),
+    so candidate volume tracks the TRUE near-dup density, not corpus^2.
+    ``max_bucket`` bounds any residual degenerate bucket (e.g. a corpus
+    of identical silence) at m^2 pairs.
+
+    Scale shape: decode+FFT is one Arrow pass over payload bytes (the
+    unavoidable part, embarrassingly parallel); signatures are one
+    groupBy; banding shuffles 3-long rows; the offset vote runs only on
+    LSH candidates. No stage is quadratic in corpus size (re-earned by
+    the x1/x3/x10 rehearsal leg, scripts/scale_rehearsal.py --audio,
+    and the scale-guard alpha ceiling in tests/test_scale_guard.py),
+    and payload bytes never shuffle."""
+    from jackfruit_spark import multimodal as mm
+    from jackfruit_spark._persist import persisted
+
+    # landmarks: one decode+FFT pass; persisted because the signature
+    # aggregate AND both verify sides would otherwise re-decode audio
+    lm = persisted(mm.audio_landmarks(media_df, fake=fake))
+    sig = landmark_signatures(lm, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(
+        sig,
+        "media_id",
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket=max_bucket,
+    )
+    pairs = offset_consistent_pairs(cands, lm, min_matches)
     labels = connected_components(
         media_df.select(F.col("media_id").alias("id")),
         pairs.select("id_a", "id_b"),

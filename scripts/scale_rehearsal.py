@@ -647,6 +647,66 @@ def main() -> None:
                 print(f"phash@x{m}: {e}"[:200], file=sys.stderr)
             print(f"done image_dedup_delta@x{m}", file=sys.stderr)
 
+    if "audio_dedup" not in skip:
+        # The audio_near_dup claim (VERDICT r10 #1): candidate volume
+        # must track near-dup DENSITY, not corpus^2 — the r10 inverted
+        # index on raw 27-bit landmark hashes saturated (mean df grows
+        # linearly -> pair-rows quadratically); the r11 MinHash-LSH over
+        # per-track landmark sets buckets on 64-bit band combinations,
+        # so this leg re-earns the "no stage is quadratic" docstring by
+        # measurement. dup_frac fixed at 0.2 -> true pairs grow linearly
+        # with the corpus; alpha ~1 is the pass bar.
+        from bench import IMG_SEED, image_bench_media
+        from jackfruit_spark.operators.dedup import audio_near_dup
+        from jackfruit_spark.sources.media_synth import (
+            audio_corpus,
+            write_image_wds_shards,
+        )
+
+        results["audio_dedup"] = {}
+        # untimed warm-up (the lsh lesson: the first Arrow decode+FFT +
+        # CC of a session pays the JIT bill, reads as negative alpha)
+        try:
+            wdir = os.path.join(args.root, "aud_warm")
+            if not os.path.isdir(wdir):
+                write_image_wds_shards(
+                    audio_corpus(50, dup_frac=0.2, seed=99), wdir
+                )
+            audio_near_dup(
+                image_bench_media(spark, os.path.join(wdir, "*.tar"))
+            ).write.format("noop").mode("overwrite").save()
+            release_persisted()
+            spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001
+            print(f"audio warm-up: {e}"[:200], file=sys.stderr)
+        for m in mults:
+            sf = os.path.join(args.root, f"mult{m}{suffix}")
+            aud_dir = os.path.join(sf, "audio")
+            try:
+                if not os.path.isdir(aud_dir):
+                    write_image_wds_shards(
+                        audio_corpus(AUD_BASE * m, dup_frac=0.2,
+                                     seed=IMG_SEED),
+                        aud_dir, n_shards=32,
+                    )
+                media = image_bench_media(
+                    spark, os.path.join(aud_dir, "*.tar")
+                )
+                best = float("inf")
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    audio_near_dup(media).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, round(time.perf_counter() - t0, 3))
+                    release_persisted()
+                    spark.catalog.clearCache()
+                results["audio_dedup"][m] = best
+            except Exception as e:  # noqa: BLE001
+                results["audio_dedup"][m] = None
+                print(f"audio@x{m}: {e}"[:200], file=sys.stderr)
+            print(f"done audio_dedup@x{m}", file=sys.stderr)
+
     out = {
         name: {
             "t": {f"x{m}": t for m, t in pts.items()},
@@ -664,6 +724,7 @@ def main() -> None:
 
 
 IMG_BASE = 1000
+AUD_BASE = 400
 
 
 def tombstone_tax(spark, sf: str, repeats: int) -> dict:

@@ -34,12 +34,12 @@ def _signal(seed: int, secs: float = 3.0) -> np.ndarray:
     return (x / np.max(np.abs(x)) * 0.8).astype(np.float32)
 
 
-def _wav(x: np.ndarray, sampwidth: int = 2) -> bytes:
+def _wav(x: np.ndarray, sampwidth: int = 2, rate: int = RATE) -> bytes:
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(sampwidth)
-        w.setframerate(RATE)
+        w.setframerate(rate)
         if sampwidth == 2:
             w.writeframes((x * 32767).astype("<i2").tobytes())
         else:
@@ -121,12 +121,31 @@ class TestKernel:
     def test_short_input_padded(self):
         assert mm.audio_landmarks_kernel(np.zeros(10, dtype=np.float32)) == []
 
+    def test_resample_invariance(self):
+        """VERDICT r10 #6: a 16 kHz re-encode of the same recording
+        fingerprints like the 8 kHz original once both pass through the
+        canonical-rate resample; distinct recordings still stay apart."""
+        x = _signal(7)
+        up = np.interp(  # alias-free 8->16 kHz upsample
+            np.arange(2 * len(x)) / 2.0, np.arange(len(x)), x
+        ).astype(np.float32)
+        a = mm.audio_landmarks_kernel(mm._resample_linear(x, RATE))
+        wav16, rate16 = mm.decode_audio(_wav(up, rate=2 * RATE))
+        assert rate16 == 2 * RATE
+        b = mm.audio_landmarks_kernel(mm._resample_linear(wav16, rate16))
+        assert _match_score(a, b) >= 30
+        c = mm.audio_landmarks_kernel(mm._resample_linear(_signal(8), RATE))
+        assert _match_score(a, c) < 30
+
 
 class TestAudioNearDup:
     def test_clusters_reencodes_keeps_distinct(self, spark):
         from jackfruit_spark._persist import release_all
 
         sa, sb = _signal(10), _signal(11)
+        sa16 = np.interp(  # alias-free 8->16 kHz upsample of the same take
+            np.arange(2 * len(sa)) / 2.0, np.arange(len(sa)), sa
+        ).astype(np.float32)
         rows = [
             (1, _wav(sa)),                 # original, 16-bit
             (2, _wav(sa, sampwidth=1)),    # 8-bit re-quantization
@@ -134,6 +153,7 @@ class TestAudioNearDup:
             (4, _wav_ulaw(sa)),            # G.711 companded copy
             (5, _wav(sb)),                 # different recording
             (6, b"not audio at all"),      # undecodable
+            (7, _wav(sa16, rate=2 * RATE)),  # 16 kHz re-encode (resample leg)
         ]
         df = spark.createDataFrame(
             [(i, bytearray(b)) for i, b in rows],
@@ -145,8 +165,8 @@ class TestAudioNearDup:
             }
         finally:
             release_all()
-        assert len(out) == 6
-        for mid in (2, 3, 4):
+        assert len(out) == 7
+        for mid in (2, 3, 4, 7):
             assert out[mid]["cluster_id"] == 1 and not out[mid]["keep"]
         assert out[1]["keep"]
         for mid in (5, 6):

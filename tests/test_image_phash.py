@@ -140,6 +140,30 @@ class TestImageNearDup:
         for mid in (3, 4, 5):
             assert out[mid]["cluster_id"] == mid and out[mid]["keep"]
 
+    def test_default_is_real_decoder(self, spark):
+        """VERDICT r10 #3: `fake` defaults to False on BOTH media dedup
+        operators — a real-JPEG corpus deduped with DEFAULTS must use
+        the real decoder. The pin: a JPEG re-encode of a PNG clusters
+        with it only under real pHash (the fake pseudo-hash is derived
+        from payload bytes, so different encodings of one image would
+        never pair)."""
+        from jackfruit_spark._persist import release_all
+
+        a = _img(14)
+        rows = [
+            (1, bytearray(_png(a))),
+            (2, bytearray(jpeg.encode(a, quality=90))),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        try:
+            out = {
+                r["media_id"]: r for r in image_near_dup(df).collect()
+            }
+        finally:
+            release_all()
+        assert out[2]["cluster_id"] == out[1]["cluster_id"] == 1
+        assert out[1]["keep"] and not out[2]["keep"]
+
     def test_algorithm_forwarded_and_validated(self, spark):
         from jackfruit_spark._persist import release_all
 

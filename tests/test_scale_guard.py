@@ -92,6 +92,48 @@ def test_flat_family_stays_flat(spark, rehearsal_dirs):
     )
 
 
+def test_audio_dedup_stays_linear(spark, tmp_path):
+    """Audio near-dup growth guard (VERDICT r10 #1): the r10 inverted
+    index on raw 27-bit landmark hashes went QUADRATIC (hash-space
+    saturation — mean df grows with the corpus); the r11 MinHash-LSH
+    candidate scheme must keep total cost ~linear (decode + signature
+    agg dominate; dup density fixed at 0.2 so true pairs grow linearly
+    too). Ceiling 1.30: linear work IS expected here (every new track
+    decodes), the guard catches the pair-join blow-up (~2.0 measured in
+    the r10 form)."""
+    import time
+
+    import scale_rehearsal as SR
+    from bench import image_bench_media
+    from jackfruit_spark._persist import release_all
+    from jackfruit_spark.operators.dedup import audio_near_dup
+    from jackfruit_spark.sources.media_synth import (
+        audio_corpus,
+        write_image_wds_shards,
+    )
+
+    pts = {}
+    for m in MULTS:
+        aud = str(tmp_path / f"aud{m}")
+        write_image_wds_shards(
+            audio_corpus(SR.AUD_BASE * m, dup_frac=0.2, seed=7), aud,
+            n_shards=32,
+        )
+        media = image_bench_media(spark, os.path.join(aud, "*.tar"))
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            audio_near_dup(media).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+            release_all()
+            spark.catalog.clearCache()
+        pts[m] = best
+    alpha = SR.fit_alpha(pts)
+    assert alpha is not None and alpha <= 1.30, (alpha, pts)
+
+
 def test_bm25_stays_subquadratic(spark, rehearsal_dirs, tmp_path):
     """Build + fixed-batch search of the BM25 index (measured alpha
     0.02-0.12 at x1/x3/x10, PERFORMANCE.md late r8). Ceiling 0.50 like
