@@ -425,7 +425,28 @@ class Bm25Index:
         # dropDuplicates collapses replayed-append rows (a crash between
         # an ingest append and its marker re-appends the batch once:
         # identical (term,id,tf,dl) rows that would otherwise double df)
-        postings = self._mask(postings).dropDuplicates(["term", "id"])
+        masked = self._mask(postings)
+        # ADVICE r10: dropDuplicates is only correct for byte-identical
+        # replayed appends — the same id appended twice with DIFFERENT
+        # text would get an arbitrary survivor (a nondeterministic
+        # index). dl is constant per text, so conflicting dl per id is
+        # the loud signal; re-appending an existing id is unsupported
+        # (delete() it first, then append the new text).
+        conflict = (
+            masked.groupBy("id")
+            .agg(F.count_distinct("dl").alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if conflict:
+            raise ValueError(
+                f"id {conflict[0]['id']!r} carries conflicting postings "
+                "(same id appended with different text): rebuild would "
+                "pick an arbitrary survivor — delete() the id, then "
+                "append the new text"
+            )
+        postings = masked.dropDuplicates(["term", "id"])
         if not postings.head(1):
             # zero-row partitioned postings are unreadable (the
             # ingest-job bootstrap lesson): fail loudly instead

@@ -939,9 +939,10 @@ def audio_near_dup(
     unavoidable part, embarrassingly parallel); signatures are one
     groupBy; banding shuffles 3-long rows; the offset vote runs only on
     LSH candidates. No stage is quadratic in corpus size (re-earned by
-    the x1/x3/x10 rehearsal leg, scripts/scale_rehearsal.py --audio,
-    and the scale-guard alpha ceiling in tests/test_scale_guard.py),
-    and payload bytes never shuffle."""
+    measurement: the x1/x3/x10 audio_dedup rehearsal leg in
+    scripts/scale_rehearsal.py read alpha 0.43 — PERFORMANCE.md r11 —
+    and tests/test_scale_guard.py pins an alpha ceiling), and payload
+    bytes never shuffle."""
     from jackfruit_spark import multimodal as mm
     from jackfruit_spark._persist import persisted
 

@@ -252,6 +252,9 @@ class CorpusIngestJob:
 
         media = persisted(media)
         n_in = media.count()
+        media, n_denied = self._apply_media_denylist(media)
+        if n_denied:
+            media = persisted(media)
         idx = self._phash()
         idx_exists = os.path.exists(idx.manifest_path)
         flags_dir = os.path.join(
@@ -292,8 +295,9 @@ class CorpusIngestJob:
             )
         return {
             "media_input": n_in,
+            "media_denied": n_denied,
             "media_kept": n_kept,
-            "media_dropped_dup": n_in - n_kept,
+            "media_dropped_dup": n_in - n_denied - n_kept,
         }
 
     def _bootstrap_media_flags(self, media: DataFrame) -> DataFrame:
@@ -354,6 +358,70 @@ class CorpusIngestJob:
         return banded.join(md5s, self.id_col).select(
             "__md5", "band", "band_hash"
         )
+
+    @property
+    def media_denylist_dir(self) -> str:
+        return os.path.join(self.root, "denylist_media")
+
+    def _denylist_media_rows(self, media: DataFrame) -> DataFrame:
+        """Media denylist rows for a retracted batch (ADVICE r10): one
+        row per banded pHash block — (phash, band, block) with the
+        job's OWN banded-Hamming geometry (`hamming_bands`, the
+        PhashIndex expression), so the ingest gate's probe hits exactly
+        the buckets a re-crawled copy or JPEG re-encode would land in.
+        No payload bytes are retained. Undecodable payloads hash to
+        NULL and cannot be fingerprint-blocked (the text gate's md5 has
+        no media analog that survives re-encoding anyway)."""
+        from jackfruit_spark import multimodal as mm
+        from jackfruit_spark.operators.dedup import hamming_bands
+
+        kw = self.phash_kwargs
+        sig = mm.image_phash(media, fake=kw.get("fake", False)).filter(
+            F.col("phash").isNotNull()
+        )
+        return hamming_bands(
+            sig, "media_id", "phash", bits=64, bands=kw.get("bands", 4)
+        ).select("phash", "band", "block")
+
+    def _apply_media_denylist(self, media: DataFrame):
+        """Gate a media batch against the takedown denylist — the pHash
+        twin of the doc gate (ADVICE r10: retraction used to block only
+        the TEXT leg, silently re-admitting re-crawled images): a banded
+        block collision verified to exact Hamming <= max_hamming drops
+        the row. Returns (gated_frame, n_denied); a no-op (0 extra jobs,
+        no decode pass) when the denylist is off or empty."""
+        d = self.media_denylist_dir
+        if not self.denylist or not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for _, _, fs in os.walk(d) for f in fs
+        ):
+            return media, 0
+        from jackfruit_spark import multimodal as mm
+        from jackfruit_spark.operators.dedup import hamming_bands
+
+        kw = self.phash_kwargs
+        deny = self.spark.read.parquet(d)
+        sig = mm.image_phash(media, fake=kw.get("fake", False)).filter(
+            F.col("phash").isNotNull()
+        )
+        hit = (
+            hamming_bands(
+                sig, "media_id", "phash", bits=64, bands=kw.get("bands", 4)
+            )
+            .join(
+                F.broadcast(
+                    deny.withColumnRenamed("phash", "__deny_phash").distinct()
+                ),
+                ["band", "block"],
+            )
+            .filter(
+                F.bit_count(F.col("phash").bitwiseXOR(F.col("__deny_phash")))
+                <= F.lit(kw.get("max_hamming", 3))
+            )
+            .select("media_id")
+            .distinct()
+        )
+        gated = media.join(hit, "media_id", "left_anti")
+        return gated, hit.count()
 
     def _apply_denylist(self, curated: DataFrame):
         """Gate a curated batch against the takedown denylist (r10,
@@ -454,22 +522,33 @@ class CorpusIngestJob:
 
         Semantics: this RETRACTS data; re-ingestion blocking is the
         ``denylist=True`` knob (r10) — when on, the batch's docs append
-        (md5 + LSH band rows, no text retained) to ``denylist/`` BEFORE
-        anything is removed, and every future ``run_batch`` refuses
-        exact copies and LSH near-copies at the curate gate. With the
-        knob off, dedup state must not resurrect removed content as a
-        phantom keeper, so a future crawl carrying a copy is admitted
-        again (documented r9 behavior).
+        (md5 + LSH band rows, no text retained) to ``denylist/`` AND,
+        with a media leg, the batch's image pHashes append (banded
+        block rows, no payload retained) to ``denylist_media/`` BEFORE
+        anything is removed; every future ``run_batch`` then refuses
+        exact copies and LSH near-copies at the curate gate and
+        re-crawled/re-encoded images at the media gate (ADVICE r10: the
+        gate used to cover text only). With the knob off, dedup state
+        must not resurrect removed content as a phantom keeper, so a
+        future crawl carrying a copy is admitted again (documented r9
+        behavior). Undecodable media payloads hash to NULL and cannot
+        be fingerprint-blocked.
 
         Idempotent: a second retract returns the recorded outcome and
-        touches nothing; the denylist append is a per-batch overwrite
+        touches nothing; the denylist appends are per-batch overwrites
         (re-running a crashed retract rewrites, never duplicates).
-        Crash-safe order: denylist first (extra denylist rows for a
-        still-present batch are harmless — it is already ingested),
-        tombstones second (extra tombstones for already-gone docs are
-        harmless), corpus/media partition removal third (rename-aside
-        then delete — readers see the partition vanish atomically),
-        ledger update last."""
+        Crash-safe order: partition counts are recorded into the marker
+        FIRST (a replay whose first run crashed after the partition
+        rename would otherwise record 0s), denylist next (extra
+        denylist rows for a still-present batch are harmless — it is
+        already ingested), tombstones third (extra tombstones for
+        already-gone docs are harmless), corpus/media partition removal
+        fourth (rename-aside then delete — readers see the partition
+        vanish atomically), ledger update last. A crash between the
+        rename and the aside delete is repaired on replay: the aside
+        dir becomes the id source, every leg re-runs idempotently, and
+        the aside is then removed (ADVICE r10 — the hidden
+        .retract-<id> dir no longer leaks forever)."""
         import shutil
 
         marker = self._marker(batch_id)
@@ -480,12 +559,28 @@ class CorpusIngestJob:
         if stats.get("retracted"):
             return {**stats, "applied": False}
         part = os.path.join(self.root, "corpus", f"batch={batch_id}")
-        n_docs = 0
-        if os.path.isdir(part):
-            docs = self.spark.read.parquet(part)
+        mpart = os.path.join(self.root, "media", f"batch={batch_id}")
+        aside = os.path.join(self.root, "corpus", f".retract-{batch_id}")
+        maside = os.path.join(self.root, "media", f".retract-{batch_id}")
+        pending = stats.get("retract_pending")
+        if pending is None:
+            pending = {
+                "docs": self._count_parquet(part),
+                "media": self._count_parquet(mpart),
+            }
+            self._write_marker(marker, {**stats, "retract_pending": pending})
+        legs = []
+        # corpus leg: ids come from the live partition or, on crash
+        # replay, from the aside dir (rename landed, delete didn't); leg
+        # deletes are idempotent, so re-running them from the aside
+        # completes the first run's intent before the aside is removed
+        src = part if os.path.isdir(part) else (
+            aside if os.path.isdir(aside) else None
+        )
+        n_docs = pending["docs"]
+        if src is not None:
+            docs = self.spark.read.parquet(src)
             ids = docs.select(self.id_col)
-            n_docs = ids.count()
-            legs = []
             if self.denylist:
                 self._denylist_rows(docs).write.mode("overwrite").parquet(
                     os.path.join(self.denylist_dir, f"batch={batch_id}")
@@ -512,33 +607,53 @@ class CorpusIngestJob:
             # dot-prefixed aside (NOT .trash- : _repair_compaction would
             # RESTORE that on the next read), rename first so readers
             # never see a half-deleted partition
-            aside = os.path.join(self.root, "corpus", f".retract-{batch_id}")
-            shutil.rmtree(aside, ignore_errors=True)
-            os.rename(part, aside)
+            if src == part:
+                shutil.rmtree(aside, ignore_errors=True)
+                os.rename(part, aside)
             shutil.rmtree(aside)
-        else:
-            legs = []
-        # media leg: tombstone the batch's images, drop its partition
-        n_media = 0
-        mpart = os.path.join(self.root, "media", f"batch={batch_id}")
-        if self.with_media and os.path.isdir(mpart):
-            mids = self.spark.read.parquet(mpart).select("media_id")
-            n_media = mids.count()
+        # media leg: denylist pHashes, tombstone the batch's images,
+        # drop its partition — same source/aside repair as the corpus leg
+        n_media = pending["media"]
+        msrc = mpart if os.path.isdir(mpart) else (
+            maside if os.path.isdir(maside) else None
+        )
+        if self.with_media and msrc is not None:
+            media = self.spark.read.parquet(msrc)
+            if self.denylist:
+                self._denylist_media_rows(media).write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(self.media_denylist_dir, f"batch={batch_id}")
+                )
+                legs.append("denylist_media")
             ph = self._phash()
             if os.path.exists(ph.manifest_path):
-                ph.delete(mids)
+                ph.delete(media.select("media_id"))
                 legs.append("phash")
-            aside = os.path.join(self.root, "media", f".retract-{batch_id}")
-            shutil.rmtree(aside, ignore_errors=True)
-            os.rename(mpart, aside)
-            shutil.rmtree(aside)
+            if msrc == mpart:
+                shutil.rmtree(maside, ignore_errors=True)
+                os.rename(mpart, maside)
+            shutil.rmtree(maside)
+        stats = {
+            k: v for k, v in stats.items() if k != "retract_pending"
+        }
         stats = {**stats, "retracted": True, "retracted_docs": n_docs,
                  "retracted_media": n_media, "retracted_legs": legs}
+        self._write_marker(marker, stats)
+        return {**stats, "applied": True}
+
+    def _count_parquet(self, path: str) -> int:
+        return (
+            self.spark.read.parquet(path).count()
+            if os.path.isdir(path)
+            else 0
+        )
+
+    def _write_marker(self, marker: str, stats: dict) -> None:
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
             json.dump(stats, f)
         os.replace(tmp, marker)
-        return {**stats, "applied": True}
 
     # ------------------------------------------------------ pending scan
     def process_pending(self, landing_root: str) -> list[dict]:

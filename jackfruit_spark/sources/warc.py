@@ -594,6 +594,7 @@ def scan_warc_cdx(
 WARC_MEDIA = StructType(
     [
         StructField("path", StringType(), False),
+        StructField("rec_offset", LongType(), False),
         StructField("record_id", StringType(), True),
         StructField("target_uri", StringType(), True),
         StructField("content_type", StringType(), True),
@@ -602,15 +603,21 @@ WARC_MEDIA = StructType(
 )
 
 
-def _media_row(path, headers, payload, prefixes):
+def _media_row(path, rec_offset, headers, payload, prefixes):
     """(row or None) for one WARC record: status-200 responses whose
     HTTP content-type starts with any of ``prefixes`` yield the DECODED
     HTTP body bytes (the image/audio/video payload downstream codecs
     consume); everything else is skipped. Corrupt sentinels pass through
-    with a NULL payload so the quarantine channel stays countable."""
+    with a NULL payload so the quarantine channel stays countable.
+
+    ``rec_offset`` is a per-record disambiguator WITHIN the scan mode
+    (CDX ranged reads: manifest byte offset + intra-member ordinal;
+    whole-file walk: record ordinal in the file) — the fallback identity
+    key when a spec-violating record omits WARC-Record-ID (see
+    `warc_to_media`)."""
     wtype = headers.get("warc-type")
     if wtype == CORRUPT_TYPE:
-        return (path, None, None, CORRUPT_TYPE, None)
+        return (path, rec_offset, None, None, CORRUPT_TYPE, None)
     status, http_headers, body = split_http_response(payload)
     ctype = http_headers.get("content-type", "")
     base = ctype.split(";", 1)[0].strip().lower()
@@ -618,6 +625,7 @@ def _media_row(path, headers, payload, prefixes):
         return None
     return (
         path,
+        rec_offset,
         headers.get("warc-record-id"),
         headers.get("warc-target-uri"),
         base,
@@ -642,10 +650,12 @@ def scan_warc_media_files(
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                for headers, payload in iter_warc_records(bytes(content)):
+                for ordinal, (headers, payload) in enumerate(
+                    iter_warc_records(bytes(content))
+                ):
                     if headers.get("warc-type") not in ("response", CORRUPT_TYPE):
                         continue
-                    row = _media_row(path, headers, payload, prefixes)
+                    row = _media_row(path, ordinal, headers, payload, prefixes)
                     if row is not None:
                         rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in WARC_MEDIA.fields])
@@ -706,14 +716,20 @@ def scan_warc_media_cdx(
                 except (OSError, zlib.error) as e:
                     rows.append(
                         _media_row(
-                            path, _corrupt(int(off), str(e))[0], b"", prefixes
+                            path, int(off), _corrupt(int(off), str(e))[0],
+                            b"", prefixes,
                         )
                     )
                     continue
-                for headers, payload in recs:
+                # rec_offset = member byte offset + intra-member ordinal:
+                # unique per record (members are > record-count bytes long
+                # so off+i never reaches the next member's off)
+                for i, (headers, payload) in enumerate(recs):
                     if headers.get("warc-type") not in ("response", CORRUPT_TYPE):
                         continue
-                    row = _media_row(path, headers, payload, prefixes)
+                    row = _media_row(
+                        path, int(off) + i, headers, payload, prefixes
+                    )
                     if row is not None:
                         rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in WARC_MEDIA.fields])
@@ -729,7 +745,16 @@ def warc_to_media(scanned: DataFrame, source: str = "warc") -> DataFrame:
     doc_id — content-independent and deterministic across re-runs, so
     byte-identical copies crawled at different URIs stay distinct
     members and DEDUP (not scan order) picks the keeper. Corrupt
-    sentinels (NULL payload) are excluded here; count them upstream."""
+    sentinels (NULL payload) are excluded here; count them upstream.
+
+    Records MISSING WARC-Record-ID (spec-violating but seen in the
+    wild) fall back to hashing (path, rec_offset, target_uri) — the
+    per-record disambiguator, so two crawls of one URI, or rows with
+    every header null, never collapse into one media_id (ADVICE r10).
+    rec_offset is scan-mode-local (byte offset under CDX ranged reads,
+    record ordinal under the whole-file walk), so id-less records get
+    ids stable WITHIN a scan mode; records carrying the mandatory
+    header hash identically under both."""
     return (
         scanned.filter(
             (F.col("content_type") != CORRUPT_TYPE)
@@ -738,7 +763,15 @@ def warc_to_media(scanned: DataFrame, source: str = "warc") -> DataFrame:
         )
         .select(
             F.pmod(
-                F.xxhash64(F.coalesce(F.col("record_id"), F.col("target_uri"))),
+                F.xxhash64(
+                    F.coalesce(
+                        F.col("record_id"),
+                        F.concat_ws(
+                            ":", F.col("path"), F.col("rec_offset"),
+                            F.col("target_uri"),
+                        ),
+                    )
+                ),
                 F.lit(1 << 62).cast("long"),
             ).alias("media_id"),
             F.col("target_uri").alias("url"),

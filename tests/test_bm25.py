@@ -339,6 +339,27 @@ def test_maintain_rebuilds_on_tombstone_debt(spark, docs_df, tmp_path):
     ]
 
 
+def test_rebuild_rejects_conflicting_reappend(spark, tmp_path):
+    """ADVICE r10: re-appending an existing id with DIFFERENT text must
+    fail loudly at rebuild (dropDuplicates would pick an arbitrary
+    survivor -> nondeterministic index); byte-identical replays still
+    heal silently (the test above)."""
+    root = str(tmp_path / "bm25conflict")
+    base = spark.createDataFrame(DOCS[:8], "doc_id string, text string")
+    idx = Bm25Index.build(base, "doc_id", "text", root, parts=16)
+    idx.append(
+        spark.createDataFrame(
+            [(DOCS[0][0], "totally different replacement text body")],
+            "doc_id string, text string",
+        )
+    )
+    with pytest.raises(ValueError, match="conflicting postings"):
+        idx.rebuild()
+    # the documented path: delete the id, then append the new text
+    idx.delete(spark.createDataFrame([(DOCS[0][0],)], "id string"))
+    idx.rebuild()
+
+
 def test_maintain_rebuilds_on_replayed_append(spark, docs_df, tmp_path):
     """A crashed-marker replay re-appends a batch: df double-counts its
     terms until maintain()'s deduplicating rebuild collapses the

@@ -182,6 +182,90 @@ def test_denylist_blocks_reingestion(spark, tmp_path):
     assert again["applied"] is False
 
 
+def test_media_denylist_blocks_reingestion(spark, tmp_path):
+    """ADVICE r10 (medium): denylist=True must cover the MEDIA leg too —
+    retract a batch with images, re-ingest a byte-identical copy AND a
+    JPEG re-encode: both are refused at the media gate (banded pHash
+    collision verified within max_hamming); a fresh image passes."""
+    from jackfruit_spark.sources import jpeg
+    from jackfruit_spark.sources.media_synth import encode_png, synth_image
+
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE,
+        with_media=True, denylist=True, phash_kwargs={"parts": 8},
+    )
+    png = encode_png(synth_image(500))
+    job.run_batch(
+        "d1", _docs(spark, BATCH1),
+        media=_media(spark, [(0, png), (1, encode_png(synth_image(501)))]),
+    )
+    r = job.retract_batch("d1")
+    assert "denylist_media" in r["retracted_legs"]
+    assert r["retracted_media"] == 2
+
+    s = job.run_batch(
+        "d2", _docs(spark, BATCH2),
+        media=_media(spark, [
+            (10, png),                                    # exact copy
+            (11, jpeg.encode(synth_image(500), quality=90)),  # re-encode
+            (12, encode_png(synth_image(600))),           # fresh
+        ]),
+    )
+    assert s["media_denied"] == 2
+    assert s["media_kept"] == 1
+    assert [r["media_id"] for r in job.media().collect()] == [12]
+
+
+def test_retract_crash_between_rename_and_delete_repairs(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 (low): a crash between os.rename(part, aside) and
+    shutil.rmtree(aside) used to leak the hidden .retract-<id> dir
+    forever, and the replay recorded retracted_media=0 while skipping
+    the leg deletes. Now: counts are recorded in the marker BEFORE any
+    mutation, the replay re-runs every leg from the aside source, and
+    the aside is removed."""
+    import shutil as _shutil
+
+    from jackfruit_spark.sources.media_synth import encode_png, synth_image
+
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE,
+        with_media=True, denylist=True, phash_kwargs={"parts": 8},
+    )
+    job.run_batch(
+        "d1", _docs(spark, BATCH1),
+        media=_media(spark, [(0, encode_png(synth_image(510)))]),
+    )
+
+    real_rmtree = _shutil.rmtree
+
+    def crash_on_media_aside(path, *a, **kw):
+        if ".retract-" in str(path) and "media" in str(path) and (
+            os.path.isdir(path)
+        ):
+            raise RuntimeError("synthetic crash after rename, before delete")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr("shutil.rmtree", crash_on_media_aside)
+    with pytest.raises(RuntimeError, match="synthetic crash"):
+        job.retract_batch("d1")
+    monkeypatch.setattr("shutil.rmtree", real_rmtree)
+
+    # the crash left the hidden aside dir and no done marker
+    maside = os.path.join(job.root, "media", ".retract-d1")
+    assert os.path.isdir(maside)
+
+    out = job.retract_batch("d1")
+    assert out["applied"] and out["retracted"]
+    assert out["retracted_docs"] == 2 and out["retracted_media"] == 1
+    assert "denylist_media" in out["retracted_legs"]
+    assert "phash" in out["retracted_legs"]
+    assert not os.path.isdir(maside)  # aside swept, no leak
+    # idempotent after repair
+    assert job.retract_batch("d1")["applied"] is False
+
+
 def test_staged_flags_survive_partial_crash(spark, tmp_path, monkeypatch):
     """Crash AFTER the lsh append but BEFORE the done marker: the
     re-run must reuse the staged decisions — recomputing against the

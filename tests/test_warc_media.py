@@ -65,6 +65,38 @@ def test_media_bridge_ids_stable(spark, mixed_shards):
     assert all(0 <= i < (1 << 62) for i in a)
 
 
+def test_media_bridge_idless_records_stay_distinct(spark, tmp_path):
+    """ADVICE r10: records MISSING WARC-Record-ID (spec-violating) must
+    not collapse into one media_id — two crawls of the same URI, and
+    rows with null record_id AND null URI, each keep distinct ids via
+    the (path, rec_offset, target_uri) fallback hash."""
+    import gzip
+
+    def rec(uri_line: bytes, body: bytes) -> bytes:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        head = b"WARC/1.0\r\nWARC-Type: response\r\n" + uri_line + (
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        )
+        return head + http + b"\r\n\r\n"
+
+    body = b"\x89PNG" + b"x" * 60
+    raw = (
+        rec(b"WARC-Target-URI: http://e.com/a.png\r\n", body)
+        + rec(b"WARC-Target-URI: http://e.com/a.png\r\n", body)  # recrawl
+        + rec(b"", body)  # no URI either
+        + rec(b"", body)
+    )
+    (tmp_path / "x.warc.gz").write_bytes(gzip.compress(raw))
+    rows = warc_to_media(
+        scan_warc_media(spark, str(tmp_path / "*.warc.gz"))
+    ).collect()
+    assert len(rows) == 4
+    assert len({r["media_id"] for r in rows}) == 4
+
+
 def test_media_scan_corrupt_channel(spark, tmp_path):
     import gzip
 
