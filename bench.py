@@ -579,6 +579,22 @@ def image_bench_delta(spark):
     return spark.createDataFrame(rows, "media_id long, payload binary")
 
 
+def audio_bench_delta(spark):
+    """The fixed 100-track delta (rehearsal-shared shape): 50 8-bit
+    re-quantizations of indexed originals + 50 fresh tracks."""
+    from jackfruit_spark.sources.media_synth import encode_wav, synth_audio
+
+    rows = [
+        (1_000_000 + i,
+         bytearray(encode_wav(synth_audio(IMG_SEED + i), sampwidth=1)))
+        for i in range(50)
+    ] + [
+        (2_000_000 + i, bytearray(encode_wav(synth_audio(9_000_000 + i))))
+        for i in range(50)
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
 def _ensure_bench_audio(spark, sf_dir: str) -> str:
     """Synthesize WebDataset audio shards ONCE per sf: one 4-s chirp
     track per 5 documents rows + 20% 8-bit re-quantized near-dups."""
@@ -651,6 +667,7 @@ def bench_image_dedup(spark, sf_dir: str) -> dict[str, float]:
             t_delta = min(t_delta, round(time.perf_counter() - t0, 3))
             release_persisted()
             spark.catalog.clearCache()
+        from jackfruit_spark.operators.audio_store import AudioIndex
         from jackfruit_spark.operators.dedup import audio_near_dup
 
         audio = image_bench_media(spark, _ensure_bench_audio(spark, sf_dir))
@@ -663,11 +680,33 @@ def bench_image_dedup(spark, sf_dir: str) -> dict[str, float]:
             t_audio = min(t_audio, round(time.perf_counter() - t0, 3))
             release_persisted()
             spark.catalog.clearCache()
+        t_abuild = float("inf")
+        aidx = None
+        for i in range(REPEATS):
+            t0 = time.perf_counter()
+            aidx = AudioIndex.build(
+                audio, "media_id", os.path.join(root, f"a{i}")
+            )
+            t_abuild = min(t_abuild, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
+        adelta = audio_bench_delta(spark)
+        t_adelta = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            aidx.dedup_batch(adelta).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t_adelta = min(t_adelta, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
         return {
             "image_dedup": t_batch,
             "phash_index_build": t_build,
             "image_dedup_delta": t_delta,
             "audio_dedup": t_audio,
+            "audio_index_build": t_abuild,
+            "audio_dedup_delta": t_adelta,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -819,6 +819,100 @@ def cmd_dedup_images(args) -> int:
     return 0
 
 
+def cmd_index_audio(args) -> int:
+    """Build / append / rebuild / maintain / delete / vacuum the
+    persistent constellation-fingerprint audio index
+    (operators/audio_store.AudioIndex) from a parquet of
+    (media_id, payload) rows. Prints the layout stats JSON."""
+    if args.mode in ("build", "append") and not args.input:
+        print(json.dumps({"error": f"--input required for {args.mode}"}))
+        return 2
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.audio_store import AudioIndex
+
+    if args.mode == "build":
+        idx = AudioIndex.build(
+            spark.read.parquet(args.input), args.id_col, args.root,
+            bands=args.bands, rows_per_band=args.rows_per_band,
+            min_matches=args.min_matches, parts=args.parts,
+        )
+    elif args.mode == "append":
+        idx = AudioIndex(spark, args.root).append(
+            spark.read.parquet(args.input)
+        )
+    elif args.mode == "vacuum":
+        removed = AudioIndex(spark, args.root).vacuum()
+        print(json.dumps({"root": args.root, "mode": "vacuum",
+                          "removed": removed}))
+        return 0
+    elif args.mode == "maintain":
+        report = AudioIndex(spark, args.root).maintain()
+        print(json.dumps({"root": args.root, "mode": "maintain", **report}))
+        return 0
+    elif args.mode == "delete":
+        if not args.ids and not args.input:
+            print(json.dumps({"error": "--ids or --input required"}))
+            return 2
+        from pyspark.sql import functions as F
+
+        h = AudioIndex(spark, args.root)
+        if args.input:
+            idx = h.delete(spark.read.parquet(args.input))
+        else:
+            id_col = h._manifest()["id_col"]
+            _, sigs, _ = h._readers()
+            id_type = sigs.schema[id_col].dataType.simpleString()
+            idx = h.delete(
+                spark.createDataFrame(
+                    [(x,) for x in args.ids.split(",") if x],
+                    f"{id_col} string",
+                ).select(F.col(id_col).cast(id_type).alias(id_col))
+            )
+    elif args.mode == "stats":
+        idx = AudioIndex(spark, args.root)
+    else:  # rebuild
+        idx = AudioIndex(spark, args.root).rebuild()
+    print(json.dumps({"root": args.root, "mode": args.mode, **idx.stats()}))
+    return 0
+
+
+def cmd_dedup_audio(args) -> int:
+    """Dedup an audio delta parquet against the AudioIndex: write the
+    kept rows (and optionally the flags), append the kept tracks unless
+    --no-append — the audio twin of dedup-images."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.audio_store import AudioIndex
+
+    idx = AudioIndex(spark, args.root)
+    id_col = idx._manifest()["id_col"]
+    delta = spark.read.parquet(args.input)
+    flags = idx.dedup_batch(delta)
+    from jackfruit_spark._persist import persisted
+
+    kept = persisted(
+        delta.join(flags.filter("keep").select(id_col), id_col, "left_semi")
+    )
+    kept.write.mode("overwrite").parquet(args.output)
+    if args.flags_output:
+        flags.write.mode("overwrite").parquet(args.flags_output)
+    if not args.no_append:
+        idx.append(kept)
+    n_in = delta.count()
+    n_kept = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "input": n_in,
+                "kept": n_kept,
+                "dropped": n_in - n_kept,
+                "appended": not args.no_append,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_ann_search(args) -> int:
     """Point search against a built index: top-k cosine neighbors of
     --vec (comma-separated floats), PartitionFilters-pruned to nprobe
@@ -1574,6 +1668,46 @@ def build_parser() -> argparse.ArgumentParser:
                     help="flag only; do not ingest the kept images")
     di.add_argument("--cpus", default=None)
     di.set_defaults(fn=cmd_dedup_images)
+
+    ia = sub.add_parser(
+        "index-audio",
+        help="build/append/rebuild/maintain the persistent "
+             "constellation-fingerprint audio-dedup index",
+    )
+    ia.add_argument("--root", required=True)
+    ia.add_argument(
+        "--mode",
+        choices=["build", "append", "rebuild", "vacuum", "stats",
+                 "maintain", "delete"],
+        default="build",
+    )
+    ia.add_argument("--input", default=None,
+                    help="media parquet (media_id, payload); build/append; "
+                         "ids for delete")
+    ia.add_argument("--ids", default=None,
+                    help="delete only: comma-separated id literals")
+    ia.add_argument("--id-col", default="media_id")
+    ia.add_argument("--bands", type=int, default=8)
+    ia.add_argument("--rows-per-band", type=int, default=4)
+    ia.add_argument("--min-matches", type=int, default=30)
+    ia.add_argument("--parts", type=int, default=64)
+    ia.add_argument("--cpus", default=None)
+    ia.set_defaults(fn=cmd_index_audio)
+
+    da = sub.add_parser(
+        "dedup-audio",
+        help="dedup an audio delta parquet against the audio index, "
+             "append keeps",
+    )
+    da.add_argument("--root", required=True)
+    da.add_argument("--input", required=True, help="delta media parquet")
+    da.add_argument("--output", required=True, help="kept-media parquet")
+    da.add_argument("--flags-output", default=None,
+                    help="also write (id, dup_of_corpus, keep) flags")
+    da.add_argument("--no-append", action="store_true",
+                    help="flag only; do not ingest the kept tracks")
+    da.add_argument("--cpus", default=None)
+    da.set_defaults(fn=cmd_dedup_audio)
 
     an = sub.add_parser(
         "ann-search", help="top-k cosine point search against the index"

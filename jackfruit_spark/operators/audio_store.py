@@ -1,0 +1,540 @@
+"""Persistent audio-fingerprint index: incremental AUDIO near-dup dedup.
+
+The audio member of the index-family matrix (VERDICT r10 #3) — text has
+``LshIndex``, images have ``PhashIndex``; this store closes the audio
+corner so the ingest loop can dedup each crawl delta's tracks against
+everything already ingested WITHOUT re-decoding stored payloads. The
+batch operator (``operators/dedup.audio_near_dup``) decodes the whole
+corpus per run; here each track's constellation landmarks
+(``multimodal.audio_landmarks``: Shazam-style (f1, f2, Δt) hashes over
+spectral peaks, canonical-rate resampled) are computed ONCE at
+build/append and persisted — delta dedup is hash-row joins only.
+
+Layout (``root/audio_manifest.json`` + versioned data dirs, the
+LshIndex/PhashIndex atomic-swap pattern):
+
+- ``data_vN/landmarks/lp=P/`` — ``(id, lmhash, t1)``, the SOURCE OF
+  TRUTH (everything else derives from it), partitioned by
+  ``lp = pmod(xxhash64(id), lm_parts)``: the offset-consistent verify
+  reads only the candidate corpus ids' residues (driver IN-list →
+  PartitionFilters), never the full corpus fingerprints. Undecodable
+  payloads produce NO rows (unprobeable; they keep themselves — the
+  corrupt-payload discipline).
+- ``data_vN/sigs/`` — ``(id, signature array<long>)``: MinHash over
+  each track's landmark-hash set (``dedup.landmark_signatures`` — the
+  SAME expression as the batch operator, the banded_signatures
+  no-drift rule). Derived; kept for cheap stats and banding.
+- ``data_vN/postings/bp=P/`` — ``(id, band, band_hash)`` from
+  ``dedup.banded_signatures``, ``bp = pmod(band_hash, parts)`` (the
+  LshIndex bp expression). A delta's probes prune to their own
+  residues.
+
+Dedup semantics (``dedup_batch``, the shared index contract): a batch
+track LSH-colliding with an indexed track AND passing the
+offset-consistent vote (>= ``min_matches`` shared hashes agreeing on
+one t1_a - t1_b shift — Wang 2003's matcher; coincidental collisions
+scatter across offsets) is a duplicate of the corpus (the corpus
+wins); intra-batch candidates verify the same way, feed connected
+components and the min-id keeper; a component touching any corpus
+duplicate drops entirely.
+
+At 100 TB: decode+FFT is paid exactly once per track ever ingested
+(~30 KB of landmark rows per 4-s track vs re-reading/re-decoding
+payload bytes per delta); delta dedup shuffles 3-long posting rows
+pruned to the delta's residues, and the verify touches only candidate
+ids' landmark partitions. Candidate volume tracks true near-dup
+density, not corpus^2 (the r11 LSH rewrite — PERFORMANCE.md r11,
+measured alpha 0.43 for the batch form). Tombstone deletes,
+debt-triggered rebuild, and vacuum follow the shared r9 lifecycle.
+
+No reference analog (the reference has no media dedup); this belongs
+to the LLM-training-data family, per the build brief.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jackfruit_spark.operators.dedup import (
+    banded_signatures,
+    connected_components,
+    landmark_signatures,
+    lsh_candidate_pairs,
+)
+
+_MANIFEST = "audio_manifest.json"
+
+
+def _offset_vote(
+    cands: DataFrame,
+    lm_batch: DataFrame,
+    lm_corpus: DataFrame,
+    min_matches: int,
+) -> DataFrame:
+    """Verified (id, corpus_id) pairs: join each candidate pair's
+    landmark rows on shared lmhash, require ``min_matches`` hits at one
+    t1 offset. ``lm_batch`` keyed by ``id``, ``lm_corpus`` by
+    ``corpus_id`` — runs only on LSH candidates, so cost tracks
+    near-dup density."""
+    la = lm_batch.select("id", "lmhash", F.col("t1").alias("__ta"))
+    lb = lm_corpus.select("corpus_id", "lmhash", F.col("t1").alias("__tb"))
+    return (
+        cands.join(la, "id")
+        .join(lb, ["corpus_id", "lmhash"])
+        .groupBy("id", "corpus_id", (F.col("__ta") - F.col("__tb")).alias("__off"))
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .groupBy("id", "corpus_id")
+        .agg(F.max("__hits").alias("matches"))
+        .filter(F.col("matches") >= min_matches)
+        .select("id", "corpus_id")
+    )
+
+
+class AudioIndex:
+    """Handle to a built index: ``root/data_vN/{landmarks,sigs,postings}``
+    plus ``root/audio_manifest.json`` (fingerprint geometry + current
+    data dir)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.manifest_path = os.path.join(root, _MANIFEST)
+        self._meta: dict | None = None
+        self._postings: DataFrame | None = None
+        self._sigs: DataFrame | None = None
+        self._landmarks: DataFrame | None = None
+        self._df_path: str | None = None
+
+    # ----------------------------------------------------------- paths
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.root, self._manifest()["data_dir"])
+
+    def _readers(self) -> tuple[DataFrame, DataFrame, DataFrame]:
+        path = self.data_path
+        if self._postings is None or self._df_path != path:
+            self._postings = self.spark.read.parquet(
+                os.path.join(path, "postings")
+            )
+            self._sigs = self.spark.read.parquet(os.path.join(path, "sigs"))
+            self._landmarks = self.spark.read.parquet(
+                os.path.join(path, "landmarks")
+            )
+            self._df_path = path
+        return self._postings, self._sigs, self._landmarks
+
+    def _invalidate(self) -> None:
+        self._postings = self._sigs = self._landmarks = None
+        self._df_path = None
+
+    def _manifest(self) -> dict:
+        if self._meta is None:
+            with open(self.manifest_path) as f:
+                self._meta = json.load(f)
+        return self._meta
+
+    # ---------------------------------------------------------- deletes
+
+    @property
+    def deletes_dir(self) -> str:
+        return os.path.join(self.root, "deletes")
+
+    def delete(self, ids) -> "AudioIndex":
+        """Tombstone deletes (the shared r9 lifecycle): removed tracks
+        stop producing candidate pairs without rewriting partitions;
+        ``rebuild()`` compacts. ``ids``: list or DataFrame (first
+        column)."""
+        m = self._manifest()
+        id_col = m["id_col"]
+        if isinstance(ids, DataFrame):
+            df = ids.select(F.col(ids.columns[0]).alias(id_col))
+        else:
+            _, sigs, _ = self._readers()
+            id_type = sigs.schema[id_col].dataType.simpleString()
+            df = self.spark.createDataFrame(
+                [(i,) for i in ids], f"{id_col} {id_type}"
+            )
+        df.write.mode("append").parquet(self.deletes_dir)
+        return self
+
+    def _tombstones(self) -> DataFrame | None:
+        d = self.deletes_dir
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return None
+        return self.spark.read.parquet(d)
+
+    def _mask(self, df: DataFrame, key: str) -> DataFrame:
+        t = self._tombstones()
+        if t is None:
+            return df
+        id_col = self._manifest()["id_col"]
+        return df.join(
+            F.broadcast(t.distinct().withColumnRenamed(id_col, key)),
+            key,
+            "left_anti",
+        )
+
+    # ------------------------------------------------------------ build
+
+    @staticmethod
+    def build(
+        media: DataFrame,
+        id_col: str,
+        root: str,
+        payload_col: str = "payload",
+        num_hashes: int = 32,
+        bands: int = 8,
+        rows_per_band: int = 4,
+        min_matches: int = 30,
+        parts: int = 64,
+        lm_parts: int = 64,
+        fake: bool = False,
+    ) -> "AudioIndex":
+        """Landmark the audio corpus once and write the layout:
+        landmarks land first (truth), sigs and postings derive from
+        reading them back; the manifest swaps last (a crashed build
+        leaves the old version live)."""
+        spark = media.sparkSession
+        idx = AudioIndex(spark, root)
+        os.makedirs(root, exist_ok=True)
+        data_dir = idx._next_version()
+        meta = {
+            "id_col": id_col,
+            "payload_col": payload_col,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "rows_per_band": rows_per_band,
+            "min_matches": min_matches,
+            "parts": parts,
+            "lm_parts": lm_parts,
+            "fake": fake,
+            "data_dir": data_dir,
+        }
+        lm = AudioIndex._landmarks_of(media, meta)
+        AudioIndex._write_landmarks(
+            lm, meta, os.path.join(root, data_dir, "landmarks"), "overwrite"
+        )
+        written = spark.read.parquet(
+            os.path.join(root, data_dir, "landmarks")
+        ).withColumnRenamed("id", id_col)
+        AudioIndex._write_derived(written, meta, os.path.join(root, data_dir), "overwrite")
+        idx._swap_manifest(meta)
+        return idx
+
+    @staticmethod
+    def _landmarks_of(media: DataFrame, meta: dict) -> DataFrame:
+        """(id, lmhash, t1) for a media frame: one Arrow decode+FFT
+        pass (`multimodal.audio_landmarks`); undecodable payloads emit
+        no rows."""
+        from jackfruit_spark import multimodal as mm
+
+        renamed = media.select(
+            F.col(meta["id_col"]).alias("media_id"),
+            F.col(meta["payload_col"]).alias("payload"),
+        )
+        return mm.audio_landmarks(renamed, fake=meta["fake"]).select(
+            F.col("media_id").alias("id"), "lmhash", "t1"
+        )
+
+    @staticmethod
+    def _write_landmarks(
+        lm: DataFrame, meta: dict, path: str, mode: str
+    ) -> None:
+        # repartition("lp") before the partitioned write (the bm25 tp
+        # lesson: tasks x parts small files otherwise)
+        lm.withColumn(
+            "lp", F.pmod(F.xxhash64(F.col("id")), F.lit(meta["lm_parts"]))
+        ).repartition("lp").write.mode(mode).partitionBy("lp").parquet(path)
+
+    @staticmethod
+    def _write_derived(
+        lm: DataFrame, meta: dict, data_path: str, mode: str
+    ) -> None:
+        """sigs + postings from a landmark frame keyed by the manifest
+        id_col. Sigs write first; postings derive from the written sigs
+        (one minhash agg, not two)."""
+        spark = lm.sparkSession
+        sig = landmark_signatures(
+            lm, num_hashes=meta["num_hashes"], id_col=meta["id_col"]
+        )
+        sigs_path = os.path.join(data_path, "sigs")
+        sig.write.mode(mode).parquet(sigs_path)
+        banded = banded_signatures(
+            spark.read.parquet(sigs_path)
+            if mode == "overwrite"
+            else sig,
+            meta["id_col"],
+            bands=meta["bands"],
+            rows_per_band=meta["rows_per_band"],
+        )
+        banded.withColumn(
+            "bp", F.pmod(F.col("band_hash"), F.lit(meta["parts"]))
+        ).repartition("bp").write.mode(mode).partitionBy("bp").parquet(
+            os.path.join(data_path, "postings")
+        )
+
+    def _next_version(self) -> str:
+        versions = [
+            int(d[len("data_v"):])
+            for d in os.listdir(self.root)
+            if d.startswith("data_v") and d[len("data_v"):].isdigit()
+        ]
+        return f"data_v{max(versions, default=0) + 1}"
+
+    def _swap_manifest(self, meta: dict) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.manifest_path)
+        self._meta = meta
+
+    # ------------------------------------------------------------ probe
+
+    def corpus_candidates(self, batch_sig: DataFrame) -> DataFrame:
+        """(id, corpus_id) LSH candidate pairs of a signed batch
+        against the index: banded join on (band, band_hash) with the
+        corpus side pruned to the delta's own ``bp`` residues (driver
+        IN-list → PartitionFilters). UNVERIFIED — feed `_offset_vote`."""
+        m = self._manifest()
+        id_col = m["id_col"]
+        postings, _, _ = self._readers()
+        banded_b = banded_signatures(
+            batch_sig, id_col, bands=m["bands"], rows_per_band=m["rows_per_band"]
+        ).withColumn("bp", F.pmod(F.col("band_hash"), F.lit(m["parts"])))
+        bps = [r["bp"] for r in banded_b.select("bp").distinct().collect()]
+        pruned = self._mask(
+            postings.filter(F.col("bp").isin(bps)), id_col
+        ).select(F.col(id_col).alias("corpus_id"), "band", "band_hash")
+        return (
+            banded_b.join(pruned, ["band", "band_hash"])
+            .select(F.col(id_col).alias("id"), "corpus_id")
+            .distinct()
+        )
+
+    def dedup_batch(self, batch: DataFrame) -> DataFrame:
+        """Flag an audio delta against the corpus AND itself in one
+        pass: ``(id, dup_of_corpus, keep)`` — the shared index
+        contract. Batch rows whose payload does not decode produce no
+        landmarks, never pair, and keep themselves. Batch landmarks and
+        signatures are persisted (tracked — release via
+        ``_persist.release_persisted``): they feed the corpus probe,
+        the intra-batch pair join, both verify stages, and CC drives
+        actions during plan construction."""
+        from jackfruit_spark._persist import persisted
+
+        m = self._manifest()
+        id_col = m["id_col"]
+        lm_b = persisted(
+            self._landmarks_of(batch, m).withColumnRenamed("id", id_col)
+        )
+        sig_b = persisted(
+            landmark_signatures(lm_b, num_hashes=m["num_hashes"], id_col=id_col)
+        )
+        cands = persisted(self.corpus_candidates(sig_b))
+        # verify vs corpus: prune stored landmarks to the candidate
+        # corpus ids' lp residues (small driver collect — candidates,
+        # not corpus), then the offset vote
+        cand_ids = cands.select("corpus_id").distinct()
+        lps = [
+            r["lp"]
+            for r in cand_ids.select(
+                F.pmod(F.xxhash64("corpus_id"), F.lit(m["lm_parts"])).alias("lp")
+            )
+            .distinct()
+            .collect()
+        ]
+        _, _, landmarks = self._readers()
+        lm_c = (
+            self._mask(
+                landmarks.filter(F.col("lp").isin(lps)).withColumnRenamed(
+                    "id", "__cid"
+                ),
+                "__cid",
+            )
+            .join(
+                F.broadcast(cand_ids.withColumnRenamed("corpus_id", "__cid")),
+                "__cid",
+                "left_semi",
+            )
+            .select(F.col("__cid").alias("corpus_id"), "lmhash", "t1")
+        )
+        dup_corpus = (
+            _offset_vote(
+                cands,
+                lm_b.withColumnRenamed(id_col, "id"),
+                lm_c,
+                m["min_matches"],
+            )
+            .select("id")
+            .withColumnRenamed("id", id_col)
+            .distinct()
+        )
+
+        from jackfruit_spark.operators.dedup import offset_consistent_pairs
+
+        intra_cands = lsh_candidate_pairs(
+            sig_b, id_col, bands=m["bands"], rows_per_band=m["rows_per_band"]
+        )
+        intra = offset_consistent_pairs(
+            intra_cands,
+            lm_b.withColumnRenamed(id_col, "media_id"),
+            m["min_matches"],
+        )
+        cc = connected_components(
+            batch.select(id_col), intra.select("id_a", "id_b"), id_col=id_col
+        )
+        tainted = (
+            cc.join(dup_corpus, id_col, "left_semi")
+            .select("cluster_id")
+            .distinct()
+        )
+        return (
+            cc.join(
+                dup_corpus.withColumn("__dc", F.lit(True)), id_col, "left"
+            )
+            .join(
+                tainted.withColumn("__tt", F.lit(True)), "cluster_id", "left"
+            )
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("__dc"), F.lit(False)).alias("dup_of_corpus"),
+                (
+                    F.col("__tt").isNull()
+                    & (F.col(id_col) == F.col("cluster_id"))
+                ).alias("keep"),
+            )
+        )
+
+    # ---------------------------------------------------- append/rebuild
+
+    def append(self, media: DataFrame) -> "AudioIndex":
+        """Landmark the KEPT slice of a deduped delta and append:
+        landmarks first (truth), sigs/postings second (a crash between
+        the two is a false-negative window, healed by ``rebuild()``).
+        Appended tracks are immediately probeable by the next
+        ``dedup_batch``."""
+        m = self._manifest()
+        path = self.data_path
+        lm = self._landmarks_of(media, m).persist()
+        try:
+            self._write_landmarks(
+                lm, m, os.path.join(path, "landmarks"), "append"
+            )
+            self._write_derived(
+                lm.withColumnRenamed("id", m["id_col"]), m, path, "append"
+            )
+        finally:
+            lm.unpersist(blocking=False)
+        self._invalidate()
+        return self
+
+    def rebuild(self) -> "AudioIndex":
+        """Rewrite into a fresh version from the landmarks source of
+        truth: drop replayed-append duplicate rows, apply tombstones,
+        re-derive sigs/postings, swap the manifest atomically."""
+        m = dict(self._manifest())
+        _, _, landmarks = self._readers()
+        deduped = self._mask(
+            landmarks.select("id", "lmhash", "t1").withColumnRenamed(
+                "id", m["id_col"]
+            ),
+            m["id_col"],
+        ).dropDuplicates([m["id_col"], "lmhash", "t1"])
+        if not deduped.head(1):
+            raise ValueError(
+                "rebuild would produce an empty index (every track "
+                "deleted?) — drop the index directory instead"
+            )
+        data_dir = self._next_version()
+        self._write_landmarks(
+            deduped.withColumnRenamed(m["id_col"], "id"), m,
+            os.path.join(self.root, data_dir, "landmarks"), "overwrite",
+        )
+        written = self.spark.read.parquet(
+            os.path.join(self.root, data_dir, "landmarks")
+        ).withColumnRenamed("id", m["id_col"])
+        self._write_derived(
+            written, m, os.path.join(self.root, data_dir), "overwrite"
+        )
+        m["data_dir"] = data_dir
+        self._swap_manifest(m)
+        if os.path.isdir(self.deletes_dir):
+            import shutil
+
+            shutil.rmtree(self.deletes_dir, ignore_errors=True)
+        self._invalidate()
+        return self
+
+    def maintain(
+        self, max_files_per_part: float = 8.0, vacuum: bool = True,
+        max_deleted_frac: float = 0.2,
+    ) -> dict:
+        """Append-hygiene policy (the shared maintain triggers):
+        rebuild iff fragmentation, replayed-append duplicates, or
+        tombstone debt above ``max_deleted_frac``."""
+        st = self.stats()
+        m = self._manifest()
+        _, sigs, _ = self._readers()
+        distinct = sigs.select(m["id_col"]).distinct().count()
+        frag = st["posting_files"] / max(1, m["parts"])
+        replayed = st["n_tracks"] > distinct
+        debt = st["deleted"] / max(st["n_tracks"], 1) > max_deleted_frac
+        rebuilt = frag > max_files_per_part or replayed or debt
+        st["distinct_tracks"] = distinct
+        if rebuilt:
+            self.rebuild()
+            if vacuum:
+                st["vacuumed"] = self.vacuum()
+            st["after"] = self.stats()
+        return {**st, "rebuilt": rebuilt}
+
+    def vacuum(self) -> list[str]:
+        import shutil
+
+        live = self._manifest()["data_dir"]
+        removed = []
+        for d in os.listdir(self.root):
+            if (
+                d.startswith("data_v")
+                and d[len("data_v"):].isdigit()
+                and d != live
+            ):
+                shutil.rmtree(os.path.join(self.root, d))
+                removed.append(d)
+        return removed
+
+    def stats(self) -> dict:
+        """Index size + bucket stats. Always re-lists (the cross-handle
+        append lesson: a cached parquet snapshot pins its file
+        listing)."""
+        self._invalidate()
+        postings, sigs, landmarks = self._readers()
+        n = sigs.count()
+        bucket = postings.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        row = bucket.select(
+            F.sum("n").alias("n_postings"),
+            F.max("n").alias("max_bucket"),
+        ).collect()[0]
+        files = 0
+        proot = os.path.join(self.data_path, "postings")
+        for _, _, fs in os.walk(proot):
+            files += sum(1 for f in fs if f.endswith(".parquet"))
+        t = self._tombstones()
+        return {
+            "n_tracks": n,
+            "n_landmarks": landmarks.count(),
+            "deleted": t.distinct().count() if t is not None else 0,
+            "n_postings": int(row["n_postings"] or 0),
+            "max_bucket": int(row["max_bucket"] or 0),
+            "posting_files": files,
+            "data_dir": self._manifest()["data_dir"],
+        }

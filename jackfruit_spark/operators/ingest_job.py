@@ -55,6 +55,7 @@ class CorpusIngestJob:
         lsh_kwargs: dict | None = None,
         with_media: bool = False,
         phash_kwargs: dict | None = None,
+        audio_kwargs: dict | None = None,
         denylist: bool = False,
     ):
         self.spark = spark
@@ -68,6 +69,10 @@ class CorpusIngestJob:
         self.lsh_kwargs = dict(lsh_kwargs or {})
         self.with_media = with_media
         self.phash_kwargs = dict(phash_kwargs or {})
+        # audio leg (r11, VERDICT r10 #3): when set AND the media frame
+        # carries content_type, audio/* rows dedup against the
+        # persistent AudioIndex instead of the pHash path
+        self.audio_kwargs = dict(audio_kwargs) if audio_kwargs is not None else None
         self.denylist = denylist
         for d in ("ledger", "flags", "corpus"):
             os.makedirs(os.path.join(self.root, d), exist_ok=True)
@@ -90,6 +95,11 @@ class CorpusIngestJob:
         from jackfruit_spark.operators.phash_store import PhashIndex
 
         return PhashIndex(self.spark, os.path.join(self.root, "phash"))
+
+    def _audiofp(self):
+        from jackfruit_spark.operators.audio_store import AudioIndex
+
+        return AudioIndex(self.spark, os.path.join(self.root, "audiofp"))
 
     # ------------------------------------------------------------- run
     def run_batch(
@@ -242,56 +252,59 @@ class CorpusIngestJob:
 
     # ------------------------------------------------------ media leg
     def _run_media(self, batch_id: str, media: DataFrame) -> dict:
-        """The image twin of the text path: staged flags BEFORE index
+        """The media twin of the text path: staged flags BEFORE index
         mutation (the streaming/dedup.py data-loss rule), idempotent
-        per-batch landing, marker-gated PhashIndex append (bootstrap
-        build on the first batch — an index built from an empty frame is
-        unreadable, the flags lesson)."""
+        per-batch landing, marker-gated index appends (bootstrap build
+        on the first batch — an index built from an empty frame is
+        unreadable, the flags lesson).
+
+        Modality dispatch (r11, VERDICT r10 #3): with ``audio_kwargs``
+        set AND a ``content_type`` column on the frame, ``audio/*``
+        rows dedup against the persistent AudioIndex (constellation
+        fingerprints) under their own staged flags (``flags_audio/``)
+        and applied marker (``audiofp``); everything else takes the
+        pHash path as before. Without the knob or the column, the
+        whole frame is treated as images (r10 behavior)."""
         from jackfruit_spark._persist import persisted
-        from jackfruit_spark.operators.phash_store import PhashIndex
 
         media = persisted(media)
         n_in = media.count()
         media, n_denied = self._apply_media_denylist(media)
         if n_denied:
             media = persisted(media)
-        idx = self._phash()
-        idx_exists = os.path.exists(idx.manifest_path)
-        flags_dir = os.path.join(
-            self.root, "flags_media", f"batch={batch_id}"
+        audio_split = (
+            self.audio_kwargs is not None and "content_type" in media.columns
         )
-        if not os.path.exists(os.path.join(flags_dir, "_SUCCESS")):
-            flags_df = (
-                idx.dedup_batch(media)
-                if idx_exists
-                else self._bootstrap_media_flags(media)
-            )
-            flags_df.write.mode("overwrite").parquet(flags_dir)
-        flags = self.spark.read.parquet(flags_dir)
-        kept = persisted(
-            media.join(
-                flags.filter("keep").select("media_id"),
-                "media_id",
-                "left_semi",
-            )
+        if audio_split:
+            is_aud = F.col("content_type").startswith("audio/")
+            img, aud = media.filter(~is_aud), media.filter(is_aud)
+        else:
+            img, aud = media, None
+        kept_img, n_img = self._stage_modality_flags(
+            batch_id, img, "flags_media", self._image_flags
         )
-        n_kept = kept.count()
+        kept_aud, n_aud = (
+            self._stage_modality_flags(
+                batch_id, aud, "flags_audio", self._audio_flags
+            )
+            if aud is not None
+            else (None, 0)
+        )
+        kept_frames = [k for k in (kept_img, kept_aud) if k is not None]
+        kept = kept_frames[0] if kept_frames else media.limit(0)
+        for k in kept_frames[1:]:
+            kept = kept.unionByName(k)
+        n_kept = n_img + n_aud
         kept.write.mode("overwrite").parquet(
             os.path.join(self.root, "media", f"batch={batch_id}")
         )
-        if n_kept > 0:
+        if kept_img is not None and n_img > 0:
             self._append_leg(
-                "phash",
-                batch_id,
-                lambda: (
-                    idx.append(kept)
-                    if idx_exists
-                    else PhashIndex.build(
-                        kept, "media_id",
-                        os.path.join(self.root, "phash"),
-                        **self.phash_kwargs,
-                    )
-                ),
+                "phash", batch_id, lambda: self._phash_apply(kept_img)
+            )
+        if kept_aud is not None and n_aud > 0:
+            self._append_leg(
+                "audiofp", batch_id, lambda: self._audiofp_apply(kept_aud)
             )
         return {
             "media_input": n_in,
@@ -299,6 +312,82 @@ class CorpusIngestJob:
             "media_kept": n_kept,
             "media_dropped_dup": n_in - n_denied - n_kept,
         }
+
+    def _stage_modality_flags(
+        self, batch_id: str, frame: DataFrame, flags_name: str, flag_fn
+    ):
+        """Staged-decisions discipline for one media modality: compute
+        (media_id, dup_of_corpus, keep) ONCE into
+        ``<flags_name>/batch=<id>`` and reuse on replay. Returns
+        (kept_frame_or_None, n_kept); an empty modality slice stages
+        nothing (an all-audio batch must not run the image kernels, and
+        zero-row flags are unreadable)."""
+        from jackfruit_spark._persist import persisted
+
+        if not frame.head(1):
+            return None, 0
+        flags_dir = os.path.join(self.root, flags_name, f"batch={batch_id}")
+        if not os.path.exists(os.path.join(flags_dir, "_SUCCESS")):
+            flag_fn(frame).write.mode("overwrite").parquet(flags_dir)
+        flags = self.spark.read.parquet(flags_dir)
+        kept = persisted(
+            frame.join(
+                flags.filter("keep").select("media_id"),
+                "media_id",
+                "left_semi",
+            )
+        )
+        return kept, kept.count()
+
+    def _image_flags(self, img: DataFrame) -> DataFrame:
+        idx = self._phash()
+        if os.path.exists(idx.manifest_path):
+            return idx.dedup_batch(img)
+        return self._bootstrap_media_flags(img)
+
+    def _audio_flags(self, aud: DataFrame) -> DataFrame:
+        idx = self._audiofp()
+        if os.path.exists(idx.manifest_path):
+            return idx.dedup_batch(aud)
+        from jackfruit_spark.operators.dedup import audio_near_dup
+
+        kw = self.audio_kwargs or {}
+        return audio_near_dup(
+            aud,
+            fake=kw.get("fake", False),
+            min_matches=kw.get("min_matches", 30),
+            num_hashes=kw.get("num_hashes", 32),
+            bands=kw.get("bands", 8),
+            rows_per_band=kw.get("rows_per_band", 4),
+        ).select(
+            "media_id",
+            F.lit(False).alias("dup_of_corpus"),
+            F.col("keep"),
+        )
+
+    def _phash_apply(self, kept: DataFrame) -> None:
+        from jackfruit_spark.operators.phash_store import PhashIndex
+
+        idx = self._phash()
+        if os.path.exists(idx.manifest_path):
+            idx.append(kept)
+        else:
+            PhashIndex.build(
+                kept, "media_id", os.path.join(self.root, "phash"),
+                **self.phash_kwargs,
+            )
+
+    def _audiofp_apply(self, kept: DataFrame) -> None:
+        from jackfruit_spark.operators.audio_store import AudioIndex
+
+        idx = self._audiofp()
+        if os.path.exists(idx.manifest_path):
+            idx.append(kept)
+        else:
+            AudioIndex.build(
+                kept, "media_id", os.path.join(self.root, "audiofp"),
+                **(self.audio_kwargs or {}),
+            )
 
     def _bootstrap_media_flags(self, media: DataFrame) -> DataFrame:
         """First-batch media flags without an index: intra-batch pHash
@@ -626,10 +715,22 @@ class CorpusIngestJob:
                     os.path.join(self.media_denylist_dir, f"batch={batch_id}")
                 )
                 legs.append("denylist_media")
+            has_ct = "content_type" in media.columns
+            is_aud = (
+                F.col("content_type").startswith("audio/")
+                if has_ct
+                else F.lit(False)
+            )
             ph = self._phash()
             if os.path.exists(ph.manifest_path):
-                ph.delete(media.select("media_id"))
+                # only the image slice: extra tombstones are harmless to
+                # masking but inflate the maintain() debt ratio
+                ph.delete(media.filter(~is_aud).select("media_id"))
                 legs.append("phash")
+            au = self._audiofp()
+            if os.path.exists(au.manifest_path):
+                au.delete(media.filter(is_aud).select("media_id"))
+                legs.append("audiofp")
             if msrc == mpart:
                 shutil.rmtree(maside, ignore_errors=True)
                 os.rename(mpart, maside)

@@ -45,6 +45,14 @@ class Mp4Track:
     height: float | None
     n_samples: int
     sample_deltas: list[tuple[int, int]]  # stts (count, delta) runs
+    # sample-table layout (r11, for frame PAYLOAD extraction): stsz
+    # sizes (constant, or one per sample), stsc (first_chunk,
+    # samples_per_chunk) runs, stco/co64 absolute chunk offsets. Empty
+    # when the container omits them (metadata-only fixtures).
+    sample_sizes: list[int] = field(default_factory=list)
+    const_sample_size: int = 0
+    chunk_runs: list[tuple[int, int]] = field(default_factory=list)
+    chunk_offsets: list[int] = field(default_factory=list)
 
     def sample_times_ms(self, limit: int | None = None) -> list[float]:
         """Decode timestamps of each sample (frame) from the stts runs."""
@@ -57,6 +65,54 @@ class Mp4Track:
                 out.append(t * 1000.0 / self.timescale)
                 t += delta
         return out
+
+    def sample_ranges(self, limit: int | None = None) -> list[tuple[int, int]]:
+        """(absolute_offset, size) per sample from stsz + stsc + stco —
+        the byte ranges a frame extractor slices. Empty when the sample
+        tables are absent. Expansion is capped (hostile containers must
+        not allocate unbounded lists — the stts 10M-frame rule)."""
+        if not self.chunk_offsets or not self.chunk_runs:
+            return []
+        cap = min(
+            self.n_samples if self.n_samples else len(self.sample_sizes),
+            limit if limit is not None else _MAX_SAMPLE_RANGES,
+            _MAX_SAMPLE_RANGES,
+        )
+
+        def size_of(i: int) -> int:
+            if self.const_sample_size:
+                return self.const_sample_size
+            if i >= len(self.sample_sizes):
+                raise Mp4Error("stsz shorter than sample count")
+            return self.sample_sizes[i]
+
+        # expand stsc runs: run k applies from first_chunk_k until the
+        # next run's first_chunk (1-based chunk numbering)
+        out: list[tuple[int, int]] = []
+        runs = sorted(self.chunk_runs)
+        si = 0
+        for k, (first, per_chunk) in enumerate(runs):
+            last = (
+                runs[k + 1][0] - 1 if k + 1 < len(runs)
+                else len(self.chunk_offsets)
+            )
+            if per_chunk <= 0 or first < 1:
+                raise Mp4Error("bad stsc run")
+            for chunk in range(first, last + 1):
+                if chunk > len(self.chunk_offsets):
+                    break
+                off = self.chunk_offsets[chunk - 1]
+                for _ in range(per_chunk):
+                    if si >= cap:
+                        return out
+                    sz = size_of(si)
+                    out.append((off, sz))
+                    off += sz
+                    si += 1
+        return out
+
+
+_MAX_SAMPLE_RANGES = 1_000_000
 
 
 @dataclass
@@ -134,6 +190,10 @@ def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
     tsc, dur = 1, 0
     n_samples = 0
     deltas: list[tuple[int, int]] = []
+    sizes: list[int] = []
+    const_size = 0
+    chunk_runs: list[tuple[int, int]] = []
+    chunk_offsets: list[int] = []
     for bt, p, e in _iter_boxes(data, start, end):
         if bt == b"tkhd":
             v, q = _full_box(data, p)
@@ -177,6 +237,40 @@ def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
                                     )
                                     deltas.append((c, d))
                                     n_samples += c
+                            elif bt4 == b"stsz":
+                                _, q = _full_box(data, p4)
+                                const_size, n_sz = struct.unpack_from(
+                                    ">II", data, q
+                                )
+                                if const_size == 0:
+                                    n_sz = min(n_sz, _MAX_SAMPLE_RANGES)
+                                    sizes = [
+                                        struct.unpack_from(
+                                            ">I", data, q + 8 + 4 * i
+                                        )[0]
+                                        for i in range(n_sz)
+                                    ]
+                            elif bt4 == b"stsc":
+                                _, q = _full_box(data, p4)
+                                (n_ent,) = struct.unpack_from(">I", data, q)
+                                for i in range(min(n_ent, _MAX_SAMPLE_RANGES)):
+                                    first, per, _desc = struct.unpack_from(
+                                        ">III", data, q + 4 + 12 * i
+                                    )
+                                    chunk_runs.append((first, per))
+                            elif bt4 in (b"stco", b"co64"):
+                                _, q = _full_box(data, p4)
+                                (n_ent,) = struct.unpack_from(">I", data, q)
+                                wide = bt4 == b"co64"
+                                fmt, step = (">Q", 8) if wide else (">I", 4)
+                                chunk_offsets = [
+                                    struct.unpack_from(
+                                        fmt, data, q + 4 + step * i
+                                    )[0]
+                                    for i in range(
+                                        min(n_ent, _MAX_SAMPLE_RANGES)
+                                    )
+                                ]
     return Mp4Track(
         track_id=track_id,
         handler=handler,
@@ -187,6 +281,10 @@ def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
         height=height,
         n_samples=n_samples,
         sample_deltas=deltas,
+        sample_sizes=sizes,
+        const_sample_size=const_size,
+        chunk_runs=chunk_runs,
+        chunk_offsets=chunk_offsets,
     )
 
 

@@ -656,7 +656,8 @@ def main() -> None:
         # so this leg re-earns the "no stage is quadratic" docstring by
         # measurement. dup_frac fixed at 0.2 -> true pairs grow linearly
         # with the corpus; alpha ~1 is the pass bar.
-        from bench import IMG_SEED, image_bench_media
+        from bench import IMG_SEED, audio_bench_delta, image_bench_media
+        from jackfruit_spark.operators.audio_store import AudioIndex
         from jackfruit_spark.operators.dedup import audio_near_dup
         from jackfruit_spark.sources.media_synth import (
             audio_corpus,
@@ -664,6 +665,8 @@ def main() -> None:
         )
 
         results["audio_dedup"] = {}
+        results["audio_index_build"] = {}
+        results["audio_dedup_delta"] = {}
         # untimed warm-up (the lsh lesson: the first Arrow decode+FFT +
         # CC of a session pays the JIT bill, reads as negative alpha)
         try:
@@ -702,8 +705,37 @@ def main() -> None:
                     release_persisted()
                     spark.catalog.clearCache()
                 results["audio_dedup"][m] = best
+                # AudioIndex flat-delta claim (the PhashIndex leg's audio
+                # twin): a FIXED 100-track delta's dedup cost must stay
+                # flat as the indexed corpus grows — probes join pruned
+                # posting/landmark rows, stored payloads never re-decode
+                t_build = float("inf")
+                idx = None
+                for i in range(args.repeats):
+                    t0 = time.perf_counter()
+                    idx = AudioIndex.build(
+                        media, "media_id",
+                        os.path.join(sf, f"audio_idx{i}"),
+                    )
+                    t_build = min(t_build, round(time.perf_counter() - t0, 3))
+                    release_persisted()
+                    spark.catalog.clearCache()
+                results["audio_index_build"][m] = t_build
+                delta = audio_bench_delta(spark)
+                best = float("inf")
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    idx.dedup_batch(delta).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, round(time.perf_counter() - t0, 3))
+                    release_persisted()
+                    spark.catalog.clearCache()
+                results["audio_dedup_delta"][m] = best
             except Exception as e:  # noqa: BLE001
-                results["audio_dedup"][m] = None
+                results["audio_dedup"].setdefault(m, None)
+                results["audio_index_build"].setdefault(m, None)
+                results["audio_dedup_delta"][m] = None
                 print(f"audio@x{m}: {e}"[:200], file=sys.stderr)
             print(f"done audio_dedup@x{m}", file=sys.stderr)
 

@@ -1,0 +1,245 @@
+"""Persistent constellation-fingerprint audio index
+(operators/audio_store.py, VERDICT r10 #3): build → delta dedup flags
+(corpus dup / intra keeper / tainted component / undecodable keeps),
+partition-pruned probe plan, append-then-probe, tombstone deletes,
+replay-healing rebuild + maintain policy — the LshIndex/PhashIndex
+contract on the audio modality."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.operators.audio_store import AudioIndex
+from jackfruit_spark.sources.media_synth import encode_wav, synth_audio
+
+
+def _wav(seed: int) -> bytes:
+    return encode_wav(synth_audio(seed))
+
+
+def _wav8(seed: int) -> bytes:
+    """8-bit re-quantized near-dup of the 16-bit original."""
+    return encode_wav(synth_audio(seed), sampwidth=1)
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "media_id long, payload binary"
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _media(spark, [(i, _wav(i)) for i in range(20)])
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("audio") / "idx")
+    return AudioIndex.build(corpus, "media_id", root, parts=16, lm_parts=16)
+
+
+def test_dedup_batch_flags(spark, index):
+    """One delta, every decision class: 100 = byte-identical copy of
+    corpus track 3; 101 = 8-bit re-quantization of corpus track 7
+    (near-dup); 102/103 = intra-batch near-pair (fresh track + its
+    re-quantization, min-id keeper); 104 = fresh; 105 = another copy of
+    corpus track 3 (tainted component); 106 = undecodable (keeps
+    itself — unprobeable)."""
+    from jackfruit_spark._persist import release_all
+
+    batch = _media(
+        spark,
+        [
+            (100, _wav(3)),
+            (101, _wav8(7)),
+            (102, _wav(900)),
+            (103, _wav8(900)),
+            (104, _wav(901)),
+            (105, _wav(3)),
+            (106, b"not audio at all"),
+        ],
+    )
+    try:
+        flags = {r["media_id"]: r for r in index.dedup_batch(batch).collect()}
+    finally:
+        release_all()
+    assert flags[100]["dup_of_corpus"] and not flags[100]["keep"]
+    assert flags[101]["dup_of_corpus"] and not flags[101]["keep"]
+    assert not flags[102]["dup_of_corpus"] and flags[102]["keep"]
+    assert not flags[103]["dup_of_corpus"] and not flags[103]["keep"]
+    assert not flags[104]["dup_of_corpus"] and flags[104]["keep"]
+    assert not flags[105]["keep"]
+    assert not flags[106]["dup_of_corpus"] and flags[106]["keep"]
+
+
+def test_probe_plan_partition_pruned(spark, index):
+    """A single-track delta touches at most ``bands`` bp residues: the
+    literal IN-list must land in the postings scan's PartitionFilters
+    (the lsh_store/phash_store assertion pattern)."""
+    from jackfruit_spark._persist import release_all
+    from jackfruit_spark.operators.dedup import landmark_signatures
+    from jackfruit_spark.plans import plan_string
+
+    batch = _media(spark, [(200, _wav(3))])
+    try:
+        m = index._manifest()
+        lm = index._landmarks_of(batch, m).withColumnRenamed(
+            "id", m["id_col"]
+        )
+        sig = landmark_signatures(
+            lm, num_hashes=m["num_hashes"], id_col=m["id_col"]
+        )
+        pairs = index.corpus_candidates(sig)
+        p = plan_string(pairs)
+        scan_lines = [
+            ln for ln in p.splitlines()
+            if "PartitionFilters" in ln and "bp" in ln
+        ]
+        assert any("bp IN" in ln or "bp#" in ln for ln in scan_lines), p
+        assert pairs.count() > 0
+    finally:
+        release_all()
+
+
+def test_append_then_probe(spark, tmp_path):
+    from jackfruit_spark._persist import release_all
+
+    root = str(tmp_path / "idx")
+    idx = AudioIndex.build(
+        _media(spark, [(i, _wav(i)) for i in range(8)]),
+        "media_id", root, parts=8, lm_parts=8,
+    )
+    # fresh track appends, then its re-quantization probes as corpus dup
+    idx.append(_media(spark, [(50, _wav(500))]))
+    try:
+        flags = {
+            r["media_id"]: r
+            for r in idx.dedup_batch(
+                _media(spark, [(60, _wav8(500))])
+            ).collect()
+        }
+    finally:
+        release_all()
+    assert flags[60]["dup_of_corpus"] and not flags[60]["keep"]
+    assert idx.stats()["n_tracks"] == 9
+
+
+def test_delete_unmasks_and_rebuild_compacts(spark, tmp_path):
+    from jackfruit_spark._persist import release_all
+
+    root = str(tmp_path / "idx")
+    idx = AudioIndex.build(
+        _media(spark, [(i, _wav(i)) for i in range(8)]),
+        "media_id", root, parts=8, lm_parts=8,
+    )
+    probe = _media(spark, [(70, _wav8(4))])
+    try:
+        assert not idx.dedup_batch(probe).collect()[0]["keep"]
+        idx.delete([4])
+        # deleted corpus track no longer blocks the delta
+        assert idx.dedup_batch(probe).collect()[0]["keep"]
+    finally:
+        release_all()
+    st = idx.stats()
+    assert st["n_tracks"] == 8 and st["deleted"] == 1
+    idx.rebuild()
+    st2 = idx.stats()
+    assert st2["n_tracks"] == 7 and st2["deleted"] == 0
+    assert not os.path.isdir(idx.deletes_dir)
+    removed = idx.vacuum()
+    assert removed == ["data_v1"]
+
+
+def test_rebuild_heals_replayed_append(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    idx = AudioIndex.build(
+        _media(spark, [(i, _wav(i)) for i in range(6)]),
+        "media_id", root, parts=8, lm_parts=8,
+    )
+    delta = _media(spark, [(20, _wav(200))])
+    idx.append(delta)
+    idx.append(delta)  # simulated crashed-marker replay
+    assert idx.stats()["n_tracks"] == 8  # physical sig rows, one dup
+    rep = idx.maintain(vacuum=True)
+    assert rep["rebuilt"]
+    assert idx.stats()["n_tracks"] == 7
+
+
+def test_maintain_rebuilds_on_tombstone_debt(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    idx = AudioIndex.build(
+        _media(spark, [(i, _wav(i)) for i in range(10)]),
+        "media_id", root, parts=8, lm_parts=8,
+    )
+    idx.delete([0, 1, 2])  # 30% > the 20% debt threshold
+    rep = idx.maintain()
+    assert rep["rebuilt"]
+    assert idx.stats()["n_tracks"] == 7
+
+
+def test_cli_lifecycle(spark, tmp_path, capsys):
+    """index-audio build/stats/delete/maintain + dedup-audio: the audio
+    twin of the index-images/dedup-images CLI pair."""
+    import json
+
+    from jackfruit_spark import __main__ as cli
+
+    media_dir = str(tmp_path / "media")
+    _media(spark, [(i, _wav(i)) for i in range(8)]).write.parquet(media_dir)
+    root = str(tmp_path / "idx")
+    assert cli.main([
+        "index-audio", "--root", root, "--input", media_dir,
+        "--parts", "8",
+    ]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_tracks"] == 8 and st["mode"] == "build"
+
+    delta_dir = str(tmp_path / "delta")
+    _media(
+        spark, [(100, _wav8(3)), (101, _wav(777))]
+    ).write.parquet(delta_dir)
+    out_dir = str(tmp_path / "kept")
+    assert cli.main([
+        "dedup-audio", "--root", root, "--input", delta_dir,
+        "--output", out_dir,
+        "--flags-output", str(tmp_path / "flags"),
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input"] == 2 and rep["kept"] == 1 and rep["dropped"] == 1
+    assert rep["appended"]
+    kept_ids = [
+        r["media_id"] for r in spark.read.parquet(out_dir).collect()
+    ]
+    assert kept_ids == [101]
+
+    assert cli.main(["index-audio", "--root", root, "--mode", "stats"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_tracks"] == 9  # the kept delta track was appended
+
+    assert cli.main([
+        "index-audio", "--root", root, "--mode", "delete", "--ids", "3",
+    ]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["deleted"] == 1
+    assert cli.main([
+        "index-audio", "--root", root, "--mode", "maintain",
+    ]) == 0
+
+
+def test_cross_handle_stats(spark, tmp_path):
+    """stats() must see appends made through ANOTHER handle (the cached
+    parquet snapshot pins its file listing — the LshIndex lesson)."""
+    root = str(tmp_path / "idx")
+    AudioIndex.build(
+        _media(spark, [(i, _wav(i)) for i in range(5)]),
+        "media_id", root, parts=8, lm_parts=8,
+    )
+    a = AudioIndex(spark, root)
+    assert a.stats()["n_tracks"] == 5
+    b = AudioIndex(spark, root)
+    b.append(_media(spark, [(90, _wav(909))]))
+    assert a.stats()["n_tracks"] == 6

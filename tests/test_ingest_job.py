@@ -182,6 +182,72 @@ def test_denylist_blocks_reingestion(spark, tmp_path):
     assert again["applied"] is False
 
 
+def _media_ct(spark, rows):
+    """(media_id, payload, content_type) rows — the modality-dispatch
+    shape."""
+    return spark.createDataFrame(
+        [(i, bytearray(b), ct) for i, b, ct in rows],
+        "media_id long, payload binary, content_type string",
+    )
+
+
+def test_audio_leg_cross_batch_dedup_and_retract(spark, tmp_path):
+    """The audio member of the media leg (r11, VERDICT r10 #3):
+    audio_kwargs + content_type dispatch audio/* rows to the
+    AudioIndex — batch-1 tracks build it; a batch-2 8-bit
+    re-quantization of a batch-1 track drops as a corpus duplicate
+    while images flow through the pHash path unchanged; retract
+    tombstones the audiofp leg so a later re-ingest is admitted."""
+    from jackfruit_spark.sources.media_synth import (
+        encode_png,
+        encode_wav,
+        synth_audio,
+        synth_image,
+    )
+
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE,
+        with_media=True, phash_kwargs={"parts": 8},
+        audio_kwargs={"parts": 8, "lm_parts": 8},
+    )
+    m1 = _media_ct(spark, [
+        (0, encode_wav(synth_audio(700)), "audio/wav"),
+        (1, encode_wav(synth_audio(701)), "audio/wav"),
+        (2, encode_png(synth_image(300)), "image/png"),
+    ])
+    s1 = job.run_batch("d1", _docs(spark, BATCH1), media=m1)
+    assert s1["media_input"] == 3 and s1["media_kept"] == 3
+    assert os.path.exists(os.path.join(job.root, "audiofp",
+                                       "audio_manifest.json"))
+
+    m2 = _media_ct(spark, [
+        # 8-bit re-quantization of batch-1 track 0: corpus dup
+        (10, encode_wav(synth_audio(700), sampwidth=1), "audio/wav"),
+        (11, encode_wav(synth_audio(702)), "audio/wav"),  # fresh
+        (12, encode_png(synth_image(300)), "image/png"),  # image dup
+    ])
+    s2 = job.run_batch("d2", _docs(spark, BATCH2), media=m2)
+    assert s2["media_input"] == 3 and s2["media_kept"] == 1
+    assert s2["media_dropped_dup"] == 2
+    assert sorted(r["media_id"] for r in job.media().collect()) == [
+        0, 1, 2, 11
+    ]
+
+    # retract batch d1: audio tombstones mask its tracks
+    r = job.retract_batch("d1")
+    assert r["retracted_media"] == 3
+    assert "audiofp" in r["retracted_legs"] and "phash" in r["retracted_legs"]
+    assert sorted(r["media_id"] for r in job.media().collect()) == [11]
+    # the re-quantization of the retracted track is admissible again
+    s3 = job.run_batch(
+        "d3", _docs(spark, [("c1", BATCH2[1][1] + " more novel words")]),
+        media=_media_ct(spark, [
+            (20, encode_wav(synth_audio(700), sampwidth=1), "audio/wav"),
+        ]),
+    )
+    assert s3["media_kept"] == 1
+
+
 def test_media_denylist_blocks_reingestion(spark, tmp_path):
     """ADVICE r10 (medium): denylist=True must cover the MEDIA leg too —
     retract a batch with images, re-ingest a byte-identical copy AND a
