@@ -621,6 +621,32 @@ def _ensure_bench_audio(spark, sf_dir: str) -> str:
     )
 
 
+def _ensure_bench_video(spark, sf_dir: str) -> str:
+    """Synthesize WebDataset MJPEG-MP4 shards ONCE per sf: one 6-frame
+    video per 10 documents rows + 20% quality-re-encoded near-dups."""
+    import hashlib
+
+    from jackfruit_spark.sources.media_synth import (
+        video_corpus,
+        write_image_wds_shards,
+    )
+
+    key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    root = f"/tmp/jackfruit_bench_vid_{key}"
+    glob = os.path.join(root, "*.tar")
+    if os.path.isdir(root) and any(f.endswith(".tar") for f in os.listdir(root)):
+        return glob
+    n = min(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+        // 10,
+        2_000,
+    )
+    return write_image_wds_shards(
+        video_corpus(max(n, 10), dup_frac=0.2, seed=IMG_SEED), root,
+        n_shards=32,
+    )
+
+
 def bench_image_dedup(spark, sf_dir: str) -> dict[str, float]:
     """Multimodal dedup keys (r10, VERDICT r9 #1/#2): ``image_dedup`` =
     the batch composition (one Arrow decode pass -> banded-Hamming pairs
@@ -700,6 +726,18 @@ def bench_image_dedup(spark, sf_dir: str) -> dict[str, float]:
             t_adelta = min(t_adelta, round(time.perf_counter() - t0, 3))
             release_persisted()
             spark.catalog.clearCache()
+        from jackfruit_spark.operators.dedup import video_near_dup
+
+        video = image_bench_media(spark, _ensure_bench_video(spark, sf_dir))
+        t_video = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            video_near_dup(video).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t_video = min(t_video, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
         return {
             "image_dedup": t_batch,
             "phash_index_build": t_build,
@@ -707,6 +745,7 @@ def bench_image_dedup(spark, sf_dir: str) -> dict[str, float]:
             "audio_dedup": t_audio,
             "audio_index_build": t_abuild,
             "audio_dedup_delta": t_adelta,
+            "video_dedup": t_video,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

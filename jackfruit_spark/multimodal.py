@@ -929,6 +929,91 @@ def sample_frames_container(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+VIDEO_FRAME_HASHES = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_ts_ms", DoubleType(), False),
+        StructField("fhash", LongType(), False),
+    ]
+)
+
+# Container codecs whose SAMPLES decode with the stdlib-grade codecs in
+# this repo: motion-JPEG variants (each sample is a baseline JPEG) and
+# PNG-in-container. H.264 & co stay env-gated (no codec library) — the
+# documented multimodal boundary; their videos emit no frame hashes and
+# keep themselves in dedup.
+_FRAME_CODECS = {"jpeg", "mjpa", "mjpb", "png "}
+
+
+def video_frame_hashes(
+    df: DataFrame, every_ms: int = 500, max_frames: int = 16
+) -> DataFrame:
+    """Keyframe perceptual hashes for container videos with decodable
+    frame payloads (VERDICT r10 #7): parse the box tree
+    (`sources/mp4.py`), snap an ``every_ms`` schedule to true sample
+    timestamps (the `sample_frames_container` as-of rule), slice each
+    picked sample's byte range (stsz/stsc/stco), decode the frame for
+    real (sources/jpeg.py / PNG), pHash it. One Arrow pass; rows are
+    (media_id, frame_ts_ms, fhash). Unparseable containers, gated
+    codecs, and undecodable frames emit no rows (the corrupt-payload
+    discipline)."""
+    from pyspark.sql import SparkSession
+
+    from jackfruit_spark._ship import ensure_shipped
+    from jackfruit_spark.sources.mp4 import Mp4Error, parse_mp4
+
+    ensure_shipped(SparkSession.getActiveSession() or df.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(b)
+                try:
+                    info = parse_mp4(data)
+                except (Mp4Error, ValueError, struct.error):
+                    continue
+                for vt in info.video_tracks:
+                    if (vt.codec or "") not in _FRAME_CODECS:
+                        continue
+                    try:
+                        ranges = vt.sample_ranges()
+                    except Mp4Error:
+                        continue
+                    if not ranges:
+                        continue
+                    times = vt.sample_times_ms(limit=len(ranges))
+                    picks: list[int] = []
+                    end = int(vt.duration_ms)
+                    for tick in range(0, end + 1, every_ms):
+                        i = bisect.bisect_right(times, tick) - 1
+                        if i >= 0 and i < len(ranges) and (
+                            not picks or picks[-1] != i
+                        ):
+                            picks.append(i)
+                        if len(picks) >= max_frames:
+                            break
+                    for i in picks:
+                        off, sz = ranges[i]
+                        if off < 0 or sz <= 0 or off + sz > len(data):
+                            continue
+                        try:
+                            img = decode_image(data[off:off + sz], fake=False)
+                        except _DECODE_ERRORS:
+                            continue
+                        rows.append((int(mid), times[i], phash64(img)))
+                    break  # first decodable video track only
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_HASHES.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        extract, schema=VIDEO_FRAME_HASHES
+    )
+
+
 def image_training_pipeline(
     spark,
     path_glob: str,

@@ -1312,8 +1312,11 @@ def warc_training_pipeline(
     rows and deduplicated per modality — ``image/*`` by perceptual hash
     (``image_near_dup``: banded Hamming -> CC -> min-id keeper),
     ``audio/*`` by constellation fingerprint (``audio_near_dup``:
-    offset-consistent landmark votes -> CC); undecodable payloads and
-    modalities without a kernel keep themselves.
+    MinHash-LSH candidates -> offset-consistent votes -> CC),
+    ``video/*`` by keyframe pHash (``video_near_dup``, r11: decodable
+    container frames -> banded Hamming -> frame-match vote -> CC);
+    undecodable payloads and modalities without a kernel keep
+    themselves.
     The return becomes ``(packed, media_kept, observations)`` with two
     extra stages: ``media`` (bridged image records) and ``media_dedup``
     (survivors). ``media_kept`` carries (media_id, url, content_type,
@@ -1490,7 +1493,11 @@ def warc_training_pipeline(
         return packed, obs
 
     # ---------------------------------------------------- media tier
-    from jackfruit_spark.operators.dedup import audio_near_dup, image_near_dup
+    from jackfruit_spark.operators.dedup import (
+        audio_near_dup,
+        image_near_dup,
+        video_near_dup,
+    )
     from jackfruit_spark.sources.warc import scan_warc_media_cdx, warc_to_media
 
     # same manifest, second ranged scan: media responses only. Persisted
@@ -1505,8 +1512,14 @@ def warc_training_pipeline(
     # scanned (video/...) has no near-dup kernel yet and keeps itself.
     is_img = F.col("content_type").startswith("image/")
     is_aud = F.col("content_type").startswith("audio/")
+    is_vid = F.col("content_type").startswith("video/")
     keeps = []
+    # rows whose modality ran a dedup branch; everything ELSE falls
+    # through the keep-yourself catch-all (a scanned modality must
+    # never drop just because its kernel wasn't requested)
+    handled = F.lit(False)
     if any(p.startswith("image") for p in media_prefixes):
+        handled = handled | is_img
         keeps.append(
             image_near_dup(
                 media_raw.filter(is_img), fake=False,
@@ -1516,6 +1529,7 @@ def warc_training_pipeline(
             .select("media_id")
         )
     if any(p.startswith("audio") for p in media_prefixes):
+        handled = handled | is_aud
         keeps.append(
             audio_near_dup(
                 media_raw.filter(is_aud), min_matches=audio_min_matches
@@ -1523,9 +1537,17 @@ def warc_training_pipeline(
             .filter(F.col("keep"))
             .select("media_id")
         )
-    keeps.append(
-        media_raw.filter(~is_img & ~is_aud).select("media_id")
-    )
+    if any(p.startswith("video") for p in media_prefixes):
+        handled = handled | is_vid
+        keeps.append(
+            video_near_dup(
+                media_raw.filter(is_vid),
+                bands=phash_bands, max_hamming=phash_max_hamming,
+            )
+            .filter(F.col("keep"))
+            .select("media_id")
+        )
+    keeps.append(media_raw.filter(~handled).select("media_id"))
     media_keep = keeps[0]
     for k in keeps[1:]:
         media_keep = media_keep.unionByName(k)

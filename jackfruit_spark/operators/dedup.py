@@ -847,6 +847,83 @@ def image_near_dup(
     )
 
 
+def video_near_dup(
+    media_df: DataFrame,
+    every_ms: int = 500,
+    max_frames: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    min_frame_matches: int = 3,
+    algorithm: str = "label_propagation",
+) -> DataFrame:
+    """Video near-duplicate clusters via keyframe perceptual hashes
+    (VERDICT r10 #7 — the last cell of the multimodal dedup matrix):
+    sample each container's true keyframes and pHash the decodable ones
+    (`multimodal.video_frame_hashes`: MJPEG/PNG-in-container frames
+    decode for real; H.264 stays env-gated), band the 64-bit frame
+    hashes (`hamming_bands` — the image-dedup expression), equi-join
+    within bands across videos, verify candidates by exact Hamming
+    <= ``max_hamming``, and call a pair a near-dup when at least
+    ``min_frame_matches`` DISTINCT keyframes match — one coincidental
+    frame collision (title cards, black frames) must not merge two
+    videos. Close transitively, keep min media_id per component.
+
+    Returns (media_id, cluster_id, keep) — the shape shared with the
+    text/image/audio dedup family. Videos with no decodable frames
+    (gated codecs, corrupt containers) produce no hashes, never pair,
+    and keep themselves.
+
+    Scale shape: parse+decode+hash is one Arrow pass over payload
+    bytes; everything after runs on (8-byte hash, media_id) rows —
+    banding shuffles (band, block) keys, the pair join touches only
+    colliding buckets, the frame-match vote is one groupBy, and CC sees
+    just the near-dup edge set. Same 100 TB posture as image dedup; a
+    video contributes at most ``max_frames`` hash rows regardless of
+    length."""
+    from jackfruit_spark import multimodal as mm
+    from jackfruit_spark._persist import persisted
+
+    # frame hashes: one parse+decode pass; persisted because both
+    # banded self-join sides would otherwise re-decode every container
+    fh = persisted(mm.video_frame_hashes(media_df, every_ms, max_frames))
+    banded = persisted(hamming_bands(fh, "media_id", "fhash", bits=64, bands=bands))
+    a = banded.select(
+        F.col("media_id").alias("id_a"),
+        F.col("fhash").alias("__ha"),
+        "band",
+        "block",
+    )
+    b = banded.select(
+        F.col("media_id").alias("id_b"),
+        F.col("fhash").alias("__hb"),
+        "band",
+        "block",
+    )
+    pairs = (
+        a.join(b, ["band", "block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()
+        .filter(
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            <= max_hamming
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count_distinct("__ha").alias("__mf"))
+        .filter(F.col("__mf") >= min_frame_matches)
+    )
+    labels = connected_components(
+        media_df.select(F.col("media_id").alias("id")),
+        pairs.select("id_a", "id_b"),
+        algorithm=algorithm,
+    )
+    return labels.select(
+        F.col("id").alias("media_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def landmark_signatures(
     lm: DataFrame, num_hashes: int = 32, id_col: str = "media_id"
 ) -> DataFrame:

@@ -152,6 +152,110 @@ def audio_corpus(
     return rows
 
 
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4_full(version: int, payload: bytes) -> bytes:
+    return bytes([version, 0, 0, 0]) + payload
+
+
+def encode_mjpeg_mp4(
+    frames: list[np.ndarray], fps: int = 2, quality: int = 90
+) -> bytes:
+    """Minimal MJPEG-in-MP4: baseline JPEG per frame concatenated in an
+    mdat, real sample tables (stts/stsz/stsc/stco — one chunk per
+    sample) in a TRAILING moov so chunk offsets are known when it is
+    built. The deterministic video fixture the keyframe-pHash dedup
+    tier consumes (`multimodal.video_frame_hashes` decodes these frames
+    for real via sources/jpeg.py)."""
+    from jackfruit_spark.sources import jpeg
+
+    payloads = [jpeg.encode(f, quality=quality) for f in frames]
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_body = b"".join(payloads)
+    offsets = []
+    off = len(ftyp) + 8  # mdat header precedes the first sample
+    for p in payloads:
+        offsets.append(off)
+        off += len(p)
+    n = len(frames)
+    duration_ms = int(n * 1000 / fps)
+    mvhd = _mp4_full(
+        0, struct.pack(">IIII", 0, 0, 1000, duration_ms) + b"\x00" * 80
+    )
+    tkhd = _mp4_full(
+        0,
+        struct.pack(">III", 0, 0, 1) + b"\x00" * 60
+        + struct.pack(
+            ">II",
+            int(frames[0].shape[1]) << 16,
+            int(frames[0].shape[0]) << 16,
+        ),
+    )
+    mdhd = _mp4_full(0, struct.pack(">IIII", 0, 0, fps, n) + b"\x00" * 4)
+    hdlr = _mp4_full(0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"v\x00")
+    stts = _mp4_full(0, struct.pack(">III", 1, n, 1))
+    stsd = _mp4_full(
+        0, struct.pack(">I", 1) + _mp4_box(b"jpeg", b"\x00" * 78)
+    )
+    stsz = _mp4_full(
+        0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(p)) for p in payloads),
+    )
+    stsc = _mp4_full(0, struct.pack(">IIII", 1, 1, 1, 1))
+    stco = _mp4_full(
+        0,
+        struct.pack(">I", n)
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _mp4_box(
+        b"stbl",
+        _mp4_box(b"stsd", stsd) + _mp4_box(b"stts", stts)
+        + _mp4_box(b"stsc", stsc) + _mp4_box(b"stsz", stsz)
+        + _mp4_box(b"stco", stco),
+    )
+    mdia = _mp4_box(
+        b"mdia",
+        _mp4_box(b"mdhd", mdhd) + _mp4_box(b"hdlr", hdlr)
+        + _mp4_box(b"minf", stbl),
+    )
+    trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd) + mdia)
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak)
+    return ftyp + _mp4_box(b"mdat", mdat_body) + moov
+
+
+def synth_video_frames(
+    seed: int, n_frames: int = 6, size: int = 48
+) -> list[np.ndarray]:
+    """Deterministic frame sequence: each frame a fresh smooth pattern
+    (per-frame seeds), so sampled keyframes carry distinct pHashes."""
+    return [synth_image(seed * 1000 + i, size=size) for i in range(n_frames)]
+
+
+def video_corpus(
+    n: int, dup_frac: float = 0.2, seed: int = 0
+) -> list[tuple[str, str, bytes]]:
+    """(name, ext, payload) rows: ``n`` original MJPEG MP4s plus
+    ``round(n*dup_frac)`` quality-re-encoded near-duplicates of
+    evenly-spaced originals — the video twin of ``image_corpus``."""
+    rows = []
+    for i in range(n):
+        rows.append(
+            (f"vid{i:06d}", "mp4",
+             encode_mjpeg_mp4(synth_video_frames(seed + i), quality=90))
+        )
+    n_dup = int(round(n * dup_frac))
+    for j in range(n_dup):
+        src = (j * max(1, n // max(1, n_dup))) % n
+        rows.append(
+            (f"vdup{j:06d}", "mp4",
+             encode_mjpeg_mp4(synth_video_frames(seed + src), quality=70))
+        )
+    return rows
+
+
 def warc_media_record(
     name: str, payload: bytes, content_type: str, host: str = "bench.example"
 ) -> bytes:
@@ -175,6 +279,7 @@ _CTYPE = {
     "jpg": "image/jpeg",
     "jpeg": "image/jpeg",
     "wav": "audio/wav",
+    "mp4": "video/mp4",
 }
 
 

@@ -226,26 +226,32 @@ def test_pipeline_media_dedup(spark, tmp_path):
     auds = audio_corpus(4, dup_frac=0.25, seed=50)
     assert len(auds) == 5
     append_media_warc_shards(auds, str(tmp_path), n_shards=2)
+    # 3 original MJPEG MP4s + 1 quality-re-encode near-dup (video, r11)
+    from jackfruit_spark.sources.media_synth import video_corpus
+
+    vids = video_corpus(3, dup_frac=1 / 3, seed=80)
+    assert len(vids) == 4
+    append_media_warc_shards(vids, str(tmp_path), n_shards=2)
 
     try:
         packed, media_kept, obs = warc_training_pipeline(
             spark, str(tmp_path / "*.warc.gz"),
             min_tokens=5, media_dedup=True,
-            media_prefixes=("image/", "audio/"),
+            media_prefixes=("image/", "audio/", "video/"),
         )
         media_rows = media_kept.collect()
         packed.collect()
     finally:
         release_all()
     counts = {k: observation_rows(o) for k, o in obs.items()}
-    assert counts["media"] == 13
-    assert counts["media_dedup"] == 10 == len(media_rows)
-    # per-modality survivors: 6 images, 4 audio tracks
+    assert counts["media"] == 17
+    assert counts["media_dedup"] == 13 == len(media_rows)
+    # per-modality survivors: 6 images, 4 audio tracks, 3 videos
     by_mod = {}
     for r in media_rows:
         mod = r["content_type"].split("/")[0]
         by_mod[mod] = by_mod.get(mod, 0) + 1
-    assert by_mod == {"image": 6, "audio": 4}
+    assert by_mod == {"image": 6, "audio": 4, "video": 3}
     # text tier unaffected by the media tier
     assert counts["docs"] == 8 and counts["deduped"] == 8
     # survivors carry payload + url, exactly one per near-dup cluster

@@ -1,0 +1,119 @@
+"""Video near-dup via keyframe pHash (VERDICT r10 #7): MP4 sample-table
+extraction (stsz/stsc/stco byte ranges), the video_frame_hashes Arrow
+stage, and the end-to-end cluster composition — the last cell of the
+multimodal dedup matrix (text/image/audio/video)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jackfruit_spark import multimodal as mm
+from jackfruit_spark.operators.dedup import video_near_dup
+from jackfruit_spark.sources import jpeg, mp4
+from jackfruit_spark.sources.media_synth import (
+    encode_mjpeg_mp4,
+    synth_video_frames,
+)
+
+
+class TestSampleRanges:
+    def test_ranges_slice_real_frames(self):
+        frames = synth_video_frames(7, n_frames=5)
+        data = encode_mjpeg_mp4(frames, fps=2, quality=90)
+        (t,) = mp4.parse_mp4(data).video_tracks
+        assert t.codec == "jpeg" and t.n_samples == 5
+        ranges = t.sample_ranges()
+        assert len(ranges) == 5
+        for i, (off, sz) in enumerate(ranges):
+            img = jpeg.decode(data[off:off + sz])
+            want = jpeg.decode(jpeg.encode(frames[i], quality=90))
+            assert (img == want).all()
+
+    def test_missing_tables_yield_empty(self):
+        # the metadata-only fixtures (no stsz/stsc/stco) must not crash
+        t = mp4.Mp4Track(
+            track_id=1, handler="video", codec="avc1", timescale=30,
+            duration_ms=1000.0, width=None, height=None, n_samples=30,
+            sample_deltas=[(30, 1)],
+        )
+        assert t.sample_ranges() == []
+
+    def test_limit_caps_expansion(self):
+        frames = synth_video_frames(8, n_frames=6)
+        data = encode_mjpeg_mp4(frames)
+        (t,) = mp4.parse_mp4(data).video_tracks
+        assert len(t.sample_ranges(limit=2)) == 2
+
+
+class TestFrameHashStage:
+    def test_hashes_and_gated_codecs(self, spark):
+        frames = synth_video_frames(11, n_frames=4)
+        good = encode_mjpeg_mp4(frames, fps=2)
+        rows = [
+            (1, bytearray(good)),
+            (2, bytearray(b"not an mp4")),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = mm.video_frame_hashes(df, every_ms=500).collect()
+        ids = {r["media_id"] for r in out}
+        assert ids == {1}
+        assert len(out) == 4  # one hash per true keyframe
+        # hashes match the driver-side pHash of each encoded frame
+        want = {
+            mm.phash64(jpeg.decode(jpeg.encode(f, quality=90)))
+            for f in frames
+        }
+        assert {r["fhash"] for r in out} == want
+
+
+class TestVideoNearDup:
+    def test_clusters_reencodes_keeps_distinct(self, spark):
+        from jackfruit_spark._persist import release_all
+
+        fa = synth_video_frames(20, n_frames=5)
+        fb = synth_video_frames(21, n_frames=5)
+        rows = [
+            (1, encode_mjpeg_mp4(fa, quality=90)),   # original
+            (2, encode_mjpeg_mp4(fa, quality=70)),   # quality re-encode
+            (3, encode_mjpeg_mp4(fb, quality=90)),   # different video
+            (4, b"corrupt container bytes"),          # undecodable
+        ]
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in rows],
+            "media_id long, payload binary",
+        )
+        try:
+            out = {
+                r["media_id"]: r for r in video_near_dup(df).collect()
+            }
+        finally:
+            release_all()
+        assert len(out) == 4
+        assert out[2]["cluster_id"] == 1 and not out[2]["keep"]
+        assert out[1]["keep"]
+        for mid in (3, 4):
+            assert out[mid]["cluster_id"] == mid and out[mid]["keep"]
+
+    def test_single_frame_collision_does_not_merge(self, spark):
+        """min_frame_matches: two videos sharing ONE identical frame
+        (a common title card) must stay distinct."""
+        from jackfruit_spark._persist import release_all
+
+        title = synth_video_frames(30, n_frames=1)[0]
+        fa = [title] + synth_video_frames(31, n_frames=4)
+        fb = [title] + synth_video_frames(32, n_frames=4)
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(encode_mjpeg_mp4(fa))),
+                (2, bytearray(encode_mjpeg_mp4(fb))),
+            ],
+            "media_id long, payload binary",
+        )
+        try:
+            out = {
+                r["media_id"]: r for r in video_near_dup(df).collect()
+            }
+        finally:
+            release_all()
+        assert out[1]["keep"] and out[2]["keep"]
+        assert out[2]["cluster_id"] == 2
