@@ -278,6 +278,8 @@ class CorpusIngestJob:
         if audio_split:
             is_aud = F.col("content_type").startswith("audio/")
             img, aud = media.filter(~is_aud), media.filter(is_aud)
+            aud, n_denied_aud = self._apply_audio_denylist(aud)
+            n_denied += n_denied_aud
         else:
             img, aud = media, None
         kept_img, n_img = self._stage_modality_flags(
@@ -512,6 +514,94 @@ class CorpusIngestJob:
         gated = media.join(hit, "media_id", "left_anti")
         return gated, hit.count()
 
+    @property
+    def audio_denylist_dir(self) -> str:
+        return os.path.join(self.root, "denylist_audio")
+
+    def _denylist_audio_rows(self, media: DataFrame) -> DataFrame:
+        """Audio denylist rows for a retracted batch: one row per LSH
+        band of the track's landmark-set minhash —
+        (band, band_hash, signature), the AudioIndex geometry, so a
+        re-crawled copy or re-quantized/companded re-encode collides in
+        a band and verifies by signature-estimated Jaccard. No payload
+        or landmark rows retained (signatures are 32 longs)."""
+        from jackfruit_spark.operators.dedup import (
+            banded_signatures,
+            landmark_signatures,
+        )
+
+        kw = self.audio_kwargs or {}
+        from jackfruit_spark import multimodal as mm
+
+        lm = mm.audio_landmarks(
+            media.select("media_id", "payload"), fake=kw.get("fake", False)
+        )
+        sig = landmark_signatures(
+            lm, num_hashes=kw.get("num_hashes", 32), id_col="media_id"
+        )
+        banded = banded_signatures(
+            sig, "media_id",
+            bands=kw.get("bands", 8),
+            rows_per_band=kw.get("rows_per_band", 4),
+        )
+        return banded.join(sig, "media_id").select(
+            "band", "band_hash", "signature"
+        )
+
+    def _apply_audio_denylist(self, aud: DataFrame):
+        """Gate an audio batch against the takedown denylist: a band
+        collision verified by signature-estimated Jaccard >=
+        ``deny_est_threshold`` (audio_kwargs, default 0.5 — measured
+        copies sit at 0.95-1.0, distinct recordings at 0.05-0.10) drops
+        the row. Returns (gated_frame, n_denied); a no-op when the
+        denylist is off or empty."""
+        d = self.audio_denylist_dir
+        if not self.denylist or not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for _, _, fs in os.walk(d) for f in fs
+        ):
+            return aud, 0
+        from jackfruit_spark import multimodal as mm
+        from jackfruit_spark.operators.dedup import (
+            banded_signatures,
+            landmark_signatures,
+        )
+
+        kw = self.audio_kwargs or {}
+        num_hashes = kw.get("num_hashes", 32)
+        thresh = kw.get("deny_est_threshold", 0.5)
+        deny = self.spark.read.parquet(d)
+        lm = mm.audio_landmarks(
+            aud.select("media_id", "payload"), fake=kw.get("fake", False)
+        )
+        sig = landmark_signatures(lm, num_hashes=num_hashes, id_col="media_id")
+        banded = banded_signatures(
+            sig, "media_id",
+            bands=kw.get("bands", 8),
+            rows_per_band=kw.get("rows_per_band", 4),
+        )
+        est = F.aggregate(
+            F.zip_with(
+                F.col("signature"), F.col("__deny_sig"),
+                lambda a, b: F.when(a == b, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.lit(float(num_hashes))
+        hit = (
+            banded.join(sig, "media_id")
+            .join(
+                F.broadcast(
+                    deny.withColumnRenamed("signature", "__deny_sig").distinct()
+                ),
+                ["band", "band_hash"],
+            )
+            .filter(est >= F.lit(thresh))
+            .select("media_id")
+            .distinct()
+        )
+        gated = aud.join(hit, "media_id", "left_anti")
+        return gated, hit.count()
+
     def _apply_denylist(self, curated: DataFrame):
         """Gate a curated batch against the takedown denylist (r10,
         VERDICT r9 #5): exact md5 match OR any LSH band collision with a
@@ -708,6 +798,12 @@ class CorpusIngestJob:
         )
         if self.with_media and msrc is not None:
             media = self.spark.read.parquet(msrc)
+            has_ct = "content_type" in media.columns
+            is_aud = (
+                F.col("content_type").startswith("audio/")
+                if has_ct
+                else F.lit(False)
+            )
             if self.denylist:
                 self._denylist_media_rows(media).write.mode(
                     "overwrite"
@@ -715,12 +811,20 @@ class CorpusIngestJob:
                     os.path.join(self.media_denylist_dir, f"batch={batch_id}")
                 )
                 legs.append("denylist_media")
-            has_ct = "content_type" in media.columns
-            is_aud = (
-                F.col("content_type").startswith("audio/")
-                if has_ct
-                else F.lit(False)
-            )
+                aud_slice = media.filter(is_aud)
+                if (
+                    has_ct
+                    and self.audio_kwargs is not None
+                    and aud_slice.head(1)
+                ):
+                    self._denylist_audio_rows(aud_slice).write.mode(
+                        "overwrite"
+                    ).parquet(
+                        os.path.join(
+                            self.audio_denylist_dir, f"batch={batch_id}"
+                        )
+                    )
+                    legs.append("denylist_audio")
             ph = self._phash()
             if os.path.exists(ph.manifest_path):
                 # only the image slice: extra tombstones are harmless to

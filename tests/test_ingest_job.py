@@ -282,6 +282,43 @@ def test_media_denylist_blocks_reingestion(spark, tmp_path):
     assert [r["media_id"] for r in job.media().collect()] == [12]
 
 
+def test_audio_denylist_blocks_reingestion(spark, tmp_path):
+    """The audio twin of the media denylist (r11): retract a batch with
+    tracks, re-ingest a byte-identical copy AND an 8-bit re-quantized
+    re-encode — both refused (band collision + signature-estimated
+    Jaccard verify); a fresh track passes."""
+    from jackfruit_spark.sources.media_synth import encode_wav, synth_audio
+
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE,
+        with_media=True, denylist=True, phash_kwargs={"parts": 8},
+        audio_kwargs={"parts": 8, "lm_parts": 8},
+    )
+    wav = encode_wav(synth_audio(800))
+    job.run_batch(
+        "d1", _docs(spark, BATCH1),
+        media=_media_ct(spark, [
+            (0, wav, "audio/wav"),
+            (1, encode_wav(synth_audio(801)), "audio/wav"),
+        ]),
+    )
+    r = job.retract_batch("d1")
+    assert "denylist_audio" in r["retracted_legs"]
+
+    s = job.run_batch(
+        "d2", _docs(spark, BATCH2),
+        media=_media_ct(spark, [
+            (10, wav, "audio/wav"),                            # exact copy
+            (11, encode_wav(synth_audio(800), sampwidth=1),
+             "audio/wav"),                                     # re-encode
+            (12, encode_wav(synth_audio(900)), "audio/wav"),   # fresh
+        ]),
+    )
+    assert s["media_denied"] == 2
+    assert s["media_kept"] == 1
+    assert [r["media_id"] for r in job.media().collect()] == [12]
+
+
 def test_retract_crash_between_rename_and_delete_repairs(
     spark, tmp_path, monkeypatch
 ):
