@@ -621,6 +621,27 @@ def _ensure_bench_audio(spark, sf_dir: str) -> str:
     )
 
 
+def video_bench_delta(spark):
+    """The fixed 40-video delta (rehearsal-shared shape): 20 quality
+    re-encodes of indexed originals + 20 fresh videos."""
+    from jackfruit_spark.sources.media_synth import (
+        encode_mjpeg_mp4,
+        synth_video_frames,
+    )
+
+    rows = [
+        (1_000_000 + i,
+         bytearray(encode_mjpeg_mp4(
+             synth_video_frames(IMG_SEED + i), quality=70)))
+        for i in range(20)
+    ] + [
+        (2_000_000 + i,
+         bytearray(encode_mjpeg_mp4(synth_video_frames(9_000_000 + i))))
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
 def _ensure_bench_video(spark, sf_dir: str) -> str:
     """Synthesize WebDataset MJPEG-MP4 shards ONCE per sf: one 6-frame
     video per 10 documents rows + 20% quality-re-encoded near-dups."""
@@ -727,6 +748,7 @@ def bench_image_dedup(spark, sf_dir: str) -> dict[str, float]:
             release_persisted()
             spark.catalog.clearCache()
         from jackfruit_spark.operators.dedup import video_near_dup
+        from jackfruit_spark.operators.video_store import VideoIndex
 
         video = image_bench_media(spark, _ensure_bench_video(spark, sf_dir))
         t_video = float("inf")
@@ -738,6 +760,26 @@ def bench_image_dedup(spark, sf_dir: str) -> dict[str, float]:
             t_video = min(t_video, round(time.perf_counter() - t0, 3))
             release_persisted()
             spark.catalog.clearCache()
+        t_vbuild = float("inf")
+        vidx = None
+        for i in range(REPEATS):
+            t0 = time.perf_counter()
+            vidx = VideoIndex.build(
+                video, "media_id", os.path.join(root, f"v{i}")
+            )
+            t_vbuild = min(t_vbuild, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
+        vdelta = video_bench_delta(spark)
+        t_vdelta = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            vidx.dedup_batch(vdelta).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t_vdelta = min(t_vdelta, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
         return {
             "image_dedup": t_batch,
             "phash_index_build": t_build,
@@ -746,6 +788,8 @@ def bench_image_dedup(spark, sf_dir: str) -> dict[str, float]:
             "audio_index_build": t_abuild,
             "audio_dedup_delta": t_adelta,
             "video_dedup": t_video,
+            "video_index_build": t_vbuild,
+            "video_dedup_delta": t_vdelta,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -913,6 +913,101 @@ def cmd_dedup_audio(args) -> int:
     return 0
 
 
+def cmd_index_video(args) -> int:
+    """Build / append / rebuild / maintain / delete / vacuum the
+    persistent keyframe-hash video index
+    (operators/video_store.VideoIndex) from a parquet of
+    (media_id, payload) rows. Prints the layout stats JSON."""
+    if args.mode in ("build", "append") and not args.input:
+        print(json.dumps({"error": f"--input required for {args.mode}"}))
+        return 2
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.video_store import VideoIndex
+
+    if args.mode == "build":
+        idx = VideoIndex.build(
+            spark.read.parquet(args.input), args.id_col, args.root,
+            every_ms=args.every_ms, max_frames=args.max_frames,
+            bands=args.bands, max_hamming=args.max_hamming,
+            min_frame_matches=args.min_frame_matches, parts=args.parts,
+        )
+    elif args.mode == "append":
+        idx = VideoIndex(spark, args.root).append(
+            spark.read.parquet(args.input)
+        )
+    elif args.mode == "vacuum":
+        removed = VideoIndex(spark, args.root).vacuum()
+        print(json.dumps({"root": args.root, "mode": "vacuum",
+                          "removed": removed}))
+        return 0
+    elif args.mode == "maintain":
+        report = VideoIndex(spark, args.root).maintain()
+        print(json.dumps({"root": args.root, "mode": "maintain", **report}))
+        return 0
+    elif args.mode == "delete":
+        if not args.ids and not args.input:
+            print(json.dumps({"error": "--ids or --input required"}))
+            return 2
+        from pyspark.sql import functions as F
+
+        h = VideoIndex(spark, args.root)
+        if args.input:
+            idx = h.delete(spark.read.parquet(args.input))
+        else:
+            id_col = h._manifest()["id_col"]
+            _, sigs = h._readers()
+            id_type = sigs.schema[id_col].dataType.simpleString()
+            idx = h.delete(
+                spark.createDataFrame(
+                    [(x,) for x in args.ids.split(",") if x],
+                    f"{id_col} string",
+                ).select(F.col(id_col).cast(id_type).alias(id_col))
+            )
+    elif args.mode == "stats":
+        idx = VideoIndex(spark, args.root)
+    else:  # rebuild
+        idx = VideoIndex(spark, args.root).rebuild()
+    print(json.dumps({"root": args.root, "mode": args.mode, **idx.stats()}))
+    return 0
+
+
+def cmd_dedup_video(args) -> int:
+    """Dedup a video delta parquet against the VideoIndex: write the
+    kept rows (and optionally the flags), append the kept videos unless
+    --no-append — the video twin of dedup-images/dedup-audio."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.video_store import VideoIndex
+
+    idx = VideoIndex(spark, args.root)
+    id_col = idx._manifest()["id_col"]
+    delta = spark.read.parquet(args.input)
+    flags = idx.dedup_batch(delta)
+    from jackfruit_spark._persist import persisted
+
+    kept = persisted(
+        delta.join(flags.filter("keep").select(id_col), id_col, "left_semi")
+    )
+    kept.write.mode("overwrite").parquet(args.output)
+    if args.flags_output:
+        flags.write.mode("overwrite").parquet(args.flags_output)
+    if not args.no_append:
+        idx.append(kept)
+    n_in = delta.count()
+    n_kept = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "input": n_in,
+                "kept": n_kept,
+                "dropped": n_in - n_kept,
+                "appended": not args.no_append,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_ann_search(args) -> int:
     """Point search against a built index: top-k cosine neighbors of
     --vec (comma-separated floats), PartitionFilters-pruned to nprobe
@@ -1708,6 +1803,48 @@ def build_parser() -> argparse.ArgumentParser:
                     help="flag only; do not ingest the kept tracks")
     da.add_argument("--cpus", default=None)
     da.set_defaults(fn=cmd_dedup_audio)
+
+    iv = sub.add_parser(
+        "index-video",
+        help="build/append/rebuild/maintain the persistent keyframe-hash "
+             "video-dedup index",
+    )
+    iv.add_argument("--root", required=True)
+    iv.add_argument(
+        "--mode",
+        choices=["build", "append", "rebuild", "vacuum", "stats",
+                 "maintain", "delete"],
+        default="build",
+    )
+    iv.add_argument("--input", default=None,
+                    help="media parquet (media_id, payload); build/append; "
+                         "ids for delete")
+    iv.add_argument("--ids", default=None,
+                    help="delete only: comma-separated id literals")
+    iv.add_argument("--id-col", default="media_id")
+    iv.add_argument("--every-ms", type=int, default=500)
+    iv.add_argument("--max-frames", type=int, default=16)
+    iv.add_argument("--bands", type=int, default=4)
+    iv.add_argument("--max-hamming", type=int, default=3)
+    iv.add_argument("--min-frame-matches", type=int, default=3)
+    iv.add_argument("--parts", type=int, default=64)
+    iv.add_argument("--cpus", default=None)
+    iv.set_defaults(fn=cmd_index_video)
+
+    dv = sub.add_parser(
+        "dedup-video",
+        help="dedup a video delta parquet against the video index, "
+             "append keeps",
+    )
+    dv.add_argument("--root", required=True)
+    dv.add_argument("--input", required=True, help="delta media parquet")
+    dv.add_argument("--output", required=True, help="kept-media parquet")
+    dv.add_argument("--flags-output", default=None,
+                    help="also write (id, dup_of_corpus, keep) flags")
+    dv.add_argument("--no-append", action="store_true",
+                    help="flag only; do not ingest the kept videos")
+    dv.add_argument("--cpus", default=None)
+    dv.set_defaults(fn=cmd_dedup_video)
 
     an = sub.add_parser(
         "ann-search", help="top-k cosine point search against the index"

@@ -56,6 +56,7 @@ class CorpusIngestJob:
         with_media: bool = False,
         phash_kwargs: dict | None = None,
         audio_kwargs: dict | None = None,
+        video_kwargs: dict | None = None,
         denylist: bool = False,
     ):
         self.spark = spark
@@ -69,10 +70,12 @@ class CorpusIngestJob:
         self.lsh_kwargs = dict(lsh_kwargs or {})
         self.with_media = with_media
         self.phash_kwargs = dict(phash_kwargs or {})
-        # audio leg (r11, VERDICT r10 #3): when set AND the media frame
-        # carries content_type, audio/* rows dedup against the
-        # persistent AudioIndex instead of the pHash path
+        # audio/video legs (r11, VERDICT r10 #3/#7): when set AND the
+        # media frame carries content_type, audio/* (video/*) rows dedup
+        # against the persistent AudioIndex (VideoIndex) instead of the
+        # pHash path
         self.audio_kwargs = dict(audio_kwargs) if audio_kwargs is not None else None
+        self.video_kwargs = dict(video_kwargs) if video_kwargs is not None else None
         self.denylist = denylist
         for d in ("ledger", "flags", "corpus"):
             os.makedirs(os.path.join(self.root, d), exist_ok=True)
@@ -100,6 +103,11 @@ class CorpusIngestJob:
         from jackfruit_spark.operators.audio_store import AudioIndex
 
         return AudioIndex(self.spark, os.path.join(self.root, "audiofp"))
+
+    def _videofp(self):
+        from jackfruit_spark.operators.video_store import VideoIndex
+
+        return VideoIndex(self.spark, os.path.join(self.root, "videofp"))
 
     # ------------------------------------------------------------- run
     def run_batch(
@@ -272,16 +280,28 @@ class CorpusIngestJob:
         media, n_denied = self._apply_media_denylist(media)
         if n_denied:
             media = persisted(media)
-        audio_split = (
-            self.audio_kwargs is not None and "content_type" in media.columns
+        has_ct = "content_type" in media.columns
+        audio_split = self.audio_kwargs is not None and has_ct
+        video_split = self.video_kwargs is not None and has_ct
+        is_aud = (
+            F.col("content_type").startswith("audio/")
+            if audio_split
+            else F.lit(False)
         )
-        if audio_split:
-            is_aud = F.col("content_type").startswith("audio/")
-            img, aud = media.filter(~is_aud), media.filter(is_aud)
+        is_vid = (
+            F.col("content_type").startswith("video/")
+            if video_split
+            else F.lit(False)
+        )
+        img = media.filter(~is_aud & ~is_vid)
+        aud = media.filter(is_aud) if audio_split else None
+        vid = media.filter(is_vid) if video_split else None
+        if aud is not None:
             aud, n_denied_aud = self._apply_audio_denylist(aud)
             n_denied += n_denied_aud
-        else:
-            img, aud = media, None
+        if vid is not None:
+            vid, n_denied_vid = self._apply_video_denylist(vid)
+            n_denied += n_denied_vid
         kept_img, n_img = self._stage_modality_flags(
             batch_id, img, "flags_media", self._image_flags
         )
@@ -292,11 +312,20 @@ class CorpusIngestJob:
             if aud is not None
             else (None, 0)
         )
-        kept_frames = [k for k in (kept_img, kept_aud) if k is not None]
+        kept_vid, n_vid = (
+            self._stage_modality_flags(
+                batch_id, vid, "flags_video", self._video_flags
+            )
+            if vid is not None
+            else (None, 0)
+        )
+        kept_frames = [
+            k for k in (kept_img, kept_aud, kept_vid) if k is not None
+        ]
         kept = kept_frames[0] if kept_frames else media.limit(0)
         for k in kept_frames[1:]:
             kept = kept.unionByName(k)
-        n_kept = n_img + n_aud
+        n_kept = n_img + n_aud + n_vid
         kept.write.mode("overwrite").parquet(
             os.path.join(self.root, "media", f"batch={batch_id}")
         )
@@ -307,6 +336,10 @@ class CorpusIngestJob:
         if kept_aud is not None and n_aud > 0:
             self._append_leg(
                 "audiofp", batch_id, lambda: self._audiofp_apply(kept_aud)
+            )
+        if kept_vid is not None and n_vid > 0:
+            self._append_leg(
+                "videofp", batch_id, lambda: self._videofp_apply(kept_vid)
             )
         return {
             "media_input": n_in,
@@ -366,6 +399,38 @@ class CorpusIngestJob:
             F.lit(False).alias("dup_of_corpus"),
             F.col("keep"),
         )
+
+    def _video_flags(self, vid: DataFrame) -> DataFrame:
+        idx = self._videofp()
+        if os.path.exists(idx.manifest_path):
+            return idx.dedup_batch(vid)
+        from jackfruit_spark.operators.dedup import video_near_dup
+
+        kw = self.video_kwargs or {}
+        return video_near_dup(
+            vid,
+            every_ms=kw.get("every_ms", 500),
+            max_frames=kw.get("max_frames", 16),
+            bands=kw.get("bands", 4),
+            max_hamming=kw.get("max_hamming", 3),
+            min_frame_matches=kw.get("min_frame_matches", 3),
+        ).select(
+            "media_id",
+            F.lit(False).alias("dup_of_corpus"),
+            F.col("keep"),
+        )
+
+    def _videofp_apply(self, kept: DataFrame) -> None:
+        from jackfruit_spark.operators.video_store import VideoIndex
+
+        idx = self._videofp()
+        if os.path.exists(idx.manifest_path):
+            idx.append(kept)
+        else:
+            VideoIndex.build(
+                kept, "media_id", os.path.join(self.root, "videofp"),
+                **(self.video_kwargs or {}),
+            )
 
     def _phash_apply(self, kept: DataFrame) -> None:
         from jackfruit_spark.operators.phash_store import PhashIndex
@@ -602,6 +667,71 @@ class CorpusIngestJob:
         gated = aud.join(hit, "media_id", "left_anti")
         return gated, hit.count()
 
+    @property
+    def video_denylist_dir(self) -> str:
+        return os.path.join(self.root, "denylist_video")
+
+    def _denylist_video_rows(self, media: DataFrame) -> DataFrame:
+        """Video denylist rows for a retracted batch: one row per
+        banded KEYFRAME pHash block — (fhash, band, block), the
+        VideoIndex geometry. No payload retained; videos with no
+        decodable frames cannot be fingerprint-blocked."""
+        from jackfruit_spark import multimodal as mm
+        from jackfruit_spark.operators.dedup import hamming_bands
+
+        kw = self.video_kwargs or {}
+        sig = mm.video_frame_hashes(
+            media.select("media_id", "payload"),
+            every_ms=kw.get("every_ms", 500),
+            max_frames=kw.get("max_frames", 16),
+        )
+        return hamming_bands(
+            sig, "media_id", "fhash", bits=64, bands=kw.get("bands", 4)
+        ).select("fhash", "band", "block")
+
+    def _apply_video_denylist(self, vid: DataFrame):
+        """Gate a video batch against the takedown denylist: band
+        collisions verified to exact Hamming <= max_hamming, then the
+        video vote — >= min_frame_matches DISTINCT batch keyframes
+        matching denylisted frames (one title-card collision must not
+        deny a fresh video). Returns (gated_frame, n_denied)."""
+        d = self.video_denylist_dir
+        if not self.denylist or not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for _, _, fs in os.walk(d) for f in fs
+        ):
+            return vid, 0
+        from jackfruit_spark import multimodal as mm
+        from jackfruit_spark.operators.dedup import hamming_bands
+
+        kw = self.video_kwargs or {}
+        deny = self.spark.read.parquet(d)
+        sig = mm.video_frame_hashes(
+            vid.select("media_id", "payload"),
+            every_ms=kw.get("every_ms", 500),
+            max_frames=kw.get("max_frames", 16),
+        )
+        hit = (
+            hamming_bands(
+                sig, "media_id", "fhash", bits=64, bands=kw.get("bands", 4)
+            )
+            .join(
+                F.broadcast(
+                    deny.withColumnRenamed("fhash", "__deny_fh").distinct()
+                ),
+                ["band", "block"],
+            )
+            .filter(
+                F.bit_count(F.col("fhash").bitwiseXOR(F.col("__deny_fh")))
+                <= F.lit(kw.get("max_hamming", 3))
+            )
+            .groupBy("media_id")
+            .agg(F.count_distinct("fhash").alias("__mf"))
+            .filter(F.col("__mf") >= kw.get("min_frame_matches", 3))
+            .select("media_id")
+        )
+        gated = vid.join(hit, "media_id", "left_anti")
+        return gated, hit.count()
+
     def _apply_denylist(self, curated: DataFrame):
         """Gate a curated batch against the takedown denylist (r10,
         VERDICT r9 #5): exact md5 match OR any LSH band collision with a
@@ -804,6 +934,11 @@ class CorpusIngestJob:
                 if has_ct
                 else F.lit(False)
             )
+            is_vid = (
+                F.col("content_type").startswith("video/")
+                if has_ct
+                else F.lit(False)
+            )
             if self.denylist:
                 self._denylist_media_rows(media).write.mode(
                     "overwrite"
@@ -825,16 +960,34 @@ class CorpusIngestJob:
                         )
                     )
                     legs.append("denylist_audio")
+                vid_slice = media.filter(is_vid)
+                if (
+                    has_ct
+                    and self.video_kwargs is not None
+                    and vid_slice.head(1)
+                ):
+                    self._denylist_video_rows(vid_slice).write.mode(
+                        "overwrite"
+                    ).parquet(
+                        os.path.join(
+                            self.video_denylist_dir, f"batch={batch_id}"
+                        )
+                    )
+                    legs.append("denylist_video")
             ph = self._phash()
             if os.path.exists(ph.manifest_path):
                 # only the image slice: extra tombstones are harmless to
                 # masking but inflate the maintain() debt ratio
-                ph.delete(media.filter(~is_aud).select("media_id"))
+                ph.delete(media.filter(~is_aud & ~is_vid).select("media_id"))
                 legs.append("phash")
             au = self._audiofp()
             if os.path.exists(au.manifest_path):
                 au.delete(media.filter(is_aud).select("media_id"))
                 legs.append("audiofp")
+            vi = self._videofp()
+            if os.path.exists(vi.manifest_path):
+                vi.delete(media.filter(is_vid).select("media_id"))
+                legs.append("videofp")
             if msrc == mpart:
                 shutil.rmtree(maside, ignore_errors=True)
                 os.rename(mpart, maside)

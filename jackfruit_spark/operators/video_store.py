@@ -1,0 +1,459 @@
+"""Persistent keyframe-hash index: incremental VIDEO near-dup dedup.
+
+Completes the index-family matrix (text `LshIndex`, image `PhashIndex`,
+audio `AudioIndex` — r11): the batch operator
+(``operators/dedup.video_near_dup``) re-parses and re-decodes the whole
+video corpus per run; this store amortizes that one decode — each
+video's sampled keyframe pHashes (``multimodal.video_frame_hashes``:
+true container timestamps, real MJPEG/PNG frame decode) persist at
+build/append, and a delta dedup joins 8-byte hash rows against
+partition-pruned postings. Stored payload bytes are NEVER re-read.
+
+Layout (``root/video_manifest.json`` + versioned data dirs, the shared
+atomic-swap pattern):
+
+- ``data_vN/sigs/`` — ``(id, fhash)``, the SOURCE OF TRUTH: one row per
+  sampled keyframe (a video contributes at most ``max_frames`` rows
+  regardless of length). Videos with no decodable frames (gated codecs,
+  corrupt containers) produce NO rows — unprobeable, they always keep.
+- ``data_vN/postings/bp=P/`` — ``(id, fhash, band, block)`` partitioned
+  by ``bp = pmod(xxhash64(band, block), parts)``; fhash rides the
+  posting row (the PhashIndex denormalization) so the exact-Hamming
+  verify needs no second join. Banding uses ``dedup.hamming_bands`` —
+  the batch operator's expression, the no-drift rule.
+
+Dedup semantics (``dedup_batch``, the shared contract) add the video
+vote on top of the PhashIndex shape: a batch video is a duplicate of an
+indexed one only when at least ``min_frame_matches`` DISTINCT batch
+keyframes match within ``max_hamming`` bits — one coincidental frame
+collision (title cards, black frames) must not merge two videos.
+Intra-batch candidates take the same vote, feed connected components
+and the min-id keeper; a component touching any corpus duplicate drops
+entirely.
+
+At 100 TB: parse+decode is paid once per video ever ingested; delta
+dedup shuffles (band, block) keys over ≤ max_frames hash rows per
+video, pruned to the delta's residues. Tombstones, debt-triggered
+rebuild, and vacuum follow the shared r9 lifecycle.
+
+No reference analog (the reference has no media dedup); this belongs to
+the LLM-training-data family, per the build brief.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jackfruit_spark.operators.dedup import (
+    connected_components,
+    hamming_bands,
+)
+
+_MANIFEST = "video_manifest.json"
+
+
+def _frame_vote(
+    pairs: DataFrame, max_hamming: int, min_frame_matches: int
+) -> DataFrame:
+    """(id, corpus_id) pairs passing the video vote: exact Hamming gate
+    per candidate frame pair, then >= ``min_frame_matches`` DISTINCT
+    batch-side frame hashes matched."""
+    return (
+        pairs.distinct()
+        .filter(
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            <= max_hamming
+        )
+        .groupBy("id", "corpus_id")
+        .agg(F.count_distinct("__ha").alias("__mf"))
+        .filter(F.col("__mf") >= min_frame_matches)
+        .select("id", "corpus_id")
+    )
+
+
+class VideoIndex:
+    """Handle to a built index: ``root/data_vN/{sigs,postings}`` plus
+    ``root/video_manifest.json`` (frame-hash geometry + current data
+    dir)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.manifest_path = os.path.join(root, _MANIFEST)
+        self._meta: dict | None = None
+        self._postings: DataFrame | None = None
+        self._sigs: DataFrame | None = None
+        self._df_path: str | None = None
+
+    # ----------------------------------------------------------- paths
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.root, self._manifest()["data_dir"])
+
+    def _readers(self) -> tuple[DataFrame, DataFrame]:
+        path = self.data_path
+        if self._postings is None or self._df_path != path:
+            self._postings = self.spark.read.parquet(
+                os.path.join(path, "postings")
+            )
+            self._sigs = self.spark.read.parquet(os.path.join(path, "sigs"))
+            self._df_path = path
+        return self._postings, self._sigs
+
+    def _invalidate(self) -> None:
+        self._postings = self._sigs = None
+        self._df_path = None
+
+    def _manifest(self) -> dict:
+        if self._meta is None:
+            with open(self.manifest_path) as f:
+                self._meta = json.load(f)
+        return self._meta
+
+    # ---------------------------------------------------------- deletes
+
+    @property
+    def deletes_dir(self) -> str:
+        return os.path.join(self.root, "deletes")
+
+    def delete(self, ids) -> "VideoIndex":
+        """Tombstone deletes (the shared r9 lifecycle). ``ids``: list or
+        DataFrame (first column)."""
+        m = self._manifest()
+        id_col = m["id_col"]
+        if isinstance(ids, DataFrame):
+            df = ids.select(F.col(ids.columns[0]).alias(id_col))
+        else:
+            _, sigs = self._readers()
+            id_type = sigs.schema[id_col].dataType.simpleString()
+            df = self.spark.createDataFrame(
+                [(i,) for i in ids], f"{id_col} {id_type}"
+            )
+        df.write.mode("append").parquet(self.deletes_dir)
+        return self
+
+    def _tombstones(self) -> DataFrame | None:
+        d = self.deletes_dir
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return None
+        return self.spark.read.parquet(d)
+
+    def _mask(self, df: DataFrame) -> DataFrame:
+        t = self._tombstones()
+        if t is None:
+            return df
+        return df.join(
+            F.broadcast(t.distinct()), self._manifest()["id_col"], "left_anti"
+        )
+
+    # ------------------------------------------------------------ build
+
+    @staticmethod
+    def build(
+        media: DataFrame,
+        id_col: str,
+        root: str,
+        payload_col: str = "payload",
+        every_ms: int = 500,
+        max_frames: int = 16,
+        bands: int = 4,
+        max_hamming: int = 3,
+        min_frame_matches: int = 3,
+        parts: int = 64,
+    ) -> "VideoIndex":
+        """Hash the video corpus's keyframes once and write the layout:
+        sigs land first, postings derive from reading them back; the
+        manifest swaps last (a crashed build leaves the old version
+        live)."""
+        spark = media.sparkSession
+        idx = VideoIndex(spark, root)
+        os.makedirs(root, exist_ok=True)
+        data_dir = idx._next_version()
+        meta = {
+            "id_col": id_col,
+            "payload_col": payload_col,
+            "every_ms": every_ms,
+            "max_frames": max_frames,
+            "bands": bands,
+            "max_hamming": max_hamming,
+            "min_frame_matches": min_frame_matches,
+            "parts": parts,
+            "data_dir": data_dir,
+        }
+        sig = VideoIndex._sig_of(media, meta)
+        sigs_path = os.path.join(root, data_dir, "sigs")
+        sig.write.mode("overwrite").parquet(sigs_path)
+        VideoIndex._write_postings(
+            spark.read.parquet(sigs_path), meta,
+            os.path.join(root, data_dir, "postings"), "overwrite",
+        )
+        idx._swap_manifest(meta)
+        return idx
+
+    @staticmethod
+    def _sig_of(media: DataFrame, meta: dict) -> DataFrame:
+        """(id, fhash) keyframe rows for a media frame: one Arrow
+        parse+decode pass (`multimodal.video_frame_hashes`)."""
+        from jackfruit_spark import multimodal as mm
+
+        id_col = meta["id_col"]
+        renamed = media.select(
+            F.col(id_col).alias("media_id"),
+            F.col(meta["payload_col"]).alias("payload"),
+        )
+        return mm.video_frame_hashes(
+            renamed, every_ms=meta["every_ms"], max_frames=meta["max_frames"]
+        ).select(F.col("media_id").alias(id_col), "fhash")
+
+    @staticmethod
+    def _write_postings(
+        sig: DataFrame, meta: dict, path: str, mode: str
+    ) -> None:
+        banded = hamming_bands(
+            sig, meta["id_col"], "fhash", bits=64, bands=meta["bands"]
+        )
+        # repartition("bp") before the partitioned write (the bm25 tp
+        # lesson: tasks x parts small files otherwise)
+        banded.withColumn(
+            "bp",
+            F.pmod(
+                F.xxhash64(F.col("band"), F.col("block")),
+                F.lit(meta["parts"]),
+            ),
+        ).repartition("bp").write.mode(mode).partitionBy("bp").parquet(path)
+
+    def _next_version(self) -> str:
+        versions = [
+            int(d[len("data_v"):])
+            for d in os.listdir(self.root)
+            if d.startswith("data_v") and d[len("data_v"):].isdigit()
+        ]
+        return f"data_v{max(versions, default=0) + 1}"
+
+    def _swap_manifest(self, meta: dict) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.manifest_path)
+        self._meta = meta
+
+    # ------------------------------------------------------------ probe
+
+    def corpus_candidates(self, batch_sig: DataFrame) -> DataFrame:
+        """(id, corpus_id) verified near-dup VIDEO pairs of a hashed
+        batch against the index: banded equi-join on (band, block) with
+        the corpus side pruned to the delta's own ``bp`` residues
+        (driver IN-list -> PartitionFilters), the exact-Hamming frame
+        gate, then the distinct-frame vote."""
+        m = self._manifest()
+        id_col = m["id_col"]
+        postings, _ = self._readers()
+        banded_b = hamming_bands(
+            batch_sig, id_col, "fhash", bits=64, bands=m["bands"]
+        ).withColumn(
+            "bp",
+            F.pmod(
+                F.xxhash64(F.col("band"), F.col("block")),
+                F.lit(m["parts"]),
+            ),
+        )
+        bps = [r["bp"] for r in banded_b.select("bp").distinct().collect()]
+        pruned = self._mask(postings.filter(F.col("bp").isin(bps))).select(
+            F.col(id_col).alias("corpus_id"),
+            F.col("fhash").alias("__hb"),
+            "band",
+            "block",
+        )
+        pairs = banded_b.select(
+            F.col(id_col).alias("id"),
+            F.col("fhash").alias("__ha"),
+            "band",
+            "block",
+        ).join(pruned, ["band", "block"]).select(
+            "id", "corpus_id", "__ha", "__hb"
+        )
+        return _frame_vote(pairs, m["max_hamming"], m["min_frame_matches"])
+
+    def dedup_batch(self, batch: DataFrame) -> DataFrame:
+        """Flag a video delta against the corpus AND itself in one
+        pass: ``(id, dup_of_corpus, keep)`` — the shared index
+        contract. Batch videos with no decodable frames produce no
+        hashes, never pair, and keep themselves. Batch frame hashes are
+        persisted (tracked — release via ``_persist.release_persisted``)."""
+        from jackfruit_spark._persist import persisted
+
+        m = self._manifest()
+        id_col = m["id_col"]
+        batch_sig = persisted(self._sig_of(batch, m))
+        dup_corpus = (
+            self.corpus_candidates(batch_sig)
+            .select("id")
+            .withColumnRenamed("id", id_col)
+            .distinct()
+        )
+        banded = persisted(
+            hamming_bands(batch_sig, id_col, "fhash", bits=64, bands=m["bands"])
+        )
+        a = banded.select(
+            F.col(id_col).alias("id"), F.col("fhash").alias("__ha"),
+            "band", "block",
+        )
+        b = banded.select(
+            F.col(id_col).alias("corpus_id"), F.col("fhash").alias("__hb"),
+            "band", "block",
+        )
+        intra = _frame_vote(
+            a.join(b, ["band", "block"])
+            .filter(F.col("id") < F.col("corpus_id"))
+            .select("id", "corpus_id", "__ha", "__hb"),
+            m["max_hamming"],
+            m["min_frame_matches"],
+        ).select(
+            F.col("id").alias("id_a"), F.col("corpus_id").alias("id_b")
+        )
+        cc = connected_components(
+            batch.select(id_col), intra.select("id_a", "id_b"), id_col=id_col
+        )
+        tainted = (
+            cc.join(dup_corpus, id_col, "left_semi")
+            .select("cluster_id")
+            .distinct()
+        )
+        return (
+            cc.join(
+                dup_corpus.withColumn("__dc", F.lit(True)), id_col, "left"
+            )
+            .join(
+                tainted.withColumn("__tt", F.lit(True)), "cluster_id", "left"
+            )
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("__dc"), F.lit(False)).alias("dup_of_corpus"),
+                (
+                    F.col("__tt").isNull()
+                    & (F.col(id_col) == F.col("cluster_id"))
+                ).alias("keep"),
+            )
+        )
+
+    # ---------------------------------------------------- append/rebuild
+
+    def append(self, media: DataFrame) -> "VideoIndex":
+        """Hash the KEPT slice of a deduped delta and append: sigs
+        first, postings second (the documented crash window, healed by
+        ``rebuild()``)."""
+        m = self._manifest()
+        path = self.data_path
+        sig = self._sig_of(media, m).persist()
+        try:
+            sig.write.mode("append").parquet(os.path.join(path, "sigs"))
+            self._write_postings(
+                sig, m, os.path.join(path, "postings"), "append"
+            )
+        finally:
+            sig.unpersist(blocking=False)
+        self._invalidate()
+        return self
+
+    def rebuild(self) -> "VideoIndex":
+        """Rewrite into a fresh version from the sigs source of truth:
+        collapse replayed-append duplicate rows (a video's vote uses
+        DISTINCT frame hashes, so (id, fhash) dedup is lossless), apply
+        tombstones, re-derive postings, swap atomically."""
+        m = dict(self._manifest())
+        _, sigs = self._readers()
+        deduped = self._mask(sigs).dropDuplicates([m["id_col"], "fhash"])
+        if not deduped.head(1):
+            raise ValueError(
+                "rebuild would produce an empty index (every video "
+                "deleted?) — drop the index directory instead"
+            )
+        data_dir = self._next_version()
+        sigs_path = os.path.join(self.root, data_dir, "sigs")
+        deduped.write.mode("overwrite").parquet(sigs_path)
+        self._write_postings(
+            self.spark.read.parquet(sigs_path), m,
+            os.path.join(self.root, data_dir, "postings"), "overwrite",
+        )
+        m["data_dir"] = data_dir
+        self._swap_manifest(m)
+        if os.path.isdir(self.deletes_dir):
+            import shutil
+
+            shutil.rmtree(self.deletes_dir, ignore_errors=True)
+        self._invalidate()
+        return self
+
+    def maintain(
+        self, max_files_per_part: float = 8.0, vacuum: bool = True,
+        max_deleted_frac: float = 0.2,
+    ) -> dict:
+        """Append-hygiene policy (the shared maintain triggers)."""
+        st = self.stats()
+        m = self._manifest()
+        _, sigs = self._readers()
+        distinct_rows = sigs.distinct().count()
+        frag = st["posting_files"] / max(1, m["parts"])
+        replayed = st["n_frames"] > distinct_rows
+        debt = st["deleted"] / max(st["n_videos"], 1) > max_deleted_frac
+        rebuilt = frag > max_files_per_part or replayed or debt
+        if rebuilt:
+            self.rebuild()
+            if vacuum:
+                st["vacuumed"] = self.vacuum()
+            st["after"] = self.stats()
+        return {**st, "rebuilt": rebuilt}
+
+    def vacuum(self) -> list[str]:
+        import shutil
+
+        live = self._manifest()["data_dir"]
+        removed = []
+        for d in os.listdir(self.root):
+            if (
+                d.startswith("data_v")
+                and d[len("data_v"):].isdigit()
+                and d != live
+            ):
+                shutil.rmtree(os.path.join(self.root, d))
+                removed.append(d)
+        return removed
+
+    def stats(self) -> dict:
+        """Index size + posting-bucket stats. Always re-lists (the
+        cross-handle append lesson)."""
+        self._invalidate()
+        postings, sigs = self._readers()
+        m = self._manifest()
+        agg = sigs.agg(
+            F.count(F.lit(1)).alias("nf"),
+            F.count_distinct(m["id_col"]).alias("nv"),
+        ).collect()[0]
+        bucket = postings.groupBy("band", "block").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        row = bucket.select(
+            F.sum("n").alias("n_postings"),
+            F.max("n").alias("max_bucket"),
+        ).collect()[0]
+        files = 0
+        proot = os.path.join(self.data_path, "postings")
+        for _, _, fs in os.walk(proot):
+            files += sum(1 for f in fs if f.endswith(".parquet"))
+        t = self._tombstones()
+        return {
+            "n_videos": int(agg["nv"]),
+            "n_frames": int(agg["nf"]),
+            "deleted": t.distinct().count() if t is not None else 0,
+            "n_postings": int(row["n_postings"] or 0),
+            "max_bucket": int(row["max_bucket"] or 0),
+            "posting_files": files,
+            "data_dir": self._manifest()["data_dir"],
+        }

@@ -739,6 +739,88 @@ def main() -> None:
                 print(f"audio@x{m}: {e}"[:200], file=sys.stderr)
             print(f"done audio_dedup@x{m}", file=sys.stderr)
 
+    if "video_dedup" not in skip:
+        # Video twin of the audio leg (r11): batch operator growth +
+        # VideoIndex fixed-delta flatness. dup_frac 0.2; a video is
+        # <= max_frames hash rows regardless of length, so the batch op
+        # should track decode cost (~linear) and the delta stay flat.
+        from bench import IMG_SEED, image_bench_media, video_bench_delta
+        from jackfruit_spark.operators.dedup import video_near_dup
+        from jackfruit_spark.operators.video_store import VideoIndex
+        from jackfruit_spark.sources.media_synth import (
+            video_corpus,
+            write_image_wds_shards,
+        )
+
+        results["video_dedup"] = {}
+        results["video_index_build"] = {}
+        results["video_dedup_delta"] = {}
+        try:
+            wdir = os.path.join(args.root, "vid_warm")
+            if not os.path.isdir(wdir):
+                write_image_wds_shards(
+                    video_corpus(30, dup_frac=0.2, seed=99), wdir
+                )
+            video_near_dup(
+                image_bench_media(spark, os.path.join(wdir, "*.tar"))
+            ).write.format("noop").mode("overwrite").save()
+            release_persisted()
+            spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001
+            print(f"video warm-up: {e}"[:200], file=sys.stderr)
+        for m in mults:
+            sf = os.path.join(args.root, f"mult{m}{suffix}")
+            vid_dir = os.path.join(sf, "video")
+            try:
+                if not os.path.isdir(vid_dir):
+                    write_image_wds_shards(
+                        video_corpus(VID_BASE * m, dup_frac=0.2,
+                                     seed=IMG_SEED),
+                        vid_dir, n_shards=32,
+                    )
+                media = image_bench_media(
+                    spark, os.path.join(vid_dir, "*.tar")
+                )
+                best = float("inf")
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    video_near_dup(media).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, round(time.perf_counter() - t0, 3))
+                    release_persisted()
+                    spark.catalog.clearCache()
+                results["video_dedup"][m] = best
+                t_build = float("inf")
+                idx = None
+                for i in range(args.repeats):
+                    t0 = time.perf_counter()
+                    idx = VideoIndex.build(
+                        media, "media_id",
+                        os.path.join(sf, f"video_idx{i}"),
+                    )
+                    t_build = min(t_build, round(time.perf_counter() - t0, 3))
+                    release_persisted()
+                    spark.catalog.clearCache()
+                results["video_index_build"][m] = t_build
+                delta = video_bench_delta(spark)
+                best = float("inf")
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    idx.dedup_batch(delta).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, round(time.perf_counter() - t0, 3))
+                    release_persisted()
+                    spark.catalog.clearCache()
+                results["video_dedup_delta"][m] = best
+            except Exception as e:  # noqa: BLE001
+                results["video_dedup"].setdefault(m, None)
+                results["video_index_build"].setdefault(m, None)
+                results["video_dedup_delta"][m] = None
+                print(f"video@x{m}: {e}"[:200], file=sys.stderr)
+            print(f"done video_dedup@x{m}", file=sys.stderr)
+
     out = {
         name: {
             "t": {f"x{m}": t for m, t in pts.items()},
@@ -757,6 +839,7 @@ def main() -> None:
 
 IMG_BASE = 1000
 AUD_BASE = 400
+VID_BASE = 200
 
 
 def tombstone_tax(spark, sf: str, repeats: int) -> dict:

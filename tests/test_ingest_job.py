@@ -282,6 +282,66 @@ def test_media_denylist_blocks_reingestion(spark, tmp_path):
     assert [r["media_id"] for r in job.media().collect()] == [12]
 
 
+def test_video_leg_cross_batch_dedup_retract_and_denylist(spark, tmp_path):
+    """The video member of the media leg (r11): video_kwargs +
+    content_type dispatch video/* rows to the VideoIndex — batch-1
+    videos build it; a batch-2 quality re-encode of a batch-1 video
+    drops as a corpus duplicate; retract tombstones the videofp leg AND
+    (denylist=True) persists banded keyframe hashes so the re-encode is
+    refused re-admission while a fresh video passes."""
+    from jackfruit_spark.sources.media_synth import (
+        encode_mjpeg_mp4,
+        synth_video_frames,
+    )
+
+    def vid(seed, q=90):
+        return encode_mjpeg_mp4(synth_video_frames(seed), quality=q)
+
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE,
+        with_media=True, denylist=True, phash_kwargs={"parts": 8},
+        video_kwargs={"parts": 8},
+    )
+    s1 = job.run_batch(
+        "d1", _docs(spark, BATCH1),
+        media=_media_ct(spark, [
+            (0, vid(600), "video/mp4"),
+            (1, vid(601), "video/mp4"),
+        ]),
+    )
+    assert s1["media_kept"] == 2
+    assert os.path.exists(
+        os.path.join(job.root, "videofp", "video_manifest.json")
+    )
+
+    s2 = job.run_batch(
+        "d2", _docs(spark, BATCH2),
+        media=_media_ct(spark, [
+            (10, vid(600, q=70), "video/mp4"),  # re-encode: corpus dup
+            (11, vid(602), "video/mp4"),        # fresh
+        ]),
+    )
+    assert s2["media_kept"] == 1 and s2["media_dropped_dup"] == 1
+    assert sorted(r["media_id"] for r in job.media().collect()) == [0, 1, 11]
+
+    r = job.retract_batch("d1")
+    assert "videofp" in r["retracted_legs"]
+    assert "denylist_video" in r["retracted_legs"]
+    assert sorted(r["media_id"] for r in job.media().collect()) == [11]
+
+    # the re-encode of a retracted video is refused (denylist), a
+    # fresh one admitted
+    s3 = job.run_batch(
+        "d3", _docs(spark, [("c1", BATCH2[1][1] + " yet more words")]),
+        media=_media_ct(spark, [
+            (20, vid(600, q=70), "video/mp4"),
+            (21, vid(603), "video/mp4"),
+        ]),
+    )
+    assert s3["media_denied"] == 1 and s3["media_kept"] == 1
+    assert sorted(r["media_id"] for r in job.media().collect()) == [11, 21]
+
+
 def test_audio_denylist_blocks_reingestion(spark, tmp_path):
     """The audio twin of the media denylist (r11): retract a batch with
     tracks, re-ingest a byte-identical copy AND an 8-bit re-quantized

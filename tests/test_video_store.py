@@ -1,0 +1,236 @@
+"""Persistent keyframe-hash video index (operators/video_store.py):
+build → delta dedup flags (corpus dup / intra keeper / tainted /
+undecodable keeps / single-frame collision stays distinct),
+partition-pruned probe plan, append-then-probe, tombstone deletes,
+replay-healing rebuild + maintain — the shared index contract on the
+video modality, completing the text/image/audio/video matrix."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.operators.video_store import VideoIndex
+from jackfruit_spark.sources.media_synth import (
+    encode_mjpeg_mp4,
+    synth_video_frames,
+)
+
+
+def _vid(seed: int, quality: int = 90) -> bytes:
+    return encode_mjpeg_mp4(synth_video_frames(seed), quality=quality)
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "media_id long, payload binary"
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _media(spark, [(i, _vid(i)) for i in range(12)])
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("video") / "idx")
+    return VideoIndex.build(corpus, "media_id", root, parts=16)
+
+
+def test_dedup_batch_flags(spark, index):
+    """One delta, every decision class: 100 = byte-identical copy of
+    corpus video 3; 101 = quality re-encode of corpus video 7;
+    102/103 = intra-batch near-pair (min-id keeper); 104 = fresh;
+    105 = another copy of corpus video 3 (tainted component); 106 =
+    undecodable container (keeps itself)."""
+    from jackfruit_spark._persist import release_all
+
+    batch = _media(
+        spark,
+        [
+            (100, _vid(3)),
+            (101, _vid(7, quality=70)),
+            (102, _vid(900)),
+            (103, _vid(900, quality=70)),
+            (104, _vid(901)),
+            (105, _vid(3)),
+            (106, b"not a container"),
+        ],
+    )
+    try:
+        flags = {r["media_id"]: r for r in index.dedup_batch(batch).collect()}
+    finally:
+        release_all()
+    assert flags[100]["dup_of_corpus"] and not flags[100]["keep"]
+    assert flags[101]["dup_of_corpus"] and not flags[101]["keep"]
+    assert not flags[102]["dup_of_corpus"] and flags[102]["keep"]
+    assert not flags[103]["dup_of_corpus"] and not flags[103]["keep"]
+    assert not flags[104]["dup_of_corpus"] and flags[104]["keep"]
+    assert not flags[105]["keep"]
+    assert not flags[106]["dup_of_corpus"] and flags[106]["keep"]
+
+
+def test_single_frame_collision_not_corpus_dup(spark, tmp_path):
+    """The video vote survives persistence: a batch video sharing ONE
+    frame (a title card) with an indexed video must not flag as a
+    corpus duplicate."""
+    from jackfruit_spark._persist import release_all
+
+    title = synth_video_frames(50, n_frames=1)[0]
+    fa = [title] + synth_video_frames(51, n_frames=4)
+    fb = [title] + synth_video_frames(52, n_frames=4)
+    idx = VideoIndex.build(
+        _media(spark, [(1, encode_mjpeg_mp4(fa))]),
+        "media_id", str(tmp_path / "idx"), parts=8,
+    )
+    try:
+        [row] = idx.dedup_batch(
+            _media(spark, [(2, encode_mjpeg_mp4(fb))])
+        ).collect()
+    finally:
+        release_all()
+    assert not row["dup_of_corpus"] and row["keep"]
+
+
+def test_probe_plan_partition_pruned(spark, index):
+    from jackfruit_spark._persist import release_all
+    from jackfruit_spark.plans import plan_string
+
+    batch = _media(spark, [(200, _vid(3))])
+    try:
+        sig = index._sig_of(batch, index._manifest())
+        pairs = index.corpus_candidates(sig)
+        p = plan_string(pairs)
+        scan_lines = [
+            ln for ln in p.splitlines()
+            if "PartitionFilters" in ln and "bp" in ln
+        ]
+        assert any("bp IN" in ln or "bp#" in ln for ln in scan_lines), p
+        assert pairs.count() > 0
+    finally:
+        release_all()
+
+
+def test_append_then_probe(spark, tmp_path):
+    from jackfruit_spark._persist import release_all
+
+    root = str(tmp_path / "idx")
+    idx = VideoIndex.build(
+        _media(spark, [(i, _vid(i)) for i in range(6)]),
+        "media_id", root, parts=8,
+    )
+    idx.append(_media(spark, [(50, _vid(500))]))
+    try:
+        flags = {
+            r["media_id"]: r
+            for r in idx.dedup_batch(
+                _media(spark, [(60, _vid(500, quality=70))])
+            ).collect()
+        }
+    finally:
+        release_all()
+    assert flags[60]["dup_of_corpus"] and not flags[60]["keep"]
+    assert idx.stats()["n_videos"] == 7
+
+
+def test_delete_unmasks_and_rebuild_compacts(spark, tmp_path):
+    from jackfruit_spark._persist import release_all
+
+    root = str(tmp_path / "idx")
+    idx = VideoIndex.build(
+        _media(spark, [(i, _vid(i)) for i in range(6)]),
+        "media_id", root, parts=8,
+    )
+    probe = _media(spark, [(70, _vid(4, quality=70))])
+    try:
+        assert not idx.dedup_batch(probe).collect()[0]["keep"]
+        idx.delete([4])
+        assert idx.dedup_batch(probe).collect()[0]["keep"]
+    finally:
+        release_all()
+    st = idx.stats()
+    assert st["n_videos"] == 6 and st["deleted"] == 1
+    idx.rebuild()
+    st2 = idx.stats()
+    assert st2["n_videos"] == 5 and st2["deleted"] == 0
+    assert not os.path.isdir(idx.deletes_dir)
+    assert idx.vacuum() == ["data_v1"]
+
+
+def test_rebuild_heals_replayed_append(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    idx = VideoIndex.build(
+        _media(spark, [(i, _vid(i)) for i in range(4)]),
+        "media_id", root, parts=8,
+    )
+    delta = _media(spark, [(20, _vid(200))])
+    idx.append(delta)
+    idx.append(delta)  # simulated crashed-marker replay
+    st = idx.stats()
+    assert st["n_videos"] == 5 and st["n_frames"] > 5 * 6 - 6
+    rep = idx.maintain(vacuum=True)
+    assert rep["rebuilt"]
+    assert idx.stats()["n_frames"] == 5 * 6
+
+
+def test_cli_lifecycle(spark, tmp_path, capsys):
+    """index-video build/stats/delete/maintain + dedup-video: the video
+    twin of the index-images/index-audio CLI pairs."""
+    import json
+
+    from jackfruit_spark import __main__ as cli
+
+    media_dir = str(tmp_path / "media")
+    _media(spark, [(i, _vid(i)) for i in range(6)]).write.parquet(media_dir)
+    root = str(tmp_path / "idx")
+    assert cli.main([
+        "index-video", "--root", root, "--input", media_dir,
+        "--parts", "8",
+    ]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_videos"] == 6 and st["mode"] == "build"
+
+    delta_dir = str(tmp_path / "delta")
+    _media(
+        spark, [(100, _vid(3, quality=70)), (101, _vid(777))]
+    ).write.parquet(delta_dir)
+    out_dir = str(tmp_path / "kept")
+    assert cli.main([
+        "dedup-video", "--root", root, "--input", delta_dir,
+        "--output", out_dir,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input"] == 2 and rep["kept"] == 1 and rep["dropped"] == 1
+    kept_ids = [
+        r["media_id"] for r in spark.read.parquet(out_dir).collect()
+    ]
+    assert kept_ids == [101]
+
+    assert cli.main(["index-video", "--root", root, "--mode", "stats"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_videos"] == 7  # the kept delta video was appended
+
+    assert cli.main([
+        "index-video", "--root", root, "--mode", "delete", "--ids", "3",
+    ]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["deleted"] == 1
+    assert cli.main([
+        "index-video", "--root", root, "--mode", "maintain",
+    ]) == 0
+
+
+def test_cross_handle_stats(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    VideoIndex.build(
+        _media(spark, [(i, _vid(i)) for i in range(4)]),
+        "media_id", root, parts=8,
+    )
+    a = VideoIndex(spark, root)
+    assert a.stats()["n_videos"] == 4
+    b = VideoIndex(spark, root)
+    b.append(_media(spark, [(90, _vid(909))]))
+    assert a.stats()["n_videos"] == 5
