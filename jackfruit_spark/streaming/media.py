@@ -1,0 +1,108 @@
+"""Streaming incremental MEDIA dedup through the persistent hash
+indexes — the media twin of ``streaming/dedup.py``.
+
+One generic step serves all three modalities because `PhashIndex`,
+`AudioIndex`, and `VideoIndex` share the index contract
+(``dedup_batch`` → (id, dup_of_corpus, keep); ``append``;
+``manifest_path``): media batches land continuously (a crawler writing
+parquet shards of (media_id, payload) rows), each batch dedups against
+everything ingested so far, survivors land AND their hashes append so
+the next batch dedups against them too.
+
+Same crash discipline as the text form (its docstrings carry the full
+analysis): keep/drop DECISIONS stage per batch and are reused on
+replay (recomputing after a partial crash would see the batch's own
+appended hashes and EMPTY the replayed output), output is an
+idempotent per-batch overwrite, the hash append is the one
+at-least-once leg and each index family's ``maintain()`` collapses
+replayed duplicates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jackfruit_spark.streaming.vectors import _applied_max, _record_applied
+
+
+def stream_media_parquet(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: str = "media_id bigint, payload binary",
+) -> DataFrame:
+    """Landing-directory stream of media rows. ``schema`` explicit
+    (streaming parquet has no inference) and must cover the index's id
+    and payload columns. Recursive lookup: landed batches are parquet
+    DIRECTORIES."""
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(landing_dir)
+    )
+
+
+def media_dedup_step(
+    index,
+    checkpoint: str,
+    out_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> bool:
+    """One foreachBatch step against any media index handle
+    (PhashIndex / AudioIndex / VideoIndex — the shared contract).
+    Replay-safe by staged decisions, not recomputation; see
+    ``streaming/dedup.dedup_batch_step`` for the crash-position walk.
+    Returns whether the batch applied."""
+    if batch_id <= _applied_max(checkpoint):
+        return False
+    spark = batch_df.sparkSession
+    id_col = index._manifest()["id_col"]
+    flags_dir = os.path.join(checkpoint, "flags", f"batch_id={batch_id}")
+    try:
+        if not os.path.exists(os.path.join(flags_dir, "_SUCCESS")):
+            index.dedup_batch(batch_df).write.mode("overwrite").parquet(
+                flags_dir
+            )
+        flags = spark.read.parquet(flags_dir)
+        kept = batch_df.join(
+            flags.filter("keep").select(id_col), id_col, "left_semi"
+        ).persist()
+        try:
+            kept.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
+            index.append(kept)
+            _record_applied(checkpoint, batch_id)
+        finally:
+            kept.unpersist(blocking=False)
+    finally:
+        # dedup_batch's tracked persists (batch hashes) would accumulate
+        # over a long-running stream
+        from jackfruit_spark import release_persisted
+
+        release_persisted()
+    return True
+
+
+def write_media_dedup_stream(
+    media: DataFrame,
+    index,
+    checkpoint: str,
+    out_dir: str,
+):
+    """availableNow dedup of landed media batches against an EXISTING
+    index (build it first — the probe needs the manifest geometry).
+    Output: kept media parquet under ``out_dir``, one ``batch_id=N``
+    partition per landed batch."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        media_dedup_step(index, checkpoint, out_dir, batch_df, batch_id)
+
+    return (
+        media.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

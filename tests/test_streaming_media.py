@@ -1,0 +1,142 @@
+"""Streaming incremental media dedup (streaming/media.py): one generic
+foreachBatch step over the shared index contract — exercised against
+PhashIndex (images) and AudioIndex (tracks): feed-forward across
+availableNow runs, replay-idempotence, replay-after-partial-crash
+preserves output, stream == batch decisions."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from jackfruit_spark.operators.audio_store import AudioIndex
+from jackfruit_spark.operators.phash_store import PhashIndex
+from jackfruit_spark.sources import jpeg
+from jackfruit_spark.sources.media_synth import (
+    encode_png,
+    encode_wav,
+    synth_audio,
+    synth_image,
+)
+from jackfruit_spark.streaming.media import (
+    media_dedup_step,
+    stream_media_parquet,
+    write_media_dedup_stream,
+)
+
+SCHEMA = "media_id long, payload binary"
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], SCHEMA
+    )
+
+
+@pytest.fixture()
+def img_index(spark, tmp_path):
+    return PhashIndex.build(
+        _media(spark, [(i, encode_png(synth_image(i))) for i in range(10)]),
+        "media_id", str(tmp_path / "idx"), parts=8,
+    )
+
+
+def test_stream_dedups_and_feeds_forward(spark, tmp_path, img_index):
+    """Batch 1: one corpus re-encode dup + one fresh image -> 1 kept.
+    Batch 2 (second availableNow run): a re-encode of the BATCH-1
+    survivor is now a corpus dup — the stream feeds the index forward."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    _media(
+        spark,
+        [(100, jpeg.encode(synth_image(3), quality=90)),
+         (101, encode_png(synth_image(900)))],
+    ).write.parquet(str(landing / "b1.parquet"))
+    q = write_media_dedup_stream(
+        stream_media_parquet(spark, str(landing)), img_index, ckpt, out
+    )
+    q.awaitTermination(120)
+    got = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {101}
+    assert img_index.stats()["n_images"] == 11
+
+    _media(
+        spark,
+        [(200, jpeg.encode(synth_image(900), quality=85)),
+         (201, encode_png(synth_image(901)))],
+    ).write.parquet(str(landing / "b2.parquet"))
+    q2 = write_media_dedup_stream(
+        stream_media_parquet(spark, str(landing)), img_index, ckpt, out
+    )
+    q2.awaitTermination(120)
+    got = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {101, 201}  # 200 re-encodes batch-1's survivor
+    assert img_index.stats()["n_images"] == 12
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path, img_index):
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    b = _media(spark, [(500, encode_png(synth_image(950)))])
+    assert media_dedup_step(img_index, ckpt, out, b, 0) is True
+    assert media_dedup_step(img_index, ckpt, out, b, 0) is False
+    assert spark.read.parquet(out).count() == 1
+    assert img_index.stats()["n_images"] == 11
+
+
+def test_replay_after_partial_crash_preserves_output(
+    spark, tmp_path, img_index
+):
+    """Output written AND hashes appended, ledger NOT bumped: the
+    replay must reuse STAGED decisions (a recomputation would see the
+    batch's own hashes and empty the output); maintain() collapses the
+    duplicate hash rows."""
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    b = _media(
+        spark,
+        [(500, encode_png(synth_image(950))),
+         (501, encode_png(synth_image(951)))],
+    )
+    assert media_dedup_step(img_index, ckpt, out, b, 0) is True
+    os.remove(os.path.join(ckpt, "_jackfruit_applied.json"))  # crash sim
+    assert media_dedup_step(img_index, ckpt, out, b, 0) is True
+    got = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {500, 501}
+    rep = img_index.maintain()
+    assert rep["rebuilt"] is True
+    assert rep["after"]["n_images"] == 12
+
+
+def test_audio_stream_matches_batch_decisions(spark, tmp_path):
+    """The generic step works for the audio family too, and the
+    streamed kept-set equals the batch dedup_batch keep flags."""
+    idx = AudioIndex.build(
+        _media(spark, [(i, encode_wav(synth_audio(i))) for i in range(8)]),
+        "media_id", str(tmp_path / "aidx"), parts=8, lm_parts=8,
+    )
+    from jackfruit_spark._persist import release_all
+
+    delta = _media(
+        spark,
+        [
+            (100, encode_wav(synth_audio(3), sampwidth=1)),  # corpus dup
+            (101, encode_wav(synth_audio(900))),             # fresh
+            (102, encode_wav(synth_audio(900), sampwidth=1)),  # intra dup
+        ],
+    )
+    try:
+        batch_keep = {
+            r["media_id"]
+            for r in idx.dedup_batch(delta).filter("keep").collect()
+        }
+    finally:
+        release_all()
+    out = str(tmp_path / "kept")
+    media_dedup_step(idx, str(tmp_path / "ckpt"), out, delta, 0)
+    streamed = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert streamed == batch_keep == {101}
+    assert idx.stats()["n_tracks"] == 9
