@@ -426,16 +426,23 @@ class Bm25Index:
         # an ingest append and its marker re-appends the batch once:
         # identical (term,id,tf,dl) rows that would otherwise double df)
         masked = self._mask(postings)
-        # ADVICE r10: dropDuplicates is only correct for byte-identical
-        # replayed appends — the same id appended twice with DIFFERENT
-        # text would get an arbitrary survivor (a nondeterministic
-        # index). dl is constant per text, so conflicting dl per id is
-        # the loud signal; re-appending an existing id is unsupported
-        # (delete() it first, then append the new text).
+        postings = masked.dropDuplicates(["term", "id"])
+        # ADVICE r10 + code-review r11: dropDuplicates is only correct
+        # for byte-identical replayed appends — the same id appended
+        # twice with DIFFERENT text would get an arbitrary/merged
+        # survivor (a nondeterministic index). The exact invariant of
+        # `bm25_terms` is dl == sum(tf) over the doc's distinct terms,
+        # so after dedup ANY conflicting re-append is visible as either
+        # multiple dl values per id or sum(tf) != dl (a union of two
+        # term sets over-counts; equal-dl different texts included).
         conflict = (
-            masked.groupBy("id")
-            .agg(F.count_distinct("dl").alias("__n"))
-            .filter(F.col("__n") > 1)
+            postings.groupBy("id")
+            .agg(
+                F.count_distinct("dl").alias("__nd"),
+                F.sum("tf").alias("__st"),
+                F.max("dl").alias("__dl"),
+            )
+            .filter((F.col("__nd") > 1) | (F.col("__st") != F.col("__dl")))
             .limit(1)
             .collect()
         )
@@ -443,10 +450,11 @@ class Bm25Index:
             raise ValueError(
                 f"id {conflict[0]['id']!r} carries conflicting postings "
                 "(same id appended with different text): rebuild would "
-                "pick an arbitrary survivor — delete() the id, then "
-                "append the new text"
+                "pick an arbitrary survivor — delete() the id, "
+                "rebuild() to purge it, THEN append the new text "
+                "(appending while the tombstone is live would mask the "
+                "new rows and the next rebuild would drop them)"
             )
-        postings = masked.dropDuplicates(["term", "id"])
         if not postings.head(1):
             # zero-row partitioned postings are unreadable (the
             # ingest-job bootstrap lesson): fail loudly instead

@@ -982,12 +982,17 @@ def video_frame_hashes(
                         ranges = vt.sample_ranges()
                     except Mp4Error:
                         continue
-                    if not ranges:
+                    if not ranges or not vt.timescale:
                         continue
                     times = vt.sample_times_ms(limit=len(ranges))
                     picks: list[int] = []
-                    end = int(vt.duration_ms)
-                    for tick in range(0, end + 1, every_ms):
+                    # cap the schedule at the LAST true sample: later
+                    # ticks always snap to the same index, and a hostile
+                    # mdhd duration (~2^32 s at timescale 1) would
+                    # otherwise spin billions of no-op ticks — the stts
+                    # 10M-frame rule applied to the tick loop
+                    end = min(int(vt.duration_ms), int(times[-1]))
+                    for tick in range(0, end + 1, max(int(every_ms), 1)):
                         i = bisect.bisect_right(times, tick) - 1
                         if i >= 0 and i < len(ranges) and (
                             not picks or picks[-1] != i
@@ -995,6 +1000,7 @@ def video_frame_hashes(
                             picks.append(i)
                         if len(picks) >= max_frames:
                             break
+                    emitted = 0
                     for i in picks:
                         off, sz = ranges[i]
                         if off < 0 or sz <= 0 or off + sz > len(data):
@@ -1004,7 +1010,12 @@ def video_frame_hashes(
                         except _DECODE_ERRORS:
                             continue
                         rows.append((int(mid), times[i], phash64(img)))
-                    break  # first decodable video track only
+                        emitted += 1
+                    if emitted:
+                        # stop at the first track that actually decodes;
+                        # a codec-matching track whose payloads are all
+                        # corrupt must not shadow a later decodable one
+                        break
             yield pd.DataFrame(
                 rows, columns=[f.name for f in VIDEO_FRAME_HASHES.fields]
             )

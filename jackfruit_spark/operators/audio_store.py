@@ -193,6 +193,7 @@ class AudioIndex:
         bands: int = 8,
         rows_per_band: int = 4,
         min_matches: int = 30,
+        max_bucket: int = 200,
         parts: int = 64,
         lm_parts: int = 64,
         fake: bool = False,
@@ -212,6 +213,7 @@ class AudioIndex:
             "bands": bands,
             "rows_per_band": rows_per_band,
             "min_matches": min_matches,
+            "max_bucket": max_bucket,
             "parts": parts,
             "lm_parts": lm_parts,
             "fake": fake,
@@ -301,13 +303,28 @@ class AudioIndex:
         """(id, corpus_id) LSH candidate pairs of a signed batch
         against the index: banded join on (band, band_hash) with the
         corpus side pruned to the delta's own ``bp`` residues (driver
-        IN-list → PartitionFilters). UNVERIFIED — feed `_offset_vote`."""
+        IN-list → PartitionFilters). The batch side drops DELTA band
+        buckets larger than ``max_bucket`` first (the skew guard the
+        batch operator carries — a delta of m identical-silence tracks
+        would otherwise multiply every colliding corpus row by m).
+        UNVERIFIED — feed `_offset_vote`."""
         m = self._manifest()
         id_col = m["id_col"]
         postings, _, _ = self._readers()
         banded_b = banded_signatures(
             batch_sig, id_col, bands=m["bands"], rows_per_band=m["rows_per_band"]
         ).withColumn("bp", F.pmod(F.col("band_hash"), F.lit(m["parts"])))
+        cap = m.get("max_bucket")
+        if cap is not None:
+            oversized = (
+                banded_b.groupBy("band", "band_hash")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > cap)
+                .select("band", "band_hash")
+            )
+            banded_b = banded_b.join(
+                F.broadcast(oversized), ["band", "band_hash"], "left_anti"
+            )
         bps = [r["bp"] for r in banded_b.select("bp").distinct().collect()]
         pruned = self._mask(
             postings.filter(F.col("bp").isin(bps)), id_col
@@ -380,7 +397,8 @@ class AudioIndex:
         from jackfruit_spark.operators.dedup import offset_consistent_pairs
 
         intra_cands = lsh_candidate_pairs(
-            sig_b, id_col, bands=m["bands"], rows_per_band=m["rows_per_band"]
+            sig_b, id_col, bands=m["bands"], rows_per_band=m["rows_per_band"],
+            max_bucket=m.get("max_bucket"),
         )
         intra = offset_consistent_pairs(
             intra_cands,

@@ -277,30 +277,34 @@ class CorpusIngestJob:
 
         media = persisted(media)
         n_in = media.count()
-        media, n_denied = self._apply_media_denylist(media)
+        is_aud, is_vid = self._modality_predicates(media)
+        audio_split = self.audio_kwargs is not None and (
+            "content_type" in media.columns
+        )
+        video_split = self.video_kwargs is not None and (
+            "content_type" in media.columns
+        )
+        # per-modality denylist gates run on each SLICE (code-review
+        # r11: the image gate over the un-split frame decode-attempted
+        # every audio/video payload per batch once any denylist existed)
+        img, n_denied = self._apply_media_denylist(
+            media.filter(~is_aud & ~is_vid)
+        )
         if n_denied:
-            media = persisted(media)
-        has_ct = "content_type" in media.columns
-        audio_split = self.audio_kwargs is not None and has_ct
-        video_split = self.video_kwargs is not None and has_ct
-        is_aud = (
-            F.col("content_type").startswith("audio/")
-            if audio_split
-            else F.lit(False)
-        )
-        is_vid = (
-            F.col("content_type").startswith("video/")
-            if video_split
-            else F.lit(False)
-        )
-        img = media.filter(~is_aud & ~is_vid)
+            # the gate's anti-join embeds a decode pass: persist or
+            # every downstream action re-decodes the slice
+            img = persisted(img)
         aud = media.filter(is_aud) if audio_split else None
         vid = media.filter(is_vid) if video_split else None
         if aud is not None:
             aud, n_denied_aud = self._apply_audio_denylist(aud)
+            if n_denied_aud:
+                aud = persisted(aud)
             n_denied += n_denied_aud
         if vid is not None:
             vid, n_denied_vid = self._apply_video_denylist(vid)
+            if n_denied_vid:
+                vid = persisted(vid)
             n_denied += n_denied_vid
         kept_img, n_img = self._stage_modality_flags(
             batch_id, img, "flags_media", self._image_flags
@@ -347,6 +351,33 @@ class CorpusIngestJob:
             "media_kept": n_kept,
             "media_dropped_dup": n_in - n_denied - n_kept,
         }
+
+    def _modality_predicates(self, media: DataFrame):
+        """(is_aud, is_vid) column predicates — THE modality routing,
+        shared by ingest and retract so tombstones always hit the index
+        a row was actually filed in (code-review r11: a retract split
+        computed from content_type alone missed phash tombstones for
+        audio rows that were image-pathed when audio_kwargs was off).
+        A slice is live only when its kwargs are set AND the frame
+        carries content_type; NULL content_type routes to the image
+        path (coalesce — three-valued logic would drop such rows from
+        every slice)."""
+        has_ct = "content_type" in media.columns
+        is_aud = (
+            F.coalesce(
+                F.col("content_type").startswith("audio/"), F.lit(False)
+            )
+            if has_ct and self.audio_kwargs is not None
+            else F.lit(False)
+        )
+        is_vid = (
+            F.coalesce(
+                F.col("content_type").startswith("video/"), F.lit(False)
+            )
+            if has_ct and self.video_kwargs is not None
+            else F.lit(False)
+        )
+        return is_aud, is_vid
 
     def _stage_modality_flags(
         self, batch_id: str, frame: DataFrame, flags_name: str, flag_fn
@@ -429,7 +460,7 @@ class CorpusIngestJob:
         else:
             VideoIndex.build(
                 kept, "media_id", os.path.join(self.root, "videofp"),
-                **(self.video_kwargs or {}),
+                **self._build_kwargs(VideoIndex.build, self.video_kwargs),
             )
 
     def _phash_apply(self, kept: DataFrame) -> None:
@@ -453,8 +484,22 @@ class CorpusIngestJob:
         else:
             AudioIndex.build(
                 kept, "media_id", os.path.join(self.root, "audiofp"),
-                **(self.audio_kwargs or {}),
+                **self._build_kwargs(AudioIndex.build, self.audio_kwargs),
             )
+
+    @staticmethod
+    def _build_kwargs(build_fn, kwargs: dict | None) -> dict:
+        """Slice a modality kwargs dict down to the index build's own
+        parameters — the dicts also carry gate-only knobs (e.g.
+        deny_est_threshold), and forwarding those raised TypeError
+        during the bootstrap build AFTER flags were staged (code-review
+        r11), leaving the batch half-applied."""
+        import inspect
+
+        accepted = set(inspect.signature(build_fn).parameters)
+        return {
+            k: v for k, v in (kwargs or {}).items() if k in accepted
+        }
 
     def _bootstrap_media_flags(self, media: DataFrame) -> DataFrame:
         """First-batch media flags without an index: intra-batch pHash
@@ -928,30 +973,23 @@ class CorpusIngestJob:
         )
         if self.with_media and msrc is not None:
             media = self.spark.read.parquet(msrc)
-            has_ct = "content_type" in media.columns
-            is_aud = (
-                F.col("content_type").startswith("audio/")
-                if has_ct
-                else F.lit(False)
-            )
-            is_vid = (
-                F.col("content_type").startswith("video/")
-                if has_ct
-                else F.lit(False)
-            )
+            # the SAME routing as ingest (_modality_predicates):
+            # tombstones and denylists must hit the index each row was
+            # actually filed in
+            is_aud, is_vid = self._modality_predicates(media)
+            img_slice = media.filter(~is_aud & ~is_vid)
             if self.denylist:
-                self._denylist_media_rows(media).write.mode(
-                    "overwrite"
-                ).parquet(
-                    os.path.join(self.media_denylist_dir, f"batch={batch_id}")
-                )
-                legs.append("denylist_media")
+                if img_slice.head(1):
+                    self._denylist_media_rows(img_slice).write.mode(
+                        "overwrite"
+                    ).parquet(
+                        os.path.join(
+                            self.media_denylist_dir, f"batch={batch_id}"
+                        )
+                    )
+                    legs.append("denylist_media")
                 aud_slice = media.filter(is_aud)
-                if (
-                    has_ct
-                    and self.audio_kwargs is not None
-                    and aud_slice.head(1)
-                ):
+                if aud_slice.head(1):
                     self._denylist_audio_rows(aud_slice).write.mode(
                         "overwrite"
                     ).parquet(
@@ -961,11 +999,7 @@ class CorpusIngestJob:
                     )
                     legs.append("denylist_audio")
                 vid_slice = media.filter(is_vid)
-                if (
-                    has_ct
-                    and self.video_kwargs is not None
-                    and vid_slice.head(1)
-                ):
+                if vid_slice.head(1):
                     self._denylist_video_rows(vid_slice).write.mode(
                         "overwrite"
                     ).parquet(

@@ -208,9 +208,20 @@ class VideoIndex:
             F.col(id_col).alias("media_id"),
             F.col(meta["payload_col"]).alias("payload"),
         )
-        return mm.video_frame_hashes(
-            renamed, every_ms=meta["every_ms"], max_frames=meta["max_frames"]
-        ).select(F.col("media_id").alias(id_col), "fhash")
+        # distinct: a static scene can hash two sampled frames
+        # identically; the vote counts DISTINCT hashes anyway, and
+        # canonical (id, fhash) rows keep maintain()'s replay detector
+        # (physical rows > distinct rows) from firing forever on such
+        # videos
+        return (
+            mm.video_frame_hashes(
+                renamed,
+                every_ms=meta["every_ms"],
+                max_frames=meta["max_frames"],
+            )
+            .select(F.col("media_id").alias(id_col), "fhash")
+            .distinct()
+        )
 
     @staticmethod
     def _write_postings(

@@ -355,9 +355,39 @@ def test_rebuild_rejects_conflicting_reappend(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="conflicting postings"):
         idx.rebuild()
-    # the documented path: delete the id, then append the new text
+    # the documented path: delete the id, rebuild to purge it, THEN
+    # append the new text (appending under a live tombstone would mask
+    # the new rows and the next rebuild would drop them)
     idx.delete(spark.createDataFrame([(DOCS[0][0],)], "id string"))
     idx.rebuild()
+    idx.append(
+        spark.createDataFrame(
+            [(DOCS[0][0], "replacement text body final")],
+            "doc_id string, text string",
+        )
+    )
+    idx.rebuild()  # clean: one consistent version per id again
+
+
+def test_rebuild_rejects_equal_dl_conflict(spark, tmp_path):
+    """code-review r11: two DIFFERENT texts with the SAME token count
+    escaped the dl-only check (dropDuplicates would merge their term
+    sets into a union matching neither document). The sum(tf) == dl
+    invariant catches it exactly."""
+    root = str(tmp_path / "bm25eqdl")
+    base = spark.createDataFrame(
+        [("x1", "red cat runs"), ("x2", "some other words here")],
+        "doc_id string, text string",
+    )
+    idx = Bm25Index.build(base, "doc_id", "text", root, parts=8)
+    idx.append(
+        spark.createDataFrame(
+            [("x1", "big dog naps")],  # same dl=3, different terms
+            "doc_id string, text string",
+        )
+    )
+    with pytest.raises(ValueError, match="conflicting postings"):
+        idx.rebuild()
 
 
 def test_maintain_rebuilds_on_replayed_append(spark, docs_df, tmp_path):

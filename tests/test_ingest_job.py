@@ -342,6 +342,35 @@ def test_video_leg_cross_batch_dedup_retract_and_denylist(spark, tmp_path):
     assert sorted(r["media_id"] for r in job.media().collect()) == [11, 21]
 
 
+def test_null_content_type_routes_to_image_path(spark, tmp_path):
+    """code-review r11: with the modality split active, a media row
+    whose content_type is NULL must fall through to the image path and
+    be kept — three-valued logic used to drop it from EVERY slice
+    (silent data loss miscounted as a duplicate)."""
+    from jackfruit_spark.sources.media_synth import (
+        encode_png,
+        encode_wav,
+        synth_audio,
+        synth_image,
+    )
+
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE,
+        with_media=True, phash_kwargs={"parts": 8},
+        audio_kwargs={"parts": 8, "lm_parts": 8},
+    )
+    s = job.run_batch(
+        "d1", _docs(spark, BATCH1),
+        media=_media_ct(spark, [
+            (0, encode_png(synth_image(520)), None),          # NULL ctype
+            (1, encode_wav(synth_audio(520)), "audio/wav"),
+        ]),
+    )
+    assert s["media_input"] == 2 and s["media_kept"] == 2
+    assert s["media_dropped_dup"] == 0
+    assert sorted(r["media_id"] for r in job.media().collect()) == [0, 1]
+
+
 def test_audio_denylist_blocks_reingestion(spark, tmp_path):
     """The audio twin of the media denylist (r11): retract a batch with
     tracks, re-ingest a byte-identical copy AND an 8-bit re-quantized

@@ -66,6 +66,28 @@ class TestFrameHashStage:
         assert {r["fhash"] for r in out} == want
 
 
+class TestHostileContainer:
+    def test_huge_mdhd_duration_is_bounded(self, spark):
+        """code-review r11: the tick schedule is capped at the LAST
+        true sample timestamp — a hostile mdhd duration (~2^31 ticks at
+        timescale 1) must not spin billions of no-op ticks (this test
+        HANGS if the cap regresses)."""
+        import struct
+
+        frames = synth_video_frames(40, n_frames=2)
+        data = encode_mjpeg_mp4(frames, fps=1)
+        good = struct.pack(">IIII", 0, 0, 1, 2)       # mdhd: ts=1, dur=2
+        bad = struct.pack(">IIII", 0, 0, 1, 2**31 - 1)
+        assert data.count(good) == 1
+        hostile = data.replace(good, bad, 1)
+        assert mp4.parse_mp4(hostile).video_tracks[0].duration_ms > 1e12
+        df = spark.createDataFrame(
+            [(1, bytearray(hostile))], "media_id long, payload binary"
+        )
+        out = mm.video_frame_hashes(df, every_ms=500).collect()
+        assert len(out) == 2  # both true keyframes, nothing more
+
+
 class TestVideoNearDup:
     def test_clusters_reencodes_keeps_distinct(self, spark):
         from jackfruit_spark._persist import release_all
