@@ -1,0 +1,144 @@
+"""Shared lifecycle for versioned on-disk index stores — ONE
+implementation of the atomic-swap / tombstone / vacuum block that
+LshIndex, Bm25Index, PhashIndex, AudioIndex, and VideoIndex previously
+each carried a copy of (code-review r11: six drifting copies; a future
+lifecycle fix applied five times WILL miss one).
+
+The pattern (r8/r9, measured and tested across every family):
+
+- ``data_vN`` versioned data dirs + a tiny JSON manifest; mutations
+  write a NEW version and swap the manifest atomically (tmp +
+  os.replace) LAST, so a crashed rebuild leaves the old version live.
+- Tombstone deletes: ids land in a ``deletes/`` parquet; read paths
+  anti-join it broadcast-side (deletion-sized, never corpus-sized);
+  ``rebuild()`` compacts physically and clears the tombstones.
+- ``vacuum()`` prunes superseded version dirs after readers drain.
+
+Subclass contract:
+
+- ``__init__`` sets ``self.spark``, ``self.root``,
+  ``self.manifest_path``, ``self._meta = None``.
+- ``_id_frame()`` returns a DataFrame carrying the tombstone-key column
+  (used to infer the id dtype for list-form ``delete``).
+- ``_tombstone_key()`` defaults to the manifest's ``id_col``; override
+  when internal frames rename it (Bm25Index masks on ``"id"``).
+- ``_invalidate()`` clears reader caches if the store keeps any
+  (no-op default).
+
+(``IvfIndex`` predates this block with a different manifest/version
+architecture and keeps its own implementation.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class VersionedStoreLifecycle:
+    # ------------------------------------------------------- manifest
+
+    def _manifest(self) -> dict:
+        if self._meta is None:
+            with open(self.manifest_path) as f:
+                self._meta = json.load(f)
+        return self._meta
+
+    def _swap_manifest(self, meta: dict) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.manifest_path)
+        self._meta = meta
+
+    def _next_version(self) -> str:
+        versions = [
+            int(d[len("data_v"):])
+            for d in os.listdir(self.root)
+            if d.startswith("data_v") and d[len("data_v"):].isdigit()
+        ]
+        return f"data_v{max(versions, default=0) + 1}"
+
+    # ---------------------------------------------------------- hooks
+
+    def _tombstone_key(self) -> str:
+        return self._manifest()["id_col"]
+
+    def _id_frame(self) -> DataFrame:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _invalidate(self) -> None:
+        pass
+
+    # -------------------------------------------------------- deletes
+
+    @property
+    def deletes_dir(self) -> str:
+        return os.path.join(self.root, "deletes")
+
+    def delete(self, ids):
+        """Tombstone deletes (the shared r9 lifecycle): ids land in a
+        tiny ``deletes/`` parquet that every read path anti-joins
+        broadcast-side; ``rebuild()`` compacts physically. ``ids``: a
+        python list, or a DataFrame whose FIRST column is the id.
+        Idempotent — duplicate tombstone rows are distinct'd away."""
+        key = self._tombstone_key()
+        if isinstance(ids, DataFrame):
+            df = ids.select(F.col(ids.columns[0]).alias(key))
+        else:
+            id_type = self._id_frame().schema[key].dataType.simpleString()
+            df = self.spark.createDataFrame(
+                [(i,) for i in ids], f"{key} {id_type}"
+            )
+        df.write.mode("append").parquet(self.deletes_dir)
+        return self
+
+    def _tombstones(self) -> DataFrame | None:
+        d = self.deletes_dir
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return None
+        return self.spark.read.parquet(d)
+
+    def _mask(self, df: DataFrame, key: str | None = None) -> DataFrame:
+        """Anti-join the tombstones out of ``df`` on ``key`` (defaults
+        to the store's tombstone key; pass a name when the frame
+        carries the id under an alias)."""
+        t = self._tombstones()
+        if t is None:
+            return df
+        want = key or self._tombstone_key()
+        stored = self._tombstone_key()
+        if want != stored:
+            t = t.withColumnRenamed(stored, want)
+        return df.join(F.broadcast(t.distinct()), want, "left_anti")
+
+    def _clear_tombstones(self) -> None:
+        if os.path.isdir(self.deletes_dir):
+            import shutil
+
+            shutil.rmtree(self.deletes_dir, ignore_errors=True)
+
+    # --------------------------------------------------------- vacuum
+
+    def vacuum(self) -> list[str]:
+        """Delete superseded ``data_v*`` directories (everything except
+        the one the manifest points at). Run after readers of the old
+        version have drained; returns the removed directory names."""
+        import shutil
+
+        live = self._manifest()["data_dir"]
+        removed = []
+        for d in os.listdir(self.root):
+            if (
+                d.startswith("data_v")
+                and d[len("data_v"):].isdigit()
+                and d != live
+            ):
+                shutil.rmtree(os.path.join(self.root, d))
+                removed.append(d)
+        return removed

@@ -55,6 +55,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jackfruit_spark._store import VersionedStoreLifecycle
+
 _MANIFEST = "bm25_manifest.json"
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
@@ -88,7 +90,7 @@ def bm25_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-class Bm25Index:
+class Bm25Index(VersionedStoreLifecycle):
     """Handle to a built index: ``root/data_vN/{postings,termstats_vK,
     docstats}`` plus ``root/bm25_manifest.json``."""
 
@@ -110,12 +112,6 @@ class Bm25Index:
     @property
     def _termstats_path(self) -> str:
         return os.path.join(self.data_path, self._manifest()["termstats_dir"])
-
-    def _manifest(self) -> dict:
-        if self._meta is None:
-            with open(self.manifest_path) as f:
-                self._meta = json.load(f)
-        return self._meta
 
     def refresh(self) -> "Bm25Index":
         """Drop cached manifest + readers (external append/rebuild)."""
@@ -139,19 +135,16 @@ class Bm25Index:
             self._df_paths = paths
         return self._postings, self._termstats
 
-    def _next_version(self) -> str:
-        versions = [
-            int(d[len("data_v"):])
-            for d in os.listdir(self.root)
-            if d.startswith("data_v") and d[len("data_v"):].isdigit()
-        ]
-        return f"data_v{max(versions, default=0) + 1}"
-
     # ---------------------------------------------------------- deletes
 
-    @property
-    def deletes_dir(self) -> str:
-        return os.path.join(self.root, "deletes")
+    def _tombstone_key(self) -> str:
+        # internal frames carry the doc id as "id" regardless of the
+        # original id_col name
+        return "id"
+
+    def _id_frame(self) -> DataFrame:
+        postings, _ = self._readers()
+        return postings
 
     def delete(self, ids) -> "Bm25Index":
         """Tombstone deletes (the IvfIndex.delete pattern, r9): ids land
@@ -167,37 +160,7 @@ class Bm25Index:
         SURVIVING docs shift by at most the deleted share of those
         global stats, never resurrect a deleted doc. ``ids``: list or
         DataFrame (first column)."""
-        postings, _ = self._readers()
-        if isinstance(ids, DataFrame):
-            df = ids.select(F.col(ids.columns[0]).alias("id"))
-        else:
-            id_type = postings.schema["id"].dataType.simpleString()
-            df = self.spark.createDataFrame(
-                [(i,) for i in ids], f"id {id_type}"
-            )
-        df.write.mode("append").parquet(self.deletes_dir)
-        return self
-
-    def _tombstones(self) -> DataFrame | None:
-        d = self.deletes_dir
-        if not os.path.isdir(d) or not any(
-            f.endswith(".parquet") for f in os.listdir(d)
-        ):
-            return None
-        return self.spark.read.parquet(d)
-
-    def _mask(self, df: DataFrame) -> DataFrame:
-        t = self._tombstones()
-        if t is None:
-            return df
-        return df.join(F.broadcast(t.distinct()), "id", "left_anti")
-
-    def _swap_manifest(self, meta: dict) -> None:
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self.manifest_path)
-        self._meta = meta
+        return super().delete(ids)
 
     # ------------------------------------------------------------ build
 
@@ -491,10 +454,7 @@ class Bm25Index:
         })
         # clear spent tombstones AFTER the swap (the IvfIndex rule: a
         # crash in between double-masks already-gone ids, harmlessly)
-        if os.path.isdir(self.deletes_dir):
-            import shutil
-
-            shutil.rmtree(self.deletes_dir, ignore_errors=True)
+        self._clear_tombstones()
         self._invalidate()
         return self
 

@@ -59,6 +59,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jackfruit_spark._store import VersionedStoreLifecycle
 from jackfruit_spark.operators.dedup import (
     banded_signatures,
     connected_components,
@@ -94,10 +95,11 @@ def _offset_vote(
     )
 
 
-class AudioIndex:
+class AudioIndex(VersionedStoreLifecycle):
     """Handle to a built index: ``root/data_vN/{landmarks,sigs,postings}``
     plus ``root/audio_manifest.json`` (fingerprint geometry + current
-    data dir)."""
+    data dir). Lifecycle (versioned dirs, atomic swap, tombstones,
+    vacuum) comes from the shared `VersionedStoreLifecycle`."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -132,54 +134,9 @@ class AudioIndex:
         self._postings = self._sigs = self._landmarks = None
         self._df_path = None
 
-    def _manifest(self) -> dict:
-        if self._meta is None:
-            with open(self.manifest_path) as f:
-                self._meta = json.load(f)
-        return self._meta
-
-    # ---------------------------------------------------------- deletes
-
-    @property
-    def deletes_dir(self) -> str:
-        return os.path.join(self.root, "deletes")
-
-    def delete(self, ids) -> "AudioIndex":
-        """Tombstone deletes (the shared r9 lifecycle): removed tracks
-        stop producing candidate pairs without rewriting partitions;
-        ``rebuild()`` compacts. ``ids``: list or DataFrame (first
-        column)."""
-        m = self._manifest()
-        id_col = m["id_col"]
-        if isinstance(ids, DataFrame):
-            df = ids.select(F.col(ids.columns[0]).alias(id_col))
-        else:
-            _, sigs, _ = self._readers()
-            id_type = sigs.schema[id_col].dataType.simpleString()
-            df = self.spark.createDataFrame(
-                [(i,) for i in ids], f"{id_col} {id_type}"
-            )
-        df.write.mode("append").parquet(self.deletes_dir)
-        return self
-
-    def _tombstones(self) -> DataFrame | None:
-        d = self.deletes_dir
-        if not os.path.isdir(d) or not any(
-            f.endswith(".parquet") for f in os.listdir(d)
-        ):
-            return None
-        return self.spark.read.parquet(d)
-
-    def _mask(self, df: DataFrame, key: str) -> DataFrame:
-        t = self._tombstones()
-        if t is None:
-            return df
-        id_col = self._manifest()["id_col"]
-        return df.join(
-            F.broadcast(t.distinct().withColumnRenamed(id_col, key)),
-            key,
-            "left_anti",
-        )
+    def _id_frame(self) -> DataFrame:
+        _, sigs, _ = self._readers()
+        return sigs
 
     # ------------------------------------------------------------ build
 
@@ -281,21 +238,6 @@ class AudioIndex:
         ).repartition("bp").write.mode(mode).partitionBy("bp").parquet(
             os.path.join(data_path, "postings")
         )
-
-    def _next_version(self) -> str:
-        versions = [
-            int(d[len("data_v"):])
-            for d in os.listdir(self.root)
-            if d.startswith("data_v") and d[len("data_v"):].isdigit()
-        ]
-        return f"data_v{max(versions, default=0) + 1}"
-
-    def _swap_manifest(self, meta: dict) -> None:
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self.manifest_path)
-        self._meta = meta
 
     # ------------------------------------------------------------ probe
 
@@ -483,10 +425,7 @@ class AudioIndex:
         )
         m["data_dir"] = data_dir
         self._swap_manifest(m)
-        if os.path.isdir(self.deletes_dir):
-            import shutil
-
-            shutil.rmtree(self.deletes_dir, ignore_errors=True)
+        self._clear_tombstones()
         self._invalidate()
         return self
 
@@ -512,21 +451,6 @@ class AudioIndex:
                 st["vacuumed"] = self.vacuum()
             st["after"] = self.stats()
         return {**st, "rebuilt": rebuilt}
-
-    def vacuum(self) -> list[str]:
-        import shutil
-
-        live = self._manifest()["data_dir"]
-        removed = []
-        for d in os.listdir(self.root):
-            if (
-                d.startswith("data_v")
-                and d[len("data_v"):].isdigit()
-                and d != live
-            ):
-                shutil.rmtree(os.path.join(self.root, d))
-                removed.append(d)
-        return removed
 
     def stats(self) -> dict:
         """Index size + bucket stats. Always re-lists (the cross-handle

@@ -52,6 +52,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jackfruit_spark._store import VersionedStoreLifecycle
 from jackfruit_spark.operators.dedup import (
     banded_signatures,
     connected_components,
@@ -61,9 +62,11 @@ from jackfruit_spark.operators.dedup import (
 _MANIFEST = "lsh_manifest.json"
 
 
-class LshIndex:
+class LshIndex(VersionedStoreLifecycle):
     """Handle to a built index: ``root/data_vN/{sigs,postings}`` plus
-    ``root/lsh_manifest.json`` (LSH geometry + current data dir)."""
+    ``root/lsh_manifest.json`` (LSH geometry + current data dir).
+    Lifecycle (versioned dirs, atomic swap, tombstones, vacuum) comes
+    from the shared `VersionedStoreLifecycle`."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -98,17 +101,9 @@ class LshIndex:
         self._postings = self._sigs = None
         self._df_path = None
 
-    def _manifest(self) -> dict:
-        if self._meta is None:
-            with open(self.manifest_path) as f:
-                self._meta = json.load(f)
-        return self._meta
-
-    # ---------------------------------------------------------- deletes
-
-    @property
-    def deletes_dir(self) -> str:
-        return os.path.join(self.root, "deletes")
+    def _id_frame(self) -> DataFrame:
+        _, sigs = self._readers()
+        return sigs
 
     def delete(self, ids) -> "LshIndex":
         """Tombstone deletes (the IvfIndex.delete pattern, r9): removed
@@ -118,34 +113,7 @@ class LshIndex:
         scan broadcast-side; ``rebuild()`` compacts (drops masked sigs,
         re-derives postings, clears tombstones after the swap).
         ``ids``: list or DataFrame (first column)."""
-        m = self._manifest()
-        id_col = m["id_col"]
-        if isinstance(ids, DataFrame):
-            df = ids.select(F.col(ids.columns[0]).alias(id_col))
-        else:
-            _, sigs = self._readers()
-            id_type = sigs.schema[id_col].dataType.simpleString()
-            df = self.spark.createDataFrame(
-                [(i,) for i in ids], f"{id_col} {id_type}"
-            )
-        df.write.mode("append").parquet(self.deletes_dir)
-        return self
-
-    def _tombstones(self) -> DataFrame | None:
-        d = self.deletes_dir
-        if not os.path.isdir(d) or not any(
-            f.endswith(".parquet") for f in os.listdir(d)
-        ):
-            return None
-        return self.spark.read.parquet(d)
-
-    def _mask(self, df: DataFrame) -> DataFrame:
-        t = self._tombstones()
-        if t is None:
-            return df
-        return df.join(
-            F.broadcast(t.distinct()), self._manifest()["id_col"], "left_anti"
-        )
+        return super().delete(ids)
 
     # ------------------------------------------------------------ build
 
@@ -217,24 +185,6 @@ class LshIndex:
         # probe latency and the maintain() fragmentation trigger both
         # track files opened
         postings.repartition("bp").write.mode(mode).partitionBy("bp").parquet(path)
-
-    def _next_version(self) -> str:
-        versions = [
-            int(d[len("data_v"):])
-            for d in os.listdir(self.root)
-            if d.startswith("data_v") and d[len("data_v"):].isdigit()
-        ]
-        return f"data_v{max(versions, default=0) + 1}"
-
-    def _swap_manifest(self, meta: dict) -> None:
-        """tmp-write + os.replace: the atomic-swap invariant (a crash
-        leaves the OLD version live) that build and rebuild both rely
-        on — one implementation so a future fix cannot miss a copy."""
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self.manifest_path)
-        self._meta = meta
 
     # ------------------------------------------------------------ probe
 
@@ -454,10 +404,7 @@ class LshIndex:
         m["data_dir"] = data_dir
         self._swap_manifest(m)
         # clear spent tombstones AFTER the swap (the IvfIndex rule)
-        if os.path.isdir(self.deletes_dir):
-            import shutil
-
-            shutil.rmtree(self.deletes_dir, ignore_errors=True)
+        self._clear_tombstones()
         self._invalidate()
         return self
 
@@ -493,22 +440,6 @@ class LshIndex:
                 st["vacuumed"] = self.vacuum()
             st["after"] = self.stats()
         return {**st, "rebuilt": rebuilt}
-
-    def vacuum(self) -> list[str]:
-        """Delete superseded data versions; returns removed dirs."""
-        import shutil
-
-        live = self._manifest()["data_dir"]
-        removed = []
-        for d in os.listdir(self.root):
-            if (
-                d.startswith("data_v")
-                and d[len("data_v"):].isdigit()
-                and d != live
-            ):
-                shutil.rmtree(os.path.join(self.root, d))
-                removed.append(d)
-        return removed
 
     def stats(self) -> dict:
         """Corpus size + posting layout stats (the fragmentation signal

@@ -134,6 +134,47 @@ def test_audio_dedup_stays_linear(spark, tmp_path):
     assert alpha is not None and alpha <= 1.30, (alpha, pts)
 
 
+def test_video_dedup_stays_linear(spark, tmp_path):
+    """Video near-dup growth guard (r11): keyframe pHash caps hash rows
+    at max_frames per video regardless of length, and the banded-Hamming
+    candidate stage must keep total cost ~linear in video count
+    (measured alpha 0.33 at x1/x3/x10, PERFORMANCE.md r11 — parse +
+    frame decode dominate; dup density fixed at 0.2 so true pairs grow
+    linearly too). Same 1.30 ceiling as audio: linear decode work is
+    expected, the guard catches an all-pairs frame join (~2.0)."""
+    import time
+
+    import scale_rehearsal as SR
+    from bench import image_bench_media
+    from jackfruit_spark._persist import release_all
+    from jackfruit_spark.operators.dedup import video_near_dup
+    from jackfruit_spark.sources.media_synth import (
+        video_corpus,
+        write_image_wds_shards,
+    )
+
+    pts = {}
+    for m in MULTS:
+        vid = str(tmp_path / f"vid{m}")
+        write_image_wds_shards(
+            video_corpus(SR.VID_BASE * m, dup_frac=0.2, seed=7), vid,
+            n_shards=32,
+        )
+        media = image_bench_media(spark, os.path.join(vid, "*.tar"))
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            video_near_dup(media).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+            release_all()
+            spark.catalog.clearCache()
+        pts[m] = best
+    alpha = SR.fit_alpha(pts)
+    assert alpha is not None and alpha <= 1.30, (alpha, pts)
+
+
 def test_bm25_stays_subquadratic(spark, rehearsal_dirs, tmp_path):
     """Build + fixed-batch search of the BM25 index (measured alpha
     0.02-0.12 at x1/x3/x10, PERFORMANCE.md late r8). Ceiling 0.50 like
