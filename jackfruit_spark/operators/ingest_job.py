@@ -1192,4 +1192,16 @@ class CorpusIngestJob:
             ph = self._phash()
             if os.path.exists(ph.manifest_path):
                 report["phash"] = ph.maintain()
+        # audio/video fingerprint legs accumulate the same replayed-
+        # append + retract-tombstone debt as phash (r11: maintain()
+        # originally skipped them — exactly the drift the shared
+        # lifecycle exists to prevent)
+        if self.audio_kwargs is not None:
+            af = self._audiofp()
+            if os.path.exists(af.manifest_path):
+                report["audiofp"] = af.maintain()
+        if self.video_kwargs is not None:
+            vf = self._videofp()
+            if os.path.exists(vf.manifest_path):
+                report["videofp"] = vf.maintain()
         return report

@@ -649,6 +649,41 @@ def test_validation_and_maintain(spark, tmp_path):
     assert "lsh" in report and "ivf" in report
 
 
+def test_maintain_reaches_audio_and_video_legs(spark, tmp_path):
+    """r11: maintain() originally skipped the audiofp/videofp legs —
+    retract-driven tombstone debt there never triggered a rebuild.
+    Ingest one audio + one video row, retract the batch (tombstones
+    both legs), and pin that maintain() reports both families and the
+    debt-triggered rebuild clears the tombstones."""
+    from jackfruit_spark.sources.media_synth import (
+        encode_mjpeg_mp4,
+        encode_wav,
+        synth_audio,
+        synth_video_frames,
+    )
+
+    job = CorpusIngestJob(
+        spark, str(tmp_path / "job"), curate_kwargs=CURATE,
+        with_media=True, phash_kwargs={"parts": 8},
+        audio_kwargs={"parts": 8, "lm_parts": 8},
+        video_kwargs={"parts": 8},
+    )
+    job.run_batch("d1", _docs(spark, BATCH1), media=_media_ct(spark, [
+        (0, encode_wav(synth_audio(700)), "audio/wav"),
+        (1, encode_mjpeg_mp4(synth_video_frames(800)), "video/mp4"),
+    ]))
+    job.run_batch("d2", _docs(spark, BATCH2), media=_media_ct(spark, [
+        (10, encode_wav(synth_audio(701)), "audio/wav"),
+        (11, encode_mjpeg_mp4(synth_video_frames(801)), "video/mp4"),
+    ]))
+    job.retract_batch("d1")  # 1 of 2 tombstoned on each leg: 50% debt
+    report = job.maintain()
+    assert "audiofp" in report and report["audiofp"]["rebuilt"]
+    assert "videofp" in report and report["videofp"]["rebuilt"]
+    assert not os.path.isdir(os.path.join(job.root, "audiofp", "deletes"))
+    assert not os.path.isdir(os.path.join(job.root, "videofp", "deletes"))
+
+
 def test_maintain_before_first_batch_is_empty(spark, tmp_path):
     job = CorpusIngestJob(
         spark, str(tmp_path / "job"), curate_kwargs=CURATE, ivf_dim=16
