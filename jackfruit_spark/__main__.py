@@ -240,6 +240,7 @@ def cmd_curate(args) -> int:
         ),
         decontam_k=args.decontam_k,
         decontam_bloom=args.decontam_bloom,
+        normalize=args.normalize,
         c4=args.c4,
         badwords=(
             [w for w in args.badwords.split(",") if w]
@@ -1476,6 +1477,11 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--quality-model", default=None,
         help="saved train-classifier JSON (skips in-run training)",
+    )
+    cu.add_argument(
+        "--normalize", action="store_true",
+        help="Unicode normalization first: mojibake repair, NFC, "
+             "control/zero-width strip, whitespace canonicalization",
     )
     cu.add_argument(
         "--c4", action="store_true",

@@ -1,0 +1,148 @@
+"""Unicode text normalization — the CCNet/C4-style pre-stage that runs
+BEFORE tokenization, dedup, and quality scoring so that byte-level
+variants of the same text (NFC vs NFD, mojibake, exotic spaces) hash
+and shingle identically.
+
+What it fixes, in order (all stdlib, deterministic):
+
+1. **Mojibake repair** (opt-out ``fix_encoding=False``): the dominant
+   real-crawl corruption class — UTF-8 bytes decoded as cp1252/latin-1
+   ("CafÃ©", "â€™"). Repair is the ftfy core move re-implemented
+   conservatively: re-encode through cp1252 (latin-1 fallback for the
+   five unmapped cp1252 codepoints) and strictly re-decode as UTF-8.
+   The STRICT decode is the safety latch — genuine single high-bytes
+   ("não") produce invalid UTF-8 sequences and the repair is abandoned;
+   a repair is also rejected unless it strictly reduces the mojibake
+   marker count. Up to two rounds (double-encoded text exists in real
+   crawls).
+2. **NFC normalization** (``unicodedata.normalize``): decomposed
+   "e\\u0301" and composed "é" become one byte sequence.
+3. **Character hygiene**: C0/C1 control chars removed (``\\n`` and
+   ``\\t`` kept), zero-widths (ZWSP/ZWNJ/ZWJ/BOM) and soft hyphens
+   dropped, the Unicode space zoo (NBSP, en/em/thin/ideographic…)
+   mapped to ASCII space.
+4. **Whitespace canonicalization**: runs of spaces/tabs collapse to one
+   space, trailing spaces per line stripped, whole-doc strip.
+
+Scale shape: ONE Arrow pass, zero shuffle (plan-asserted in
+tests/test_normalize.py). Inside the kernel, pure printable-ASCII rows
+(the majority of web text by row count) are detected with a vectorized
+C-level pandas regex and take a pandas-native fast path (steps 1–3 are
+no-ops for ASCII; step 4 runs as vectorized ``str.replace``); only
+non-ASCII rows pay the per-row Python normalize.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Marker characters that cp1252-misdecoded UTF-8 produces: the lead
+# bytes 0xC2-0xC3 (Ã, Â) and 0xE2 (â) cover the Latin-1 supplement +
+# general punctuation, which is where real-world mojibake lives.
+_MOJIBAKE = re.compile("[ÂÃâ]")
+
+# C0 (minus \t\n) + DEL + C1 controls, zero-widths, soft hyphen: drop.
+_DROP = dict.fromkeys(
+    [i for i in range(0x20) if chr(i) not in "\t\n"]
+    + list(range(0x7F, 0xA0))
+    + [0x200B, 0x200C, 0x200D, 0xFEFF, 0x00AD]
+)
+# Unicode spaces -> ASCII space.
+_SPACE = dict.fromkeys(
+    [0x00A0, 0x1680, 0x202F, 0x205F, 0x3000] + list(range(0x2000, 0x200B)),
+    " ",
+)
+_CHAR_MAP = {**_DROP, **_SPACE}
+
+_HSPACE_RUN = re.compile(r"[ \t]+")
+_LINE_TRAIL = re.compile(r" *\n *")  # strip around newlines both sides
+_ASCII_ROW = re.compile(r"^[\x20-\x7E\t\n]*$")
+
+
+def _repair_encoding(s: str) -> str:
+    """Two rounds of cp1252-roundtrip mojibake repair; each round must
+    survive a STRICT UTF-8 decode and strictly reduce the marker count,
+    else the input is returned unchanged."""
+    for _ in range(2):
+        n_markers = len(_MOJIBAKE.findall(s))
+        if n_markers == 0:
+            return s
+        try:
+            raw = s.encode("cp1252")
+        except UnicodeEncodeError:
+            try:
+                raw = s.encode("latin-1")
+            except UnicodeEncodeError:
+                return s
+        try:
+            fixed = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return s
+        if len(_MOJIBAKE.findall(fixed)) >= n_markers:
+            return s
+        s = fixed
+    return s
+
+
+def normalize_string(s: str, fix_encoding: bool = True) -> str:
+    """Single-string form (the kernel's per-row path; importable for
+    tests and oracles)."""
+    if fix_encoding:
+        s = _repair_encoding(s)
+    s = unicodedata.normalize("NFC", s)
+    s = s.translate(_CHAR_MAP)
+    s = _HSPACE_RUN.sub(" ", s)
+    s = _LINE_TRAIL.sub("\n", s)
+    return s.strip()
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    output_col: str | None = None,
+    fix_encoding: bool = True,
+) -> DataFrame:
+    """Normalize ``text_col`` in one Arrow pass (see module docstring
+    for the exact transform). ``output_col`` defaults to in-place.
+    NULL rows pass through as NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    @pandas_udf("string")
+    def _normalize(texts):
+        import pandas as pd
+
+        from jackfruit_spark.functions.normalize import (
+            _ASCII_ROW,
+            _HSPACE_RUN,
+            _LINE_TRAIL,
+            normalize_string,
+        )
+
+        notnull = texts.notna()
+        ascii_mask = notnull & texts.str.match(_ASCII_ROW, na=False)
+        out = texts.copy()
+        # vectorized fast path: ASCII rows only need whitespace hygiene
+        fast = out[ascii_mask]
+        fast = fast.str.replace(_HSPACE_RUN, " ", regex=True)
+        fast = fast.str.replace(_LINE_TRAIL, "\n", regex=True)
+        out[ascii_mask] = fast.str.strip()
+        slow_mask = notnull & ~ascii_mask
+        if slow_mask.any():
+            out[slow_mask] = pd.Series(
+                [
+                    normalize_string(s, fix_encoding=fix_encoding)
+                    for s in out[slow_mask]
+                ],
+                index=out[slow_mask].index,
+            )
+        return out
+
+    return df.withColumn(output_col or text_col, _normalize(F.col(text_col)))

@@ -1039,6 +1039,8 @@ def curate_corpus(
     decontam_bench: DataFrame | None = None,
     decontam_k: int = 8,
     decontam_bloom: bool = False,
+    normalize: bool = False,
+    normalize_fix_encoding: bool = True,
     c4: bool = False,
     badwords: list[str] | None = None,
     gopher: bool = False,
@@ -1090,6 +1092,15 @@ def curate_corpus(
     over a fixed corpus, ``decontaminate_retrieval`` over a Bm25Index
     is the amortized alternative.
 
+    ``normalize=True`` prepends Unicode normalization
+    (``functions/normalize.normalize_text``: mojibake repair, NFC,
+    control/zero-width strip, whitespace canonicalization) as the VERY
+    FIRST stage — it rewrites bytes, so every downstream gate, hash,
+    and shingle must see the normalized form (NFD vs NFC variants of
+    one document must exact-dedup together). One Arrow pass, no
+    shuffle; ``normalize_fix_encoding=False`` skips the mojibake
+    roundtrip.
+
     ``c4=True`` (optionally with ``badwords``) prepends the C4
     heuristic cleanup (``c4_clean``) BEFORE the gates — it rewrites
     text, so every later stage must see the cleaned form.
@@ -1108,6 +1119,12 @@ def curate_corpus(
     from jackfruit_spark.functions import text as T
     from jackfruit_spark.functions.hashing import md5_hash64
 
+    if normalize:
+        from jackfruit_spark.functions.normalize import normalize_text
+
+        df = normalize_text(
+            df, text_col, fix_encoding=normalize_fix_encoding
+        )
     if c4 or badwords:
         df = c4_clean(df, text_col, badwords=badwords)
     if gopher:

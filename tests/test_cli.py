@@ -118,6 +118,35 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     assert rc == 0 and stats["curated"] == 0
 
 
+def test_cli_curate_normalize(spark, tmp_path, capsys):
+    """--normalize makes byte-variant spellings of one document (here a
+    cp1252-mojibake copy) collapse in the exact-dedup stage."""
+    import json as J
+
+    clean = "the café by the quick brown fox and the lazy dog today"
+    moji = clean.encode("utf-8").decode("cp1252")
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(
+        J.dumps({"doc_id": i, "text": t, "lang": "en", "source": "a",
+                 "n_chars": len(t)})
+        for i, t in ((1, clean), (2, moji))
+    ))
+    out_dir = tmp_path / "curated"
+    rc = main([
+        "curate", "--input", str(src), "--output", str(out_dir),
+    ])
+    stats = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and stats["curated"] == 2  # raw: byte-distinct
+    rc = main([
+        "curate", "--input", str(src), "--output", str(out_dir),
+        "--normalize",
+    ])
+    stats = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and stats["curated"] == 1
+    got = spark.read.parquet(str(out_dir)).collect()
+    assert got[0]["doc_id"] == 1 and got[0]["text"] == clean
+
+
 def test_cli_curate_quality_tier(spark, tmp_path, capsys):
     """--quality-positives + --min-quality: the learned tier drops junk
     the heuristic gates alone pass (stop-ratio gate disabled here so

@@ -1,0 +1,145 @@
+"""Unicode normalization tier (functions/normalize.py): mojibake
+repair, NFC, character hygiene, whitespace canonicalization — plus the
+plan shape (one Arrow pass, zero shuffle) and the curate_corpus
+composition (NFD/NFC variants exact-dedup together after normalize).
+
+Non-ASCII inputs are spelled as escapes so the fixtures can't be
+silently re-encoded by an editor: NFD e-acute is "e\\u0301", NFC is
+"\\u00e9", ZWSP "\\u200b", BOM "\\ufeff", soft hyphen "\\u00ad",
+NBSP "\\u00a0", em space "\\u2003", ideographic space "\\u3000"."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.functions.normalize import (
+    normalize_string,
+    normalize_text,
+)
+
+NFD_CAFE = "Café"
+NFC_CAFE = "Café"
+MOJI_CAFE = NFC_CAFE.encode("utf-8").decode("cp1252")  # "CafÃ©"
+
+
+class TestNormalizeString:
+    def test_mojibake_single_round(self):
+        assert MOJI_CAFE != NFC_CAFE  # fixture sanity
+        assert normalize_string(MOJI_CAFE) == NFC_CAFE
+        # cp1252 punctuation class: curly apostrophe and em dash
+        moji_punct = "don’t — ever".encode("utf-8").decode(
+            "cp1252"
+        )
+        assert normalize_string(moji_punct) == "don’t — ever"
+
+    def test_mojibake_double_encoded(self):
+        twice = MOJI_CAFE.encode("utf-8").decode("cp1252")
+        assert normalize_string(twice) == NFC_CAFE
+
+    def test_genuine_accents_untouched(self):
+        # single high codepoints re-encode to invalid UTF-8: the strict
+        # decode latch abandons the repair
+        assert normalize_string("São Paulo, não") == (
+            "São Paulo, não"
+        )
+        assert normalize_string("SÃO PAULO") == "SÃO PAULO"
+        assert normalize_string("Ärger über Köln") == (
+            "Ärger über Köln"
+        )
+
+    def test_nfc_composition(self):
+        assert NFD_CAFE != NFC_CAFE  # fixture sanity
+        assert normalize_string(NFD_CAFE) == NFC_CAFE
+        assert normalize_string(NFC_CAFE) == NFC_CAFE  # already NFC
+
+    def test_control_and_zero_width_strip(self):
+        assert normalize_string("a\x00b\x07c\x9fd") == "abcd"
+        assert normalize_string("zero​width﻿gone") == (
+            "zerowidthgone"
+        )
+        assert normalize_string("soft­hyphen") == "softhyphen"
+
+    def test_newline_and_tab_survive_as_structure(self):
+        assert normalize_string("line1\nline2") == "line1\nline2"
+        assert normalize_string("a\tb") == "a b"  # tab -> single space
+
+    def test_unicode_spaces_to_ascii(self):
+        assert normalize_string(
+            "non breaking em space　cjk"
+        ) == "non breaking em space cjk"
+
+    def test_whitespace_canonicalization(self):
+        assert normalize_string("  a   b  \n  c  ") == "a b\nc"
+        assert normalize_string("a \n\n b") == "a\n\nb"
+        assert normalize_string("trail  \nnext") == "trail\nnext"
+
+    def test_fix_encoding_off(self):
+        assert normalize_string(MOJI_CAFE, fix_encoding=False) == MOJI_CAFE
+
+    def test_idempotent(self):
+        samples = [
+            MOJI_CAFE, NFD_CAFE, NFC_CAFE, "  a   b  ",
+            "São não", "a\x00b", "non breaking",
+            "don’t",
+        ]
+        for s in samples:
+            once = normalize_string(s)
+            assert normalize_string(once) == once, s
+
+
+class TestNormalizeText:
+    @pytest.fixture(scope="class")
+    def frame(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "plain ascii  text"),
+                (2, MOJI_CAFE + " mojibake"),
+                (3, NFD_CAFE + " nfd"),
+                (4, None),
+                (5, ""),
+            ],
+            "id long, text string",
+        )
+
+    def test_dataframe_transform(self, spark, frame):
+        rows = {
+            r["id"]: r["text"]
+            for r in normalize_text(frame, "text").collect()
+        }
+        assert rows[1] == "plain ascii text"  # ASCII fast path collapses
+        assert rows[2] == NFC_CAFE + " mojibake"
+        assert rows[3] == NFC_CAFE + " nfd"
+        assert rows[4] is None
+        assert rows[5] == ""
+
+    def test_output_col(self, spark, frame):
+        out = normalize_text(frame, "text", output_col="norm")
+        assert "norm" in out.columns and "text" in out.columns
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[2]["text"] == MOJI_CAFE + " mojibake"  # original kept
+        assert rows[2]["norm"] == NFC_CAFE + " mojibake"
+
+    def test_plan_shuffle_free(self, spark, frame):
+        from jackfruit_spark.plans import plan_string
+
+        plan = plan_string(normalize_text(frame, "text"))
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" in plan  # the one Arrow pass
+
+    def test_curate_normalize_dedups_nfc_variants(self, spark):
+        """The composition contract: NFD and NFC spellings of one
+        document are byte-distinct (both survive exact dedup raw) but
+        normalize=True makes them one content hash."""
+        from jackfruit_spark.operators.curation import curate_corpus
+
+        doc = "the " + NFC_CAFE.lower() + " of the owners and the plan"
+        df = spark.createDataFrame(
+            [(1, doc), (2, doc.replace("é", "é"))],
+            "doc_id long, text string",
+        )
+        kw = dict(lang=None, min_tokens=3, min_stop_ratio=0.0)
+        assert curate_corpus(df, **kw).count() == 2
+        kept = curate_corpus(df, normalize=True, **kw).collect()
+        assert [r["doc_id"] for r in kept] == [1]
+        assert kept[0]["text"] == doc
