@@ -1238,6 +1238,35 @@ def cmd_mine_negatives(args) -> int:
     return 0
 
 
+def cmd_decontam_semantic(args) -> int:
+    """Embedding-space decontamination
+    (operators/curation.decontaminate_semantic): benchmark items embed
+    and probe the served IVF index; corpus docs within --min-cosine
+    are flagged. Writes (bench_id, doc_id, cosine) parquet and prints
+    one JSON line of counts."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+    from jackfruit_spark.operators.curation import decontaminate_semantic
+
+    out = decontaminate_semantic(
+        IvfIndex(spark, args.ivf_root),
+        spark.read.parquet(args.benchmark),
+        args.id_col,
+        args.text_col,
+        min_cosine=args.min_cosine,
+        k=args.k,
+        nprobe=args.nprobe,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    flagged = spark.read.parquet(args.output)
+    print(json.dumps({
+        "flagged_pairs": flagged.count(),
+        "flagged_docs": flagged.select("doc_id").distinct().count(),
+        "output": args.output,
+    }))
+    return 0
+
+
 def cmd_ingest_corpus(args) -> int:
     """Incremental crawl ingestion (operators/ingest_job.py): every
     unprocessed batch=<id> directory under --input runs curate ->
@@ -1968,6 +1997,24 @@ def build_parser() -> argparse.ArgumentParser:
     mn.add_argument("--pos-id-col", default="pos_id")
     mn.add_argument("--cpus", default=None)
     mn.set_defaults(fn=cmd_mine_negatives)
+
+    ds = sub.add_parser(
+        "decontam-semantic",
+        help="embedding-space decontamination: benchmark paraphrases "
+             "probed against a served IVF index",
+    )
+    ds.add_argument("--ivf-root", required=True)
+    ds.add_argument("--benchmark", required=True,
+                    help="parquet with (doc_id, text) benchmark items")
+    ds.add_argument("--output", required=True,
+                    help="flagged (bench_id, doc_id, cosine) pairs parquet")
+    ds.add_argument("--min-cosine", type=float, default=0.80)
+    ds.add_argument("--k", type=int, default=8)
+    ds.add_argument("--nprobe", type=int, default=16)
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--cpus", default=None)
+    ds.set_defaults(fn=cmd_decontam_semantic)
 
     ic = sub.add_parser(
         "ingest-corpus",

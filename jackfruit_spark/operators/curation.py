@@ -888,6 +888,65 @@ def decontaminate_retrieval(
     )
 
 
+def decontaminate_semantic(
+    index,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_cosine: float = 0.80,
+    k: int = 8,
+    nprobe: int = 16,
+    embed_kwargs: dict | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination over an ``IvfIndex`` — the
+    paraphrase-level member of the decontamination family. The exact /
+    bloom / retrieval tiers all match on verbatim k-grams, so a
+    benchmark item REWORDED into the training corpus (translated,
+    paraphrased, number-swapped) passes every one of them; this tier
+    flags corpus documents whose embedding sits within ``min_cosine``
+    of a benchmark item's.
+
+    Contract mirrors ``decontaminate_retrieval``: the corpus pass is
+    amortized into the index build (done once, reused across suites);
+    each benchmark item probes its ``nprobe`` nearest cells and only
+    |benchmark| x k candidate pairs surface. Benchmark items embed here
+    with ``hashed_embedding`` defaults matching the ingest job's IVF
+    leg (``idf=False`` — text-pure, so a doc's vector never depends on
+    which batch it arrived in; dim inferred from the index centroids);
+    pass ``embed_kwargs`` when the index was built differently. The
+    hashed-ngram embedding is a lexical-overlap proxy, not a learned
+    semantic space — it catches shared-vocabulary paraphrases and
+    partial rewrites, and the threshold is a recall/precision knob, not
+    a guarantee; the k-gram tiers remain the verbatim-match oracles.
+
+    Returns one row per flagged pair ``(bench_id, doc_id, cosine)``
+    (cosine rounded 6 dp by the shared kNN kernel, ordered nothing —
+    callers threshold/aggregate). Drop with an anti-join on doc_id.
+    """
+    from jackfruit_spark.functions.featurize import hashed_embedding
+
+    meta_id = index._manifest()["id_col"]
+    kw = {"dim": len(index.centroids[0]), "idf": False}
+    kw.update(embed_kwargs or {})
+    bench_vecs = hashed_embedding(
+        benchmark.select(
+            F.col(id_col).cast("string").alias("__bench_id"),
+            F.col(text_col).alias("__btext"),
+        ),
+        "__bench_id",
+        "__btext",
+        **kw,
+    )
+    hits = index.knn_join(
+        bench_vecs, "__bench_id", "embedding", k=k, nprobe=nprobe
+    )
+    return hits.filter(F.col("cosine_sim") >= min_cosine).select(
+        F.col("__bench_id").alias("bench_id"),
+        F.col(meta_id).alias("doc_id"),
+        F.col("cosine_sim").alias("cosine"),
+    )
+
+
 def normalize_url(col: str | Column) -> Column:
     """Canonical URL for dedup keys (the C4/RefinedWeb pre-stage):
     lowercase, fragment stripped, tracking params removed (utm_*,

@@ -47,6 +47,69 @@ def test_repetition_signals_known_values(spark):
     assert got[4]["dup_token_ratio"] == 0.5
 
 
+def test_decontaminate_semantic_catches_paraphrase(spark, tmp_path):
+    """The motivating gap: a benchmark item REWORDED into the corpus
+    shares no 8-gram (the exact tier misses it) but keeps most of its
+    vocabulary (the embedding tier flags it). An unrelated doc stays
+    unflagged at the same threshold."""
+    from jackfruit_spark.functions.featurize import hashed_embedding
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+    from jackfruit_spark.operators.curation import (
+        decontaminate,
+        decontaminate_semantic,
+    )
+
+    bench = _docs(spark, [(
+        100,
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank while the farmer watches the quiet field at dawn",
+    )])
+    corpus = _docs(spark, [
+        # paraphrase: same vocabulary, reordered/reworded — no shared
+        # 8-gram with the benchmark item
+        (1,
+         "near the old river bank the lazy dog watches while the quick "
+         "brown fox jumps at dawn over the quiet field the farmer"),
+        (2, "entirely unrelated payload about matrix factorization and "
+            "gpu kernels with no common words at all"),
+        (3, "another disjoint document on maritime insurance pricing "
+            "models and actuarial tables"),
+    ])
+    # exact-gram tier misses the paraphrase
+    exact = decontaminate(corpus, bench, "doc_id", "text", k=8)
+    assert exact.filter("contaminated = 1").count() == 0
+
+    vecs = hashed_embedding(corpus, "doc_id", "text", dim=64, idf=False)
+    idx = IvfIndex.build(
+        vecs, "doc_id", "embedding", str(tmp_path / "ivf"), k=2
+    )
+    # no embed_kwargs: dim must be inferred from the index centroids
+    # (64, not the hashed_embedding default 256)
+    flagged = decontaminate_semantic(
+        idx, bench, "doc_id", "text", min_cosine=0.8, k=3, nprobe=2,
+    ).collect()
+    assert [r["doc_id"] for r in flagged] == [1]
+    assert flagged[0]["bench_id"] == "100"
+    assert flagged[0]["cosine"] >= 0.8
+
+    # CLI twin: same index, benchmark from parquet, one JSON stats line
+    import json
+
+    from jackfruit_spark.__main__ import main
+
+    bsrc = str(tmp_path / "bench")
+    bench.write.parquet(bsrc)
+    out = str(tmp_path / "flagged")
+    rc = main([
+        "decontam-semantic", "--ivf-root", idx.root,
+        "--benchmark", bsrc, "--output", out,
+        "--min-cosine", "0.8", "--k", "3", "--nprobe", "2",
+    ])
+    assert rc == 0
+    rows = spark.read.parquet(out).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
 def test_decontaminate_known_overlap(spark):
     bench = _docs(spark, [(100, "the quick brown fox jumps")])
     corpus = _docs(
