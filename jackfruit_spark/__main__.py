@@ -438,6 +438,7 @@ def cmd_pipeline(args) -> int:
         quality_alpha=args.quality_alpha,
         url_dedup=args.url_dedup,
         host_cap=args.host_cap,
+        normalize=args.normalize,
         gopher=args.gopher,
         media_dedup=args.media_dedup,
     )
@@ -1287,6 +1288,7 @@ def cmd_ingest_corpus(args) -> int:
             "lang": args.lang or None,
             "min_tokens": args.min_tokens,
             "max_tokens": args.max_tokens,
+            "normalize": args.normalize,
         },
         with_bm25=args.bm25,
         ivf_dim=args.ivf_dim,
@@ -1587,6 +1589,11 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument(
         "--host-cap", type=int, default=None,
         help="URL tier: at most N docs per host (RefinedWeb diversity)",
+    )
+    pl.add_argument(
+        "--normalize", action="store_true",
+        help="Unicode normalization on the bridged documents (mojibake "
+             "repair, NFC, char hygiene) before gates and shingles",
     )
     pl.add_argument(
         "--gopher", action="store_true",
@@ -2031,6 +2038,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="language gate ('' disables)")
     ic.add_argument("--min-tokens", type=int, default=5)
     ic.add_argument("--max-tokens", type=int, default=1000)
+    ic.add_argument("--normalize", action="store_true",
+                    help="Unicode normalization before the gates")
     ic.add_argument("--bm25", action="store_true",
                     help="also append kept docs into <root>/bm25")
     ic.add_argument("--ivf-dim", type=int, default=None,

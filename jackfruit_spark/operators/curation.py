@@ -1337,6 +1337,7 @@ def warc_training_pipeline(
     quality_seed: int = 0,
     url_dedup: bool = False,
     host_cap: int | None = None,
+    normalize: bool = False,
     gopher: bool = False,
     gopher_knobs: dict | None = None,
     media_dedup: bool = False,
@@ -1358,6 +1359,12 @@ def warc_training_pipeline(
     text is shingled. Window-only (no self-join), so it rides both the
     observed chain and the dedup branch inline; stage ``url`` reports
     its survivor count.
+
+    ``normalize=True`` runs Unicode normalization
+    (``functions/normalize.normalize_text``) on the bridged documents
+    BEFORE the persist, so mojibake/NFD byte-variants of one page
+    shingle and dedup identically and the Arrow pass is paid once into
+    the cache, not per consumer branch.
 
     Returns ``(packed, observations)``: per-stage row counts ride the
     SAME action that materializes ``packed`` via ``Observation`` (the
@@ -1428,7 +1435,15 @@ def warc_training_pipeline(
     # dedup branch + the packing branch both read this frame — without
     # the cache the WARC scan re-runs per CC round and per branch
     use_url = url_dedup or host_cap is not None
-    docs_raw = persisted(warc_to_documents(scanned, keep_url=use_url))
+    docs_raw = warc_to_documents(scanned, keep_url=use_url)
+    if normalize:
+        # before the persist: every consumer (gates, shingles, packing)
+        # must see the normalized bytes, and the Arrow pass should run
+        # once into the cache, not per branch
+        from jackfruit_spark.functions.normalize import normalize_text
+
+        docs_raw = normalize_text(docs_raw, "text")
+    docs_raw = persisted(docs_raw)
 
     def url_stage(frame: DataFrame) -> DataFrame:
         return (

@@ -159,6 +159,31 @@ def test_pipeline_cli_media_dedup(spark, tmp_path, capsys):
         )
 
 
+def test_pipeline_normalize_tier(spark, tmp_path):
+    """normalize=True makes byte-variant spellings of one page dedup:
+    two pages whose EVERY token differs only by NFC-vs-NFD accent
+    encoding share zero shingles raw (LSH can't merge them) but are
+    exact twins after normalization."""
+    accented = [f"cafétok{i}" for i in range(60)]
+    nfd = [w.replace("é", "é") for w in accented]
+    members = [
+        gzip.compress(_record(0, _page(0, accented))),
+        gzip.compress(_record(1, _page(1, nfd))),
+    ]
+    (tmp_path / "n.warc.gz").write_bytes(b"".join(members))
+    glob = str(tmp_path / "*.warc.gz")
+    packed_raw, obs_raw = warc_training_pipeline(spark, glob, min_tokens=10)
+    packed_raw.collect()
+    raw_counts = {k: int(o.get["rows"]) for k, o in obs_raw.items()}
+    packed, obs = warc_training_pipeline(
+        spark, glob, min_tokens=10, normalize=True
+    )
+    packed.collect()
+    counts = {k: int(o.get["rows"]) for k, o in obs.items()}
+    assert raw_counts["deduped"] == 2  # byte-distinct: LSH can't merge
+    assert counts["docs"] == 2 and counts["deduped"] == 1
+
+
 def test_pipeline_drops_boilerplate_chrome(spark, shards):
     # inspect bridged text directly at the extraction tier
     from jackfruit_spark.sources.warc import (
