@@ -613,20 +613,25 @@ def cmd_mix(args) -> int:
     spark = _spark(args.cpus)
     from jackfruit_spark.operators.curation import mix_corpus
 
-    try:
-        weights = {
-            k: float(v)
-            for k, v in (p.split("=", 1) for p in args.weights.split(","))
-        }
-    except ValueError:
-        raise SystemExit(
-            "--weights must be 'source=w,source=w,...' with numeric w"
-        )
+    if (args.weights is None) == (args.alpha is None):
+        raise SystemExit("pass exactly one of --weights / --alpha")
+    weights = None
+    if args.weights is not None:
+        try:
+            weights = {
+                k: float(v)
+                for k, v in (p.split("=", 1) for p in args.weights.split(","))
+            }
+        except ValueError:
+            raise SystemExit(
+                "--weights must be 'source=w,source=w,...' with numeric w"
+            )
     out = mix_corpus(
         spark.read.parquet(args.input),
         weights,
         total_tokens=args.total_tokens,
         seed=args.seed,
+        alpha=args.alpha,
     )
     out.write.mode("overwrite").parquet(args.output)
     from pyspark.sql import functions as F
@@ -1744,8 +1749,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     mx.add_argument("--input", required=True, help="documents parquet")
     mx.add_argument("--output", required=True)
-    mx.add_argument("--weights", required=True,
-                    help="'source=w,source=w,...' target mixture weights")
+    mx.add_argument("--weights", default=None,
+                    help="'source=w,source=w,...' target mixture weights "
+                         "(exactly one of --weights / --alpha)")
+    mx.add_argument("--alpha", type=float, default=None,
+                    help="temperature sampling instead of explicit "
+                         "weights: w ∝ tokens^alpha (mT5 uses 0.3; 1 = "
+                         "natural mix, 0 = uniform)")
     mx.add_argument("--total-tokens", type=int, required=True)
     mx.add_argument("--seed", type=int, default=0)
     mx.add_argument("--cpus", default=None)

@@ -1770,13 +1770,14 @@ def split_corpus(
 
 def mix_corpus(
     df: DataFrame,
-    weights: dict[str, float],
+    weights: dict[str, float] | None,
     total_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
     seed: int = 0,
     max_repeat: float = 20.0,
+    alpha: float | None = None,
 ) -> DataFrame:
     """Source-weighted epoch composition — the LLaMA/GPT mixture stage:
     given target ``weights`` per source and a ``total_tokens`` budget,
@@ -1796,18 +1797,32 @@ def mix_corpus(
     the inverse — a WEIGHTED source with no corpus tokens — raises, as
     does a ratio above ``max_repeat`` (a typoed name or budget must
     not silently shrink or explode the epoch), and negative weights
-    raise (exclusion is spelled by omission)."""
+    raise (exclusion is spelled by omission).
+
+    ``alpha`` (mutually exclusive with explicit ``weights``) derives
+    the weights from the corpus itself — the mT5/XLM-R temperature
+    sampling rule ``w_s ∝ n_s^alpha`` over per-source token counts:
+    ``alpha=1`` reproduces the natural distribution, ``alpha=0`` is
+    uniform across sources, and the typical 0.2–0.5 band boosts scarce
+    sources without letting any single one dominate (mT5 ships
+    alpha=0.3). Derived weights reuse the SAME statistics pass the
+    ratios need — no extra corpus scan."""
+    if (weights is None) == (alpha is None):
+        raise ValueError("pass exactly one of weights / alpha")
+    if alpha is not None and not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     if total_tokens <= 0:
         raise ValueError(f"total_tokens must be > 0, got {total_tokens}")
-    negative = {s: w for s, w in weights.items() if w < 0}
+    negative = {s: w for s, w in (weights or {}).items() if w < 0}
     if negative:
         # a negative ratio would flow into sequence(0, floor(r)) whose
         # negative auto-step emits epoch=-1 garbage rows — exclusion is
         # spelled by OMITTING the source, not a negative weight
         raise ValueError(f"weights must be >= 0, got {negative}")
-    wsum = float(sum(weights.values()))
-    if wsum <= 0:
-        raise ValueError("weights must sum to > 0")
+    if weights is not None:
+        wsum = float(sum(weights.values()))
+        if wsum <= 0:
+            raise ValueError("weights must sum to > 0")
     from jackfruit_spark.functions import text as T
 
     stats = {
@@ -1816,6 +1831,13 @@ def mix_corpus(
         .agg(F.sum(T.token_count(text_col)).alias("toks"))
         .collect()
     }
+    if weights is None:
+        # temperature-derived: every present source participates with
+        # w ∝ n^alpha (n > 0 by construction of the stats dict)
+        weights = {s: float(t) ** alpha for s, t in stats.items() if t}
+        wsum = float(sum(weights.values()))
+        if wsum <= 0:
+            raise ValueError("corpus has no tokens to mix")
     missing = [
         s for s, w in weights.items() if w > 0 and not stats.get(s)
     ]

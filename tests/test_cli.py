@@ -443,6 +443,16 @@ def test_cli_mix(spark, tmp_path, capsys):
         main(["mix", "--input", src, "--output", out,
               "--weights", "a=x", "--total-tokens", "100"])
 
+    # --alpha temperature path: uniform (alpha=0) targets 200 per source
+    rc = main(["mix", "--input", src, "--output", out,
+               "--alpha", "0.0", "--total-tokens", "400"])
+    stats = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and stats["sources"]["b"]["tokens"] == 200
+    with _pytest.raises(SystemExit, match="exactly one"):
+        main(["mix", "--input", src, "--output", out,
+              "--weights", "a=1", "--alpha", "0.3",
+              "--total-tokens", "100"])
+
 
 def test_cli_split(spark, tmp_path, capsys):
     """`split`: deterministic split parquet partitioned by split, with a

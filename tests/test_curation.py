@@ -795,6 +795,53 @@ def test_mix_corpus_budget_and_upsampling(spark):
         mix_corpus(d, {"big": 2.0, "rare": -1.0}, 2000)
 
 
+def test_mix_corpus_alpha_temperature(spark):
+    """alpha temperature sampling (mT5 w ∝ n^alpha): alpha=1 matches
+    the natural token shares, alpha=0 splits the budget uniformly
+    across sources, and the knob is exclusive with explicit weights."""
+    import random
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.functions import text as T
+    from jackfruit_spark.operators.curation import mix_corpus
+
+    rng = random.Random(3)
+    rows = []
+    # big ≈ 8000 tokens, rare ≈ 2000: natural shares 0.8 / 0.2
+    for i in range(400):
+        rows.append((i, " ".join(f"w{rng.randrange(50)}" for _ in range(20)), "big"))
+    for i in range(100):
+        rows.append((1000 + i, " ".join(f"r{j}" for j in range(20)), "rare"))
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def shares(out):
+        got = {
+            r["source"]: r["toks"]
+            for r in out.groupBy("source")
+            .agg(F.sum(T.token_count("text")).alias("toks"))
+            .collect()
+        }
+        tot = sum(got.values())
+        return {s: t / tot for s, t in got.items()}
+
+    nat = shares(mix_corpus(d, None, total_tokens=4000, seed=7, alpha=1.0))
+    assert 0.7 < nat["big"] < 0.9 and 0.1 < nat["rare"] < 0.3, nat
+    uni = shares(mix_corpus(d, None, total_tokens=4000, seed=7, alpha=0.0))
+    assert 0.4 < uni["big"] < 0.6 and 0.4 < uni["rare"] < 0.6, uni
+    # mid alpha sits strictly between the two regimes
+    mid = shares(mix_corpus(d, None, total_tokens=4000, seed=7, alpha=0.3))
+    assert uni["big"] < mid["big"] < nat["big"], (uni, mid, nat)
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        mix_corpus(d, {"big": 1.0}, 4000, alpha=0.3)
+    with _pytest.raises(ValueError, match="exactly one"):
+        mix_corpus(d, None, 4000)
+    with _pytest.raises(ValueError, match="alpha"):
+        mix_corpus(d, None, 4000, alpha=1.5)
+
+
 def test_split_corpus_fractions_and_determinism(spark):
     from jackfruit_spark.operators.curation import split_corpus
 
