@@ -438,6 +438,10 @@ def cmd_pipeline(args) -> int:
         quality_alpha=args.quality_alpha,
         url_dedup=args.url_dedup,
         host_cap=args.host_cap,
+        host_blocklist=(
+            [d for d in args.host_blocklist.split(",") if d]
+            if args.host_blocklist else None
+        ),
         normalize=args.normalize,
         gopher=args.gopher,
         media_dedup=args.media_dedup,
@@ -1594,6 +1598,11 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument(
         "--host-cap", type=int, default=None,
         help="URL tier: at most N docs per host (RefinedWeb diversity)",
+    )
+    pl.add_argument(
+        "--host-blocklist", default=None,
+        help="URL tier: comma-separated domains to drop (subdomains "
+             "match too)",
     )
     pl.add_argument(
         "--normalize", action="store_true",

@@ -991,6 +991,7 @@ def url_curation(
     url_col: str = "url",
     host_cap: int | None = None,
     quality_col: str | None = None,
+    host_blocklist=None,
 ) -> DataFrame:
     """URL-level curation, the cheap tier BEFORE content dedup (C4
     dedups exact URLs; RefinedWeb caps per-host document counts so one
@@ -1001,6 +1002,18 @@ def url_curation(
     - ``host_cap``: at most N docs per host, best-first by
       ``quality_col`` (descending, nulls last) when given, else lowest
       id first.
+
+    ``host_blocklist`` drops documents whose host IS a listed domain
+    or any subdomain of one (C4-style domain filtering). Two forms:
+    a python list/tuple (config-sized, up to a few hundred domains)
+    compiles to a codegen OR-chain of equality/endswith tests — zero
+    joins, zero extra shuffle; a DataFrame (first column = domain, for
+    registry-scale blocklists) matches by exploding each host's domain
+    suffixes against the broadcast blocklist and anti-joining the
+    blocked ids back (the suffix explode emits #labels rows per doc,
+    bounded by hostname depth). Both run AFTER the host repartition on
+    purpose: the exchange fences CollapseProject from inlining the
+    url_host regex into every comparison (the interpreted-HOF lesson).
 
     ONE exchange for both windows (the r7 window-reuse rule): an
     explicit repartition on ``host`` — a subset of the url window's
@@ -1020,6 +1033,8 @@ def url_curation(
         .withColumn("__host", url_host("__nu"))
         .repartition("__host")
     )
+    if host_blocklist is not None:
+        out = _drop_blocked_hosts(out, id_col, host_blocklist)
     w_url = Window.partitionBy("__host", "__nu").orderBy(id_col)
     out = (
         out.withColumn("__rn", F.row_number().over(w_url))
@@ -1038,6 +1053,35 @@ def url_curation(
             .drop("__hr")
         )
     return out.drop("__nu", "__host", "__rn")
+
+
+def _drop_blocked_hosts(out: DataFrame, id_col: str, blocklist) -> DataFrame:
+    """url_curation's blocklist stage over the projected ``__host``
+    column (see its docstring for the two forms' scale contracts)."""
+    if isinstance(blocklist, DataFrame):
+        bl = blocklist.select(
+            F.lower(F.trim(F.col(blocklist.columns[0]))).alias("__bld")
+        ).distinct()
+        parts = F.split(F.col("__host"), r"\.")
+        sufs = F.transform(
+            F.sequence(F.lit(1), F.size(parts)),
+            lambda k: F.array_join(F.slice(parts, k, F.size(parts)), "."),
+        )
+        blocked = (
+            out.select(id_col, F.explode(sufs).alias("__bld"))
+            .join(F.broadcast(bl), "__bld", "left_semi")
+            .select(id_col)
+        )
+        return out.join(blocked, id_col, "left_anti")
+    domains = [str(d).lower().lstrip(".") for d in blocklist if d]
+    if not domains:
+        return out
+    h = F.col("__host")
+    cond = None
+    for d in domains:
+        c = (h == d) | h.endswith("." + d)
+        cond = c if cond is None else (cond | c)
+    return out.filter(~cond)
 
 
 def _apply_quality_tier(
@@ -1337,6 +1381,7 @@ def warc_training_pipeline(
     quality_seed: int = 0,
     url_dedup: bool = False,
     host_cap: int | None = None,
+    host_blocklist=None,
     normalize: bool = False,
     gopher: bool = False,
     gopher_knobs: dict | None = None,
@@ -1353,8 +1398,9 @@ def warc_training_pipeline(
     (banded pairs -> connected components -> min-id keeper) -> GPT-style
     sequence packing.
 
-    ``url_dedup``/``host_cap`` enable the URL tier (``url_curation``:
-    normalized exact-URL dedup, per-host diversity cap) right after the
+    ``url_dedup``/``host_cap``/``host_blocklist`` enable the URL tier
+    (``url_curation``: normalized exact-URL dedup, per-host diversity
+    cap, domain blocklist) right after the
     bridge — the cheap C4/RefinedWeb pre-stage that prunes before any
     text is shingled. Window-only (no self-join), so it rides both the
     observed chain and the dedup branch inline; stage ``url`` reports
@@ -1434,7 +1480,9 @@ def warc_training_pipeline(
     # ACTIONS before the caller's one materializing action, and the
     # dedup branch + the packing branch both read this frame — without
     # the cache the WARC scan re-runs per CC round and per branch
-    use_url = url_dedup or host_cap is not None
+    use_url = (
+        url_dedup or host_cap is not None or host_blocklist is not None
+    )
     docs_raw = warc_to_documents(scanned, keep_url=use_url)
     if normalize:
         # before the persist: every consumer (gates, shingles, packing)
@@ -1447,7 +1495,10 @@ def warc_training_pipeline(
 
     def url_stage(frame: DataFrame) -> DataFrame:
         return (
-            url_curation(frame, "doc_id", "url", host_cap=host_cap)
+            url_curation(
+                frame, "doc_id", "url", host_cap=host_cap,
+                host_blocklist=host_blocklist,
+            )
             if use_url
             else frame
         )

@@ -306,6 +306,19 @@ def test_pipeline_url_tier(spark, shards):
     assert counts["url"] == 5
     assert counts["gated"] <= 5 and counts["deduped"] <= counts["gated"]
 
+    # blocklisting the one shared host empties the corpus at the url
+    # stage (subdomain-style suffix: every host is t.example)
+    packed, obs = warc_training_pipeline(
+        spark, shards, min_tokens=60, host_blocklist=["t.example"]
+    )
+    assert packed.count() == 0
+    packed, obs = warc_training_pipeline(
+        spark, shards, min_tokens=60, host_blocklist=["unrelated.com"]
+    )
+    packed.collect()
+    counts = {k: observation_rows(o) for k, o in obs.items()}
+    assert counts["url"] == 43  # non-matching blocklist drops nothing
+
 
 def test_pipeline_quality_tier(spark, shards):
     """quality_model inserts an observed stage between the token gate and

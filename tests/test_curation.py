@@ -601,6 +601,40 @@ def test_url_curation_dedup_and_host_cap(spark):
     assert capped == {1, 5, 6, 7}
 
 
+def test_url_curation_host_blocklist(spark):
+    """Both blocklist forms drop a listed domain AND its subdomains,
+    never a lookalike suffix host; null-url docs always survive."""
+    from jackfruit_spark.operators.curation import url_curation
+
+    rows = [
+        (1, "https://spam.example/a"),          # blocked exactly
+        (2, "https://cdn.spam.example/b"),      # subdomain: blocked
+        (3, "https://notspam.example/c"),       # lookalike: kept
+        (4, "https://other.org/d"),             # kept
+        (5, "https://tracker.net/e"),           # blocked (2nd domain)
+        (6, None),                              # null url: kept
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = ["spam.example", "tracker.net"]
+    expr_kept = {
+        r["doc_id"]
+        for r in url_curation(d, "doc_id", "url", host_blocklist=bl).collect()
+    }
+    assert expr_kept == {3, 4, 6}
+    bl_df = spark.createDataFrame([(x,) for x in bl], "domain string")
+    join_kept = {
+        r["doc_id"]
+        for r in url_curation(
+            d, "doc_id", "url", host_blocklist=bl_df
+        ).collect()
+    }
+    assert join_kept == expr_kept
+    # empty list is a no-op, composes with the cap path
+    assert (
+        url_curation(d, "doc_id", "url", host_blocklist=[]).count() == 6
+    )
+
+
 def test_url_curation_single_exchange(spark):
     """Both windows (url dedup + host cap) ride ONE explicit host
     repartition (the r7 window-reuse rule: host is a subset of the url
