@@ -50,9 +50,26 @@ from jackfruit_spark.operators.dedup import (
 # an SSN isn't half-eaten by the phone pattern.
 PII_PATTERNS: list[tuple[str, str]] = [
     ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    # issuer-prefixed card numbers (Visa/MC/Amex/Discover), 4-4-4-4
+    # with optional -/space separators or contiguous Amex 15 — no Luhn
+    # check (not expressible in a regexp_replace chain), so the issuer
+    # prefix carries the precision; runs BEFORE SSN/PHONE so a full
+    # card number is eaten whole, never half-matched as a phone
+    ("CREDIT_CARD",
+     r"\b(?:(?:4\d{3}|5[1-5]\d{2}|6011|65\d{2})(?:[- ]?\d{4}){3}"
+     r"|3[47]\d{2}[- ]?\d{6}[- ]?\d{5})\b"),
     ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
     ("PHONE", r"\b(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"),
+    # uncompressed / 4+-group IPv6 only: the fully-general compressed
+    # form ("::1") needs lookarounds or would swallow clock strings
+    # ("12:34:56"); MAC-style 6-group hex ids match too (also device
+    # identifiers — redacting them is the right failure mode)
+    ("IPV6", r"\b(?:[0-9a-fA-F]{1,4}:){4,7}[0-9a-fA-F]{1,4}\b"),
     ("IPV4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    # cloud/API credentials (the StarCoder-pipeline class): fixed
+    # issuer prefixes make these near-zero-false-positive
+    ("AWS_KEY", r"\b(?:AKIA|ASIA)[0-9A-Z]{16}\b"),
+    ("GITHUB_TOKEN", r"\bgh[pousr]_[A-Za-z0-9]{36}\b"),
 ]
 
 
@@ -2201,8 +2218,10 @@ def redact_pii(col: str | Column, replacement: str = "[{label}]") -> Column:
 
 
 def pii_counts(col: str | Column) -> list[Column]:
-    """One BIGINT count column per PII pattern (``n_email``, ``n_ssn``,
-    ``n_phone``, ``n_ipv4``) — the audit twin of :func:`redact_pii`."""
+    """One BIGINT count column per PII pattern (``n_email``,
+    ``n_credit_card``, ``n_ssn``, ``n_phone``, ``n_ipv6``, ``n_ipv4``,
+    ``n_aws_key``, ``n_github_token``) — the audit twin of
+    :func:`redact_pii`."""
     src = F.col(col) if isinstance(col, str) else col
     return [
         F.size(F.regexp_extract_all(src, F.lit(pattern), 0))
