@@ -934,6 +934,30 @@ def bpe_tokenize(spark, sf_dir):
     )
 
 
+def text_normalize(spark, sf_dir):
+    """Bench-only: Unicode normalization tier over the documents table
+    (functions/normalize.py — mojibake repair, NFC, char hygiene,
+    whitespace canonicalization; one Arrow pass, zero shuffle, with a
+    vectorized ASCII fast path inside the kernel). Aggregates per-lang
+    row counts + changed-row counts so the plan materializes every
+    normalized string. Not registered: the cp1252-roundtrip repair is
+    not SQL-expressible; semantics are pytest-carried against explicit
+    codepoint fixtures (tests/test_normalize.py)."""
+    from jackfruit_spark.functions.normalize import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        normalize_text(d, "text", output_col="__norm")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("__norm") != F.col("text")).cast("long")
+            ).alias("n_changed"),
+        )
+    )
+
+
 def ccnet_perplexity(spark, sf_dir):
     """Bench-only: CCNet-style LM quality scoring over the documents
     table (functions/lm.py — distributed bigram/unigram counting, bounded
