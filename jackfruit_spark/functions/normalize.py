@@ -15,12 +15,14 @@ What it fixes, in order (all stdlib, deterministic):
    a repair is also rejected unless it strictly reduces the mojibake
    marker count. Up to two rounds (double-encoded text exists in real
    crawls).
-2. **NFC normalization** (``unicodedata.normalize``): decomposed
-   "e\\u0301" and composed "é" become one byte sequence.
-3. **Character hygiene**: C0/C1 control chars removed (``\\n`` and
-   ``\\t`` kept), zero-widths (ZWSP/ZWNJ/ZWJ/BOM) and soft hyphens
+2. **Character hygiene**: C0/C1 control chars removed (``\\n`` and
+   ``\\t`` kept), zero-widths (ZWSP/ZWNJ/ZWJ/WJ/BOM) and soft hyphens
    dropped, the Unicode space zoo (NBSP, en/em/thin/ideographic…)
-   mapped to ASCII space.
+   mapped to ASCII space, U+2028/2029 separators to newline. Runs
+   BEFORE NFC: dropping a char can join a combining mark to its base,
+   and NFC must see the joined form (idempotence-fuzz finding).
+3. **NFC normalization** (``unicodedata.normalize``): decomposed
+   "e\\u0301" and composed "é" become one byte sequence.
 4. **Whitespace canonicalization**: runs of spaces/tabs collapse to one
    space, trailing spaces per line stripped, whole-doc strip.
 
@@ -45,18 +47,21 @@ from pyspark.sql import functions as F
 # general punctuation, which is where real-world mojibake lives.
 _MOJIBAKE = re.compile("[ÂÃâ]")
 
-# C0 (minus \t\n) + DEL + C1 controls, zero-widths, soft hyphen: drop.
+# C0 (minus \t\n) + DEL + C1 controls, zero-widths (+ word joiner),
+# soft hyphen: drop.
 _DROP = dict.fromkeys(
     [i for i in range(0x20) if chr(i) not in "\t\n"]
     + list(range(0x7F, 0xA0))
-    + [0x200B, 0x200C, 0x200D, 0xFEFF, 0x00AD]
+    + [0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF, 0x00AD]
 )
 # Unicode spaces -> ASCII space.
 _SPACE = dict.fromkeys(
     [0x00A0, 0x1680, 0x202F, 0x205F, 0x3000] + list(range(0x2000, 0x200B)),
     " ",
 )
-_CHAR_MAP = {**_DROP, **_SPACE}
+# Unicode line/paragraph separators -> newline (kept as structure).
+_NEWLINE = dict.fromkeys([0x2028, 0x2029], "\n")
+_CHAR_MAP = {**_DROP, **_SPACE, **_NEWLINE}
 
 _HSPACE_RUN = re.compile(r"[ \t]+")
 _LINE_TRAIL = re.compile(r" *\n *")  # strip around newlines both sides
@@ -93,8 +98,12 @@ def normalize_string(s: str, fix_encoding: bool = True) -> str:
     tests and oracles)."""
     if fix_encoding:
         s = _repair_encoding(s)
-    s = unicodedata.normalize("NFC", s)
+    # hygiene BEFORE NFC: dropping a control/zero-width can make a
+    # combining mark adjacent to its base — NFC must see the joined
+    # form or the output stays decomposed (found by the idempotence
+    # fuzz: "a\\x07\\u0301" -> translate-after-NFC left "a\\u0301")
     s = s.translate(_CHAR_MAP)
+    s = unicodedata.normalize("NFC", s)
     s = _HSPACE_RUN.sub(" ", s)
     s = _LINE_TRAIL.sub("\n", s)
     return s.strip()

@@ -63,6 +63,9 @@ class TestNormalizeString:
     def test_newline_and_tab_survive_as_structure(self):
         assert normalize_string("line1\nline2") == "line1\nline2"
         assert normalize_string("a\tb") == "a b"  # tab -> single space
+        # unicode line/paragraph separators become newlines
+        assert normalize_string("a b c") == "a\nb\nc"
+        assert normalize_string("word⁠joiner") == "wordjoiner"
 
     def test_unicode_spaces_to_ascii(self):
         assert normalize_string(
@@ -86,6 +89,79 @@ class TestNormalizeString:
         for s in samples:
             once = normalize_string(s)
             assert normalize_string(once) == once, s
+
+
+class TestNormalizeProperties:
+    """Hypothesis fuzz. The r8 lesson applies: the alphabet must SPELL
+    the patterns under test, so it includes controls, the whitespace
+    zoo, zero-widths, combining accents — and (for the no-repair
+    property) the mojibake marker chars themselves."""
+
+    # ascii + controls + unicode spaces + zero-widths + accents + CJK
+    SAFE = (
+        "ab .\n\t\x00\x07\x7f\x9f  　​﻿­"
+        "́eé世界ßŁ  ⁠"
+    )
+    # marker chars + cp1252-punctuation class (spells real mojibake)
+    MARKERS = "ÂÃâ€™ƒ©"
+
+    def _hyp(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        return given, settings, st
+
+    def test_no_repair_form_is_idempotent(self):
+        """fix_encoding=False is pure NFC + translate + whitespace —
+        idempotent over EVERYTHING including marker chars."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(alphabet=self.SAFE + self.MARKERS, max_size=80))
+        def prop(s):
+            once = normalize_string(s, fix_encoding=False)
+            assert normalize_string(once, fix_encoding=False) == once
+
+        prop()
+
+    def test_full_form_idempotent_without_markers(self):
+        """With no marker chars present the repair never fires, so the
+        full form inherits the no-repair idempotence."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(alphabet=self.SAFE, max_size=80))
+        def prop(s):
+            once = normalize_string(s)
+            assert normalize_string(once) == once
+
+        prop()
+
+    def test_output_hygiene_invariants(self):
+        """Whatever the input, the output never contains controls
+        (except \\n), zero-widths, soft hyphens, exotic spaces, tabs,
+        double spaces, or spaces adjacent to newlines."""
+        import re
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        bad = re.compile(
+            "[\x00-\x08\x0b-\x1f\x7f-\x9f​‌‍﻿"
+            "­  -   　  ⁠\t]"
+            "|  | \n|\n "
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(alphabet=self.SAFE + self.MARKERS, max_size=80))
+        def prop(s):
+            out = normalize_string(s)
+            assert not bad.search(out), repr(out)
+            assert out == out.strip()
+
+        prop()
 
 
 class TestNormalizeText:
