@@ -1268,6 +1268,9 @@ def cmd_decontam_semantic(args) -> int:
         nprobe=args.nprobe,
     )
     out.write.mode("overwrite").parquet(args.output)
+    from jackfruit_spark._persist import release_all
+
+    release_all()  # knn_join persists its exploded-query frame per call
     flagged = spark.read.parquet(args.output)
     print(json.dumps({
         "flagged_pairs": flagged.count(),

@@ -48,7 +48,6 @@ belongs to the LLM-training-data family per the build brief.
 
 from __future__ import annotations
 
-import json
 import math
 import os
 

@@ -42,10 +42,18 @@ import unicodedata
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Marker characters that cp1252-misdecoded UTF-8 produces: the lead
-# bytes 0xC2-0xC3 (Ã, Â) and 0xE2 (â) cover the Latin-1 supplement +
-# general punctuation, which is where real-world mojibake lives.
-_MOJIBAKE = re.compile("[ÂÃâ]")
+# Marker characters that cp1252-misdecoded UTF-8 produces: the cp1252
+# images of ALL two-byte lead bytes 0xC2-0xDF (U+00C2-U+00DF — covers
+# Latin-1-supplement, Latin-Extended "Ä…/Å¡", Cyrillic "Ð/Ñ", Greek
+# "Î/Ï", Hebrew/Arabic leads) plus 0xE2 (â, general punctuation).
+# Some of these are genuine letters (ß, Ð) — safe, because a repair is
+# only ACCEPTED when the strict UTF-8 re-decode succeeds AND the
+# marker count strictly drops; genuine text fails the decode. The
+# 0xE0-0xEF three-byte leads other than 0xE2 are deliberately NOT
+# markers: their cp1252 images are the common accented lowercase
+# vowels, which would route every French/Spanish row through the
+# roundtrip attempt for near-zero real-corpus benefit.
+_MOJIBAKE = re.compile("[\u00c2-\u00df\u00e2]")
 
 # C0 (minus \t\n) + DEL + C1 controls, zero-widths (+ word joiner),
 # soft hyphen: drop.

@@ -939,6 +939,12 @@ def decontaminate_semantic(
     Returns one row per flagged pair ``(bench_id, doc_id, cosine)``
     (cosine rounded 6 dp by the shared kNN kernel, ordered nothing —
     callers threshold/aggregate). Drop with an anti-join on doc_id.
+
+    ``knn_join`` persists its exploded-query frame per call (the
+    documented caller obligation): after materializing the result,
+    call ``jackfruit_spark._persist.release_all()`` — a long session
+    probing many suites accumulates cached frames otherwise (the HTTP
+    handler rule).
     """
     from jackfruit_spark.functions.featurize import hashed_embedding
 
@@ -996,10 +1002,18 @@ def normalize_url(col: str | Column) -> Column:
 
 
 def url_host(col: str | Column) -> Column:
-    """Host of a ``normalize_url`` output (text before the first '/')."""
-    return F.substring_index(
+    """Canonical host of a ``normalize_url`` output: the authority
+    (text before the first '/', or before '?' for path-less URLs) with
+    userinfo, port, and trailing root-dots stripped — 'user@HOST:8080.'
+    and 'HOST' must key the same host windows and match the same
+    blocklist entries (code-review r11: the raw authority let any URL
+    with an explicit port or userinfo evade host caps and blocklists)."""
+    h = F.substring_index(
         col if isinstance(col, Column) else F.col(col), "/", 1
     )
+    h = F.substring_index(h, "?", 1)
+    h = F.substring_index(h, "@", -1)
+    return F.regexp_replace(h, r"(\.|:\d*)+$", "")
 
 
 def url_curation(
@@ -1028,9 +1042,11 @@ def url_curation(
     registry-scale blocklists) matches by exploding each host's domain
     suffixes against the broadcast blocklist and anti-joining the
     blocked ids back (the suffix explode emits #labels rows per doc,
-    bounded by hostname depth). Both run AFTER the host repartition on
-    purpose: the exchange fences CollapseProject from inlining the
-    url_host regex into every comparison (the interpreted-HOF lesson).
+    bounded by hostname depth). The expression form runs AFTER the host
+    repartition (the exchange fences CollapseProject from inlining the
+    url_host regex into every comparison — the interpreted-HOF lesson;
+    a pure filter preserves the clustering); the join form runs BEFORE
+    it, so the host repartition stays the windows' single exchange.
 
     ONE exchange for both windows (the r7 window-reuse rule): an
     explicit repartition on ``host`` — a subset of the url window's
@@ -1045,12 +1061,17 @@ def url_curation(
     nu = F.when(F.col(url_col).isNotNull(), normalize_url(url_col)).otherwise(
         F.concat(F.lit("\x00nourl:"), F.col(id_col).cast("string"))
     )
-    out = (
-        df.withColumn("__nu", nu)
-        .withColumn("__host", url_host("__nu"))
-        .repartition("__host")
-    )
-    if host_blocklist is not None:
+    out = df.withColumn("__nu", nu).withColumn("__host", url_host("__nu"))
+    if isinstance(host_blocklist, DataFrame):
+        # join-form BEFORE the repartition: its id anti-join re-shuffles
+        # anyway, and placing it here keeps the later host repartition
+        # as the windows' single exchange
+        out = _drop_blocked_hosts(out, id_col, host_blocklist)
+    out = out.repartition("__host")
+    if host_blocklist is not None and not isinstance(host_blocklist, DataFrame):
+        # expression form AFTER the exchange: a pure filter preserves
+        # the clustering, and the exchange fences CollapseProject from
+        # inlining the url_host regex into every comparison
         out = _drop_blocked_hosts(out, id_col, host_blocklist)
     w_url = Window.partitionBy("__host", "__nu").orderBy(id_col)
     out = (
@@ -1079,13 +1100,25 @@ def _drop_blocked_hosts(out: DataFrame, id_col: str, blocklist) -> DataFrame:
         bl = blocklist.select(
             F.lower(F.trim(F.col(blocklist.columns[0]))).alias("__bld")
         ).distinct()
-        parts = F.split(F.col("__host"), r"\.")
-        sufs = F.transform(
-            F.sequence(F.lit(1), F.size(parts)),
-            lambda k: F.array_join(F.slice(parts, k, F.size(parts)), "."),
-        )
+        # project the split FIRST, then explode (the chunk_documents
+        # fence): a split expression inside the transform lambda would
+        # re-evaluate per suffix element (interpreted-HOF trap)
+        parts = F.col("__parts")
         blocked = (
-            out.select(id_col, F.explode(sufs).alias("__bld"))
+            out.select(
+                id_col, F.split(F.col("__host"), r"\.").alias("__parts")
+            )
+            .select(
+                id_col,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(parts)),
+                        lambda k: F.array_join(
+                            F.slice(parts, k, F.size(parts)), "."
+                        ),
+                    )
+                ).alias("__bld"),
+            )
             .join(F.broadcast(bl), "__bld", "left_semi")
             .select(id_col)
         )
@@ -1497,9 +1530,10 @@ def warc_training_pipeline(
     # ACTIONS before the caller's one materializing action, and the
     # dedup branch + the packing branch both read this frame — without
     # the cache the WARC scan re-runs per CC round and per branch
-    use_url = (
-        url_dedup or host_cap is not None or host_blocklist is not None
+    blocklist_active = host_blocklist is not None and (
+        isinstance(host_blocklist, DataFrame) or len(host_blocklist) > 0
     )
+    use_url = url_dedup or host_cap is not None or blocklist_active
     docs_raw = warc_to_documents(scanned, keep_url=use_url)
     if normalize:
         # before the persist: every consumer (gates, shingles, packing)
@@ -1514,7 +1548,7 @@ def warc_training_pipeline(
         return (
             url_curation(
                 frame, "doc_id", "url", host_cap=host_cap,
-                host_blocklist=host_blocklist,
+                host_blocklist=host_blocklist if blocklist_active else None,
             )
             if use_url
             else frame
@@ -1900,6 +1934,15 @@ def mix_corpus(
         .collect()
     }
     if weights is None:
+        if None in stats:
+            # a NULL source key would get a derived weight whose budget
+            # share then silently vanishes (the plan equi-join never
+            # matches null) — the same silent-loss the explicit-weights
+            # path guards against
+            raise ValueError(
+                "alpha weighting needs a non-null source column "
+                "(rows with NULL source present)"
+            )
         # temperature-derived: every present source participates with
         # w ∝ n^alpha (n > 0 by construction of the stats dict)
         weights = {s: float(t) ** alpha for s, t in stats.items() if t}

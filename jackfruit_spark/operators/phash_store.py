@@ -45,7 +45,6 @@ the LLM-training-data family, per the build brief.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession

@@ -319,6 +319,15 @@ def test_pipeline_url_tier(spark, shards):
     counts = {k: observation_rows(o) for k, o in obs.items()}
     assert counts["url"] == 43  # non-matching blocklist drops nothing
 
+    # an EMPTY blocklist must not flip the URL tier on as a side
+    # effect (code-review r11): no url stage, corpus untouched
+    packed, obs = warc_training_pipeline(
+        spark, shards, min_tokens=60, host_blocklist=[]
+    )
+    packed.collect()
+    counts = {k: observation_rows(o) for k, o in obs.items()}
+    assert "url" not in counts and counts["docs"] == 43
+
 
 def test_pipeline_quality_tier(spark, shards):
     """quality_model inserts an observed stage between the token gate and

@@ -641,6 +641,12 @@ def test_url_curation_host_blocklist(spark):
         (4, "https://other.org/d"),             # kept
         (5, "https://tracker.net/e"),           # blocked (2nd domain)
         (6, None),                              # null url: kept
+        # code-review r11 evasion shapes: port, userinfo, trailing dot,
+        # path-less query — url_host canonicalizes all of them
+        (7, "https://spam.example:8080/f"),     # port: blocked
+        (8, "https://user@spam.example/g"),     # userinfo: blocked
+        (9, "https://spam.example./h"),         # trailing dot: blocked
+        (10, "https://spam.example?x=1"),       # path-less: blocked
     ]
     d = spark.createDataFrame(rows, "doc_id long, url string")
     bl = ["spam.example", "tracker.net"]
@@ -659,7 +665,8 @@ def test_url_curation_host_blocklist(spark):
     assert join_kept == expr_kept
     # empty list is a no-op, composes with the cap path
     assert (
-        url_curation(d, "doc_id", "url", host_blocklist=[]).count() == 6
+        url_curation(d, "doc_id", "url", host_blocklist=[]).count()
+        == len(rows)
     )
 
 
@@ -673,6 +680,13 @@ def test_url_curation_single_exchange(spark):
         [(1, "https://example.com/a", 0.5)], "doc_id long, url string, q double"
     )
     p = plan_string(url_curation(d, "doc_id", "url", host_cap=3, quality_col="q"))
+    assert p.count("Exchange") == 1, p
+    # the expression-form blocklist is a pure filter after the
+    # exchange: still exactly one
+    p = plan_string(url_curation(
+        d, "doc_id", "url", host_cap=3, quality_col="q",
+        host_blocklist=["spam.example"],
+    ))
     assert p.count("Exchange") == 1, p
 
 
@@ -902,6 +916,14 @@ def test_mix_corpus_alpha_temperature(spark):
         mix_corpus(d, None, 4000)
     with _pytest.raises(ValueError, match="alpha"):
         mix_corpus(d, None, 4000, alpha=1.5)
+    # NULL source rows would silently lose their derived budget share
+    # (the plan equi-join never matches null) — must raise instead
+    dn = spark.createDataFrame(
+        [(1, "some tokens here", None), (2, "more tokens here", "big")],
+        "doc_id long, text string, source string",
+    )
+    with _pytest.raises(ValueError, match="NULL source"):
+        mix_corpus(dn, None, 4000, alpha=0.3)
 
 
 def test_split_corpus_fractions_and_determinism(spark):

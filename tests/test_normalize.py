@@ -33,6 +33,27 @@ class TestNormalizeString:
         )
         assert normalize_string(moji_punct) == "don’t — ever"
 
+    def test_mojibake_non_latin_scripts(self):
+        """Code-review r11: the marker set must cover 2-byte lead bytes
+        beyond 0xC2/0xC3 — Cyrillic, Greek, and Latin-Extended mojibake
+        (cp1252 images 0xC4-0xDF) repair too."""
+        for original in ("Привет мир", "Αθήνα", "zażółć gęślą jaźń"):
+            moji = original.encode("utf-8").decode("cp1252")
+            assert moji != original
+            assert normalize_string(moji) == original, original
+        # latin-1 misdecodes carry bytes cp1252 leaves undefined (ρ =
+        # 0xCF 0x81): the encode falls back to latin-1 and still heals
+        moji = "Καλημέρα".encode("utf-8").decode("latin-1")
+        assert normalize_string(moji) == "Καλημέρα"
+
+    def test_genuine_marker_letters_survive(self):
+        """ß (0xDF) and Ð (0xD0) are now marker chars — genuine German/
+        Icelandic text must still pass the strict-decode latch
+        unchanged."""
+        for s in ("die Straße in Köln", "Ðorsteinn á Íslandi",
+                  "große Äpfel ÜBERALL"):
+            assert normalize_string(s) == s, s
+
     def test_mojibake_double_encoded(self):
         twice = MOJI_CAFE.encode("utf-8").decode("cp1252")
         assert normalize_string(twice) == NFC_CAFE
