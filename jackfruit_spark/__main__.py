@@ -1051,6 +1051,7 @@ def cmd_profile(args) -> int:
         text_col=args.text_col,
         dedup_stats=args.dedup,
         gopher_stats=args.gopher,
+        pii_stats=args.pii,
     )
     line = json.dumps(report)
     if args.output:
@@ -1934,6 +1935,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="add exact-duplication stats (second job)")
     pf.add_argument("--gopher", action="store_true",
                     help="add per-Gopher-rule fail counts (same job)")
+    pf.add_argument("--pii", action="store_true",
+                    help="add per-PII-pattern doc counts + mojibake "
+                         "suspects (same job)")
     pf.add_argument("--cpus", default=None)
     pf.set_defaults(fn=cmd_profile)
 

@@ -55,6 +55,28 @@ from pyspark.sql import functions as F
 # roundtrip attempt for near-zero real-corpus benefit.
 _MOJIBAKE = re.compile("[\u00c2-\u00df\u00e2]")
 
+
+def _cp1252_image(lo: int, hi: int) -> str:
+    out = []
+    for b in range(lo, hi):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            pass
+    return "".join(out)
+
+
+# JVM-side mojibake DETECTOR (java-regex string, for profile/report
+# expressions — rlike, no Python): a marker lead image immediately
+# followed by a continuation-byte image (cp1252 of 0x80-0xBF). The
+# bigram shape excludes genuine accented text ("ße", "São": the
+# follower is plain ASCII) while catching real two-byte mojibake
+# ("Ã©", "Ð", "â€™" pairs).
+MOJIBAKE_SUSPECT_RE = (
+    "[" + re.escape(_cp1252_image(0xC2, 0xE0) + "\u00e2") + "]"
+    "[" + re.escape(_cp1252_image(0x80, 0xC0)) + "]"
+)
+
 # C0 (minus \t\n) + DEL + C1 controls, zero-widths (+ word joiner),
 # soft hyphen: drop.
 _DROP = dict.fromkeys(

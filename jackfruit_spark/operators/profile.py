@@ -43,6 +43,7 @@ def profile_corpus(
     text_col: str = "text",
     dedup_stats: bool = False,
     gopher_stats: bool = False,
+    pii_stats: bool = False,
 ) -> dict:
     """Return the corpus report card as a JSON-serializable dict.
 
@@ -56,8 +57,19 @@ def profile_corpus(
     the all-rules pass count (operators/curation.gopher_rule_columns)
     — the knob-tuning signal before flipping the gate on; rides the
     SAME single aggregate (8 more conditional sums, zero extra jobs).
+    ``pii_stats=True`` adds ``pii`` (docs containing each PII pattern,
+    JVM rlike — the pre-redaction audit) and ``mojibake_suspect_docs``
+    (docs matching the lead+continuation bigram detector,
+    functions/normalize.MOJIBAKE_SUSPECT_RE — sizes the normalize
+    tier's payoff before running it); also zero extra jobs.
     """
-    from jackfruit_spark.operators.curation import gopher_rule_columns
+    from jackfruit_spark.functions.normalize import (
+        MOJIBAKE_SUSPECT_RE as _MOJI_RE,
+    )
+    from jackfruit_spark.operators.curation import (
+        PII_PATTERNS as _PII,
+        gopher_rule_columns,
+    )
     blank = F.length(F.trim(F.col(text_col))) == 0
     # split(trim('')) is [''] not [] (the chunk empty-text lesson):
     # blank docs must be zero-token by explicit gate, not by size()
@@ -93,6 +105,21 @@ def profile_corpus(
             F.sum((lang == lg).cast("long")).alias(f"__lang_{lg}")
             for lg in langs
         ],
+        *(
+            [
+                F.sum(
+                    F.col(text_col).rlike(pat).cast("long")
+                ).alias(f"__pii_{label.lower()}")
+                for label, pat in _PII
+            ]
+            + [
+                F.sum(
+                    F.col(text_col).rlike(_MOJI_RE).cast("long")
+                ).alias("__moji")
+            ]
+            if pii_stats
+            else []
+        ),
         *(
             [
                 F.sum((~col).cast("long")).alias(f"__gfail_{name}")
@@ -135,6 +162,12 @@ def profile_corpus(
             )
         ),
     }
+    if pii_stats:
+        out["pii"] = {
+            label.lower(): int(row[f"__pii_{label.lower()}"] or 0)
+            for label, _ in _PII
+        }
+        out["mojibake_suspect_docs"] = int(row["__moji"] or 0)
     if gopher_stats:
         from jackfruit_spark.operators.curation import gopher_rule_columns as _grc
 

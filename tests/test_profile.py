@@ -81,3 +81,26 @@ def test_profile_gopher_stats(spark):
     assert g["gopher_word_count"] == 2
     # every fail count is bounded by the corpus
     assert all(0 <= v <= 3 for v in g.values())
+
+
+def test_profile_pii_stats(spark):
+    """pii_stats=True: docs-containing counts per PII pattern plus the
+    mojibake-suspect bigram detector, all on the one aggregate."""
+    moji = "Café corrupted".encode("utf-8").decode("cp1252")
+    docs = spark.createDataFrame(
+        [
+            (1, "mail alice@example.com and bob@corp.io today"),
+            (2, "pay 4111-1111-1111-1111 ship to 10.0.0.1"),
+            (3, moji),
+            (4, "die Straße in São Paulo stays clean"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    r = profile_corpus(docs, pii_stats=True)
+    assert r["pii"]["email"] == 1  # docs containing, not match count
+    assert r["pii"]["credit_card"] == 1
+    assert r["pii"]["ipv4"] == 1
+    assert r["pii"]["ssn"] == 0 and r["pii"]["aws_key"] == 0
+    # genuine accents are NOT suspects; the cp1252 bigram is
+    assert r["mojibake_suspect_docs"] == 1
