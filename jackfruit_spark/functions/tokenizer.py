@@ -51,16 +51,13 @@ def _symbolize(word: str) -> tuple[str, ...]:
     return tuple(word[:-1]) + (word[-1] + EOW,) if word else ()
 
 
-def bpe_train(
+def _sample_texts(
     df: DataFrame,
     text_col: str,
-    num_merges: int = 1000,
-    sample_size: int = 50_000,
-    seed: int = 42,
-    sample_fraction: float | None = None,
-) -> list[tuple[str, str]]:
-    """Learn ``num_merges`` BPE merges from a bounded sample of the text
-    column. Returns the ordered merge list (rank = position)."""
+    sample_size: int,
+    seed: int,
+    sample_fraction: float | None,
+):
     sample = df.select(text_col)
     if sample_fraction is not None:
         pdf = (
@@ -72,7 +69,22 @@ def bpe_train(
         pdf = sample.sample(fraction=0.01, seed=seed).limit(sample_size).toPandas()
         if len(pdf) < 1000:
             pdf = sample.limit(sample_size).toPandas()
-    freqs = _word_freqs(pdf[text_col])
+    return pdf[text_col]
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 1000,
+    sample_size: int = 50_000,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a bounded sample of the text
+    column. Returns the ordered merge list (rank = position)."""
+    freqs = _word_freqs(
+        _sample_texts(df, text_col, sample_size, seed, sample_fraction)
+    )
     words = {w: _symbolize(w) for w in freqs}
     # incremental pair bookkeeping (the textbook fast loop): global pair
     # counts + pair -> words index, updated only for words a merge touches
@@ -193,6 +205,97 @@ def bpe_encode_udf(merges: list[tuple[str, str]]) -> Column:
         return texts.map(enc)
 
     return encode
+
+
+UNK, EOS, PAD = "<unk>", "<eos>", "<pad>"
+
+
+def bpe_vocab(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    sample_size: int = 50_000,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> dict[str, int]:
+    """Deterministic token -> id table completing the merge list into a
+    real tokenizer: specials first (``<unk>``=0, ``<eos>``=1,
+    ``<pad>``=2 — the ids ``pack_token_ids`` wants for ``sep_id`` /
+    ``pad_id``), then the sampled corpus' base symbols (sorted), then
+    one merged symbol per merge in merge order. Sample with the SAME
+    knobs as ``bpe_train`` so the base alphabet matches what the merges
+    were learned on; apply-time symbols outside the table (OOV chars of
+    unseen scripts) encode to ``<unk>``, the standard BPE contract."""
+    # base symbols are _symbolize outputs, NOT raw chars: the last char
+    # of every word carries the </w> marker, so "w" and "w</w>" are
+    # distinct vocabulary items (the Sennrich formulation)
+    base = set()
+    for t in _sample_texts(df, text_col, sample_size, seed, sample_fraction):
+        if t is not None:
+            for w in t.split():
+                base.update(_symbolize(w))
+    vocab: dict[str, int] = {UNK: 0, EOS: 1, PAD: 2}
+    for c in sorted(base):
+        vocab.setdefault(c, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bpe_encode_ids_udf(
+    merges: list[tuple[str, str]], vocab: dict[str, int]
+) -> Column:
+    """Pandas-UDF factory: col(text) -> ``array<int>`` input_ids
+    (``bpe_encode_udf``'s integer twin — same per-worker word memo;
+    OOV symbols map to the ``<unk>`` id). Feed the result straight to
+    ``pack_token_ids`` with ``sep_id=vocab['<eos>']``."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    merges_key = hashlib.md5(
+        repr(sorted(ranks.items())).encode()
+    ).hexdigest()
+    unk = vocab[UNK]
+
+    @pandas_udf("array<int>")
+    def encode(texts: pd.Series) -> pd.Series:
+        memo = _memo_for("ids:" + merges_key)
+
+        def enc(t):
+            if t is None:
+                return []
+            out: list[int] = []
+            for w in t.split():
+                ids = memo.get(w)
+                if ids is None:
+                    ids = [
+                        vocab.get(tok, unk)
+                        for tok in _encode_word(w, ranks)
+                    ]
+                    memo[w] = ids
+                out.extend(ids)
+            return out
+
+        return texts.map(enc)
+
+    return encode
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    text_col: str,
+    merges,
+    vocab: dict[str, int],
+    out_col: str = "input_ids",
+) -> DataFrame:
+    """Adds ``out_col`` (``array<int>``) — the materialized form the
+    packing stage consumes: ``bpe_encode_ids`` -> ``pack_token_ids``
+    is the full tokenize-then-pack composition."""
+    return df.withColumn(
+        out_col, bpe_encode_ids_udf(merges, vocab)(F.col(text_col))
+    )
 
 
 def bpe_token_count(df: DataFrame, text_col: str, merges) -> DataFrame:

@@ -114,3 +114,78 @@ def test_word_memo_is_module_level_and_bounded():
     finally:
         tk._MEMO_MAX_WORDS = old_max
     tk._WORD_MEMOS.clear()
+
+
+def test_bpe_vocab_and_ids_roundtrip(corpus):
+    """bpe_vocab: specials pinned at 0/1/2, base chars sorted, merged
+    symbols in merge order; id encoding inverts back to the string
+    tokens through the vocab; OOV chars hit <unk>."""
+    from jackfruit_spark.functions.tokenizer import (
+        EOS,
+        PAD,
+        UNK,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    merges = bpe_train(corpus, "text", num_merges=6, sample_size=100)
+    vocab = bpe_vocab(corpus, "text", merges, sample_size=100)
+    assert (vocab[UNK], vocab[EOS], vocab[PAD]) == (0, 1, 2)
+    # every merged symbol present, ids strictly increasing in merge order
+    merge_ids = [vocab[a + b] for a, b in merges]
+    assert merge_ids == sorted(merge_ids)
+    # deterministic rebuild
+    assert vocab == bpe_vocab(corpus, "text", merges, sample_size=100)
+
+    inv = {i: t for t, i in vocab.items()}
+    spark = corpus.sparkSession
+    d = spark.createDataFrame(
+        [(1, "newest low"), (2, "zebra?!")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["input_ids"]
+        for r in bpe_encode_ids(d, "text", merges, vocab).collect()
+    }
+    # in-vocab text: ids decode to the exact string segmentation
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    want = _encode_word("newest", ranks) + _encode_word("low", ranks)
+    assert [inv[i] for i in rows[1]] == want
+    # 'z', 'b', 'r', '?', '!' never appeared in the train sample: every
+    # symbol containing them encodes to <unk>, none crashes
+    assert rows[2] and all(isinstance(i, int) for i in rows[2])
+    assert vocab[UNK] in rows[2]
+
+
+def test_tokenize_then_pack_composition(corpus):
+    """The full training-data shape: bpe_encode_ids -> pack_token_ids
+    emits fixed-length int sequences with <eos> separators, token
+    stream conserved."""
+    from jackfruit_spark.functions.tokenizer import (
+        EOS,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+    from jackfruit_spark.operators.curation import pack_token_ids
+
+    spark = corpus.sparkSession
+    merges = bpe_train(corpus, "text", num_merges=6, sample_size=100)
+    vocab = bpe_vocab(corpus, "text", merges, sample_size=100)
+    d = spark.createDataFrame(
+        [(i, "newest widest low lower") for i in range(6)],
+        "doc_id long, text string",
+    )
+    ids = bpe_encode_ids(d, "text", merges, vocab)
+    n_tokens = ids.select(
+        F.sum(F.size("input_ids")).alias("n")
+    ).first()["n"]
+    packed = pack_token_ids(
+        ids, "input_ids", seq_len=8, order_col="doc_id",
+        sep_id=vocab[EOS], drop_last=False, pad_id=vocab["<pad>"],
+    ).collect()
+    assert packed and all(len(r["input_ids"]) == 8 for r in packed)
+    flat = [i for r in packed for i in r["input_ids"]]
+    # stream = tokens + one eos per doc + tail padding
+    n_eos = sum(1 for i in flat if i == vocab[EOS])
+    n_pad = sum(1 for i in flat if i == vocab["<pad>"])
+    assert n_eos == 6
+    assert len(flat) == n_tokens + n_eos + n_pad
