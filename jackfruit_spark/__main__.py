@@ -1249,6 +1249,65 @@ def cmd_mine_negatives(args) -> int:
     return 0
 
 
+def cmd_tokenize(args) -> int:
+    """BPE tokenizer operations (functions/tokenizer.py): --train fits
+    merges + vocab on a bounded sample and saves one JSON; --output
+    encodes the corpus to integer input_ids parquet with the saved (or
+    just-trained) tokenizer; --pack-seq-len additionally packs the ids
+    into fixed-length training sequences (pack_token_ids, <eos>
+    separators, <pad> tail). Prints one JSON line."""
+    import os
+
+    from jackfruit_spark.functions.tokenizer import (
+        EOS,
+        PAD,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+        load_tokenizer,
+        save_tokenizer,
+    )
+
+    spark = _spark(args.cpus)
+    docs = spark.read.parquet(args.input)
+    stats: dict = {}
+    if args.train:
+        merges = bpe_train(
+            docs, args.text_col, num_merges=args.num_merges,
+            sample_size=args.sample_size,
+        )
+        vocab = bpe_vocab(
+            docs, args.text_col, merges, sample_size=args.sample_size
+        )
+        save_tokenizer(args.tokenizer, merges, vocab)
+        stats.update({"merges": len(merges), "vocab": len(vocab)})
+    elif not os.path.exists(args.tokenizer):
+        print(json.dumps({
+            "error": f"no tokenizer at {args.tokenizer} (pass --train)"
+        }))
+        return 2
+    else:
+        merges, vocab = load_tokenizer(args.tokenizer)
+    if args.output:
+        ids = bpe_encode_ids(
+            docs.select(args.id_col, args.text_col),
+            args.text_col, merges, vocab,
+        ).drop(args.text_col)
+        if args.pack_seq_len:
+            from jackfruit_spark.operators.curation import pack_token_ids
+
+            ids = pack_token_ids(
+                ids, "input_ids", seq_len=args.pack_seq_len,
+                order_col=args.id_col, sep_id=vocab[EOS],
+                drop_last=False, pad_id=vocab[PAD],
+            )
+        ids.write.mode("overwrite").parquet(args.output)
+        stats["rows"] = spark.read.parquet(args.output).count()
+        stats["output"] = args.output
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_decontam_semantic(args) -> int:
     """Embedding-space decontamination
     (operators/curation.decontaminate_semantic): benchmark items embed
@@ -2030,6 +2089,26 @@ def build_parser() -> argparse.ArgumentParser:
     mn.add_argument("--pos-id-col", default="pos_id")
     mn.add_argument("--cpus", default=None)
     mn.set_defaults(fn=cmd_mine_negatives)
+
+    tkz = sub.add_parser(
+        "tokenize",
+        help="BPE tokenizer: train/save merges+vocab, encode a corpus "
+             "to input_ids, optionally pack to training sequences",
+    )
+    tkz.add_argument("--input", required=True, help="documents parquet")
+    tkz.add_argument("--tokenizer", required=True,
+                     help="tokenizer JSON path (written by --train)")
+    tkz.add_argument("--train", action="store_true")
+    tkz.add_argument("--num-merges", type=int, default=1000)
+    tkz.add_argument("--sample-size", type=int, default=50_000)
+    tkz.add_argument("--output", default=None,
+                     help="encoded input_ids parquet")
+    tkz.add_argument("--pack-seq-len", type=int, default=None,
+                     help="also pack ids into fixed-length sequences")
+    tkz.add_argument("--id-col", default="doc_id")
+    tkz.add_argument("--text-col", default="text")
+    tkz.add_argument("--cpus", default=None)
+    tkz.set_defaults(fn=cmd_tokenize)
 
     ds = sub.add_parser(
         "decontam-semantic",

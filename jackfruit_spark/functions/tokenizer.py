@@ -298,6 +298,28 @@ def bpe_encode_ids(
     )
 
 
+def save_tokenizer(path: str, merges, vocab: dict[str, int]) -> None:
+    """Persist merges + vocab as one JSON file (atomic tmp+rename) so a
+    tokenizer trained once prices/encodes every later corpus
+    identically."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"merges": [list(m) for m in merges], "vocab": vocab}, f)
+    os.replace(tmp, path)
+
+
+def load_tokenizer(path: str):
+    """Inverse of :func:`save_tokenizer` -> (merges, vocab)."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    return [tuple(m) for m in d["merges"]], dict(d["vocab"])
+
+
 def bpe_token_count(df: DataFrame, text_col: str, merges) -> DataFrame:
     """Adds ``n_bpe_tokens`` (long) — the budgeting measure every
     training pipeline prices by."""

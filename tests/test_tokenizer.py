@@ -189,3 +189,51 @@ def test_tokenize_then_pack_composition(corpus):
     n_pad = sum(1 for i in flat if i == vocab["<pad>"])
     assert n_eos == 6
     assert len(flat) == n_tokens + n_eos + n_pad
+
+
+def test_save_load_roundtrip(corpus, tmp_path):
+    from jackfruit_spark.functions.tokenizer import (
+        bpe_vocab,
+        load_tokenizer,
+        save_tokenizer,
+    )
+
+    merges = bpe_train(corpus, "text", num_merges=5, sample_size=100)
+    vocab = bpe_vocab(corpus, "text", merges, sample_size=100)
+    path = str(tmp_path / "tok.json")
+    save_tokenizer(path, merges, vocab)
+    m2, v2 = load_tokenizer(path)
+    assert m2 == merges and v2 == vocab
+
+
+def test_cli_tokenize_train_encode_pack(spark, tmp_path, capsys):
+    """`tokenize`: --train writes the tokenizer JSON; a second run
+    loads it and encodes + packs; missing tokenizer without --train
+    errors loudly."""
+    import json
+
+    from jackfruit_spark.__main__ import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "newest widest low lower " * 3) for i in range(8)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    tok = str(tmp_path / "tok.json")
+    rc = main(["tokenize", "--input", src, "--tokenizer", tok,
+               "--train", "--num-merges", "6", "--sample-size", "100"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and stats["merges"] == 6 and stats["vocab"] > 6
+
+    out = str(tmp_path / "packed")
+    rc = main(["tokenize", "--input", src, "--tokenizer", tok,
+               "--output", out, "--pack-seq-len", "16"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and stats["rows"] > 0
+    rows = spark.read.parquet(out).collect()
+    assert all(len(r["input_ids"]) == 16 for r in rows)
+
+    rc = main(["tokenize", "--input", src,
+               "--tokenizer", str(tmp_path / "missing.json")])
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and "no tokenizer" in err["error"]
