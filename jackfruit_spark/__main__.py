@@ -1289,19 +1289,39 @@ def cmd_tokenize(args) -> int:
     else:
         merges, vocab = load_tokenizer(args.tokenizer)
     if args.output:
-        ids = bpe_encode_ids(
+        from pyspark.sql import functions as F
+
+        from jackfruit_spark.functions.tokenizer import UNK
+
+        encoded = bpe_encode_ids(
             docs.select(args.id_col, args.text_col),
             args.text_col, merges, vocab,
-        ).drop(args.text_col)
+        ).drop(args.text_col).persist()
+        # persisted: the coverage aggregate and the write would
+        # otherwise each run the Python encode pass (the count-before-
+        # write double-evaluation trap)
+        unk = vocab[UNK]
+        cov = encoded.agg(
+            F.sum(F.size("input_ids")).alias("n"),
+            F.sum(
+                F.size(F.filter("input_ids", lambda i: i == unk))
+            ).alias("u"),
+        ).first()
+        stats["tokens"] = int(cov["n"] or 0)
+        stats["unk_rate"] = round(
+            (cov["u"] or 0) / max(1, cov["n"] or 0), 6
+        )
+        out_df = encoded
         if args.pack_seq_len:
             from jackfruit_spark.operators.curation import pack_token_ids
 
-            ids = pack_token_ids(
-                ids, "input_ids", seq_len=args.pack_seq_len,
+            out_df = pack_token_ids(
+                encoded, "input_ids", seq_len=args.pack_seq_len,
                 order_col=args.id_col, sep_id=vocab[EOS],
                 drop_last=False, pad_id=vocab[PAD],
             )
-        ids.write.mode("overwrite").parquet(args.output)
+        out_df.write.mode("overwrite").parquet(args.output)
+        encoded.unpersist()
         stats["rows"] = spark.read.parquet(args.output).count()
         stats["output"] = args.output
     print(json.dumps(stats))

@@ -230,6 +230,8 @@ def test_cli_tokenize_train_encode_pack(spark, tmp_path, capsys):
                "--output", out, "--pack-seq-len", "16"])
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and stats["rows"] > 0
+    # every word was in the train sample: zero <unk>s
+    assert stats["tokens"] > 0 and stats["unk_rate"] == 0.0
     rows = spark.read.parquet(out).collect()
     assert all(len(r["input_ids"]) == 16 for r in rows)
 
