@@ -95,6 +95,7 @@ def curate_stream(
     sample_pct: int = 50,
     watermark: str = "1 hour",
     redact: bool = False,
+    normalize: bool = False,
 ) -> DataFrame:
     """The q57 stage chain as a streaming transformation (language gate,
     token-count and stopword-ratio gates, within-watermark exact dedup on
@@ -102,7 +103,18 @@ def curate_stream(
     adds the PII scrub (operators/curation.redact_pii) AFTER dedup — the
     content hash must fingerprint the original bytes so replays of the
     un-redacted source still collapse; redaction is a pure column
-    expression, so it adds no state and no shuffle."""
+    expression, so it adds no state and no shuffle. ``normalize=True``
+    prepends Unicode normalization (functions/normalize.normalize_text)
+    BEFORE the gates and the content hash — byte-variant replays of one
+    document must fingerprint identically to dedup within the
+    watermark; the Arrow kernel is stateless, so it is streaming-safe
+    and adds no state."""
+    if normalize:
+        from jackfruit_spark.functions.normalize import normalize_text
+
+        docs = normalize_text(
+            docs.filter(F.col("_corrupt_record").isNull()), "text"
+        )
     toks = T.token_count("text")
     stop_ratio = F.round(
         T.stopword_count("text", T.LANG_STOPWORDS["en"]).cast("double")

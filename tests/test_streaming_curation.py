@@ -186,6 +186,33 @@ def test_streaming_redact_pii_after_dedup(spark, tmp_path):
     assert rows[0]["content_hash"] == hashlib.md5(pii_text.encode()).hexdigest()
 
 
+def test_streaming_normalize_dedups_byte_variants(spark, tmp_path):
+    """normalize=True runs BEFORE the content hash: a cp1252-mojibake
+    replay of a clean doc collapses in the within-watermark dedup, and
+    the survivor's text and hash are the normalized form."""
+    import hashlib
+
+    landing = tmp_path / "landing"
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    clean = GOOD_EN + " caf\u00e9 stories"
+    moji = clean.encode("utf-8").decode("cp1252")
+    _land(landing / "b1.jsonl", [_doc(1, clean), _doc(2, moji)])
+    q = write_curated(
+        curate_stream(
+            stream_documents_jsonl(spark, str(landing)),
+            sample_pct=100,
+            normalize=True,
+        ),
+        out, ckpt,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == clean
+    assert rows[0]["content_hash"] == hashlib.md5(clean.encode()).hexdigest()
+
+
 # --------------------------------------------- streaming WARC ingestion (r7)
 
 GOOD_EN_2 = (
