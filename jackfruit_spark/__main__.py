@@ -1262,8 +1262,7 @@ def cmd_tokenize(args) -> int:
         EOS,
         PAD,
         bpe_encode_ids,
-        bpe_train,
-        bpe_vocab,
+        bpe_train_with_vocab,
         load_tokenizer,
         save_tokenizer,
     )
@@ -1272,12 +1271,9 @@ def cmd_tokenize(args) -> int:
     docs = spark.read.parquet(args.input)
     stats: dict = {}
     if args.train:
-        merges = bpe_train(
+        merges, vocab = bpe_train_with_vocab(
             docs, args.text_col, num_merges=args.num_merges,
             sample_size=args.sample_size,
-        )
-        vocab = bpe_vocab(
-            docs, args.text_col, merges, sample_size=args.sample_size
         )
         save_tokenizer(args.tokenizer, merges, vocab)
         stats.update({"merges": len(merges), "vocab": len(vocab)})

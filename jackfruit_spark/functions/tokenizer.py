@@ -85,6 +85,12 @@ def bpe_train(
     freqs = _word_freqs(
         _sample_texts(df, text_col, sample_size, seed, sample_fraction)
     )
+    return _train_from_freqs(freqs, num_merges)
+
+
+def _train_from_freqs(
+    freqs: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
     words = {w: _symbolize(w) for w in freqs}
     # incremental pair bookkeeping (the textbook fast loop): global pair
     # counts + pair -> words index, updated only for words a merge touches
@@ -222,24 +228,53 @@ def bpe_vocab(
     real tokenizer: specials first (``<unk>``=0, ``<eos>``=1,
     ``<pad>``=2 — the ids ``pack_token_ids`` wants for ``sep_id`` /
     ``pad_id``), then the sampled corpus' base symbols (sorted), then
-    one merged symbol per merge in merge order. Sample with the SAME
-    knobs as ``bpe_train`` so the base alphabet matches what the merges
-    were learned on; apply-time symbols outside the table (OOV chars of
+    one merged symbol per merge in merge order. Standalone form —
+    re-samples with the SAME knobs as ``bpe_train``; prefer
+    ``bpe_train_with_vocab`` when training in the same call (one shared
+    sample job, and the alphabet is guaranteed to be the one the merges
+    were learned on rather than relying on sample() re-running
+    identically). Apply-time symbols outside the table (OOV chars of
     unseen scripts) encode to ``<unk>``, the standard BPE contract."""
+    freqs = _word_freqs(
+        _sample_texts(df, text_col, sample_size, seed, sample_fraction)
+    )
+    return _vocab_from_freqs(freqs, merges)
+
+
+def _vocab_from_freqs(
+    freqs: dict[str, int], merges: list[tuple[str, str]]
+) -> dict[str, int]:
     # base symbols are _symbolize outputs, NOT raw chars: the last char
     # of every word carries the </w> marker, so "w" and "w</w>" are
     # distinct vocabulary items (the Sennrich formulation)
     base = set()
-    for t in _sample_texts(df, text_col, sample_size, seed, sample_fraction):
-        if t is not None:
-            for w in t.split():
-                base.update(_symbolize(w))
+    for w in freqs:
+        base.update(_symbolize(w))
     vocab: dict[str, int] = {UNK: 0, EOS: 1, PAD: 2}
     for c in sorted(base):
         vocab.setdefault(c, len(vocab))
     for a, b in merges:
         vocab.setdefault(a + b, len(vocab))
     return vocab
+
+
+def bpe_train_with_vocab(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 1000,
+    sample_size: int = 50_000,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Train merges AND build the vocab from ONE sample job (code-review
+    r11: bpe_train + bpe_vocab back-to-back collected the sample twice
+    and relied on sample().limit() re-running identically for the base
+    alphabet to match the merges)."""
+    freqs = _word_freqs(
+        _sample_texts(df, text_col, sample_size, seed, sample_fraction)
+    )
+    merges = _train_from_freqs(freqs, num_merges)
+    return merges, _vocab_from_freqs(freqs, merges)
 
 
 def bpe_encode_ids_udf(
@@ -254,14 +289,17 @@ def bpe_encode_ids_udf(
     from pyspark.sql.functions import pandas_udf
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
-    merges_key = hashlib.md5(
-        repr(sorted(ranks.items())).encode()
+    # the memo stores vocab-DEPENDENT ids: two tokenizers sharing a
+    # merge list but differing in vocab must not share a memo (a warm
+    # python worker would silently return the other vocab's ids)
+    memo_key = "ids:" + hashlib.md5(
+        (repr(sorted(ranks.items())) + repr(sorted(vocab.items()))).encode()
     ).hexdigest()
     unk = vocab[UNK]
 
     @pandas_udf("array<int>")
     def encode(texts: pd.Series) -> pd.Series:
-        memo = _memo_for("ids:" + merges_key)
+        memo = _memo_for(memo_key)
 
         def enc(t):
             if t is None:
@@ -293,6 +331,9 @@ def bpe_encode_ids(
     """Adds ``out_col`` (``array<int>``) — the materialized form the
     packing stage consumes: ``bpe_encode_ids`` -> ``pack_token_ids``
     is the full tokenize-then-pack composition."""
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     return df.withColumn(
         out_col, bpe_encode_ids_udf(merges, vocab)(F.col(text_col))
     )
@@ -323,6 +364,9 @@ def load_tokenizer(path: str):
 def bpe_token_count(df: DataFrame, text_col: str, merges) -> DataFrame:
     """Adds ``n_bpe_tokens`` (long) — the budgeting measure every
     training pipeline prices by."""
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     enc = bpe_encode_udf(merges)
     return df.withColumn(
         "n_bpe_tokens", F.size(enc(F.col(text_col))).cast("long")

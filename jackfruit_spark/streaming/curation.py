@@ -112,9 +112,9 @@ def curate_stream(
     if normalize:
         from jackfruit_spark.functions.normalize import normalize_text
 
-        docs = normalize_text(
-            docs.filter(F.col("_corrupt_record").isNull()), "text"
-        )
+        # corrupt rows carry NULL text; normalize_text passes NULL
+        # through, and the main chain filters them just below
+        docs = normalize_text(docs, "text")
     toks = T.token_count("text")
     stop_ratio = F.round(
         T.stopword_count("text", T.LANG_STOPWORDS["en"]).cast("double")

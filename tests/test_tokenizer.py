@@ -239,3 +239,22 @@ def test_cli_tokenize_train_encode_pack(spark, tmp_path, capsys):
                "--tokenizer", str(tmp_path / "missing.json")])
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 2 and "no tokenizer" in err["error"]
+
+
+def test_train_with_vocab_matches_two_step(corpus):
+    """One-sample bpe_train_with_vocab == (bpe_train, bpe_vocab) on a
+    stable corpus; memo isolation: same merges + different vocab must
+    not share cached ids."""
+    from jackfruit_spark.functions import tokenizer as tk
+
+    m1, v1 = tk.bpe_train_with_vocab(corpus, "text", num_merges=5,
+                                     sample_size=100)
+    assert m1 == bpe_train(corpus, "text", num_merges=5, sample_size=100)
+    assert v1 == tk.bpe_vocab(corpus, "text", m1, sample_size=100)
+    # vocab-shifted twin: same merges, every non-special id off by one
+    v2 = {t: (i if i < 3 else i + 1) for t, i in v1.items()}
+    spark = corpus.sparkSession
+    d = spark.createDataFrame([(1, "newest low")], "doc_id long, text string")
+    a = tk.bpe_encode_ids(d, "text", m1, v1).first()["input_ids"]
+    b = tk.bpe_encode_ids(d, "text", m1, v2).first()["input_ids"]
+    assert b == [i + 1 for i in a]  # a shared memo would return a twice
