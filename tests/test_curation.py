@@ -804,6 +804,43 @@ def test_normalize_url_idempotent_fuzz(spark):
     check()
 
 
+def test_url_host_canonicalization_fuzz(spark):
+    """Property (r11 url_host fix): for an authority assembled from
+    optional userinfo/port/trailing-dots around a clean host, url_host
+    recovers exactly the clean host — one vectorized Spark pass over
+    all generated cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jackfruit_spark.operators.curation import url_host
+
+    host = st.from_regex(r"[a-z][a-z0-9-]{0,8}(\.[a-z][a-z0-9]{0,5}){1,3}",
+                         fullmatch=True)
+    user = st.one_of(st.none(), st.from_regex(r"[a-z0-9._%-]{1,8}",
+                                              fullmatch=True))
+    port = st.one_of(st.none(), st.integers(0, 65535))
+    dots = st.integers(0, 2)
+    path = st.sampled_from(["", "/", "/p/q", "?x=1", "/p?x=1"])
+
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(st.tuples(host, user, port, dots, path),
+                    min_size=60, max_size=60))
+    def check(cases):
+        urls = []
+        for h, u, p, nd, tail in cases:
+            auth = h + "." * nd
+            if p is not None:
+                auth += f":{p}"
+            if u is not None:
+                auth = f"{u}@{auth}"
+            urls.append((auth + tail, h))
+        d = spark.createDataFrame(urls, "url string, want string")
+        bad = d.filter(url_host("url") != F.col("want")).collect()
+        assert not bad, [(r["url"], r["want"]) for r in bad[:5]]
+
+    check()
+
+
 def test_mix_corpus_budget_and_upsampling(spark):
     """Expected token mass per source tracks the weights; a scarce
     source upsamples via whole epoch copies + fractional remainder;
