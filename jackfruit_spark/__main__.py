@@ -1264,34 +1264,56 @@ def cmd_tokenize(args) -> int:
         bpe_encode_ids,
         bpe_train_with_vocab,
         load_tokenizer,
+        load_unigram,
         save_tokenizer,
+        save_unigram,
+        unigram_encode_ids,
+        unigram_train,
+        unigram_vocab,
     )
 
     spark = _spark(args.cpus)
     docs = spark.read.parquet(args.input)
     stats: dict = {}
+    pieces = merges = None
     if args.train:
-        merges, vocab = bpe_train_with_vocab(
-            docs, args.text_col, num_merges=args.num_merges,
-            sample_size=args.sample_size,
-        )
-        save_tokenizer(args.tokenizer, merges, vocab)
-        stats.update({"merges": len(merges), "vocab": len(vocab)})
+        if args.algo == "unigram":
+            pieces = unigram_train(
+                docs, args.text_col, vocab_size=args.vocab_size,
+                sample_size=args.sample_size,
+            )
+            vocab = unigram_vocab(pieces)
+            save_unigram(args.tokenizer, pieces, vocab)
+            stats.update({"pieces": len(pieces), "vocab": len(vocab)})
+        else:
+            merges, vocab = bpe_train_with_vocab(
+                docs, args.text_col, num_merges=args.num_merges,
+                sample_size=args.sample_size,
+            )
+            save_tokenizer(args.tokenizer, merges, vocab)
+            stats.update({"merges": len(merges), "vocab": len(vocab)})
     elif not os.path.exists(args.tokenizer):
         print(json.dumps({
             "error": f"no tokenizer at {args.tokenizer} (pass --train)"
         }))
         return 2
     else:
-        merges, vocab = load_tokenizer(args.tokenizer)
+        with open(args.tokenizer) as f:
+            kind = json.load(f).get("kind", "bpe")
+        if kind == "unigram":
+            pieces, vocab = load_unigram(args.tokenizer)
+        else:
+            merges, vocab = load_tokenizer(args.tokenizer)
     if args.output:
         from pyspark.sql import functions as F
 
         from jackfruit_spark.functions.tokenizer import UNK
 
-        encoded = bpe_encode_ids(
-            docs.select(args.id_col, args.text_col),
-            args.text_col, merges, vocab,
+        select = docs.select(args.id_col, args.text_col)
+        encoded = (
+            unigram_encode_ids(select, args.text_col, pieces, vocab)
+            if pieces is not None
+            else bpe_encode_ids(select, args.text_col, merges, vocab)
         ).drop(args.text_col).persist()
         # persisted: the coverage aggregate and the write would
         # otherwise each run the Python encode pass (the count-before-
@@ -2115,7 +2137,12 @@ def build_parser() -> argparse.ArgumentParser:
     tkz.add_argument("--tokenizer", required=True,
                      help="tokenizer JSON path (written by --train)")
     tkz.add_argument("--train", action="store_true")
+    tkz.add_argument("--algo", choices=["bpe", "unigram"], default="bpe",
+                     help="training algorithm; encode auto-detects from "
+                          "the saved tokenizer's kind tag")
     tkz.add_argument("--num-merges", type=int, default=1000)
+    tkz.add_argument("--vocab-size", type=int, default=8000,
+                     help="unigram only: target piece count")
     tkz.add_argument("--sample-size", type=int, default=50_000)
     tkz.add_argument("--output", default=None,
                      help="encoded input_ids parquet")

@@ -348,7 +348,11 @@ def save_tokenizer(path: str, merges, vocab: dict[str, int]) -> None:
 
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"merges": [list(m) for m in merges], "vocab": vocab}, f)
+        json.dump(
+            {"kind": "bpe", "merges": [list(m) for m in merges],
+             "vocab": vocab},
+            f,
+        )
     os.replace(tmp, path)
 
 
@@ -358,6 +362,11 @@ def load_tokenizer(path: str):
 
     with open(path) as f:
         d = json.load(f)
+    if d.get("kind", "bpe") != "bpe":
+        raise ValueError(
+            f"{path} is a {d['kind']!r} tokenizer, not bpe "
+            "(use load_unigram)"
+        )
     return [tuple(m) for m in d["merges"]], dict(d["vocab"])
 
 
@@ -371,3 +380,218 @@ def bpe_token_count(df: DataFrame, text_col: str, merges) -> DataFrame:
     return df.withColumn(
         "n_bpe_tokens", F.size(enc(F.col(text_col))).cast("long")
     )
+
+
+# --------------------------------------------------------------- unigram LM
+
+def _viterbi(word: str, logp: dict[str, float], max_len: int,
+             unk_logp: float) -> list[str]:
+    """Best segmentation of ``word`` under piece log-probs (Kudo 2018
+    Viterbi decode): dp over end positions, O(len * max_len). Unknown
+    single chars segment as themselves at ``unk_logp`` so any word
+    segments totally."""
+    n = len(word)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            p = logp.get(word[i:j])
+            if p is None:
+                if j - i == 1:
+                    p = unk_logp
+                else:
+                    continue
+            cand = best[i] + p
+            if cand > best[j]:
+                best[j] = cand
+                back[j] = i
+    out = []
+    j = n
+    while j > 0:
+        i = back[j]
+        out.append(word[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 8000,
+    sample_size: int = 50_000,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    max_piece_len: int = 8,
+    seed_multiplier: int = 4,
+    em_iters: int = 4,
+    prune_frac: float = 0.25,
+) -> dict[str, float]:
+    """Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 — the
+    SentencePiece algorithm), the subword family BPE can't express:
+    pieces carry PROBABILITIES, segmentation is globally optimal per
+    word rather than greedy-merge order, and rare pieces prune away by
+    likelihood instead of never forming.
+
+    Same driver-side train-small / apply-at-scale contract as
+    ``bpe_train``: one bounded seeded sample, pure Python. Deliberate
+    simplification, stated honestly: the M-step re-estimates from
+    VITERBI counts (hard EM) instead of lattice forward–backward
+    expected counts — deterministic, and converges to the same kind of
+    vocabulary on natural text; pieces are word-internal substrings
+    (whitespace pre-tokenization, no cross-word pieces), matching this
+    module's BPE scope.
+
+    Returns ``{piece: logprob}`` with every sampled single char kept
+    (total segmentation guarantee) and at most ``vocab_size`` pieces.
+    """
+    import math
+
+    freqs = _word_freqs(
+        _sample_texts(df, text_col, sample_size, seed, sample_fraction)
+    )
+    # seed vocab: substring counts weighted by word freq; chars always in
+    sub_counts: dict[str, int] = {}
+    for w, f in freqs.items():
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(n, i + max_piece_len) + 1):
+                p = w[i:j]
+                sub_counts[p] = sub_counts.get(p, 0) + f
+    chars = {p for p in sub_counts if len(p) == 1}
+    multi = sorted(
+        (p for p in sub_counts if len(p) > 1),
+        # count * len favors pieces that explain more text; ties break
+        # lexicographically for determinism
+        key=lambda p: (-sub_counts[p] * len(p), p),
+    )[: max(0, seed_multiplier * vocab_size - len(chars))]
+    pieces = chars | set(multi)
+
+    def normalize(counts: dict[str, float]) -> dict[str, float]:
+        total = sum(counts.values()) or 1.0
+        floor = 1e-10  # unseen pieces: tiny, prunable, never -inf
+        return {
+            p: math.log(max(counts.get(p, 0.0), floor) / total)
+            for p in pieces
+        }
+
+    logp = normalize({p: float(sub_counts[p]) for p in pieces})
+    unk_logp = min(logp.values()) - 10.0
+    for _ in range(em_iters):
+        counts: dict[str, float] = {}
+        for w, f in freqs.items():
+            for piece in _viterbi(w, logp, max_piece_len, unk_logp):
+                counts[piece] = counts.get(piece, 0.0) + f
+        # prune lowest-count multi-char pieces toward vocab_size (chars
+        # are never pruned — total segmentation)
+        n_over = len(pieces) - vocab_size
+        if n_over > 0:
+            multi_now = sorted(
+                (p for p in pieces if len(p) > 1),
+                key=lambda p: (counts.get(p, 0.0), p),
+            )
+            drop = multi_now[: max(n_over, int(len(multi_now) * prune_frac))]
+            pieces -= set(drop)
+        logp = normalize(counts)
+        unk_logp = min(logp.values()) - 10.0
+    # final trim to exactly vocab_size (keep highest-logprob multis)
+    if len(pieces) > vocab_size:
+        multi_now = sorted(
+            (p for p in pieces if len(p) > 1),
+            key=lambda p: (-logp[p], p),
+        )
+        keep = set(multi_now[: vocab_size - len(chars)])
+        pieces = chars | keep
+        logp = {p: lp for p, lp in logp.items() if p in pieces}
+    return dict(sorted(logp.items()))
+
+
+def unigram_vocab(pieces: dict[str, float]) -> dict[str, int]:
+    """token -> id table for a trained unigram model: specials pinned
+    (``<unk>``=0, ``<eos>``=1, ``<pad>``=2) then pieces sorted — the
+    same contract as ``bpe_vocab``."""
+    vocab: dict[str, int] = {UNK: 0, EOS: 1, PAD: 2}
+    for p in sorted(pieces):
+        vocab.setdefault(p, len(vocab))
+    return vocab
+
+
+def unigram_encode_ids_udf(
+    pieces: dict[str, float], vocab: dict[str, int]
+) -> Column:
+    """Pandas-UDF factory: col(text) -> ``array<int>`` input_ids via
+    per-word Viterbi segmentation (worker-lifetime word memo, the BPE
+    encoder's discipline; unknown single chars -> ``<unk>``)."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    max_len = max((len(p) for p in pieces), default=1)
+    unk_logp = min(pieces.values(), default=0.0) - 10.0
+    memo_key = "uni:" + hashlib.md5(
+        (repr(sorted(pieces.items())) + repr(sorted(vocab.items()))).encode()
+    ).hexdigest()
+    unk = vocab[UNK]
+
+    @pandas_udf("array<int>")
+    def encode(texts: pd.Series) -> pd.Series:
+        memo = _memo_for(memo_key)
+
+        def enc(t):
+            if t is None:
+                return []
+            out: list[int] = []
+            for w in t.split():
+                ids = memo.get(w)
+                if ids is None:
+                    ids = [
+                        vocab.get(p, unk)
+                        for p in _viterbi(w, pieces, max_len, unk_logp)
+                    ]
+                    memo[w] = ids
+                out.extend(ids)
+            return out
+
+        return texts.map(enc)
+
+    return encode
+
+
+def unigram_encode_ids(
+    df: DataFrame,
+    text_col: str,
+    pieces: dict[str, float],
+    vocab: dict[str, int],
+    out_col: str = "input_ids",
+) -> DataFrame:
+    """``array<int>`` input_ids column — the unigram twin of
+    ``bpe_encode_ids``; feeds ``pack_token_ids`` identically."""
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    return df.withColumn(
+        out_col, unigram_encode_ids_udf(pieces, vocab)(F.col(text_col))
+    )
+
+
+def save_unigram(path: str, pieces: dict[str, float],
+                 vocab: dict[str, int]) -> None:
+    """Persist a unigram model (kind-tagged JSON, atomic rename)."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"kind": "unigram", "pieces": pieces, "vocab": vocab}, f)
+    os.replace(tmp, path)
+
+
+def load_unigram(path: str):
+    """Inverse of :func:`save_unigram` -> (pieces, vocab)."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("kind") != "unigram":
+        raise ValueError(f"{path} is not a unigram tokenizer")
+    return dict(d["pieces"]), dict(d["vocab"])

@@ -258,3 +258,121 @@ def test_train_with_vocab_matches_two_step(corpus):
     a = tk.bpe_encode_ids(d, "text", m1, v1).first()["input_ids"]
     b = tk.bpe_encode_ids(d, "text", m1, v2).first()["input_ids"]
     assert b == [i + 1 for i in a]  # a shared memo would return a twice
+
+
+class TestUnigram:
+    def test_viterbi_prefers_likely_pieces(self):
+        import math
+
+        from jackfruit_spark.functions.tokenizer import _viterbi
+
+        logp = {
+            "low": math.log(0.3), "est": math.log(0.3),
+            "lowest": math.log(0.01),
+            "l": math.log(0.05), "o": math.log(0.05), "w": math.log(0.05),
+            "e": math.log(0.05), "s": math.log(0.05), "t": math.log(0.05),
+        }
+        # 0.3*0.3 = 0.09 beats the 0.01 whole-word piece and the 6-char
+        # spell-out
+        assert _viterbi("lowest", logp, 8, -50.0) == ["low", "est"]
+        logp["lowest"] = math.log(0.5)
+        assert _viterbi("lowest", logp, 8, -50.0) == ["lowest"]
+        # unknown chars segment singly at the unk floor, never crash
+        assert _viterbi("zq", logp, 8, -50.0) == ["z", "q"]
+
+    def test_train_learns_frequent_words_and_is_deterministic(self, corpus):
+        from jackfruit_spark.functions.tokenizer import unigram_train
+
+        a = unigram_train(corpus, "text", vocab_size=60, sample_size=100)
+        b = unigram_train(corpus, "text", vocab_size=60, sample_size=100)
+        assert a == b
+        assert len(a) <= 60
+        # the dominant corpus words survive as whole pieces
+        assert "newest" in a and "low" in a
+        # every sampled char kept: total segmentation
+        assert all(c in a for c in "lowernewstid")
+
+    def test_encode_ids_roundtrip_and_pack(self, corpus):
+        from jackfruit_spark.functions.tokenizer import (
+            EOS,
+            PAD,
+            UNK,
+            unigram_encode_ids,
+            unigram_train,
+            unigram_vocab,
+        )
+        from jackfruit_spark.operators.curation import pack_token_ids
+
+        spark = corpus.sparkSession
+        pieces = unigram_train(corpus, "text", vocab_size=60,
+                               sample_size=100)
+        vocab = unigram_vocab(pieces)
+        assert (vocab[UNK], vocab[EOS], vocab[PAD]) == (0, 1, 2)
+        inv = {i: t for t, i in vocab.items()}
+        d = spark.createDataFrame(
+            [(1, "newest low"), (2, "zebra?!")], "doc_id long, text string"
+        )
+        rows = {
+            r["doc_id"]: r["input_ids"]
+            for r in unigram_encode_ids(d, "text", pieces, vocab).collect()
+        }
+        # in-vocab words decode back to their text
+        assert "".join(inv[i] for i in rows[1]) == "newestlow"
+        assert vocab[UNK] in rows[2]  # z/b/r/?/! unseen -> unk
+        packed = pack_token_ids(
+            unigram_encode_ids(d, "text", pieces, vocab),
+            "input_ids", seq_len=6, order_col="doc_id",
+            sep_id=vocab[EOS], drop_last=False, pad_id=vocab[PAD],
+        ).collect()
+        assert packed and all(len(r["input_ids"]) == 6 for r in packed)
+
+    def test_save_load_kind_discrimination(self, corpus, tmp_path):
+        from jackfruit_spark.functions.tokenizer import (
+            bpe_train_with_vocab,
+            load_tokenizer,
+            load_unigram,
+            save_tokenizer,
+            save_unigram,
+            unigram_train,
+            unigram_vocab,
+        )
+
+        pieces = unigram_train(corpus, "text", vocab_size=60,
+                               sample_size=100)
+        upath = str(tmp_path / "uni.json")
+        save_unigram(upath, pieces, unigram_vocab(pieces))
+        p2, v2 = load_unigram(upath)
+        assert p2 == pieces
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not bpe"):
+            load_tokenizer(upath)
+        merges, vocab = bpe_train_with_vocab(corpus, "text", num_merges=4,
+                                             sample_size=100)
+        bpath = str(tmp_path / "bpe.json")
+        save_tokenizer(bpath, merges, vocab)
+        with _pytest.raises(ValueError, match="not a unigram"):
+            load_unigram(bpath)
+
+    def test_cli_unigram_train_encode(self, spark, tmp_path, capsys):
+        import json
+
+        from jackfruit_spark.__main__ import main
+
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(i, "newest widest low lower " * 3) for i in range(8)],
+            "doc_id long, text string",
+        ).write.parquet(src)
+        tok = str(tmp_path / "uni.json")
+        rc = main(["tokenize", "--input", src, "--tokenizer", tok,
+                   "--train", "--algo", "unigram", "--vocab-size", "60",
+                   "--sample-size", "100"])
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and stats["pieces"] <= 60
+        out = str(tmp_path / "ids")
+        # encode auto-detects the unigram kind from the saved JSON
+        rc = main(["tokenize", "--input", src, "--tokenizer", tok,
+                   "--output", out])
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and stats["rows"] == 8 and stats["unk_rate"] == 0.0
