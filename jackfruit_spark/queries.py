@@ -958,6 +958,28 @@ def text_normalize(spark, sf_dir):
     )
 
 
+def unigram_tokenize(spark, sf_dir):
+    """Bench-only: unigram-LM (SentencePiece) token budgeting over the
+    documents table — bpe_tokenize's probabilistic twin
+    (functions/tokenizer.py: hard-EM train on a bounded sample, per-word
+    Viterbi decode via Arrow with the worker-lifetime memo). Not
+    registered: EM is not SQL-expressible; dynamics are pytest-carried
+    (tests/test_tokenizer.py::TestUnigram)."""
+    from jackfruit_spark.functions.tokenizer import (
+        unigram_encode_ids,
+        unigram_train,
+        unigram_vocab,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pieces = unigram_train(d, "text", vocab_size=2000, sample_size=5000)
+    ids = unigram_encode_ids(d, "text", pieces, unigram_vocab(pieces))
+    return ids.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("input_ids")).alias("total_unigram_tokens"),
+    )
+
+
 def ccnet_perplexity(spark, sf_dir):
     """Bench-only: CCNet-style LM quality scoring over the documents
     table (functions/lm.py — distributed bigram/unigram counting, bounded
