@@ -1263,8 +1263,7 @@ def cmd_tokenize(args) -> int:
         PAD,
         bpe_encode_ids,
         bpe_train_with_vocab,
-        load_tokenizer,
-        load_unigram,
+        load_any_tokenizer,
         save_tokenizer,
         save_unigram,
         unigram_encode_ids,
@@ -1298,12 +1297,11 @@ def cmd_tokenize(args) -> int:
         }))
         return 2
     else:
-        with open(args.tokenizer) as f:
-            kind = json.load(f).get("kind", "bpe")
+        kind, model, vocab = load_any_tokenizer(args.tokenizer)
         if kind == "unigram":
-            pieces, vocab = load_unigram(args.tokenizer)
+            pieces = model
         else:
-            merges, vocab = load_tokenizer(args.tokenizer)
+            merges = model
     if args.output:
         from pyspark.sql import functions as F
 

@@ -181,36 +181,45 @@ def _memo_for(key: str) -> dict[str, list[str]]:
     return m
 
 
+def _word_udf(ret_type: str, memo_key: str, enc_word) -> Column:
+    """ONE pandas-UDF body for every per-word encoder (BPE tokens, BPE
+    ids, unigram ids — code-review r11: three drifting copies of the
+    null-guard / split loop / memo protocol): whitespace-split, memoize
+    ``enc_word`` per distinct word per worker lifetime, concatenate."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ret_type)
+    def encode(texts: pd.Series) -> pd.Series:
+        memo = _memo_for(memo_key)
+
+        def enc(t):
+            if t is None:
+                return []
+            out: list = []
+            for w in t.split():
+                v = memo.get(w)
+                if v is None:
+                    v = enc_word(w)
+                    memo[w] = v
+                out.extend(v)
+            return out
+
+        return texts.map(enc)
+
+    return encode
+
+
 def bpe_encode_udf(merges: list[tuple[str, str]]) -> Column:
     """Returns a pandas UDF factory: col(text) -> array<string> tokens.
     Distinct words are encoded once per python-worker process (module-
     level memo keyed by the merges' fingerprint)."""
     import hashlib
 
-    from pyspark.sql.functions import pandas_udf
-
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     merges_key = hashlib.md5(repr(sorted(ranks.items())).encode()).hexdigest()
-
-    @pandas_udf("array<string>")
-    def encode(texts: pd.Series) -> pd.Series:
-        memo = _memo_for(merges_key)
-
-        def enc(t):
-            if t is None:
-                return []
-            out: list[str] = []
-            for w in t.split():
-                toks = memo.get(w)
-                if toks is None:
-                    toks = _encode_word(w, ranks)
-                    memo[w] = toks
-                out.extend(toks)
-            return out
-
-        return texts.map(enc)
-
-    return encode
+    return _word_udf(
+        "array<string>", merges_key, lambda w: _encode_word(w, ranks)
+    )
 
 
 UNK, EOS, PAD = "<unk>", "<eos>", "<pad>"
@@ -296,29 +305,11 @@ def bpe_encode_ids_udf(
         (repr(sorted(ranks.items())) + repr(sorted(vocab.items()))).encode()
     ).hexdigest()
     unk = vocab[UNK]
-
-    @pandas_udf("array<int>")
-    def encode(texts: pd.Series) -> pd.Series:
-        memo = _memo_for(memo_key)
-
-        def enc(t):
-            if t is None:
-                return []
-            out: list[int] = []
-            for w in t.split():
-                ids = memo.get(w)
-                if ids is None:
-                    ids = [
-                        vocab.get(tok, unk)
-                        for tok in _encode_word(w, ranks)
-                    ]
-                    memo[w] = ids
-                out.extend(ids)
-            return out
-
-        return texts.map(enc)
-
-    return encode
+    return _word_udf(
+        "array<int>",
+        memo_key,
+        lambda w: [vocab.get(t, unk) for t in _encode_word(w, ranks)],
+    )
 
 
 def bpe_encode_ids(
@@ -466,10 +457,16 @@ def unigram_train(
         key=lambda p: (-sub_counts[p] * len(p), p),
     )[: max(0, seed_multiplier * vocab_size - len(chars))]
     pieces = chars | set(multi)
+    if not pieces:  # empty / all-null / whitespace-only sample
+        return {}
 
     def normalize(counts: dict[str, float]) -> dict[str, float]:
-        total = sum(counts.values()) or 1.0
         floor = 1e-10  # unseen pieces: tiny, prunable, never -inf
+        # total over SURVIVING pieces only — counts accumulated under
+        # the pre-prune vocab must not keep dropped pieces' mass or the
+        # result is not a distribution (uniformly deflated logps bias
+        # later Viterbi rounds toward fewer pieces)
+        total = sum(max(counts.get(p, 0.0), floor) for p in pieces) or 1.0
         return {
             p: math.log(max(counts.get(p, 0.0), floor) / total)
             for p in pieces
@@ -483,15 +480,18 @@ def unigram_train(
             for piece in _viterbi(w, logp, max_piece_len, unk_logp):
                 counts[piece] = counts.get(piece, 0.0) + f
         # prune lowest-count multi-char pieces toward vocab_size (chars
-        # are never pruned — total segmentation)
+        # are never pruned — total segmentation). GRADUAL shrink (the
+        # SentencePiece rule): at most prune_frac of the multis per
+        # round, so later EM rounds can re-rank before the next cut;
+        # the final trim below lands exactly on vocab_size
         n_over = len(pieces) - vocab_size
         if n_over > 0:
             multi_now = sorted(
                 (p for p in pieces if len(p) > 1),
                 key=lambda p: (counts.get(p, 0.0), p),
             )
-            drop = multi_now[: max(n_over, int(len(multi_now) * prune_frac))]
-            pieces -= set(drop)
+            n_drop = min(n_over, max(1, int(len(multi_now) * prune_frac)))
+            pieces -= set(multi_now[:n_drop])
         logp = normalize(counts)
         unk_logp = min(logp.values()) - 10.0
     # final trim to exactly vocab_size (keep highest-logprob multis)
@@ -500,9 +500,14 @@ def unigram_train(
             (p for p in pieces if len(p) > 1),
             key=lambda p: (-logp[p], p),
         )
-        keep = set(multi_now[: vocab_size - len(chars)])
+        # chars can exceed vocab_size on char-rich corpora (CJK): keep
+        # zero multis then, never a negative slice keeping almost all
+        keep = set(multi_now[: max(0, vocab_size - len(chars))])
         pieces = chars | keep
         logp = {p: lp for p, lp in logp.items() if p in pieces}
+        # renormalize: the model is a distribution over the FINAL vocab
+        logz = math.log(sum(math.exp(lp) for lp in logp.values()) or 1.0)
+        logp = {p: lp - logz for p, lp in logp.items()}
     return dict(sorted(logp.items()))
 
 
@@ -532,29 +537,13 @@ def unigram_encode_ids_udf(
         (repr(sorted(pieces.items())) + repr(sorted(vocab.items()))).encode()
     ).hexdigest()
     unk = vocab[UNK]
-
-    @pandas_udf("array<int>")
-    def encode(texts: pd.Series) -> pd.Series:
-        memo = _memo_for(memo_key)
-
-        def enc(t):
-            if t is None:
-                return []
-            out: list[int] = []
-            for w in t.split():
-                ids = memo.get(w)
-                if ids is None:
-                    ids = [
-                        vocab.get(p, unk)
-                        for p in _viterbi(w, pieces, max_len, unk_logp)
-                    ]
-                    memo[w] = ids
-                out.extend(ids)
-            return out
-
-        return texts.map(enc)
-
-    return encode
+    return _word_udf(
+        "array<int>",
+        memo_key,
+        lambda w: [
+            vocab.get(p, unk) for p in _viterbi(w, pieces, max_len, unk_logp)
+        ],
+    )
 
 
 def unigram_encode_ids(
@@ -584,6 +573,24 @@ def save_unigram(path: str, pieces: dict[str, float],
     with open(tmp, "w") as f:
         json.dump({"kind": "unigram", "pieces": pieces, "vocab": vocab}, f)
     os.replace(tmp, path)
+
+
+def load_any_tokenizer(path: str):
+    """One-parse kind dispatch -> ("bpe", merges, vocab) or
+    ("unigram", pieces, vocab); raises ValueError on malformed JSON
+    shapes instead of AttributeError."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    if not isinstance(d, dict):
+        raise ValueError(f"{path} is not a tokenizer JSON object")
+    kind = d.get("kind", "bpe")
+    if kind == "unigram":
+        return "unigram", dict(d["pieces"]), dict(d["vocab"])
+    if kind == "bpe":
+        return "bpe", [tuple(m) for m in d["merges"]], dict(d["vocab"])
+    raise ValueError(f"{path}: unknown tokenizer kind {kind!r}")
 
 
 def load_unigram(path: str):

@@ -376,3 +376,73 @@ class TestUnigram:
                    "--output", out])
         stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rc == 0 and stats["rows"] == 8 and stats["unk_rate"] == 0.0
+
+
+class TestUnigramEdges:
+    def test_empty_and_blank_corpora(self, spark):
+        from jackfruit_spark.functions.tokenizer import (
+            unigram_train,
+            unigram_vocab,
+        )
+
+        empty = spark.createDataFrame([], "text string")
+        assert unigram_train(empty, "text", sample_size=10) == {}
+        blank = spark.createDataFrame(
+            [(None,), ("",), ("   ",)], "text string"
+        )
+        assert unigram_train(blank, "text", sample_size=10) == {}
+        assert set(unigram_vocab({}).values()) == {0, 1, 2}
+
+    def test_vocab_size_is_a_hard_ceiling_not_overshot(self, spark):
+        """Gradual prune (min, not max): a target barely under the
+        inventory lands EXACTLY on vocab_size, never far below; a
+        char-rich corpus with vocab_size below the char count keeps
+        chars only (never the negative-slice blowup)."""
+        from jackfruit_spark.functions.tokenizer import unigram_train
+
+        rows = [(f"word{i} thing{i} object{i}",) for i in range(30)]
+        d = spark.createDataFrame(rows, "text string")
+        full = unigram_train(d, "text", vocab_size=100_000,
+                             sample_size=200)
+        target = len(full) - 3
+        trimmed = unigram_train(d, "text", vocab_size=target,
+                                sample_size=200)
+        assert len(trimmed) == target  # exact, not 25% overshoot
+        chars = {p for p in full if len(p) == 1}
+        tiny = unigram_train(d, "text", vocab_size=max(1, len(chars) - 2),
+                             sample_size=200)
+        assert set(tiny) == chars  # chars never pruned, zero multis
+
+    def test_logprobs_are_a_distribution(self, spark):
+        import math
+
+        from jackfruit_spark.functions.tokenizer import unigram_train
+
+        rows = [("the quick brown fox jumps over the lazy dog",)] * 20
+        d = spark.createDataFrame(rows, "text string")
+        pieces = unigram_train(d, "text", vocab_size=30, sample_size=100)
+        assert abs(sum(math.exp(p) for p in pieces.values()) - 1.0) < 1e-6
+
+    def test_load_any_tokenizer(self, spark, tmp_path):
+        import json
+
+        import pytest as _pytest
+
+        from jackfruit_spark.functions.tokenizer import (
+            load_any_tokenizer,
+            save_tokenizer,
+            save_unigram,
+        )
+
+        b = str(tmp_path / "b.json")
+        save_tokenizer(b, [("a", "b")], {"<unk>": 0})
+        kind, m, v = load_any_tokenizer(b)
+        assert kind == "bpe" and m == [("a", "b")]
+        u = str(tmp_path / "u.json")
+        save_unigram(u, {"ab": -1.0}, {"<unk>": 0})
+        kind, p, v = load_any_tokenizer(u)
+        assert kind == "unigram" and p == {"ab": -1.0}
+        bad = str(tmp_path / "bad.json")
+        open(bad, "w").write(json.dumps([1, 2]))
+        with _pytest.raises(ValueError, match="not a tokenizer"):
+            load_any_tokenizer(bad)
