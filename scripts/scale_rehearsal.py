@@ -260,6 +260,11 @@ def heavy_family():
         # bitset + candidate verify — fixed 2k-doc benchmark (probe
         # growth, the production shape) and 30%-of-corpus benchmark
         # (build stress: the bitset's driver collect grows)
+        # map-only Arrow tiers (r11): linear in bytes by construction
+        # (no cross-row state); guarded so a reintroduced shuffle or a
+        # per-row re-train reads ~1.0
+        "text_normalize": Q.text_normalize,
+        "unigram_tokenize": Q.unigram_tokenize,
         "decontam_exact_bfix": decontam_exact,
         "decontam_bloom_bfix": decontam_bloom,
         "decontam_exact_b30": lambda s, d: decontam_exact(s, d, False),

@@ -51,6 +51,10 @@ GUARDED = {
     # zipf x1/x3/x10 — the whole point is the corpus streams through a
     # fixed bitset; a lost prefilter or a corpus-sized join reads ~1.0
     "decontam_bloom_bfix": 0.50,
+    # map-only Arrow tiers (r11): one pass, no shuffle; same 0.50 band
+    # as the other overhead->linear keys
+    "text_normalize": 0.50,
+    "unigram_tokenize": 0.50,
 }
 
 MULTS = (1, 10)
