@@ -85,6 +85,9 @@ class VersionedStoreLifecycle:
         broadcast-side; ``rebuild()`` compacts physically. ``ids``: a
         python list, or a DataFrame whose FIRST column is the id.
         Idempotent — duplicate tombstone rows are distinct'd away."""
+        self._manifest()  # raises on a nonexistent index (code-review
+        # r11: Bm25's "id" tombstone key otherwise let a DataFrame
+        # delete against a typo'd root silently create deletes/ there)
         key = self._tombstone_key()
         if isinstance(ids, DataFrame):
             df = ids.select(F.col(ids.columns[0]).alias(key))

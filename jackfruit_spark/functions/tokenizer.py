@@ -330,35 +330,35 @@ def bpe_encode_ids(
     )
 
 
-def save_tokenizer(path: str, merges, vocab: dict[str, int]) -> None:
-    """Persist merges + vocab as one JSON file (atomic tmp+rename) so a
-    tokenizer trained once prices/encodes every later corpus
-    identically."""
+def _atomic_json_dump(path: str, obj) -> None:
     import json
     import os
 
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(
-            {"kind": "bpe", "merges": [list(m) for m in merges],
-             "vocab": vocab},
-            f,
-        )
+        json.dump(obj, f)
     os.replace(tmp, path)
+
+
+def save_tokenizer(path: str, merges, vocab: dict[str, int]) -> None:
+    """Persist merges + vocab as one JSON file (atomic tmp+rename) so a
+    tokenizer trained once prices/encodes every later corpus
+    identically."""
+    _atomic_json_dump(
+        path,
+        {"kind": "bpe", "merges": [list(m) for m in merges],
+         "vocab": vocab},
+    )
 
 
 def load_tokenizer(path: str):
     """Inverse of :func:`save_tokenizer` -> (merges, vocab)."""
-    import json
-
-    with open(path) as f:
-        d = json.load(f)
-    if d.get("kind", "bpe") != "bpe":
+    kind, model, vocab = load_any_tokenizer(path)
+    if kind != "bpe":
         raise ValueError(
-            f"{path} is a {d['kind']!r} tokenizer, not bpe "
-            "(use load_unigram)"
+            f"{path} is a {kind!r} tokenizer, not bpe (use load_unigram)"
         )
-    return [tuple(m) for m in d["merges"]], dict(d["vocab"])
+    return model, vocab
 
 
 def bpe_token_count(df: DataFrame, text_col: str, merges) -> DataFrame:
@@ -566,13 +566,9 @@ def unigram_encode_ids(
 def save_unigram(path: str, pieces: dict[str, float],
                  vocab: dict[str, int]) -> None:
     """Persist a unigram model (kind-tagged JSON, atomic rename)."""
-    import json
-    import os
-
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"kind": "unigram", "pieces": pieces, "vocab": vocab}, f)
-    os.replace(tmp, path)
+    _atomic_json_dump(
+        path, {"kind": "unigram", "pieces": pieces, "vocab": vocab}
+    )
 
 
 def load_any_tokenizer(path: str):
@@ -595,10 +591,7 @@ def load_any_tokenizer(path: str):
 
 def load_unigram(path: str):
     """Inverse of :func:`save_unigram` -> (pieces, vocab)."""
-    import json
-
-    with open(path) as f:
-        d = json.load(f)
-    if d.get("kind") != "unigram":
+    kind, model, vocab = load_any_tokenizer(path)
+    if kind != "unigram":
         raise ValueError(f"{path} is not a unigram tokenizer")
-    return dict(d["pieces"]), dict(d["vocab"])
+    return model, vocab

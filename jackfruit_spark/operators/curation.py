@@ -1061,7 +1061,15 @@ def url_curation(
     nu = F.when(F.col(url_col).isNotNull(), normalize_url(url_col)).otherwise(
         F.concat(F.lit("\x00nourl:"), F.col(id_col).cast("string"))
     )
-    out = df.withColumn("__nu", nu).withColumn("__host", url_host("__nu"))
+    # null-url rows use the synthetic key AS their host: url_host's
+    # trailing-strip would eat the ':<digits>' of a numeric id and
+    # collapse every null-url doc onto ONE host (code-review r11 — the
+    # host cap then silently deleted URL-less docs and the repartition
+    # re-created the null-skew partition the unique key exists to avoid)
+    host = F.when(
+        F.col(url_col).isNotNull(), url_host("__nu")
+    ).otherwise(F.col("__nu"))
+    out = df.withColumn("__nu", nu).withColumn("__host", host)
     if isinstance(host_blocklist, DataFrame):
         # join-form BEFORE the repartition: its id anti-join re-shuffles
         # anyway, and placing it here keeps the later host repartition
@@ -1097,9 +1105,15 @@ def _drop_blocked_hosts(out: DataFrame, id_col: str, blocklist) -> DataFrame:
     """url_curation's blocklist stage over the projected ``__host``
     column (see its docstring for the two forms' scale contracts)."""
     if isinstance(blocklist, DataFrame):
+        # canonicalize entries like url_host canonicalizes hosts: the
+        # absolute-FQDN spelling 'spam.example.' must match too
         bl = blocklist.select(
-            F.lower(F.trim(F.col(blocklist.columns[0]))).alias("__bld")
-        ).distinct()
+            F.regexp_replace(
+                F.lower(F.trim(F.col(blocklist.columns[0]))),
+                r"^\.+|\.+$",
+                "",
+            ).alias("__bld")
+        ).filter(F.length("__bld") > 0).distinct()
         # project the split FIRST, then explode (the chunk_documents
         # fence): a split expression inside the transform lambda would
         # re-evaluate per suffix element (interpreted-HOF trap)
@@ -1123,7 +1137,8 @@ def _drop_blocked_hosts(out: DataFrame, id_col: str, blocklist) -> DataFrame:
             .select(id_col)
         )
         return out.join(blocked, id_col, "left_anti")
-    domains = [str(d).lower().lstrip(".") for d in blocklist if d]
+    domains = [str(d).strip().lower().strip(".") for d in blocklist if d]
+    domains = [d for d in domains if d]
     if not domains:
         return out
     h = F.col("__host")

@@ -412,3 +412,18 @@ def test_maintain_rebuilds_on_replayed_append(spark, docs_df, tmp_path):
     assert [(r["id"], round(r["score"], 6)) for r in rows] == [
         (d, round(s, 6)) for d, s in want
     ]
+
+
+def test_delete_on_missing_index_raises(spark, tmp_path):
+    """Code-review r11: a DataFrame delete against a nonexistent root
+    must raise (the shared lifecycle's manifest guard), never silently
+    create a deletes/ dir at a typo'd path."""
+    import pytest
+
+    from jackfruit_spark.functions.bm25 import Bm25Index
+
+    idx = Bm25Index(spark, str(tmp_path / "nope"))
+    ids = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(FileNotFoundError):
+        idx.delete(ids)
+    assert not (tmp_path / "nope" / "deletes").exists()

@@ -670,6 +670,46 @@ def test_url_curation_host_blocklist(spark):
     )
 
 
+def test_url_curation_null_urls_survive_host_cap(spark):
+    """Code-review r11: url_host's trailing-strip must NOT collapse the
+    synthetic '\x00nourl:<digits>' keys onto one shared host — many
+    null-url docs with numeric ids all survive a host cap, each its own
+    host."""
+    from jackfruit_spark.operators.curation import url_curation
+
+    rows = [(i, None) for i in range(20)] + [
+        (100 + i, f"https://h.org/p{i}") for i in range(5)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {
+        r["doc_id"]
+        for r in url_curation(d, "doc_id", "url", host_cap=2).collect()
+    }
+    # every null-url doc survives; h.org capped to its best 2
+    assert set(range(20)) <= kept
+    assert len(kept) == 22
+
+
+def test_url_curation_blocklist_fqdn_spelling(spark):
+    """Absolute-FQDN blocklist entries ('spam.example.') match the
+    canonicalized hosts in both forms."""
+    from jackfruit_spark.operators.curation import url_curation
+
+    d = spark.createDataFrame(
+        [(1, "https://spam.example/a"), (2, "https://ok.org/b")],
+        "doc_id long, url string",
+    )
+    for bl in (["spam.example."],
+               spark.createDataFrame([(" SPAM.example. ",)], "d string")):
+        kept = {
+            r["doc_id"]
+            for r in url_curation(
+                d, "doc_id", "url", host_blocklist=bl
+            ).collect()
+        }
+        assert kept == {2}, bl
+
+
 def test_url_curation_single_exchange(spark):
     """Both windows (url dedup + host cap) ride ONE explicit host
     repartition (the r7 window-reuse rule: host is a subset of the url
