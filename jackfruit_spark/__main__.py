@@ -64,6 +64,7 @@ def _job(spark, args):
         sources=sources,
         serving_root=args.serving_root,
         rollup_root=args.rollup_root,
+        layout=getattr(args, "layout", "primary"),
     )
 
 
@@ -1518,6 +1519,13 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--serving-root", default=None)
         sp.add_argument("--rollup-root", default=None)
         sp.add_argument("--cpus", default=None)
+        sp.add_argument(
+            "--layout",
+            default="primary",
+            choices=["primary", "zorder"],
+            help="compaction sort order: primary=(var,ts,lat,lon), "
+            "zorder=Morton(lat,lon) tiles for bbox-heavy reads",
+        )
 
     rp = sub.add_parser("run-partition", help="ingest->transform->optimize one date")
     rp.add_argument("--date", required=True)

@@ -59,7 +59,17 @@ class GridEngine:
             S.normalize_grid_columns(df)
             .withColumn(S.GRID_DATA_PARTITION_COL, F.to_date("timestamp"))
             .observe(obs, F.count(F.lit(1)).alias("rows"))
-            .sortWithinPartitions("variable", "timestamp", "lat", "lon")
+            # the partition col MUST lead the sort: a partitionBy write
+            # requires ordering by its partition columns, and when the
+            # child's sort doesn't already satisfy that, V1Writes injects
+            # its own Sort(date) on top — and EliminateSorts then REMOVES
+            # this layout sort as redundant (verified empirically r11:
+            # shuffled input produced unsorted files). Leading with the
+            # partition col makes this sort satisfy the write's required
+            # ordering, so it survives and the row-group layout is real.
+            .sortWithinPartitions(
+                S.GRID_DATA_PARTITION_COL, "variable", "timestamp", "lat", "lon"
+            )
         )
         out.write.mode("append").partitionBy(S.GRID_DATA_PARTITION_COL).parquet(
             self.grid_path
@@ -113,19 +123,68 @@ class GridEngine:
 
     # -------------------------------------------------------- maintenance
 
-    def compact(self, date: str | None = None) -> None:
+    def repair(self) -> None:
+        """Entry-time crash repair for compact's rename-aside swap (the
+        dot-prefix repair rule, CLAUDE.md r8): for every leftover
+        ``.compact-old-<part>`` aside dir, restore it if the partition
+        dir is MISSING (crash landed between the two renames — the aside
+        is the only copy; deleting it would lose the partition), else
+        drop it (the swap completed; the aside is the superseded copy).
+        """
+        import shutil
+
+        if not os.path.isdir(self.grid_path):
+            return
+        for d in os.listdir(self.grid_path):
+            if not d.startswith(".compact-old-"):
+                continue
+            aside = os.path.join(self.grid_path, d)
+            dst = os.path.join(self.grid_path, d[len(".compact-old-") :])
+            if os.path.exists(dst):
+                shutil.rmtree(aside)
+            else:
+                os.rename(aside, dst)
+
+    def compact(
+        self,
+        date: str | None = None,
+        layout: str = "primary",
+        row_group_bytes: int | None = None,
+    ) -> None:
         """OPTIMIZE TABLE grid_data FINAL analog (clickhouse_grid_store.py:
         70-72): rewrite partition(s) keeping only dedup winners.
 
+        ``layout`` picks the within-file sort order of the rewrite:
+
+        - ``"primary"`` (default): (variable, timestamp, lat, lon) — the
+          reference's ORDER BY (init.sql:25); row groups skip on the key
+          prefix (variable/time-sliced reads).
+        - ``"zorder"``: (variable, timestamp, morton(lat, lon)) — the
+          OPTIMIZE ZORDER analog (grid/layout.py): within each grid,
+          row groups become compact spatial tiles whose lat AND lon
+          min/max stats are both tight, so bounding-box scans prune by
+          box AREA instead of latitude band. Readers are unchanged —
+          plain lat/lon range predicates get the skipping from parquet
+          statistics. ``row_group_bytes`` optionally caps parquet row
+          group size so large grids span multiple groups (the skipping
+          granule); default leaves the parquet default (128 MB).
+
         Guarantee (honest version, ADVICE r1): staged write, then per
-        partition a rename-aside swap — old dir renamed to ``.old-*``, new
-        dir renamed in, old deleted. Both renames are metadata ops, so the
+        partition a rename-aside swap — old dir renamed to a DOT-PREFIXED
+        ``.compact-old-*`` sibling (hidden from Spark's listing, so a
+        crash mid-swap never surfaces a phantom partition), new dir
+        renamed in, old deleted. Both renames are metadata ops, so the
         exposure window is two renames (not a full rmtree+copy); a crash
-        in between leaves the data recoverable under the deterministic
-        ``.old-*`` name next to the partition. True multi-file atomicity
-        needs a transactional table format (Delta/Iceberg) — the documented
+        in between is healed by the unconditional entry-time ``repair()``
+        sweep (restore-if-missing, drop-if-superseded — a retried compact
+        must never read raw with a partition renamed aside, or the
+        rewrite would silently drop it). True multi-file atomicity needs
+        a transactional table format (Delta/Iceberg) — the documented
         production choice.
         """
+        if layout not in ("primary", "zorder"):
+            raise ValueError(f"unknown layout {layout!r}")
+        self.repair()
         raw = self.grid_data_raw()
         if date is not None:
             raw = raw.filter(F.col(S.GRID_DATA_PARTITION_COL) == F.lit(date))
@@ -136,13 +195,34 @@ class GridEngine:
         # grid instead of one per shuffle task (32 small files)
         raw = raw.repartition("variable", "timestamp")
         winners = latest_by_keys(raw, S.DEDUP_KEYS, S.VERSION_COL, tie_cols=["catalog_id"])
+        # partition col leads the sort — see insert_grid: without it the
+        # write's injected Sort(date) makes EliminateSorts drop this one
+        if layout == "zorder":
+            from jackfruit_spark.grid.layout import zorder_key
+
+            sort_cols = [
+                S.GRID_DATA_PARTITION_COL,
+                "variable",
+                "timestamp",
+                zorder_key("lat", "lon"),
+            ]
+        else:
+            sort_cols = [
+                S.GRID_DATA_PARTITION_COL,
+                "variable",
+                "timestamp",
+                "lat",
+                "lon",
+            ]
         staging = os.path.join(self.root, f"_compact_{uuid.uuid4().hex}")
-        (
-            winners.sortWithinPartitions("variable", "timestamp", "lat", "lon")
+        writer = (
+            winners.sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
             .partitionBy(S.GRID_DATA_PARTITION_COL)
-            .parquet(staging)
         )
+        if row_group_bytes is not None:
+            writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
+        writer.parquet(staging)
         import shutil
 
         staged_parts = [
@@ -150,7 +230,7 @@ class GridEngine:
         ]
         for part in staged_parts:
             dst = os.path.join(self.grid_path, part)
-            old = dst + ".old-compact"
+            old = os.path.join(self.grid_path, f".compact-old-{part}")
             if os.path.exists(old):  # leftover from a crashed prior swap
                 shutil.rmtree(old)
             if os.path.exists(dst):

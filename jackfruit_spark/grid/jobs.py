@@ -52,6 +52,7 @@ class DailyJob:
         serving_root: str | None = None,
         rollup_root: str | None = None,
         message_parallel: bool = False,
+        layout: str = "primary",
     ):
         self.spark = spark
         # normalize first: a trailing separator ('/data/raw/') would make
@@ -72,6 +73,10 @@ class DailyJob:
         self.pipeline = TransformPipeline(spark, self.engine, self.catalog)
         self.sources = sources
         self.message_parallel = message_parallel
+        # compaction sort order: "primary" = the reference's ORDER BY,
+        # "zorder" = Morton(lat, lon) tiles for bbox-heavy read patterns
+        # (grid/layout.py; engine.compact validates the value)
+        self.layout = layout
         # optional interactive serving layout, refreshed per partition run
         if serving_root is not None:
             from jackfruit_spark.grid.serving_table import ServingTable
@@ -149,7 +154,7 @@ class DailyJob:
                 else:
                     n = self.pipeline.transform_ecmwf(msgs, raw_file_id=run_id)
                 written[f"{cfg.source}:{run_id}"] = n
-        self.engine.compact(f"{day:%Y-%m-%d}")
+        self.engine.compact(f"{day:%Y-%m-%d}", layout=self.layout)
         if self.serving_table is not None:
             # incremental serving refresh: only this day's partitions
             self.serving_table.refresh_dates(

@@ -1,0 +1,153 @@
+"""Spatial data layout: Z-order (Morton) clustering for the grid table.
+
+The reference's ClickHouse table orders rows by (variable, timestamp, lat,
+lon) (init.sql:25) — the sparse primary index skips granules by that
+prefix. Parquet gives the analogous skipping through row-group min/max
+stats, but a (lat, lon)-sorted layout is one-dimensional: a row group
+covers a narrow LAT band and the FULL lon range, so a bounding-box scan
+(operators/transforms.bbox_filter, the reference's clip step and the
+serving path's spatial slice) prunes on latitude only. At 100 TB a global
+0.1-degree grid is ~6.5M points per (variable, timestamp) and a 10x10-degree
+box is 0.15% of the area — but a lat-sorted layout still reads ~5.6% (the
+lat band), a 36x read amplification over what the data supports.
+
+Z-ordering fixes the geometry: quantize lat/lon to 16-bit integers and
+interleave their bits into one 32-bit Morton key; sorting by that key makes
+every row group a compact spatial tile whose min/max bounds are tight in
+BOTH dimensions, so the parquet reader's pushed lat AND lon range filters
+both prune (row-group level via statistics, page level via column indexes).
+This is the same design Delta's OPTIMIZE ZORDER BY and ClickHouse's
+mortonEncode index use; implemented here as pure JVM bit arithmetic
+(shiftleft / bitwiseOR / bitwiseAND — whole-stage-codegen friendly, no UDF).
+
+Scale note: the key is computed once at COMPACT time (the OPTIMIZE analog,
+grid/engine.py), never at read time; readers keep issuing plain lat/lon
+range predicates and get the skipping for free from the layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 16 bits per dimension -> 32-bit Morton key; finer than any real grid step
+# (180 / 2^16 ~ 0.0027 degrees) while keeping every intermediate < 2^32,
+# far from long-overflow territory (ANSI mode throws on overflow).
+ZORDER_BITS = 16
+
+
+def _spread_bits(x: Column) -> Column:
+    """Spread a 16-bit integer's bits to the even positions of a 32-bit
+    word (the classic mask-shift Morton 'part1by1'): abcdefgh... ->
+    a0b0c0d0... Five codegen-friendly ops, no per-bit expression chain
+    (the ivf_assign WHEN-chain lesson: expression count must not grow
+    with precision)."""
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def _quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Clamp to [lo, hi] and quantize to [0, 2^bits - 1] (long)."""
+    n = (1 << bits) - 1
+    clamped = F.least(F.greatest(col.cast("double"), F.lit(float(lo))), F.lit(float(hi)))
+    scaled = (clamped - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(n))
+    return F.floor(scaled).cast("long")
+
+
+def zorder_key(
+    lat: Column | str, lon: Column | str, bits: int = ZORDER_BITS
+) -> Column:
+    """32-bit Morton interleave of quantized (lat, lon).
+
+    lat in [-90, 90], lon in [-180, 180] (out-of-range values clamp —
+    the key orders data, it never filters it, so clamping only costs
+    locality at the poles/antimeridian). lon takes the even bit
+    positions, lat the odd — the choice is conventional; only locality
+    matters. Deterministic pure expression: safe in compaction rewrites
+    (rerun produces the identical layout).
+    """
+    if bits < 1 or bits > 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    qlat = _quantize(F.col(lat) if isinstance(lat, str) else lat, -90.0, 90.0, bits)
+    qlon = _quantize(F.col(lon) if isinstance(lon, str) else lon, -180.0, 180.0, bits)
+    return F.shiftleft(_spread_bits(qlat), 1).bitwiseOR(_spread_bits(qlon))
+
+
+def zorder_key_py(lat: float, lon: float, bits: int = ZORDER_BITS) -> int:
+    """Python twin of zorder_key for property tests (bit-for-bit)."""
+    n = (1 << bits) - 1
+
+    def quant(v: float, lo: float, hi: float) -> int:
+        v = min(max(float(v), lo), hi)
+        import math
+
+        return int(math.floor((v - lo) / (hi - lo) * n))
+
+    def spread(x: int) -> int:
+        x = (x | (x << 8)) & 0x00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F
+        x = (x | (x << 2)) & 0x33333333
+        x = (x | (x << 1)) & 0x55555555
+        return x
+
+    return (spread(quant(lat, -90.0, 90.0)) << 1) | spread(quant(lon, -180.0, 180.0))
+
+
+def rowgroup_bbox_stats(
+    parquet_root: str,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+) -> dict[str, int]:
+    """Count parquet row groups whose (lat, lon) min/max stats intersect a
+    bounding box — the layout-quality metric: a reader with pushed lat/lon
+    range filters must decode exactly the intersecting row groups, so
+    ``touched / total`` is the scan's read-amplification floor independent
+    of Spark-session noise. Walks file FOOTERS only (pyarrow metadata;
+    no data pages read) — usable as a maintenance audit on a real table.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    touched = 0
+    rows_total = 0
+    rows_touched = 0
+    for dirpath, dirnames, filenames in os.walk(parquet_root):
+        # mirror Spark's listing: hidden dirs/files are not data
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for fn in filenames:
+            if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                continue
+            md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+            name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                lat_st = g.column(name_to_idx["lat"]).statistics
+                lon_st = g.column(name_to_idx["lon"]).statistics
+                total += 1
+                rows_total += g.num_rows
+                if lat_st is None or lon_st is None:
+                    touched += 1  # no stats -> reader must scan it
+                    rows_touched += g.num_rows
+                    continue
+                hit = (
+                    lat_st.max >= lat_min
+                    and lat_st.min <= lat_max
+                    and lon_st.max >= lon_min
+                    and lon_st.min <= lon_max
+                )
+                if hit:
+                    touched += 1
+                    rows_touched += g.num_rows
+    return {
+        "row_groups_total": total,
+        "row_groups_touched": touched,
+        "rows_total": rows_total,
+        "rows_touched": rows_touched,
+    }

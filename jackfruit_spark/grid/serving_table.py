@@ -97,7 +97,11 @@ class ServingTable:
         w = (
             spread
             .withColumn("__z", morton_code("lat", "lon"))
-            .sortWithinPartitions("timestamp", "__z")
+            # partition cols lead the sort: otherwise the partitionBy write
+            # injects Sort(variable, date) and EliminateSorts drops THIS
+            # sort as redundant — the Z layout silently never applied
+            # (grid/engine.py r11, verified empirically)
+            .sortWithinPartitions("variable", "date", "timestamp", "__z")
             .drop("__z")
             .write.mode(mode)
         )

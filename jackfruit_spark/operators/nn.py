@@ -70,20 +70,15 @@ def morton_code(lat_col: str, lon_col: str, bits: int = 16) -> Column:
     a lat-major sort only prunes on lat (the second sort key's ranges
     span the whole partition). Pure bit-arithmetic expressions: codegen,
     no UDF. The standard trick Delta's Z-ORDER applies; here it's just a
-    sort key."""
-    nlevels = F.lit((1 << bits) - 1)
-    u = F.floor((F.col(lat_col) + F.lit(90.0)) / F.lit(180.0) * (1 << bits))
-    v = F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * (1 << bits))
-    u = F.least(F.greatest(u, F.lit(0)), nlevels).cast("long")
-    v = F.least(F.greatest(v, F.lit(0)), nlevels).cast("long")
-    code = F.lit(0).cast("long")
-    for i in range(bits):
-        code = (
-            code
-            + F.shiftleft(F.shiftright(u, i).bitwiseAND(F.lit(1)), 2 * i)
-            + F.shiftleft(F.shiftright(v, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return code
+    sort key.
+
+    Delegates to the ONE Morton implementation (grid/layout.zorder_key —
+    mask-shift bit spreading, 5 ops per dimension instead of a per-bit
+    expression chain); the key is a transient sort expression, never
+    persisted, so the shared bit convention is the only contract."""
+    from jackfruit_spark.grid.layout import zorder_key
+
+    return zorder_key(lat_col, lon_col, bits=bits)
 
 
 def nearest_neighbor_cells(

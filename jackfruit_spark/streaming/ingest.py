@@ -60,9 +60,12 @@ def write_grid_stream(
                 "inserted_at", F.current_timestamp()
             )
         ).withColumn("date", F.to_date("timestamp"))
-        out.sortWithinPartitions("variable", "timestamp", "lat", "lon").write.mode(
-            "append"
-        ).partitionBy("date").parquet(grid_path)
+        # partition col leads the sort: a partitionBy write injects its own
+        # Sort(date) when the child ordering doesn't satisfy it, and
+        # EliminateSorts then drops the layout sort (grid/engine.py r11)
+        out.sortWithinPartitions(
+            "date", "variable", "timestamp", "lat", "lon"
+        ).write.mode("append").partitionBy("date").parquet(grid_path)
 
     return (
         messages.writeStream.foreachBatch(_append)

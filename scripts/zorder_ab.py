@@ -1,0 +1,123 @@
+"""A/B: Z-order vs primary layout for bounding-box scans on the grid table.
+
+Builds one synthetic global grid table twice (identical rows), compacts one
+copy with the primary (variable, timestamp, lat, lon) sort and one with the
+Morton layout (grid/layout.py), then measures for a small bbox:
+
+- parquet row groups / rows a stats-pruning reader must touch (footer walk,
+  deterministic — the read-amplification floor independent of machine load);
+- wall time of the actual Spark bbox query, min-of-N, same session
+  (interleaved A/B per the measurement discipline).
+
+Run: python scripts/zorder_ab.py [--rows-lat 721 --rows-lon 1440 --ts 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from jackfruit_spark.grid.engine import GridEngine  # noqa: E402
+from jackfruit_spark.grid.layout import rowgroup_bbox_stats  # noqa: E402
+from jackfruit_spark.session import get_spark  # noqa: E402
+
+BOX = dict(lat_min=10.0, lat_max=20.0, lon_min=30.0, lon_max=40.0)
+
+
+def build(spark, root, layout, n_lat, n_lon, n_ts, rg_bytes):
+    eng = GridEngine(spark, root)
+    base = dt.datetime(2026, 1, 1, 0)
+    lat = (F.col("i") * (180.0 / n_lat) - 90.0).cast("float")
+    lon = (F.col("j") * (360.0 / n_lon) - 180.0).cast("float")
+    for t in range(n_ts):
+        ts = base + dt.timedelta(hours=t)
+        df = (
+            spark.range(n_lat)
+            .withColumnRenamed("id", "i")
+            .crossJoin(spark.range(n_lon).withColumnRenamed("id", "j"))
+            .select(
+                F.lit("pm10").alias("variable"),
+                F.lit(ts).alias("timestamp"),
+                lat.alias("lat"),
+                lon.alias("lon"),
+                (F.col("i") + F.col("j")).cast("float").alias("value"),
+                F.lit("µg/m³").alias("unit"),
+                F.lit(f"cat-{t}").alias("catalog_id"),
+                F.lit(ts).alias("inserted_at"),
+            )
+        )
+        eng.insert_grid(df)
+    eng.compact(layout=layout, row_group_bytes=rg_bytes)
+    return eng
+
+
+def bbox_query(eng):
+    return (
+        eng.grid_data_final()
+        .filter(
+            (F.col("lat") >= BOX["lat_min"])
+            & (F.col("lat") <= BOX["lat_max"])
+            & (F.col("lon") >= BOX["lon_min"])
+            & (F.col("lon") <= BOX["lon_max"])
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("double")).alias("s"),
+        )
+    )
+
+
+def timed(fn, n=5):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows-lat", type=int, default=721)
+    ap.add_argument("--rows-lon", type=int, default=1440)
+    ap.add_argument("--ts", type=int, default=4)
+    ap.add_argument("--rg-bytes", type=int, default=2 * 1024 * 1024)
+    args = ap.parse_args()
+
+    spark = get_spark("zorder-ab")
+    engines = {}
+    for layout in ("primary", "zorder"):
+        root = tempfile.mkdtemp(prefix=f"zab-{layout}-")
+        engines[layout] = build(
+            spark, root, layout, args.rows_lat, args.rows_lon, args.ts, args.rg_bytes
+        )
+        st = rowgroup_bbox_stats(engines[layout].grid_path, **BOX)
+        print(
+            f"{layout}: row_groups {st['row_groups_touched']}/{st['row_groups_total']}"
+            f"  rows {st['rows_touched']}/{st['rows_total']}"
+            f"  ({st['rows_touched'] / max(1, st['rows_total']):.2%} read floor)"
+        )
+
+    # sanity: identical results on both layouts
+    ra = bbox_query(engines["primary"]).collect()[0]
+    rb = bbox_query(engines["zorder"]).collect()[0]
+    assert (ra.n, ra.s) == (rb.n, rb.s), (ra, rb)
+    print(f"bbox rows {ra.n}, checksum equal on both layouts")
+
+    # interleaved warm timing, min-of-5
+    for layout in ("primary", "zorder", "primary", "zorder"):
+        t = timed(lambda: bbox_query(engines[layout]).collect())
+        print(f"{layout}: bbox query min-of-5 {t:.3f}s")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
