@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "ann_ivf_trained",  # trained-quantizer IVF search (bench-only, VERDICT r5 #5)
     "bpe_tokenize",  # real BPE train+apply token budgeting (bench-only, r6)
     "text_normalize",  # Unicode normalization tier (bench-only, r11)
+    "topic_cluster",  # k-means topic labeling + per-cluster stats (bench-only, r11)
     "unigram_tokenize",  # SentencePiece unigram twin of bpe_tokenize (r11)
     "ccnet_perplexity",  # bigram-LM quality scoring, CCNet tier (bench-only, r8)
     "quality_classifier",  # learned quality tier: train+score+Pareto (bench-only, r8)

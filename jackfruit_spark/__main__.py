@@ -657,6 +657,60 @@ def cmd_mix(args) -> int:
     return 0
 
 
+def cmd_cluster(args) -> int:
+    """Topic clustering (operators/topics.py): label every document with
+    a k-means cluster over hashed n-gram embeddings, write the labeled
+    parquet, print the per-cluster report card; optionally compose a
+    cluster-balanced epoch (--balance-tokens) into --balanced-output."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark._persist import release_all
+    from jackfruit_spark.operators.topics import (
+        balance_clusters,
+        cluster_corpus,
+        cluster_stats,
+    )
+
+    if (args.balance_tokens is None) != (args.balanced_output is None):
+        raise SystemExit(
+            "--balance-tokens and --balanced-output go together"
+        )
+    df = spark.read.parquet(args.input)
+    labeled = cluster_corpus(
+        df, id_col=args.id_col, text_col=args.text_col, k=args.k,
+        dim=args.dim, seed=args.seed,
+    )
+    labeled.write.mode("overwrite").parquet(args.output)
+    release_all()
+    written = spark.read.parquet(args.output)
+    stats = [
+        {
+            "cluster": r["cluster"],
+            "docs": r["n_docs"],
+            "tokens": int(r["n_tokens"]),
+            "token_share": float(r["token_share"]),
+            "top_terms": list(r["top_terms"] or []),
+        }
+        for r in cluster_stats(written, text_col=args.text_col)
+        .orderBy("cluster")
+        .collect()
+    ]
+    out = {"clusters": stats, "output": args.output}
+    if args.balance_tokens is not None:
+        bal = balance_clusters(
+            written,
+            total_tokens=args.balance_tokens,
+            alpha=args.alpha,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            seed=args.seed,
+        )
+        bal.write.mode("overwrite").parquet(args.balanced_output)
+        out["balanced_output"] = args.balanced_output
+        out["balanced_docs"] = spark.read.parquet(args.balanced_output).count()
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_split(args) -> int:
     """Leakage-safe train/val/test split (operators/curation.
     split_corpus): deterministic hash assignment, train docs that
@@ -1858,6 +1912,27 @@ def build_parser() -> argparse.ArgumentParser:
                     help="hash assignment only, keep cross-split near-dups")
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_split)
+
+    cl = sub.add_parser(
+        "cluster",
+        help="topic-cluster documents (hashed-embedding k-means) "
+        "+ optional cluster-balanced epoch",
+    )
+    cl.add_argument("--input", required=True, help="documents parquet")
+    cl.add_argument("--output", required=True, help="labeled parquet")
+    cl.add_argument("--k", type=int, default=32)
+    cl.add_argument("--dim", type=int, default=256)
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--seed", type=int, default=42)
+    cl.add_argument("--balance-tokens", type=int, default=None,
+                    help="also write a cluster-balanced epoch with this "
+                         "token budget (needs --balanced-output)")
+    cl.add_argument("--balanced-output", default=None)
+    cl.add_argument("--alpha", type=float, default=0.3,
+                    help="cluster temperature for the balanced epoch")
+    cl.add_argument("--cpus", default=None)
+    cl.set_defaults(fn=cmd_cluster)
 
     mx = sub.add_parser(
         "mix",

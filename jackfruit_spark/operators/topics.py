@@ -1,0 +1,157 @@
+"""Topic clustering + cluster-balanced sampling for corpus curation.
+
+The cluster-then-balance stage large-scale pipelines run between curation
+and mixing (the shape behind SemDeDup's cluster step, DoReMi-style domain
+reweighting, and "cluster-balanced sampling" in recent data-mix work):
+partition the corpus into K topical clusters and re-weight the epoch so
+no single topic dominates (or so scarce topics get boosted).
+
+Everything composes from operators this engine already measures:
+
+- embeddings: ``functions.featurize.hashed_embedding`` (signed hashed
+  n-gram tf-idf — text-pure, no external encoder; idf=True here because
+  clusters are corpus-relative by definition, unlike the quality
+  classifier's text-pure constraint);
+- quantizer: ``functions.similarity.kmeans_train`` (driver-side sampled
+  k-means++, bounded sample) + ``ivf_assign_pandas`` (distributed BLAS
+  assignment) — the IVF coarse-quantizer pair, reused verbatim;
+- balancing: ``operators.curation.mix_corpus`` with the cluster id as the
+  source column — the mT5 temperature rule ``w ∝ tokens^alpha`` needs no
+  new machinery.
+
+Scale: one embedding pass (persisted across the quantizer sample and the
+assignment scan), one BLAS assignment pass, one shuffle to join labels
+back onto the corpus. Stats and balancing are aggregate-shaped
+(groupBy + broadcast ratios); no windows over corpus-sized partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cluster_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    dim: int = 256,
+    seed: int = 42,
+    sample_size: int = 100_000,
+    sample_fraction: float | None = 1.0,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Label every document with a topic cluster id (0..k-1).
+
+    Returns the input columns plus ``cluster_col`` (int). The embedding
+    frame is ``persisted()`` (tracked) around its two consumers — the
+    eager quantizer sample and the lazy assignment scan; callers release
+    with ``jackfruit_spark._persist.release_all()`` after materializing
+    (the knn_join convention).
+    """
+    from jackfruit_spark._persist import persisted
+    from jackfruit_spark.functions.featurize import hashed_embedding
+    from jackfruit_spark.functions.similarity import ivf_assign_pandas, kmeans_train
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    emb = persisted(hashed_embedding(df, id_col, text_col, dim=dim, idf=True))
+    cents = kmeans_train(
+        emb,
+        "embedding",
+        k=k,
+        seed=seed,
+        sample_size=sample_size,
+        sample_fraction=sample_fraction,
+    )
+    labels = ivf_assign_pandas(emb, "embedding", cents).select(
+        F.col(id_col), F.col("ivf_cell").alias(cluster_col)
+    )
+    # one shuffle join to attach labels; both sides are corpus-sized,
+    # so no broadcast — the join IS the labeling pass's cost
+    return df.join(labels, on=id_col, how="inner")
+
+
+def cluster_stats(
+    df: DataFrame,
+    cluster_col: str = "cluster",
+    text_col: str = "text",
+    top_terms: int = 8,
+) -> DataFrame:
+    """Per-cluster report card: doc count, token count, token share, and
+    the top-``top_terms`` most frequent terms (the human-readable label).
+
+    Aggregate-shaped throughout: tokens explode -> groupBy(cluster, term)
+    counts -> top-n window over the (small) distinct-term frame -> one
+    final groupBy. The window partitions by cluster over term-count rows
+    (bounded by vocabulary x k, not corpus size)."""
+    from pyspark.sql import Window
+
+    from jackfruit_spark.operators.dedup import tokens_expr
+
+    toks = df.select(
+        F.col(cluster_col).alias("__c"),
+        F.explode(tokens_expr(text_col)).alias("__t"),
+    )
+    term_counts = toks.groupBy("__c", "__t").agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy("__c").orderBy(F.desc("__n"), F.asc("__t"))
+    top = (
+        term_counts.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= top_terms)
+        .groupBy("__c")
+        .agg(F.array_sort(F.collect_list(F.struct("__r", "__t"))).alias("__tt"))
+        .select("__c", F.transform("__tt", lambda s: s["__t"]).alias("top_terms"))
+    )
+    base = df.groupBy(F.col(cluster_col).alias("__c")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_expr(text_col))).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    return (
+        base.join(top, on="__c", how="left")
+        .withColumn(
+            "token_share",
+            F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6),
+        )
+        .select(
+            F.col("__c").alias(cluster_col),
+            "n_docs",
+            "n_tokens",
+            "token_share",
+            "top_terms",
+        )
+    )
+
+
+def balance_clusters(
+    df: DataFrame,
+    total_tokens: int,
+    alpha: float = 0.3,
+    weights: dict[int, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cluster_col: str = "cluster",
+    seed: int = 0,
+    max_repeat: float = 20.0,
+) -> DataFrame:
+    """Cluster-balanced epoch composition: ``mix_corpus`` keyed on the
+    cluster id. ``alpha`` (default mT5's temperature band) boosts scarce
+    topics; explicit ``weights`` (cluster id -> weight) pins the mixture.
+    Returns the mix_corpus contract (rows + ``epoch`` column)."""
+    from jackfruit_spark.operators.curation import mix_corpus
+
+    tagged = df.withColumn("__src", F.col(cluster_col).cast("string"))
+    w = None if weights is None else {str(c): v for c, v in weights.items()}
+    out = mix_corpus(
+        tagged,
+        weights=w,
+        alpha=None if w is not None else alpha,
+        total_tokens=total_tokens,
+        id_col=id_col,
+        text_col=text_col,
+        source_col="__src",
+        seed=seed,
+        max_repeat=max_repeat,
+    )
+    return out.drop("__src")

@@ -958,6 +958,25 @@ def text_normalize(spark, sf_dir):
     )
 
 
+def topic_cluster(spark, sf_dir):
+    """Bench-only: topic clustering tier over the documents table
+    (operators/topics.py — hashed-embedding k-means labeling + the
+    per-cluster report card). The returned stats frame's plan pulls the
+    full label assignment (embed -> BLAS-assign -> join) plus the
+    aggregate-shaped stats chain, so the bench key measures the whole
+    cluster-then-describe pass. Not registered: the k-means quantizer is
+    iterative/driver-coordinated (not SQL-expressible); label semantics
+    are pytest-carried on a disjoint-vocabulary corpus
+    (tests/test_topics.py)."""
+    from jackfruit_spark.operators.topics import cluster_corpus, cluster_stats
+
+    d = load(spark, sf_dir, "documents")
+    labeled = cluster_corpus(d, k=16, dim=256, seed=42)
+    # the tracked embedding persist is released by the bench harness's
+    # cold-cache discipline (release_persisted between repeats)
+    return cluster_stats(labeled)
+
+
 def unigram_tokenize(spark, sf_dir):
     """Bench-only: unigram-LM (SentencePiece) token budgeting over the
     documents table — bpe_tokenize's probabilistic twin

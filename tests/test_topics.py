@@ -1,0 +1,158 @@
+"""Topic clustering + cluster-balanced sampling (operators/topics.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark._persist import release_all
+from jackfruit_spark.operators.topics import (
+    balance_clusters,
+    cluster_corpus,
+    cluster_stats,
+)
+
+
+def _corpus(spark):
+    """Three obvious topics with disjoint vocabularies."""
+    topics = {
+        "cooking": "recipe oven bake flour sugar butter dough whisk simmer roast",
+        "space": "rocket orbit launch satellite booster payload thrust apogee stage",
+        "finance": "market equity bond yield dividend portfolio hedge margin asset",
+    }
+    rows = []
+    i = 0
+    for name, vocab in topics.items():
+        words = vocab.split()
+        for d in range(30):
+            text = " ".join(words[(d + j) % len(words)] for j in range(24))
+            rows.append((i, text, name))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, truth string")
+
+
+class TestClusterCorpus:
+    def test_separates_disjoint_topics(self, spark):
+        df = _corpus(spark)
+        out = cluster_corpus(df, k=3, dim=128, seed=7).cache()
+        try:
+            assert out.count() == df.count()  # labeling loses no rows
+            # every truth-topic maps to exactly one dominant cluster, and
+            # the three dominant clusters are distinct (purity check)
+            agg = (
+                out.groupBy("truth", "cluster")
+                .count()
+                .orderBy(F.desc("count"))
+                .collect()
+            )
+            best = {}
+            for r in agg:
+                best.setdefault(r.truth, (r.cluster, r["count"]))
+            assert len({c for c, _ in best.values()}) == 3
+            per_truth = {r.truth: r["count"] for r in out.groupBy("truth").count().collect()}
+            for truth, (_, n) in best.items():
+                assert n >= 0.9 * per_truth[truth], f"{truth} impure: {n}"
+        finally:
+            out.unpersist()
+            release_all()
+
+    def test_deterministic(self, spark):
+        df = _corpus(spark)
+        a = {(r.doc_id, r.cluster) for r in cluster_corpus(df, k=3, dim=128, seed=7).collect()}
+        b = {(r.doc_id, r.cluster) for r in cluster_corpus(df, k=3, dim=128, seed=7).collect()}
+        release_all()
+        assert a == b
+
+    def test_k_validation(self, spark):
+        with pytest.raises(ValueError):
+            cluster_corpus(_corpus(spark), k=1)
+
+
+class TestClusterStats:
+    def test_counts_and_top_terms(self, spark):
+        df = _corpus(spark).withColumn("cluster", (F.col("doc_id") / 30).cast("int"))
+        stats = {r.cluster: r for r in cluster_stats(df, top_terms=3).collect()}
+        assert set(stats) == {0, 1, 2}
+        assert all(r.n_docs == 30 for r in stats.values())
+        assert all(r.n_tokens == 30 * 24 for r in stats.values())
+        # disjoint vocab: cluster 0 is the cooking block
+        assert set(stats[0].top_terms) <= set(
+            "recipe oven bake flour sugar butter dough whisk simmer roast".split()
+        )
+        assert len(stats[0].top_terms) == 3
+        total = sum(float(r.token_share) for r in stats.values())
+        assert abs(total - 1.0) < 1e-4
+
+
+class TestBalanceClusters:
+    def test_alpha_zero_equalizes_token_mass(self, spark):
+        # skewed clusters: 60/25/5 docs -> alpha=0 targets equal thirds
+        rows = []
+        i = 0
+        for c, n in ((0, 60), (1, 25), (2, 5)):
+            for _ in range(n):
+                rows.append((i, "tok " * 20, c))
+                i += 1
+        df = spark.createDataFrame(rows, "doc_id long, text string, cluster int")
+        out = balance_clusters(df, total_tokens=1200, alpha=0.0, seed=1).cache()
+        try:
+            mass = {
+                r.cluster: r.n
+                for r in out.groupBy("cluster")
+                .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n"))
+                .collect()
+            }
+            # each cluster's realized token mass within 2x of the 400 target
+            # (seeded fractional keeps wobble at this tiny scale)
+            for c in (0, 1, 2):
+                assert 200 <= mass[c] <= 800, mass
+        finally:
+            out.unpersist()
+
+    def test_explicit_weights_subset(self, spark):
+        rows = [(i, "tok " * 10, i % 2) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, cluster int")
+        out = balance_clusters(
+            df, total_tokens=400, weights={1: 1.0}, id_col="doc_id"
+        )
+        got = out.select("cluster").distinct().collect()
+        assert [r.cluster for r in got] == [1]  # unweighted cluster dropped
+        assert "__src" not in out.columns
+
+
+def test_cli_cluster(spark, tmp_path, capsys):
+    import json
+
+    from jackfruit_spark.__main__ import main
+
+    _corpus(spark).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    rc = main([
+        "cluster",
+        "--input", str(tmp_path / "docs"),
+        "--output", str(tmp_path / "labeled"),
+        "--k", "3", "--dim", "128",
+        "--balance-tokens", "1500",
+        "--balanced-output", str(tmp_path / "balanced"),
+        "--alpha", "0.0",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert len(out["clusters"]) == 3
+    assert sum(c["docs"] for c in out["clusters"]) == 90
+    assert all(c["top_terms"] for c in out["clusters"])
+    assert out["balanced_docs"] > 0
+    labeled = spark.read.parquet(str(tmp_path / "labeled"))
+    assert {"doc_id", "text", "cluster"} <= set(labeled.columns)
+
+
+def test_cli_cluster_balance_flags_validated(spark, tmp_path):
+    import pytest
+
+    from jackfruit_spark.__main__ import main
+
+    _corpus(spark).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    with pytest.raises(SystemExit):
+        main([
+            "cluster", "--input", str(tmp_path / "docs"),
+            "--output", str(tmp_path / "o"), "--balance-tokens", "100",
+        ])
