@@ -657,6 +657,24 @@ def cmd_mix(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Snapshot diff (operators/diff.py): label added/removed/changed ids
+    between two corpus parquets, write the interesting rows, print the
+    four-way counts — one evaluation."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.diff import write_diff
+
+    counts = write_diff(
+        spark.read.parquet(args.old),
+        spark.read.parquet(args.new),
+        args.output,
+        id_col=args.id_col,
+        content_cols=args.content_cols,
+    )
+    print(json.dumps({"counts": counts, "output": args.output}))
+    return 0
+
+
 def cmd_cluster(args) -> int:
     """Topic clustering (operators/topics.py): label every document with
     a k-means cluster over hashed n-gram embeddings, write the labeled
@@ -1912,6 +1930,20 @@ def build_parser() -> argparse.ArgumentParser:
                     help="hash assignment only, keep cross-split near-dups")
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_split)
+
+    dfp = sub.add_parser(
+        "diff",
+        help="snapshot diff: added/removed/changed ids between two "
+        "corpus parquets",
+    )
+    dfp.add_argument("--old", required=True, help="old snapshot parquet")
+    dfp.add_argument("--new", required=True, help="new snapshot parquet")
+    dfp.add_argument("--output", required=True, help="diff rows parquet")
+    dfp.add_argument("--id-col", default="doc_id")
+    dfp.add_argument("--content-cols", nargs="*", default=None,
+                     help="columns to compare (default: all shared)")
+    dfp.add_argument("--cpus", default=None)
+    dfp.set_defaults(fn=cmd_diff)
 
     cl = sub.add_parser(
         "cluster",

@@ -1,0 +1,119 @@
+"""Corpus snapshot diff: what changed between two versions of a table.
+
+Iterative curation at 100 TB runs the same pipeline over evolving
+snapshots (a new crawl, a re-filtered corpus, a re-decoded media batch);
+the operational question "what did this rerun actually change?" should
+not cost a manual join every time. ``corpus_diff`` labels every id as
+added / removed / changed / unchanged in ONE pass shaped for scale:
+
+- both sides project to (id, xxhash64(content...)) BEFORE the join, so
+  the shuffle carries 16 bytes/row instead of document payloads;
+- one full-outer shuffle join on the id — the minimum for a diff;
+- the summary rides an ``Observation`` on the labeled frame, so counting
+  all four classes and writing only the interesting rows is a single
+  evaluation (the grid-insert pattern: never count-then-write).
+
+Content equality is hash-based (xxhash64 over the chosen columns) — a
+collision would mark a changed row unchanged with probability ~2^-64;
+acceptable for an audit surface, documented here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STATUS_ADDED = "added"
+STATUS_REMOVED = "removed"
+STATUS_CHANGED = "changed"
+STATUS_UNCHANGED = "unchanged"
+
+
+def _content_hash(cols: list[str]) -> Column:
+    # NULL-safe: xxhash64 folds nulls to a fixed seed per position, and a
+    # length prefix per column keeps ("ab","c") != ("a","bc")
+    parts: list[Column] = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(F.coalesce(F.length(s), F.lit(-1)))
+        parts.append(s)
+    return F.xxhash64(*parts)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, status) for every id present in either snapshot.
+
+    ``content_cols`` defaults to every shared non-id column (sorted by
+    name for determinism). Raises if an id is duplicated within either
+    side — a diff over a non-keyed table is ill-defined; dedup first.
+    The duplicate check rides the same pass as the labeling (count
+    aggregated per id during the hash projection, validated in the
+    status expression — no separate action).
+    """
+    if content_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        content_cols = sorted(c for c in shared if c != id_col)
+    if not content_cols:
+        raise ValueError("no shared content columns to diff")
+    for side, df in (("old", old), ("new", new)):
+        missing = [c for c in [id_col, *content_cols] if c not in df.columns]
+        if missing:
+            raise ValueError(f"{side} snapshot lacks columns {missing}")
+
+    def slim(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"), _content_hash(content_cols).alias(f"__h_{tag}")
+        ).groupBy("__id").agg(
+            F.count(F.lit(1)).alias(f"__n_{tag}"),
+            F.min(f"__h_{tag}").alias(f"__h_{tag}"),
+        )
+
+    o = slim(old, "o")
+    n = slim(new, "n")
+    joined = o.join(n, on="__id", how="full_outer")
+    dup = (F.coalesce(F.col("__n_o"), F.lit(0)) > 1) | (
+        F.coalesce(F.col("__n_n"), F.lit(0)) > 1
+    )
+    status = (
+        F.when(dup, F.raise_error(F.concat(F.lit("duplicate id in snapshot: "), F.col("__id").cast("string"))))
+        .when(F.col("__h_o").isNull(), F.lit(STATUS_ADDED))
+        .when(F.col("__h_n").isNull(), F.lit(STATUS_REMOVED))
+        .when(F.col("__h_o") == F.col("__h_n"), F.lit(STATUS_UNCHANGED))
+        .otherwise(F.lit(STATUS_CHANGED))
+    )
+    return joined.select(F.col("__id").alias(id_col), status.alias("status"))
+
+
+def write_diff(
+    old: DataFrame,
+    new: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    content_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Write only the interesting rows (added/removed/changed) and return
+    counts for ALL four classes — one evaluation via Observation."""
+    from pyspark.sql import Observation
+
+    labeled = corpus_diff(old, new, id_col=id_col, content_cols=content_cols)
+    obs = Observation()
+    aggs = [
+        F.sum((F.col("status") == s).cast("long")).alias(s)
+        for s in (STATUS_ADDED, STATUS_REMOVED, STATUS_CHANGED, STATUS_UNCHANGED)
+    ]
+    (
+        labeled.observe(obs, *aggs)
+        .filter(F.col("status") != STATUS_UNCHANGED)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    got = obs.get
+    # an empty diff erases CollectMetrics via PropagateEmptyRelation only
+    # when the PLAN is empty, not the result — but guard the None case
+    # the corpus-pipeline Observation lesson documented (CLAUDE.md r8)
+    return {k: int(got[k] or 0) for k in got}

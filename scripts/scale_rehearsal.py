@@ -265,6 +265,9 @@ def heavy_family():
         # per-row re-train reads ~1.0
         "text_normalize": Q.text_normalize,
         "unigram_tokenize": Q.unigram_tokenize,
+        # topic clustering (r11 s3): bounded driver-side k-means sample +
+        # linear embed/assign/join/stats — expected overhead->linear
+        "topic_cluster": Q.topic_cluster,
         "decontam_exact_bfix": decontam_exact,
         "decontam_bloom_bfix": decontam_bloom,
         "decontam_exact_b30": lambda s, d: decontam_exact(s, d, False),

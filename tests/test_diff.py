@@ -1,0 +1,99 @@
+"""Corpus snapshot diff (operators/diff.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jackfruit_spark.operators.diff import corpus_diff, write_diff
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestCorpusDiff:
+    def test_four_way_classification(self, spark):
+        old = _snap(spark, [(1, "a", "en"), (2, "b", "en"), (3, "c", "de")])
+        new = _snap(spark, [(2, "b", "en"), (3, "c2", "de"), (4, "d", "fr")])
+        got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+        assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+    def test_null_content_handling(self, spark):
+        old = _snap(spark, [(1, None, "en"), (2, None, "en")])
+        new = _snap(spark, [(1, None, "en"), (2, "x", "en")])
+        got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+        assert got == {1: "unchanged", 2: "changed"}
+
+    def test_column_boundary_not_confusable(self, spark):
+        # ("ab","c") must differ from ("a","bc"): the length prefix
+        old = _snap(spark, [(1, "ab", "c")])
+        new = _snap(spark, [(1, "a", "bc")])
+        got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+        assert got == {1: "changed"}
+
+    def test_explicit_content_cols_subset(self, spark):
+        old = _snap(spark, [(1, "a", "en")])
+        new = _snap(spark, [(1, "a", "de")])  # only lang differs
+        got = corpus_diff(old, new, content_cols=["text"]).collect()
+        assert got[0].status == "unchanged"
+
+    def test_duplicate_id_raises(self, spark):
+        old = _snap(spark, [(1, "a", "en"), (1, "a2", "en")])
+        new = _snap(spark, [(1, "a", "en")])
+        with pytest.raises(Exception, match="duplicate id"):
+            corpus_diff(old, new).collect()
+
+    def test_no_shared_columns_raises(self, spark):
+        a = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError, match="no shared content"):
+            corpus_diff(a, a)
+
+    def test_missing_column_raises(self, spark):
+        old = _snap(spark, [(1, "a", "en")])
+        new = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="lacks columns"):
+            corpus_diff(old, new, content_cols=["text", "lang"])
+
+
+class TestWriteDiff:
+    def test_counts_and_slim_output(self, spark, tmp_path):
+        old = _snap(spark, [(i, f"t{i}", "en") for i in range(10)])
+        new = _snap(
+            spark,
+            [(i, f"t{i}", "en") for i in range(2, 10)]  # 0,1 removed
+            + [(5, None, None)][0:0]  # noop, keep ids unique
+            + [(10, "new", "en"), (11, "new2", "en")],  # added
+        )
+        new = new.union(_snap(spark, [(12, "x", "en")]))  # one more added
+        counts = write_diff(old, new, str(tmp_path / "d"))
+        assert counts == {"added": 3, "removed": 2, "changed": 0, "unchanged": 8}
+        out = spark.read.parquet(str(tmp_path / "d"))
+        assert out.count() == 5  # unchanged rows not written
+        assert set(out.columns) == {"doc_id", "status"}
+
+    def test_empty_diff_zero_counts(self, spark, tmp_path):
+        snap = _snap(spark, [(1, "a", "en")])
+        counts = write_diff(snap, snap, str(tmp_path / "d"))
+        assert counts == {"added": 0, "removed": 0, "changed": 0, "unchanged": 1}
+
+
+def test_cli_diff(spark, tmp_path, capsys):
+    import json
+
+    from jackfruit_spark.__main__ import main
+
+    _snap(spark, [(1, "a", "en"), (2, "b", "en")]).write.parquet(
+        str(tmp_path / "old")
+    )
+    _snap(spark, [(2, "b2", "en"), (3, "c", "fr")]).write.parquet(
+        str(tmp_path / "new")
+    )
+    rc = main([
+        "diff", "--old", str(tmp_path / "old"), "--new", str(tmp_path / "new"),
+        "--output", str(tmp_path / "out"),
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["counts"] == {
+        "added": 1, "removed": 1, "changed": 1, "unchanged": 0
+    }

@@ -55,6 +55,10 @@ GUARDED = {
     # as the other overhead->linear keys
     "text_normalize": 0.50,
     "unigram_tokenize": 0.50,
+    # topic clustering (r11 s3): bounded quantizer sample + linear
+    # embed/assign/join — same overhead->linear band; an accidental
+    # all-pairs stage or a corpus-sized driver collect reads ~1.0
+    "topic_cluster": 0.50,
 }
 
 MULTS = (1, 10)
