@@ -657,6 +657,49 @@ def cmd_mix(args) -> int:
     return 0
 
 
+def cmd_release(args) -> int:
+    """Dataset release (operators/release.py): versioned, reproducible
+    training artifact — optional decontam + mixture, deterministic
+    shuffle, optional packed sequences, data card with a rerun-stable
+    checksum."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.release import release_corpus
+
+    weights = None
+    if args.mix_weights is not None:
+        try:
+            weights = {
+                k: float(v)
+                for k, v in (p.split("=", 1) for p in args.mix_weights.split(","))
+            }
+        except ValueError:
+            raise SystemExit(
+                "--mix-weights must be 'source=w,source=w,...' with numeric w"
+            )
+    bench = (
+        spark.read.parquet(args.decontam_bench)
+        if args.decontam_bench is not None
+        else None
+    )
+    card = release_corpus(
+        spark,
+        spark.read.parquet(args.input),
+        args.root,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        benchmark=bench,
+        decontam_k=args.decontam_k,
+        mix_total_tokens=args.mix_total_tokens,
+        mix_weights=weights,
+        mix_alpha=args.mix_alpha,
+        shuffle_seed=args.seed,
+        tokenizer_path=args.tokenizer,
+        pack_seq_len=args.pack_seq_len,
+    )
+    print(json.dumps(card, sort_keys=True))
+    return 0
+
+
 def cmd_diff(args) -> int:
     """Snapshot diff (operators/diff.py): label added/removed/changed ids
     between two corpus parquets, write the interesting rows, print the
@@ -1930,6 +1973,29 @@ def build_parser() -> argparse.ArgumentParser:
                     help="hash assignment only, keep cross-split near-dups")
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_split)
+
+    rl = sub.add_parser(
+        "release",
+        help="versioned training-dataset release: decontam + mixture + "
+        "deterministic shuffle + packing + data card",
+    )
+    rl.add_argument("--input", required=True, help="curated documents parquet")
+    rl.add_argument("--root", required=True, help="release root (gets v<N>/)")
+    rl.add_argument("--id-col", default="doc_id")
+    rl.add_argument("--text-col", default="text")
+    rl.add_argument("--decontam-bench", default=None,
+                    help="benchmark parquet to decontaminate against")
+    rl.add_argument("--decontam-k", type=int, default=8)
+    rl.add_argument("--mix-total-tokens", type=int, default=None)
+    rl.add_argument("--mix-weights", default=None,
+                    help="'source=w,...' (exactly one of weights/alpha)")
+    rl.add_argument("--mix-alpha", type=float, default=None)
+    rl.add_argument("--seed", type=int, default=0)
+    rl.add_argument("--tokenizer", default=None,
+                    help="tokenizer JSON (with --pack-seq-len)")
+    rl.add_argument("--pack-seq-len", type=int, default=None)
+    rl.add_argument("--cpus", default=None)
+    rl.set_defaults(fn=cmd_release)
 
     dfp = sub.add_parser(
         "diff",

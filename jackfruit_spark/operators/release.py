@@ -1,0 +1,251 @@
+"""Dataset release: curated corpus -> versioned, reproducible training
+artifact with a data card.
+
+The last mile of the training-data pipeline: after curation/dedup
+produce a clean documents table, a TRAINING RUN needs (a) optional
+benchmark decontamination, (b) an epoch composition (token-budget
+mixture), (c) a deterministic global shuffle, (d) optionally the packed
+``input_ids`` sequences, and (e) an auditable record of exactly what was
+released — counts per stage, the knobs, and a content checksum that a
+rerun must reproduce bit-for-bit.
+
+Everything composes from measured operators (decontaminate / mix_corpus /
+deterministic_shuffle / bpe|unigram encode / pack_token_ids); this module
+adds the versioned-directory protocol and the card:
+
+- releases land under ``root/v<N>/`` (immutable once committed; the next
+  release gets v<N+1>);
+- the card (``_RELEASE.json``) is written LAST as the commit marker —
+  a crashed release leaves a card-less directory that the next run
+  detects and sweeps (the rename-aside discipline's cheap cousin: no
+  reader trusts a versioned dir without its card);
+- the checksum is an order-insensitive ``bit_xor`` of per-row
+  ``xxhash64(id, epoch, text)`` — overflow-free (no ANSI sum traps),
+  partitioning-independent, and sensitive to any row added, dropped, or
+  edited. Reruns with identical inputs+knobs must reproduce it exactly
+  (pinned in tests); a mismatch between two "identical" releases is the
+  fastest possible drift alarm.
+
+Scale: decontam is a broadcast-gram membership test, mixing is one stats
+pass + broadcast ratios, the shuffle is one range partitioning, packing
+is one token-stream shuffle — no stage exceeds the linear passes its
+component operators already measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _next_version(root: str) -> int:
+    if not os.path.isdir(root):
+        return 1
+    vs = [
+        int(d[1:])
+        for d in os.listdir(root)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    return max(vs, default=0) + 1
+
+
+def _sweep_uncommitted(root: str) -> list[str]:
+    """Remove version dirs without a card (crashed releases)."""
+    swept = []
+    if not os.path.isdir(root):
+        return swept
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if (
+            d.startswith("v")
+            and d[1:].isdigit()
+            and os.path.isdir(p)
+            and not os.path.exists(os.path.join(p, "_RELEASE.json"))
+        ):
+            shutil.rmtree(p)
+            swept.append(d)
+    return swept
+
+
+def corpus_checksum(df: DataFrame, cols: list[str]) -> int:
+    """Order-insensitive content checksum: bit_xor of xxhash64(cols...),
+    null-safe via per-column length prefixes (the corpus_diff hash)."""
+    from jackfruit_spark.operators.diff import _content_hash
+
+    row = (
+        df.select(_content_hash(cols).alias("h"))
+        .agg(F.expr("bit_xor(h)").alias("x"))
+        .first()
+    )
+    return int(row.x) if row.x is not None else 0
+
+
+def release_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark: DataFrame | None = None,
+    decontam_k: int = 8,
+    mix_total_tokens: int | None = None,
+    mix_weights: dict[str, float] | None = None,
+    mix_alpha: float | None = None,
+    source_col: str = "source",
+    shuffle_seed: int = 0,
+    num_partitions: int | None = None,
+    tokenizer_path: str | None = None,
+    pack_seq_len: int | None = None,
+) -> dict:
+    """Produce ``root/v<N>/`` with ``documents/`` (shuffled parquet),
+    optionally ``sequences/`` (packed input_ids), and ``_RELEASE.json``.
+    Returns the card. See module docstring for the protocol."""
+    from jackfruit_spark.operators.curation import (
+        decontaminate,
+        deterministic_shuffle,
+        mix_corpus,
+        pack_token_ids,
+    )
+
+    if (tokenizer_path is None) != (pack_seq_len is None):
+        raise ValueError("tokenizer_path and pack_seq_len go together")
+    if mix_total_tokens is not None and (
+        (mix_weights is None) == (mix_alpha is None)
+    ):
+        raise ValueError(
+            "mixing needs exactly one of mix_weights / mix_alpha"
+        )
+    if mix_total_tokens is None and (
+        mix_weights is not None or mix_alpha is not None
+    ):
+        raise ValueError("mix_weights/mix_alpha need mix_total_tokens")
+
+    swept = _sweep_uncommitted(root)
+    version = _next_version(root)
+    vdir = os.path.join(root, f"v{version}")
+    card: dict = {
+        "version": version,
+        "stages": {},
+        "knobs": {
+            "decontam_k": decontam_k if benchmark is not None else None,
+            "mix_total_tokens": mix_total_tokens,
+            "mix_weights": mix_weights,
+            "mix_alpha": mix_alpha,
+            "shuffle_seed": shuffle_seed,
+            "pack_seq_len": pack_seq_len,
+        },
+        "swept_uncommitted": swept,
+    }
+
+    cur = docs
+    own_persist = None
+    card["stages"]["input"] = cur.count()
+    if benchmark is not None:
+        flags = decontaminate(cur, benchmark, id_col, text_col, k=decontam_k)
+        dirty = flags.filter(F.col("contaminated") == 1).select(id_col)
+        # persist: the count below and the write's evaluation both need
+        # this frame — without the cache the gram join runs twice.
+        # Unpersisted after the write (own frame only — not release_all,
+        # which would drop a composing caller's persists mid-use)
+        cur = own_persist = cur.join(dirty, on=id_col, how="left_anti").persist()
+        card["stages"]["decontaminated"] = cur.count()
+    if mix_total_tokens is not None:
+        cur = mix_corpus(
+            cur,
+            mix_weights,
+            total_tokens=mix_total_tokens,
+            id_col=id_col,
+            text_col=text_col,
+            source_col=source_col,
+            seed=shuffle_seed,
+            alpha=mix_alpha,
+        )
+    else:
+        cur = cur.withColumn("epoch", F.lit(0))
+
+    # the shuffle key doubles as the packing order; epoch folds in so
+    # upsampled copies of one document scatter instead of clumping.
+    # deterministic_shuffle keys on the ORDER KEY, not the raw id —
+    # epoch copies share an id, and identical sort keys would leave
+    # their relative order to the (unstable) sort
+    okey = F.xxhash64(
+        F.lit(int(shuffle_seed)), F.col(id_col), F.col("epoch")
+    )
+    shuffled = deterministic_shuffle(
+        cur.withColumn("order_key", okey),
+        "order_key",
+        seed=shuffle_seed,
+        num_partitions=num_partitions,
+    )
+    docs_dir = os.path.join(vdir, "documents")
+    shuffled.write.mode("overwrite").parquet(docs_dir)
+    if own_persist is not None:
+        own_persist.unpersist(blocking=False)  # everything below reads parquet
+
+    released = spark.read.parquet(docs_dir)
+    n_docs = released.count()
+    n_tokens = released.select(
+        F.sum(
+            F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+                F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+            )
+        ).alias("t")
+    ).first().t
+    card["stages"]["released_docs"] = n_docs
+    card["stages"]["released_ws_tokens"] = int(n_tokens or 0)
+    card["checksum_xxh64_xor"] = corpus_checksum(
+        released, [id_col, "epoch", text_col]
+    )
+
+    if pack_seq_len is not None:
+        from jackfruit_spark.functions.tokenizer import (
+            bpe_encode_ids_udf,
+            load_any_tokenizer,
+            unigram_encode_ids_udf,
+        )
+
+        kind, model, vocab = load_any_tokenizer(tokenizer_path)
+        if kind == "bpe":
+            ids = bpe_encode_ids_udf(model, vocab)(F.col(text_col))
+        else:
+            ids = unigram_encode_ids_udf(model, vocab)(F.col(text_col))
+        eos = vocab["<eos>"]
+        packed = pack_token_ids(
+            released.withColumn("__ids", ids),
+            "__ids",
+            pack_seq_len,
+            order_col="order_key",
+            sep_id=eos,
+        )
+        seq_dir = os.path.join(vdir, "sequences")
+        packed.write.mode("overwrite").parquet(seq_dir)
+        card["stages"]["sequences"] = spark.read.parquet(seq_dir).count()
+        card["knobs"]["tokenizer_kind"] = kind
+
+    # card LAST: the commit marker
+    tmp = os.path.join(vdir, "._RELEASE.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(card, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(vdir, "_RELEASE.json"))
+    return card
+
+
+def read_card(root: str, version: int | None = None) -> dict:
+    """Latest (or given) committed release's card."""
+    if version is None:
+        committed = [
+            int(d[1:])
+            for d in os.listdir(root)
+            if d.startswith("v")
+            and d[1:].isdigit()
+            and os.path.exists(os.path.join(root, d, "_RELEASE.json"))
+        ]
+        if not committed:
+            raise FileNotFoundError(f"no committed release under {root}")
+        version = max(committed)
+    with open(os.path.join(root, f"v{version}", "_RELEASE.json")) as f:
+        return json.load(f)

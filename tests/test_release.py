@@ -1,0 +1,169 @@
+"""Dataset release job (operators/release.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jackfruit_spark.operators.release import (
+    corpus_checksum,
+    read_card,
+    release_corpus,
+)
+
+
+def _docs(spark, n=60):
+    rows = [
+        (
+            i,
+            " ".join(f"w{(i * 7 + j) % 50}" for j in range(20)),
+            "web" if i % 3 else "books",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+class TestChecksum:
+    def test_order_and_partitioning_insensitive(self, spark):
+        d = _docs(spark)
+        a = corpus_checksum(d, ["doc_id", "text"])
+        b = corpus_checksum(d.repartition(7).orderBy(F.desc("text")), ["doc_id", "text"])
+        assert a == b != 0
+
+    def test_sensitive_to_any_row_change(self, spark):
+        d = _docs(spark)
+        base = corpus_checksum(d, ["doc_id", "text"])
+        dropped = corpus_checksum(d.filter("doc_id != 5"), ["doc_id", "text"])
+        edited = corpus_checksum(
+            d.withColumn(
+                "text", F.when(F.col("doc_id") == 5, F.lit("x")).otherwise(F.col("text"))
+            ),
+            ["doc_id", "text"],
+        )
+        assert base != dropped and base != edited
+
+    def test_empty_is_zero(self, spark):
+        assert corpus_checksum(_docs(spark).limit(0), ["doc_id", "text"]) == 0
+
+
+class TestReleaseCorpus:
+    def test_basic_release_and_rerun_reproduces_checksum(self, spark, tmp_path):
+        root = str(tmp_path / "rel")
+        card1 = release_corpus(spark, _docs(spark), root)
+        assert card1["version"] == 1
+        assert card1["stages"]["input"] == 60
+        assert card1["stages"]["released_docs"] == 60
+        assert card1["stages"]["released_ws_tokens"] == 60 * 20
+        # reader sees a committed artifact
+        assert read_card(root)["version"] == 1
+        docs = spark.read.parquet(os.path.join(root, "v1", "documents"))
+        assert docs.count() == 60 and "epoch" in docs.columns
+
+        # identical inputs + knobs -> identical checksum, next version
+        card2 = release_corpus(spark, _docs(spark), root)
+        assert card2["version"] == 2
+        assert card2["checksum_xxh64_xor"] == card1["checksum_xxh64_xor"]
+
+    def test_decontam_drops_planted_items(self, spark, tmp_path):
+        d = _docs(spark)
+        bench = d.filter("doc_id < 4").select(
+            F.col("doc_id").alias("qid"), "text"
+        )
+        card = release_corpus(
+            spark, d, str(tmp_path / "rel"),
+            benchmark=bench.withColumnRenamed("qid", "doc_id"),
+        )
+        assert card["stages"]["decontaminated"] < card["stages"]["input"]
+        released = spark.read.parquet(
+            str(tmp_path / "rel" / "v1" / "documents")
+        )
+        # planted benchmark docs are gone
+        assert released.filter("doc_id < 4").count() == 0
+
+    def test_mix_produces_epochs_and_deterministic_checksum(self, spark, tmp_path):
+        d = _docs(spark)
+        kw = dict(mix_total_tokens=3000, mix_alpha=0.0)
+        c1 = release_corpus(spark, d, str(tmp_path / "a"), **kw)
+        c2 = release_corpus(spark, d, str(tmp_path / "b"), **kw)
+        assert c1["checksum_xxh64_xor"] == c2["checksum_xxh64_xor"]
+        rel = spark.read.parquet(str(tmp_path / "a" / "v1" / "documents"))
+        assert rel.select("epoch").distinct().count() >= 1
+        # books (scarce source) upsampled under alpha=0 -> some epoch > 0
+        assert rel.filter("epoch > 0").count() > 0
+
+    def test_shuffle_order_deterministic_across_input_layout(self, spark, tmp_path):
+        d = _docs(spark)
+        release_corpus(spark, d, str(tmp_path / "a"), shuffle_seed=9)
+        release_corpus(
+            spark, d.repartition(13).orderBy(F.desc("doc_id")),
+            str(tmp_path / "b"), shuffle_seed=9,
+        )
+        read = lambda p: [
+            r.doc_id
+            for r in spark.read.parquet(p).orderBy("order_key").collect()
+        ]
+        assert read(str(tmp_path / "a" / "v1" / "documents")) == read(
+            str(tmp_path / "b" / "v1" / "documents")
+        )
+
+    def test_packing_leg(self, spark, tmp_path):
+        from jackfruit_spark.functions.tokenizer import (
+            bpe_train_with_vocab,
+            save_tokenizer,
+        )
+
+        d = _docs(spark)
+        merges, vocab = bpe_train_with_vocab(d, "text", num_merges=20)
+        tok_path = str(tmp_path / "tok.json")
+        save_tokenizer(tok_path, merges, vocab)
+        card = release_corpus(
+            spark, d, str(tmp_path / "rel"),
+            tokenizer_path=tok_path, pack_seq_len=64,
+        )
+        assert card["stages"]["sequences"] > 0
+        assert card["knobs"]["tokenizer_kind"] == "bpe"
+        seqs = spark.read.parquet(str(tmp_path / "rel" / "v1" / "sequences"))
+        assert all(len(r.input_ids) == 64 for r in seqs.limit(5).collect())
+
+    def test_crashed_release_swept(self, spark, tmp_path):
+        root = str(tmp_path / "rel")
+        release_corpus(spark, _docs(spark), root)
+        # fake a crashed v2: dir without card
+        os.makedirs(os.path.join(root, "v2", "documents"))
+        card = release_corpus(spark, _docs(spark), root)
+        assert card["swept_uncommitted"] == ["v2"]
+        assert card["version"] == 2  # slot reused after sweep
+        assert read_card(root)["version"] == 2
+
+    def test_knob_validation(self, spark, tmp_path):
+        d = _docs(spark)
+        with pytest.raises(ValueError, match="go together"):
+            release_corpus(spark, d, str(tmp_path / "r"), pack_seq_len=64)
+        with pytest.raises(ValueError, match="exactly one"):
+            release_corpus(spark, d, str(tmp_path / "r"), mix_total_tokens=10)
+        with pytest.raises(ValueError, match="need mix_total_tokens"):
+            release_corpus(spark, d, str(tmp_path / "r"), mix_alpha=0.3)
+
+    def test_read_card_no_committed_raises(self, tmp_path):
+        os.makedirs(str(tmp_path / "rel" / "v1"))
+        with pytest.raises(FileNotFoundError):
+            read_card(str(tmp_path / "rel"))
+
+
+def test_cli_release(spark, tmp_path, capsys):
+    from jackfruit_spark.__main__ import main
+
+    _docs(spark).write.parquet(str(tmp_path / "docs"))
+    rc = main([
+        "release", "--input", str(tmp_path / "docs"),
+        "--root", str(tmp_path / "rel"),
+        "--mix-total-tokens", "3000", "--mix-alpha", "0.3",
+    ])
+    card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and card["version"] == 1
+    assert card["stages"]["released_docs"] > 0
+    assert os.path.exists(str(tmp_path / "rel" / "v1" / "_RELEASE.json"))
