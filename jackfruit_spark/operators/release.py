@@ -186,6 +186,39 @@ def release_corpus(
     if own_persist is not None:
         own_persist.unpersist(blocking=False)  # everything below reads parquet
 
+    # churn vs the previous committed release: the operational "what did
+    # this rerun change" answer, free to compute here because both sides
+    # are slim parquet scans (corpus_diff ships 16 bytes/row through its
+    # join). Epoch copies share (id, text), so diff on distinct ids.
+    prev_version = max(
+        (
+            int(d[1:])
+            for d in os.listdir(root)
+            if d.startswith("v")
+            and d[1:].isdigit()
+            and int(d[1:]) < version
+            and os.path.exists(os.path.join(root, d, "_RELEASE.json"))
+        ),
+        default=None,
+    )
+    if prev_version is not None:
+        from jackfruit_spark.operators.diff import corpus_diff
+
+        prev = spark.read.parquet(
+            os.path.join(root, f"v{prev_version}", "documents")
+        ).dropDuplicates([id_col])
+        newly = spark.read.parquet(docs_dir).dropDuplicates([id_col])
+        churn = (
+            corpus_diff(prev, newly, id_col=id_col, content_cols=[text_col])
+            .groupBy("status")
+            .count()
+            .collect()
+        )
+        card["diff_vs_previous"] = {
+            "version": prev_version,
+            **{r.status: r["count"] for r in churn},
+        }
+
     released = spark.read.parquet(docs_dir)
     n_docs = released.count()
     n_tokens = released.select(

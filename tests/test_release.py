@@ -167,3 +167,21 @@ def test_cli_release(spark, tmp_path, capsys):
     assert rc == 0 and card["version"] == 1
     assert card["stages"]["released_docs"] > 0
     assert os.path.exists(str(tmp_path / "rel" / "v1" / "_RELEASE.json"))
+
+
+def test_diff_vs_previous_in_card(spark, tmp_path):
+    root = str(tmp_path / "rel")
+    d = _docs(spark)
+    c1 = release_corpus(spark, d, root)
+    assert "diff_vs_previous" not in c1
+    d2 = d.filter("doc_id != 0").union(
+        spark.createDataFrame(
+            [(999, "brand new doc", "web")],
+            "doc_id long, text string, source string",
+        )
+    )
+    c2 = release_corpus(spark, d2, root)
+    assert c2["diff_vs_previous"]["version"] == 1
+    assert c2["diff_vs_previous"]["added"] == 1
+    assert c2["diff_vs_previous"]["removed"] == 1
+    assert c2["diff_vs_previous"]["unchanged"] == 59
