@@ -145,6 +145,69 @@ class BigramLM:
         return math.exp(-s / (len(toks) - 1))
 
 
+class TrigramLM(BigramLM):
+    """Trigram extension of the CCNet-style LM (one step toward KenLM's
+    5-gram): interpolated scoring with the bigram model as the backoff
+    distribution.
+
+    - ``"jm"``: p(w3|w1 w2) = lam * c(w1 w2 w3)/c(w1 w2)
+                              + (1 - lam) * p_bigram_jm(w3|w2)
+    - ``"kn"``: p(w3|w1 w2) = max(c(w1 w2 w3) - D, 0)/c(w1 w2)
+                              + D * N1+(w1 w2, ·)/c(w1 w2) * p_bigram_kn(w3|w2)
+
+    Unseen or cap-evicted contexts (c(w1 w2) = 0 in the stored head)
+    back off to the bigram estimate directly — with a capped model a
+    missing context is indistinguishable from an evicted one, and the
+    bigram backoff is the defined answer for both. Document scoring
+    chains a bigram start transition (w0 -> w1) with trigram transitions
+    after it, normalizing by the same n-1 transition count as the bigram
+    scorer — perplexities stay comparable across the two model families.
+    """
+
+    def __init__(
+        self,
+        unigrams: dict[str, int],
+        bigrams: dict[tuple[str, str], int],
+        trigrams: dict[tuple[str, str, str], int],
+        total_tokens: int,
+        lam: float = 0.7,
+        smoothing: str = "jm",
+        discount: float = 0.75,
+    ):
+        super().__init__(
+            unigrams, bigrams, total_tokens,
+            lam=lam, smoothing=smoothing, discount=discount,
+        )
+        self.trigrams = trigrams
+        fan3: dict[tuple[str, str], int] = {}
+        for w1, w2, _ in trigrams:
+            fan3[(w1, w2)] = fan3.get((w1, w2), 0) + 1
+        self._fanout3 = fan3
+
+    def log_p3(self, w1: str, w2: str, w3: str) -> float:
+        c12 = self.bigrams.get((w1, w2), 0)
+        if c12 <= 0:
+            return self.log_p(w2, w3)  # context unseen/evicted: back off
+        lower = math.exp(self.log_p(w2, w3))
+        c123 = self.trigrams.get((w1, w2, w3), 0)
+        if self.smoothing == "kn":
+            d = self.discount
+            lam = d * max(self._fanout3.get((w1, w2), 0), 1) / c12
+            p = max(c123 - d, 0) / c12 + lam * lower
+        else:
+            p = self.lam * c123 / c12 + (1 - self.lam) * lower
+        return math.log(p)
+
+    def doc_perplexity(self, text: str) -> float | None:
+        toks = _py_tokens(text)
+        if len(toks) < 2:
+            return None
+        s = self.log_p(toks[0], toks[1])  # bigram start transition
+        for i in range(2, len(toks)):
+            s += self.log_p3(toks[i - 2], toks[i - 1], toks[i])
+        return math.exp(-s / (len(toks) - 1))
+
+
 def train_bigram_lm(
     df: DataFrame,
     text_col: str,
@@ -200,6 +263,51 @@ def train_bigram_lm(
     return BigramLM(
         unigrams, bigrams, int(total), lam=lam,
         smoothing=smoothing, discount=discount,
+    )
+
+
+def train_trigram_lm(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 50_000,
+    max_bigrams: int = 500_000,
+    max_trigrams: int = 1_000_000,
+    lam: float = 0.7,
+    smoothing: str = "jm",
+    discount: float = 0.75,
+) -> TrigramLM:
+    """``train_bigram_lm`` plus ONE more counting pass (the k=3 grams
+    through the same posexplode+lead hot path, capped at
+    ``max_trigrams`` by the same count-desc/gram-asc deterministic head
+    rule). The model stays bounded: vocab + bigram + trigram heads are
+    three TakeOrdered collects, megabytes regardless of corpus size."""
+    from jackfruit_spark.operators.dedup import shingled_exploded
+
+    base = train_bigram_lm(
+        df, text_col, vocab_size=vocab_size, max_bigrams=max_bigrams,
+        lam=lam, smoothing=smoothing, discount=discount,
+    )
+    with_id = df.select(
+        F.monotonically_increasing_id().alias("__lmid"), F.col(text_col)
+    )
+    tri_rows = (
+        shingled_exploded(with_id, "__lmid", text_col, k=3, distinct=False)
+        # the slice-truncation rule emits partial 1/2-grams at document
+        # tails; a trigram has exactly two separators
+        .filter(F.size(F.split(F.col("sh"), " ")) == 3)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("sh").asc())
+        .limit(max_trigrams)
+        .collect()
+    )
+    trigrams = {}
+    for r in tri_rows:
+        w1, w2, w3 = r["sh"].split(" ")
+        trigrams[(w1, w2, w3)] = int(r["c"])
+    return TrigramLM(
+        base.unigrams, base.bigrams, trigrams, base.total,
+        lam=lam, smoothing=smoothing, discount=discount,
     )
 
 

@@ -326,3 +326,104 @@ def test_lm_validation():
         BigramLM({}, {}, 0, smoothing="kenlm")
     with _pytest.raises(ValueError, match="discount"):
         BigramLM({}, {}, 0, smoothing="kn", discount=1.5)
+
+
+# ----------------------------------------------------------- trigram LM
+
+
+class TestTrigramLM:
+    def _python_ref(self, lm, text):
+        """Independent scorer: re-derive the chain from the stored
+        dicts (bigram start + trigram transitions, JM interpolation)."""
+        toks = text.split()
+        if len(toks) < 2:
+            return None
+        s = lm.log_p(toks[0], toks[1])
+        for i in range(2, len(toks)):
+            w1, w2, w3 = toks[i - 2], toks[i - 1], toks[i]
+            c12 = lm.bigrams.get((w1, w2), 0)
+            lower = math.exp(lm.log_p(w2, w3))
+            if c12 <= 0:
+                s += math.log(lower)
+                continue
+            c123 = lm.trigrams.get((w1, w2, w3), 0)
+            if lm.smoothing == "kn":
+                d = lm.discount
+                lam = d * max(lm._fanout3.get((w1, w2), 0), 1) / c12
+                s += math.log(max(c123 - d, 0) / c12 + lam * lower)
+            else:
+                s += math.log(lm.lam * c123 / c12 + (1 - lm.lam) * lower)
+        return math.exp(-s / (len(toks) - 1))
+
+    def test_counts_exact(self, spark, corpus):
+        from jackfruit_spark.functions.lm import train_trigram_lm
+
+        lm = train_trigram_lm(corpus, "text")
+        # "the cat sat" occurs in docs 1 and 5
+        assert lm.trigrams[("the", "cat", "sat")] == 2
+        # "sat on the" occurs in docs 1, 3 and 5
+        assert lm.trigrams[("sat", "on", "the")] == 3
+        assert ("a", "dog", "ran") in lm.trigrams
+        # no partial tail grams leaked in
+        assert all(len(k) == 3 for k in lm.trigrams)
+
+    @pytest.mark.parametrize("smoothing", ["jm", "kn"])
+    def test_arrow_scoring_matches_python_reference(self, spark, corpus, smoothing):
+        from jackfruit_spark.functions.lm import train_trigram_lm
+
+        lm = train_trigram_lm(corpus, "text", smoothing=smoothing)
+        scored = {
+            r["doc_id"]: r["perplexity"]
+            for r in with_perplexity(corpus, "text", lm).collect()
+        }
+        for r in corpus.collect():
+            want = self._python_ref(lm, r["text"])
+            assert scored[r["doc_id"]] == pytest.approx(round(want, 6))
+
+    def test_trigram_sharpens_in_distribution_docs(self, spark, corpus):
+        from jackfruit_spark.functions.lm import train_trigram_lm
+
+        bi = train_bigram_lm(corpus, "text")
+        tri = train_trigram_lm(corpus, "text")
+        # a doc whose trigrams are all in-distribution scores LOWER
+        # (sharper) under the trigram chain than under the bigram one
+        text = "the cat sat on the mat"
+        assert tri.doc_perplexity(text) < bi.doc_perplexity(text)
+        # and gibberish still separates by a wide margin
+        assert tri.doc_perplexity("zx qv blorp wug snark plim") > (
+            tri.doc_perplexity(text) * 10
+        )
+
+    def test_evicted_context_backs_off_to_bigram(self, spark, corpus):
+        from jackfruit_spark.functions.lm import train_trigram_lm
+
+        lm = train_trigram_lm(corpus, "text")
+        # context absent from the stored bigrams: trigram prob == the
+        # bigram backoff exactly
+        assert lm.log_p3("wug", "snark", "cat") == lm.log_p("snark", "cat")
+
+    def test_caps_bound_model_and_two_token_docs_score(self, spark, corpus):
+        from jackfruit_spark.functions.lm import train_trigram_lm
+
+        lm = train_trigram_lm(corpus, "text", max_trigrams=3)
+        assert len(lm.trigrams) == 3
+        # 2-token docs score via the bigram start transition alone
+        assert lm.doc_perplexity("the cat") is not None
+        assert lm.doc_perplexity("the") is None
+
+    def test_curate_gate_accepts_trigram_model(self, spark, corpus):
+        from jackfruit_spark.functions.lm import train_trigram_lm
+        from jackfruit_spark.operators.curation import curate_corpus
+
+        lm = train_trigram_lm(corpus, "text")
+        out = curate_corpus(
+            corpus.withColumn("lang", F.lit("en")),
+            id_col="doc_id",
+            lm=lm,
+            max_perplexity=1e6,
+            min_tokens=1,
+            max_tokens=10_000,
+        )
+        # permissive cut keeps everything except the exact duplicate
+        # (doc 5 == doc 1) that curate's dedup stage removes
+        assert out.count() == corpus.count() - 1
