@@ -130,16 +130,30 @@ class GridEngine:
         dir is MISSING (crash landed between the two renames — the aside
         is the only copy; deleting it would lose the partition), else
         drop it (the swap completed; the aside is the superseded copy).
+
+        Also sweeps (a) the legacy visible ``<part>.old-compact`` naming
+        an earlier compact version left behind — those dirs parse as
+        phantom partitions — and (b) orphaned ``_compact_<uuid>`` staging
+        dirs from a crash during the staged write (hidden from Spark by
+        the underscore but silently doubling disk per crashed compact).
         """
         import shutil
 
+        if os.path.isdir(self.root):
+            for d in os.listdir(self.root):
+                if d.startswith("_compact_"):
+                    shutil.rmtree(os.path.join(self.root, d))
         if not os.path.isdir(self.grid_path):
             return
         for d in os.listdir(self.grid_path):
-            if not d.startswith(".compact-old-"):
+            if d.startswith(".compact-old-"):
+                dst_name = d[len(".compact-old-") :]
+            elif d.endswith(".old-compact"):  # legacy visible naming
+                dst_name = d[: -len(".old-compact")]
+            else:
                 continue
             aside = os.path.join(self.grid_path, d)
-            dst = os.path.join(self.grid_path, d[len(".compact-old-") :])
+            dst = os.path.join(self.grid_path, dst_name)
             if os.path.exists(dst):
                 shutil.rmtree(aside)
             else:

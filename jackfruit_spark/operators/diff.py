@@ -112,8 +112,14 @@ def write_diff(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
-    got = obs.get
-    # an empty diff erases CollectMetrics via PropagateEmptyRelation only
-    # when the PLAN is empty, not the result — but guard the None case
-    # the corpus-pipeline Observation lesson documented (CLAUDE.md r8)
-    return {k: int(got[k] or 0) for k in got}
+    # statically-empty inputs (both sides empty LOCAL plans) let
+    # PropagateEmptyRelation erase the CollectMetrics node entirely —
+    # obs.get then throws instead of returning zeros (the r8
+    # corpus-pipeline Observation trap); fall back to zero counts. The
+    # per-value `or 0` separately guards NULL sums over an empty RESULT.
+    try:
+        got = obs.get
+    except Exception:  # noqa: BLE001 — erased-metrics path only
+        got = {}
+    keys = (STATUS_ADDED, STATUS_REMOVED, STATUS_CHANGED, STATUS_UNCHANGED)
+    return {k: int(got.get(k) or 0) for k in keys}

@@ -19,12 +19,14 @@ adds the versioned-directory protocol and the card:
   a crashed release leaves a card-less directory that the next run
   detects and sweeps (the rename-aside discipline's cheap cousin: no
   reader trusts a versioned dir without its card);
-- the checksum is an order-insensitive ``bit_xor`` of per-row
-  ``xxhash64(id, epoch, text)`` — overflow-free (no ANSI sum traps),
-  partitioning-independent, and sensitive to any row added, dropped, or
-  edited. Reruns with identical inputs+knobs must reproduce it exactly
-  (pinned in tests); a mismatch between two "identical" releases is the
-  fastest possible drift alarm.
+- the checksum is an order-insensitive decimal SUM of per-row
+  ``xxhash64(id, epoch, text)`` reported mod 2^64 — partitioning-
+  independent, multiplicity-sensitive (a bit_xor would cancel even
+  duplicate counts), and overflow-free (decimal(38,0), not a long sum —
+  ANSI throws on those). Reruns with identical inputs+knobs must
+  reproduce it exactly (pinned in tests); a mismatch between two
+  "identical" releases is the fastest possible drift alarm. Duplicate
+  (id, epoch) rows are rejected loudly in the same aggregate.
 
 Scale: decontam is a broadcast-gram membership test, mixing is one stats
 pass + broadcast ratios, the shuffle is one range partitioning, packing
@@ -42,46 +44,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _next_version(root: str) -> int:
+def _versions(root: str, committed_only: bool) -> list[int]:
+    """The ONE version-dir listing (the four call sites had begun to
+    drift on committed-vs-any filtering — the AudioIndex/VideoIndex
+    maintain() lesson)."""
     if not os.path.isdir(root):
-        return 1
-    vs = [
-        int(d[1:])
-        for d in os.listdir(root)
-        if d.startswith("v") and d[1:].isdigit()
-    ]
-    return max(vs, default=0) + 1
+        return []
+    out = []
+    for d in os.listdir(root):
+        if not (d.startswith("v") and d[1:].isdigit()):
+            continue
+        if committed_only and not os.path.exists(
+            os.path.join(root, d, "_RELEASE.json")
+        ):
+            continue
+        out.append(int(d[1:]))
+    return sorted(out)
 
 
 def _sweep_uncommitted(root: str) -> list[str]:
     """Remove version dirs without a card (crashed releases)."""
     swept = []
-    if not os.path.isdir(root):
-        return swept
-    for d in os.listdir(root):
-        p = os.path.join(root, d)
-        if (
-            d.startswith("v")
-            and d[1:].isdigit()
-            and os.path.isdir(p)
-            and not os.path.exists(os.path.join(p, "_RELEASE.json"))
-        ):
-            shutil.rmtree(p)
-            swept.append(d)
+    committed = set(_versions(root, committed_only=True))
+    for v in _versions(root, committed_only=False):
+        if v not in committed:
+            shutil.rmtree(os.path.join(root, f"v{v}"))
+            swept.append(f"v{v}")
     return swept
 
 
-def corpus_checksum(df: DataFrame, cols: list[str]) -> int:
-    """Order-insensitive content checksum: bit_xor of xxhash64(cols...),
-    null-safe via per-column length prefixes (the corpus_diff hash)."""
+def _checksum_expr(cols: list[str]):
+    """Order-insensitive, MULTIPLICITY-sensitive checksum aggregate:
+    sum of per-row xxhash64 as decimal(38,0) (no long-overflow — ANSI
+    throws on a long sum; decimal holds >10^18 row-hashes), reported
+    mod 2^64. A bit_xor would cancel even multiplicities: two identical
+    rows XOR to zero and the 'any row added' sensitivity claim breaks
+    exactly on duplicated-row drift."""
     from jackfruit_spark.operators.diff import _content_hash
 
-    row = (
-        df.select(_content_hash(cols).alias("h"))
-        .agg(F.expr("bit_xor(h)").alias("x"))
-        .first()
-    )
-    return int(row.x) if row.x is not None else 0
+    return F.sum(_content_hash(cols).cast("decimal(38,0)")).alias("__sum")
+
+
+def corpus_checksum(df: DataFrame, cols: list[str]) -> int:
+    """Order/partitioning-insensitive, multiplicity-sensitive content
+    checksum; null-safe via per-column length prefixes (the corpus_diff
+    hash). 0 for an empty frame."""
+    row = df.agg(_checksum_expr(cols)).first()
+    return int(row["__sum"]) % (1 << 64) if row["__sum"] is not None else 0
 
 
 def release_corpus(
@@ -100,6 +109,7 @@ def release_corpus(
     num_partitions: int | None = None,
     tokenizer_path: str | None = None,
     pack_seq_len: int | None = None,
+    pack_shards: int = 64,
 ) -> dict:
     """Produce ``root/v<N>/`` with ``documents/`` (shuffled parquet),
     optionally ``sequences/`` (packed input_ids), and ``_RELEASE.json``.
@@ -125,7 +135,7 @@ def release_corpus(
         raise ValueError("mix_weights/mix_alpha need mix_total_tokens")
 
     swept = _sweep_uncommitted(root)
-    version = _next_version(root)
+    version = max(_versions(root, committed_only=False), default=0) + 1
     vdir = os.path.join(root, f"v{version}")
     card: dict = {
         "version": version,
@@ -143,6 +153,9 @@ def release_corpus(
 
     cur = docs
     own_persist = None
+    # a bare count, tolerated here: it column-prunes to nothing (parquet
+    # inputs scan footers only) and the write below re-evaluates a
+    # DIFFERENT frame (post-mix), so no Observation can carry both
     card["stages"]["input"] = cur.count()
     if benchmark is not None:
         flags = decontaminate(cur, benchmark, id_col, text_col, k=decontam_k)
@@ -190,20 +203,17 @@ def release_corpus(
     # this rerun change" answer, free to compute here because both sides
     # are slim parquet scans (corpus_diff ships 16 bytes/row through its
     # join). Epoch copies share (id, text), so diff on distinct ids.
-    prev_version = max(
-        (
-            int(d[1:])
-            for d in os.listdir(root)
-            if d.startswith("v")
-            and d[1:].isdigit()
-            and int(d[1:]) < version
-            and os.path.exists(os.path.join(root, d, "_RELEASE.json"))
-        ),
-        default=None,
-    )
-    if prev_version is not None:
-        from jackfruit_spark.operators.diff import corpus_diff
+    committed = [v for v in _versions(root, committed_only=True) if v < version]
+    if committed:
+        from jackfruit_spark.operators.diff import (
+            STATUS_ADDED,
+            STATUS_CHANGED,
+            STATUS_REMOVED,
+            STATUS_UNCHANGED,
+            corpus_diff,
+        )
 
+        prev_version = committed[-1]
         prev = spark.read.parquet(
             os.path.join(root, f"v{prev_version}", "documents")
         ).dropDuplicates([id_col])
@@ -214,24 +224,43 @@ def release_corpus(
             .count()
             .collect()
         )
+        # zero-fill: groupBy emits no row for an absent class, and card
+        # consumers index the documented four keys unconditionally
         card["diff_vs_previous"] = {
             "version": prev_version,
+            STATUS_ADDED: 0,
+            STATUS_REMOVED: 0,
+            STATUS_CHANGED: 0,
+            STATUS_UNCHANGED: 0,
             **{r.status: r["count"] for r in churn},
         }
 
+    # ONE aggregate over the written parquet: docs + tokens + checksum +
+    # the (id, epoch) uniqueness guard (three separate scans previously;
+    # the checksum's multiplicity sensitivity is only meaningful if
+    # duplicate keys are rejected loudly rather than absorbed)
     released = spark.read.parquet(docs_dir)
-    n_docs = released.count()
-    n_tokens = released.select(
+    stats = released.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.col(id_col), F.col("epoch")).alias("__nd"),
         F.sum(
-            F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
-                F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-            )
-        ).alias("t")
-    ).first().t
-    card["stages"]["released_docs"] = n_docs
-    card["stages"]["released_ws_tokens"] = int(n_tokens or 0)
-    card["checksum_xxh64_xor"] = corpus_checksum(
-        released, [id_col, "epoch", text_col]
+            F.when(
+                F.col(text_col).isNull()
+                | (F.length(F.trim(F.col(text_col))) == 0),
+                F.lit(0),
+            ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        ).alias("__t"),
+        _checksum_expr([id_col, "epoch", text_col]),
+    ).first()
+    if stats["__n"] != stats["__nd"]:
+        raise ValueError(
+            f"release has {stats['__n'] - stats['__nd']} duplicate "
+            f"({id_col}, epoch) rows — dedup the input first"
+        )
+    card["stages"]["released_docs"] = int(stats["__n"])
+    card["stages"]["released_ws_tokens"] = int(stats["__t"] or 0)
+    card["checksum_xxh64_sum"] = (
+        int(stats["__sum"]) % (1 << 64) if stats["__sum"] is not None else 0
     )
 
     if pack_seq_len is not None:
@@ -247,13 +276,22 @@ def release_corpus(
         else:
             ids = unigram_encode_ids_udf(model, vocab)(F.col(text_col))
         eos = vocab["<eos>"]
+        # shard the token stream: pack_token_ids' cumulative-offset
+        # window sorts per source group — a single global stream would
+        # put the WHOLE release's token arrays through one sorter task.
+        # Deterministic shard = hash of the order key; sequences stay
+        # rerun-identical, they just tile pack_shards parallel streams.
         packed = pack_token_ids(
-            released.withColumn("__ids", ids),
+            released.withColumn("__ids", ids).withColumn(
+                "__shard",
+                F.pmod(F.xxhash64(F.col("order_key")), F.lit(int(pack_shards))),
+            ),
             "__ids",
             pack_seq_len,
             order_col="order_key",
+            source_col="__shard",
             sep_id=eos,
-        )
+        ).drop("__shard")
         seq_dir = os.path.join(vdir, "sequences")
         packed.write.mode("overwrite").parquet(seq_dir)
         card["stages"]["sequences"] = spark.read.parquet(seq_dir).count()
@@ -270,15 +308,9 @@ def release_corpus(
 def read_card(root: str, version: int | None = None) -> dict:
     """Latest (or given) committed release's card."""
     if version is None:
-        committed = [
-            int(d[1:])
-            for d in os.listdir(root)
-            if d.startswith("v")
-            and d[1:].isdigit()
-            and os.path.exists(os.path.join(root, d, "_RELEASE.json"))
-        ]
+        committed = _versions(root, committed_only=True)
         if not committed:
             raise FileNotFoundError(f"no committed release under {root}")
-        version = max(committed)
+        version = committed[-1]
     with open(os.path.join(root, f"v{version}", "_RELEASE.json")) as f:
         return json.load(f)

@@ -39,7 +39,7 @@ def cluster_corpus(
     dim: int = 256,
     seed: int = 42,
     sample_size: int = 100_000,
-    sample_fraction: float | None = 1.0,
+    sample_fraction: float | None = None,
     cluster_col: str = "cluster",
 ) -> DataFrame:
     """Label every document with a topic cluster id (0..k-1).
@@ -49,6 +49,13 @@ def cluster_corpus(
     eager quantizer sample and the lazy assignment scan; callers release
     with ``jackfruit_spark._persist.release_all()`` after materializing
     (the knn_join convention).
+
+    ``sample_fraction=None`` (default) lets ``kmeans_train`` thin ACROSS
+    the corpus before taking its bounded sample — a prefix sample
+    (``sample_fraction=1.0`` + limit) on a source/date-laid-out corpus
+    would train the quantizer on the first partitions only and collapse
+    unseen topics into one cluster. Pass 1.0 only for small corpora
+    where the prefix IS the corpus (tests do).
     """
     from jackfruit_spark._persist import persisted
     from jackfruit_spark.functions.featurize import hashed_embedding
@@ -93,7 +100,7 @@ def cluster_stats(
     toks = df.select(
         F.col(cluster_col).alias("__c"),
         F.explode(tokens_expr(text_col)).alias("__t"),
-    )
+    ).filter(F.col("__t") != "")  # split(trim('')) is [''] — the r8 gate
     term_counts = toks.groupBy("__c", "__t").agg(F.count(F.lit(1)).alias("__n"))
     w = Window.partitionBy("__c").orderBy(F.desc("__n"), F.asc("__t"))
     top = (
@@ -105,14 +112,30 @@ def cluster_stats(
     )
     base = df.groupBy(F.col(cluster_col).alias("__c")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens_expr(text_col))).alias("n_tokens"),
+        # blank/null gate: split(trim('')) is [''] (size 1); coalesce
+        # keeps an all-null cluster at 0 instead of NULL (int(NULL)
+        # crashes the CLI's report card)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col(text_col).isNull()
+                    | (F.length(F.trim(F.col(text_col))) == 0),
+                    F.lit(0),
+                ).otherwise(F.size(tokens_expr(text_col)))
+            ),
+            F.lit(0),
+        ).alias("n_tokens"),
     )
     total = Window.partitionBy()
     return (
         base.join(top, on="__c", how="left")
         .withColumn(
             "token_share",
-            F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6),
+            # an all-blank corpus sums to 0: 0/0 is NaN (doubles don't
+            # throw under ANSI) and NaN poisons the CLI's JSON — pin 0.0
+            F.when(F.sum("n_tokens").over(total) == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6)
+            ),
         )
         .select(
             F.col("__c").alias(cluster_col),

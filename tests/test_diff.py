@@ -97,3 +97,11 @@ def test_cli_diff(spark, tmp_path, capsys):
     assert out["counts"] == {
         "added": 1, "removed": 1, "changed": 1, "unchanged": 0
     }
+
+
+def test_write_diff_statically_empty_inputs(spark, tmp_path):
+    # PropagateEmptyRelation erases the CollectMetrics node on empty
+    # plans; counts must come back as zeros, not an Observation error
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    counts = write_diff(empty, empty, str(tmp_path / "d"))
+    assert counts == {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}

@@ -231,3 +231,43 @@ class TestLayoutSortSurvivesWrite:
             assert keyed == sorted(keyed), "serving z-order sort was eliminated"
             checked += 1
         assert checked > 0
+
+
+class TestRepairLegacyAndStaging:
+    def test_legacy_visible_aside_restored_and_staging_swept(self, spark, tmp_path):
+        import shutil
+
+        eng = GridEngine(spark, str(tmp_path))
+        eng.insert_grid(_grid_df(spark, 10, 20))
+        n = eng.grid_data_final().count()
+        part = "date=2026-01-01"
+        # legacy visible naming from a pre-upgrade crashed compact
+        os.rename(
+            os.path.join(eng.grid_path, part),
+            os.path.join(eng.grid_path, f"{part}.old-compact"),
+        )
+        # plus an orphaned staging dir from a crash mid-write
+        os.makedirs(os.path.join(str(tmp_path), "_compact_deadbeef"))
+        eng.repair()
+        assert not os.path.exists(
+            os.path.join(eng.grid_path, f"{part}.old-compact")
+        )
+        assert not os.path.exists(
+            os.path.join(str(tmp_path), "_compact_deadbeef")
+        )
+        assert eng.grid_data_final().count() == n
+
+    def test_legacy_aside_superseded_dropped(self, spark, tmp_path):
+        import shutil
+
+        eng = GridEngine(spark, str(tmp_path))
+        eng.insert_grid(_grid_df(spark, 10, 20))
+        part = "date=2026-01-01"
+        shutil.copytree(
+            os.path.join(eng.grid_path, part),
+            os.path.join(eng.grid_path, f"{part}.old-compact"),
+        )
+        eng.repair()
+        assert not os.path.exists(
+            os.path.join(eng.grid_path, f"{part}.old-compact")
+        )

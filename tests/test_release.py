@@ -66,7 +66,7 @@ class TestReleaseCorpus:
         # identical inputs + knobs -> identical checksum, next version
         card2 = release_corpus(spark, _docs(spark), root)
         assert card2["version"] == 2
-        assert card2["checksum_xxh64_xor"] == card1["checksum_xxh64_xor"]
+        assert card2["checksum_xxh64_sum"] == card1["checksum_xxh64_sum"]
 
     def test_decontam_drops_planted_items(self, spark, tmp_path):
         d = _docs(spark)
@@ -89,7 +89,7 @@ class TestReleaseCorpus:
         kw = dict(mix_total_tokens=3000, mix_alpha=0.0)
         c1 = release_corpus(spark, d, str(tmp_path / "a"), **kw)
         c2 = release_corpus(spark, d, str(tmp_path / "b"), **kw)
-        assert c1["checksum_xxh64_xor"] == c2["checksum_xxh64_xor"]
+        assert c1["checksum_xxh64_sum"] == c2["checksum_xxh64_sum"]
         rel = spark.read.parquet(str(tmp_path / "a" / "v1" / "documents"))
         assert rel.select("epoch").distinct().count() >= 1
         # books (scarce source) upsampled under alpha=0 -> some epoch > 0
@@ -185,3 +185,29 @@ def test_diff_vs_previous_in_card(spark, tmp_path):
     assert c2["diff_vs_previous"]["added"] == 1
     assert c2["diff_vs_previous"]["removed"] == 1
     assert c2["diff_vs_previous"]["unchanged"] == 59
+
+
+def test_checksum_multiplicity_sensitive(spark):
+    # bit_xor would cancel an even duplicate; the decimal-sum must not
+    d = _docs(spark, n=4)
+    dup = d.union(d.filter("doc_id = 2"))
+    assert corpus_checksum(d, ["doc_id", "text"]) != corpus_checksum(
+        dup, ["doc_id", "text"]
+    )
+
+
+def test_duplicate_id_epoch_rejected(spark, tmp_path):
+    d = _docs(spark, n=6)
+    dup = d.union(d.filter("doc_id = 3"))
+    with pytest.raises(ValueError, match="duplicate"):
+        release_corpus(spark, dup, str(tmp_path / "rel"))
+
+
+def test_diff_vs_previous_zero_filled_on_identical_rerun(spark, tmp_path):
+    root = str(tmp_path / "rel")
+    d = _docs(spark, n=10)
+    release_corpus(spark, d, root)
+    c2 = release_corpus(spark, d, root)
+    assert c2["diff_vs_previous"] == {
+        "version": 1, "added": 0, "removed": 0, "changed": 0, "unchanged": 10
+    }

@@ -156,3 +156,18 @@ def test_cli_cluster_balance_flags_validated(spark, tmp_path):
             "cluster", "--input", str(tmp_path / "docs"),
             "--output", str(tmp_path / "o"), "--balance-tokens", "100",
         ])
+
+
+def test_cluster_stats_blank_and_null_docs(spark):
+    rows = [
+        (0, "real tokens here", 0),
+        (1, "   ", 0),
+        (2, None, 1),
+        (3, "", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, cluster int")
+    stats = {r.cluster: r for r in cluster_stats(df, top_terms=3).collect()}
+    assert stats[0].n_tokens == 3  # blank doc contributes 0, not 1
+    assert stats[1].n_tokens == 0  # all-null/blank cluster is 0, not NULL
+    assert "" not in (stats[0].top_terms or [])
+    assert float(stats[1].token_share) == 0.0
