@@ -657,6 +657,31 @@ def cmd_mix(args) -> int:
     return 0
 
 
+def cmd_rank_hosts(args) -> int:
+    """Host-centrality quality prior (operators/graph.py): WARC shards
+    -> anchor extraction -> host link graph -> PageRank -> parquet."""
+    spark = _spark(args.cpus)
+    from jackfruit_spark.operators.graph import host_rank
+
+    ranks = host_rank(
+        spark, args.input, iters=args.iters, damping=args.damping,
+        max_links_per_page=args.max_links_per_page,
+    )
+    ranks.write.mode("overwrite").parquet(args.output)
+    top = (
+        spark.read.parquet(args.output)
+        .orderBy("rank", ascending=False)
+        .limit(args.top)
+        .collect()
+    )
+    print(json.dumps({
+        "hosts": spark.read.parquet(args.output).count(),
+        "top": [{"host": r.host, "rank": round(r.rank, 8)} for r in top],
+        "output": args.output,
+    }))
+    return 0
+
+
 def cmd_release(args) -> int:
     """Dataset release (operators/release.py): versioned, reproducible
     training artifact — optional decontam + mixture, deterministic
@@ -1973,6 +1998,20 @@ def build_parser() -> argparse.ArgumentParser:
                     help="hash assignment only, keep cross-split near-dups")
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_split)
+
+    rh = sub.add_parser(
+        "rank-hosts",
+        help="host PageRank quality prior from WARC anchor links",
+    )
+    rh.add_argument("--input", required=True, help="WARC shard glob")
+    rh.add_argument("--output", required=True, help="(host, rank) parquet")
+    rh.add_argument("--iters", type=int, default=20)
+    rh.add_argument("--damping", type=float, default=0.85)
+    rh.add_argument("--max-links-per-page", type=int, default=1000)
+    rh.add_argument("--top", type=int, default=10,
+                    help="top hosts echoed in the JSON summary")
+    rh.add_argument("--cpus", default=None)
+    rh.set_defaults(fn=cmd_rank_hosts)
 
     rl = sub.add_parser(
         "release",

@@ -1,0 +1,148 @@
+"""Link-graph operators: distributed PageRank + the host-rank quality
+prior.
+
+Common Crawl publishes host-level centrality ranks, and web-curation
+pipelines (C4/RefinedWeb descendants) use host quality priors alongside
+URL filtering; this module computes that prior from the corpus's own
+link graph — ``sources/warc.scan_warc_links`` (anchor extraction) ->
+``host_links`` (URL -> canonical host pairs) -> ``pagerank``.
+
+PageRank shape (the CC label-propagation discipline, operators/dedup.py):
+a driver-coordinated loop over pure DataFrame joins — each iteration is
+one join + one aggregation on a frame REPARTITIONED ONCE on the join key
+and persisted, so every iteration reuses the same shuffle layout. Rank
+frames are ``localCheckpoint``-ed per iteration: without the lineage
+cut, iteration k's plan contains k nested joins and plan analysis alone
+dominates (the q53 lesson — driver loops execute during plan
+construction too).
+
+Dangling nodes (no outlinks) redistribute their mass uniformly — the
+standard correction; total rank mass stays 1 (asserted in tests), so
+ranks are comparable across graphs.
+
+Determinism note: ranks are float sums, so the last ulps vary with
+aggregation order (the SUM-of-doubles discipline, queries.py). Rankings
+and any rounded-6dp consumption are stable; bit-identical reruns are
+NOT promised (unlike the hash-based operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 20,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) over the distinct directed edge set; rank masses sum
+    to 1. Duplicate edges collapse (a page linking twice votes once —
+    the host-graph convention); self-loops are kept iff present in the
+    input (host_links drops them)."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist(blocking=False)
+        return edges.sparkSession.createDataFrame([], "node string, rank double")
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    # one shuffle layout for every iteration: edges+degree clustered on
+    # the join key, persisted; the per-iteration join reuses it
+    ej = e.join(deg, "__s").repartition("__s").persist()
+    ej.count()  # materialize before the loop so iterations pay joins only
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    try:
+        for _ in range(iters):
+            # mass leaving through edges this round; the remainder
+            # (dangling mass) redistributes uniformly
+            linked = ej.join(ranks, ej["__s"] == ranks["node"]).select(
+                F.col("__d").alias("node"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+            contrib = linked.groupBy("node").agg(F.sum("__c").alias("__c"))
+            out_mass = (
+                ranks.join(deg, ranks["node"] == deg["__s"], "left_semi")
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
+            dangling = max(0.0, 1.0 - out_mass)
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("__c"), F.lit(0.0))
+                            + F.lit(dangling / n)
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint()  # cut lineage: k nested joins otherwise
+            )
+        return ranks
+    finally:
+        ej.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
+
+
+def host_links(links: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """URL-level (src, dst) pairs -> distinct canonical host pairs,
+    self-links dropped (intra-site navigation is not a quality vote).
+    Hosts canonicalize through the URL tier's ``normalize_url`` +
+    ``url_host`` pair (scheme/www. strip, then userinfo / port /
+    trailing-dot stripping — url_host alone expects a normalized URL,
+    the r11 canonicalization rules)."""
+    from jackfruit_spark.operators.curation import normalize_url, url_host
+
+    out = links.select(
+        url_host(normalize_url(src)).alias("src_host"),
+        url_host(normalize_url(dst)).alias("dst_host"),
+    ).filter(
+        F.col("src_host").isNotNull()
+        & F.col("dst_host").isNotNull()
+        & (F.col("src_host") != F.col("dst_host"))
+    )
+    return out.distinct()
+
+
+def host_rank(
+    spark,
+    path_glob: str,
+    iters: int = 20,
+    damping: float = 0.85,
+    max_links_per_page: int = 1000,
+) -> DataFrame:
+    """WARC shards -> host link graph -> PageRank: (host, rank). The
+    quality-prior table a curation pipeline joins against its documents'
+    ``url_host`` (e.g. threshold or bucket the rank before the URL
+    tier)."""
+    from jackfruit_spark.sources.warc import scan_warc_links
+
+    links = scan_warc_links(
+        spark, path_glob, max_links_per_page=max_links_per_page
+    )
+    ranks = pagerank(
+        host_links(links), src="src_host", dst="dst_host",
+        iters=iters, damping=damping,
+    )
+    return ranks.select(F.col("node").alias("host"), "rank")

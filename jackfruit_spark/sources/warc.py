@@ -397,6 +397,80 @@ def scan_warc(
     return scan_warc_files(files, warc_types, extraction)
 
 
+# ------------------------------------------------------------ link graph
+
+WARC_LINKS = StructType(
+    [
+        StructField("src", StringType(), False),
+        StructField("dst", StringType(), False),
+    ]
+)
+
+_HREF_RE = re.compile(r"""<a\s[^>]*?href\s*=\s*["']?([^"'\s>]+)""", re.I)
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "#")
+
+
+def _page_links(base_uri: str, body: str, max_links: int) -> list[str]:
+    """Absolute outlink URLs from one HTML body: href regex + stdlib
+    urljoin resolution; fragments/non-navigational schemes skipped;
+    capped to bound output on link farms."""
+    from urllib.parse import urljoin
+
+    out = []
+    for m in _HREF_RE.finditer(body):
+        href = m.group(1)
+        if href.lower().startswith(_SKIP_SCHEMES):
+            continue
+        try:
+            absu = urljoin(base_uri, href)
+        except ValueError:
+            continue
+        if absu.startswith(("http://", "https://")):
+            out.append(absu.split("#", 1)[0])
+            if len(out) >= max_links:
+                break
+    return out
+
+
+def scan_warc_links(
+    spark: SparkSession, path_glob: str, max_links_per_page: int = 1000
+) -> DataFrame:
+    """(src, dst) URL pairs from every successful HTML response's anchor
+    tags — the raw material for the host link graph (operators/graph.py:
+    the Common-Crawl-style host-centrality quality prior). Same
+    mapInPandas record walk as the text scan; relative hrefs resolve
+    against the record's WARC-Target-URI; per-page cap bounds memory on
+    link farms. Records without a target URI contribute nothing (no
+    base to resolve against)."""
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(spark)
+    files = spark.read.format("binaryFile").load(path_glob)
+    cap = int(max_links_per_page)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for headers, payload in iter_warc_records(bytes(content)):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    base = headers.get("warc-target-uri")
+                    if not base:
+                        continue
+                    status, http_headers, body = split_http_response(payload)
+                    ctype = http_headers.get("content-type", "")
+                    if status != 200 or "html" not in ctype.lower():
+                        continue
+                    for dst in _page_links(
+                        base, _decode_body(body, http_headers), cap
+                    ):
+                        rows.append((base, dst))
+            yield pd.DataFrame(rows, columns=["src", "dst"])
+
+    return files.select("content").mapInPandas(extract, schema=WARC_LINKS)
+
+
 # ------------------------------------------------------- CDX manifest tier
 
 CDX_MANIFEST = StructType(

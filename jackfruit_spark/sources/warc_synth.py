@@ -94,3 +94,52 @@ def shards_from_documents(spark, documents_parquet_dir: str, out_dir: str,
     return write_warc_shards(
         [(r["doc_id"], r["text"]) for r in rows], out_dir, n_shards
     )
+
+
+def write_link_shards(
+    out_dir: str,
+    n_hosts: int = 100,
+    pages_per_host: int = 10,
+    links_per_page: int = 5,
+    n_shards: int = 8,
+    seed: int = 42,
+) -> str:
+    """Cross-host link corpus for the host-rank graph family
+    (operators/graph.py): page p on host h links to ``links_per_page``
+    OTHER hosts drawn Zipf-ish (low host ids are popular — a real web
+    graph's in-degree skew), deterministic from (seed, h, p). Kept
+    separate from ``page_html``: anchor text would leak into the text
+    corpora the other bench/rehearsal legs pin."""
+    import os
+    import random
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = random.Random(seed)
+    shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+    doc = 0
+    for h in range(n_hosts):
+        for p in range(pages_per_host):
+            targets = set()
+            while len(targets) < min(links_per_page, n_hosts - 1):
+                # Zipf-ish: square a uniform draw toward low host ids
+                t = int(n_hosts * rng.random() ** 2)
+                if t != h and t < n_hosts:
+                    targets.add(t)
+            body = (
+                "<html><body>"
+                + "".join(
+                    f'<a href="https://host{t}.example/">l</a>'
+                    for t in sorted(targets)
+                )
+                + "</body></html>"
+            ).encode()
+            shards[doc % n_shards].append(
+                gzip.compress(
+                    warc_response_record(doc, body, host=f"host{h}.example")
+                )
+            )
+            doc += 1
+    for i, recs in enumerate(shards):
+        with open(os.path.join(out_dir, f"links-{i:04d}.warc.gz"), "wb") as f:
+            f.write(b"".join(recs))
+    return out_dir
