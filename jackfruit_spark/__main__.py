@@ -443,6 +443,11 @@ def cmd_pipeline(args) -> int:
             [d for d in args.host_blocklist.split(",") if d]
             if args.host_blocklist else None
         ),
+        host_ranks=(
+            spark.read.parquet(args.host_ranks)
+            if args.host_ranks else None
+        ),
+        min_host_rank=args.min_host_rank,
         normalize=args.normalize,
         gopher=args.gopher,
         media_dedup=args.media_dedup,
@@ -1850,6 +1855,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--host-blocklist", default=None,
         help="URL tier: comma-separated domains to drop (subdomains "
              "match too)",
+    )
+    pl.add_argument(
+        "--host-ranks", default=None,
+        help="URL tier: (host, rank) parquet from rank-hosts; with "
+             "--min-host-rank drops docs on low-centrality hosts "
+             "(unranked hosts keep)",
+    )
+    pl.add_argument(
+        "--min-host-rank", type=float, default=None,
+        help="URL tier: rank floor applied against --host-ranks",
     )
     pl.add_argument(
         "--normalize", action="store_true",

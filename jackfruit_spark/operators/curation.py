@@ -1023,6 +1023,8 @@ def url_curation(
     host_cap: int | None = None,
     quality_col: str | None = None,
     host_blocklist=None,
+    host_ranks: DataFrame | None = None,
+    min_host_rank: float | None = None,
 ) -> DataFrame:
     """URL-level curation, the cheap tier BEFORE content dedup (C4
     dedups exact URLs; RefinedWeb caps per-host document counts so one
@@ -1070,11 +1072,32 @@ def url_curation(
         F.col(url_col).isNotNull(), url_host("__nu")
     ).otherwise(F.col("__nu"))
     out = df.withColumn("__nu", nu).withColumn("__host", host)
+    if (host_ranks is None) != (min_host_rank is None):
+        raise ValueError("host_ranks and min_host_rank go together")
     if isinstance(host_blocklist, DataFrame):
         # join-form BEFORE the repartition: its id anti-join re-shuffles
         # anyway, and placing it here keeps the later host repartition
         # as the windows' single exchange
         out = _drop_blocked_hosts(out, id_col, host_blocklist)
+    if host_ranks is not None:
+        # host-centrality prior (operators/graph.host_rank output:
+        # (host, rank)): drop docs on hosts the link graph ranks below
+        # the floor. UNRANKED hosts keep — absence from the crawl graph
+        # is not evidence against them (and null-url docs' synthetic
+        # hosts are never ranked). Left join before the repartition,
+        # like the blocklist join form.
+        hr = host_ranks.select(
+            F.col(host_ranks.columns[0]).alias("__rhost"),
+            F.col(host_ranks.columns[1]).cast("double").alias("__hrank"),
+        )
+        out = (
+            out.join(hr, out["__host"] == hr["__rhost"], "left")
+            .filter(
+                F.col("__hrank").isNull()
+                | (F.col("__hrank") >= F.lit(float(min_host_rank)))
+            )
+            .drop("__rhost", "__hrank")
+        )
     out = out.repartition("__host")
     if host_blocklist is not None and not isinstance(host_blocklist, DataFrame):
         # expression form AFTER the exchange: a pure filter preserves
@@ -1447,6 +1470,8 @@ def warc_training_pipeline(
     url_dedup: bool = False,
     host_cap: int | None = None,
     host_blocklist=None,
+    host_ranks: DataFrame | None = None,
+    min_host_rank: float | None = None,
     normalize: bool = False,
     gopher: bool = False,
     gopher_knobs: dict | None = None,
@@ -1548,7 +1573,12 @@ def warc_training_pipeline(
     blocklist_active = host_blocklist is not None and (
         isinstance(host_blocklist, DataFrame) or len(host_blocklist) > 0
     )
-    use_url = url_dedup or host_cap is not None or blocklist_active
+    use_url = (
+        url_dedup
+        or host_cap is not None
+        or blocklist_active
+        or host_ranks is not None
+    )
     docs_raw = warc_to_documents(scanned, keep_url=use_url)
     if normalize:
         # before the persist: every consumer (gates, shingles, packing)
@@ -1564,6 +1594,7 @@ def warc_training_pipeline(
             url_curation(
                 frame, "doc_id", "url", host_cap=host_cap,
                 host_blocklist=host_blocklist if blocklist_active else None,
+                host_ranks=host_ranks, min_host_rank=min_host_rank,
             )
             if use_url
             else frame

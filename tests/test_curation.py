@@ -1321,3 +1321,73 @@ def test_curate_corpus_decontam_bloom_matches_join(spark):
         for r in curate_corpus(corpus, decontam_bloom=True, **kw).collect()
     )
     assert bloom_ids == join_ids == ["2"]
+
+
+def test_url_curation_host_rank_floor(spark):
+    from jackfruit_spark.operators.curation import url_curation
+
+    rows = [
+        (1, "https://good.example/a"),
+        (2, "https://spammy.example/b"),
+        (3, "https://unranked.example/c"),
+        (4, None),  # null url: synthetic host, never ranked -> keeps
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, url string")
+    ranks = spark.createDataFrame(
+        [("good.example", 0.6), ("spammy.example", 0.001)],
+        "host string, rank double",
+    )
+    kept = {
+        r["doc_id"]
+        for r in url_curation(
+            d, "doc_id", "url", host_ranks=ranks, min_host_rank=0.01
+        ).collect()
+    }
+    # low-rank host drops; ranked-above-floor and UNRANKED hosts keep
+    assert kept == {1, 3, 4}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="go together"):
+        url_curation(d, "doc_id", "url", host_ranks=ranks)
+
+
+def test_pipeline_host_rank_knob(spark, tmp_path):
+    """host_ranks flows through warc_training_pipeline's URL tier:
+    docs on hosts ranked below the floor drop, others survive."""
+    import gzip
+
+    from jackfruit_spark.operators.curation import (
+        observation_rows,
+        warc_training_pipeline,
+    )
+    from jackfruit_spark.sources.warc_synth import (
+        page_html,
+        warc_response_record,
+    )
+
+    recs = []
+    for i in range(12):
+        host = "keep.example" if i % 2 == 0 else "drop.example"
+        text = " ".join(f"w{i}x{j}" for j in range(40))
+        recs.append(
+            gzip.compress(warc_response_record(i, page_html(i, text), host=host))
+        )
+    (tmp_path / "warc").mkdir()
+    (tmp_path / "warc" / "s.warc.gz").write_bytes(b"".join(recs))
+    ranks = spark.createDataFrame(
+        [("keep.example", 0.9), ("drop.example", 0.0001)],
+        "host string, rank double",
+    )
+    packed, obs = warc_training_pipeline(
+        spark, str(tmp_path / "warc" / "*.warc.gz"),
+        min_tokens=1, max_tokens=10_000, extraction="strip",
+        host_ranks=ranks, min_host_rank=0.01,
+    )
+    packed.write.format("noop").mode("overwrite").save()
+    counts = {k: observation_rows(o) for k, o in obs.items()}
+    from jackfruit_spark._persist import release_all
+
+    release_all()
+    assert counts["docs"] == 12
+    assert counts["gated"] == 6  # drop.example's half gone at the URL tier
