@@ -386,6 +386,8 @@ def cmd_pipeline(args) -> int:
             "--quality-model/--quality-positives need --min-quality "
             "and/or --quality-alpha"
         )
+    if (args.host_ranks is None) != (args.min_host_rank is None):
+        raise SystemExit("--host-ranks and --min-host-rank go together")
     if args.min_quality is not None or args.quality_alpha is not None:
         if args.quality_model:
             from jackfruit_spark.functions.classifier import QualityClassifier

@@ -1563,6 +1563,12 @@ def warc_training_pipeline(
 
     from jackfruit_spark._persist import persisted
 
+    # validate the pairing UP FRONT (before any scan), not just inside
+    # url_curation: with no other URL knob set, use_url would stay
+    # False and a lone min_host_rank would silently do nothing
+    # (code-review r11)
+    if (host_ranks is None) != (min_host_rank is None):
+        raise ValueError("host_ranks and min_host_rank go together")
     if manifest is None:
         manifest = build_cdx_manifest(spark, path_glob)
     scanned = scan_warc_cdx(spark, manifest, extraction=extraction)

@@ -70,19 +70,20 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     try:
         for _ in range(iters):
+            old_ranks = ranks
             # mass leaving through edges this round; the remainder
             # (dangling mass) redistributes uniformly
             linked = ej.join(ranks, ej["__s"] == ranks["node"]).select(
                 F.col("__d").alias("node"),
                 (F.col("rank") / F.col("__deg")).alias("__c"),
             )
-            contrib = linked.groupBy("node").agg(F.sum("__c").alias("__c"))
-            out_mass = (
-                ranks.join(deg, ranks["node"] == deg["__s"], "left_semi")
-                .agg(F.sum("rank"))
-                .first()[0]
-                or 0.0
-            )
+            # persisted: consumed twice per round (dangling-mass total +
+            # the rank join). Computing out_mass from contrib itself —
+            # the mass that actually flowed through edges — also avoids
+            # the unpersisted deg semi-join a review caught re-running
+            # the full edge scan every iteration.
+            contrib = linked.groupBy("node").agg(F.sum("__c").alias("__c")).persist()
+            out_mass = contrib.agg(F.sum("__c")).first()[0] or 0.0
             dangling = max(0.0, 1.0 - out_mass)
             ranks = (
                 nodes.join(contrib, "node", "left")
@@ -99,6 +100,13 @@ def pagerank(
                 )
                 .localCheckpoint()  # cut lineage: k nested joins otherwise
             )
+            contrib.unpersist(blocking=False)
+            # bound checkpoint storage at 2 rank copies: superseded
+            # checkpoints otherwise free only on async GC — iters copies
+            # of a CC-scale rank frame would evict ej or OOM. Safe to
+            # drop NOW: localCheckpoint is eager, the new ranks frame is
+            # already materialized and no longer reads the old one.
+            old_ranks.unpersist(blocking=False)
         return ranks
     finally:
         ej.unpersist(blocking=False)

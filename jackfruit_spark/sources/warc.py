@@ -406,7 +406,13 @@ WARC_LINKS = StructType(
     ]
 )
 
-_HREF_RE = re.compile(r"""<a\s[^>]*?href\s*=\s*["']?([^"'\s>]+)""", re.I)
+# (?<![\w-]) anchors the attribute NAME: without it 'data-href'/'xhref'
+# match first and their URL is captured while the real href is consumed
+# (\b alone fails — '-' is a non-word char, so \b matches inside
+# 'data-href'); code-review r11, repro'd
+_HREF_RE = re.compile(
+    r"""<a\s[^>]*?(?<![\w-])href\s*=\s*["']?([^"'\s>]+)""", re.I
+)
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "#")
 
 

@@ -1391,3 +1391,14 @@ def test_pipeline_host_rank_knob(spark, tmp_path):
     release_all()
     assert counts["docs"] == 12
     assert counts["gated"] == 6  # drop.example's half gone at the URL tier
+
+
+def test_pipeline_lone_min_host_rank_raises(spark, tmp_path):
+    import pytest
+
+    from jackfruit_spark.operators.curation import warc_training_pipeline
+
+    with pytest.raises(ValueError, match="go together"):
+        warc_training_pipeline(
+            spark, str(tmp_path / "*.warc.gz"), min_host_rank=0.5
+        )

@@ -165,3 +165,24 @@ def test_cli_rank_hosts(spark, tmp_path, capsys):
     assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
     # Zipf-ish targets: host0 is the most-linked and must outrank host19
     assert ranks["host0.example"] > ranks["host19.example"]
+
+
+def test_href_attribute_anchoring(spark, tmp_path):
+    """data-href/xhref must not shadow the real href (code-review r11)."""
+    import gzip
+
+    from jackfruit_spark.sources.warc import scan_warc_links
+    from jackfruit_spark.sources.warc_synth import warc_response_record
+
+    body = (
+        b"<html><body>"
+        b'<a class="c" data-href="https://tracker.example/x" href="/real">t</a>'
+        b'<a xhref="https://bogus.example/y" href="https://true.example/z">u</a>'
+        b"</body></html>"
+    )
+    p = tmp_path / "s.warc.gz"
+    p.write_bytes(gzip.compress(warc_response_record(1, body, host="src.example")))
+    dsts = sorted(r.dst for r in scan_warc_links(spark, str(p)).collect())
+    assert not any("tracker" in d or "bogus" in d for d in dsts)
+    assert any(d.endswith("/real") for d in dsts)
+    assert "https://true.example/z" in dsts
