@@ -61,6 +61,12 @@ GUARDED = {
     "topic_cluster": 0.50,
 }
 
+# host_rank is guarded separately (needs a link corpus, not documents):
+# measured alpha 0.31 at x1/x3/x10 (PERFORMANCE.md r11 s3 — the x1 leg
+# is iteration-bound, ~1.2 s/iteration of fixed join+agg jobs); ceiling
+# 0.60 catches a reintroduced per-iteration edge re-scan (~1.0)
+HOST_RANK_CEILING = 0.60
+
 MULTS = (1, 10)
 REPEATS = 3
 
@@ -215,3 +221,39 @@ def test_bm25_stays_subquadratic(spark, rehearsal_dirs, tmp_path):
         pts[m] = best
     alpha = SR.fit_alpha(pts)
     assert alpha is not None and alpha <= 0.50, (alpha, pts)
+
+
+def test_host_rank_stays_iteration_bound(spark, tmp_path):
+    """Host PageRank growth guard (r11 s3): each iteration must be one
+    co-partitioned join + aggregation over the PERSISTED edge layout —
+    a reintroduced per-iteration edge re-scan (the unpersisted-deg
+    review finding) or a lineage blow-up reads ~1.0+. Measured alpha
+    0.31 at x1/x3/x10 (iteration-bound floor at small edge counts)."""
+    import os
+    import time
+
+    import scale_rehearsal as SR
+
+    from jackfruit_spark.operators.graph import host_rank
+    from jackfruit_spark.sources.warc_synth import write_link_shards
+
+    pts = {}
+    for m in (10, 1):  # largest-first (warm-up lesson)
+        out = str(tmp_path / f"links{m}")
+        write_link_shards(
+            out, n_hosts=100 * m, pages_per_host=50,
+            links_per_page=5, n_shards=16,
+        )
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            host_rank(
+                spark, os.path.join(out, "*.warc.gz"), iters=10
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        pts[m] = round(best, 3)
+    alpha = SR.fit_alpha(pts)
+    assert alpha is not None and alpha <= HOST_RANK_CEILING, (
+        f"host_rank growth regression: alpha={alpha} (timings {pts})"
+    )
