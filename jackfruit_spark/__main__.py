@@ -695,8 +695,15 @@ def cmd_release(args) -> int:
     shuffle, optional packed sequences, data card with a rerun-stable
     checksum."""
     spark = _spark(args.cpus)
-    from jackfruit_spark.operators.release import release_corpus
+    from jackfruit_spark.operators.release import release_corpus, verify_release
 
+    if args.verify:
+        out = verify_release(spark, args.root, args.verify_version)
+        print(json.dumps(out, sort_keys=True))
+        return 0 if out["ok"] else 1
+
+    if args.input is None:
+        raise SystemExit("--input is required (unless --verify)")
     weights = None
     if args.mix_weights is not None:
         try:
@@ -2035,8 +2042,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="versioned training-dataset release: decontam + mixture + "
         "deterministic shuffle + packing + data card",
     )
-    rl.add_argument("--input", required=True, help="curated documents parquet")
+    rl.add_argument("--input", default=None,
+                    help="curated documents parquet (required unless --verify)")
     rl.add_argument("--root", required=True, help="release root (gets v<N>/)")
+    rl.add_argument("--verify", action="store_true",
+                    help="verify a committed release's checksum instead "
+                         "of producing one (exit 1 on mismatch)")
+    rl.add_argument("--verify-version", type=int, default=None,
+                    help="version to verify (default: latest committed)")
     rl.add_argument("--id-col", default="doc_id")
     rl.add_argument("--text-col", default="text")
     rl.add_argument("--decontam-bench", default=None,

@@ -141,6 +141,10 @@ def release_corpus(
         "version": version,
         "stages": {},
         "knobs": {
+            # id/text cols recorded so verify_release can recompute the
+            # checksum over exactly the columns the card hashed
+            "id_col": id_col,
+            "text_col": text_col,
             "decontam_k": decontam_k if benchmark is not None else None,
             "mix_total_tokens": mix_total_tokens,
             "mix_weights": mix_weights,
@@ -303,6 +307,38 @@ def release_corpus(
         json.dump(card, f, indent=2, sort_keys=True)
     os.replace(tmp, os.path.join(vdir, "_RELEASE.json"))
     return card
+
+
+def verify_release(
+    spark: SparkSession, root: str, version: int | None = None
+) -> dict:
+    """Integrity check of a committed release — the checksum's consumer:
+    recompute docs + checksum from the released parquet and compare to
+    the card. Any row added, dropped, or edited since the release (disk
+    corruption, a manual 'fix', a partial copy) flips ``ok``. One slim
+    aggregate; payload columns beyond (id, epoch, text) are not hashed —
+    same contract as the card."""
+    card = read_card(root, version)
+    v = card["version"]
+    id_col = card["knobs"]["id_col"]
+    text_col = card["knobs"]["text_col"]
+    released = spark.read.parquet(os.path.join(root, f"v{v}", "documents"))
+    stats = released.agg(
+        F.count(F.lit(1)).alias("__n"),
+        _checksum_expr([id_col, "epoch", text_col]),
+    ).first()
+    actual = int(stats["__sum"]) % (1 << 64) if stats["__sum"] is not None else 0
+    return {
+        "version": v,
+        "ok": (
+            actual == card["checksum_xxh64_sum"]
+            and int(stats["__n"]) == card["stages"]["released_docs"]
+        ),
+        "docs_expected": card["stages"]["released_docs"],
+        "docs_actual": int(stats["__n"]),
+        "checksum_expected": card["checksum_xxh64_sum"],
+        "checksum_actual": actual,
+    }
 
 
 def read_card(root: str, version: int | None = None) -> dict:

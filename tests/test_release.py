@@ -211,3 +211,42 @@ def test_diff_vs_previous_zero_filled_on_identical_rerun(spark, tmp_path):
     assert c2["diff_vs_previous"] == {
         "version": 1, "added": 0, "removed": 0, "changed": 0, "unchanged": 10
     }
+
+
+def test_verify_release_detects_tampering(spark, tmp_path):
+    from jackfruit_spark.operators.release import verify_release
+
+    root = str(tmp_path / "rel")
+    release_corpus(spark, _docs(spark, n=20), root)
+    ok = verify_release(spark, root)
+    assert ok["ok"] and ok["docs_actual"] == 20
+
+    # tamper: drop one row by rewriting the released parquet
+    docs_dir = os.path.join(root, "v1", "documents")
+    kept = spark.read.parquet(docs_dir).filter("doc_id != 3").collect()
+    import shutil
+
+    shutil.rmtree(docs_dir)
+    spark.createDataFrame(kept).write.parquet(docs_dir)
+    bad = verify_release(spark, root)
+    assert not bad["ok"]
+    assert bad["docs_actual"] == 19 and bad["docs_expected"] == 20
+
+
+def test_cli_release_verify(spark, tmp_path, capsys):
+    from jackfruit_spark.__main__ import main
+
+    _docs(spark).write.parquet(str(tmp_path / "docs"))
+    assert main([
+        "release", "--input", str(tmp_path / "docs"),
+        "--root", str(tmp_path / "rel"),
+    ]) == 0
+    capsys.readouterr()
+    rc = main(["release", "--root", str(tmp_path / "rel"), "--verify"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"] and out["version"] == 1
+    # --input required when not verifying
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["release", "--root", str(tmp_path / "rel")])
