@@ -1436,13 +1436,14 @@ def cmd_tokenize(args) -> int:
                 docs, args.text_col, vocab_size=args.vocab_size,
                 sample_size=args.sample_size,
             )
-            vocab = unigram_vocab(pieces)
+            vocab = unigram_vocab(pieces, byte_fallback=args.byte_fallback)
             save_unigram(args.tokenizer, pieces, vocab)
             stats.update({"pieces": len(pieces), "vocab": len(vocab)})
         else:
             merges, vocab = bpe_train_with_vocab(
                 docs, args.text_col, num_merges=args.num_merges,
                 sample_size=args.sample_size,
+                byte_fallback=args.byte_fallback,
             )
             save_tokenizer(args.tokenizer, merges, vocab)
             stats.update({"merges": len(merges), "vocab": len(vocab)})
@@ -2388,6 +2389,10 @@ def build_parser() -> argparse.ArgumentParser:
     tkz.add_argument("--algo", choices=["bpe", "unigram"], default="bpe",
                      help="training algorithm; encode auto-detects from "
                           "the saved tokenizer's kind tag")
+    tkz.add_argument("--byte-fallback", action="store_true",
+                     help="train a lossless tokenizer: OOV symbols "
+                          "decompose to <0xNN> byte pieces instead of "
+                          "<unk> (encode auto-detects from the vocab)")
     tkz.add_argument("--num-merges", type=int, default=1000)
     tkz.add_argument("--vocab-size", type=int, default=8000,
                      help="unigram only: target piece count")

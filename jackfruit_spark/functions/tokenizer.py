@@ -26,6 +26,10 @@ closure; the apply stage is embarrassingly parallel with no shuffle.
 Word pre-tokenization is whitespace + the end-of-word marker ``</w>``
 (the paper's formulation); characters, not bytes, are the base alphabet
 — stated scope, it keeps the alphabet printable and the tests exact.
+Vocabularies built with ``byte_fallback=True`` additionally carry 256
+``<0xNN>`` pieces (SentencePiece's byte-fallback contract) so OOV
+symbols decompose to bytes instead of ``<unk>`` and ``decode_ids``
+round-trips arbitrary UTF-8 exactly up to whitespace normalization.
 """
 
 from __future__ import annotations
@@ -224,6 +228,77 @@ def bpe_encode_udf(merges: list[tuple[str, str]]) -> Column:
 
 UNK, EOS, PAD = "<unk>", "<eos>", "<pad>"
 
+# ------------------------------------------------------------ byte fallback
+#
+# SentencePiece-style byte fallback (the GPT-2 lesson carried to the
+# char-based families here): 256 always-in-vocab pieces <0x00>..<0xFF>
+# plus a STANDALONE end-of-word piece "</w>". With byte_fallback=True a
+# vocab can encode ANY UTF-8 text with zero <unk> — an out-of-vocabulary
+# symbol decomposes into the byte pieces of its UTF-8 encoding instead of
+# collapsing to <unk> (which at release scale silently destroys text; the
+# unk_rate stat only reports the loss after the fact). decode_ids inverts
+# the encoding exactly, so byte-fallback tokenizers are LOSSLESS up to
+# whitespace normalization: decode(encode(t)) == " ".join(t.split()).
+BYTE_PIECES = [f"<0x{b:02X}>" for b in range(256)]
+_BYTE_PIECE_SET = frozenset(BYTE_PIECES)
+
+
+def _reserved_symbol(sym: str) -> bool:
+    """True for trained symbols that would collide with the byte-fallback
+    namespace (a literal corpus token "<0x41>" or a merge coincidentally
+    forming exactly "</w>"). Under byte_fallback such symbols are kept
+    OUT of the vocab — they still encode, via the byte path, so nothing
+    is lost; they just cost a few more tokens."""
+    return sym == EOW or sym in _BYTE_PIECE_SET
+
+
+def has_byte_fallback(vocab: dict[str, int]) -> bool:
+    """Auto-detection used by the encoder factories (byte_fallback=None):
+    a vocab built with byte_fallback=True carries all 256 byte pieces and
+    the standalone </w> piece; loaders/callers need no extra flag."""
+    return EOW in vocab and all(p in vocab for p in BYTE_PIECES)
+
+
+def decode_ids(ids, vocab: dict[str, int]) -> str:
+    """Invert an input_ids sequence back to text. Exact (up to whitespace
+    normalization) for byte-fallback vocabs; best-effort otherwise (a
+    plain unigram vocab has no word-boundary pieces, so its words
+    concatenate). Byte-piece runs buffer and UTF-8-decode together;
+    specials (<unk>/<eos>/<pad>) are dropped."""
+    inv = {i: t for t, i in vocab.items()}
+    byte_val = {
+        vocab[p]: b for b, p in enumerate(BYTE_PIECES) if p in vocab
+    }
+    specials = {vocab.get(UNK), vocab.get(EOS), vocab.get(PAD)}
+    out: list[str] = []
+    buf = bytearray()
+
+    def flush():
+        if buf:
+            out.append(buf.decode("utf-8", errors="replace"))
+            buf.clear()
+
+    for i in ids:
+        bv = byte_val.get(i)
+        if bv is not None:
+            buf.append(bv)
+            continue
+        flush()
+        if i in specials:
+            continue
+        t = inv.get(i)
+        if t is None:
+            continue
+        if t == EOW:
+            out.append(" ")
+        elif t.endswith(EOW):
+            out.append(t[: -len(EOW)])
+            out.append(" ")
+        else:
+            out.append(t)
+    flush()
+    return "".join(out).rstrip(" ")
+
 
 def bpe_vocab(
     df: DataFrame,
@@ -232,6 +307,7 @@ def bpe_vocab(
     sample_size: int = 50_000,
     seed: int = 42,
     sample_fraction: float | None = None,
+    byte_fallback: bool = False,
 ) -> dict[str, int]:
     """Deterministic token -> id table completing the merge list into a
     real tokenizer: specials first (``<unk>``=0, ``<eos>``=1,
@@ -243,15 +319,19 @@ def bpe_vocab(
     sample job, and the alphabet is guaranteed to be the one the merges
     were learned on rather than relying on sample() re-running
     identically). Apply-time symbols outside the table (OOV chars of
-    unseen scripts) encode to ``<unk>``, the standard BPE contract."""
+    unseen scripts) encode to ``<unk>`` by default; with
+    ``byte_fallback=True`` they decompose to always-in-vocab byte pieces
+    instead and no text is ever lost (see module byte-fallback notes)."""
     freqs = _word_freqs(
         _sample_texts(df, text_col, sample_size, seed, sample_fraction)
     )
-    return _vocab_from_freqs(freqs, merges)
+    return _vocab_from_freqs(freqs, merges, byte_fallback)
 
 
 def _vocab_from_freqs(
-    freqs: dict[str, int], merges: list[tuple[str, str]]
+    freqs: dict[str, int],
+    merges: list[tuple[str, str]],
+    byte_fallback: bool = False,
 ) -> dict[str, int]:
     # base symbols are _symbolize outputs, NOT raw chars: the last char
     # of every word carries the </w> marker, so "w" and "w</w>" are
@@ -260,9 +340,19 @@ def _vocab_from_freqs(
     for w in freqs:
         base.update(_symbolize(w))
     vocab: dict[str, int] = {UNK: 0, EOS: 1, PAD: 2}
+    if byte_fallback:
+        # standalone </w> (so an OOV word-final symbol can still mark the
+        # word end) then the 256 byte pieces, ahead of anything trained
+        vocab[EOW] = len(vocab)
+        for p in BYTE_PIECES:
+            vocab[p] = len(vocab)
     for c in sorted(base):
+        if byte_fallback and _reserved_symbol(c):
+            continue
         vocab.setdefault(c, len(vocab))
     for a, b in merges:
+        if byte_fallback and _reserved_symbol(a + b):
+            continue
         vocab.setdefault(a + b, len(vocab))
     return vocab
 
@@ -274,6 +364,7 @@ def bpe_train_with_vocab(
     sample_size: int = 50_000,
     seed: int = 42,
     sample_fraction: float | None = None,
+    byte_fallback: bool = False,
 ) -> tuple[list[tuple[str, str]], dict[str, int]]:
     """Train merges AND build the vocab from ONE sample job (code-review
     r11: bpe_train + bpe_vocab back-to-back collected the sample twice
@@ -283,33 +374,67 @@ def bpe_train_with_vocab(
         _sample_texts(df, text_col, sample_size, seed, sample_fraction)
     )
     merges = _train_from_freqs(freqs, num_merges)
-    return merges, _vocab_from_freqs(freqs, merges)
+    return merges, _vocab_from_freqs(freqs, merges, byte_fallback)
 
 
 def bpe_encode_ids_udf(
-    merges: list[tuple[str, str]], vocab: dict[str, int]
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    byte_fallback: bool | None = None,
 ) -> Column:
     """Pandas-UDF factory: col(text) -> ``array<int>`` input_ids
-    (``bpe_encode_udf``'s integer twin — same per-worker word memo;
-    OOV symbols map to the ``<unk>`` id). Feed the result straight to
+    (``bpe_encode_udf``'s integer twin — same per-worker word memo).
+    OOV symbols map to the ``<unk>`` id, or — when the vocab carries the
+    byte pieces (auto-detected; pass ``byte_fallback`` to force) — to
+    the UTF-8 byte pieces of the symbol, so no text is ever lost. The
+    fallback is POSITION-aware: only the final symbol of a word carries
+    the real ``</w>`` marker (an earlier token may literally contain the
+    four characters ``</w>`` — e.g. the word ``x</w>y`` — and must
+    byte-decompose whole). Feed the result straight to
     ``pack_token_ids`` with ``sep_id=vocab['<eos>']``."""
     import hashlib
 
-    from pyspark.sql.functions import pandas_udf
-
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    if byte_fallback is None:
+        byte_fallback = has_byte_fallback(vocab)
     # the memo stores vocab-DEPENDENT ids: two tokenizers sharing a
     # merge list but differing in vocab must not share a memo (a warm
     # python worker would silently return the other vocab's ids)
-    memo_key = "ids:" + hashlib.md5(
+    memo_key = f"ids:bf{int(byte_fallback)}:" + hashlib.md5(
         (repr(sorted(ranks.items())) + repr(sorted(vocab.items()))).encode()
     ).hexdigest()
-    unk = vocab[UNK]
     return _word_udf(
-        "array<int>",
-        memo_key,
-        lambda w: [vocab.get(t, unk) for t in _encode_word(w, ranks)],
+        "array<int>", memo_key, _bpe_id_encoder(ranks, vocab, byte_fallback)
     )
+
+
+def _bpe_id_encoder(ranks, vocab: dict[str, int], byte_fallback: bool):
+    """The per-word BPE id encoder — ONE implementation shared by the
+    distributed UDF and the driver-side ``encode_text_ids`` (a test
+    probing the pure function exercises exactly what executors run)."""
+    if not byte_fallback:
+        unk = vocab[UNK]
+        return lambda w: [vocab.get(t, unk) for t in _encode_word(w, ranks)]
+    byte_ids = [vocab[p] for p in BYTE_PIECES]
+    eow_id = vocab[EOW]
+
+    def enc(w: str) -> list[int]:
+        toks = _encode_word(w, ranks)
+        out: list[int] = []
+        last = len(toks) - 1
+        for i, t in enumerate(toks):
+            vid = vocab.get(t)
+            if vid is not None:
+                out.append(vid)
+                continue
+            word_final = i == last and t.endswith(EOW)
+            content = t[: -len(EOW)] if word_final else t
+            out.extend(byte_ids[b] for b in content.encode("utf-8"))
+            if word_final:
+                out.append(eow_id)
+        return out
+
+    return enc
 
 
 def bpe_encode_ids(
@@ -511,39 +636,111 @@ def unigram_train(
     return dict(sorted(logp.items()))
 
 
-def unigram_vocab(pieces: dict[str, float]) -> dict[str, int]:
+def unigram_vocab(
+    pieces: dict[str, float], byte_fallback: bool = False
+) -> dict[str, int]:
     """token -> id table for a trained unigram model: specials pinned
     (``<unk>``=0, ``<eos>``=1, ``<pad>``=2) then pieces sorted — the
-    same contract as ``bpe_vocab``."""
+    same contract as ``bpe_vocab``. With ``byte_fallback=True`` the
+    standalone ``</w>`` piece and the 256 byte pieces precede the
+    trained pieces (reserved-name collisions excluded, same rule as
+    BPE)."""
     vocab: dict[str, int] = {UNK: 0, EOS: 1, PAD: 2}
+    if byte_fallback:
+        vocab[EOW] = len(vocab)
+        for p in BYTE_PIECES:
+            vocab[p] = len(vocab)
     for p in sorted(pieces):
+        if byte_fallback and _reserved_symbol(p):
+            continue
         vocab.setdefault(p, len(vocab))
     return vocab
 
 
 def unigram_encode_ids_udf(
-    pieces: dict[str, float], vocab: dict[str, int]
+    pieces: dict[str, float],
+    vocab: dict[str, int],
+    byte_fallback: bool | None = None,
 ) -> Column:
     """Pandas-UDF factory: col(text) -> ``array<int>`` input_ids via
     per-word Viterbi segmentation (worker-lifetime word memo, the BPE
-    encoder's discipline; unknown single chars -> ``<unk>``)."""
+    encoder's discipline; unknown single chars -> ``<unk>``). With a
+    byte-fallback vocab (auto-detected) OOV pieces decompose to UTF-8
+    byte pieces instead, and every word's pieces are followed by the
+    standalone ``</w>`` id — plain unigram pieces carry no word-boundary
+    information, so the marker is what makes ``decode_ids`` exact (the
+    token count grows by one per word; opt-in, stated cost of the
+    lossless mode)."""
     import hashlib
-
-    from pyspark.sql.functions import pandas_udf
 
     max_len = max((len(p) for p in pieces), default=1)
     unk_logp = min(pieces.values(), default=0.0) - 10.0
-    memo_key = "uni:" + hashlib.md5(
+    if byte_fallback is None:
+        byte_fallback = has_byte_fallback(vocab)
+    memo_key = f"uni:bf{int(byte_fallback)}:" + hashlib.md5(
         (repr(sorted(pieces.items())) + repr(sorted(vocab.items()))).encode()
     ).hexdigest()
-    unk = vocab[UNK]
     return _word_udf(
         "array<int>",
         memo_key,
-        lambda w: [
-            vocab.get(p, unk) for p in _viterbi(w, pieces, max_len, unk_logp)
-        ],
+        _unigram_id_encoder(pieces, vocab, byte_fallback, max_len, unk_logp),
     )
+
+
+def _unigram_id_encoder(
+    pieces, vocab: dict[str, int], byte_fallback: bool,
+    max_len: int, unk_logp: float,
+):
+    """Per-word unigram id encoder shared by the UDF and
+    ``encode_text_ids`` (the `_bpe_id_encoder` discipline)."""
+    if not byte_fallback:
+        unk = vocab[UNK]
+        return lambda w: [
+            vocab.get(p, unk) for p in _viterbi(w, pieces, max_len, unk_logp)
+        ]
+    byte_ids = [vocab[p] for p in BYTE_PIECES]
+    eow_id = vocab[EOW]
+
+    def enc(w: str) -> list[int]:
+        out: list[int] = []
+        for p in _viterbi(w, pieces, max_len, unk_logp):
+            vid = vocab.get(p)
+            if vid is not None:
+                out.append(vid)
+            else:
+                out.extend(byte_ids[b] for b in p.encode("utf-8"))
+        out.append(eow_id)
+        return out
+
+    return enc
+
+
+def encode_text_ids(
+    text: str,
+    kind: str,
+    model,
+    vocab: dict[str, int],
+    byte_fallback: bool | None = None,
+) -> list[int]:
+    """Driver-side single-text encode through EXACTLY the per-word
+    encoder the distributed UDFs memoize (kind = 'bpe' with model =
+    merges, or 'unigram' with model = pieces) — for tests, probes, and
+    small interactive use; corpora go through the encode_ids UDFs."""
+    if byte_fallback is None:
+        byte_fallback = has_byte_fallback(vocab)
+    if kind == "bpe":
+        ranks = {tuple(p): i for i, p in enumerate(model)}
+        enc = _bpe_id_encoder(ranks, vocab, byte_fallback)
+    elif kind == "unigram":
+        max_len = max((len(p) for p in model), default=1)
+        unk_logp = min(model.values(), default=0.0) - 10.0
+        enc = _unigram_id_encoder(model, vocab, byte_fallback, max_len, unk_logp)
+    else:
+        raise ValueError(f"unknown tokenizer kind {kind!r}")
+    out: list[int] = []
+    for w in (text or "").split():
+        out.extend(enc(w))
+    return out
 
 
 def unigram_encode_ids(

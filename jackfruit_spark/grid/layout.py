@@ -132,8 +132,13 @@ def rowgroup_bbox_stats(
                 lon_st = g.column(name_to_idx["lon"]).statistics
                 total += 1
                 rows_total += g.num_rows
-                if lat_st is None or lon_st is None:
-                    touched += 1  # no stats -> reader must scan it
+                if (
+                    lat_st is None
+                    or lon_st is None
+                    or not lat_st.has_min_max
+                    or not lon_st.has_min_max
+                ):
+                    touched += 1  # no usable stats -> reader must scan it
                     rows_touched += g.num_rows
                     continue
                 hit = (

@@ -446,3 +446,187 @@ class TestUnigramEdges:
         open(bad, "w").write(json.dumps([1, 2]))
         with _pytest.raises(ValueError, match="not a tokenizer"):
             load_any_tokenizer(bad)
+
+
+class TestByteFallback:
+    """byte_fallback=True vocabs (VERDICT r11 #1): OOV symbols decompose
+    to <0xNN> byte pieces instead of <unk> — no text is ever lost — and
+    decode_ids round-trips arbitrary UTF-8 up to whitespace
+    normalization."""
+
+    @pytest.fixture()
+    def bpe_tok(self, corpus):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        return tk.bpe_train_with_vocab(
+            corpus, "text", num_merges=6, sample_size=100,
+            byte_fallback=True,
+        )
+
+    @pytest.fixture()
+    def uni_tok(self, corpus):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        pieces = tk.unigram_train(corpus, "text", vocab_size=60,
+                                  sample_size=100)
+        return pieces, tk.unigram_vocab(pieces, byte_fallback=True)
+
+    def test_vocab_carries_byte_pieces_and_detection(self, bpe_tok, uni_tok):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        for vocab in (bpe_tok[1], uni_tok[1]):
+            assert tk.has_byte_fallback(vocab)
+            assert all(p in vocab for p in tk.BYTE_PIECES)
+            assert tk.EOW in vocab
+            # ids stay dense 0..len-1
+            assert sorted(vocab.values()) == list(range(len(vocab)))
+        plain = {"<unk>": 0, "<eos>": 1, "<pad>": 2, "a": 3}
+        assert not tk.has_byte_fallback(plain)
+
+    def test_reserved_symbols_stay_out_of_vocab(self, spark):
+        """A corpus whose words literally spell byte-piece names or the
+        </w> marker must not hijack their reserved ids."""
+        from jackfruit_spark.functions import tokenizer as tk
+
+        rows = [("<0x41> </w> <0x41> </w> <0x41> </w>",)] * 8
+        d = spark.createDataFrame(rows, ["text"])
+        merges, vocab = tk.bpe_train_with_vocab(
+            d, "text", num_merges=30, sample_size=100, byte_fallback=True
+        )
+        # the byte piece id still decodes as byte 0x41, the EOW id as a
+        # word boundary — trained collisions were skipped
+        assert tk.decode_ids(
+            [vocab["<0x41>"], vocab[tk.EOW]], vocab
+        ) == "A"
+        ids = tk.encode_text_ids("<0x41>", "bpe", merges, vocab)
+        assert vocab["<unk>"] not in ids
+        assert tk.decode_ids(ids, vocab) == "<0x41>"
+
+    def test_bpe_udf_matches_driver_encoder_and_roundtrips(
+        self, spark, bpe_tok
+    ):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        merges, vocab = bpe_tok
+        texts = [
+            "newest low",                      # fully in-vocab
+            "zebra?! ünïcödé 中文",    # OOV chars + CJK
+            "a</w>b x</w>",                    # literal marker text
+            "  spaced\tout\nwords  ",
+            "", None,
+        ]
+        d = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["input_ids"]
+            for r in tk.bpe_encode_ids(d, "text", merges, vocab).collect()
+        }
+        unk = vocab["<unk>"]
+        for i, t in enumerate(texts):
+            want = tk.encode_text_ids(t or "", "bpe", merges, vocab)
+            assert got[i] == want
+            assert unk not in got[i]
+            assert tk.decode_ids(got[i], vocab) == " ".join((t or "").split())
+
+    def test_unigram_udf_matches_driver_encoder_and_roundtrips(
+        self, spark, uni_tok
+    ):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        pieces, vocab = uni_tok
+        texts = ["newest low", "zebra?! ünïcödé 中文", "", None]
+        d = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["input_ids"]
+            for r in tk.unigram_encode_ids(d, "text", pieces, vocab).collect()
+        }
+        unk = vocab["<unk>"]
+        for i, t in enumerate(texts):
+            want = tk.encode_text_ids(t or "", "unigram", pieces, vocab)
+            assert got[i] == want
+            assert unk not in got[i]
+            assert tk.decode_ids(got[i], vocab) == " ".join((t or "").split())
+
+    def test_hypothesis_roundtrip_zero_unk_both_families(
+        self, bpe_tok, uni_tok
+    ):
+        """unk_rate == 0 + exact round-trip on arbitrary UTF-8, pinned
+        through the SAME per-word encoders the executors run
+        (encode_text_ids shares them with the UDFs by construction)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from jackfruit_spark.functions import tokenizer as tk
+
+        merges, bvocab = bpe_tok
+        pieces, uvocab = uni_tok
+        bunk, uunk = bvocab["<unk>"], uvocab["<unk>"]
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(max_size=60))
+        def check(text):
+            want = " ".join(text.split())
+            bids = tk.encode_text_ids(text, "bpe", merges, bvocab)
+            assert bunk not in bids
+            assert tk.decode_ids(bids, bvocab) == want
+            uids = tk.encode_text_ids(text, "unigram", pieces, uvocab)
+            assert uunk not in uids
+            assert tk.decode_ids(uids, uvocab) == want
+
+        check()
+
+    def test_pack_conservation_with_byte_fallback(self, spark, bpe_tok):
+        """Token conservation through pack_token_ids stays exact when
+        byte-fallback ids (including OOV decompositions) flow through."""
+        from pyspark.sql import functions as F
+
+        from jackfruit_spark.functions import tokenizer as tk
+        from jackfruit_spark.operators.curation import pack_token_ids
+
+        merges, vocab = bpe_tok
+        d = spark.createDataFrame(
+            [(i, "newest ünïcödé zq%d low" % i) for i in range(6)],
+            "doc_id long, text string",
+        )
+        ids = tk.bpe_encode_ids(d, "text", merges, vocab)
+        n_tokens = ids.select(F.sum(F.size("input_ids")).alias("n")).first()["n"]
+        packed = pack_token_ids(
+            ids, "input_ids", seq_len=8, order_col="doc_id",
+            sep_id=vocab["<eos>"], drop_last=False, pad_id=vocab["<pad>"],
+        ).collect()
+        flat = [i for r in packed for i in r["input_ids"]]
+        n_eos = sum(1 for i in flat if i == vocab["<eos>"])
+        n_pad = sum(1 for i in flat if i == vocab["<pad>"])
+        assert n_eos == 6
+        assert len(flat) == n_tokens + n_eos + n_pad
+        assert vocab["<unk>"] not in flat
+
+    def test_cli_byte_fallback_knob(self, spark, tmp_path, capsys):
+        import json
+
+        from jackfruit_spark.__main__ import main
+        from jackfruit_spark.functions import tokenizer as tk
+
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(i, "newest widest low lower " * 3) for i in range(8)]
+            + [(99, "OOV-chars: ümläut 中文 !!")],
+            "doc_id long, text string",
+        ).write.parquet(src)
+        tok = str(tmp_path / "tok.json")
+        rc = main(["tokenize", "--input", src, "--tokenizer", tok,
+                   "--train", "--num-merges", "6", "--sample-size", "100",
+                   "--byte-fallback"])
+        assert rc == 0
+        capsys.readouterr()
+        _, _, vocab = tk.load_any_tokenizer(tok)
+        assert tk.has_byte_fallback(vocab)
+        out = str(tmp_path / "ids")
+        rc = main(["tokenize", "--input", src, "--tokenizer", tok,
+                   "--output", out])
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # OOV text present, yet zero unk: byte fallback auto-detected
+        assert rc == 0 and stats["unk_rate"] == 0.0 and stats["tokens"] > 0
