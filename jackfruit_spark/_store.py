@@ -1,8 +1,9 @@
 """Shared lifecycle for versioned on-disk index stores — ONE
 implementation of the atomic-swap / tombstone / vacuum block that
-LshIndex, Bm25Index, PhashIndex, AudioIndex, and VideoIndex previously
-each carried a copy of (code-review r11: six drifting copies; a future
-lifecycle fix applied five times WILL miss one).
+LshIndex, Bm25Index, PhashIndex, AudioIndex, VideoIndex, and (since
+r12) IvfIndex previously each carried a copy of (code-review r11: six
+drifting copies; a future lifecycle fix applied five times WILL miss
+one — and did: maintain() silently skipped audiofp/videofp).
 
 The pattern (r8/r9, measured and tested across every family):
 
@@ -24,9 +25,6 @@ Subclass contract:
   when internal frames rename it (Bm25Index masks on ``"id"``).
 - ``_invalidate()`` clears reader caches if the store keeps any
   (no-op default).
-
-(``IvfIndex`` predates this block with a different manifest/version
-architecture and keeps its own implementation.)
 """
 
 from __future__ import annotations
@@ -134,7 +132,9 @@ class VersionedStoreLifecycle:
         version have drained; returns the removed directory names."""
         import shutil
 
-        live = self._manifest()["data_dir"]
+        # .get: IvfIndex manifests predating r7's versioned dirs point
+        # at a plain "data" directory
+        live = self._manifest().get("data_dir", "data")
         removed = []
         for d in os.listdir(self.root):
             if (

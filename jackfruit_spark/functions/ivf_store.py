@@ -35,13 +35,13 @@ a new date-partition level) per ingest batch, like the serving table.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jackfruit_spark._store import VersionedStoreLifecycle
 from jackfruit_spark.functions.similarity import (
     ann_brute_force,
     ivf_assign_pandas,
@@ -52,10 +52,12 @@ from jackfruit_spark.functions.similarity import (
 _MANIFEST = "ivf_manifest.json"
 
 
-class IvfIndex:
+class IvfIndex(VersionedStoreLifecycle):
     """Handle to a built index: ``root/data_vN/ivf_cell=M/*.parquet``
     plus ``root/ivf_manifest.json`` (centroids + column names + the
-    current data directory)."""
+    current data directory). Manifest swap / tombstones / vacuum are the
+    shared ``VersionedStoreLifecycle`` (r12 — this was the one index
+    family still on its own copy of the block)."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -82,6 +84,12 @@ class IvfIndex:
         self._df = None
         self._df_path = None
         return self
+
+    def _invalidate(self) -> None:
+        self.refresh()
+
+    def _id_frame(self) -> DataFrame:
+        return self._data_df()
 
     def _data_df(self) -> DataFrame:
         """Cached reader handle for the current data version — parquet
@@ -152,12 +160,7 @@ class IvfIndex:
         )
         idx = IvfIndex(spark, root)
         os.makedirs(root, exist_ok=True)
-        versions = [
-            int(d[len("data_v"):])
-            for d in os.listdir(root)
-            if d.startswith("data_v") and d[len("data_v"):].isdigit()
-        ]
-        data_dir = f"data_v{max(versions, default=0) + 1}"
+        data_dir = idx._next_version()
         assigned = ivf_assign_pandas(df.select(id_col, vec_col), vec_col, cents)
         meta = {
             "id_col": id_col,
@@ -204,11 +207,7 @@ class IvfIndex:
             .partitionBy("ivf_cell")
             .parquet(os.path.join(root, data_dir))
         )
-        tmp = idx.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, idx.manifest_path)  # atomic swap (POSIX rename)
-        idx._meta = meta
+        idx._swap_manifest(meta)  # atomic swap (POSIX rename), LAST
         return idx
 
     def _sq_codebook(self):
@@ -351,26 +350,9 @@ class IvfIndex:
         # reads through _mask), so the tombstones are spent — clear AFTER
         # the manifest swap (a crash in between leaves harmless
         # double-masking of already-gone ids, never resurrections)
-        if os.path.isdir(self.deletes_dir):
-            import shutil
-
-            shutil.rmtree(self.deletes_dir, ignore_errors=True)
+        self._clear_tombstones()
         self._meta = rebuilt._meta  # this handle follows the swap
         return rebuilt
-
-    def vacuum(self) -> list[str]:
-        """Delete superseded ``data_v*`` directories (everything except
-        the one the manifest points at). Run after readers of the old
-        version have drained; returns the removed directory names."""
-        import shutil
-
-        current = self._manifest().get("data_dir", "data")
-        removed = []
-        for d in os.listdir(self.root):
-            if d.startswith("data_v") and d != current:
-                shutil.rmtree(os.path.join(self.root, d))
-                removed.append(d)
-        return removed
 
     def maintain(
         self,
@@ -400,59 +382,12 @@ class IvfIndex:
             st["after"] = self.stats()
         return {**st, "rebuilt": rebuilt}
 
-    # ------------------------------------------------------------ deletes
-
-    @property
-    def deletes_dir(self) -> str:
-        return os.path.join(self.root, "deletes")
-
-    def delete(self, ids) -> "IvfIndex":
-        """Tombstone deletes — the Lucene/segment-store pattern: removing
-        a vector never rewrites cell partitions; the id lands in a tiny
-        ``deletes/`` parquet that every read path anti-joins (broadcast —
-        tombstones are deletion-sized, not corpus-sized). ``rebuild()``
-        is the compaction: it drops masked rows physically and clears
-        the tombstones with the version swap.
-
-        Semantics: id-level masking. A deleted id stays masked even if
-        ``append`` later re-adds it; to resurrect an id, ``rebuild()``
-        first (drops the old row + clears its tombstone), then append.
-
-        ``ids``: a python list, or a DataFrame whose FIRST column is the
-        id. Idempotent — deleting twice appends a duplicate tombstone
-        row, which the anti-join ignores and rebuild clears."""
-        meta = self._manifest()
-        id_col = meta["id_col"]
-        if isinstance(ids, DataFrame):
-            df = ids.select(F.col(ids.columns[0]).alias(id_col))
-        else:
-            id_type = (
-                self._data_df().schema[id_col].dataType.simpleString()
-            )
-            df = self.spark.createDataFrame(
-                [(i,) for i in ids], f"{id_col} {id_type}"
-            )
-        # plain parquet append: files surface only after task commit, and
-        # masking is idempotent, so a crashed partial batch just means
-        # re-issuing the delete
-        df.write.mode("append").parquet(self.deletes_dir)
-        return self
-
-    def _tombstones(self) -> DataFrame | None:
-        d = self.deletes_dir
-        if not os.path.isdir(d) or not any(
-            f.endswith(".parquet") for f in os.listdir(d)
-        ):
-            return None
-        return self.spark.read.parquet(d)
-
-    def _mask(self, df: DataFrame) -> DataFrame:
-        t = self._tombstones()
-        if t is None:
-            return df
-        return df.join(
-            F.broadcast(t.distinct()), self._manifest()["id_col"], "left_anti"
-        )
+    # deletes: the shared lifecycle tombstone block (delete / _mask /
+    # _tombstones / deletes_dir), anti-joined broadcast-side on id_col.
+    # Semantics note kept from the local copy: masking is id-level — a
+    # deleted id stays masked even if append() later re-adds it; to
+    # resurrect, rebuild() first (drops the row + clears its tombstone),
+    # then append.
 
     def append(self, df: DataFrame) -> "IvfIndex":
         """Incremental index maintenance (the serving-table pattern): new
@@ -492,12 +427,6 @@ class IvfIndex:
         return self
 
     # ------------------------------------------------------------ search
-
-    def _manifest(self) -> dict:
-        if self._meta is None:
-            with open(self.manifest_path) as f:
-                self._meta = json.load(f)
-        return self._meta
 
     @property
     def centroids(self) -> list[list[float]]:
