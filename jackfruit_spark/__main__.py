@@ -176,14 +176,23 @@ def cmd_curate(args) -> int:
         # corpus (the trusted-corpus stand-in) and gate by perplexity
         from pyspark.sql import functions as F
 
-        from jackfruit_spark.functions.lm import train_bigram_lm
+        from jackfruit_spark.functions.lm import (
+            train_bigram_lm,
+            train_ngram_lm,
+            train_trigram_lm,
+        )
 
         train_df = (
             clean
             if args.lang == "any"
             else clean.filter(F.col("lang") == args.lang)
         )
-        lm = train_bigram_lm(train_df, "text", smoothing=args.lm_smoothing)
+        if args.lm_order == 2:
+            lm = train_bigram_lm(train_df, "text", smoothing=args.lm_smoothing)
+        elif args.lm_order == 3:
+            lm = train_trigram_lm(train_df, "text", smoothing=args.lm_smoothing)
+        else:  # 4/5: stupid backoff (--lm-smoothing does not apply)
+            lm = train_ngram_lm(train_df, "text", order=args.lm_order)
     quality_model = None
     if (
         (args.quality_model or args.quality_positives)
@@ -1753,8 +1762,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cu.add_argument(
         "--lm-smoothing", choices=("jm", "kn"), default="jm",
-        help="bigram-LM smoothing for the perplexity tier: "
-             "Jelinek-Mercer (jm) or interpolated Kneser-Ney (kn)",
+        help="bigram/trigram-LM smoothing for the perplexity tier: "
+             "Jelinek-Mercer (jm) or interpolated Kneser-Ney (kn); "
+             "ignored at --lm-order >= 4 (stupid backoff)",
+    )
+    cu.add_argument(
+        "--lm-order", type=int, choices=(2, 3, 4, 5), default=2,
+        help="perplexity-tier LM order: 2 = bigram, 3 = trigram "
+             "(jm/kn), 4-5 = KenLM-shaped stupid backoff",
     )
     cu.add_argument(
         "--quality-positives", default=None,

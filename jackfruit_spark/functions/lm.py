@@ -208,6 +208,86 @@ class TrigramLM(BigramLM):
         return math.exp(-s / (len(toks) - 1))
 
 
+class NgramLM:
+    """Order-N stupid-backoff LM (Brants et al. 2007, "Large Language
+    Models in Machine Translation") — the web-scale member of the family
+    and the shape KenLM-grade filtering needs (CCNet uses a 5-gram):
+
+        S(w | ctx) = c(ctx w)/c(ctx)          if c(ctx w) > 0
+                   = alpha * S(w | ctx[1:])   otherwise  (alpha = 0.4)
+
+    with the unigram base case add-one smoothed over the capped vocab
+    (the ``BigramLM.p_uni`` discipline, OOV -> uniform floor). Stupid
+    backoff deliberately does NOT normalize — scores are not true
+    probabilities; Brants et al.'s point is that at web scale the
+    unnormalized ratio ranks text as well as Kneser-Ney at a fraction of
+    the bookkeeping, which is exactly the trade a capped-head
+    distributed model wants (no fan-out statistics to clip). The
+    perplexity-LIKE document score (exp of mean negative log S over the
+    same n-1 transitions the bigram scorer uses) stays comparable ACROSS
+    DOCUMENTS under one model — the only comparison the CCNet tier
+    makes. Duck-typed: ``doc_perplexity`` slots into
+    ``perplexity_buckets`` / ``curate_corpus(max_perplexity=)``
+    unchanged.
+
+    ``counts``: {1: {w: c}, 2: {(w1, w2): c}, ..., N: {...}} — exact
+    corpus counts per order, capped to deterministic heads; a context
+    evicted by a cap while its extension survives scores by backoff
+    (indistinguishable from unseen, same rule as TrigramLM)."""
+
+    def __init__(
+        self,
+        counts: dict[int, dict],
+        total_tokens: int,
+        alpha: float = 0.4,
+    ):
+        if 1 not in counts:
+            raise ValueError("counts must include order 1 (unigrams)")
+        if not (0.0 < alpha < 1.0):
+            raise ValueError("alpha must be in (0, 1)")
+        self.counts = {int(r): dict(c) for r, c in counts.items()}
+        self.order = max(self.counts)
+        self.total = total_tokens
+        self.vocab = len(self.counts[1])
+        self.alpha = alpha
+
+    def p_uni(self, w: str) -> float:
+        return (self.counts[1].get(w, 0) + 1) / (self.total + self.vocab + 1)
+
+    def _ctx_count(self, ctx: tuple[str, ...]) -> int:
+        if len(ctx) == 1:
+            return self.counts[1].get(ctx[0], 0)
+        return self.counts[len(ctx)].get(ctx, 0)
+
+    def score(self, ctx: tuple[str, ...], w: str) -> float:
+        """Stupid-backoff score of ``w`` after context ``ctx`` (longest
+        usable suffix first). Always > 0 (unigram floor)."""
+        ctx = ctx[-(self.order - 1):] if self.order > 1 else ()
+        penalty = 1.0
+        while ctx:
+            c_ng = self.counts[len(ctx) + 1].get(ctx + (w,), 0)
+            if c_ng > 0:
+                c_ctx = self._ctx_count(ctx)
+                if c_ctx > 0:
+                    return penalty * c_ng / c_ctx
+            penalty *= self.alpha
+            ctx = ctx[1:]
+        return penalty * self.p_uni(w)
+
+    def doc_perplexity(self, text: str) -> float | None:
+        """exp(mean negative log S) over the doc's n-1 transitions —
+        the same normalization as the bigram/trigram scorers; None for
+        docs with < 2 tokens."""
+        toks = _py_tokens(text)
+        if len(toks) < 2:
+            return None
+        s = 0.0
+        for i in range(1, len(toks)):
+            ctx = tuple(toks[max(0, i - self.order + 1):i])
+            s += math.log(self.score(ctx, toks[i]))
+        return math.exp(-s / (len(toks) - 1))
+
+
 def train_bigram_lm(
     df: DataFrame,
     text_col: str,
@@ -309,6 +389,57 @@ def train_trigram_lm(
         base.unigrams, base.bigrams, trigrams, base.total,
         lam=lam, smoothing=smoothing, discount=discount,
     )
+
+
+def train_ngram_lm(
+    df: DataFrame,
+    text_col: str,
+    order: int = 5,
+    vocab_size: int = 50_000,
+    max_ngrams: int = 500_000,
+    alpha: float = 0.4,
+) -> NgramLM:
+    """Order-N stupid-backoff training: the unigram pass (grouped counts
+    + total from the same frame, the ``train_bigram_lm`` shape) plus ONE
+    capped counting pass per order 2..N through the posexplode+lead hot
+    path (``shingled_exploded`` — never array-building HOF expressions).
+    Each head is a deterministic TakeOrdered (count desc, gram asc)
+    capped at ``max_ngrams`` rows, so the model stays megabytes
+    regardless of corpus size and N. At 100 TB: N-1 shuffles of
+    gram-count frames (map-side combined), nothing else."""
+    from jackfruit_spark._persist import persisted
+    from jackfruit_spark.operators.dedup import shingled_exploded, tokens_expr
+
+    if order < 2:
+        raise ValueError("order must be >= 2")
+    toks = df.select(F.explode(tokens_expr(text_col)).alias("w")).filter(
+        F.col("w") != ""
+    )
+    grouped = persisted(toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    total = grouped.agg(F.sum("c")).collect()[0][0] or 0
+    uni_rows = (
+        grouped.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(vocab_size)
+        .collect()
+    )
+    counts: dict[int, dict] = {1: {r["w"]: int(r["c"]) for r in uni_rows}}
+    with_id = df.select(
+        F.monotonically_increasing_id().alias("__lmid"), F.col(text_col)
+    )
+    for r in range(2, order + 1):
+        rows = (
+            shingled_exploded(with_id, "__lmid", text_col, k=r, distinct=False)
+            # slice truncation emits partial grams at document tails; an
+            # exact r-gram has exactly r space-separated tokens
+            .filter(F.size(F.split(F.col("sh"), " ")) == r)
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("sh").asc())
+            .limit(max_ngrams)
+            .collect()
+        )
+        counts[r] = {tuple(row["sh"].split(" ")): int(row["c"]) for row in rows}
+    return NgramLM(counts, int(total), alpha=alpha)
 
 
 def perplexity_buckets(

@@ -427,3 +427,127 @@ class TestTrigramLM:
         # permissive cut keeps everything except the exact duplicate
         # (doc 5 == doc 1) that curate's dedup stage removes
         assert out.count() == corpus.count() - 1
+
+
+class TestNgramLM:
+    """Order-5 stupid backoff (train_ngram_lm / NgramLM) — VERDICT r11
+    #6: one capped counting pass per order, python-reference-pinned
+    scores, duck-typed into the perplexity tier."""
+
+    def test_counts_exact_per_order(self, spark, corpus):
+        from jackfruit_spark.functions.lm import train_ngram_lm
+
+        lm = train_ngram_lm(corpus, "text", order=5)
+        assert lm.order == 5
+        assert lm.total == 25
+        assert lm.counts[1]["the"] == 7
+        assert lm.counts[2][("the", "cat")] == 3
+        assert lm.counts[3][("the", "cat", "sat")] == 2
+        assert lm.counts[4][("the", "cat", "sat", "on")] == 2
+        assert lm.counts[5][("the", "cat", "sat", "on", "the")] == 2
+        # docs shorter than the order contribute no grams at that order
+        assert ("the", "cat", "ran") in lm.counts[3]
+        assert all(len(k) == 5 for k in lm.counts[5])
+
+    def test_scores_match_python_reference(self, spark, corpus):
+        """Pin doc_perplexity against an independent plain-loop stupid
+        backoff implementation."""
+        from jackfruit_spark.functions.lm import _py_tokens, train_ngram_lm
+
+        lm = train_ngram_lm(corpus, "text", order=5)
+
+        def ref_score(ctx, w):
+            pen = 1.0
+            ctx = tuple(ctx[-4:])
+            while ctx:
+                ng = ctx + (w,)
+                c_ng = lm.counts[len(ng)].get(ng, 0)
+                c_ctx = (
+                    lm.counts[1].get(ctx[0], 0)
+                    if len(ctx) == 1
+                    else lm.counts[len(ctx)].get(ctx, 0)
+                )
+                if c_ng > 0 and c_ctx > 0:
+                    return pen * c_ng / c_ctx
+                pen *= 0.4
+                ctx = ctx[1:]
+            return pen * (lm.counts[1].get(w, 0) + 1) / (lm.total + lm.vocab + 1)
+
+        for text in [
+            "the cat sat on the mat",
+            "the dog sat on the mat",
+            "a dog ran fast",
+            "zebra quux the cat sat",
+            "the cat",
+        ]:
+            toks = _py_tokens(text)
+            s = 0.0
+            for i in range(1, len(toks)):
+                s += math.log(ref_score(toks[max(0, i - 4):i], toks[i]))
+            want = math.exp(-s / (len(toks) - 1))
+            got = lm.doc_perplexity(text)
+            assert got == pytest.approx(want, rel=1e-12)
+
+    def test_backoff_chain_and_floors(self, spark, corpus):
+        from jackfruit_spark.functions.lm import train_ngram_lm
+
+        lm = train_ngram_lm(corpus, "text", order=5)
+        # full 5-gram context seen: exact ratio, no penalty
+        assert lm.score(("the", "cat", "sat", "on"), "the") == pytest.approx(
+            2 / 2
+        )
+        # unseen 4-token context backs off once per dropped token
+        s_backed = lm.score(("zebra", "cat", "sat", "on"), "the")
+        s_direct = lm.score(("cat", "sat", "on"), "the")
+        assert s_backed == pytest.approx(0.4 * s_direct)
+        # fully OOV word: positive unigram floor after max backoff
+        s_oov = lm.score(("the", "cat", "sat", "on"), "qwxyz")
+        assert 0 < s_oov < 1e-2
+
+    def test_in_distribution_beats_gibberish_and_trigram_comparable(
+        self, spark, corpus
+    ):
+        from jackfruit_spark.functions.lm import train_ngram_lm
+
+        lm = train_ngram_lm(corpus, "text", order=5)
+        good = lm.doc_perplexity("the cat sat on the mat")
+        bad = lm.doc_perplexity("mat the on ran zebra dog qqq")
+        assert good < bad
+
+    def test_duck_types_into_buckets_and_curate(self, spark, corpus):
+        from jackfruit_spark.functions.lm import (
+            perplexity_buckets,
+            train_ngram_lm,
+        )
+
+        lm = train_ngram_lm(corpus, "text", order=4)
+        out = perplexity_buckets(
+            corpus.withColumn("lang", F.lit("en")), "text", lm
+        ).collect()
+        assert {r["ppl_bucket"] for r in out} <= {"head", "middle", "tail"}
+        assert all(r["perplexity"] is not None for r in out)
+
+    def test_validation(self, spark, corpus):
+        from jackfruit_spark.functions.lm import NgramLM, train_ngram_lm
+
+        with pytest.raises(ValueError, match="order"):
+            train_ngram_lm(corpus, "text", order=1)
+        with pytest.raises(ValueError, match="unigrams"):
+            NgramLM({2: {}}, 10)
+        with pytest.raises(ValueError, match="alpha"):
+            NgramLM({1: {"a": 1}}, 1, alpha=1.5)
+        # < 2 tokens: no transitions
+        lm = train_ngram_lm(corpus, "text", order=3)
+        assert lm.doc_perplexity("one") is None
+        assert lm.doc_perplexity("") is None
+
+    def test_caps_bound_model(self, spark, corpus):
+        from jackfruit_spark.functions.lm import train_ngram_lm
+
+        lm = train_ngram_lm(
+            corpus, "text", order=5, vocab_size=3, max_ngrams=4
+        )
+        assert lm.vocab == 3
+        assert all(len(lm.counts[r]) <= 4 for r in range(2, 6))
+        # still scores (evicted contexts back off)
+        assert lm.doc_perplexity("the cat sat on the mat") > 0
