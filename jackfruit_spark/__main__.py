@@ -681,7 +681,7 @@ def cmd_rank_hosts(args) -> int:
 
     ranks = host_rank(
         spark, args.input, iters=args.iters, damping=args.damping,
-        max_links_per_page=args.max_links_per_page,
+        max_links_per_page=args.max_links_per_page, method=args.method,
     )
     ranks.write.mode("overwrite").parquet(args.output)
     top = (
@@ -2045,8 +2045,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     rh.add_argument("--input", required=True, help="WARC shard glob")
     rh.add_argument("--output", required=True, help="(host, rank) parquet")
-    rh.add_argument("--iters", type=int, default=20)
+    rh.add_argument("--iters", type=int, default=20,
+                    help="pagerank iterations / harmonic ball radius")
     rh.add_argument("--damping", type=float, default=0.85)
+    rh.add_argument("--method", choices=("pagerank", "harmonic"),
+                    default="pagerank",
+                    help="harmonic = Common-Crawl-compatible centrality")
     rh.add_argument("--max-links-per-page", type=int, default=1000)
     rh.add_argument("--top", type=int, default=10,
                     help="top hosts echoed in the JSON summary")

@@ -186,3 +186,108 @@ def test_href_attribute_anchoring(spark, tmp_path):
     assert not any("tracker" in d or "bogus" in d for d in dsts)
     assert any(d.endswith("/real") for d in dsts)
     assert "https://true.example/z" in dsts
+
+
+def _ref_harmonic(edges, max_dist=8):
+    """Independent reference: exact BFS in-harmonic centrality,
+    truncated at max_dist."""
+    e = sorted(set(edges))
+    nodes = sorted({u for pair in e for u in pair})
+    harm = {}
+    # BFS on the REVERSED graph from each v finds d(u, v) for all u
+    rev: dict[str, list[str]] = {}
+    for s, t in e:
+        rev.setdefault(t, []).append(s)
+    from collections import deque
+
+    for v in nodes:
+        dist = {v: 0}
+        dq = deque([v])
+        h = 0.0
+        while dq:
+            x = dq.popleft()
+            if dist[x] >= max_dist:
+                continue
+            for u in rev.get(x, ()):
+                if u not in dist:
+                    dist[u] = dist[x] + 1
+                    h += 1.0 / dist[u]
+                    dq.append(u)
+        harm[v] = h
+    return harm
+
+
+class TestHarmonicCentrality:
+    """HyperBall harmonic in-centrality (VERDICT r11 #7) — HLL sketches
+    are EXACT in the sparse phase, so small-graph values pin against the
+    BFS reference."""
+
+    def _run(self, spark, edges, **kw):
+        from jackfruit_spark.operators.graph import harmonic_centrality
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {
+            r.node: r.harmonic
+            for r in harmonic_centrality(df, **kw).collect()
+        }
+
+    def test_matches_bfs_reference(self, spark):
+        edges = [
+            ("s1", "hub"), ("s2", "hub"), ("s3", "hub"),
+            ("s1", "s2"), ("c1", "c2"), ("c2", "c3"),
+            ("c3", "hub"), ("hub", "c1"),
+        ]
+        got = self._run(spark, edges)
+        want = _ref_harmonic(edges)
+        assert set(got) == set(want)
+        for node in want:
+            assert got[node] == pytest.approx(want[node], rel=1e-9), node
+        # everyone reaches hub: it dominates
+        assert got["hub"] == max(got.values())
+
+    def test_chain_distances_weight_inverse(self, spark):
+        # a -> b -> c -> d: H(d) = 1 + 1/2 + 1/3
+        got = self._run(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        assert got["d"] == pytest.approx(1 + 0.5 + 1 / 3, rel=1e-9)
+        assert got["a"] == 0.0
+
+    def test_max_dist_truncates(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "d")]
+        got = self._run(spark, edges, max_dist=2)
+        want = _ref_harmonic(edges, max_dist=2)
+        for node in want:
+            assert got[node] == pytest.approx(want[node], rel=1e-9), node
+        assert got["d"] == pytest.approx(1.5, rel=1e-9)  # the 1/3 leg cut
+
+    def test_early_exit_beats_max_dist(self, spark):
+        # diameter 1: converges after round 2 regardless of max_dist
+        got = self._run(spark, [("a", "b"), ("b", "a")], max_dist=50)
+        assert got["a"] == pytest.approx(1.0, rel=1e-9)
+        assert got["b"] == pytest.approx(1.0, rel=1e-9)
+
+    def test_empty_and_validation(self, spark):
+        from jackfruit_spark.operators.graph import harmonic_centrality
+
+        empty = spark.createDataFrame([], "src string, dst string")
+        assert harmonic_centrality(empty).collect() == []
+        with pytest.raises(ValueError, match="max_dist"):
+            harmonic_centrality(empty, max_dist=0)
+        with pytest.raises(ValueError, match="lg_config_k"):
+            harmonic_centrality(empty, lg_config_k=2)
+
+    def test_host_rank_method_dispatch(self, spark, tmp_path):
+        from jackfruit_spark.operators.graph import host_rank
+        from jackfruit_spark.sources.warc_synth import write_link_shards
+
+        shard_dir = str(tmp_path / "warc")
+        os.makedirs(shard_dir)
+        write_link_shards(shard_dir, n_hosts=6, pages_per_host=3, seed=7)
+        pr = host_rank(spark, shard_dir + "/*.warc.gz").collect()
+        hc = host_rank(
+            spark, shard_dir + "/*.warc.gz", method="harmonic"
+        ).collect()
+        assert {r.host for r in hc} == {r.host for r in pr}
+        assert all(r.rank >= 0 for r in hc)
+        assert any(r.rank > 0 for r in hc)
+        with pytest.raises(ValueError, match="unknown host_rank"):
+            host_rank(spark, shard_dir + "/*.warc.gz", method="katz")

@@ -68,6 +68,12 @@ GUARDED = {
 # is iteration-bound, ~1.2 s/iteration of fixed join+agg jobs); ceiling
 # 0.60 catches a reintroduced per-iteration edge re-scan (~1.0)
 HOST_RANK_CEILING = 0.60
+# harmonic (HyperBall) measured alpha 0.53 at x1/x3/x10 (r12): larger
+# graphs legitimately run MORE ball rounds before the early exit
+# (diameter grows with the synthetic host count), inflating the
+# exponent above pagerank's fixed-iteration 0.31. A per-round edge
+# re-scan or sketch-lineage blow-up reads ~1.0+.
+HARMONIC_CEILING = 0.75
 
 MULTS = (1, 10)
 REPEATS = 3
@@ -258,4 +264,40 @@ def test_host_rank_stays_iteration_bound(spark, tmp_path):
     alpha = SR.fit_alpha(pts)
     assert alpha is not None and alpha <= HOST_RANK_CEILING, (
         f"host_rank growth regression: alpha={alpha} (timings {pts})"
+    )
+
+
+def test_harmonic_host_rank_growth(spark, tmp_path):
+    """HyperBall harmonic centrality growth guard (r12): one join + one
+    sketch-union aggregation per ball round over the persisted edge
+    layout. Measured alpha 0.53 at x1/x3/x10 (round count grows with
+    graph diameter — see HARMONIC_CEILING note)."""
+    import os
+    import time
+
+    import scale_rehearsal as SR
+
+    from jackfruit_spark.operators.graph import host_rank
+    from jackfruit_spark.sources.warc_synth import write_link_shards
+
+    pts = {}
+    for m in (10, 1):  # largest-first (warm-up lesson)
+        out = str(tmp_path / f"hlinks{m}")
+        write_link_shards(
+            out, n_hosts=100 * m, pages_per_host=50,
+            links_per_page=5, n_shards=16,
+        )
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            host_rank(
+                spark, os.path.join(out, "*.warc.gz"), iters=10,
+                method="harmonic",
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        pts[m] = round(best, 3)
+    alpha = SR.fit_alpha(pts)
+    assert alpha is not None and alpha <= HARMONIC_CEILING, (
+        f"harmonic host_rank growth regression: alpha={alpha} ({pts})"
     )
