@@ -829,6 +829,48 @@ def bench_corpus_pipeline(spark, sf_dir: str) -> tuple[dict, dict]:
     return {"corpus_pipeline_warc": best}, stages
 
 
+def bench_host_rank(spark, sf_dir: str) -> dict[str, float]:
+    """Host link-graph centrality priors (operators/graph.py, r12 —
+    VERDICT r11 #5 asked for a bench key): PageRank and the HyperBall
+    harmonic twin over a deterministic cross-host link corpus scaled
+    with sf (cached under /tmp, prep untimed). Iteration-bound at bench
+    scale; growth laws live in the rehearsal/guard."""
+    import hashlib
+
+    from jackfruit_spark.operators.graph import host_rank
+    from jackfruit_spark.sources.warc_synth import write_link_shards
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    n_hosts = max(50, min(2000, int(2000 * float(sf))))
+    key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    root = f"/tmp/jackfruit_bench_links_{key}"
+    if not (
+        os.path.isdir(root)
+        and any(f.endswith(".warc.gz") for f in os.listdir(root))
+    ):
+        write_link_shards(
+            root, n_hosts=n_hosts, pages_per_host=20, links_per_page=5,
+            n_shards=16,
+        )
+    glob = os.path.join(root, "*.warc.gz")
+    out: dict[str, float] = {}
+    for bench_key, method in (
+        ("host_rank", "pagerank"),
+        ("host_rank_harmonic", "harmonic"),
+    ):
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            host_rank(spark, glob, iters=5, method=method).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
+        out[bench_key] = best
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -920,6 +962,11 @@ def main() -> None:
         timings.update(t)
     except Exception as e:  # noqa: BLE001
         errors["corpus_pipeline"] = f"{type(e).__name__}: {e}"[:300]
+
+    try:
+        timings.update(bench_host_rank(spark, sf_dir))
+    except Exception as e:  # noqa: BLE001
+        errors["host_rank"] = f"{type(e).__name__}: {e}"[:300]
 
     try:
         timings.update(bench_grid(spark))

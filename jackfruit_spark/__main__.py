@@ -436,6 +436,29 @@ def cmd_pipeline(args) -> int:
             )
     if args.media_dedup and not args.media_output:
         raise SystemExit("--media-dedup needs --media-output")
+    lm = None
+    if args.max_perplexity is not None:
+        # CCNet tier: train on a bridged scan of THIS crawl (the curate
+        # CLI's convention — the model arg stays explicit in the API)
+        from jackfruit_spark.functions.lm import train_bigram_lm
+        from jackfruit_spark.sources.warc import (
+            build_cdx_manifest,
+            scan_warc_cdx,
+            warc_to_documents,
+        )
+
+        man = (
+            manifest
+            if manifest is not None
+            else build_cdx_manifest(spark, args.input)
+        )
+        lm = train_bigram_lm(
+            warc_to_documents(
+                scan_warc_cdx(spark, man, extraction=args.extraction)
+            ),
+            "text",
+        )
+        manifest = man
     res = warc_training_pipeline(
         spark,
         args.input,
@@ -448,6 +471,8 @@ def cmd_pipeline(args) -> int:
         quality_model=quality_model,
         min_quality=args.min_quality,
         quality_alpha=args.quality_alpha,
+        lm=lm,
+        max_perplexity=args.max_perplexity,
         url_dedup=args.url_dedup,
         host_cap=args.host_cap,
         host_blocklist=(
@@ -1907,6 +1932,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pl.add_argument("--min-quality", type=float, default=None)
     pl.add_argument("--quality-alpha", type=float, default=None)
+    pl.add_argument(
+        "--max-perplexity", type=float, default=None,
+        help="CCNet tier: drop docs whose bigram-LM perplexity (model "
+             "trained on this crawl's extracted text) exceeds the cap",
+    )
     pl.add_argument("--quality-sample-fraction", type=float, default=None)
     pl.add_argument(
         "--quality-model", default=None,

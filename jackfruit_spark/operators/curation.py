@@ -1172,6 +1172,21 @@ def _drop_blocked_hosts(out: DataFrame, id_col: str, blocklist) -> DataFrame:
     return out.filter(~cond)
 
 
+def _apply_lm_tier(frame, text_col: str, lm, max_perplexity: float):
+    """CCNet perplexity gate as a pure plan (one Arrow scoring pass +
+    filter): drop docs whose LM perplexity exceeds the cap; unscorable
+    docs (< 2 tokens) keep — their removal is the token gate's job. ONE
+    implementation shared by ``curate_corpus`` and
+    ``warc_training_pipeline`` (the drifting-copies rule)."""
+    from jackfruit_spark.functions.lm import with_perplexity
+
+    return (
+        with_perplexity(frame, text_col, lm, out_col="__ppl")
+        .filter(F.col("__ppl").isNull() | (F.col("__ppl") <= max_perplexity))
+        .drop("__ppl")
+    )
+
+
 def _apply_quality_tier(
     df: DataFrame,
     quality_model,
@@ -1343,13 +1358,7 @@ def curate_corpus(
     )
     out = out.join(keep, id_col, "left_semi")
     if lm is not None and max_perplexity is not None:
-        from jackfruit_spark.functions.lm import with_perplexity
-
-        out = (
-            with_perplexity(out, text_col, lm, out_col="__ppl")
-            .filter(F.col("__ppl").isNull() | (F.col("__ppl") <= max_perplexity))
-            .drop("__ppl")
-        )
+        out = _apply_lm_tier(out, text_col, lm, max_perplexity)
     if quality_model is not None:
         out = _apply_quality_tier(
             out, quality_model, id_col, text_col,
@@ -1467,6 +1476,8 @@ def warc_training_pipeline(
     min_quality: float | None = None,
     quality_alpha: float | None = None,
     quality_seed: int = 0,
+    lm=None,
+    max_perplexity: float | None = None,
     url_dedup: bool = False,
     host_cap: int | None = None,
     host_blocklist=None,
@@ -1506,9 +1517,11 @@ def warc_training_pipeline(
     SAME action that materializes ``packed`` via ``Observation`` (the
     ``grid/engine.insert_grid`` pattern — no extra count jobs; read
     ``obs.get['rows']`` after the caller's write/collect). Stages:
-    ``docs`` (bridged records), ``gated`` (post quality gate),
-    ``quality`` (post learned tier, only when enabled), ``deduped``
-    (post near-dup), plus the packed result itself.
+    ``docs`` (bridged records), ``gated`` (post quality gate), ``lm``
+    (post CCNet perplexity gate — ``lm`` + ``max_perplexity``,
+    caller-trained model, r12), ``quality`` (post learned tier, only
+    when enabled), ``deduped`` (post near-dup), plus the packed result
+    itself.
 
     ``quality_model`` (functions/classifier.py, caller-trained — same
     explicit-model contract as ``curate_corpus``) inserts the GPT-3
@@ -1569,6 +1582,8 @@ def warc_training_pipeline(
     # (code-review r11)
     if (host_ranks is None) != (min_host_rank is None):
         raise ValueError("host_ranks and min_host_rank go together")
+    if (lm is None) != (max_perplexity is None):
+        raise ValueError("lm and max_perplexity go together")
     if manifest is None:
         manifest = build_cdx_manifest(spark, path_glob)
     scanned = scan_warc_cdx(spark, manifest, extraction=extraction)
@@ -1616,6 +1631,15 @@ def warc_training_pipeline(
         .filter(toks.between(min_tokens, max_tokens))
         .withColumn("n_tokens", toks)
     )
+    if lm is not None:
+        # CCNet tier (caller-trained model, the explicit-model contract):
+        # a pure Arrow-scoring plan like gopher, so it rides both
+        # branches; persisted here when the quality tier won't persist
+        # right after (the dedup branch's consumers would otherwise
+        # re-run the scoring pass each)
+        gated_raw = _apply_lm_tier(gated_raw, "text", lm, max_perplexity)
+        if quality_model is None:
+            gated_raw = persisted(gated_raw)
 
     # learned quality tier: the scorer's featurize-join would duplicate
     # an upstream CollectMetrics node on the observed chain (the frame
@@ -1702,6 +1726,12 @@ def warc_training_pipeline(
         .withColumn("n_tokens", toks)
         .observe(obs_gated, F.count(F.lit(1)).alias("rows"))
     )
+    obs_lm = None
+    if lm is not None:
+        obs_lm = Observation("lm")
+        gated = _apply_lm_tier(gated, "text", lm, max_perplexity).observe(
+            obs_lm, F.count(F.lit(1)).alias("rows")
+        )
     obs_quality = None
     if q_keep is not None:
         obs_quality = Observation("quality")
@@ -1732,6 +1762,8 @@ def warc_training_pipeline(
     obs = {"docs": obs_docs, "gated": obs_gated, "deduped": obs_dedup}
     if obs_url is not None:
         obs["url"] = obs_url
+    if obs_lm is not None:
+        obs["lm"] = obs_lm
     if obs_quality is not None:
         obs["quality"] = obs_quality
     if not media_dedup:

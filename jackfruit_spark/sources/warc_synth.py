@@ -63,16 +63,27 @@ def warc_response_record(doc_id: int, body: bytes, host: str = "bench.example") 
 
 
 def write_warc_shards(
-    docs: list[tuple[int, str]], out_dir: str, n_shards: int = 8
+    docs: list[tuple[int, str]], out_dir: str, n_shards: int = 8,
+    n_hosts: int = 1,
 ) -> str:
     """Write (doc_id, text) pairs as member-per-record gzip shards
     (doc_id % n_shards keeps the layout deterministic). Returns the
-    shard glob."""
+    shard glob. ``n_hosts > 1`` spreads target URIs across
+    ``h<i>.bench.example`` hosts (deterministic, doc_id % n_hosts) —
+    the URL-tier rehearsals need host diversity, or the per-host
+    windows degenerate into one single-task sort (a corpus artifact,
+    not an operator cost)."""
     bufs: list[list[bytes]] = [[] for _ in range(n_shards)]
     for doc_id, text in docs:
         did = int(doc_id)
+        host = (
+            "bench.example" if n_hosts <= 1
+            else f"h{did % n_hosts}.bench.example"
+        )
         bufs[did % n_shards].append(
-            gzip.compress(warc_response_record(did, page_html(did, text or "")))
+            gzip.compress(
+                warc_response_record(did, page_html(did, text or ""), host)
+            )
         )
     os.makedirs(out_dir, exist_ok=True)
     for i, members in enumerate(bufs):
@@ -82,7 +93,7 @@ def write_warc_shards(
 
 
 def shards_from_documents(spark, documents_parquet_dir: str, out_dir: str,
-                          n_shards: int = 8) -> str:
+                          n_shards: int = 8, n_hosts: int = 1) -> str:
     """documents.parquet -> shards. Driver-side by design: shard files
     are plain local files here (the rehearsal/bench input-prep path);
     corpus sizes in play are test-scale."""
@@ -92,7 +103,8 @@ def shards_from_documents(spark, documents_parquet_dir: str, out_dir: str,
         .collect()
     )
     return write_warc_shards(
-        [(r["doc_id"], r["text"]) for r in rows], out_dir, n_shards
+        [(r["doc_id"], r["text"]) for r in rows], out_dir, n_shards,
+        n_hosts=n_hosts,
     )
 
 

@@ -176,6 +176,61 @@ def corpus_pipeline(spark, sf_dir):
     return packed
 
 
+def corpus_pipeline_full(spark, sf_dir):
+    """Every text tier enabled (VERDICT r11 #4 — the plain pipeline's
+    alpha was measured r8 on a SUBSET of today's stages): normalize +
+    URL tier (exact-URL dedup, host cap, blocklist, host-rank prior
+    gate) + gopher + CCNet LM gate + learned quality tier + LSH dedup +
+    packing. Keep-all thresholds throughout, so every stage processes
+    the same row counts as the plain pipeline and the exponent measures
+    tier COST growth, not survivor shrinkage. Includes the once-per-
+    crawl model prep inside the timed region (LM counting is corpus-
+    linear by design; the quality IRLS fit is a bounded sample) — the
+    leg certifies the COMPOSITION stays ~linear, its absolute floor is
+    higher than corpus_pipeline_warc's."""
+    from jackfruit_spark.functions.classifier import train_quality_classifier
+    from jackfruit_spark.functions.lm import train_bigram_lm
+    from jackfruit_spark.operators.curation import warc_training_pipeline
+    from jackfruit_spark.sources.warc import (
+        build_cdx_manifest,
+        scan_warc_cdx,
+        warc_to_documents,
+    )
+
+    # multi-host rendering (prep, cached): with every doc on ONE host
+    # the URL tier's (host, url) windows degenerate into a single-task
+    # sort and the exponent measures the corpus artifact, not the tier
+    glob = os.path.join(sf_dir, "warc_multihost", "*.warc.gz")
+    if not os.path.isdir(os.path.dirname(glob)):
+        from jackfruit_spark.sources.warc_synth import shards_from_documents
+
+        shards_from_documents(
+            spark,
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.dirname(glob),
+            n_hosts=64,
+        )
+    manifest = build_cdx_manifest(spark, glob)
+    raw = warc_to_documents(scan_warc_cdx(spark, manifest))
+    lm = train_bigram_lm(raw, "text")
+    qm = train_quality_classifier(raw.limit(500), raw)
+    ranks = spark.createDataFrame(
+        [(f"h{i}.bench.example", 1.0) for i in range(64)],
+        "host string, rank double",
+    )
+    packed, _ = warc_training_pipeline(
+        spark, glob, manifest=manifest,
+        normalize=True,
+        url_dedup=True, host_cap=1_000_000_000,
+        host_blocklist=["spam.example"],
+        host_ranks=ranks, min_host_rank=0.5,
+        gopher=True,
+        lm=lm, max_perplexity=1e12,
+        quality_model=qm, min_quality=0.0,
+    )
+    return packed
+
+
 def hashed_embed(spark, sf_dir):
     """The signed tf-idf hashing-trick featurizer over the rehearsal
     documents — expression-only, expected flat-ish (window + groupBys,
@@ -247,6 +302,7 @@ def heavy_family():
         "ann_ivf_trained": Q.ann_ivf_trained,
         "ann_knn_join": Q.ann_knn_join,
         "corpus_pipeline_warc": corpus_pipeline,
+        "corpus_pipeline_full": corpus_pipeline_full,
         "hashed_embedding": hashed_embed,
         "semantic_dedup_text": semantic_text,
         # learned quality tier (late r8): featurize-once train+score —

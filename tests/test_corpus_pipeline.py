@@ -388,3 +388,49 @@ def test_pipeline_gopher_gate(spark, shards):
     assert counts["gated"] == 42  # 39 fails gopher_word_count, not toks
     assert counts["deduped"] == 39
     assert rows
+
+
+def test_pipeline_lm_tier(spark, shards):
+    """CCNet perplexity gate in the pipeline (r12): caller-trained model,
+    stage 'lm' observed, gibberish-ranked docs dropped before dedup."""
+    from jackfruit_spark.functions.lm import train_bigram_lm
+    from jackfruit_spark.sources.warc import (
+        build_cdx_manifest,
+        scan_warc_cdx,
+        warc_to_documents,
+    )
+
+    manifest = build_cdx_manifest(spark, shards)
+    docs = warc_to_documents(scan_warc_cdx(spark, manifest))
+    lm = train_bigram_lm(docs, "text")
+    # permissive cap: everything keeps, stage count == gated
+    packed, obs = warc_training_pipeline(
+        spark, shards, min_tokens=60, manifest=manifest,
+        lm=lm, max_perplexity=1e12,
+    )
+    packed.collect()
+    counts = {k: int(o.get["rows"]) for k, o in obs.items()}
+    assert counts["lm"] == counts["gated"] == 42
+    assert counts["deduped"] == 39
+
+    # median cap: the tier drops part (not all — a runtime-emptied
+    # corpus lets AQE erase every CollectMetrics, the documented trap)
+    # and dedup sees the survivors (deduped <= lm < gated)
+    ppls = sorted(
+        p for p in (lm.doc_perplexity(r["text"]) for r in docs.collect())
+        if p is not None
+    )
+    cap = ppls[len(ppls) // 2]
+    packed, obs = warc_training_pipeline(
+        spark, shards, min_tokens=60, manifest=manifest,
+        lm=lm, max_perplexity=cap,
+    )
+    packed.collect()
+    from jackfruit_spark.operators.curation import observation_rows
+
+    counts = {k: observation_rows(o) for k, o in obs.items()}
+    assert counts["lm"] < counts["gated"]
+    assert counts["deduped"] <= counts["lm"]
+
+    with pytest.raises(ValueError, match="go together"):
+        warc_training_pipeline(spark, shards, lm=lm)

@@ -551,3 +551,28 @@ class TestNgramLM:
         assert all(len(lm.counts[r]) <= 4 for r in range(2, 6))
         # still scores (evicted contexts back off)
         assert lm.doc_perplexity("the cat sat on the mat") > 0
+
+
+def test_cli_curate_lm_order(spark, tmp_path, capsys):
+    """curate --lm-order dispatches to the right trainer (5 = stupid
+    backoff; smoke: runs end-to-end and keeps the corpus with a huge
+    cap)."""
+    import json
+
+    from jackfruit_spark.__main__ import main
+
+    src = str(tmp_path / "docs.jsonl")
+    with open(src, "w") as f:
+        for i in range(12):
+            f.write(json.dumps({
+                "doc_id": i,
+                "text": "the cat sat on the mat " * 3 + f"w{i}",
+                "lang": "en",
+            }) + "\n")
+    out = str(tmp_path / "out")
+    rc = main([
+        "curate", "--input", src, "--output", out,
+        "--max-perplexity", "1e12", "--lm-order", "5",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and stats["curated"] > 0

@@ -334,3 +334,38 @@ def test_inflight_release_not_swept_stale_is(spark, tmp_path):
     card = release_corpus(spark, _docs(spark, n=10), root)
     assert card["swept_uncommitted"] == ["v2"]
     assert card["version"] == 4  # v3 committed meanwhile; numbering moves on
+
+
+def test_release_with_byte_fallback_tokenizer(spark, tmp_path):
+    """r12 integration: a byte-fallback tokenizer releases unk-free
+    sequences (card records the flag), and a packed sequence decodes
+    back to real text."""
+    from jackfruit_spark.functions.tokenizer import (
+        bpe_train_with_vocab,
+        decode_ids,
+        save_tokenizer,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "the quick brown fox ünïcödé " + f"w{i}", "web")
+            for i in range(20)
+        ],
+        "doc_id long, text string, source string",
+    )
+    merges, vocab = bpe_train_with_vocab(
+        docs, "text", num_merges=10, byte_fallback=True
+    )
+    tok_path = str(tmp_path / "tok.json")
+    save_tokenizer(tok_path, merges, vocab)
+    root = str(tmp_path / "rel")
+    card = release_corpus(
+        spark, docs, root, tokenizer_path=tok_path, pack_seq_len=32,
+    )
+    assert card["knobs"]["tokenizer_byte_fallback"] is True
+    seqs = spark.read.parquet(os.path.join(root, "v1", "sequences"))
+    flat = [i for r in seqs.collect() for i in r["input_ids"]]
+    assert vocab["<unk>"] not in flat  # OOV text survived as bytes
+    # a sequence decodes to words of the corpus (eos/pad dropped)
+    text = decode_ids(flat, vocab)
+    assert "quick" in text and "ünïcödé" in text

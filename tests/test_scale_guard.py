@@ -61,6 +61,13 @@ GUARDED = {
     # (the quality_classifier lesson — uniform-vocab 2-point fits read
     # the overhead->linear crossover higher); a quadratic reads ~1.0.
     "topic_cluster": 0.65,
+    # full-composition pipeline (r12, VERDICT r11 #4): every text tier
+    # on keep-all thresholds over the multi-host WARC rendering —
+    # measured alpha 0.59 at x1/x3/x10 uniform (x1 leg carries the
+    # fixed model prep; the single-host corpus artifact read 0.66 with
+    # a 1.1 top segment before the multi-host fix). Ceiling 0.80: a
+    # quadratic tier or a degenerate one-host window sort reads ~1.0.
+    "corpus_pipeline_full": 0.80,
 }
 
 # host_rank is guarded separately (needs a link corpus, not documents):
