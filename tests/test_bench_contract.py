@@ -48,6 +48,9 @@ def test_bench_emits_json_line_even_when_a_query_throws(spark, monkeypatch):
         bench, "bench_host_rank", lambda s, d: {"host_rank_stub": 0.0}
     )
     monkeypatch.setattr(
+        bench, "bench_release", lambda s, d: {"release_stub": 0.0}
+    )
+    monkeypatch.setattr(
         bench, "get_spark", lambda name: spark
     )  # reuse the test session
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -95,6 +98,9 @@ def test_bench_emits_json_line_even_when_grid_section_throws(spark, monkeypatch)
     )
     monkeypatch.setattr(
         bench, "bench_host_rank", lambda s, d: {"host_rank_stub": 0.0}
+    )
+    monkeypatch.setattr(
+        bench, "bench_release", lambda s, d: {"release_stub": 0.0}
     )
     monkeypatch.setattr(bench, "get_spark", lambda name: spark)
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
