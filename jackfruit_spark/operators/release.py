@@ -332,7 +332,13 @@ def release_corpus(
 
         kind, model, vocab = load_any_tokenizer(tokenizer_path)
         with open(tokenizer_path, "rb") as f:
-            tokenizer_md5 = hashlib.md5(f.read()).hexdigest()
+            tok_bytes = f.read()
+        tokenizer_md5 = hashlib.md5(tok_bytes).hexdigest()
+        # the release carries its tokenizer: input_ids are meaningless
+        # without the exact vocab that produced them, so a training run
+        # must never have to hunt for (or guess) the right JSON
+        with open(os.path.join(vdir, "tokenizer.json"), "wb") as f:
+            f.write(tok_bytes)
         if kind == "bpe":
             ids = bpe_encode_ids_udf(model, vocab)(F.col(text_col))
         else:
@@ -456,6 +462,21 @@ def verify_release(
             and seq_actual == card["checksum_sequences_xxh64_sum"]
             and seq_n == card["stages"]["sequences"]
         )
+    if card["knobs"].get("tokenizer_md5"):
+        # the copied tokenizer.json must still hash to what packed the
+        # sequences — a swapped/edited tokenizer silently reinterprets
+        # every input_id
+        import hashlib
+
+        tok_file = os.path.join(root, f"v{v}", "tokenizer.json")
+        try:
+            with open(tok_file, "rb") as f:
+                tok_actual = hashlib.md5(f.read()).hexdigest()
+        except OSError:
+            tok_actual = None
+        out["tokenizer_md5_expected"] = card["knobs"]["tokenizer_md5"]
+        out["tokenizer_md5_actual"] = tok_actual
+        out["ok"] = out["ok"] and tok_actual == card["knobs"]["tokenizer_md5"]
     return out
 
 

@@ -369,3 +369,51 @@ def test_release_with_byte_fallback_tokenizer(spark, tmp_path):
     # a sequence decodes to words of the corpus (eos/pad dropped)
     text = decode_ids(flat, vocab)
     assert "quick" in text and "ünïcödé" in text
+
+
+def test_release_carries_its_tokenizer(spark, tmp_path):
+    """r12: the version dir embeds the tokenizer JSON (input_ids are
+    uninterpretable without it) and --verify covers its md5."""
+    import shutil
+
+    from jackfruit_spark.functions.tokenizer import (
+        bpe_train_with_vocab,
+        load_any_tokenizer,
+        save_tokenizer,
+        save_unigram,
+        unigram_train,
+        unigram_vocab,
+    )
+    from jackfruit_spark.operators.release import verify_release
+
+    d = _docs(spark)
+    merges, vocab = bpe_train_with_vocab(d, "text", num_merges=10)
+    tok_path = str(tmp_path / "tok.json")
+    save_tokenizer(tok_path, merges, vocab)
+    root = str(tmp_path / "rel")
+    card = release_corpus(
+        spark, d, root, tokenizer_path=tok_path, pack_seq_len=32,
+    )
+    embedded = os.path.join(root, "v1", "tokenizer.json")
+    kind, m2, v2 = load_any_tokenizer(embedded)
+    assert kind == "bpe" and m2 == merges and v2 == vocab
+    ok = verify_release(spark, root)
+    assert ok["ok"]
+    assert ok["tokenizer_md5_actual"] == card["knobs"]["tokenizer_md5"]
+
+    # swap in a DIFFERENT tokenizer: verify must flip
+    pieces = unigram_train(d, "text", vocab_size=40)
+    save_unigram(embedded, pieces, unigram_vocab(pieces))
+    bad = verify_release(spark, root)
+    assert not bad["ok"]
+    assert bad["tokenizer_md5_actual"] != bad["tokenizer_md5_expected"]
+    # documents/sequences untouched — the tokenizer check caught it
+    assert bad["checksum_actual"] == bad["checksum_expected"]
+    assert (
+        bad["checksum_sequences_actual"] == bad["checksum_sequences_expected"]
+    )
+
+    # missing file reads as corrupt too
+    os.remove(embedded)
+    gone = verify_release(spark, root)
+    assert not gone["ok"] and gone["tokenizer_md5_actual"] is None
