@@ -511,13 +511,18 @@ def _ensure_bench_warc(spark, sf_dir: str) -> str:
     key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
     root = f"/tmp/jackfruit_bench_warc_{key}"
     glob = os.path.join(root, "*.warc.gz")
-    if os.path.isdir(root) and any(
-        f.endswith(".warc.gz") for f in os.listdir(root)
-    ):
+    if os.path.isdir(root):
         return glob
-    return shards_from_documents(
-        spark, os.path.join(sf_dir, "documents.parquet"), root
+    # build-then-rename (code-review r12): never cache a partial corpus
+    import shutil
+
+    tmp_build = root + ".build"
+    shutil.rmtree(tmp_build, ignore_errors=True)
+    shards_from_documents(
+        spark, os.path.join(sf_dir, "documents.parquet"), tmp_build
     )
+    os.rename(tmp_build, root)
+    return glob
 
 
 IMG_SEED = 7  # media_synth base seed — delta re-encodes key off it too
@@ -844,14 +849,19 @@ def bench_host_rank(spark, sf_dir: str) -> dict[str, float]:
     n_hosts = max(50, min(2000, int(2000 * float(sf))))
     key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
     root = f"/tmp/jackfruit_bench_links_{key}"
-    if not (
-        os.path.isdir(root)
-        and any(f.endswith(".warc.gz") for f in os.listdir(root))
-    ):
+    if not os.path.isdir(root):
+        # build-then-rename: a crash mid-write must not leave a partial
+        # corpus that later runs silently reuse (code-review r12 — "any
+        # .warc.gz present" accepted 3 of 16 shards as complete)
+        import shutil
+
+        tmp_build = root + ".build"
+        shutil.rmtree(tmp_build, ignore_errors=True)
         write_link_shards(
-            root, n_hosts=n_hosts, pages_per_host=20, links_per_page=5,
-            n_shards=16,
+            tmp_build, n_hosts=n_hosts, pages_per_host=20,
+            links_per_page=5, n_shards=16,
         )
+        os.rename(tmp_build, root)
     glob = os.path.join(root, "*.warc.gz")
     out: dict[str, float] = {}
     for bench_key, method in (

@@ -247,6 +247,14 @@ class NgramLM:
             raise ValueError("alpha must be in (0, 1)")
         self.counts = {int(r): dict(c) for r, c in counts.items()}
         self.order = max(self.counts)
+        missing = [r for r in range(2, self.order) if r not in self.counts]
+        if missing:
+            # fail at construction, not as a KeyError inside an Arrow
+            # scoring kernel mid-job (code-review r12)
+            raise ValueError(
+                f"counts must be contiguous 1..{self.order}; missing "
+                f"orders {missing}"
+            )
         self.total = total_tokens
         self.vocab = len(self.counts[1])
         self.alpha = alpha

@@ -423,7 +423,16 @@ def _bpe_id_encoder(ranks, vocab: dict[str, int], byte_fallback: bool):
         out: list[int] = []
         last = len(toks) - 1
         for i, t in enumerate(toks):
-            vid = vocab.get(t)
+            # a LITERAL-text token spelling a reserved name ("</w>" or
+            # "<0xNN>") must never resolve to the reserved piece's id —
+            # vocab.get would return exactly that (the reserved pieces
+            # own those string keys), decoding it as a word boundary /
+            # raw byte and corrupting the round trip (code-review r12,
+            # reproduced). Route reserved spellings down the byte path.
+            # The word-FINAL token always ends with the real marker and
+            # can never equal a reserved name exactly, so this cannot
+            # misroute a genuine boundary token.
+            vid = None if _reserved_symbol(t) else vocab.get(t)
             if vid is not None:
                 out.append(vid)
                 continue
@@ -704,7 +713,9 @@ def _unigram_id_encoder(
     def enc(w: str) -> list[int]:
         out: list[int] = []
         for p in _viterbi(w, pieces, max_len, unk_logp):
-            vid = vocab.get(p)
+            # literal reserved spellings byte-decompose, never resolve
+            # to the reserved piece's id (the _bpe_id_encoder rule)
+            vid = None if _reserved_symbol(p) else vocab.get(p)
             if vid is not None:
                 out.append(vid)
             else:

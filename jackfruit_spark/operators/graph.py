@@ -175,7 +175,6 @@ def harmonic_centrality(
         .localCheckpoint()
     )
     try:
-        total = state.agg(F.sum("__prev")).first()[0] or 0.0
         for t in range(1, max_dist + 1):
             old_state = state
             merged = (
@@ -193,21 +192,26 @@ def harmonic_centrality(
                 "__harm",
             ).withColumn(
                 "__est", F.hll_sketch_estimate("__ball").cast("double")
+            ).withColumn(
+                # estimate jitter can read a hair negative; ball growth
+                # is monotone by construction, clamp PER NODE — the
+                # early exit below must sum the clamped values too, or
+                # dense-phase negative jitter on stable nodes could net
+                # out genuine growth on the few still-expanding balls
+                # and truncate the loop early (code-review r12)
+                "__growth",
+                F.greatest(F.col("__est") - F.col("__prev"), F.lit(0.0)),
             )
             state = grown.select(
                 "node",
                 "__ball",
                 F.col("__est").alias("__prev"),
+                "__growth",
                 (
-                    F.col("__harm")
-                    # estimate jitter can read a hair negative; growth
-                    # is monotone by construction, clamp
-                    + F.greatest(F.col("__est") - F.col("__prev"), F.lit(0.0))
-                    / F.lit(float(t))
+                    F.col("__harm") + F.col("__growth") / F.lit(float(t))
                 ).alias("__harm"),
             ).localCheckpoint()
-            new_total = state.agg(F.sum("__prev")).first()[0] or 0.0
-            growth, total = new_total - total, new_total
+            growth = state.agg(F.sum("__growth")).first()[0] or 0.0
             old_state.unpersist(blocking=False)
             if growth <= 0:
                 break  # every ball stable: all shortest paths <= t found

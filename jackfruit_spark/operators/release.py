@@ -94,6 +94,19 @@ def _sweep_uncommitted(root: str, stale_s: float = _LEASE_STALE_S) -> list[str]:
     return swept
 
 
+def _touch_lease(vdir: str) -> None:
+    """Refresh the in-progress lease's mtime. Called at every stage
+    boundary of a running release (code-review r12: a lease written
+    once at claim time goes stale after _LEASE_STALE_S and a CONCURRENT
+    release would sweep the still-running release's directory; per-stage
+    touches keep it fresh as long as no single stage exceeds the
+    threshold)."""
+    try:
+        os.utime(os.path.join(vdir, _IN_PROGRESS))
+    except OSError:
+        pass
+
+
 def _claim_version(root: str) -> tuple[int, str]:
     """Atomically claim the next version directory: ``os.makedirs`` with
     exist_ok=False is the lock (two concurrent releases that both read
@@ -241,6 +254,7 @@ def release_corpus(
     )
     docs_dir = os.path.join(vdir, "documents")
     shuffled.write.mode("overwrite").parquet(docs_dir)
+    _touch_lease(vdir)
     if own_persist is not None:
         own_persist.unpersist(blocking=False)  # everything below reads parquet
 
@@ -317,6 +331,7 @@ def release_corpus(
     card["checksum_xxh64_sum"] = (
         int(stats["__sum"]) % (1 << 64) if stats["__sum"] is not None else 0
     )
+    _touch_lease(vdir)
 
     if pack_seq_len is not None:
         import hashlib
@@ -374,6 +389,7 @@ def release_corpus(
             _checksum_expr(["source", "chunk_id", "input_ids"]),
         )
         observed.write.mode("overwrite").parquet(seq_dir)
+        _touch_lease(vdir)
         # runtime-empty plans can erase CollectMetrics (the AQE
         # empty-relation trap): after a completed write, missing
         # metrics mean zero rows
@@ -392,6 +408,7 @@ def release_corpus(
         card["knobs"]["tokenizer_byte_fallback"] = has_byte_fallback(vocab)
 
     # card LAST: the commit marker
+    _touch_lease(vdir)
     tmp = os.path.join(vdir, "._RELEASE.json.tmp")
     with open(tmp, "w") as f:
         json.dump(card, f, indent=2, sort_keys=True)

@@ -201,15 +201,22 @@ def corpus_pipeline_full(spark, sf_dir):
     # the URL tier's (host, url) windows degenerate into a single-task
     # sort and the exponent measures the corpus artifact, not the tier
     glob = os.path.join(sf_dir, "warc_multihost", "*.warc.gz")
-    if not os.path.isdir(os.path.dirname(glob)):
+    root = os.path.dirname(glob)
+    if not os.path.isdir(root):
+        # build-then-rename: never cache a partially-written corpus
+        import shutil
+
         from jackfruit_spark.sources.warc_synth import shards_from_documents
 
+        tmp_build = root + ".build"
+        shutil.rmtree(tmp_build, ignore_errors=True)
         shards_from_documents(
             spark,
             os.path.join(sf_dir, "documents.parquet"),
-            os.path.dirname(glob),
+            tmp_build,
             n_hosts=64,
         )
+        os.rename(tmp_build, root)
     manifest = build_cdx_manifest(spark, glob)
     raw = warc_to_documents(scan_warc_cdx(spark, manifest))
     lm = train_bigram_lm(raw, "text")
@@ -422,13 +429,19 @@ def main() -> None:
         if "corpus_pipeline_warc" not in skip and not os.path.isdir(
             os.path.join(out, "warc")
         ):
+            import shutil
+
             from jackfruit_spark.sources.warc_synth import shards_from_documents
 
+            # build-then-rename: never cache a partially-written corpus
+            tmp_build = os.path.join(out, "warc.build")
+            shutil.rmtree(tmp_build, ignore_errors=True)
             shards_from_documents(
                 spark,
                 os.path.join(out, "documents.parquet"),
-                os.path.join(out, "warc"),
+                tmp_build,
             )
+            os.rename(tmp_build, os.path.join(out, "warc"))
 
     fam = {k: v for k, v in heavy_family().items() if k not in skip}
     results: dict[str, dict] = {name: {} for name in fam}

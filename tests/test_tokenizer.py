@@ -630,3 +630,41 @@ class TestByteFallback:
         stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         # OOV text present, yet zero unk: byte fallback auto-detected
         assert rc == 0 and stats["unk_rate"] == 0.0 and stats["tokens"] > 0
+
+
+class TestReservedSpellingRoundTrip:
+    """Code-review r12 (reproduced): a trained merge that SPELLS a
+    reserved name ("</w>", "<0xNN>") was resolved by vocab.get to the
+    reserved piece's id — decoding literal text as a word boundary or a
+    raw byte. The encoders now route reserved spellings down the byte
+    path."""
+
+    def test_bpe_literal_eow_merge(self, spark):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        # varied chars AFTER the literal marker: the shared "</w>"
+        # prefix pairs outnumber each tail pair, so the merge chain
+        # completes to the exact spelling instead of jumping past it
+        rows = [("</w>a </w>b </w>c </w>d x y",)] * 4
+        d = spark.createDataFrame(rows, ["text"])
+        merges, vocab = tk.bpe_train_with_vocab(
+            d, "text", num_merges=30, sample_size=100, byte_fallback=True
+        )
+        # the corpus did train the literal spelling
+        assert any(a + b == "</w>" for a, b in merges)
+        for text in ["</w>a", "</w>", "x </w> y", "<0x41> b"]:
+            ids = tk.encode_text_ids(text, "bpe", merges, vocab)
+            assert vocab["<unk>"] not in ids
+            assert tk.decode_ids(ids, vocab) == " ".join(text.split()), text
+
+    def test_unigram_literal_reserved_pieces(self, spark):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        rows = [("</w>ab </w>ab <0x41>x <0x41>x",)] * 6
+        d = spark.createDataFrame(rows, ["text"])
+        pieces = tk.unigram_train(d, "text", vocab_size=80, sample_size=100)
+        vocab = tk.unigram_vocab(pieces, byte_fallback=True)
+        for text in ["</w>ab", "</w>", "<0x41>x", "q <0x41> r"]:
+            ids = tk.encode_text_ids(text, "unigram", pieces, vocab)
+            assert vocab["<unk>"] not in ids
+            assert tk.decode_ids(ids, vocab) == " ".join(text.split()), text
