@@ -768,6 +768,7 @@ def cmd_release(args) -> int:
         shuffle_seed=args.seed,
         tokenizer_path=args.tokenizer,
         pack_seq_len=args.pack_seq_len,
+        profile=args.profile,
     )
     print(json.dumps(card, sort_keys=True))
     return 0
@@ -2113,6 +2114,9 @@ def build_parser() -> argparse.ArgumentParser:
     rl.add_argument("--tokenizer", default=None,
                     help="tokenizer JSON (with --pack-seq-len)")
     rl.add_argument("--pack-seq-len", type=int, default=None)
+    rl.add_argument("--profile", action="store_true",
+                    help="embed corpus composition stats (language mix, "
+                         "length percentiles, PII audit) in the card")
     rl.add_argument("--cpus", default=None)
     rl.set_defaults(fn=cmd_release)
 

@@ -165,6 +165,7 @@ def release_corpus(
     tokenizer_path: str | None = None,
     pack_seq_len: int | None = None,
     pack_shards: int = 64,
+    profile: bool = False,
 ) -> dict:
     """Produce ``root/v<N>/`` with ``documents/`` (shuffled parquet),
     optionally ``sequences/`` (packed input_ids), and ``_RELEASE.json``.
@@ -328,6 +329,18 @@ def release_corpus(
         )
     card["stages"]["released_docs"] = int(stats["__n"])
     card["stages"]["released_ws_tokens"] = int(stats["__t"] or 0)
+    if profile:
+        # composition stats straight into the data card (what a real
+        # card publishes: language mix, length percentiles, PII audit).
+        # One extra aggregate over the released parquet — profile_corpus
+        # rides a single job; epoch upsampling counts each copy, which
+        # is the honest view of what a training run will see.
+        from jackfruit_spark.operators.profile import profile_corpus
+
+        card["profile"] = profile_corpus(
+            released, id_col=id_col, text_col=text_col, pii_stats=True
+        )
+        _touch_lease(vdir)
     card["checksum_xxh64_sum"] = (
         int(stats["__sum"]) % (1 << 64) if stats["__sum"] is not None else 0
     )
@@ -494,6 +507,42 @@ def verify_release(
         out["tokenizer_md5_expected"] = card["knobs"]["tokenizer_md5"]
         out["tokenizer_md5_actual"] = tok_actual
         out["ok"] = out["ok"] and tok_actual == card["knobs"]["tokenizer_md5"]
+    return out
+
+
+def load_release(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    verify: bool = False,
+):
+    """Consumer API for a committed release: returns a dict with
+    ``card``, ``documents`` (DataFrame), ``sequences`` (DataFrame or
+    None), and ``tokenizer`` ((kind, model, vocab) or None, loaded from
+    the embedded ``tokenizer.json``). ``verify=True`` runs
+    :func:`verify_release` first and raises ``ValueError`` on any
+    integrity mismatch — the paranoid path a training run should take
+    before reading 100 TB of sequences."""
+    card = read_card(root, version)
+    v = card["version"]
+    if verify:
+        res = verify_release(spark, root, v)
+        if not res["ok"]:
+            raise ValueError(f"release v{v} failed verification: {res}")
+    vdir = os.path.join(root, f"v{v}")
+    out = {
+        "card": card,
+        "documents": spark.read.parquet(os.path.join(vdir, "documents")),
+        "sequences": None,
+        "tokenizer": None,
+    }
+    if "sequences" in card["stages"]:
+        out["sequences"] = spark.read.parquet(os.path.join(vdir, "sequences"))
+    tok_file = os.path.join(vdir, "tokenizer.json")
+    if os.path.exists(tok_file):
+        from jackfruit_spark.functions.tokenizer import load_any_tokenizer
+
+        out["tokenizer"] = load_any_tokenizer(tok_file)
     return out
 
 

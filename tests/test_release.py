@@ -417,3 +417,45 @@ def test_release_carries_its_tokenizer(spark, tmp_path):
     os.remove(embedded)
     gone = verify_release(spark, root)
     assert not gone["ok"] and gone["tokenizer_md5_actual"] is None
+
+
+def test_release_profile_in_card_and_load_release(spark, tmp_path):
+    """r12: --profile embeds composition stats in the card; load_release
+    is the consumer API (docs + sequences + embedded tokenizer), with
+    verify=True raising on a tampered release."""
+    from jackfruit_spark.functions.tokenizer import (
+        bpe_train_with_vocab,
+        save_tokenizer,
+    )
+    from jackfruit_spark.operators.release import load_release
+
+    d = _docs(spark)
+    merges, vocab = bpe_train_with_vocab(d, "text", num_merges=10)
+    tok_path = str(tmp_path / "tok.json")
+    save_tokenizer(tok_path, merges, vocab)
+    root = str(tmp_path / "rel")
+    card = release_corpus(
+        spark, d, root, tokenizer_path=tok_path, pack_seq_len=32,
+        profile=True,
+    )
+    prof = card["profile"]
+    assert prof["docs"] == 60
+    assert prof["tokens"] == 60 * 20
+    assert "languages" in prof and "pii" in prof
+    # card is JSON-serializable end-to-end (it was written to disk)
+    assert read_card(root)["profile"]["docs"] == 60
+
+    rel = load_release(spark, root, verify=True)
+    assert rel["card"]["version"] == 1
+    assert rel["documents"].count() == 60
+    assert rel["sequences"].count() == card["stages"]["sequences"]
+    kind, m2, v2 = rel["tokenizer"]
+    assert kind == "bpe" and m2 == merges and v2 == vocab
+
+    # tamper -> verify=True raises; verify=False still loads
+    os.remove(os.path.join(root, "v1", "tokenizer.json"))
+    import pytest
+
+    with pytest.raises(ValueError, match="failed verification"):
+        load_release(spark, root, verify=True)
+    assert load_release(spark, root)["tokenizer"] is None
