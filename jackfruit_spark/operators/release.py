@@ -377,8 +377,15 @@ def release_corpus(
         # put the WHOLE release's token arrays through one sorter task.
         # Deterministic shard = hash of the order key; sequences stay
         # rerun-identical, they just tile pack_shards parallel streams.
+        # encoded-token count observed on the PRE-pack frame (upstream
+        # of the same write action — no extra job): packing drops each
+        # shard's partial tail (drop_last), and encoded vs packed is
+        # the honest "tokens lost to tail truncation" line in the card
+        obs_enc = Observation()
         packed = pack_token_ids(
-            released.withColumn("__ids", ids).withColumn(
+            released.withColumn("__ids", ids)
+            .observe(obs_enc, F.sum(F.size("__ids")).alias("toks"))
+            .withColumn(
                 "__shard",
                 F.pmod(F.xxhash64(F.col("order_key")), F.lit(int(pack_shards))),
             ),
@@ -400,6 +407,9 @@ def release_corpus(
             obs,
             F.count(F.lit(1)).alias("rows"),
             _checksum_expr(["source", "chunk_id", "input_ids"]),
+            # packed-token accounting on the same pass: the card
+            # reports how many training tokens were actually released
+            F.sum(F.size("input_ids")).alias("toks"),
         )
         observed.write.mode("overwrite").parquet(seq_dir)
         _touch_lease(vdir)
@@ -409,8 +419,14 @@ def release_corpus(
         try:
             metrics = dict(obs.get)
         except Exception:  # noqa: BLE001 — erased-metrics, see above
-            metrics = {"rows": 0, "__sum": None}
+            metrics = {"rows": 0, "__sum": None, "toks": 0}
+        try:
+            encoded_toks = int(obs_enc.get["toks"] or 0)
+        except Exception:  # noqa: BLE001 — erased-metrics, see above
+            encoded_toks = 0
         card["stages"]["sequences"] = int(metrics["rows"])
+        card["stages"]["encoded_tokens"] = encoded_toks
+        card["stages"]["packed_tokens"] = int(metrics["toks"] or 0)
         card["checksum_sequences_xxh64_sum"] = (
             int(metrics["__sum"]) % (1 << 64)
             if metrics["__sum"] is not None

@@ -459,3 +459,38 @@ def test_release_profile_in_card_and_load_release(spark, tmp_path):
     with pytest.raises(ValueError, match="failed verification"):
         load_release(spark, root, verify=True)
     assert load_release(spark, root)["tokenizer"] is None
+
+
+def test_card_token_accounting(spark, tmp_path):
+    """r12: encoded vs packed token counts ride the pack write's
+    Observations; drop_last packing means every sequence is full and
+    the difference is eos framing minus dropped shard tails."""
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.functions.tokenizer import (
+        bpe_encode_ids,
+        bpe_train_with_vocab,
+        save_tokenizer,
+    )
+
+    d = _docs(spark)
+    merges, vocab = bpe_train_with_vocab(d, "text", num_merges=20)
+    tok_path = str(tmp_path / "tok.json")
+    save_tokenizer(tok_path, merges, vocab)
+    card = release_corpus(
+        spark, d, str(tmp_path / "rel"),
+        tokenizer_path=tok_path, pack_seq_len=64,
+    )
+    enc = card["stages"]["encoded_tokens"]
+    packed = card["stages"]["packed_tokens"]
+    n_seq = card["stages"]["sequences"]
+    docs = card["stages"]["released_docs"]
+    # independent recompute of the encoded stream
+    want_enc = bpe_encode_ids(d, "text", merges, vocab).agg(
+        F.sum(F.size("input_ids"))
+    ).first()[0]
+    assert enc == want_enc > 0
+    assert packed == n_seq * 64  # drop_last: all sequences full
+    # stream conservation: packed = encoded + one eos per doc - tails
+    assert packed <= enc + docs
+    assert enc + docs - packed < 64 * 64  # tails bounded by shards*len

@@ -668,3 +668,25 @@ class TestReservedSpellingRoundTrip:
             ids = tk.encode_text_ids(text, "unigram", pieces, vocab)
             assert vocab["<unk>"] not in ids
             assert tk.decode_ids(ids, vocab) == " ".join(text.split()), text
+
+
+def test_decode_ids_never_crashes_on_arbitrary_ids(corpus):
+    """Robustness: decode_ids over ARBITRARY int sequences (truncated
+    byte runs, unknown ids, specials in odd places) must return a string,
+    never raise — a training-tools consumer feeds it model samples."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jackfruit_spark.functions import tokenizer as tk
+
+    merges, vocab = tk.bpe_train_with_vocab(
+        corpus, "text", num_merges=6, sample_size=100, byte_fallback=True
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=-5, max_value=2000), max_size=40))
+    def check(ids):
+        out = tk.decode_ids(ids, vocab)
+        assert isinstance(out, str)
+
+    check()
