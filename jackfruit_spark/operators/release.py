@@ -206,6 +206,9 @@ def release_corpus(
             "mix_alpha": mix_alpha,
             "shuffle_seed": shuffle_seed,
             "pack_seq_len": pack_seq_len,
+            # reproducing the sequences checksum needs the same shard
+            # count — the sequences tile pack_shards parallel streams
+            "pack_shards": pack_shards if pack_seq_len is not None else None,
         },
         "swept_uncommitted": swept,
     }
