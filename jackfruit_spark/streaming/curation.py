@@ -96,6 +96,8 @@ def curate_stream(
     watermark: str = "1 hour",
     redact: bool = False,
     normalize: bool = False,
+    lm=None,
+    max_perplexity: float | None = None,
 ) -> DataFrame:
     """The q57 stage chain as a streaming transformation (language gate,
     token-count and stopword-ratio gates, within-watermark exact dedup on
@@ -108,7 +110,14 @@ def curate_stream(
     BEFORE the gates and the content hash — byte-variant replays of one
     document must fingerprint identically to dedup within the
     watermark; the Arrow kernel is stateless, so it is streaming-safe
-    and adds no state."""
+    and adds no state. ``lm`` + ``max_perplexity`` (r12) add the CCNet
+    perplexity gate (caller-trained model, the batch curate contract) —
+    scoring is the same stateless Arrow pass, applied after dedup +
+    sample (fewest rows scored; the filters commute) and before
+    redaction (the score must see the original bytes, like the content
+    hash)."""
+    if (lm is None) != (max_perplexity is None):
+        raise ValueError("lm and max_perplexity go together")
     if normalize:
         from jackfruit_spark.functions.normalize import normalize_text
 
@@ -140,6 +149,10 @@ def curate_stream(
     kept = kept.filter(
         md5_hash64(F.col("doc_id").cast("string")) % 100 < sample_pct
     )
+    if lm is not None:
+        from jackfruit_spark.operators.curation import _apply_lm_tier
+
+        kept = _apply_lm_tier(kept, "text", lm, max_perplexity)
     if redact:
         from jackfruit_spark.operators.curation import redact_pii
 

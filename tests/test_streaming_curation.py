@@ -317,3 +317,44 @@ def test_streaming_warc_matches_batch_bridge(spark, tmp_path):
         map(tuple, warc_to_documents(scan_warc(spark, str(landing))).collect())
     )
     assert streamed == batch and len(streamed) == 2
+
+
+def test_streaming_lm_gate(spark, tmp_path):
+    """r12: the CCNet perplexity gate in the stream — permissive cap
+    keeps everything the gates kept; a median cap drops the gibberish
+    doc while the in-distribution doc survives; unpaired knobs raise."""
+    import pytest
+
+    from jackfruit_spark.functions.lm import train_bigram_lm
+
+    # model trained on in-distribution text
+    train = spark.createDataFrame(
+        [(i, GOOD_EN) for i in range(10)], "doc_id long, text string"
+    )
+    lm = train_bigram_lm(train, "text")
+    gibberish = "dog river the of light to runs and fox quick brown the lazy"
+    good_ppl = lm.doc_perplexity(GOOD_EN)
+    bad_ppl = lm.doc_perplexity(gibberish)
+    assert good_ppl < bad_ppl
+    cap = (good_ppl + bad_ppl) / 2
+
+    landing = tmp_path / "landing"
+    _land(
+        landing / "b1.jsonl",
+        [_doc(1, GOOD_EN), _doc(2, gibberish)],
+    )
+    out = str(tmp_path / "curated")
+    q = write_curated(
+        curate_stream(
+            stream_documents_jsonl(spark, str(landing)),
+            sample_pct=100, min_stopword_ratio=0.0,
+            lm=lm, max_perplexity=cap,
+        ),
+        out, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1}
+
+    with pytest.raises(ValueError, match="go together"):
+        curate_stream(stream_documents_jsonl(spark, str(landing)), lm=lm)
