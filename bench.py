@@ -508,21 +508,17 @@ def _ensure_bench_warc(spark, sf_dir: str) -> str:
 
     from jackfruit_spark.sources.warc_synth import shards_from_documents
 
+    from jackfruit_spark.sources.warc_synth import ensure_synth_corpus
+
     key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
     root = f"/tmp/jackfruit_bench_warc_{key}"
-    glob = os.path.join(root, "*.warc.gz")
-    if os.path.isdir(root):
-        return glob
-    # build-then-rename (code-review r12): never cache a partial corpus
-    import shutil
-
-    tmp_build = root + ".build"
-    shutil.rmtree(tmp_build, ignore_errors=True)
-    shards_from_documents(
-        spark, os.path.join(sf_dir, "documents.parquet"), tmp_build
+    ensure_synth_corpus(
+        root,
+        lambda tmp: shards_from_documents(
+            spark, os.path.join(sf_dir, "documents.parquet"), tmp
+        ),
     )
-    os.rename(tmp_build, root)
-    return glob
+    return os.path.join(root, "*.warc.gz")
 
 
 IMG_SEED = 7  # media_synth base seed — delta re-encodes key off it too
@@ -845,23 +841,19 @@ def bench_host_rank(spark, sf_dir: str) -> dict[str, float]:
     from jackfruit_spark.operators.graph import host_rank
     from jackfruit_spark.sources.warc_synth import write_link_shards
 
+    from jackfruit_spark.sources.warc_synth import ensure_synth_corpus
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     n_hosts = max(50, min(2000, int(2000 * float(sf))))
     key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
     root = f"/tmp/jackfruit_bench_links_{key}"
-    if not os.path.isdir(root):
-        # build-then-rename: a crash mid-write must not leave a partial
-        # corpus that later runs silently reuse (code-review r12 — "any
-        # .warc.gz present" accepted 3 of 16 shards as complete)
-        import shutil
-
-        tmp_build = root + ".build"
-        shutil.rmtree(tmp_build, ignore_errors=True)
-        write_link_shards(
-            tmp_build, n_hosts=n_hosts, pages_per_host=20,
+    ensure_synth_corpus(
+        root,
+        lambda tmp: write_link_shards(
+            tmp, n_hosts=n_hosts, pages_per_host=20,
             links_per_page=5, n_shards=16,
-        )
-        os.rename(tmp_build, root)
+        ),
+    )
     glob = os.path.join(root, "*.warc.gz")
     out: dict[str, float] = {}
     for bench_key, method in (

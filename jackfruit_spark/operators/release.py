@@ -343,7 +343,7 @@ def release_corpus(
         card["profile"] = profile_corpus(
             released, id_col=id_col, text_col=text_col, pii_stats=True
         )
-        _touch_lease(vdir)
+    # one touch covers the stats (+ optional profile) jobs above
     card["checksum_xxh64_sum"] = (
         int(stats["__sum"]) % (1 << 64) if stats["__sum"] is not None else 0
     )

@@ -62,6 +62,30 @@ def warc_response_record(doc_id: int, body: bytes, host: str = "bench.example") 
     )
 
 
+def ensure_synth_corpus(root: str, build) -> None:
+    """Build-once cache protocol for synthetic corpora (bench /
+    rehearsal prep — ONE implementation, code-review r12: the
+    build-then-rename idiom had been copy-pasted at four sites and its
+    validity check had a migration hole): ``build(tmp_dir)`` writes into
+    a temp dir, a ``.complete`` marker lands inside it, and the dir
+    renames into place — a crash mid-build can never leave a partial
+    corpus that later runs silently reuse, and marker-less roots from
+    before this protocol (including partial ones) rebuild once."""
+    import shutil
+
+    if os.path.isdir(root) and os.path.exists(
+        os.path.join(root, ".complete")
+    ):
+        return
+    shutil.rmtree(root, ignore_errors=True)
+    tmp = root + ".build"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build(tmp)
+    with open(os.path.join(tmp, ".complete"), "w") as f:
+        f.write("")
+    os.rename(tmp, root)
+
+
 def write_warc_shards(
     docs: list[tuple[int, str]], out_dir: str, n_shards: int = 8,
     n_hosts: int = 1,

@@ -200,23 +200,21 @@ def corpus_pipeline_full(spark, sf_dir):
     # multi-host rendering (prep, cached): with every doc on ONE host
     # the URL tier's (host, url) windows degenerate into a single-task
     # sort and the exponent measures the corpus artifact, not the tier
+    from jackfruit_spark.sources.warc_synth import (
+        ensure_synth_corpus,
+        shards_from_documents,
+    )
+
     glob = os.path.join(sf_dir, "warc_multihost", "*.warc.gz")
-    root = os.path.dirname(glob)
-    if not os.path.isdir(root):
-        # build-then-rename: never cache a partially-written corpus
-        import shutil
-
-        from jackfruit_spark.sources.warc_synth import shards_from_documents
-
-        tmp_build = root + ".build"
-        shutil.rmtree(tmp_build, ignore_errors=True)
-        shards_from_documents(
+    ensure_synth_corpus(
+        os.path.dirname(glob),
+        lambda tmp: shards_from_documents(
             spark,
             os.path.join(sf_dir, "documents.parquet"),
-            tmp_build,
+            tmp,
             n_hosts=64,
-        )
-        os.rename(tmp_build, root)
+        ),
+    )
     manifest = build_cdx_manifest(spark, glob)
     raw = warc_to_documents(scan_warc_cdx(spark, manifest))
     lm = train_bigram_lm(raw, "text")
@@ -426,22 +424,20 @@ def main() -> None:
         if not os.path.exists(os.path.join(out, "embeddings.parquet")):
             gen_documents(spark, DOCS_BASE * m, out, vocab=args.vocab)
             gen_embeddings(spark, VECS_BASE * m, out)
-        if "corpus_pipeline_warc" not in skip and not os.path.isdir(
-            os.path.join(out, "warc")
-        ):
-            import shutil
-
-            from jackfruit_spark.sources.warc_synth import shards_from_documents
-
-            # build-then-rename: never cache a partially-written corpus
-            tmp_build = os.path.join(out, "warc.build")
-            shutil.rmtree(tmp_build, ignore_errors=True)
-            shards_from_documents(
-                spark,
-                os.path.join(out, "documents.parquet"),
-                tmp_build,
+        if "corpus_pipeline_warc" not in skip:
+            from jackfruit_spark.sources.warc_synth import (
+                ensure_synth_corpus,
+                shards_from_documents,
             )
-            os.rename(tmp_build, os.path.join(out, "warc"))
+
+            ensure_synth_corpus(
+                os.path.join(out, "warc"),
+                lambda tmp: shards_from_documents(
+                    spark,
+                    os.path.join(out, "documents.parquet"),
+                    tmp,
+                ),
+            )
 
     fam = {k: v for k, v in heavy_family().items() if k not in skip}
     results: dict[str, dict] = {name: {} for name in fam}
