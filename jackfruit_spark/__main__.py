@@ -1503,12 +1503,25 @@ def cmd_tokenize(args) -> int:
             unigram_encode_ids(select, args.text_col, pieces, vocab)
             if pieces is not None
             else bpe_encode_ids(select, args.text_col, merges, vocab)
+        ).withColumn(
+            # whitespace words kept alongside the ids for the fertility
+            # stat (tokens per word — THE tokenizer-quality number);
+            # the text column itself drops before the write below
+            "__ws",
+            F.when(
+                F.col(args.text_col).isNull()
+                | (F.length(F.trim(F.col(args.text_col))) == 0),
+                F.lit(0),
+            ).otherwise(
+                F.size(F.split(F.trim(F.col(args.text_col)), r"\s+"))
+            ),
         ).drop(args.text_col).persist()
         # persisted: the coverage aggregate and the write would
         # otherwise each run the Python encode pass (the count-before-
         # write double-evaluation trap)
         unk = vocab[UNK]
         cov = encoded.agg(
+            F.sum("__ws").alias("ws"),
             F.sum(F.size("input_ids")).alias("n"),
             F.sum(
                 F.size(F.filter("input_ids", lambda i: i == unk))
@@ -1518,12 +1531,16 @@ def cmd_tokenize(args) -> int:
         stats["unk_rate"] = round(
             (cov["u"] or 0) / max(1, cov["n"] or 0), 6
         )
-        out_df = encoded
+        stats["fertility"] = round(
+            (cov["n"] or 0) / max(1, cov["ws"] or 0), 4
+        )
+        out_df = encoded.drop("__ws")
         if args.pack_seq_len:
             from jackfruit_spark.operators.curation import pack_token_ids
 
             out_df = pack_token_ids(
-                encoded, "input_ids", seq_len=args.pack_seq_len,
+                encoded.drop("__ws"), "input_ids",
+                seq_len=args.pack_seq_len,
                 order_col=args.id_col, sep_id=vocab[EOS],
                 drop_last=False, pad_id=vocab[PAD],
             )

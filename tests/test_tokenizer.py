@@ -690,3 +690,32 @@ def test_decode_ids_never_crashes_on_arbitrary_ids(corpus):
         assert isinstance(out, str)
 
     check()
+
+
+def test_cli_tokenize_fertility_stat(spark, tmp_path, capsys):
+    """r12: encode output reports fertility (BPE tokens per whitespace
+    word — >= 1 by construction, < word length when merges bite)."""
+    import json
+
+    from jackfruit_spark.__main__ import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "newest widest low lower " * 3) for i in range(8)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    tok = str(tmp_path / "tok.json")
+    assert main(["tokenize", "--input", src, "--tokenizer", tok,
+                 "--train", "--num-merges", "12",
+                 "--sample-size", "100"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "ids")
+    rc = main(["tokenize", "--input", src, "--tokenizer", tok,
+               "--output", out])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    n_words = 8 * 12
+    assert stats["fertility"] == round(stats["tokens"] / n_words, 4)
+    assert 1.0 <= stats["fertility"] < 6.0
+    # the written frame carries no helper column
+    assert "__ws" not in spark.read.parquet(out).columns
