@@ -429,10 +429,19 @@ def _bpe_id_encoder(ranks, vocab: dict[str, int], byte_fallback: bool):
             # own those string keys), decoding it as a word boundary /
             # raw byte and corrupting the round trip (code-review r12,
             # reproduced). Route reserved spellings down the byte path.
-            # The word-FINAL token always ends with the real marker and
-            # can never equal a reserved name exactly, so this cannot
-            # misroute a genuine boundary token.
-            vid = None if _reserved_symbol(t) else vocab.get(t)
+            # Likewise a NON-final token merely ENDING with the literal
+            # four characters "</w>" (trained from a word like "ab</w>z")
+            # is ambiguous at decode — decode_ids strips the suffix as a
+            # word boundary — so it byte-decomposes whole (ADVICE r12,
+            # reproduced: 'ab</w>z' decoded to 'ab z'). The word-FINAL
+            # token always ends with the real marker appended by
+            # _symbolize, where decode's one-suffix strip is exact even
+            # when the remaining content itself ends with "</w>".
+            vid = (
+                None
+                if _reserved_symbol(t) or (i != last and t.endswith(EOW))
+                else vocab.get(t)
+            )
             if vid is not None:
                 out.append(vid)
                 continue
@@ -660,7 +669,12 @@ def unigram_vocab(
         for p in BYTE_PIECES:
             vocab[p] = len(vocab)
     for p in sorted(pieces):
-        if byte_fallback and _reserved_symbol(p):
+        # under byte fallback, EOW-SUFFIXED pieces are excluded too (not
+        # just exact reserved names): the encoder can never emit them
+        # (they byte-route, see _unigram_id_encoder) and decode_ids would
+        # misread their suffix as a word boundary if the id arrived from
+        # an external sequence
+        if byte_fallback and (_reserved_symbol(p) or p.endswith(EOW)):
             continue
         vocab.setdefault(p, len(vocab))
     return vocab
@@ -714,8 +728,17 @@ def _unigram_id_encoder(
         out: list[int] = []
         for p in _viterbi(w, pieces, max_len, unk_logp):
             # literal reserved spellings byte-decompose, never resolve
-            # to the reserved piece's id (the _bpe_id_encoder rule)
-            vid = None if _reserved_symbol(p) else vocab.get(p)
+            # to the reserved piece's id (the _bpe_id_encoder rule).
+            # Unigram pieces carry NO genuine boundary marker (the
+            # standalone </w> id appended below is the only boundary),
+            # so ANY piece ending with the literal "</w>" text is
+            # ambiguous at decode and byte-routes (ADVICE r12: piece
+            # 'x</w>' decoded as 'x ' — lossy)
+            vid = (
+                None
+                if _reserved_symbol(p) or p.endswith(EOW)
+                else vocab.get(p)
+            )
             if vid is not None:
                 out.append(vid)
             else:

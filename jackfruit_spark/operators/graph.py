@@ -28,7 +28,7 @@ NOT promised (unlike the hash-based operators).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -202,16 +202,24 @@ def harmonic_centrality(
                 "__growth",
                 F.greatest(F.col("__est") - F.col("__prev"), F.lit(0.0)),
             )
-            state = grown.select(
-                "node",
-                "__ball",
-                F.col("__est").alias("__prev"),
-                "__growth",
-                (
-                    F.col("__harm") + F.col("__growth") / F.lit(float(t))
-                ).alias("__harm"),
-            ).localCheckpoint()
-            growth = state.agg(F.sum("__growth")).first()[0] or 0.0
+            # the early-exit scalar rides an Observation on the checkpoint
+            # action (fresh one per round — Observations are one-shot)
+            # instead of materializing a dead __growth double per node in
+            # the checkpointed state (VERDICT r12 minor)
+            obs = Observation()
+            state = (
+                grown.observe(obs, F.sum("__growth").alias("g"))
+                .select(
+                    "node",
+                    "__ball",
+                    F.col("__est").alias("__prev"),
+                    (
+                        F.col("__harm") + F.col("__growth") / F.lit(float(t))
+                    ).alias("__harm"),
+                )
+                .localCheckpoint()
+            )
+            growth = obs.get["g"] or 0.0
             old_state.unpersist(blocking=False)
             if growth <= 0:
                 break  # every ball stable: all shortest paths <= t found

@@ -89,8 +89,26 @@ def _sweep_uncommitted(root: str, stale_s: float = _LEASE_STALE_S) -> list[str]:
                 continue  # in-flight
         except OSError:
             pass  # no lease (legacy crash) -> sweep
+        # re-check the card IMMEDIATELY before deleting: a concurrent
+        # release that commits (card written, lease removed) after the
+        # committed-set snapshot above would otherwise read as card-less
+        # AND lease-less here and get deleted (ADVICE r12 — data loss of
+        # a just-committed release)
+        if os.path.exists(os.path.join(vdir, "_RELEASE.json")):
+            continue
         shutil.rmtree(vdir)
         swept.append(f"v{v}")
+    # stale dot-prefixed claim staging dirs (a claimer that died between
+    # building its staging dir and the rename) sweep on the same clock
+    for d in os.listdir(root) if os.path.isdir(root) else []:
+        if not d.startswith(".claim-"):
+            continue
+        p = os.path.join(root, d)
+        try:
+            if now - os.path.getmtime(p) >= stale_s:
+                shutil.rmtree(p)
+        except OSError:
+            pass
     return swept
 
 
@@ -108,23 +126,36 @@ def _touch_lease(vdir: str) -> None:
 
 
 def _claim_version(root: str) -> tuple[int, str]:
-    """Atomically claim the next version directory: ``os.makedirs`` with
-    exist_ok=False is the lock (two concurrent releases that both read
-    max+1 race the mkdir; the loser moves to the next number), and the
-    lease marker written immediately after keeps the sweep off the dir
-    while the release runs."""
+    """Atomically claim the next version directory. The fully-formed dir
+    (lease already inside) is built under a dot-prefixed staging name the
+    sweep never matches, then ``os.rename``d to ``vN`` — there is no
+    instant where ``vN`` exists without its lease (ADVICE r12: the old
+    mkdir-then-write-lease sequence left a gap where a concurrent sweep
+    saw a card-less, lease-less dir and rmtree'd it under the claimer).
+    ``rename`` onto an existing non-empty ``vN`` fails, so two racing
+    claimers serialize: the loser moves to the next number."""
+    import errno
     import time
+    import uuid
 
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(
+        root, f".claim-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, _IN_PROGRESS), "w") as f:
+        json.dump({"pid": os.getpid(), "started_unix": time.time()}, f)
     version = max(_versions(root, committed_only=False), default=0)
     while True:
         version += 1
         vdir = os.path.join(root, f"v{version}")
         try:
-            os.makedirs(vdir, exist_ok=False)
-        except FileExistsError:
-            continue
-        with open(os.path.join(vdir, _IN_PROGRESS), "w") as f:
-            json.dump({"pid": os.getpid(), "started_unix": time.time()}, f)
+            os.rename(tmp, vdir)
+        except OSError as e:
+            if e.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                continue  # vN taken since the listing; try the next
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         return version, vdir
 
 

@@ -669,6 +669,54 @@ class TestReservedSpellingRoundTrip:
             assert vocab["<unk>"] not in ids
             assert tk.decode_ids(ids, vocab) == " ".join(text.split()), text
 
+    def test_bpe_eow_suffixed_midword_token(self, spark):
+        """ADVICE r12: a trained in-vocab token that merely ENDS with the
+        literal '</w>' text (merge 'ab</w>' emitted mid-word in 'ab</w>z')
+        resolved via vocab.get and decode stripped it as a boundary —
+        'ab</w>z' decoded to 'ab z'. Non-final EOW-suffixed tokens now
+        byte-route."""
+        from jackfruit_spark.functions import tokenizer as tk
+
+        # shared 'ab</w>' prefix with varied single-char tails trains the
+        # prefix merge chain to completion without merging the full words
+        rows = [("ab</w>x ab</w>y ab</w>z ab</w>d ab</w>e ab</w>f",)] * 4
+        d = spark.createDataFrame(rows, ["text"])
+        merges, vocab = tk.bpe_train_with_vocab(
+            d, "text", num_merges=12, sample_size=100, byte_fallback=True
+        )
+        # the corpus did train an EOW-suffixed mid-word symbol into vocab
+        assert any(
+            (a + b).endswith(tk.EOW) and (a + b) != tk.EOW
+            and not (a + b).endswith(tk.EOW + tk.EOW)
+            for a, b in merges
+        )
+        for text in ["ab</w>z", "ab</w>q", "ab</w>", "ab</w>z ab</w>q"]:
+            ids = tk.encode_text_ids(text, "bpe", merges, vocab)
+            assert vocab["<unk>"] not in ids
+            assert tk.decode_ids(ids, vocab) == " ".join(text.split()), text
+
+    def test_unigram_eow_suffixed_piece(self, spark):
+        """ADVICE r12 unigram twin: a trained piece like 'x</w>' used
+        mid-word decoded as 'x ' (boundary), dropping the marker text.
+        EOW-suffixed pieces are excluded from byte-fallback vocabs and
+        byte-route at encode."""
+        from jackfruit_spark.functions import tokenizer as tk
+
+        rows = [("x</w>y x</w>y x</w>y qq rr",)] * 6
+        d = spark.createDataFrame(rows, ["text"])
+        pieces = tk.unigram_train(d, "text", vocab_size=120, sample_size=100)
+        # the corpus DID train EOW-suffixed pieces
+        assert any(p.endswith(tk.EOW) for p in pieces)
+        vocab = tk.unigram_vocab(pieces, byte_fallback=True)
+        # ...and none of them (beyond the standalone marker) got vocab ids
+        assert not any(
+            t.endswith(tk.EOW) for t in vocab if t != tk.EOW
+        )
+        for text in ["x</w>y", "x</w>", "a x</w>y b"]:
+            ids = tk.encode_text_ids(text, "unigram", pieces, vocab)
+            assert vocab["<unk>"] not in ids
+            assert tk.decode_ids(ids, vocab) == " ".join(text.split()), text
+
 
 def test_decode_ids_never_crashes_on_arbitrary_ids(corpus):
     """Robustness: decode_ids over ARBITRARY int sequences (truncated
