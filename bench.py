@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "topic_cluster",  # k-means topic labeling + per-cluster stats (bench-only, r11)
     "unigram_tokenize",  # SentencePiece unigram twin of bpe_tokenize (r11)
     "ccnet_perplexity",  # bigram-LM quality scoring, CCNet tier (bench-only, r8)
+    "langid_score",  # trained language-ID tier (bench-only, r13)
     "quality_classifier",  # learned quality tier: train+score+Pareto (bench-only, r8)
     "ann_knn_join",  # corpus-wide batch kNN-join via IVF cells (bench-only, r7)
     "semantic_dedup_ivf",  # SemDeDup composition: IVF cells -> cosine pairs -> CC

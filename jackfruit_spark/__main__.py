@@ -226,9 +226,17 @@ def cmd_curate(args) -> int:
                 "(a trusted-document parquet to train against) or "
                 "--quality-model (a saved train-classifier JSON)"
             )
+    langid_model = None
+    if getattr(args, "langid_model", None):
+        if args.lang == "any":
+            raise SystemExit("--langid-model needs --lang (a gate target)")
+        from jackfruit_spark.functions.langid import LangIdModel
+
+        langid_model = LangIdModel.load(args.langid_model)
     curated = curate_corpus(
         clean,
         lang=None if args.lang == "any" else args.lang,
+        langid_model=langid_model,
         min_tokens=args.min_tokens,
         max_tokens=args.max_tokens,
         min_stop_ratio=args.min_stop_ratio,
@@ -1235,6 +1243,11 @@ def cmd_profile(args) -> int:
     spark = _spark(args.cpus)
     from jackfruit_spark.operators.profile import profile_corpus
 
+    langid_model = None
+    if getattr(args, "langid_model", None):
+        from jackfruit_spark.functions.langid import LangIdModel
+
+        langid_model = LangIdModel.load(args.langid_model)
     report = profile_corpus(
         spark.read.parquet(args.input),
         id_col=args.id_col,
@@ -1242,12 +1255,43 @@ def cmd_profile(args) -> int:
         dedup_stats=args.dedup,
         gopher_stats=args.gopher,
         pii_stats=args.pii,
+        langid_model=langid_model,
     )
     line = json.dumps(report)
     if args.output:
         with open(args.output, "w") as f:
             f.write(line + "\n")
     print(line)
+    return 0
+
+
+def cmd_train_langid(args) -> int:
+    """Train the hashed-char-ngram language classifier
+    (functions/langid.train_langid) from a labeled parquet; saves the
+    model JSON and prints a one-line summary with per-language sample
+    counts."""
+    spark = _spark(args.cpus)
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.functions.langid import train_langid
+
+    d = spark.read.parquet(args.input)
+    model = train_langid(
+        d, text_col=args.text_col, lang_col=args.lang_col,
+        dim=args.dim, ngram=args.ngram, max_chars=args.max_chars,
+        sample_per_lang=args.sample_per_lang,
+    )
+    model.save(args.output)
+    counts = {
+        r[args.lang_col]: r["n"]
+        for r in d.filter(F.col(args.lang_col).isin(model.langs))
+        .groupBy(args.lang_col).agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(json.dumps({
+        "langs": model.langs, "dim": model.dim, "ngram": model.ngram,
+        "labeled_docs": counts, "output": args.output,
+    }))
     return 0
 
 
@@ -1465,15 +1509,23 @@ def cmd_tokenize(args) -> int:
     docs = spark.read.parquet(args.input)
     stats: dict = {}
     pieces = merges = None
+    raw = False
+    if getattr(args, "raw", False) and args.algo != "unigram":
+        print(json.dumps({"error": "--raw requires --algo unigram"}))
+        return 2
     if args.train:
         if args.algo == "unigram":
+            raw = bool(getattr(args, "raw", False))
             pieces = unigram_train(
                 docs, args.text_col, vocab_size=args.vocab_size,
-                sample_size=args.sample_size,
+                sample_size=args.sample_size, raw=raw,
             )
-            vocab = unigram_vocab(pieces, byte_fallback=args.byte_fallback)
-            save_unigram(args.tokenizer, pieces, vocab)
-            stats.update({"pieces": len(pieces), "vocab": len(vocab)})
+            vocab = unigram_vocab(
+                pieces, byte_fallback=args.byte_fallback, raw=raw
+            )
+            save_unigram(args.tokenizer, pieces, vocab, raw=raw)
+            stats.update({"pieces": len(pieces), "vocab": len(vocab),
+                          "mode": "raw" if raw else "word"})
         else:
             merges, vocab = bpe_train_with_vocab(
                 docs, args.text_col, num_merges=args.num_merges,
@@ -1489,8 +1541,9 @@ def cmd_tokenize(args) -> int:
         return 2
     else:
         kind, model, vocab = load_any_tokenizer(args.tokenizer)
-        if kind == "unigram":
+        if kind in ("unigram", "unigram_raw"):
             pieces = model
+            raw = kind == "unigram_raw"
         else:
             merges = model
     if args.output:
@@ -1500,7 +1553,8 @@ def cmd_tokenize(args) -> int:
 
         select = docs.select(args.id_col, args.text_col)
         encoded = (
-            unigram_encode_ids(select, args.text_col, pieces, vocab)
+            unigram_encode_ids(select, args.text_col, pieces, vocab,
+                               raw=raw)
             if pieces is not None
             else bpe_encode_ids(select, args.text_col, merges, vocab)
         ).withColumn(
@@ -1514,6 +1568,28 @@ def cmd_tokenize(args) -> int:
                 F.lit(0),
             ).otherwise(
                 F.size(F.split(F.trim(F.col(args.text_col)), r"\s+"))
+            ),
+        ).withColumn(
+            # script class per doc for the fertility breakdown (r13):
+            # tokens-per-word is meaningless for unspaced scripts, so the
+            # stat reports tokens-per-char alongside it per class
+            "__script",
+            F.when(
+                F.col(args.text_col).rlike(
+                    "[一-鿿぀-ヿ"
+                    "가-힯฀-๿]"
+                ),
+                F.lit("cjk_thai"),
+            )
+            .when(F.col(args.text_col).rlike("[A-Za-z]"), F.lit("latin"))
+            .otherwise(F.lit("other")),
+        ).withColumn(
+            "__chars",
+            F.length(
+                F.regexp_replace(
+                    F.coalesce(F.col(args.text_col), F.lit("")),
+                    r"\s+", "",
+                )
             ),
         ).drop(args.text_col).persist()
         # persisted: the coverage aggregate and the write would
@@ -1534,12 +1610,27 @@ def cmd_tokenize(args) -> int:
         stats["fertility"] = round(
             (cov["n"] or 0) / max(1, cov["ws"] or 0), 4
         )
-        out_df = encoded.drop("__ws")
+        # fertility per script class (r13, VERDICT r12 #2's measurement
+        # contract): one extra aggregate on the persisted frame
+        stats["fertility_by_script"] = {
+            r["__script"]: {
+                "docs": int(r["d"]),
+                "tokens_per_word": round(r["n"] / max(1, r["ws"]), 4),
+                "tokens_per_char": round(r["n"] / max(1, r["ch"]), 4),
+            }
+            for r in encoded.groupBy("__script").agg(
+                F.count("*").alias("d"),
+                F.sum("__ws").alias("ws"),
+                F.sum(F.size("input_ids")).alias("n"),
+                F.sum("__chars").alias("ch"),
+            ).collect()
+        }
+        out_df = encoded.drop("__ws", "__script", "__chars")
         if args.pack_seq_len:
             from jackfruit_spark.operators.curation import pack_token_ids
 
             out_df = pack_token_ids(
-                encoded.drop("__ws"), "input_ids",
+                encoded.drop("__ws", "__script", "__chars"), "input_ids",
                 seq_len=args.pack_seq_len,
                 order_col=args.id_col, sep_id=vocab[EOS],
                 drop_last=False, pad_id=vocab[PAD],
@@ -1792,6 +1883,13 @@ def build_parser() -> argparse.ArgumentParser:
         "per-record reads instead of whole-shard scans",
     )
     cu.add_argument("--lang", default="en", help="'any' disables the language gate")
+    cu.add_argument(
+        "--langid-model", default=None,
+        help="trained language-ID JSON (train-langid): the --lang gate "
+             "uses the classifier's prediction (stopword-argmax "
+             "fallback below its confidence floor) instead of the "
+             "5-language heuristic",
+    )
     cu.add_argument("--min-tokens", type=int, default=5)
     cu.add_argument("--max-tokens", type=int, default=1000)
     cu.add_argument("--min-stop-ratio", type=float, default=0.05)
@@ -2354,8 +2452,29 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--pii", action="store_true",
                     help="add per-PII-pattern doc counts + mojibake "
                          "suspects (same job)")
+    pf.add_argument("--langid-model", default=None,
+                    help="trained language-ID JSON (train-langid): the "
+                         "language mix uses the classifier instead of "
+                         "the stopword heuristic (same job)")
     pf.add_argument("--cpus", default=None)
     pf.set_defaults(fn=cmd_profile)
+
+    tl = sub.add_parser(
+        "train-langid",
+        help="train the hashed-char-ngram language classifier from a "
+             "labeled (lang, text) parquet and save the model JSON",
+    )
+    tl.add_argument("--input", required=True,
+                    help="parquet with language labels + text")
+    tl.add_argument("--output", required=True, help="model JSON path")
+    tl.add_argument("--lang-col", default="lang")
+    tl.add_argument("--text-col", default="text")
+    tl.add_argument("--dim", type=int, default=512)
+    tl.add_argument("--ngram", type=int, default=3)
+    tl.add_argument("--max-chars", type=int, default=200)
+    tl.add_argument("--sample-per-lang", type=int, default=2000)
+    tl.add_argument("--cpus", default=None)
+    tl.set_defaults(fn=cmd_train_langid)
 
     ib = sub.add_parser(
         "index-bm25",
@@ -2463,6 +2582,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="train a lossless tokenizer: OOV symbols "
                           "decompose to <0xNN> byte pieces instead of "
                           "<unk> (encode auto-detects from the vocab)")
+    tkz.add_argument("--raw", action="store_true",
+                     help="unigram only: SentencePiece raw-stream mode — "
+                          "pieces carry a ▁ word marker, unspaced "
+                          "scripts (CJK/Thai) segment as a marked stream "
+                          "and lossless mode costs no terminal token "
+                          "(encode auto-detects from the kind tag)")
     tkz.add_argument("--num-merges", type=int, default=1000)
     tkz.add_argument("--vocab-size", type=int, default=8000,
                      help="unigram only: target piece count")

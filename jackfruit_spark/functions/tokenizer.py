@@ -39,6 +39,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EOW = "</w>"
+# SentencePiece's word-boundary marker (U+2581 LOWER ONE EIGHTH BLOCK):
+# raw-stream mode prefixes every whitespace word with it, so boundary
+# information lives INSIDE piece text ("▁the" is one piece) instead of
+# in per-word terminal markers — and unspaced scripts (CJK/Thai) segment
+# as one marked stream rather than degrading to document-length "words"
+# with an appended boundary token. Literal U+2581 in input text is
+# indistinguishable from a space after normalization (the SentencePiece
+# contract): decode(encode(t)) == " ".join(t.replace(WB, " ").split()).
+WB = "▁"
 
 
 def _word_freqs(texts) -> dict[str, int]:
@@ -185,11 +194,17 @@ def _memo_for(key: str) -> dict[str, list[str]]:
     return m
 
 
-def _word_udf(ret_type: str, memo_key: str, enc_word) -> Column:
+def _word_udf(
+    ret_type: str, memo_key: str, enc_word, memo_max_len: int | None = None
+) -> Column:
     """ONE pandas-UDF body for every per-word encoder (BPE tokens, BPE
     ids, unigram ids — code-review r11: three drifting copies of the
     null-guard / split loop / memo protocol): whitespace-split, memoize
-    ``enc_word`` per distinct word per worker lifetime, concatenate."""
+    ``enc_word`` per distinct word per worker lifetime, concatenate.
+    ``memo_max_len`` skips memoizing words longer than the cap — raw-mode
+    CJK/Thai "words" are unspaced runs that can be document-length and
+    mostly distinct; memoizing them would evict the short-word entries
+    the memo exists for."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(ret_type)
@@ -201,6 +216,9 @@ def _word_udf(ret_type: str, memo_key: str, enc_word) -> Column:
                 return []
             out: list = []
             for w in t.split():
+                if memo_max_len is not None and len(w) > memo_max_len:
+                    out.extend(enc_word(w))
+                    continue
                 v = memo.get(w)
                 if v is None:
                     v = enc_word(w)
@@ -244,27 +262,45 @@ _BYTE_PIECE_SET = frozenset(BYTE_PIECES)
 
 
 def _reserved_symbol(sym: str) -> bool:
-    """True for trained symbols that would collide with the byte-fallback
-    namespace (a literal corpus token "<0x41>" or a merge coincidentally
-    forming exactly "</w>"). Under byte_fallback such symbols are kept
-    OUT of the vocab — they still encode, via the byte path, so nothing
-    is lost; they just cost a few more tokens."""
-    return sym == EOW or sym in _BYTE_PIECE_SET
+    """True for trained symbols that would collide with a RESERVED name
+    (a literal corpus token "<0x41>", a merge coincidentally forming
+    exactly "</w>", or — r13, reproduced — a mid-word symbol spelling a
+    special: '<unk>q' trained the merge '<unk>', vocab.setdefault left it
+    on the special's id 0, and decode dropped it, decoding '<unk>q' as
+    'q'). Under byte_fallback such symbols are kept OUT of the vocab and
+    byte-route at encode — they still round-trip, just at a few more
+    tokens."""
+    return (
+        sym == EOW
+        or sym in _BYTE_PIECE_SET
+        or sym == UNK
+        or sym == EOS
+        or sym == PAD
+    )
+
+
+def _has_byte_pieces(vocab: dict[str, int]) -> bool:
+    return all(p in vocab for p in BYTE_PIECES)
 
 
 def has_byte_fallback(vocab: dict[str, int]) -> bool:
-    """Auto-detection used by the encoder factories (byte_fallback=None):
-    a vocab built with byte_fallback=True carries all 256 byte pieces and
-    the standalone </w> piece; loaders/callers need no extra flag."""
-    return EOW in vocab and all(p in vocab for p in BYTE_PIECES)
+    """Auto-detection used by the WORD-mode encoder factories
+    (byte_fallback=None): a word-mode vocab built with byte_fallback=True
+    carries all 256 byte pieces and the standalone </w> piece;
+    loaders/callers need no extra flag. Raw-mode vocabs have no </w>
+    piece — their factories detect on the byte pieces alone."""
+    return EOW in vocab and _has_byte_pieces(vocab)
 
 
-def decode_ids(ids, vocab: dict[str, int]) -> str:
+def decode_ids(ids, vocab: dict[str, int], raw: bool = False) -> str:
     """Invert an input_ids sequence back to text. Exact (up to whitespace
     normalization) for byte-fallback vocabs; best-effort otherwise (a
     plain unigram vocab has no word-boundary pieces, so its words
     concatenate). Byte-piece runs buffer and UTF-8-decode together;
-    specials (<unk>/<eos>/<pad>) are dropped."""
+    specials (<unk>/<eos>/<pad>) are dropped. ``raw=True`` decodes a
+    raw-stream (▁-marked) vocab: no ``</w>`` semantics — the assembled
+    string's ▁ marks become spaces (literal U+2581 in the original text
+    normalizes to a space, the documented SentencePiece ambiguity)."""
     inv = {i: t for t, i in vocab.items()}
     byte_val = {
         vocab[p]: b for b, p in enumerate(BYTE_PIECES) if p in vocab
@@ -289,7 +325,9 @@ def decode_ids(ids, vocab: dict[str, int]) -> str:
         t = inv.get(i)
         if t is None:
             continue
-        if t == EOW:
+        if raw:
+            out.append(t)
+        elif t == EOW:
             out.append(" ")
         elif t.endswith(EOW):
             out.append(t[: -len(EOW)])
@@ -297,6 +335,8 @@ def decode_ids(ids, vocab: dict[str, int]) -> str:
         else:
             out.append(t)
     flush()
+    if raw:
+        return " ".join("".join(out).replace(WB, " ").split())
     return "".join(out).rstrip(" ")
 
 
@@ -560,6 +600,7 @@ def unigram_train(
     seed_multiplier: int = 4,
     em_iters: int = 4,
     prune_frac: float = 0.25,
+    raw: bool = False,
 ) -> dict[str, float]:
     """Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 — the
     SentencePiece algorithm), the subword family BPE can't express:
@@ -572,18 +613,41 @@ def unigram_train(
     simplification, stated honestly: the M-step re-estimates from
     VITERBI counts (hard EM) instead of lattice forward–backward
     expected counts — deterministic, and converges to the same kind of
-    vocabulary on natural text; pieces are word-internal substrings
-    (whitespace pre-tokenization, no cross-word pieces), matching this
+    vocabulary on natural text; pieces never cross word boundaries
+    (the SentencePiece ``split_by_whitespace`` default), matching this
     module's BPE scope.
+
+    ``raw=True`` is the SentencePiece raw-stream mode (r13, VERDICT r12
+    #2): every whitespace word trains and segments as the marked chunk
+    ``"▁" + word``, so pieces CARRY their boundary ("▁the" is one piece
+    — no per-word terminal marker at encode) and unspaced scripts
+    (CJK/Thai) segment as one marked stream. Pair with
+    ``unigram_vocab(..., raw=True)`` and the ``raw=True`` encoders.
 
     Returns ``{piece: logprob}`` with every sampled single char kept
     (total segmentation guarantee) and at most ``vocab_size`` pieces.
     """
-    import math
-
     freqs = _word_freqs(
         _sample_texts(df, text_col, sample_size, seed, sample_fraction)
     )
+    if raw:
+        freqs = {WB + w: f for w, f in freqs.items()}
+    return _unigram_train_from_freqs(
+        freqs, vocab_size, max_piece_len, seed_multiplier, em_iters,
+        prune_frac,
+    )
+
+
+def _unigram_train_from_freqs(
+    freqs: dict[str, int],
+    vocab_size: int,
+    max_piece_len: int,
+    seed_multiplier: int,
+    em_iters: int,
+    prune_frac: float,
+) -> dict[str, float]:
+    import math
+
     # seed vocab: substring counts weighted by word freq; chars always in
     sub_counts: dict[str, int] = {}
     for w, f in freqs.items():
@@ -655,26 +719,32 @@ def unigram_train(
 
 
 def unigram_vocab(
-    pieces: dict[str, float], byte_fallback: bool = False
+    pieces: dict[str, float], byte_fallback: bool = False,
+    raw: bool = False,
 ) -> dict[str, int]:
     """token -> id table for a trained unigram model: specials pinned
     (``<unk>``=0, ``<eos>``=1, ``<pad>``=2) then pieces sorted — the
     same contract as ``bpe_vocab``. With ``byte_fallback=True`` the
-    standalone ``</w>`` piece and the 256 byte pieces precede the
-    trained pieces (reserved-name collisions excluded, same rule as
-    BPE)."""
+    256 byte pieces precede the trained pieces (reserved-name
+    collisions excluded, same rule as BPE); word mode additionally
+    carries the standalone ``</w>`` piece (raw mode needs none — the
+    boundary lives inside ▁-marked piece text)."""
     vocab: dict[str, int] = {UNK: 0, EOS: 1, PAD: 2}
     if byte_fallback:
-        vocab[EOW] = len(vocab)
+        if not raw:
+            vocab[EOW] = len(vocab)
         for p in BYTE_PIECES:
             vocab[p] = len(vocab)
     for p in sorted(pieces):
-        # under byte fallback, EOW-SUFFIXED pieces are excluded too (not
-        # just exact reserved names): the encoder can never emit them
-        # (they byte-route, see _unigram_id_encoder) and decode_ids would
-        # misread their suffix as a word boundary if the id arrived from
-        # an external sequence
-        if byte_fallback and (_reserved_symbol(p) or p.endswith(EOW)):
+        # under byte fallback, reserved spellings are excluded (the
+        # encoders byte-route them); in WORD mode EOW-SUFFIXED pieces
+        # are excluded too — the word-mode decoder strips the suffix as
+        # a boundary, so such an id arriving from an external sequence
+        # would decode lossily. Raw-mode decode has no EOW semantics,
+        # so EOW-suffixed piece text is ordinary there.
+        if byte_fallback and (
+            _reserved_symbol(p) or (not raw and p.endswith(EOW))
+        ):
             continue
         vocab.setdefault(p, len(vocab))
     return vocab
@@ -684,6 +754,7 @@ def unigram_encode_ids_udf(
     pieces: dict[str, float],
     vocab: dict[str, int],
     byte_fallback: bool | None = None,
+    raw: bool = False,
 ) -> Column:
     """Pandas-UDF factory: col(text) -> ``array<int>`` input_ids via
     per-word Viterbi segmentation (worker-lifetime word memo, the BPE
@@ -693,21 +764,64 @@ def unigram_encode_ids_udf(
     standalone ``</w>`` id — plain unigram pieces carry no word-boundary
     information, so the marker is what makes ``decode_ids`` exact (the
     token count grows by one per word; opt-in, stated cost of the
-    lossless mode)."""
+    lossless mode).
+
+    ``raw=True`` segments each word as the marked chunk ``"▁" + word``
+    against a raw-trained model (``unigram_train(raw=True)`` +
+    ``unigram_vocab(raw=True)``): the boundary is part of piece text, so
+    the lossless mode costs NO extra terminal token, and unspaced
+    scripts segment as one marked stream (chunks longer than 256 chars
+    skip the memo — raw CJK "words" are mostly-distinct runs)."""
     import hashlib
 
     max_len = max((len(p) for p in pieces), default=1)
     unk_logp = min(pieces.values(), default=0.0) - 10.0
     if byte_fallback is None:
-        byte_fallback = has_byte_fallback(vocab)
-    memo_key = f"uni:bf{int(byte_fallback)}:" + hashlib.md5(
+        byte_fallback = (
+            _has_byte_pieces(vocab) if raw else has_byte_fallback(vocab)
+        )
+    memo_key = f"uni:raw{int(raw)}:bf{int(byte_fallback)}:" + hashlib.md5(
         (repr(sorted(pieces.items())) + repr(sorted(vocab.items()))).encode()
     ).hexdigest()
+    if raw:
+        enc = _unigram_raw_id_encoder(
+            pieces, vocab, byte_fallback, max_len, unk_logp
+        )
+        return _word_udf("array<int>", memo_key, enc, memo_max_len=256)
     return _word_udf(
         "array<int>",
         memo_key,
         _unigram_id_encoder(pieces, vocab, byte_fallback, max_len, unk_logp),
     )
+
+
+def _unigram_raw_id_encoder(
+    pieces, vocab: dict[str, int], byte_fallback: bool,
+    max_len: int, unk_logp: float,
+):
+    """Per-word raw-stream unigram id encoder: Viterbi over the marked
+    chunk ``"▁" + word``. Reserved spellings byte-route under byte
+    fallback (the shared rule); EOW-suffixed piece text is ordinary here
+    — raw decode has no ``</w>`` semantics."""
+    unk = vocab.get(UNK, 0)
+    if not byte_fallback:
+        return lambda w: [
+            vocab.get(p, unk)
+            for p in _viterbi(WB + w, pieces, max_len, unk_logp)
+        ]
+    byte_ids = [vocab[p] for p in BYTE_PIECES]
+
+    def enc(w: str) -> list[int]:
+        out: list[int] = []
+        for p in _viterbi(WB + w, pieces, max_len, unk_logp):
+            vid = None if _reserved_symbol(p) else vocab.get(p)
+            if vid is not None:
+                out.append(vid)
+            else:
+                out.extend(byte_ids[b] for b in p.encode("utf-8"))
+        return out
+
+    return enc
 
 
 def _unigram_id_encoder(
@@ -758,10 +872,15 @@ def encode_text_ids(
 ) -> list[int]:
     """Driver-side single-text encode through EXACTLY the per-word
     encoder the distributed UDFs memoize (kind = 'bpe' with model =
-    merges, or 'unigram' with model = pieces) — for tests, probes, and
-    small interactive use; corpora go through the encode_ids UDFs."""
+    merges, 'unigram' or 'unigram_raw' with model = pieces) — for tests,
+    probes, and small interactive use; corpora go through the encode_ids
+    UDFs."""
     if byte_fallback is None:
-        byte_fallback = has_byte_fallback(vocab)
+        byte_fallback = (
+            _has_byte_pieces(vocab)
+            if kind == "unigram_raw"
+            else has_byte_fallback(vocab)
+        )
     if kind == "bpe":
         ranks = {tuple(p): i for i, p in enumerate(model)}
         enc = _bpe_id_encoder(ranks, vocab, byte_fallback)
@@ -769,6 +888,12 @@ def encode_text_ids(
         max_len = max((len(p) for p in model), default=1)
         unk_logp = min(model.values(), default=0.0) - 10.0
         enc = _unigram_id_encoder(model, vocab, byte_fallback, max_len, unk_logp)
+    elif kind == "unigram_raw":
+        max_len = max((len(p) for p in model), default=1)
+        unk_logp = min(model.values(), default=0.0) - 10.0
+        enc = _unigram_raw_id_encoder(
+            model, vocab, byte_fallback, max_len, unk_logp
+        )
     else:
         raise ValueError(f"unknown tokenizer kind {kind!r}")
     out: list[int] = []
@@ -783,6 +908,7 @@ def unigram_encode_ids(
     pieces: dict[str, float],
     vocab: dict[str, int],
     out_col: str = "input_ids",
+    raw: bool = False,
 ) -> DataFrame:
     """``array<int>`` input_ids column — the unigram twin of
     ``bpe_encode_ids``; feeds ``pack_token_ids`` identically."""
@@ -790,22 +916,30 @@ def unigram_encode_ids(
 
     ensure_shipped(df.sparkSession)
     return df.withColumn(
-        out_col, unigram_encode_ids_udf(pieces, vocab)(F.col(text_col))
+        out_col,
+        unigram_encode_ids_udf(pieces, vocab, raw=raw)(F.col(text_col)),
     )
 
 
 def save_unigram(path: str, pieces: dict[str, float],
-                 vocab: dict[str, int]) -> None:
-    """Persist a unigram model (kind-tagged JSON, atomic rename)."""
+                 vocab: dict[str, int], raw: bool = False) -> None:
+    """Persist a unigram model (kind-tagged JSON, atomic rename).
+    ``raw=True`` tags the raw-stream mode; ``load_any_tokenizer``
+    surfaces it as kind ``"unigram_raw"`` so every consumer dispatches
+    (or fails) LOUDLY instead of silently word-mode-encoding against a
+    ▁-marked model."""
     _atomic_json_dump(
-        path, {"kind": "unigram", "pieces": pieces, "vocab": vocab}
+        path,
+        {"kind": "unigram", "mode": "raw" if raw else "word",
+         "pieces": pieces, "vocab": vocab},
     )
 
 
 def load_any_tokenizer(path: str):
-    """One-parse kind dispatch -> ("bpe", merges, vocab) or
-    ("unigram", pieces, vocab); raises ValueError on malformed JSON
-    shapes instead of AttributeError."""
+    """One-parse kind dispatch -> ("bpe", merges, vocab),
+    ("unigram", pieces, vocab) or ("unigram_raw", pieces, vocab);
+    raises ValueError on malformed JSON shapes instead of
+    AttributeError."""
     import json
 
     with open(path) as f:
@@ -814,15 +948,25 @@ def load_any_tokenizer(path: str):
         raise ValueError(f"{path} is not a tokenizer JSON object")
     kind = d.get("kind", "bpe")
     if kind == "unigram":
-        return "unigram", dict(d["pieces"]), dict(d["vocab"])
+        mode = d.get("mode", "word")
+        if mode not in ("word", "raw"):
+            raise ValueError(f"{path}: unknown unigram mode {mode!r}")
+        kind = "unigram_raw" if mode == "raw" else "unigram"
+        return kind, dict(d["pieces"]), dict(d["vocab"])
     if kind == "bpe":
         return "bpe", [tuple(m) for m in d["merges"]], dict(d["vocab"])
     raise ValueError(f"{path}: unknown tokenizer kind {kind!r}")
 
 
 def load_unigram(path: str):
-    """Inverse of :func:`save_unigram` -> (pieces, vocab)."""
+    """Inverse of :func:`save_unigram` for WORD-mode models ->
+    (pieces, vocab). Raw-stream models raise — a caller holding only
+    (pieces, vocab) would silently encode without the ▁ marking; use
+    ``load_any_tokenizer`` and dispatch on the kind."""
     kind, model, vocab = load_any_tokenizer(path)
     if kind != "unigram":
-        raise ValueError(f"{path} is not a unigram tokenizer")
+        raise ValueError(
+            f"{path} is not a unigram word-mode tokenizer (kind={kind!r};"
+            " use load_any_tokenizer)"
+        )
     return model, vocab

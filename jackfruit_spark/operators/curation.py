@@ -1223,6 +1223,8 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang: str | None = "en",
+    langid_model=None,
+    langid_min_conf: float = 0.5,
     min_tokens: int = 5,
     max_tokens: int = 1000,
     min_stop_ratio: float = 0.05,
@@ -1338,17 +1340,31 @@ def curate_corpus(
         # before the cheap token gates purely for plan readability: all
         # of these are codegen expressions on the same scan
         df = gopher_clean(df, text_col, **(gopher_knobs or {}))
+    if langid_model is not None and lang is None:
+        raise ValueError("langid_model without lang has nothing to gate on")
     toks = T.token_count(text_col)
     gates = toks.between(min_tokens, max_tokens)
     if lang is not None:
-        gates = gates & (T.lang_id(text_col) == lang)
+        if langid_model is not None:
+            # trained tier (functions/langid.py, r13): Arrow-scored
+            # prediction with the stopword argmax as the low-confidence
+            # fallback — one map-only pass folded into the same scan
+            from jackfruit_spark.functions.langid import langid_scores
+
+            df = langid_scores(
+                df, text_col, langid_model, min_conf=langid_min_conf,
+                out_col="__lang_pred", conf_col="__lang_conf",
+            )
+            gates = gates & (F.col("__lang_pred") == lang)
+        else:
+            gates = gates & (T.lang_id(text_col) == lang)
         if min_stop_ratio > 0:
             words = T.LANG_STOPWORDS.get(lang, T.LANG_STOPWORDS["en"])
             ratio = T.stopword_count(text_col, words).cast("double") / toks.cast(
                 "double"
             )
             gates = gates & (ratio >= min_stop_ratio)
-    out = df.filter(gates)
+    out = df.filter(gates).drop("__lang_pred", "__lang_conf")
     # exact dedup keeping the smallest id per content hash (full rows,
     # q57's keeper rule)
     keep = (

@@ -44,6 +44,8 @@ def profile_corpus(
     dedup_stats: bool = False,
     gopher_stats: bool = False,
     pii_stats: bool = False,
+    langid_model=None,
+    langid_min_conf: float = 0.5,
 ) -> dict:
     """Return the corpus report card as a JSON-serializable dict.
 
@@ -62,6 +64,11 @@ def profile_corpus(
     (docs matching the lead+continuation bigram detector,
     functions/normalize.MOJIBAKE_SUSPECT_RE — sizes the normalize
     tier's payoff before running it); also zero extra jobs.
+    ``langid_model`` (functions/langid.LangIdModel, r13) replaces the
+    stopword-argmax language mix with the trained tier (low-confidence
+    predictions fall back to the argmax — langid_scores' rule); the
+    Arrow scoring pass folds into the SAME single aggregate scan, and
+    the bucket list grows to the model's languages.
     """
     from jackfruit_spark.functions.normalize import (
         MOJIBAKE_SUSPECT_RE as _MOJI_RE,
@@ -79,9 +86,20 @@ def profile_corpus(
     chars = F.length(F.col(text_col)).cast("long")
     punct = T.punct_count(text_col)
     stop = T.stopword_count(text_col, T.LANG_STOPWORDS["en"])
-    lang = T.lang_id(text_col)
+    if langid_model is not None:
+        from jackfruit_spark.functions.langid import langid_scores
 
-    langs = sorted(T.LANG_STOPWORDS) + ["und"]
+        df = langid_scores(
+            df, text_col, langid_model, min_conf=langid_min_conf,
+            out_col="__lang_pred", conf_col="__lang_conf",
+        )
+        lang = F.col("__lang_pred")
+        langs = sorted(
+            set(langid_model.langs) | set(T.LANG_STOPWORDS)
+        ) + ["und"]
+    else:
+        lang = T.lang_id(text_col)
+        langs = sorted(T.LANG_STOPWORDS) + ["und"]
     row = df.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum((toks == 0).cast("long")).alias("empty_docs"),

@@ -386,6 +386,7 @@ def release_corpus(
         from pyspark.sql import Observation
 
         from jackfruit_spark.functions.tokenizer import (
+            _has_byte_pieces,
             bpe_encode_ids_udf,
             has_byte_fallback,
             load_any_tokenizer,
@@ -403,8 +404,14 @@ def release_corpus(
             f.write(tok_bytes)
         if kind == "bpe":
             ids = bpe_encode_ids_udf(model, vocab)(F.col(text_col))
-        else:
+        elif kind == "unigram":
             ids = unigram_encode_ids_udf(model, vocab)(F.col(text_col))
+        elif kind == "unigram_raw":
+            ids = unigram_encode_ids_udf(model, vocab, raw=True)(
+                F.col(text_col)
+            )
+        else:  # a new kind must fail loudly, never word-mode-encode
+            raise ValueError(f"unknown tokenizer kind {kind!r}")
         eos = vocab["<eos>"]
         # shard the token stream: pack_token_ids' cumulative-offset
         # window sorts per source group — a single global stream would
@@ -468,7 +475,11 @@ def release_corpus(
         )
         card["knobs"]["tokenizer_kind"] = kind
         card["knobs"]["tokenizer_md5"] = tokenizer_md5
-        card["knobs"]["tokenizer_byte_fallback"] = has_byte_fallback(vocab)
+        card["knobs"]["tokenizer_byte_fallback"] = (
+            _has_byte_pieces(vocab)
+            if kind == "unigram_raw"
+            else has_byte_fallback(vocab)
+        )
 
     # card LAST: the commit marker
     _touch_lease(vdir)

@@ -999,6 +999,34 @@ def unigram_tokenize(spark, sf_dir):
     )
 
 
+def langid_score(spark, sf_dir):
+    """Bench-only: trained language-ID tier over the documents table
+    (functions/langid.py, r13 — one-vs-rest logistic over hashed char
+    n-grams, fasttext's feature family; driver-side IRLS train on a
+    bounded per-language sample, Arrow map-only scoring with the
+    stopword-argmax low-confidence fallback). Trains on the table's own
+    lang labels, scores EVERYTHING, aggregates predicted-language doc
+    counts + mean confidence. Not registered: IRLS is iterative /
+    driver-coordinated (not SQL-expressible); accuracy and fallback
+    semantics are pytest-carried (tests/test_langid.py)."""
+    from jackfruit_spark.functions.langid import langid_scores, train_langid
+
+    d = load(spark, sf_dir, "documents")
+    # bench knobs: dim 256 / 15 Newton iters — the hessian build is
+    # O(n * dim^2) per iter and dim 512 pays 4x for no accuracy the
+    # synthetic corpus can express (the pytest accuracy pin trains at
+    # its own knobs)
+    model = train_langid(d, sample_per_lang=500, dim=256, max_iter=15)
+    return (
+        langid_scores(d, "text", model)
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("lang_conf"), 4).alias("mean_conf"),
+        )
+    )
+
+
 def ccnet_perplexity(spark, sf_dir):
     """Bench-only: CCNet-style LM quality scoring over the documents
     table (functions/lm.py — distributed bigram/unigram counting, bounded

@@ -1,0 +1,176 @@
+"""Post-refactor IVF recall/latency sanity table (r13, VERDICT r12 #6).
+
+The r12 lifecycle unification (IvfIndex -> VersionedStoreLifecycle) pinned
+behavior with 120 consumer tests but did not RE-MEASURE the recall/latency
+surface. This script certifies the refactor cost nothing: a 20k-vector /
+40-cluster / 64-dim seeded synthetic corpus (the r8 residual-A/B recipe),
+one IvfIndex per storage tier (exact float32, PQ m=8, PQ+OPQ, SQ8), and
+for each: mean served recall@10 over 50 held-in queries vs the exact
+cosine top-10 (batched through ``knn_join``, the served shape; SQ8 has no
+batch path — 15 point searches), plus min-of-3 latency of the served
+single-query search (candidates -> tier scoring -> noop write, the
+bench_ivf shapes).
+
+Usage: python scripts/ivf_recall_sanity.py [--n 20000] [--cells 32]
+Prints one JSON line; the table belongs in PERFORMANCE.md "Round 13".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from jackfruit_spark import release_persisted  # noqa: E402
+from jackfruit_spark.functions.ivf_store import IvfIndex  # noqa: E402
+from jackfruit_spark.functions.pq import pq_rerank, pq_search  # noqa: E402
+from jackfruit_spark.functions.similarity import (  # noqa: E402
+    ann_brute_force,
+    kmeans_train,
+)
+from jackfruit_spark.functions.sq import sq_search  # noqa: E402
+from jackfruit_spark.session import get_spark  # noqa: E402
+
+DIM = 64
+N_CLUSTERS = 40
+NOISE = 0.10
+N_QUERIES = 50
+N_POINT_QUERIES = 15  # sq8 (no batch path)
+K = 10
+NPROBE = 16
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=20_000)
+    ap.add_argument("--cells", type=int, default=32)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(N_CLUSTERS, DIM)) * 3.0
+    labels = rng.integers(0, N_CLUSTERS, size=args.n)
+    vecs = centers[labels] + rng.normal(size=(args.n, DIM)) * (
+        3.0 * NOISE * np.sqrt(DIM)
+    )
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    q_idx = [int(i) for i in rng.choice(args.n, size=N_QUERIES, replace=False)]
+    exact = {}
+    for qi in q_idx:
+        cos = vn @ vn[qi]
+        cos[qi] = -2.0  # self excluded, matching the served filter
+        order = np.lexsort((np.arange(args.n), -np.round(cos, 6)))
+        exact[qi] = set(int(i) for i in order[:K])
+
+    spark = get_spark("ivf-recall-sanity")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(args.n)],
+        "vec_id long, embedding array<float>",
+    ).repartition(32).persist()
+    df.count()
+    # query frame: string qids so knn_join's id columns differ from the
+    # index's (the cogroup mixed-id contract)
+    qrows = [(f"q{qi}", [float(x) for x in vecs[qi]]) for qi in q_idx]
+    qdf = spark.createDataFrame(qrows, "qid string, qv array<float>")
+    cents = kmeans_train(df, "embedding", k=args.cells, sample_size=100_000,
+                         seed=42)
+    root = tempfile.mkdtemp(prefix="ivf_sanity_")
+    out: dict = {"n": args.n, "cells": args.cells, "nprobe": NPROBE}
+    try:
+        tiers = {
+            "exact": {},
+            "pq": {"pq_m": 8},
+            "pq_opq": {"pq_m": 8, "pq_opq": True},
+            "sq8": {"sq8": True},
+        }
+        for tier, kw in tiers.items():
+            idx = IvfIndex.build(
+                df, "vec_id", "embedding", os.path.join(root, tier),
+                centroids=cents, sample_fraction=1.0, seed=42, **kw,
+            )
+            book = idx._codebook() if "pq_m" in kw else None
+            sbook = idx._sq_codebook() if kw.get("sq8") else None
+
+            def point_search(qv, qid):
+                cand = idx.candidates(qv, nprobe=NPROBE).filter(
+                    F.col("vec_id") != qid
+                )
+                if book is not None:
+                    top = pq_search(
+                        cand.select("vec_id", "pq_code"),
+                        "vec_id", "pq_code", book, qv, k=50,
+                    )
+                    return pq_rerank(
+                        top, cand.select("vec_id", "embedding"),
+                        "vec_id", "embedding", qv, k=K,
+                    )
+                if sbook is not None:
+                    return sq_search(
+                        cand.select("vec_id", "sq_code"),
+                        "vec_id", "sq_code", sbook, qv, k=K,
+                    )
+                return ann_brute_force(
+                    cand.drop("ivf_cell"), "vec_id", "embedding", qv, k=K
+                )
+
+            # recall: batched knn_join where the mode exists (k+1 then
+            # drop self — knn_join has no self-exclusion knob)
+            if sbook is None:
+                mode = "exact" if book is None else "adc"
+                res = idx.knn_join(
+                    qdf, "qid", "qv", k=K + 1, nprobe=NPROBE, mode=mode,
+                ).collect()
+                release_persisted()
+                got: dict[int, set] = {}
+                for r in res:
+                    qi = int(r["qid"][1:])
+                    if int(r["vec_id"]) != qi:
+                        got.setdefault(qi, set()).add(int(r["vec_id"]))
+                # k+1 with self dropped leaves k or k+1 rows; the one
+                # possible extra candidate can add <=1 hit — negligible
+                # and identical across tiers
+                hits = sum(
+                    len(got.get(qi, set()) & exact[qi]) for qi in q_idx
+                )
+                recall = hits / (len(q_idx) * K)
+            else:
+                hits = 0
+                for qi in q_idx[:N_POINT_QUERIES]:
+                    qv = [float(x) for x in vecs[qi]]
+                    got_ids = {
+                        int(r["vec_id"])
+                        for r in point_search(qv, qi).collect()
+                    }
+                    hits += len(got_ids & exact[qi])
+                recall = hits / (N_POINT_QUERIES * K)
+            # served single-query latency, min-of-3 (bench_ivf
+            # discipline)
+            qv0 = [float(x) for x in vecs[q_idx[0]]]
+            t_best = float("inf")
+            for _ in range(3 + 1):  # first loads the manifest (cold)
+                t0 = time.perf_counter()
+                point_search(qv0, q_idx[0]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                t_best = min(t_best, round(time.perf_counter() - t0, 3))
+                release_persisted()
+            out[tier] = {"recall_at_10": round(recall, 3),
+                         "search_s": t_best}
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

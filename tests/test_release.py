@@ -129,6 +129,31 @@ class TestReleaseCorpus:
         seqs = spark.read.parquet(str(tmp_path / "rel" / "v1" / "sequences"))
         assert all(len(r.input_ids) == 64 for r in seqs.limit(5).collect())
 
+    def test_packing_leg_raw_tokenizer(self, spark, tmp_path):
+        """A raw-stream unigram tokenizer (kind 'unigram_raw', r13)
+        drives the pack leg: dispatch hits the raw encoder, the card
+        records the kind + byte fallback, verify stays green."""
+        from jackfruit_spark.functions.tokenizer import (
+            save_unigram,
+            unigram_train,
+            unigram_vocab,
+        )
+        from jackfruit_spark.operators.release import verify_release
+
+        d = _docs(spark)
+        pieces = unigram_train(d, "text", vocab_size=300, raw=True)
+        vocab = unigram_vocab(pieces, byte_fallback=True, raw=True)
+        tok_path = str(tmp_path / "tok.json")
+        save_unigram(tok_path, pieces, vocab, raw=True)
+        root = str(tmp_path / "rel")
+        card = release_corpus(
+            spark, d, root, tokenizer_path=tok_path, pack_seq_len=64,
+        )
+        assert card["stages"]["sequences"] > 0
+        assert card["knobs"]["tokenizer_kind"] == "unigram_raw"
+        assert card["knobs"]["tokenizer_byte_fallback"] is True
+        assert verify_release(spark, root)["ok"]
+
     def test_crashed_release_swept(self, spark, tmp_path):
         root = str(tmp_path / "rel")
         release_corpus(spark, _docs(spark), root)

@@ -767,3 +767,233 @@ def test_cli_tokenize_fertility_stat(spark, tmp_path, capsys):
     assert 1.0 <= stats["fertility"] < 6.0
     # the written frame carries no helper column
     assert "__ws" not in spark.read.parquet(out).columns
+
+
+class TestSpecialsSpellingRoundTrip:
+    """r13 (reproduced): a MID-WORD trained symbol spelling a special
+    ('<unk>q' trains the merge/piece '<unk>') landed on the special's id
+    via vocab.setdefault, and decode dropped it — '<unk>q' decoded to
+    'q'. Specials are reserved names now: byte-routed at encode, kept
+    off trained vocab slots."""
+
+    def test_bpe_midword_special_spelling(self, spark):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        rows = [("<unk>x <unk>y <unk>z <unk>w <eos>a <eos>b",)] * 4
+        d = spark.createDataFrame(rows, ["text"])
+        merges, vocab = tk.bpe_train_with_vocab(
+            d, "text", num_merges=40, sample_size=100, byte_fallback=True
+        )
+        assert any(a + b in ("<unk>", "<eos>") for a, b in merges)
+        for text in ["<unk>q", "<unk>", "a<eos>b", "<pad> x"]:
+            ids = tk.encode_text_ids(text, "bpe", merges, vocab)
+            assert not {0, 1, 2} & set(ids), text
+            assert tk.decode_ids(ids, vocab) == " ".join(text.split()), text
+
+    def test_unigram_midword_special_spelling(self, spark):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        rows = [("<unk>x <unk>y <unk>z <unk>w",)] * 6
+        d = spark.createDataFrame(rows, ["text"])
+        pieces = tk.unigram_train(d, "text", vocab_size=90, sample_size=100)
+        vocab = tk.unigram_vocab(pieces, byte_fallback=True)
+        for text in ["<unk>q", "<unk>", "q <eos> r"]:
+            ids = tk.encode_text_ids(text, "unigram", pieces, vocab)
+            assert not {0, 1, 2} & set(ids), text
+            assert tk.decode_ids(ids, vocab) == " ".join(text.split()), text
+
+
+class TestRawStreamMode:
+    """SentencePiece raw-stream segmentation (r13, VERDICT r12 #2):
+    pieces carry the ▁ word marker, unspaced scripts (CJK/Thai) segment
+    as a marked stream, and lossless byte-fallback mode costs no
+    per-word terminal token."""
+
+    @pytest.fixture(scope="class")
+    def raw_tok(self, spark):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        rows = (
+            [("the newest low newest the",)] * 6
+            + [("低い新しい低い新しい気温データ気温",)] * 6
+            + [("อากาศหนาวอากาศหนาว",)] * 4
+            + [("the lowest widest",)] * 3
+        )
+        d = spark.createDataFrame(rows, ["text"])
+        pieces = tk.unigram_train(
+            d, "text", vocab_size=300, sample_size=100, raw=True
+        )
+        vocab = tk.unigram_vocab(pieces, byte_fallback=True, raw=True)
+        return pieces, vocab
+
+    def test_pieces_carry_boundary_and_vocab_shape(self, raw_tok):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        pieces, vocab = raw_tok
+        # ▁-marked pieces exist (boundary lives inside piece text)
+        assert any(p.startswith(tk.WB) and len(p) > 1 for p in pieces)
+        # raw vocabs carry byte pieces but no </w> piece
+        assert tk._has_byte_pieces(vocab)
+        assert tk.EOW not in vocab
+        assert not tk.has_byte_fallback(vocab)  # word-mode detection says no
+        assert sorted(vocab.values()) == list(range(len(vocab)))
+
+    def test_udf_matches_driver_encoder_and_roundtrips(self, spark, raw_tok):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        pieces, vocab = raw_tok
+        texts = [
+            "the newest low",
+            "低い新しい気温",                 # in-sample unspaced
+            "中文漢字 OOV zebra?!",           # OOV CJK + latin
+            "อากาศหนาว mixed ไทย",           # Thai
+            "lit▁eral marker",               # the documented ▁ ambiguity
+            "  spaced\tout\nwords  ",
+            "", None,
+        ]
+        d = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["input_ids"]
+            for r in tk.unigram_encode_ids(
+                d, "text", pieces, vocab, raw=True
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            want = tk.encode_text_ids(t or "", "unigram_raw", pieces, vocab)
+            assert got[i] == want
+            assert vocab["<unk>"] not in got[i]
+            expect = " ".join((t or "").replace(tk.WB, " ").split())
+            assert tk.decode_ids(got[i], vocab, raw=True) == expect
+
+    def test_hypothesis_spaceless_scripts_roundtrip(self, raw_tok):
+        """Zero-unk + exact round trip on arbitrary text drawn from
+        spaceless scripts (CJK/kana/Thai) mixed with ASCII — the r12
+        fidelity gap this mode closes."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from jackfruit_spark.functions import tokenizer as tk
+
+        pieces, vocab = raw_tok
+        unk = vocab["<unk>"]
+        alphabet = st.one_of(
+            st.characters(min_codepoint=0x4E00, max_codepoint=0x4E80),
+            st.characters(min_codepoint=0x3040, max_codepoint=0x309F),
+            st.characters(min_codepoint=0x0E01, max_codepoint=0x0E3A),
+            st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(alphabet=alphabet, max_size=50))
+        def check(text):
+            ids = tk.encode_text_ids(text, "unigram_raw", pieces, vocab)
+            assert unk not in ids
+            want = " ".join(text.replace(tk.WB, " ").split())
+            assert tk.decode_ids(ids, vocab, raw=True) == want
+
+        check()
+
+    def test_lossless_costs_no_terminal_token(self, spark, raw_tok):
+        """Raw-mode lossless encode beats word-mode lossless on spaced
+        text: word mode pays +1 </w> token per word, raw mode's boundary
+        rides inside the ▁-marked pieces."""
+        from jackfruit_spark.functions import tokenizer as tk
+
+        pieces, vocab = raw_tok
+        rows = [("the newest low newest the",)] * 6 + [("the lowest widest",)] * 3
+        d = spark.createDataFrame(rows, ["text"])
+        wpieces = tk.unigram_train(d, "text", vocab_size=300, sample_size=100)
+        wvocab = tk.unigram_vocab(wpieces, byte_fallback=True)
+        t = "the newest low the newest low"
+        n_raw = len(tk.encode_text_ids(t, "unigram_raw", pieces, vocab))
+        n_word = len(tk.encode_text_ids(t, "unigram", wpieces, wvocab))
+        assert n_raw < n_word
+
+    def test_cjk_fertility_beats_byte_decomposition(self, raw_tok):
+        """In-sample CJK segments at far under 3 tokens/char (the UTF-8
+        byte floor a whitespace-mode byte-fallback BPE degrades to on
+        unseen scripts)."""
+        from jackfruit_spark.functions import tokenizer as tk
+
+        pieces, vocab = raw_tok
+        t = "低い新しい気温データ低い新しい気温データ"
+        ids = tk.encode_text_ids(t, "unigram_raw", pieces, vocab)
+        assert len(ids) / len(t) < 1.5
+
+    def test_pack_conservation_raw(self, spark, raw_tok):
+        from jackfruit_spark.functions import tokenizer as tk
+        from jackfruit_spark.operators.curation import pack_token_ids
+
+        pieces, vocab = raw_tok
+        d = spark.createDataFrame(
+            [(i, "newest 低い新しい zq%d low" % i) for i in range(6)],
+            "doc_id long, text string",
+        )
+        ids = tk.unigram_encode_ids(d, "text", pieces, vocab, raw=True)
+        n_tokens = ids.select(
+            F.sum(F.size("input_ids")).alias("n")
+        ).first()["n"]
+        packed = pack_token_ids(
+            ids, "input_ids", seq_len=8, order_col="doc_id",
+            sep_id=vocab["<eos>"], drop_last=False, pad_id=vocab["<pad>"],
+        ).collect()
+        flat = [i for r in packed for i in r["input_ids"]]
+        n_eos = sum(1 for i in flat if i == vocab["<eos>"])
+        n_pad = sum(1 for i in flat if i == vocab["<pad>"])
+        assert n_eos == 6
+        assert len(flat) == n_tokens + n_eos + n_pad
+        assert vocab["<unk>"] not in flat
+
+    def test_save_load_mode_tag(self, raw_tok, tmp_path):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        pieces, vocab = raw_tok
+        p = str(tmp_path / "raw.json")
+        tk.save_unigram(p, pieces, vocab, raw=True)
+        kind, model, v2 = tk.load_any_tokenizer(p)
+        assert kind == "unigram_raw" and model == pieces and v2 == vocab
+        with pytest.raises(ValueError, match="word-mode"):
+            tk.load_unigram(p)
+        # word-mode JSONs stay kind 'unigram' and load_unigram still works
+        pw = str(tmp_path / "word.json")
+        tk.save_unigram(pw, pieces, vocab)
+        assert tk.load_any_tokenizer(pw)[0] == "unigram"
+        assert tk.load_unigram(pw) == (pieces, vocab)
+
+    def test_cli_raw_knob(self, spark, tmp_path, capsys):
+        import json
+
+        from jackfruit_spark.__main__ import main
+        from jackfruit_spark.functions import tokenizer as tk
+
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(i, "newest widest low lower " * 3) for i in range(6)]
+            + [(98, "低い新しい気温データ" * 4), (99, "อากาศหนาว" * 4)],
+            "doc_id long, text string",
+        ).write.parquet(src)
+        tok = str(tmp_path / "tok.json")
+        # --raw without unigram is rejected
+        rc = main(["tokenize", "--input", src, "--tokenizer", tok,
+                   "--train", "--raw"])
+        assert rc == 2
+        capsys.readouterr()
+        rc = main(["tokenize", "--input", src, "--tokenizer", tok,
+                   "--train", "--algo", "unigram", "--raw",
+                   "--vocab-size", "400", "--sample-size", "100",
+                   "--byte-fallback"])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["mode"] == "raw"
+        assert tk.load_any_tokenizer(tok)[0] == "unigram_raw"
+        out = str(tmp_path / "ids")
+        rc = main(["tokenize", "--input", src, "--tokenizer", tok,
+                   "--output", out])
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and stats["unk_rate"] == 0.0 and stats["tokens"] > 0
+        fbs = stats["fertility_by_script"]
+        assert "cjk_thai" in fbs and "latin" in fbs
+        # in-sample CJK/Thai segments well below the 3-bytes/char floor
+        assert fbs["cjk_thai"]["tokens_per_char"] < 1.5
