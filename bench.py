@@ -927,6 +927,41 @@ def bench_release(spark, sf_dir: str) -> dict[str, float]:
         out["dataset_release"] = best_rel
         out["release_verify"] = best_ver
 
+        # incremental release (r13): the monthly-update shape — same
+        # corpus with ~1% docs changed and ~3% new; only the delta
+        # (diff + overlay write + overlay pack) is timed. A full root
+        # is prepared once per repeat UNTIMED (deltas need an immutable
+        # parent; releasing into rel{i} above would chain onto the
+        # MIXED release, which deltas reject).
+        delta_docs = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 97 == 0,
+                F.concat(F.col("text"), F.lit(" updated")),
+            ).otherwise(F.col("text")),
+        ).unionByName(
+            docs.limit(200).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                "text", "source",
+            )
+        )
+        best_delta = float("inf")
+        for i in range(REPEATS):
+            droot = os.path.join(tmp, f"drel{i}")
+            release_corpus(
+                spark, docs, droot,
+                tokenizer_path=tok_path, pack_seq_len=512,
+            )
+            t0 = time.perf_counter()
+            release_corpus(
+                spark, delta_docs, droot, parent="latest",
+                tokenizer_path=tok_path, pack_seq_len=512,
+            )
+            best_delta = min(best_delta, round(time.perf_counter() - t0, 3))
+            release_persisted()
+            spark.catalog.clearCache()
+        out["dataset_release_delta"] = best_delta
+
         old = docs
         new = docs.filter("doc_id % 97 != 0").withColumn(
             "text",

@@ -171,7 +171,15 @@ def cmd_curate(args) -> int:
         clean, corrupt = C.quarantine_corrupt(reader(spark, args.input))
     n_in = clean.count()
     lm = None
-    if args.max_perplexity is not None:
+    if getattr(args, "lm_arpa", None):
+        # externally-trained LM (KenLM/SRILM ARPA) drives the perplexity
+        # tier instead of the inline-trained model
+        if args.max_perplexity is None:
+            raise SystemExit("--lm-arpa needs --max-perplexity")
+        from jackfruit_spark.functions.lm import load_arpa
+
+        lm = load_arpa(args.lm_arpa)
+    elif args.max_perplexity is not None:
         # CCNet tier: train on the language-matching slice of THIS
         # corpus (the trusted-corpus stand-in) and gate by perplexity
         from pyspark.sql import functions as F
@@ -193,6 +201,15 @@ def cmd_curate(args) -> int:
             lm = train_trigram_lm(train_df, "text", smoothing=args.lm_smoothing)
         else:  # 4/5: stupid backoff (--lm-smoothing does not apply)
             lm = train_ngram_lm(train_df, "text", order=args.lm_order)
+    if getattr(args, "lm_arpa_export", None):
+        from jackfruit_spark.functions.lm import NgramLM, export_arpa
+
+        if not isinstance(lm, NgramLM):
+            raise SystemExit(
+                "--lm-arpa-export needs an inline-trained stupid-backoff "
+                "model: pass --max-perplexity with --lm-order 4 or 5"
+            )
+        export_arpa(lm, args.lm_arpa_export)
     quality_model = None
     if (
         (args.quality_model or args.quality_positives)
@@ -777,6 +794,10 @@ def cmd_release(args) -> int:
         tokenizer_path=args.tokenizer,
         pack_seq_len=args.pack_seq_len,
         profile=args.profile,
+        parent=(
+            "latest" if args.parent == "latest"
+            else int(args.parent) if args.parent is not None else None
+        ),
     )
     print(json.dumps(card, sort_keys=True))
     return 0
@@ -1510,12 +1531,9 @@ def cmd_tokenize(args) -> int:
     stats: dict = {}
     pieces = merges = None
     raw = False
-    if getattr(args, "raw", False) and args.algo != "unigram":
-        print(json.dumps({"error": "--raw requires --algo unigram"}))
-        return 2
     if args.train:
+        raw = bool(getattr(args, "raw", False))
         if args.algo == "unigram":
-            raw = bool(getattr(args, "raw", False))
             pieces = unigram_train(
                 docs, args.text_col, vocab_size=args.vocab_size,
                 sample_size=args.sample_size, raw=raw,
@@ -1530,10 +1548,11 @@ def cmd_tokenize(args) -> int:
             merges, vocab = bpe_train_with_vocab(
                 docs, args.text_col, num_merges=args.num_merges,
                 sample_size=args.sample_size,
-                byte_fallback=args.byte_fallback,
+                byte_fallback=args.byte_fallback, raw=raw,
             )
-            save_tokenizer(args.tokenizer, merges, vocab)
-            stats.update({"merges": len(merges), "vocab": len(vocab)})
+            save_tokenizer(args.tokenizer, merges, vocab, raw=raw)
+            stats.update({"merges": len(merges), "vocab": len(vocab),
+                          "mode": "raw" if raw else "word"})
     elif not os.path.exists(args.tokenizer):
         print(json.dumps({
             "error": f"no tokenizer at {args.tokenizer} (pass --train)"
@@ -1541,9 +1560,9 @@ def cmd_tokenize(args) -> int:
         return 2
     else:
         kind, model, vocab = load_any_tokenizer(args.tokenizer)
-        if kind in ("unigram", "unigram_raw"):
+        raw = kind.endswith("_raw")
+        if kind.startswith("unigram"):
             pieces = model
-            raw = kind == "unigram_raw"
         else:
             merges = model
     if args.output:
@@ -1556,7 +1575,8 @@ def cmd_tokenize(args) -> int:
             unigram_encode_ids(select, args.text_col, pieces, vocab,
                                raw=raw)
             if pieces is not None
-            else bpe_encode_ids(select, args.text_col, merges, vocab)
+            else bpe_encode_ids(select, args.text_col, merges, vocab,
+                                raw=raw)
         ).withColumn(
             # whitespace words kept alongside the ids for the fertility
             # stat (tokens per word — THE tokenizer-quality number);
@@ -1913,6 +1933,17 @@ def build_parser() -> argparse.ArgumentParser:
              "(jm/kn), 4-5 = KenLM-shaped stupid backoff",
     )
     cu.add_argument(
+        "--lm-arpa", default=None,
+        help="ARPA n-gram file (KenLM/SRILM): drive the perplexity tier "
+             "with this externally-trained LM instead of training inline "
+             "(needs --max-perplexity)",
+    )
+    cu.add_argument(
+        "--lm-arpa-export", default=None,
+        help="export the inline-trained stupid-backoff LM as an ARPA "
+             "file (needs --max-perplexity with --lm-order 4/5)",
+    )
+    cu.add_argument(
         "--quality-positives", default=None,
         help="GPT-3-style learned quality tier: parquet of trusted "
              "documents (doc_id, text) to train curated-vs-raw against "
@@ -2229,6 +2260,11 @@ def build_parser() -> argparse.ArgumentParser:
     rl.add_argument("--tokenizer", default=None,
                     help="tokenizer JSON (with --pack-seq-len)")
     rl.add_argument("--pack-seq-len", type=int, default=None)
+    rl.add_argument("--parent", default=None,
+                    help="incremental release: diff against this parent "
+                         "version ('latest' or a number) and write/pack "
+                         "only added+changed docs; the card records the "
+                         "chain and verify walks it")
     rl.add_argument("--profile", action="store_true",
                     help="embed corpus composition stats (language mix, "
                          "length percentiles, PII audit) in the card")
@@ -2583,7 +2619,7 @@ def build_parser() -> argparse.ArgumentParser:
                           "decompose to <0xNN> byte pieces instead of "
                           "<unk> (encode auto-detects from the vocab)")
     tkz.add_argument("--raw", action="store_true",
-                     help="unigram only: SentencePiece raw-stream mode — "
+                     help="SentencePiece raw-stream mode (both algos): "
                           "pieces carry a ▁ word marker, unspaced "
                           "scripts (CJK/Thai) segment as a marked stream "
                           "and lossless mode costs no terminal token "

@@ -509,3 +509,182 @@ def with_perplexity(
         return pd.Series(out)
 
     return df.withColumn(out_col, score(F.col(text_col)))
+
+
+# -------------------------------------------------------------------- ARPA
+#
+# ARPA n-gram interchange (the Doug Paul / SLM toolkit text format KenLM,
+# SRILM and IRSTLM all read): per-order sections of
+#     log10_prob <TAB> w1 w2 ... wN <TAB> [log10_backoff]
+# Export makes the repo's stupid-backoff NgramLM runnable elsewhere;
+# import lets an externally-trained LM (e.g. a KenLM-pruned 5-gram) drive
+# the CCNet perplexity tier through the SAME duck-typed doc_perplexity
+# surface. Floats are serialized with repr() — Python's shortest
+# round-trip representation — so save -> load -> score is BIT-identical
+# to the in-memory exported model.
+
+
+class ArpaLM:
+    """Standard ARPA backoff scorer (Katz-style recursion):
+
+        p(w | ctx) = prob(ctx, w)                     if listed
+                   = bow(ctx) * p(w | ctx[1:])        otherwise
+                     (bow = 1 when ctx itself is unlisted)
+
+    with the unigram base falling back to ``<unk>``'s probability (a
+    model without ``<unk>`` scores OOV at ``unk_floor_log10``). Note the
+    semantic difference from ``NgramLM``, stated honestly: stupid
+    backoff multiplies alpha on EVERY shortening step, listed context or
+    not; ARPA applies a backoff weight only for LISTED contexts. An
+    exported model therefore scores identically on transitions whose
+    context chain is in-table and differs by alpha-factors on evicted
+    contexts. ``grams``: {order: {tuple(words): (log10_p, log10_bow)}}.
+    Duck-typed ``doc_perplexity`` slots into ``perplexity_buckets`` /
+    ``curate_corpus(max_perplexity=)`` unchanged."""
+
+    def __init__(
+        self,
+        grams: dict[int, dict[tuple, tuple]],
+        unk_floor_log10: float = -10.0,
+    ):
+        if 1 not in grams:
+            raise ValueError("ARPA model must carry a 1-grams section")
+        self.grams = {int(r): dict(g) for r, g in grams.items()}
+        self.order = max(self.grams)
+        self.unk = self.grams[1].get(("<unk>",), (unk_floor_log10, 0.0))[0]
+
+    def log10_p(self, ctx: tuple[str, ...], w: str) -> float:
+        ctx = ctx[-(self.order - 1):] if self.order > 1 else ()
+        e = self.grams.get(len(ctx) + 1, {}).get(ctx + (w,))
+        if e is not None:
+            return e[0]
+        if not ctx:
+            return self.unk
+        # backoff weight of the LISTED context, 1.0 (log 0) otherwise
+        ce = self.grams.get(len(ctx), {}).get(ctx)
+        bow = ce[1] if ce is not None else 0.0
+        return bow + self.log10_p(ctx[1:], w)
+
+    def doc_perplexity(self, text: str) -> float | None:
+        """exp(mean negative ln p) over the doc's n-1 transitions — the
+        NgramLM framing, so CCNet caps transfer across model kinds."""
+        toks = _py_tokens(text)
+        if len(toks) < 2:
+            return None
+        s = 0.0
+        for i in range(1, len(toks)):
+            ctx = tuple(toks[max(0, i - self.order + 1):i])
+            s += self.log10_p(ctx, toks[i])
+        return math.exp(-s * math.log(10.0) / (len(toks) - 1))
+
+
+def export_arpa(model: NgramLM, path: str) -> None:
+    """Write ``model`` as an ARPA file (atomic tmp+rename, sections and
+    grams sorted for byte determinism). Conditional probabilities are
+    the stupid-backoff in-table ratios (log10(c(ctx w)/c(ctx))); every
+    listed non-top-order gram carries bow = log10(alpha); unigrams are
+    the add-one ``p_uni`` values plus ``<unk>`` at the OOV floor — so
+    the exported scorer reproduces NgramLM exactly wherever the context
+    chain is in-table (see ArpaLM docstring for the one stated
+    divergence). Grams whose context count was evicted by a training
+    cap are SKIPPED (NgramLM itself refuses to use them)."""
+    import os
+
+    if not isinstance(model, NgramLM):
+        raise TypeError(
+            "export_arpa takes the NgramLM family (stupid backoff); "
+            f"got {type(model).__name__}"
+        )
+    bow = repr(math.log10(model.alpha))
+    sections: dict[int, list[str]] = {}
+    uni = sections[1] = []
+    for w in sorted(model.counts[1]):
+        uni.append(f"{math.log10(model.p_uni(w))!r}\t{w}\t{bow}")
+    if "<unk>" not in model.counts[1]:  # a corpus-literal <unk> wins
+        uni.append(f"{math.log10(1.0 / (model.total + model.vocab + 1))!r}"
+                   f"\t<unk>\t{bow}")
+    for r in range(2, model.order + 1):
+        rows = sections[r] = []
+        tail = r == model.order
+        for g in sorted(model.counts[r]):
+            c_ctx = model._ctx_count(g[:-1])
+            if c_ctx <= 0:
+                continue  # evicted context — unusable at score time
+            lp = repr(math.log10(model.counts[r][g] / c_ctx))
+            words = " ".join(g)
+            rows.append(f"{lp}\t{words}" + ("" if tail else f"\t{bow}"))
+    lines = ["\\data\\"]
+    lines += [f"ngram {r}={len(sections[r])}" for r in sorted(sections)]
+    for r in sorted(sections):
+        lines += ["", f"\\{r}-grams:"]
+        lines += sections[r]
+    lines += ["", "\\end\\", ""]
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines))
+    os.replace(tmp, path)
+
+
+def load_arpa(path: str) -> ArpaLM:
+    """Parse an ARPA file -> :class:`ArpaLM`. Raises ``ValueError`` on
+    anything that isn't ARPA (missing ``\\data\\`` header — e.g. a
+    tokenizer/LM JSON handed to the wrong loader) and on count-vs-section
+    mismatches, instead of mis-scoring silently."""
+    grams: dict[int, dict[tuple, tuple]] = {}
+    declared: dict[int, int] = {}
+    section = None
+    with open(path) as f:
+        header = False
+        for raw in f:
+            line = raw.strip()
+            if not line:
+                continue
+            if line == "\\data\\":
+                header = True
+                continue
+            if line == "\\end\\":
+                break
+            if not header:
+                raise ValueError(
+                    f"{path} is not an ARPA file (no \\data\\ header)"
+                )
+            if line.startswith("ngram "):
+                r, _, n = line[len("ngram "):].partition("=")
+                declared[int(r)] = int(n)
+                continue
+            if line.endswith("-grams:") and line.startswith("\\"):
+                section = int(line[1:].split("-")[0])
+                grams[section] = {}
+                continue
+            if section is None:
+                raise ValueError(f"{path}: gram line before any section")
+            parts = line.split("\t") if "\t" in line else line.split()
+            if section is not None and "\t" in line:
+                lp = float(parts[0])
+                words = tuple(parts[1].split(" "))
+                bw = float(parts[2]) if len(parts) > 2 else 0.0
+            else:
+                lp = float(parts[0])
+                # whitespace-only variant: last field is a backoff iff
+                # the word count exceeds the section order
+                if len(parts) - 1 > section:
+                    words = tuple(parts[1:-1])
+                    bw = float(parts[-1])
+                else:
+                    words = tuple(parts[1:])
+                    bw = 0.0
+            if len(words) != section:
+                raise ValueError(
+                    f"{path}: {len(words)}-gram in the {section}-grams "
+                    "section"
+                )
+            grams[section][words] = (lp, bw)
+    if not grams:
+        raise ValueError(f"{path} is not an ARPA file (no gram sections)")
+    for r, n in declared.items():
+        if r in grams and len(grams[r]) != n:
+            raise ValueError(
+                f"{path}: \\data\\ declares {n} {r}-grams, section has "
+                f"{len(grams[r])}"
+            )
+    return ArpaLM(grams)

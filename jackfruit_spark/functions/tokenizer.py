@@ -64,6 +64,13 @@ def _symbolize(word: str) -> tuple[str, ...]:
     return tuple(word[:-1]) + (word[-1] + EOW,) if word else ()
 
 
+def _symbolize_raw(chunk: str) -> tuple[str, ...]:
+    """Raw-stream symbolization: plain characters of the ▁-marked chunk
+    — the boundary is the ▁ PREFIX inside the symbols, so no terminal
+    marker exists (SentencePiece's BPE formulation)."""
+    return tuple(chunk)
+
+
 def _sample_texts(
     df: DataFrame,
     text_col: str,
@@ -102,9 +109,10 @@ def bpe_train(
 
 
 def _train_from_freqs(
-    freqs: dict[str, int], num_merges: int
+    freqs: dict[str, int], num_merges: int, raw: bool = False
 ) -> list[tuple[str, str]]:
-    words = {w: _symbolize(w) for w in freqs}
+    sym = _symbolize_raw if raw else _symbolize
+    words = {w: sym(w) for w in freqs}
     # incremental pair bookkeeping (the textbook fast loop): global pair
     # counts + pair -> words index, updated only for words a merge touches
     pair_counts: dict[tuple[str, str], int] = {}
@@ -157,7 +165,12 @@ def _train_from_freqs(
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Apply merges to one word, lowest rank first (the GPT-2 loop)."""
-    syms = list(_symbolize(word))
+    return _encode_syms(list(_symbolize(word)), ranks)
+
+
+def _encode_syms(
+    syms: list[str], ranks: dict[tuple[str, str], int]
+) -> list[str]:
     while len(syms) > 1:
         best_rank = None
         best_i = -1
@@ -372,18 +385,23 @@ def _vocab_from_freqs(
     freqs: dict[str, int],
     merges: list[tuple[str, str]],
     byte_fallback: bool = False,
+    raw: bool = False,
 ) -> dict[str, int]:
-    # base symbols are _symbolize outputs, NOT raw chars: the last char
-    # of every word carries the </w> marker, so "w" and "w</w>" are
-    # distinct vocabulary items (the Sennrich formulation)
+    # base symbols are symbolize outputs: in WORD mode the last char of
+    # every word carries the </w> marker, so "w" and "w</w>" are
+    # distinct vocabulary items (the Sennrich formulation); in RAW mode
+    # symbols are plain chars of the ▁-marked chunk and no </w> piece
+    # exists (the boundary is the ▁ prefix inside piece text)
+    sym = _symbolize_raw if raw else _symbolize
     base = set()
     for w in freqs:
-        base.update(_symbolize(w))
+        base.update(sym(w))
     vocab: dict[str, int] = {UNK: 0, EOS: 1, PAD: 2}
     if byte_fallback:
-        # standalone </w> (so an OOV word-final symbol can still mark the
-        # word end) then the 256 byte pieces, ahead of anything trained
-        vocab[EOW] = len(vocab)
+        if not raw:
+            # standalone </w> (so an OOV word-final symbol can still
+            # mark the word end) ahead of the 256 byte pieces
+            vocab[EOW] = len(vocab)
         for p in BYTE_PIECES:
             vocab[p] = len(vocab)
     for c in sorted(base):
@@ -405,22 +423,31 @@ def bpe_train_with_vocab(
     seed: int = 42,
     sample_fraction: float | None = None,
     byte_fallback: bool = False,
+    raw: bool = False,
 ) -> tuple[list[tuple[str, str]], dict[str, int]]:
     """Train merges AND build the vocab from ONE sample job (code-review
     r11: bpe_train + bpe_vocab back-to-back collected the sample twice
     and relied on sample().limit() re-running identically for the base
-    alphabet to match the merges)."""
+    alphabet to match the merges). ``raw=True`` is the SentencePiece
+    raw-stream mode (the unigram family's twin, r13): merges learn over
+    plain characters of ``"▁" + word`` chunks — boundary inside the
+    merged symbols ("▁the"), no ``</w>`` marker, unspaced scripts
+    segment as a marked stream. Pair with ``bpe_encode_ids_udf(...,
+    raw=True)`` / ``save_tokenizer(..., raw=True)``."""
     freqs = _word_freqs(
         _sample_texts(df, text_col, sample_size, seed, sample_fraction)
     )
-    merges = _train_from_freqs(freqs, num_merges)
-    return merges, _vocab_from_freqs(freqs, merges, byte_fallback)
+    if raw:
+        freqs = {WB + w: f for w, f in freqs.items()}
+    merges = _train_from_freqs(freqs, num_merges, raw=raw)
+    return merges, _vocab_from_freqs(freqs, merges, byte_fallback, raw=raw)
 
 
 def bpe_encode_ids_udf(
     merges: list[tuple[str, str]],
     vocab: dict[str, int],
     byte_fallback: bool | None = None,
+    raw: bool = False,
 ) -> Column:
     """Pandas-UDF factory: col(text) -> ``array<int>`` input_ids
     (``bpe_encode_udf``'s integer twin — same per-worker word memo).
@@ -436,13 +463,22 @@ def bpe_encode_ids_udf(
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     if byte_fallback is None:
-        byte_fallback = has_byte_fallback(vocab)
+        byte_fallback = (
+            _has_byte_pieces(vocab) if raw else has_byte_fallback(vocab)
+        )
     # the memo stores vocab-DEPENDENT ids: two tokenizers sharing a
     # merge list but differing in vocab must not share a memo (a warm
     # python worker would silently return the other vocab's ids)
-    memo_key = f"ids:bf{int(byte_fallback)}:" + hashlib.md5(
+    memo_key = f"ids:raw{int(raw)}:bf{int(byte_fallback)}:" + hashlib.md5(
         (repr(sorted(ranks.items())) + repr(sorted(vocab.items()))).encode()
     ).hexdigest()
+    if raw:
+        return _word_udf(
+            "array<int>",
+            memo_key,
+            _bpe_raw_id_encoder(ranks, vocab, byte_fallback),
+            memo_max_len=256,
+        )
     return _word_udf(
         "array<int>", memo_key, _bpe_id_encoder(ranks, vocab, byte_fallback)
     )
@@ -495,12 +531,39 @@ def _bpe_id_encoder(ranks, vocab: dict[str, int], byte_fallback: bool):
     return enc
 
 
+def _bpe_raw_id_encoder(ranks, vocab: dict[str, int], byte_fallback: bool):
+    """Per-word raw-stream BPE id encoder: the greedy merge loop over
+    plain characters of ``"▁" + word``. No ``</w>`` position logic —
+    raw decode has no terminal-marker semantics; reserved spellings
+    byte-route under byte fallback (the shared rule)."""
+    unk = vocab.get(UNK, 0)
+    if not byte_fallback:
+        return lambda w: [
+            vocab.get(t, unk)
+            for t in _encode_syms(list(WB + w), ranks)
+        ]
+    byte_ids = [vocab[p] for p in BYTE_PIECES]
+
+    def enc(w: str) -> list[int]:
+        out: list[int] = []
+        for t in _encode_syms(list(WB + w), ranks):
+            vid = None if _reserved_symbol(t) else vocab.get(t)
+            if vid is not None:
+                out.append(vid)
+            else:
+                out.extend(byte_ids[b] for b in t.encode("utf-8"))
+        return out
+
+    return enc
+
+
 def bpe_encode_ids(
     df: DataFrame,
     text_col: str,
     merges,
     vocab: dict[str, int],
     out_col: str = "input_ids",
+    raw: bool = False,
 ) -> DataFrame:
     """Adds ``out_col`` (``array<int>``) — the materialized form the
     packing stage consumes: ``bpe_encode_ids`` -> ``pack_token_ids``
@@ -509,7 +572,8 @@ def bpe_encode_ids(
 
     ensure_shipped(df.sparkSession)
     return df.withColumn(
-        out_col, bpe_encode_ids_udf(merges, vocab)(F.col(text_col))
+        out_col,
+        bpe_encode_ids_udf(merges, vocab, raw=raw)(F.col(text_col)),
     )
 
 
@@ -523,23 +587,29 @@ def _atomic_json_dump(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
-def save_tokenizer(path: str, merges, vocab: dict[str, int]) -> None:
+def save_tokenizer(path: str, merges, vocab: dict[str, int],
+                   raw: bool = False) -> None:
     """Persist merges + vocab as one JSON file (atomic tmp+rename) so a
     tokenizer trained once prices/encodes every later corpus
-    identically."""
+    identically. ``raw=True`` tags the raw-stream mode (surfaced as
+    kind ``"bpe_raw"`` by ``load_any_tokenizer`` — the unigram_raw
+    discipline: consumers dispatch or fail loudly)."""
     _atomic_json_dump(
         path,
-        {"kind": "bpe", "merges": [list(m) for m in merges],
-         "vocab": vocab},
+        {"kind": "bpe", "mode": "raw" if raw else "word",
+         "merges": [list(m) for m in merges], "vocab": vocab},
     )
 
 
 def load_tokenizer(path: str):
-    """Inverse of :func:`save_tokenizer` -> (merges, vocab)."""
+    """Inverse of :func:`save_tokenizer` for WORD-mode models ->
+    (merges, vocab). Raw-stream models raise (a caller holding only
+    (merges, vocab) would silently encode without the ▁ marking)."""
     kind, model, vocab = load_any_tokenizer(path)
     if kind != "bpe":
         raise ValueError(
-            f"{path} is a {kind!r} tokenizer, not bpe (use load_unigram)"
+            f"{path} is a {kind!r} tokenizer, not bpe "
+            "(use load_any_tokenizer)"
         )
     return model, vocab
 
@@ -878,12 +948,15 @@ def encode_text_ids(
     if byte_fallback is None:
         byte_fallback = (
             _has_byte_pieces(vocab)
-            if kind == "unigram_raw"
+            if kind in ("unigram_raw", "bpe_raw")
             else has_byte_fallback(vocab)
         )
     if kind == "bpe":
         ranks = {tuple(p): i for i, p in enumerate(model)}
         enc = _bpe_id_encoder(ranks, vocab, byte_fallback)
+    elif kind == "bpe_raw":
+        ranks = {tuple(p): i for i, p in enumerate(model)}
+        enc = _bpe_raw_id_encoder(ranks, vocab, byte_fallback)
     elif kind == "unigram":
         max_len = max((len(p) for p in model), default=1)
         unk_logp = min(model.values(), default=0.0) - 10.0
@@ -936,10 +1009,12 @@ def save_unigram(path: str, pieces: dict[str, float],
 
 
 def load_any_tokenizer(path: str):
-    """One-parse kind dispatch -> ("bpe", merges, vocab),
-    ("unigram", pieces, vocab) or ("unigram_raw", pieces, vocab);
-    raises ValueError on malformed JSON shapes instead of
-    AttributeError."""
+    """One-parse kind dispatch -> ("bpe"|"bpe_raw", merges, vocab) or
+    ("unigram"|"unigram_raw", pieces, vocab); raises ValueError on
+    malformed JSON shapes instead of AttributeError. The ``_raw`` kinds
+    surface the raw-stream mode tag so every consumer dispatches (or
+    fails) loudly instead of silently word-mode-encoding against a
+    ▁-marked model."""
     import json
 
     with open(path) as f:
@@ -947,14 +1022,15 @@ def load_any_tokenizer(path: str):
     if not isinstance(d, dict):
         raise ValueError(f"{path} is not a tokenizer JSON object")
     kind = d.get("kind", "bpe")
+    mode = d.get("mode", "word")
+    if mode not in ("word", "raw"):
+        raise ValueError(f"{path}: unknown tokenizer mode {mode!r}")
     if kind == "unigram":
-        mode = d.get("mode", "word")
-        if mode not in ("word", "raw"):
-            raise ValueError(f"{path}: unknown unigram mode {mode!r}")
         kind = "unigram_raw" if mode == "raw" else "unigram"
         return kind, dict(d["pieces"]), dict(d["vocab"])
     if kind == "bpe":
-        return "bpe", [tuple(m) for m in d["merges"]], dict(d["vocab"])
+        kind = "bpe_raw" if mode == "raw" else "bpe"
+        return kind, [tuple(m) for m in d["merges"]], dict(d["vocab"])
     raise ValueError(f"{path}: unknown tokenizer kind {kind!r}")
 
 

@@ -32,6 +32,19 @@ Scale: decontam is a broadcast-gram membership test, mixing is one stats
 pass + broadcast ratios, the shuffle is one range partitioning, packing
 is one token-stream shuffle — no stage exceeds the linear passes its
 component operators already measured.
+
+Incremental releases (r13, VERDICT r12 #4): ``release_corpus(parent=)``
+diffs the intended corpus against the chain's effective corpus
+(``corpus_diff`` on slim hash projections) and writes/packs ONLY the
+added+changed overlay plus a ``removed/`` id list — at 100 TB a monthly
+release re-tokenizes the churn, not the corpus. The card records the
+parent version + checksum and per-status counts;
+``materialize_documents`` / ``load_release`` rebuild the effective
+corpus latest-link-wins; ``verify_release`` recursively verifies every
+link and the recorded linkage. Sequences are per-link immutable, so
+removed/changed docs' tokens REMAIN in earlier links
+(``stale_parent_docs`` in the card counts them) — compaction is a fresh
+full release.
 """
 
 from __future__ import annotations
@@ -197,10 +210,29 @@ def release_corpus(
     pack_seq_len: int | None = None,
     pack_shards: int = 64,
     profile: bool = False,
+    parent: int | str | None = None,
 ) -> dict:
     """Produce ``root/v<N>/`` with ``documents/`` (shuffled parquet),
     optionally ``sequences/`` (packed input_ids), and ``_RELEASE.json``.
-    Returns the card. See module docstring for the protocol."""
+    Returns the card. See module docstring for the protocol.
+
+    ``parent`` (a version number or ``"latest"``, r13 — VERDICT r12 #4)
+    makes this an INCREMENTAL release: ``docs`` is the full intended
+    corpus, but only documents that are added or changed relative to the
+    parent chain's EFFECTIVE corpus are written and packed — at 100 TB a
+    monthly release must not re-tokenize unchanged documents. The card
+    records the parent version + checksum and per-status diff counts;
+    removed ids land in ``removed/``; :func:`materialize_documents` /
+    :func:`load_release` rebuild the effective corpus (latest link wins
+    per id) and :func:`verify_release` walks the whole chain. Delta
+    constraints, enforced loudly: no mixing anywhere in the chain (epoch
+    sampling is global), same id/text columns, and — when packing — the
+    byte-identical tokenizer and pack knobs as the chain (an input_id is
+    meaningless across vocabularies). Honest caveat, recorded in the
+    card: each link's ``sequences/`` are immutable, so tokens of
+    documents later removed or changed REMAIN in earlier links'
+    sequences (``stale_parent_docs`` counts them); a training run that
+    must not see them re-releases from scratch (compaction)."""
     from jackfruit_spark.operators.curation import (
         decontaminate,
         deterministic_shuffle,
@@ -220,6 +252,52 @@ def release_corpus(
         mix_weights is not None or mix_alpha is not None
     ):
         raise ValueError("mix_weights/mix_alpha need mix_total_tokens")
+
+    parent_card = None
+    if parent is not None:
+        if mix_total_tokens is not None:
+            raise ValueError(
+                "delta releases cannot mix (epoch sampling is global — "
+                "a delta can't re-weight documents it doesn't re-write)"
+            )
+        parent_card = read_card(
+            root, None if parent == "latest" else int(parent)
+        )
+        pk = parent_card["knobs"]
+        if (pk["id_col"], pk["text_col"]) != (id_col, text_col):
+            raise ValueError(
+                f"delta id/text columns ({id_col}, {text_col}) differ "
+                f"from the chain's ({pk['id_col']}, {pk['text_col']})"
+            )
+        if pk.get("mix_total_tokens") is not None:
+            raise ValueError(
+                "delta parent chain must be unmixed (parent "
+                f"v{parent_card['version']} mixed)"
+            )
+        if (pk.get("pack_seq_len") is not None) != (pack_seq_len is not None):
+            raise ValueError(
+                "a delta must pack sequences iff its parent does"
+            )
+        if pack_seq_len is not None:
+            if (
+                pk["pack_seq_len"] != pack_seq_len
+                or pk.get("pack_shards") != pack_shards
+            ):
+                raise ValueError(
+                    "delta pack knobs differ from the chain's "
+                    f"(seq_len {pk['pack_seq_len']}, shards "
+                    f"{pk.get('pack_shards')})"
+                )
+            import hashlib
+
+            with open(tokenizer_path, "rb") as f:
+                tok_md5 = hashlib.md5(f.read()).hexdigest()
+            if tok_md5 != pk.get("tokenizer_md5"):
+                raise ValueError(
+                    "delta tokenizer differs from the chain's — input_ids "
+                    "across links would mean different text; re-release "
+                    "from scratch to change tokenizers"
+                )
 
     swept = _sweep_uncommitted(root)
     version, vdir = _claim_version(root)
@@ -259,6 +337,66 @@ def release_corpus(
         # which would drop a composing caller's persists mid-use)
         cur = own_persist = cur.join(dirty, on=id_col, how="left_anti").persist()
         card["stages"]["decontaminated"] = cur.count()
+    delta_persist = None
+    if parent_card is not None:
+        from jackfruit_spark.operators.diff import (
+            STATUS_ADDED,
+            STATUS_CHANGED,
+            STATUS_REMOVED,
+            STATUS_UNCHANGED,
+            corpus_diff,
+        )
+
+        pv = parent_card["version"]
+        # diff against the chain's EFFECTIVE corpus (a delta-of-delta
+        # must see through its parent's own overlay)
+        eff_parent = materialize_documents(spark, root, pv).select(
+            id_col, text_col
+        )
+        labeled = delta_persist = corpus_diff(
+            eff_parent, cur.select(id_col, text_col),
+            id_col=id_col, content_cols=[text_col],
+        ).persist()
+        counts = {
+            r["status"]: int(r["n"])
+            for r in labeled.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        counts = {
+            s: counts.get(s, 0)
+            for s in (
+                STATUS_ADDED, STATUS_REMOVED, STATUS_CHANGED,
+                STATUS_UNCHANGED,
+            )
+        }
+        removed_df = labeled.filter(
+            F.col("status") == STATUS_REMOVED
+        ).select(id_col)
+        if counts[STATUS_REMOVED]:
+            removed_df.write.mode("overwrite").parquet(
+                os.path.join(vdir, "removed")
+            )
+        # only new payload is written and packed — the whole point
+        cur = cur.join(
+            labeled.filter(
+                F.col("status").isin(STATUS_ADDED, STATUS_CHANGED)
+            ).select(id_col),
+            on=id_col,
+            how="left_semi",
+        )
+        card["delta"] = {
+            "parent_version": pv,
+            # linkage pin: verify_release checks the parent card still
+            # carries this checksum before trusting the chain
+            "parent_checksum": parent_card["checksum_xxh64_sum"],
+            **counts,
+            # tokens of removed/changed docs persist in earlier links'
+            # immutable sequences — the honest staleness number
+            "stale_parent_docs": counts[STATUS_REMOVED]
+            + counts[STATUS_CHANGED],
+        }
+        _touch_lease(vdir)
     if mix_total_tokens is not None:
         cur = mix_corpus(
             cur,
@@ -292,12 +430,18 @@ def release_corpus(
     _touch_lease(vdir)
     if own_persist is not None:
         own_persist.unpersist(blocking=False)  # everything below reads parquet
+    if delta_persist is not None:
+        delta_persist.unpersist(blocking=False)
 
     # churn vs the previous committed release: the operational "what did
     # this rerun change" answer, free to compute here because both sides
     # are slim parquet scans (corpus_diff ships 16 bytes/row through its
     # join). Epoch copies share (id, text), so diff on distinct ids.
-    committed = [v for v in _versions(root, committed_only=True) if v < version]
+    # Deltas skip it — card["delta"] already carries the effective-corpus
+    # diff, and vN's directory holds only the overlay.
+    committed = [
+        v for v in _versions(root, committed_only=True) if v < version
+    ] if parent_card is None else []
     if committed:
         from jackfruit_spark.operators.diff import (
             STATUS_ADDED,
@@ -404,6 +548,10 @@ def release_corpus(
             f.write(tok_bytes)
         if kind == "bpe":
             ids = bpe_encode_ids_udf(model, vocab)(F.col(text_col))
+        elif kind == "bpe_raw":
+            ids = bpe_encode_ids_udf(model, vocab, raw=True)(
+                F.col(text_col)
+            )
         elif kind == "unigram":
             ids = unigram_encode_ids_udf(model, vocab)(F.col(text_col))
         elif kind == "unigram_raw":
@@ -477,7 +625,7 @@ def release_corpus(
         card["knobs"]["tokenizer_md5"] = tokenizer_md5
         card["knobs"]["tokenizer_byte_fallback"] = (
             _has_byte_pieces(vocab)
-            if kind == "unigram_raw"
+            if kind in ("unigram_raw", "bpe_raw")
             else has_byte_fallback(vocab)
         )
 
@@ -568,6 +716,25 @@ def verify_release(
         out["tokenizer_md5_expected"] = card["knobs"]["tokenizer_md5"]
         out["tokenizer_md5_actual"] = tok_actual
         out["ok"] = out["ok"] and tok_actual == card["knobs"]["tokenizer_md5"]
+    if "delta" in card:
+        # walk the chain (r13): a delta is only as good as every link
+        # under it — recursively verify the parent AND pin the linkage
+        # (the parent card must still carry the checksum this delta was
+        # cut against; a re-written parent card fails here even if it is
+        # self-consistent)
+        pv = card["delta"]["parent_version"]
+        try:
+            pres = verify_release(spark, root, pv)
+            parent_ok = pres["ok"]
+            linkage_ok = (
+                pres["checksum_expected"] == card["delta"]["parent_checksum"]
+            )
+        except Exception:  # noqa: BLE001 — missing/corrupt parent = broken
+            parent_ok = linkage_ok = False
+        out["parent_version"] = pv
+        out["parent_ok"] = parent_ok
+        out["parent_linkage_ok"] = linkage_ok
+        out["ok"] = out["ok"] and parent_ok and linkage_ok
     return out
 
 
@@ -583,7 +750,16 @@ def load_release(
     the embedded ``tokenizer.json``). ``verify=True`` runs
     :func:`verify_release` first and raises ``ValueError`` on any
     integrity mismatch — the paranoid path a training run should take
-    before reading 100 TB of sequences."""
+    before reading 100 TB of sequences.
+
+    For a DELTA release (r13): ``documents`` is the chain-materialized
+    effective corpus (:func:`materialize_documents`); ``sequences`` is
+    the union of every link's packed sequences with a
+    ``release_version`` column — and, per the delta caveat, includes
+    stale tokens of docs later links removed or changed when any link
+    reports ``stale_parent_docs`` > 0 (surfaced as
+    ``stale_parent_docs`` in the returned dict so a consumer can refuse
+    them)."""
     card = read_card(root, version)
     v = card["version"]
     if verify:
@@ -593,12 +769,32 @@ def load_release(
     vdir = os.path.join(root, f"v{v}")
     out = {
         "card": card,
-        "documents": spark.read.parquet(os.path.join(vdir, "documents")),
+        "documents": None,
         "sequences": None,
         "tokenizer": None,
     }
-    if "sequences" in card["stages"]:
-        out["sequences"] = spark.read.parquet(os.path.join(vdir, "sequences"))
+    if "delta" in card:
+        out["documents"] = materialize_documents(spark, root, v)
+        chain = _chain_cards(root, v)
+        out["stale_parent_docs"] = sum(
+            c["delta"]["stale_parent_docs"] for c in chain if "delta" in c
+        )
+        if all("sequences" in c["stages"] for c in chain):
+            seqs = None
+            for c in chain:
+                s = spark.read.parquet(
+                    os.path.join(root, f"v{c['version']}", "sequences")
+                ).withColumn("release_version", F.lit(int(c["version"])))
+                seqs = s if seqs is None else seqs.unionByName(s)
+            out["sequences"] = seqs
+    else:
+        out["documents"] = spark.read.parquet(
+            os.path.join(vdir, "documents")
+        )
+        if "sequences" in card["stages"]:
+            out["sequences"] = spark.read.parquet(
+                os.path.join(vdir, "sequences")
+            )
     tok_file = os.path.join(vdir, "tokenizer.json")
     if os.path.exists(tok_file):
         from jackfruit_spark.functions.tokenizer import load_any_tokenizer
@@ -616,3 +812,45 @@ def read_card(root: str, version: int | None = None) -> dict:
         version = committed[-1]
     with open(os.path.join(root, f"v{version}", "_RELEASE.json")) as f:
         return json.load(f)
+
+
+def _chain_cards(root: str, version: int | None = None) -> list[dict]:
+    """Base-first card list from the chain's base release to ``version``
+    (inclusive), following delta parent links. Bounded by the number of
+    committed versions — a cycle (corrupt cards) raises instead of
+    looping."""
+    cards = [read_card(root, version)]
+    seen = {cards[0]["version"]}
+    while "delta" in cards[-1]:
+        p = cards[-1]["delta"]["parent_version"]
+        if p in seen:
+            raise ValueError(f"release chain cycle at v{p} under {root}")
+        seen.add(p)
+        cards.append(read_card(root, p))
+    return list(reversed(cards))
+
+
+def materialize_documents(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The EFFECTIVE document set of a (possibly delta) release: the
+    base link's documents with, per delta link in chain order, that
+    link's removed ids and re-written ids dropped and its payload
+    unioned — latest link wins per id. A non-delta version returns its
+    own documents unchanged. Slim by construction: each overlay ships
+    only ids through the anti-join."""
+    cards = _chain_cards(root, version)
+    cur = spark.read.parquet(
+        os.path.join(root, f"v{cards[0]['version']}", "documents")
+    )
+    for card in cards[1:]:
+        vdir = os.path.join(root, f"v{card['version']}")
+        id_col = card["knobs"]["id_col"]
+        ddocs = spark.read.parquet(os.path.join(vdir, "documents"))
+        drop = ddocs.select(id_col)
+        if card["delta"]["removed"]:
+            drop = drop.unionByName(
+                spark.read.parquet(os.path.join(vdir, "removed"))
+            )
+        cur = cur.join(drop, on=id_col, how="left_anti").unionByName(ddocs)
+    return cur

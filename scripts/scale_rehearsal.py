@@ -326,6 +326,9 @@ def heavy_family():
         # per-row re-train reads ~1.0
         "text_normalize": Q.text_normalize,
         "unigram_tokenize": Q.unigram_tokenize,
+        # trained language ID (r13): bounded per-lang sample train
+        # (constant by construction) + map-only Arrow scoring
+        "langid_score": Q.langid_score,
         # topic clustering (r11 s3): bounded driver-side k-means sample +
         # linear embed/assign/join/stats — expected overhead->linear
         "topic_cluster": Q.topic_cluster,

@@ -576,3 +576,195 @@ def test_cli_curate_lm_order(spark, tmp_path, capsys):
     ])
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and stats["curated"] > 0
+
+
+class TestArpa:
+    """ARPA import/export (r13, VERDICT r12 #5): standard backoff
+    semantics pinned against a handwritten file, byte-deterministic
+    export, bit-identical save->load->score, cross-kind loader errors,
+    duck-typing into the perplexity tier."""
+
+    HAND = """\\data\\
+ngram 1=3
+ngram 2=1
+
+\\1-grams:
+-0.5\ta\t-0.30103
+-0.7\tb\t-0.30103
+-2.0\t<unk>\t0.0
+
+\\2-grams:
+-0.1\ta b
+
+\\end\\
+"""
+
+    def test_handwritten_reference_semantics(self, tmp_path):
+        from jackfruit_spark.functions.lm import load_arpa
+
+        p = str(tmp_path / "hand.arpa")
+        with open(p, "w") as f:
+            f.write(self.HAND)
+        m = load_arpa(p)
+        assert m.order == 2
+        # listed bigram: its own prob
+        assert m.log10_p(("a",), "b") == -0.1
+        # unlisted bigram, LISTED context: bow(a) + p(a) ... p(w|ctx[1:])
+        assert m.log10_p(("a",), "a") == pytest.approx(-0.30103 + -0.5)
+        # unlisted bigram, UNLISTED context: bow = 0
+        assert m.log10_p(("zz",), "b") == -0.7
+        # OOV word -> <unk>
+        assert m.log10_p(("a",), "zz") == pytest.approx(-0.30103 + -2.0)
+        # doc_perplexity framing: exp(-mean ln p) over n-1 transitions
+        want = math.exp(-math.log(10.0) * (-0.1) / 1)
+        assert m.doc_perplexity("a b") == pytest.approx(want)
+
+    def test_export_load_bit_identical_and_deterministic(
+        self, spark, corpus, tmp_path
+    ):
+        from jackfruit_spark.functions.lm import (
+            export_arpa,
+            load_arpa,
+            train_ngram_lm,
+        )
+
+        lm = train_ngram_lm(corpus, "text", order=4)
+        p1, p2 = str(tmp_path / "a.arpa"), str(tmp_path / "b.arpa")
+        export_arpa(lm, p1)
+        export_arpa(lm, p2)
+        assert open(p1).read() == open(p2).read()  # byte-deterministic
+        m1 = load_arpa(p1)
+        # load -> re-export round-trips byte-identically (repr floats)
+        from jackfruit_spark.functions.lm import ArpaLM
+
+        assert isinstance(m1, ArpaLM)
+        texts = [
+            "the cat sat on the mat",
+            "a dog ran fast",
+            "unknown words entirely",
+            "the cat sat on the mat the cat ran",
+        ]
+        m2 = load_arpa(p2)
+        for t in texts:
+            a, b = m1.doc_perplexity(t), m2.doc_perplexity(t)
+            assert a == b  # BIT-identical across save/load cycles
+        # and scores agree with the in-memory NgramLM wherever the
+        # context chain is in-table (the documented equivalence)
+        for t in texts[:2]:
+            assert m1.doc_perplexity(t) == pytest.approx(
+                lm.doc_perplexity(t), rel=1e-9
+            )
+
+    def test_ngram_ranking_preserved(self, spark, corpus, tmp_path):
+        """The CCNet decision (which doc is more in-distribution) must
+        survive the export: perplexity ORDER matches NgramLM's."""
+        from jackfruit_spark.functions.lm import (
+            export_arpa,
+            load_arpa,
+            train_ngram_lm,
+        )
+
+        lm = train_ngram_lm(corpus, "text", order=5)
+        p = str(tmp_path / "m.arpa")
+        export_arpa(lm, p)
+        m = load_arpa(p)
+        texts = [
+            "the cat sat on the mat",
+            "the dog sat on the mat",
+            "dog the fast a ran cat",
+            "qq ww ee rr tt yy",
+        ]
+        order_mem = sorted(texts, key=lm.doc_perplexity)
+        order_arpa = sorted(texts, key=m.doc_perplexity)
+        assert order_mem == order_arpa
+
+    def test_cross_kind_loader_errors(self, tmp_path):
+        import json as _json
+
+        from jackfruit_spark.functions.lm import export_arpa, load_arpa
+
+        notarpa = str(tmp_path / "tok.json")
+        with open(notarpa, "w") as f:
+            _json.dump({"kind": "bpe", "merges": [], "vocab": {}}, f)
+        with pytest.raises(ValueError, match="not an ARPA"):
+            load_arpa(notarpa)
+        # count mismatch is loud
+        bad = str(tmp_path / "bad.arpa")
+        with open(bad, "w") as f:
+            f.write(self.HAND.replace("ngram 1=3", "ngram 1=7"))
+        with pytest.raises(ValueError, match="declares 7"):
+            load_arpa(bad)
+        # exporting a non-NgramLM is a TypeError
+        from jackfruit_spark.functions.lm import BigramLM
+
+        bl = BigramLM({"a": 1}, {}, 1)
+        with pytest.raises(TypeError, match="NgramLM family"):
+            export_arpa(bl, str(tmp_path / "x.arpa"))
+
+    def test_arpa_drives_perplexity_tier(self, spark, corpus, tmp_path):
+        """Duck-typing: an ARPA-loaded model slots into with_perplexity
+        and curate_corpus(max_perplexity=) unchanged — the 'externally
+        trained LM drives the tier' contract."""
+        from jackfruit_spark.functions.lm import (
+            export_arpa,
+            load_arpa,
+            train_ngram_lm,
+        )
+        from jackfruit_spark.operators.curation import curate_corpus
+
+        lm = train_ngram_lm(corpus, "text", order=4)
+        p = str(tmp_path / "m.arpa")
+        export_arpa(lm, p)
+        m = load_arpa(p)
+        scored = with_perplexity(corpus, "text", m).collect()
+        assert all(r["perplexity"] is not None for r in scored)
+        kept = curate_corpus(
+            corpus.withColumn("doc_id", F.col("doc_id").cast("long")),
+            lang=None, min_tokens=1, min_stop_ratio=0.0,
+            lm=m, max_perplexity=1e12,
+        )
+        assert kept.count() > 0
+
+    def test_cli_arpa_knobs(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from jackfruit_spark.__main__ import main
+
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(i, "the cat sat on the mat " * 4, "en") for i in range(30)],
+            "doc_id long, text string, lang string",
+        ).write.parquet(src)
+        arpa = str(tmp_path / "m.arpa")
+        out1 = str(tmp_path / "out1")
+        rc = main([
+            "curate", "--input", src, "--output", out1,
+            "--input-format", "parquet", "--min-tokens", "1",
+            "--min-stop-ratio", "0",
+            "--max-perplexity", "1e12", "--lm-order", "5",
+            "--lm-arpa-export", arpa,
+        ])
+        assert rc == 0
+        import os as _os
+
+        assert _os.path.exists(arpa)
+        capsys.readouterr()
+        out2 = str(tmp_path / "out2")
+        rc = main([
+            "curate", "--input", src, "--output", out2,
+            "--input-format", "parquet", "--min-tokens", "1",
+            "--min-stop-ratio", "0",
+            "--max-perplexity", "1e12", "--lm-arpa", arpa,
+        ])
+        stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and stats["curated"] > 0
+        # --lm-arpa without a cap is rejected
+        with pytest.raises(SystemExit, match="max-perplexity"):
+            main(["curate", "--input", src, "--output", out2,
+                  "--input-format", "parquet", "--lm-arpa", arpa])
+        # export without a stupid-backoff model is rejected
+        with pytest.raises(SystemExit, match="lm-order 4 or 5"):
+            main(["curate", "--input", src, "--output", out2,
+                  "--input-format", "parquet",
+                  "--max-perplexity", "1e12", "--lm-order", "2",
+                  "--lm-arpa-export", arpa])

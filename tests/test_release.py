@@ -519,3 +519,216 @@ def test_card_token_accounting(spark, tmp_path):
     # stream conservation: packed = encoded + one eos per doc - tails
     assert packed <= enc + docs
     assert enc + docs - packed < 64 * 64  # tails bounded by shards*len
+
+
+class TestDeltaRelease:
+    """Incremental releases (r13, VERDICT r12 #4): vN packs only
+    added/changed docs, the card records the chain, verify walks it,
+    load materializes the union."""
+
+    def _tok(self, spark, tmp_path):
+        from jackfruit_spark.functions.tokenizer import (
+            bpe_train_with_vocab,
+            save_tokenizer,
+        )
+
+        d = _docs(spark)
+        merges, vocab = bpe_train_with_vocab(d, "text", num_merges=20)
+        tok_path = str(tmp_path / "tok.json")
+        save_tokenizer(tok_path, merges, vocab)
+        return tok_path
+
+    def _delta_docs(self, spark):
+        """60-doc base -> drop 2 ids, change 3 texts, add 4 new docs."""
+        base = _docs(spark)
+        changed = base.filter(~F.col("doc_id").isin(0, 1)).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id").isin(2, 3, 4),
+                F.concat(F.col("text"), F.lit(" changed")),
+            ).otherwise(F.col("text")),
+        )
+        added = spark.createDataFrame(
+            [(100 + i, f"brand new doc {i} " * 5, "web") for i in range(4)],
+            "doc_id long, text string, source string",
+        )
+        return changed.unionByName(added)
+
+    def test_delta_writes_only_overlay_and_card_counts(
+        self, spark, tmp_path
+    ):
+        from jackfruit_spark.operators.release import materialize_documents
+
+        tok = self._tok(spark, tmp_path)
+        root = str(tmp_path / "rel")
+        release_corpus(spark, _docs(spark), root,
+                       tokenizer_path=tok, pack_seq_len=32)
+        card = release_corpus(
+            spark, self._delta_docs(spark), root, parent="latest",
+            tokenizer_path=tok, pack_seq_len=32,
+        )
+        assert card["delta"]["parent_version"] == 1
+        assert card["delta"]["added"] == 4
+        assert card["delta"]["changed"] == 3
+        assert card["delta"]["removed"] == 2
+        assert card["delta"]["unchanged"] == 55
+        assert card["delta"]["stale_parent_docs"] == 5
+        # the overlay holds ONLY added+changed payload
+        assert card["stages"]["released_docs"] == 7
+        v2 = spark.read.parquet(str(tmp_path / "rel" / "v2" / "documents"))
+        assert v2.count() == 7
+        removed = spark.read.parquet(str(tmp_path / "rel" / "v2" / "removed"))
+        assert sorted(r.doc_id for r in removed.collect()) == [0, 1]
+        # the effective corpus is the union, latest wins
+        eff = materialize_documents(spark, root)
+        assert eff.count() == 62
+        got = {r["doc_id"]: r["text"] for r in eff.collect()}
+        assert 0 not in got and 1 not in got
+        assert got[2].endswith(" changed")
+        assert got[100].startswith("brand new")
+        assert got[10] == _docs(spark).filter("doc_id = 10").first()["text"]
+
+    def test_verify_walks_chain_and_tamper_flips_either_link(
+        self, spark, tmp_path
+    ):
+        import glob
+
+        from jackfruit_spark.operators.release import verify_release
+
+        tok = self._tok(spark, tmp_path)
+        root = str(tmp_path / "rel")
+        release_corpus(spark, _docs(spark), root,
+                       tokenizer_path=tok, pack_seq_len=32)
+        release_corpus(
+            spark, self._delta_docs(spark), root, parent="latest",
+            tokenizer_path=tok, pack_seq_len=32,
+        )
+        res = verify_release(spark, root)
+        assert res["ok"] and res["parent_ok"] and res["parent_linkage_ok"]
+        # tamper the PARENT's sequences: the delta's verify must flip
+        victim = sorted(
+            glob.glob(str(tmp_path / "rel" / "v1" / "sequences" / "*.parquet"))
+        )[0]
+        os.remove(victim)
+        res = verify_release(spark, root)
+        assert not res["ok"] and not res["parent_ok"]
+
+    def test_delta_rejects_mix_and_knob_drift(self, spark, tmp_path):
+        tok = self._tok(spark, tmp_path)
+        root = str(tmp_path / "rel")
+        release_corpus(spark, _docs(spark), root,
+                       tokenizer_path=tok, pack_seq_len=32)
+        d = self._delta_docs(spark)
+        with pytest.raises(ValueError, match="cannot mix"):
+            release_corpus(spark, d, root, parent="latest",
+                           mix_total_tokens=100, mix_alpha=0.5)
+        with pytest.raises(ValueError, match="pack knobs differ"):
+            release_corpus(spark, d, root, parent="latest",
+                           tokenizer_path=tok, pack_seq_len=64)
+        with pytest.raises(ValueError, match="iff its parent"):
+            release_corpus(spark, d, root, parent="latest")
+        # a different tokenizer is rejected byte-for-byte
+        from jackfruit_spark.functions.tokenizer import (
+            bpe_train_with_vocab,
+            save_tokenizer,
+        )
+
+        m2, v2 = bpe_train_with_vocab(d, "text", num_merges=5)
+        tok2 = str(tmp_path / "tok2.json")
+        save_tokenizer(tok2, m2, v2)
+        with pytest.raises(ValueError, match="tokenizer differs"):
+            release_corpus(spark, d, root, parent="latest",
+                           tokenizer_path=tok2, pack_seq_len=32)
+        # mixed parents refuse deltas
+        root2 = str(tmp_path / "rel_mixed")
+        release_corpus(spark, _docs(spark), root2,
+                       mix_total_tokens=5000, mix_alpha=0.5)
+        with pytest.raises(ValueError, match="unmixed"):
+            release_corpus(spark, d, root2, parent="latest")
+
+    def test_load_release_union_and_token_accounting(self, spark, tmp_path):
+        from jackfruit_spark.operators.release import load_release
+
+        tok = self._tok(spark, tmp_path)
+        root = str(tmp_path / "rel")
+        release_corpus(spark, _docs(spark), root,
+                       tokenizer_path=tok, pack_seq_len=32)
+        card = release_corpus(
+            spark, self._delta_docs(spark), root, parent="latest",
+            tokenizer_path=tok, pack_seq_len=32,
+        )
+        # token accounting stays exact over the overlay: packed ==
+        # sequences * seq_len (drop_last), encoded counted on the same
+        # action
+        assert card["stages"]["packed_tokens"] == (
+            card["stages"]["sequences"] * 32
+        )
+        assert card["stages"]["encoded_tokens"] > 0
+        out = load_release(spark, root, verify=True)
+        assert out["documents"].count() == 62
+        assert out["stale_parent_docs"] == 5
+        seqs = out["sequences"]
+        assert set(
+            r["release_version"]
+            for r in seqs.select("release_version").distinct().collect()
+        ) == {1, 2}
+        assert out["tokenizer"] is not None
+
+    def test_delta_of_delta_diffs_against_effective_corpus(
+        self, spark, tmp_path
+    ):
+        from jackfruit_spark.operators.release import materialize_documents
+
+        root = str(tmp_path / "rel")
+        release_corpus(spark, _docs(spark), root)
+        release_corpus(spark, self._delta_docs(spark), root, parent="latest")
+        # third link: re-add id 0, change id 100, drop id 2
+        d3 = self._delta_docs(spark).filter("doc_id != 2").withColumn(
+            "text",
+            F.when(F.col("doc_id") == 100, F.lit("rewritten")).otherwise(
+                F.col("text")
+            ),
+        ).unionByName(_docs(spark).filter("doc_id = 0"))
+        card = release_corpus(spark, d3, root, parent="latest")
+        assert card["delta"]["parent_version"] == 2
+        assert card["delta"]["added"] == 1      # id 0 re-added
+        assert card["delta"]["changed"] == 1    # id 100
+        assert card["delta"]["removed"] == 1    # id 2
+        eff = materialize_documents(spark, root)
+        got = {r["doc_id"]: r["text"] for r in eff.collect()}
+        assert eff.count() == 62  # 62 - removed 2 + re-added 0
+        assert 2 not in got and 0 in got and got[100] == "rewritten"
+
+    def test_empty_delta(self, spark, tmp_path):
+        """An unchanged corpus produces a zero-overlay delta that still
+        verifies and materializes identically."""
+        from jackfruit_spark.operators.release import (
+            materialize_documents,
+            verify_release,
+        )
+
+        root = str(tmp_path / "rel")
+        release_corpus(spark, _docs(spark), root)
+        card = release_corpus(spark, _docs(spark), root, parent="latest")
+        assert card["delta"]["added"] == card["delta"]["removed"] == 0
+        assert card["stages"]["released_docs"] == 0
+        assert verify_release(spark, root)["ok"]
+        assert materialize_documents(spark, root).count() == 60
+
+    def test_cli_parent_knob(self, spark, tmp_path, capsys):
+        from jackfruit_spark.__main__ import main
+
+        src = str(tmp_path / "docs")
+        _docs(spark).write.parquet(src)
+        root = str(tmp_path / "rel")
+        assert main(["release", "--input", src, "--root", root]) == 0
+        capsys.readouterr()
+        src2 = str(tmp_path / "docs2")
+        self._delta_docs(spark).write.parquet(src2)
+        rc = main(["release", "--input", src2, "--root", root,
+                   "--parent", "latest"])
+        assert rc == 0
+        card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert card["delta"]["parent_version"] == 1
+        rc = main(["release", "--root", root, "--verify"])
+        assert rc == 0

@@ -55,6 +55,10 @@ GUARDED = {
     # as the other overhead->linear keys
     "text_normalize": 0.50,
     "unigram_tokenize": 0.50,
+    # trained language ID (r13): fixed-sample train + map-only Arrow
+    # scoring — same overhead->linear band; a per-row re-train or a
+    # corpus-sized collect reads ~1.0
+    "langid_score": 0.50,
     # topic clustering (r11 s3): bounded quantizer sample + linear
     # embed/assign/join. Ceiling 0.65, not the 0.50 band: measured 0.45
     # on the zipf rehearsal but 0.52 under THIS harness's uniform vocab

@@ -975,11 +975,6 @@ class TestRawStreamMode:
             "doc_id long, text string",
         ).write.parquet(src)
         tok = str(tmp_path / "tok.json")
-        # --raw without unigram is rejected
-        rc = main(["tokenize", "--input", src, "--tokenizer", tok,
-                   "--train", "--raw"])
-        assert rc == 2
-        capsys.readouterr()
         rc = main(["tokenize", "--input", src, "--tokenizer", tok,
                    "--train", "--algo", "unigram", "--raw",
                    "--vocab-size", "400", "--sample-size", "100",
@@ -997,3 +992,141 @@ class TestRawStreamMode:
         assert "cjk_thai" in fbs and "latin" in fbs
         # in-sample CJK/Thai segments well below the 3-bytes/char floor
         assert fbs["cjk_thai"]["tokens_per_char"] < 1.5
+
+
+class TestRawStreamBpe:
+    """Raw-stream BPE (r13): the unigram raw mode's merge-based twin —
+    merges learn over ▁-marked chunks' plain chars, no </w> marker."""
+
+    @pytest.fixture(scope="class")
+    def raw_bpe(self, spark):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        rows = (
+            [("the newest low newest the",)] * 6
+            + [("低い新しい低い新しい気温データ気温",)] * 6
+            + [("the lowest widest",)] * 3
+        )
+        d = spark.createDataFrame(rows, ["text"])
+        return tk.bpe_train_with_vocab(
+            d, "text", num_merges=80, sample_size=100,
+            byte_fallback=True, raw=True,
+        )
+
+    def test_merges_carry_boundary_no_eow(self, raw_bpe):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        merges, vocab = raw_bpe
+        # ▁-prefixed merged symbols exist; nothing carries </w>
+        assert any((a + b).startswith(tk.WB) for a, b in merges)
+        assert not any(tk.EOW in (a + b) for a, b in merges)
+        assert tk.EOW not in vocab
+        assert tk._has_byte_pieces(vocab)
+        assert sorted(vocab.values()) == list(range(len(vocab)))
+
+    def test_udf_matches_driver_and_roundtrips(self, spark, raw_bpe):
+        from jackfruit_spark.functions import tokenizer as tk
+
+        merges, vocab = raw_bpe
+        texts = [
+            "the newest low",
+            "低い新しい気温",
+            "OOV zebra?! 中文漢字",
+            "lit▁eral marker",
+            "", None,
+        ]
+        d = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["input_ids"]
+            for r in tk.bpe_encode_ids(
+                d, "text", merges, vocab, raw=True
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            want = tk.encode_text_ids(t or "", "bpe_raw", merges, vocab)
+            assert got[i] == want
+            assert vocab["<unk>"] not in got[i]
+            expect = " ".join((t or "").replace(tk.WB, " ").split())
+            assert tk.decode_ids(got[i], vocab, raw=True) == expect
+
+    def test_hypothesis_roundtrip_spaceless(self, raw_bpe):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from jackfruit_spark.functions import tokenizer as tk
+
+        merges, vocab = raw_bpe
+        unk = vocab["<unk>"]
+        alphabet = st.one_of(
+            st.characters(min_codepoint=0x4E00, max_codepoint=0x4E80),
+            st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        )
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.text(alphabet=alphabet, max_size=40))
+        def check(text):
+            ids = tk.encode_text_ids(text, "bpe_raw", merges, vocab)
+            assert unk not in ids
+            want = " ".join(text.replace(tk.WB, " ").split())
+            assert tk.decode_ids(ids, vocab, raw=True) == want
+
+        check()
+
+    def test_save_load_kind_tag_and_cli(self, spark, raw_bpe, tmp_path,
+                                        capsys):
+        import json
+
+        from jackfruit_spark.__main__ import main
+        from jackfruit_spark.functions import tokenizer as tk
+
+        merges, vocab = raw_bpe
+        p = str(tmp_path / "raw_bpe.json")
+        tk.save_tokenizer(p, merges, vocab, raw=True)
+        kind, m2, v2 = tk.load_any_tokenizer(p)
+        assert kind == "bpe_raw" and m2 == merges and v2 == vocab
+        with pytest.raises(ValueError, match="not bpe"):
+            tk.load_tokenizer(p)
+        # CLI: train a raw bpe, encode with auto-detection, zero unk
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(i, "newest widest low lower " * 3) for i in range(6)]
+            + [(99, "低い新しい気温" * 4)],
+            "doc_id long, text string",
+        ).write.parquet(src)
+        tok = str(tmp_path / "tok.json")
+        rc = main(["tokenize", "--input", src, "--tokenizer", tok,
+                   "--train", "--raw", "--num-merges", "40",
+                   "--sample-size", "100", "--byte-fallback"])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["mode"] == "raw"
+        assert tk.load_any_tokenizer(tok)[0] == "bpe_raw"
+        out = str(tmp_path / "ids")
+        rc = main(["tokenize", "--input", src, "--tokenizer", tok,
+                   "--output", out])
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and stats["unk_rate"] == 0.0 and stats["tokens"] > 0
+
+    def test_release_pack_leg_bpe_raw(self, spark, raw_bpe, tmp_path):
+        from jackfruit_spark.functions import tokenizer as tk
+        from jackfruit_spark.operators.release import (
+            release_corpus,
+            verify_release,
+        )
+
+        merges, vocab = raw_bpe
+        tok_path = str(tmp_path / "tok.json")
+        tk.save_tokenizer(tok_path, merges, vocab, raw=True)
+        d = spark.createDataFrame(
+            [(i, "the newest low 低い気温 %d" % i, "web") for i in range(20)],
+            "doc_id long, text string, source string",
+        )
+        root = str(tmp_path / "rel")
+        card = release_corpus(
+            spark, d, root, tokenizer_path=tok_path, pack_seq_len=32,
+        )
+        assert card["knobs"]["tokenizer_kind"] == "bpe_raw"
+        assert card["knobs"]["tokenizer_byte_fallback"] is True
+        assert verify_release(spark, root)["ok"]
