@@ -143,19 +143,70 @@ def train_langid(
     labeled = corpora.select(
         F.col(lang_col).alias("__lang"), F.col(text_col).alias("__text")
     ).filter(F.col("__lang").isNotNull() & F.col("__text").isNotNull())
-    # deterministic bounded sample per language in ONE collect: seeded
-    # hash rank within each lang partition, top sample_per_lang kept
+    # Deterministic bounded sample per language WITHOUT sorting the
+    # whole labeled corpus (the r8 url-tier lesson: a per-language
+    # row_number window over a 100 TB corpus is one giant sort task per
+    # language, and one dominant language is one giant straggler). One
+    # slim count pass sizes a seeded hash-BUCKET prefilter keeping ~4x
+    # the target per language; the window's order key IS the bucket
+    # value, so filtering to small buckets keeps a superset of the
+    # global top-N whenever >= N rows survive — verified per language,
+    # with an unfiltered-window fallback for any shortfall (vanishingly
+    # unlikely at 4x oversampling, never a silently smaller sample).
     from pyspark.sql import Window
 
-    w = Window.partitionBy("__lang").orderBy(
-        F.xxhash64("__text", F.lit(seed)), "__text"
+    buckets = 1 << 30
+    bucket = F.pmod(F.xxhash64("__text", F.lit(seed)), F.lit(buckets))
+    counts = {
+        r["__lang"]: int(r["n"])
+        for r in labeled.groupBy("__lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        raise ValueError("train_langid got an empty labeled frame")
+    thr = None
+    for lg in sorted(counts):
+        n = counts[lg]
+        t = (
+            buckets
+            if n <= 4 * sample_per_lang
+            else int(buckets * 4.0 * sample_per_lang / n) + 1
+        )
+        cond = F.col("__lang") == lg
+        thr = (
+            F.when(cond, F.lit(t))
+            if thr is None
+            else thr.when(cond, F.lit(t))
+        )
+
+    def windowed(frame):
+        w = Window.partitionBy("__lang").orderBy("__b", "__text")
+        return (
+            frame.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= sample_per_lang)
+            .select("__lang", "__text")
+            .toPandas()
+        )
+
+    pdf = windowed(
+        labeled.withColumn("__b", bucket).filter(F.col("__b") < thr)
     )
-    pdf = (
-        labeled.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= sample_per_lang)
-        .select("__lang", "__text")
-        .toPandas()
-    )
+    got = pdf.groupby("__lang").size().to_dict() if len(pdf) else {}
+    short = [
+        lg
+        for lg, n in counts.items()
+        if got.get(lg, 0) < min(sample_per_lang, n)
+    ]
+    if short:
+        extra = windowed(
+            labeled.filter(F.col("__lang").isin(short)).withColumn(
+                "__b", bucket
+            )
+        )
+        pdf = pd.concat(
+            [pdf[~pdf["__lang"].isin(short)], extra], ignore_index=True
+        )
     langs = sorted(pdf["__lang"].unique())
     if len(langs) < 2:
         raise ValueError(

@@ -671,6 +671,7 @@ def unigram_train(
     em_iters: int = 4,
     prune_frac: float = 0.25,
     raw: bool = False,
+    max_train_chars: int = 2_000_000,
 ) -> dict[str, float]:
     """Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 — the
     SentencePiece algorithm), the subword family BPE can't express:
@@ -704,7 +705,7 @@ def unigram_train(
         freqs = {WB + w: f for w, f in freqs.items()}
     return _unigram_train_from_freqs(
         freqs, vocab_size, max_piece_len, seed_multiplier, em_iters,
-        prune_frac,
+        prune_frac, max_train_chars,
     )
 
 
@@ -715,8 +716,27 @@ def _unigram_train_from_freqs(
     seed_multiplier: int,
     em_iters: int,
     prune_frac: float,
+    max_train_chars: int = 2_000_000,
 ) -> dict[str, float]:
     import math
+
+    # DRIVER-SIDE CHAR BUDGET (r13): substring seeding and each hard-EM
+    # round cost O(total_chars * max_piece_len) Python dict ops. A
+    # word-frequency sample of spaced text is naturally bounded (distinct
+    # words repeat), but unspaced scripts make every document a DISTINCT
+    # document-length "word" — 50k CJK docs would put ~200M substring
+    # increments on the driver. Truncate the training dictionary at
+    # max_train_chars total (insertion order — the sample is already
+    # seeded/deterministic); pieces max_piece_len chars long saturate
+    # far below the default budget, stated scope.
+    budget = max_train_chars
+    kept: dict[str, int] = {}
+    for w, f in freqs.items():
+        if budget <= 0:
+            break
+        kept[w] = f
+        budget -= len(w)
+    freqs = kept
 
     # seed vocab: substring counts weighted by word freq; chars always in
     sub_counts: dict[str, int] = {}

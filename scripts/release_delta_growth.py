@@ -1,0 +1,117 @@
+"""Delta-release growth law (r13): what does a FIXED-churn incremental
+release cost as the corpus grows?
+
+Shape under test: ``release_corpus(parent=...)`` runs (a) a corpus_diff
+against the chain-materialized parent — slim 16-byte/row hash
+projections, linear in CORPUS size by construction — and (b) the
+overlay write + pack, linear in CHURN (fixed here). So the timed delta
+leg should grow with a small exponent (the diff's linear term over a
+large fixed-job floor), far below the full release's growth.
+
+Method (the scale_rehearsal discipline): corpora at x1/x3/x10 of a
+BASE_DOCS synthetic documents table; per mult, one untimed full release
+(the parent), then min-of-2 timed delta releases of the same corpus
+with a fixed 100-changed + 100-added churn. Mults run LARGEST-FIRST
+after one full untimed x1 warm-up cycle — the r10-11 rehearsal lesson:
+forward order reads NEGATIVE alphas (a first sweep here read -0.16 on
+x1->x10, pure JIT gradient).
+
+Usage: python scripts/release_delta_growth.py [--base 4000]
+Prints one JSON line; belongs in PERFORMANCE.md "Round 13".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from jackfruit_spark import release_persisted  # noqa: E402
+from jackfruit_spark.operators.release import release_corpus  # noqa: E402
+from jackfruit_spark.session import get_spark  # noqa: E402
+
+MULTS = [10, 3, 1]
+CHURN = 100
+
+
+def make_docs(spark, n: int):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}_"), (F.col("id") * (j + 7) % 997))
+                for j in range(25)
+            ],
+        ).alias("text"),
+        F.when(F.col("id") % 3 == 0, F.lit("books"))
+        .otherwise(F.lit("web"))
+        .alias("source"),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", type=int, default=4000)
+    args = ap.parse_args()
+    spark = get_spark("release-delta-growth")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"base_docs": args.base, "churn": 2 * CHURN, "timings": {}}
+    tmp = tempfile.mkdtemp(prefix="delta_growth_")
+    try:
+        # one full untimed warm-up cycle (x1-sized): JIT/codegen/worker
+        # spawn must not land on the first timed mult
+        wdocs = make_docs(spark, args.base)
+        wroot = os.path.join(tmp, "warm")
+        release_corpus(spark, wdocs, wroot)
+        release_corpus(spark, wdocs, wroot, parent="latest")
+        shutil.rmtree(wroot, ignore_errors=True)
+        release_persisted()
+        spark.catalog.clearCache()
+        for m in MULTS:
+            n = args.base * m
+            docs = make_docs(spark, n).persist()
+            docs.count()
+            delta_docs = docs.withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") < CHURN,
+                    F.concat(F.col("text"), F.lit(" updated")),
+                ).otherwise(F.col("text")),
+            ).unionByName(
+                make_docs(spark, CHURN).select(
+                    (F.col("doc_id") + 100_000_000).alias("doc_id"),
+                    "text", "source",
+                )
+            )
+            best = float("inf")
+            for i in range(2):
+                root = os.path.join(tmp, f"m{m}_r{i}")
+                release_corpus(spark, docs, root)  # parent prep, untimed
+                t0 = time.perf_counter()
+                release_corpus(spark, delta_docs, root, parent="latest")
+                best = min(best, round(time.perf_counter() - t0, 3))
+                release_persisted()
+                spark.catalog.clearCache()
+                shutil.rmtree(root, ignore_errors=True)
+            out["timings"][f"x{m}"] = best
+            docs.unpersist()
+        t1, t10 = out["timings"]["x1"], out["timings"]["x10"]
+        out["alpha_x1_x10"] = round(math.log(t10 / t1) / math.log(10), 3)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
