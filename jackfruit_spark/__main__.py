@@ -761,8 +761,15 @@ def cmd_release(args) -> int:
         print(json.dumps(out, sort_keys=True))
         return 0 if out["ok"] else 1
 
+    if getattr(args, "compact", False):
+        from jackfruit_spark.operators.release import compact_release
+
+        card = compact_release(spark, args.root, args.verify_version)
+        print(json.dumps(card, sort_keys=True))
+        return 0
+
     if args.input is None:
-        raise SystemExit("--input is required (unless --verify)")
+        raise SystemExit("--input is required (unless --verify/--compact)")
     weights = None
     if args.mix_weights is not None:
         try:
@@ -1650,7 +1657,7 @@ def cmd_tokenize(args) -> int:
             from jackfruit_spark.operators.curation import pack_token_ids
 
             out_df = pack_token_ids(
-                encoded.drop("__ws", "__script", "__chars"), "input_ids",
+                out_df, "input_ids",
                 seq_len=args.pack_seq_len,
                 order_col=args.id_col, sep_id=vocab[EOS],
                 drop_last=False, pad_id=vocab[PAD],
@@ -2242,6 +2249,10 @@ def build_parser() -> argparse.ArgumentParser:
     rl.add_argument("--input", default=None,
                     help="curated documents parquet (required unless --verify)")
     rl.add_argument("--root", required=True, help="release root (gets v<N>/)")
+    rl.add_argument("--compact", action="store_true",
+                    help="materialize the latest delta chain into a "
+                         "fresh full release (chain knobs + embedded "
+                         "tokenizer reused; card records compacted_from)")
     rl.add_argument("--verify", action="store_true",
                     help="verify a committed release's checksum instead "
                          "of producing one (exit 1 on mismatch)")

@@ -249,7 +249,13 @@ def langid_scores(
     """Adds ``out_col`` + ``conf_col``: the trained prediction where its
     softmax confidence clears ``min_conf``, else the stopword-argmax
     fallback (``text.lang_id`` — which yields 'und' when IT is also
-    unsure). Blank/null docs are 'und' at conf 0. One Arrow pass,
+    unsure). ``conf_col`` is the confidence OF THE REPORTED language:
+    populated only when the trained prediction is what ``out_col``
+    carries; NULL on fallback and blank/null rows (code-review r13 — the
+    first cut reported the trained model's confidence next to a
+    DIFFERENT language's fallback label, so a consumer filtering on
+    ``lang_conf`` read mismatched pairs; NULL doubles as the provenance
+    flag: non-null conf == trained prediction). One Arrow pass,
     shuffle-free."""
     from jackfruit_spark._ship import ensure_shipped
     from jackfruit_spark.functions import text as T
@@ -259,21 +265,19 @@ def langid_scores(
         F.length(F.trim(F.col(text_col))) == 0
     )
     s = langid_udf(model)(F.col(text_col))
+    trained = (~blank) & (F.col("__lid.conf") >= F.lit(float(min_conf)))
     return (
         df.withColumn("__lid", s)
         .withColumn(
             conf_col,
-            F.when(blank, F.lit(0.0)).otherwise(
-                F.round(F.col("__lid.conf"), 6)
+            F.when(trained, F.round(F.col("__lid.conf"), 6)).otherwise(
+                F.lit(None).cast("double")
             ),
         )
         .withColumn(
             out_col,
             F.when(blank, F.lit("und"))
-            .when(
-                F.col("__lid.conf") >= F.lit(float(min_conf)),
-                F.col("__lid.lang"),
-            )
+            .when(trained, F.col("__lid.lang"))
             .otherwise(T.lang_id(text_col)),
         )
         .drop("__lid")

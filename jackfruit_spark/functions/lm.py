@@ -633,6 +633,7 @@ def load_arpa(path: str) -> ArpaLM:
     grams: dict[int, dict[tuple, tuple]] = {}
     declared: dict[int, int] = {}
     section = None
+    ended = False
     with open(path) as f:
         header = False
         for raw in f:
@@ -643,6 +644,7 @@ def load_arpa(path: str) -> ArpaLM:
                 header = True
                 continue
             if line == "\\end\\":
+                ended = True
                 break
             if not header:
                 raise ValueError(
@@ -659,7 +661,7 @@ def load_arpa(path: str) -> ArpaLM:
             if section is None:
                 raise ValueError(f"{path}: gram line before any section")
             parts = line.split("\t") if "\t" in line else line.split()
-            if section is not None and "\t" in line:
+            if "\t" in line:
                 lp = float(parts[0])
                 words = tuple(parts[1].split(" "))
                 bw = float(parts[2]) if len(parts) > 2 else 0.0
@@ -681,8 +683,18 @@ def load_arpa(path: str) -> ArpaLM:
             grams[section][words] = (lp, bw)
     if not grams:
         raise ValueError(f"{path} is not an ARPA file (no gram sections)")
+    if not ended:
+        # truncation detection (code-review r13): a partial download cut
+        # mid-section would otherwise load — and a file cut right after
+        # a section boundary would silently score as a LOWER-order model
+        raise ValueError(f"{path}: truncated ARPA (no \\end\\ marker)")
     for r, n in declared.items():
-        if r in grams and len(grams[r]) != n:
+        if r not in grams:
+            raise ValueError(
+                f"{path}: \\data\\ declares {n} {r}-grams but the "
+                f"{r}-grams section is missing"
+            )
+        if len(grams[r]) != n:
             raise ValueError(
                 f"{path}: \\data\\ declares {n} {r}-grams, section has "
                 f"{len(grams[r])}"

@@ -71,6 +71,24 @@ def _symbolize_raw(chunk: str) -> tuple[str, ...]:
     return tuple(chunk)
 
 
+def _cap_freqs(freqs: dict[str, int], max_chars: int) -> dict[str, int]:
+    """Driver-side char budget for trainers (r13): seeding/merge
+    bookkeeping costs scale with total dictionary characters, and
+    unspaced scripts make every document a DISTINCT document-length
+    "word" — an unbounded 50k-doc CJK sample would put tens of millions
+    of symbols on the driver. Truncates by insertion order (the sample
+    is already seeded/deterministic); spaced-text dictionaries sit far
+    below the default budget and pass through unchanged."""
+    budget = max_chars
+    kept: dict[str, int] = {}
+    for w, f in freqs.items():
+        if budget <= 0:
+            break
+        kept[w] = f
+        budget -= len(w)
+    return kept
+
+
 def _sample_texts(
     df: DataFrame,
     text_col: str,
@@ -171,6 +189,22 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 def _encode_syms(
     syms: list[str], ranks: dict[tuple[str, str], int]
 ) -> list[str]:
+    """Apply merges lowest-rank-first (leftmost on rank ties) until no
+    adjacent pair is mergeable. Length-dispatched (code-review r13 +
+    measured): the rescan-per-merge loop is O(merges * length) —
+    quadratic on raw-mode unspaced-script chunks (whole documents that
+    deliberately skip the word memo) but 1.3x FASTER than the heap on
+    ordinary short words (measured interleaved) — so words take the
+    rescan loop and long chunks the heap."""
+    if len(syms) <= 32:
+        return _encode_syms_naive(syms, ranks)
+    return _encode_syms_heap(syms, ranks)
+
+
+def _encode_syms_naive(
+    syms: list[str], ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    syms = list(syms)
     while len(syms) > 1:
         best_rank = None
         best_i = -1
@@ -182,6 +216,59 @@ def _encode_syms(
             break
         syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
     return syms
+
+
+def _encode_syms_heap(
+    syms: list[str], ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Lazy-deletion heap keyed by (rank, position) over a linked list:
+    reproduces the naive loop's result EXACTLY (positions are the left
+    element's original index, which preserves left-to-right order across
+    merges — pinned against the naive reference by a property test) in
+    O(length log length)."""
+    n = len(syms)
+    if n < 2:
+        return list(syms)
+    import heapq
+
+    # doubly-linked list over original indices; alive[i] marks nodes
+    nxt = list(range(1, n)) + [-1]
+    prv = [-1] + list(range(n - 1))
+    alive = [True] * n
+    vals = list(syms)
+    heap: list[tuple[int, int]] = []
+    for i in range(n - 1):
+        r = ranks.get((vals[i], vals[i + 1]))
+        if r is not None:
+            heap.append((r, i))
+    heapq.heapify(heap)
+    while heap:
+        r, i = heapq.heappop(heap)
+        if not alive[i]:
+            continue
+        j = nxt[i]
+        if j == -1 or not alive[j]:
+            continue
+        # stale entry: the pair this entry was pushed for may have been
+        # replaced by later merges — re-validate against current values
+        if ranks.get((vals[i], vals[j])) != r:
+            continue
+        vals[i] = vals[i] + vals[j]
+        alive[j] = False
+        nxt[i] = nxt[j]
+        if nxt[j] != -1:
+            prv[nxt[j]] = i
+        p = prv[i]
+        if p != -1:
+            rp = ranks.get((vals[p], vals[i]))
+            if rp is not None:
+                heapq.heappush(heap, (rp, p))
+        k = nxt[i]
+        if k != -1:
+            rk = ranks.get((vals[i], vals[k]))
+            if rk is not None:
+                heapq.heappush(heap, (rk, i))
+    return [vals[i] for i in range(n) if alive[i]]
 
 
 # Per-PROCESS word->tokens memos, keyed by merges identity (r7, VERDICT r6
@@ -424,6 +511,7 @@ def bpe_train_with_vocab(
     sample_fraction: float | None = None,
     byte_fallback: bool = False,
     raw: bool = False,
+    max_train_chars: int = 2_000_000,
 ) -> tuple[list[tuple[str, str]], dict[str, int]]:
     """Train merges AND build the vocab from ONE sample job (code-review
     r11: bpe_train + bpe_vocab back-to-back collected the sample twice
@@ -433,12 +521,19 @@ def bpe_train_with_vocab(
     plain characters of ``"▁" + word`` chunks — boundary inside the
     merged symbols ("▁the"), no ``</w>`` marker, unspaced scripts
     segment as a marked stream. Pair with ``bpe_encode_ids_udf(...,
-    raw=True)`` / ``save_tokenizer(..., raw=True)``."""
+    raw=True)`` / ``save_tokenizer(..., raw=True)``. The training
+    dictionary is capped at ``max_train_chars`` total characters
+    (code-review r13 — the unigram trainer's budget applied here too:
+    unspaced samples are all-distinct document-length "words" and the
+    merge bookkeeping is linear in dictionary chars per merge round;
+    the vocab builds from the SAME capped dictionary so base symbols
+    match the merges)."""
     freqs = _word_freqs(
         _sample_texts(df, text_col, sample_size, seed, sample_fraction)
     )
     if raw:
         freqs = {WB + w: f for w, f in freqs.items()}
+    freqs = _cap_freqs(freqs, max_train_chars)
     merges = _train_from_freqs(freqs, num_merges, raw=raw)
     return merges, _vocab_from_freqs(freqs, merges, byte_fallback, raw=raw)
 
@@ -720,23 +815,10 @@ def _unigram_train_from_freqs(
 ) -> dict[str, float]:
     import math
 
-    # DRIVER-SIDE CHAR BUDGET (r13): substring seeding and each hard-EM
-    # round cost O(total_chars * max_piece_len) Python dict ops. A
-    # word-frequency sample of spaced text is naturally bounded (distinct
-    # words repeat), but unspaced scripts make every document a DISTINCT
-    # document-length "word" — 50k CJK docs would put ~200M substring
-    # increments on the driver. Truncate the training dictionary at
-    # max_train_chars total (insertion order — the sample is already
-    # seeded/deterministic); pieces max_piece_len chars long saturate
-    # far below the default budget, stated scope.
-    budget = max_train_chars
-    kept: dict[str, int] = {}
-    for w, f in freqs.items():
-        if budget <= 0:
-            break
-        kept[w] = f
-        budget -= len(w)
-    freqs = kept
+    # substring seeding and each hard-EM round cost
+    # O(total_chars * max_piece_len) Python dict ops — bound them
+    # (see _cap_freqs)
+    freqs = _cap_freqs(freqs, max_train_chars)
 
     # seed vocab: substring counts weighted by word freq; chars always in
     sub_counts: dict[str, int] = {}

@@ -1348,7 +1348,17 @@ def curate_corpus(
         if langid_model is not None:
             # trained tier (functions/langid.py, r13): Arrow-scored
             # prediction with the stopword argmax as the low-confidence
-            # fallback — one map-only pass folded into the same scan
+            # fallback — one map-only pass folded into the same scan.
+            # The stopword-RATIO gate is skipped on this path
+            # (code-review r13): it exists as a weak language-confidence
+            # proxy, and with a trained classifier the real knob is
+            # langid_min_conf — while the ratio's English-fallback
+            # wordlist (and whitespace tokenization) silently emptied
+            # every corpus in a language the 5-entry stopword table
+            # can't express, the trained tier's headline use case.
+            # NOTE: min_tokens still counts WHITESPACE tokens — unspaced
+            # scripts should set it per-document-appropriate (a CJK doc
+            # is one whitespace token).
             from jackfruit_spark.functions.langid import langid_scores
 
             df = langid_scores(
@@ -1358,12 +1368,12 @@ def curate_corpus(
             gates = gates & (F.col("__lang_pred") == lang)
         else:
             gates = gates & (T.lang_id(text_col) == lang)
-        if min_stop_ratio > 0:
-            words = T.LANG_STOPWORDS.get(lang, T.LANG_STOPWORDS["en"])
-            ratio = T.stopword_count(text_col, words).cast("double") / toks.cast(
-                "double"
-            )
-            gates = gates & (ratio >= min_stop_ratio)
+            if min_stop_ratio > 0:
+                words = T.LANG_STOPWORDS.get(lang, T.LANG_STOPWORDS["en"])
+                ratio = T.stopword_count(text_col, words).cast(
+                    "double"
+                ) / toks.cast("double")
+                gates = gates & (ratio >= min_stop_ratio)
     out = df.filter(gates).drop("__lang_pred", "__lang_conf")
     # exact dedup keeping the smallest id per content hash (full rows,
     # q57's keeper rule)

@@ -43,8 +43,10 @@ parent version + checksum and per-status counts;
 corpus latest-link-wins; ``verify_release`` recursively verifies every
 link and the recorded linkage. Sequences are per-link immutable, so
 removed/changed docs' tokens REMAIN in earlier links
-(``stale_parent_docs`` in the card counts them) — compaction is a fresh
-full release.
+(``stale_parent_docs`` in the card counts them) — compaction
+(:func:`compact_release`) materializes the chain into a fresh full
+release with the chain's own knobs + embedded tokenizer, bit-for-bit
+what a from-scratch release of the same documents produces.
 """
 
 from __future__ import annotations
@@ -211,6 +213,7 @@ def release_corpus(
     pack_shards: int = 64,
     profile: bool = False,
     parent: int | str | None = None,
+    card_extra: dict | None = None,
 ) -> dict:
     """Produce ``root/v<N>/`` with ``documents/`` (shuffled parquet),
     optionally ``sequences/`` (packed input_ids), and ``_RELEASE.json``.
@@ -253,6 +256,16 @@ def release_corpus(
     ):
         raise ValueError("mix_weights/mix_alpha need mix_total_tokens")
 
+    tok_bytes = tokenizer_md5 = None
+    if pack_seq_len is not None:
+        import hashlib
+
+        # read + hash ONCE (code-review r13: the delta validation and
+        # the pack leg each re-read and re-hashed the same file)
+        with open(tokenizer_path, "rb") as f:
+            tok_bytes = f.read()
+        tokenizer_md5 = hashlib.md5(tok_bytes).hexdigest()
+
     parent_card = None
     if parent is not None:
         if mix_total_tokens is not None:
@@ -288,11 +301,7 @@ def release_corpus(
                     f"(seq_len {pk['pack_seq_len']}, shards "
                     f"{pk.get('pack_shards')})"
                 )
-            import hashlib
-
-            with open(tokenizer_path, "rb") as f:
-                tok_md5 = hashlib.md5(f.read()).hexdigest()
-            if tok_md5 != pk.get("tokenizer_md5"):
+            if tokenizer_md5 != pk.get("tokenizer_md5"):
                 raise ValueError(
                     "delta tokenizer differs from the chain's — input_ids "
                     "across links would mean different text; re-release "
@@ -525,8 +534,6 @@ def release_corpus(
     _touch_lease(vdir)
 
     if pack_seq_len is not None:
-        import hashlib
-
         from pyspark.sql import Observation
 
         from jackfruit_spark.functions.tokenizer import (
@@ -538,9 +545,6 @@ def release_corpus(
         )
 
         kind, model, vocab = load_any_tokenizer(tokenizer_path)
-        with open(tokenizer_path, "rb") as f:
-            tok_bytes = f.read()
-        tokenizer_md5 = hashlib.md5(tok_bytes).hexdigest()
         # the release carries its tokenizer: input_ids are meaningless
         # without the exact vocab that produced them, so a training run
         # must never have to hunt for (or guess) the right JSON
@@ -629,6 +633,11 @@ def release_corpus(
             else has_byte_fallback(vocab)
         )
 
+    if card_extra:
+        # provenance annotations from composing callers (compaction);
+        # reserved keys stay the release's own
+        for k, v in card_extra.items():
+            card.setdefault(k, v)
     # card LAST: the commit marker
     _touch_lease(vdir)
     tmp = os.path.join(vdir, "._RELEASE.json.tmp")
@@ -801,6 +810,51 @@ def load_release(
 
         out["tokenizer"] = load_any_tokenizer(tok_file)
     return out
+
+
+def compact_release(
+    spark: SparkSession, root: str, version: int | None = None
+) -> dict:
+    """Materialize a delta chain into a fresh FULL release — the stated
+    answer to the delta caveat (removed/changed docs' tokens persisting
+    in earlier links' immutable sequences): the compacted version packs
+    exactly the effective corpus and nothing else. Reuses the chain's
+    own knobs and EMBEDDED tokenizer (byte-identity by construction), so
+    a compaction is bit-for-bit what a from-scratch full release of the
+    same documents would produce (checksum equality pinned in tests);
+    the card records ``compacted_from`` provenance. The chain's old
+    versions stay on disk (immutable once committed) — prune them
+    operationally once consumers moved."""
+    card = read_card(root, version)
+    if "delta" not in card:
+        raise ValueError(
+            f"v{card['version']} is already a full release — nothing to "
+            "compact"
+        )
+    chain = _chain_cards(root, card["version"])
+    k = card["knobs"]
+    docs = materialize_documents(spark, root, card["version"]).drop(
+        "epoch", "order_key"
+    )
+    tok_path = None
+    if k.get("pack_seq_len") is not None:
+        tok_path = os.path.join(
+            root, f"v{card['version']}", "tokenizer.json"
+        )
+    return release_corpus(
+        spark,
+        docs,
+        root,
+        id_col=k["id_col"],
+        text_col=k["text_col"],
+        shuffle_seed=k["shuffle_seed"],
+        tokenizer_path=tok_path,
+        pack_seq_len=k.get("pack_seq_len"),
+        pack_shards=k.get("pack_shards") or 64,
+        card_extra={
+            "compacted_from": [c["version"] for c in chain],
+        },
+    )
 
 
 def read_card(root: str, version: int | None = None) -> dict:

@@ -138,8 +138,11 @@ class TestScoring:
         want = model.predict(texts)
         for i, (lg, conf) in enumerate(want):
             if conf >= 0.5:
-                assert got[i][0] == lg
-            assert got[i][1] == round(conf, 6)
+                assert got[i] == (lg, round(conf, 6))
+            else:
+                # fallback rows carry NULL conf (the reported language
+                # is not the trained prediction — code-review r13)
+                assert got[i][1] is None
 
     def test_text_pure_scores(self, spark, model):
         """A document's (lang, conf) never depends on the rest of the
@@ -165,7 +168,7 @@ class TestScoring:
             [(0, None), (1, ""), (2, "   ")], "doc_id long, text string"
         )
         for r in langid_scores(d, "text", model).collect():
-            assert r["lang_pred"] == "und" and r["lang_conf"] == 0.0
+            assert r["lang_pred"] == "und" and r["lang_conf"] is None
 
     def test_low_confidence_falls_back_to_stopword_argmax(self, spark, model):
         """min_conf=1.01 forces the fallback for every doc: predictions
@@ -186,6 +189,7 @@ class TestScoring:
         )
         for r in out:
             assert r["lang_pred"] == r["__heur"]
+            assert r["lang_conf"] is None  # fallback provenance
 
 
 class TestPersistence:
@@ -231,7 +235,6 @@ class TestIntegration:
         d = spark.createDataFrame(rows, "doc_id long, text string")
         kept = curate_corpus(
             d, lang="fr", langid_model=model, min_tokens=1,
-            min_stop_ratio=0.0,
         )
         ids = sorted(r["doc_id"] for r in kept.collect())
         assert ids == [10, 11, 12, 13, 14]
@@ -281,3 +284,18 @@ class TestIntegration:
         assert rc == 0
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["languages"].get("es", 0) >= 8
+
+    def test_curate_trained_gate_skips_stopword_ratio(self, spark, model):
+        """Code-review r13: the English-fallback stopword-ratio gate
+        silently emptied trained-gated corpora in languages the
+        stopword table can't express (and unspaced zh, whose whitespace
+        ratio is always ~0). With a trained model the ratio gate is
+        OFF — langid_min_conf is the confidence knob."""
+        from jackfruit_spark.operators.curation import curate_corpus
+
+        rows = [(i, s) for i, s in enumerate(SEEDS["zh"])]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = curate_corpus(
+            d, lang="zh", langid_model=model, min_tokens=1,
+        )  # default min_stop_ratio — must NOT empty the corpus
+        assert kept.count() == len(SEEDS["zh"])

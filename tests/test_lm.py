@@ -768,3 +768,31 @@ ngram 2=1
                   "--input-format", "parquet",
                   "--max-perplexity", "1e12", "--lm-order", "2",
                   "--lm-arpa-export", arpa])
+
+    def test_truncated_arpa_rejected(self, spark, corpus, tmp_path):
+        """Code-review r13: a boundary-truncated file (declared section
+        entirely missing, or no \\end\\ marker) must raise instead of
+        silently loading as a lower-order model."""
+        from jackfruit_spark.functions.lm import (
+            export_arpa,
+            load_arpa,
+            train_ngram_lm,
+        )
+
+        lm = train_ngram_lm(corpus, "text", order=3)
+        p = str(tmp_path / "m.arpa")
+        export_arpa(lm, p)
+        text = open(p).read()
+        # cut exactly at a section boundary: everything from \3-grams: on
+        cut = str(tmp_path / "cut.arpa")
+        with open(cut, "w") as f:
+            f.write(text[: text.index("\\3-grams:")])
+        with pytest.raises(ValueError, match="no \\\\end\\\\|missing"):
+            load_arpa(cut)
+        # cut mid-section (no \end\)
+        cut2 = str(tmp_path / "cut2.arpa")
+        lines = text.splitlines()
+        with open(cut2, "w") as f:
+            f.write("\n".join(lines[: len(lines) - 4]))
+        with pytest.raises(ValueError):
+            load_arpa(cut2)

@@ -732,3 +732,60 @@ class TestDeltaRelease:
         assert card["delta"]["parent_version"] == 1
         rc = main(["release", "--root", root, "--verify"])
         assert rc == 0
+
+    def test_compact_release(self, spark, tmp_path, capsys):
+        """Compaction (r13): materialize the chain into a fresh FULL
+        release with the chain's own knobs + embedded tokenizer —
+        checksum equals a from-scratch release of the same documents,
+        stale tokens gone, provenance recorded."""
+        from jackfruit_spark.__main__ import main
+        from jackfruit_spark.operators.release import (
+            compact_release,
+            verify_release,
+        )
+
+        tok = self._tok(spark, tmp_path)
+        root = str(tmp_path / "rel")
+        release_corpus(spark, _docs(spark), root,
+                       tokenizer_path=tok, pack_seq_len=32)
+        release_corpus(
+            spark, self._delta_docs(spark), root, parent="latest",
+            tokenizer_path=tok, pack_seq_len=32,
+        )
+        card = compact_release(spark, root)
+        assert card["version"] == 3
+        assert card["compacted_from"] == [1, 2]
+        assert "delta" not in card
+        assert card["stages"]["released_docs"] == 62
+        assert verify_release(spark, root, 3)["ok"]
+        # bit-for-bit what a from-scratch full release would produce
+        from jackfruit_spark.operators.release import (
+            materialize_documents,
+        )
+
+        fresh_root = str(tmp_path / "fresh")
+        fresh = release_corpus(
+            spark,
+            materialize_documents(spark, root, 2).drop(
+                "epoch", "order_key"
+            ),
+            fresh_root, tokenizer_path=tok, pack_seq_len=32,
+        )
+        assert fresh["checksum_xxh64_sum"] == card["checksum_xxh64_sum"]
+        assert (
+            fresh["checksum_sequences_xxh64_sum"]
+            == card["checksum_sequences_xxh64_sum"]
+        )
+        # compacting a full release is a loud no-op
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="already a full"):
+            compact_release(spark, root, 3)
+        # CLI flag: compact from the delta v2 explicitly (the latest
+        # committed is now the v3 compaction, a full release)
+        rc = main(["release", "--root", root, "--compact",
+                   "--verify-version", "2"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["version"] == 4 and out["compacted_from"] == [1, 2]
+        assert out["checksum_xxh64_sum"] == card["checksum_xxh64_sum"]

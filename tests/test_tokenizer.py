@@ -1130,3 +1130,66 @@ class TestRawStreamBpe:
         assert card["knobs"]["tokenizer_kind"] == "bpe_raw"
         assert card["knobs"]["tokenizer_byte_fallback"] is True
         assert verify_release(spark, root)["ok"]
+
+
+def test_encode_syms_heap_matches_naive_reference():
+    """The heap+linked-list merge loop (code-review r13: the naive
+    rescan-per-merge loop was O(n^2) on raw-mode document-length chunks)
+    must reproduce the naive lowest-rank/leftmost loop EXACTLY."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jackfruit_spark.functions.tokenizer import _encode_syms_heap
+
+    def naive(syms, ranks):
+        syms = list(syms)
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet="abc", min_size=0, max_size=24),
+        st.integers(min_value=0, max_value=2**31),
+    )
+    def check(word, seed):
+        import random
+
+        rnd = random.Random(seed)
+        # random merge list over the tiny alphabet and its compounds:
+        # the repeated-pair cases (aaa + (a,a)) exercise tie order
+        symbols = ["a", "b", "c", "aa", "ab", "ba", "bc", "aab", "abc"]
+        pairs = [(x, y) for x in symbols for y in symbols]
+        rnd.shuffle(pairs)
+        ranks = {p: i for i, p in enumerate(pairs[: rnd.randint(0, 30)])}
+        syms = list(word)
+        assert _encode_syms_heap(list(syms), ranks) == naive(syms, ranks)
+
+    check()
+
+
+def test_raw_bpe_long_chunk_encode_is_fast():
+    """A 30k-char unspaced chunk must encode in well under a second —
+    the naive loop took O(n^2) (~minutes) on exactly this shape."""
+    import time
+
+    from jackfruit_spark.functions import tokenizer as tk
+
+    # merges that FIRE throughout the chunk (worst case for the naive
+    # loop: every merge triggers a full rescan)
+    freqs = {tk.WB + "abcd" * 8: 5, tk.WB + "abab" * 8: 5}
+    merges = tk._train_from_freqs(freqs, 40, raw=True)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    chunk = list(tk.WB + "abcdabab" * 4000)
+    t0 = time.perf_counter()
+    out = tk._encode_syms(chunk, ranks)
+    dt = time.perf_counter() - t0
+    assert "".join(out) == tk.WB + "abcdabab" * 4000
+    assert dt < 1.0, f"raw-chunk encode took {dt:.2f}s"
