@@ -1919,7 +1919,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cu.add_argument("--min-tokens", type=int, default=5)
     cu.add_argument("--max-tokens", type=int, default=1000)
-    cu.add_argument("--min-stop-ratio", type=float, default=0.05)
+    cu.add_argument("--min-stop-ratio", type=float, default=None,
+                    help="stopword-ratio gate floor (heuristic language "
+                         "path only; defaults to 0.05 there, rejected "
+                         "with --langid-model)")
     cu.add_argument("--span-k", type=int, default=None,
                     help="enable duplicate-span removal at this gram width")
     cu.add_argument("--redact-pii", action="store_true")

@@ -647,9 +647,12 @@ def load_arpa(path: str) -> ArpaLM:
                 ended = True
                 break
             if not header:
-                raise ValueError(
-                    f"{path} is not an ARPA file (no \\data\\ header)"
-                )
+                # the Doug Paul format allows an arbitrary text preamble
+                # terminated by the \data\ marker (code-review r13:
+                # rejecting it blocked valid SRILM/IRSTLM exports) —
+                # scan forward; a file with NO marker anywhere still
+                # fails below
+                continue
             if line.startswith("ngram "):
                 r, _, n = line[len("ngram "):].partition("=")
                 declared[int(r)] = int(n)
@@ -681,8 +684,11 @@ def load_arpa(path: str) -> ArpaLM:
                     "section"
                 )
             grams[section][words] = (lp, bw)
-    if not grams:
-        raise ValueError(f"{path} is not an ARPA file (no gram sections)")
+    if not header or not grams:
+        raise ValueError(
+            f"{path} is not an ARPA file (no \\data\\ marker / gram "
+            "sections)"
+        )
     if not ended:
         # truncation detection (code-review r13): a partial download cut
         # mid-section would otherwise load — and a file cut right after

@@ -76,15 +76,20 @@ def _cap_freqs(freqs: dict[str, int], max_chars: int) -> dict[str, int]:
     bookkeeping costs scale with total dictionary characters, and
     unspaced scripts make every document a DISTINCT document-length
     "word" — an unbounded 50k-doc CJK sample would put tens of millions
-    of symbols on the driver. Truncates by insertion order (the sample
-    is already seeded/deterministic); spaced-text dictionaries sit far
-    below the default budget and pass through unchanged."""
+    of symbols on the driver. Truncates FREQUENCY-FIRST (count desc,
+    then word — deterministic; code-review r13: insertion-order
+    truncation dropped frequent late-appearing words while keeping early
+    hapaxes). Returns frequency-major order; dictionaries under the
+    budget pass through with the same reordering (all trainer consumers
+    are order-insensitive over the dict)."""
+    if sum(map(len, freqs)) <= max_chars:
+        return freqs
     budget = max_chars
     kept: dict[str, int] = {}
-    for w, f in freqs.items():
+    for w in sorted(freqs, key=lambda w: (-freqs[w], w)):
         if budget <= 0:
             break
-        kept[w] = f
+        kept[w] = freqs[w]
         budget -= len(w)
     return kept
 

@@ -1227,7 +1227,7 @@ def curate_corpus(
     langid_min_conf: float = 0.5,
     min_tokens: int = 5,
     max_tokens: int = 1000,
-    min_stop_ratio: float = 0.05,
+    min_stop_ratio: float | None = None,
     span_k: int | None = None,
     span_min_count: int = 2,
     redact: bool = False,
@@ -1342,6 +1342,17 @@ def curate_corpus(
         df = gopher_clean(df, text_col, **(gopher_knobs or {}))
     if langid_model is not None and lang is None:
         raise ValueError("langid_model without lang has nothing to gate on")
+    if langid_model is not None and min_stop_ratio is not None:
+        # loud knob conflict (code-review r13, the lone-min_host_rank
+        # convention): the ratio gate does not run on the trained path —
+        # silently dropping an explicit value would pass more docs than
+        # the caller's knobs suggest
+        raise ValueError(
+            "min_stop_ratio does not apply with langid_model — the "
+            "trained tier's confidence knob is langid_min_conf"
+        )
+    if min_stop_ratio is None and langid_model is None:
+        min_stop_ratio = 0.05  # the heuristic path's historical default
     toks = T.token_count(text_col)
     gates = toks.between(min_tokens, max_tokens)
     if lang is not None:

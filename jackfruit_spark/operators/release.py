@@ -358,13 +358,19 @@ def release_corpus(
 
         pv = parent_card["version"]
         # diff against the chain's EFFECTIVE corpus (a delta-of-delta
-        # must see through its parent's own overlay)
-        eff_parent = materialize_documents(spark, root, pv).select(
-            id_col, text_col
-        )
+        # must see through its parent's own overlay) over EVERY released
+        # column, not just the text (code-review r13: a doc whose source
+        # changed while text stayed identical read 'unchanged' and the
+        # chain served the stale metadata forever). A parent missing one
+        # of the new corpus' columns raises inside corpus_diff — schema
+        # drift across a chain is loud, not absorbed.
+        content_cols = sorted(c for c in cur.columns if c != id_col)
+        # pass unprojected frames: corpus_diff validates column presence
+        # on BOTH sides with a clear error and slims to (id, hash)
+        # projections itself
         labeled = delta_persist = corpus_diff(
-            eff_parent, cur.select(id_col, text_col),
-            id_col=id_col, content_cols=[text_col],
+            materialize_documents(spark, root, pv), cur,
+            id_col=id_col, content_cols=content_cols,
         ).persist()
         counts = {
             r["status"]: int(r["n"])
@@ -382,9 +388,17 @@ def release_corpus(
         removed_df = labeled.filter(
             F.col("status") == STATUS_REMOVED
         ).select(id_col)
+        removed_checksum = 0
         if counts[STATUS_REMOVED]:
             removed_df.write.mode("overwrite").parquet(
                 os.path.join(vdir, "removed")
+            )
+            # removed ids shape the materialized corpus as directly as
+            # the overlay does — verify_release covers them too
+            # (code-review r13: chain verification had a blind spot)
+            removed_checksum = corpus_checksum(
+                spark.read.parquet(os.path.join(vdir, "removed")),
+                [id_col],
             )
         # only new payload is written and packed — the whole point
         cur = cur.join(
@@ -399,6 +413,7 @@ def release_corpus(
             # linkage pin: verify_release checks the parent card still
             # carries this checksum before trusting the chain
             "parent_checksum": parent_card["checksum_xxh64_sum"],
+            "checksum_removed_xxh64_sum": removed_checksum,
             **counts,
             # tokens of removed/changed docs persist in earlier links'
             # immutable sequences — the honest staleness number
@@ -461,8 +476,17 @@ def release_corpus(
         )
 
         prev_version = committed[-1]
-        prev = spark.read.parquet(
-            os.path.join(root, f"v{prev_version}", "documents")
+        # a delta predecessor's documents/ holds only its overlay — the
+        # churn must compare against the chain's EFFECTIVE corpus
+        # (code-review r13: a full release after a 2-doc delta reported
+        # ~everything 'added')
+        prev_card = read_card(root, prev_version)
+        prev = (
+            materialize_documents(spark, root, prev_version)
+            if "delta" in prev_card
+            else spark.read.parquet(
+                os.path.join(root, f"v{prev_version}", "documents")
+            )
         ).dropDuplicates([id_col])
         newly = spark.read.parquet(docs_dir).dropDuplicates([id_col])
         churn = (
@@ -726,6 +750,29 @@ def verify_release(
         out["tokenizer_md5_actual"] = tok_actual
         out["ok"] = out["ok"] and tok_actual == card["knobs"]["tokenizer_md5"]
     if "delta" in card:
+        # the removed/ id list shapes the materialized corpus as
+        # directly as the overlay — recompute its count + checksum
+        # (code-review r13: extra or missing removed ids silently
+        # dropped documents from load_release while verify said ok)
+        n_removed = card["delta"]["removed"]
+        if n_removed:
+            id_c = card["knobs"]["id_col"]
+            try:
+                rem = spark.read.parquet(
+                    os.path.join(root, f"v{v}", "removed")
+                )
+                rem_n = rem.count()
+                rem_sum = corpus_checksum(rem, [id_c])
+            except Exception:  # noqa: BLE001 — missing/unreadable = corrupt
+                rem_n, rem_sum = None, None
+            out["removed_expected"] = n_removed
+            out["removed_actual"] = rem_n
+            out["ok"] = (
+                out["ok"]
+                and rem_n == n_removed
+                and rem_sum
+                == card["delta"].get("checksum_removed_xxh64_sum", rem_sum)
+            )
         # walk the chain (r13): a delta is only as good as every link
         # under it — recursively verify the parent AND pin the linkage
         # (the parent card must still carry the checksum this delta was

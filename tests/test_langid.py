@@ -299,3 +299,12 @@ class TestIntegration:
             d, lang="zh", langid_model=model, min_tokens=1,
         )  # default min_stop_ratio — must NOT empty the corpus
         assert kept.count() == len(SEEDS["zh"])
+
+    def test_explicit_stop_ratio_with_model_raises(self, spark, model):
+        from jackfruit_spark.operators.curation import curate_corpus
+
+        d = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="min_stop_ratio does not"):
+            curate_corpus(
+                d, lang="fr", langid_model=model, min_stop_ratio=0.3,
+            )

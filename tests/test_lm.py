@@ -796,3 +796,15 @@ ngram 2=1
             f.write("\n".join(lines[: len(lines) - 4]))
         with pytest.raises(ValueError):
             load_arpa(cut2)
+
+    def test_arpa_preamble_accepted(self, tmp_path):
+        """The Doug Paul format allows a text preamble before \\data\\
+        (code-review r13: SRILM/IRSTLM exports carry one)."""
+        from jackfruit_spark.functions.lm import load_arpa
+
+        p = str(tmp_path / "pre.arpa")
+        with open(p, "w") as f:
+            f.write("This file was produced by some toolkit.\n"
+                    "vocabulary: 3 words\n\n" + self.HAND)
+        m = load_arpa(p)
+        assert m.log10_p(("a",), "b") == -0.1

@@ -789,3 +789,56 @@ class TestDeltaRelease:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["version"] == 4 and out["compacted_from"] == [1, 2]
         assert out["checksum_xxh64_sum"] == card["checksum_xxh64_sum"]
+
+    def test_delta_diff_covers_all_columns(self, spark, tmp_path):
+        """Code-review r13: a doc whose SOURCE changed while text stayed
+        identical was labeled unchanged and the chain served the stale
+        metadata forever. The delta diff now covers every released
+        column."""
+        from jackfruit_spark.operators.release import materialize_documents
+
+        root = str(tmp_path / "rel")
+        release_corpus(spark, _docs(spark), root)
+        moved = _docs(spark).withColumn(
+            "source",
+            F.when(F.col("doc_id") == 7, F.lit("curated")).otherwise(
+                F.col("source")
+            ),
+        )
+        card = release_corpus(spark, moved, root, parent="latest")
+        assert card["delta"]["changed"] == 1
+        eff = materialize_documents(spark, root)
+        assert eff.filter("doc_id = 7").first()["source"] == "curated"
+
+    def test_removed_dir_tamper_flips_verify(self, spark, tmp_path):
+        """Code-review r13: extra/missing removed ids silently dropped
+        documents from load_release while verify said ok — removed/ is
+        now count+checksum covered."""
+        from jackfruit_spark.operators.release import verify_release
+
+        root = str(tmp_path / "rel")
+        release_corpus(spark, _docs(spark), root)
+        release_corpus(spark, self._delta_docs(spark), root, parent="latest")
+        assert verify_release(spark, root)["ok"]
+        # append an extra removed id
+        extra = spark.createDataFrame([(30,)], "doc_id long")
+        extra.write.mode("append").parquet(
+            str(tmp_path / "rel" / "v2" / "removed")
+        )
+        res = verify_release(spark, root)
+        assert not res["ok"] and res["removed_actual"] == 3
+
+    def test_full_after_delta_churn_uses_effective_corpus(
+        self, spark, tmp_path
+    ):
+        """Code-review r13: diff_vs_previous against a delta predecessor
+        compared the 7-doc overlay and reported ~everything 'added'."""
+        root = str(tmp_path / "rel")
+        release_corpus(spark, _docs(spark), root)
+        release_corpus(spark, self._delta_docs(spark), root, parent="latest")
+        # v3: full re-release of the SAME effective corpus
+        card = release_corpus(spark, self._delta_docs(spark), root)
+        d = card["diff_vs_previous"]
+        assert d["version"] == 2
+        assert d["added"] == 0 and d["removed"] == 0 and d["changed"] == 0
+        assert d["unchanged"] == 62

@@ -1193,3 +1193,18 @@ def test_raw_bpe_long_chunk_encode_is_fast():
     dt = time.perf_counter() - t0
     assert "".join(out) == tk.WB + "abcdabab" * 4000
     assert dt < 1.0, f"raw-chunk encode took {dt:.2f}s"
+
+
+def test_cap_freqs_frequency_first():
+    """Code-review r13: insertion-order truncation dropped frequent
+    late-appearing words while keeping early hapaxes; the cap keeps the
+    highest-count words. Under-budget dictionaries pass through
+    unchanged (identical object — zero perturbation of existing
+    training)."""
+    from jackfruit_spark.functions.tokenizer import _cap_freqs
+
+    freqs = {"early_hapax": 1, "another_rare": 1, "hot": 900, "warm": 50}
+    capped = _cap_freqs(freqs, 8)
+    assert "hot" in capped and "warm" in capped
+    assert "early_hapax" not in capped
+    assert _cap_freqs(freqs, 10_000) is freqs
