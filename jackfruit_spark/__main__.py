@@ -1652,6 +1652,44 @@ def cmd_tokenize(args) -> int:
                 F.sum("__chars").alias("ch"),
             ).collect()
         }
+        if getattr(args, "audit_roundtrip", None):
+            # operational losslessness audit (r13): re-encode a
+            # deterministic sample driver-side through EXACTLY the
+            # per-word kernel the executors memoize (encode_text_ids
+            # shares it by construction), decode, and compare against
+            # the documented normalization contract — verifies the
+            # byte-fallback claim on THIS corpus, not just fixtures
+            from jackfruit_spark.functions.tokenizer import (
+                WB,
+                decode_ids,
+                encode_text_ids,
+            )
+
+            n = int(args.audit_roundtrip)
+            sample = (
+                select.orderBy(F.xxhash64(F.col(args.id_col)))
+                .limit(n)
+                .collect()
+            )
+            kind = (
+                ("unigram_raw" if raw else "unigram")
+                if pieces is not None
+                else ("bpe_raw" if raw else "bpe")
+            )
+            model = pieces if pieces is not None else merges
+            ok = 0
+            for r in sample:
+                t = r[args.text_col] or ""
+                ids_ = encode_text_ids(t, kind, model, vocab)
+                want = " ".join(
+                    (t.replace(WB, " ") if raw else t).split()
+                )
+                ok += decode_ids(ids_, vocab, raw=raw) == want
+            stats["roundtrip"] = {
+                "sampled": len(sample),
+                "ok": ok,
+                "ok_rate": round(ok / max(1, len(sample)), 6),
+            }
         out_df = encoded.drop("__ws", "__script", "__chars")
         if args.pack_seq_len:
             from jackfruit_spark.operators.curation import pack_token_ids
@@ -2646,6 +2684,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="encoded input_ids parquet")
     tkz.add_argument("--pack-seq-len", type=int, default=None,
                      help="also pack ids into fixed-length sequences")
+    tkz.add_argument("--audit-roundtrip", type=int, default=None,
+                     metavar="N",
+                     help="decode a deterministic N-doc sample back and "
+                          "report the lossless rate against the "
+                          "normalization contract (byte-fallback "
+                          "tokenizers should read 1.0)")
     tkz.add_argument("--id-col", default="doc_id")
     tkz.add_argument("--text-col", default="text")
     tkz.add_argument("--cpus", default=None)

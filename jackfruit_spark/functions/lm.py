@@ -629,12 +629,19 @@ def load_arpa(path: str) -> ArpaLM:
     """Parse an ARPA file -> :class:`ArpaLM`. Raises ``ValueError`` on
     anything that isn't ARPA (missing ``\\data\\`` header — e.g. a
     tokenizer/LM JSON handed to the wrong loader) and on count-vs-section
-    mismatches, instead of mis-scoring silently."""
+    mismatches, instead of mis-scoring silently. Gzip-compressed files
+    are detected by magic bytes (KenLM/SRILM conventionally ship
+    ``.arpa.gz``)."""
+    import gzip
+
     grams: dict[int, dict[tuple, tuple]] = {}
     declared: dict[int, int] = {}
     section = None
     ended = False
-    with open(path) as f:
+    with open(path, "rb") as probe:
+        is_gz = probe.read(2) == b"\x1f\x8b"
+    opener = gzip.open if is_gz else open
+    with opener(path, "rt") as f:
         header = False
         for raw in f:
             line = raw.strip()

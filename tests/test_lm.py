@@ -808,3 +808,24 @@ ngram 2=1
                     "vocabulary: 3 words\n\n" + self.HAND)
         m = load_arpa(p)
         assert m.log10_p(("a",), "b") == -0.1
+
+    def test_gzip_arpa_loads(self, spark, corpus, tmp_path):
+        """KenLM/SRILM ship .arpa.gz — magic-byte detection, identical
+        model."""
+        import gzip
+
+        from jackfruit_spark.functions.lm import (
+            export_arpa,
+            load_arpa,
+            train_ngram_lm,
+        )
+
+        lm = train_ngram_lm(corpus, "text", order=3)
+        p = str(tmp_path / "m.arpa")
+        export_arpa(lm, p)
+        gz = str(tmp_path / "m.arpa.gz")
+        with open(p, "rb") as src, gzip.open(gz, "wb") as dst:
+            dst.write(src.read())
+        a, b = load_arpa(p), load_arpa(gz)
+        t = "the cat sat on the mat"
+        assert a.doc_perplexity(t) == b.doc_perplexity(t)

@@ -1208,3 +1208,42 @@ def test_cap_freqs_frequency_first():
     assert "hot" in capped and "warm" in capped
     assert "early_hapax" not in capped
     assert _cap_freqs(freqs, 10_000) is freqs
+
+
+def test_cli_audit_roundtrip(spark, tmp_path, capsys):
+    """--audit-roundtrip: byte-fallback tokenizers read 1.0 on a corpus
+    with OOV scripts; a plain (lossy) tokenizer reads < 1.0 on the same
+    corpus — the operational losslessness check."""
+    import json
+
+    from jackfruit_spark.__main__ import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "newest widest low lower " * 3) for i in range(8)]
+        + [(99, "OOV 中文漢字 ümläut !!")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    # train WITHOUT the OOV doc (a tokenizer trained on it would carry
+    # its chars as base symbols and nothing would be OOV)
+    src_train = str(tmp_path / "docs_train")
+    spark.read.parquet(src).filter("doc_id < 99").write.parquet(src_train)
+    for bf, want_one in ((True, True), (False, False)):
+        tok = str(tmp_path / f"tok{int(bf)}.json")
+        args = ["tokenize", "--input", src_train, "--tokenizer", tok,
+                "--train", "--num-merges", "10", "--sample-size", "100"]
+        if bf:
+            args.append("--byte-fallback")
+        assert main(args) == 0
+        capsys.readouterr()
+        out = str(tmp_path / f"ids{int(bf)}")
+        rc = main(["tokenize", "--input", src, "--tokenizer", tok,
+                   "--output", out, "--audit-roundtrip", "9"])
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        rt = stats["roundtrip"]
+        assert rt["sampled"] == 9
+        if want_one:
+            assert rt["ok_rate"] == 1.0
+        else:
+            assert rt["ok_rate"] < 1.0
