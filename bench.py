@@ -1,7 +1,8 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+JSON line: {"metric": ..., "value": total_sec,
+"queries": {name: sec}, "sf": ...} (compact separators, 2-decimal
+timings — the driver tails only the last 2,000 chars of stdout).
 
 Each query is forced with a noop-format write (materializes every column,
 no driver collect overhead). First query absorbs session warm-up; a tiny
@@ -77,6 +78,45 @@ BENCH_QUERIES = [
     "q63_decontamination",
     "q63_decontamination_bloom",  # Bloom-bitset twin (bench-only, r9)
     "q64_dsir_sampling",
+]
+
+# Keys emitted by the bench_* sections below (everything NOT in
+# BENCH_QUERIES). Used only by the line-length regression test in
+# tests/test_bench_contract.py — the driver tails the LAST 2,000 chars of
+# stdout, so the serialized JSON line must stay under that with every key
+# present. UPDATE THIS LIST whenever a bench_* section gains a key (the
+# same discipline as stubbing new sections in the contract tests).
+SECTION_BENCH_KEYS = [
+    "ann_ivf_build",
+    "ann_ivf_served",
+    "ann_knn_join_served",
+    "ann_ivfpq_served",
+    "ann_ivfsq_served",
+    "lsh_index_build",
+    "lsh_dedup_delta",
+    "bm25_index_build",
+    "bm25_search",
+    "hybrid_search",
+    "image_dedup",
+    "phash_index_build",
+    "image_dedup_delta",
+    "audio_dedup",
+    "audio_index_build",
+    "audio_dedup_delta",
+    "video_dedup",
+    "video_index_build",
+    "video_dedup_delta",
+    "corpus_pipeline_warc",
+    "host_rank",
+    "host_rank_harmonic",
+    "dataset_release",
+    "release_verify",
+    "dataset_release_delta",
+    "snapshot_diff",
+    "grid_ingest_2.35M",
+    "grid_point_lookup",
+    "grid_serving_build",
+    "grid_point_lookup_served",
 ]
 
 REPEATS = 2  # report min-of-N: measures capability, suppresses GC/JIT noise
@@ -1092,11 +1132,16 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["grid"] = f"{type(e).__name__}: {e}"[:300]
 
-    total = round(sum(timings.values()), 3)
+    # The driver captures only the LAST 2,000 chars of stdout (r13's line
+    # hit 2,006 and BENCH_r13.json lost its parsed field): compact
+    # separators, 2-decimal timings, no constant "unit" field. The length
+    # regression test in tests/test_bench_contract.py trips future growth
+    # before the driver does.
+    timings = {k: round(v, 2) for k, v in timings.items()}
+    total = round(sum(timings.values()), 2)
     out = {
         "metric": "headline_queries_total",
         "value": total,
-        "unit": "sec",
         "queries": timings,
         "sf": float(sf),
     }
@@ -1104,7 +1149,7 @@ def main() -> None:
         out["corpus_pipeline_stages"] = pipeline_stages
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -63,7 +63,7 @@ def test_bench_emits_json_line_even_when_a_query_throws(spark, monkeypatch):
     lines = [ln for ln in out.getvalue().strip().splitlines() if ln]
     assert len(lines) == 1, f"bench must print exactly one line, got {lines}"
     d = json.loads(lines[0])
-    assert set(d) >= {"metric", "value", "unit", "queries", "sf"}
+    assert set(d) >= {"metric", "value", "queries", "sf"}
     assert "q_ok" in d["queries"] and "q_boom" not in d["queries"]
     assert d["errors"]["q_boom"].startswith("RuntimeError")
     assert d["value"] == round(d["queries"]["q_ok"] + 0.0, 3)
@@ -115,3 +115,48 @@ def test_bench_emits_json_line_even_when_grid_section_throws(spark, monkeypatch)
     d = json.loads(lines[0])
     assert d["errors"]["grid"].startswith("RuntimeError")
     assert "q_ok" in d["queries"]
+
+
+class TestBenchLineLength:
+    """r13 defect: the JSON line grew to 2,006 chars and the driver's
+    2,000-char stdout tail window lost the parsed record (BENCH_r13.json
+    parsed: null). These tests trip growth BEFORE the driver does.
+
+    Key inventory = BENCH_QUERIES + SECTION_BENCH_KEYS (bench.py). Any new
+    bench_* section key must be added to SECTION_BENCH_KEYS or the
+    inventory drifts silently — same discipline as the section stubs above.
+    """
+
+    @staticmethod
+    def _line(stub_value: float) -> str:
+        import bench
+
+        keys = list(bench.BENCH_QUERIES) + list(bench.SECTION_BENCH_KEYS)
+        assert len(keys) == len(set(keys)), "duplicate bench keys"
+        timings = {k: stub_value for k in keys}
+        out = {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 2),
+            "queries": timings,
+            "sf": 0.1,
+            "corpus_pipeline_stages": {
+                "docs": 99999,
+                "gated": 99999,
+                "deduped": 99999,
+                "packed": 99999,
+            },
+        }
+        return json.dumps(out, separators=(",", ":"))
+
+    def test_realistic_values_leave_headroom(self):
+        # 9.99 = realistic per-key ceiling (slowest key ever was 18.7 s,
+        # current max ~7.3 s); < 1,900 leaves ~4 new keys of slack.
+        assert len(self._line(9.99)) < 1900, (
+            "bench JSON line is approaching the driver's 2,000-char tail "
+            "window — consolidate keys or shorten names before adding more"
+        )
+
+    def test_worst_case_values_fit_the_driver_window(self):
+        # Even with EVERY key at a 5-char value the line must fit the
+        # driver's actual capture window.
+        assert len(self._line(88.88)) < 2000
