@@ -980,7 +980,10 @@ def bench_release(spark, sf_dir: str) -> dict[str, float]:
                 F.concat(F.col("text"), F.lit(" updated")),
             ).otherwise(F.col("text")),
         ).unionByName(
-            docs.limit(200).select(
+            # deterministic added set: limit() without ordering is
+            # plan-order dependent and delta_docs is evaluated by several
+            # jobs inside one release_corpus call (diff vs overlay write)
+            docs.where(F.col("doc_id") % 211 == 0).select(
                 (F.col("doc_id") + 10_000_000).alias("doc_id"),
                 "text", "source",
             )

@@ -620,7 +620,7 @@ def export_arpa(model: NgramLM, path: str) -> None:
         lines += sections[r]
     lines += ["", "\\end\\", ""]
     tmp = path + ".tmp"
-    with open(tmp, "w") as f:
+    with open(tmp, "w", encoding="utf-8") as f:
         f.write("\n".join(lines))
     os.replace(tmp, path)
 
@@ -641,7 +641,7 @@ def load_arpa(path: str) -> ArpaLM:
     with open(path, "rb") as probe:
         is_gz = probe.read(2) == b"\x1f\x8b"
     opener = gzip.open if is_gz else open
-    with opener(path, "rt") as f:
+    with opener(path, "rt", encoding="utf-8") as f:
         header = False
         for raw in f:
             line = raw.strip()

@@ -79,9 +79,10 @@ def _cap_freqs(freqs: dict[str, int], max_chars: int) -> dict[str, int]:
     of symbols on the driver. Truncates FREQUENCY-FIRST (count desc,
     then word — deterministic; code-review r13: insertion-order
     truncation dropped frequent late-appearing words while keeping early
-    hapaxes). Returns frequency-major order; dictionaries under the
-    budget pass through with the same reordering (all trainer consumers
-    are order-insensitive over the dict)."""
+    hapaxes). Over-budget dictionaries come back frequency-major;
+    under-budget dictionaries are returned UNMODIFIED (zero perturbation
+    of existing training — all trainer consumers are order-insensitive
+    over the dict anyway)."""
     if sum(map(len, freqs)) <= max_chars:
         return freqs
     budget = max_chars

@@ -685,8 +685,46 @@ def verify_release(
     sequences are what a training run actually reads, so corruption
     there must flip ``ok`` as loudly as document corruption. One slim
     aggregate per directory; payload columns beyond the hashed sets are
-    not covered — same contract as the card."""
+    not covered — same contract as the card.
+
+    Delta chains walk base-first and verify each ancestor link exactly
+    ONCE (ADVICE r13: the recursive form re-entered ``verify_release``
+    per link); ``parent_ok`` is the AND of every ancestor link's own
+    integrity plus the checksum linkage between consecutive links."""
     card = read_card(root, version)
+    out = _verify_link(spark, root, card)
+    if "delta" in card:
+        pv = card["delta"]["parent_version"]
+        try:
+            cards = _chain_cards(root, card["version"])  # base-first
+            parent_ok = True
+            for i, c in enumerate(cards[:-1]):
+                link_ok = _verify_link(spark, root, c)["ok"]
+                if i > 0:
+                    # linkage pin: each delta card must still point at
+                    # the checksum its parent card carries today — a
+                    # re-written parent fails even if self-consistent
+                    link_ok = link_ok and (
+                        cards[i - 1]["checksum_xxh64_sum"]
+                        == c["delta"]["parent_checksum"]
+                    )
+                parent_ok = parent_ok and link_ok
+            linkage_ok = (
+                cards[-2]["checksum_xxh64_sum"]
+                == card["delta"]["parent_checksum"]
+            )
+        except Exception:  # noqa: BLE001 — missing/corrupt parent = broken
+            parent_ok = linkage_ok = False
+        out["parent_version"] = pv
+        out["parent_ok"] = parent_ok
+        out["parent_linkage_ok"] = linkage_ok
+        out["ok"] = out["ok"] and parent_ok and linkage_ok
+    return out
+
+
+def _verify_link(spark: SparkSession, root: str, card: dict) -> dict:
+    """Verify ONE release link (documents, sequences, tokenizer,
+    removed/) against its card — no chain traversal."""
     v = card["version"]
     id_col = card["knobs"]["id_col"]
     text_col = card["knobs"]["text_col"]
@@ -773,24 +811,6 @@ def verify_release(
                 and rem_sum
                 == card["delta"].get("checksum_removed_xxh64_sum", rem_sum)
             )
-        # walk the chain (r13): a delta is only as good as every link
-        # under it — recursively verify the parent AND pin the linkage
-        # (the parent card must still carry the checksum this delta was
-        # cut against; a re-written parent card fails here even if it is
-        # self-consistent)
-        pv = card["delta"]["parent_version"]
-        try:
-            pres = verify_release(spark, root, pv)
-            parent_ok = pres["ok"]
-            linkage_ok = (
-                pres["checksum_expected"] == card["delta"]["parent_checksum"]
-            )
-        except Exception:  # noqa: BLE001 — missing/corrupt parent = broken
-            parent_ok = linkage_ok = False
-        out["parent_version"] = pv
-        out["parent_ok"] = parent_ok
-        out["parent_linkage_ok"] = linkage_ok
-        out["ok"] = out["ok"] and parent_ok and linkage_ok
     return out
 
 

@@ -829,3 +829,45 @@ ngram 2=1
         a, b = load_arpa(p), load_arpa(gz)
         t = "the cat sat on the mat"
         assert a.doc_perplexity(t) == b.doc_perplexity(t)
+
+
+class TestArpaEncoding:
+    """ADVICE r13: ARPA read/write must be UTF-8 regardless of locale —
+    a KenLM vocab with non-ASCII words misdecoded (or raised) under
+    C/POSIX locale defaults."""
+
+    def test_non_ascii_vocab_round_trips_under_c_locale(self, tmp_path):
+        import subprocess
+        import sys
+        import textwrap
+
+        script = textwrap.dedent(
+            """
+            import sys
+            sys.path.insert(0, "/root/repo")
+            from jackfruit_spark.functions.lm import load_arpa
+            arpa = (
+                "\\\\data\\\\\\n"
+                "ngram 1=3\\n\\n"
+                "\\\\1-grams:\\n"
+                "-0.5\\tna\\u00efve\\t-0.3\\n"
+                "-0.7\\tcaf\\u00e9\\t-0.3\\n"
+                "-2.0\\t<unk>\\t0.0\\n\\n"
+                "\\\\end\\\\\\n"
+            )
+            p = sys.argv[1]
+            with open(p, "w", encoding="utf-8") as f:
+                f.write(arpa)
+            m = load_arpa(p)
+            assert m.log10_p((), "caf\\u00e9") == -0.7, "utf-8 word lost"
+            print("OK")
+            """
+        )
+        p = str(tmp_path / "u.arpa")
+        env = {"PATH": "/usr/bin:/bin", "LC_ALL": "C", "LANG": "C",
+               "PYTHONIOENCODING": "utf-8"}
+        r = subprocess.run(
+            [sys.executable, "-c", script, p],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0 and "OK" in r.stdout, r.stderr
