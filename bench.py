@@ -313,8 +313,10 @@ def bench_ivf(spark, sf_dir: str) -> dict[str, float]:
         # codebook in the manifest (amortized, untimed like assignment).
         # The timed search reads ONLY the probed cells' code column
         # (PartitionFilters + column pruning: 32x fewer bytes/vector
-        # than the float32 embeddings), ADC top-50, exact re-rank of
-        # just those 50 raw vectors — the FAISS IVFPQ shape.
+        # than the float32 embeddings), ADC top-500, exact re-rank of
+        # just those raw vectors — the FAISS IVFPQ shape. R=500 is the
+        # r14 default (recall saturation at equal latency, sweep in
+        # scripts/pq_rerank_sweep.py).
         from jackfruit_spark.functions.pq import pq_rerank, pq_search
 
         idx_pq = IvfIndex.build(
@@ -330,7 +332,7 @@ def bench_ivf(spark, sf_dir: str) -> dict[str, float]:
             )
             top = pq_search(
                 cand.select("vec_id", "pq_code"),
-                "vec_id", "pq_code", book, qv, k=50,
+                "vec_id", "pq_code", book, qv, k=500,
             )
             res = pq_rerank(
                 top, cand.select("vec_id", "embedding"),

@@ -2522,7 +2522,7 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--k", type=int, default=10)
     an.add_argument("--nprobe", type=int, default=16)
     an.add_argument("--mode", choices=["exact", "adc", "sq"], default="exact")
-    an.add_argument("--rerank", type=int, default=50)
+    an.add_argument("--rerank", type=int, default=500)
     an.add_argument("--cpus", default=None)
     an.set_defaults(fn=cmd_ann_search)
 

@@ -51,7 +51,7 @@ def handle_ann_search(
     try:
         k = int(params.get("k", 10))
         nprobe = int(params.get("nprobe", 16))
-        rerank = int(params.get("rerank", 50))
+        rerank = int(params.get("rerank", 500))
     except ValueError:
         return 400, {"error": "k/nprobe/rerank must be integers"}
     if k <= 0 or nprobe <= 0 or rerank < 0:

@@ -451,7 +451,7 @@ class IvfIndex(VersionedStoreLifecycle):
         k: int = 10,
         nprobe: int = 16,
         mode: str = "exact",
-        rerank: int = 50,
+        rerank: int = 500,
     ) -> DataFrame:
         """Top-k cosine over the probed cells. ``mode='exact'``:
         identical results to ``similarity.ann_ivf`` with the same
@@ -464,7 +464,11 @@ class IvfIndex(VersionedStoreLifecycle):
         ADC results). The re-rank leg re-scans the probed cells' vector
         column for just those ids — I/O bounded by probed cells either
         way; the ADC leg is what shrinks when cells stop fitting in
-        cache. ``mode='sq'`` (requires ``build(sq8=True)``): same shape
+        cache. Default ``rerank=500``: the r14 sweep
+        (scripts/pq_rerank_sweep.py) measured recall@10 0.596 at R=50
+        vs 1.0 at R=500 on the sanity corpus at EQUAL latency (3.65 vs
+        3.85 s batch join) — the r8 "widening is ~free" claim holds
+        post-refactor, so the default sits at the saturation point. ``mode='sq'`` (requires ``build(sq8=True)``): same shape
         over the 1-byte-per-dim SQ codes (functions/sq.py — 4x fewer
         bytes than float32, near-exact recall; the same rerank knob
         applies but is usually unnecessary)."""
@@ -532,7 +536,7 @@ class IvfIndex(VersionedStoreLifecycle):
         nprobe: int = 16,
         cell_cap: int | None = None,
         mode: str = "exact",
-        rerank: int = 50,
+        rerank: int = 500,
         broadcast_candidates: bool = True,
     ) -> DataFrame:
         """Served batch kNN-join (r8, VERDICT r7 #2): the twin of
@@ -557,7 +561,9 @@ class IvfIndex(VersionedStoreLifecycle):
         and the exact re-rank touches raw vectors for just the ADC
         top-``rerank`` survivors per query (a semi-join back into the
         pruned layout + the expression cosine the point search's re-rank
-        uses). ``rerank=0`` returns pure ADC results. ``cell_cap``
+        uses). ``rerank=0`` returns pure ADC results; the 500 default is
+        the measured recall saturation point at equal latency (r14
+        sweep, see ``search``). ``cell_cap``
         bounds the skew tail in both modes (hash sub-blocks, lossless).
         ``broadcast_candidates`` (default True) hints
         the re-rank's |Q| x rerank candidate frame and the query frame

@@ -1187,6 +1187,42 @@ def _apply_lm_tier(frame, text_col: str, lm, max_perplexity: float):
     )
 
 
+def _validate_langid_knobs(langid_model, lang, min_stop_ratio) -> None:
+    """Shared knob-conflict validation for the trained language-ID gate
+    (r14, VERDICT r13 #3 — ``curate_corpus`` and ``curate_stream`` must
+    reject the same mistakes): the model needs a target language, and the
+    stopword-RATIO knob belongs to the heuristic path only (the trained
+    tier's confidence knob is ``langid_min_conf``; the ratio's
+    English-fallback wordlist empties any language outside the 5-entry
+    stopword table)."""
+    if langid_model is not None and lang is None:
+        raise ValueError("langid_model without lang has nothing to gate on")
+    if langid_model is not None and min_stop_ratio is not None:
+        raise ValueError(
+            "min_stop_ratio does not apply with langid_model — the "
+            "trained tier's confidence knob is langid_min_conf"
+        )
+
+
+def _apply_langid_gate(df, text_col: str, model, lang: str, min_conf: float):
+    """Trained language-ID gate as a pure plan (one Arrow scoring pass +
+    filter, functions/langid.py): keep docs whose predicted language is
+    ``lang`` (stopword-argmax fallback below ``min_conf`` rides inside
+    ``langid_scores``). Stateless map-only — streaming-safe. ONE
+    implementation shared by ``curate_corpus`` and
+    ``streaming.curation.curate_stream`` (the drifting-copies rule)."""
+    from jackfruit_spark.functions.langid import langid_scores
+
+    return (
+        langid_scores(
+            df, text_col, model, min_conf=min_conf,
+            out_col="__lang_pred", conf_col="__lang_conf",
+        )
+        .filter(F.col("__lang_pred") == lang)
+        .drop("__lang_pred", "__lang_conf")
+    )
+
+
 def _apply_quality_tier(
     df: DataFrame,
     quality_model,
@@ -1340,43 +1376,27 @@ def curate_corpus(
         # before the cheap token gates purely for plan readability: all
         # of these are codegen expressions on the same scan
         df = gopher_clean(df, text_col, **(gopher_knobs or {}))
-    if langid_model is not None and lang is None:
-        raise ValueError("langid_model without lang has nothing to gate on")
-    if langid_model is not None and min_stop_ratio is not None:
-        # loud knob conflict (code-review r13, the lone-min_host_rank
-        # convention): the ratio gate does not run on the trained path —
-        # silently dropping an explicit value would pass more docs than
-        # the caller's knobs suggest
-        raise ValueError(
-            "min_stop_ratio does not apply with langid_model — the "
-            "trained tier's confidence knob is langid_min_conf"
-        )
+    _validate_langid_knobs(langid_model, lang, min_stop_ratio)
     if min_stop_ratio is None and langid_model is None:
         min_stop_ratio = 0.05  # the heuristic path's historical default
     toks = T.token_count(text_col)
     gates = toks.between(min_tokens, max_tokens)
     if lang is not None:
         if langid_model is not None:
-            # trained tier (functions/langid.py, r13): Arrow-scored
-            # prediction with the stopword argmax as the low-confidence
-            # fallback — one map-only pass folded into the same scan.
+            # trained tier (functions/langid.py, r13) via the shared
+            # _apply_langid_gate (one Arrow map-only pass folded into the
+            # same scan; streaming curate_stream uses the same helper).
             # The stopword-RATIO gate is skipped on this path
-            # (code-review r13): it exists as a weak language-confidence
-            # proxy, and with a trained classifier the real knob is
-            # langid_min_conf — while the ratio's English-fallback
-            # wordlist (and whitespace tokenization) silently emptied
-            # every corpus in a language the 5-entry stopword table
-            # can't express, the trained tier's headline use case.
+            # (code-review r13): with a trained classifier the real knob
+            # is langid_min_conf, and the ratio's English-fallback
+            # wordlist silently emptied any language the 5-entry stopword
+            # table can't express — the trained tier's headline use case.
             # NOTE: min_tokens still counts WHITESPACE tokens — unspaced
             # scripts should set it per-document-appropriate (a CJK doc
             # is one whitespace token).
-            from jackfruit_spark.functions.langid import langid_scores
-
-            df = langid_scores(
-                df, text_col, langid_model, min_conf=langid_min_conf,
-                out_col="__lang_pred", conf_col="__lang_conf",
+            df = _apply_langid_gate(
+                df, text_col, langid_model, lang, langid_min_conf
             )
-            gates = gates & (F.col("__lang_pred") == lang)
         else:
             gates = gates & (T.lang_id(text_col) == lang)
             if min_stop_ratio > 0:
@@ -1385,7 +1405,7 @@ def curate_corpus(
                     "double"
                 ) / toks.cast("double")
                 gates = gates & (ratio >= min_stop_ratio)
-    out = df.filter(gates).drop("__lang_pred", "__lang_conf")
+    out = df.filter(gates)
     # exact dedup keeping the smallest id per content hash (full rows,
     # q57's keeper rule)
     keep = (

@@ -1012,11 +1012,13 @@ def langid_score(spark, sf_dir):
     from jackfruit_spark.functions.langid import langid_scores, train_langid
 
     d = load(spark, sf_dir, "documents")
-    # bench knobs: dim 256 / 15 Newton iters — the hessian build is
-    # O(n * dim^2) per iter and dim 512 pays 4x for no accuracy the
-    # synthetic corpus can express (the pytest accuracy pin trains at
-    # its own knobs)
-    model = train_langid(d, sample_per_lang=500, dim=256, max_iter=15)
+    # bench knobs: dim 256 / 8 Newton iters. r14 A/B (PERFORMANCE.md):
+    # train time is FLAT 1.05-1.10 s across max_iter 3..25 at these
+    # sizes — the fits are milliseconds (n=2500, dim=256); the cost is
+    # the Spark sample-collection jobs — and prediction agreement vs 25
+    # iters is 1.0 from 3 iters up. 8 is a conservative elbow; the
+    # pytest accuracy pin trains at its own knobs.
+    model = train_langid(d, sample_per_lang=500, dim=256, max_iter=8)
     return (
         langid_scores(d, "text", model)
         .groupBy("lang_pred")

@@ -91,13 +91,16 @@ def curate_stream(
     docs: DataFrame,
     min_tokens: int = 5,
     max_tokens: int = 1000,
-    min_stopword_ratio: float = 0.05,
+    min_stopword_ratio: float | None = None,
     sample_pct: int = 50,
     watermark: str = "1 hour",
     redact: bool = False,
     normalize: bool = False,
     lm=None,
     max_perplexity: float | None = None,
+    lang: str = "en",
+    langid_model=None,
+    langid_min_conf: float = 0.5,
 ) -> DataFrame:
     """The q57 stage chain as a streaming transformation (language gate,
     token-count and stopword-ratio gates, within-watermark exact dedup on
@@ -115,9 +118,25 @@ def curate_stream(
     scoring is the same stateless Arrow pass, applied after dedup +
     sample (fewest rows scored; the filters commute) and before
     redaction (the score must see the original bytes, like the content
-    hash)."""
+    hash). ``langid_model`` + ``langid_min_conf`` (r14, VERDICT r13 #3)
+    swap the heuristic language gate for the trained tier — the SAME
+    shared ``_apply_langid_gate`` the batch ``curate_corpus`` uses, a
+    stateless Arrow pass applied after dedup + sample like the LM tier
+    (duplicates share text, so the prediction commutes with the
+    content-hash dedup); the stopword-ratio gate is skipped on that
+    path (batch semantics — pass ``min_stopword_ratio`` alongside a
+    model and validation raises). ``min_stopword_ratio=None`` defaults
+    to 0.05 on the heuristic path only."""
+    from jackfruit_spark.operators.curation import (
+        _apply_langid_gate,
+        _validate_langid_knobs,
+    )
+
     if (lm is None) != (max_perplexity is None):
         raise ValueError("lm and max_perplexity go together")
+    _validate_langid_knobs(langid_model, lang, min_stopword_ratio)
+    if min_stopword_ratio is None and langid_model is None:
+        min_stopword_ratio = 0.05  # the heuristic path's historical default
     if normalize:
         from jackfruit_spark.functions.normalize import normalize_text
 
@@ -125,19 +144,24 @@ def curate_stream(
         # through, and the main chain filters them just below
         docs = normalize_text(docs, "text")
     toks = T.token_count("text")
-    stop_ratio = F.round(
-        T.stopword_count("text", T.LANG_STOPWORDS["en"]).cast("double")
-        / toks.cast("double"),
-        6,
-    )
+    gates = toks.between(min_tokens, max_tokens)
+    if langid_model is None:
+        stop_ratio = F.round(
+            T.stopword_count(
+                "text", T.LANG_STOPWORDS.get(lang, T.LANG_STOPWORDS["en"])
+            ).cast("double")
+            / toks.cast("double"),
+            6,
+        )
+        gates = (
+            gates
+            & (T.lang_id("text") == lang)
+            & (stop_ratio >= min_stopword_ratio)
+        )
     kept = (
         docs.filter(F.col("_corrupt_record").isNull())
         .drop("_corrupt_record")
-        .filter(
-            (T.lang_id("text") == "en")
-            & toks.between(min_tokens, max_tokens)
-            & (stop_ratio >= min_stopword_ratio)
-        )
+        .filter(gates)
         .withColumn("content_hash", F.md5("text"))
         .withColumn("ingested_at", F.current_timestamp())
         .withWatermark("ingested_at", watermark)
@@ -149,6 +173,10 @@ def curate_stream(
     kept = kept.filter(
         md5_hash64(F.col("doc_id").cast("string")) % 100 < sample_pct
     )
+    if langid_model is not None:
+        kept = _apply_langid_gate(
+            kept, "text", langid_model, lang, langid_min_conf
+        )
     if lm is not None:
         from jackfruit_spark.operators.curation import _apply_lm_tier
 

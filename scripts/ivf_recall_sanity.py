@@ -108,7 +108,7 @@ def main() -> None:
                 if book is not None:
                     top = pq_search(
                         cand.select("vec_id", "pq_code"),
-                        "vec_id", "pq_code", book, qv, k=50,
+                        "vec_id", "pq_code", book, qv, k=500,
                     )
                     return pq_rerank(
                         top, cand.select("vec_id", "embedding"),

@@ -1,0 +1,116 @@
+"""PQ rerank-width sweep (r14, VERDICT r13 #2).
+
+The r13 sanity table read PQ recall@10 = 0.596 at the default
+``rerank=50`` while the r8 measurement said widening the rerank leg is
+~free (the exact re-scoring of R candidates costs one semi-join whose
+size is |Q| x R — tiny next to the candidate scan). This script measures
+the actual knee: one PQ(m=8) IvfIndex over the r13 sanity corpus
+(20k x 64-dim, 40 clusters, seeded), then recall@10 + min-of-3 latency
+of the batched ``knn_join(mode='adc', rerank=R)`` for
+R in {0, 50, 150, 500}.
+
+Usage: python scripts/pq_rerank_sweep.py [--n 20000] [--cells 32]
+Prints one JSON line; the table belongs in PERFORMANCE.md "Round 14".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jackfruit_spark import release_persisted  # noqa: E402
+from jackfruit_spark.functions.ivf_store import IvfIndex  # noqa: E402
+from jackfruit_spark.functions.similarity import kmeans_train  # noqa: E402
+from jackfruit_spark.session import get_spark  # noqa: E402
+
+DIM = 64
+N_CLUSTERS = 40
+NOISE = 0.10
+N_QUERIES = 50
+K = 10
+NPROBE = 16
+RERANKS = [0, 50, 150, 500]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=20_000)
+    ap.add_argument("--cells", type=int, default=32)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(N_CLUSTERS, DIM)) * 3.0
+    labels = rng.integers(0, N_CLUSTERS, size=args.n)
+    vecs = centers[labels] + rng.normal(size=(args.n, DIM)) * (
+        3.0 * NOISE * np.sqrt(DIM)
+    )
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    q_idx = [int(i) for i in rng.choice(args.n, size=N_QUERIES, replace=False)]
+    exact = {}
+    for qi in q_idx:
+        cos = vn @ vn[qi]
+        cos[qi] = -2.0
+        order = np.lexsort((np.arange(args.n), -np.round(cos, 6)))
+        exact[qi] = set(int(i) for i in order[:K])
+
+    spark = get_spark("pq-rerank-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(args.n)],
+        "vec_id long, embedding array<float>",
+    ).repartition(32).persist()
+    df.count()
+    qrows = [(f"q{qi}", [float(x) for x in vecs[qi]]) for qi in q_idx]
+    qdf = spark.createDataFrame(qrows, "qid string, qv array<float>")
+    cents = kmeans_train(df, "embedding", k=args.cells, sample_size=100_000,
+                         seed=42)
+    root = tempfile.mkdtemp(prefix="pq_rerank_sweep_")
+    out: dict = {"n": args.n, "cells": args.cells, "nprobe": NPROBE,
+                 "sweep": {}}
+    try:
+        idx = IvfIndex.build(
+            df, "vec_id", "embedding", os.path.join(root, "pq"),
+            centroids=cents, sample_fraction=1.0, seed=42, pq_m=8,
+        )
+        for rr in RERANKS:
+            res = idx.knn_join(
+                qdf, "qid", "qv", k=K + 1, nprobe=NPROBE, mode="adc",
+                rerank=rr,
+            ).collect()
+            release_persisted()
+            got: dict[int, set] = {}
+            for r in res:
+                qi = int(r["qid"][1:])
+                if int(r["vec_id"]) != qi:
+                    got.setdefault(qi, set()).add(int(r["vec_id"]))
+            hits = sum(len(got.get(qi, set()) & exact[qi]) for qi in q_idx)
+            recall = hits / (len(q_idx) * K)
+            t_best = float("inf")
+            for _ in range(3 + 1):  # first run absorbs manifest load
+                t0 = time.perf_counter()
+                idx.knn_join(
+                    qdf, "qid", "qv", k=K + 1, nprobe=NPROBE, mode="adc",
+                    rerank=rr,
+                ).write.format("noop").mode("overwrite").save()
+                t_best = min(t_best, round(time.perf_counter() - t0, 3))
+                release_persisted()
+            out["sweep"][str(rr)] = {
+                "recall_at_10": round(recall, 3), "knn_join_s": t_best,
+            }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -181,3 +181,32 @@ def test_adc_join_recall_floor(spark, emb, tmp_path):
     }
     overlap = len(exact & adc) / len(exact)
     assert overlap >= 0.8, f"ADC join pair overlap {overlap:.3f} < 0.8"
+
+
+def test_adc_join_default_rerank_recall_floor(spark, emb, tmp_path):
+    """PQ recall floor at the DEFAULT rerank (r14, VERDICT r13 #2): the
+    default moved 50 -> 500 after the sweep (scripts/pq_rerank_sweep.py)
+    measured recall@10 0.596 -> 1.0 at equal latency on the 20k sanity
+    corpus. This pins the shipped default above 0.9 so a regression of
+    the knob (or of the rerank leg itself) fails a test."""
+    from jackfruit_spark.functions.ivf_store import IvfIndex
+
+    idx = IvfIndex.build(
+        emb, "vec_id", "embedding", str(tmp_path / "adc_default"),
+        k=32, seed=42, pq_m=8, sample_fraction=1.0,
+    )
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in idx.knn_join(q, "qid", "qv", k=K, nprobe=16).collect()
+    }
+    adc = {
+        (r["qid"], r["vec_id"])
+        for r in idx.knn_join(
+            q, "qid", "qv", k=K, nprobe=16, mode="adc"  # default rerank
+        ).collect()
+    }
+    overlap = len(exact & adc) / len(exact)
+    assert overlap >= 0.9, (
+        f"ADC join at default rerank: pair overlap {overlap:.3f} < 0.9"
+    )

@@ -358,3 +358,73 @@ def test_streaming_lm_gate(spark, tmp_path):
 
     with pytest.raises(ValueError, match="go together"):
         curate_stream(stream_documents_jsonl(spark, str(landing)), lm=lm)
+
+
+def test_streaming_langid_gate(spark, tmp_path):
+    """r14 (VERDICT r13 #3): the trained language-ID tier in the stream —
+    shared _apply_langid_gate with batch curate_corpus. The trained gate
+    keeps the English doc and drops the French one; the streamed kept set
+    equals the batch curate_corpus kept set on the same docs; an explicit
+    min_stopword_ratio alongside the model raises (the shared knob
+    validation)."""
+    import pytest
+
+    from jackfruit_spark.functions.langid import train_langid
+    from jackfruit_spark.operators.curation import curate_corpus
+
+    en = [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "we waited for the train since early morning at the station",
+        "my brother works at the library close to the city center",
+        "the forecast says it will rain again on thursday night",
+    ]
+    fr = [
+        "le chat noir dort sur le canape dans la maison pres du jardin",
+        "nous avons attendu le train depuis le matin a la gare du nord",
+        "mon frere travaille a la bibliotheque pres du centre ville",
+        "la meteo annonce encore de la pluie pour jeudi soir",
+    ]
+    train = spark.createDataFrame(
+        [("en", s) for s in en] + [("fr", s) for s in fr],
+        "lang string, text string",
+    )
+    model = train_langid(train, sample_per_lang=50, dim=256, max_iter=10)
+
+    fr_doc = (
+        "nous avons attendu le train depuis le matin a la gare et mon "
+        "frere travaille a la bibliotheque pres du centre de la ville"
+    )
+    landing = tmp_path / "landing"
+    _land(
+        landing / "b1.jsonl",
+        [_doc(1, GOOD_EN), _doc(2, fr_doc, lang="fr")],
+    )
+    out = str(tmp_path / "curated")
+    q = write_curated(
+        curate_stream(
+            stream_documents_jsonl(spark, str(landing)),
+            sample_pct=100, langid_model=model,
+        ),
+        out, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1}
+
+    # stream == batch: same docs through curate_corpus with the same model
+    docs = spark.createDataFrame(
+        [(1, GOOD_EN, "web"), (2, fr_doc, "web")],
+        "doc_id long, text string, source string",
+    )
+    batch_kept = {
+        r["doc_id"]
+        for r in curate_corpus(docs, langid_model=model).collect()
+    }
+    assert batch_kept == kept
+
+    # shared knob-conflict validation (batch semantics)
+    with pytest.raises(ValueError, match="min_stop_ratio does not apply"):
+        curate_stream(
+            stream_documents_jsonl(spark, str(landing)),
+            langid_model=model, min_stopword_ratio=0.05,
+        )
