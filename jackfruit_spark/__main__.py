@@ -753,8 +753,31 @@ def cmd_release(args) -> int:
     training artifact — optional decontam + mixture, deterministic
     shuffle, optional packed sequences, data card with a rerun-stable
     checksum."""
+    if args.stale_threshold is not None and not (args.status or args.maintain):
+        raise SystemExit("--stale-threshold requires --status or --maintain")
+    if getattr(args, "status", False):
+        # card-only report — no Spark session needed
+        from jackfruit_spark.operators.release import release_status
+
+        kw = {}
+        if args.stale_threshold is not None:
+            kw["stale_ratio_threshold"] = args.stale_threshold
+        out = release_status(args.root, args.verify_version, **kw)
+        print(json.dumps(out, sort_keys=True))
+        return 0
+
     spark = _spark(args.cpus)
     from jackfruit_spark.operators.release import release_corpus, verify_release
+
+    if getattr(args, "maintain", False):
+        from jackfruit_spark.operators.release import maintain_release
+
+        kw = {}
+        if args.stale_threshold is not None:
+            kw["stale_ratio_threshold"] = args.stale_threshold
+        out = maintain_release(spark, args.root, args.verify_version, **kw)
+        print(json.dumps(out, sort_keys=True))
+        return 0
 
     if args.verify:
         out = verify_release(spark, args.root, args.verify_version)
@@ -2297,6 +2320,18 @@ def build_parser() -> argparse.ArgumentParser:
     rl.add_argument("--verify", action="store_true",
                     help="verify a committed release's checksum instead "
                          "of producing one (exit 1 on mismatch)")
+    rl.add_argument("--status", action="store_true",
+                    help="print the chain staleness report "
+                         "(release_status: stale_parent_docs, ratio, "
+                         "recommend_compact) and exit")
+    rl.add_argument("--maintain", action="store_true",
+                    help="run the compaction policy: compact the chain "
+                         "when stale_ratio >= --stale-threshold "
+                         "(release_status + compact_release in one call)")
+    rl.add_argument("--stale-threshold", type=float, default=None,
+                    help="staleness ratio that triggers --maintain "
+                         "compaction (default: the library's "
+                         "STALE_COMPACT_RATIO, 0.25)")
     rl.add_argument("--verify-version", type=int, default=None,
                     help="version to verify (default: latest committed)")
     rl.add_argument("--id-col", default="doc_id")

@@ -924,6 +924,77 @@ def compact_release(
     )
 
 
+# Past this staleness ratio a chain's earlier links carry enough dead
+# tokens that a training run re-reads them for nothing — the release twin
+# of IvfIndex.maintain()'s rebuild-at-imbalance-~3x policy. 0.25 means a
+# quarter of the effective corpus has stale duplicates in older
+# sequences (storage AND read amplification ~1.25x); compaction costs one
+# full re-release, so the threshold sits where the recurring read tax
+# outweighs the one-time rebuild.
+STALE_COMPACT_RATIO = 0.25
+
+
+def release_status(
+    root: str,
+    version: int | None = None,
+    stale_ratio_threshold: float = STALE_COMPACT_RATIO,
+) -> dict:
+    """Driver-side chain report from the cards alone (no Spark): chain
+    versions, per-link delta counts, total ``stale_parent_docs``,
+    effective corpus size (the tip diff covers every effective doc:
+    added + changed + unchanged), the stale ratio, and a
+    ``recommend_compact`` verdict past :data:`STALE_COMPACT_RATIO` —
+    the ``IvfIndex.maintain()`` precedent for release chains
+    (r14, VERDICT r13 #6). Full releases report zero staleness."""
+    card = read_card(root, version)
+    chain = _chain_cards(root, card["version"])
+    stale = sum(
+        c["delta"]["stale_parent_docs"] for c in chain if "delta" in c
+    )
+    tip = chain[-1]
+    if "delta" in tip:
+        d = tip["delta"]
+        effective = d["added"] + d["changed"] + d["unchanged"]
+    else:
+        effective = tip["stages"]["released_docs"]
+    ratio = round(stale / effective, 4) if effective else 0.0
+    return {
+        "version": tip["version"],
+        "chain_versions": [c["version"] for c in chain],
+        "n_links": len(chain),
+        "is_delta": "delta" in tip,
+        "effective_docs": effective,
+        "stale_parent_docs": stale,
+        "stale_ratio": ratio,
+        "compact_threshold": stale_ratio_threshold,
+        "recommend_compact": (
+            "delta" in tip and ratio >= stale_ratio_threshold
+        ),
+    }
+
+
+def maintain_release(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    stale_ratio_threshold: float = STALE_COMPACT_RATIO,
+    compact: bool = True,
+) -> dict:
+    """One-call chain maintenance policy: read :func:`release_status`
+    and, when the stale ratio crosses ``stale_ratio_threshold`` AND
+    ``compact=True``, run :func:`compact_release` (``compact=False`` is
+    the dry-run — report only). Returns the status dict with
+    ``compacted`` (bool) and, when a compaction ran, ``compacted_card``.
+    The chain's old versions stay on disk either way (immutable once
+    committed — prune operationally once consumers moved)."""
+    status = release_status(root, version, stale_ratio_threshold)
+    status["compacted"] = False
+    if status["recommend_compact"] and compact:
+        status["compacted_card"] = compact_release(spark, root, version)
+        status["compacted"] = True
+    return status
+
+
 def read_card(root: str, version: int | None = None) -> dict:
     """Latest (or given) committed release's card."""
     if version is None:

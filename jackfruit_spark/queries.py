@@ -999,6 +999,93 @@ def unigram_tokenize(spark, sf_dir):
     )
 
 
+# 26 common CJK chars: the a-z image of the unspaced-corpus derivation
+# below (the trailing space in the FROM string has no TO image, so
+# translate() deletes it — every doc becomes ONE long unspaced chunk).
+_CJK26 = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
+
+
+def _cjk_documents(spark, sf_dir):
+    """CJK-heavy derivation of the documents table (r14, VERDICT r13
+    #4): lowercase a-z maps 1:1 onto 26 common CJK chars and spaces are
+    DELETED, so each document is one long unspaced ▁-marked chunk —
+    exactly the shape that exercises the raw-stream tokenizers' >256-char
+    word-memo skip and the lazy-deletion-heap BPE encoder (the paths the
+    r13 review rewrote). Deterministic (pure column expression), so
+    growth legs see the same text at every scale multiple."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang",
+        F.translate(
+            F.lower(F.col("text")), "abcdefghijklmnopqrstuvwxyz " , _CJK26
+        ).alias("text"),
+    )
+
+
+def bpe_tokenize_raw(spark, sf_dir):
+    """Bench-only (r14): RAW-STREAM (SentencePiece ▁) BPE over the
+    CJK-heavy unspaced derivation of the documents table — the scale
+    exercise for the r13 raw-mode paths: whole-document chunks skip the
+    per-word memo (>256 chars) and run the lazy-deletion-heap encoder
+    inside the Arrow pandas UDF. Train is the bounded driver-side sample
+    (capped at max_train_chars); the corpus-sized stage is one map-only
+    encode pass. Not registered: merge training is not SQL-expressible;
+    raw-mode losslessness/equivalence is pytest-carried
+    (tests/test_tokenizer.py)."""
+    from jackfruit_spark.functions.tokenizer import (
+        bpe_encode_ids,
+        bpe_train_with_vocab,
+    )
+
+    cjk = _cjk_documents(spark, sf_dir)
+    # bench train knobs: on unspaced text every sampled doc is one
+    # distinct document-length "word" and the tiny 26-char alphabet
+    # makes every merge round touch ~every dictionary char, so driver
+    # train is ~linear in (num_merges x dict chars) — 500 merges over
+    # the full 2M-char cap measured 56 s at sf0.1. The key measures the
+    # DISTRIBUTED encode path; train is bounded small AND constant
+    # across scale multiples (the rehearsal growth leg needs the
+    # corpus-sized stage to be the only thing growing).
+    merges, vocab = bpe_train_with_vocab(
+        cjk, "text", num_merges=100, sample_size=500, seed=42, raw=True,
+        max_train_chars=50_000,
+    )
+    return (
+        bpe_encode_ids(cjk, "text", merges, vocab, raw=True)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("input_ids")).alias("total_raw_bpe_tokens"),
+        )
+    )
+
+
+def unigram_tokenize_raw(spark, sf_dir):
+    """Bench-only (r14): raw-stream unigram twin of ``bpe_tokenize_raw``
+    — per-chunk Viterbi over whole-document unspaced chunks (memo
+    skipped past 256 chars). Rehearsal leg + scale guard share this
+    function; not in BENCH_QUERIES (line-length budget — the BPE raw key
+    carries the bench signal, this one rides the rehearsal)."""
+    from jackfruit_spark.functions.tokenizer import (
+        unigram_encode_ids,
+        unigram_train,
+        unigram_vocab,
+    )
+
+    cjk = _cjk_documents(spark, sf_dir)
+    pieces = unigram_train(
+        cjk, "text", vocab_size=2000, sample_size=500, raw=True,
+        max_train_chars=50_000,
+    )
+    ids = unigram_encode_ids(
+        cjk, "text", pieces, unigram_vocab(pieces, raw=True), raw=True
+    )
+    return ids.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("input_ids")).alias("total_raw_unigram_tokens"),
+    )
+
+
 def langid_score(spark, sf_dir):
     """Bench-only: trained language-ID tier over the documents table
     (functions/langid.py, r13 — one-vs-rest logistic over hashed char

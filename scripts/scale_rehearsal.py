@@ -326,6 +326,14 @@ def heavy_family():
         # per-row re-train reads ~1.0
         "text_normalize": Q.text_normalize,
         "unigram_tokenize": Q.unigram_tokenize,
+        # raw-stream (▁) tokenizers over the CJK-heavy unspaced
+        # derivation (r14, VERDICT r13 #4): whole-document chunks skip
+        # the word memo and run the heap BPE encoder / per-chunk Viterbi
+        # through the pandas-UDF path; train is bounded AND constant
+        # across mults (sample_size + max_train_chars caps), so growth
+        # is the distributed encode pass
+        "bpe_tokenize_raw": Q.bpe_tokenize_raw,
+        "unigram_tokenize_raw": Q.unigram_tokenize_raw,
         # trained language ID (r13): bounded per-lang sample train
         # (constant by construction) + map-only Arrow scoring
         "langid_score": Q.langid_score,

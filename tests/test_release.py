@@ -842,3 +842,101 @@ class TestDeltaRelease:
         assert d["version"] == 2
         assert d["added"] == 0 and d["removed"] == 0 and d["changed"] == 0
         assert d["unchanged"] == 62
+
+
+class TestReleaseMaintenance:
+    """release_status/maintain_release (r14, VERDICT r13 #6): the
+    IvfIndex.maintain() precedent for delta chains — card-only staleness
+    report, recommend past STALE_COMPACT_RATIO, one-call compaction."""
+
+    def _chain(self, spark, tmp_path):
+        from jackfruit_spark.operators.release import release_corpus
+
+        root = str(tmp_path / "rel")
+        base = _docs(spark)
+        release_corpus(spark, base, root)
+        # churn: drop 2, change 3, add 4 (stale = removed + changed = 5)
+        delta = TestDeltaRelease._delta_docs(self, spark)
+        release_corpus(spark, delta, root, parent="latest")
+        return root
+
+    def test_status_reports_chain_and_ratio(self, spark, tmp_path):
+        from jackfruit_spark.operators.release import (
+            read_card,
+            release_status,
+        )
+
+        root = self._chain(spark, tmp_path)
+        st = release_status(root)
+        card = read_card(root)
+        d = card["delta"]
+        assert st["chain_versions"] == [1, 2]
+        assert st["is_delta"] and st["n_links"] == 2
+        assert st["stale_parent_docs"] == d["stale_parent_docs"] == 5
+        effective = d["added"] + d["changed"] + d["unchanged"]
+        assert st["effective_docs"] == effective == 62
+        assert st["stale_ratio"] == round(5 / 62, 4)
+        # 5/62 < 0.25 default
+        assert st["recommend_compact"] is False
+        # threshold knob flips it
+        st2 = release_status(root, stale_ratio_threshold=0.05)
+        assert st2["recommend_compact"] is True
+
+    def test_status_full_release_zero_stale(self, spark, tmp_path):
+        from jackfruit_spark.operators.release import (
+            release_corpus,
+            release_status,
+        )
+
+        root = str(tmp_path / "full")
+        release_corpus(spark, _docs(spark), root)
+        st = release_status(root)
+        assert st["is_delta"] is False
+        assert st["stale_parent_docs"] == 0 and st["stale_ratio"] == 0.0
+        assert st["recommend_compact"] is False
+
+    def test_maintain_compacts_past_threshold(self, spark, tmp_path):
+        from jackfruit_spark.operators.release import (
+            maintain_release,
+            read_card,
+        )
+
+        root = self._chain(spark, tmp_path)
+        # below threshold: dry report, nothing written
+        st = maintain_release(spark, root)
+        assert st["compacted"] is False and "compacted_card" not in st
+        assert read_card(root)["version"] == 2
+        # dry-run flag never compacts even past threshold
+        st = maintain_release(
+            spark, root, stale_ratio_threshold=0.01, compact=False
+        )
+        assert st["recommend_compact"] is True and st["compacted"] is False
+        assert read_card(root)["version"] == 2
+        # past threshold: compaction runs and commits v3 (full)
+        st = maintain_release(spark, root, stale_ratio_threshold=0.01)
+        assert st["compacted"] is True
+        card = st["compacted_card"]
+        assert card["version"] == 3
+        assert card["compacted_from"] == [1, 2]
+        assert "delta" not in card
+
+    def test_cli_status_and_maintain(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from jackfruit_spark.__main__ import main as cli_main
+
+        root = self._chain(spark, tmp_path)
+        assert cli_main(["release", "--root", root, "--status"]) == 0
+        st = _json.loads(capsys.readouterr().out.strip())
+        assert st["stale_parent_docs"] == 5 and not st["recommend_compact"]
+        assert cli_main(
+            ["release", "--root", root, "--maintain",
+             "--stale-threshold", "0.01"]
+        ) == 0
+        st = _json.loads(capsys.readouterr().out.strip())
+        assert st["compacted"] is True
+        # lone --stale-threshold rejected (the lone-knob convention)
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit, match="stale-threshold"):
+            cli_main(["release", "--root", root, "--stale-threshold", "0.5"])

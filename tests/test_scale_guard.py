@@ -55,6 +55,12 @@ GUARDED = {
     # as the other overhead->linear keys
     "text_normalize": 0.50,
     "unigram_tokenize": 0.50,
+    # raw-stream tokenizers over unspaced whole-document chunks (r14):
+    # bounded constant train + one map-only Arrow encode pass — same
+    # overhead->linear band; a quadratic encoder regression (the exact
+    # O(n^2) rescan the r13 heap rewrite replaced) reads ~1.0
+    "bpe_tokenize_raw": 0.50,
+    "unigram_tokenize_raw": 0.50,
     # trained language ID (r13): fixed-sample train + map-only Arrow
     # scoring — same overhead->linear band; a per-row re-train or a
     # corpus-sized collect reads ~1.0
