@@ -643,6 +643,43 @@ def cmd_index_corpus(args) -> int:
     return 0
 
 
+def cmd_fim(args) -> int:
+    """Character-level FIM rewrite (operators/curation.fim_transform):
+    one map-only pass; prints applied/total counts from an Observation
+    on the write."""
+    spark = _spark(args.cpus)
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.operators.curation import fim_transform
+
+    out = fim_transform(
+        spark.read.parquet(args.input),
+        id_col=args.id_col,
+        text_col=args.text_col,
+        fim_rate=args.rate,
+        mode=args.mode,
+        seed=args.seed,
+    )
+    obs = Observation("fim")
+    out.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.col("fim_applied").cast("long")).alias("applied"),
+    ).write.mode("overwrite").parquet(args.output)
+    try:
+        stats = dict(obs.get)
+    except Exception:  # noqa: BLE001 — erased metrics = empty input
+        stats = {}
+    print(json.dumps({
+        "docs": int(stats.get("docs") or 0),
+        "fim_applied": int(stats.get("applied") or 0),
+        "mode": args.mode,
+        "output": args.output,
+    }))
+    return 0
+
+
 def cmd_chunk(args) -> int:
     """Sliding-window chunking of a documents parquet
     (operators/curation.chunk_documents): context-window prep for long
@@ -755,6 +792,14 @@ def cmd_release(args) -> int:
     checksum."""
     if args.stale_threshold is not None and not (args.status or args.maintain):
         raise SystemExit("--stale-threshold requires --status or --maintain")
+    if getattr(args, "prune", False) or getattr(args, "prune_delete", False):
+        # card/directory-only — no Spark session needed
+        from jackfruit_spark.operators.release import prune_releases
+
+        out = prune_releases(args.root, dry_run=not args.prune_delete)
+        print(json.dumps(out, sort_keys=True))
+        return 0
+
     if getattr(args, "status", False):
         # card-only report — no Spark session needed
         from jackfruit_spark.operators.release import release_status
@@ -824,6 +869,9 @@ def cmd_release(args) -> int:
         tokenizer_path=args.tokenizer,
         pack_seq_len=args.pack_seq_len,
         profile=args.profile,
+        fim_rate=args.fim_rate,
+        fim_mode=args.fim_mode,
+        fim_seed=args.fim_seed,
         parent=(
             "latest" if args.parent == "latest"
             else int(args.parent) if args.parent is not None else None
@@ -2273,6 +2321,23 @@ def build_parser() -> argparse.ArgumentParser:
     ck.add_argument("--cpus", default=None)
     ck.set_defaults(fn=cmd_chunk)
 
+    fi = sub.add_parser(
+        "fim",
+        help="character-level fill-in-the-middle rewrite (Bavarian et "
+             "al. 2022) — seeded-hash fraction of docs becomes "
+             "<PRE>..<SUF>..<MID>.. for infilling-capable training",
+    )
+    fi.add_argument("--input", required=True, help="documents parquet")
+    fi.add_argument("--output", required=True)
+    fi.add_argument("--rate", type=float, default=0.5,
+                    help="fraction of docs to transform (seeded hash)")
+    fi.add_argument("--mode", default="psm", choices=("psm", "spm"))
+    fi.add_argument("--seed", type=int, default=0)
+    fi.add_argument("--id-col", default="doc_id")
+    fi.add_argument("--text-col", default="text")
+    fi.add_argument("--cpus", default=None)
+    fi.set_defaults(fn=cmd_fim)
+
     sp = sub.add_parser(
         "split",
         help="leakage-safe train/val/test split (near-dup purge)",
@@ -2332,6 +2397,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="staleness ratio that triggers --maintain "
                          "compaction (default: the library's "
                          "STALE_COMPACT_RATIO, 0.25)")
+    rl.add_argument("--fim-rate", type=float, default=None,
+                    help="apply character-level fill-in-the-middle to "
+                         "this seeded-hash fraction of docs before "
+                         "everything else (knobs ride the card; deltas "
+                         "must match the chain's)")
+    rl.add_argument("--fim-mode", default="psm", choices=("psm", "spm"))
+    rl.add_argument("--fim-seed", type=int, default=0)
+    rl.add_argument("--prune", action="store_true",
+                    help="DRY-RUN report of version dirs superseded by "
+                         "the latest release's chain (nothing deleted)")
+    rl.add_argument("--prune-delete", action="store_true",
+                    help="actually delete the superseded version dirs "
+                         "(the post-compaction cleanup; destructive)")
     rl.add_argument("--verify-version", type=int, default=None,
                     help="version to verify (default: latest committed)")
     rl.add_argument("--id-col", default="doc_id")

@@ -2217,6 +2217,7 @@ def pack_token_ids(
     drop_last: bool = True,
     pad_id: int | None = None,
     sep_id: int | None = None,
+    emit_doc_spans: bool = False,
 ) -> DataFrame:
     """Materialized GPT-style packing: emit the ACTUAL fixed-length
     training sequences (``input_ids``), not just chunk accounting
@@ -2235,6 +2236,14 @@ def pack_token_ids(
     (``order_col`` ties break on a hash of the token array, so docs
     sharing an order value land in a fixed order too; use a unique key —
     the doc id — as ``order_col`` for a fully specified stream).
+
+    ``emit_doc_spans=True`` (r14) adds a ``doc_spans``
+    ``array<struct<start:int, len:int>>`` column — the within-sequence
+    offset and length of each document's piece, sorted by start — the
+    metadata an attention-barrier mask or per-doc loss weighting needs
+    (a doc crossing a sequence boundary contributes one span per
+    sequence it touches; pad tokens belong to no span). Opt-in so
+    existing packed outputs and release checksums stay byte-identical.
 
     Scale shape — never one row per token: a cumulative window gives
     each doc its global start offset, each doc explodes to only the
@@ -2324,7 +2333,7 @@ def pack_token_ids(
             (hi - lo + 1).cast("int"),
         ).alias("__piece"),
     )
-    seqs = pieces.groupBy("__src", "__chunk").agg(
+    aggs = [
         # array_sort on array<struct> orders by the first field (__off,
         # unique per doc within a chunk); the lambda runs once per
         # OUTPUT sequence over <= seq_len tokens — candidate-scale
@@ -2335,7 +2344,31 @@ def pack_token_ids(
             )
         ).alias("input_ids"),
         F.count(F.lit(1)).alias("n_docs"),
-    )
+    ]
+    if emit_doc_spans:
+        # global offsets here; rebased to within-sequence starts after
+        # the agg (a plain projection can reference the grouping col —
+        # no outer reference from inside the agg lambda needed)
+        aggs.append(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__off, __piece)))"
+                ", x -> struct(x.__off as off, size(x.__piece) as n))"
+            ).alias("__spans_raw")
+        )
+    seqs = pieces.groupBy("__src", "__chunk").agg(*aggs)
+    if emit_doc_spans:
+        seqs = seqs.withColumn(
+            "doc_spans",
+            F.transform(
+                F.col("__spans_raw"),
+                lambda s: F.struct(
+                    (s["off"] - F.col("__chunk") * seq_len)
+                    .cast("int")
+                    .alias("start"),
+                    s["n"].cast("int").alias("len"),
+                ),
+            ),
+        ).drop("__spans_raw")
     if drop_last:
         seqs = seqs.filter(F.size("input_ids") == seq_len)
     else:
@@ -2349,12 +2382,15 @@ def pack_token_ids(
             F.when(F.size("input_ids") < seq_len,
                    F.concat("input_ids", fill)).otherwise(F.col("input_ids")),
         )
-    return seqs.select(
+    cols = [
         F.col("__src").alias("source"),
         F.col("__chunk").alias("chunk_id"),
         "input_ids",
         "n_docs",
-    )
+    ]
+    if emit_doc_spans:
+        cols.append("doc_spans")
+    return seqs.select(*cols)
 
 
 def deterministic_shuffle(
@@ -2385,6 +2421,86 @@ def deterministic_shuffle(
         out.repartitionByRange(parts, "__shuffle_key", id_col)
         .sortWithinPartitions("__shuffle_key", id_col)
         .drop("__shuffle_key")
+    )
+
+
+FIM_PREFIX = "<|fim_prefix|>"
+FIM_MIDDLE = "<|fim_middle|>"
+FIM_SUFFIX = "<|fim_suffix|>"
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fim_rate: float = 0.5,
+    mode: str = "psm",
+    seed: int = 0,
+    prefix_tok: str = FIM_PREFIX,
+    middle_tok: str = FIM_MIDDLE,
+    suffix_tok: str = FIM_SUFFIX,
+) -> DataFrame:
+    """Character-level fill-in-the-middle transform (Bavarian et al.
+    2022, arXiv:2207.14255 — FIM is applied to RAW TEXT before
+    tokenization, which is what makes a pure-column-expression
+    implementation faithful): a seeded-hash ``fim_rate`` fraction of
+    documents is rewritten as ``<PRE>prefix<SUF>suffix<MID>middle``
+    (``mode='psm'``) or ``<PRE><SUF>suffix<MID>middle`` prepended with
+    the prefix in SPM joint form (``mode='spm'``, the paper's variant
+    where the prefix follows its sentinel immediately); the rest pass
+    through untouched. Split points derive from ``xxhash64(seed, id)``
+    (two draws, sorted), NOT rand() — the same rerun-stability argument
+    as :func:`deterministic_shuffle`: the transform must not change with
+    partitioning across re-runs or compactions.
+
+    Everything is JVM-side string expressions (substring/concat) — one
+    map-only pass, 100 TB safe. Downstream, train the tokenizer WITH the
+    three sentinels present in the corpus (or add them as specials);
+    reassembly ``prefix + middle + suffix`` recovers the original text
+    exactly (property-pinned in tests)."""
+    if not 0.0 <= fim_rate <= 1.0:
+        raise ValueError(f"fim_rate must be in [0, 1], got {fim_rate}")
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"mode must be 'psm' or 'spm', got '{mode}'")
+    text = F.col(text_col)
+    n = F.length(text)
+    # deterministic rate gate + two split draws from independent hashes;
+    # pmod over (len+1) puts each cut anywhere in [0, len] so empty
+    # prefix/middle/suffix segments all occur (the paper keeps them)
+    gate = (
+        F.pmod(F.xxhash64(F.lit(int(seed)), F.col(id_col)), F.lit(100))
+        < int(fim_rate * 100)
+    )
+    h1 = F.pmod(
+        F.xxhash64(F.lit(int(seed)), F.col(id_col), F.lit(1)), n + 1
+    )
+    h2 = F.pmod(
+        F.xxhash64(F.lit(int(seed)), F.col(id_col), F.lit(2)), n + 1
+    )
+    p1, p2 = F.least(h1, h2), F.greatest(h1, h2)
+    prefix = F.substring(text, F.lit(1), p1)
+    middle = F.substring(text, p1 + 1, p2 - p1)
+    suffix = F.substring(text, p2 + 1, n - p2)
+    if mode == "psm":
+        rewritten = F.concat(
+            F.lit(prefix_tok), prefix,
+            F.lit(suffix_tok), suffix,
+            F.lit(middle_tok), middle,
+        )
+    else:
+        # SPM joint form (paper appendix D): both sentinels lead, the
+        # prefix moves after <MID> — <PRE><SUF>suffix<MID>prefix middle —
+        # training suffix-first conditioning with the same reassembly
+        rewritten = F.concat(
+            F.lit(prefix_tok), F.lit(suffix_tok), suffix,
+            F.lit(middle_tok), prefix, middle,
+        )
+    applied = gate & n.isNotNull() & (n > 0)
+    # fim_applied FIRST (it reads the original text column); the second
+    # withColumn's expressions still resolve against the original
+    # text_col — only its own output replaces it
+    return df.withColumn("fim_applied", applied).withColumn(
+        text_col, F.when(F.col("fim_applied"), rewritten).otherwise(text)
     )
 
 

@@ -214,6 +214,10 @@ def release_corpus(
     profile: bool = False,
     parent: int | str | None = None,
     card_extra: dict | None = None,
+    fim_rate: float | None = None,
+    fim_mode: str = "psm",
+    fim_seed: int = 0,
+    _fim_pretransformed: bool = False,
 ) -> dict:
     """Produce ``root/v<N>/`` with ``documents/`` (shuffled parquet),
     optionally ``sequences/`` (packed input_ids), and ``_RELEASE.json``.
@@ -235,7 +239,16 @@ def release_corpus(
     card: each link's ``sequences/`` are immutable, so tokens of
     documents later removed or changed REMAIN in earlier links'
     sequences (``stale_parent_docs`` counts them); a training run that
-    must not see them re-releases from scratch (compaction)."""
+    must not see them re-releases from scratch (compaction).
+
+    ``fim_rate`` (r14) applies the character-level fill-in-the-middle
+    rewrite (:func:`~jackfruit_spark.operators.curation.fim_transform`)
+    FIRST — before decontam/mix/diff — so every downstream stage,
+    including a delta's diff against the parent's (already-FIM'd)
+    corpus, compares like with like: the rewrite is deterministic on
+    ``(fim_seed, id)``, so unchanged documents produce byte-identical
+    FIM text across links. Knobs ride the card; a delta with different
+    FIM knobs than its chain raises."""
     from jackfruit_spark.operators.curation import (
         decontaminate,
         deterministic_shuffle,
@@ -291,6 +304,19 @@ def release_corpus(
             raise ValueError(
                 "a delta must pack sequences iff its parent does"
             )
+        fim_knobs = (fim_rate, fim_mode if fim_rate is not None else None,
+                     fim_seed if fim_rate is not None else None)
+        parent_fim = (
+            pk.get("fim_rate"),
+            pk.get("fim_mode"),
+            pk.get("fim_seed"),
+        )
+        if fim_knobs != parent_fim:
+            raise ValueError(
+                f"delta FIM knobs {fim_knobs} differ from the chain's "
+                f"{parent_fim} — the diff would flag every transformed "
+                "doc as changed"
+            )
         if pack_seq_len is not None:
             if (
                 pk["pack_seq_len"] != pack_seq_len
@@ -327,11 +353,27 @@ def release_corpus(
             # reproducing the sequences checksum needs the same shard
             # count — the sequences tile pack_shards parallel streams
             "pack_shards": pack_shards if pack_seq_len is not None else None,
+            "fim_rate": fim_rate,
+            "fim_mode": fim_mode if fim_rate is not None else None,
+            "fim_seed": fim_seed if fim_rate is not None else None,
         },
         "swept_uncommitted": swept,
     }
 
     cur = docs
+    if fim_rate is not None and not _fim_pretransformed:
+        from jackfruit_spark.operators.curation import fim_transform
+
+        # FIRST transform (see docstring): deterministic on (seed, id),
+        # so a delta's unchanged docs match the parent's stored text;
+        # the provenance flag is a released column like any other.
+        # _fim_pretransformed (compact_release only) records the knobs
+        # without re-applying — the materialized chain text already
+        # carries the rewrite, and a second pass would nest sentinels.
+        cur = fim_transform(
+            cur, id_col=id_col, text_col=text_col, fim_rate=fim_rate,
+            mode=fim_mode, seed=fim_seed,
+        )
     own_persist = None
     # a bare count, tolerated here: it column-prunes to nothing (parquet
     # inputs scan footers only) and the write below re-evaluates a
@@ -918,6 +960,13 @@ def compact_release(
         tokenizer_path=tok_path,
         pack_seq_len=k.get("pack_seq_len"),
         pack_shards=k.get("pack_shards") or 64,
+        # FIM provenance rides forward WITHOUT re-applying (the
+        # materialized text already carries the rewrite) so a later
+        # delta with the chain's FIM knobs still passes the drift check
+        fim_rate=k.get("fim_rate"),
+        fim_mode=k.get("fim_mode") or "psm",
+        fim_seed=k.get("fim_seed") or 0,
+        _fim_pretransformed=k.get("fim_rate") is not None,
         card_extra={
             "compacted_from": [c["version"] for c in chain],
         },
@@ -993,6 +1042,34 @@ def maintain_release(
         status["compacted_card"] = compact_release(spark, root, version)
         status["compacted"] = True
     return status
+
+
+def prune_releases(root: str, dry_run: bool = True) -> dict:
+    """Delete version directories superseded by the LATEST committed
+    release's chain (r14 — the operational step the compaction docstring
+    deferred): after ``compact_release`` commits a full vN, every earlier
+    version is dead weight unless a consumer still pins it, so pruning is
+    explicit and defaults to a dry-run report. Keeps every version in the
+    latest release's parent chain (a delta tip keeps its whole chain —
+    its sequences live in the ancestor links); prunes only COMMITTED
+    versions outside it (uncommitted/stale dirs are the claim sweep's
+    job). Deletes each card first (the VersionedStoreLifecycle.delete
+    rule: a crash mid-prune leaves an uncommitted dir, never a
+    readable-but-truncated release)."""
+    card = read_card(root)  # raises on an empty root — nothing to prune
+    keep = {c["version"] for c in _chain_cards(root, card["version"])}
+    prunable = [
+        v for v in _versions(root, committed_only=True) if v not in keep
+    ]
+    if not dry_run:
+        for v in prunable:
+            vdir = os.path.join(root, f"v{v}")
+            try:
+                os.remove(os.path.join(vdir, "_RELEASE.json"))
+            except FileNotFoundError:
+                pass
+            shutil.rmtree(vdir, ignore_errors=True)
+    return {"kept": sorted(keep), "pruned": prunable, "dry_run": dry_run}
 
 
 def read_card(root: str, version: int | None = None) -> dict:

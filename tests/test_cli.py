@@ -480,3 +480,25 @@ def test_cli_split(spark, tmp_path, capsys):
     for i in range(20):
         assert not (i in t and 10_000 + i in h)
         assert not (10_000 + i in t and i in h)
+
+
+def test_cli_fim(spark, tmp_path, capsys):
+    """fim subcommand (r14): rewrite lands, sentinels present on applied
+    rows, stats line reports applied/total."""
+    import json as _json
+
+    from jackfruit_spark.__main__ import main as cli_main
+
+    inp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"some document body {i} " * 4, "web") for i in range(30)],
+        "doc_id long, text string, source string",
+    ).write.parquet(inp)
+    out = str(tmp_path / "fim.parquet")
+    assert cli_main([
+        "fim", "--input", inp, "--output", out, "--rate", "1.0",
+    ]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip())
+    assert stats["docs"] == 30 and stats["fim_applied"] == 30
+    rows = spark.read.parquet(out).collect()
+    assert all(r["text"].startswith("<|fim_prefix|>") for r in rows)

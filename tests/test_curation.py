@@ -1402,3 +1402,99 @@ def test_pipeline_lone_min_host_rank_raises(spark, tmp_path):
         warc_training_pipeline(
             spark, str(tmp_path / "*.warc.gz"), min_host_rank=0.5
         )
+
+
+class TestFimTransform:
+    """Character-level fill-in-the-middle (r14, Bavarian et al. 2022):
+    pure-expression rewrite, seeded-hash rate gate, exact reassembly."""
+
+    def _docs(self, spark):
+        rows = [
+            (i, f"doc number {i} with some body text to split " * 3)
+            for i in range(40)
+        ] + [(100, ""), (101, None), (102, "x")]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_psm_reassembles_exactly(self, spark):
+        from jackfruit_spark.operators.curation import (
+            FIM_MIDDLE,
+            FIM_PREFIX,
+            FIM_SUFFIX,
+            fim_transform,
+        )
+
+        d = self._docs(spark)
+        orig = {r["doc_id"]: r["text"] for r in d.collect()}
+        out = fim_transform(d, fim_rate=1.0).collect()
+        n_applied = 0
+        for r in out:
+            if not r["fim_applied"]:
+                continue
+            n_applied += 1
+            t = r["text"]
+            assert t.startswith(FIM_PREFIX)
+            body = t[len(FIM_PREFIX):]
+            prefix, rest = body.split(FIM_SUFFIX, 1)
+            suffix, middle = rest.split(FIM_MIDDLE, 1)
+            assert prefix + middle + suffix == orig[r["doc_id"]]
+        # rate 1.0 applies to every non-empty doc (splits may be empty
+        # segments, never skipped docs)
+        assert n_applied == 41
+        # empty/null docs pass through untransformed
+        byid = {r["doc_id"]: r for r in out}
+        assert byid[100]["text"] == "" and not byid[100]["fim_applied"]
+        assert byid[101]["text"] is None and not byid[101]["fim_applied"]
+
+    def test_spm_reassembles_exactly(self, spark):
+        from jackfruit_spark.operators.curation import (
+            FIM_MIDDLE,
+            FIM_PREFIX,
+            FIM_SUFFIX,
+            fim_transform,
+        )
+
+        d = self._docs(spark)
+        orig = {r["doc_id"]: r["text"] for r in d.collect()}
+        for r in fim_transform(d, fim_rate=1.0, mode="spm").collect():
+            if not r["fim_applied"]:
+                continue
+            t = r["text"]
+            assert t.startswith(FIM_PREFIX + FIM_SUFFIX)
+            rest = t[len(FIM_PREFIX) + len(FIM_SUFFIX):]
+            suffix, pm = rest.split(FIM_MIDDLE, 1)
+            # SPM: prefix+middle ride together after <MID>; reassembly
+            # is pm + suffix
+            assert pm + suffix == orig[r["doc_id"]]
+
+    def test_rate_gate_deterministic_and_layout_independent(self, spark):
+        from jackfruit_spark.operators.curation import fim_transform
+
+        d = self._docs(spark)
+        a = sorted(
+            map(tuple, fim_transform(d, fim_rate=0.5, seed=7).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                fim_transform(
+                    d.repartition(13), fim_rate=0.5, seed=7
+                ).collect(),
+            )
+        )
+        assert a == b  # partitioning must not change the transform
+        applied = sum(1 for r in a if r[-1])
+        assert 0 < applied < 41  # the gate actually splits the corpus
+        # rate 0: identity
+        for r in fim_transform(d, fim_rate=0.0).collect():
+            assert not r["fim_applied"]
+
+    def test_knob_validation(self, spark):
+        import pytest
+
+        from jackfruit_spark.operators.curation import fim_transform
+
+        d = self._docs(spark)
+        with pytest.raises(ValueError, match="fim_rate"):
+            fim_transform(d, fim_rate=1.5)
+        with pytest.raises(ValueError, match="mode"):
+            fim_transform(d, mode="mps")

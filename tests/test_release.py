@@ -940,3 +940,148 @@ class TestReleaseMaintenance:
 
         with _pytest.raises(SystemExit, match="stale-threshold"):
             cli_main(["release", "--root", root, "--stale-threshold", "0.5"])
+
+
+class TestPruneReleases:
+    """prune_releases (r14): post-compaction cleanup — keeps the latest
+    release's chain, prunes superseded committed versions, dry-run by
+    default."""
+
+    def test_prune_after_compaction(self, spark, tmp_path):
+        from jackfruit_spark.operators.release import (
+            compact_release,
+            load_release,
+            prune_releases,
+            read_card,
+            release_corpus,
+        )
+
+        root = str(tmp_path / "rel")
+        release_corpus(spark, _docs(spark), root)                  # v1
+        delta = TestDeltaRelease._delta_docs(None, spark)
+        release_corpus(spark, delta, root, parent="latest")        # v2
+        compact_release(spark, root)                               # v3 full
+
+        # dry run: reports, deletes nothing
+        rep = prune_releases(root)
+        assert rep == {"kept": [3], "pruned": [1, 2], "dry_run": True}
+        assert read_card(root, 1)["version"] == 1  # still readable
+
+        rep = prune_releases(root, dry_run=False)
+        assert rep["pruned"] == [1, 2] and rep["dry_run"] is False
+        import os as _os
+
+        assert not _os.path.exists(_os.path.join(root, "v1"))
+        assert not _os.path.exists(_os.path.join(root, "v2"))
+        # the surviving full release still loads end-to-end
+        loaded = load_release(spark, root, verify=True)
+        assert loaded["card"]["version"] == 3
+        assert loaded["documents"].count() == 62
+
+    def test_prune_keeps_a_delta_tips_whole_chain(self, spark, tmp_path):
+        from jackfruit_spark.operators.release import (
+            prune_releases,
+            release_corpus,
+        )
+
+        root = str(tmp_path / "rel")
+        release_corpus(spark, _docs(spark), root)                  # v1
+        delta = TestDeltaRelease._delta_docs(None, spark)
+        release_corpus(spark, delta, root, parent="latest")        # v2
+        # tip is a delta: its base must never prune
+        rep = prune_releases(root, dry_run=False)
+        assert rep == {"kept": [1, 2], "pruned": [], "dry_run": False}
+
+    def test_cli_prune(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from jackfruit_spark.__main__ import main as cli_main
+        from jackfruit_spark.operators.release import (
+            compact_release,
+            release_corpus,
+        )
+
+        root = str(tmp_path / "rel")
+        release_corpus(spark, _docs(spark), root)
+        delta = TestDeltaRelease._delta_docs(None, spark)
+        release_corpus(spark, delta, root, parent="latest")
+        compact_release(spark, root)
+        assert cli_main(["release", "--root", root, "--prune"]) == 0
+        rep = _json.loads(capsys.readouterr().out.strip())
+        assert rep["dry_run"] is True and rep["pruned"] == [1, 2]
+        import os as _os
+
+        assert _os.path.exists(_os.path.join(root, "v1"))
+        assert cli_main(["release", "--root", root, "--prune-delete"]) == 0
+        rep = _json.loads(capsys.readouterr().out.strip())
+        assert rep["dry_run"] is False and rep["pruned"] == [1, 2]
+        assert not _os.path.exists(_os.path.join(root, "v1"))
+
+
+class TestFimRelease:
+    """fim_rate in release_corpus (r14): transform-first ordering makes
+    delta diffs compare like with like; knobs ride the card and drift
+    raises; compaction carries provenance without re-applying."""
+
+    def test_fim_release_and_clean_delta(self, spark, tmp_path):
+        import pytest
+
+        from jackfruit_spark.operators.release import (
+            read_card,
+            release_corpus,
+        )
+
+        root = str(tmp_path / "rel")
+        card = release_corpus(spark, _docs(spark), root, fim_rate=0.5,
+                              fim_seed=3)
+        assert card["knobs"]["fim_rate"] == 0.5
+        released = spark.read.parquet(
+            str(tmp_path / "rel" / "v1" / "documents")
+        )
+        n_fim = released.filter("fim_applied").count()
+        assert 0 < n_fim < 60
+        assert released.filter(
+            "fim_applied and text not like '<|fim_prefix|>%'"
+        ).count() == 0
+
+        # identical corpus re-released as a delta: FIM text matches the
+        # parent byte-for-byte, so NOTHING is added/changed
+        release_corpus(spark, _docs(spark), root, parent="latest",
+                       fim_rate=0.5, fim_seed=3)
+        d = read_card(root)["delta"]
+        assert d["added"] == d["changed"] == d["removed"] == 0
+
+        # knob drift raises before any work
+        with pytest.raises(ValueError, match="FIM knobs"):
+            release_corpus(spark, _docs(spark), root, parent="latest",
+                           fim_rate=0.9, fim_seed=3)
+        with pytest.raises(ValueError, match="FIM knobs"):
+            release_corpus(spark, _docs(spark), root, parent="latest")
+
+    def test_compact_carries_fim_without_reapplying(self, spark, tmp_path):
+        from jackfruit_spark.operators.release import (
+            compact_release,
+            read_card,
+            release_corpus,
+        )
+
+        root = str(tmp_path / "rel")
+        release_corpus(spark, _docs(spark), root, fim_rate=1.0)
+        delta = TestDeltaRelease._delta_docs(None, spark)
+        release_corpus(spark, delta, root, parent="latest", fim_rate=1.0)
+        card = compact_release(spark, root)
+        assert card["knobs"]["fim_rate"] == 1.0
+        # no nested sentinels: exactly one <|fim_prefix|> per doc
+        released = spark.read.parquet(
+            str(tmp_path / "rel" / f"v{card['version']}" / "documents")
+        )
+        bad = released.filter(
+            "fim_applied and (length(text) - length(replace(text, "
+            "'<|fim_prefix|>', ''))) / 14 != 1"
+        ).count()
+        assert bad == 0
+        # a delta onto the compacted link with the chain's knobs works
+        card2 = release_corpus(
+            spark, delta, root, parent="latest", fim_rate=1.0
+        )
+        assert card2["delta"]["added"] == 0 and card2["delta"]["changed"] == 0

@@ -193,3 +193,54 @@ class TestPackTokenIds:
         assert [r["input_ids"] for r in out] == [
             ["a", "b"], ["c", "d"], ["e", "0"]
         ]
+
+class TestDocSpans:
+    """emit_doc_spans (r14): within-sequence doc boundaries for
+    attention-barrier masks / per-doc loss weighting."""
+
+    def test_spans_tile_sequences_and_match_doc_ids(self, spark):
+        lens = [3, 7, 1, 25, 4, 9, 2]
+        L = 8
+        df = _docs(spark, lens)
+        rows = pack_token_ids(
+            df, "toks", L, order_col="doc_id", source_col="src",
+            emit_doc_spans=True,
+        ).collect()
+        for r in rows:
+            spans = sorted(
+                [(s["start"], s["len"]) for s in r["doc_spans"]]
+            )
+            assert r["n_docs"] == len(spans)
+            # spans tile [0, seq_len) contiguously (drop_last keeps
+            # only full sequences, so no pad region here)
+            pos = 0
+            for start, ln in spans:
+                assert start == pos and ln > 0
+                pos += ln
+            assert pos == L
+            # every span holds exactly one doc's contiguous token range
+            for start, ln in spans:
+                seg = r["input_ids"][start:start + ln]
+                assert all(
+                    b - a == 1 for a, b in zip(seg, seg[1:])
+                ), f"span {start}:{ln} not one doc's contiguous ids: {seg}"
+
+    def test_pad_region_belongs_to_no_span(self, spark):
+        L = 10
+        rows = pack_token_ids(
+            _docs(spark, [4, 3]), "toks", L, order_col="doc_id",
+            source_col="src", drop_last=False, pad_id=0,
+            emit_doc_spans=True,
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        covered = sum(s["len"] for s in r["doc_spans"])
+        assert covered == 7  # 4 + 3 real tokens; 3 pad tokens unclaimed
+        assert len(r["input_ids"]) == L
+
+    def test_opt_out_schema_unchanged(self, spark):
+        out = pack_token_ids(
+            _docs(spark, [4, 3]), "toks", 4, order_col="doc_id",
+            source_col="src",
+        )
+        assert out.columns == ["source", "chunk_id", "input_ids", "n_docs"]
