@@ -282,6 +282,7 @@ def cmd_curate(args) -> int:
             if args.badwords else None
         ),
         gopher=args.gopher,
+        code=args.code_filters,
         paragraph_dedup=args.paragraph_dedup,
     )
     if args.output_format == "webdataset":
@@ -721,8 +722,42 @@ def cmd_mix(args) -> int:
     spark = _spark(args.cpus)
     from jackfruit_spark.operators.curation import mix_corpus
 
+    if args.schedule is not None:
+        if (args.weights, args.alpha, args.total_tokens) != (None, None, None):
+            raise SystemExit(
+                "--schedule is exclusive with --weights/--alpha/"
+                "--total-tokens (each phase carries its own)"
+            )
+        from jackfruit_spark.operators.curation import mixture_schedule
+
+        with open(args.schedule, encoding="utf-8") as fh:
+            phases = json.load(fh)
+        out = mixture_schedule(
+            spark.read.parquet(args.input), phases, seed=args.seed
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        from pyspark.sql import functions as F
+
+        from jackfruit_spark.functions import text as T
+
+        stats = {
+            r["phase_name"]: {"docs": r["docs"], "tokens": int(r["toks"])}
+            for r in spark.read.parquet(args.output)
+            .groupBy("phase_name")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(T.token_count("text")).alias("toks"),
+            )
+            .collect()
+        }
+        print(json.dumps(
+            {"phases": stats, "output": args.output}, sort_keys=True
+        ))
+        return 0
     if (args.weights is None) == (args.alpha is None):
         raise SystemExit("pass exactly one of --weights / --alpha")
+    if args.total_tokens is None:
+        raise SystemExit("--total-tokens is required without --schedule")
     weights = None
     if args.weights is not None:
         try:
@@ -2107,6 +2142,12 @@ def build_parser() -> argparse.ArgumentParser:
              "required stop words",
     )
     cu.add_argument(
+        "--code-filters", action="store_true",
+        help="Stack/StarCoder source-file rules: line lengths, "
+             "alphanumeric ratio, auto-generated markers, encoded-data "
+             "blobs, HTML visible-text ratio (pair with --lang any)",
+    )
+    cu.add_argument(
         "--paragraph-dedup", action="store_true",
         help="corpus-wide keep-first exact paragraph dedup",
     )
@@ -2484,7 +2525,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="temperature sampling instead of explicit "
                          "weights: w ∝ tokens^alpha (mT5 uses 0.3; 1 = "
                          "natural mix, 0 = uniform)")
-    mx.add_argument("--total-tokens", type=int, required=True)
+    mx.add_argument("--total-tokens", type=int, default=None)
+    mx.add_argument("--schedule", default=None,
+                    help="JSON file with an ordered phase list "
+                         "[{name, tokens, weights|alpha}, ...] — the "
+                         "multi-phase curriculum form (exclusive with "
+                         "--weights/--alpha/--total-tokens)")
     mx.add_argument("--seed", type=int, default=0)
     mx.add_argument("--cpus", default=None)
     mx.set_defaults(fn=cmd_mix)

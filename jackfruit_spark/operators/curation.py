@@ -813,6 +813,108 @@ def gopher_clean(
     return df.filter(keep)
 
 
+CODE_AUTOGEN_RE = (
+    r"(?i)auto[- ]?generated|generated by|do not edit"
+    r"|this file (?:is|was) generated|code generated"
+)
+# runs of base64 / hex / \uXXXX-escape payload long enough that they are
+# data blobs, not code; matched spans are measured, never just detected
+CODE_ENCODED_RUN_RE = (
+    r"[A-Za-z0-9+/=\n]{512,}"
+    r"|(?:\\x[0-9a-fA-F]{2}){64,}"
+    r"|(?:\\u[0-9a-fA-F]{4}){32,}"
+    r"|[0-9a-fA-F]{512,}"
+)
+
+
+def code_rule_columns(
+    text_col: str = "text",
+    max_line_len: int = 1000,
+    max_mean_line_len: float = 100.0,
+    min_alnum_ratio: float = 0.25,
+    autogen_head_chars: int = 1500,
+    max_encoded_ratio: float = 0.5,
+    min_html_visible_ratio: float = 0.2,
+) -> dict:
+    """The Stack / StarCoder source-file quality rules (Kocetkov et al.
+    2022 §3; Li et al. 2023 §3.1; Allal et al. 2023 — SantaCoder's
+    encoded-data filters) as per-rule boolean columns, the
+    ``gopher_rule_columns`` discipline: pure JVM expressions, no UDF, no
+    shuffle, one text scan. Keys are rule names; a file passes iff every
+    column is true.
+
+    Rules (keep iff): longest line <= ``max_line_len`` chars; mean line
+    length <= ``max_mean_line_len``; alphanumeric characters >=
+    ``min_alnum_ratio`` of all characters (minified/binary-ish blobs
+    fail); the file HEAD (first ``autogen_head_chars`` chars — the
+    papers' "first 5 lines" without a second split) carries no
+    auto-generated marker; encoded-data runs (long base64 / hex /
+    escape-sequence blobs) cover <= ``max_encoded_ratio`` of the bytes
+    (measured by replace-and-compare lengths, not a boolean match — one
+    long embedded payload in a big file is fine, a file that IS a
+    payload is not); HTML documents keep >= ``min_html_visible_ratio``
+    visible text after tag strip (non-HTML files pass this rule).
+
+    Line stats avoid the HOF-inlining trap the way ``c4_clean`` does:
+    the split array is a lambda ARGUMENT evaluated once per row; the
+    mean needs no lambda at all (chars minus newlines over line count).
+    """
+    text = F.col(text_col)
+    blank = F.coalesce(F.length(text), F.lit(0)) == 0
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    max_ll = F.array_max(F.transform(lines, F.length))
+    # sum of line lengths == total chars minus the (n_lines-1) newlines
+    mean_ll = (
+        (F.length(text) - (n_lines - 1)).cast("double")
+        / F.greatest(n_lines, F.lit(1)).cast("double")
+    )
+    n_chars_d = F.greatest(F.length(text), F.lit(1)).cast("double")
+    n_alnum = F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", ""))
+    encoded_len = F.length(text) - F.length(
+        F.regexp_replace(text, CODE_ENCODED_RUN_RE, "")
+    )
+    head = F.substring(text, 1, autogen_head_chars)
+    is_html = F.lower(text).contains("<html")
+    visible_len = F.length(F.regexp_replace(text, r"<[^>]*>", ""))
+    return {
+        "code_max_line_len": ~blank & (max_ll <= max_line_len),
+        "code_mean_line_len": ~blank & (mean_ll <= max_mean_line_len),
+        "code_alnum_ratio": ~blank
+        & (n_alnum.cast("double") / n_chars_d >= min_alnum_ratio),
+        "code_autogen": ~blank & ~head.rlike(CODE_AUTOGEN_RE),
+        "code_encoded_data": ~blank
+        & (encoded_len.cast("double") / n_chars_d <= max_encoded_ratio),
+        "code_html_visible": ~blank
+        & (
+            ~is_html
+            | (visible_len.cast("double") / n_chars_d
+               >= min_html_visible_ratio)
+        ),
+    }
+
+
+def code_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    flags: bool = False,
+    **knobs,
+) -> DataFrame:
+    """Apply the code-corpus quality gate: keep files passing every rule
+    in ``code_rule_columns``. ``flags=True`` returns ALL rows with the
+    per-rule booleans + ``code_pass`` attached instead of filtering —
+    the same audit form as ``gopher_clean`` (which rule rejects how
+    much is the knob-tuning signal at corpus scale)."""
+    rules = code_rule_columns(text_col, **knobs)
+    keep = reduce(lambda a, b: a & b, rules.values())
+    if flags:
+        out = df
+        for name, col in rules.items():
+            out = out.withColumn(name, col)
+        return out.withColumn("code_pass", keep)
+    return df.filter(keep)
+
+
 def decontaminate_retrieval(
     index,
     corpus: DataFrame,
@@ -1289,6 +1391,8 @@ def curate_corpus(
     badwords: list[str] | None = None,
     gopher: bool = False,
     gopher_knobs: dict | None = None,
+    code: bool = False,
+    code_knobs: dict | None = None,
     paragraph_dedup: bool = False,
     paragraph_min_count: int = 2,
 ) -> DataFrame:
@@ -1351,6 +1455,11 @@ def curate_corpus(
     ``gopher=True`` (optionally ``gopher_knobs``) applies the Gopher
     rule set (``gopher_clean``) right after C4 — pure expressions on
     the same scan, no extra shuffle.
+    ``code=True`` (optionally ``code_knobs``) applies the
+    Stack/StarCoder source-file rules (``code_clean``) in the same
+    slot — for code corpora pair it with ``lang=None`` (the natural-
+    language gates reject source files) and leave ``c4``/``gopher``
+    off (C4's '{' rule alone drops most real code).
     ``paragraph_dedup=True`` adds corpus-wide keep-first paragraph
     dedup (``remove_duplicate_paragraphs``) after exact dedup, for the
     same reason the span stage sits there: exact copies must not
@@ -1376,6 +1485,9 @@ def curate_corpus(
         # before the cheap token gates purely for plan readability: all
         # of these are codegen expressions on the same scan
         df = gopher_clean(df, text_col, **(gopher_knobs or {}))
+    if code:
+        # same slot as Gopher: pure expressions riding the same scan
+        df = code_clean(df, text_col, **(code_knobs or {}))
     _validate_langid_knobs(langid_model, lang, min_stop_ratio)
     if min_stop_ratio is None and langid_model is None:
         min_stop_ratio = 0.05  # the heuristic path's historical default
@@ -2011,6 +2123,76 @@ def split_corpus(
     return out.join(leaked, id_col, "left_anti")
 
 
+def _mix_validate(weights, alpha, total_tokens) -> None:
+    """Pre-stats mixture knob validation, shared by :func:`mix_corpus`
+    and :func:`mixture_schedule` (per phase)."""
+    if (weights is None) == (alpha is None):
+        raise ValueError("pass exactly one of weights / alpha")
+    if alpha is not None and not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be > 0, got {total_tokens}")
+    negative = {s: w for s, w in (weights or {}).items() if w < 0}
+    if negative:
+        # a negative ratio would flow into sequence(0, floor(r)) whose
+        # negative auto-step emits epoch=-1 garbage rows — exclusion is
+        # spelled by OMITTING the source, not a negative weight
+        raise ValueError(f"weights must be >= 0, got {negative}")
+    if weights is not None:
+        wsum = float(sum(weights.values()))
+        if wsum <= 0:
+            raise ValueError("weights must sum to > 0")
+
+
+def _mix_ratios(stats, weights, alpha, total_tokens, max_repeat):
+    """Post-stats per-source repeat-ratio derivation, shared by
+    :func:`mix_corpus` and :func:`mixture_schedule`: returns
+    ``[(source, ratio)]`` with every guard of the original single-phase
+    implementation (alpha needs non-null sources; weighted-but-absent
+    sources raise; ratios above ``max_repeat`` raise)."""
+    if weights is None:
+        if None in stats:
+            # a NULL source key would get a derived weight whose budget
+            # share then silently vanishes (the plan equi-join never
+            # matches NULL) — refuse up front
+            raise ValueError(
+                "alpha weighting needs a non-null source column "
+                "(rows with NULL source present)"
+            )
+        # temperature-derived: every present source participates with
+        # w ∝ n^alpha (n > 0 by construction of the stats dict)
+        weights = {s: float(t) ** alpha for s, t in stats.items() if t}
+        wsum = float(sum(weights.values()))
+        if wsum <= 0:
+            raise ValueError("corpus has no tokens to mix")
+    else:
+        wsum = float(sum(weights.values()))
+    missing = [
+        s for s, w in weights.items() if w > 0 and not stats.get(s)
+    ]
+    if missing:
+        # the same guard philosophy as max_repeat: a typoed source name
+        # must not silently vanish that share of the token budget
+        raise ValueError(
+            f"weighted sources have no tokens in the corpus: {missing} "
+            f"(present: {sorted(s for s in stats if s is not None)})"
+        )
+    ratios = []
+    for s, w in weights.items():
+        if not w:
+            continue
+        r = (w / wsum) * total_tokens / float(stats[s])
+        if r > max_repeat:
+            raise ValueError(
+                f"source {s!r} would repeat {r:.1f}x (> max_repeat="
+                f"{max_repeat}); shrink its weight or raise the guard"
+            )
+        ratios.append((s, r))
+    if not ratios:
+        raise ValueError("no weighted source present in the corpus")
+    return ratios
+
+
 def mix_corpus(
     df: DataFrame,
     weights: dict[str, float] | None,
@@ -2050,22 +2232,7 @@ def mix_corpus(
     sources without letting any single one dominate (mT5 ships
     alpha=0.3). Derived weights reuse the SAME statistics pass the
     ratios need — no extra corpus scan."""
-    if (weights is None) == (alpha is None):
-        raise ValueError("pass exactly one of weights / alpha")
-    if alpha is not None and not 0.0 <= alpha <= 1.0:
-        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    if total_tokens <= 0:
-        raise ValueError(f"total_tokens must be > 0, got {total_tokens}")
-    negative = {s: w for s, w in (weights or {}).items() if w < 0}
-    if negative:
-        # a negative ratio would flow into sequence(0, floor(r)) whose
-        # negative auto-step emits epoch=-1 garbage rows — exclusion is
-        # spelled by OMITTING the source, not a negative weight
-        raise ValueError(f"weights must be >= 0, got {negative}")
-    if weights is not None:
-        wsum = float(sum(weights.values()))
-        if wsum <= 0:
-            raise ValueError("weights must sum to > 0")
+    _mix_validate(weights, alpha, total_tokens)
     from jackfruit_spark.functions import text as T
 
     stats = {
@@ -2074,45 +2241,7 @@ def mix_corpus(
         .agg(F.sum(T.token_count(text_col)).alias("toks"))
         .collect()
     }
-    if weights is None:
-        if None in stats:
-            # a NULL source key would get a derived weight whose budget
-            # share then silently vanishes (the plan equi-join never
-            # matches null) — the same silent-loss the explicit-weights
-            # path guards against
-            raise ValueError(
-                "alpha weighting needs a non-null source column "
-                "(rows with NULL source present)"
-            )
-        # temperature-derived: every present source participates with
-        # w ∝ n^alpha (n > 0 by construction of the stats dict)
-        weights = {s: float(t) ** alpha for s, t in stats.items() if t}
-        wsum = float(sum(weights.values()))
-        if wsum <= 0:
-            raise ValueError("corpus has no tokens to mix")
-    missing = [
-        s for s, w in weights.items() if w > 0 and not stats.get(s)
-    ]
-    if missing:
-        # the same guard philosophy as max_repeat: a typoed source name
-        # must not silently vanish that share of the token budget
-        raise ValueError(
-            f"weighted sources have no tokens in the corpus: {missing} "
-            f"(present: {sorted(stats)})"
-        )
-    ratios = []
-    for s, w in weights.items():
-        if not w:
-            continue
-        r = (w / wsum) * total_tokens / float(stats[s])
-        if r > max_repeat:
-            raise ValueError(
-                f"source {s!r} would repeat {r:.1f}x (> max_repeat="
-                f"{max_repeat}); shrink its weight or raise the guard"
-            )
-        ratios.append((s, r))
-    if not ratios:
-        raise ValueError("no weighted source present in the corpus")
+    ratios = _mix_ratios(stats, weights, alpha, total_tokens, max_repeat)
     plan = df.sparkSession.createDataFrame(
         ratios, f"{source_col} string, __r double"
     )
@@ -2121,6 +2250,99 @@ def mix_corpus(
         F.pmod(
             F.xxhash64(
                 F.col(id_col).cast("string"), F.col("epoch"), F.lit(int(seed))
+            ),
+            F.lit(1_000_000),
+        )
+        + 1
+    ).cast("double") / F.lit(1_000_002.0)
+    return (
+        df.join(F.broadcast(plan), source_col)
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), full)).alias("epoch")
+        )
+        .filter((F.col("epoch") < full) | (u < F.col("__r") - full))
+        .drop("__r")
+    )
+
+
+def mixture_schedule(
+    df: DataFrame,
+    phases: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    seed: int = 0,
+    max_repeat: float = 20.0,
+) -> DataFrame:
+    """Multi-phase curriculum mixture — the data-schedule form of
+    :func:`mix_corpus` (Llama 3's annealing stage, Dubey et al. 2024
+    §3.4.3; MiniCPM's WSD decay-phase data switch, Hu et al. 2024):
+    training consumes the corpus in ordered PHASES, each with its own
+    token budget and its own source weighting — e.g. a long natural-mix
+    phase followed by a short high-quality-upweighted annealing phase.
+
+    ``phases`` is an ordered list of dicts, each with ``tokens`` (the
+    phase budget) plus exactly one of ``weights`` / ``alpha`` (the
+    :func:`mix_corpus` contract, validated per phase), and an optional
+    ``name``. Returns the input columns + ``epoch`` + ``phase`` (0-based
+    index — the training order) + ``phase_name``. The keep/epoch draw is
+    ``xxhash64(id, epoch, phase, seed)``: deterministic,
+    layout-independent, and phase-independent (the same doc sampled in
+    two phases makes its fractional-epoch decisions independently).
+
+    Scale shape — ONE corpus scan total, not one per phase: the
+    per-source token statistics are collected once, every phase's
+    repeat ratios derive driver-side (``_mix_ratios``, the exact
+    single-phase guards per phase), and the corpus joins a broadcast
+    (phase × source) plan — a doc weighted in P phases fans out to its
+    P plan rows inside the same stage that explodes epochs. Downstream
+    serialization: shuffle WITHIN phases and keep phases ordered, e.g.
+    ``deterministic_shuffle`` on a key prefixed by ``phase`` (two
+    phases may legitimately emit the same ``(id, epoch)`` row — the
+    ``phase`` column is part of the row identity)."""
+    if not phases:
+        raise ValueError("phases must be a non-empty list")
+    names = []
+    for i, ph in enumerate(phases):
+        if not isinstance(ph, dict):
+            raise ValueError(f"phase {i} must be a dict, got {type(ph)}")
+        unknown = set(ph) - {"name", "tokens", "weights", "alpha"}
+        if unknown:
+            raise ValueError(
+                f"phase {i} has unknown keys {sorted(unknown)} "
+                "(allowed: name, tokens, weights, alpha)"
+            )
+        _mix_validate(
+            ph.get("weights"), ph.get("alpha"), ph.get("tokens") or 0
+        )
+        names.append(str(ph.get("name") or f"phase{i}"))
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate phase names: {names}")
+    from jackfruit_spark.functions import text as T
+
+    stats = {
+        r["s"]: r["toks"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(T.token_count(text_col)).alias("toks"))
+        .collect()
+    }
+    rows = []
+    for i, (ph, name) in enumerate(zip(phases, names)):
+        for src, r in _mix_ratios(
+            stats, ph.get("weights"), ph.get("alpha"), ph["tokens"],
+            max_repeat,
+        ):
+            rows.append((i, name, src, r))
+    plan = df.sparkSession.createDataFrame(
+        rows,
+        f"phase int, phase_name string, {source_col} string, __r double",
+    )
+    full = F.floor("__r").cast("int")
+    u = (
+        F.pmod(
+            F.xxhash64(
+                F.col(id_col).cast("string"), F.col("epoch"),
+                F.col("phase"), F.lit(int(seed)),
             ),
             F.lit(1_000_000),
         )

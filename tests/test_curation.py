@@ -1498,3 +1498,234 @@ class TestFimTransform:
             fim_transform(d, fim_rate=1.5)
         with pytest.raises(ValueError, match="mode"):
             fim_transform(d, mode="mps")
+
+
+class TestCodeClean:
+    """Stack/StarCoder source-file rules (r14): pure-expression gate,
+    per-rule audit flags, curate_corpus(code=True) wiring."""
+
+    def _files(self, spark):
+        good = (
+            "def add(a, b):\n    return a + b\n\n"
+            "class Calc:\n    def mul(self, a, b):\n        return a * b\n"
+        ) * 3
+        minified = "var a=1;" * 300  # one 2,400-char line
+        autogen = (
+            "// Code generated by protoc-gen-go. DO NOT EDIT.\n"
+            + good
+        )
+        blob = "payload = '" + "QUJD" * 200 + "'\n"  # 800-char base64 run
+        html_bad = "<html><body>" + "<div><span></span></div>" * 60 + "</body></html>"
+        html_good = (
+            "<html><body>"
+            + "<p>real visible prose content sits here for reading</p>\n" * 20
+            + "</body></html>"
+        )
+        rows = [
+            (1, good), (2, minified), (3, autogen), (4, blob),
+            (5, html_bad), (6, html_good), (7, ""), (8, None),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_rules_flag_the_right_files(self, spark):
+        from jackfruit_spark.operators.curation import code_clean
+
+        out = {
+            r["doc_id"]: r
+            for r in code_clean(self._files(spark), flags=True).collect()
+        }
+        assert out[1]["code_pass"]
+        assert not out[2]["code_max_line_len"]
+        assert not out[2]["code_mean_line_len"]
+        assert not out[3]["code_autogen"] and out[3]["code_max_line_len"]
+        assert not out[4]["code_encoded_data"] and out[4]["code_autogen"]
+        assert not out[5]["code_html_visible"]
+        assert out[6]["code_html_visible"] and out[6]["code_pass"]
+        assert not out[7]["code_pass"] and not out[8]["code_pass"]
+
+    def test_filter_form_and_curate_wiring(self, spark):
+        from jackfruit_spark.operators.curation import (
+            code_clean,
+            curate_corpus,
+        )
+
+        kept = {r["doc_id"] for r in code_clean(self._files(spark)).collect()}
+        assert kept == {1, 6}
+        # curate slot: language/stopword gates off, token gates wide
+        cur = curate_corpus(
+            self._files(spark), lang=None, min_tokens=1,
+            max_tokens=100_000, code=True,
+        )
+        assert {r["doc_id"] for r in cur.collect()} == {1, 6}
+
+    def test_encoded_ratio_is_measured_not_boolean(self, spark):
+        from jackfruit_spark.operators.curation import code_clean
+
+        # a long payload inside a LARGER real file stays under the 50%
+        # ratio and survives; the same payload alone does not
+        body = "def handler(x):\n    return x + 1\n" * 60
+        payload = "BLOB = '" + "TUFD" * 150 + "'\n"
+        df = spark.createDataFrame(
+            [(1, body + payload), (2, payload)],
+            "doc_id long, text string",
+        )
+        kept = {r["doc_id"] for r in code_clean(df).collect()}
+        assert kept == {1}
+
+    def test_cli_code_filters(self, spark, tmp_path, capsys):
+        from jackfruit_spark.__main__ import main as cli_main
+
+        inp = str(tmp_path / "code.parquet")
+        self._files(spark).withColumn(
+            "source", F.lit("github")
+        ).write.parquet(inp)
+        out = str(tmp_path / "clean.parquet")
+        assert cli_main([
+            "curate", "--input", inp, "--output", out,
+            "--input-format", "parquet", "--lang", "any",
+            "--min-tokens", "1", "--max-tokens", "100000",
+            "--code-filters",
+        ]) == 0
+        kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert kept == {1, 6}
+
+
+class TestMixtureSchedule:
+    """mixture_schedule (r14): ordered multi-phase curriculum mixing —
+    one corpus scan, per-phase budgets/weights, deterministic draws."""
+
+    def _corpus(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = []
+        # web ≈ 10k tokens, books ≈ 2k, wiki ≈ 2k
+        for i in range(500):
+            rows.append(
+                (i, " ".join(f"w{rng.randrange(50)}" for _ in range(20)),
+                 "web")
+            )
+        for i in range(100):
+            rows.append(
+                (1000 + i, " ".join(f"b{j}" for j in range(20)), "books")
+            )
+        for i in range(100):
+            rows.append(
+                (2000 + i, " ".join(f"k{j}" for j in range(20)), "wiki")
+            )
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    def _phase_shares(self, out):
+        from jackfruit_spark.functions import text as T
+
+        got = {}
+        for r in (
+            out.groupBy("phase", "phase_name", "source")
+            .agg(F.sum(T.token_count("text")).alias("toks"))
+            .collect()
+        ):
+            got.setdefault(
+                (r["phase"], r["phase_name"]), {}
+            )[r["source"]] = r["toks"]
+        return got
+
+    def test_two_phase_annealing_shape(self, spark):
+        from jackfruit_spark.operators.curation import mixture_schedule
+
+        d = self._corpus(spark)
+        out = mixture_schedule(d, [
+            {"name": "main", "tokens": 6000, "alpha": 1.0},
+            {"name": "anneal", "tokens": 2000,
+             "weights": {"books": 0.5, "wiki": 0.5}},
+        ], seed=7)
+        got = self._phase_shares(out)
+        assert set(got) == {(0, "main"), (1, "anneal")}
+        main, anneal = got[(0, "main")], got[(1, "anneal")]
+        # main: natural mix over ~14k corpus tokens scaled to 6000 —
+        # web dominates; anneal: web excluded entirely
+        assert main["web"] > main["books"] and main["web"] > main["wiki"]
+        assert 4000 < sum(main.values()) < 8000, main
+        assert "web" not in anneal
+        assert 1500 <= sum(anneal.values()) <= 2500, anneal
+        # phase budgets independent: each side near its own target
+        assert 700 <= anneal["books"] <= 1300, anneal
+
+    def test_deterministic_and_layout_independent(self, spark):
+        from jackfruit_spark.operators.curation import mixture_schedule
+
+        d = self._corpus(spark)
+        phases = [
+            {"tokens": 3000, "alpha": 0.5},
+            {"tokens": 1000, "weights": {"books": 1.0}},
+        ]
+        key = lambda r: (r["phase"], r["doc_id"], r["epoch"])  # noqa: E731
+        a = sorted(map(key, mixture_schedule(d, phases, seed=3).collect()))
+        b = sorted(map(
+            key, mixture_schedule(d.repartition(17), phases, seed=3).collect()
+        ))
+        assert a == b
+        # default names are positional
+        row = mixture_schedule(d, phases, seed=3).first()
+        assert row["phase_name"] in ("phase0", "phase1")
+
+    def test_validation(self, spark):
+        import pytest
+
+        from jackfruit_spark.operators.curation import mixture_schedule
+
+        d = self._corpus(spark)
+        with pytest.raises(ValueError, match="non-empty"):
+            mixture_schedule(d, [])
+        with pytest.raises(ValueError, match="unknown keys"):
+            mixture_schedule(d, [{"tokens": 100, "alpha": 1.0, "wat": 1}])
+        with pytest.raises(ValueError, match="exactly one"):
+            mixture_schedule(d, [{"tokens": 100}])
+        with pytest.raises(ValueError, match="exactly one"):
+            mixture_schedule(
+                d, [{"tokens": 100, "alpha": 0.5, "weights": {"web": 1.0}}]
+            )
+        with pytest.raises(ValueError, match="total_tokens"):
+            mixture_schedule(d, [{"alpha": 1.0}])
+        with pytest.raises(ValueError, match="duplicate phase names"):
+            mixture_schedule(d, [
+                {"name": "p", "tokens": 100, "alpha": 1.0},
+                {"name": "p", "tokens": 100, "alpha": 0.5},
+            ])
+        with pytest.raises(ValueError, match="no tokens"):
+            mixture_schedule(
+                d, [{"tokens": 100, "weights": {"nope": 1.0}}]
+            )
+
+    def test_cli_schedule(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from jackfruit_spark.__main__ import main as cli_main
+
+        inp = str(tmp_path / "docs.parquet")
+        self._corpus(spark).write.parquet(inp)
+        sched = tmp_path / "sched.json"
+        sched.write_text(_json.dumps([
+            {"name": "main", "tokens": 4000, "alpha": 1.0},
+            {"name": "anneal", "tokens": 1000,
+             "weights": {"books": 1.0}},
+        ]))
+        out = str(tmp_path / "mixed.parquet")
+        assert cli_main([
+            "mix", "--input", inp, "--output", out,
+            "--schedule", str(sched),
+        ]) == 0
+        stats = _json.loads(capsys.readouterr().out.strip())
+        assert set(stats["phases"]) == {"main", "anneal"}
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit, match="exclusive"):
+            cli_main([
+                "mix", "--input", inp, "--output", out,
+                "--schedule", str(sched), "--alpha", "0.5",
+            ])
+        with _pytest.raises(SystemExit, match="total-tokens"):
+            cli_main([
+                "mix", "--input", inp, "--output", out, "--alpha", "0.5",
+            ])
