@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "q60_funnel_users",
     "q61_sequence_packing",
     "token_packing",  # materialized input_ids packing (bench-only, r8)
+    "token_packing_bestfit",  # whole-doc best-fit bin packing (bench-only, r14)
     "q62_repetition_signals",
     "q63_decontamination",
     "q63_decontamination_bloom",  # Bloom-bitset twin (bench-only, r9)

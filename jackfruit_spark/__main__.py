@@ -1798,14 +1798,24 @@ def cmd_tokenize(args) -> int:
             }
         out_df = encoded.drop("__ws", "__script", "__chars")
         if args.pack_seq_len:
-            from jackfruit_spark.operators.curation import pack_token_ids
+            if args.pack_strategy == "bestfit":
+                from jackfruit_spark.operators.curation import (
+                    pack_sequences_bestfit,
+                )
 
-            out_df = pack_token_ids(
-                out_df, "input_ids",
-                seq_len=args.pack_seq_len,
-                order_col=args.id_col, sep_id=vocab[EOS],
-                drop_last=False, pad_id=vocab[PAD],
-            )
+                out_df = pack_sequences_bestfit(
+                    out_df, "input_ids", args.pack_seq_len,
+                    id_col=args.id_col, pad_id=vocab[PAD],
+                )
+            else:
+                from jackfruit_spark.operators.curation import pack_token_ids
+
+                out_df = pack_token_ids(
+                    out_df, "input_ids",
+                    seq_len=args.pack_seq_len,
+                    order_col=args.id_col, sep_id=vocab[EOS],
+                    drop_last=False, pad_id=vocab[PAD],
+                )
         out_df.write.mode("overwrite").parquet(args.output)
         encoded.unpersist()
         stats["rows"] = spark.read.parquet(args.output).count()
@@ -2843,6 +2853,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="encoded input_ids parquet")
     tkz.add_argument("--pack-seq-len", type=int, default=None,
                      help="also pack ids into fixed-length sequences")
+    tkz.add_argument("--pack-strategy", default="stream",
+                     choices=("stream", "bestfit"),
+                     help="stream = concat-then-chunk (pack_token_ids, "
+                          "docs may split across sequences); bestfit = "
+                          "whole-doc bin packing (pack_sequences_bestfit"
+                          ", doc_spans provenance, minimal padding)")
     tkz.add_argument("--audit-roundtrip", type=int, default=None,
                      metavar="N",
                      help="decode a deterministic N-doc sample back and "

@@ -2615,6 +2615,141 @@ def pack_token_ids(
     return seqs.select(*cols)
 
 
+def pack_sequences_bestfit(
+    df: DataFrame,
+    toks_col: str,
+    seq_len: int,
+    id_col: str = "doc_id",
+    shards: int = 64,
+    pad_id=None,
+    oversize: str = "chunk",
+    seed: int = 0,
+) -> DataFrame:
+    """Whole-document bin packing — the padding-minimizing alternative
+    to :func:`pack_token_ids`'s concat-then-chunk stream: documents are
+    NEVER split across sequences (no mid-doc attention boundary, no
+    cross-doc token bleed), and best-fit-decreasing bin packing (the
+    classic 11/9·OPT-guaranteed heuristic family; Johnson 1973) keeps
+    the padding fraction low instead of the one-doc-per-sequence naive
+    layout's O(1 - mean_len/seq_len).
+
+    Scale shape: docs hash into ``shards`` buckets
+    (``xxhash64(seed, id) mod shards`` — deterministic,
+    layout-independent), and each shard packs INDEPENDENTLY in one
+    Arrow ``applyInPandas`` kernel. Packing quality is per-shard, but
+    with docs ≫ shards the per-shard length distribution matches the
+    corpus and utilization stays near the global optimum; shard count
+    is the memory knob (a shard's docs materialize in one pandas frame
+    — size ``shards`` so corpus_tokens/shards fits an executor task).
+
+    In-kernel order is (length desc, id) — fully specified, so reruns
+    and repartitioned inputs produce identical sequences. Docs longer
+    than ``seq_len``: ``oversize='chunk'`` (default) pre-splits into
+    full-width sequences with the remainder joining the pool,
+    ``'truncate'`` cuts to ``seq_len``, ``'error'`` raises in the
+    kernel. Zero/null-token docs are dropped (nothing to pack).
+
+    Returns ``(shard, seq_id, input_ids, n_docs, doc_spans, n_pad)``:
+    ``doc_spans`` always carries ``(doc_id, start, len)`` provenance
+    (this op exists for attention-barrier training), ``n_pad`` is the
+    unfilled tail (padded with ``pad_id`` when given, left ragged
+    otherwise — either way the count is reported so corpus padding
+    fraction is one aggregate away)."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be > 0, got {seq_len}")
+    if shards <= 0:
+        raise ValueError(f"shards must be > 0, got {shards}")
+    if oversize not in ("chunk", "truncate", "error"):
+        raise ValueError(
+            f"oversize must be chunk/truncate/error, got '{oversize}'"
+        )
+    from jackfruit_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    id_type = df.schema[id_col].dataType.simpleString()
+    elem_type = df.schema[toks_col].dataType.elementType.simpleString()
+    out_schema = (
+        f"shard int, seq_id long, input_ids array<{elem_type}>, "
+        f"n_docs int, doc_spans array<struct<doc_id:{id_type},"
+        "start:int,len:int>>, n_pad int"
+    )
+    slim = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(toks_col).alias("__toks"),
+        F.pmod(
+            F.xxhash64(F.lit(int(seed)), F.col(id_col).cast("string")),
+            F.lit(int(shards)),
+        ).cast("int").alias("__shard"),
+    ).filter(F.size("__toks") > 0)
+
+    def _pack(pdf):
+        import pandas as pd
+
+        shard = int(pdf["__shard"].iloc[0])
+        docs = sorted(
+            (
+                (list(t), i)
+                for i, t in zip(pdf["__id"].tolist(), pdf["__toks"].tolist())
+                if t is not None and len(t) > 0
+            ),
+            key=lambda d: (-len(d[0]), d[1]),
+        )
+        full, pool = [], []  # full: pre-closed oversize sequences
+        for toks, i in docs:
+            if len(toks) > seq_len:
+                if oversize == "error":
+                    raise ValueError(
+                        f"doc {i!r} has {len(toks)} tokens > seq_len="
+                        f"{seq_len} (oversize='error')"
+                    )
+                if oversize == "truncate":
+                    pool.append((toks[:seq_len], i))
+                    continue
+                off = 0
+                while len(toks) - off >= seq_len:
+                    full.append(([(toks[off:off + seq_len], i)], 0))
+                    off += seq_len
+                if off < len(toks):
+                    pool.append((toks[off:], i))
+            else:
+                pool.append((toks, i))
+        # best-fit decreasing: avail[r] = stack of bin ids with r
+        # remaining; per doc scan r from len..seq_len-1 for the
+        # TIGHTEST fit (O(seq_len) worst case per doc, tiny constants)
+        bins, avail = [], [[] for _ in range(seq_len + 1)]
+        for toks, i in pool:
+            ln = len(toks)
+            slot = rem = None
+            for r in range(ln, seq_len):
+                if avail[r]:
+                    slot, rem = avail[r].pop(), r
+                    break
+            if slot is None:
+                bins.append([])
+                slot, rem = len(bins) - 1, seq_len
+            bins[slot].append((toks, i))
+            avail[rem - ln].append(slot)
+        seqs = full + [(b, seq_len - sum(len(t) for t, _ in b))
+                       for b in bins]
+        rows = []
+        for seq_id, (items, n_pad) in enumerate(seqs):
+            ids, spans, pos = [], [], 0
+            for toks, i in items:
+                ids.extend(toks)
+                spans.append((i, pos, len(toks)))
+                pos += len(toks)
+            if pad_id is not None and n_pad:
+                ids.extend([pad_id] * n_pad)
+            rows.append((shard, seq_id, ids, len(items), spans, n_pad))
+        return pd.DataFrame(
+            rows,
+            columns=["shard", "seq_id", "input_ids", "n_docs",
+                     "doc_spans", "n_pad"],
+        )
+
+    return slim.groupBy("__shard").applyInPandas(_pack, out_schema)
+
+
 def deterministic_shuffle(
     df: DataFrame, id_col: str, seed: int = 0, num_partitions: int | None = None
 ) -> DataFrame:

@@ -832,6 +832,29 @@ def token_packing(spark, sf_dir):
     )
 
 
+def token_packing_bestfit(spark, sf_dir):
+    """Bench-only: whole-document best-fit-decreasing packing
+    (operators/curation.pack_sequences_bestfit) over the same
+    crc32-token derivation as ``token_packing`` — the no-doc-splitting
+    / minimal-padding alternative a cross-doc-attention-free training
+    run uses. seq_len 2048 >> the synthetic docs' lengths, so bins hold
+    many whole docs; the cost profile is the hash-shard shuffle + the
+    per-shard Arrow kernel (sort + O(seq_len) best-fit placement per
+    doc)."""
+    from jackfruit_spark.operators.curation import pack_sequences_bestfit
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.expr(
+            r"transform(split(trim(text), '\\s+'), x -> crc32(x))"
+        ).alias("toks"),
+    )
+    return pack_sequences_bestfit(
+        toks, "toks", 2048, id_col="doc_id", shards=32, pad_id=0
+    )
+
+
 def semantic_dedup_ivf(spark, sf_dir):
     """Bench-only: SemDeDup-style semantic dedup over the embeddings table
     (operators/dedup.semantic_dedup — IVF cells, within-cell cosine pairs,

@@ -317,6 +317,9 @@ def heavy_family():
         # materialized input_ids packing (late r8): one token-stream
         # shuffle — linear in token bytes by design
         "token_packing": Q.token_packing,
+        # whole-doc best-fit packing twin (r14): hash shards + per-shard
+        # Arrow bin-packing kernel — linear in token bytes by design
+        "token_packing_bestfit": Q.token_packing_bestfit,
         # decontamination A/B (r9): exact broadcast-gram join vs Bloom
         # bitset + candidate verify — fixed 2k-doc benchmark (probe
         # growth, the production shape) and 30%-of-corpus benchmark

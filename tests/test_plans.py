@@ -239,3 +239,27 @@ def test_all_pairs_confined_to_q40(spark):
     for name in ("q26_ann_lsh_bucketed", "q49_ivf_cells"):
         p = plan_string(Q.registry()[name].fn(spark, SF))
         assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, name
+
+
+def test_mixture_schedule_single_scan_broadcast(spark, tmp_path):
+    """mixture_schedule (r14): P phases must NOT mean P corpus scans —
+    one parquet scan, the (phase x source) ratio plan broadcasts, no
+    sort-merge join anywhere."""
+    from jackfruit_spark.operators.curation import mixture_schedule
+    from jackfruit_spark.plans import plan_string
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5, ["web", "books"][i % 2])
+         for i in range(40)],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    out = mixture_schedule(spark.read.parquet(src), [
+        {"tokens": 300, "alpha": 1.0},
+        {"tokens": 100, "weights": {"books": 1.0}},
+        {"tokens": 100, "weights": {"web": 1.0}},
+    ])
+    s = plan_string(out)
+    assert s.count("Scan parquet") == 1, s
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s and "BroadcastNestedLoop" not in s

@@ -50,6 +50,10 @@ GUARDED = {
     # bytes by design — same 0.50 band as the other ops whose x1 leg is
     # overhead-bound (a quadratic regression reads ~1.0)
     "token_packing": 0.50,
+    # whole-doc best-fit packing (r14): hash-shard shuffle + per-shard
+    # Arrow kernel (sort + O(seq_len) placement/doc) — linear by
+    # construction; same overhead->linear 0.50 band
+    "token_packing_bestfit": 0.50,
     # bloom decontamination, FIXED benchmark (r9): measured alpha 0.01
     # zipf x1/x3/x10 — the whole point is the corpus streams through a
     # fixed bitset; a lost prefilter or a corpus-sized join reads ~1.0

@@ -244,3 +244,130 @@ class TestDocSpans:
             source_col="src",
         )
         assert out.columns == ["source", "chunk_id", "input_ids", "n_docs"]
+
+
+class TestPackSequencesBestfit:
+    """pack_sequences_bestfit (r14): whole-doc bin packing — no doc ever
+    splits across sequences, padding minimized per shard."""
+
+    def _df(self, spark, lens, seed=5):
+        import random
+
+        rng = random.Random(seed)
+        rows = []
+        tok = 0
+        for i, n in enumerate(lens):
+            rows.append((i, list(range(tok, tok + n))))
+            tok += n
+        rng.shuffle(rows)
+        return spark.createDataFrame(
+            rows, "doc_id long, toks array<long>"
+        )
+
+    def test_conservation_and_spans(self, spark):
+        from jackfruit_spark.operators.curation import pack_sequences_bestfit
+
+        lens = [3, 7, 1, 6, 4, 9, 2, 8, 5, 10, 3, 3]
+        L = 10
+        rows = pack_sequences_bestfit(
+            self._df(spark, lens), "toks", L, shards=2,
+        ).collect()
+        seen_tokens = []
+        for r in rows:
+            assert len(r["input_ids"]) <= L
+            assert len(r["input_ids"]) + r["n_pad"] == L
+            assert r["n_docs"] == len(r["doc_spans"])
+            pos = 0
+            for s in sorted(r["doc_spans"], key=lambda s: s["start"]):
+                assert s["start"] == pos
+                seg = r["input_ids"][pos:pos + s["len"]]
+                # one doc's contiguous global ids
+                assert all(b - a == 1 for a, b in zip(seg, seg[1:]))
+                pos += s["len"]
+            seen_tokens.extend(r["input_ids"])
+        # every input token appears exactly once (no pad_id set)
+        assert sorted(seen_tokens) == list(range(sum(lens)))
+        # each doc packed whole, exactly once
+        doc_lens = {}
+        for r in rows:
+            for s in r["doc_spans"]:
+                assert s["doc_id"] not in doc_lens
+                doc_lens[s["doc_id"]] = s["len"]
+        assert doc_lens == {i: n for i, n in enumerate(lens)}
+
+    def test_layout_independent_and_deterministic(self, spark):
+        from jackfruit_spark.operators.curation import pack_sequences_bestfit
+
+        d = self._df(spark, [5, 3, 8, 2, 7, 4, 6, 1] * 4)
+        key = lambda r: (r["shard"], r["seq_id"])  # noqa: E731
+        a = sorted(
+            pack_sequences_bestfit(d, "toks", 8, shards=3).collect(), key=key
+        )
+        b = sorted(
+            pack_sequences_bestfit(
+                d.repartition(11), "toks", 8, shards=3
+            ).collect(),
+            key=key,
+        )
+        assert [
+            (r["shard"], r["seq_id"], r["input_ids"]) for r in a
+        ] == [(r["shard"], r["seq_id"], r["input_ids"]) for r in b]
+
+    def test_padding_beats_sequential_greedy(self, spark):
+        import random
+
+        from jackfruit_spark.operators.curation import pack_sequences_bestfit
+
+        rng = random.Random(11)
+        # skewed: many small docs + some just-over-half docs (the case
+        # sequential greedy wastes ~half a bin on, repeatedly)
+        lens = [rng.choice([60, 70, 80]) for _ in range(40)] + [
+            rng.randrange(5, 30) for _ in range(200)
+        ]
+        L = 128
+        rows = pack_sequences_bestfit(
+            self._df(spark, lens), "toks", L, shards=1,
+        ).collect()
+        bf_pad = sum(r["n_pad"] for r in rows)
+        # sequential greedy baseline in doc_id order
+        rem, seq_pad = 0, 0
+        for n in lens:
+            if n > rem:
+                seq_pad += rem
+                rem = L
+            rem -= n
+        seq_pad += rem
+        assert bf_pad <= seq_pad, (bf_pad, seq_pad)
+        # and utilization is actually high on this distribution
+        assert bf_pad / (len(rows) * L) < 0.10, bf_pad
+
+    def test_oversize_modes_and_pad_id(self, spark):
+        import pytest
+
+        from jackfruit_spark.operators.curation import pack_sequences_bestfit
+
+        d = self._df(spark, [25, 4, 3])
+        L = 10
+        # chunk (default): 25 -> two full sequences + 5-token remainder
+        rows = pack_sequences_bestfit(
+            d, "toks", L, shards=1, pad_id=-1
+        ).collect()
+        total = sum(s["len"] for r in rows for s in r["doc_spans"])
+        assert total == 32  # every token of every doc survives
+        assert all(len(r["input_ids"]) == L for r in rows)  # padded
+        full = [r for r in rows if r["n_pad"] == 0 and r["n_docs"] == 1]
+        assert len(full) >= 2  # the pre-closed oversize chunks
+        # truncate
+        rows = pack_sequences_bestfit(
+            d, "toks", L, shards=1, oversize="truncate"
+        ).collect()
+        total = sum(s["len"] for r in rows for s in r["doc_spans"])
+        assert total == 10 + 4 + 3
+        with pytest.raises(Exception, match="oversize"):
+            pack_sequences_bestfit(
+                d, "toks", L, shards=1, oversize="error"
+            ).collect()
+        with pytest.raises(ValueError, match="seq_len"):
+            pack_sequences_bestfit(d, "toks", 0)
+        with pytest.raises(ValueError, match="oversize"):
+            pack_sequences_bestfit(d, "toks", 10, oversize="bogus")

@@ -1247,3 +1247,33 @@ def test_cli_audit_roundtrip(spark, tmp_path, capsys):
             assert rt["ok_rate"] == 1.0
         else:
             assert rt["ok_rate"] < 1.0
+
+
+def test_cli_tokenize_pack_bestfit(spark, tmp_path, capsys):
+    """tokenize --pack-strategy bestfit (r14): whole-doc bin packing —
+    padded sequences with doc_spans provenance, no doc split."""
+    import json
+
+    from jackfruit_spark.__main__ import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "newest widest low lower " * (1 + i % 3)) for i in range(12)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    tok = str(tmp_path / "tok.json")
+    assert main(["tokenize", "--input", src, "--tokenizer", tok,
+                 "--train", "--num-merges", "6",
+                 "--sample-size", "100"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "packed")
+    assert main(["tokenize", "--input", src, "--tokenizer", tok,
+                 "--output", out, "--pack-seq-len", "64",
+                 "--pack-strategy", "bestfit"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] > 0
+    rows = spark.read.parquet(out).collect()
+    assert all(len(r["input_ids"]) == 64 for r in rows)
+    # each of the 12 docs lands whole in exactly one sequence
+    spans = [s for r in rows for s in r["doc_spans"]]
+    assert sorted(s["doc_id"] for s in spans) == list(range(12))
