@@ -903,6 +903,7 @@ def cmd_release(args) -> int:
         shuffle_seed=args.seed,
         tokenizer_path=args.tokenizer,
         pack_seq_len=args.pack_seq_len,
+        pack_strategy=args.pack_strategy,
         profile=args.profile,
         fim_rate=args.fim_rate,
         fim_mode=args.fim_mode,
@@ -2476,6 +2477,12 @@ def build_parser() -> argparse.ArgumentParser:
     rl.add_argument("--tokenizer", default=None,
                     help="tokenizer JSON (with --pack-seq-len)")
     rl.add_argument("--pack-seq-len", type=int, default=None)
+    rl.add_argument("--pack-strategy", default="stream",
+                    choices=("stream", "bestfit"),
+                    help="stream = concat-then-chunk; bestfit = "
+                         "whole-doc bin packing (doc_spans, n_pad; no "
+                         "tail truncation) — rides the card, must match "
+                         "across a delta chain")
     rl.add_argument("--parent", default=None,
                     help="incremental release: diff against this parent "
                          "version ('latest' or a number) and write/pack "

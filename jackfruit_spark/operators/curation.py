@@ -2318,6 +2318,13 @@ def mixture_schedule(
         names.append(str(ph.get("name") or f"phase{i}"))
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate phase names: {names}")
+    clash = {"phase", "phase_name", "epoch"} & set(df.columns)
+    if clash:
+        # the broadcast plan and the explode introduce these — a silent
+        # collision would make the join ambiguous or shadow user data
+        raise ValueError(
+            f"input already has reserved output columns {sorted(clash)}"
+        )
     from jackfruit_spark.functions import text as T
 
     stats = {
@@ -2676,9 +2683,20 @@ def pack_sequences_bestfit(
     slim = df.select(
         F.col(id_col).alias("__id"),
         F.col(toks_col).alias("__toks"),
-        F.pmod(
-            F.xxhash64(F.lit(int(seed)), F.col(id_col).cast("string")),
-            F.lit(int(shards)),
+        # a NULL id would hash to a NULL shard (a silent token-loss
+        # group or a cryptic kernel crash) — fail loudly in the scan,
+        # the release_corpus null-id-reject rule
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(F.lit(
+                f"pack_sequences_bestfit: NULL {id_col} (ids key the "
+                "shard hash and the doc_spans provenance)"
+            )),
+        ).otherwise(
+            F.pmod(
+                F.xxhash64(F.lit(int(seed)), F.col(id_col).cast("string")),
+                F.lit(int(shards)),
+            )
         ).cast("int").alias("__shard"),
     ).filter(F.size("__toks") > 0)
 

@@ -211,6 +211,7 @@ def release_corpus(
     tokenizer_path: str | None = None,
     pack_seq_len: int | None = None,
     pack_shards: int = 64,
+    pack_strategy: str = "stream",
     profile: bool = False,
     parent: int | str | None = None,
     card_extra: dict | None = None,
@@ -249,6 +250,10 @@ def release_corpus(
     ``(fim_seed, id)``, so unchanged documents produce byte-identical
     FIM text across links. Knobs ride the card; a delta with different
     FIM knobs than its chain raises."""
+    if pack_strategy not in ("stream", "bestfit"):
+        raise ValueError(
+            f"pack_strategy must be stream/bestfit, got '{pack_strategy}'"
+        )
     from jackfruit_spark.operators.curation import (
         decontaminate,
         deterministic_shuffle,
@@ -321,11 +326,13 @@ def release_corpus(
             if (
                 pk["pack_seq_len"] != pack_seq_len
                 or pk.get("pack_shards") != pack_shards
+                or (pk.get("pack_strategy") or "stream") != pack_strategy
             ):
                 raise ValueError(
                     "delta pack knobs differ from the chain's "
                     f"(seq_len {pk['pack_seq_len']}, shards "
-                    f"{pk.get('pack_shards')})"
+                    f"{pk.get('pack_shards')}, strategy "
+                    f"{pk.get('pack_strategy') or 'stream'})"
                 )
             if tokenizer_md5 != pk.get("tokenizer_md5"):
                 raise ValueError(
@@ -353,6 +360,11 @@ def release_corpus(
             # reproducing the sequences checksum needs the same shard
             # count — the sequences tile pack_shards parallel streams
             "pack_shards": pack_shards if pack_seq_len is not None else None,
+            # which packer produced sequences/ — decides the verify
+            # checksum columns and must match across a delta chain
+            "pack_strategy": (
+                pack_strategy if pack_seq_len is not None else None
+            ),
             "fim_rate": fim_rate,
             "fim_mode": fim_mode if fim_rate is not None else None,
             "fim_seed": fim_seed if fim_rate is not None else None,
@@ -603,6 +615,7 @@ def release_corpus(
         from pyspark.sql import Observation
 
         from jackfruit_spark.functions.tokenizer import (
+            PAD,
             _has_byte_pieces,
             bpe_encode_ids_udf,
             has_byte_fallback,
@@ -641,19 +654,45 @@ def release_corpus(
         # shard's partial tail (drop_last), and encoded vs packed is
         # the honest "tokens lost to tail truncation" line in the card
         obs_enc = Observation()
-        packed = pack_token_ids(
-            released.withColumn("__ids", ids)
-            .observe(obs_enc, F.sum(F.size("__ids")).alias("toks"))
-            .withColumn(
-                "__shard",
-                F.pmod(F.xxhash64(F.col("order_key")), F.lit(int(pack_shards))),
-            ),
-            "__ids",
-            pack_seq_len,
-            order_col="order_key",
-            source_col="__shard",
-            sep_id=eos,
-        ).drop("__shard")
+        encoded = released.withColumn("__ids", ids).observe(
+            obs_enc, F.sum(F.size("__ids")).alias("toks")
+        )
+        if pack_strategy == "bestfit":
+            # whole-document bin packing: no doc ever splits, so no
+            # <eos> separator is needed and nothing is lost to tail
+            # truncation — the padding (reported per sequence as
+            # n_pad) is the quality metric instead. order_key is the
+            # id: unique per (id, epoch) copy, deterministic.
+            from jackfruit_spark.operators.curation import (
+                pack_sequences_bestfit,
+            )
+
+            packed = pack_sequences_bestfit(
+                encoded, "__ids", pack_seq_len, id_col="order_key",
+                shards=pack_shards, pad_id=vocab[PAD],
+            )
+            seq_checksum_cols = ["shard", "seq_id", "input_ids"]
+            # training tokens exclude the pad tail
+            packed_toks = F.sum(
+                F.size("input_ids") - F.col("n_pad")
+            ).alias("toks")
+        else:
+            packed = pack_token_ids(
+                encoded.withColumn(
+                    "__shard",
+                    F.pmod(
+                        F.xxhash64(F.col("order_key")),
+                        F.lit(int(pack_shards)),
+                    ),
+                ),
+                "__ids",
+                pack_seq_len,
+                order_col="order_key",
+                source_col="__shard",
+                sep_id=eos,
+            ).drop("__shard")
+            seq_checksum_cols = ["source", "chunk_id", "input_ids"]
+            packed_toks = F.sum(F.size("input_ids")).alias("toks")
         seq_dir = os.path.join(vdir, "sequences")
         # count + checksum ride the write via Observation (the
         # insert_grid discipline — VERDICT r11 'what's wrong' #2: the
@@ -665,10 +704,11 @@ def release_corpus(
         observed = packed.observe(
             obs,
             F.count(F.lit(1)).alias("rows"),
-            _checksum_expr(["source", "chunk_id", "input_ids"]),
+            _checksum_expr(seq_checksum_cols),
             # packed-token accounting on the same pass: the card
-            # reports how many training tokens were actually released
-            F.sum(F.size("input_ids")).alias("toks"),
+            # reports how many TRAINING tokens were actually released
+            # (bestfit excludes its pad tail)
+            packed_toks,
         )
         observed.write.mode("overwrite").parquet(seq_dir)
         _touch_lease(vdir)
@@ -791,9 +831,14 @@ def _verify_link(spark: SparkSession, root: str, card: dict) -> dict:
         seq_dir = os.path.join(root, f"v{v}", "sequences")
         try:
             seqs = spark.read.parquet(seq_dir)
+            seq_cols = (
+                ["shard", "seq_id", "input_ids"]
+                if card["knobs"].get("pack_strategy") == "bestfit"
+                else ["source", "chunk_id", "input_ids"]
+            )
             sstats = seqs.agg(
                 F.count(F.lit(1)).alias("__n"),
-                _checksum_expr(["source", "chunk_id", "input_ids"]),
+                _checksum_expr(seq_cols),
             ).first()
             seq_actual = (
                 int(sstats["__sum"]) % (1 << 64)
@@ -960,6 +1005,7 @@ def compact_release(
         tokenizer_path=tok_path,
         pack_seq_len=k.get("pack_seq_len"),
         pack_shards=k.get("pack_shards") or 64,
+        pack_strategy=k.get("pack_strategy") or "stream",
         # FIM provenance rides forward WITHOUT re-applying (the
         # materialized text already carries the rewrite) so a later
         # delta with the chain's FIM knobs still passes the drift check

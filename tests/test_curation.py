@@ -1729,3 +1729,16 @@ class TestMixtureSchedule:
             cli_main([
                 "mix", "--input", inp, "--output", out, "--alpha", "0.5",
             ])
+
+
+def test_mixture_schedule_reserved_columns_raise(spark):
+    import pytest
+
+    from jackfruit_spark.operators.curation import mixture_schedule
+
+    d = spark.createDataFrame(
+        [(1, "some text here", "web", 0)],
+        "doc_id long, text string, source string, epoch int",
+    )
+    with pytest.raises(ValueError, match="reserved output columns"):
+        mixture_schedule(d, [{"tokens": 10, "alpha": 1.0}])

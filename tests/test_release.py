@@ -1085,3 +1085,115 @@ class TestFimRelease:
             spark, delta, root, parent="latest", fim_rate=1.0
         )
         assert card2["delta"]["added"] == 0 and card2["delta"]["changed"] == 0
+
+
+class TestBestfitRelease:
+    """pack_strategy='bestfit' (r14): whole-doc packed sequences/ with
+    doc_spans provenance; knob rides the card, chain enforces it,
+    verify uses the strategy's checksum columns, compact carries it."""
+
+    def _tok(self, spark, tmp_path):
+        from jackfruit_spark.functions.tokenizer import (
+            bpe_train_with_vocab,
+            save_tokenizer,
+        )
+
+        d = _docs(spark)
+        merges, vocab = bpe_train_with_vocab(
+            d, "text", num_merges=8, sample_size=200
+        )
+        tok_path = str(tmp_path / "tok.json")
+        save_tokenizer(tok_path, merges, vocab)
+        return tok_path
+
+    def test_bestfit_release_and_verify(self, spark, tmp_path):
+        from jackfruit_spark.operators.release import (
+            release_corpus,
+            verify_release,
+        )
+
+        root = str(tmp_path / "rel")
+        tok = self._tok(spark, tmp_path)
+        card = release_corpus(
+            spark, _docs(spark), root, tokenizer_path=tok,
+            pack_seq_len=64, pack_strategy="bestfit",
+        )
+        assert card["knobs"]["pack_strategy"] == "bestfit"
+        seqs = spark.read.parquet(str(tmp_path / "rel" / "v1" / "sequences"))
+        rows = seqs.collect()
+        assert rows and all(len(r["input_ids"]) == 64 for r in rows)
+        # every doc lands whole exactly once; no <eos> splicing
+        n_docs = sum(r["n_docs"] for r in rows)
+        assert n_docs == 60
+        # packed_tokens excludes the pad tail
+        pad = sum(r["n_pad"] for r in rows)
+        assert card["stages"]["packed_tokens"] == 64 * len(rows) - pad
+        # whole-doc packing loses nothing: encoded == packed
+        assert card["stages"]["encoded_tokens"] == card["stages"]["packed_tokens"]
+        out = verify_release(spark, root)
+        assert out["ok"], out
+        # tamper a sequences file -> verify flips
+        import glob as _glob
+        import os as _os
+
+        f = sorted(_glob.glob(
+            str(tmp_path / "rel" / "v1" / "sequences" / "*.parquet")
+        ))[0]
+        _os.remove(f)
+        assert not verify_release(spark, root)["ok"]
+
+    def test_chain_enforces_strategy_and_compact_carries(self, spark, tmp_path):
+        import pytest
+
+        from jackfruit_spark.operators.release import (
+            compact_release,
+            read_card,
+            release_corpus,
+            verify_release,
+        )
+
+        root = str(tmp_path / "rel")
+        tok = self._tok(spark, tmp_path)
+        release_corpus(
+            spark, _docs(spark), root, tokenizer_path=tok,
+            pack_seq_len=64, pack_strategy="bestfit",
+        )
+        delta = TestDeltaRelease._delta_docs(None, spark)
+        with pytest.raises(ValueError, match="pack knobs"):
+            release_corpus(
+                spark, delta, root, parent="latest", tokenizer_path=tok,
+                pack_seq_len=64,
+            )
+        release_corpus(
+            spark, delta, root, parent="latest", tokenizer_path=tok,
+            pack_seq_len=64, pack_strategy="bestfit",
+        )
+        card = compact_release(spark, root)
+        assert card["knobs"]["pack_strategy"] == "bestfit"
+        assert verify_release(spark, root)["ok"]
+        # compact == from-scratch: the established bit-for-bit pin,
+        # now on the bestfit path
+        from jackfruit_spark.operators.release import materialize_documents
+
+        docs = materialize_documents(spark, root, 2)
+        root2 = str(tmp_path / "rel2")
+        card2 = release_corpus(
+            spark, docs.select("doc_id", "text", "source"), root2,
+            tokenizer_path=tok, pack_seq_len=64, pack_strategy="bestfit",
+        )
+        assert card2["checksum_xxh64_sum"] == card["checksum_xxh64_sum"]
+        assert (
+            card2["checksum_sequences_xxh64_sum"]
+            == card["checksum_sequences_xxh64_sum"]
+        )
+
+    def test_bad_strategy_raises(self, spark, tmp_path):
+        import pytest
+
+        from jackfruit_spark.operators.release import release_corpus
+
+        with pytest.raises(ValueError, match="pack_strategy"):
+            release_corpus(
+                spark, _docs(spark), str(tmp_path / "r"),
+                pack_strategy="zigzag",
+            )

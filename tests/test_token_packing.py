@@ -371,3 +371,15 @@ class TestPackSequencesBestfit:
             pack_sequences_bestfit(d, "toks", 0)
         with pytest.raises(ValueError, match="oversize"):
             pack_sequences_bestfit(d, "toks", 10, oversize="bogus")
+
+    def test_null_id_rejected_loudly(self, spark):
+        import pytest
+
+        from jackfruit_spark.operators.curation import pack_sequences_bestfit
+
+        d = spark.createDataFrame(
+            [(1, [1, 2, 3]), (None, [4, 5])],
+            "doc_id long, toks array<long>",
+        )
+        with pytest.raises(Exception, match="NULL doc_id"):
+            pack_sequences_bestfit(d, "toks", 8, shards=1).collect()
