@@ -96,6 +96,12 @@ def curate_stream(
     watermark: str = "1 hour",
     redact: bool = False,
     normalize: bool = False,
+    c4: bool = False,
+    badwords: list[str] | None = None,
+    gopher: bool = False,
+    gopher_knobs: dict | None = None,
+    code: bool = False,
+    code_knobs: dict | None = None,
     lm=None,
     max_perplexity: float | None = None,
     lang: str = "en",
@@ -126,7 +132,12 @@ def curate_stream(
     content-hash dedup); the stopword-ratio gate is skipped on that
     path (batch semantics — pass ``min_stopword_ratio`` alongside a
     model and validation raises). ``min_stopword_ratio=None`` defaults
-    to 0.05 on the heuristic path only."""
+    to 0.05 on the heuristic path only. ``c4``/``badwords``/``gopher``/
+    ``code`` (r14) apply the batch rule tiers in the batch order
+    (C4 rewrite first, then the Gopher / code gates) BEFORE the token
+    gates and the content hash — all pure column expressions, so they
+    add no streaming state; a C4-cleaned replay fingerprints
+    identically to its first pass."""
     from jackfruit_spark.operators.curation import (
         _apply_langid_gate,
         _validate_langid_knobs,
@@ -143,9 +154,28 @@ def curate_stream(
         # corrupt rows carry NULL text; normalize_text passes NULL
         # through, and the main chain filters them just below
         docs = normalize_text(docs, "text")
+    if c4 or badwords:
+        # the batch stage order (curate_corpus): C4 rewrites text, so
+        # every later gate AND the content hash see the cleaned form.
+        # Pure column expressions — stateless, streaming-safe.
+        from jackfruit_spark.operators.curation import c4_clean
+
+        docs = c4_clean(docs, "text", badwords=badwords)
+    if gopher:
+        from jackfruit_spark.operators.curation import gopher_clean
+
+        docs = gopher_clean(docs, "text", **(gopher_knobs or {}))
+    if code:
+        from jackfruit_spark.operators.curation import code_clean
+
+        docs = code_clean(docs, "text", **(code_knobs or {}))
     toks = T.token_count("text")
     gates = toks.between(min_tokens, max_tokens)
-    if langid_model is None:
+    if langid_model is None and lang is not None:
+        # lang=None skips the language gates entirely — the batch
+        # curate_corpus contract (a code corpus is no language); the
+        # old unguarded form compared lang_id == NULL and silently
+        # dropped EVERY row (caught by the r14 stream==batch pin)
         stop_ratio = F.round(
             T.stopword_count(
                 "text", T.LANG_STOPWORDS.get(lang, T.LANG_STOPWORDS["en"])

@@ -428,3 +428,69 @@ def test_streaming_langid_gate(spark, tmp_path):
             stream_documents_jsonl(spark, str(landing)),
             langid_model=model, min_stopword_ratio=0.05,
         )
+
+
+def test_streaming_rule_tiers_match_batch(spark, tmp_path):
+    """r14: c4/gopher/code rule tiers in the stream — pure stateless
+    expressions shared with batch; the streamed kept set equals the
+    batch curate_corpus kept set with the same knobs."""
+    from jackfruit_spark.operators.curation import curate_corpus
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs far to "
+        "the river of light. "
+        "We waited for the train to have arrived at the station with "
+        "that same patience. "
+        "The forecast says that it will rain again with wind of the "
+        "north on thursday."
+    )
+    code_doc = "function f(){var x=1;}" * 40  # C4's '{' rule target
+    landing = tmp_path / "landing"
+    _land(
+        landing / "b1.jsonl",
+        [_doc(1, good), _doc(2, code_doc), _doc(3, "too short.")],
+    )
+    out = str(tmp_path / "curated")
+    q = write_curated(
+        curate_stream(
+            stream_documents_jsonl(spark, str(landing)),
+            sample_pct=100, c4=True, gopher=True,
+            gopher_knobs={"min_words": 10},
+            min_tokens=1, max_tokens=10_000,
+        ),
+        out, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1}
+
+    docs = spark.createDataFrame(
+        [(1, good, "web"), (2, code_doc, "web"), (3, "too short.", "web")],
+        "doc_id long, text string, source string",
+    )
+    batch = curate_corpus(
+        docs, c4=True, gopher=True, gopher_knobs={"min_words": 10},
+        min_tokens=1, max_tokens=10_000, sample_pct=100,
+    )
+    assert {r["doc_id"] for r in batch.collect()} == kept
+
+    # the code tier gates in-stream too: a real source file passes,
+    # the one-line minified blob fails the line-length rules
+    good_code = "def add(a, b):\n    return a + b\n" * 10
+    landing2 = tmp_path / "landing2"
+    _land(
+        landing2 / "b1.jsonl",
+        [_doc(10, good_code), _doc(11, code_doc)],
+    )
+    out2 = str(tmp_path / "curated2")
+    q = write_curated(
+        curate_stream(
+            stream_documents_jsonl(spark, str(landing2)),
+            sample_pct=100, lang=None, code=True,
+            min_tokens=1, max_tokens=10_000,
+        ),
+        out2, str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+    kept2 = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+    assert kept2 == {10}
