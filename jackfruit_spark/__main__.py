@@ -1825,6 +1825,41 @@ def cmd_tokenize(args) -> int:
     return 0
 
 
+def cmd_decontam_report(args) -> int:
+    """Per-benchmark-item contamination audit
+    (operators/curation.decontamination_report): writes the report
+    parquet and prints one JSON summary line (items, leaked items,
+    worst coverage)."""
+    spark = _spark(args.cpus)
+    from pyspark.sql import functions as F
+
+    from jackfruit_spark.operators.curation import decontamination_report
+
+    rep = decontamination_report(
+        spark.read.parquet(args.corpus),
+        spark.read.parquet(args.benchmark),
+        args.id_col,
+        args.text_col,
+        k=args.k,
+        top_docs=args.top_docs,
+    )
+    rep.write.mode("overwrite").parquet(args.output)
+    back = spark.read.parquet(args.output)
+    row = back.agg(
+        F.count(F.lit(1)).alias("items"),
+        F.sum((F.col("contaminated_docs") > 0).cast("long")).alias("leaked"),
+        F.max("coverage_ratio").alias("worst_coverage"),
+    ).first()
+    print(json.dumps({
+        "items": int(row["items"] or 0),
+        "leaked_items": int(row["leaked"] or 0),
+        "worst_coverage": float(row["worst_coverage"] or 0.0),
+        "k": args.k,
+        "output": args.output,
+    }))
+    return 0
+
+
 def cmd_decontam_semantic(args) -> int:
     """Embedding-space decontamination
     (operators/curation.decontaminate_semantic): benchmark items embed
@@ -2876,6 +2911,22 @@ def build_parser() -> argparse.ArgumentParser:
     tkz.add_argument("--text-col", default="text")
     tkz.add_argument("--cpus", default=None)
     tkz.set_defaults(fn=cmd_tokenize)
+
+    dr = sub.add_parser(
+        "decontam-report",
+        help="per-benchmark-item contamination audit: which eval items "
+             "leaked into the corpus, coverage, worst offending docs",
+    )
+    dr.add_argument("--corpus", required=True, help="documents parquet")
+    dr.add_argument("--benchmark", required=True,
+                    help="benchmark documents parquet (same id/text cols)")
+    dr.add_argument("--output", required=True, help="report parquet")
+    dr.add_argument("--k", type=int, default=8)
+    dr.add_argument("--top-docs", type=int, default=3)
+    dr.add_argument("--id-col", default="doc_id")
+    dr.add_argument("--text-col", default="text")
+    dr.add_argument("--cpus", default=None)
+    dr.set_defaults(fn=cmd_decontam_report)
 
     ds = sub.add_parser(
         "decontam-semantic",

@@ -436,6 +436,118 @@ def decontaminate(
     )
 
 
+def decontamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    top_docs: int = 3,
+) -> DataFrame:
+    """The auditor's inverse of :func:`decontaminate`: one row per
+    BENCHMARK item — is this eval question leaked into the training
+    corpus, how badly, and by which documents. ``decontaminate`` answers
+    "which corpus docs to drop"; this answers "which benchmark items are
+    compromised" (the number an eval-integrity report quotes, e.g.
+    GPT-4-style contamination appendices).
+
+    Columns: ``n_grams`` (the item's distinct k-grams),
+    ``matched_grams`` + ``coverage_ratio`` (how much of the item appears
+    verbatim somewhere in the corpus), ``contaminated_docs`` (distinct
+    corpus docs sharing ≥1 gram), ``max_shared_grams`` (the worst single
+    doc), and ``top_docs`` (``array<struct<doc_id, shared_grams>>``, the
+    ``top_docs`` worst offenders). Items with zero hits keep their row
+    with zero counts — absence of evidence must be visible.
+
+    Scale shape: the benchmark gram set broadcasts (eval suites are
+    small), the corpus is shingled once on its own doc-partitioned
+    window layout, and every aggregate downstream of the broadcast join
+    runs on HIT rows only (|bench grams present in corpus| × docs
+    containing them — k=8 grams are rare by construction). The
+    ``top_docs`` list is row_number-capped per item BEFORE collect_list,
+    so one viral gram cannot build an unbounded array."""
+    if top_docs < 0:
+        raise ValueError(f"top_docs must be >= 0, got {top_docs}")
+    bg = (
+        shingled_exploded(benchmark, id_col, text_col, k=k, distinct=False)
+        .select(F.col(id_col).alias("__bench_id"), "sh")
+        .distinct()
+    )
+    cg = (
+        shingled_exploded(corpus, id_col, text_col, k=k, distinct=False)
+        .select(F.col(id_col).alias("__doc_id"), "sh")
+        .distinct()
+    )
+    hits = cg.join(F.broadcast(bg), "sh")
+    pair = hits.groupBy("__bench_id", "__doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("shared_grams")
+    )
+    w = Window.partitionBy("__bench_id").orderBy(
+        F.desc("shared_grams"), F.col("__doc_id")
+    )
+    per_item = (
+        pair.withColumn("__rn", F.row_number().over(w))
+        .groupBy("__bench_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("contaminated_docs"),
+            F.max("shared_grams").alias("max_shared_grams"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("__rn") <= top_docs,
+                        F.struct(
+                            F.col("shared_grams"),
+                            F.col("__doc_id").alias("doc_id"),
+                        ),
+                    )
+                ),
+                asc=False,
+            ).alias("__top"),
+        )
+        .withColumn(
+            "top_docs",
+            F.transform(
+                F.col("__top"),
+                lambda s: F.struct(
+                    s["doc_id"].alias("doc_id"),
+                    s["shared_grams"].alias("shared_grams"),
+                ),
+            ),
+        )
+        .drop("__top")
+    )
+    covered = (
+        hits.select("__bench_id", "sh")
+        .distinct()
+        .groupBy("__bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("matched_grams"))
+    )
+    totals = bg.groupBy("__bench_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    return (
+        totals.join(covered, "__bench_id", "left")
+        .join(per_item, "__bench_id", "left")
+        .select(
+            F.col("__bench_id").alias(id_col),
+            "n_grams",
+            F.coalesce("matched_grams", F.lit(0)).alias("matched_grams"),
+            F.round(
+                F.coalesce("matched_grams", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("coverage_ratio"),
+            F.coalesce("contaminated_docs", F.lit(0)).alias(
+                "contaminated_docs"
+            ),
+            F.coalesce("max_shared_grams", F.lit(0)).alias(
+                "max_shared_grams"
+            ),
+            F.coalesce("top_docs", F.array()).alias("top_docs"),
+        )
+    )
+
+
 def _bloom_build(h1, h2, fpp: float):
     """Size + populate a Bloom bitset from two 64-bit hash arrays
     (Kirsch-Mitzenmacher double hashing: position_i = h1 + i*h2, all

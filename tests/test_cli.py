@@ -502,3 +502,30 @@ def test_cli_fim(spark, tmp_path, capsys):
     assert stats["docs"] == 30 and stats["fim_applied"] == 30
     rows = spark.read.parquet(out).collect()
     assert all(r["text"].startswith("<|fim_prefix|>") for r in rows)
+
+
+def test_cli_decontam_report(spark, tmp_path, capsys):
+    """decontam-report (r14): report parquet + one JSON summary line."""
+    import json as _json
+
+    from jackfruit_spark.__main__ import main as cli_main
+
+    corpus = str(tmp_path / "corpus.parquet")
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+         (101, "clean item with entirely different words here now")],
+        "doc_id long, text string",
+    ).write.parquet(bench)
+    out = str(tmp_path / "report.parquet")
+    assert cli_main([
+        "decontam-report", "--corpus", corpus, "--benchmark", bench,
+        "--output", out, "--k", "4",
+    ]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip())
+    assert stats["items"] == 2 and stats["leaked_items"] == 1
+    assert stats["worst_coverage"] == 1.0

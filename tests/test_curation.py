@@ -1742,3 +1742,71 @@ def test_mixture_schedule_reserved_columns_raise(spark):
     )
     with pytest.raises(ValueError, match="reserved output columns"):
         mixture_schedule(d, [{"tokens": 10, "alpha": 1.0}])
+
+
+class TestDecontaminationReport:
+    """decontamination_report (r14): per-benchmark-item leak audit —
+    the inverse view of decontaminate."""
+
+    def _data(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "alpha beta gamma delta iota kappa lam mu"),
+                (3, "totally different words nothing shared here at all"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [
+                (100, "alpha beta gamma delta epsilon zeta eta theta"),
+                (101, "unseen question text that never leaked anywhere ok"),
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_report_counts_and_top_docs(self, spark):
+        from jackfruit_spark.operators.curation import decontamination_report
+
+        corpus, bench = self._data(spark)
+        rows = {
+            r["doc_id"]: r
+            for r in decontamination_report(
+                corpus, bench, "doc_id", "text", k=4
+            ).collect()
+        }
+        assert set(rows) == {100, 101}  # zero-hit items keep their row
+        leaked = rows[100]
+        # item 100 == doc 1 verbatim: 5 distinct 4-grams, all matched
+        assert leaked["n_grams"] == 5
+        assert leaked["matched_grams"] == 5
+        assert leaked["coverage_ratio"] == 1.0
+        # docs 1 (all 5 grams) and 2 (the leading 'alpha beta gamma
+        # delta' gram) both hit
+        assert leaked["contaminated_docs"] == 2
+        assert leaked["max_shared_grams"] == 5
+        top = [(t["doc_id"], t["shared_grams"]) for t in leaked["top_docs"]]
+        assert top == [(1, 5), (2, 1)]
+        clean = rows[101]
+        assert clean["matched_grams"] == 0
+        assert clean["contaminated_docs"] == 0
+        assert clean["coverage_ratio"] == 0.0
+        assert clean["top_docs"] == []
+
+    def test_top_docs_capped(self, spark):
+        from jackfruit_spark.operators.curation import decontamination_report
+
+        corpus = spark.createDataFrame(
+            [(i, "shared run of common words here ok") for i in range(10)],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(1, "shared run of common words here ok")],
+            "doc_id long, text string",
+        )
+        r = decontamination_report(
+            corpus, bench, "doc_id", "text", k=4, top_docs=2
+        ).first()
+        assert r["contaminated_docs"] == 10
+        assert len(r["top_docs"]) == 2  # capped before collect_list
