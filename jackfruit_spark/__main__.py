@@ -1389,6 +1389,7 @@ def cmd_profile(args) -> int:
         text_col=args.text_col,
         dedup_stats=args.dedup,
         gopher_stats=args.gopher,
+        code_stats=args.code,
         pii_stats=args.pii,
         langid_model=langid_model,
     )
@@ -2748,6 +2749,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="add exact-duplication stats (second job)")
     pf.add_argument("--gopher", action="store_true",
                     help="add per-Gopher-rule fail counts (same job)")
+    pf.add_argument("--code", action="store_true",
+                    help="add code-rule FAIL counts + content-sniffed "
+                         "language mix (Stack/StarCoder tier audit)")
     pf.add_argument("--pii", action="store_true",
                     help="add per-PII-pattern doc counts + mojibake "
                          "suspects (same job)")

@@ -1006,6 +1006,41 @@ def code_rule_columns(
     }
 
 
+# ordered content signals: first match wins (shebangs outrank syntax;
+# distinctive markers outrank generic ones — 'function ' is checked
+# after every language whose files can EMBED javascript)
+CODE_LANGUAGE_SIGNALS = (
+    ("python", r"(?m)^#!.*python|^(def|class)\s+\w+.*:\s*$"
+               r"|^import\s+\w+|^from\s+[\w.]+\s+import\s"),
+    ("shell", r"(?m)^#!\s*/(usr/)?bin/(env\s+)?(ba|z|da)?sh\b"),
+    ("html", r"(?i)<!doctype html|<html[\s>]"),
+    ("c_cpp", r"(?m)^\s*#include\s*[<\"]"),
+    ("java", r"(?m)^package\s+[\w.]+;|public\s+(final\s+)?class\s+\w+"),
+    ("go", r"(?m)^package\s+\w+$|^func\s+\w+\("),
+    ("rust", r"(?m)^\s*fn\s+\w+\(|let\s+mut\s"),
+    ("javascript", r"(?m)^\s*(const|let|var)\s+\w+\s*="
+                   r"|function\s+\w+\s*\(|=>\s*[{(]"),
+    ("sql", r"(?is)^\s*(select\s.+\sfrom\s|create\s+table\s"
+            r"|insert\s+into\s)"),
+)
+
+
+def code_language(text_col: str | Column = "text") -> Column:
+    """Content-based source-language guess as a pure column expression —
+    ordered first-match over :data:`CODE_LANGUAGE_SIGNALS`, ``unknown``
+    otherwise. HONEST LIMITS: file-extension metadata beats content
+    sniffing everywhere it exists (The Stack keys its language split on
+    extensions); this is the fallback for extension-less content
+    (pastes, notebook cells, WARC-extracted snippets) and the
+    per-language mix signal for ``mix_corpus``/``profile_corpus``. Ten
+    anchored rlikes per row, JVM-side, no UDF."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    expr = F.lit("unknown")
+    for lang, pat in reversed(CODE_LANGUAGE_SIGNALS):
+        expr = F.when(text.rlike(pat), F.lit(lang)).otherwise(expr)
+    return expr
+
+
 def code_clean(
     df: DataFrame,
     text_col: str = "text",

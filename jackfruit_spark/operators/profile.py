@@ -43,6 +43,7 @@ def profile_corpus(
     text_col: str = "text",
     dedup_stats: bool = False,
     gopher_stats: bool = False,
+    code_stats: bool = False,
     pii_stats: bool = False,
     langid_model=None,
     langid_min_conf: float = 0.5,
@@ -59,6 +60,11 @@ def profile_corpus(
     the all-rules pass count (operators/curation.gopher_rule_columns)
     — the knob-tuning signal before flipping the gate on; rides the
     SAME single aggregate (8 more conditional sums, zero extra jobs).
+    ``code_stats=True`` adds ``code`` (per-rule FAIL counts + pass,
+    operators/curation.code_rule_columns — the same knob-tuning signal
+    as ``gopher_stats`` for source corpora) and ``code_languages``
+    (doc counts by the content-sniffed ``code_language`` guess) — same
+    single aggregate, zero extra jobs.
     ``pii_stats=True`` adds ``pii`` (docs containing each PII pattern,
     JVM rlike — the pre-redaction audit) and ``mojibake_suspect_docs``
     (docs matching the lead+continuation bigram detector,
@@ -75,9 +81,17 @@ def profile_corpus(
     )
     from jackfruit_spark.operators.curation import (
         PII_PATTERNS as _PII,
+        code_language,
+        code_rule_columns,
         gopher_rule_columns,
     )
     blank = F.length(F.trim(F.col(text_col))) == 0
+    if code_stats:
+        from jackfruit_spark.operators.curation import (
+            CODE_LANGUAGE_SIGNALS as _CLS,
+        )
+
+        _code_langs = [lg for lg, _ in _CLS] + ["unknown"]
     # split(trim('')) is [''] not [] (the chunk empty-text lesson):
     # blank docs must be zero-token by explicit gate, not by size()
     toks = F.when(blank, F.lit(0).cast("long")).otherwise(
@@ -153,6 +167,27 @@ def profile_corpus(
             if gopher_stats
             else []
         ),
+        *(
+            [
+                F.sum((~col).cast("long")).alias(f"__cfail_{name}")
+                for name, col in code_rule_columns(text_col).items()
+            ]
+            + [
+                F.sum(
+                    _all_true(code_rule_columns(text_col).values()).cast(
+                        "long"
+                    )
+                ).alias("__cpass")
+            ]
+            + [
+                F.sum(
+                    (code_language(text_col) == lg).cast("long")
+                ).alias(f"__clang_{lg}")
+                for lg in _code_langs
+            ]
+            if code_stats
+            else []
+        ),
     ).first()
 
     out = {
@@ -196,6 +231,28 @@ def profile_corpus(
             },
             "pass": int(row["__gpass"] or 0),
         }
+    if code_stats:
+        from jackfruit_spark.operators.curation import (
+            code_rule_columns as _crc,
+        )
+
+        out["code"] = {
+            **{
+                name: int(row[f"__cfail_{name}"] or 0)
+                for name in _crc(text_col)
+            },
+            "pass": int(row["__cpass"] or 0),
+        }
+        out["code_languages"] = dict(
+            sorted(
+                (
+                    (lg, int(row[f"__clang_{lg}"] or 0))
+                    for lg in _code_langs
+                    if int(row[f"__clang_{lg}"] or 0) > 0
+                ),
+                key=lambda kv: -kv[1],
+            )
+        )
     if dedup_stats:
         d = (
             df.groupBy(F.md5(F.col(text_col)).alias("__h"))

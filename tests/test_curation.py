@@ -1810,3 +1810,46 @@ class TestDecontaminationReport:
         ).first()
         assert r["contaminated_docs"] == 10
         assert len(r["top_docs"]) == 2  # capped before collect_list
+
+
+class TestCodeLanguage:
+    """code_language (r14): ordered content-signal guess, pure
+    expression; profile_corpus(code_stats=True) rides one aggregate."""
+
+    SNIPPETS = [
+        ("python", "import os\nfrom sys import path\n\ndef main():\n    return 1\n"),
+        ("shell", "#!/bin/bash\necho hello\n"),
+        ("html", "<!DOCTYPE html>\n<html><body>hi</body></html>"),
+        ("c_cpp", '#include <stdio.h>\nint main(void) { return 0; }\n'),
+        ("java", "package com.example.app;\npublic class Main {}\n"),
+        ("go", "package main\n\nfunc main() {\n}\n"),
+        ("rust", "fn main() {\n    let mut x = 1;\n}\n"),
+        ("javascript", "const x = 1\nfunction go(a) { return a }\n"),
+        ("sql", "SELECT id, name FROM users WHERE id = 1"),
+        ("unknown", "just a plain paragraph of prose with no code at all"),
+    ]
+
+    def test_signal_per_language(self, spark):
+        from jackfruit_spark.operators.curation import code_language
+
+        df = spark.createDataFrame(
+            [(lang, text) for lang, text in self.SNIPPETS],
+            "expected string, text string",
+        )
+        rows = df.withColumn("got", code_language("text")).collect()
+        for r in rows:
+            assert r["got"] == r["expected"], (r["expected"], r["got"])
+
+    def test_profile_code_stats(self, spark):
+        from jackfruit_spark.operators.profile import profile_corpus
+
+        df = spark.createDataFrame(
+            [(i, text) for i, (_, text) in enumerate(self.SNIPPETS)],
+            "doc_id long, text string",
+        )
+        out = profile_corpus(df, code_stats=True)
+        assert out["code_languages"]["python"] == 1
+        assert out["code_languages"]["unknown"] == 1
+        assert sum(out["code_languages"].values()) == len(self.SNIPPETS)
+        # rule audit rides along: every snippet here is short and sane
+        assert out["code"]["pass"] >= 8
