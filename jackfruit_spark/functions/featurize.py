@@ -97,12 +97,29 @@ def hashed_embedding(
         )
         .filter(F.col("sh").isNotNull() & (F.col("sh") != ""))
     )
-    tf = grams.groupBy(id_col, "sh").agg(
-        F.count(F.lit(1)).cast("double").alias("__tf")
+    # Persist the tf frame (tracked — callers release via
+    # _persist.release_all/release_persisted, the jaccard-postings
+    # convention): it feeds up to three consumers whose projections
+    # differ (the signed-weight path, the idf document-frequency
+    # aggregate, and the zero-vector id set below), and ReuseExchange
+    # does NOT fire across them — the un-persisted plan re-ran the
+    # whole scan + posexplode + window + explode subtree once PER
+    # consumer (3 FileScans / 3 Windows, 14 Exchanges measured at
+    # sf0.1; 4 Exchanges persisted). (id, gram, tf) is the slim
+    # per-doc gram index — the frame you'd stage on disk at 100 TB.
+    from jackfruit_spark._persist import persisted
+
+    tf = persisted(
+        grams.groupBy(id_col, "sh").agg(
+            F.count(F.lit(1)).cast("double").alias("__tf")
+        )
     )
     if idf:
-        dfc = grams.groupBy("sh").agg(
-            F.countDistinct(id_col).alias("__df")
+        # df per gram == number of tf rows per gram (tf is one row per
+        # (id, gram)) — same value as countDistinct(id) over the raw
+        # gram stream, WITHOUT re-deriving grams from the corpus
+        dfc = tf.groupBy("sh").agg(
+            F.count(F.lit(1)).alias("__df")
         )
         n_docs = df.select(F.countDistinct(id_col).alias("__n"))
         weighted = (
@@ -154,10 +171,13 @@ def hashed_embedding(
         F.col(id_col), dense.cast("array<float>").alias(out_col)
     )
     # empty/null-text docs produce no grams: restore them as zero vectors
-    # so the output is total over the input ids
+    # so the output is total over the input ids. Probe the persisted tf
+    # frame for the "has grams" id set (identical to vec's ids — vec is
+    # tf grouped twice) instead of vec itself, so the anti-join does not
+    # re-run the bucket/assembly aggregates a second time.
     zeros = (
         df.select(id_col)
-        .join(vec.select(id_col), id_col, "left_anti")
+        .join(tf.select(id_col), id_col, "left_anti")
         .withColumn(
             out_col,
             F.array_repeat(F.lit(0.0), dim).cast("array<float>"),

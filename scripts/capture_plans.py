@@ -1,0 +1,65 @@
+"""Capture .explain("formatted") for declared queries (and selected
+bench-only query functions) into plans/<tag>/<name>_<suffix>.txt.
+
+Usage:
+    python scripts/capture_plans.py <tag> <suffix> [name ...]
+
+With no names, captures every registry entry. Bench-only functions can be
+named explicitly (resolved as queries.py module attributes). Plan metadata
+is captured untruncated (spark.sql.maxMetadataStringLength raised) so
+PushedFilters/ReadSchema claims in OPTIMIZATION notes are checkable.
+
+Queries with driver-coordinated loops (q53's CC, kmeans training) execute
+jobs during plan construction — capturing their plan runs those jobs; the
+captured plan is the FINAL returned frame's.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jackfruit_spark import queries as Q
+from jackfruit_spark import release_persisted
+from jackfruit_spark.session import get_spark
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r14"
+    suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
+    names = sys.argv[3:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", tag,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("capture-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    reg = Q.registry()
+    if not names:
+        names = list(reg)
+    for name in names:
+        fn = reg[name].fn if name in reg else getattr(Q, name)
+        try:
+            df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+            with open(path, "w") as f:
+                f.write(buf.getvalue())
+            print(f"captured {name} -> {path}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — capture the rest regardless
+            print(f"FAILED {name}: {type(e).__name__}: {e}", file=sys.stderr)
+        release_persisted()
+        spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
