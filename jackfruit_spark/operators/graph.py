@@ -52,65 +52,92 @@ def pagerank(
         .filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
         .distinct()
     )
-    nodes = (
-        e.select(F.col("__s").alias("node"))
-        .union(e.select(F.col("__d").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n = nodes.count()
-    if n == 0:
-        nodes.unpersist(blocking=False)
-        return edges.sparkSession.createDataFrame([], "node string, rank double")
     deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
     # one shuffle layout for every iteration: edges+degree clustered on
     # the join key, persisted; the per-iteration join reuses it
     ej = e.join(deg, "__s").repartition("__s").persist()
     ej.count()  # materialize before the loop so iterations pay joins only
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    # ONE job per iteration (optimization r14): the true rank decomposes
+    # as rank(v) = r(v) + c, where c is the uniform teleport+dangling
+    # component — identical for every node — kept as a DRIVER scalar.
+    # Then contrib(v) = sum_{u->v} (r(u) + c)/deg(u)
+    #               = contrib_r(v) + c * invdeg(v)
+    # with invdeg(v) = sum_{u->v} 1/deg(u) precomputed once, and
+    # out_mass = sum_v contrib(v) = S_r + c * n_src, where
+    # n_src = sum_v invdeg(v) = |nodes with outlinks| is a constant and
+    # S_r = sum_v contrib_r(v) rides an Observation ON the checkpoint
+    # action. The old form materialized contrib and THEN ran a separate
+    # dangling-mass aggregate — two blocking jobs per iteration; this
+    # form pays exactly one (the same restructuring as HyperBall's
+    # early-exit scalar below).
+    inv = ej.groupBy("__d").agg(
+        F.sum(F.lit(1.0) / F.col("__deg")).alias("__invdeg")
+    )
+    obs0 = Observation()
+    state = (
+        ej.select(F.col("__s").alias("node"))
+        .union(ej.select(F.col("__d").alias("node")))
+        .distinct()
+        .join(inv.withColumnRenamed("__d", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("__invdeg", F.lit(0.0)).alias("__invdeg"),
+            F.lit(0.0).alias("__r"),
+        )
+        .observe(
+            obs0,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__invdeg").alias("n_src"),
+        )
+        .localCheckpoint()
+    )
     try:
-        for _ in range(iters):
-            old_ranks = ranks
-            # mass leaving through edges this round; the remainder
-            # (dangling mass) redistributes uniformly
-            linked = ej.join(ranks, ej["__s"] == ranks["node"]).select(
-                F.col("__d").alias("node"),
-                (F.col("rank") / F.col("__deg")).alias("__c"),
+        n = int(obs0.get["n"] or 0)
+        if n == 0:
+            return edges.sparkSession.createDataFrame(
+                [], "node string, rank double"
             )
-            # persisted: consumed twice per round (dangling-mass total +
-            # the rank join). Computing out_mass from contrib itself —
-            # the mass that actually flowed through edges — also avoids
-            # the unpersisted deg semi-join a review caught re-running
-            # the full edge scan every iteration.
-            contrib = linked.groupBy("node").agg(F.sum("__c").alias("__c")).persist()
-            out_mass = contrib.agg(F.sum("__c")).first()[0] or 0.0
-            dangling = max(0.0, 1.0 - out_mass)
-            ranks = (
-                nodes.join(contrib, "node", "left")
+        n_src = obs0.get["n_src"] or 0.0
+        c = 1.0 / n  # uniform init: r = 0, rank = c
+        for _ in range(iters):
+            old_state = state
+            linked = ej.join(state, ej["__s"] == state["node"]).select(
+                F.col("__d").alias("node"),
+                (F.col("__r") / F.col("__deg")).alias("__c"),
+            )
+            contrib = linked.groupBy("node").agg(F.sum("__c").alias("__c"))
+            obs = Observation()
+            state = (
+                state.join(contrib, "node", "left")
                 .select(
                     "node",
+                    "__invdeg",
+                    F.coalesce(F.col("__c"), F.lit(0.0)).alias("__ct"),
+                )
+                .observe(obs, F.sum("__ct").alias("s"))
+                .select(
+                    "node",
+                    "__invdeg",
                     (
-                        F.lit((1.0 - damping) / n)
-                        + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("__c"), F.lit(0.0))
-                            + F.lit(dangling / n)
-                        )
-                    ).alias("rank"),
+                        F.lit(damping)
+                        * (F.col("__ct") + F.lit(c) * F.col("__invdeg"))
+                    ).alias("__r"),
                 )
                 .localCheckpoint()  # cut lineage: k nested joins otherwise
             )
-            contrib.unpersist(blocking=False)
-            # bound checkpoint storage at 2 rank copies: superseded
+            s_r = obs.get["s"] or 0.0
+            out_mass = s_r + c * n_src
+            dangling = max(0.0, 1.0 - out_mass)
+            c = (1.0 - damping) / n + damping * dangling / n
+            # bound checkpoint storage at 2 state copies: superseded
             # checkpoints otherwise free only on async GC — iters copies
             # of a CC-scale rank frame would evict ej or OOM. Safe to
-            # drop NOW: localCheckpoint is eager, the new ranks frame is
+            # drop NOW: localCheckpoint is eager, the new state frame is
             # already materialized and no longer reads the old one.
-            old_ranks.unpersist(blocking=False)
-        return ranks
+            old_state.unpersist(blocking=False)
+        return state.select("node", (F.col("__r") + F.lit(c)).alias("rank"))
     finally:
         ej.unpersist(blocking=False)
-        nodes.unpersist(blocking=False)
 
 
 def harmonic_centrality(
