@@ -43,21 +43,63 @@ def _char_grams(text: str, ngram: int, max_chars: int):
             yield s[i : i + n]
 
 
+# Per-PROCESS gram->bucket memo, keyed by (dim, ngram) — the tokenizer
+# word-memo convention (r14 opt): natural text repeats char 1-3-grams
+# heavily, so the crc32+encode per gram (the measured hot cost — slicing
+# is cheap) runs roughly once per distinct gram per python worker, not
+# per occurrence. Bounded like _WORD_MEMOS: resets past the cap
+# (char 1-3-gram vocabularies are ~1e5, a reset means adversarial
+# input), at most a handful of (dim, ngram) configs kept.
+_BUCKET_MEMOS: dict[tuple[int, int], dict[str, int]] = {}
+_BUCKET_MEMO_MAX = 1_000_000
+
+
+def _bucket_memo_for(dim: int, ngram: int) -> dict[str, int]:
+    key = (dim, ngram)
+    m = _BUCKET_MEMOS.get(key)
+    if m is None:
+        if len(_BUCKET_MEMOS) >= 4:
+            _BUCKET_MEMOS.clear()
+        m = _BUCKET_MEMOS[key] = {}
+    elif len(m) > _BUCKET_MEMO_MAX:
+        m.clear()
+    return m
+
+
 def _featurize(texts, dim: int, ngram: int, max_chars: int) -> np.ndarray:
     """Hashed char-n-gram count matrix, L2-normalized rows. crc32 is the
     bucket hash: deterministic, stdlib, identical on driver and executor
     (both run this exact function — train/score feature parity by
-    construction)."""
+    construction).
+
+    Bit-identical to the original per-gram ``row[bucket] += 1.0`` loop
+    (r14 opt rewrite): integer occurrence counts via np.bincount are
+    exact, so the accumulation-order change cannot move a ulp, and the
+    norm divides the same values. The memo only caches the pure
+    gram->bucket map."""
     import zlib
 
+    memo = _bucket_memo_for(dim, ngram)
+    memo_get = memo.get
     x = np.zeros((len(texts), dim))
     for r, t in enumerate(texts):
-        row = x[r]
+        idxs = [0] * 0
+        append = idxs.append
         for g in _char_grams(t, ngram, max_chars):
-            row[zlib.crc32(g.encode("utf-8")) % dim] += 1.0
+            b = memo_get(g)
+            if b is None:
+                b = zlib.crc32(g.encode("utf-8")) % dim
+                memo[g] = b
+            append(b)
+        if not idxs:
+            continue
+        row = np.bincount(
+            np.asarray(idxs, dtype=np.intp), minlength=dim
+        ).astype(np.float64)
         nrm = np.linalg.norm(row)
         if nrm > 0:
             row /= nrm
+        x[r] = row
     return x
 
 
