@@ -136,16 +136,27 @@ def _train_from_freqs(
     freqs: dict[str, int], num_merges: int, raw: bool = False
 ) -> list[tuple[str, str]]:
     sym = _symbolize_raw if raw else _symbolize
-    words = {w: sym(w) for w in freqs}
-    # incremental pair bookkeeping (the textbook fast loop): global pair
-    # counts + pair -> words index, updated only for words a merge touches
+    words = {w: list(sym(w)) for w in freqs}
+    # incremental pair bookkeeping: global pair counts + pair -> words
+    # index + per-word pair multisets, delta-updated only AROUND merge
+    # sites (r14 opt). The previous form retracted and re-added EVERY
+    # pair of a touched word per merge — O(word length) per touch, which
+    # on raw-mode unspaced chunks (document-length "words", the mode's
+    # whole point) made training O(merges x chunk chars). The site-delta
+    # form touches O(sites) pairs instead; merge lists are EXACTLY equal
+    # (property-pinned vs the full-rescan reference in
+    # tests/test_tokenizer.py — same counts -> same argmin).
     pair_counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[str]] = {}
+    wcounts: dict[str, dict[tuple[str, str], int]] = {}
     for w, syms in words.items():
         f = freqs[w]
+        wc: dict[tuple[str, str], int] = {}
         for p in zip(syms, syms[1:]):
             pair_counts[p] = pair_counts.get(p, 0) + f
+            wc[p] = wc.get(p, 0) + 1
             pair_words.setdefault(p, set()).add(w)
+        wcounts[w] = wc
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         if not pair_counts:
@@ -161,29 +172,93 @@ def _train_from_freqs(
         for w in list(pair_words.get(best, ())):
             syms = words[w]
             f = freqs[w]
-            for p in zip(syms, syms[1:]):  # retract the word's old pairs
-                pair_counts[p] -= f
-                if pair_counts[p] <= 0:
-                    del pair_counts[p]
+            wc = wcounts[w]
+            if len(syms) <= 64:
+                # short words: the flat retract-all/re-add-all rescan
+                # beats per-site closure bookkeeping (the _encode_syms
+                # length-dispatch lesson); identical end state
+                for p, cnt in wc.items():
+                    c = pair_counts[p] - cnt * f
+                    if c:
+                        pair_counts[p] = c
+                    else:
+                        del pair_counts[p]
+                    ws = pair_words.get(p)
+                    if ws is not None:
+                        ws.discard(w)
+                        if not ws:
+                            del pair_words[p]
+                out = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if (
+                        i + 1 < n
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                wc = {}
+                for p in zip(out, out[1:]):
+                    pair_counts[p] = pair_counts.get(p, 0) + f
+                    wc[p] = wc.get(p, 0) + 1
+                    pair_words.setdefault(p, set()).add(w)
+                wcounts[w] = wc
+                words[w] = out
+                continue
+
+            def delta(p: tuple[str, str], d: int) -> None:
+                # maintain all three indexes for one pair-occurrence
+                # delta in word w: per-word multiset, global count,
+                # pair->words membership
+                nv = wc.get(p, 0) + d
+                if nv:
+                    wc[p] = nv
+                else:
+                    wc.pop(p, None)
+                c = pair_counts.get(p, 0) + d * f
+                if c:
+                    pair_counts[p] = c
+                else:
+                    pair_counts.pop(p, None)
                 ws = pair_words.get(p)
-                if ws is not None:
+                if nv > 0:
+                    if ws is None:
+                        pair_words[p] = {w}
+                    else:
+                        ws.add(w)
+                elif nv == 0 and ws is not None:
                     ws.discard(w)
                     if not ws:
                         del pair_words[p]
-            out = []
+
+            # left-to-right in-place merge, delta-updating only around
+            # sites; out[-1] is final (a previous site's ab included),
+            # syms[i+2] is pre-merge — exactly the pairs the full
+            # rescan would retract/add
+            out: list[str] = []
             i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    if out:
+                        delta((out[-1], a), -1)
+                    delta((a, b), -1)
+                    if i + 2 < n:
+                        delta((b, syms[i + 2]), -1)
+                        delta((ab, syms[i + 2]), +1)
+                    if out:
+                        delta((out[-1], ab), +1)
                     out.append(ab)
                     i += 2
                 else:
                     out.append(syms[i])
                     i += 1
-            new_syms = tuple(out)
-            words[w] = new_syms
-            for p in zip(new_syms, new_syms[1:]):  # add the new pairs
-                pair_counts[p] = pair_counts.get(p, 0) + f
-                pair_words.setdefault(p, set()).add(w)
+            words[w] = out
     return merges
 
 

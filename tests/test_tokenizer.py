@@ -1277,3 +1277,133 @@ def test_cli_tokenize_pack_bestfit(spark, tmp_path, capsys):
     # each of the 12 docs lands whole in exactly one sequence
     spans = [s for r in rows for s in r["doc_spans"]]
     assert sorted(s["doc_id"] for s in spans) == list(range(12))
+
+
+def test_train_site_delta_matches_full_rescan_reference():
+    """r14 opt: _train_from_freqs delta-updates pair bookkeeping only
+    around merge sites. Merge lists must EXACTLY equal the full-rescan
+    reference (identical counts after every merge -> identical argmin),
+    word and raw mode, including repeated-pair words (aaa + (a,a)) and
+    adjacent same-word sites (abab + (a,b))."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jackfruit_spark.functions import tokenizer as tk
+
+    def reference(freqs, num_merges, raw):
+        sym = tk._symbolize_raw if raw else tk._symbolize
+        words = {w: tuple(sym(w)) for w in freqs}
+        merges = []
+        for _ in range(num_merges):
+            pc = {}
+            for w, syms in words.items():
+                f = freqs[w]
+                for p in zip(syms, syms[1:]):
+                    pc[p] = pc.get(p, 0) + f
+            if not pc:
+                break
+            best = min(pc, key=lambda p: (-pc[p], p))
+            if pc[best] < 2:
+                break
+            merges.append(best)
+            a, b = best
+            ab = a + b
+            for w, syms in list(words.items()):
+                out = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = tuple(out)
+        return merges
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(alphabet="ab c", min_size=1, max_size=12),
+                st.integers(min_value=1, max_value=9),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.booleans(),
+    )
+    def check(items, raw):
+        freqs = {}
+        for w, f in items:
+            w = w.strip() if not raw else w
+            if not w:
+                return
+            freqs[w] = freqs.get(w, 0) + f
+        if not freqs:
+            return
+        got = tk._train_from_freqs(dict(freqs), 25, raw=raw)
+        want = reference(dict(freqs), 25, raw)
+        assert got == want
+
+    check()
+
+
+def test_train_site_delta_long_chunk_matches_reference():
+    """The >64-sym site-delta path (raw-mode document-length chunks)
+    produces the same merges as a from-scratch recount after every
+    merge — the hypothesis case above only reaches the short-word
+    rescan path."""
+    import random
+
+    from jackfruit_spark.functions import tokenizer as tk
+
+    rnd = random.Random(3)
+    freqs = {
+        tk.WB + "".join(rnd.choices("abcd", k=300)): rnd.randint(1, 4)
+        for _ in range(6)
+    }
+    freqs[tk.WB + "abab" * 50] = 3  # adjacent same-word sites
+    freqs[tk.WB + "a" * 200] = 2  # repeated-pair runs (aaa + (a,a))
+
+    def reference(fr, num_merges):
+        words = {w: tuple(tk._symbolize_raw(w)) for w in fr}
+        merges = []
+        for _ in range(num_merges):
+            pc = {}
+            for w, syms in words.items():
+                f = fr[w]
+                for p in zip(syms, syms[1:]):
+                    pc[p] = pc.get(p, 0) + f
+            if not pc:
+                break
+            best = min(pc, key=lambda p: (-pc[p], p))
+            if pc[best] < 2:
+                break
+            merges.append(best)
+            a, b = best
+            ab = a + b
+            for w, syms in list(words.items()):
+                out = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = tuple(out)
+        return merges
+
+    got = tk._train_from_freqs(dict(freqs), 60, raw=True)
+    want = reference(dict(freqs), 60)
+    assert got == want
