@@ -72,8 +72,16 @@ def cluster_corpus(
         sample_size=sample_size,
         sample_fraction=sample_fraction,
     )
-    labels = ivf_assign_pandas(emb, "embedding", cents).select(
-        F.col(id_col), F.col("ivf_cell").alias(cluster_col)
+    # Persist the slim (id, cluster) label frame (tracked, callers
+    # release): downstream consumers reference the labeled corpus more
+    # than once (cluster_stats alone reads it twice), and without the
+    # persist each reference re-runs the BLAS assignment Arrow pass and
+    # the label join from scratch. Two ints per document — the label
+    # table you would stage once at 100 TB.
+    labels = persisted(
+        ivf_assign_pandas(emb, "embedding", cents).select(
+            F.col(id_col), F.col("ivf_cell").alias(cluster_col)
+        )
     )
     # one shuffle join to attach labels; both sides are corpus-sized,
     # so no broadcast — the join IS the labeling pass's cost
