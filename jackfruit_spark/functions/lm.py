@@ -296,6 +296,41 @@ class NgramLM:
         return math.exp(-s / (len(toks) - 1))
 
 
+def _gram2_counts(df: DataFrame, text_col: str):
+    """Persisted (sh, c) counts over the UNFILTERED k=2 position-gram
+    frame: one row per token position via posexplode + one window lead
+    (the hot-path form), gram = "tok lead" (bare "tok" at the final
+    position — concat_ws skips the null lead). Every position emits
+    exactly one gram whose first token is that position's token, so the
+    frame carries exact unigram counts (per-first-token sums) AND the
+    full-bigram counts (grams containing a space) from a single corpus
+    scan. Blank/whitespace-only docs tokenize to [''] and produce the
+    empty gram — filtered, matching the old explode-pass ``w != ''``
+    gate. Synthetic row id: the window must partition per DOCUMENT
+    (duplicate texts would collide and let lead() cross documents).
+    Tracked persist (callers release via _persist.release_all)."""
+    from pyspark.sql import Window
+
+    from jackfruit_spark._persist import persisted
+    from jackfruit_spark.operators.dedup import tokens_expr
+
+    with_id = df.select(
+        F.monotonically_increasing_id().alias("__lmid"), F.col(text_col)
+    )
+    t = with_id.select(
+        F.col("__lmid"),
+        F.posexplode(tokens_expr(text_col)).alias("__pos", "__tok"),
+    )
+    w = Window.partitionBy("__lmid").orderBy("__pos")
+    gram = F.concat_ws(" ", F.col("__tok"), F.lead("__tok", 1).over(w))
+    return persisted(
+        t.select(gram.alias("sh"))
+        .filter(F.col("sh") != "")
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def train_bigram_lm(
     df: DataFrame,
     text_col: str,
@@ -310,35 +345,28 @@ def train_bigram_lm(
     heads come back to the driver (two TakeOrdered jobs), so the model
     stays megabytes no matter the corpus size. Deterministic: exact
     counts, count-desc/token-asc tie-broken heads."""
-    from jackfruit_spark._persist import persisted
-    from jackfruit_spark.operators.dedup import shingled_exploded, tokens_expr
-
-    toks = df.select(F.explode(tokens_expr(text_col)).alias("w")).filter(
-        F.col("w") != ""
-    )
-    # one corpus pass: total tokens = sum over the grouped counts (a
-    # distinct-words-sized frame, persisted for the head selection) —
-    # NOT a second full scan via toks.count()
-    grouped = persisted(toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
-    total = grouped.agg(F.sum("c")).collect()[0][0] or 0
+    # ONE corpus pass for unigrams AND bigrams: the unfiltered k=2
+    # position-gram frame ("tok lead" per position, last position's
+    # gram = bare "tok") bijects with token positions, so unigram
+    # counts are the per-first-token sums of the gram counts and the
+    # token total is their grand sum — exactly the counts the separate
+    # explode+groupBy(w) pass produced, without its second corpus scan
+    # (guide §1/§2: fold same-source aggregations into one pass).
+    # shingled_exploded is NOT reusable here: its keep-rule drops each
+    # document's final-token row, which the bigram head never misses
+    # (no space) but the unigram counts would.
+    gc = _gram2_counts(df, text_col)
+    uni_grouped = gc.select(
+        F.substring_index(F.col("sh"), " ", 1).alias("w"), "c"
+    ).groupBy("w").agg(F.sum("c").alias("c"))
+    total = uni_grouped.agg(F.sum("c")).collect()[0][0] or 0
     uni_rows = (
-        grouped.orderBy(F.col("c").desc(), F.col("w").asc())
+        uni_grouped.orderBy(F.col("c").desc(), F.col("w").asc())
         .limit(vocab_size)
         .collect()
     )
-    # bigrams via the posexplode+lead hot path (k=2 grams include the
-    # final partial 1-gram by the slice-truncation rule — drop grams
-    # without a space, they have no transition). Synthetic row id: the
-    # window must partition per DOCUMENT (duplicate texts would collide
-    # and let lead() cross documents).
-    with_id = df.select(
-        F.monotonically_increasing_id().alias("__lmid"), F.col(text_col)
-    )
     big_rows = (
-        shingled_exploded(with_id, "__lmid", text_col, k=2, distinct=False)
-        .filter(F.col("sh").contains(" "))
-        .groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("c"))
+        gc.filter(F.col("sh").contains(" "))
         .orderBy(F.col("c").desc(), F.col("sh").asc())
         .limit(max_bigrams)
         .collect()
@@ -415,26 +443,34 @@ def train_ngram_lm(
     capped at ``max_ngrams`` rows, so the model stays megabytes
     regardless of corpus size and N. At 100 TB: N-1 shuffles of
     gram-count frames (map-side combined), nothing else."""
-    from jackfruit_spark._persist import persisted
-    from jackfruit_spark.operators.dedup import shingled_exploded, tokens_expr
+    from jackfruit_spark.operators.dedup import shingled_exploded
 
     if order < 2:
         raise ValueError("order must be >= 2")
-    toks = df.select(F.explode(tokens_expr(text_col)).alias("w")).filter(
-        F.col("w") != ""
-    )
-    grouped = persisted(toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
-    total = grouped.agg(F.sum("c")).collect()[0][0] or 0
+    # unigrams + order-2 grams from ONE pass (the train_bigram_lm fold:
+    # the unfiltered k=2 position-gram frame bijects with positions)
+    gc = _gram2_counts(df, text_col)
+    uni_grouped = gc.select(
+        F.substring_index(F.col("sh"), " ", 1).alias("w"), "c"
+    ).groupBy("w").agg(F.sum("c").alias("c"))
+    total = uni_grouped.agg(F.sum("c")).collect()[0][0] or 0
     uni_rows = (
-        grouped.orderBy(F.col("c").desc(), F.col("w").asc())
+        uni_grouped.orderBy(F.col("c").desc(), F.col("w").asc())
         .limit(vocab_size)
         .collect()
     )
     counts: dict[int, dict] = {1: {r["w"]: int(r["c"]) for r in uni_rows}}
+    big_rows = (
+        gc.filter(F.col("sh").contains(" "))
+        .orderBy(F.col("c").desc(), F.col("sh").asc())
+        .limit(max_ngrams)
+        .collect()
+    )
+    counts[2] = {tuple(row["sh"].split(" ")): int(row["c"]) for row in big_rows}
     with_id = df.select(
         F.monotonically_increasing_id().alias("__lmid"), F.col(text_col)
     )
-    for r in range(2, order + 1):
+    for r in range(3, order + 1):
         rows = (
             shingled_exploded(with_id, "__lmid", text_col, k=r, distinct=False)
             # slice truncation emits partial grams at document tails; an
