@@ -134,6 +134,15 @@ def hashed_embedding(
                 ).alias("__w"),
             )
         )
+        # A/B'd and DECLINED (r14 opt round, guide §2.3): an explicit
+        # repartition(id) here would let groupBy(id, __b) and groupBy(id)
+        # share one Exchange (2 -> 1), but it ships RAW weighted gram
+        # rows (grams/doc) where the aggregate exchanges ship map-side
+        # partially-aggregated (id, bucket) rows bounded by dim/doc —
+        # fewer bytes than raw grams for any document longer than ~2*dim
+        # grams, which is the production case. Measured a 4% wash at
+        # sf0.1 (min-of-5 interleaved, 1.408 vs 1.346 s); bytes win at
+        # scale goes to the current shape.
     else:
         weighted = tf.select(id_col, "sh", F.col("__tf").alias("__w"))
     signed = weighted.select(

@@ -95,12 +95,27 @@ def repetition_signals(
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
     )
     grams = shingled_exploded(df, id_col, text_col, k=k, distinct=False)
+    return _repetition_project(
+        base.join(_repetition_counts(grams, id_col), id_col), id_col
+    )
+
+
+def _repetition_counts(grams: DataFrame, id_col: str) -> DataFrame:
+    """(id, top_gram_n, n_grams) from a (id, sh) gram stream — the
+    aggregate half of ``repetition_signals``, shared with the fused q62
+    plan so the two can never drift."""
     per_gram = grams.groupBy(id_col, "sh").agg(F.count(F.lit(1)).alias("__c"))
-    per_doc = per_gram.groupBy(id_col).agg(
+    return per_gram.groupBy(id_col).agg(
         F.max("__c").cast("long").alias("top_gram_n"),
         F.sum("__c").cast("long").alias("n_grams"),
     )
-    return base.join(per_doc, id_col).select(
+
+
+def _repetition_project(joined: DataFrame, id_col: str) -> DataFrame:
+    """The output projection of ``repetition_signals`` (shared): expects
+    a frame carrying (id, n_tokens, n_distinct_tokens, top_gram_n,
+    n_grams)."""
+    return joined.select(
         F.col(id_col),
         "n_tokens",
         "n_distinct_tokens",
@@ -150,7 +165,21 @@ def duplicate_spans(
     anti-join exactly as jaccard_pairs does (operators/dedup.py); kept
     as raw strings here so the DuckDB oracle matches bit-for-bit.
     """
-    g = grams_with_pos(df, id_col, text_col, k)
+    spans = _span_counts(grams_with_pos(df, id_col, text_col, k), id_col, k, min_count)
+    base = df.select(
+        F.col(id_col), F.size(tokens_expr(text_col)).cast("long").alias("n_tokens")
+    )
+    return base.join(spans, id_col, "left").select(
+        F.col(id_col), "n_tokens", *_span_out_cols()
+    )
+
+
+def _span_counts(
+    g: DataFrame, id_col: str, k: int, min_count: int
+) -> DataFrame:
+    """(id, dup_span_tokens, n_dup_spans) from a (id, pos, sh) full-gram
+    stream — the window/merge half of ``duplicate_spans``, shared with
+    the fused q62 plan so the two can never drift."""
     cnt = F.count(F.lit(1)).over(Window.partitionBy("sh"))
     marked = (
         g.withColumn("__cnt", cnt)
@@ -159,7 +188,7 @@ def duplicate_spans(
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(w)
-    spans = (
+    return (
         marked.select(
             F.col(id_col),
             F.when(prev.isNull(), F.lit(k))
@@ -175,12 +204,13 @@ def duplicate_spans(
             F.sum("__new").cast("long").alias("n_dup_spans"),
         )
     )
-    base = df.select(
-        F.col(id_col), F.size(tokens_expr(text_col)).cast("long").alias("n_tokens")
-    )
-    return base.join(spans, id_col, "left").select(
-        F.col(id_col),
-        "n_tokens",
+
+
+def _span_out_cols() -> list:
+    """The null-coalesced span output columns (shared projection): a
+    document with no marked span has zero coverage, and the ratio is
+    rounded to 6 dp against the caller-supplied ``n_tokens`` column."""
+    return [
         F.coalesce(F.col("dup_span_tokens"), F.lit(0)).cast("long").alias(
             "dup_span_tokens"
         ),
@@ -190,6 +220,127 @@ def duplicate_spans(
             / F.col("n_tokens").cast("double"),
             6,
         ).alias("dup_span_ratio"),
+    ]
+
+
+def repetition_span_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_rep: int = 2,
+    k_span: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Fused ``repetition_signals(k_rep) ⋈ duplicate_spans(k_span)`` —
+    the q62 plan — from ONE tokenize + posexplode + lead-window pass.
+
+    Run separately, the two operators each scan the corpus and each pay
+    the posexplode + window(id) subtree (plus two more bare-projection
+    scans for their token-count bases): four corpus reads and two window
+    evaluations for what is one token stream viewed at two gram widths.
+    Here the led token frame ``(id, pos, tok, lead 1..k_span-1)`` is
+    staged once (persisted — tracked via ``_persist``, callers/bench
+    release) and exactly TWO consumers derive from it:
+
+    - the repetition branch explodes per-row [token, k_rep-gram] pairs
+      (the ``hashed_embedding`` per-size-array trick) so the token
+      counts and the gram counts ride ONE groupBy(id, size, gram) →
+      groupBy(id) chain: ``n_tokens`` = sum of size-1 counts,
+      ``n_distinct_tokens`` = number of size-1 groups, top-gram stats
+      from the size-k_rep groups — no separate token-count scan, no
+      separate distinct aggregate. The k_rep gram keep rule is
+      ``shingled_exploded``'s (full grams, plus the pos==0 partial for
+      short docs);
+    - the k_span branch re-applies ``grams_with_pos``'s rule (full
+      grams only) and pays the same two window shuffles (sh, then id)
+      the standalone operator pays, through the shared ``_span_counts``
+      body.
+
+    Output is row- and value-identical to the unfused join (pinned in
+    tests/test_curation.py). Docs with NULL text explode to no rows and
+    drop, exactly as the unfused inner join drops them; empty text
+    tokenizes to [''] with one counted token, matching
+    ``size(split(trim('')))``.
+    """
+    from jackfruit_spark._persist import persisted
+
+    if k_rep < 2 or k_span < 2:
+        # k_rep == 1 would emit each token twice into the per-size pairs
+        # (token row AND 1-gram row); k_span < 2 has no lead column
+        raise ValueError(
+            f"repetition_span_signals needs k_rep >= 2 and k_span >= 2 "
+            f"(got k_rep={k_rep}, k_span={k_span})"
+        )
+    max_lead = max(k_rep, k_span) - 1
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_expr(text_col)).alias("__pos", "__tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    led = persisted(
+        t.select(
+            F.col(id_col),
+            "__pos",
+            "__tok",
+            *[
+                F.lead("__tok", j).over(w).alias(f"__l{j}")
+                for j in range(1, max_lead + 1)
+            ],
+        )
+    )
+
+    def gram(k: int):
+        return F.concat_ws(
+            " ", F.col("__tok"), *[F.col(f"__l{j}") for j in range(1, k)]
+        )
+
+    rep_keep = (
+        F.col(f"__l{k_rep - 1}").isNotNull() | (F.col("__pos") == 0)
+        if k_rep > 1
+        else F.lit(True)
+    )
+    # one row per token (size 1) plus one per kept k_rep-gram (size
+    # k_rep): a single aggregate chain serves both count families
+    pairs = led.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("sz"), F.col("__tok").alias("sh")),
+                F.struct(
+                    F.lit(k_rep).alias("sz"),
+                    F.when(rep_keep, gram(k_rep)).alias("sh"),
+                ),
+            )
+        ).alias("__g"),
+    ).select(F.col(id_col), "__g.sz", "__g.sh").filter(F.col("sh").isNotNull())
+    per_gram = pairs.groupBy(id_col, "sz", "sh").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    is_tok = F.col("sz") == 1
+    rep_counts = per_gram.groupBy(id_col).agg(
+        F.sum(F.when(is_tok, F.col("__c"))).cast("long").alias("n_tokens"),
+        F.count(F.when(is_tok, F.lit(1))).cast("long").alias(
+            "n_distinct_tokens"
+        ),
+        F.max(F.when(~is_tok, F.col("__c"))).cast("long").alias("top_gram_n"),
+        F.sum(F.when(~is_tok, F.col("__c"))).cast("long").alias("n_grams"),
+    )
+
+    grams_span = led.filter(F.col(f"__l{k_span - 1}").isNotNull()).select(
+        F.col(id_col), F.col("__pos").alias("pos"), gram(k_span).alias("sh")
+    )
+    spans = _span_counts(grams_span, id_col, k_span, min_count)
+
+    rep = _repetition_project(rep_counts, id_col)
+    return rep.join(spans, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct_tokens",
+        "dup_token_ratio",
+        "top_gram_n",
+        "n_grams",
+        "top_gram_ratio",
+        *_span_out_cols(),
     )
 
 

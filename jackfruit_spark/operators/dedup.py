@@ -492,13 +492,25 @@ def connected_components(
         # materialize ONCE: edges join into every round — without this the
         # whole upstream pair generation (e.g. q53's Jaccard scoring)
         # re-executes per iteration. LAZY checkpoint (r7): the next action
-        # over edges performs the materialization, so the path-choice count
+        # over edges performs the materialization, so the path-choice probe
         # below IS the checkpoint job, not an extra one — and with
         # driver_threshold=0 the first round's join materializes instead
         # (no probe job on the distributed path at all).
         .localCheckpoint(eager=False)
     )
-    if driver_threshold and edges.count() <= driver_threshold:
+    # Path choice and edge fetch in ONE action (r14 opt): take(N+1)
+    # returns ALL edges when there are at most N (the fast-path case) —
+    # the separate count-then-collect paid a second scheduling round per
+    # CC call. A result longer than the threshold falls through to the
+    # distributed loop exactly as the count comparison did; the partial
+    # rows fetched are a few MB at most, and the checkpoint caches the
+    # partitions the probe computed, so nothing re-executes.
+    small_edges = None
+    if driver_threshold:
+        head = edges.take(driver_threshold + 1)
+        if len(head) <= driver_threshold:
+            small_edges = head
+    if small_edges is not None:
         parent: dict = {}
 
         def find(x):
@@ -509,7 +521,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.collect():
+        for r in small_edges:
             ra, rb = find(r["src"]), find(r["dst"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)

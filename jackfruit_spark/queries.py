@@ -2474,29 +2474,32 @@ FROM t JOIN ga USING (doc_id) LEFT JOIN ss USING (doc_id)
 """,
     doc="Per-document duplication diagnostics, one row per document, two "
     "families joined on doc_id. (a) Gopher-style repetition signals: "
-    "duplicate-token fraction (1 - distinct/total tokens, a pure "
-    "projection — split + array_distinct, codegen, no shuffle) and "
+    "duplicate-token fraction (1 - distinct/total tokens) and "
     "top-bigram fraction (occurrences of the most frequent 2-gram over "
-    "all 2-grams — posexplode + window-lead grams, then "
-    "groupBy(doc,gram) -> groupBy(doc) reusing the doc_id partitioning "
-    "established by the gram window, so the corpus shuffles once). "
-    "(b) Duplicate-span coverage (Lee et al. 2022 substring dedup): "
-    "tokens covered by any corpus-wide repeated k-token span "
-    f"(k={SPAN_K} here, 50 in the paper), merged-interval count, and "
-    "coverage ratio — count-over-gram window (one gram shuffle, no "
-    "self-join) then a per-doc lag window merges overlaps "
-    "(operators/curation.py:duplicate_spans). High values mark "
+    "all 2-grams). (b) Duplicate-span coverage (Lee et al. 2022 "
+    "substring dedup): tokens covered by any corpus-wide repeated "
+    f"k-token span (k={SPAN_K} here, 50 in the paper), merged-interval "
+    "count, and coverage ratio — count-over-gram window (one gram "
+    "shuffle, no self-join) then a per-doc lag window merges overlaps. "
+    "Fused plan (r14): ONE tokenize + posexplode + lead-window pass is "
+    "staged (eager localCheckpoint) and both gram widths, plus the "
+    "token-count base, derive from it — the corpus is read once and "
+    "the repetition aggregates ride the staged frame's doc_id "
+    "partitioning with no further exchange "
+    "(operators/curation.py:repetition_span_signals). High values mark "
     "boilerplate and memorization risk for filtering/removal.",
 )
 def q62_repetition_signals(spark, sf_dir):
-    from jackfruit_spark.operators.curation import duplicate_spans, repetition_signals
+    from jackfruit_spark.operators.curation import repetition_span_signals
 
     d = load(spark, sf_dir, "documents")
-    rep = repetition_signals(d, "doc_id", "text", k=2)
-    spans = duplicate_spans(
-        d, "doc_id", "text", k=SPAN_K, min_count=SPAN_MIN_COUNT
-    ).drop("n_tokens")
-    return rep.join(spans, "doc_id")
+    # fused plan (r14 opt): ONE tokenize+posexplode+window pass staged for
+    # both gram families + the token-count base — value-identical to
+    # repetition_signals(k=2) ⋈ duplicate_spans(k=SPAN_K).drop(n_tokens)
+    # (pinned in tests/test_curation_ops.py; oracle unchanged)
+    return repetition_span_signals(
+        d, "doc_id", "text", k_rep=2, k_span=SPAN_K, min_count=SPAN_MIN_COUNT
+    )
 
 
 DECONTAM_BENCH_PCT = 5  # doc_id-hash percent held out as the "benchmark" set

@@ -437,16 +437,67 @@ def test_duplicate_spans_plan_shape(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_repetition_span_signals_matches_unfused(spark):
+    """The fused q62 operator must be row- and value-identical to
+    repetition_signals ⋈ duplicate_spans.drop(n_tokens) — the oracle is
+    hash-gated, so the fusion is only legal if this holds exactly."""
+    from jackfruit_spark.operators.curation import repetition_span_signals
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),     # exact dup -> corpus-wide spans
+            (3, "x"),                   # 1 token (partial rep gram, no span gram)
+            (4, ""),                    # empty text tokenizes to ['']
+            (5, "p q r s t u v w y z"),
+            (6, "a b c d e zz yy"),     # shared 5-token prefix span
+            (7, "m m m m m m"),         # intra-doc repeated spans
+            (8, "a b"),                 # shorter than k_span
+            (9, "a b c d"),
+        ],
+    )
+    rep = repetition_signals(d, "doc_id", "text", k=2)
+    spans = duplicate_spans(d, "doc_id", "text", k=5, min_count=2).drop("n_tokens")
+    want = rep.join(spans, "doc_id")
+    fused = repetition_span_signals(
+        d, "doc_id", "text", k_rep=2, k_span=5, min_count=2
+    )
+    assert fused.columns == want.columns
+    assert {tuple(r) for r in fused.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+
+def test_repetition_span_signals_rejects_degenerate_k(spark):
+    from jackfruit_spark.operators.curation import repetition_span_signals
+    import pytest
+
+    d = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="k_rep"):
+        repetition_span_signals(d, "doc_id", "text", k_rep=1, k_span=5)
+
+
 def test_repetition_query_plan(spark):
     from jackfruit_spark import queries as Q
 
     p = plan_string(
         Q.registry()["q62_repetition_signals"].fn(spark, "/root/testdata/sf0.001")
     )
-    # rep gram window (doc_id) + spans' three (doc_id, sh, doc_id): the two
-    # signal families each shuffle only bounded-size keys; per-doc joins
+    # fused plan (r14 opt): the led token frame is staged once
+    # (persisted) and BOTH gram families read it back — the plan must
+    # show the staged relation, and the corpus scan + posexplode must
+    # appear only inside its cached subtree (rendered once per
+    # InMemoryTableScan consumer: 2 consumers, so 2 re-renders — a
+    # third render would mean a consumer stopped reading the cache)
+    assert "InMemoryRelation" in p
+    assert p.count("Generate posexplode") == 2
+    assert p.count("FileScan parquet") == 2
+    # exchanges: led window (doc_id, re-rendered per consumer) + the
+    # per-size gram aggregate pair ((doc_id, sz, sh) then doc_id) + the
+    # span branch's two windows (sh, then doc_id); per-doc joins
     # broadcast at test scale (doc_id-keyed SMJ at cluster scale is fine)
-    assert p.count("Exchange hashpartitioning") == 4
+    assert p.count("Exchange hashpartitioning") == 6
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
