@@ -97,47 +97,78 @@ def cluster_stats(
     """Per-cluster report card: doc count, token count, token share, and
     the top-``top_terms`` most frequent terms (the human-readable label).
 
-    Aggregate-shaped throughout: tokens explode -> groupBy(cluster, term)
-    counts -> top-n window over the (small) distinct-term frame -> one
-    final groupBy. The window partitions by cluster over term-count rows
-    (bounded by vocabulary x k, not corpus size)."""
+    ONE corpus pass, one linear chain (r14 optimization round): the
+    earlier form evaluated the corpus-sized labeled frame TWICE — a
+    token-explode branch plus a separate doc/token aggregate whose
+    ``size(split())`` re-ran the regex split over every document — and
+    joined the two back together. Now each document explodes one NULL
+    sentinel row ahead of its (blank-gated) tokens, and doc counts,
+    token counts AND the top-terms all derive from the single
+    groupBy(cluster, term) frame: the rank window orders ELIGIBLE terms
+    (non-sentinel, non-'') first, so eligible ranks are exactly the old
+    ranks, and one final groupBy(cluster) folds the base sums and the
+    rank-gated collect_list together — no self-branch, no persist, no
+    join. (A persisted-branch variant was measured SLOWER at sf0.1: the
+    InMemoryRelation barrier cost more than the saved scan.)
+
+    Exactness vs the two-pass form (pinned by
+    tests/test_topics.py::test_cluster_stats_matches_two_pass):
+
+    - ``explode`` EMITS null elements (it drops only null/empty arrays),
+      so the sentinel counts every document, including blank/null-text
+      ones which contribute no token rows;
+    - ``n_tokens`` counts '' tokens too: Spark ``trim`` strips only
+      ASCII spaces, so a tab/newline-led document splits with a leading
+      '' that the old ``size()`` counted — only the TERM stats filter
+      them, exactly like the old explode branch did;
+    - ``collect_list`` skips the NULL the rank-gate ``when()`` yields for
+      sentinel/''/rank>k rows, and a cluster with no eligible terms
+      keeps the old NULL ``top_terms`` (not [])."""
     from pyspark.sql import Window
 
     from jackfruit_spark.operators.dedup import tokens_expr
 
-    toks = df.select(
-        F.col(cluster_col).alias("__c"),
-        F.explode(tokens_expr(text_col)).alias("__t"),
-    ).filter(F.col("__t") != "")  # split(trim('')) is [''] — the r8 gate
-    term_counts = toks.groupBy("__c", "__t").agg(F.count(F.lit(1)).alias("__n"))
-    w = Window.partitionBy("__c").orderBy(F.desc("__n"), F.asc("__t"))
-    top = (
-        term_counts.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= top_terms)
-        .groupBy("__c")
-        .agg(F.array_sort(F.collect_list(F.struct("__r", "__t"))).alias("__tt"))
-        .select("__c", F.transform("__tt", lambda s: s["__t"]).alias("top_terms"))
+    blank = F.col(text_col).isNull() | (
+        F.length(F.trim(F.col(text_col))) == 0
     )
-    base = df.groupBy(F.col(cluster_col).alias("__c")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        # blank/null gate: split(trim('')) is [''] (size 1); coalesce
-        # keeps an all-null cluster at 0 instead of NULL (int(NULL)
-        # crashes the CLI's report card)
+    sentinel = F.array(F.lit(None).cast("string"))
+    elems = F.when(blank, sentinel).otherwise(
+        F.concat(sentinel, tokens_expr(text_col))
+    )
+    counts = (
+        df.select(F.col(cluster_col).alias("__c"), F.explode(elems).alias("__t"))
+        .groupBy("__c", "__t")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # split(trim('')) is [''] — the r8 gate; sentinel rows are the docs
+    eligible = F.col("__t").isNotNull() & (F.col("__t") != "")
+    w = Window.partitionBy("__c").orderBy(
+        eligible.desc(), F.desc("__n"), F.asc("__t")
+    )
+    ranked = counts.withColumn("__e", eligible).withColumn(
+        "__r", F.row_number().over(w)
+    )
+    agg = ranked.groupBy("__c").agg(
         F.coalesce(
-            F.sum(
-                F.when(
-                    F.col(text_col).isNull()
-                    | (F.length(F.trim(F.col(text_col))) == 0),
-                    F.lit(0),
-                ).otherwise(F.size(tokens_expr(text_col)))
-            ),
-            F.lit(0),
+            F.sum(F.when(F.col("__t").isNull(), F.col("__n"))), F.lit(0)
+        ).alias("n_docs"),
+        # coalesce keeps an all-null cluster at 0 instead of NULL
+        # (int(NULL) crashes the CLI's report card)
+        F.coalesce(
+            F.sum(F.when(F.col("__t").isNotNull(), F.col("__n"))), F.lit(0)
         ).alias("n_tokens"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__e") & (F.col("__r") <= top_terms),
+                    F.struct("__r", "__t"),
+                )
+            )
+        ).alias("__tt"),
     )
     total = Window.partitionBy()
     return (
-        base.join(top, on="__c", how="left")
-        .withColumn(
+        agg.withColumn(
             "token_share",
             # an all-blank corpus sums to 0: 0/0 is NaN (doubles don't
             # throw under ANSI) and NaN poisons the CLI's JSON — pin 0.0
@@ -150,7 +181,10 @@ def cluster_stats(
             "n_docs",
             "n_tokens",
             "token_share",
-            "top_terms",
+            F.when(
+                F.size("__tt") > 0,
+                F.transform("__tt", lambda s: s["__t"]),
+            ).alias("top_terms"),
         )
     )
 

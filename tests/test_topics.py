@@ -158,6 +158,94 @@ def test_cli_cluster_balance_flags_validated(spark, tmp_path):
         ])
 
 
+def test_cluster_stats_matches_two_pass(spark):
+    """The r14 one-pass restructure (sentinel-row explode + slim cached
+    (cluster, term) aggregate) must match the original two-pass form
+    EXACTLY — including the whitespace edge the naive fold gets wrong:
+    Spark trim strips only ASCII spaces, so a tab/newline-led document
+    splits with a leading '' token that n_tokens counts (old size()
+    semantics) while the term stats drop it."""
+    from pyspark.sql import Window
+
+    from jackfruit_spark.operators.dedup import tokens_expr
+
+    rows = [
+        (0, "alpha beta beta", 0),
+        (1, "\talpha gamma", 0),      # tab-led: leading '' token
+        (2, "gamma\ndelta", 0),       # interior newline: one \s+ delim
+        (3, "   ", 0),                # blank: 0 tokens, counts as a doc
+        (4, None, 1),                 # null text
+        (5, "", 1),
+        (6, "\t\t", 1),               # trim keeps tabs: splits to ['']
+        (7, "epsilon", 2),
+        (8, " epsilon  zeta ", 2),    # space padding: trim handles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, cluster int")
+
+    def two_pass(frame, top_terms=3):
+        toks = frame.select(
+            F.col("cluster").alias("__c"),
+            F.explode(tokens_expr("text")).alias("__t"),
+        ).filter(F.col("__t") != "")
+        tc = toks.groupBy("__c", "__t").agg(F.count(F.lit(1)).alias("__n"))
+        w = Window.partitionBy("__c").orderBy(F.desc("__n"), F.asc("__t"))
+        top = (
+            tc.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= top_terms)
+            .groupBy("__c")
+            .agg(F.array_sort(F.collect_list(F.struct("__r", "__t"))).alias("__tt"))
+            .select("__c", F.transform("__tt", lambda s: s["__t"]).alias("top_terms"))
+        )
+        base = frame.groupBy(F.col("cluster").alias("__c")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("text").isNull()
+                        | (F.length(F.trim(F.col("text"))) == 0),
+                        F.lit(0),
+                    ).otherwise(F.size(tokens_expr("text")))
+                ),
+                F.lit(0),
+            ).alias("n_tokens"),
+        )
+        total = Window.partitionBy()
+        return (
+            base.join(top, on="__c", how="left")
+            .withColumn(
+                "token_share",
+                F.when(F.sum("n_tokens").over(total) == 0, F.lit(0.0)).otherwise(
+                    F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6)
+                ),
+            )
+            .select(
+                F.col("__c").alias("cluster"),
+                "n_docs", "n_tokens", "token_share", "top_terms",
+            )
+        )
+
+    def canon(frame):
+        return {
+            r.cluster: (
+                r.n_docs, r.n_tokens, float(r.token_share),
+                tuple(r.top_terms or []),
+            )
+            for r in frame.collect()
+        }
+
+    got = canon(cluster_stats(df, top_terms=3))
+    ref = canon(two_pass(df, top_terms=3))
+    release_all()
+    assert got == ref
+    # the whitespace edge is actually exercised: tab-led doc 1 counts
+    # its leading '' in n_tokens (3 tokens: '', alpha, gamma)
+    assert ref[0][1] == 3 + 3 + 2 + 0  # doc0=3, doc1=3 (incl ''), doc2=2
+    # dtypes unchanged (the CLI int()s n_tokens; DuckDB-free sanity)
+    sch = {f.name: f.dataType.simpleString() for f in cluster_stats(df).schema}
+    release_all()
+    assert sch["n_docs"] == "bigint" and sch["n_tokens"] == "bigint"
+
+
 def test_cluster_stats_blank_and_null_docs(spark):
     rows = [
         (0, "real tokens here", 0),
