@@ -185,8 +185,13 @@ def lloyd_kmeans(
         cents[i] = x[rng.choice(len(x), p=p)]
         d2 = np.minimum(d2, ((x - cents[i]) ** 2).sum(axis=1))
 
+    # loop-invariant: (x*x).sum is identical every iteration — hoisting
+    # it drops a full n x dim temporary (plus its reduction) per Lloyd
+    # iteration; the floats in d are unchanged (same expression, same
+    # operand order), so trained quantizers still reproduce bit-for-bit
+    x_sq = (x * x).sum(axis=1)[:, None]
     for _ in range(max_iter):
-        d = ((x * x).sum(axis=1)[:, None] - 2.0 * (x @ cents.T)
+        d = (x_sq - 2.0 * (x @ cents.T)
              + (cents * cents).sum(axis=1)[None, :])
         labels = np.argmin(d, axis=1)
         new = np.empty_like(cents)
