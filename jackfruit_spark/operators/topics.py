@@ -74,10 +74,11 @@ def cluster_corpus(
     )
     # Persist the slim (id, cluster) label frame (tracked, callers
     # release): downstream consumers reference the labeled corpus more
-    # than once (cluster_stats alone reads it twice), and without the
-    # persist each reference re-runs the BLAS assignment Arrow pass and
-    # the label join from scratch. Two ints per document — the label
-    # table you would stage once at 100 TB.
+    # than once (cluster_stats then balance_clusters, or repeated
+    # interactive reads), and without the persist each reference re-runs
+    # the BLAS assignment Arrow pass and the label join from scratch.
+    # Two ints per document — the label table you would stage once at
+    # 100 TB.
     labels = persisted(
         ivf_assign_pandas(emb, "embedding", cents).select(
             F.col(id_col), F.col("ivf_cell").alias(cluster_col)

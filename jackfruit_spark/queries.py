@@ -2482,7 +2482,8 @@ FROM t JOIN ga USING (doc_id) LEFT JOIN ss USING (doc_id)
     "count, and coverage ratio — count-over-gram window (one gram "
     "shuffle, no self-join) then a per-doc lag window merges overlaps. "
     "Fused plan (r14): ONE tokenize + posexplode + lead-window pass is "
-    "staged (eager localCheckpoint) and both gram widths, plus the "
+    "staged (tracked persist — a checkpointed LogicalRDD drops hash "
+    "partitioning on this Spark build) and both gram widths, plus the "
     "token-count base, derive from it — the corpus is read once and "
     "the repetition aggregates ride the staged frame's doc_id "
     "partitioning with no further exchange "
