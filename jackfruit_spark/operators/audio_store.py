@@ -289,8 +289,14 @@ class AudioIndex(VersionedStoreLifecycle):
 
         m = self._manifest()
         id_col = m["id_col"]
+        # repartition by track id BEFORE persisting (r15): the cached
+        # partitioning satisfies the signature groupBy AND the
+        # batch-landmark sides of both offset votes (they join on the
+        # id), so one exchange at cache build replaces three downstream
         lm_b = persisted(
-            self._landmarks_of(batch, m).withColumnRenamed("id", id_col)
+            self._landmarks_of(batch, m)
+            .withColumnRenamed("id", id_col)
+            .repartition(id_col)
         )
         sig_b = persisted(
             landmark_signatures(lm_b, num_hashes=m["num_hashes"], id_col=id_col)
@@ -298,17 +304,21 @@ class AudioIndex(VersionedStoreLifecycle):
         cands = persisted(self.corpus_candidates(sig_b))
         # verify vs corpus: prune stored landmarks to the candidate
         # corpus ids' lp residues (small driver collect — candidates,
-        # not corpus), then the offset vote
-        cand_ids = cands.select("corpus_id").distinct()
+        # not corpus), then the offset vote. ONE distinct over the
+        # persisted cands (the chained cand_ids.distinct -> lp.distinct
+        # paid an extra exchange+job per dedup, r15).
         lps = [
             r["lp"]
-            for r in cand_ids.select(
+            for r in cands.select(
                 F.pmod(F.xxhash64("corpus_id"), F.lit(m["lm_parts"])).alias("lp")
             )
             .distinct()
             .collect()
         ]
         _, _, landmarks = self._readers()
+        # semi-join against the persisted cands projection directly: a
+        # left-semi tolerates build-side duplicates, so the cand_ids
+        # distinct exchange bought nothing (r15)
         lm_c = (
             self._mask(
                 landmarks.filter(F.col("lp").isin(lps)).withColumnRenamed(
@@ -317,13 +327,19 @@ class AudioIndex(VersionedStoreLifecycle):
                 "__cid",
             )
             .join(
-                F.broadcast(cand_ids.withColumnRenamed("corpus_id", "__cid")),
+                F.broadcast(
+                    cands.select(F.col("corpus_id").alias("__cid"))
+                ),
                 "__cid",
                 "left_semi",
             )
             .select(F.col("__cid").alias("corpus_id"), "lmhash", "t1")
         )
-        dup_corpus = (
+        # persist (tracked): dup_corpus is referenced three times in the
+        # flags plan (left flag join + per-cc-union-branch taint semi) —
+        # unpersisted, the whole corpus offset-vote pipeline evaluated
+        # 3x per dedup (r15)
+        dup_corpus = persisted(
             _offset_vote(
                 cands,
                 lm_b.withColumnRenamed(id_col, "id"),

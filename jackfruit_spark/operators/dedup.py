@@ -284,6 +284,11 @@ def lsh_candidate_pairs(
     # otherwise execute once per consumer. (id, band, band_hash) is
     # bands x ndocs rows of three longs — far smaller than the corpus.
     # Tracked persist: callers / bench release via _persist.release_all().
+    # Repartitioning on the bucket key before the persist was A/B'd and
+    # REVERTED (r15): at bench scale the banded frame broadcasts, so the
+    # self-join has NO exchanges to remove and the repartition is pure
+    # overhead (q24 1.40 -> 2.19 s measured); the fold only pays once
+    # banded exceeds broadcast size, which the planner handles itself.
     from jackfruit_spark._persist import persisted
 
     banded = persisted(banded)
@@ -995,8 +1000,11 @@ def offset_consistent_pairs(
     from jackfruit_spark._persist import persisted
 
     cands = persisted(cands)
-    ids_a = cands.select(F.col("id_a").alias("media_id")).distinct()
-    ids_b = cands.select(F.col("id_b").alias("media_id")).distinct()
+    # left-semi tolerates build-side duplicates, so the id-set prunes
+    # join the persisted cands projections directly — the per-side
+    # .distinct() exchanges bought nothing (r15)
+    ids_a = cands.select(F.col("id_a").alias("media_id"))
+    ids_b = cands.select(F.col("id_b").alias("media_id"))
     la = lm.join(ids_a, "media_id", "left_semi").select(
         F.col("media_id").alias("id_a"), "lmhash", F.col("t1").alias("__ta")
     )

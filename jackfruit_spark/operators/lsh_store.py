@@ -287,7 +287,12 @@ class LshIndex(VersionedStoreLifecycle):
         id_col = m["id_col"]
         batch_sig = persisted(self._batch_sig(batch))
         cross = self.corpus_candidates(batch_sig, est_threshold)
-        dup_corpus = cross.select(id_col).distinct()
+        # persist (tracked): dup_corpus is referenced THREE times in the
+        # flags plan (the left flag join, plus once per cc-union branch
+        # after the taint semi-join distributes) — unpersisted, the whole
+        # corpus-probe join (postings scan + distinct) evaluated 3x per
+        # dedup (r15, plan-verified)
+        dup_corpus = persisted(cross.select(id_col).distinct())
 
         intra = lsh_candidate_pairs(
             batch_sig, id_col,

@@ -226,7 +226,10 @@ class PhashIndex(VersionedStoreLifecycle):
         id_col = m["id_col"]
         batch_sig = persisted(self._sig_of(batch, m))
         cross = self.corpus_candidates(batch_sig)
-        dup_corpus = cross.select(id_col).distinct()
+        # persist (tracked): dup_corpus is referenced three times in the
+        # flags plan (left flag join + per-cc-union-branch taint semi) —
+        # unpersisted, the corpus-probe join ran 3x per dedup (r15)
+        dup_corpus = persisted(cross.select(id_col).distinct())
 
         intra = simhash_candidate_pairs(
             batch_sig, id_col,

@@ -249,7 +249,11 @@ class VideoIndex(VersionedStoreLifecycle):
         m = self._manifest()
         id_col = m["id_col"]
         batch_sig = persisted(self._sig_of(batch, m))
-        dup_corpus = (
+        # persist (tracked): dup_corpus is referenced three times in the
+        # flags plan (left flag join + per-cc-union-branch taint semi) —
+        # unpersisted, the whole corpus probe INCLUDING the frame vote
+        # (two groupBys) evaluated 3x per dedup (r15)
+        dup_corpus = persisted(
             self.corpus_candidates(batch_sig)
             .select("id")
             .withColumnRenamed("id", id_col)
