@@ -195,20 +195,41 @@ class Bm25Index(VersionedStoreLifecycle):
         ).parquet(post_path)
 
         written = spark.read.parquet(post_path)
-        written.groupBy("term", "tp").agg(
-            F.count("*").alias("df")
-        ).write.mode("overwrite").partitionBy("tp").parquet(
-            os.path.join(root, data_dir, "termstats_v1")
-        )
         doc_path = os.path.join(root, data_dir, "docstats")
-        written.groupBy("id").agg(F.first("dl").alias("dl")).write.mode(
-            "overwrite"
-        ).parquet(doc_path)
-        agg = (
-            spark.read.parquet(doc_path)
-            .agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
-            .first()
-        )
+        # n_docs/total_dl ride an Observation ON the docstats write (the
+        # grid insert_grid shape, r15) — the read-back + aggregate job
+        # they replaced re-scanned the just-written docstats per build.
+        # Erased-metrics fallback (the observation_rows rule): after a
+        # completed write, missing metrics mean zero rows.
+        from pyspark.sql import Observation
+
+        obs = Observation("bm25_docstats")
+
+        def _write_termstats():
+            written.groupBy("term", "tp").agg(
+                F.count("*").alias("df")
+            ).write.mode("overwrite").partitionBy("tp").parquet(
+                os.path.join(root, data_dir, "termstats_v1")
+            )
+
+        def _write_docstats():
+            written.groupBy("id").agg(F.first("dl").alias("dl")).observe(
+                obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+            ).write.mode("overwrite").parquet(doc_path)
+
+        # the two derived writes are independent scans of the written
+        # postings: submit them concurrently (guide §2.6) so the second
+        # job's tasks back-fill executors idled by the first's tail
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_write_termstats), pool.submit(_write_docstats)]
+            for f in futs:
+                f.result()
+        try:
+            agg = obs.get
+        except Exception:  # noqa: BLE001 — erased CollectMetrics == empty
+            agg = {"n": 0, "t": 0}
         idx._swap_manifest({
             "id_col": id_col,
             "text_col": text_col,
