@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "topic_cluster",  # k-means topic labeling + per-cluster stats (bench-only, r11)
     "unigram_tokenize",  # SentencePiece unigram twin of bpe_tokenize (r11)
     "bpe_tokenize_raw",  # raw-stream (▁) BPE over unspaced CJK-heavy docs (r14)
+    "scale_lsh_x8",  # x8 alphabet-rotated corpus: the core-scaling probe (r15)
     "ccnet_perplexity",  # bigram-LM quality scoring, CCNet tier (bench-only, r8)
     "langid_score",  # trained language-ID tier (bench-only, r13)
     "quality_classifier",  # learned quality tier: train+score+Pareto (bench-only, r8)

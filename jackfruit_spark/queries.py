@@ -1022,6 +1022,45 @@ def unigram_tokenize(spark, sf_dir):
     )
 
 
+def _scaled_documents(spark, sf_dir, mult: int = 8):
+    """x``mult`` documents frame for the core-scaling probes (r15): an
+    id-offset union of the parquet input with each copy's alphabet
+    ROTATED (translate — codegen, cheap), so copies share no shingle
+    vocabulary and LSH bucket sizes stay x1-shaped (a plain union makes
+    every doc an 8-way exact dup and the bucket self-join goes
+    quadratic in the multiplier, measuring the wrong thing). Built at
+    plan level per run — no persisted intermediate."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    parts = [
+        d.select(
+            (F.col("doc_id") + F.lit(i * 100_000_000)).alias("doc_id"),
+            F.translate(F.col("text"), alpha, alpha[i:] + alpha[:i]).alias(
+                "text"
+            ),
+            "lang",
+        )
+        for i in range(mult)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scale_lsh_x8(spark, sf_dir):
+    """Bench-only (r15): q24's xxhash LSH pair generation over the x8
+    scaled documents frame — the SHUFFLE-heavy core-count scaling probe
+    (VERDICT r14 #3: at sf0.1 every key is inside the per-job
+    scheduling floor and the driver's 32-vs-8-core ratios read ~1; this
+    key is big enough for the ratio to separate). Same operator chain
+    as q24_minhash_lsh_pairs_xxh."""
+    big = _scaled_documents(spark, sf_dir, 8)
+    sig = minhash_signatures(big, "doc_id", "text", num_hashes=32, k=3)
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=4)
+    return pairs.withColumnRenamed("doc_id", "id_a")
+
+
 # 26 common CJK chars: the a-z image of the unspaced-corpus derivation
 # below (the trailing space in the FROM string has no TO image, so
 # translate() deletes it — every doc becomes ONE long unspaced chunk).
