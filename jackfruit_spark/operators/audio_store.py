@@ -362,9 +362,20 @@ class AudioIndex(VersionedStoreLifecycle):
             lm_b.withColumnRenamed(id_col, "media_id"),
             m["min_matches"],
         )
-        cc = connected_components(
-            batch.select(id_col), intra.select("id_a", "id_b"), id_col=id_col
-        )
+        # overlap the two independent action chains (guide §2.6): the
+        # corpus offset-vote materializes dup_corpus's cache on a side
+        # thread while connected_components drives its own take/loop
+        # jobs on this one — both read the already-materialized
+        # lm_b/sig_b/cands caches, so neither recomputes shared work
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(dup_corpus.count)
+            cc = connected_components(
+                batch.select(id_col), intra.select("id_a", "id_b"),
+                id_col=id_col,
+            )
+            fut.result()
         tainted = (
             cc.join(dup_corpus, id_col, "left_semi")
             .select("cluster_id")
