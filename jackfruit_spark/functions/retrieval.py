@@ -151,25 +151,39 @@ def hybrid_search(
     """
     if k_each is None:
         k_each = 2 * k
-    lex = bm25_index.search(
-        queries.select(query_id_col, query_col),
-        k=k_each,
-        query_id_col=query_id_col,
-        query_col=query_col,
-    ).select(F.col("query_id"), F.col("id"), F.col("rank"))
 
-    meta_id = ivf_index._manifest()["id_col"]
-    dense_raw = ivf_index.knn_join(
-        queries.select(
-            F.col(query_id_col).alias("__hq"), F.col(vec_col).alias("__hv")
-        ),
-        "__hq",
-        "__hv",
-        k=k_each,
-        nprobe=nprobe,
-        mode=mode,
-        cell_cap=cell_cap,
-    )
+    # Build the two legs concurrently (guide §2.6): each leg's PLAN
+    # CONSTRUCTION runs its own driver-side jobs (the lexical leg
+    # collects the query terms' tp residues; the dense leg persists the
+    # exploded query-cell frame and collects the probed-cell union) —
+    # serially they cost ~two scheduling rounds back to back, and the
+    # legs share nothing until the fuse. Construction only: the fused
+    # plan itself is unchanged, so results are bit-identical.
+    def _lex_leg():
+        return bm25_index.search(
+            queries.select(query_id_col, query_col),
+            k=k_each,
+            query_id_col=query_id_col,
+            query_col=query_col,
+        ).select(F.col("query_id"), F.col("id"), F.col("rank"))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        lex_fut = pool.submit(_lex_leg)
+        meta_id = ivf_index._manifest()["id_col"]
+        dense_raw = ivf_index.knn_join(
+            queries.select(
+                F.col(query_id_col).alias("__hq"), F.col(vec_col).alias("__hv")
+            ),
+            "__hq",
+            "__hv",
+            k=k_each,
+            nprobe=nprobe,
+            mode=mode,
+            cell_cap=cell_cap,
+        )
+        lex = lex_fut.result()
     w_dense = Window.partitionBy("__hq").orderBy(
         F.col("cosine_sim").desc(), F.col(meta_id).asc()
     )
