@@ -565,51 +565,59 @@ def release_corpus(
     # the checksum's multiplicity sensitivity is only meaningful if
     # duplicate keys are rejected loudly rather than absorbed)
     released = spark.read.parquet(docs_dir)
-    stats = released.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.count_distinct(F.col(id_col), F.col("epoch")).alias("__nd"),
-        F.sum(F.col(id_col).isNull().cast("long")).alias("__null_ids"),
-        F.sum(
-            F.when(
-                F.col(text_col).isNull()
-                | (F.length(F.trim(F.col(text_col))) == 0),
-                F.lit(0),
-            ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
-        ).alias("__t"),
-        _checksum_expr([id_col, "epoch", text_col]),
-    ).first()
-    # null ids first, by name (ADVICE r11): count_distinct skips nulls,
-    # so null-id rows would otherwise surface as a misleading
-    # 'duplicate (id, epoch)' error — and they collapse under the
-    # checksum's null-fold too, so they can't be released at all
-    if stats["__null_ids"]:
-        raise ValueError(
-            f"release input has {stats['__null_ids']} NULL {id_col} "
-            "rows — assign unique ids before releasing"
-        )
-    if stats["__n"] != stats["__nd"]:
-        raise ValueError(
-            f"release has {stats['__n'] - stats['__nd']} duplicate "
-            f"({id_col}, epoch) rows — dedup the input first"
-        )
-    card["stages"]["released_docs"] = int(stats["__n"])
-    card["stages"]["released_ws_tokens"] = int(stats["__t"] or 0)
-    if profile:
-        # composition stats straight into the data card (what a real
-        # card publishes: language mix, length percentiles, PII audit).
-        # One extra aggregate over the released parquet — profile_corpus
-        # rides a single job; epoch upsampling counts each copy, which
-        # is the honest view of what a training run will see.
-        from jackfruit_spark.operators.profile import profile_corpus
 
-        card["profile"] = profile_corpus(
-            released, id_col=id_col, text_col=text_col, pii_stats=True
-        )
-    # one touch covers the stats (+ optional profile) jobs above
-    card["checksum_xxh64_sum"] = (
-        int(stats["__sum"]) % (1 << 64) if stats["__sum"] is not None else 0
-    )
-    _touch_lease(vdir)
+    def _doc_stats_leg():
+        """Stats/validation/profile scan of the released documents.
+        Independent of the pack leg — both read docs_dir and neither
+        consumes the other's result — so when packing it runs on a side
+        thread under the pack write (guide §2.6). Validation still
+        raises loudly; under the overlap the raise can land after the
+        pack wrote into the version dir, but the card is only written
+        on success, so an aborted release is swept either way."""
+        stats = released.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count_distinct(F.col(id_col), F.col("epoch")).alias("__nd"),
+            F.sum(F.col(id_col).isNull().cast("long")).alias("__null_ids"),
+            F.sum(
+                F.when(
+                    F.col(text_col).isNull()
+                    | (F.length(F.trim(F.col(text_col))) == 0),
+                    F.lit(0),
+                ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+            ).alias("__t"),
+            _checksum_expr([id_col, "epoch", text_col]),
+        ).first()
+        # null ids first, by name (ADVICE r11): count_distinct skips
+        # nulls, so null-id rows would otherwise surface as a misleading
+        # 'duplicate (id, epoch)' error — and they collapse under the
+        # checksum's null-fold too, so they can't be released at all
+        if stats["__null_ids"]:
+            raise ValueError(
+                f"release input has {stats['__null_ids']} NULL {id_col} "
+                "rows — assign unique ids before releasing"
+            )
+        if stats["__n"] != stats["__nd"]:
+            raise ValueError(
+                f"release has {stats['__n'] - stats['__nd']} duplicate "
+                f"({id_col}, epoch) rows — dedup the input first"
+            )
+        prof = None
+        if profile:
+            # composition stats straight into the data card (what a real
+            # card publishes: language mix, length percentiles, PII
+            # audit). One extra aggregate over the released parquet —
+            # profile_corpus rides a single job; epoch upsampling counts
+            # each copy, which is the honest view of what a training run
+            # will see.
+            from jackfruit_spark.operators.profile import profile_corpus
+
+            prof = profile_corpus(
+                released, id_col=id_col, text_col=text_col, pii_stats=True
+            )
+        return stats, prof
+
+    if pack_seq_len is None:
+        stats, prof = _doc_stats_leg()
 
     if pack_seq_len is not None:
         from pyspark.sql import Observation
@@ -710,7 +718,16 @@ def release_corpus(
             # (bestfit excludes its pad tail)
             packed_toks,
         )
-        observed.write.mode("overwrite").parquet(seq_dir)
+        # overlap the doc-stats scan with the pack write (guide §2.6):
+        # both are independent passes over docs_dir, and the encode
+        # UDF's Python workers leave task slots idle that the stats
+        # aggregate's scan tasks back-fill
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            stats_fut = pool.submit(_doc_stats_leg)
+            observed.write.mode("overwrite").parquet(seq_dir)
+            stats, prof = stats_fut.result()
         _touch_lease(vdir)
         # runtime-empty plans can erase CollectMetrics (the AQE
         # empty-relation trap): after a completed write, missing
@@ -738,6 +755,18 @@ def release_corpus(
             if kind in ("unigram_raw", "bpe_raw")
             else has_byte_fallback(vocab)
         )
+
+    # doc-stats card fields (computed inline, or on the side thread when
+    # packing — see _doc_stats_leg); the card is dumped sort_keys, so
+    # assignment order never reaches the artifact
+    card["stages"]["released_docs"] = int(stats["__n"])
+    card["stages"]["released_ws_tokens"] = int(stats["__t"] or 0)
+    if prof is not None:
+        card["profile"] = prof
+    card["checksum_xxh64_sum"] = (
+        int(stats["__sum"]) % (1 << 64) if stats["__sum"] is not None else 0
+    )
+    _touch_lease(vdir)
 
     if card_extra:
         # provenance annotations from composing callers (compaction);
@@ -811,10 +840,45 @@ def _verify_link(spark: SparkSession, root: str, card: dict) -> dict:
     id_col = card["knobs"]["id_col"]
     text_col = card["knobs"]["text_col"]
     released = spark.read.parquet(os.path.join(root, f"v{v}", "documents"))
-    stats = released.agg(
+    docs_agg = released.agg(
         F.count(F.lit(1)).alias("__n"),
         _checksum_expr([id_col, "epoch", text_col]),
-    ).first()
+    )
+
+    def _seq_stats():
+        seq_dir = os.path.join(root, f"v{v}", "sequences")
+        try:
+            seqs = spark.read.parquet(seq_dir)
+            seq_cols = (
+                ["shard", "seq_id", "input_ids"]
+                if card["knobs"].get("pack_strategy") == "bestfit"
+                else ["source", "chunk_id", "input_ids"]
+            )
+            sstats = seqs.agg(
+                F.count(F.lit(1)).alias("__n"),
+                _checksum_expr(seq_cols),
+            ).first()
+            return (
+                int(sstats["__sum"]) % (1 << 64)
+                if sstats["__sum"] is not None
+                else 0
+            ), int(sstats["__n"])
+        except Exception:  # noqa: BLE001 — missing/unreadable dir = corrupt
+            return None, None
+
+    seq_actual = seq_n = None
+    if "checksum_sequences_xxh64_sum" in card:
+        # the docs and sequences checksums are independent scans of two
+        # different directories — overlap them (guide §2.6) so the link
+        # verify costs max(two scans), not their sum
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            seq_fut = pool.submit(_seq_stats)
+            stats = docs_agg.first()
+            seq_actual, seq_n = seq_fut.result()
+    else:
+        stats = docs_agg.first()
     actual = int(stats["__sum"]) % (1 << 64) if stats["__sum"] is not None else 0
     out = {
         "version": v,
@@ -828,26 +892,6 @@ def _verify_link(spark: SparkSession, root: str, card: dict) -> dict:
         "checksum_actual": actual,
     }
     if "checksum_sequences_xxh64_sum" in card:
-        seq_dir = os.path.join(root, f"v{v}", "sequences")
-        try:
-            seqs = spark.read.parquet(seq_dir)
-            seq_cols = (
-                ["shard", "seq_id", "input_ids"]
-                if card["knobs"].get("pack_strategy") == "bestfit"
-                else ["source", "chunk_id", "input_ids"]
-            )
-            sstats = seqs.agg(
-                F.count(F.lit(1)).alias("__n"),
-                _checksum_expr(seq_cols),
-            ).first()
-            seq_actual = (
-                int(sstats["__sum"]) % (1 << 64)
-                if sstats["__sum"] is not None
-                else 0
-            )
-            seq_n = int(sstats["__n"])
-        except Exception:  # noqa: BLE001 — missing/unreadable dir = corrupt
-            seq_actual, seq_n = None, None
         out.update(
             sequences_expected=card["stages"]["sequences"],
             sequences_actual=seq_n,
