@@ -119,13 +119,13 @@ class EnvironmentalService:
 
     Scale design: the ClickHouse query dedups with FINAL before the snap;
     a literal translation would shuffle the whole filtered slice through
-    the dedup window first. Instead: (1) snap = groupBy-max over the raw
-    slice — map-side combinable, no window shuffle; (2) broadcast the
-    per-variable snap timestamps back as a filter, shrinking the slice to
-    one grid per variable; (3) FINAL-dedup only that slice; (4) NN top-1.
-    Same result (a key exists post-dedup iff it exists raw; values are
-    resolved by the dedup in step 3), but the expensive window touches only
-    ~one grid of rows per variable instead of the whole history."""
+    the dedup window first. Instead the whole decision chain — snap to
+    the latest timestamp, nearest-neighbor top-1, FINAL version dedup —
+    is ONE per-variable max-struct aggregate whose lexicographic field
+    order encodes the priorities (see query_plan): map-side combinable,
+    no window shuffle, no broadcast join-backs, one scan of the filtered
+    history. Same result (a key exists post-dedup iff it exists raw, and
+    version resolution rides the struct's version/tie fields)."""
 
     def __init__(
         self,
@@ -193,54 +193,98 @@ class EnvironmentalService:
         sliced = self.serving_table.slice(
             snaps, req.lat, req.lon, prefilter_deg=prefilter_deg
         )
+        # one max-struct agg picks the NN row AND carries its payload
+        # (r15, guide §2.4 — the query_plan fold's pre-deduped twin:
+        # no version field needed, the serving table holds one row per
+        # point; previously an NN agg + broadcast join-back re-scanned
+        # the pruned slice)
         dlat = F.col("lat") - F.lit(req.lat)
         dlon = F.col("lon") - F.lit(req.lon)
-        dist = (dlat * dlat + dlon * dlon).alias("d")
-        nn_key = sliced.groupBy("variable").agg(
-            F.min(F.struct(dist, F.col("lat"), F.col("lon"))).alias("k")
+        d = dlat * dlat + dlon * dlon
+        best = sliced.groupBy("variable").agg(
+            F.max(
+                F.struct(
+                    (-d).alias("negd"),
+                    (-F.col("lat")).alias("neglat"),
+                    (-F.col("lon")).alias("neglon"),
+                    F.col("value").alias("value"),
+                    F.col("unit").alias("unit"),
+                    F.col("lat").alias("lat"),
+                    F.col("lon").alias("lon"),
+                    F.col("timestamp").alias("ts"),
+                    F.col("catalog_id").alias("cat"),
+                )
+            ).alias("k")
         )
         if prefilter_deg is not None:
-            nn_key = nn_key.filter(F.col("k.d") <= F.lit(float(prefilter_deg) ** 2))
-        nn = (
-            sliced.join(F.broadcast(nn_key), "variable")
-            .filter((F.col("lat") == F.col("k.lat")) & (F.col("lon") == F.col("k.lon")))
-            .drop("k")
+            # d <= prefilter² ⇔ negd >= -prefilter² (the distance-bound
+            # guard is unchanged, just expressed on the negated field)
+            best = best.filter(
+                F.col("k.negd") >= F.lit(-(float(prefilter_deg) ** 2))
+            )
+        nn = best.select(
+            "variable",
+            F.col("k.value").alias("value"),
+            F.col("k.unit").alias("unit"),
+            F.col("k.lat").alias("lat"),
+            F.col("k.lon").alias("lon"),
+            F.col("k.ts").alias("timestamp"),
+            F.col("k.cat").alias("catalog_id"),
         )
         return self._finish(nn)
 
     def query_plan(self, req: EnvironmentalRequest) -> DataFrame:
-        """The full read as one DataFrame (collect() is the caller's)."""
+        """The full read as one DataFrame (collect() is the caller's).
+
+        ONE partial-aggregatable max-struct per variable (r15, guide
+        §2.4): the struct's lexicographic field order encodes the whole
+        decision chain — latest timestamp (the snap, finder.go:38-41),
+        then nearest point by squared Euclidean degrees (negated for
+        the max; deliberately not great-circle,
+        docs/layer-3-serving.md:98) with lat/lon tie-breaks, then FINAL
+        dedup (max version, catalog_id tie — latest_by_keys' order) —
+        and the winning row's payload rides the struct tail. The
+        previous form ran snap agg + broadcast join-back + NN agg +
+        broadcast join-back + dedup window: three scans of the slice
+        and two exchanges where one map-side-combinable agg suffices.
+        Same winner row by construction; the only behavior pinned
+        tighter is the full-tie case (identical ts/point/version/
+        catalog_id duplicates), where the window kept an arbitrary row
+        and the struct max picks the max payload deterministically."""
         from jackfruit_spark.grid import schemas as S
-        from jackfruit_spark.operators.dedup import latest_by_keys
 
         g = self.grid.filter(
             F.col("variable").isin(list(req.variables))
             & (F.col("timestamp") <= F.lit(req.timestamp))
         )
-        # timestamp snap per variable (finder.go:38-41): two-phase hash agg
-        # (partial max on the scan side), then broadcast the tiny result
-        # back as an equality filter
-        snap = g.groupBy("variable").agg(F.max("timestamp").alias("timestamp"))
-        snapped_slice = g.join(F.broadcast(snap), ["variable", "timestamp"])
-        # nearest neighbor by squared Euclidean degrees (finder.go:42-49;
-        # deliberately not great-circle, docs/layer-3-serving.md:98).
-        # The winning point is dedup-invariant (duplicate versions share
-        # lat/lon), so pick the point FIRST with a partial-aggregatable
-        # MIN over (dist, lat, lon) — map-side combinable, no window
-        # shuffle of the slice — and only then FINAL-dedup the handful of
-        # version rows at that point.
         dlat = F.col("lat") - F.lit(req.lat)
         dlon = F.col("lon") - F.lit(req.lon)
-        dist = (dlat * dlat + dlon * dlon).alias("d")
-        nn_key = snapped_slice.groupBy("variable").agg(
-            F.min(F.struct(dist, F.col("lat"), F.col("lon"))).alias("k")
+        d = dlat * dlat + dlon * dlon
+        best = g.groupBy("variable").agg(
+            F.max(
+                F.struct(
+                    F.col("timestamp").alias("ts"),
+                    (-d).alias("negd"),
+                    (-F.col("lat")).alias("neglat"),
+                    (-F.col("lon")).alias("neglon"),
+                    F.col(S.VERSION_COL).alias("ver"),
+                    F.col("catalog_id").alias("cat"),
+                    F.col("value").alias("value"),
+                    F.col("unit").alias("unit"),
+                    F.col("lat").alias("lat"),
+                    F.col("lon").alias("lon"),
+                )
+            ).alias("k")
         )
-        nn_rows = (
-            snapped_slice.join(F.broadcast(nn_key), "variable")
-            .filter((F.col("lat") == F.col("k.lat")) & (F.col("lon") == F.col("k.lon")))
-            .drop("k")
+        nn = best.select(
+            "variable",
+            F.col("k.value").alias("value"),
+            F.col("k.unit").alias("unit"),
+            F.col("k.lat").alias("lat"),
+            F.col("k.lon").alias("lon"),
+            F.col("k.ts").alias("timestamp"),
+            F.col("k.cat").alias("catalog_id"),
         )
-        nn = latest_by_keys(nn_rows, S.DEDUP_KEYS, S.VERSION_COL, tie_cols=["catalog_id"])
         return self._finish(nn)
 
     def get_variables(
