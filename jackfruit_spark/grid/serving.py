@@ -7,10 +7,11 @@ all-or-nothing assembly.
 
 Spark shape: ONE set-oriented job replaces the per-variable thread fan-out
 (environmental.go:48-60): filter variable isin(vars) on the dedup view →
-per-variable max(timestamp <= ts) window snap → squared-Euclidean NN
-row_number()=1 per variable → broadcast lineage join → collect <= len(vars)
-rows; any missing variable fails the whole request
-(serving-go/README.md:59 all-or-nothing contract).
+one per-variable max-struct aggregate whose lexicographic field order
+encodes snap (latest timestamp <= ts), squared-Euclidean NN and FINAL
+version dedup in a single map-side-combinable pass (see query_plan) →
+broadcast lineage join → collect <= len(vars) rows; any missing variable
+fails the whole request (serving-go/README.md:59 all-or-nothing contract).
 """
 
 from __future__ import annotations
