@@ -180,26 +180,29 @@ class CorpusIngestJob:
         # bootstrap build: an index built from an empty frame is an
         # unreadable zero-row partitioned parquet (the flags lesson)
         if n_kept > 0:
-            self._append_leg(
-                "lsh",
-                batch_id,
-                lambda: (
-                    idx.append(kept)
-                    if idx_exists
-                    else LshIndex.build(
-                        kept, self.id_col, self.text_col, lsh_root,
-                        **self.lsh_kwargs,
-                    )
-                ),
-            )
+            legs = [
+                (
+                    "lsh",
+                    batch_id,
+                    lambda: (
+                        idx.append(kept)
+                        if idx_exists
+                        else LshIndex.build(
+                            kept, self.id_col, self.text_col, lsh_root,
+                            **self.lsh_kwargs,
+                        )
+                    ),
+                )
+            ]
             if self.with_bm25:
-                self._append_leg(
-                    "bm25", batch_id, lambda: self._bm25_apply(kept)
+                legs.append(
+                    ("bm25", batch_id, lambda: self._bm25_apply(kept))
                 )
             if self.ivf_dim is not None:
-                self._append_leg(
-                    "ivf", batch_id, lambda: self._ivf_apply(kept, n_kept)
+                legs.append(
+                    ("ivf", batch_id, lambda: self._ivf_apply(kept, n_kept))
                 )
+            self._append_legs(legs)
 
         media_stats = {}
         if media is not None:
@@ -333,18 +336,20 @@ class CorpusIngestJob:
         kept.write.mode("overwrite").parquet(
             os.path.join(self.root, "media", f"batch={batch_id}")
         )
+        media_legs = []
         if kept_img is not None and n_img > 0:
-            self._append_leg(
-                "phash", batch_id, lambda: self._phash_apply(kept_img)
+            media_legs.append(
+                ("phash", batch_id, lambda: self._phash_apply(kept_img))
             )
         if kept_aud is not None and n_aud > 0:
-            self._append_leg(
-                "audiofp", batch_id, lambda: self._audiofp_apply(kept_aud)
+            media_legs.append(
+                ("audiofp", batch_id, lambda: self._audiofp_apply(kept_aud))
             )
         if kept_vid is not None and n_vid > 0:
-            self._append_leg(
-                "videofp", batch_id, lambda: self._videofp_apply(kept_vid)
+            media_legs.append(
+                ("videofp", batch_id, lambda: self._videofp_apply(kept_vid))
             )
+        self._append_legs(media_legs)
         return {
             "media_input": n_in,
             "media_denied": n_denied,
@@ -834,6 +839,35 @@ class CorpusIngestJob:
         apply_fn()
         with open(m, "w") as f:
             f.write("")
+
+    def _append_legs(self, legs) -> None:
+        """Run a batch's independent marker-gated index appends
+        concurrently (guide §2.6): each leg mutates its OWN store root
+        and records its OWN applied marker, so crash/replay semantics
+        are exactly the sequential form's — any subset of completed
+        legs is skipped by the marker check on re-run and the failed
+        ones re-apply. Legs share only already-staged inputs (flags
+        parquet, the persisted kept frame), never each other's stores.
+        ``legs`` is a list of (leg, batch_id, apply_fn); a single
+        pending leg runs inline (no pool overhead)."""
+        todo = [
+            (leg, bid, fn)
+            for leg, bid, fn in legs
+            if not os.path.exists(self._leg_marker(leg, bid))
+        ]
+        if len(todo) <= 1:
+            for leg, bid, fn in todo:
+                self._append_leg(leg, bid, fn)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(todo)) as pool:
+            futs = [
+                pool.submit(self._append_leg, leg, bid, fn)
+                for leg, bid, fn in todo
+            ]
+            for f in futs:
+                f.result()
 
     def _bm25_apply(self, kept: DataFrame) -> None:
         from jackfruit_spark.functions.bm25 import Bm25Index

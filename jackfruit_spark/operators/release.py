@@ -803,33 +803,57 @@ def verify_release(
     per link); ``parent_ok`` is the AND of every ancestor link's own
     integrity plus the checksum linkage between consecutive links."""
     card = read_card(root, version)
-    out = _verify_link(spark, root, card)
-    if "delta" in card:
-        pv = card["delta"]["parent_version"]
-        try:
-            cards = _chain_cards(root, card["version"])  # base-first
-            parent_ok = True
-            for i, c in enumerate(cards[:-1]):
-                link_ok = _verify_link(spark, root, c)["ok"]
-                if i > 0:
-                    # linkage pin: each delta card must still point at
-                    # the checksum its parent card carries today — a
-                    # re-written parent fails even if self-consistent
-                    link_ok = link_ok and (
-                        cards[i - 1]["checksum_xxh64_sum"]
-                        == c["delta"]["parent_checksum"]
-                    )
-                parent_ok = parent_ok and link_ok
-            linkage_ok = (
-                cards[-2]["checksum_xxh64_sum"]
-                == card["delta"]["parent_checksum"]
-            )
-        except Exception:  # noqa: BLE001 — missing/corrupt parent = broken
-            parent_ok = linkage_ok = False
-        out["parent_version"] = pv
-        out["parent_ok"] = parent_ok
-        out["parent_linkage_ok"] = linkage_ok
-        out["ok"] = out["ok"] and parent_ok and linkage_ok
+    if "delta" not in card:
+        return _verify_link(spark, root, card)
+    pv = card["delta"]["parent_version"]
+    try:
+        cards = _chain_cards(root, card["version"])  # base-first
+    except Exception:  # noqa: BLE001 — missing/corrupt parent = broken
+        cards = None
+    if cards is not None and len(cards) >= 2:
+        # every link reads its OWN v<N> dir and shares nothing — verify
+        # the ancestors concurrently with the current link (guide §2.6)
+        # so a chain verify costs ~max(link scans), not their sum; the
+        # linkage pins are pure card-field comparisons and stay in
+        # chain order below. A current-link failure (unreadable
+        # documents dir) still raises out of verify_release exactly as
+        # the sequential form did; an ancestor failure flips parent_ok.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(cards) - 1)) as pool:
+            anc_futs = [
+                pool.submit(_verify_link, spark, root, c)
+                for c in cards[:-1]
+            ]
+            out = _verify_link(spark, root, card)
+            try:
+                links_ok = [f.result()["ok"] for f in anc_futs]
+                parent_ok = True
+                for i, c in enumerate(cards[:-1]):
+                    link_ok = links_ok[i]
+                    if i > 0:
+                        # linkage pin: each delta card must still point
+                        # at the checksum its parent card carries today —
+                        # a re-written parent fails even if
+                        # self-consistent
+                        link_ok = link_ok and (
+                            cards[i - 1]["checksum_xxh64_sum"]
+                            == c["delta"]["parent_checksum"]
+                        )
+                    parent_ok = parent_ok and link_ok
+                linkage_ok = (
+                    cards[-2]["checksum_xxh64_sum"]
+                    == card["delta"]["parent_checksum"]
+                )
+            except Exception:  # noqa: BLE001 — broken ancestor link
+                parent_ok = linkage_ok = False
+    else:
+        out = _verify_link(spark, root, card)
+        parent_ok = linkage_ok = False
+    out["parent_version"] = pv
+    out["parent_ok"] = parent_ok
+    out["parent_linkage_ok"] = linkage_ok
+    out["ok"] = out["ok"] and parent_ok and linkage_ok
     return out
 
 
